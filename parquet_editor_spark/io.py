@@ -1,0 +1,195 @@
+"""Sources and sinks — the reference's four formats, Spark-first.
+
+Reference surface (SURVEY.md §2.1): extension-dispatched eager
+``pd.read_csv/read_excel/read_json/read_parquet`` on load
+(main.py:67-76; main.pyc:313-320) and ``df.to_*`` on save
+(main.py:79-86; main.pyc:350-357).
+
+Here load is a **lazy** Spark scan (the Catalyst logical plan is the
+IR; nothing executes until an action), and save is a distributed
+writer. Parquet is the first-class path — columnar, self-describing
+schema, predicate/column pushdown for free. CSV/JSON are supported
+both as scalable directory datasets and, for editor parity, as
+single files. Excel has no Spark datasource; it takes the guarded
+small-result pandas path over Arrow.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: extension → canonical format name (dispatch mirrors main.pyc:313-320)
+_EXT_FMT = {
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".xlsx": "excel",
+    ".xls": "excel",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".orc": "orc",
+}
+
+#: soft cap for driver-side collect paths (Excel sink, single-file sinks)
+SMALL_RESULT_ROWS = 1_000_000
+
+
+def detect_format(path: str) -> str:
+    root, ext = os.path.splitext(path.rstrip("/"))
+    fmt = _EXT_FMT.get(ext.lower())
+    if fmt is None:
+        # directory dataset: sniff the first data file
+        for f in sorted(glob.glob(os.path.join(path, "*"))):
+            inner = _EXT_FMT.get(os.path.splitext(f)[1].lower())
+            if inner:
+                return inner
+        raise ValueError(f"cannot infer format for {path!r}")
+    return fmt
+
+
+def load(
+    spark: SparkSession,
+    path: str,
+    fmt: Optional[str] = None,
+    schema=None,
+) -> DataFrame:
+    """Extension-dispatched scan (reference: main.pyc:307-324).
+
+    Lazy for parquet/orc/csv/json; Excel (no Spark source) reads
+    driver-side via pandas and enters Spark over Arrow.
+    """
+    fmt = fmt or detect_format(path)
+    if fmt == "parquet":
+        r = spark.read
+        return (r.schema(schema) if schema else r).parquet(path)
+    if fmt == "orc":
+        r = spark.read
+        return (r.schema(schema) if schema else r).orc(path)
+    if fmt == "csv":
+        r = spark.read.option("header", True)
+        return r.schema(schema).csv(path) if schema else r.option("inferSchema", True).csv(path)
+    if fmt == "json":
+        return _load_json(spark, path, schema)
+    if fmt == "excel":
+        return _load_excel(spark, path)
+    raise ValueError(f"unsupported format {fmt!r}")
+
+
+def _load_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON dialect bridge (SURVEY.md §7 hard part b).
+
+    Spark reads JSON-lines; the reference's ``pd.read_json``
+    (main.py:72-73) defaults to a single columns-oriented object.
+    Try the scalable JSON-lines scan first; if every record lands in
+    ``_corrupt_record``, fall back to pandas for the legacy dialect.
+    """
+    from pyspark.sql import types as T
+
+    r = spark.read
+    df = (r.schema(schema) if schema else r).json(path)
+    bad_only = set(df.columns) <= {"_corrupt_record"}
+    # pandas columns-orient = one top-level object of {col: {label: val}};
+    # Spark sees exactly one row whose every field is a struct.
+    looks_pandas_orient = (
+        not bad_only
+        and df.schema.fields
+        and all(isinstance(f.dataType, T.StructType) for f in df.schema.fields)
+        and df.limit(2).count() == 1
+    )
+    if not (bad_only or looks_pandas_orient):
+        return df
+    import pandas as pd
+
+    return spark.createDataFrame(pd.read_json(path))
+
+
+def _load_excel(spark: SparkSession, path: str) -> DataFrame:
+    """Excel scan (main.py:70-71) — first sheet, pandas small path."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path)
+    except ImportError as e:  # openpyxl/xlrd not in the image
+        raise NotImplementedError(
+            "Excel support needs openpyxl/xlrd on the driver; "
+            "not available in this environment"
+        ) from e
+    return spark.createDataFrame(pdf)
+
+
+def save(
+    df: DataFrame,
+    path: str,
+    fmt: Optional[str] = None,
+    mode: str = "overwrite",
+    partition_by: Optional[list[str]] = None,
+    single_file: bool = False,
+) -> None:
+    """Extension-dispatched sink (reference: main.pyc:344-360).
+
+    Default is the distributed directory writer (the 100 TB path —
+    one file per task, optional hive-style ``partition_by`` so later
+    scans get partition pruning). ``single_file=True`` gives the
+    reference's one-file-on-disk behavior via a guarded driver-side
+    pandas write. We deliberately do NOT write the pandas index
+    artifact the reference's ``to_csv`` emits (main.py:79-80) —
+    documented divergence, SURVEY.md §2.1.
+    """
+    fmt = fmt or detect_format(path)
+    if single_file or fmt == "excel":
+        return _save_single(df, path, fmt)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "parquet":
+        w.parquet(path)
+    elif fmt == "orc":
+        w.orc(path)
+    elif fmt == "csv":
+        w.option("header", True).csv(path)
+    elif fmt == "json":
+        w.json(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+
+
+def _save_single(df: DataFrame, path: str, fmt: str) -> None:
+    """Editor-parity single-file sink via Arrow ``toPandas``.
+
+    Guarded: refuses to collect more than SMALL_RESULT_ROWS so a
+    mis-aimed call can't OOM the driver at scale.
+    """
+    n = df.limit(SMALL_RESULT_ROWS + 1).count()
+    if n > SMALL_RESULT_ROWS:
+        raise ValueError(
+            f"single-file save of {n}+ rows exceeds the driver-side cap "
+            f"({SMALL_RESULT_ROWS}); use the distributed writer instead"
+        )
+    pdf = df.toPandas()
+    if fmt == "parquet":
+        pdf.to_parquet(path, index=False)
+    elif fmt == "csv":
+        pdf.to_csv(path, index=False)
+    elif fmt == "json":
+        pdf.to_json(path, orient="records", lines=True)
+    elif fmt == "excel":
+        try:
+            pdf.to_excel(path, index=False)
+        except (ImportError, ModuleNotFoundError) as e:
+            raise NotImplementedError(
+                "Excel support needs openpyxl on the driver; "
+                "not available in this environment"
+            ) from e
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+
+
+def empty(spark: SparkSession, schema: str) -> DataFrame:
+    """Fresh empty table (``pd.DataFrame()``, main.pyc:285-287)."""
+    return spark.createDataFrame([], schema)

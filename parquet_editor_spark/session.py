@@ -1,0 +1,174 @@
+"""SparkSession factory and the editor session layer.
+
+The reference holds ONE mutable in-memory pandas DataFrame per MDI
+window (``PandasModel._data``, main.py:15-17 / main.pyc:46-48) and
+mutates it in place. Here every "table" is an **immutable**
+:class:`pyspark.sql.DataFrame` bound to a name in
+:class:`EditorSession`; mutation = rebinding the name to a derived
+DataFrame. That single design decision buys:
+
+* undo/redo (readme.md:12 claims it; the reference never implemented
+  it — SURVEY.md §0.2) as a stack of previous bindings;
+* lazy, Catalyst-optimized execution of every edit;
+* safe concurrent readers at scale (no in-place mutation to race on).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "parquet_editor_spark",
+    cpus: Optional[int] = None,
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    """Build (or reuse) the SparkSession with scale-aware defaults.
+
+    * AQE on: runtime coalescing + skew-join handling so the same plan
+      survives sf0.001 and a 1000-executor 100 TB run.
+    * shuffle partitions ~ cores locally (the 200 default over-
+      parallelizes small data; a real cluster would raise it).
+    * UTC session timezone so timestamps hash-match the DuckDB oracle.
+    * Arrow enabled: every pandas interchange (Excel small-path,
+      Pandas UDFs) is columnar, not row-pickled.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class EditorSession:
+    """Named immutable DataFrames + per-name undo/redo stacks.
+
+    Maps the reference's MDI-window-per-table model (main.py:187-193)
+    to a catalog of named DataFrames, and its in-place mutation model
+    (``PandasModel.update_data``, main.pyc:96-100) to rebind + undo
+    push. ``undo``/``redo`` honestly implement the README's declared
+    but unimplemented capability (readme.md:12, SURVEY.md §0.2).
+    """
+
+    def __init__(self, spark: Optional[SparkSession] = None):
+        self.spark = spark or get_spark()
+        self._tables: dict[str, DataFrame] = {}
+        self._undo: dict[str, list[DataFrame]] = {}
+        self._redo: dict[str, list[DataFrame]] = {}
+
+    # -- catalog -----------------------------------------------------
+    def names(self) -> list[str]:
+        return sorted(self._tables)
+
+    def get(self, name: str) -> DataFrame:
+        return self._tables[name]
+
+    def bind(self, name: str, df: DataFrame, *, undoable: bool = True) -> DataFrame:
+        """Rebind ``name`` to ``df``; previous binding goes on the undo
+        stack (the reference's ``update_data`` model reset, main.pyc:96-100,
+        but reversible)."""
+        if undoable and name in self._tables:
+            self._undo.setdefault(name, []).append(self._tables[name])
+            self._redo.pop(name, None)
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+        return df
+
+    def drop_table(self, name: str) -> None:
+        self._tables.pop(name, None)
+        self._undo.pop(name, None)
+        self._redo.pop(name, None)
+        self.spark.catalog.dropTempView(name)
+
+    # -- undo / redo -------------------------------------------------
+    def undo(self, name: str) -> DataFrame:
+        stack = self._undo.get(name) or []
+        if not stack:
+            raise IndexError(f"nothing to undo for table {name!r}")
+        self._redo.setdefault(name, []).append(self._tables[name])
+        df = stack.pop()
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+        return df
+
+    def redo(self, name: str) -> DataFrame:
+        stack = self._redo.get(name) or []
+        if not stack:
+            raise IndexError(f"nothing to redo for table {name!r}")
+        self._undo.setdefault(name, []).append(self._tables[name])
+        df = stack.pop()
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+        return df
+
+    def can_undo(self, name: str) -> bool:
+        return bool(self._undo.get(name))
+
+    def can_redo(self, name: str) -> bool:
+        return bool(self._redo.get(name))
+
+    # -- convenience entry points (reference menu actions) -----------
+    def load(self, name: str, path: str, fmt: Optional[str] = None) -> DataFrame:
+        """File▸Load (main.pyc:237-240,307-324) — lazy scan, no eager read."""
+        from parquet_editor_spark import io as peio
+
+        return self.bind(name, peio.load(self.spark, path, fmt))
+
+    def save(self, name: str, path: str, fmt: Optional[str] = None, **kw) -> None:
+        """File▸Save (main.pyc:344-360)."""
+        from parquet_editor_spark import io as peio
+
+        peio.save(self._tables[name], path, fmt, **kw)
+
+    def new_dataframe(self, name: str, schema: str = "") -> DataFrame:
+        """File▸New (``pd.DataFrame()``, main.pyc:285-287)."""
+        df = self.spark.createDataFrame([], schema or "placeholder string")
+        if not schema:
+            df = df.drop("placeholder")
+        return self.bind(name, df)
+
+    def pivot(self, name: str, index: str, columns: str, values: str, aggfunc: str) -> DataFrame:
+        """Data▸Create Pivot Table (main.pyc:158-174,326-330): replaces the
+        table with the pivot result, like the reference's ``update_data``."""
+        from parquet_editor_spark.operators import query as q
+
+        return self.bind(name, q.pivot_table(self._tables[name], index, columns, values, aggfunc))
+
+    def sql(self, statement: str) -> DataFrame:
+        """Query surface over all bound tables (registered as temp views)."""
+        return self.spark.sql(statement)
+
+    # -- preview (the Qt view's cell pull, main.pyc:58-66) -----------
+    def preview(self, name: str, n: int = 100, offset: int = 0):
+        """Paged display: the reference renders every visible cell via
+        ``iloc`` (main.py:25-31); we collect only one page driver-side."""
+        df = self._tables[name]
+        if offset:
+            from parquet_editor_spark.operators.edit import with_rid
+
+            df = with_rid(df).filter(f"__rid >= {offset}").drop("__rid")
+        return df.limit(n).toPandas()

@@ -1,0 +1,80 @@
+"""Round-trip tests per format (SURVEY.md §5.3): load→save→load fixed
+point over the reference's format surface (main.py:67-86), including
+the list<float> embedding column for Parquet."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from parquet_editor_spark import io as peio
+
+
+def rt(spark, df, tmp_path, fmt, **kw):
+    p = str(tmp_path / f"rt.{fmt}")
+    peio.save(df, p, fmt, **kw)
+    return peio.load(spark, p, fmt)
+
+
+def test_parquet_roundtrip(spark, lineitem, tmp_path):
+    back = rt(spark, lineitem, tmp_path, "parquet")
+    assert back.schema == lineitem.schema
+    assert back.count() == lineitem.count()
+
+
+def test_parquet_roundtrip_embeddings(spark, embeddings, tmp_path):
+    back = rt(spark, embeddings, tmp_path, "parquet")
+    assert back.schema == embeddings.schema
+    a = embeddings.orderBy("vec_id").limit(3).toPandas()
+    b = back.orderBy("vec_id").limit(3).toPandas()
+    for x, y in zip(a["embedding"], b["embedding"]):
+        assert list(x) == list(y)
+
+
+def test_csv_roundtrip(spark, lineitem, tmp_path):
+    df = lineitem.select("l_orderkey", "l_quantity", "l_returnflag")
+    back = rt(spark, df, tmp_path, "csv")
+    assert back.count() == df.count()
+    assert [c for c, _ in back.dtypes] == df.columns
+
+
+def test_json_roundtrip(spark, lineitem, tmp_path):
+    df = lineitem.select("l_orderkey", "l_quantity", "l_returnflag")
+    back = rt(spark, df, tmp_path, "json")
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+
+
+def test_single_file_csv(spark, lineitem, tmp_path):
+    df = lineitem.select("l_orderkey", "l_quantity").limit(50)
+    p = str(tmp_path / "one.csv")
+    peio.save(df, p, single_file=True)
+    assert os.path.isfile(p)
+    assert len(pd.read_csv(p)) == 50
+
+
+def test_pandas_orient_json_fallback(spark, tmp_path):
+    # the reference's pd.read_json dialect (main.py:72-73)
+    p = str(tmp_path / "legacy.json")
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_json(p)  # columns orient
+    df = peio.load(spark, p)
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+
+def test_partitioned_write_prunes(spark, lineitem, tmp_path):
+    p = str(tmp_path / "part.parquet")
+    peio.save(lineitem, p, partition_by=["l_returnflag"])
+    back = peio.load(spark, p).filter("l_returnflag = 'A'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() > 0
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+
+
+def test_detect_format_errors():
+    with pytest.raises(ValueError):
+        peio.detect_format("/tmp/file.unknownext")
+
+
+def test_empty_source(spark):
+    df = peio.empty(spark, "a int, b string")
+    assert df.count() == 0 and df.columns == ["a", "b"]

@@ -1,0 +1,98 @@
+"""Differential tests: query operators vs the reference engine
+(pandas) — the reference's pivot is ``pd.pivot_table``
+(main.pyc:158-174); we must match its semantics exactly."""
+
+import pandas as pd
+import pytest
+
+from parquet_editor_spark.operators import query as q
+
+
+@pytest.mark.parametrize("aggfunc", ["mean", "sum", "count", "max", "min"])
+def test_pivot_matches_pandas(lineitem, aggfunc):
+    got = (
+        q.pivot_table(lineitem, "l_returnflag", "l_linestatus", "l_extendedprice", aggfunc)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    pdf = lineitem.toPandas()
+    want = pd.pivot_table(
+        pdf, index="l_returnflag", columns="l_linestatus",
+        values="l_extendedprice", aggfunc=aggfunc,
+    )
+    assert list(got.index) == list(want.index)
+    assert sorted(got.columns) == sorted(want.columns)
+    for c in want.columns:
+        pd.testing.assert_series_equal(
+            got[c].astype(float), want[c].astype(float),
+            check_names=False, rtol=1e-9,
+        )
+
+
+def test_pivot_drops_null_group_keys(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a", "a", None, "b"], "c": ["x", "y", "x", None], "v": [1.0, 2.0, 3.0, 4.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = q.pivot_table(df, "k", "c", "v", "sum").toPandas().set_index("k")
+    want = pd.pivot_table(pdf, index="k", columns="c", values="v", aggfunc="sum")
+    assert list(got.index) == list(want.index)
+    # pandas drops the all-NaN 'b' row only with dropna on columns; both
+    # must agree that null keys contribute to no group
+    assert set(got.columns) == set(want.columns)
+
+
+def test_pivot_rejects_unknown_aggfunc(lineitem):
+    with pytest.raises(ValueError, match="unsupported aggfunc"):
+        q.pivot_table(lineitem, "l_returnflag", "l_linestatus", "l_quantity", "median")
+
+
+def test_group_agg(lineitem):
+    got = q.group_agg(
+        lineitem,
+        ["l_returnflag"],
+        [("l_quantity", "sum", "sum_qty"), ("l_orderkey", "count_distinct", "n_orders")],
+    ).toPandas().set_index("l_returnflag").sort_index()
+    pdf = lineitem.toPandas()
+    want_sum = pdf.groupby("l_returnflag")["l_quantity"].sum()
+    want_n = pdf.groupby("l_returnflag")["l_orderkey"].nunique()
+    assert got["sum_qty"].to_dict() == pytest.approx(want_sum.to_dict())
+    assert got["n_orders"].to_dict() == want_n.to_dict()
+
+
+def test_top_k_plans_take_ordered(lineitem):
+    df = q.top_k(lineitem, ["l_extendedprice"], 5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) == 5
+    prices = [r["l_extendedprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_numeric_projection(lineitem):
+    cols = q.numeric_columns(lineitem)
+    assert "l_quantity" in cols and "l_returnflag" not in cols
+    assert q.select_numeric(lineitem).columns == cols
+
+
+def test_histogram_counts(lineitem):
+    h = q.histogram(lineitem, "l_quantity", 10.0).toPandas()
+    assert h["n"].sum() == lineitem.count()
+
+
+def test_broadcast_join_plan(spark, sf_dir, lineitem):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = q.join_tables(lineitem, part, lineitem.l_partkey == part.p_partkey, broadcast_right=True)
+    assert "BroadcastHashJoin" in j._jdf.queryExecution().executedPlan().toString()
+
+
+def test_semi_anti_join(spark, sf_dir):
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    have = q.semi_join(customer, orders, customer.c_custkey == orders.o_custkey).count()
+    none = q.anti_join(customer, orders, customer.c_custkey == orders.o_custkey).count()
+    assert have + none == customer.count()
+    assert set(
+        q.semi_join(customer, orders, customer.c_custkey == orders.o_custkey).columns
+    ) == set(customer.columns)

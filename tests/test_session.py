@@ -1,0 +1,68 @@
+"""EditorSession: catalog, undo/redo (readme.md:12 parity — the
+reference declares undo/redo but never implemented it, SURVEY.md §0.2),
+load/save/pivot entry points."""
+
+import pytest
+
+from parquet_editor_spark.session import EditorSession
+
+
+@pytest.fixture()
+def sess(spark):
+    return EditorSession(spark)
+
+
+def test_load_bind_sql(sess, sf_dir):
+    sess.load("li", f"{sf_dir}/lineitem.parquet")
+    assert "li" in sess.names()
+    n = sess.sql("SELECT count(*) AS n FROM li").collect()[0]["n"]
+    assert n == sess.get("li").count()
+
+
+def test_undo_redo_roundtrip(sess, sf_dir):
+    sess.load("t", f"{sf_dir}/region.parquet")
+    before = sess.get("t").count()
+    sess.bind("t", sess.get("t").limit(2))
+    assert sess.get("t").count() == 2
+    sess.undo("t")
+    assert sess.get("t").count() == before
+    sess.redo("t")
+    assert sess.get("t").count() == 2
+    assert sess.can_undo("t") and not sess.can_redo("t")
+
+
+def test_undo_empty_raises(sess, sf_dir):
+    sess.load("t", f"{sf_dir}/region.parquet", "parquet")
+    with pytest.raises(IndexError):
+        sess.undo("t")
+
+
+def test_new_edit_invalidates_redo(sess, sf_dir):
+    sess.load("t", f"{sf_dir}/region.parquet")
+    sess.bind("t", sess.get("t").limit(3))
+    sess.undo("t")
+    sess.bind("t", sess.get("t").limit(1))  # new edit after undo
+    assert not sess.can_redo("t")
+
+
+def test_pivot_replaces_table(sess, sf_dir):
+    sess.load("li", f"{sf_dir}/lineitem.parquet")
+    sess.pivot("li", "l_returnflag", "l_linestatus", "l_extendedprice", "mean")
+    assert set(sess.get("li").columns) == {"l_returnflag", "F", "O"}
+    sess.undo("li")
+    assert "l_quantity" in sess.get("li").columns
+
+
+def test_new_dataframe_and_preview(sess, sf_dir):
+    sess.new_dataframe("empty", "a int, b string")
+    assert sess.get("empty").count() == 0
+    sess.load("r", f"{sf_dir}/region.parquet")
+    page = sess.preview("r", n=3)
+    assert len(page) == 3
+
+
+def test_save_roundtrip(sess, sf_dir, tmp_path):
+    sess.load("r", f"{sf_dir}/region.parquet")
+    sess.save("r", str(tmp_path / "r.parquet"))
+    sess.load("r2", str(tmp_path / "r.parquet"))
+    assert sess.get("r2").count() == sess.get("r").count()

@@ -1,0 +1,101 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
+sf0.01, compare row count + column names + order-insensitive values.
+
+Usage: python tools/check_oracle.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+
+    def norm_cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "<null>"
+        if isinstance(v, (np.floating, float)):
+            return f"{float(v):.10g}"
+        if isinstance(v, (np.integer, int)):
+            return str(int(v))
+        if isinstance(v, (list, np.ndarray)):
+            return "[" + ",".join(norm_cell(x) for x in v) + "]"
+        if isinstance(v, pd.Timestamp):
+            return v.tz_localize(None).isoformat() if v.tzinfo else v.isoformat()
+        return str(v)
+
+    out = pdf.map(norm_cell)
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    errs = []
+    if len(spark_df) != len(oracle_df):
+        errs.append(f"rows: spark={len(spark_df)} oracle={len(oracle_df)}")
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        errs.append(f"cols: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}")
+        return errs
+    a, b = canon(spark_df), canon(oracle_df)
+    if not a.equals(b):
+        neq = (a != b).any(axis=1)
+        diff = pd.concat([a[neq].head(3).add_suffix("_spark"), b[neq].head(3).add_suffix("_oracle")], axis=1)
+        errs.append(f"values differ on {int(neq.sum())} rows; first:\n{diff.to_string()}")
+    return errs
+
+
+def main(only: list[str]) -> int:
+    import __spark_entry__ as entry_mod
+    from parquet_editor_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"PASS {name}: rows-only ({len(got)} rows, no oracle)")
+            continue
+        try:
+            want = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            failed.append(name)
+            continue
+        errs = compare(name, got, want)
+        if errs:
+            print(f"FAIL {name}: " + "; ".join(errs))
+            failed.append(name)
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+    print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
