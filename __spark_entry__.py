@@ -21,6 +21,10 @@ SF1 = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        from parquet_editor_spark.io import load_parquet_nanos
+
+        return load_parquet_nanos(spark, f"{sf_dir}/events.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -128,6 +132,227 @@ def q_histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.histogram(_t(spark, sf_dir, "lineitem"), "l_quantity", 5.0)
 
 
+def q_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: fact ⋈ broadcast dims (SURVEY.md §2.6) —
+    region (5 rows) and nation (25) are hinted broadcast so the plan
+    never shuffles the fact side on dim keys."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_anti_parts_never_sold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti join (SURVEY.md §2.6): parts that never
+    appear in lineitem, counted per brand."""
+    part = _t(spark, sf_dir, "part")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        q.anti_join(part, lineitem, part.p_partkey == lineitem.l_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+def q_semi_suppliers_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left-semi join."""
+    supplier = _t(spark, sf_dir, "supplier")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        q.semi_join(supplier, lineitem, supplier.s_suppkey == lineitem.l_suppkey)
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per supplier — window partitioned on the group key
+    (parallel across suppliers; never a global sort)."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+def q_window_top3_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via ranked window (guide: 'Top-K per group')."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: UNION (distinct) of customer and supplier nation keys."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return q.union_tables(c, s, distinct=True)
+
+
+def q_rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the pivot keys (parity-plus agg, SURVEY.md §2.4)."""
+    return q.rollup_agg(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum", "sum_qty"), ("l_quantity", "count", "n")],
+    ).select(
+        "l_returnflag", "l_linestatus", F.round("sum_qty", 2).alias("sum_qty"), "n"
+    )
+
+
+def q_pivot_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a distinct aggregate (whitelist extension, §2.4)."""
+    return q.pivot_table(
+        _t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_linestatus",
+        "l_suppkey",
+        "count_distinct",
+        pivot_values=["F", "O"],
+        round_to=None,
+    )
+
+
+def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction from events.props (SURVEY.md §2.7):
+    from_json with an explicit schema — vectorized JVM parsing."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.from_json("props", "k INT").getField("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+def q_date_trunc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar surface: orders per month (SURVEY.md §2.6)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def q_string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: upper/length/substring stay in codegen."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_pfx"),
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min → session starts, per user."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ → epoch seconds: via session-tz timestamp (pinned UTC)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(sec).over(w)
+    start = F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("s", start)
+        .groupBy("user_id")
+        .agg(F.sum("s").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def q_bin2d_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe scatter (main.pyc:375-379): 2-D density grid."""
+    return q.bin2d(_t(spark, sf_dir, "lineitem"), "l_discount", "l_tax", 0.02, 0.02)
+
+
+# -- editor ops, SQL-oracled over a deterministic ordinal -------------------
+
+def _ordered_li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem with rid = dense ordinal over (l_orderkey, l_linenumber)
+    — the deterministic total order both engines can reproduce."""
+    from parquet_editor_spark.operators import edit as E
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    return E.ordered_rid(li, ["l_orderkey", "l_linenumber"]).withColumnRenamed("__rid", "rid")
+
+
+_ORACLE_RID = (
+    "SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rid, "
+    "l_orderkey, l_linenumber, l_quantity FROM lineitem"
+)
+
+
+def q_cell_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed positional cell write (main.pyc:68-79) over the shared
+    ordinal: set l_quantity=99 at rid 10."""
+    from parquet_editor_spark.operators import edit as E
+
+    df = _ordered_li(spark, sf_dir).withColumnRenamed("rid", "__rid")
+    return E.set_cell(df, 10, "l_quantity", "99").withColumnRenamed("__rid", "rid")
+
+
+def q_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional delete of rids 0-9 + dense re-rank (main.pyc:122-126)."""
+    from parquet_editor_spark.operators import edit as E
+
+    df = _ordered_li(spark, sf_dir).withColumnRenamed("rid", "__rid")
+    return E.delete_rows(df, range(10)).withColumnRenamed("__rid", "rid")
+
+
+def q_paste_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut rids 0-4, paste at position 100 (main.py:53-65): the
+    positional splice as ordinal arithmetic + unionByName."""
+    from parquet_editor_spark.operators import edit as E
+
+    df = _ordered_li(spark, sf_dir).withColumnRenamed("rid", "__rid")
+    clip, rest = E.cut_rows(df, range(5))
+    return E.paste_rows(rest, clip, 100).withColumnRenamed("__rid", "rid")
+
+
+def q_add_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column insert at position with typed default fill
+    (main.pyc:102-114) + positional drop (main.pyc:116-120)."""
+    from parquet_editor_spark.operators import edit as E
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_tax"
+    )
+    out = E.add_column(li, "flag", "bool", pos=1)
+    out = E.add_column(out, "score", "float64", pos=2)
+    return E.drop_column(out, 4)  # drops l_quantity (0-based data cols)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pivot_mean": _pivot("mean"),
@@ -141,6 +366,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_region": q_scan_region,
         "numeric_projection": q_numeric_projection,
         "histogram_quantity": q_histogram_quantity,
+        "join_star_revenue": q_join_star_revenue,
+        "anti_parts_never_sold": q_anti_parts_never_sold,
+        "semi_suppliers_with_sales": q_semi_suppliers_with_sales,
+        "window_running_sum": q_window_running_sum,
+        "window_top3_per_priority": q_window_top3_per_priority,
+        "union_distinct_nations": q_union_distinct_nations,
+        "rollup_qty": q_rollup_qty,
+        "pivot_count_distinct": q_pivot_count_distinct,
+        "json_extract_events": q_json_extract_events,
+        "date_trunc_orders": q_date_trunc_orders,
+        "string_funcs_part": q_string_funcs_part,
+        "sessionize_events": q_sessionize_events,
+        "bin2d_scatter": q_bin2d_scatter,
+        "cell_edit": q_cell_edit,
+        "delete_rows": q_delete_rows,
+        "paste_splice": q_paste_splice,
+        "add_drop_column": q_add_drop_column,
     }
 
 
@@ -190,5 +432,132 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem WHERE l_quantity IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "join_star_revenue": """
+            SELECT r_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "anti_parts_never_sold": """
+            SELECT p_brand, count(*) AS n_parts
+            FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+            GROUP BY p_brand
+        """,
+        "semi_suppliers_with_sales": """
+            SELECT s_suppkey, s_name, s_nationkey
+            FROM supplier
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        """,
+        "window_running_sum": """
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   round(sum(l_quantity) OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_qty
+            FROM lineitem
+        """,
+        "window_top3_per_priority": """
+            SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank,
+                       o_orderkey, o_totalprice
+                FROM orders) t
+            WHERE rank <= 3
+        """,
+        "union_distinct_nations": """
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "rollup_qty": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(l_quantity) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot_count_distinct": """
+            SELECT l_returnflag,
+                   count(DISTINCT CASE WHEN l_linestatus='F' THEN l_suppkey END) AS F,
+                   count(DISTINCT CASE WHEN l_linestatus='O' THEN l_suppkey END) AS O
+            FROM lineitem
+            WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+            GROUP BY l_returnflag
+        """,
+        "json_extract_events": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(avg(value), 4) AS avg_value,
+                   sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "date_trunc_orders": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "string_funcs_part": """
+            SELECT p_partkey,
+                   upper(p_brand) AS brand_u,
+                   length(p_name) AS name_len,
+                   substring(p_type, 1, 5) AS type_pfx
+            FROM part
+        """,
+        "sessionize_events": """
+            SELECT user_id,
+                   sum(s) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+                SELECT user_id,
+                       CASE WHEN prev IS NULL
+                                 OR (CAST(floor(epoch(ts)) AS BIGINT) - prev) > 1800
+                            THEN 1 ELSE 0 END AS s
+                FROM (
+                    SELECT user_id, ts,
+                           lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                    FROM events) t1) t2
+            GROUP BY user_id
+        """,
+        "bin2d_scatter": """
+            SELECT CAST(floor(l_discount / 0.02) AS BIGINT) AS xbin,
+                   CAST(floor(l_tax / 0.02) AS BIGINT) AS ybin,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "cell_edit": f"""
+            SELECT rid, l_orderkey, l_linenumber,
+                   CASE WHEN rid = 10 THEN 99.0 ELSE l_quantity END AS l_quantity
+            FROM ({_ORACLE_RID}) t
+        """,
+        "delete_rows": f"""
+            SELECT rid - 10 AS rid, l_orderkey, l_linenumber, l_quantity
+            FROM ({_ORACLE_RID}) t WHERE rid >= 10
+        """,
+        "paste_splice": f"""
+            SELECT CASE WHEN rid < 5 THEN rid + 100
+                        WHEN rid < 105 THEN rid - 5
+                        ELSE rid END AS rid,
+                   l_orderkey, l_linenumber, l_quantity
+            FROM ({_ORACLE_RID}) t
+        """,
+        "add_drop_column": """
+            SELECT l_orderkey,
+                   CAST(FALSE AS BOOLEAN) AS flag,
+                   CAST(0.0 AS DOUBLE) AS score,
+                   l_linenumber, l_tax
+            FROM lineitem
         """,
     }

@@ -190,6 +190,32 @@ def _save_single(df: DataFrame, path: str, fmt: str) -> None:
         raise ValueError(f"unsupported format {fmt!r}")
 
 
+def load_parquet_nanos(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan tolerant of TIMESTAMP(NANOS) columns.
+
+    Spark has no nanosecond timestamp type and rejects NANOS parquet
+    columns outright (PARQUET_TYPE_ILLEGAL). With
+    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as a
+    LongType of epoch-nanos; we convert to a microsecond timestamp via
+    integer division (``DIV 1000`` — double division would lose
+    precision at 1e18 magnitudes). Sub-microsecond precision is
+    truncated; events.parquet carries µs-resolution values so the
+    conversion is lossless there (FIXTURES.md events.ts)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    # Re-read of footer metadata can't tell us which longs were NANOS;
+    # the caller converts. Convenience: convert a column named 'ts'.
+    if dict(df.dtypes).get("ts") == "bigint":
+        # cast to NTZ to match Spark's default parquet timestamp mapping
+        # (other tables' timestamps arrive as timestamp_ntz)
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
+        )
+    return df
+
+
 def empty(spark: SparkSession, schema: str) -> DataFrame:
     """Fresh empty table (``pd.DataFrame()``, main.pyc:285-287)."""
     return spark.createDataFrame([], schema)
