@@ -353,6 +353,138 @@ def q_add_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.drop_column(out, 4)  # drops l_quantity (0-based data cols)
 
 
+# -- EXT: text analysis + dedup (SURVEY.md §2.7) ----------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char/sub-word counts + md5 content fingerprint — all
+    JVM-side expressions (functions/text.py)."""
+    from parquet_editor_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.char_count("text").alias("n_chars"),
+        X.token_estimate("text").alias("token_est"),
+        X.fingerprint("text").alias("fp"),
+    )
+
+
+def q_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word argmax) → histogram."""
+    from parquet_editor_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(X.lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length/punct/stopword ratios)."""
+    from parquet_editor_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.quality_score("text").alias("quality"))
+
+
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequencies, top 20 (explode → groupBy → top-k)."""
+    from parquet_editor_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(X.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups by md5 fingerprint (operators/dedup.py)."""
+    from parquet_editor_spark.operators import dedup as D
+
+    return D.exact_dup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs: 3-gram shingle Jaccard ≥ 0.7 via the
+    inverted-index self-join (no cross join)."""
+    from parquet_editor_spark.operators import dedup as D
+
+    return D.jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.7)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16×4) candidates verified by exact Jaccard —
+    shares the exact-pairs oracle, so the driver's hash-match IS a
+    recall check on the LSH tuning."""
+    from parquet_editor_spark.operators import dedup as D
+
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.7, num_hashes=64, bands=16
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming≤3 pairs via pigeonhole block join. No SQL
+    oracle (hash function not portable to DuckDB) — rows-only check;
+    differential-tested against an independent Python implementation
+    in tests/test_dedup.py."""
+    from parquet_editor_spark.operators import dedup as D
+
+    return D.simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", 3)
+
+
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash (aggregate expression,
+    no UDF). Rows-only: DuckDB lacks a fold with struct accumulator;
+    differential-tested in tests/test_text.py."""
+    from parquet_editor_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.rolling_hash("text").alias("rhash"))
+
+
+_ORACLE_DOC_TOKS = (
+    "SELECT doc_id, text, "
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks "
+    "FROM documents"
+)
+
+_ORACLE_LANG_HITS = """
+    SELECT doc_id,
+           len(list_filter(toks, x -> x IN ('der','die','und','ist','ein'))) AS h_de,
+           len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS h_en,
+           len(list_filter(toks, x -> x IN ('el','la','de','y','es'))) AS h_es,
+           len(list_filter(toks, x -> x IN ('le','la','et','est','un'))) AS h_fr,
+           len(list_filter(toks, x -> x IN ('的','是','了','在','和'))) AS h_zh
+    FROM ({toks}) t
+""".format(toks=_ORACLE_DOC_TOKS)
+
+_ORACLE_SHINGLES = """
+    SELECT doc_id,
+           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          FOR i IN range(1, len(toks) - 1)]) AS s
+    FROM ({toks}) t WHERE len(toks) >= 3
+""".format(toks=_ORACLE_DOC_TOKS)
+
+_ORACLE_JACCARD_PAIRS = """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+               AS jaccard
+    FROM ({sh}) a, ({sh}) b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.s, b.s))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+""".format(sh=_ORACLE_SHINGLES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pivot_mean": _pivot("mean"),
@@ -383,6 +515,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_rows": q_delete_rows,
         "paste_splice": q_paste_splice,
         "add_drop_column": q_add_drop_column,
+        "text_stats": q_text_stats,
+        "lang_id_histogram": q_lang_id_histogram,
+        "quality_scores": q_quality_scores,
+        "top_words": q_top_words,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "doc_rolling_hash": q_doc_rolling_hash,
     }
 
 
@@ -560,4 +701,51 @@ def oracle_sql() -> dict[str, str]:
                    l_linenumber, l_tax
             FROM lineitem
         """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   length(text) AS n_chars,
+                   CAST(len(toks) + floor(length(text) / 24) AS BIGINT) AS token_est,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+            FROM ({_ORACLE_DOC_TOKS}) t
+        """,
+        "lang_id_histogram": f"""
+            SELECT CASE
+                     WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                     WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                     WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                     WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                     WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                     ELSE 'zh'
+                   END AS lang_pred,
+                   count(*) AS n
+            FROM ({_ORACLE_LANG_HITS}) h
+            GROUP BY 1
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   round(
+                     least(1.0, len(toks) / 50.0)
+                     * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)
+                         ELSE 0.0 END) * 4)
+                     * least(1.0, 0.5 + (CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, x -> x IN ('the','a','of','and','is')))::DOUBLE / len(toks)
+                         ELSE 0.0 END) * 5),
+                   4) AS quality
+            FROM ({_ORACLE_DOC_TOKS}) t
+        """,
+        "top_words": f"""
+            SELECT word, count(*) AS n FROM (
+                SELECT unnest(toks) AS word FROM ({_ORACLE_DOC_TOKS}) t
+            ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+        """,
+        "dedup_exact_groups": """
+            SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": _ORACLE_JACCARD_PAIRS,
+        "dedup_minhash_lsh": _ORACLE_JACCARD_PAIRS,
     }

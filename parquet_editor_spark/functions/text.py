@@ -1,0 +1,172 @@
+"""Text-analysis functions for the LLM-data-pipeline surface
+(SURVEY.md §2.7, BASELINE.json north star): tokenization, shingling,
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting.
+
+Everything here is a Column expression over built-ins — at 100 TB the
+whole pipeline stays inside whole-stage codegen; no Python touches the
+data. The reference has no text surface at all (SURVEY.md §2.6), so
+these are EXT operators designed for the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling
+# ---------------------------------------------------------------------------
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization, empty-safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the unit of near-dup detection.
+
+    Pure SQL expression: sequence + slice + concat_ws; guarded so a
+    document shorter than ``n`` words yields an empty set (``sequence``
+    would otherwise run DESCENDING for size < n and fabricate
+    shingles)."""
+    name = col if isinstance(col, str) else None
+    toks = f"filter(split({name}, '\\\\s+'), x -> x != '')" if name else None
+    if toks is None:
+        raise ValueError("word_shingles requires a column name")
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n})))) "
+        f"ELSE array() END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token estimate (north star: token counting)
+# ---------------------------------------------------------------------------
+
+def token_estimate(col: str | Column) -> Column:
+    """Sub-word token-count estimate without a tokenizer model: words
+    plus an extra token per 6 chars of long words (BPE splits long
+    words), matching the common chars/4 heuristic shape but exactly
+    reproducible in ANSI SQL for the oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (token_count(c) + F.floor(F.length(c) / 24)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram/markers heuristic)
+# ---------------------------------------------------------------------------
+
+#: marker words per language — a deterministic stopword heuristic.
+#: Real corpora would use character n-gram profiles; the mechanism
+#: (per-language hit counts → argmax with stable tiebreak) is the
+#: operator under test and is reproduced verbatim in the SQL oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "et", "est", "un"),
+    "de": ("der", "die", "und", "ist", "ein"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+def lang_hits(col: str | Column, markers: Sequence[str]) -> Column:
+    """Occurrences (with multiplicity) of marker words."""
+    lit_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(col), lambda x: F.array_contains(lit_arr, x)))
+
+
+def lang_id(col: str | Column) -> Column:
+    """Argmax over per-language marker hits; ties and zero hits resolve
+    to the alphabetically-first candidate ('und' when nothing hits)."""
+    hit_cols = {lang: lang_hits(col, m) for lang, m in sorted(LANG_MARKERS.items())}
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    # forward-alphabetical iteration with strict >: on ties the
+    # alphabetically-first language keeps the slot
+    for lang in sorted(hit_cols):
+        h = hit_cols[lang]
+        take = h > best_hits
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_hits = F.when(take, h).otherwise(best_hits)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+def punct_ratio(col: str | Column) -> Column:
+    """Share of characters that are not alphanumeric/space."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9 ]", "")
+    return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: str | Column) -> Column:
+    """Share of tokens that are (English-ish) stopwords — a prose-ness
+    signal; pure garbage and keyword lists score near 0."""
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    t = tokens(col)
+    return F.when(
+        F.size(t) > 0,
+        F.size(F.filter(t, lambda x: F.array_contains(markers, x))) / F.size(t),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite [0,1] quality: length saturation × (1 − punctuation
+    excess) with a stopword-presence floor. Deterministic, portable to
+    ANSI SQL, monotone in the obvious directions."""
+    length_part = F.least(F.lit(1.0), token_count(col) / F.lit(50.0))
+    punct_part = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4)
+    stop_part = F.least(F.lit(1.0), F.lit(0.5) + stopword_ratio(col) * 5)
+    return F.round(length_part * punct_part * stop_part, 4)
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+def fingerprint(col: str | Column) -> Column:
+    """Canonical-text content fingerprint: md5 over the
+    whitespace-normalized, lowercased text. md5 is bit-identical across
+    engines (Spark, DuckDB, Python hashlib), which makes exact-dup
+    grouping oracle-checkable; at 128 bits collisions are negligible
+    at any corpus size."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def rolling_hash(col: str | Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Order-sensitive polynomial rolling hash over words (document
+    fingerprint variant where word ORDER matters but the alphabet is
+    open): h = Σ len(word_i)·base^i mod m, via a single aggregate
+    expression — no UDF."""
+    name = col if isinstance(col, str) else None
+    if name is None:
+        raise ValueError("rolling_hash requires a column name")
+    toks = f"filter(split({name}, '\\\\s+'), x -> x != '')"
+    return F.expr(
+        f"aggregate({toks}, "
+        f"named_struct('h', CAST(0 AS BIGINT), 'p', CAST(1 AS BIGINT)), "
+        f"(acc, w) -> named_struct("
+        f"'h', (acc.h + length(w) * acc.p) % {mod}, "
+        f"'p', (acc.p * {base}) % {mod}), "
+        f"acc -> acc.h)"
+    )

@@ -1,0 +1,309 @@
+"""Deduplication operators for the LLM-data-pipeline surface
+(SURVEY.md §2.7): exact, inverted-index n-gram Jaccard, MinHash+LSH,
+SimHash. The reference has no dedup of any kind; these are EXT
+operators over the ``documents`` table, designed shuffle-first for
+100 TB corpora.
+
+Scale design notes
+------------------
+* **Exact** dedup is a hash aggregation on a fingerprint — one shuffle
+  on a 128-bit key, never on the full text.
+* **N-gram Jaccard** uses the inverted-index (shingle → doc) self-join,
+  NOT a cross join: |A∩B| falls out of a groupBy on candidate pairs,
+  so cost is Σ df(shingle)² over shared shingles — at web scale you
+  cap df (drop boilerplate shingles) and accept the documented recall
+  trade.
+* **MinHash LSH** reduces that further: fixed-width signatures (k
+  hashes), banded; only same-band collisions join. Candidates are then
+  verified with EXACT Jaccard, so precision is exact and only recall
+  depends on (bands, rows) tuning — the classic S-curve.
+* All hash functions are ``xxhash64`` on the JVM — no Python in the
+  candidate-generation path. SimHash needs per-word bit votes (64
+  aggregates) and uses one Arrow-vectorized ``mapInPandas`` instead.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_editor_spark.functions import text as X
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, subset: Optional[Sequence[str]] = None) -> DataFrame:
+    """Keep one row per distinct value of ``subset`` (all columns if
+    None) — Spark's hash-based dropDuplicates; the keeper is
+    arbitrary, matching pandas' keep='first' only per-partition."""
+    return df.dropDuplicates(list(subset) if subset else None)
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate groups by content fingerprint: canonical id =
+    min id, plus group size. Shuffles 16-byte keys, not documents."""
+    return (
+        df.select(F.col(id_col), X.fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, distinct word-n-gram shingle set, set size)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        X.word_shingles(text_col, n).alias("shingles"),
+    ).withColumn("set_size", F.size("shingles"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold — EXACT, via the
+    inverted-index self-join (no cross join):
+
+        explode shingles → self-join on shingle (id_a < id_b)
+        → groupBy pair: |A∩B| = matched-shingle count
+        → join set sizes: J = |A∩B| / (|A|+|B|−|A∩B|)
+
+    ``max_df`` drops shingles appearing in more than that many docs
+    before the join (skew/boilerplate guard). That makes the result a
+    lower bound on J — leave None for exact semantics (the oracle
+    setting); set it at web scale where boilerplate shingles otherwise
+    quadratically dominate the join."""
+    sets = shingle_sets(df, id_col, text_col, n)
+    inv = sets.select("id", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sets.select("id", "set_size")
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "set_size": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "set_size": "size_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    sets: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """k-permutation MinHash over a ``shingles`` array column: the i-th
+    signature is min(xxhash64(shingle ⊕ saltᵢ)). All JVM expressions —
+    k array_min/transform pairs, zero Python."""
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"§{i}"))),
+            )
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sets.select("id", "shingles", "set_size", F.array(*sig_cols).alias("sig"))
+
+
+def lsh_candidates(sigs: DataFrame, bands: int = 16, num_hashes: int = 64) -> DataFrame:
+    """Band the signature and self-join on (band index, band hash):
+    a pair collides if any band matches — P(collide) ≈ 1−(1−J^r)^b."""
+    rows = num_hashes // bands
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice(F.col("sig"), i * rows + 1, rows))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs at scale: LSH candidate generation + EXACT
+    Jaccard verification of candidates only.
+
+    Precision is exact (every emitted pair truly passes the
+    threshold); recall is the LSH S-curve — with k=64, b=16 (r=4),
+    P(candidate) at J=0.7 is 1−(1−0.7⁴)^16 ≈ 0.99, and ≈ 1.0 for the
+    J≈0.98 near-dups this pipeline targets. The verification join
+    carries shingle arrays for candidates only, not the corpus."""
+    sets = shingle_sets(df, id_col, text_col, n)
+    sigs = minhash_signatures(sets, num_hashes)
+    cand = lsh_candidates(sigs, bands, num_hashes)
+    arr = sets.select("id", "shingles", "set_size")
+    return (
+        cand.join(
+            arr.withColumnsRenamed(
+                {"id": "id_a", "shingles": "sh_a", "set_size": "size_a"}
+            ),
+            "id_a",
+        )
+        .join(
+            arr.withColumnsRenamed(
+                {"id": "id_b", "shingles": "sh_b", "set_size": "size_b"}
+            ),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document (Charikar): per-word stable 64-bit
+    hash, per-bit ±1 votes weighted by term frequency, sign → bit.
+
+    Needs 64 per-bit aggregates per row — the one dedup op where a
+    vectorized Arrow ``mapInPandas`` (numpy bit matrix) beats 64
+    codegen'd aggregate expressions. Python here touches only
+    (id, text) batches, nothing else."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    def word_hash(w: str) -> int:
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big", signed=False)
+
+    def batches(it):
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+                shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+                words = [] if txt is None or (isinstance(txt, float)) else str(txt).split()
+                for w in words:
+                    h = np.uint64(word_hash(w))
+                    bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                    votes += 2 * bits - 1
+                sh = int(((votes > 0).astype(np.uint64) << np.arange(SIMHASH_BITS, dtype=np.uint64)).sum())
+                ids.append(int(doc_id))
+                hashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+            yield pd.DataFrame({"id": ids, "simhash": hashes})
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k, found WITHOUT a
+    cross join: split the 64-bit hash into k+1 blocks — any pair within
+    Hamming k must agree exactly on ≥1 block (pigeonhole) — join per
+    block, then verify with ``bit_count(xor)``."""
+    blocks = max_hamming + 1
+    width = SIMHASH_BITS // blocks
+    sh = simhash(df, id_col, text_col)
+    keyed = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("block", "block_key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

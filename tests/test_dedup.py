@@ -1,0 +1,105 @@
+"""Differential tests for operators/dedup.py: brute-force Python
+Jaccard as ground truth; an independent SimHash implementation; LSH
+recall against the exact pair set (SURVEY.md §5)."""
+
+import hashlib
+import re
+
+import pytest
+
+from parquet_editor_spark.operators import dedup as D
+
+
+def py_shingles(t, n=3):
+    toks = [w for w in re.split(r"\s+", t) if w]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)} if len(toks) >= n else set()
+
+
+@pytest.fixture(scope="module")
+def ground_truth_pairs(documents):
+    """Brute-force all-pairs 3-gram Jaccard ≥ 0.7 in pure Python."""
+    rows = documents.select("doc_id", "text").collect()
+    sets = {r["doc_id"]: py_shingles(r["text"]) for r in rows}
+    ids = sorted(sets)
+    out = {}
+    for i, a in enumerate(ids):
+        sa = sets[a]
+        if not sa:
+            continue
+        for b in ids[i + 1 :]:
+            sb = sets[b]
+            if not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= 0.7:
+                out[(a, b)] = round(j, 4)
+    return out
+
+
+def test_jaccard_pairs_exact(documents, ground_truth_pairs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(documents, "doc_id", "text", 3, 0.7).collect()
+    }
+    assert got == pytest.approx(ground_truth_pairs)
+
+
+def test_minhash_lsh_recall_and_precision(documents, ground_truth_pairs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(documents, "doc_id", "text", 3, 0.7).collect()
+    }
+    # precision is exact by construction (candidates verified);
+    # recall on the J≈0.98 corpus must be 1.0
+    assert got == pytest.approx(ground_truth_pairs)
+
+
+def test_jaccard_max_df_lower_bounds(documents, ground_truth_pairs):
+    got = D.jaccard_pairs(documents, "doc_id", "text", 3, 0.7, max_df=50).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in got}
+    assert keys <= set(ground_truth_pairs)
+
+
+def test_exact_dedup_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "id long, text string"
+    )
+    assert D.exact_dedup(df, ["text"]).count() == 2
+    groups = {r["canonical_id"]: r["n_docs"] for r in D.exact_dup_groups(df, "id", "text").collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def py_simhash(text):
+    votes = [0] * 64
+    for w in str(text).split():
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    v = sum(1 << b for b in range(64) if votes[b] > 0)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_simhash_matches_python(documents):
+    got = {r["id"]: r["simhash"] for r in D.simhash(documents, "doc_id", "text").collect()}
+    for r in documents.select("doc_id", "text").limit(30).collect():
+        assert got[r["doc_id"]] == py_simhash(r["text"])
+
+
+def test_simhash_pairs_complete(documents):
+    """Block-join candidate generation is exact for hamming ≤ 3
+    (pigeonhole): compare against brute-force over all simhashes."""
+    sh = {r["id"]: r["simhash"] for r in D.simhash(documents, "doc_id", "text").collect()}
+    ids = sorted(sh)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                want.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_pairs(documents, "doc_id", "text", 3).collect()
+    }
+    assert got == want

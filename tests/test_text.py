@@ -1,0 +1,112 @@
+"""Differential tests for functions/text.py against independent
+pure-Python implementations (SURVEY.md §5: the oracle for non-SQL ops
+is a second, simpler implementation)."""
+
+import hashlib
+import re
+
+import pytest
+
+from parquet_editor_spark.functions import text as X
+
+
+@pytest.fixture(scope="module")
+def doc_rows(documents):
+    return documents.select("doc_id", "text").orderBy("doc_id").limit(50).collect()
+
+
+def py_tokens(t):
+    return [w for w in re.split(r"\s+", t) if w]
+
+
+def test_token_and_char_counts(documents, doc_rows):
+    got = {
+        r["doc_id"]: (r["nt"], r["nc"])
+        for r in documents.select(
+            "doc_id",
+            X.token_count("text").alias("nt"),
+            X.char_count("text").alias("nc"),
+        ).collect()
+    }
+    for r in doc_rows:
+        assert got[r["doc_id"]] == (len(py_tokens(r["text"])), len(r["text"]))
+
+
+def test_word_shingles(documents, doc_rows):
+    got = {
+        r["doc_id"]: sorted(r["s"])
+        for r in documents.select(
+            "doc_id", X.word_shingles("text", 3).alias("s")
+        ).collect()
+    }
+    for r in doc_rows:
+        toks = py_tokens(r["text"])
+        want = sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}) if len(toks) >= 3 else []
+        assert got[r["doc_id"]] == want
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("",), ("one two three",)], "text string")
+    sizes = [r[0] for r in df.select(__import__("pyspark.sql.functions", fromlist=["F"]).size(X.word_shingles("text", 3))).collect()]
+    assert sizes == [0, 0, 1]
+
+
+def test_fingerprint_matches_md5(documents, doc_rows):
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in documents.select("doc_id", X.fingerprint("text").alias("fp")).collect()
+    }
+    for r in doc_rows:
+        normalized = re.sub(r"\s+", " ", r["text"].strip()).lower()
+        assert got[r["doc_id"]] == hashlib.md5(normalized.encode()).hexdigest()
+
+
+def test_rolling_hash_matches_python(documents, doc_rows):
+    got = {
+        r["doc_id"]: r["rh"]
+        for r in documents.select("doc_id", X.rolling_hash("text").alias("rh")).collect()
+    }
+    B, M = 31, 1_000_000_007
+    for r in doc_rows:
+        h, p = 0, 1
+        for w in py_tokens(r["text"]):
+            h = (h + len(w) * p) % M
+            p = (p * B) % M
+        assert got[r["doc_id"]] == h
+
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame([("ab cde",), ("cde ab",)], "text string")
+    vals = [r[0] for r in df.select(X.rolling_hash("text")).collect()]
+    assert vals[0] != vals[1]
+
+
+def test_lang_id_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("the el",), ("xyz qqq",), ("el la de",), ("the the a",)], "text string"
+    )
+    got = [r[0] for r in df.select(X.lang_id("text")).collect()]
+    # 'the el' → en 1 hit, es 1 hit → alphabetical first of max = en
+    assert got == ["en", "und", "es", "en"]
+
+
+def test_quality_score_monotone(spark):
+    rows = [
+        ("the quick brown fox jumps over the lazy dog " * 6,),  # long prose
+        ("!!! ??? ### $$$ %%%",),  # punctuation garbage
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    scores = [r[0] for r in df.select(X.quality_score("text")).collect()]
+    assert scores[0] > scores[1]
+    assert scores[1] == 0.0  # punct ratio beyond 0.25 → zero
+    assert scores[2] == 0.0
+
+
+def test_token_estimate_at_least_tokens(documents):
+    from pyspark.sql import functions as F
+
+    bad = documents.select(
+        (X.token_estimate("text") < X.token_count("text")).alias("bad")
+    ).filter(F.col("bad")).count()
+    assert bad == 0
