@@ -485,6 +485,124 @@ _ORACLE_JACCARD_PAIRS = """
 """.format(sh=_ORACLE_SHINGLES)
 
 
+# -- EXT: vector similarity + multimodal (SURVEY.md §2.7) -------------------
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 of query vectors (vec_id < 10) vs corpus —
+    broadcast queries, JVM dot products, two-phase top-k."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.topk_cosine(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine ≥ 0.45 — exact all-pairs baseline.
+    (The synthetic corpus has no pairs above ~0.55, so 0.45 exercises
+    a non-trivial result set; near-dup semantics are covered by
+    embedding_lsh_dedup's planted duplicates.)"""
+    from parquet_editor_spark.operators import sim as S
+
+    return S.cosine_pairs_exact(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def _with_planted_dups(emb: DataFrame) -> DataFrame:
+    """Corpus ∪ exact copies of vec_id<20 shifted to id+10000 — a
+    deterministic near-dup population for recall gating."""
+    dups = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    return emb.unionByName(dups)
+
+
+def q_embedding_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH candidates verified by exact cosine, over the
+    corpus plus planted duplicates — shares the exact-pairs oracle, so
+    the driver hash-match IS an LSH recall gate on a known-answer set
+    (the 20 planted pairs at sim 1.0)."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _with_planted_dups(_t(spark, sf_dir, "embeddings"))
+    return S.cosine_pairs_lsh(emb, threshold=0.95)
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cells, nprobe=3) approximate top-5. Rows-only:
+    approximate recall is measured in tests/test_sim.py, not asserted
+    equal to brute force."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=3)
+
+
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal payload metadata: opaque binary + typed meta struct
+    (operators/multimodal.py) — byte length and md5 checksum."""
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    out = MM.attach_payload(docs, "text", media_type="image", codec="fake")
+    return out.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode stage over binary payloads (deterministic fake codec;
+    real Arrow batch plumbing). Rows-only — the fake decoder has no
+    SQL equivalent; differential-tested in tests/test_multimodal.py."""
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return MM.decode_meta(MM.attach_payload(docs, "text")).select(
+        "doc_id", "width", "height", "channels"
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one payload row → 4 frame rows with
+    deterministic checksums (explode inside the executor)."""
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = MM.sample_frames(MM.attach_payload(docs, "text"), n_frames=4)
+    return out.select("doc_id", "frame_idx", "frame_checksum")
+
+
+_ORACLE_COSINE_PAIRS = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+    FROM v a, v b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.45
+"""
+
+_ORACLE_LSH_PAIRS = """
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 20
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+    FROM base a, base b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.95
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pivot_mean": _pivot("mean"),
@@ -524,6 +642,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "doc_rolling_hash": q_doc_rolling_hash,
+        "embedding_topk_cosine": q_embedding_topk,
+        "embedding_cosine_dedup": q_embedding_cosine_dedup,
+        "embedding_lsh_dedup": q_embedding_lsh_dedup,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "binary_meta": q_binary_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -748,4 +873,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _ORACLE_JACCARD_PAIRS,
         "dedup_minhash_lsh": _ORACLE_JACCARD_PAIRS,
+        "embedding_topk_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                       FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id,
+                              round(list_dot_product(qv, cv)
+                                    / (sqrt(list_dot_product(qv, qv))
+                                       * sqrt(list_dot_product(cv, cv))), 4) AS sim
+                       FROM q, c WHERE query_id <> neighbor_id)
+            SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rank,
+                   neighbor_id, sim
+            FROM s
+            QUALIFY rank <= 5
+        """,
+        "embedding_cosine_dedup": _ORACLE_COSINE_PAIRS,
+        "embedding_lsh_dedup": _ORACLE_LSH_PAIRS,
+        "binary_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS checksum
+            FROM documents
+        """,
+        "frame_sample": """
+            SELECT doc_id,
+                   CAST(i AS INT) AS frame_idx,
+                   md5(text || CAST(i AS VARCHAR)) AS frame_checksum
+            FROM documents, range(4) t(i)
+        """,
     }

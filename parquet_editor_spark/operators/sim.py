@@ -1,0 +1,302 @@
+"""Vector-similarity operators over ``array<float>`` embedding columns
+(SURVEY.md §2.7, north star: similarity search designed for 100 TB).
+
+Three tiers, all exact-precision on what they emit:
+
+* **Brute-force cosine top-k** — the correctness baseline. Cross join
+  against a BROADCAST query set, JVM-expression dot products
+  (zip_with + aggregate — no UDF, stays in codegen), then a two-phase
+  top-k: an Arrow-vectorized per-partition partial top-k shrinks the
+  candidate stream from |corpus|·|Q| to ≤ k·P·|Q| rows BEFORE the
+  only shuffle; the final window ranks the survivors. Any global
+  top-k row is necessarily in its partition's top-k, so the partial
+  pass is lossless.
+* **Random-hyperplane LSH pairs** — the scale path for near-dup
+  detection: sign-bit signatures (JVM expressions over fixed seeded
+  hyperplanes), banded block join exactly like MinHash-LSH, then
+  exact cosine verification of candidates only. Precision exact;
+  recall follows the hyperplane S-curve (≈0.9998 at cos ≥ 0.95 with
+  32 bits / 8 bands).
+* **IVF top-k** — inverted-file ANN: coarse k-means centroids
+  (pyspark.ml), corpus bucketed by nearest centroid, queries probe
+  the ``nprobe`` nearest cells. Recall measured in tests, not
+  asserted exact.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# expression helpers (JVM-side, no UDF)
+# ---------------------------------------------------------------------------
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a fold — whole-stage-codegen'd, computed in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """NULL for zero-norm inputs (cosine undefined) rather than the
+    ANSI division-by-zero error — threshold filters then drop them."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
+def sq_euclidean(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² — matches the k-means quantizer's metric."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+# ---------------------------------------------------------------------------
+# brute-force top-k (exact)
+# ---------------------------------------------------------------------------
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    Ranking key is (round(sim), neighbor id): rounding first makes
+    near-tie doubles compare equal across engines, and the id breaks
+    the tie deterministically — required for oracle hash-stability.
+
+    Scale: queries are broadcast (the typical ANN-request batch is
+    tiny vs the corpus); the |corpus|×|Q| similarity stream is cut to
+    per-partition top-k with one Arrow pass before the only shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    pairs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("sim"),
+    )
+    reduced = _partial_topk(scored, k)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-partition, per-query top-k — a lossless pre-shuffle shrink
+    (map-side combine for top-k). Arrow-batched pandas, touching only
+    (query_id, neighbor_id, sim)."""
+
+    def shrink(batches):
+        import pandas as pd
+
+        acc = []
+        for pdf in batches:
+            acc.append(pdf)
+        if not acc:
+            return
+        all_rows = pd.concat(acc, ignore_index=True)
+        yield (
+            all_rows.sort_values(["sim", "neighbor_id"], ascending=[False, True])
+            .groupby("query_id", sort=False)
+            .head(k)
+        )
+
+    return scored.mapInPandas(shrink, schema=scored.schema)
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).randn(bits, dim)
+
+
+def cosine_pairs_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 4,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold — O(n²), the oracle baseline."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), round_to))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def signature_bits(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign bits of ⟨v, rᵢ⟩ for fixed hyperplanes rᵢ — pure column
+    expressions; the planes are plan literals, broadcast with the
+    plan itself."""
+    bit_cols = []
+    for row in planes:
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        bit_cols.append(F.when(dot(vec_col, plane) >= 0, 1).otherwise(0))
+    return F.array(*bit_cols)
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """Near-dup vector pairs at scale: hyperplane signatures → banded
+    block join → EXACT cosine verification of candidates only.
+
+    P(bit agree) = 1 − θ/π; at cos=0.95 (θ≈18°) each 4-bit band
+    collides w.p. ≈0.66, so 8 bands give recall ≈1−(1−0.66)⁸ ≈ 0.9998.
+    Emitted pairs are exact (verified); only recall is probabilistic.
+    """
+    rows = bits // bands
+    planes = _hyperplanes(dim, bits)
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        signature_bits(F.col(vec_col), planes).alias("sig"),
+    )
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[F.hash(F.slice(F.col("sig"), i * rows + 1, rows)) for i in range(bands)]
+            )
+        ).alias("band", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = sigs.select("id", "v")
+    return (
+        cand.join(vecs.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
+        .join(vecs.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), round_to))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate top-k
+# ---------------------------------------------------------------------------
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: Optional[int] = None,
+    nprobe: int = 3,
+    round_to: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (pyspark.ml), corpus rows
+    bucketed by nearest centroid, each query searched only in its
+    ``nprobe`` closest cells. The centroid table is tiny and broadcast;
+    the per-cell join prunes ~(1 − nprobe/n_cells) of the corpus from
+    every query's candidate set — the 100 TB path where brute force is
+    off the table. Recall is measured (tests), not guaranteed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window as W
+
+    n = corpus.count()
+    n_cells = n_cells or max(2, int(n ** 0.5) // 2)
+    ml_df = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(ml_df)
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+
+    assigned = model.transform(ml_df).select(
+        "id", "v", F.col("prediction").alias("cell")
+    )
+
+    # queries → nprobe nearest cells by the SAME metric the quantizer
+    # used to assign corpus rows (Euclidean) — probing by a different
+    # metric silently costs recall
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qc = q.join(F.broadcast(cent_df)).withColumn(
+        "cdist", sq_euclidean(F.col("qv"), F.col("centroid"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cdist").asc(), F.col("cell").asc())
+    probes = (
+        qc.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+
+    scored = (
+        assigned.join(probes, "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )

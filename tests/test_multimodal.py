@@ -1,0 +1,77 @@
+"""Multimodal plumbing tests: binary payload round-trip, deterministic
+fake decode, feature extraction batch shapes, frame sampling, and the
+loud NotImplementedError on real codecs."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_editor_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def payloads(documents):
+    return MM.attach_payload(
+        documents.select("doc_id", "text").limit(50), "text"
+    )
+
+
+def test_payload_metadata_matches_python(payloads):
+    rows = payloads.select("doc_id", "text", "meta.*").collect()
+    for r in rows:
+        raw = r["text"].encode()
+        assert r["n_bytes"] == len(raw)
+        assert r["checksum"] == hashlib.md5(raw).hexdigest()
+        assert r["media_type"] == "image" and r["codec"] == "fake"
+
+
+def test_payload_binary_roundtrip_parquet(spark, payloads, tmp_path):
+    p = str(tmp_path / "media.parquet")
+    payloads.write.parquet(p)
+    back = spark.read.parquet(p)
+    assert dict(back.dtypes)["payload"] == "binary"
+    a = payloads.orderBy("doc_id").first()
+    b = back.orderBy("doc_id").first()
+    assert bytes(a["payload"]) == bytes(b["payload"])
+
+
+def test_decode_meta_deterministic(payloads):
+    out1 = {r["doc_id"]: (r["width"], r["height"], r["channels"])
+            for r in MM.decode_meta(payloads).collect()}
+    out2 = {r["doc_id"]: (r["width"], r["height"], r["channels"])
+            for r in MM.decode_meta(payloads).collect()}
+    assert out1 == out2
+    for doc_id, (w, h, c) in out1.items():
+        assert 16 <= w < 1040 and 16 <= h < 1040 and 1 <= c <= 4
+
+
+def test_decode_matches_reference_impl(payloads):
+    got = {r["doc_id"]: (r["width"], r["height"], r["channels"])
+           for r in MM.decode_meta(payloads).collect()}
+    for r in payloads.select("doc_id", "text").collect():
+        d = hashlib.md5(r["text"].encode()).digest()
+        assert got[r["doc_id"]] == (16 + d[0] % 1024, 16 + d[1] % 1024, 1 + d[2] % 4)
+
+
+def test_extract_features_shape(payloads):
+    out = MM.extract_features(payloads, dim=16)
+    rows = out.select("doc_id", "features").collect()
+    assert all(len(r["features"]) == 16 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["features"])
+    assert dict(out.dtypes)["features"] == "array<float>"
+
+
+def test_sample_frames_explodes(payloads):
+    out = MM.sample_frames(payloads, n_frames=4)
+    n_docs = payloads.count()
+    assert out.count() == n_docs * 4
+    per_doc = out.groupBy("doc_id").agg(
+        F.countDistinct("frame_checksum").alias("n")
+    ).collect()
+    assert all(r["n"] == 4 for r in per_doc)
+
+
+def test_real_codec_raises():
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        MM._decode_real(b"bytes", "jpeg")

@@ -1,0 +1,109 @@
+"""Differential tests for operators/sim.py: numpy brute force as
+ground truth for top-k, LSH recall on planted duplicates, IVF recall
+measurement."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_editor_spark.operators import sim as S
+
+
+@pytest.fixture(scope="module")
+def emb_np(embeddings):
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def np_topk(ids, mat, query_ids, k=5):
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for q in query_ids:
+        qi = np.where(ids == q)[0][0]
+        sims = np.round(norm @ norm[qi], 4)
+        order = sorted(
+            [(ids[j], sims[j]) for j in range(len(ids)) if ids[j] != q],
+            key=lambda t: (-t[1], t[0]),
+        )
+        out[q] = order[:k]
+    return out
+
+
+def test_topk_matches_numpy(embeddings, emb_np):
+    ids, mat = emb_np
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    got = S.topk_cosine(embeddings, queries, k=5).collect()
+    want = np_topk(ids, mat, range(5), k=5)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["sim"]))
+    for q in range(5):
+        rows = sorted(by_q[q])
+        assert [(n, s) for _, n, s in rows] == [
+            (int(n), pytest.approx(s)) for n, s in want[q]
+        ]
+
+
+def test_cosine_pairs_exact_vs_numpy(embeddings, emb_np):
+    ids, mat = emb_np
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(norm @ norm.T, 4)
+    want = {
+        (int(ids[i]), int(ids[j])): sims[i, j]
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and sims[i, j] >= 0.45
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.cosine_pairs_exact(embeddings, threshold=0.45).collect()
+    }
+    assert got == pytest.approx(want)
+
+
+def test_lsh_finds_planted_duplicates(embeddings):
+    dups = embeddings.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + 50000
+    )
+    planted = embeddings.unionByName(dups)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_pairs_lsh(planted, threshold=0.95).collect()
+    }
+    assert {(i, i + 50000) for i in range(10)} <= got
+
+
+def test_ivf_recall_vs_bruteforce(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.topk_cosine(embeddings, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(embeddings, queries, k=5, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+
+
+def test_dot_and_norm_expressions(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 2.0], [2.0, 1.0, 2.0])], "a array<float>, b array<float>"
+    )
+    r = df.select(
+        S.dot(F.col("a"), F.col("b")).alias("d"),
+        S.l2_norm(F.col("a")).alias("na"),
+        S.cosine(F.col("a"), F.col("b")).alias("c"),
+    ).collect()[0]
+    assert r["d"] == pytest.approx(8.0)
+    assert r["na"] == pytest.approx(3.0)
+    assert r["c"] == pytest.approx(8.0 / 9.0)
+
+
+def test_topk_plan_broadcasts_queries(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    plan = S.topk_cosine(embeddings, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
