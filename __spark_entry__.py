@@ -572,6 +572,49 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "frame_idx", "frame_checksum")
 
 
+# -- EXT: Structured Streaming over events (SURVEY.md §2.9) -----------------
+
+def _stream_events(spark: SparkSession, sf_dir: str):
+    from parquet_editor_spark import streaming as ST
+
+    return ST, ST.read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-min windowed counts/sums per event_type, run as a
+    real streaming query (memory sink, processAllAvailable). Streaming
+    must agree with the batch/DuckDB answer on a finite source."""
+    import uuid
+
+    ST, ev = _stream_events(spark, sf_dir)
+    return ST.run_to_completion(
+        ST.windowed_counts(ev), f"wc_{uuid.uuid4().hex[:8]}"
+    )
+
+
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-min/5-min windowed counts — each event lands in two
+    overlapping windows."""
+    import uuid
+
+    ST, ev = _stream_events(spark, sf_dir)
+    return ST.run_to_completion(
+        ST.sliding_counts(ev), f"sl_{uuid.uuid4().hex[:8]}"
+    )
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user gap sessionization. Shares the batch sessionize oracle —
+    streaming state must converge to the batch lag/gap answer."""
+    import uuid
+
+    ST, ev = _stream_events(spark, sf_dir)
+    return ST.run_to_completion(
+        ST.sessionize_stateful(ev), f"ss_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+
+
 _ORACLE_COSINE_PAIRS = """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -649,6 +692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": q_binary_meta,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_sliding_counts": q_stream_sliding_counts,
+        "stream_sessionize": q_stream_sessionize,
     }
 
 
@@ -903,5 +949,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i AS INT) AS frame_idx,
                    md5(text || CAST(i AS VARCHAR)) AS frame_checksum
             FROM documents, range(4) t(i)
+        """,
+        "stream_windowed_counts": """
+            SELECT TIMESTAMP '1970-01-01 00:00:00'
+                     + to_seconds(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT))
+                     AS window_start,
+                   event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "stream_sliding_counts": """
+            SELECT TIMESTAMP '1970-01-01 00:00:00'
+                     + to_seconds(CAST(floor(epoch(ts) / 300) * 300 - off AS BIGINT))
+                     AS window_start,
+                   event_type,
+                   count(*) AS n
+            FROM events, (SELECT unnest([0, 300]) AS off) o
+            GROUP BY 1, 2
+        """,
+        "stream_sessionize": """
+            SELECT user_id,
+                   sum(s) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+                SELECT user_id,
+                       CASE WHEN prev IS NULL
+                                 OR (CAST(floor(epoch(ts)) AS BIGINT) - prev) > 1800
+                            THEN 1 ELSE 0 END AS s
+                FROM (
+                    SELECT user_id, ts,
+                           lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                    FROM events) t1) t2
+            GROUP BY user_id
         """,
     }

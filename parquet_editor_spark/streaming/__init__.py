@@ -1,0 +1,28 @@
+"""Structured Streaming over the events table (SURVEY.md §2.9).
+
+The reference's only asynchrony is a GUI thread-pool file load
+(main.pyc:12-22,237-240) and its README lists "Asynchronous Data
+Operations" as planned (readme.md:14). Here that capability is given
+its principled Spark meaning: the SAME declarative operator surface
+run incrementally — readStream → transform → writeStream, with
+watermarks for late data and applyInPandasWithState for custom
+stateful operators.
+"""
+
+from parquet_editor_spark.streaming.stream import (
+    read_events_stream,
+    run_to_completion,
+    sessionize_stateful,
+    sliding_counts,
+    windowed_counts,
+    write_stream_parquet,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_to_completion",
+    "sessionize_stateful",
+    "sliding_counts",
+    "windowed_counts",
+    "write_stream_parquet",
+]

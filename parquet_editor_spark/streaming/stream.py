@@ -1,0 +1,189 @@
+"""Streaming operators over events: tumbling/sliding windowed
+aggregation with watermarks, a custom stateful sessionizer, and a
+synchronous runner for tests/oracles.
+
+Design: every transformation here is identical to its batch
+equivalent (same groupBy(window(...)) expressions), so correctness is
+checked by running the stream to completion on a finite source and
+hash-comparing against the batch/DuckDB answer — streaming and batch
+must agree wherever both are defined.
+
+Scale: file-source streams shard by file; the windowed aggs shuffle
+on (window, key) exactly like batch groupBy; watermarks bound state.
+``applyInPandasWithState`` state is per-group and Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: explicit schema for the events file stream (file sources require
+#: one). ts arrives as epoch-nanos LongType under the nanosAsLong
+#: bridge (see io.load_parquet_nanos) and is converted below.
+EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path_or_dir: str) -> DataFrame:
+    """readStream over events parquet (finite source for tests; the
+    same pipeline takes Kafka/file-arrival sources in production)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_NANOS_SCHEMA).format("parquet")
+    if os.path.isfile(path_or_dir):
+        # file sources stream DIRECTORIES; narrow to the one file
+        reader = reader.option("pathGlobFilter", os.path.basename(path_or_dir))
+        path_or_dir = os.path.dirname(path_or_dir)
+    stream = reader.load(path_or_dir)
+    # watermarks require TIMESTAMP (tz-adjusted), not NTZ — with the
+    # session pinned to UTC the values are equivalent; output edges
+    # cast window bounds back to NTZ for oracle comparability
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with a watermark
+    bounding state for late data."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window counts — each event lands in window/slide
+    overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    session counting with a gap rule — state carries (last_ts,
+    n_sessions, n_events) across micro-batches; each batch emits the
+    user's updated totals. On a finite source this converges to the
+    batch lag/gap sessionization (asserted in tests)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_sec", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        last_sec, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            sec = int(ts.timestamp())
+            if last_sec is None or sec - last_sec > gap_seconds:
+                n_sessions += 1
+            last_sec = sec
+            n_events += 1
+        state.update((last_sec, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    checkpoint: Optional[str] = None,
+) -> DataFrame:
+    """Drive a streaming DataFrame over a finite source to completion
+    via the memory sink; returns the final result as a batch
+    DataFrame. This is the test/oracle bridge — production pipelines
+    swap in writeStream.format('parquet'/'kafka') with a checkpoint."""
+    spark = stream_df.sparkSession
+    writer = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def write_stream_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+):
+    """Exactly-once file sink: parquet + checkpoint (offset log +
+    sink commit log give end-to-end exactly-once for file sources)."""
+    return (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,101 @@
+"""Streaming = batch differential tests (SURVEY.md §2.9): every
+streaming operator run to completion on the finite events source must
+agree with its batch-DataFrame equivalent, including the custom
+stateful sessionizer."""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_editor_spark import streaming as ST
+from parquet_editor_spark.io import load_parquet_nanos
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return ST.read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_parquet_nanos(spark, f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def run(df, mode="complete"):
+    return ST.run_to_completion(df, f"t_{uuid.uuid4().hex[:8]}", output_mode=mode)
+
+
+def test_windowed_counts_equals_batch(events_stream, events_batch):
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in run(ST.windowed_counts(events_stream)).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in (
+            events_batch.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sliding_counts_each_event_in_two_windows(events_stream, events_batch):
+    total = sum(r["n"] for r in run(ST.sliding_counts(events_stream)).collect())
+    assert total == events_batch.count() * 2
+
+
+def test_stateful_sessionize_equals_batch_lag(events_stream, events_batch):
+    from pyspark.sql import Window as W
+
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in run(ST.sessionize_stateful(events_stream), mode="update").collect()
+    }
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    prev = F.lag(sec).over(w)
+    start = F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0)
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in (
+            events_batch.withColumn("s", start)
+            .groupBy("user_id")
+            .agg(F.sum("s").alias("n_sessions"), F.count("*").alias("n_events"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_append_mode_respects_watermark(events_stream):
+    """Append mode only emits windows the watermark has closed; the
+    final (latest) windows stay open on a finite source."""
+    complete = run(ST.windowed_counts(events_stream), mode="complete")
+    appended = run(ST.windowed_counts(events_stream), mode="append")
+    n_complete, n_append = complete.count(), appended.count()
+    assert 0 < n_append < n_complete
+    max_open = appended.agg(F.max("window_start")).collect()[0][0]
+    max_all = complete.agg(F.max("window_start")).collect()[0][0]
+    assert max_open < max_all
+
+
+def test_parquet_sink_checkpoint_roundtrip(spark, events_stream, tmp_path):
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = ST.write_stream_parquet(
+        ST.windowed_counts(events_stream), out, ckpt, output_mode="append"
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert set(back.columns) == {"window_start", "event_type", "n", "sum_value"}
