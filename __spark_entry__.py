@@ -575,6 +575,64 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "frame_idx", "frame_checksum")
 
 
+# -- advanced relational: as-of/range joins, unpivot, percentiles -----------
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union+window plan, no UDF): each event joined to
+    the same user's most recent 'click' at-or-before its timestamp."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("value").alias("click_value")
+    )
+    out = q.asof_join(
+        ev, clicks, on="user_id", left_ts="ts", right_ts="cts",
+        right_cols=["click_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "value",
+        "click_value_asof", F.col("cts_asof").alias("click_ts_asof"),
+    )
+
+
+def q_range_join_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucketized equi-join: count lineitems per
+    price band (no quadratic inequality join)."""
+    bands = spark.createDataFrame(
+        [(i, float(i * 10000), float((i + 1) * 10000)) for i in range(11)],
+        "band int, lo double, hi double",
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    joined = q.range_join(li, "l_extendedprice", bands, "lo", "hi", 5000.0)
+    return joined.groupBy("band").agg(F.count("*").alias("n"))
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot + per-measure aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = q.unpivot(
+        li, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"], "measure", "value",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
+def q_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (matches quantile_cont)."""
+    return q.percentiles(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity",
+        probs=(0.25, 0.5, 0.75),
+    )
+
+
+def q_describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column summary stats (count/mean/stddev/min/max) as rows."""
+    return q.describe_stats(
+        _t(spark, sf_dir, "lineitem"), ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
 # -- EXT: Structured Streaming over events (SURVEY.md §2.9) -----------------
 
 def _stream_events(spark: SparkSession, sf_dir: str):
@@ -698,6 +756,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_sliding_counts": q_stream_sliding_counts,
         "stream_sessionize": q_stream_sessionize,
+        "asof_join_events": q_asof_join_events,
+        "range_join_prices": q_range_join_prices,
+        "unpivot_measures": q_unpivot_measures,
+        "percentiles_quantity": q_percentiles_quantity,
+        "describe_lineitem": q_describe_lineitem,
     }
 
 
@@ -986,5 +1049,54 @@ def oracle_sql() -> dict[str, str]:
                                PARTITION BY user_id ORDER BY ts, event_id) AS prev
                     FROM events) t1) t2
             GROUP BY user_id
+        """,
+        "asof_join_events": """
+            SELECT e.event_id, e.user_id, e.event_type, e.value,
+                   c.click_value AS click_value_asof,
+                   c.cts AS click_ts_asof
+            FROM events e
+            ASOF LEFT JOIN (
+                SELECT user_id, ts AS cts, value AS click_value
+                FROM events WHERE event_type = 'click') c
+            ON e.user_id = c.user_id AND e.ts >= c.cts
+        """,
+        "range_join_prices": """
+            SELECT band, count(*) AS n
+            FROM (SELECT unnest(range(11)) AS band) b
+            JOIN lineitem
+              ON l_extendedprice >= band * 10000.0
+             AND l_extendedprice < (band + 1) * 10000.0
+            GROUP BY band
+        """,
+        "unpivot_measures": """
+            SELECT measure, count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM (
+                SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', l_discount FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', l_tax FROM lineitem
+            ) GROUP BY measure
+        """,
+        "percentiles_quantity": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+                   round(quantile_cont(l_quantity, 0.75), 4) AS p75
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "describe_lineitem": """
+            SELECT column_name, count(value) AS n,
+                   round(avg(value), 4) AS mean,
+                   round(stddev_samp(value), 4) AS stddev,
+                   round(min(value), 4) AS min,
+                   round(max(value), 4) AS max
+            FROM (
+                SELECT 'l_quantity' AS column_name, l_quantity AS value FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', l_discount FROM lineitem
+            ) GROUP BY column_name
         """,
     }

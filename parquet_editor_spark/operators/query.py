@@ -208,6 +208,151 @@ def bin2d(df: DataFrame, x: str, y: str, dx: float, dy: float) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Optional[Sequence[str]] = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_ts <= left_ts`` in the same ``on`` group (backward
+    direction, inclusive — matches DuckDB/pandas asof semantics).
+
+    Spark has no native as-of join (guide: 'Common OLAP patterns');
+    the classic scalable plan is the union + last-value window trick:
+
+        tag left/right → union on (key, ts) → per-key window sorted
+        by (ts, side) with right rows first at equal ts →
+        last(value, ignoreNulls) carries the latest right attributes
+        forward → keep left rows.
+
+    ONE shuffle on the key, no UDF, no range explosion — works at any
+    size and any time skew, unlike per-group ``pd.merge_asof``
+    (memory-bound) or an inequality join (quadratic)."""
+    from pyspark.sql import Window as W
+
+    right_cols = list(right_cols or [c for c in right.columns if c not in (on, right_ts)])
+    lcols = [c for c in left.columns]
+
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),  # right sorts BEFORE left at equal ts
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in right_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in right_cols],
+        F.col("__f_ts").alias(f"{right_ts}{suffix}"),
+    )
+
+
+def range_join(
+    left: DataFrame,
+    val_col: str,
+    ranges: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Join rows to [lo, hi) ranges WITHOUT the quadratic inequality
+    join: each range explodes into its covered fixed-width buckets, rows
+    bucket by value, the join is an equi-join on bucket + an exact
+    residual filter. Cost is |ranges|·(range span / width) index rows
+    — broadcastable for any realistic band table."""
+    exploded = ranges.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width),
+                F.floor((F.col(hi_col) - 1e-9) / bucket_width),
+            )
+        ),
+    )
+    keyed = left.withColumn("__b", F.floor(F.col(val_col) / bucket_width))
+    return (
+        keyed.join(F.broadcast(exploded), "__b")
+        .filter((F.col(val_col) >= F.col(lo_col)) & (F.col(val_col) < F.col(hi_col)))
+        .drop("__b")
+    )
+
+
+def unpivot(
+    df: DataFrame,
+    ids: Sequence[str],
+    values: Sequence[str],
+    var_name: str = "measure",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide → long (melt): Spark's native ``unpivot`` — one pass, no
+    shuffle, each input row emits len(values) rows executor-side."""
+    return df.unpivot(list(ids), list(values), var_name, value_name)
+
+
+def percentiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    round_to: int = 4,
+) -> DataFrame:
+    """EXACT interpolated percentiles per group (``percentile``, not
+    the t-digest approximation) — matches ANSI/DuckDB quantile_cont
+    bit-for-bit, so it oracle-checks; use approx_percentile at the
+    100 TB point where an exact sort per group is not worth it."""
+    p = F.percentile(F.col(col), F.lit(list(probs)))
+    out = df.groupBy(*keys).agg(
+        *[
+            F.round(F.element_at(p, i + 1), round_to).alias(f"p{int(q * 100)}")
+            for i, q in enumerate(probs)
+        ]
+    )
+    return out
+
+
+def describe_stats(
+    df: DataFrame, cols: Sequence[str], round_to: int = 4
+) -> DataFrame:
+    """Per-column summary stats as rows (the editor's column-stats
+    panel, SURVEY.md §2.3 'row multiselect metadata' generalized):
+    long-form unpivot → one aggregation — a single pass over the data
+    regardless of column count."""
+    long = unpivot(df.select(*cols), [], cols, "column_name", "value")
+    return long.groupBy("column_name").agg(
+        F.count("value").alias("n"),
+        F.round(F.avg("value"), round_to).alias("mean"),
+        F.round(F.stddev("value"), round_to).alias("stddev"),
+        F.round(F.min("value"), round_to).alias("min"),
+        F.round(F.max("value"), round_to).alias("max"),
+    )
+
+
 def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[tuple[str, str, str]]) -> DataFrame:
     """CUBE — parity-plus aggregation (SURVEY.md §2.4)."""
     exprs = [agg_fn(fn)(col).alias(alias) for col, fn, alias in aggs]

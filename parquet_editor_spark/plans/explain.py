@@ -1,0 +1,89 @@
+"""Physical-plan inspection — programmatic access to the properties
+that make a plan survive a 100× scale-up (SURVEY.md §4).
+
+These helpers parse ``df.explain()`` output so tests can ASSERT scale
+properties instead of hoping for them: filters pushed into the
+parquet scan, projections pruned to the read schema, small joins
+broadcast, no accidental single-partition exchanges, wide
+whole-stage-codegen spans. tests/test_plans.py pins these for every
+headline operator.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The final (post-AQE-planning) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """explain('formatted') text — scan details incl. PushedFilters."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters the parquet scan will evaluate (predicate pushdown).
+    Empty list = nothing pushed — a full-scan red flag for selective
+    queries."""
+    text = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns the parquet scan actually reads (column pruning). A
+    2-column projection reading an 11-column schema is wrong."""
+    text = formatted_plan(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
+        for field in m.group(1).split(","):
+            name = field.split(":")[0].strip()
+            if name:
+                cols.append(name)
+    return sorted(set(cols))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in executed_plan(df) or "BroadcastNestedLoopJoin" in executed_plan(df)
+
+
+def has_single_partition_exchange(df: DataFrame) -> bool:
+    """True if the plan funnels ALL rows through one partition — the
+    canonical scale killer (global row_number, un-keyed windows)."""
+    return "Exchange SinglePartition" in executed_plan(df)
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Number of WholeStageCodegen regions. More operators fused into
+    fewer spans = less virtual-call overhead; a span count of 0 means
+    the plan fell out of codegen entirely (e.g. row-at-a-time UDFs).
+
+    NB: under AQE the codegen markers only appear in the FINAL plan —
+    run an action on the DataFrame first, or the count reads 0."""
+    text = executed_plan(df)
+    # executedPlan prints codegen regions as "*(N) Operator"
+    spans = set(re.findall(r"\*\((\d+)\)", text))
+    spans |= set(re.findall(r"WholeStageCodegen \((\d+)\)", text))
+    return len(spans)
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-call summary used by tests and perf triage."""
+    return {
+        "pushed_filters": pushed_filters(df),
+        "read_schema": read_schema_columns(df),
+        "broadcast_join": has_broadcast_join(df),
+        "single_partition_exchange": has_single_partition_exchange(df),
+        "codegen_spans": wholestage_codegen_spans(df),
+    }

@@ -1,0 +1,106 @@
+"""Differential tests for the advanced relational operators: as-of
+join vs pandas merge_asof, range join vs brute-force filter, unpivot
+vs manual melt, percentiles vs numpy."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_editor_spark.io import load_parquet_nanos
+from parquet_editor_spark.operators import query as q
+
+
+@pytest.fixture(scope="module")
+def events_ts(spark, sf_dir):
+    return load_parquet_nanos(spark, f"{sf_dir}/events.parquet")
+
+
+def test_asof_join_matches_merge_asof(events_ts):
+    ev = events_ts.select("event_id", "ts", "user_id", "event_type", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("value").alias("click_value")
+    )
+    got = q.asof_join(
+        ev, clicks, on="user_id", left_ts="ts", right_ts="cts",
+        right_cols=["click_value"],
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+
+    pev = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    pcl = (
+        clicks.toPandas().sort_values("cts").reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        pev, pcl, left_on="ts", right_on="cts", by="user_id",
+        direction="backward", allow_exact_matches=True,
+    ).sort_values("event_id").reset_index(drop=True)
+
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["click_value_asof"], want["click_value"], check_names=False
+    )
+    pd.testing.assert_series_equal(
+        got["cts_asof"], want["cts"], check_names=False
+    )
+
+
+def test_range_join_matches_bruteforce(spark, lineitem):
+    bands = spark.createDataFrame(
+        [(0, 0.0, 25000.0), (1, 25000.0, 60000.0), (2, 60000.0, 200000.0)],
+        "band int, lo double, hi double",
+    )
+    li = lineitem.select("l_extendedprice")
+    got = {
+        r["band"]: r["n"]
+        for r in q.range_join(li, "l_extendedprice", bands, "lo", "hi", 10000.0)
+        .groupBy("band").agg(F.count("*").alias("n")).collect()
+    }
+    pli = li.toPandas()["l_extendedprice"]
+    want = {
+        b: int(((pli >= lo) & (pli < hi)).sum())
+        for b, lo, hi in [(0, 0.0, 25000.0), (1, 25000.0, 60000.0), (2, 60000.0, 200000.0)]
+    }
+    want = {k: v for k, v in want.items() if v > 0}
+    assert got == want
+
+
+def test_unpivot_long_form(lineitem):
+    long = q.unpivot(
+        lineitem, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_tax"],
+        "measure", "value",
+    )
+    assert long.count() == lineitem.count() * 2
+    assert set(long.columns) == {"l_orderkey", "l_linenumber", "measure", "value"}
+
+
+def test_percentiles_match_numpy(lineitem):
+    got = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+        for r in q.percentiles(lineitem, ["l_returnflag"], "l_quantity").collect()
+    }
+    pdf = lineitem.select("l_returnflag", "l_quantity").toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        want = np.percentile(grp["l_quantity"], [25, 50, 75], method="linear")
+        assert got[flag] == pytest.approx(tuple(np.round(want, 4)))
+
+
+def test_describe_stats_matches_pandas(lineitem):
+    got = {
+        r["column_name"]: (r["n"], r["mean"], r["stddev"])
+        for r in q.describe_stats(lineitem, ["l_quantity", "l_discount"]).collect()
+    }
+    pdf = lineitem.select("l_quantity", "l_discount").toPandas()
+    for c in ["l_quantity", "l_discount"]:
+        n, mean, std = got[c]
+        assert n == pdf[c].count()
+        assert mean == pytest.approx(round(pdf[c].mean(), 4), abs=1e-4)
+        assert std == pytest.approx(round(pdf[c].std(ddof=1), 4), abs=1e-4)
+
+
+def test_asof_join_no_single_partition_exchange(events_ts):
+    from parquet_editor_spark import plans as P
+
+    ev = events_ts.select("event_id", "ts", "user_id", "value")
+    clicks = ev.select("user_id", F.col("ts").alias("cts"), F.col("value").alias("cv"))
+    out = q.asof_join(ev, clicks, "user_id", "ts", "cts", ["cv"])
+    assert not P.has_single_partition_exchange(out)

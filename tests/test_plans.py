@@ -1,0 +1,92 @@
+"""Scale-guardrail tests: assert the PHYSICAL PLAN properties that
+make each headline operator survive a 100× scale-up (SURVEY.md §4),
+not just its output. A regression here is a performance bug even when
+every value is still correct."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_editor_spark import plans as P
+from parquet_editor_spark.operators import edit as E
+from parquet_editor_spark.operators import query as q
+
+
+def test_filter_pushdown_reaches_scan(lineitem):
+    df = lineitem.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    pushed = P.pushed_filters(df)
+    assert any("l_quantity" in f for f in pushed), pushed
+
+
+def test_projection_prunes_read_schema(lineitem):
+    df = lineitem.select("l_orderkey", "l_quantity")
+    assert P.read_schema_columns(df) == ["l_orderkey", "l_quantity"]
+
+
+def test_pivot_reads_only_needed_columns(lineitem):
+    df = q.pivot_table(
+        lineitem, "l_returnflag", "l_linestatus", "l_extendedprice", "mean",
+        pivot_values=["F", "O"],
+    )
+    assert P.read_schema_columns(df) == [
+        "l_extendedprice", "l_linestatus", "l_returnflag",
+    ]
+
+
+def test_small_dim_join_is_broadcast(spark, sf_dir, lineitem):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = q.join_tables(
+        lineitem, part, lineitem.l_partkey == part.p_partkey, broadcast_right=True
+    )
+    assert P.has_broadcast_join(j)
+
+
+def test_rid_has_no_single_partition_exchange(lineitem):
+    df = E.with_rid(lineitem.select("l_orderkey", "l_linenumber"))
+    assert not P.has_single_partition_exchange(df)
+
+
+def test_ordered_rid_has_no_single_partition_exchange(lineitem):
+    df = E.ordered_rid(
+        lineitem.select("l_orderkey", "l_linenumber"), ["l_orderkey", "l_linenumber"]
+    )
+    assert not P.has_single_partition_exchange(df)
+
+
+def test_window_partitioned_no_global_sort(lineitem):
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate")
+    df = lineitem.select("l_suppkey", F.sum("l_quantity").over(w).alias("s"))
+    assert not P.has_single_partition_exchange(df)
+
+
+def test_topk_no_global_sort_exchange(lineitem):
+    df = q.top_k(lineitem, ["l_extendedprice"], 10)
+    plan = P.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert not P.has_single_partition_exchange(df)
+
+
+def test_groupby_agg_stays_in_codegen(lineitem):
+    df = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"), F.avg("l_extendedprice"))
+    )
+    df.collect()  # finalize the AQE plan — codegen markers appear then
+    assert P.wholestage_codegen_spans(df) >= 1
+
+
+def test_cell_edit_overlay_is_narrow(lineitem):
+    """A point write must not shuffle: same exchanges before and after."""
+    base = E.with_rid(lineitem.select("l_orderkey", "l_linenumber", "l_quantity"))
+    edited = E.set_cell(base, 5, "l_quantity", "1")
+    assert P.executed_plan(base).count("Exchange") == P.executed_plan(edited).count(
+        "Exchange"
+    )
+
+
+def test_histogram_aggregates_before_collect(lineitem):
+    df = q.histogram(lineitem, "l_quantity", 5.0)
+    # the scan's full row count never reaches the driver: plan is
+    # scan → partial agg → exchange on bin → final agg
+    assert "HashAggregate" in P.executed_plan(df)
