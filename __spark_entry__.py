@@ -575,6 +575,16 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "frame_idx", "frame_checksum")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH pairs → iterative min-label
+    connected components. Oracle: recursive CTE reachability over the
+    exact-Jaccard pair graph — two completely different CC algorithms
+    must agree on every cluster assignment."""
+    from parquet_editor_spark.operators import dedup as D
+
+    return D.dup_clusters(_t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.7)
+
+
 # -- advanced relational: as-of/range joins, unpivot, percentiles -----------
 
 def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -745,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "doc_rolling_hash": q_doc_rolling_hash,
         "embedding_topk_cosine": q_embedding_topk,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
@@ -985,6 +996,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _ORACLE_JACCARD_PAIRS,
         "dedup_minhash_lsh": _ORACLE_JACCARD_PAIRS,
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            pairs AS ({_ORACLE_JACCARD_PAIRS}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            walk(node, root) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node
+            )
+            SELECT node AS doc_id, min(root) AS cluster_id
+            FROM walk GROUP BY node
+        """,
         "embedding_topk_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 10),

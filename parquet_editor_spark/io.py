@@ -219,3 +219,33 @@ def load_parquet_nanos(spark: SparkSession, path: str) -> DataFrame:
 def empty(spark: SparkSession, schema: str) -> DataFrame:
     """Fresh empty table (``pd.DataFrame()``, main.pyc:285-287)."""
     return spark.createDataFrame([], schema)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    keys: list[str],
+    sort_by: Optional[list[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED catalog table: rows hash-partitioned into
+    ``n_buckets`` files per partition on ``keys`` at write time, so any
+    later join/agg on those keys between same-bucketed tables needs NO
+    shuffle — the 100 TB answer to repeatedly-joined fact tables.
+    (Plain ``save`` paths can't carry bucket metadata; this goes
+    through the session catalog / warehouse dir.)"""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # a fresh session's catalog doesn't know tables whose files
+        # survive in the warehouse dir from a previous process — drop
+        # both the catalog entry and any orphaned location
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)

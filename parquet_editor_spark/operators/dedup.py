@@ -274,6 +274,73 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    vertices: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation over an undirected pair graph →
+    ``(id, cluster_id)`` where cluster_id = min id in the component.
+
+    Iterative DataFrame joins (no GraphX/graphframes dependency):
+    each round every vertex takes the min of its own label and its
+    neighbors' labels; stop at fixpoint. Near-dup graphs are
+    small-diameter (clusters of mutual near-copies), so this
+    converges in a few rounds; ``localCheckpoint`` truncates the
+    growing lineage each round so analysis cost stays flat.
+
+    ``vertices``: one ``id`` column. ``pairs``: ``id_a``/``id_b``.
+    """
+    edges = pairs.select("id_a", "id_b")
+    sym = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = vertices.select(F.col("id"), F.col("id").alias("cluster_id"))
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym.id_a == labels.id)
+            .groupBy(F.col("id_b").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                    "new_cluster"
+                ),
+                "cluster_id",
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_cluster") != F.col("cluster_id")).count()
+        labels = updated.select("id", F.col("new_cluster").alias("cluster_id"))
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS (not just pairs): MinHash-LSH pair
+    mining → connected components. Docs with no near-dup are their own
+    singleton cluster — the output is a total assignment usable as a
+    keep-one-per-cluster dedup policy (keep id == cluster_id)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n, threshold, num_hashes, bands)
+    vertices = df.select(F.col(id_col).alias("id"))
+    return connected_components(vertices, pairs).withColumnsRenamed(
+        {"id": id_col}
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -208,6 +208,30 @@ def bin2d(df: DataFrame, x: str, y: str, dx: float, dy: float) -> DataFrame:
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: a hot key that lands 10% of a 100 TB
+    fact table in one task stalls the stage. Salting splits every left
+    key into ``n_salts`` deterministic sub-keys (hash of the whole row)
+    and replicates the right side once per salt, so the hot key's rows
+    spread over ``n_salts`` tasks. Result is row-identical to the
+    plain join; cost is ×n_salts on the (smaller) right side. AQE's
+    skew-join handles moderate skew automatically — reach for this
+    when a single key exceeds what one executor can hold."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = l.join(r, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -66,6 +66,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/pes_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -84,11 +88,18 @@ class EditorSession:
     but unimplemented capability (readme.md:12, SURVEY.md §0.2).
     """
 
+    #: point edits before the overlay is checkpointed (SURVEY.md §4
+    #: edit-overlay compaction): each set_cell deepens the plan by one
+    #: when() projection; past this depth analysis time dominates, so
+    #: the session materializes and restarts the chain.
+    COMPACT_EVERY = 32
+
     def __init__(self, spark: Optional[SparkSession] = None):
         self.spark = spark or get_spark()
         self._tables: dict[str, DataFrame] = {}
         self._undo: dict[str, list[DataFrame]] = {}
         self._redo: dict[str, list[DataFrame]] = {}
+        self._edit_depth: dict[str, int] = {}
 
     # -- catalog -----------------------------------------------------
     def names(self) -> list[str]:
@@ -171,6 +182,56 @@ class EditorSession:
     def sql(self, statement: str) -> DataFrame:
         """Query surface over all bound tables (registered as temp views)."""
         return self.spark.sql(statement)
+
+    # -- editor mutations (PandasModel.setData et al., SURVEY.md §2.3) --
+    def with_rid(self, name: str, order=None) -> DataFrame:
+        from parquet_editor_spark.operators import edit as E
+
+        return self.bind(name, E.with_rid(self._tables[name], order), undoable=False)
+
+    def set_cell(self, name: str, rid: int, column: str, value) -> DataFrame:
+        """Typed positional cell write (main.pyc:68-79) with automatic
+        overlay compaction every COMPACT_EVERY edits."""
+        from parquet_editor_spark.operators import edit as E
+
+        df = E.set_cell(self._tables[name], rid, column, value)
+        depth = self._edit_depth.get(name, 0) + 1
+        if depth >= self.COMPACT_EVERY:
+            df = E.compact(df)
+            depth = 0
+        self._edit_depth[name] = depth
+        return self.bind(name, df)
+
+    def delete_rows(self, name: str, rids) -> DataFrame:
+        from parquet_editor_spark.operators import edit as E
+
+        return self.bind(name, E.delete_rows(self._tables[name], rids))
+
+    def cut_rows(self, name: str, rids) -> DataFrame:
+        """Cut to the session clipboard (main.py:53-56)."""
+        from parquet_editor_spark.operators import edit as E
+
+        clip, rest = E.cut_rows(self._tables[name], rids)
+        self._clipboard = clip
+        return self.bind(name, rest)
+
+    def paste_rows(self, name: str, pos: int) -> DataFrame:
+        """Paste the clipboard at a position (main.py:58-65)."""
+        from parquet_editor_spark.operators import edit as E
+
+        if getattr(self, "_clipboard", None) is None:
+            raise ValueError("clipboard is empty; cut rows first")
+        return self.bind(name, E.paste_rows(self._tables[name], self._clipboard, pos))
+
+    def add_column(self, name: str, col: str, dtype: str = "string", pos=None, default=None) -> DataFrame:
+        from parquet_editor_spark.operators import edit as E
+
+        return self.bind(name, E.add_column(self._tables[name], col, dtype, pos, default))
+
+    def remove_column(self, name: str, which) -> DataFrame:
+        from parquet_editor_spark.operators import edit as E
+
+        return self.bind(name, E.drop_column(self._tables[name], which))
 
     # -- preview (the Qt view's cell pull, main.pyc:58-66) -----------
     def preview(self, name: str, n: int = 100, offset: int = 0):

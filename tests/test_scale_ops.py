@@ -1,0 +1,121 @@
+"""Tests for the scale-path operators: bucketed co-located joins,
+salted skew joins, connected components, session auto-compaction,
+Excel gating."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_editor_spark import io as peio
+from parquet_editor_spark import plans as P
+from parquet_editor_spark.operators import dedup as D
+from parquet_editor_spark.operators import query as q
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    peio.save_bucketed(li, "li_b", 4, ["l_orderkey"])
+    peio.save_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"), "ord_b", 4, ["l_orderkey"]
+    )
+    j = spark.table("li_b").join(spark.table("ord_b"), "l_orderkey")
+    plan = P.executed_plan(j)
+    # co-located buckets: the sort-merge join reads both sides without
+    # a hash exchange
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert j.count() == li.count()  # FK join, every lineitem matches
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = q.join_tables(li, orders, "l_orderkey").count()
+    salted = q.salted_join(li, orders, "l_orderkey", n_salts=4).count()
+    assert salted == plain
+
+
+def test_salted_join_values_match(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    right = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, w double")
+    got = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in q.salted_join(left, right, "k", n_salts=3).collect()
+    )
+    assert got == [(1, "a", 10.0), (1, "b", 10.0), (2, "c", 20.0)]
+
+
+def test_connected_components_clusters(spark):
+    vertices = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    # components: {0,1,2,3} (chain), {5,6}, singletons {4}, {7}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in D.connected_components(vertices, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_dup_clusters_keep_policy(documents):
+    clusters = D.dup_clusters(documents, "doc_id", "text", 3, 0.7)
+    total = clusters.count()
+    keepers = clusters.filter(F.col("cluster_id") == F.col("doc_id")).count()
+    assert total == documents.count()  # every doc gets an assignment
+
+    # ground truth: union-find over the exact pair graph in Python
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_pairs(documents, "doc_id", "text", 3, 0.7).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    paired_docs = {d for p in pairs for d in p}
+    n_components = len({find(d) for d in paired_docs})
+    # one keeper per cluster: singletons + one per multi-doc component
+    assert keepers == total - len(paired_docs) + n_components
+
+
+def test_session_auto_compaction(spark, sf_dir):
+    from parquet_editor_spark.session import EditorSession
+
+    sess = EditorSession(spark)
+    sess.COMPACT_EVERY = 4
+    sess.load("t", f"{sf_dir}/region.parquet")
+    sess.with_rid("t")
+    for k in range(6):
+        sess.set_cell("t", 0, "r_name", f"edit{k}")
+    # after compaction the plan no longer carries the full when() chain
+    plan = P.executed_plan(sess.get("t"))
+    assert plan.count("CASE WHEN") <= sess.COMPACT_EVERY
+    from parquet_editor_spark.operators import edit as E
+
+    assert E.get_cell(sess.get("t"), 0, "r_name") == "edit5"
+    # undo still works across the compaction boundary
+    sess.undo("t")
+    assert E.get_cell(sess.get("t"), 0, "r_name") == "edit4"
+
+
+def test_excel_gated_error(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "x long, y string")
+    with pytest.raises(NotImplementedError, match="Excel"):
+        peio.save(df, str(tmp_path / "out.xlsx"))
