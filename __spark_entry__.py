@@ -575,6 +575,47 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "frame_idx", "frame_checksum")
 
 
+def q_plot_line_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plot-feeding line series (main.pyc:371-374): ordered ordinal +
+    numeric columns, stride-downsampled server-side to ≤1000 points."""
+    from parquet_editor_spark.operators import plotting as PL
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return PL.line_series(
+        li, ["l_quantity", "l_extendedprice"], max_points=1000,
+        order=["l_orderkey", "l_linenumber"],
+    )
+
+
+def q_cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the pivot keys — all grouping-set combinations."""
+    return q.cube_agg(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum", "sum_qty"), ("l_quantity", "count", "n")],
+    ).select(
+        "l_returnflag", "l_linestatus", F.round("sum_qty", 2).alias("sum_qty"), "n"
+    )
+
+
+def q_supplier_acct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/avg aggregate whitelist coverage (SURVEY.md §2.4)."""
+    return q.group_agg(
+        _t(spark, sf_dir, "supplier"),
+        ["s_nationkey"],
+        [
+            ("s_acctbal", "stddev", "sd_bal"),
+            ("s_acctbal", "mean", "avg_bal"),
+            ("s_acctbal", "count", "n"),
+        ],
+    ).select(
+        "s_nationkey", F.round("sd_bal", 4).alias("sd_bal"),
+        F.round("avg_bal", 4).alias("avg_bal"), "n",
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: MinHash-LSH pairs → iterative min-label
     connected components. Oracle: recursive CTE reachability over the
@@ -767,6 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_sliding_counts": q_stream_sliding_counts,
         "stream_sessionize": q_stream_sessionize,
+        "plot_line_series": q_plot_line_series,
+        "cube_qty": q_cube_qty,
+        "supplier_acct_stats": q_supplier_acct_stats,
         "asof_join_events": q_asof_join_events,
         "range_join_prices": q_range_join_prices,
         "unpivot_measures": q_unpivot_measures,
@@ -1076,6 +1120,30 @@ def oracle_sql() -> dict[str, str]:
                                PARTITION BY user_id ORDER BY ts, event_id) AS prev
                     FROM events) t1) t2
             GROUP BY user_id
+        """,
+        "plot_line_series": """
+            SELECT rid AS x, l_quantity, l_extendedprice
+            FROM (
+                SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+                           AS rid,
+                       l_quantity, l_extendedprice
+                FROM lineitem) t
+            WHERE rid % CAST(ceil(
+                (SELECT count(*) FROM lineitem) / 1000.0) AS BIGINT) = 0
+        """,
+        "cube_qty": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(l_quantity) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "supplier_acct_stats": """
+            SELECT s_nationkey,
+                   round(stddev_samp(s_acctbal), 4) AS sd_bal,
+                   round(avg(s_acctbal), 4) AS avg_bal,
+                   count(s_acctbal) AS n
+            FROM supplier GROUP BY s_nationkey
         """,
         "asof_join_events": """
             SELECT e.event_id, e.user_id, e.event_type, e.value,

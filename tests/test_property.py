@@ -1,0 +1,118 @@
+"""Property-based differential tests (SURVEY.md §5.4, hypothesis):
+any random sequence of editor operations applied to our Spark engine
+and to a pandas frame implementing the reference's v1/v2 semantics
+must produce identical tables; undo must invert every operation.
+
+Example counts are kept small — every example runs real Spark jobs.
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from parquet_editor_spark.operators import edit as E
+
+BASE = pd.DataFrame(
+    {
+        "i": [10, 20, 30, 40, 50],
+        "f": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "s": ["a", "b", "c", "d", "e"],
+    }
+)
+
+# an edit op is (kind, args) applied to whatever the current length is
+op_strategy = st.one_of(
+    st.tuples(
+        st.just("set_i"), st.integers(0, 9), st.integers(-100, 100)
+    ),
+    st.tuples(
+        st.just("set_f"), st.integers(0, 9), st.floats(-10, 10, allow_nan=False)
+    ),
+    st.tuples(st.just("delete"), st.integers(0, 9), st.just(0)),
+    st.tuples(st.just("cutpaste"), st.integers(0, 9), st.integers(0, 9)),
+)
+
+
+def apply_pandas(pdf: pd.DataFrame, ops) -> pd.DataFrame:
+    pdf = pdf.copy()
+    for kind, a, b in ops:
+        n = len(pdf)
+        if n == 0:
+            continue
+        if kind == "set_i":
+            pdf.iloc[a % n, pdf.columns.get_loc("i")] = int(b)
+        elif kind == "set_f":
+            pdf.iloc[a % n, pdf.columns.get_loc("f")] = float(b)
+        elif kind == "delete":
+            pdf = pdf.drop(pdf.index[a % n]).reset_index(drop=True)
+        elif kind == "cutpaste":
+            src = a % n
+            clip = pdf.iloc[[src]]
+            rest = pdf.drop(pdf.index[src]).reset_index(drop=True)
+            pos = b % (len(rest) + 1)
+            pdf = pd.concat(
+                [rest.iloc[:pos], clip, rest.iloc[pos:]]
+            ).reset_index(drop=True)
+    return pdf
+
+
+def apply_spark(sdf, ops):
+    for kind, a, b in ops:
+        n = sdf.count()
+        if n == 0:
+            continue
+        if kind == "set_i":
+            sdf = E.set_cell(sdf, a % n, "i", int(b))
+        elif kind == "set_f":
+            sdf = E.set_cell(sdf, a % n, "f", float(b))
+        elif kind == "delete":
+            sdf = E.delete_rows(sdf, [a % n])
+        elif kind == "cutpaste":
+            clip, rest = E.cut_rows(sdf, [a % n])
+            sdf = E.paste_rows(rest, clip, b % (n - 1 + 1))
+    return sdf
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ops=st.lists(op_strategy, min_size=1, max_size=5))
+def test_edit_sequence_matches_pandas(spark, ops):
+    sdf = E.with_rid(spark.createDataFrame(BASE))
+    got = (
+        apply_spark(sdf, ops)
+        .toPandas()
+        .sort_values("__rid")
+        .reset_index(drop=True)
+        .drop(columns="__rid")
+    )
+    want = apply_pandas(BASE, ops)
+    pd.testing.assert_frame_equal(got, want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rid=st.integers(0, 4),
+    val=st.integers(-1000, 1000),
+)
+def test_undo_inverts_edit(spark, rid, val):
+    from parquet_editor_spark.session import EditorSession
+
+    sess = EditorSession(spark)
+    sess.bind("t", E.with_rid(spark.createDataFrame(BASE)), undoable=False)
+    before = E.get_cell(sess.get("t"), rid, "i")
+    sess.set_cell("t", rid, "i", val)
+    assert E.get_cell(sess.get("t"), rid, "i") == val
+    sess.undo("t")
+    assert E.get_cell(sess.get("t"), rid, "i") == before
+
+
+def test_rejected_edit_leaves_table_unchanged(spark):
+    sdf = E.with_rid(spark.createDataFrame(BASE))
+    with pytest.raises(E.CellEditRejected):
+        E.set_cell(sdf, 0, "i", "not-an-int")
+    got = sdf.toPandas().sort_values("__rid").drop(columns="__rid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, BASE)
