@@ -616,6 +616,18 @@ def q_supplier_acct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB substitutes for exact
+    distinct/quantiles (HLL + t-digest). Rows-only: approximation
+    internals differ across engines by design; exactness bounds are
+    asserted in tests/test_scale_ops.py against the exact answers."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: MinHash-LSH pairs → iterative min-label
     connected components. Oracle: recursive CTE reachability over the
@@ -809,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_counts": q_stream_sliding_counts,
         "stream_sessionize": q_stream_sessionize,
         "plot_line_series": q_plot_line_series,
+        "approx_stats": q_approx_stats,
         "cube_qty": q_cube_qty,
         "supplier_acct_stats": q_supplier_acct_stats,
         "asof_join_events": q_asof_join_events,

@@ -221,6 +221,40 @@ def empty(spark: SparkSession, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_files: Optional[int] = None,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction — the table-maintenance op every
+    long-running ingest needs: streaming sinks and per-task writers
+    leave many small files; scans then pay per-file open/footer cost.
+    Rewrites the dataset into ``target_files`` (default: size-based,
+    ~128 MB each) via coalesce (no shuffle) and an atomic
+    directory swap. Returns the new file count."""
+    import shutil
+    import uuid
+
+    df = load(spark, path, fmt)
+    if target_files is None:
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+        )
+        target_files = max(1, size // (128 * 1024 * 1024))
+    tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
+    df.coalesce(target_files).write.mode("overwrite").format(fmt).option(
+        "header", True
+    ).save(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(
+        [f for f in os.listdir(path) if not f.startswith(("_", "."))]
+    )
+
+
 def save_bucketed(
     df: DataFrame,
     table: str,

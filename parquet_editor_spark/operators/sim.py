@@ -55,6 +55,23 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def with_unit_vector(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Stage a pre-normalized copy of the vector column: cosine then
+    reduces to ONE dot-product fold per pair instead of three (dot +
+    two norms), and each row's norm is computed once, not once per
+    pair. Zero-norm vectors normalize to NULL (cosine undefined).
+    The norm lands in a real intermediate column so the per-element
+    division references an attribute, not a re-evaluated expression."""
+    staged = df.withColumn("__norm", l2_norm(F.col(vec_col)))
+    return staged.withColumn(
+        out,
+        F.when(
+            F.col("__norm") > 0,
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__norm")),
+        ),
+    ).drop("__norm")
+
+
 def sq_euclidean(a: Column, b: Column) -> Column:
     """Σ (aᵢ−bᵢ)² — matches the k-means quantizer's metric."""
     return F.aggregate(
@@ -87,24 +104,84 @@ def topk_cosine(
     near-tie doubles compare equal across engines, and the id breaks
     the tie deterministically — required for oracle hash-stability.
 
-    Scale: queries are broadcast (the typical ANN-request batch is
-    tiny vs the corpus); the |corpus|×|Q| similarity stream is cut to
-    per-partition top-k with one Arrow pass before the only shuffle.
+    Scale: the query matrix ships inside the task closure (tiny by
+    contract); each Arrow batch scores against it with ONE BLAS
+    matmul and keeps only its per-batch top-k, so at most k·P·|Q|
+    rows reach the single final shuffle. Exact — every global top-k
+    row is in its batch's top-k.
     """
     from pyspark.sql import Window as W
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    from pyspark.sql import types as T
+
+    # queries are collected driver-side (the ANN request batch is tiny
+    # by contract) and closed over as a dense numpy matrix — each task
+    # gets them with the task binary, no join at all
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    # zero-norm queries have undefined cosine: excluded entirely,
+    # matching the expression path's NULL-similarity semantics
+    raw_q = [(int(r[0]), list(r[1])) for r in q_rows]
+    raw_q = [
+        (qid, v) for qid, v in raw_q if np.linalg.norm(np.asarray(v, float)) > 0
+    ]
+    q_ids = [qid for qid, _ in raw_q]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
     )
-    pairs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("sim"),
-    )
-    reduced = _partial_topk(scored, k)
+    if not q_ids:  # empty or all-zero query set → empty result
+        empty = corpus.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1)).select(
+            "query_id", "rank", "neighbor_id", "sim"
+        )
+    q_mat = _unit_rows([v for _, v in raw_q])
+
+    def score(batches):
+        # Spark's higher-order array functions (aggregate/zip_with) are
+        # interpreted, not codegen'd — a BLAS matmul over Arrow batches
+        # is ~10× faster and is the production path for dense scoring.
+        # Self-contained (no module-level refs): ships by value, so the
+        # worker never needs this package importable.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            raw = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(raw, axis=1, keepdims=True)
+            zero = norms[:, 0] == 0
+            norms[norms == 0] = 1.0
+            m = raw / norms
+            sims = np.round(m @ q_mat.T, round_to)  # B × Q
+            parts = []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j].copy()
+                col[ids == qid] = -np.inf  # exclude self
+                col[zero] = -np.inf  # cosine undefined for zero vectors
+                keep = min(k, len(col))
+                top = np.argpartition(-col, keep - 1)[:keep]
+                valid = top[np.isfinite(col[top])]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[valid],
+                            "sim": col[valid],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    reduced = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     w = W.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
@@ -115,27 +192,15 @@ def topk_cosine(
     )
 
 
-def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Per-partition, per-query top-k — a lossless pre-shuffle shrink
-    (map-side combine for top-k). Arrow-batched pandas, touching only
-    (query_id, neighbor_id, sim)."""
+def _unit_rows(rows):
+    """Row-normalize a list of vectors; zero rows stay zero (their
+    cosine contributions are 0 and never reach a top-k)."""
+    import numpy as np
 
-    def shrink(batches):
-        import pandas as pd
-
-        acc = []
-        for pdf in batches:
-            acc.append(pdf)
-        if not acc:
-            return
-        all_rows = pd.concat(acc, ignore_index=True)
-        yield (
-            all_rows.sort_values(["sim", "neighbor_id"], ascending=[False, True])
-            .groupby("query_id", sort=False)
-            .head(k)
-        )
-
-    return scored.mapInPandas(shrink, schema=scored.schema)
+    m = np.asarray(rows, dtype=np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
 
 
 # ---------------------------------------------------------------------------
@@ -154,11 +219,14 @@ def cosine_pairs_exact(
     round_to: int = 4,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold — O(n²), the oracle baseline."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    unit = with_unit_vector(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", "u"
+    ).select("id", "u")
+    a = unit.select(F.col("id").alias("id_a"), F.col("u").alias("ua"))
+    b = unit.select(F.col("id").alias("id_b"), F.col("u").alias("ub"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), round_to))
+        .withColumn("sim", F.round(dot(F.col("ua"), F.col("ub")), round_to))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

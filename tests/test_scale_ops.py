@@ -115,6 +115,41 @@ def test_session_auto_compaction(spark, sf_dir):
     assert E.get_cell(sess.get("t"), 0, "r_name") == "edit4"
 
 
+def test_approx_aggs_within_bounds(lineitem):
+    exact = {
+        r["l_returnflag"]: (r["nd"], r["med"])
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd"),
+            F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("med"),
+        )
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["approx_parts"], r["approx_median_price"])
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        )
+        .collect()
+    }
+    for flag, (nd, med) in exact.items():
+        and_, amed = approx[flag]
+        assert abs(and_ - nd) / nd < 0.05  # HLL default rsd ~2.3%
+        assert abs(amed - med) / med < 0.05
+
+
+def test_compact_files_reduces_count(spark, sf_dir, tmp_path):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = str(tmp_path / "frag.parquet")
+    li.repartition(16).write.parquet(p)
+    before = len([f for f in __import__("os").listdir(p) if f.endswith(".parquet")])
+    n_after = peio.compact_files(spark, p, target_files=2)
+    assert before == 16 and n_after == 2
+    assert spark.read.parquet(p).count() == li.count()
+
+
 def test_excel_gated_error(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], "x long, y string")
     with pytest.raises(NotImplementedError, match="Excel"):

@@ -103,7 +103,10 @@ def test_dot_and_norm_expressions(spark):
     assert r["c"] == pytest.approx(8.0 / 9.0)
 
 
-def test_topk_plan_broadcasts_queries(embeddings):
+def test_topk_plan_is_batch_scored(embeddings):
+    """The scorer is one Arrow pass over the corpus (no join, no
+    per-pair expression evaluation) + one window over ≤ k·P·|Q| rows."""
     queries = embeddings.filter(F.col("vec_id") < 5)
     plan = S.topk_cosine(embeddings, queries, k=5)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
