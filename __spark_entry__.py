@@ -616,6 +616,43 @@ def q_supplier_acct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly-selective scan-and-sum — every predicate
+    must reach the parquet scan (PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue + top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB substitutes for exact
     distinct/quantiles (HLL + t-digest). Rows-only: approximation
@@ -822,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "plot_line_series": q_plot_line_series,
         "approx_stats": q_approx_stats,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q3_shipping_priority": q_q3_shipping_priority,
         "cube_qty": q_cube_qty,
         "supplier_acct_stats": q_supplier_acct_stats,
         "asof_join_events": q_asof_join_events,
@@ -1133,6 +1172,26 @@ def oracle_sql() -> dict[str, str]:
                                PARTITION BY user_id ORDER BY ts, event_id) AS prev
                     FROM events) t1) t2
             GROUP BY user_id
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
         """,
         "plot_line_series": """
             SELECT rid AS x, l_quantity, l_extendedprice

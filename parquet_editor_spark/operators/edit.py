@@ -266,6 +266,24 @@ def insert_rows(df: DataFrame, rows: Sequence[dict], pos: int) -> DataFrame:
     return paste_rows(df, clip, pos)
 
 
+def selection_summary(df: DataFrame, rids: Iterable[int]) -> DataFrame:
+    """Multi-select metadata (main.py:107-123: the status-bar summary
+    of selected rows): count + per-numeric-column sum/mean of the
+    selected ordinals, computed server-side — the selection never
+    leaves the cluster."""
+    from parquet_editor_spark.operators.query import numeric_columns
+
+    rids = sorted(set(int(r) for r in rids))
+    sel = df.filter(F.col(RID).isin(rids))
+    aggs = [F.count("*").alias("n_selected")]
+    for c in numeric_columns(df):
+        if c == RID:
+            continue
+        aggs.append(F.round(F.sum(c), 4).alias(f"sum_{c}"))
+        aggs.append(F.round(F.avg(c), 4).alias(f"avg_{c}"))
+    return sel.agg(*aggs)
+
+
 # ---------------------------------------------------------------------------
 # column ops (insert_column/remove_column, main.pyc:102-120)
 # ---------------------------------------------------------------------------

@@ -141,6 +141,15 @@ def test_insert_rows(sdf, pdf):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_selection_summary(sdf, pdf):
+    # main.py:107-123: selected-rows status summary
+    row = E.selection_summary(sdf, [0, 2, 4]).collect()[0]
+    sel = pdf.iloc[[0, 2, 4]]
+    assert row["n_selected"] == 3
+    assert row["sum_i"] == sel["i"].sum()
+    assert row["avg_f"] == round(sel["f"].mean(), 4)
+
+
 def test_get_cell_and_compact(sdf, pdf):
     assert E.get_cell(sdf, 4, "s") == "e"
     edited = sdf

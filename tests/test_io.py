@@ -70,6 +70,13 @@ def test_partitioned_write_prunes(spark, lineitem, tmp_path):
     assert "PartitionFilters: [isnotnull(l_returnflag" in plan
 
 
+def test_orc_roundtrip(spark, lineitem, tmp_path):
+    df = lineitem.select("l_orderkey", "l_quantity", "l_returnflag")
+    back = rt(spark, df, tmp_path, "orc")
+    assert back.count() == df.count()
+    assert back.schema == df.schema
+
+
 def test_detect_format_errors():
     with pytest.raises(ValueError):
         peio.detect_format("/tmp/file.unknownext")
