@@ -61,6 +61,15 @@ def test_new_dataframe_and_preview(sess, sf_dir):
     assert len(page) == 3
 
 
+def test_preview_with_offset(sess, sf_dir):
+    sess.load("li", f"{sf_dir}/lineitem.parquet")
+    page0 = sess.preview("li", n=5)
+    page2 = sess.preview("li", n=5, offset=2)
+    assert len(page0) == 5 and len(page2) == 5
+    # offset pages shift by exactly the offset in scan order
+    assert page0.iloc[2].tolist() == page2.iloc[0].tolist()
+
+
 def test_save_roundtrip(sess, sf_dir, tmp_path):
     sess.load("r", f"{sf_dir}/region.parquet")
     sess.save("r", str(tmp_path / "r.parquet"))

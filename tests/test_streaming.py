@@ -88,6 +88,35 @@ def test_append_mode_respects_watermark(events_stream):
     assert max_open < max_all
 
 
+def test_rate_source_unbounded(spark):
+    """Non-file source: the built-in rate source proves the pipeline
+    shape isn't file-specific (a Kafka source slots in the same way)."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+    )
+    agg = stream.groupBy().agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rate_smoke")
+        .start()
+    )
+    import time
+
+    try:
+        deadline = time.time() + 15
+        n = 0
+        while time.time() < deadline:
+            time.sleep(1)
+            rows = spark.table("rate_smoke").collect()
+            n = rows[0]["n"] if rows else 0
+            if n > 0:
+                break
+    finally:
+        q.stop()
+    assert n > 0
+
+
 def test_parquet_sink_checkpoint_roundtrip(spark, events_stream, tmp_path):
     out = str(tmp_path / "sink")
     ckpt = str(tmp_path / "ckpt")
