@@ -616,6 +616,37 @@ def q_supplier_acct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization (4× embedding storage reduction)."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return S.quantize_int8(emb).select("vec_id", "q_vec", "q_scale")
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization + fingerprint over the normal form."""
+    from parquet_editor_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = X.normalize_text("text")
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_fp"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample — rows-only (Bernoulli draw is
+    engine-specific); proportions tolerance-tested in pytest."""
+    from parquet_editor_spark.operators import query as qq
+
+    docs = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    return qq.stratified_sample(docs, "lang", fractions).select("doc_id", "lang")
+
+
 def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: highly-selective scan-and-sum — every predicate
     must reach the parquet scan (PushedFilters)."""
@@ -861,6 +892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats": q_approx_stats,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "q3_shipping_priority": q_q3_shipping_priority,
+        "embedding_quantize": q_embedding_quantize,
+        "normalize_text": q_normalize_text,
+        "stratified_sample": q_stratified_sample,
         "cube_qty": q_cube_qty,
         "supplier_acct_stats": q_supplier_acct_stats,
         "asof_join_events": q_asof_join_events,
@@ -1172,6 +1206,31 @@ def oracle_sql() -> dict[str, str]:
                                PARTITION BY user_id ORDER BY ts, event_id) AS prev
                     FROM events) t1) t2
             GROUP BY user_id
+        """,
+        "embedding_quantize": """
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                           AS am
+                FROM embeddings)
+            SELECT vec_id,
+                   CASE WHEN am > 0
+                        THEN list_transform(embedding::DOUBLE[],
+                                            x -> CAST(round(x * 127.0 / am) AS INT))
+                        ELSE list_transform(embedding::DOUBLE[], x -> 0)
+                   END AS q_vec,
+                   round(am, 6) AS q_scale
+            FROM s
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   length(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                       '\\s+', ' ', 'g'))) AS norm_len,
+                   md5(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                       '\\s+', ' ', 'g'))) AS norm_fp
+            FROM documents
         """,
         "q6_forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

@@ -180,6 +180,18 @@ def quality_score(col: str | Column, toks: Optional[Column] = None) -> Column:
 # fingerprinting
 # ---------------------------------------------------------------------------
 
+def normalize_text(col: str | Column) -> Column:
+    """Dedup pre-processing normalization: lowercase, strip
+    non-alphanumeric (keeping spaces), squeeze whitespace, trim —
+    the canonical form fingerprints and shingles should be computed
+    over so near-dups differing only in case/punctuation collapse.
+    Portable regex (same semantics in Java regex and RE2/DuckDB)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(c)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
 def fingerprint(col: str | Column) -> Column:
     """Canonical-text content fingerprint: md5 over the
     whitespace-normalized, lowercased text. md5 is bit-identical across

@@ -208,6 +208,17 @@ def bin2d(df: DataFrame, x: str, y: str, dx: float, dy: float) -> DataFrame:
     )
 
 
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``) — the
+    training-data mixing primitive: downweight overrepresented
+    sources/languages without a shuffle. Seeded for reproducibility
+    within a fixed partitioning; exact proportions are statistical,
+    not guaranteed (tests assert tolerance bands)."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

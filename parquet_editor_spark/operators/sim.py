@@ -297,6 +297,51 @@ def cosine_pairs_lsh(
 
 
 # ---------------------------------------------------------------------------
+# embedding quantization (training-pipeline storage op)
+# ---------------------------------------------------------------------------
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_prefix: str = "q"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max |xᵢ|,
+    qᵢ = round(xᵢ·127/scale) — 4× smaller embedding storage with the
+    scale kept for dequantization. Pure column expressions (one
+    array_max pass + one transform; the absolute-value array lands in
+    a real intermediate column so it isn't computed twice)."""
+    staged = df.withColumn(
+        "__absmax",
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))),
+    )
+    quant = F.when(
+        F.col("__absmax") > 0,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 127.0 / F.col("__absmax")).cast(
+                "int"
+            ),
+        ),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0)))
+    return (
+        staged.withColumn(f"{out_prefix}_vec", quant)
+        .withColumn(f"{out_prefix}_scale", F.round(F.col("__absmax"), 6))
+        .drop("__absmax")
+    )
+
+
+def dequantize_int8(
+    df: DataFrame, qvec_col: str = "q_vec", scale_col: str = "q_scale", out: str = "deq"
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8` (lossy: |err| ≤ scale/254)."""
+    return df.withColumn(
+        out,
+        F.transform(
+            F.col(qvec_col),
+            lambda x: (x.cast("double") * F.col(scale_col) / 127.0).cast("float"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) approximate top-k
 # ---------------------------------------------------------------------------
 

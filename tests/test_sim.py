@@ -103,6 +103,27 @@ def test_dot_and_norm_expressions(spark):
     assert r["c"] == pytest.approx(8.0 / 9.0)
 
 
+def test_quantize_dequantize_roundtrip(embeddings, emb_np):
+    ids, mat = emb_np
+    q = S.quantize_int8(embeddings.select("vec_id", "embedding"))
+    deq = S.dequantize_int8(q)
+    rows = deq.select("vec_id", "embedding", "deq", "q_scale").collect()
+    for r in rows[:50]:
+        orig = np.array(r["embedding"], dtype=np.float64)
+        back = np.array(r["deq"], dtype=np.float64)
+        tol = r["q_scale"] / 254 + 1e-6  # half a quantization step
+        assert np.max(np.abs(orig - back)) <= tol * 1.01
+    # quantized values stay in int8 range
+    q_rows = q.select("q_vec").limit(20).collect()
+    assert all(-127 <= v <= 127 for r in q_rows for v in r["q_vec"])
+
+
+def test_quantize_zero_vector(spark):
+    z = spark.createDataFrame([(1, [0.0] * 4)], "vec_id long, embedding array<float>")
+    r = S.quantize_int8(z).collect()[0]
+    assert list(r["q_vec"]) == [0, 0, 0, 0] and r["q_scale"] == 0.0
+
+
 def test_topk_plan_is_batch_scored(embeddings):
     """The scorer is one Arrow pass over the corpus (no join, no
     per-pair expression evaluation) + one window over ≤ k·P·|Q| rows."""

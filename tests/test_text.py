@@ -103,6 +103,32 @@ def test_quality_score_monotone(spark):
     assert scores[2] == 0.0
 
 
+def test_normalize_text_collapses_case_punct(spark):
+    df = spark.createDataFrame(
+        [("Hello,   WORLD!",), ("hello world",), ("  hello---world  ",)],
+        "text string",
+    )
+    got = [r[0] for r in df.select(X.normalize_text("text")).collect()]
+    assert got == ["hello world", "hello world", "hello world"]
+
+
+def test_stratified_sample_proportions(documents):
+    from parquet_editor_spark.operators import query as q
+
+    fr = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    sampled = q.stratified_sample(documents, "lang", fr)
+    by_lang = {r["lang"]: r["n"] for r in sampled.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+    ).collect()}
+    full = {r["lang"]: r["n"] for r in documents.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+    ).collect()}
+    # full-fraction strata kept entirely; en roughly halved
+    for lang in ["de", "es", "fr", "zh"]:
+        assert by_lang[lang] == full[lang]
+    assert 0.3 * full["en"] <= by_lang["en"] <= 0.7 * full["en"]
+
+
 def test_token_estimate_at_least_tokens(documents):
     from pyspark.sql import functions as F
 
