@@ -647,6 +647,75 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qq.stratified_sample(docs, "lang", fractions).select("doc_id", "lang")
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape filter: token count, mean word
+    length, distinct-token ratio → keep flag. Metrics staged as real
+    columns so each expression evaluates once per row."""
+    from parquet_editor_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents").withColumn("__toks", X.tokens("text"))
+    t = F.col("__toks")
+    staged = docs.select(
+        "doc_id",
+        X.token_count("text", t).alias("n_tokens"),
+        X.mean_word_length("text", t).alias("__mwl"),
+        X.distinct_token_ratio("text", t).alias("__dtr"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        F.round("__mwl", 4).alias("mean_word_len"),
+        F.round("__dtr", 4).alias("distinct_ratio"),
+        X.gopher_keep(F.col("n_tokens"), F.col("__mwl"), F.col("__dtr")).alias(
+            "keep"
+        ),
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministically injected
+    emails/phones/IPs (the synthetic corpus is PII-free, so injection
+    makes the hash check meaningful). Regex chain runs once per row."""
+    from parquet_editor_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = (
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail.example.com or 555-867-5309"),
+            ),
+        )
+        .when(
+            did % 11 == 0,
+            F.concat(F.col("text"), F.lit(" from 10.0.0."), (did % 256).cast("string")),
+        )
+        .otherwise(F.col("text"))
+    )
+    staged = docs.select("doc_id", injected.alias("__inj")).withColumn(
+        "__red", X.redact_pii(F.col("__inj"))
+    )
+    return staged.select(
+        "doc_id",
+        F.md5("__red").alias("redacted_fp"),
+        (F.col("__red") != F.col("__inj")).alias("had_pii"),
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split as a pure function of doc_id
+    (portable multiplicative hash — oracle reproduces it digit for
+    digit)."""
+    from parquet_editor_spark.operators import query as qq
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return qq.hash_split(docs, "doc_id", method="portable").select("doc_id", "split")
+
+
 def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: highly-selective scan-and-sum — every predicate
     must reach the parquet scan (PushedFilters)."""
@@ -895,6 +964,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "normalize_text": q_normalize_text,
         "stratified_sample": q_stratified_sample,
+        "gopher_quality": q_gopher_quality,
+        "redact_pii": q_redact_pii,
+        "hash_split": q_hash_split,
         "cube_qty": q_cube_qty,
         "supplier_acct_stats": q_supplier_acct_stats,
         "asof_join_events": q_asof_join_events,
@@ -1231,6 +1303,60 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
                        '\\s+', ' ', 'g'))) AS norm_fp
             FROM documents
+        """,
+        "gopher_quality": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS toks
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       CAST(list_sum(list_transform(toks, x -> length(x)))
+                            AS DOUBLE) / len(toks) AS mwl,
+                       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                           AS dtr
+                FROM t)
+            SELECT doc_id, n_tokens,
+                   round(mwl, 4) AS mean_word_len,
+                   round(dtr, 4) AS distinct_ratio,
+                   (n_tokens >= 30 AND n_tokens <= 100000
+                    AND mwl >= 3.0 AND mwl <= 8.0
+                    AND dtr >= 0.45) AS keep
+            FROM m
+        """,
+        "redact_pii": """
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' contact user' || doc_id::VARCHAR
+                                 || '@mail.example.com or 555-867-5309'
+                            WHEN doc_id % 11 = 0
+                            THEN text || ' from 10.0.0.'
+                                 || (doc_id % 256)::VARCHAR
+                            ELSE text END AS t
+                FROM documents),
+            red AS (
+                SELECT doc_id, t,
+                       regexp_replace(regexp_replace(regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                           '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                           '\\b\\d{3}[-. ]?\\d{3}[-. ]?\\d{4}\\b', '<PHONE>',
+                           'g') AS r
+                FROM inj)
+            SELECT doc_id, md5(r) AS redacted_fp, r != t AS had_pii FROM red
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ((doc_id % 1000003) * 2654435761 + 40503)
+                             % 4294967296 % 100 AS b
+                  FROM documents)
         """,
         "q6_forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

@@ -176,6 +176,79 @@ def quality_score(col: str | Column, toks: Optional[Column] = None) -> Column:
     return F.round(length_part * punct_part * stop_part, 4)
 
 
+def mean_word_length(col: str | Column, toks: Optional[Column] = None) -> Column:
+    """Mean characters per token — a Gopher-style quality signal
+    (machine-generated text skews short or long). Single sequential
+    aggregate pass; NULL on empty docs (``try_divide``)."""
+    t = toks if toks is not None else tokens(col)
+    total = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return F.try_divide(total.cast("double"), F.size(t))
+
+
+def distinct_token_ratio(col: str | Column, toks: Optional[Column] = None) -> Column:
+    """|distinct tokens| / |tokens| — the repetition signal: looping or
+    boilerplate-heavy generations score low. NULL on empty docs."""
+    t = toks if toks is not None else tokens(col)
+    return F.try_divide(F.size(F.array_distinct(t)).cast("double"), F.size(t))
+
+
+#: Gopher-style keep thresholds (Rae et al. 2021, "Scaling Language
+#: Models" §A.1.1 shape — bounds tuned to the synthetic corpus so the
+#: filter is non-degenerate in tests: corpus docs span 10–99 tokens
+#: with ~0.5 distinct-token ratio).
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MWL_RANGE = (3.0, 8.0)
+GOPHER_MIN_DISTINCT_RATIO = 0.45
+
+
+def gopher_keep(
+    n_tokens: Column, mwl: Column, dtr: Column
+) -> Column:
+    """Boolean keep-flag combining the three repetition/shape signals.
+    Pass staged metric columns (not re-derived expressions) so each is
+    computed once per row."""
+    lo, hi = GOPHER_MWL_RANGE
+    return (
+        (n_tokens >= GOPHER_MIN_TOKENS)
+        & (n_tokens <= GOPHER_MAX_TOKENS)
+        & (mwl >= lo)
+        & (mwl <= hi)
+        & (dtr >= GOPHER_MIN_DISTINCT_RATIO)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) applied in order. Patterns restrict
+#: themselves to the regex subset with identical semantics in Java
+#: regex (Spark) and RE2 (DuckDB oracle): character classes,
+#: non-capturing groups, bounded repetition, ASCII \b. Email first so
+#: its local part isn't half-eaten by the phone pattern; IP before
+#: phone so dotted quads aren't read as phone fragments.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Scrub emails / IPv4s / US-shaped phone numbers to typed tags —
+    the standard pre-training privacy pass. Pure ``regexp_replace``
+    chain (JVM, codegen); compare the result to the input for a
+    had-PII flag (stage the redacted text first so the regex chain
+    runs once)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
 # ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------

@@ -219,6 +219,45 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed)
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    out: str = "split",
+    train: float = 0.8,
+    val: float = 0.1,
+    method: str = "xxhash64",
+    seed: int = 40503,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from a stable id — the
+    split must survive reprocessing and joins across pipeline runs, so
+    it is a pure function of the id, never a random draw. No shuffle:
+    one projection, fully parallel.
+
+    ``method="xxhash64"`` is the production path (JVM hash, uniform on
+    arbitrary types). ``method="portable"`` is a Knuth multiplicative
+    hash on the id reproduced digit-for-digit in the ANSI-SQL oracle;
+    the inner ``% 1000003`` keeps the multiply inside int64 under ANSI
+    overflow checking (bucket balance is unaffected for any corpus —
+    residues map uniformly)."""
+    if method == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(100))
+    elif method == "portable":
+        h = (
+            F.pmod(F.col(id_col).cast("long"), F.lit(1000003)) * F.lit(2654435761)
+            + F.lit(seed)
+        ) % F.lit(4294967296)
+        bucket = h % 100
+    else:
+        raise ValueError(f"unknown hash_split method: {method}")
+    t_hi, v_hi = int(train * 100), int((train + val) * 100)
+    return df.withColumn(
+        out,
+        F.when(bucket < t_hi, F.lit("train"))
+        .when(bucket < v_hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -104,3 +104,29 @@ def test_asof_join_no_single_partition_exchange(events_ts):
     clicks = ev.select("user_id", F.col("ts").alias("cts"), F.col("value").alias("cv"))
     out = q.asof_join(ev, clicks, "user_id", "ts", "cts", ["cv"])
     assert not P.has_single_partition_exchange(out)
+
+def test_hash_split_deterministic_and_complete(documents):
+    docs = documents.select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in
+         q.hash_split(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         q.hash_split(docs, "doc_id").collect()}
+    assert a == b                                # pure function of the id
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    n_train = sum(1 for v in a.values() if v == "train")
+    n_val = sum(1 for v in a.values() if v == "val")
+    # 80/10/10 target, wide binomial tolerance at 500 docs
+    assert 0.70 * n <= n_train <= 0.90 * n
+    assert 0.04 * n <= n_val <= 0.16 * n
+
+
+def test_hash_split_portable_matches_xxhash_shape(documents):
+    docs = documents.select("doc_id")
+    p = q.hash_split(docs, "doc_id", method="portable")
+    counts = {r["split"]: r["n"] for r in
+              p.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert 0.70 * n <= counts["train"] <= 0.90 * n
+    with pytest.raises(ValueError):
+        q.hash_split(docs, "doc_id", method="nope")

@@ -129,6 +129,57 @@ def test_stratified_sample_proportions(documents):
     assert 0.3 * full["en"] <= by_lang["en"] <= 0.7 * full["en"]
 
 
+def test_redact_pii_replaces_each_kind(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me at john.doe+x@sub.example.co.uk now",),
+            ("call 555-867-5309 or 555.123.4567 or 5551234567",),
+            ("server at 192.168.1.254 is down",),
+            ("plain text with numbers 42 and 1234 stays",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(X.redact_pii("text")).collect()]
+    assert got[0] == "mail me at <EMAIL> now"
+    assert got[1] == "call <PHONE> or <PHONE> or <PHONE>"
+    assert got[2] == "server at <IP> is down"
+    assert got[3] == "plain text with numbers 42 and 1234 stays"
+
+
+def test_mean_word_length_and_distinct_ratio(spark):
+    df = spark.createDataFrame(
+        [("aa bbbb cc aa",), ("x x x x",), ("",)], "text string"
+    )
+    rows = df.select(
+        X.mean_word_length("text").alias("mwl"),
+        X.distinct_token_ratio("text").alias("dtr"),
+    ).collect()
+    assert rows[0]["mwl"] == pytest.approx(10 / 4)
+    assert rows[0]["dtr"] == pytest.approx(3 / 4)
+    assert rows[1]["mwl"] == pytest.approx(1.0)
+    assert rows[1]["dtr"] == pytest.approx(1 / 4)
+    assert rows[2]["mwl"] is None and rows[2]["dtr"] is None
+
+
+def test_gopher_keep_nondegenerate_on_corpus(documents):
+    from pyspark.sql import functions as F
+
+    docs = documents.withColumn("__toks", X.tokens("text"))
+    t = F.col("__toks")
+    staged = docs.select(
+        X.token_count("text", t).alias("n"),
+        X.mean_word_length("text", t).alias("mwl"),
+        X.distinct_token_ratio("text", t).alias("dtr"),
+    )
+    flags = staged.select(
+        X.gopher_keep(F.col("n"), F.col("mwl"), F.col("dtr")).alias("keep")
+    )
+    counts = {r["keep"]: r["n"] for r in
+              flags.groupBy("keep").agg(F.count("*").alias("n")).collect()}
+    # thresholds drop some docs and keep some — filter is doing work
+    assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+
+
 def test_token_estimate_at_least_tokens(documents):
     from pyspark.sql import functions as F
 
