@@ -716,6 +716,70 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qq.hash_split(docs, "doc_id", method="portable").select("doc_id", "split")
 
 
+def q_clean_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null fill (pandas ``fillna`` parity): nulls injected
+    deterministically (discount 0 → NULL) then filled with a sentinel —
+    one pushable projection end to end."""
+    li = _t(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc"),
+    )
+    return q.fill_nulls(staged, {"disc": -1.0})
+
+
+def q_clean_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null drop (pandas ``dropna`` parity) → per-flag survivor counts;
+    the null filter compiles to a plain predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_returnflag", F.nullif(F.col("l_tax"), F.lit(0.0)).alias("tax")
+    )
+    return (
+        q.drop_nulls(staged, subset=["tax"])
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("tax"), 2).alias("sum_tax"))
+    )
+
+
+def q_clean_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical recode (pandas ``replace`` parity) over
+    l_returnflag."""
+    li = _t(spark, sf_dir, "lineitem")
+    recoded = q.replace_values(
+        li.select("l_returnflag"),
+        {"A": "ACCEPTED", "R": "RETURNED"},
+        subset=["l_returnflag"],
+    )
+    return recoded.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+def q_except_inactive_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI EXCEPT: ordering-customer keys minus high-balance customer
+    keys (customers with orders but modest balances)."""
+    ordered = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return q.except_tables(ordered, rich)
+
+
+def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI INTERSECT: nations with both customers and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return q.intersect_tables(c, s)
+
+
 def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: highly-selective scan-and-sum — every predicate
     must reach the parquet scan (PushedFilters)."""
@@ -967,6 +1031,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "redact_pii": q_redact_pii,
         "hash_split": q_hash_split,
+        "clean_fillna": q_clean_fillna,
+        "clean_dropna": q_clean_dropna,
+        "clean_replace": q_clean_replace,
+        "except_inactive_custs": q_except_inactive_custs,
+        "intersect_nations": q_intersect_nations,
         "cube_qty": q_cube_qty,
         "supplier_acct_stats": q_supplier_acct_stats,
         "asof_join_events": q_asof_join_events,
@@ -1357,6 +1426,35 @@ def oracle_sql() -> dict[str, str]:
                          ((doc_id % 1000003) * 2654435761 + 40503)
                              % 4294967296 % 100 AS b
                   FROM documents)
+        """,
+        "clean_fillna": """
+            SELECT l_orderkey, l_linenumber,
+                   coalesce(nullif(l_discount, 0.0), -1.0) AS disc
+            FROM lineitem
+        """,
+        "clean_dropna": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(sum(tax), 2) AS sum_tax
+            FROM (SELECT l_returnflag, nullif(l_tax, 0.0) AS tax FROM lineitem)
+            WHERE tax IS NOT NULL
+            GROUP BY l_returnflag
+        """,
+        "clean_replace": """
+            SELECT CASE l_returnflag WHEN 'A' THEN 'ACCEPTED'
+                                     WHEN 'R' THEN 'RETURNED'
+                                     ELSE l_returnflag END AS l_returnflag,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "except_inactive_custs": """
+            SELECT o_custkey AS custkey FROM orders
+            EXCEPT
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        """,
+        "intersect_nations": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
         """,
         "q6_forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

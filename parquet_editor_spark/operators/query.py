@@ -167,6 +167,42 @@ def union_tables(a: DataFrame, b: DataFrame, distinct: bool = False) -> DataFram
     return out.distinct() if distinct else out
 
 
+def intersect_tables(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Distinct set intersection (ANSI INTERSECT). Catalyst plans this
+    as an aggregate + join on all columns — no driver-side work."""
+    return a.intersect(b)
+
+
+def except_tables(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> DataFrame:
+    """Set difference: ANSI EXCEPT (distinct) by default, EXCEPT ALL
+    (multiset, preserves multiplicity) with ``keep_duplicates``."""
+    return a.exceptAll(b) if keep_duplicates else a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# null handling / value cleaning (pandas fillna/dropna/replace parity)
+# ---------------------------------------------------------------------------
+
+def fill_nulls(df: DataFrame, values: dict) -> DataFrame:
+    """Per-column null fill (``df.na.fill``) — one projection, no
+    shuffle; Catalyst folds it into adjacent projects."""
+    return df.na.fill(values)
+
+
+def drop_nulls(
+    df: DataFrame, subset: Optional[Sequence[str]] = None, how: str = "any"
+) -> DataFrame:
+    """Drop rows with nulls in ``subset`` (or anywhere). Compiles to a
+    plain filter — fully pushable."""
+    return df.na.drop(how=how, subset=list(subset) if subset else None)
+
+
+def replace_values(df: DataFrame, mapping: dict, subset: Optional[Sequence[str]] = None) -> DataFrame:
+    """Exact-value replacement (``df.na.replace``): the categorical
+    recode step of a cleaning pipeline."""
+    return df.na.replace(mapping, subset=list(subset) if subset else None)
+
+
 def numeric_columns(df: DataFrame) -> list[str]:
     """``df.select_dtypes(include=[np.number])`` analog
     (main.pyc:405-406) — schema-only, no data touched."""

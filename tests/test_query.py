@@ -96,3 +96,31 @@ def test_semi_anti_join(spark, sf_dir):
     assert set(
         q.semi_join(customer, orders, customer.c_custkey == orders.o_custkey).columns
     ) == set(customer.columns)
+
+
+def test_fill_drop_replace_nulls(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None, "AIR"), (2, 0.1, "RAIL"), (3, None, None)],
+        "id long, v double, mode string",
+    )
+    filled = q.fill_nulls(df, {"v": -1.0}).orderBy("id").collect()
+    assert [r["v"] for r in filled] == [-1.0, 0.1, -1.0]
+    kept = q.drop_nulls(df, subset=["v"]).collect()
+    assert [r["id"] for r in kept] == [2]
+    assert q.drop_nulls(df, how="all").count() == 3
+    rec = q.replace_values(df, {"AIR": "AIRFREIGHT"}, subset=["mode"])
+    assert sorted(r["mode"] for r in rec.collect() if r["mode"]) == [
+        "AIRFREIGHT", "RAIL"]
+
+
+def test_intersect_except_semantics(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    b = spark.createDataFrame([(1,), (3,), (4,)], "k long")
+    assert sorted(r["k"] for r in q.intersect_tables(a, b).collect()) == [1, 3]
+    assert sorted(r["k"] for r in q.except_tables(a, b).collect()) == [2]
+    # EXCEPT ALL preserves multiplicity: one of the two 1s survives
+    assert sorted(
+        r["k"] for r in q.except_tables(a, b, keep_duplicates=True).collect()
+    ) == [1, 2]

@@ -75,3 +75,36 @@ def test_save_roundtrip(sess, sf_dir, tmp_path):
     sess.save("r", str(tmp_path / "r.parquet"))
     sess.load("r2", str(tmp_path / "r.parquet"))
     assert sess.get("r2").count() == sess.get("r").count()
+
+
+def test_sql_joins_across_session_tables(sess, sf_dir):
+    sess.load("n", f"{sf_dir}/nation.parquet")
+    sess.load("r", f"{sf_dir}/region.parquet")
+    rows = sess.sql(
+        """SELECT r.r_name, count(*) AS n
+           FROM n JOIN r ON n.n_regionkey = r.r_regionkey
+           GROUP BY r.r_name ORDER BY r.r_name"""
+    ).collect()
+    assert sum(r["n"] for r in rows) == sess.get("n").count()
+    assert len(rows) == 5
+
+
+def test_sql_sees_rebound_state(sess, sf_dir):
+    """SQL view tracks the catalog: after an edit/rebind the view
+    reflects the new frame, after undo the old one."""
+    sess.load("t", f"{sf_dir}/region.parquet")
+    full = sess.sql("SELECT count(*) AS n FROM t").collect()[0]["n"]
+    sess.bind("t", sess.get("t").limit(1))
+    assert sess.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 1
+    sess.undo("t")
+    assert sess.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == full
+
+
+def test_sql_insert_like_pipeline(sess, sf_dir):
+    """CTAS-style: bind the result of a SQL statement as a new table."""
+    sess.load("li", f"{sf_dir}/lineitem.parquet")
+    agg = sess.sql(
+        "SELECT l_returnflag, sum(l_quantity) AS q FROM li GROUP BY 1"
+    )
+    sess.bind("summary", agg)
+    assert sess.sql("SELECT count(*) AS n FROM summary").collect()[0]["n"] == 3
