@@ -905,6 +905,33 @@ def _stream_events(spark: SparkSession, sf_dir: str):
     return ST, ST.read_events_stream(spark, f"{sf_dir}/events.parquet")
 
 
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-occurrence dedup (dropDuplicates over a
+    watermarked stream): distinct (user_id, event_type) emitted in
+    append mode; on a finite source this equals batch DISTINCT."""
+    import uuid
+
+    ST, ev = _stream_events(spark, sf_dir)
+    return ST.run_to_completion(
+        ST.dedup_stream(ev), f"dd_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+
+
+def q_kafka_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka frame contract: events → (key,value,topic,partition,
+    offset,timestamp) frames → JSON decode back to typed columns.
+    Proves the consumer pipeline is source-agnostic — a real Kafka
+    source yields the identical frame columns."""
+    from parquet_editor_spark.sources import kafka_shape as K
+
+    ev = _t(spark, sf_dir, "events")
+    framed = K.encode_kafka_frame(ev, key_col="user_id", topic="events", ts_col="ts")
+    return K.decode_kafka_frame(
+        framed,
+        "event_id long, user_id long, event_type string, value double",
+    ).select("event_id", "user_id", "event_type", "value")
+
+
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-min windowed counts/sums per event_type, run as a
     real streaming query (memory sink, processAllAvailable). Streaming
@@ -1021,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_sliding_counts": q_stream_sliding_counts,
         "stream_sessionize": q_stream_sessionize,
+        "stream_dedup_events": q_stream_dedup_events,
+        "kafka_roundtrip_events": q_kafka_roundtrip_events,
         "plot_line_series": q_plot_line_series,
         "approx_stats": q_approx_stats,
         "q6_forecast_revenue": q_q6_forecast_revenue,
@@ -1313,6 +1342,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i AS INT) AS frame_idx,
                    md5(text || CAST(i AS VARCHAR)) AS frame_checksum
             FROM documents, range(4) t(i)
+        """,
+        "stream_dedup_events": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "kafka_roundtrip_events": """
+            SELECT event_id, user_id, event_type, value FROM events
         """,
         "stream_windowed_counts": """
             SELECT TIMESTAMP '1970-01-01 00:00:00'

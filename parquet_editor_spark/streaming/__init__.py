@@ -10,6 +10,7 @@ stateful operators.
 """
 
 from parquet_editor_spark.streaming.stream import (
+    dedup_stream,
     read_events_stream,
     run_to_completion,
     sessionize_stateful,
@@ -19,6 +20,7 @@ from parquet_editor_spark.streaming.stream import (
 )
 
 __all__ = [
+    "dedup_stream",
     "read_events_stream",
     "run_to_completion",
     "sessionize_stateful",

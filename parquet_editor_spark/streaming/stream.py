@@ -149,6 +149,27 @@ def sessionize_stateful(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "10 minutes",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming first-occurrence dedup: emit each key combination once
+    (append mode). With ``within_watermark=False`` the distinct-key
+    state is global (exact — matches batch DISTINCT on any finite
+    source). ``within_watermark=True`` switches to
+    ``dropDuplicatesWithinWatermark`` — duplicates are only suppressed
+    while inside the watermark horizon, which bounds state size and is
+    the 100 TB/unbounded-stream configuration (exactness traded for
+    O(watermark) state)."""
+    wm = events.withWatermark("ts", watermark)
+    cols = list(keys)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(cols).select(*cols)
+    return wm.dropDuplicates(cols).select(*cols)
+
+
 def run_to_completion(
     stream_df: DataFrame,
     name: str,

@@ -128,3 +128,87 @@ def test_parquet_sink_checkpoint_roundtrip(spark, events_stream, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() > 0
     assert set(back.columns) == {"window_start", "event_type", "n", "sum_value"}
+
+
+def test_stream_dedup_equals_batch_distinct(events_stream, events_batch):
+    got = sorted(
+        (r["user_id"], r["event_type"])
+        for r in run(ST.dedup_stream(events_stream), mode="append").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["event_type"])
+        for r in events_batch.select("user_id", "event_type").distinct().collect()
+    )
+    assert got == want
+
+
+def test_stream_dedup_within_watermark_bounded_state(events_stream):
+    """Bounded-state variant emits at least the distinct keys (dups
+    outside the horizon may re-emit — never fewer)."""
+    out = run(
+        ST.dedup_stream(events_stream, within_watermark=True), mode="append"
+    )
+    distinct_pairs = out.select("user_id", "event_type").distinct().count()
+    assert out.count() >= distinct_pairs > 0
+
+
+def test_kafka_frame_roundtrip_batch(events_batch):
+    from parquet_editor_spark.sources import kafka_shape as K
+
+    framed = K.encode_kafka_frame(
+        events_batch, key_col="user_id", topic="ev", ts_col="ts"
+    )
+    assert [f.name for f in framed.schema.fields] == [
+        f.name for f in K.KAFKA_FRAME_SCHEMA.fields
+    ]
+    # offsets are dense per partition starting at 0
+    import pyspark.sql.functions as F
+    offs = framed.groupBy("partition").agg(
+        F.min("offset").alias("lo"), F.max("offset").alias("hi"),
+        F.count("*").alias("n")).collect()
+    for r in offs:
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+    decoded = K.decode_kafka_frame(
+        framed, "event_id long, user_id long, event_type string, value double"
+    )
+    got = sorted(
+        (r["event_id"], r["user_id"], r["event_type"], r["value"])
+        for r in decoded.collect()
+    )
+    want = sorted(
+        (r["event_id"], r["user_id"], r["event_type"], r["value"])
+        for r in events_batch.select(
+            "event_id", "user_id", "event_type", "value").collect()
+    )
+    assert got == want
+
+
+def test_kafka_frame_streaming_consumer(spark, events_batch, tmp_path):
+    """The decode→window pipeline runs unchanged on a STREAM of kafka
+    frames (what a real Kafka source would feed it)."""
+    from parquet_editor_spark.sources import kafka_shape as K
+    import pyspark.sql.functions as F
+
+    frames_dir = str(tmp_path / "frames")
+    K.encode_kafka_frame(
+        events_batch, key_col="user_id", topic="ev", ts_col="ts"
+    ).write.parquet(frames_dir)
+    stream = (
+        spark.readStream.schema(K.KAFKA_FRAME_SCHEMA).format("parquet")
+        .load(frames_dir)
+    )
+    decoded = K.decode_kafka_frame(
+        stream, "event_id long, user_id long, event_type string, value double"
+    )
+    agg = (
+        decoded.withWatermark("kafka_ts", "10 minutes")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {r["event_type"]: r["n"] for r in run(agg).collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in events_batch.groupBy("event_type")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
