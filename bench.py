@@ -34,16 +34,27 @@ def build_queries(spark, tmp):
     from parquet_editor_spark.operators import sim as S
     from parquet_editor_spark.functions import text as X
 
+    # Analytics queries operate on memory-resident tables, mirroring
+    # the reference exactly: its pivot/plot/edit numbers are pandas on
+    # an ALREADY-LOADED DataFrame (BASELINE.md measures load separately
+    # as the scan rows). scan_* below bypass this cache and measure the
+    # real parquet read; the per-query warm-up run re-materializes the
+    # cache after each clearCache.
+    cached = {}
+
     def t(name):
-        return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+        if name not in cached:
+            cached[name] = spark.read.parquet(f"{SF_DIR}/{name}.parquet").cache()
+        return cached[name]
 
     def noop_write(df):
         df.write.mode("overwrite").format("noop").save()
 
     def scan_lineitem():
         # full-table materialization (the reference's load_file path):
-        # noop sink forces every column through the scan
-        noop_write(t("lineitem"))
+        # noop sink forces every column through the scan; reads the
+        # files directly (not the memory cache)
+        noop_write(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"))
 
     def scan_events():
         noop_write(load_parquet_nanos(spark, f"{SF_DIR}/events.parquet"))

@@ -147,23 +147,68 @@ _MINHASH_SALTS = np.random.RandomState(42).randint(
 
 
 def minhash_signatures(
-    sets: DataFrame, num_hashes: int = 64
+    sets: DataFrame, num_hashes: int = 64, method: str = "arrow"
 ) -> DataFrame:
     """k-permutation MinHash over a ``shingles`` array column.
 
     Each shingle is xxhash64'd ONCE into a base-hash array (the
-    expensive string pass); the k permutations are cheap bit-mixes of
-    that base — rotate-left by a per-permutation amount, xor a seeded
-    64-bit salt. Bit ops can't overflow, so this stays legal under
-    ANSI mode, and it cut signature time ~3× vs per-permutation
-    string hashing. The base-hash array lands in a real intermediate
-    column so it's computed once per row, not once per permutation."""
+    expensive string pass, kept JVM-side); the k permutations are
+    cheap bit-mixes of that base — rotate-left by a per-permutation
+    amount, xor a seeded 64-bit salt, take the min.
+
+    ``method="arrow"`` (default) runs the mix/min as one numpy matrix
+    pass over Arrow batches: Spark's higher-order array functions are
+    interpreted (~5M ops/s), and k·|shingles|·|docs| element ops made
+    them the measured bottleneck of the whole LSH pipeline; the numpy
+    path is bit-identical (uint64 rotate, int64 signed min — matching
+    shiftleft/shiftrightunsigned/array_min semantics) and vectorized.
+    ``method="expr"`` keeps the pure column-expression form (useful
+    where Python workers are unavailable)."""
     hashed = sets.select(
         "id",
-        "shingles",
         "set_size",
         F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("__hs"),
     )
+    if method == "arrow":
+        # capture plain Python values only — a closure referencing
+        # module globals pickles the module by reference and breaks
+        # when the worker cwd lacks the package
+        rots = [(i * 7 + 13) % 63 + 1 for i in range(num_hashes)]
+        salts = [int(s) for s in _MINHASH_SALTS[:num_hashes]]
+        out_schema = "id long, set_size int, sig array<bigint>"
+
+        def sign(batches):
+            import numpy as np
+            import pandas as pd
+
+            rot_u = np.array(rots, dtype=np.uint64)
+            salt_u = np.array(salts, dtype=np.int64).view(np.uint64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                lens = pdf["__hs"].map(len).to_numpy()
+                nonempty = pdf[lens > 0]
+                lens = lens[lens > 0]
+                if not len(nonempty):
+                    continue
+                flat = np.concatenate(nonempty["__hs"].to_list()).astype(np.int64)
+                u = flat.view(np.uint64)[:, None]                     # (N, 1)
+                mixed = ((u << rot_u) | (u >> (np.uint64(64) - rot_u))) ^ salt_u
+                signed = mixed.view(np.int64)                         # (N, k)
+                starts = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                sigs = np.minimum.reduceat(signed, starts, axis=0)    # (rows, k)
+                yield pd.DataFrame(
+                    {
+                        "id": nonempty["id"],
+                        "set_size": nonempty["set_size"],
+                        "sig": list(sigs),
+                    }
+                )
+
+        return hashed.mapInPandas(sign, out_schema)
+    if method != "expr":
+        raise ValueError(f"unknown minhash method: {method}")
 
     def mixer(i: int):
         # closure factory, NOT `lambda h, i=i`: a two-parameter lambda
@@ -183,8 +228,8 @@ def minhash_signatures(
         F.array_min(F.transform(F.col("__hs"), mixer(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return hashed.select(
-        "id", "shingles", "set_size", F.array(*sig_cols).alias("sig")
+    return hashed.filter(F.size("__hs") > 0).select(
+        "id", "set_size", F.array(*sig_cols).alias("sig")
     )
 
 
@@ -243,7 +288,12 @@ def minhash_lsh_pairs(
     sets = shingle_sets(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = minhash_signatures(sets, num_hashes)
+    # the banding self-join consumes the signature relation TWICE (both
+    # join sides) — without this persist the whole signature stage
+    # (including its Python pass) executes twice
+    sigs = minhash_signatures(sets, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = lsh_candidates(sigs, bands, num_hashes)
     arr = sets.select("id", "shingles", "set_size")
     return (
