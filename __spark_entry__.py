@@ -780,6 +780,107 @@ def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.intersect_tables(c, s)
 
 
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: lag/lead/first/last/nth_value over the
+    per-customer order history (unique total order, so running and
+    full frames are deterministic)."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+    )
+
+
+def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer trailing-7-day revenue — the
+    frame is value-based (days), not row-based, so gaps in the order
+    history are handled correctly."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    staged = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("day"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+    return staged.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_7d"),
+    )
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(f"v_{n}")
+
+
+def q_exists_high_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (TPC-H Q4 shape) through the SQL
+    surface — Catalyst rewrites it to a left-semi join."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """SELECT o_orderpriority, count(*) AS n
+           FROM v_orders o
+           WHERE EXISTS (SELECT 1 FROM v_lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey
+                           AND l.l_quantity >= 49)
+           GROUP BY o_orderpriority"""
+    )
+
+
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price —
+    planned as a broadcast of the 1-row aggregate, not a cross join."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+                  round(avg(o_totalprice), 2) AS avg_price
+           FROM v_orders
+           WHERE o_totalprice > (SELECT avg(o_totalprice) FROM v_orders)
+           GROUP BY o_orderstatus"""
+    )
+
+
+def q_having_frequent_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING (TPC-H Q18 shape): customers with ≥ 18
+    orders — the HAVING predicate filters post-aggregation."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """SELECT o_custkey, count(*) AS n_orders,
+                  round(sum(o_totalprice), 2) AS total
+           FROM v_orders
+           GROUP BY o_custkey
+           HAVING count(*) >= 18"""
+    )
+
+
+def q_map_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON props → map<string,int> → explode to
+    (key, value) rows → per-key stats."""
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,int>")).alias("key", "val")
+    )
+    return kv.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("val").alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
 def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: highly-selective scan-and-sum — every predicate
     must reach the parquet scan (PushedFilters)."""
@@ -1060,6 +1161,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "redact_pii": q_redact_pii,
         "hash_split": q_hash_split,
+        "window_lead_lag": q_window_lead_lag,
+        "rolling_revenue_7d": q_rolling_revenue_7d,
+        "exists_high_qty": q_exists_high_qty,
+        "above_avg_orders": q_above_avg_orders,
+        "having_frequent_custs": q_having_frequent_custs,
+        "map_props_explode": q_map_props_explode,
         "clean_fillna": q_clean_fillna,
         "clean_dropna": q_clean_dropna,
         "clean_replace": q_clean_replace,
@@ -1461,6 +1568,65 @@ def oracle_sql() -> dict[str, str]:
                          ((doc_id % 1000003) * 2654435761 + 40503)
                              % 4294967296 % 100 AS b
                   FROM documents)
+        """,
+        "window_lead_lag": """
+            SELECT o_custkey, o_orderkey,
+                   lag(o_totalprice) OVER w AS prev_price,
+                   lead(o_totalprice) OVER w AS next_price,
+                   first_value(o_totalprice) OVER w AS first_price,
+                   last_value(o_totalprice) OVER wf AS last_price,
+                   nth_value(o_totalprice, 2) OVER wf AS second_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                   wf AS (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+        """,
+        "rolling_revenue_7d": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY datediff('day', TIMESTAMP '1970-01-01',
+                                         o_orderdate)
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+                       AS rev_7d
+            FROM orders
+        """,
+        "exists_high_qty": """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity >= 49)
+            GROUP BY o_orderpriority
+        """,
+        "above_avg_orders": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(avg(o_totalprice), 2) AS avg_price
+            FROM orders
+            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+            GROUP BY o_orderstatus
+        """,
+        "having_frequent_custs": """
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY o_custkey
+            HAVING count(*) >= 18
+        """,
+        "map_props_explode": """
+            WITH kv AS (SELECT unnest(json_keys(props)) AS key, props
+                        FROM events)
+            SELECT key, count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.' || key) AS INT))
+                       AS sum_val,
+                   min(CAST(json_extract_string(props, '$.' || key) AS INT))
+                       AS min_val,
+                   max(CAST(json_extract_string(props, '$.' || key) AS INT))
+                       AS max_val
+            FROM kv GROUP BY key
         """,
         "clean_fillna": """
             SELECT l_orderkey, l_linenumber,
