@@ -881,6 +881,32 @@ def q_map_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: shingle-overlap of every corpus doc
+    (sources != src0) against the src0 'benchmark' — the planted
+    cross-source near-dups surface at overlap ≈ 1.0."""
+    from parquet_editor_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    return (
+        D.contamination(corpus, bench, "doc_id", "text", n=3, threshold=0.2)
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM quality score: mean log p(word) per document
+    (perplexity-filter stand-in, two aggregations + broadcast total)."""
+    from parquet_editor_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    return X.unigram_logprob(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: highly-selective scan-and-sum — every predicate
     must reach the parquet scan (PushedFilters)."""
@@ -1161,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "redact_pii": q_redact_pii,
         "hash_split": q_hash_split,
+        "decontaminate": q_decontaminate,
+        "unigram_logprob": q_unigram_logprob,
         "window_lead_lag": q_window_lead_lag,
         "rolling_revenue_7d": q_rolling_revenue_7d,
         "exists_high_qty": q_exists_high_qty,
@@ -1568,6 +1596,41 @@ def oracle_sql() -> dict[str, str]:
                          ((doc_id % 1000003) * 2654435761 + 40503)
                              % 4294967296 % 100 AS b
                   FROM documents)
+        """,
+        "decontaminate": """
+            WITH t AS (SELECT doc_id, source,
+                    list_filter(string_split_regex(text, '\\s+'),
+                                x -> x != '') AS toks
+                    FROM documents),
+            sh AS (SELECT doc_id, source,
+                    list_distinct([toks[i] || ' ' || toks[i+1] || ' '
+                                   || toks[i+2]
+                                   FOR i IN range(1, len(toks) - 1)]) AS s
+                   FROM t WHERE len(toks) >= 3),
+            bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+                      WHERE source = 'src0'),
+            corpus AS (SELECT doc_id, s, len(s) AS sz FROM sh
+                       WHERE source != 'src0'),
+            cinv AS (SELECT doc_id, unnest(s) AS shingle FROM corpus),
+            hits AS (SELECT doc_id, count(*) AS n_hit
+                     FROM cinv JOIN bench USING (shingle) GROUP BY doc_id)
+            SELECT c.doc_id, coalesce(h.n_hit, 0) AS n_hit,
+                   round(coalesce(h.n_hit, 0)::DOUBLE / c.sz, 4) AS overlap,
+                   coalesce(h.n_hit, 0)::DOUBLE / c.sz >= 0.2
+                       AS contaminated
+            FROM corpus c LEFT JOIN hits h USING (doc_id)
+        """,
+        "unigram_logprob": """
+            WITH toks AS (SELECT doc_id,
+                    unnest(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x != '')) AS w
+                    FROM documents),
+            vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+            tot AS (SELECT sum(c)::DOUBLE AS T FROM vocab)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(ln(c / T)), 4) AS avg_logprob
+            FROM toks JOIN vocab USING (w), tot
+            GROUP BY doc_id
         """,
         "window_lead_lag": """
             SELECT o_custkey, o_orderkey,

@@ -220,6 +220,36 @@ def gopher_keep(
     )
 
 
+def unigram_logprob(df, id_col: str, text_col: str, round_to: int = 4):
+    """Corpus-LM quality score (DataFrame-level: needs the corpus,
+    not just a row): mean log p(word) under the corpus's own unigram
+    distribution — the cheap stand-in for model-perplexity filtering.
+    Rare-vocab/garbage docs score very negative; common-vocab prose
+    scores high.
+
+    Plan: one explode + count builds the vocabulary, the 1-row total
+    broadcasts (nested-loop join against one row, not a cross join of
+    data), and the vocab joins back to the exploded tokens — at corpus
+    scale the vocab is orders of magnitude smaller than the corpus, so
+    the only full-size shuffle is the final per-doc aggregation."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("T"))
+    return (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("T"))), round_to).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

@@ -324,6 +324,55 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Eval-set contamination scan: for every corpus document, the
+    fraction of its word-n-gram shingles that appear anywhere in the
+    benchmark set, plus a keep/flag boolean.
+
+    Shape: benchmark shingles are a DISTINCT, BROADCAST set — eval
+    suites are tiny next to a training corpus, so the corpus-side scan
+    stays shuffle-free (explode → broadcast-hash-join → per-doc count);
+    the corpus is never collected or self-joined. If the benchmark
+    outgrows broadcast size, drop the hint and Spark falls back to a
+    shuffle join with the same semantics."""
+    c_sets = shingle_sets(corpus, id_col, text_col, n)
+    b_shingles = (
+        shingle_sets(benchmark, id_col, text_col, n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    hits = (
+        c_sets.select("id", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(b_shingles), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        c_sets.select("id", "set_size")
+        .join(hits, "id", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        .withColumn(
+            "overlap", F.round(F.col("n_hit") / F.col("set_size"), 4)
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("n_hit") / F.col("set_size")) >= threshold,
+        )
+        .select("id", "n_hit", "overlap", "contaminated")
+    )
+
+
+# ---------------------------------------------------------------------------
 # duplicate clusters (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 

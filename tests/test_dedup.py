@@ -103,3 +103,30 @@ def test_simhash_pairs_complete(documents):
         for r in D.simhash_pairs(documents, "doc_id", "text", 3).collect()
     }
     assert got == want
+
+
+def test_contamination_finds_planted_crosssource_dups(documents):
+    from pyspark.sql import functions as F
+
+    corpus = documents.filter(F.col("source") != "src0")
+    bench = documents.filter(F.col("source") == "src0")
+    got = D.contamination(corpus, bench, "doc_id", "text", threshold=0.2)
+    rows = {r["id"]: (r["overlap"], r["contaminated"]) for r in got.collect()}
+    assert len(rows) == corpus.count()          # every corpus doc scored
+    flagged = [ov for ov, c in rows.values() if c]
+    clean = [ov for ov, c in rows.values() if not c]
+    # the planted cross-source near-dups surface at overlap ≈ 1.0
+    assert max(flagged) >= 0.99
+    assert all(ov >= 0.2 for ov in flagged) and all(ov < 0.21 for ov in clean)
+
+
+def test_contamination_identical_benchmark_is_full_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "a b c d e f")], "doc_id long, text string")
+    rows = {r["id"]: r for r in
+            D.contamination(df, bench, "doc_id", "text").collect()}
+    assert rows[1]["overlap"] == 1.0 and rows[1]["contaminated"]
+    assert rows[2]["overlap"] == 0.0 and not rows[2]["contaminated"]

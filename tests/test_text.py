@@ -187,3 +187,18 @@ def test_token_estimate_at_least_tokens(documents):
         (X.token_estimate("text") < X.token_count("text")).alias("bad")
     ).filter(F.col("bad")).count()
     assert bad == 0
+
+
+def test_unigram_logprob_orders_rare_docs_lower(spark):
+    df = spark.createDataFrame(
+        [(1, "common common common common"),
+         (2, "common common rare1 rare2")],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r["avg_logprob"]
+            for r in X.unigram_logprob(df, "doc_id", "text").collect()}
+    # doc 2 carries two singleton words → strictly lower mean logprob
+    assert rows[2] < rows[1] < 0.0
+    # hand-check doc 1: p(common) = 6/8 → ln(0.75)
+    import math
+    assert rows[1] == pytest.approx(round(math.log(6 / 8), 4))
