@@ -881,6 +881,42 @@ def q_map_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, stride 24)
+    — pre-embedding preprocessing; explode only, no shuffle."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        TP.chunk_documents(docs, "doc_id", "text", 32, 24)
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "chunk_id", "chunk", "n_chunk_tokens")
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget sequence packing: per-source token streams cut
+    every 512 tokens (window cumsum inside source partitions — no
+    global sort)."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        TP.pack_sequences(docs, "doc_id", "text", 512, partition_col="source")
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "source", "n_tokens", "start_offset", "pack_id")
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as (label, dim, c) rows — the
+    (label × dim)-keyed shuffle keeps the reduction fully parallel."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.label_centroids(emb)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: shingle-overlap of every corpus doc
     (sources != src0) against the src0 'benchmark' — the planted
@@ -1189,6 +1225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "decontaminate": q_decontaminate,
         "unigram_logprob": q_unigram_logprob,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "label_centroids": q_label_centroids,
         "window_lead_lag": q_window_lead_lag,
         "rolling_revenue_7d": q_rolling_revenue_7d,
         "exists_high_qty": q_exists_high_qty,
@@ -1596,6 +1635,41 @@ def oracle_sql() -> dict[str, str]:
                          ((doc_id % 1000003) * 2654435761 + 40503)
                              % 4294967296 % 100 AS b
                   FROM documents)
+        """,
+        "chunk_documents": """
+            WITH t AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\\s+'),
+                                x -> x != '') AS toks
+                    FROM documents),
+            c AS (SELECT doc_id, toks,
+                         unnest(range(0, len(toks), 24)) AS start
+                  FROM t WHERE len(toks) > 0)
+            SELECT doc_id,
+                   CAST(start // 24 AS INT) AS chunk_id,
+                   array_to_string(toks[start + 1 : start + 32], ' ')
+                       AS chunk,
+                   CAST(least(32, len(toks) - start) AS INT)
+                       AS n_chunk_tokens
+            FROM c
+        """,
+        "pack_sequences": """
+            WITH t AS (SELECT doc_id, source,
+                    len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x != '')) AS n_tokens
+                    FROM documents)
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER w - n_tokens AS start_offset,
+                   CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512)
+                        AS BIGINT) AS pack_id
+            FROM t
+            WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+        """,
+        "label_centroids": """
+            SELECT label, dim,
+                   round(avg(embedding[dim]::DOUBLE), 6) AS c
+            FROM embeddings,
+                 (SELECT unnest(range(1, 65)) AS dim)
+            GROUP BY label, dim
         """,
         "decontaminate": """
             WITH t AS (SELECT doc_id, source,

@@ -341,6 +341,27 @@ def dequantize_int8(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label mean vector, emitted as (label, dim, c) rows — the
+    class-prototype / IVF-training primitive. posexplode → two-key
+    groupBy: one shuffle keyed (label, dim), so the reduction is fully
+    parallel across labels × dims rather than bottlenecked on arrays;
+    reassemble into arrays downstream only if needed."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), round_to).alias("c"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) approximate top-k
 # ---------------------------------------------------------------------------

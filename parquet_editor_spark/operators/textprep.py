@@ -1,0 +1,95 @@
+"""Training-sequence preparation operators: document chunking and
+sequence packing — the last mile between a cleaned corpus and a
+tokenizer/dataloader. No reference counterpart (the reference has no
+text surface at all, SURVEY.md §2.6); designed for the ``documents``
+table and 100 TB corpora.
+
+Both operators are pure column expressions / window functions — no
+Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parquet_editor_spark.functions.text import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows
+    (chunk i covers tokens ``[i·stride, i·stride + chunk_tokens)``) —
+    the standard pre-embedding / long-context preprocessing step.
+
+    One projection + one explode, fully parallel, no shuffle: chunk
+    starts come from ``sequence(0, n_tokens−1, stride)`` so every
+    token is covered and short docs yield exactly one chunk. Empty
+    docs are dropped (no tokens → nothing to chunk)."""
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    exploded = staged.select(
+        "id",
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(stride))
+        ).alias("start"),
+    )
+    return exploded.select(
+        "id",
+        (F.col("start") / stride).cast("int").alias("chunk_id"),
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), F.col("start") + 1, chunk_tokens)
+        ).alias("chunk"),
+        F.least(
+            F.lit(chunk_tokens), F.size("__toks") - F.col("start")
+        ).alias("n_chunk_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 512,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Streaming concat packing: documents are laid out end-to-end in
+    a deterministic order and the stream is cut every ``budget``
+    tokens; each document's pack is ``floor(start_offset / budget)``
+    (a doc may straddle two packs — the dataloader's boundary-handling
+    choice, not ours).
+
+    Scale: the running offset is a window cumsum. A global order would
+    be a single-partition sort, so packing is done WITHIN
+    ``partition_col`` groups (source/shard/language — training mixes
+    pack per shard anyway); pass None only at small scale where one
+    global stream is wanted."""
+    from pyspark.sql import Window as W
+
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(partition_col).alias("__part")] if partition_col else
+           [F.lit(0).alias("__part")] ),
+        F.size(tokens(text_col)).alias("n_tokens"),
+    )
+    w = W.partitionBy("__part").orderBy("id")
+    cum = F.sum("n_tokens").over(w)
+    out_part = (
+        [F.col("__part").alias(partition_col)] if partition_col else []
+    )
+    return staged.select(
+        "id",
+        *out_part,
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_offset"),
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("pack_id"),
+    )
