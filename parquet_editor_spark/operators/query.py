@@ -192,8 +192,19 @@ def fill_nulls(df: DataFrame, values: dict) -> DataFrame:
 def drop_nulls(
     df: DataFrame, subset: Optional[Sequence[str]] = None, how: str = "any"
 ) -> DataFrame:
-    """Drop rows with nulls in ``subset`` (or anywhere). Compiles to a
-    plain filter — fully pushable."""
+    """Drop rows with nulls in ``subset`` (or anywhere).
+
+    ``how="any"`` is emitted as a conjunction of ``IsNotNull``
+    predicates rather than ``na.drop`` — the latter compiles to
+    ``AtLeastNNonNulls``, which parquet scans can NOT push down; the
+    conjunction reaches ``PushedFilters`` (asserted in
+    tests/test_plans.py)."""
+    if how == "any":
+        cols = list(subset) if subset else df.columns
+        pred = F.lit(True)
+        for c in cols:
+            pred = pred & F.col(c).isNotNull()
+        return df.filter(pred)
     return df.na.drop(how=how, subset=list(subset) if subset else None)
 
 

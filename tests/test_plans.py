@@ -90,3 +90,41 @@ def test_histogram_aggregates_before_collect(lineitem):
     # the scan's full row count never reaches the driver: plan is
     # scan → partial agg → exchange on bin → final agg
     assert "HashAggregate" in P.executed_plan(df)
+
+
+def test_contamination_broadcasts_benchmark_no_single_partition(documents):
+    from parquet_editor_spark.operators import dedup as D
+
+    corpus = documents.filter(F.col("source") != "src0")
+    bench = documents.filter(F.col("source") == "src0")
+    df = D.contamination(corpus, bench, "doc_id", "text")
+    assert P.has_broadcast_join(df)
+    assert not P.has_single_partition_exchange(df)
+
+
+def test_chunking_is_shuffle_free(documents):
+    from parquet_editor_spark.operators import textprep as TP
+
+    df = TP.chunk_documents(documents, "doc_id", "text")
+    plan = P.executed_plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_partitioned_no_global_sort(documents):
+    from parquet_editor_spark.operators import textprep as TP
+
+    df = TP.pack_sequences(documents, "doc_id", "text", 512,
+                           partition_col="source")
+    assert not P.has_single_partition_exchange(df)
+
+
+def test_cleaning_filter_pushdown(lineitem):
+    # dropna compiles to a plain IsNotNull predicate → reaches the scan
+    df = q.drop_nulls(lineitem.select("l_orderkey", "l_tax"), subset=["l_tax"])
+    assert any("l_tax" in f for f in P.pushed_filters(df))
+
+
+def test_hash_split_is_projection_only(documents):
+    df = q.hash_split(documents.select("doc_id"), "doc_id")
+    plan = P.executed_plan(df)
+    assert "Exchange" not in plan, plan
