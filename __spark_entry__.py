@@ -780,6 +780,42 @@ def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.intersect_tables(c, s)
 
 
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows: dense_rank / percent_rank / cume_dist /
+    ntile over per-priority price ordering (unique tiebreak via
+    orderkey so every engine agrees)."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).filter(F.col("drank") <= 50)
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id: totals by (status),
+    (priority), and grand total in one pass — the general form cube()
+    and rollup() specialize."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+                  grouping(o_orderstatus) AS g_status,
+                  grouping(o_orderpriority) AS g_prio,
+                  count(*) AS n,
+                  round(sum(o_totalprice), 2) AS revenue
+           FROM v_orders
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+    )
+
+
 def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function breadth: lag/lead/first/last/nth_value over the
     per-customer order history (unique total order, so running and
@@ -1228,6 +1264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "label_centroids": q_label_centroids,
+        "window_ranks": q_window_ranks,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
         "window_lead_lag": q_window_lead_lag,
         "rolling_revenue_7d": q_rolling_revenue_7d,
         "exists_high_qty": q_exists_high_qty,
@@ -1705,6 +1743,27 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(c / T)), 4) AS avg_logprob
             FROM toks JOIN vocab USING (w), tot
             GROUP BY doc_id
+        """,
+        "window_ranks": """
+            SELECT * FROM (
+                SELECT o_orderpriority, o_orderkey,
+                       dense_rank() OVER w AS drank,
+                       round(percent_rank() OVER w, 6) AS prank,
+                       round(cume_dist() OVER w, 6) AS cdist,
+                       ntile(4) OVER w AS quartile
+                FROM orders
+                WINDOW w AS (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey))
+            WHERE drank <= 50
+        """,
+        "grouping_sets_revenue": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """,
         "window_lead_lag": """
             SELECT o_custkey, o_orderkey,
