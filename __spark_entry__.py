@@ -780,6 +780,48 @@ def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.intersect_tables(c, s)
 
 
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate breadth: correlation, covariance and
+    least-squares slope/intercept of price vs quantity per return
+    flag — all JVM built-ins, one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(x, y), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(x, y), 4).alias("covar_qty_price"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) computing the SAME
+    chunking as ``textprep.chunk_documents`` — the row-expanding UDF
+    surface demonstrated against the identical DuckDB oracle. The
+    expression path is the production one (JVM, shuffle-free); this
+    exercises the extension API."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk string, n_chunk_tokens int")
+    class ChunkUdtf:
+        def eval(self, text: str):
+            import re
+
+            toks = [w for w in re.split(r"\s+", text or "") if w]
+            for start in range(0, len(toks), 24):
+                window = toks[start : start + 32]
+                yield start // 24, " ".join(window), len(window)
+
+    spark.udtf.register("chunk_udtf", ChunkUdtf)
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        """SELECT doc_id, chunk_id, chunk, n_chunk_tokens
+           FROM v_documents, LATERAL chunk_udtf(text)
+           WHERE length(text) > 0"""
+    )
+
+
 def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-family windows: dense_rank / percent_rank / cume_dist /
     ntile over per-priority price ordering (unique tiebreak via
@@ -1264,6 +1306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "label_centroids": q_label_centroids,
+        "stats_aggregates": q_stats_aggregates,
+        "udtf_chunk_documents": q_udtf_chunk_documents,
         "window_ranks": q_window_ranks,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "window_lead_lag": q_window_lead_lag,
@@ -1743,6 +1787,34 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(c / T)), 4) AS avg_logprob
             FROM toks JOIN vocab USING (w), tot
             GROUP BY doc_id
+        """,
+        "stats_aggregates": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6)
+                       AS corr_qty_price,
+                   round(covar_samp(l_quantity, l_extendedprice), 4)
+                       AS covar_qty_price,
+                   round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 4)
+                       AS intercept,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "udtf_chunk_documents": """
+            WITH t AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\\s+'),
+                                x -> x != '') AS toks
+                    FROM documents),
+            c AS (SELECT doc_id, toks,
+                         unnest(range(0, len(toks), 24)) AS start
+                  FROM t WHERE len(toks) > 0)
+            SELECT doc_id,
+                   CAST(start // 24 AS INT) AS chunk_id,
+                   array_to_string(toks[start + 1 : start + 32], ' ')
+                       AS chunk,
+                   CAST(least(32, len(toks) - start) AS INT)
+                       AS n_chunk_tokens
+            FROM c
         """,
         "window_ranks": """
             SELECT * FROM (
