@@ -1146,6 +1146,31 @@ def _stream_events(spark: SparkSession, sf_dir: str):
     return ST, ST.read_events_stream(spark, f"{sf_dir}/events.parquet")
 
 
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window aggregation (gap 30 min) run as a real
+    stream; agrees with the batch lag/cumsum sessionization."""
+    import uuid
+
+    ST, ev = _stream_events(spark, sf_dir)
+    return ST.run_to_completion(
+        ST.session_window_counts(ev), f"sw_{uuid.uuid4().hex[:8]}"
+    )
+
+
+def q_stream_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join: signup followed by error within
+    10 minutes for the same user (funnel/alert shape); equals the
+    batch time-range self-join."""
+    import uuid
+
+    ST, ev = _stream_events(spark, sf_dir)
+    return ST.run_to_completion(
+        ST.followed_by_join(ev, "signup", "error", "10 minutes"),
+        f"fb_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+
 def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-occurrence dedup (dropDuplicates over a
     watermarked stream): distinct (user_id, event_type) emitted in
@@ -1290,6 +1315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_counts": q_stream_sliding_counts,
         "stream_sessionize": q_stream_sessionize,
         "stream_dedup_events": q_stream_dedup_events,
+        "stream_session_windows": q_stream_session_windows,
+        "stream_followed_by": q_stream_followed_by,
         "kafka_roundtrip_events": q_kafka_roundtrip_events,
         "plot_line_series": q_plot_line_series,
         "approx_stats": q_approx_stats,
@@ -1601,6 +1628,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_events": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "stream_session_windows": """
+            WITH e AS (SELECT user_id, ts, event_id,
+                    lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+                    FROM events),
+            g AS (SELECT user_id, ts,
+                    sum(CASE WHEN prev IS NULL
+                              OR ts - prev >= INTERVAL 30 MINUTE
+                             THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM e)
+            SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id, sid
+        """,
+        "stream_followed_by": """
+            SELECT a.user_id,
+                   a.event_id AS first_id, b.event_id AS then_id,
+                   CAST(a.ts AS TIMESTAMP) AS first_ts,
+                   CAST(b.ts AS TIMESTAMP) AS then_ts
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'signup' AND b.event_type = 'error'
+             AND b.ts >= a.ts
+             AND b.ts <= a.ts + INTERVAL 10 MINUTE
         """,
         "kafka_roundtrip_events": """
             SELECT event_id, user_id, event_type, value FROM events

@@ -11,7 +11,9 @@ stateful operators.
 
 from parquet_editor_spark.streaming.stream import (
     dedup_stream,
+    followed_by_join,
     read_events_stream,
+    session_window_counts,
     run_to_completion,
     sessionize_stateful,
     sliding_counts,
@@ -21,7 +23,9 @@ from parquet_editor_spark.streaming.stream import (
 
 __all__ = [
     "dedup_stream",
+    "followed_by_join",
     "read_events_stream",
+    "session_window_counts",
     "run_to_completion",
     "sessionize_stateful",
     "sliding_counts",

@@ -149,6 +149,74 @@ def sessionize_stateful(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Native session windows (``F.session_window``): dynamic-length
+    windows that close ``gap`` after the last event — the built-in
+    counterpart to the custom ``sessionize_stateful`` operator. State
+    is bounded by the watermark; sessions merge incrementally across
+    micro-batches."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def followed_by_join(
+    events: DataFrame,
+    first_type: str,
+    then_type: str,
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: '``first_type`` followed
+    by ``then_type`` for the same user within ``within``' (funnel /
+    alert shape). Both sides carry watermarks and the join condition
+    bounds event time on both ends, so each side's buffered state is
+    droppable once the watermark passes — the canonical bounded-state
+    stream-stream join."""
+    a = (
+        events.filter(F.col("event_type") == first_type)
+        .select(
+            F.col("event_id").alias("first_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    b = (
+        events.filter(F.col("event_type") == then_type)
+        .select(
+            F.col("event_id").alias("then_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", watermark)
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {within}")),
+    )
+    return joined.select(
+        F.col("a_user").alias("user_id"),
+        "first_id",
+        "then_id",
+        F.col("a_ts").cast("timestamp_ntz").alias("first_ts"),
+        F.col("b_ts").cast("timestamp_ntz").alias("then_ts"),
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),

@@ -212,3 +212,60 @@ def test_kafka_frame_streaming_consumer(spark, events_batch, tmp_path):
         .agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_session_window_equals_batch_gap_sessionization(
+    events_stream, events_batch
+):
+    from pyspark.sql import Window as W
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in run(ST.session_window_counts(events_stream)).collect()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("prev").isNull()
+        | (F.col("ts").cast("long") - F.col("prev").cast("long") >= 1800),
+        1,
+    ).otherwise(0)
+    batch = (
+        events_batch.select("user_id", "ts", "event_id",
+                            F.lag("ts").over(w).alias("prev"))
+        .withColumn("new_s", gap)
+        .withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").cast("timestamp_ntz").alias("session_start"),
+             F.count("*").alias("n_events"))
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in batch.collect()
+    )
+    assert got == want
+
+
+def test_followed_by_join_equals_batch(events_stream, events_batch):
+    got = sorted(
+        (r["user_id"], r["first_id"], r["then_id"])
+        for r in run(
+            ST.followed_by_join(events_stream, "signup", "error", "4 hours",
+                                watermark="5 hours"),
+            mode="append",
+        ).collect()
+    )
+    a = events_batch.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("fid"),
+        F.col("ts").alias("a_ts"))
+    b = events_batch.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("tid"),
+        F.col("ts").alias("b_ts"))
+    want = sorted(
+        (r["u"], r["fid"], r["tid"])
+        for r in a.join(b, "u")
+        .filter((F.col("b_ts") >= F.col("a_ts"))
+                & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 4 HOURS")))
+        .collect()
+    )
+    assert got == want and len(got) > 0
