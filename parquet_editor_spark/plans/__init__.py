@@ -1,5 +1,9 @@
 """Physical-plan inspection utilities — the engine's scale guardrails."""
 
+from parquet_editor_spark.plans.observe import (
+    with_metrics,
+    with_row_accounting,
+)
 from parquet_editor_spark.plans.explain import (
     executed_plan,
     has_broadcast_join,
@@ -18,4 +22,6 @@ __all__ = [
     "pushed_filters",
     "read_schema_columns",
     "wholestage_codegen_spans",
+    "with_metrics",
+    "with_row_accounting",
 ]

@@ -128,3 +128,30 @@ def test_hash_split_is_projection_only(documents):
     df = q.hash_split(documents.select("doc_id"), "doc_id")
     plan = P.executed_plan(df)
     assert "Exchange" not in plan, plan
+
+
+def test_observe_metrics_no_extra_job(lineitem):
+    from pyspark.sql import functions as FF
+
+    staged = lineitem.select(
+        "l_orderkey", FF.nullif(FF.col("l_tax"), FF.lit(0.0)).alias("tax")
+    )
+    observed, obs = P.with_row_accounting(staged, ["tax"])
+    n = observed.count()                       # ONE action computes both
+    got = obs.get
+    assert got["n_rows"] == n
+    want_nulls = staged.filter(FF.col("tax").isNull()).count()
+    assert got["nulls_tax"] == want_nulls > 0
+
+
+def test_observe_custom_metrics(lineitem):
+    from pyspark.sql import functions as FF
+
+    observed, obs = P.with_metrics(
+        lineitem,
+        FF.round(FF.sum("l_quantity"), 2).alias("sum_qty"),
+        FF.max("l_shipdate").alias("max_ship"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    assert m["sum_qty"] > 0 and m["max_ship"] is not None
