@@ -780,6 +780,36 @@ def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.intersect_tables(c, s)
 
 
+def q_q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: five-way star join (region→nation→customer→
+    orders→lineitem⋈supplier with same-nation constraint) — the dims
+    broadcast, the two fact relations shuffle once each."""
+    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate breadth: correlation, covariance and
     least-squares slope/intercept of price vs quantity per return
@@ -1333,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "label_centroids": q_label_centroids,
+        "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "stats_aggregates": q_stats_aggregates,
         "udtf_chunk_documents": q_udtf_chunk_documents,
         "window_ranks": q_window_ranks,
@@ -1841,6 +1872,21 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(c / T)), 4) AS avg_logprob
             FROM toks JOIN vocab USING (w), tot
             GROUP BY doc_id
+        """,
+        "q5_local_supplier_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n
+            FROM region
+            JOIN nation   ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND s_nationkey = c_nationkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
         """,
         "stats_aggregates": """
             SELECT l_returnflag,

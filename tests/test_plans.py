@@ -155,3 +155,11 @@ def test_observe_custom_metrics(lineitem):
     observed.write.mode("overwrite").format("noop").save()
     m = obs.get
     assert m["sum_qty"] > 0 and m["max_ship"] is not None
+
+
+def test_q5_star_join_broadcasts_dims(spark, sf_dir):
+    import __spark_entry__ as M
+
+    df = M.queries()["q5_local_supplier_revenue"](spark, sf_dir)
+    assert P.has_broadcast_join(df)
+    assert not P.has_single_partition_exchange(df)
