@@ -17,6 +17,7 @@ from parquet_editor_spark.streaming.stream import (
     run_to_completion,
     sessionize_stateful,
     sliding_counts,
+    upsert_stream_parquet,
     windowed_counts,
     write_stream_parquet,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "run_to_completion",
     "sessionize_stateful",
     "sliding_counts",
+    "upsert_stream_parquet",
     "windowed_counts",
     "write_stream_parquet",
 ]

@@ -264,6 +264,51 @@ def run_to_completion(
     return spark.table(name)
 
 
+def upsert_stream_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+):
+    """Keyed upsert sink via ``foreachBatch``: each micro-batch MERGEs
+    into the parquet table — existing rows for incoming keys are
+    replaced, everything else is kept. This is the Delta/Iceberg
+    ``MERGE INTO`` shape expressed with stock Spark: read current,
+    anti-join out the incoming keys, union, write to a staging dir,
+    atomically swap. foreachBatch gives exactly-once per batch (the
+    checkpoint records completed batch ids; a replayed batch re-merges
+    idempotently because upsert-by-key is idempotent).
+
+    Local-filesystem swap via os.replace; on a real lakehouse the
+    swap step is the table format's commit."""
+    import os
+    import shutil
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.dropDuplicates(keys)
+        if os.path.isdir(path):
+            current = spark.read.parquet(path)
+            merged = current.join(
+                F.broadcast(batch_df.select(*keys)), keys, "left_anti"
+            ).unionByName(batch_df)
+        else:
+            merged = batch_df
+        staging = f"{path}__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{path}__old"
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def write_stream_parquet(
     stream_df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
 ):

@@ -299,3 +299,25 @@ def test_checkpointed_sink_resumes_exactly_once(spark, events_batch, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == events_batch.count()   # nothing lost
     assert got.select("event_id").distinct().count() == events_batch.count()  # nothing duplicated
+
+
+def test_upsert_sink_keeps_latest_per_key(spark, events_batch, tmp_path):
+    """foreachBatch MERGE: per-user latest event survives across
+    micro-batches (maxFilesPerTrigger=1 forces several batches)."""
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    events_batch.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    q = ST.upsert_stream_parquet(stream, table, ckpt, keys=["user_id"])
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(table)
+    # exactly one row per user
+    assert got.count() == got.select("user_id").distinct().count()
+    assert got.count() == events_batch.select("user_id").distinct().count()
