@@ -780,6 +780,17 @@ def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.intersect_tables(c, s)
 
 
+def q_collect_lang_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-source sorted distinct language list
+    (``collect_set`` + ``array_sort`` — sorted so the set is
+    deterministic and hash-comparable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.array_sort(F.collect_set("lang")).alias("langs"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
 def q_q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: five-way star join (region→nation→customer→
     orders→lineitem⋈supplier with same-nation constraint) — the dims
@@ -1363,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "label_centroids": q_label_centroids,
+        "collect_lang_sets": q_collect_lang_sets,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "stats_aggregates": q_stats_aggregates,
         "udtf_chunk_documents": q_udtf_chunk_documents,
@@ -1872,6 +1884,12 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(c / T)), 4) AS avg_logprob
             FROM toks JOIN vocab USING (w), tot
             GROUP BY doc_id
+        """,
+        "collect_lang_sets": """
+            SELECT source,
+                   list_sort(list(DISTINCT lang)) AS langs,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY source
         """,
         "q5_local_supplier_revenue": """
             SELECT n_name,
