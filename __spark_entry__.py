@@ -821,6 +821,53 @@ def q_q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective fact-fact join (unshipped orders for
+    one market segment), grouped revenue, global top-10. The segment
+    filter broadcasts the surviving customers; both date predicates
+    push to the parquet scans; the final ordering is a
+    TakeOrderedAndProject, never a global sort. Deterministic
+    tie-break: (revenue DESC, o_orderdate, l_orderkey)."""
+    cutoff = F.lit("1998-06-01").cast("timestamp_ntz")
+    cust = F.broadcast(
+        _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-busting salted fact-fact join: every left key splits into
+    4 deterministic sub-keys and the right side replicates per salt,
+    so a hot orderkey spreads over 4 tasks. Row-identical to the plain
+    join — the oracle (plain SQL join) proves it."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    joined = q.salted_join(li, orders, "l_orderkey", n_salts=4)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate breadth: correlation, covariance and
     least-squares slope/intercept of price vs quantity per return
@@ -1049,6 +1096,40 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.contamination(corpus, bench, "doc_id", "text", n=3, threshold=0.2)
         .withColumnRenamed("id", "doc_id")
     )
+
+
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-n-gram (boilerplate) signal: per-doc fraction of
+    distinct 3-gram shingles appearing in ≥ 4 documents corpus-wide.
+    One inverted index feeds both the document-frequency aggregate and
+    the per-doc hit count."""
+    from parquet_editor_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        D.common_shingle_fraction(docs, "doc_id", "text", n=3, min_docs=4)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("n_shingles", F.col("n_shingles").cast("long"))
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: docs with doc_id % 5 == 0 arrive
+    as the 'new batch' against the already-ingested remainder; the
+    dedup key is a 40-char prefix fingerprint (collides on the
+    testdata, so rows genuinely drop on both the cross-batch anti-join
+    and the within-batch keeper)."""
+    from parquet_editor_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.substring("text", 1, 40)
+    out = D.incremental_dedup(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "doc_id",
+        key,
+    )
+    return out.select("doc_id", "fp", "source")
 
 
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1370,12 +1451,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "hash_split": q_hash_split,
         "decontaminate": q_decontaminate,
+        "boilerplate_shingles": q_boilerplate_shingles,
+        "incremental_dedup": q_incremental_dedup,
         "unigram_logprob": q_unigram_logprob,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "label_centroids": q_label_centroids,
         "collect_lang_sets": q_collect_lang_sets,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "salted_join_revenue": q_salted_join_revenue,
         "stats_aggregates": q_stats_aggregates,
         "udtf_chunk_documents": q_udtf_chunk_documents,
         "window_ranks": q_window_ranks,
@@ -1873,6 +1958,41 @@ def oracle_sql() -> dict[str, str]:
                        AS contaminated
             FROM corpus c LEFT JOIN hits h USING (doc_id)
         """,
+        "boilerplate_shingles": """
+            WITH t AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\\s+'),
+                                x -> x != '') AS toks
+                    FROM documents),
+            sh AS (SELECT doc_id,
+                    list_distinct([toks[i] || ' ' || toks[i+1] || ' '
+                                   || toks[i+2]
+                                   FOR i IN range(1, len(toks) - 1)]) AS s
+                   FROM t WHERE len(toks) >= 3),
+            inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            freq AS (SELECT shingle FROM inv GROUP BY shingle
+                     HAVING count(*) >= 4),
+            hits AS (SELECT doc_id, count(*) AS n_common
+                     FROM inv JOIN freq USING (shingle) GROUP BY doc_id)
+            SELECT s.doc_id, len(s.s) AS n_shingles,
+                   coalesce(h.n_common, 0) AS n_common,
+                   round(coalesce(h.n_common, 0)::DOUBLE / len(s.s), 4)
+                       AS common_frac
+            FROM sh s LEFT JOIN hits h USING (doc_id)
+            WHERE len(s.s) > 0
+        """,
+        "incremental_dedup": """
+            WITH keyed AS (SELECT doc_id, source,
+                    md5(lower(regexp_replace(trim(substr(text, 1, 40)),
+                                             '\\s+', ' ', 'g'))) AS fp
+                    FROM documents),
+            seen AS (SELECT DISTINCT fp FROM keyed WHERE doc_id % 5 != 0),
+            new AS (SELECT * FROM keyed WHERE doc_id % 5 = 0),
+            fresh AS (SELECT n.* FROM new n ANTI JOIN seen s USING (fp)),
+            first AS (SELECT *, row_number() OVER
+                        (PARTITION BY fp ORDER BY doc_id) AS rn
+                      FROM fresh)
+            SELECT doc_id, fp, source FROM first WHERE rn = 1
+        """,
         "unigram_logprob": """
             WITH toks AS (SELECT doc_id,
                     unnest(list_filter(string_split_regex(text, '\\s+'),
@@ -1905,6 +2025,29 @@ def oracle_sql() -> dict[str, str]:
                          AND s_nationkey = c_nationkey
             WHERE r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "salted_join_revenue": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "stats_aggregates": """
             SELECT l_returnflag,

@@ -34,7 +34,14 @@ _EXT_FMT = {
     ".parquet": "parquet",
     ".pq": "parquet",
     ".orc": "orc",
+    ".avro": "avro",
 }
+
+_AVRO_HINT = (
+    "Avro needs the external spark-avro connector jar "
+    "(org.apache.spark:spark-avro_2.13) on the classpath; it is not "
+    "bundled in this environment"
+)
 
 #: soft cap for driver-side collect paths (Excel sink, single-file sinks)
 SMALL_RESULT_ROWS = 1_000_000
@@ -78,6 +85,8 @@ def load(
         return _load_json(spark, path, schema)
     if fmt == "excel":
         return _load_excel(spark, path)
+    if fmt == "avro":
+        return _load_avro(spark, path, schema)
     raise ValueError(f"unsupported format {fmt!r}")
 
 
@@ -107,6 +116,25 @@ def _load_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     import pandas as pd
 
     return spark.createDataFrame(pd.read_json(path))
+
+
+def _load_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Avro scan. Spark's avro source is an external module
+    (spark-avro) since 2.4 — when the jar is absent the opaque
+    ``Failed to find data source`` AnalysisException becomes a clean
+    NotImplementedError with the deployment hint; with the jar on the
+    classpath this is a plain lazy distributed scan."""
+    from pyspark.errors import AnalysisException
+
+    r = spark.read.format("avro")
+    if schema:
+        r = r.schema(schema)
+    try:
+        return r.load(path)
+    except AnalysisException as e:
+        if "Failed to find data source" in str(e):
+            raise NotImplementedError(_AVRO_HINT) from e
+        raise
 
 
 def _load_excel(spark: SparkSession, path: str) -> DataFrame:
@@ -155,6 +183,15 @@ def save(
         w.option("header", True).csv(path)
     elif fmt == "json":
         w.json(path)
+    elif fmt == "avro":
+        from pyspark.errors import AnalysisException
+
+        try:
+            w.format("avro").save(path)
+        except AnalysisException as e:
+            if "Failed to find data source" in str(e):
+                raise NotImplementedError(_AVRO_HINT) from e
+            raise
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

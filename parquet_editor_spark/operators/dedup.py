@@ -529,3 +529,106 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-common shingle fraction (boilerplate signal)
+# ---------------------------------------------------------------------------
+
+def common_shingle_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_docs: int = 4,
+    round_to: int = 4,
+) -> DataFrame:
+    """Duplicated-n-gram quality signal (C4/Gopher family): for every
+    document, the fraction of its DISTINCT word-n-gram shingles that
+    are corpus-common — appearing in ≥ ``min_docs`` documents. High
+    fractions mark boilerplate-heavy documents (nav bars, license
+    headers, templated spam) that survive exact and near dedup because
+    the surrounding text differs.
+
+    Shape: one inverted index (doc → shingle, distinct per doc) feeds
+    both the document-frequency aggregate and the per-doc hit count;
+    the shingle relation is persisted so the explode + tokenize stage
+    runs once, not twice. The common-shingle slice is the post-HAVING
+    remainder — small next to the corpus, so AQE broadcasts the join
+    back when it fits. Shuffles carry (shingle, id) pairs and ids only,
+    never document text.
+    """
+    from pyspark import StorageLevel
+
+    sets = shingle_sets(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    inv = sets.select("id", F.explode("shingles").alias("shingle"))
+    common = (
+        inv.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("shingle")
+    )
+    hits = (
+        inv.join(common, "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        sets.filter(F.col("set_size") > 0)
+        .select("id", "set_size")
+        .join(hits, "id", "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .select(
+            "id",
+            F.col("set_size").alias("n_shingles"),
+            "n_common",
+            F.round(F.col("n_common") / F.col("set_size"), round_to).alias(
+                "common_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-batch) dedup
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col,
+) -> DataFrame:
+    """Incremental corpus ingestion: from ``new_df``, keep only rows
+    whose content fingerprint (a) never appears in ``seen_df`` — the
+    already-ingested corpus — and (b) is first within the batch
+    (deterministically: min ``id_col`` per fingerprint).
+
+    ``text_col`` may be a column name or a Column expression (e.g. a
+    normalized or truncated view of the text), so the dedup key need
+    not be the raw document.
+
+    Shape: the seen side reduces to DISTINCT 16-byte fingerprints
+    before the LEFT ANTI join — at 100 TB that relation is the
+    fingerprint store, not the corpus, and the join shuffles keys only
+    (or broadcasts, when the store fits). The within-batch keeper is a
+    row_number over the fingerprint: Spark 4 plans it as a partial
+    WindowGroupLimit BELOW the exchange, so each task forwards at most
+    one row per fingerprint into the shuffle; when the anti-join
+    already shuffle-partitioned on ``fp``, the window reuses that
+    partitioning outright.
+    """
+    from pyspark.sql.window import Window
+
+    seen = seen_df.select(X.fingerprint(text_col).alias("fp")).distinct()
+    fresh = new_df.withColumn("fp", X.fingerprint(text_col)).join(
+        seen, "fp", "left_anti"
+    )
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

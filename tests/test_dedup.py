@@ -130,3 +130,55 @@ def test_contamination_identical_benchmark_is_full_overlap(spark):
             D.contamination(df, bench, "doc_id", "text").collect()}
     assert rows[1]["overlap"] == 1.0 and rows[1]["contaminated"]
     assert rows[2]["overlap"] == 0.0 and not rows[2]["contaminated"]
+
+
+def test_common_shingle_fraction_differential(documents):
+    """Python ground truth: per-doc fraction of distinct 3-gram
+    shingles whose corpus document-frequency is >= min_docs."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    rows = documents.select("doc_id", "text").collect()
+    sets = {r["doc_id"]: py_shingles(r["text"]) for r in rows}
+    dfreq = Counter()
+    for s in sets.values():
+        dfreq.update(s)
+    got = {
+        r["id"]: r
+        for r in D.common_shingle_fraction(
+            documents, "doc_id", "text", n=3, min_docs=4
+        ).collect()
+    }
+    scored = {d for d, s in sets.items() if s}
+    assert set(got) == scored
+    for d in scored:
+        s = sets[d]
+        n_common = sum(1 for g in s if dfreq[g] >= 4)
+        assert got[d]["n_shingles"] == len(s)
+        assert got[d]["n_common"] == n_common
+        assert got[d]["common_frac"] == _pytest.approx(
+            n_common / len(s), abs=5.1e-5
+        )
+
+
+def test_incremental_dedup_keeps_unseen_first(spark):
+    new = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (5, "cc")], "id long, text string"
+    )
+    seen = spark.createDataFrame([(9, "bb")], "id long, text string")
+    out = D.incremental_dedup(new, seen, "id", "text")
+    assert {r["id"] for r in out.collect()} == {1, 5}
+    assert "fp" in out.columns
+
+
+def test_incremental_dedup_column_key(spark):
+    """The dedup key may be an expression — here a 1-char prefix."""
+    from pyspark.sql import functions as F
+
+    new = spark.createDataFrame(
+        [(1, "axx"), (2, "ayy"), (3, "bzz")], "id long, text string"
+    )
+    seen = spark.createDataFrame([(9, "bqq")], "id long, text string")
+    out = D.incremental_dedup(new, seen, "id", F.substring("text", 1, 1))
+    assert {r["id"] for r in out.collect()} == {1}

@@ -85,3 +85,20 @@ def test_detect_format_errors():
 def test_empty_source(spark):
     df = peio.empty(spark, "a int, b string")
     assert df.count() == 0 and df.columns == ["a", "b"]
+
+
+def test_avro_guarded(spark, lineitem, tmp_path):
+    """Avro dispatches by extension; without the external spark-avro
+    jar both directions surface the clean NotImplementedError hint
+    (with the jar present, the roundtrip must work instead)."""
+    p = str(tmp_path / "data.avro")
+    df = lineitem.select("l_orderkey", "l_quantity").limit(10)
+    assert peio.detect_format(p) == "avro"
+    try:
+        peio.save(df, p)
+    except NotImplementedError as e:
+        assert "spark-avro" in str(e)
+        with pytest.raises(NotImplementedError):
+            peio.load(spark, p)
+    else:
+        assert peio.load(spark, p).count() == 10
