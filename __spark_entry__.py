@@ -850,6 +850,53 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER fact join: per-customer order count and spend,
+    INCLUDING order-less customers — count(nullable key) and a
+    coalesced sum exercise outer-join null semantics."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2
+            ).alias("total_spend"),
+        )
+    )
+
+
+def q_full_outer_nation_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates: suppliers-per-nation vs
+    customers-per-nation, key coalesced, missing sides as 0."""
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return s.join(c, s.sk == c.ck, "full_outer").select(
+        F.coalesce("sk", "ck").alias("nationkey"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+    )
+
+
+def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit small×small cross join (nation × region grid) — the
+    only sanctioned cartesian in the engine; plans as a broadcast
+    nested-loop, never a shuffled cartesian."""
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    r = _t(spark, sf_dir, "region").select("r_name")
+    return n.crossJoin(r)
+
+
 def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-busting salted fact-fact join: every left key splits into
     4 deterministic sub-keys and the right side replicates per salt,
@@ -1461,6 +1508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "q3_shipping_priority": q_q3_shipping_priority,
         "salted_join_revenue": q_salted_join_revenue,
+        "left_join_order_counts": q_left_join_order_counts,
+        "full_outer_nation_actors": q_full_outer_nation_actors,
+        "cross_join_grid": q_cross_join_grid,
         "stats_aggregates": q_stats_aggregates,
         "udtf_chunk_documents": q_udtf_chunk_documents,
         "window_ranks": q_window_ranks,
@@ -2048,6 +2098,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "left_join_order_counts": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders,
+                   round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "full_outer_nation_actors": """
+            WITH s AS (SELECT s_nationkey AS sk, count(*) AS n_suppliers
+                       FROM supplier GROUP BY s_nationkey),
+            c AS (SELECT c_nationkey AS ck, count(*) AS n_customers
+                  FROM customer GROUP BY c_nationkey)
+            SELECT coalesce(sk, ck) AS nationkey,
+                   coalesce(n_suppliers, 0) AS n_suppliers,
+                   coalesce(n_customers, 0) AS n_customers
+            FROM s FULL JOIN c ON sk = ck
+        """,
+        "cross_join_grid": """
+            SELECT n_name, r_name FROM nation CROSS JOIN region
         """,
         "stats_aggregates": """
             SELECT l_returnflag,

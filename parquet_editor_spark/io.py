@@ -292,6 +292,36 @@ def compact_files(
     )
 
 
+def save_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: Optional[int] = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered write for data skipping: rows range-partition
+    on ``cluster_by`` (one narrow, non-overlapping key slice per task)
+    and sort within each task, so every output file's parquet footer
+    carries tight min/max statistics on the cluster keys. A later scan
+    filtered on those keys prunes whole files and row groups instead
+    of reading 100 TB to answer a one-day query — linear clustering,
+    the 1-D case of Z-ordering (for independent multi-column
+    predicates, bucket or interleave upstream instead).
+
+    The range boundaries come from Spark's reservoir sampling of the
+    keys, so files stay balanced even on skewed distributions."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in cluster_by]
+    part = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    part.sortWithinPartitions(*cols).write.mode(mode).format(fmt).save(path)
+
+
 def save_bucketed(
     df: DataFrame,
     table: str,

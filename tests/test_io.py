@@ -102,3 +102,32 @@ def test_avro_guarded(spark, lineitem, tmp_path):
             peio.load(spark, p)
     else:
         assert peio.load(spark, p).count() == 10
+
+
+def test_clustered_write_disjoint_file_ranges(spark, lineitem, tmp_path):
+    """save_clustered must yield files whose min/max footer stats on
+    the cluster key cover disjoint slices — that disjointness IS the
+    data-skipping property a filtered scan exploits."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "clustered.parquet")
+    peio.save_clustered(lineitem, p, ["l_orderkey"], n_files=4)
+    files = glob.glob(p + "/*.parquet")
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        idx = names.index("l_orderkey")
+        stats = [
+            md.row_group(rg).column(idx).statistics
+            for rg in range(md.num_row_groups)
+        ]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    for (_, a_max), (b_min, _) in zip(ranges, ranges[1:]):
+        assert a_max <= b_min
+    back = peio.load(spark, p)
+    assert back.count() == lineitem.count()
