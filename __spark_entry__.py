@@ -850,6 +850,23 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample of event values with gap densification
+    and forward fill — the dense grid explodes per key (distributed,
+    no driver calendar), gaps keep v_obs NULL and carry v_fill."""
+    ev = _t(spark, sf_dir, "events")
+    out = q.resample_ffill(ev, "user_id", "ts", "value", unit="day")
+    return out.withColumnRenamed("key", "user_id")
+
+
+def q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup: event value summed at
+    hour/day/month granularity in ONE scan via GROUPING SETS (each
+    row expands inside the aggregate; no per-grain self-union)."""
+    ev = _t(spark, sf_dir, "events")
+    return q.time_rollup(ev, "ts", "value", ("hour", "day", "month"))
+
+
 def q_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER fact join: per-customer order count and spend,
     INCLUDING order-less customers — count(nullable key) and a
@@ -1509,6 +1526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q_q3_shipping_priority,
         "salted_join_revenue": q_salted_join_revenue,
         "left_join_order_counts": q_left_join_order_counts,
+        "resample_ffill_events": q_resample_ffill_events,
+        "time_rollup_events": q_time_rollup_events,
         "full_outer_nation_actors": q_full_outer_nation_actors,
         "cross_join_grid": q_cross_join_grid,
         "stats_aggregates": q_stats_aggregates,
@@ -2098,6 +2117,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "time_rollup_events": """
+            SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                        WHEN grouping(d) = 0 THEN 'day'
+                        ELSE 'month' END AS grain,
+                   coalesce(h, d, m) AS bucket,
+                   round(sum(value), 4) AS val,
+                   count(*) AS n
+            FROM (SELECT date_trunc('hour', ts) AS h,
+                         date_trunc('day', ts) AS d,
+                         date_trunc('month', ts) AS m,
+                         value
+                  FROM events)
+            GROUP BY GROUPING SETS ((h), (d), (m))
+        """,
+        "resample_ffill_events": """
+            WITH obs AS (SELECT user_id, date_trunc('day', ts) AS bucket,
+                                round(avg(value), 4) AS v
+                         FROM events GROUP BY 1, 2),
+            bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+                       FROM obs GROUP BY user_id),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+                                AS bucket
+                     FROM bounds),
+            j AS (SELECT g.user_id, g.bucket, o.v
+                  FROM grid g LEFT JOIN obs o
+                    ON g.user_id = o.user_id AND g.bucket = o.bucket)
+            SELECT user_id, bucket, v AS v_obs,
+                   last_value(v IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY bucket) AS v_fill
+            FROM j
         """,
         "left_join_order_counts": """
             SELECT c_custkey, count(o_orderkey) AS n_orders,

@@ -484,3 +484,99 @@ def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[tuple[str, str
     """ROLLUP — parity-plus aggregation (SURVEY.md §2.4)."""
     exprs = [agg_fn(fn)(col).alias(alias) for col, fn, alias in aggs]
     return df.rollup(*keys).agg(*exprs)
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    unit: str = "day",
+    agg: str = "avg",
+    round_to: int = 4,
+) -> DataFrame:
+    """Time-series resampling with gap fill and forward fill: bucket
+    observations per ``key`` to ``unit`` granularity (aggregating
+    ``value`` with ``agg``), densify each key's own [min, max] bucket
+    range, and carry the last observed value across empty buckets
+    (``v_fill``; ``v_obs`` stays NULL on gaps so interpolation-style
+    consumers can tell filled from observed).
+
+    Scale shape: the dense grid is generated DISTRIBUTED — each key's
+    ``sequence(min, max, interval)`` explodes in its own task, never a
+    driver-side calendar loop or a cartesian with a calendar table.
+    Bucketing aggregates first (so the grid joins against one row per
+    key×bucket, not raw events), and the forward-fill window
+    partitions on the same key the join just hashed on. Skewed keys
+    (one user with years of history) cost one task their row count,
+    not a global sort.
+    """
+    bucket = F.date_trunc(unit, F.col(ts))
+    obs = (
+        df.groupBy(F.col(key).alias("key"), bucket.alias("bucket"))
+        .agg(F.round(getattr(F, agg)(value), round_to).alias("v"))
+    )
+    bounds = obs.groupBy("key").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    grid = bounds.select(
+        "key",
+        F.explode(
+            F.sequence("mn", "mx", F.expr(f"INTERVAL 1 {unit}"))
+        ).alias("bucket"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["key", "bucket"], "left")
+        .select(
+            "key",
+            "bucket",
+            F.col("v").alias("v_obs"),
+            F.last("v", ignorenulls=True).over(w).alias("v_fill"),
+        )
+    )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    grains: Sequence[str] = ("hour", "day", "month"),
+    agg: str = "sum",
+    round_to: int = 4,
+) -> DataFrame:
+    """Hypertable-style multi-grain time rollup: one pass produces the
+    aggregate at every requested ``grains`` granularity, tagged
+    (grain, bucket). GROUPING SETS expands each input row once per
+    grain INSIDE the aggregate (partial aggregation still applies), so
+    the fact table is scanned once — not once per grain — and no
+    self-union re-reads 100 TB three times. Continuous-aggregate
+    maintenance falls out of running this over an incremental batch
+    and merging by (grain, bucket).
+    """
+    truncs = [F.date_trunc(g, F.col(ts)).alias(f"__g_{g}") for g in grains]
+    names = [f"__g_{g}" for g in grains]
+    base = df.select(*truncs, F.col(value).alias("__v"))
+    grouped = base.groupingSets([[n] for n in names], *[F.col(n) for n in names])
+    grain_expr = None
+    for g, n in zip(grains, names):
+        cond = F.grouping(n) == 0
+        grain_expr = F.when(cond, F.lit(g)) if grain_expr is None else grain_expr.when(cond, F.lit(g))
+    # grouping() is only legal inside the aggregate node itself, so the
+    # grain tag is computed in agg() and the bucket coalesce after
+    return grouped.agg(
+        grain_expr.alias("grain"),
+        F.round(getattr(F, agg)("__v"), round_to).alias("val"),
+        F.count("*").alias("n"),
+    ).select(
+        "grain",
+        F.coalesce(*[F.col(n) for n in names]).alias("bucket"),
+        "val",
+        "n",
+    )

@@ -130,3 +130,46 @@ def test_hash_split_portable_matches_xxhash_shape(documents):
     assert 0.70 * n <= counts["train"] <= 0.90 * n
     with pytest.raises(ValueError):
         q.hash_split(docs, "doc_id", method="nope")
+
+
+def test_resample_ffill_gap_semantics(spark):
+    """Hand-built series: day 1 and day 4 observed, days 2-3 are gaps
+    — v_obs stays NULL there, v_fill carries day 1's value; a second
+    key densifies independently from its own bounds."""
+    rows = [
+        (1, "2024-03-01 10:00:00", 10.0),
+        (1, "2024-03-01 14:00:00", 20.0),
+        (1, "2024-03-04 09:00:00", 40.0),
+        (2, "2024-03-02 00:30:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts string, value double").select(
+        "k", F.col("ts").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    out = q.resample_ffill(df, "k", "ts", "value", unit="day")
+    got = {
+        (r["key"], str(r["bucket"])[:10]): (r["v_obs"], r["v_fill"])
+        for r in out.collect()
+    }
+    assert len(got) == 5  # key 1: 4 days, key 2: 1 day
+    assert got[(1, "2024-03-01")] == (15.0, 15.0)
+    assert got[(1, "2024-03-02")] == (None, 15.0)
+    assert got[(1, "2024-03-03")] == (None, 15.0)
+    assert got[(1, "2024-03-04")] == (40.0, 40.0)
+    assert got[(2, "2024-03-02")] == (7.0, 7.0)
+
+
+def test_time_rollup_grains_consistent(spark, sf_dir):
+    """One-scan GROUPING SETS rollup: the hour-grain rows must sum to
+    the day-grain rows, and counts per grain must all equal the input
+    row count."""
+    ev = load_parquet_nanos(spark, f"{sf_dir}/events.parquet")
+    out = q.time_rollup(ev, "ts", "value", ("hour", "day")).collect()
+    total = ev.count()
+    by_grain = {}
+    for r in out:
+        g = by_grain.setdefault(r["grain"], {"n": 0, "val": 0.0})
+        g["n"] += r["n"]
+        g["val"] += r["val"]
+    assert set(by_grain) == {"hour", "day"}
+    assert by_grain["hour"]["n"] == total == by_grain["day"]["n"]
+    assert abs(by_grain["hour"]["val"] - by_grain["day"]["val"]) < 1e-4 * total
