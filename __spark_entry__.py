@@ -859,6 +859,27 @@ def q_resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("key", "user_id")
 
 
+def q_resample_interp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample with LINEAR interpolation across gaps
+    (nearest observed anchors via mirror-image ignore-null windows —
+    one sort serves both directions)."""
+    ev = _t(spark, sf_dir, "events")
+    out = q.resample_interp(ev, "user_id", "ts", "value", unit="day")
+    return out.withColumnRenamed("key", "user_id")
+
+
+def q_string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG shape): per-region sorted
+    comma-joined nation names — deterministic via the sort."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
 def q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-grain rollup: event value summed at
     hour/day/month granularity in ONE scan via GROUPING SETS (each
@@ -1528,6 +1549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_join_order_counts": q_left_join_order_counts,
         "resample_ffill_events": q_resample_ffill_events,
         "time_rollup_events": q_time_rollup_events,
+        "resample_interp_events": q_resample_interp_events,
+        "string_agg_nations": q_string_agg_nations,
         "full_outer_nation_actors": q_full_outer_nation_actors,
         "cross_join_grid": q_cross_join_grid,
         "stats_aggregates": q_stats_aggregates,
@@ -2117,6 +2140,50 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "string_agg_nations": """
+            SELECT n_regionkey,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   count(*) AS n
+            FROM nation GROUP BY n_regionkey
+        """,
+        "resample_interp_events": """
+            WITH obs AS (SELECT user_id, date_trunc('day', ts) AS bucket,
+                                round(avg(value), 4) AS v
+                         FROM events GROUP BY 1, 2),
+            bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+                       FROM obs GROUP BY user_id),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+                                AS bucket
+                     FROM bounds),
+            j AS (SELECT g.user_id, g.bucket, o.v
+                  FROM grid g LEFT JOIN obs o
+                    ON g.user_id = o.user_id AND g.bucket = o.bucket),
+            anch AS (SELECT user_id, bucket, v,
+                        cast(epoch(bucket) AS BIGINT) AS t,
+                        last_value(cast(round(v * 10000, 0) AS BIGINT)
+                                   IGNORE NULLS) OVER wp AS pm,
+                        last_value(CASE WHEN v IS NOT NULL
+                                        THEN cast(epoch(bucket) AS BIGINT)
+                                   END IGNORE NULLS) OVER wp AS pt,
+                        first_value(cast(round(v * 10000, 0) AS BIGINT)
+                                    IGNORE NULLS) OVER wf AS nm,
+                        first_value(CASE WHEN v IS NOT NULL
+                                         THEN cast(epoch(bucket) AS BIGINT)
+                                    END IGNORE NULLS) OVER wf AS nt
+                     FROM j
+                     WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW),
+                            wf AS (PARTITION BY user_id ORDER BY bucket
+                                   ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING))
+            SELECT user_id, bucket, v AS v_obs,
+                   CASE WHEN v IS NOT NULL THEN v
+                        ELSE ((pm * (nt - t) + nm * (t - pt)) // (nt - pt))
+                             / 10000.0 END AS v_interp
+            FROM anch
         """,
         "time_rollup_events": """
             SELECT CASE WHEN grouping(h) = 0 THEN 'hour'

@@ -511,6 +511,34 @@ def resample_ffill(
     (one user with years of history) cost one task their row count,
     not a global sort.
     """
+    from pyspark.sql.window import Window
+
+    j = _dense_grid(df, key, ts, value, unit, agg, round_to)
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "key",
+        "bucket",
+        F.col("v").alias("v_obs"),
+        F.last("v", ignorenulls=True).over(w).alias("v_fill"),
+    )
+
+
+def _dense_grid(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    unit: str,
+    agg: str,
+    round_to: int,
+) -> DataFrame:
+    """(key, bucket, v) densified over each key's own [min, max]
+    bucket range — v NULL on gap buckets. Shared by the fill and
+    interpolation resamplers."""
     bucket = F.date_trunc(unit, F.col(ts))
     obs = (
         df.groupBy(F.col(key).alias("key"), bucket.alias("bucket"))
@@ -525,21 +553,72 @@ def resample_ffill(
             F.sequence("mn", "mx", F.expr(f"INTERVAL 1 {unit}"))
         ).alias("bucket"),
     )
+    return grid.join(obs, ["key", "bucket"], "left")
+
+
+def resample_interp(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    unit: str = "day",
+    agg: str = "avg",
+    round_to: int = 4,
+) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation across gaps:
+    same dense grid as :func:`resample_ffill`, but an empty bucket
+    gets the value linearly interpolated between its nearest observed
+    neighbors in time. Every gap is interior by construction (the grid
+    spans each key's own observed [min, max]), so both anchors always
+    exist.
+
+    The anchors come from two mirror-image windows over the SAME
+    partitioning and ordering — last-non-null looking back,
+    first-non-null looking forward — so one sort serves all four
+    expressions.
+
+    The gap value is computed in integer micro-units (value × 10^4,
+    weighted-mean numerator, integer division by the anchor distance)
+    rather than double arithmetic: midpoints of decimal observations
+    land exactly on round-half ties, where double rounding is
+    ulp-sensitive and engines disagree. Integer arithmetic is
+    bit-identical everywhere, which is what lets a differential oracle
+    hash-match the output.
+    """
     from pyspark.sql.window import Window
 
-    w = (
+    j = _dense_grid(df, key, ts, value, unit, agg, round_to)
+    wp = (
         Window.partitionBy("key")
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        grid.join(obs, ["key", "bucket"], "left")
-        .select(
-            "key",
-            "bucket",
-            F.col("v").alias("v_obs"),
-            F.last("v", ignorenulls=True).over(w).alias("v_fill"),
+    wf = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t = F.unix_timestamp("bucket")
+    vm = F.round(F.col("v") * 10000, 0).cast("long")
+    obs_t = F.when(F.col("v").isNotNull(), t)
+    anch = j.select(
+        "key",
+        "bucket",
+        "v",
+        t.alias("__t"),
+        F.last(vm, ignorenulls=True).over(wp).alias("__pm"),
+        F.last(obs_t, ignorenulls=True).over(wp).alias("__pt"),
+        F.first(vm, ignorenulls=True).over(wf).alias("__nm"),
+        F.first(obs_t, ignorenulls=True).over(wf).alias("__nt"),
+    )
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.expr(
+            "(__pm * (__nt - __t) + __nm * (__t - __pt)) div (__nt - __pt)"
         )
+        / 10000.0
+    )
+    return anch.select(
+        "key", "bucket", F.col("v").alias("v_obs"), interp.alias("v_interp")
     )
 
 

@@ -173,3 +173,26 @@ def test_time_rollup_grains_consistent(spark, sf_dir):
     assert set(by_grain) == {"hour", "day"}
     assert by_grain["hour"]["n"] == total == by_grain["day"]["n"]
     assert abs(by_grain["hour"]["val"] - by_grain["day"]["val"]) < 1e-4 * total
+
+
+def test_resample_interp_linear_values(spark):
+    """10 on day 1, 40 on day 4 — days 2 and 3 interpolate to exactly
+    20 and 30; observed buckets pass through untouched."""
+    rows = [
+        (1, "2024-03-01 08:00:00", 10.0),
+        (1, "2024-03-04 20:00:00", 40.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts string, value double").select(
+        "k", F.col("ts").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    out = q.resample_interp(df, "k", "ts", "value", unit="day")
+    got = {
+        str(r["bucket"])[:10]: (r["v_obs"], r["v_interp"])
+        for r in out.collect()
+    }
+    assert got == {
+        "2024-03-01": (10.0, 10.0),
+        "2024-03-02": (None, 20.0),
+        "2024-03-03": (None, 30.0),
+        "2024-03-04": (40.0, 40.0),
+    }
