@@ -116,3 +116,70 @@ def test_rejected_edit_leaves_table_unchanged(spark):
         E.set_cell(sdf, 0, "i", "not-an-int")
     got = sdf.toPandas().sort_values("__rid").drop(columns="__rid").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, BASE)
+
+# ---------------------------------------------------------------------------
+# resample properties: a random sparse series, pandas as the oracle
+# ---------------------------------------------------------------------------
+
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 14), st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_resample_ffill_matches_pandas(spark, obs):
+    from parquet_editor_spark.operators import query as q
+
+    pdf = pd.DataFrame(
+        {
+            "k": 1,
+            "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(days=d) for d, _ in obs],
+            "value": [round(v, 4) for _, v in obs],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        q.resample_ffill(sdf, "k", "ts", "value", unit="day")
+        .orderBy("bucket")
+        .collect()
+    )
+    expect = (
+        pdf.set_index("ts")["value"]
+        .resample("D")
+        .mean()
+        .round(4)
+        .ffill()
+    )
+    assert len(got) == len(expect)
+    for r, (ts, v) in zip(got, expect.items()):
+        assert pd.Timestamp(r["bucket"]) == ts
+        assert r["v_fill"] == pytest.approx(v, abs=1e-9)
+
+
+@given(
+    seen_texts=st.lists(st.sampled_from("abcdef"), max_size=4),
+    new_rows=st.lists(
+        st.tuples(st.integers(0, 99), st.sampled_from("abcdef")),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_incremental_dedup_matches_python(spark, seen_texts, new_rows):
+    from parquet_editor_spark.operators import dedup as D
+
+    new = spark.createDataFrame(new_rows, "id long, text string")
+    seen = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(seen_texts)] or [],
+        "id long, text string",
+    )
+    got = sorted(r["id"] for r in D.incremental_dedup(new, seen, "id", "text").collect())
+    first_by_text = {}
+    for i, t in sorted(new_rows):
+        if t not in set(seen_texts) and t not in first_by_text:
+            first_by_text[t] = i
+    assert got == sorted(first_by_text.values())
