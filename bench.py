@@ -44,7 +44,12 @@ def build_queries(spark, tmp):
 
     def t(name):
         if name not in cached:
-            cached[name] = spark.read.parquet(f"{SF_DIR}/{name}.parquet").cache()
+            src = (
+                load_parquet_nanos(spark, f"{SF_DIR}/events.parquet")
+                if name == "events"
+                else spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+            )
+            cached[name] = src.cache()
         return cached[name]
 
     def noop_write(df):
@@ -134,11 +139,16 @@ def build_queries(spark, tmp):
         S.topk_cosine(emb, emb.filter(F.col("vec_id") < 10), k=5).collect()
 
     def windowed_events():
-        ev = load_parquet_nanos(spark, f"{SF_DIR}/events.parquet")
-        (
-            ev.groupBy(F.window(F.col("ts").cast("timestamp"), "5 minutes"), "event_type")
-            .agg(F.count("*"), F.sum("value"))
-            .collect()
+        # memory-resident like the other analytics rows (scan_events
+        # measures the read); noop sink like window_running — the 39k
+        # window-struct rows otherwise bill driver-side row pickling,
+        # not the engine (measured: collect 0.70s vs noop 0.27s)
+        ev = t("events")
+        noop_write(
+            ev.groupBy(
+                F.window(F.col("ts").cast("timestamp"), "5 minutes"),
+                "event_type",
+            ).agg(F.count("*"), F.sum("value"))
         )
 
     def sink_parquet():
