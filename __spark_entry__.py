@@ -859,6 +859,57 @@ def q_resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("key", "user_id")
 
 
+def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline — the composite proof that
+    the operator set composes into one Catalyst plan: Gopher quality
+    filter → exact dedup (min doc_id per content fingerprint) →
+    benchmark decontamination (drop ≥0.2 shingle overlap vs src0) →
+    32/24 token chunking → deterministic hash split. Output is
+    chunk-level (doc_id, chunk_id, n_chunk_tokens, split)."""
+    from pyspark.sql import Window as W
+
+    from parquet_editor_spark.functions import text as X
+    from parquet_editor_spark.operators import dedup as D
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+
+    toked = corpus.withColumn("__toks", X.tokens("text"))
+    t = F.col("__toks")
+    staged = toked.select(
+        "doc_id",
+        "text",
+        X.token_count("text", t).alias("__n"),
+        X.mean_word_length("text", t).alias("__mwl"),
+        X.distinct_token_ratio("text", t).alias("__dtr"),
+    )
+    quality = staged.filter(
+        X.gopher_keep(F.col("__n"), F.col("__mwl"), F.col("__dtr"))
+    )
+
+    w = W.partitionBy("__fp").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("__fp", X.fingerprint("text"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "text")
+    )
+
+    cont = D.contamination(deduped, bench, "doc_id", "text", n=3, threshold=0.2)
+    bad = cont.filter(F.col("contaminated")).select(
+        F.col("id").alias("doc_id")
+    )
+    clean = deduped.join(bad, "doc_id", "left_anti")
+
+    chunks = TP.chunk_documents(clean, "doc_id", "text", 32, 24).withColumnRenamed(
+        "id", "doc_id"
+    )
+    out = q.hash_split(chunks, "doc_id", method="portable")
+    return out.select("doc_id", "chunk_id", "n_chunk_tokens", "split")
+
+
 def q_resample_interp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily resample with LINEAR interpolation across gaps
     (nearest observed anchors via mirror-image ignore-null windows —
@@ -1550,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ffill_events": q_resample_ffill_events,
         "time_rollup_events": q_time_rollup_events,
         "resample_interp_events": q_resample_interp_events,
+        "pipeline_training_data": q_pipeline_training_data,
         "string_agg_nations": q_string_agg_nations,
         "full_outer_nation_actors": q_full_outer_nation_actors,
         "cross_join_grid": q_cross_join_grid,
@@ -2140,6 +2192,63 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "pipeline_training_data": """
+            WITH t AS (SELECT doc_id, text,
+                    list_filter(string_split_regex(text, '\\s+'),
+                                x -> x != '') AS toks
+                    FROM documents WHERE source != 'src0'),
+            m AS (SELECT doc_id, text, toks, len(toks) AS n,
+                    CAST(list_sum(list_transform(toks, x -> length(x)))
+                         AS DOUBLE) / len(toks) AS mwl,
+                    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                        AS dtr
+                  FROM t WHERE len(toks) > 0),
+            quality AS (SELECT doc_id, text, toks FROM m
+                        WHERE n >= 30 AND n <= 100000
+                          AND mwl >= 3.0 AND mwl <= 8.0 AND dtr >= 0.45),
+            deduped AS (SELECT doc_id, text, toks FROM (
+                        SELECT *, row_number() OVER (
+                            PARTITION BY md5(lower(regexp_replace(
+                                trim(text), '\\s+', ' ', 'g')))
+                            ORDER BY doc_id) AS rn
+                        FROM quality) WHERE rn = 1),
+            sh AS (SELECT doc_id,
+                    list_distinct([toks[i] || ' ' || toks[i+1] || ' '
+                                   || toks[i+2]
+                                   FOR i IN range(1, len(toks) - 1)]) AS s
+                   FROM deduped WHERE len(toks) >= 3),
+            bt AS (SELECT list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x != '') AS toks
+                   FROM documents WHERE source = 'src0'),
+            bsh AS (SELECT DISTINCT
+                        unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                                              || ' ' || toks[i+2]
+                                   FOR i IN range(1, len(toks) - 1)]))
+                            AS shingle
+                    FROM bt WHERE len(toks) >= 3),
+            cinv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            hits AS (SELECT doc_id, count(*) AS n_hit
+                     FROM cinv JOIN bsh USING (shingle) GROUP BY doc_id),
+            contam AS (SELECT s.doc_id FROM sh s JOIN hits h USING (doc_id)
+                       WHERE h.n_hit::DOUBLE / len(s.s) >= 0.2),
+            clean AS (SELECT doc_id, toks FROM deduped
+                      WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+            c AS (SELECT doc_id, toks,
+                         unnest(range(0, len(toks), 24)) AS start
+                  FROM clean),
+            chunks AS (SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id,
+                              CAST(least(32, len(toks) - start) AS INT)
+                                  AS n_chunk_tokens
+                       FROM c)
+            SELECT doc_id, chunk_id, n_chunk_tokens,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT *,
+                         ((doc_id % 1000003) * 2654435761 + 40503)
+                             % 4294967296 % 100 AS b
+                  FROM chunks)
         """,
         "string_agg_nations": """
             SELECT n_regionkey,

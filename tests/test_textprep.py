@@ -61,3 +61,22 @@ def test_label_centroids_matches_numpy(embeddings):
         want = mat[lab_arr == lab].astype(np.float64).mean(axis=0)
         for d in (1, 32, 64):
             assert got[(lab, d)] == pytest.approx(round(want[d - 1], 6), abs=2e-6)
+
+
+def test_pipeline_training_data_structure(spark, sf_dir):
+    """Composite pipeline: chunk-level output, unique (doc, chunk)
+    keys, valid splits, and strictly fewer surviving docs than the
+    raw corpus (quality + decontamination really drop rows)."""
+    import __spark_entry__ as M
+
+    out = M.queries()["pipeline_training_data"](spark, sf_dir).collect()
+    assert len(out) > 0
+    keys = [(r["doc_id"], r["chunk_id"]) for r in out]
+    assert len(keys) == len(set(keys))
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("source != 'src0'")
+        .count()
+    )
+    assert len({d for d, _ in keys}) < corpus
