@@ -350,3 +350,31 @@ def save_bucketed(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def load_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: Optional[str] = None,
+    max_bytes: Optional[int] = None,
+) -> DataFrame:
+    """Raw-file ingestion via Spark's built-in ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content) —
+    the front door for multimodal corpora (image/audio/video dumps)
+    before :mod:`operators.multimodal` wraps the bytes as typed
+    payloads.
+
+    Distributed by construction: files are listed and read by
+    executors (the driver never touches content), partitioned by
+    Spark's file-splitting over whole files. ``glob`` filters by
+    pattern (e.g. ``*.png``); ``max_bytes`` pushes a length filter so
+    oversized blobs never leave the scan."""
+    from pyspark.sql import functions as F
+
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

@@ -37,10 +37,19 @@ def attach_payload(
     df: DataFrame, source_col: str, media_type: str = "image", codec: str = "fake"
 ) -> DataFrame:
     """Wrap a source column's bytes as an opaque media payload +
-    typed metadata. ``encode`` is a JVM expression; the checksum is
-    md5 over the payload bytes (portable: Spark, DuckDB, hashlib all
-    agree on md5(utf8 bytes))."""
-    payload = F.encode(F.col(source_col), "UTF-8")
+    typed metadata. A string source is UTF-8 encoded; an
+    already-binary source (e.g. the ``binaryFile`` scan's ``content``)
+    passes through untouched. ``encode`` is a JVM expression; the
+    checksum is md5 over the payload bytes (portable: Spark, DuckDB,
+    hashlib all agree)."""
+    already_binary = isinstance(
+        df.schema[source_col].dataType, T.BinaryType
+    )
+    payload = (
+        F.col(source_col)
+        if already_binary
+        else F.encode(F.col(source_col), "UTF-8")
+    )
     return df.withColumn("payload", payload).withColumn(
         "meta",
         F.struct(

@@ -11,6 +11,13 @@ must agree wherever both are defined.
 Scale: file-source streams shard by file; the windowed aggs shuffle
 on (window, key) exactly like batch groupBy; watermarks bound state.
 ``applyInPandasWithState`` state is per-group and Arrow-batched.
+
+Spark 4's newer ``transformWithStateInPandas`` (RocksDB-backed
+multi-state API) is intentionally NOT used: its Python driver worker
+requires the ``protobuf`` package, absent from this runtime (probed:
+STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, ImportError
+google.protobuf.descriptor). ``applyInPandasWithState`` covers the
+same custom-stateful semantics here and is protobuf-free.
 """
 
 from __future__ import annotations

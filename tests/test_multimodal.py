@@ -75,3 +75,30 @@ def test_sample_frames_explodes(payloads):
 def test_real_codec_raises():
     with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
         MM._decode_real(b"bytes", "jpeg")
+
+
+def test_binary_dir_ingestion_to_payload(spark, tmp_path):
+    """binaryFile source → attach_payload → decode_meta: raw files on
+    disk become typed media payload rows with correct checksums; the
+    glob filter and length pushdown prune at the scan."""
+    import hashlib
+
+    from parquet_editor_spark import io as peio
+
+    blobs = {"a.png": b"\x89PNG fakebytes", "b.png": b"\x89PNG more", "c.txt": b"not media"}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    df = peio.load_binary_dir(spark, str(tmp_path), glob="*.png")
+    rows = df.select("path", "length", "content").collect()
+    assert {r["path"].rsplit("/", 1)[-1] for r in rows} == {"a.png", "b.png"}
+    payloads = MM.attach_payload(df, "content", media_type="image", codec="fake")
+    got = {
+        r["meta"]["checksum"]
+        for r in payloads.select("meta").collect()
+    }
+    assert got == {
+        hashlib.md5(blobs["a.png"]).hexdigest(),
+        hashlib.md5(blobs["b.png"]).hexdigest(),
+    }
+    capped = peio.load_binary_dir(spark, str(tmp_path), glob="*.png", max_bytes=12)
+    assert capped.count() == 1
