@@ -378,3 +378,18 @@ def load_binary_dir(
     if max_bytes is not None:
         df = df.filter(F.col("length") <= max_bytes)
     return df
+
+
+def load_text(
+    spark: SparkSession,
+    path: str,
+    whole: bool = False,
+    line_sep: Optional[str] = None,
+) -> DataFrame:
+    """Raw text ingestion via Spark's ``text`` source: one row per
+    line (``value``), or one row per FILE with ``whole=True``
+    (wholetext — the shape a document corpus wants before tokenize/
+    quality/dedup). Splittable by line in the default mode, so a
+    single giant file still parallelizes; wholetext files are atomic
+    rows and parallelize across files."""
+    return spark.read.text(path, wholetext=whole, lineSep=line_sep)

@@ -131,3 +131,13 @@ def test_clustered_write_disjoint_file_ranges(spark, lineitem, tmp_path):
         assert a_max <= b_min
     back = peio.load(spark, p)
     assert back.count() == lineitem.count()
+
+
+def test_text_source_lines_and_wholetext(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("l1\nl2\nl3")
+    (tmp_path / "b.txt").write_text("single doc body")
+    lines = peio.load_text(spark, str(tmp_path))
+    assert lines.count() == 4 and lines.columns == ["value"]
+    docs = peio.load_text(spark, str(tmp_path), whole=True)
+    got = sorted(r["value"] for r in docs.collect())
+    assert got == ["l1\nl2\nl3", "single doc body"]
