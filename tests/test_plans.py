@@ -163,3 +163,36 @@ def test_q5_star_join_broadcasts_dims(spark, sf_dir):
     df = M.queries()["q5_local_supplier_revenue"](spark, sf_dir)
     assert P.has_broadcast_join(df)
     assert not P.has_single_partition_exchange(df)
+
+
+def test_q3_plans_take_ordered_not_global_sort(spark, sf_dir):
+    """TPC-H Q3's top-10 must plan as TakeOrderedAndProject — a global
+    orderBy+limit that materializes the full sort is the anti-pattern
+    at 100 TB."""
+    import __spark_entry__ as M
+
+    df = M.queries()["q3_shipping_priority"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert P.has_broadcast_join(df)
+
+
+def test_incremental_dedup_plans_window_group_limit(spark, sf_dir):
+    """The within-batch keeper must push a partial WindowGroupLimit
+    below the exchange (only one row per fingerprint shuffles)."""
+    import __spark_entry__ as M
+
+    df = M.queries()["incremental_dedup"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert not P.has_single_partition_exchange(df)
+
+
+def test_resample_grid_no_single_partition(spark, sf_dir):
+    """The dense per-key calendar explodes distributed — no global
+    sort / single-partition funnel anywhere in the resample plan."""
+    import __spark_entry__ as M
+
+    for name in ("resample_ffill_events", "resample_interp_events"):
+        df = M.queries()[name](spark, sf_dir)
+        assert not P.has_single_partition_exchange(df), name

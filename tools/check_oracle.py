@@ -8,6 +8,7 @@ Usage: python tools/check_oracle.py [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -16,7 +17,7 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
