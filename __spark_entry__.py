@@ -853,10 +853,24 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily resample of event values with gap densification
     and forward fill — the dense grid explodes per key (distributed,
-    no driver calendar), gaps keep v_obs NULL and carry v_fill."""
-    ev = _t(spark, sf_dir, "events")
-    out = q.resample_ffill(ev, "user_id", "ts", "value", unit="day")
-    return out.withColumnRenamed("key", "user_id")
+    no driver calendar), gaps keep v_obs NULL and carry v_fill.
+
+    The bucket average runs over exact integer cents (values are
+    2-decimal): a double-sum average is order-sensitive in its last
+    ulp, and at sf0.1 two buckets land exactly on the round-half
+    boundary where Spark and DuckDB then disagree. An integer sum is
+    associative, so the pre-round double is bit-identical on both
+    engines and the rounding tie resolves identically."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    out = q.resample_ffill(ev, "user_id", "ts", "value_c", unit="day")
+    return out.select(
+        F.col("key").alias("user_id"),
+        "bucket",
+        F.round(F.col("v_obs") / 100, 6).alias("v_obs"),
+        F.round(F.col("v_fill") / 100, 6).alias("v_fill"),
+    )
 
 
 def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,10 +927,18 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_resample_interp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily resample with LINEAR interpolation across gaps
     (nearest observed anchors via mirror-image ignore-null windows —
-    one sort serves both directions)."""
-    ev = _t(spark, sf_dir, "events")
-    out = q.resample_interp(ev, "user_id", "ts", "value", unit="day")
-    return out.withColumnRenamed("key", "user_id")
+    one sort serves both directions). Exact-cents aggregation for the
+    same reason as q_resample_ffill_events."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    out = q.resample_interp(ev, "user_id", "ts", "value_c", unit="day")
+    return out.select(
+        F.col("key").alias("user_id"),
+        "bucket",
+        F.round(F.col("v_obs") / 100, 6).alias("v_obs"),
+        F.round(F.col("v_interp") / 100, 6).alias("v_interp"),
+    )
 
 
 def q_string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2258,7 +2280,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "resample_interp_events": """
             WITH obs AS (SELECT user_id, date_trunc('day', ts) AS bucket,
-                                round(avg(value), 4) AS v
+                                round(avg(cast(round(value * 100, 0)
+                                               AS BIGINT)), 4) AS v
                          FROM events GROUP BY 1, 2),
             bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
                        FROM obs GROUP BY user_id),
@@ -2288,10 +2311,10 @@ def oracle_sql() -> dict[str, str]:
                             wf AS (PARTITION BY user_id ORDER BY bucket
                                    ROWS BETWEEN CURRENT ROW
                                        AND UNBOUNDED FOLLOWING))
-            SELECT user_id, bucket, v AS v_obs,
-                   CASE WHEN v IS NOT NULL THEN v
-                        ELSE ((pm * (nt - t) + nm * (t - pt)) // (nt - pt))
-                             / 10000.0 END AS v_interp
+            SELECT user_id, bucket, round(v / 100, 6) AS v_obs,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                         ELSE ((pm * (nt - t) + nm * (t - pt)) // (nt - pt))
+                              / 10000.0 END / 100, 6) AS v_interp
             FROM anch
         """,
         "time_rollup_events": """
@@ -2310,7 +2333,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "resample_ffill_events": """
             WITH obs AS (SELECT user_id, date_trunc('day', ts) AS bucket,
-                                round(avg(value), 4) AS v
+                                round(avg(cast(round(value * 100, 0)
+                                               AS BIGINT)), 4) AS v
                          FROM events GROUP BY 1, 2),
             bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
                        FROM obs GROUP BY user_id),
@@ -2321,9 +2345,10 @@ def oracle_sql() -> dict[str, str]:
             j AS (SELECT g.user_id, g.bucket, o.v
                   FROM grid g LEFT JOIN obs o
                     ON g.user_id = o.user_id AND g.bucket = o.bucket)
-            SELECT user_id, bucket, v AS v_obs,
-                   last_value(v IGNORE NULLS) OVER
-                       (PARTITION BY user_id ORDER BY bucket) AS v_fill
+            SELECT user_id, bucket, round(v / 100, 6) AS v_obs,
+                   round(last_value(v IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY bucket) / 100, 6)
+                       AS v_fill
             FROM j
         """,
         "left_join_order_counts": """
