@@ -445,8 +445,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive polynomial rolling hash (aggregate expression,
-    no UDF). Rows-only: DuckDB lacks a fold with struct accumulator;
-    differential-tested in tests/test_text.py."""
+    no UDF). Oracle: DuckDB ``list_reduce`` over ``{h, p}`` struct
+    elements reproduces the fold exactly (also differential-tested in
+    tests/test_text.py)."""
     from parquet_editor_spark.functions import text as X
 
     docs = _t(spark, sf_dir, "documents")
@@ -2123,6 +2124,23 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hit, 0)::DOUBLE / c.sz >= 0.2
                        AS contaminated
             FROM corpus c LEFT JOIN hits h USING (doc_id)
+        """,
+        "doc_rolling_hash": """
+            WITH t AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\\s+'),
+                                x -> x != '') AS toks
+                    FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN 0 ELSE
+                       list_reduce(
+                           list_transform(toks, w ->
+                               {h: CAST(length(w) AS BIGINT),
+                                p: CAST(31 AS BIGINT)}),
+                           (acc, x) -> {h: (acc.h + x.h * acc.p)
+                                            % 1000000007,
+                                        p: (acc.p * x.p) % 1000000007}).h
+                   END AS rhash
+            FROM t
         """,
         "boilerplate_shingles": """
             WITH t AS (SELECT doc_id,
