@@ -434,10 +434,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming≤3 pairs via pigeonhole block join. No SQL
-    oracle (hash function not portable to DuckDB) — rows-only check;
-    differential-tested against an independent Python implementation
-    in tests/test_dedup.py."""
+    """SimHash Hamming≤3 pairs via pigeonhole block join. The word
+    hash is the first 8 bytes of md5 (big-endian unsigned), which is
+    bit-identical in DuckDB (`'0x' || substr(md5(w),1,16)` cast to
+    UBIGINT) — so the full vote/sign/pair pipeline has an exact SQL
+    oracle; also differential-tested against an independent Python
+    implementation in tests/test_dedup.py."""
     from parquet_editor_spark.operators import dedup as D
 
     return D.simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", 3)
@@ -556,8 +558,9 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode stage over binary payloads (deterministic fake codec;
-    real Arrow batch plumbing). Rows-only — the fake decoder has no
-    SQL equivalent; differential-tested in tests/test_multimodal.py."""
+    real Arrow batch plumbing). The fake decoder is md5-byte
+    arithmetic, so it has an exact SQL oracle (hex-pair extraction);
+    also differential-tested in tests/test_multimodal.py."""
     from parquet_editor_spark.operators import multimodal as MM
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2124,6 +2127,45 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hit, 0)::DOUBLE / c.sz >= 0.2
                        AS contaminated
             FROM corpus c LEFT JOIN hits h USING (doc_id)
+        """,
+        "multimodal_decode": """
+            SELECT doc_id,
+                   16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 1024
+                       AS width,
+                   16 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 1024
+                       AS height,
+                   1 + CAST('0x' || substr(md5(text), 5, 2) AS INT) % 4
+                       AS channels
+            FROM documents
+        """,
+        "dedup_simhash": """
+            WITH w AS (SELECT doc_id,
+                    unnest(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x != '')) AS word
+                    FROM documents),
+            h AS (SELECT doc_id,
+                         CAST('0x' || substr(md5(word), 1, 16) AS UBIGINT)
+                             AS hv
+                  FROM w),
+            bits AS (SELECT doc_id, b,
+                        sum(CASE WHEN (hv >> b) & 1 = 1
+                                 THEN 1 ELSE -1 END) AS vote
+                     FROM h CROSS JOIN (SELECT unnest(range(64)) AS b)
+                     GROUP BY doc_id, b),
+            fp AS (SELECT doc_id,
+                       CAST(sum(CASE WHEN vote > 0
+                                     THEN (1::HUGEINT << CAST(b AS INT))
+                                     ELSE 0::HUGEINT END)
+                            - CASE WHEN max(CASE WHEN vote > 0 AND b = 63
+                                                 THEN 1 ELSE 0 END) = 1
+                                   THEN (1::HUGEINT << 64)
+                                   ELSE 0::HUGEINT END
+                            AS BIGINT) AS f
+                   FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f, b.f)) <= 3
         """,
         "doc_rolling_hash": """
             WITH t AS (SELECT doc_id,
