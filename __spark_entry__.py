@@ -877,6 +877,18 @@ def q_resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixing: downweight the overrepresented
+    language (en → 30%) via a pure id-hash bucket — reproducible
+    across runs/engines, unlike Bernoulli sampleBy (which keeps its
+    own rows-only entry)."""
+    docs = _t(spark, sf_dir, "documents")
+    fr = {"en": 0.3, "zh": 0.8, "es": 0.8, "de": 0.8, "fr": 0.8}
+    return q.stratified_sample_hash(docs, "lang", "doc_id", fr).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-data pipeline — the composite proof that
     the operator set composes into one Catalyst plan: Gopher quality
@@ -1628,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup_events": q_time_rollup_events,
         "resample_interp_events": q_resample_interp_events,
         "pipeline_training_data": q_pipeline_training_data,
+        "stratified_sample_hash": q_stratified_sample_hash,
         "string_agg_nations": q_string_agg_nations,
         "full_outer_nation_actors": q_full_outer_nation_actors,
         "cross_join_grid": q_cross_join_grid,
@@ -2274,6 +2287,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "stratified_sample_hash": """
+            SELECT doc_id, lang, source FROM (
+                SELECT *, ((doc_id % 1000003) * 2654435761 + 40503)
+                              % 4294967296 % 1000 AS b
+                FROM documents)
+            WHERE (lang = 'en' AND b < 300)
+               OR (lang = 'zh' AND b < 800)
+               OR (lang = 'es' AND b < 800)
+               OR (lang = 'de' AND b < 800)
+               OR (lang = 'fr' AND b < 800)
         """,
         "pipeline_training_data": """
             WITH t AS (SELECT doc_id, text,

@@ -659,3 +659,31 @@ def time_rollup(
         "val",
         "n",
     )
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict,
+    seed: int = 40503,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff a pure hash
+    of its id falls under its stratum's per-mille bucket — the
+    reproducible sibling of :func:`stratified_sample` (``sampleBy``).
+    Where Bernoulli sampling re-draws on every run and engine, this
+    assignment is a pure function of (id, seed): it survives
+    reprocessing, joins across pipeline runs, and is differential-
+    checkable value-for-value. Same multiplicative-hash bucket as
+    ``hash_split(method="portable")``.
+    """
+    bucket = (
+        (F.col(id_col) % F.lit(1_000_003)) * F.lit(2654435761) + F.lit(seed)
+    ) % F.lit(4294967296) % F.lit(1000)
+    keep = None
+    for stratum, frac in fractions.items():
+        cond = (F.col(strata_col) == stratum) & (
+            bucket < F.lit(int(round(frac * 1000)))
+        )
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep)

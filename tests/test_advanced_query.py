@@ -196,3 +196,23 @@ def test_resample_interp_linear_values(spark):
         "2024-03-03": (None, 30.0),
         "2024-03-04": (40.0, 40.0),
     }
+
+
+def test_stratified_sample_hash_rates_and_determinism(documents):
+    fr = {"en": 0.3, "zh": 0.8}
+    a = q.stratified_sample_hash(documents, "lang", "doc_id", fr)
+    b = q.stratified_sample_hash(documents, "lang", "doc_id", fr)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    assert ra == sorted(r["doc_id"] for r in b.collect())  # pure function
+    counts = {
+        r["lang"]: r["n"]
+        for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) <= {"en", "zh"}
+    for lang, frac in fr.items():
+        got = counts.get(lang, 0) / totals[lang]
+        assert abs(got - frac) < 0.25  # hash-uniformity tolerance at 500 docs
