@@ -393,3 +393,13 @@ def load_text(
     single giant file still parallelizes; wholetext files are atomic
     rows and parallelize across files."""
     return spark.read.text(path, wholetext=whole, lineSep=line_sep)
+
+
+def load_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution scan: a long-lived dataset grows columns over
+    time, so different parquet files carry different (compatible)
+    schemas. ``mergeSchema`` unions the footers — files written before
+    a column existed read it as NULL. Off by default in Spark because
+    footer-merging costs a pass over file metadata at planning time;
+    turn it on per-read here, not globally."""
+    return spark.read.option("mergeSchema", True).parquet(path)

@@ -141,3 +141,19 @@ def test_text_source_lines_and_wholetext(spark, tmp_path):
     docs = peio.load_text(spark, str(tmp_path), whole=True)
     got = sorted(r["value"] for r in docs.collect())
     assert got == ["l1\nl2\nl3", "single doc body"]
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """v1 files lack the column added in v2 — the merged scan unions
+    schemas and backfills NULL for pre-evolution rows."""
+    p = str(tmp_path / "evolving.parquet")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(
+        f"{p}/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    ).write.parquet(f"{p}/batch=2")
+    df = peio.load_parquet_evolved(spark, p)
+    assert set(df.columns) >= {"id", "s", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
