@@ -1024,6 +1024,20 @@ def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.crossJoin(r)
 
 
+def q_correlated_min_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: rows matching their group's minimum (cheapest
+    supplier per nation). The correlated scalar subquery decorrelates
+    into a broadcast aggregate joined back — per-group ties all
+    surface (set semantics), identically on both engines."""
+    s = _t(spark, sf_dir, "supplier")
+    mins = s.groupBy("s_nationkey").agg(F.min("s_acctbal").alias("__min"))
+    return (
+        s.join(F.broadcast(mins), "s_nationkey")
+        .filter(F.col("s_acctbal") == F.col("__min"))
+        .select("s_nationkey", "s_suppkey", "s_acctbal")
+    )
+
+
 def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-busting salted fact-fact join: every left key splits into
     4 deterministic sub-keys and the right side replicates per salt,
@@ -1634,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_lang_sets": q_collect_lang_sets,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "q3_shipping_priority": q_q3_shipping_priority,
+        "correlated_min_suppliers": q_correlated_min_suppliers,
         "salted_join_revenue": q_salted_join_revenue,
         "left_join_order_counts": q_left_join_order_counts,
         "resample_ffill_events": q_resample_ffill_events,
@@ -2279,6 +2294,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderdate, l_orderkey
             LIMIT 10
+        """,
+        "correlated_min_suppliers": """
+            SELECT s_nationkey, s_suppkey, s_acctbal
+            FROM supplier s
+            WHERE s_acctbal = (SELECT min(s2.s_acctbal)
+                               FROM supplier s2
+                               WHERE s2.s_nationkey = s.s_nationkey)
         """,
         "salted_join_revenue": """
             SELECT o_orderpriority,
