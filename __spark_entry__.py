@@ -1024,6 +1024,45 @@ def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.crossJoin(r)
 
 
+def q_q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bi-directional trade volume between two nations
+    by ship year — supplier nation × customer nation pair filter
+    pushed through two broadcast dimension joins, year() extraction,
+    symmetric OR predicate."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), supplier.s_nationkey == F.col("sk"))
+        .join(F.broadcast(cn), customer.c_nationkey == F.col("ck"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def q_correlated_min_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: rows matching their group's minimum (cheapest
     supplier per nation). The correlated scalar subquery decorrelates
@@ -1649,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "q3_shipping_priority": q_q3_shipping_priority,
         "correlated_min_suppliers": q_correlated_min_suppliers,
+        "q7_nation_trade_volume": q_q7_nation_trade_volume,
         "salted_join_revenue": q_salted_join_revenue,
         "left_join_order_counts": q_left_join_order_counts,
         "resample_ffill_events": q_resample_ffill_events,
@@ -2294,6 +2334,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderdate, l_orderkey
             LIMIT 10
+        """,
+        "q7_nation_trade_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+               OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+            GROUP BY supp_nation, cust_nation, l_year
         """,
         "correlated_min_suppliers": """
             SELECT s_nationkey, s_suppkey, s_acctbal
