@@ -280,10 +280,12 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # NTZ → epoch seconds: via session-tz timestamp (pinned UTC)
-    sec = F.col("ts").cast("timestamp").cast("long")
-    prev = F.lag(sec).over(w)
-    start = F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0)
+    # tz-independent gap rule: diff the NTZ values directly (never route
+    # an oracle-checked query through a tz-interpreting cast — the driver
+    # session's timezone is not ours to pin).
+    prev = F.lag("ts").over(w)
+    gap = (F.col("ts") - prev) > F.expr("INTERVAL 1800 SECONDS")
+    start = F.when(prev.isNull() | gap, 1).otherwise(0)
     return (
         ev.withColumn("s", start)
         .groupBy("user_id")
@@ -1858,11 +1860,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT user_id,
                        CASE WHEN prev IS NULL
-                                 OR (CAST(floor(epoch(ts)) AS BIGINT) - prev) > 1800
+                                 OR (ts - prev) > INTERVAL '1800 seconds'
                             THEN 1 ELSE 0 END AS s
                 FROM (
                     SELECT user_id, ts,
-                           lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                           lag(ts) OVER (
                                PARTITION BY user_id ORDER BY ts, event_id) AS prev
                     FROM events) t1) t2
             GROUP BY user_id
@@ -2050,11 +2052,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT user_id,
                        CASE WHEN prev IS NULL
-                                 OR (CAST(floor(epoch(ts)) AS BIGINT) - prev) > 1800
+                                 OR (ts - prev) > INTERVAL '1800 seconds'
                             THEN 1 ELSE 0 END AS s
                 FROM (
                     SELECT user_id, ts,
-                           lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                           lag(ts) OVER (
                                PARTITION BY user_id ORDER BY ts, event_id) AS prev
                     FROM events) t1) t2
             GROUP BY user_id

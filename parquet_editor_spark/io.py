@@ -247,8 +247,14 @@ def load_parquet_nanos(spark: SparkSession, path: str) -> DataFrame:
     if dict(df.dtypes).get("ts") == "bigint":
         # cast to NTZ to match Spark's default parquet timestamp mapping
         # (other tables' timestamps arrive as timestamp_ntz)
+        # wall-clock arithmetic, NOT cast("timestamp_ntz"): the cast goes
+        # through the session timezone, which an external driver controls
         df = df.withColumn(
-            "ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts DIV 1000,"
+                " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+            ),
         )
     return df
 

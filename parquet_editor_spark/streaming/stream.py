@@ -28,37 +28,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: explicit schema for the events file stream (file sources require
-#: one). ts arrives as epoch-nanos LongType under the nanosAsLong
-#: bridge (see io.load_parquet_nanos) and is converted below.
-EVENTS_NANOS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+#: Timezone-independent NTZ↔TIMESTAMP bridge. Watermarks/windows need
+#: TIMESTAMP; the data is wall-clock TIMESTAMP_NTZ. A plain cast between
+#: the two goes through the SESSION timezone — correct only under a UTC
+#: pin we don't control when an external driver owns the SparkSession.
+#: Instead interpret the NTZ wall clock AS the UTC epoch (explicit
+#: wall-clock arithmetic both ways); the round trip is exact under any
+#: session timezone.
+_NTZ_EPOCH = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+
+
+def ntz_as_utc_ts(col: str):
+    """TIMESTAMP_NTZ → TIMESTAMP carrying the same wall-clock instant,
+    independent of ``spark.sql.session.timeZone``."""
+    return F.expr(
+        f"timestamp_micros(timestampdiff(MICROSECOND, {_NTZ_EPOCH}, {col}))"
+    )
+
+
+def ts_as_ntz(col: str):
+    """Inverse of :func:`ntz_as_utc_ts` (also session-tz independent)."""
+    return F.expr(f"timestampadd(MICROSECOND, unix_micros({col}), {_NTZ_EPOCH})")
 
 
 def read_events_stream(spark: SparkSession, path_or_dir: str) -> DataFrame:
     """readStream over events parquet (finite source for tests; the
-    same pipeline takes Kafka/file-arrival sources in production)."""
+    same pipeline takes Kafka/file-arrival sources in production).
+
+    The file stream requires an explicit schema; peek it from a batch
+    read so the source adapts to how the fixture stores ``ts`` —
+    TIMESTAMP(NANOS) int64 (under the nanosAsLong bridge, see
+    io.load_parquet_nanos) or plain TIMESTAMP_NTZ micros. Either way
+    the returned ``ts`` is a TIMESTAMP built by epoch arithmetic, never
+    a session-tz cast."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_NANOS_SCHEMA).format("parquet")
+    batch_schema = spark.read.parquet(path_or_dir).schema
+    reader = spark.readStream.schema(batch_schema).format("parquet")
     if os.path.isfile(path_or_dir):
         # file sources stream DIRECTORIES; narrow to the one file
         reader = reader.option("pathGlobFilter", os.path.basename(path_or_dir))
         path_or_dir = os.path.dirname(path_or_dir)
     stream = reader.load(path_or_dir)
-    # watermarks require TIMESTAMP (tz-adjusted), not NTZ — with the
-    # session pinned to UTC the values are equivalent; output edges
-    # cast window bounds back to NTZ for oracle comparability
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":  # epoch-nanos long
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return stream.withColumn("ts", ntz_as_utc_ts("ts"))
 
 
 def windowed_counts(
@@ -76,7 +92,7 @@ def windowed_counts(
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .select(
-            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            ts_as_ntz("w.start").alias("window_start"),
             "event_type",
             "n",
             "sum_value",
@@ -97,7 +113,7 @@ def sliding_counts(
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
         .select(
-            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            ts_as_ntz("w.start").alias("window_start"),
             "event_type",
             "n",
         )
@@ -121,7 +137,7 @@ def sessionize_stateful(
     )
     state_schema = T.StructType(
         [
-            T.StructField("last_sec", T.LongType()),
+            T.StructField("last_us", T.LongType()),
             T.StructField("n_sessions", T.LongType()),
             T.StructField("n_events", T.LongType()),
         ]
@@ -131,24 +147,35 @@ def sessionize_stateful(
         import pandas as pd
 
         (user_id,) = key
-        last_sec, n_sessions, n_events = (
+        last_us, n_sessions, n_events = (
             state.get if state.exists else (None, 0, 0)
         )
+        gap_us = gap_seconds * 1_000_000
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["ts", "event_id"])
-        for ts in rows["ts"]:
-            sec = int(ts.timestamp())
-            if last_sec is None or sec - last_sec > gap_seconds:
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for us in rows["ts_us"]:
+            us = int(us)
+            if last_us is None or us - last_us > gap_us:
                 n_sessions += 1
-            last_sec = sec
+            last_us = us
             n_events += 1
-        state.update((last_sec, n_sessions, n_events))
+        state.update((last_us, n_sessions, n_events))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
         )
 
+    # Timestamps must NOT cross the applyInPandasWithState Arrow boundary:
+    # that path shifts values by the session timezone and re-reads the
+    # microsecond payload as nanoseconds (observed on Spark 4.1 — the
+    # root cause of a driver-vs-local hash divergence). unix_micros on the
+    # epoch-based TIMESTAMP is pure integer extraction — no session-tz
+    # cast — so the stateful operator only ever sees a plain long.
     return (
-        events.select("user_id", "ts", "event_id")
+        events.select(
+            "user_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            "event_id",
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", "NoTimeout"
@@ -172,7 +199,7 @@ def session_window_counts(
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            ts_as_ntz("w.start").alias("session_start"),
             "n_events",
         )
     )
@@ -219,8 +246,8 @@ def followed_by_join(
         F.col("a_user").alias("user_id"),
         "first_id",
         "then_id",
-        F.col("a_ts").cast("timestamp_ntz").alias("first_ts"),
-        F.col("b_ts").cast("timestamp_ntz").alias("then_ts"),
+        ts_as_ntz("a_ts").alias("first_ts"),
+        ts_as_ntz("b_ts").alias("then_ts"),
     )
 
 

@@ -60,7 +60,17 @@ def main(only: list[str]) -> int:
     import __spark_entry__ as entry_mod
     from parquet_editor_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-check")
+    # ORACLE_TZ / ORACLE_PARTITIONS simulate the driver's session, whose
+    # timezone and parallelism we do not control: every query must hash-
+    # match the oracle under ANY session tz and shuffle width.
+    extra = {}
+    if os.environ.get("ORACLE_TZ"):
+        extra["spark.sql.session.timeZone"] = os.environ["ORACLE_TZ"]
+    spark = get_spark(
+        app_name="oracle-check",
+        shuffle_partitions=int(os.environ.get("ORACLE_PARTITIONS", "0")) or None,
+        extra_conf=extra,
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
