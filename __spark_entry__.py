@@ -28,6 +28,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _revenue_exact() -> "F.Column":
+    """``round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                         / 10000.0, 2)`` over exact
+    integer 10^-4 currency units. The true revenue is a multiple of
+    1e-4, so it CAN land exactly on the .005 round-half boundary where
+    the last-ulp error of an order-sensitive double sum decides the
+    rounding — integer sums are associative and the pre-round double is
+    bit-identical on both engines. SQL mirror: ``_SQL_REVENUE``."""
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return F.round(F.sum(pc * (100 - dc)) / 10000.0, 2)
+
+
+#: DuckDB mirror of :func:`_revenue_exact` (same operation order).
+_SQL_REVENUE = (
+    "round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2)"
+)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -80,18 +101,31 @@ def _pivot_oracle(fn_sql: str, round_to=2) -> str:
 
 def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: group-by two keys, multiple aggregates —
-    Catalyst plans partial (map-side) + final aggregation."""
+    Catalyst plans partial (map-side) + final aggregation.
+
+    avg_disc and sum_disc_price run over exact integer units (cents /
+    10^-4 currency units): a double-sum is order-sensitive in its last
+    ulp, and their true values can land exactly on a round-half
+    boundary, where Spark and DuckDB then disagree depending on
+    partial-sum order. Integer sums are associative, so the pre-round
+    double is bit-identical on both engines. sum_qty/sum_base_price
+    are safe as-is: their true sums are multiples of the rounding unit,
+    never at a tie."""
     li = _t(spark, sf_dir, "lineitem")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dc = F.round(F.col("l_discount") * 100, 0).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .withColumn("pc", pc)
+        .withColumn("dc", dc)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("pc") * (100 - F.col("dc"))) / 10000.0, 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum("dc") / (100.0 * F.count("*")), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -245,10 +279,12 @@ def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.withColumn("k", F.from_json("props", "k INT").getField("k"))
+        .withColumn("vc", F.round(F.col("value") * 100, 0).cast("long"))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # exact-cents average: double-sum order flips round-half ties
+            F.round(F.sum("vc") / (100.0 * F.count("*")), 4).alias("avg_value"),
             F.sum("k").alias("sum_k"),
         )
     )
@@ -607,18 +643,29 @@ def q_cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_supplier_acct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stddev/avg aggregate whitelist coverage (SURVEY.md §2.4)."""
-    return q.group_agg(
-        _t(spark, sf_dir, "supplier"),
-        ["s_nationkey"],
-        [
-            ("s_acctbal", "stddev", "sd_bal"),
-            ("s_acctbal", "mean", "avg_bal"),
-            ("s_acctbal", "count", "n"),
-        ],
-    ).select(
-        "s_nationkey", F.round("sd_bal", 4).alias("sd_bal"),
-        F.round("avg_bal", 4).alias("avg_bal"), "n",
+    """stddev/avg aggregate whitelist coverage (SURVEY.md §2.4).
+
+    Exact integer moments over cents (sum, sum-of-squares as
+    associative integer aggregates; one double formula at the edge,
+    written identically to the oracle SQL): double avg/stddev are
+    partial-sum-order-sensitive and flip round-half ties."""
+    sup = _t(spark, sf_dir, "supplier").withColumn(
+        "bc", F.round(F.col("s_acctbal") * 100, 0).cast("long")
+    )
+    n = F.count("s_acctbal")
+    nn = n.cast("double")
+    S = F.sum("bc").cast("double")
+    S2 = F.sum((F.col("bc") * F.col("bc")).cast("decimal(38,0)")).cast("double")
+    return sup.groupBy("s_nationkey").agg(
+        F.round(
+            F.when(
+                n > 1,
+                F.sqrt((nn * S2 - S * S) / (nn * (nn - F.lit(1.0)))) / 100.0,
+            ),
+            4,
+        ).alias("sd_bal"),
+        F.round(S / (100.0 * nn), 4).alias("avg_bal"),
+        n.alias("n"),
     )
 
 
@@ -819,9 +866,7 @@ def q_q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _revenue_exact().alias("revenue"),
             F.count("*").alias("n"),
         )
     )
@@ -845,9 +890,7 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _revenue_exact().alias("revenue")
         )
         .orderBy(
             F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
@@ -1057,9 +1100,7 @@ def q_q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _revenue_exact().alias("revenue"),
             F.count("*").alias("n"),
         )
     )
@@ -1090,9 +1131,7 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = q.salted_join(li, orders, "l_orderkey", n_salts=4)
     return joined.groupBy("o_orderpriority").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        _revenue_exact().alias("revenue"),
         F.count("*").alias("n"),
     )
 
@@ -1237,13 +1276,21 @@ def q_exists_high_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery: orders above the global average price —
-    planned as a broadcast of the 1-row aggregate, not a cross join."""
+    planned as a broadcast of the 1-row aggregate, not a cross join.
+
+    The threshold and the displayed average run over exact integer
+    cents: a double-sum average is order-sensitive in its last ulp, so
+    both the `> avg` comparison (for a price within an ulp of the
+    mean) and the rounded output could flip with partial-sum order."""
     _views(spark, sf_dir, "orders")
     return spark.sql(
-        """SELECT o_orderstatus, count(*) AS n,
-                  round(avg(o_totalprice), 2) AS avg_price
-           FROM v_orders
-           WHERE o_totalprice > (SELECT avg(o_totalprice) FROM v_orders)
+        """WITH o AS (SELECT o_orderstatus,
+                             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+                      FROM v_orders)
+           SELECT o_orderstatus, count(*) AS n,
+                  round(sum(pc) / (100.0 * count(*)), 2) AS avg_price
+           FROM o
+           WHERE pc > (SELECT sum(pc) / (1.0 * count(*)) FROM o)
            GROUP BY o_orderstatus"""
     )
 
@@ -1383,29 +1430,15 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * F.round(F.col("l_discount") * 100, 0).cast("long")
+            )
+            / 10000.0,
+            2,
+        ).alias("revenue"),
         F.count("*").alias("n"),
-    )
-
-
-def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join + grouped revenue + top-10."""
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
-        .limit(10)
     )
 
 
@@ -1463,14 +1496,22 @@ def q_range_join_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide→long unpivot + per-measure aggregate."""
+    """Wide→long unpivot + per-measure aggregate. The averages run
+    over exact integer cents (values are ≤2-decimal): a double-sum
+    average is partial-sum-order-sensitive and flips round-half
+    ties."""
     li = _t(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_discount", "l_tax"]
+    cents = li.select(
+        "l_orderkey", "l_linenumber",
+        *[F.round(F.col(c) * 100, 0).cast("long").alias(c) for c in measures],
+    )
     long = q.unpivot(
-        li, ["l_orderkey", "l_linenumber"],
-        ["l_quantity", "l_discount", "l_tax"], "measure", "value",
+        cents, ["l_orderkey", "l_linenumber"], measures, "measure", "value"
     )
     return long.groupBy("measure").agg(
-        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+        F.count("*").alias("n"),
+        F.round(F.sum("value") / (100.0 * F.count("*")), 6).alias("avg_value"),
     )
 
 
@@ -1483,9 +1524,14 @@ def q_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column summary stats (count/mean/stddev/min/max) as rows."""
+    """Column summary stats (count/mean/stddev/min/max) as rows —
+    exact-integer-moment mode (unit_scale=100): the columns are
+    cents-exact and double mean/stddev flip round-half ties with
+    partial-sum order."""
     return q.describe_stats(
-        _t(spark, sf_dir, "lineitem"), ["l_quantity", "l_extendedprice", "l_discount"]
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        unit_scale=100,
     )
 
 
@@ -1617,7 +1663,7 @@ _ORACLE_LSH_PAIRS = """
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "pivot_mean": _pivot("mean"),
+        "pivot_mean": _pivot("mean_exact_cents"),
         "pivot_sum": _pivot("sum"),
         "pivot_count": _pivot("count", round_to=None),
         "pivot_max": _pivot("max", round_to=None),
@@ -1672,7 +1718,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plot_line_series": q_plot_line_series,
         "approx_stats": q_approx_stats,
         "q6_forecast_revenue": q_q6_forecast_revenue,
-        "q3_shipping_priority": q_q3_shipping_priority,
         "embedding_quantize": q_embedding_quantize,
         "normalize_text": q_normalize_text,
         "stratified_sample": q_stratified_sample,
@@ -1728,7 +1773,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "pivot_mean": _pivot_oracle("avg"),
+        # exact-cents mean (see operators.query._mean_exact_cents)
+        "pivot_mean": (
+            "SELECT l_returnflag, "
+            "round(CAST(sum(CASE WHEN l_linestatus='F' THEN "
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT) END) AS DOUBLE) "
+            "/ (100.0 * count(CASE WHEN l_linestatus='F' "
+            "THEN l_extendedprice END)), 2) AS F, "
+            "round(CAST(sum(CASE WHEN l_linestatus='O' THEN "
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT) END) AS DOUBLE) "
+            "/ (100.0 * count(CASE WHEN l_linestatus='O' "
+            "THEN l_extendedprice END)), 2) AS O "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
         "pivot_sum": _pivot_oracle("sum"),
         "pivot_count": (
             "SELECT l_returnflag, "
@@ -1742,10 +1799,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
                    round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   round(sum(pc * (100 - dc)) / 10000.0, 2) AS sum_disc_price,
+                   round(sum(dc) / (100.0 * count(*)), 6) AS avg_disc,
                    count(*) AS count_order
-            FROM lineitem
+            FROM (SELECT *,
+                         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+                         CAST(round(l_discount * 100, 0) AS BIGINT) AS dc
+                  FROM lineitem)
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
@@ -1836,7 +1896,8 @@ def oracle_sql() -> dict[str, str]:
         "json_extract_events": """
             SELECT event_type,
                    count(*) AS n,
-                   round(avg(value), 4) AS avg_value,
+                   round(sum(CAST(round(value * 100, 0) AS BIGINT))
+                         / (100.0 * count(*)), 4) AS avg_value,
                    sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
             FROM events GROUP BY event_type
         """,
@@ -2309,7 +2370,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier_revenue": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                         / 10000.0, 2)
                        AS revenue,
                    count(*) AS n
             FROM region
@@ -2322,25 +2385,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name
         """,
-        "q3_shipping_priority": """
-            SELECT l_orderkey,
-                   o_orderdate, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS revenue
-            FROM customer
-            JOIN orders   ON o_custkey = c_custkey
-            JOIN lineitem ON l_orderkey = o_orderkey
-            WHERE c_mktsegment = 'BUILDING'
-              AND o_orderdate < TIMESTAMP '1998-06-01'
-              AND l_shipdate > TIMESTAMP '1998-06-01'
-            GROUP BY l_orderkey, o_orderdate, o_orderpriority
-            ORDER BY revenue DESC, o_orderdate, l_orderkey
-            LIMIT 10
-        """,
         "q7_nation_trade_volume": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                    year(l_shipdate) AS l_year,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                         / 10000.0, 2)
                        AS revenue,
                    count(*) AS n
             FROM lineitem
@@ -2362,7 +2412,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_join_revenue": """
             SELECT o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                         / 10000.0, 2)
                        AS revenue,
                    count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -2617,10 +2669,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority
         """,
         "above_avg_orders": """
+            WITH o AS (SELECT o_orderstatus,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+                       FROM orders)
             SELECT o_orderstatus, count(*) AS n,
-                   round(avg(o_totalprice), 2) AS avg_price
-            FROM orders
-            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+                   round(sum(pc) / (100.0 * count(*)), 2) AS avg_price
+            FROM o
+            WHERE pc > (SELECT sum(pc) / (1.0 * count(*)) FROM o)
             GROUP BY o_orderstatus
         """,
         "having_frequent_custs": """
@@ -2672,7 +2727,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_nationkey AS nationkey FROM supplier
         """,
         "q6_forecast_revenue": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+            SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                             * CAST(round(l_discount * 100, 0) AS BIGINT))
+                         / 10000.0, 2) AS revenue,
                    count(*) AS n
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -2681,14 +2738,18 @@ def oracle_sql() -> dict[str, str]:
               AND l_quantity < 24
         """,
         "q3_shipping_priority": """
-            SELECT o_orderkey, o_orderdate, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                         / 10000.0, 2) AS revenue
+            FROM customer
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
             WHERE c_mktsegment = 'BUILDING'
-            GROUP BY o_orderkey, o_orderdate, o_orderpriority
-            ORDER BY revenue DESC, o_orderkey ASC
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
             LIMIT 10
         """,
         "plot_line_series": """
@@ -2710,10 +2771,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_acct_stats": """
             SELECT s_nationkey,
-                   round(stddev_samp(s_acctbal), 4) AS sd_bal,
-                   round(avg(s_acctbal), 4) AS avg_bal,
+                   round(CASE WHEN count(s_acctbal) > 1 THEN
+                       sqrt((CAST(count(s_acctbal) AS DOUBLE)
+                                   * CAST(sum(bc * bc) AS DOUBLE)
+                               - CAST(sum(bc) AS DOUBLE)
+                                   * CAST(sum(bc) AS DOUBLE))
+                              / (CAST(count(s_acctbal) AS DOUBLE)
+                                 * (CAST(count(s_acctbal) AS DOUBLE) - 1.0)))
+                         / 100.0 END, 4) AS sd_bal,
+                   round(CAST(sum(bc) AS DOUBLE)
+                         / (100.0 * CAST(count(s_acctbal) AS DOUBLE)), 4)
+                       AS avg_bal,
                    count(s_acctbal) AS n
-            FROM supplier GROUP BY s_nationkey
+            FROM (SELECT s_nationkey, s_acctbal,
+                         CAST(round(s_acctbal * 100, 0) AS BIGINT) AS bc
+                  FROM supplier)
+            GROUP BY s_nationkey
         """,
         "asof_join_events": """
             SELECT e.event_id, e.user_id, e.event_type, e.value,
@@ -2734,13 +2807,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY band
         """,
         "unpivot_measures": """
-            SELECT measure, count(*) AS n, round(avg(value), 6) AS avg_value
+            SELECT measure, count(*) AS n,
+                   round(CAST(sum(value) AS DOUBLE)
+                         / (100.0 * CAST(count(*) AS DOUBLE)), 6) AS avg_value
             FROM (
-                SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+                SELECT 'l_quantity' AS measure,
+                       CAST(round(l_quantity * 100, 0) AS BIGINT) AS value
+                FROM lineitem
                 UNION ALL
-                SELECT 'l_discount', l_discount FROM lineitem
+                SELECT 'l_discount',
+                       CAST(round(l_discount * 100, 0) AS BIGINT) FROM lineitem
                 UNION ALL
-                SELECT 'l_tax', l_tax FROM lineitem
+                SELECT 'l_tax',
+                       CAST(round(l_tax * 100, 0) AS BIGINT) FROM lineitem
             ) GROUP BY measure
         """,
         "percentiles_quantity": """
@@ -2752,16 +2831,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "describe_lineitem": """
             SELECT column_name, count(value) AS n,
-                   round(avg(value), 4) AS mean,
-                   round(stddev_samp(value), 4) AS stddev,
+                   round(CAST(sum(vc) AS DOUBLE)
+                         / (100.0 * CAST(count(value) AS DOUBLE)), 4) AS mean,
+                   round(sqrt((CAST(count(value) AS DOUBLE)
+                                   * CAST(sum(vc * vc) AS DOUBLE)
+                               - CAST(sum(vc) AS DOUBLE)
+                                   * CAST(sum(vc) AS DOUBLE))
+                              / (CAST(count(value) AS DOUBLE)
+                                 * (CAST(count(value) AS DOUBLE) - 1.0)))
+                         / 100.0, 4) AS stddev,
                    round(min(value), 4) AS min,
                    round(max(value), 4) AS max
             FROM (
-                SELECT 'l_quantity' AS column_name, l_quantity AS value FROM lineitem
-                UNION ALL
-                SELECT 'l_extendedprice', l_extendedprice FROM lineitem
-                UNION ALL
-                SELECT 'l_discount', l_discount FROM lineitem
+                SELECT column_name, value,
+                       CAST(round(value * 100, 0) AS BIGINT) AS vc
+                FROM (
+                    SELECT 'l_quantity' AS column_name, l_quantity AS value
+                    FROM lineitem
+                    UNION ALL
+                    SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                    UNION ALL
+                    SELECT 'l_discount', l_discount FROM lineitem
+                )
             ) GROUP BY column_name
         """,
     }

@@ -20,9 +20,19 @@ ColumnOrName = Union[str, Column]
 
 #: aggfunc whitelist — the reference's five (main.pyc:137) plus the
 #: zero-cost parity-plus set (SURVEY.md §2.4).
+def _mean_exact_cents(col: ColumnOrName) -> Column:
+    """Mean over exact integer cents for ≤2-decimal data: the integer
+    sum is associative, so the pre-round double is bit-identical under
+    any partial-aggregation order (a plain double avg is last-ulp
+    order-sensitive and flips round-half ties across engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * 100, 0).cast("long")) / (100.0 * F.count(c))
+
+
 AGG_FUNCS = {
     "mean": F.avg,
     "avg": F.avg,
+    "mean_exact_cents": _mean_exact_cents,
     "sum": F.sum,
     "count": F.count,
     "max": F.max,
@@ -458,17 +468,51 @@ def percentiles(
 
 
 def describe_stats(
-    df: DataFrame, cols: Sequence[str], round_to: int = 4
+    df: DataFrame,
+    cols: Sequence[str],
+    round_to: int = 4,
+    unit_scale: Optional[int] = None,
 ) -> DataFrame:
     """Per-column summary stats as rows (the editor's column-stats
     panel, SURVEY.md §2.3 'row multiselect metadata' generalized):
     long-form unpivot → one aggregation — a single pass over the data
-    regardless of column count."""
+    regardless of column count.
+
+    ``unit_scale`` (e.g. 100 for cents-exact data) switches mean and
+    stddev to exact integer moments: sum(v·scale) and sum((v·scale)²)
+    are associative integer sums, so the pre-round doubles are
+    bit-identical under any partial-aggregation order — a plain
+    double avg/stddev is order-sensitive in its last ulp and flips
+    round-half ties across engines/parallelism. The squared sum
+    accumulates in DECIMAL(38,0): cents² of big money columns exceeds
+    int64 at large scale factors."""
     long = unpivot(df.select(*cols), [], cols, "column_name", "value")
+    if unit_scale is None:
+        return long.groupBy("column_name").agg(
+            F.count("value").alias("n"),
+            F.round(F.avg("value"), round_to).alias("mean"),
+            F.round(F.stddev("value"), round_to).alias("stddev"),
+            F.round(F.min("value"), round_to).alias("min"),
+            F.round(F.max("value"), round_to).alias("max"),
+        )
+    s = float(unit_scale)
+    long = long.withColumn(
+        "vc", F.round(F.col("value") * unit_scale, 0).cast("long")
+    )
+    n = F.count("value")
+    nn = n.cast("double")
+    S = F.sum("vc").cast("double")
+    S2 = F.sum((F.col("vc") * F.col("vc")).cast("decimal(38,0)")).cast("double")
     return long.groupBy("column_name").agg(
-        F.count("value").alias("n"),
-        F.round(F.avg("value"), round_to).alias("mean"),
-        F.round(F.stddev("value"), round_to).alias("stddev"),
+        n.alias("n"),
+        F.round(S / (s * nn), round_to).alias("mean"),
+        F.round(
+            F.when(
+                n > 1,
+                F.sqrt((nn * S2 - S * S) / (nn * (nn - F.lit(1.0)))) / s,
+            ),
+            round_to,
+        ).alias("stddev"),
         F.round(F.min("value"), round_to).alias("min"),
         F.round(F.max("value"), round_to).alias("max"),
     )
