@@ -1663,6 +1663,68 @@ _ORACLE_LSH_PAIRS = """
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- driver adjudication window: round-1-unchecked and
+        # --- re-fixed queries first (the round-1 driver checked
+        # --- the first 50 dict entries only)
+        "json_extract_events": q_json_extract_events,
+        "sessionize_events": q_sessionize_events,
+        "stream_sessionize": q_stream_sessionize,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q7_nation_trade_volume": q_q7_nation_trade_volume,
+        "correlated_min_suppliers": q_correlated_min_suppliers,
+        "exists_high_qty": q_exists_high_qty,
+        "above_avg_orders": q_above_avg_orders,
+        "having_frequent_custs": q_having_frequent_custs,
+        "salted_join_revenue": q_salted_join_revenue,
+        "left_join_order_counts": q_left_join_order_counts,
+        "full_outer_nation_actors": q_full_outer_nation_actors,
+        "except_inactive_custs": q_except_inactive_custs,
+        "intersect_nations": q_intersect_nations,
+        "cube_qty": q_cube_qty,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "window_ranks": q_window_ranks,
+        "window_lead_lag": q_window_lead_lag,
+        "rolling_revenue_7d": q_rolling_revenue_7d,
+        "stats_aggregates": q_stats_aggregates,
+        "supplier_acct_stats": q_supplier_acct_stats,
+        "asof_join_events": q_asof_join_events,
+        "range_join_prices": q_range_join_prices,
+        "unpivot_measures": q_unpivot_measures,
+        "percentiles_quantity": q_percentiles_quantity,
+        "describe_lineitem": q_describe_lineitem,
+        "string_agg_nations": q_string_agg_nations,
+        "map_props_explode": q_map_props_explode,
+        "clean_fillna": q_clean_fillna,
+        "clean_dropna": q_clean_dropna,
+        "clean_replace": q_clean_replace,
+        "resample_ffill_events": q_resample_ffill_events,
+        "resample_interp_events": q_resample_interp_events,
+        "time_rollup_events": q_time_rollup_events,
+        "pipeline_training_data": q_pipeline_training_data,
+        "incremental_dedup": q_incremental_dedup,
+        "decontaminate": q_decontaminate,
+        "boilerplate_shingles": q_boilerplate_shingles,
+        "gopher_quality": q_gopher_quality,
+        "redact_pii": q_redact_pii,
+        "hash_split": q_hash_split,
+        "unigram_logprob": q_unigram_logprob,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "udtf_chunk_documents": q_udtf_chunk_documents,
+        "stratified_sample_hash": q_stratified_sample_hash,
+        "kafka_roundtrip_events": q_kafka_roundtrip_events,
+        "stream_followed_by": q_stream_followed_by,
+        "normalize_text": q_normalize_text,
+        "collect_lang_sets": q_collect_lang_sets,
+        "label_centroids": q_label_centroids,
+        "embedding_quantize": q_embedding_quantize,
+        "cross_join_grid": q_cross_join_grid,
+        "plot_line_series": q_plot_line_series,
+        "stratified_sample": q_stratified_sample,
+        "approx_stats": q_approx_stats,
+        # --- green driver rows in CORRECTNESS_r01 ---
         "pivot_mean": _pivot("mean_exact_cents"),
         "pivot_sum": _pivot("sum"),
         "pivot_count": _pivot("count", round_to=None),
@@ -1682,10 +1744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct_nations": q_union_distinct_nations,
         "rollup_qty": q_rollup_qty,
         "pivot_count_distinct": q_pivot_count_distinct,
-        "json_extract_events": q_json_extract_events,
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
-        "sessionize_events": q_sessionize_events,
         "bin2d_scatter": q_bin2d_scatter,
         "cell_edit": q_cell_edit,
         "delete_rows": q_delete_rows,
@@ -1710,64 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_sliding_counts": q_stream_sliding_counts,
-        "stream_sessionize": q_stream_sessionize,
         "stream_dedup_events": q_stream_dedup_events,
         "stream_session_windows": q_stream_session_windows,
-        "stream_followed_by": q_stream_followed_by,
-        "kafka_roundtrip_events": q_kafka_roundtrip_events,
-        "plot_line_series": q_plot_line_series,
-        "approx_stats": q_approx_stats,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
-        "embedding_quantize": q_embedding_quantize,
-        "normalize_text": q_normalize_text,
-        "stratified_sample": q_stratified_sample,
-        "gopher_quality": q_gopher_quality,
-        "redact_pii": q_redact_pii,
-        "hash_split": q_hash_split,
-        "decontaminate": q_decontaminate,
-        "boilerplate_shingles": q_boilerplate_shingles,
-        "incremental_dedup": q_incremental_dedup,
-        "unigram_logprob": q_unigram_logprob,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "label_centroids": q_label_centroids,
-        "collect_lang_sets": q_collect_lang_sets,
-        "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "correlated_min_suppliers": q_correlated_min_suppliers,
-        "q7_nation_trade_volume": q_q7_nation_trade_volume,
-        "salted_join_revenue": q_salted_join_revenue,
-        "left_join_order_counts": q_left_join_order_counts,
-        "resample_ffill_events": q_resample_ffill_events,
-        "time_rollup_events": q_time_rollup_events,
-        "resample_interp_events": q_resample_interp_events,
-        "pipeline_training_data": q_pipeline_training_data,
-        "stratified_sample_hash": q_stratified_sample_hash,
-        "string_agg_nations": q_string_agg_nations,
-        "full_outer_nation_actors": q_full_outer_nation_actors,
-        "cross_join_grid": q_cross_join_grid,
-        "stats_aggregates": q_stats_aggregates,
-        "udtf_chunk_documents": q_udtf_chunk_documents,
-        "window_ranks": q_window_ranks,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "window_lead_lag": q_window_lead_lag,
-        "rolling_revenue_7d": q_rolling_revenue_7d,
-        "exists_high_qty": q_exists_high_qty,
-        "above_avg_orders": q_above_avg_orders,
-        "having_frequent_custs": q_having_frequent_custs,
-        "map_props_explode": q_map_props_explode,
-        "clean_fillna": q_clean_fillna,
-        "clean_dropna": q_clean_dropna,
-        "clean_replace": q_clean_replace,
-        "except_inactive_custs": q_except_inactive_custs,
-        "intersect_nations": q_intersect_nations,
-        "cube_qty": q_cube_qty,
-        "supplier_acct_stats": q_supplier_acct_stats,
-        "asof_join_events": q_asof_join_events,
-        "range_join_prices": q_range_join_prices,
-        "unpivot_measures": q_unpivot_measures,
-        "percentiles_quantity": q_percentiles_quantity,
-        "describe_lineitem": q_describe_lineitem,
     }
 
 
