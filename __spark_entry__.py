@@ -42,6 +42,26 @@ def _revenue_exact() -> "F.Column":
     return F.round(F.sum(pc * (100 - dc)) / 10000.0, 2)
 
 
+#: brute-force cosine top-5 oracle — shared by the exact top-k query
+#: and the exhaustive-probe IVF losslessness check.
+_ORACLE_BRUTE_TOPK = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+               FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      round(list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv))
+                               * sqrt(list_dot_product(cv, cv))), 4) AS sim
+               FROM q, c WHERE query_id <> neighbor_id)
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank,
+           neighbor_id, sim
+    FROM s
+    QUALIFY rank <= 5
+"""
+
 #: DuckDB mirror of :func:`_revenue_exact` (same operation order).
 _SQL_REVENUE = (
     "round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
@@ -578,6 +598,23 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=3)
+
+
+def q_ivf_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN machinery driven exhaustively (nprobe = n_cells): with
+    every cell probed, the inverted-file path — k-means bucketing,
+    broadcast-centroid probe join, per-cell scoring, global rank —
+    must return EXACTLY the brute-force top-k no matter what the
+    quantizer learned. This gives the ANN code path a hash-checked
+    driver row (the production nprobe=3 configuration,
+    ``embedding_ivf_topk``, stays rows-only by design: its recall is
+    measured in tests/test_sim.py, not asserted)."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, nprobe=8
+    )
 
 
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1714,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "udtf_chunk_documents": q_udtf_chunk_documents,
         "stratified_sample_hash": q_stratified_sample_hash,
+        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
         "kafka_roundtrip_events": q_kafka_roundtrip_events,
         "stream_followed_by": q_stream_followed_by,
         "normalize_text": q_normalize_text,
@@ -2028,23 +2066,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(root) AS cluster_id
             FROM walk GROUP BY node
         """,
-        "embedding_topk_cosine": """
-            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                       FROM embeddings WHERE vec_id < 10),
-                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
-                       FROM embeddings),
-                 s AS (SELECT query_id, neighbor_id,
-                              round(list_dot_product(qv, cv)
-                                    / (sqrt(list_dot_product(qv, qv))
-                                       * sqrt(list_dot_product(cv, cv))), 4) AS sim
-                       FROM q, c WHERE query_id <> neighbor_id)
-            SELECT query_id,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY sim DESC, neighbor_id ASC) AS rank,
-                   neighbor_id, sim
-            FROM s
-            QUALIFY rank <= 5
-        """,
+        "embedding_topk_cosine": _ORACLE_BRUTE_TOPK,
+        # exhaustive-probe IVF must equal brute force exactly
+        "ivf_topk_exhaustive": _ORACLE_BRUTE_TOPK,
         "embedding_cosine_dedup": _ORACLE_COSINE_PAIRS,
         "embedding_lsh_dedup": _ORACLE_LSH_PAIRS,
         "binary_meta": """
