@@ -692,7 +692,10 @@ def q_supplier_acct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count("s_acctbal")
     nn = n.cast("double")
     S = F.sum("bc").cast("double")
-    S2 = F.sum((F.col("bc") * F.col("bc")).cast("decimal(38,0)")).cast("double")
+    # decimal cast BEFORE the square so cents² can't overflow int64
+    S2 = F.sum(
+        (F.col("bc").cast("decimal(19,0)") * F.col("bc")).cast("decimal(38,0)")
+    ).cast("double")
     return sup.groupBy("s_nationkey").agg(
         F.round(
             F.when(
@@ -1826,7 +1829,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(l_extendedprice * 100, 0) AS BIGINT) END) AS DOUBLE) "
             "/ (100.0 * count(CASE WHEN l_linestatus='O' "
             "THEN l_extendedprice END)), 2) AS O "
-            "FROM lineitem GROUP BY l_returnflag"
+            "FROM lineitem "
+            # pandas pivot_table dropna: same NULL-key filter as
+            # _pivot_oracle and the Spark pivot path
+            "WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL "
+            "GROUP BY l_returnflag"
         ),
         "pivot_sum": _pivot_oracle("sum"),
         "pivot_count": (
@@ -1940,7 +1947,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(CAST(round(value * 100, 0) AS BIGINT))
                          / (100.0 * count(*)), 4) AS avg_value,
-                   sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                        AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
         """,
         "date_trunc_orders": """
@@ -1957,8 +1965,11 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
         "sessionize_events": """
+            -- CAST(sum(..) AS BIGINT): DuckDB integer sums are HUGEINT,
+            -- which pandas renders float64 ("150.0" vs Spark's "150") —
+            -- the actual r1/r2 driver hash-fail mechanism.
             SELECT user_id,
-                   sum(s) AS n_sessions,
+                   CAST(sum(s) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM (
                 SELECT user_id,
@@ -2136,7 +2147,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_sessionize": """
             SELECT user_id,
-                   sum(s) AS n_sessions,
+                   CAST(sum(s) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM (
                 SELECT user_id,
@@ -2251,7 +2262,8 @@ def oracle_sql() -> dict[str, str]:
                                     x -> x != '')) AS n_tokens
                     FROM documents)
             SELECT doc_id, source, n_tokens,
-                   sum(n_tokens) OVER w - n_tokens AS start_offset,
+                   CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT)
+                       AS start_offset,
                    CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512)
                         AS BIGINT) AS pack_id
             FROM t
@@ -2717,7 +2729,8 @@ def oracle_sql() -> dict[str, str]:
             WITH kv AS (SELECT unnest(json_keys(props)) AS key, props
                         FROM events)
             SELECT key, count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.' || key) AS INT))
+                   CAST(sum(CAST(json_extract_string(props, '$.' || key)
+                                 AS INT)) AS BIGINT)
                        AS sum_val,
                    min(CAST(json_extract_string(props, '$.' || key) AS INT))
                        AS min_val,

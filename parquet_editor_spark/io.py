@@ -240,7 +240,10 @@ def load_parquet_nanos(spark: SparkSession, path: str) -> DataFrame:
     conversion is lossless there (FIXTURES.md events.ts)."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # get_spark() already sets this at build time; this fallback covers
+    # externally-built sessions (e.g. the driver's) and is idempotent.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     # Re-read of footer metadata can't tell us which longs were NANOS;
     # the caller converts. Convenience: convert a column named 'ts'.

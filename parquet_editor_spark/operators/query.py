@@ -24,7 +24,12 @@ def _mean_exact_cents(col: ColumnOrName) -> Column:
     """Mean over exact integer cents for ≤2-decimal data: the integer
     sum is associative, so the pre-round double is bit-identical under
     any partial-aggregation order (a plain double avg is last-ulp
-    order-sensitive and flips round-half ties across engines)."""
+    order-sensitive and flips round-half ties across engines).
+
+    PRECONDITION: input values carry at most 2 decimal places.  The
+    round-to-cents quantization is part of the semantics — on data
+    with more precision this returns a materially different mean than
+    ``'mean'``; pick ``'mean'`` there instead."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(F.round(c * 100, 0).cast("long")) / (100.0 * F.count(c))
 
@@ -502,7 +507,12 @@ def describe_stats(
     n = F.count("value")
     nn = n.cast("double")
     S = F.sum("vc").cast("double")
-    S2 = F.sum((F.col("vc") * F.col("vc")).cast("decimal(38,0)")).cast("double")
+    # cast BEFORE multiplying: vc*vc in int64 wraps (or throws under
+    # ANSI) past ~3.04e9 cents; decimal(19,0)*long promotes to a wide
+    # decimal so the square itself can't overflow
+    S2 = F.sum(
+        (F.col("vc").cast("decimal(19,0)") * F.col("vc")).cast("decimal(38,0)")
+    ).cast("double")
     return long.groupBy("column_name").agg(
         n.alias("n"),
         F.round(S / (s * nn), round_to).alias("mean"),

@@ -65,6 +65,10 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Set ONCE at session build (not per-read in load_parquet_nanos)
+        # so scan plans never flip mid-session; the per-read set stays
+        # only as a fallback for externally-built sessions.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config(
             "spark.sql.warehouse.dir",

@@ -28,7 +28,15 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "<null>"
         if isinstance(v, (np.floating, float)):
-            return f"{float(v):.10g}"
+            # Dtype-class-STRICT: an integral float renders "150.0", never
+            # "150".  DuckDB sum(integer) returns HUGEINT -> pandas float64,
+            # while Spark sum(int) is int64; the r1/r2 driver hash-fails
+            # ("150.0" vs "150") were exactly this, and the old lossy
+            # normalization here collapsed both to "150" and masked it.
+            s = f"{float(v):.10g}"
+            if "." not in s and "e" not in s and "inf" not in s:
+                s += ".0"
+            return s
         if isinstance(v, (np.integer, int)):
             return str(int(v))
         if isinstance(v, (list, np.ndarray)):
