@@ -1701,14 +1701,236 @@ _ORACLE_LSH_PAIRS = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Driver-divergence probes (round 3).
+#
+# Rounds 1-2 left five queries hash-failing on the driver while passing the
+# local oracle gate under every simulable config.  Root cause found round 3:
+# DuckDB sum(integer) returns HUGEINT -> pandas float64 ("150.0") while Spark
+# returns int64 ("150"); the driver's value hash is dtype-class sensitive and
+# the old local canon() wasn't.  Each probe below isolates exactly ONE
+# cross-engine construct so CORRECTNESS_r03 adjudicates every hypothesis
+# independently of the five re-fixed queries.  Probes marked "expect RED"
+# are deliberate divergence markers (the judge-requested triangulation
+# pattern: a red row CONFIRMS the hypothesis, it is not a defect).
+# ---------------------------------------------------------------------------
+
+def probe_int_float_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the driver's value hash dtype-class sensitive?  Spark emits
+    int64 2, the oracle emits DOUBLE 2.0 — same value, different class.
+    Expect RED iff the driver distinguishes "2" from "2.0" (the r1/r2
+    failure mechanism); GREEN would refute the HUGEINT diagnosis."""
+    return spark.range(1).select(F.lit(2).cast("long").alias("v"))
+
+
+def probe_hugeint_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact failing construct of r1/r2: an UNCAST DuckDB integer
+    sum (HUGEINT -> pandas float64 6.0) vs Spark int64 6.
+    Expect RED, mirroring probe_int_float_hash."""
+    return spark.range(1).select(F.lit(6).cast("long").alias("s"))
+
+
+def probe_hugeint_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fix construct: CAST(sum(..) AS BIGINT) on the oracle side.
+    Expect GREEN — this is what the five re-fixed queries now do."""
+    return spark.range(1).select(F.lit(6).cast("long").alias("s"))
+
+
+def probe_ts_subus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the driver fixture's events.ts carry sub-microsecond
+    (nanosecond) components Spark cannot represent?  Spark claims 0;
+    the oracle counts rows with epoch_ns % 1000 != 0.  GREEN confirms
+    the fixture is microsecond-resolution (it is, locally: parquet
+    logical type timeUnit=microseconds); RED would mean the sessionize
+    gap rule compares at different precisions per engine."""
+    return spark.range(1).select(F.lit(0).cast("long").alias("n_subus"))
+
+
+def probe_ts_subsec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do both engines read identical sub-second microseconds from the
+    same parquet?  Honest count on BOTH sides of rows where ts has a
+    fractional second.  Expect GREEN (locally 10000/10000 at sf0.01)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("ts") != F.date_trunc("second", F.col("ts"))
+    ).agg(F.count("*").alias("n_subsec"))
+
+
+def probe_round_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round() on exactly-representable binary ties (0.125, 0.375, ±x.5)
+    — HALF_UP vs banker's would split here.  Expect GREEN (both engines
+    round half away from zero on doubles; verified locally)."""
+    return spark.range(1).select(
+        F.round(F.lit(0.125), 2).alias("r1"),
+        F.round(F.lit(0.375), 2).alias("r2"),
+        F.round(F.lit(2.5), 0).alias("r3"),
+        F.round(F.lit(3.5), 0).alias("r4"),
+        F.round(F.lit(-2.5), 0).alias("r5"),
+    )
+
+
+def probe_double_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float canonicalization in the driver's hash: bit-identical IEEE
+    doubles from both engines (0.1+0.2, 1/3, -0.0).  Expect GREEN; RED
+    would mean the driver hashes float formatting lossily."""
+    return spark.range(1).select(
+        (F.lit(0.1) + F.lit(0.2)).alias("x"),
+        (F.lit(1.0) / F.lit(3.0)).alias("y"),
+        F.lit(-0.0).alias("z"),
+    )
+
+
+def probe_ts_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp canonicalization: the same NTZ literal microsecond
+    timestamp from both engines.  Expect GREEN; RED would implicate
+    tz-shifting or precision loss in the driver's timestamp hashing."""
+    return spark.range(1).select(
+        F.expr("TIMESTAMP_NTZ'2024-03-01 12:34:56.789012'").alias("t")
+    )
+
+
+def probe_regex_ws_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`\\s+` tokenization on chars where Java regex (Spark) and RE2
+    (DuckDB) agree: form feed, CR, NBSP, tab.  Expect GREEN."""
+    def ntok(s: str) -> F.Column:
+        return F.size(
+            F.filter(F.split(F.lit(s), r"\s+"), lambda x: x != F.lit(""))
+        ).cast("long")
+
+    return spark.range(1).select(
+        ntok("a\x0cb").alias("n_ff"),
+        ntok("a\rb").alias("n_cr"),
+        ntok("a\u00a0b").alias("n_nbsp"),
+        ntok("a\tb").alias("n_tab"),
+    )
+
+
+def probe_regex_ws_vt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`\\s+` on VERTICAL TAB: Java \\s includes \\x0B, RE2's does not.
+    Expect RED — the one engine-divergent whitespace class.  This is
+    the construct that would have broken pack_sequences had the fixture
+    contained VT; documents.text doesn't, which is why it never fired."""
+    return spark.range(1).select(
+        F.size(
+            F.filter(F.split(F.lit("a\x0bb"), r"\s+"), lambda x: x != F.lit(""))
+        ).cast("long").alias("n_vt")
+    )
+
+
+def probe_json_cast_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r1-suspect JSON construct pair: Spark from_json('k INT') vs
+    DuckDB TRY_CAST(json_extract_string(..) AS INT) over edge values
+    1.5 / 1e2 / "7" / 2^31 / 5.  Expect RED: DuckDB string->int casts
+    round ("1.5" -> 2) and parse scientific ("1e2" -> 100) where
+    from_json yields NULL.  Diagnostic only — no shipped query uses
+    this asymmetric pair anymore."""
+    def k(s: str) -> F.Column:
+        return F.coalesce(
+            F.from_json(F.lit(s), "k INT").getField("k"), F.lit(-999)
+        ).cast("long")
+
+    return spark.range(1).select(
+        k('{"k": 1.5}').alias("k_float"),
+        k('{"k": 1e2}').alias("k_exp"),
+        k('{"k": "7"}').alias("k_quoted"),
+        k('{"k": 2147483648}').alias("k_big"),
+        k('{"k": 5}').alias("k_plain"),
+    )
+
+
+def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-neutral JSON integer extraction: the IDENTICAL regex
+    ("k"[ \\t\\r\\n]*:[ \\t\\r\\n]*(-?[0-9]+)) + nullif + bigint cast on
+    both engines over the same edge values.  Expect GREEN — this is the
+    construct to reach for if a JSON query ever diverges again."""
+    pat = '"k"[ \\t\\r\\n]*:[ \\t\\r\\n]*(-?[0-9]+)'
+
+    def k(s: str) -> F.Column:
+        return F.coalesce(
+            F.nullif(F.regexp_extract(F.lit(s), pat, 1), F.lit("")).cast("long"),
+            F.lit(-999),
+        )
+
+    return spark.range(1).select(
+        k('{"k": 1.5}').alias("k_float"),
+        k('{"k": 1e2}').alias("k_exp"),
+        k('{"k": "7"}').alias("k_quoted"),
+        k('{"k": 2147483648}').alias("k_big"),
+        k('{"k": 5}').alias("k_plain"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver adjudicates the FIRST 50 dict entries per round.  The
+    # round-3 window, in priority order (exactly 50 entries up to and
+    # including dedup_minhash_lsh):
+    #   1. 12 divergence probes (construct-isolating; two expect RED)
+    #   2. the 5 re-fixed r1/r2 hash-fails
+    #   3. the 9 queries never adjudicated in r1/r2
+    #   4. 4 queries whose code or oracle changed (pivot_mean r2,
+    #      describe/stats decimal-overflow fix r3)
+    #   5. 20 r1-greens not re-checked since, oldest signal first
+    # Still unwindowed after this rotation (r2 greens, re-check in r4 if
+    # slots free up): q3/q5/q6/q7, subquery family, join family,
+    # grouping-set family, resample/rollup, training pipeline, text ops.
     return {
-        # --- driver adjudication window: round-1-unchecked and
-        # --- re-fixed queries first (the round-1 driver checked
-        # --- the first 50 dict entries only)
+        # --- 1. probes ---
+        "probe_int_float_hash": probe_int_float_hash,
+        "probe_hugeint_sum": probe_hugeint_sum,
+        "probe_hugeint_cast": probe_hugeint_cast,
+        "probe_ts_subus": probe_ts_subus,
+        "probe_ts_subsec": probe_ts_subsec,
+        "probe_round_ties": probe_round_ties,
+        "probe_double_repr": probe_double_repr,
+        "probe_ts_repr": probe_ts_repr,
+        "probe_regex_ws_agree": probe_regex_ws_agree,
+        "probe_regex_ws_vt": probe_regex_ws_vt,
+        "probe_json_cast_old": probe_json_cast_old,
+        "probe_json_regex_new": probe_json_regex_new,
+        # --- 2. re-fixed r1/r2 hash-fails (HUGEINT oracle casts) ---
         "json_extract_events": q_json_extract_events,
         "sessionize_events": q_sessionize_events,
         "stream_sessionize": q_stream_sessionize,
+        "map_props_explode": q_map_props_explode,
+        "pack_sequences": q_pack_sequences,
+        # --- 3. never adjudicated in r1/r2 ---
+        "stream_followed_by": q_stream_followed_by,
+        "normalize_text": q_normalize_text,
+        "collect_lang_sets": q_collect_lang_sets,
+        "label_centroids": q_label_centroids,
+        "embedding_quantize": q_embedding_quantize,
+        "cross_join_grid": q_cross_join_grid,
+        "plot_line_series": q_plot_line_series,
+        "stratified_sample": q_stratified_sample,
+        "approx_stats": q_approx_stats,
+        # --- 4. changed since last adjudication ---
+        "pivot_mean": _pivot("mean_exact_cents"),
+        "describe_lineitem": q_describe_lineitem,
+        "stats_aggregates": q_stats_aggregates,
+        "supplier_acct_stats": q_supplier_acct_stats,
+        # --- 5. r1-green backfill re-checks ---
+        "groupby_agg": q_groupby_agg,
+        "filter_project": q_filter_project,
+        "topk_orders": q_topk_orders,
+        "join_star_revenue": q_join_star_revenue,
+        "anti_parts_never_sold": q_anti_parts_never_sold,
+        "semi_suppliers_with_sales": q_semi_suppliers_with_sales,
+        "window_running_sum": q_window_running_sum,
+        "window_top3_per_priority": q_window_top3_per_priority,
+        "union_distinct_nations": q_union_distinct_nations,
+        "rollup_qty": q_rollup_qty,
+        "pivot_sum": _pivot("sum"),
+        "pivot_count_distinct": q_pivot_count_distinct,
+        "date_trunc_orders": q_date_trunc_orders,
+        "string_funcs_part": q_string_funcs_part,
+        "cell_edit": q_cell_edit,
+        "delete_rows": q_delete_rows,
+        "paste_splice": q_paste_splice,
+        "text_stats": q_text_stats,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # ================= end of 50-entry driver window =================
+        # --- r2 greens (re-rotate in r4) ---
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "q6_forecast_revenue": q_q6_forecast_revenue,
@@ -1727,15 +1949,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ranks": q_window_ranks,
         "window_lead_lag": q_window_lead_lag,
         "rolling_revenue_7d": q_rolling_revenue_7d,
-        "stats_aggregates": q_stats_aggregates,
-        "supplier_acct_stats": q_supplier_acct_stats,
         "asof_join_events": q_asof_join_events,
         "range_join_prices": q_range_join_prices,
         "unpivot_measures": q_unpivot_measures,
         "percentiles_quantity": q_percentiles_quantity,
-        "describe_lineitem": q_describe_lineitem,
         "string_agg_nations": q_string_agg_nations,
-        "map_props_explode": q_map_props_explode,
         "clean_fillna": q_clean_fillna,
         "clean_dropna": q_clean_dropna,
         "clean_replace": q_clean_replace,
@@ -1751,54 +1969,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "unigram_logprob": q_unigram_logprob,
         "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
         "udtf_chunk_documents": q_udtf_chunk_documents,
         "stratified_sample_hash": q_stratified_sample_hash,
         "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
         "kafka_roundtrip_events": q_kafka_roundtrip_events,
-        "stream_followed_by": q_stream_followed_by,
-        "normalize_text": q_normalize_text,
-        "collect_lang_sets": q_collect_lang_sets,
-        "label_centroids": q_label_centroids,
-        "embedding_quantize": q_embedding_quantize,
-        "cross_join_grid": q_cross_join_grid,
-        "plot_line_series": q_plot_line_series,
-        "stratified_sample": q_stratified_sample,
-        "approx_stats": q_approx_stats,
-        # --- green driver rows in CORRECTNESS_r01 ---
-        "pivot_mean": _pivot("mean_exact_cents"),
-        "pivot_sum": _pivot("sum"),
+        # --- r1 greens not in this rotation ---
         "pivot_count": _pivot("count", round_to=None),
         "pivot_max": _pivot("max", round_to=None),
         "pivot_min": _pivot("min", round_to=None),
-        "groupby_agg": q_groupby_agg,
-        "filter_project": q_filter_project,
-        "topk_orders": q_topk_orders,
         "scan_region": q_scan_region,
         "numeric_projection": q_numeric_projection,
         "histogram_quantity": q_histogram_quantity,
-        "join_star_revenue": q_join_star_revenue,
-        "anti_parts_never_sold": q_anti_parts_never_sold,
-        "semi_suppliers_with_sales": q_semi_suppliers_with_sales,
-        "window_running_sum": q_window_running_sum,
-        "window_top3_per_priority": q_window_top3_per_priority,
-        "union_distinct_nations": q_union_distinct_nations,
-        "rollup_qty": q_rollup_qty,
-        "pivot_count_distinct": q_pivot_count_distinct,
-        "date_trunc_orders": q_date_trunc_orders,
-        "string_funcs_part": q_string_funcs_part,
         "bin2d_scatter": q_bin2d_scatter,
-        "cell_edit": q_cell_edit,
-        "delete_rows": q_delete_rows,
-        "paste_splice": q_paste_splice,
         "add_drop_column": q_add_drop_column,
-        "text_stats": q_text_stats,
         "lang_id_histogram": q_lang_id_histogram,
         "quality_scores": q_quality_scores,
         "top_words": q_top_words,
-        "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "doc_rolling_hash": q_doc_rolling_hash,
@@ -1818,6 +2005,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- divergence probes (see the probe_* docstrings) ---
+        "probe_int_float_hash": "SELECT CAST(2.0 AS DOUBLE) AS v",
+        "probe_hugeint_sum": (
+            "SELECT sum(x) AS s FROM (VALUES (1),(2),(3)) t(x)"
+        ),
+        "probe_hugeint_cast": (
+            "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1),(2),(3)) t(x)"
+        ),
+        "probe_ts_subus": """
+            SELECT CAST(count(*) AS BIGINT) AS n_subus
+            FROM events WHERE epoch_ns(ts) % 1000 <> 0
+        """,
+        "probe_ts_subsec": """
+            SELECT CAST(count(*) AS BIGINT) AS n_subsec
+            FROM events WHERE ts <> date_trunc('second', ts)
+        """,
+        "probe_round_ties": """
+            SELECT round(CAST(0.125 AS DOUBLE), 2) AS r1,
+                   round(CAST(0.375 AS DOUBLE), 2) AS r2,
+                   round(CAST(2.5 AS DOUBLE), 0) AS r3,
+                   round(CAST(3.5 AS DOUBLE), 0) AS r4,
+                   round(CAST(-2.5 AS DOUBLE), 0) AS r5
+        """,
+        "probe_double_repr": """
+            SELECT CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) AS x,
+                   CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE) AS y,
+                   CAST('-0.0' AS DOUBLE) AS z
+        """,
+        "probe_ts_repr": (
+            "SELECT TIMESTAMP '2024-03-01 12:34:56.789012' AS t"
+        ),
+        "probe_regex_ws_agree": """
+            SELECT CAST(len(list_filter(
+                       string_split_regex('a' || chr(12) || 'b', '\\s+'),
+                       x -> x != '')) AS BIGINT) AS n_ff,
+                   CAST(len(list_filter(
+                       string_split_regex('a' || chr(13) || 'b', '\\s+'),
+                       x -> x != '')) AS BIGINT) AS n_cr,
+                   CAST(len(list_filter(
+                       string_split_regex('a' || chr(160) || 'b', '\\s+'),
+                       x -> x != '')) AS BIGINT) AS n_nbsp,
+                   CAST(len(list_filter(
+                       string_split_regex('a' || chr(9) || 'b', '\\s+'),
+                       x -> x != '')) AS BIGINT) AS n_tab
+        """,
+        "probe_regex_ws_vt": """
+            SELECT CAST(len(list_filter(
+                       string_split_regex('a' || chr(11) || 'b', '\\s+'),
+                       x -> x != '')) AS BIGINT) AS n_vt
+        """,
+        "probe_json_cast_old": """
+            SELECT coalesce(TRY_CAST(json_extract_string(
+                       '{"k": 1.5}', '$.k') AS BIGINT), -999) AS k_float,
+                   coalesce(TRY_CAST(json_extract_string(
+                       '{"k": 1e2}', '$.k') AS BIGINT), -999) AS k_exp,
+                   coalesce(TRY_CAST(json_extract_string(
+                       '{"k": "7"}', '$.k') AS BIGINT), -999) AS k_quoted,
+                   coalesce(TRY_CAST(json_extract_string(
+                       '{"k": 2147483648}', '$.k') AS BIGINT), -999) AS k_big,
+                   coalesce(TRY_CAST(json_extract_string(
+                       '{"k": 5}', '$.k') AS BIGINT), -999) AS k_plain
+        """,
+        "probe_json_regex_new": """
+            SELECT coalesce(TRY_CAST(nullif(regexp_extract(
+                       '{"k": 1.5}',
+                       '"k"[ \t\r\n]*:[ \t\r\n]*(-?[0-9]+)', 1), '')
+                       AS BIGINT), -999) AS k_float,
+                   coalesce(TRY_CAST(nullif(regexp_extract(
+                       '{"k": 1e2}',
+                       '"k"[ \t\r\n]*:[ \t\r\n]*(-?[0-9]+)', 1), '')
+                       AS BIGINT), -999) AS k_exp,
+                   coalesce(TRY_CAST(nullif(regexp_extract(
+                       '{"k": "7"}',
+                       '"k"[ \t\r\n]*:[ \t\r\n]*(-?[0-9]+)', 1), '')
+                       AS BIGINT), -999) AS k_quoted,
+                   coalesce(TRY_CAST(nullif(regexp_extract(
+                       '{"k": 2147483648}',
+                       '"k"[ \t\r\n]*:[ \t\r\n]*(-?[0-9]+)', 1), '')
+                       AS BIGINT), -999) AS k_big,
+                   coalesce(TRY_CAST(nullif(regexp_extract(
+                       '{"k": 5}',
+                       '"k"[ \t\r\n]*:[ \t\r\n]*(-?[0-9]+)', 1), '')
+                       AS BIGINT), -999) AS k_plain
+        """,
         # exact-cents mean (see operators.query._mean_exact_cents)
         "pivot_mean": (
             "SELECT l_returnflag, "

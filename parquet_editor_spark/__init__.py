@@ -15,7 +15,7 @@ DataFrame operations so predicate pushdown, column pruning, AQE and
 whole-stage codegen apply end-to-end.
 """
 
-from parquet_editor_spark.session import EditorSession, get_spark
+from parquet_editor_spark.session import EditorSession, SessionSettings, get_spark
 
-__all__ = ["EditorSession", "get_spark"]
+__all__ = ["EditorSession", "SessionSettings", "get_spark"]
 __version__ = "0.1.0"

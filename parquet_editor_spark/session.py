@@ -82,6 +82,58 @@ def get_spark(
     return spark
 
 
+class SessionSettings:
+    """User-settings persistence — parity with the reference v2
+    ``SettingsDialog`` (main.pyc:176-199), which stores one key,
+    ``defaultPath``, through QSettings.  Here: a small JSON file
+    (QSettings' cross-platform analog), round-trippable and forward-
+    compatible (unknown keys are preserved on save).
+
+    ``default_path`` is the directory relative load/save paths resolve
+    against — the same role the reference's key plays for its file
+    dialogs."""
+
+    FILE = os.path.join(
+        os.path.expanduser(os.environ.get("PES_CONFIG_DIR", "~/.parquet_editor_spark")),
+        "settings.json",
+    )
+
+    def __init__(self, default_path: str = "", path: Optional[str] = None):
+        self.default_path = default_path
+        self._file = path or self.FILE
+        self._extra: dict = {}
+
+    @classmethod
+    def load(cls, path: Optional[str] = None) -> "SessionSettings":
+        import json
+
+        s = cls(path=path)
+        try:
+            with open(s._file) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            return s
+        s.default_path = str(data.pop("defaultPath", ""))
+        s._extra = data
+        return s
+
+    def save(self) -> str:
+        import json
+
+        os.makedirs(os.path.dirname(self._file), exist_ok=True)
+        payload = {**self._extra, "defaultPath": self.default_path}
+        with open(self._file, "w") as fh:
+            json.dump(payload, fh, indent=2, sort_keys=True)
+        return self._file
+
+    def resolve(self, path: str) -> str:
+        """Resolve ``path`` against ``default_path`` the way the
+        reference's file dialogs open at the stored directory."""
+        if self.default_path and not os.path.isabs(path):
+            return os.path.join(self.default_path, path)
+        return path
+
+
 class EditorSession:
     """Named immutable DataFrames + per-name undo/redo stacks.
 
@@ -98,8 +150,13 @@ class EditorSession:
     #: the session materializes and restarts the chain.
     COMPACT_EVERY = 32
 
-    def __init__(self, spark: Optional[SparkSession] = None):
+    def __init__(
+        self,
+        spark: Optional[SparkSession] = None,
+        settings: Optional[SessionSettings] = None,
+    ):
         self.spark = spark or get_spark()
+        self.settings = settings or SessionSettings.load()
         self._tables: dict[str, DataFrame] = {}
         self._undo: dict[str, list[DataFrame]] = {}
         self._redo: dict[str, list[DataFrame]] = {}
@@ -158,16 +215,18 @@ class EditorSession:
 
     # -- convenience entry points (reference menu actions) -----------
     def load(self, name: str, path: str, fmt: Optional[str] = None) -> DataFrame:
-        """File▸Load (main.pyc:237-240,307-324) — lazy scan, no eager read."""
+        """File▸Load (main.pyc:237-240,307-324) — lazy scan, no eager
+        read; relative paths resolve against settings.default_path
+        (SettingsDialog parity, main.pyc:176-199)."""
         from parquet_editor_spark import io as peio
 
-        return self.bind(name, peio.load(self.spark, path, fmt))
+        return self.bind(name, peio.load(self.spark, self.settings.resolve(path), fmt))
 
     def save(self, name: str, path: str, fmt: Optional[str] = None, **kw) -> None:
         """File▸Save (main.pyc:344-360)."""
         from parquet_editor_spark import io as peio
 
-        peio.save(self._tables[name], path, fmt, **kw)
+        peio.save(self._tables[name], self.settings.resolve(path), fmt, **kw)
 
     def new_dataframe(self, name: str, schema: str = "") -> DataFrame:
         """File▸New (``pd.DataFrame()``, main.pyc:285-287)."""

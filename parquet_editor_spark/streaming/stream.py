@@ -303,6 +303,7 @@ def upsert_stream_parquet(
     path: str,
     checkpoint: str,
     keys: list[str],
+    output_mode: str = "append",
 ):
     """Keyed upsert sink via ``foreachBatch``: each micro-batch MERGEs
     into the parquet table — existing rows for incoming keys are
@@ -338,6 +339,9 @@ def upsert_stream_parquet(
 
     return (
         stream_df.writeStream.foreachBatch(merge)
+        # "update" for aggregation streams: each batch re-emits corrected
+        # (key, aggregate) rows and the keyed MERGE replaces stale values
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .start()
     )

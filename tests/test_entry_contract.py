@@ -44,6 +44,36 @@ def test_top_level_functions_unique():
     assert not dupes, f"shadowed function definitions: {dupes}"
 
 
+def test_driver_window_is_exactly_50_and_holds_priority_queries():
+    """The driver adjudicates only the FIRST 50 queries() entries per
+    round.  Round 2 overflowed the priority block to 59, so 9 queries
+    silently missed adjudication — pin the round-3 window composition."""
+    keys = _literal_keys("queries")
+    window = keys[:50]
+    assert window[-1] == "dedup_minhash_lsh", (
+        f"window boundary moved: 50th entry is {window[-1]!r}"
+    )
+    must_be_in_window = {
+        # probes
+        "probe_int_float_hash", "probe_hugeint_sum", "probe_hugeint_cast",
+        "probe_ts_subus", "probe_ts_subsec", "probe_round_ties",
+        "probe_double_repr", "probe_ts_repr", "probe_regex_ws_agree",
+        "probe_regex_ws_vt", "probe_json_cast_old", "probe_json_regex_new",
+        # re-fixed r1/r2 hash-fails
+        "json_extract_events", "sessionize_events", "stream_sessionize",
+        "map_props_explode", "pack_sequences",
+        # never adjudicated in r1/r2
+        "stream_followed_by", "normalize_text", "collect_lang_sets",
+        "label_centroids", "embedding_quantize", "cross_join_grid",
+        "plot_line_series", "stratified_sample", "approx_stats",
+        # changed since last adjudication
+        "pivot_mean", "describe_lineitem", "stats_aggregates",
+        "supplier_acct_stats",
+    }
+    missing = must_be_in_window - set(window)
+    assert not missing, f"priority queries outside driver window: {missing}"
+
+
 def test_every_query_has_oracle_or_is_known_rows_only():
     import sys
 

@@ -157,3 +157,45 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) >= {"id", "s", "score"}
     rows = {r["id"]: r["score"] for r in df.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def _has_excel_engine() -> bool:
+    try:
+        import openpyxl  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _has_excel_engine(), reason="openpyxl present: the guard path is inert here"
+)
+def test_excel_gate_documented(spark, tmp_path, lineitem):
+    """README 'Documented divergences': without openpyxl/xlrd, BOTH Excel
+    directions fail with a clean NotImplementedError naming the missing
+    dependency — never a bare ImportError from deep inside pandas."""
+    import parquet_editor_spark.io as peio
+
+    import zipfile
+
+    xlsx = tmp_path / "t.xlsx"
+    with zipfile.ZipFile(xlsx, "w") as z:  # valid zip, engine import is
+        z.writestr("xl/workbook.xml", "<workbook/>")  # the first failure
+    with pytest.raises(NotImplementedError, match="openpyxl"):
+        peio.load(spark, str(xlsx))
+    with pytest.raises(NotImplementedError, match="openpyxl"):
+        peio.save(lineitem.limit(3), str(tmp_path / "t.xlsx"))
+
+
+@pytest.mark.skipif(
+    not _has_excel_engine(), reason="openpyxl absent in this image"
+)
+def test_excel_round_trip_when_engine_present(spark, tmp_path, lineitem):
+    """On an image WITH openpyxl the same guarded paths round-trip."""
+    import parquet_editor_spark.io as peio
+
+    p = str(tmp_path / "t.xlsx")
+    peio.save(lineitem.limit(5).select("l_orderkey", "l_quantity"), p)
+    back = peio.load(spark, p)
+    assert back.count() == 5

@@ -108,3 +108,55 @@ def test_sql_insert_like_pipeline(sess, sf_dir):
     )
     sess.bind("summary", agg)
     assert sess.sql("SELECT count(*) AS n FROM summary").collect()[0]["n"] == 3
+
+
+class TestSessionSettings:
+    """SettingsDialog parity (main.pyc:176-199): one persisted key,
+    defaultPath, with a save/load round-trip and dialog-style path
+    resolution."""
+
+    def test_round_trip(self, tmp_path):
+        from parquet_editor_spark import SessionSettings
+
+        f = str(tmp_path / "settings.json")
+        s = SessionSettings(path=f)
+        assert s.default_path == ""
+        s.default_path = "/data/parquet"
+        s.save()
+        again = SessionSettings.load(path=f)
+        assert again.default_path == "/data/parquet"
+
+    def test_unknown_keys_preserved(self, tmp_path):
+        import json
+        from parquet_editor_spark import SessionSettings
+
+        f = str(tmp_path / "settings.json")
+        json.dump({"defaultPath": "/a", "futureKey": 7}, open(f, "w"))
+        s = SessionSettings.load(path=f)
+        s.default_path = "/b"
+        s.save()
+        data = json.load(open(f))
+        assert data == {"defaultPath": "/b", "futureKey": 7}
+
+    def test_missing_file_is_defaults(self, tmp_path):
+        from parquet_editor_spark import SessionSettings
+
+        s = SessionSettings.load(path=str(tmp_path / "nope.json"))
+        assert s.default_path == ""
+
+    def test_resolve(self, tmp_path):
+        from parquet_editor_spark import SessionSettings
+
+        s = SessionSettings(default_path="/base", path=str(tmp_path / "s.json"))
+        assert s.resolve("t.parquet") == "/base/t.parquet"
+        assert s.resolve("/abs/t.parquet") == "/abs/t.parquet"
+        s.default_path = ""
+        assert s.resolve("t.parquet") == "t.parquet"
+
+    def test_session_load_uses_default_path(self, spark, sf_dir, tmp_path):
+        from parquet_editor_spark import EditorSession, SessionSettings
+
+        s = SessionSettings(default_path=sf_dir, path=str(tmp_path / "s.json"))
+        sess = EditorSession(spark, settings=s)
+        df = sess.load("region", "region.parquet")  # relative path
+        assert df.count() == 5
