@@ -1701,6 +1701,18 @@ _ORACLE_LSH_PAIRS = """
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical top-50 for a 3-term query — decontamination
+    lookup / audit retrieval over the corpus (operators/retrieval.py;
+    no reference counterpart, SURVEY.md §2.7 EXT)."""
+    from parquet_editor_spark.operators import retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    return R.bm25_topk(
+        docs, ["join", "spark", "vector"], k=50
+    ).withColumnRenamed("id", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-divergence probes (round 3).
 #
@@ -1973,6 +1985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_hash": q_stratified_sample_hash,
         "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
         "kafka_roundtrip_events": q_kafka_roundtrip_events,
+        # --- new in r3 (not yet adjudicated; rotate into the r4 window) ---
+        "bm25_topk": q_bm25_topk,
         # --- r1 greens not in this rotation ---
         "pivot_count": _pivot("count", round_to=None),
         "pivot_max": _pivot("max", round_to=None),
@@ -2539,6 +2553,36 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pack_id
             FROM t
             WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+        """,
+        "bm25_topk": """
+            WITH base AS (
+                SELECT doc_id AS id,
+                       len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x != '')) AS dl,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS toks
+                FROM documents),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                      FROM base),
+            tf AS (SELECT id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM (SELECT id, dl, lower(unnest(toks)) AS term FROM base)
+                   WHERE term IN ('join', 'spark', 'vector')
+                   GROUP BY id, dl, term),
+            dft AS (SELECT term, CAST(count(*) AS BIGINT) AS dft
+                    FROM tf GROUP BY term),
+            scored AS (
+                SELECT tf.id,
+                       CAST(count(*) AS BIGINT) AS n_hit_terms,
+                       round(sum(
+                           ln((n_docs - dft + 0.5) / (dft + 0.5) + 1.0)
+                           * (tf * (1.2 + 1.0))
+                           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                       ), 4) AS score
+                FROM tf JOIN dft USING (term), stats
+                GROUP BY tf.id)
+            SELECT id AS doc_id, n_hit_terms, score
+            FROM scored ORDER BY score DESC, doc_id ASC LIMIT 50
         """,
         "label_centroids": """
             SELECT label, dim,

@@ -1,0 +1,112 @@
+"""Lexical retrieval over the document corpus: BM25 scoring + top-k.
+
+A training-data pipeline needs lexical retrieval in several places —
+decontamination lookups ("which corpus docs score high against this
+benchmark query?"), targeted quality audits, and hybrid (lexical +
+embedding) dedup candidate generation.  No reference counterpart (the
+reference has no text surface, SURVEY.md §2.6); this is the
+Elasticsearch-default Okapi BM25 formula expressed as three small
+aggregations.
+
+Scale shape (the part that matters at 100 TB):
+
+* Document length comes from ``size(tokens(text))`` — a projection,
+  never a second explode pass over the corpus.
+* The token explode is filtered to the query's terms IN THE SAME STAGE
+  (predicate on the exploded rows), so only rows matching one of the
+  handful of query terms ever enter the (id, term) shuffle.  Corpus
+  tokens that match nothing — almost all of them — die executor-local.
+* Per-term document frequencies are at most ``len(terms)`` rows →
+  broadcast back.  Corpus size / average doc length is a one-row
+  global aggregate (single-partition exchange of partials — benign).
+* Top-k is ``orderBy().limit(k)`` → TakeOrderedAndProject, a per-
+  partition partial top-k before one k-row-per-partition gather.
+* Exactly TWO corpus scans total: the tokenize+explode pass feeding
+  (id, term) counts (persisted — dft reuses it rather than triggering
+  a second explode), and one explode-free length scan for the global
+  n/avgdl stats.  The explode — the expensive pass at corpus scale —
+  runs once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parquet_editor_spark.functions.text import tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-``k`` documents by Okapi BM25 score for ``query_terms``.
+
+    Returns ``(id, n_hit_terms, score)`` ordered by (rounded score
+    desc, id) — the rounded score is the ORDER key on both this and
+    the differential oracle so last-ulp double noise can't reorder
+    ties across engines.  Documents matching no term are excluded
+    (score would be 0)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(text_col)).alias("dl"),
+        tokens(text_col).alias("__toks"),
+    )
+    # one-row global stats: corpus size and average doc length (exact:
+    # integer sum / count, identical on any engine or parallelism)
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    # (id, term) term frequencies — filter to query terms BEFORE the
+    # shuffle; non-matching tokens never leave their executor.
+    # PERSISTED: tf feeds both the per-term document frequencies and the
+    # scoring join — without it Spark re-scans and re-explodes the whole
+    # corpus for dft (the dedup.py:282-295 lesson; tf is tiny,
+    # ≤ n_matching_docs × |terms| rows).
+    from pyspark import StorageLevel
+
+    tf = (
+        base.select("id", "dl", F.explode("__toks").alias("t"))
+        .select("id", "dl", F.lower("t").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dft = tf.groupBy("term").agg(F.count("*").alias("dft"))  # ≤ |terms| rows
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.round(F.sum("contrib"), round_to).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)

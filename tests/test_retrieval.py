@@ -1,0 +1,88 @@
+"""BM25 top-k (operators/retrieval.py) vs an independent pure-Python
+reference implementation on a small corpus."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_editor_spark.operators.retrieval import bm25_topk
+
+CORPUS = [
+    (1, "join join join scan filter"),
+    (2, "vector vector join merge"),
+    (3, "spark spark spark spark vector"),
+    (4, "table row column batch window"),
+    (5, "join vector spark"),
+]
+
+
+def _py_bm25(terms, k1=1.2, b=0.75):
+    docs = {i: t.split() for i, t in CORPUS}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dft = {
+        q: sum(1 for t in docs.values() if q in t) for q in terms
+    }
+    out = {}
+    for i, toks in docs.items():
+        score, hits = 0.0, 0
+        for q in terms:
+            tf = toks.count(q)
+            if not tf:
+                continue
+            hits += 1
+            idf = math.log((n - dft[q] + 0.5) / (dft[q] + 0.5) + 1.0)
+            score += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(toks) / avgdl)
+            )
+        if hits:
+            out[i] = (hits, round(score, 4))
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id BIGINT, text STRING")
+
+
+def test_bm25_matches_reference(spark, corpus_df):
+    got = {
+        r["id"]: (r["n_hit_terms"], r["score"])
+        for r in bm25_topk(corpus_df, ["join", "spark", "vector"], k=10).collect()
+    }
+    assert got == _py_bm25(["join", "spark", "vector"])
+
+
+def test_bm25_topk_order_and_limit(spark, corpus_df):
+    rows = bm25_topk(corpus_df, ["join", "spark", "vector"], k=2).collect()
+    want = sorted(
+        _py_bm25(["join", "spark", "vector"]).items(),
+        key=lambda kv: (-kv[1][1], kv[0]),
+    )[:2]
+    assert [(r["id"], r["score"]) for r in rows] == [
+        (i, s) for i, (h, s) in want
+    ]
+
+
+def test_bm25_excludes_nonmatching_docs(spark, corpus_df):
+    ids = {r["id"] for r in bm25_topk(corpus_df, ["window"], k=10).collect()}
+    assert ids == {4}
+
+
+def test_bm25_case_insensitive_terms(spark, corpus_df):
+    a = bm25_topk(corpus_df, ["JOIN"], k=10).collect()
+    b = bm25_topk(corpus_df, ["join"], k=10).collect()
+    assert [(r["id"], r["score"]) for r in a] == [(r["id"], r["score"]) for r in b]
+
+
+def test_bm25_empty_terms_rejected(corpus_df):
+    with pytest.raises(ValueError):
+        bm25_topk(corpus_df, [])
+
+
+def test_bm25_plan_filters_before_shuffle(spark, corpus_df):
+    """Scale guard: the query-term filter must sit under the (id, term)
+    aggregation, not above it — only matching tokens cross the shuffle."""
+    plan = bm25_topk(corpus_df, ["join"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
