@@ -22,6 +22,8 @@ def main() -> None:
     spark = get_spark(app_name="plans-report")
     rows = []
     for name, fn in entry_mod.queries().items():
+        if name.startswith("probe_"):
+            continue  # literal one-row diagnostics, no plan to audit
         if name.startswith("stream_"):
             rows.append((name, "(streaming — plan finalized per micro-batch)", "", "", ""))
             continue
