@@ -1701,6 +1701,21 @@ _ORACLE_LSH_PAIRS = """
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to target token shares 60/30/10 over three
+    sources (operators/textprep.py mixture_sample_tokens; SURVEY.md
+    §2.7 EXT) — deterministic hash keep, rates from token mass."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    return TP.mixture_sample_tokens(
+        docs, "source", "doc_id", "text",
+        {"src0": 0.6, "src1": 0.3, "src2": 0.1},
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 lexical top-50 for a 3-term query — decontamination
     lookup / audit retrieval over the corpus (operators/retrieval.py;
@@ -1987,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_roundtrip_events": q_kafka_roundtrip_events,
         # --- new in r3 (not yet adjudicated; rotate into the r4 window) ---
         "bm25_topk": q_bm25_topk,
+        "mixture_sample": q_mixture_sample,
         # --- r1 greens not in this rotation ---
         "pivot_count": _pivot("count", round_to=None),
         "pivot_max": _pivot("max", round_to=None),
@@ -2553,6 +2569,34 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pack_id
             FROM t
             WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+        """,
+        "mixture_sample": """
+            WITH tokc AS (
+                SELECT source, doc_id AS id,
+                       len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x != '')) AS n_toks
+                FROM documents
+                WHERE source IN ('src0', 'src1', 'src2')),
+            counts AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS toks
+                       FROM tokc GROUP BY source),
+            shares AS (SELECT * FROM (VALUES
+                           ('src0', 0.6), ('src1', 0.3), ('src2', 0.1))
+                       s(source, share)),
+            rated AS (SELECT counts.source, toks,
+                             CAST(share AS DOUBLE) AS share,
+                             CAST(toks AS DOUBLE) / CAST(share AS DOUBLE)
+                                 AS ratio
+                      FROM counts JOIN shares USING (source)),
+            budget AS (SELECT min(ratio) AS budget FROM rated),
+            rates AS (SELECT source,
+                             least(CAST(1.0 AS DOUBLE),
+                                   budget * share / CAST(toks AS DOUBLE))
+                                 AS rate
+                      FROM rated, budget)
+            SELECT id AS doc_id, source, n_toks
+            FROM tokc JOIN rates USING (source)
+            WHERE ((id % 1000003) * 2654435761 + 40503)
+                  % 4294967296 % 1000 < floor(rate * 1000)
         """,
         "bm25_topk": """
             WITH base AS (

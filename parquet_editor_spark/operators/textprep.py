@@ -16,6 +16,70 @@ from pyspark.sql import functions as F
 from parquet_editor_spark.functions.text import tokens
 
 
+def mixture_sample_tokens(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    target_shares: dict[str, float],
+    seed: int = 40503,
+) -> DataFrame:
+    """Corpus mixing: downsample each source so realized TOKEN shares
+    match ``target_shares`` as closely as subsampling allows — the
+    data-mixing step between cleaning and packing.
+
+    The token budget ``B = min_s(toks_s / share_s)`` is set by the
+    limiting source (which keeps rate 1.0); every other source keeps
+    ``rate_s = B·share_s / toks_s`` of its documents, so expected kept
+    token mass per source is ∝ its target share.  Upsampling is out of
+    scope (a dataloader repeat-factor concern, not a corpus transform).
+
+    Document keep/drop is the same pure multiplicative-hash per-mille
+    bucket as ``hash_split(method="portable")`` — a function of
+    (id, seed) only, so the mix survives reprocessing, joins across
+    runs, and is value-for-value differential-checkable.  Sources
+    absent from ``target_shares`` are dropped (explicit mixture spec).
+
+    Scale shape: per-source token totals are one narrow aggregate
+    (#sources rows), rates broadcast back; the keep decision is a pure
+    projection — no per-row shuffle beyond the stats pass."""
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    spark = df.sparkSession
+    tokc = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("id"),
+        F.size(tokens(text_col)).alias("n_toks"),
+    )
+    counts = tokc.groupBy("source").agg(F.sum("n_toks").alias("toks"))
+    shares = spark.createDataFrame(
+        sorted(target_shares.items()), "source string, share double"
+    )
+    rated = counts.join(shares, "source").withColumn(
+        "ratio", F.col("toks").cast("double") / F.col("share")
+    )
+    budget = rated.agg(F.min("ratio").alias("budget"))  # one-row scalar
+    rates = (
+        rated.crossJoin(F.broadcast(budget))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.col("budget") * F.col("share") / F.col("toks").cast("double"),
+            ),
+        )
+        .select("source", "rate")
+    )
+    bucket = (
+        (F.col("id") % F.lit(1_000_003)) * F.lit(2654435761) + F.lit(seed)
+    ) % F.lit(4294967296) % F.lit(1000)
+    return (
+        tokc.join(F.broadcast(rates), "source")
+        .filter(bucket < F.floor(F.col("rate") * 1000))
+        .select("id", "source", "n_toks")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

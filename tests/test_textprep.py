@@ -80,3 +80,78 @@ def test_pipeline_training_data_structure(spark, sf_dir):
         .count()
     )
     assert len({d for d, _ in keys}) < corpus
+
+
+class TestMixtureSampleTokens:
+    """Corpus mixing to target token shares (mixture_sample_tokens)."""
+
+    @pytest.fixture(scope="class")
+    def mixed(self, documents):
+        from parquet_editor_spark.operators.textprep import mixture_sample_tokens
+
+        docs = documents.filter(F.col("source").isin("src0", "src1", "src2"))
+        return (
+            docs,
+            mixture_sample_tokens(
+                docs, "source", "doc_id", "text",
+                {"src0": 0.6, "src1": 0.3, "src2": 0.1},
+            ),
+        )
+
+    def test_limiting_source_kept_whole(self, mixed):
+        """The source with the smallest toks/share ratio keeps rate 1.0 —
+        every one of its documents survives."""
+        docs, out = mixed
+        from parquet_editor_spark.functions.text import tokens
+
+        per = {
+            r["source"]: r["toks"]
+            for r in docs.groupBy("source")
+            .agg(F.sum(F.size(tokens("text"))).alias("toks"))
+            .collect()
+        }
+        shares = {"src0": 0.6, "src1": 0.3, "src2": 0.1}
+        limiting = min(per, key=lambda s: per[s] / shares[s])
+        n_in = docs.filter(F.col("source") == limiting).count()
+        n_out = out.filter(F.col("source") == limiting).count()
+        assert n_out == n_in
+
+    def test_realized_token_shares_near_targets(self, mixed):
+        """Kept token mass per source lands near the 60/30/10 targets
+        (document-level sampling → statistical, so wide bands)."""
+        _, out = mixed
+        kept = {
+            r["source"]: r["t"]
+            for r in out.groupBy("source").agg(F.sum("n_toks").alias("t")).collect()
+        }
+        total = sum(kept.values())
+        shares = {s: kept.get(s, 0) / total for s in ("src0", "src1", "src2")}
+        assert abs(shares["src0"] - 0.6) < 0.15
+        assert abs(shares["src1"] - 0.3) < 0.12
+        assert abs(shares["src2"] - 0.1) < 0.08
+
+    def test_deterministic_across_runs_and_partitioning(self, mixed):
+        from parquet_editor_spark.operators.textprep import mixture_sample_tokens
+
+        docs, out = mixed
+        again = mixture_sample_tokens(
+            docs.repartition(7), "source", "doc_id", "text",
+            {"src0": 0.6, "src1": 0.3, "src2": 0.1},
+        )
+        assert sorted(r["id"] for r in out.collect()) == sorted(
+            r["id"] for r in again.collect()
+        )
+
+    def test_unlisted_sources_dropped(self, documents):
+        from parquet_editor_spark.operators.textprep import mixture_sample_tokens
+
+        out = mixture_sample_tokens(
+            documents, "source", "doc_id", "text", {"src0": 1.0}
+        )
+        assert {r["source"] for r in out.select("source").distinct().collect()} == {"src0"}
+
+    def test_empty_shares_rejected(self, documents):
+        from parquet_editor_spark.operators.textprep import mixture_sample_tokens
+
+        with pytest.raises(ValueError):
+            mixture_sample_tokens(documents, "source", "doc_id", "text", {})
