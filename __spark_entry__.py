@@ -371,6 +371,151 @@ _ORACLE_RID = (
 )
 
 
+def q_point_read_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point read (§2.3, main.py:25-31): the get_cell pushdown shape —
+    a single-ordinal filter served without collecting the table."""
+    return _ordered_li(spark, sf_dir).filter(F.col("rid") == 10).select(
+        "rid", "l_quantity"
+    )
+
+
+def q_cut_rows_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut (§2.3, main.py:53-56): the CLIPBOARD side of cut_rows —
+    rids 5-9 re-ranked 0..4 in cut order."""
+    from parquet_editor_spark.operators import edit as E
+
+    df = _ordered_li(spark, sf_dir).withColumnRenamed("rid", "__rid")
+    clip, _rest = E.cut_rows(df, range(5, 10))
+    return clip.withColumnRenamed("__rid", "rid")
+
+
+def q_multiselect_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-select status-bar summary (§2.3, main.py:107-123):
+    count + sum/mean over the selected ordinals, server-side."""
+    from parquet_editor_spark.operators import edit as E
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    df = E.ordered_rid(li, ["l_orderkey", "l_linenumber"]).select(
+        "__rid", "l_quantity", "l_extendedprice"
+    )
+    return E.selection_summary(df, range(10, 20))
+
+
+def q_paged_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paged preview (§2.1, main.py:25-31): ordinal RANGE [100, 150) of
+    the deterministic order — the EditorSession.preview construct (the
+    r3 fix: a range predicate, never filter+limit)."""
+    return _ordered_li(spark, sf_dir).filter(
+        (F.col("rid") >= 100) & (F.col("rid") < 150)
+    )
+
+
+def q_empty_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty source (§2.1, main.pyc:285-287): fresh typed empty table."""
+    from parquet_editor_spark import io as peio
+
+    return peio.empty(spark, "a bigint, b string")
+
+
+def q_rename_cast_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename + typed cast column ops (§2.2, readme.md:8): qty rename,
+    int→bigint widen, bigint→string.  NO decimal output: DuckDB
+    DECIMAL reaches pandas as float64 ("0.0") while Spark's is
+    Decimal("0.00") — the same dtype-class hash trap as HUGEINT,
+    caught by the strict local canon when this query first used
+    decimal(12,2)."""
+    from parquet_editor_spark.operators import edit as E
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_tax"
+    )
+    df = E.rename_column(li, "l_quantity", "qty")
+    df = E.cast_column(df, "l_linenumber", "bigint")
+    return E.cast_column(df, "l_orderkey", "string")
+
+
+def q_csv_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan round-trip (§2.1, main.py:70,79-80): write a
+    lineitem slice through the distributed CSV sink, read it back with
+    an explicit schema, aggregate — lossless iff sink quoting and
+    Java's round-trippable double repr survive the cycle.  The oracle
+    aggregates the same slice straight from parquet, so any round-trip
+    loss hash-fails."""
+    import tempfile
+
+    from parquet_editor_spark import io as peio
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 97 == 0
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    tmp = tempfile.mkdtemp(prefix="pes_csv_rt_")
+    peio.save(li, f"{tmp}/slice.csv", fmt="csv")
+    back = peio.load(
+        spark,
+        f"{tmp}/slice.csv",
+        fmt="csv",
+        schema="l_orderkey bigint, l_linenumber int, l_quantity double,"
+        " l_returnflag string",
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("qty_c"),
+    )
+
+
+def q_json_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + scan round-trip (§2.1, main.py:72-73,80):
+    orders slice through the distributed JSON sink and back, then an
+    exact-cents aggregate the oracle reproduces from parquet."""
+    import tempfile
+
+    from parquet_editor_spark import io as peio
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 89 == 0
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="pes_json_rt_")
+    peio.save(orders, f"{tmp}/slice.json", fmt="json")
+    back = peio.load(
+        spark,
+        f"{tmp}/slice.json",
+        fmt="json",
+        schema="o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("total_c"),
+    )
+
+
+def q_parquet_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + pruned scan round-trip (§2.1,
+    main.pyc:344-360 + the 100 TB layout story): write orders
+    hive-partitioned by o_orderstatus, read back ONE partition (the
+    scan prunes to that directory — asserted in tests/test_plans.py
+    style), aggregate exact cents.  Oracle reproduces from the source
+    table, so partition loss/duplication hash-fails."""
+    import tempfile
+
+    from parquet_editor_spark import io as peio
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 83 == 0
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="pes_pq_rt_")
+    peio.save(orders, f"{tmp}/orders.parquet", fmt="parquet",
+              partition_by=["o_orderstatus"])
+    back = peio.load(spark, f"{tmp}/orders.parquet", fmt="parquet").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("total_c"),
+    )
+
+
 def q_cell_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed positional cell write (main.pyc:68-79) over the shared
     ordinal: set l_quantity=99 at rid 10."""
@@ -1896,10 +2041,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. the 9 queries never adjudicated in r1/r2
     #   4. 4 queries whose code or oracle changed (pivot_mean r2,
     #      describe/stats decimal-overflow fix r3)
-    #   5. 20 r1-greens not re-checked since, oldest signal first
-    # Still unwindowed after this rotation (r2 greens, re-check in r4 if
-    # slots free up): q3/q5/q6/q7, subquery family, join family,
-    # grouping-set family, resample/rollup, training pipeline, text ops.
+    #   5. 8 NEW coverage queries for surface the driver has only ever
+    #      seen via pytest (csv/json round-trip, rename/cast, point
+    #      read, cut clip, multiselect, paged preview, empty source)
+    #   6. 12 r1-greens not re-checked since, oldest signal first
+    # Still unwindowed after this rotation (re-check in r4 if slots
+    # free up): the r2 greens, the r1 greens cell_edit/delete_rows/
+    # paste_splice/union_distinct_nations/rollup_qty/pivot_count_
+    # distinct/date_trunc_orders/string_funcs_part (swapped out for
+    # the new-coverage block), and new-in-r3 bm25_topk/mixture_sample.
     return {
         # --- 1. probes ---
         "probe_int_float_hash": probe_int_float_hash,
@@ -1935,7 +2085,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_lineitem": q_describe_lineitem,
         "stats_aggregates": q_stats_aggregates,
         "supplier_acct_stats": q_supplier_acct_stats,
-        # --- 5. r1-green backfill re-checks ---
+        # --- 5. new coverage: first-ever driver verdicts for §2 surface ---
+        "csv_roundtrip_lineitem": q_csv_roundtrip_lineitem,
+        "json_roundtrip_orders": q_json_roundtrip_orders,
+        "rename_cast_lineitem": q_rename_cast_lineitem,
+        "point_read_cell": q_point_read_cell,
+        "cut_rows_clip": q_cut_rows_clip,
+        "multiselect_summary": q_multiselect_summary,
+        "paged_preview": q_paged_preview,
+        "empty_source": q_empty_source,
+        # --- 6. r1-green backfill re-checks ---
         "groupby_agg": q_groupby_agg,
         "filter_project": q_filter_project,
         "topk_orders": q_topk_orders,
@@ -1944,19 +2103,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_suppliers_with_sales": q_semi_suppliers_with_sales,
         "window_running_sum": q_window_running_sum,
         "window_top3_per_priority": q_window_top3_per_priority,
+        "pivot_sum": _pivot("sum"),
+        "text_stats": q_text_stats,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # ================= end of 50-entry driver window =================
         "union_distinct_nations": q_union_distinct_nations,
         "rollup_qty": q_rollup_qty,
-        "pivot_sum": _pivot("sum"),
         "pivot_count_distinct": q_pivot_count_distinct,
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
         "cell_edit": q_cell_edit,
         "delete_rows": q_delete_rows,
         "paste_splice": q_paste_splice,
-        "text_stats": q_text_stats,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        # ================= end of 50-entry driver window =================
         # --- r2 greens (re-rotate in r4) ---
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
@@ -2003,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r3 (not yet adjudicated; rotate into the r4 window) ---
         "bm25_topk": q_bm25_topk,
         "mixture_sample": q_mixture_sample,
+        "parquet_roundtrip_partitioned": q_parquet_roundtrip_partitioned,
         # --- r1 greens not in this rotation ---
         "pivot_count": _pivot("count", round_to=None),
         "pivot_max": _pivot("max", round_to=None),
@@ -2291,6 +2451,62 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "point_read_cell": f"""
+            SELECT rid, l_quantity FROM ({_ORACLE_RID}) t WHERE rid = 10
+        """,
+        "cut_rows_clip": f"""
+            SELECT rid - 5 AS rid, l_orderkey, l_linenumber, l_quantity
+            FROM ({_ORACLE_RID}) t WHERE rid BETWEEN 5 AND 9
+        """,
+        "multiselect_summary": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_selected,
+                   round(sum(l_quantity), 4) AS sum_l_quantity,
+                   round(avg(l_quantity), 4) AS avg_l_quantity,
+                   round(sum(l_extendedprice), 4) AS sum_l_extendedprice,
+                   round(avg(l_extendedprice), 4) AS avg_l_extendedprice
+            FROM (SELECT row_number() OVER
+                             (ORDER BY l_orderkey, l_linenumber) - 1 AS rid,
+                         l_quantity, l_extendedprice
+                  FROM lineitem) t
+            WHERE rid BETWEEN 10 AND 19
+        """,
+        "paged_preview": f"""
+            SELECT rid, l_orderkey, l_linenumber, l_quantity
+            FROM ({_ORACLE_RID}) t WHERE rid >= 100 AND rid < 150
+        """,
+        "empty_source": """
+            SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS VARCHAR) AS b
+            WHERE 1 = 0
+        """,
+        "rename_cast_lineitem": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_quantity AS qty,
+                   l_tax
+            FROM lineitem
+        """,
+        "csv_roundtrip_lineitem": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                        AS BIGINT) AS qty_c
+            FROM lineitem WHERE l_orderkey % 97 = 0
+            GROUP BY l_returnflag
+        """,
+        "json_roundtrip_orders": """
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS total_c
+            FROM orders WHERE o_orderkey % 89 = 0
+            GROUP BY o_orderstatus
+        """,
+        "parquet_roundtrip_partitioned": """
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS total_c
+            FROM orders
+            WHERE o_orderkey % 83 = 0 AND o_orderstatus = 'O'
+            GROUP BY o_orderstatus
         """,
         "cell_edit": f"""
             SELECT rid, l_orderkey, l_linenumber,

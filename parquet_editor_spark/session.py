@@ -299,10 +299,21 @@ class EditorSession:
     # -- preview (the Qt view's cell pull, main.pyc:58-66) -----------
     def preview(self, name: str, n: int = 100, offset: int = 0):
         """Paged display: the reference renders every visible cell via
-        ``iloc`` (main.py:25-31); we collect only one page driver-side."""
+        ``iloc`` (main.py:25-31); we collect only one page driver-side.
+
+        The page is the ordinal RANGE ``[offset, offset+n)`` — never
+        ``filter(...).limit(n)``, which takes n arbitrary rows in
+        partition order and made pages beyond the first
+        nondeterministic (r3 bug fix, pinned in test_session)."""
         df = self._tables[name]
         if offset:
             from parquet_editor_spark.operators.edit import with_rid
 
-            df = with_rid(df).filter(f"__rid >= {offset}").drop("__rid")
+            return (
+                with_rid(df)
+                .filter(f"__rid >= {offset} AND __rid < {offset + n}")
+                .orderBy("__rid")
+                .drop("__rid")
+                .toPandas()
+            )
         return df.limit(n).toPandas()

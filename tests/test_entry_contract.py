@@ -69,6 +69,10 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         # changed since last adjudication
         "pivot_mean", "describe_lineitem", "stats_aggregates",
         "supplier_acct_stats",
+        # first-ever driver verdicts for pytest-only §2 surface
+        "csv_roundtrip_lineitem", "json_roundtrip_orders",
+        "rename_cast_lineitem", "point_read_cell", "cut_rows_clip",
+        "multiselect_summary", "paged_preview", "empty_source",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"

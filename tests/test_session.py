@@ -160,3 +160,32 @@ class TestSessionSettings:
         sess = EditorSession(spark, settings=s)
         df = sess.load("region", "region.parquet")  # relative path
         assert df.count() == 5
+
+
+def test_preview_pages_are_deterministic_ordinal_ranges(spark, sf_dir):
+    """r3 bug fix: preview(offset=k) must return rows [k, k+n) of the
+    bound order, not n arbitrary rows passing the offset filter (the
+    old filter+limit shape grabbed rows in partition order)."""
+    from parquet_editor_spark import EditorSession
+
+    sess = EditorSession(spark)
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .orderBy("l_orderkey", "l_linenumber")
+        .repartition(8)  # scramble physical order vs logical order
+    )
+    sess.bind("li", li)
+    page1 = sess.preview("li", n=10, offset=20)
+    page2 = sess.preview("li", n=10, offset=20)
+    assert page1.equals(page2)
+    # and the page really is the ordinal range of the bound order
+    from parquet_editor_spark.operators.edit import with_rid
+
+    want = (
+        with_rid(sess.get("li"))
+        .filter("__rid >= 20 AND __rid < 30")
+        .orderBy("__rid")
+        .drop("__rid")
+        .toPandas()
+    )
+    assert page1.equals(want)
