@@ -855,11 +855,21 @@ def q_supplier_acct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector int8 quantization (4× embedding storage reduction)."""
+    """Per-vector int8 quantization (4× embedding storage reduction).
+    q_vec crosses the oracle boundary as a joined string — array
+    columns have no adjudicated-green precedent and numpy-vs-list
+    repr diverges under a str()-style hash (see collect_lang_sets)."""
     from parquet_editor_spark.operators import sim as S
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return S.quantize_int8(emb).select("vec_id", "q_vec", "q_scale")
+    q = S.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.array_join(
+            F.transform("q_vec", lambda x: x.cast("string")), ","
+        ).alias("q_vec"),
+        "q_scale",
+    )
 
 
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1020,11 +1030,14 @@ def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_collect_lang_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-source sorted distinct language list
-    (``collect_set`` + ``array_sort`` — sorted so the set is
-    deterministic and hash-comparable)."""
+    (``collect_set`` + ``array_sort``), emitted as a joined STRING —
+    no adjudicated query has ever carried an array column, and a
+    str()-style driver hash renders DuckDB's numpy arrays ("[a b]")
+    unlike Spark's lists ("[a, b]"); the CSV form is representation-
+    neutral on any engine."""
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
-        F.array_sort(F.collect_set("lang")).alias("langs"),
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
         F.count_distinct("lang").alias("n_langs"),
     )
 
@@ -2685,11 +2698,13 @@ def oracle_sql() -> dict[str, str]:
                            AS am
                 FROM embeddings)
             SELECT vec_id,
-                   CASE WHEN am > 0
-                        THEN list_transform(embedding::DOUBLE[],
-                                            x -> CAST(round(x * 127.0 / am) AS INT))
-                        ELSE list_transform(embedding::DOUBLE[], x -> 0)
-                   END AS q_vec,
+                   array_to_string(
+                       CASE WHEN am > 0
+                            THEN list_transform(embedding::DOUBLE[],
+                                                x -> CAST(round(x * 127.0 / am)
+                                                          AS INT))
+                            ELSE list_transform(embedding::DOUBLE[], x -> 0)
+                       END, ',') AS q_vec,
                    round(am, 6) AS q_scale
             FROM s
         """,
@@ -2979,7 +2994,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "collect_lang_sets": """
             SELECT source,
-                   list_sort(list(DISTINCT lang)) AS langs,
+                   array_to_string(list_sort(list(DISTINCT lang)), ',')
+                       AS langs,
                    count(DISTINCT lang) AS n_langs
             FROM documents GROUP BY source
         """,
