@@ -490,6 +490,16 @@ def q_json_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over four lineitem measures
+    (pandas df.corr() analog) — exact integer moments, one agg pass
+    (operators/query.py corr_matrix_exact)."""
+    return q.corr_matrix_exact(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def q_parquet_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet sink + pruned scan round-trip (§2.1,
     main.pyc:344-360 + the 100 TB layout story): write orders
@@ -2176,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "mixture_sample": q_mixture_sample,
         "parquet_roundtrip_partitioned": q_parquet_roundtrip_partitioned,
+        "corr_matrix": q_corr_matrix,
         # --- r1 greens not in this rotation ---
         "pivot_count": _pivot("count", round_to=None),
         "pivot_max": _pivot("max", round_to=None),
@@ -2512,6 +2523,48 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total_c
             FROM orders WHERE o_orderkey % 89 = 0
             GROUP BY o_orderstatus
+        """,
+        "corr_matrix": """
+            WITH v AS (SELECT
+                    CAST(round(l_quantity * 100, 0) AS BIGINT) AS a,
+                    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS b,
+                    CAST(round(l_discount * 100, 0) AS BIGINT) AS c,
+                    CAST(round(l_tax * 100, 0) AS BIGINT) AS d
+                FROM lineitem),
+            m AS (SELECT
+                    CAST(count(*) AS DOUBLE) AS n,
+                    CAST(sum(a) AS DOUBLE) AS sa, CAST(sum(b) AS DOUBLE) AS sb,
+                    CAST(sum(c) AS DOUBLE) AS sc, CAST(sum(d) AS DOUBLE) AS sd,
+                    CAST(sum(a*a) AS DOUBLE) AS sa2,
+                    CAST(sum(b*b) AS DOUBLE) AS sb2,
+                    CAST(sum(c*c) AS DOUBLE) AS sc2,
+                    CAST(sum(d*d) AS DOUBLE) AS sd2,
+                    CAST(sum(a*b) AS DOUBLE) AS sab,
+                    CAST(sum(a*c) AS DOUBLE) AS sac,
+                    CAST(sum(a*d) AS DOUBLE) AS sad,
+                    CAST(sum(b*c) AS DOUBLE) AS sbc,
+                    CAST(sum(b*d) AS DOUBLE) AS sbd,
+                    CAST(sum(c*d) AS DOUBLE) AS scd
+                FROM v)
+            SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col,
+                   round((n*sab - sa*sb)
+                         / sqrt((n*sa2 - sa*sa) * (n*sb2 - sb*sb)), 6) AS corr
+            FROM m
+            UNION ALL SELECT 'l_quantity', 'l_discount',
+                   round((n*sac - sa*sc)
+                         / sqrt((n*sa2 - sa*sa) * (n*sc2 - sc*sc)), 6) FROM m
+            UNION ALL SELECT 'l_quantity', 'l_tax',
+                   round((n*sad - sa*sd)
+                         / sqrt((n*sa2 - sa*sa) * (n*sd2 - sd*sd)), 6) FROM m
+            UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                   round((n*sbc - sb*sc)
+                         / sqrt((n*sb2 - sb*sb) * (n*sc2 - sc*sc)), 6) FROM m
+            UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                   round((n*sbd - sb*sd)
+                         / sqrt((n*sb2 - sb*sb) * (n*sd2 - sd*sd)), 6) FROM m
+            UNION ALL SELECT 'l_discount', 'l_tax',
+                   round((n*scd - sc*sd)
+                         / sqrt((n*sc2 - sc*sc) * (n*sd2 - sd*sd)), 6) FROM m
         """,
         "parquet_roundtrip_partitioned": """
             SELECT o_orderstatus, count(*) AS n,

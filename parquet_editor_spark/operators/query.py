@@ -528,6 +528,62 @@ def describe_stats(
     )
 
 
+def corr_matrix_exact(
+    df: DataFrame,
+    cols: Sequence[str],
+    unit_scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix (pandas ``df.corr()`` analog,
+    §2.4 parity-plus) in long form ``(x_col, y_col, corr)``.
+
+    All moments (Σx, Σx², Σxy) accumulate as EXACT integers over
+    ``value·unit_scale`` quantities (same ≤2-decimal precondition as
+    ``mean_exact_cents``), squares/products cast to decimal BEFORE
+    multiplying so cents² can't overflow int64; one double formula at
+    the edge.  The whole matrix is ONE aggregation pass over the table
+    — k columns cost k(k+1)/2 + k running sums in the same partial
+    aggregate, not k² scans — followed by a 1-row explode."""
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    c = {
+        col: F.round(F.col(col) * unit_scale, 0).cast("long") for col in cols
+    }
+
+    def _sq(x, y):
+        return F.sum((x.cast("decimal(19,0)") * y).cast("decimal(38,0)"))
+
+    aggs = [F.count("*").alias("n")]
+    for col in cols:
+        aggs.append(F.sum(c[col]).alias(f"s_{col}"))
+        aggs.append(_sq(c[col], c[col]).alias(f"s2_{col}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(_sq(c[a], c[b]).alias(f"sp_{a}_{b}"))
+    m = df.agg(*aggs)
+    nn = F.col("n").cast("double")
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            sx = F.col(f"s_{a}").cast("double")
+            sy = F.col(f"s_{b}").cast("double")
+            sxy = F.col(f"sp_{a}_{b}").cast("double")
+            sx2 = F.col(f"s2_{a}").cast("double")
+            sy2 = F.col(f"s2_{b}").cast("double")
+            corr = (nn * sxy - sx * sy) / F.sqrt(
+                (nn * sx2 - sx * sx) * (nn * sy2 - sy * sy)
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("x_col"),
+                    F.lit(b).alias("y_col"),
+                    F.round(corr, round_to).alias("corr"),
+                )
+            )
+    return m.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+
+
 def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[tuple[str, str, str]]) -> DataFrame:
     """CUBE — parity-plus aggregation (SURVEY.md §2.4)."""
     exprs = [agg_fn(fn)(col).alias(alias) for col, fn, alias in aggs]

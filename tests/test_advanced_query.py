@@ -216,3 +216,43 @@ def test_stratified_sample_hash_rates_and_determinism(documents):
     for lang, frac in fr.items():
         got = counts.get(lang, 0) / totals[lang]
         assert abs(got - frac) < 0.25  # hash-uniformity tolerance at 500 docs
+
+
+class TestCorrMatrixExact:
+    def test_matches_pandas_corr(self, spark, lineitem):
+        import numpy as np
+
+        cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        from parquet_editor_spark.operators.query import corr_matrix_exact
+
+        got = {
+            (r["x_col"], r["y_col"]): r["corr"]
+            for r in corr_matrix_exact(lineitem, cols).collect()
+        }
+        pdf = lineitem.select(cols).toPandas()
+        # quantize to cents first: the operator's documented semantics
+        want = (pdf * 100).round(0).corr()
+        assert set(got) == {
+            (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+        }
+        for (a, b), v in got.items():
+            assert abs(v - want.loc[a, b]) < 1e-6, (a, b)
+
+    def test_single_agg_pass(self, spark, lineitem):
+        """Scale guard: the whole matrix is ONE aggregate over the scan
+        (k(k+1)/2+k sums in one partial agg), not one scan per pair."""
+        from parquet_editor_spark.operators.query import corr_matrix_exact
+
+        plan = (
+            corr_matrix_exact(lineitem, ["l_quantity", "l_extendedprice", "l_tax"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("FileScan") + plan.count("Scan parquet") <= 2
+
+    def test_rejects_single_column(self, lineitem):
+        import pytest as _pytest
+
+        from parquet_editor_spark.operators.query import corr_matrix_exact
+
+        with _pytest.raises(ValueError):
+            corr_matrix_exact(lineitem, ["l_quantity"])
