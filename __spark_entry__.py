@@ -234,9 +234,13 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     li = _t(spark, sf_dir, "lineitem")
+    # l_quantity closes the order: (orderkey, linenumber) duplicates in
+    # the sampled fixture made the ROWS-frame cumsum tie-dependent (one
+    # flipped row at sf0.1); with the summed column in the key, tied
+    # rows are identical and either order gives the same output.
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(W.unboundedPreceding, 0)
     )
     return li.select(
@@ -357,16 +361,25 @@ def q_bin2d_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- editor ops, SQL-oracled over a deterministic ordinal -------------------
 
 def _ordered_li(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem with rid = dense ordinal over (l_orderkey, l_linenumber)
-    — the deterministic total order both engines can reproduce."""
+    """lineitem with rid = dense ordinal over (l_orderkey, l_linenumber,
+    l_quantity) — the fixture samples lineitem WITH REPLACEMENT, so
+    (l_orderkey, l_linenumber) alone is NOT unique (11.8k dup pairs at
+    sf0.01, 118k at sf0.1) and engines broke rid ties by accidental
+    scan-order stability until sf0.1 flipped one (r3 finding, caught by
+    the full-window sf0.1 sweep).  Including every output column in the
+    order key makes residual ties carry IDENTICAL rows, so either tie
+    assignment yields the same result multiset."""
     from parquet_editor_spark.operators import edit as E
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
-    return E.ordered_rid(li, ["l_orderkey", "l_linenumber"]).withColumnRenamed("__rid", "rid")
+    return E.ordered_rid(
+        li, ["l_orderkey", "l_linenumber", "l_quantity"]
+    ).withColumnRenamed("__rid", "rid")
 
 
 _ORACLE_RID = (
-    "SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rid, "
+    "SELECT row_number() OVER "
+    "(ORDER BY l_orderkey, l_linenumber, l_quantity) - 1 AS rid, "
     "l_orderkey, l_linenumber, l_quantity FROM lineitem"
 )
 
@@ -397,9 +410,9 @@ def q_multiselect_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
-    df = E.ordered_rid(li, ["l_orderkey", "l_linenumber"]).select(
-        "__rid", "l_quantity", "l_extendedprice"
-    )
+    df = E.ordered_rid(
+        li, ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    ).select("__rid", "l_quantity", "l_extendedprice")
     return E.selection_summary(df, range(10, 20))
 
 
@@ -487,6 +500,51 @@ def q_json_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("total_c"),
+    )
+
+
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship-month — the
+    part dim broadcasts into the date-pruned fact scan; exact-cents
+    integer revenue with one double ratio at the edge."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    return j.agg(
+        F.sum(promo).alias("promo_c"),
+        F.sum(rev).alias("total_c"),
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+    )
+
+
+def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue —
+    returnflag-filtered fact, orders co-shuffled join, customer dim
+    broadcast, exact-cents ordering key (ties broken by custkey)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).alias("rev_c"))
+        .orderBy(F.desc("rev_c"), F.asc("c_custkey"))
+        .limit(20)
     )
 
 
@@ -819,7 +877,10 @@ def q_plot_line_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return PL.line_series(
         li, ["l_quantity", "l_extendedprice"], max_points=1000,
-        order=["l_orderkey", "l_linenumber"],
+        # full-column order key: (orderkey, linenumber) is non-unique in
+        # the sampled fixture; with the plotted columns in the key, tie
+        # assignment can't change which values the stride picks
+        order=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
     )
 
 
@@ -2187,6 +2248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "parquet_roundtrip_partitioned": q_parquet_roundtrip_partitioned,
         "corr_matrix": q_corr_matrix,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q10_returned_revenue": q_q10_returned_revenue,
         # --- r1 greens not in this rotation ---
         "pivot_count": _pivot("count", round_to=None),
         "pivot_max": _pivot("max", round_to=None),
@@ -2392,7 +2455,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_suppkey, l_orderkey, l_linenumber,
                    round(sum(l_quantity) OVER (
                        PARTITION BY l_suppkey
-                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                l_quantity
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                    AS running_qty
             FROM lineitem
@@ -2490,7 +2554,9 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice), 4) AS sum_l_extendedprice,
                    round(avg(l_extendedprice), 4) AS avg_l_extendedprice
             FROM (SELECT row_number() OVER
-                             (ORDER BY l_orderkey, l_linenumber) - 1 AS rid,
+                             (ORDER BY l_orderkey, l_linenumber,
+                                       l_quantity, l_extendedprice) - 1
+                             AS rid,
                          l_quantity, l_extendedprice
                   FROM lineitem) t
             WHERE rid BETWEEN 10 AND 19
@@ -2523,6 +2589,37 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total_c
             FROM orders WHERE o_orderkey % 89 = 0
             GROUP BY o_orderstatus
+        """,
+        "q14_promo_revenue": """
+            WITH j AS (
+                SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                           AS rev,
+                       p_type
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00')
+            SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                 THEN rev ELSE 0 END) AS BIGINT) AS promo_c,
+                   CAST(sum(rev) AS BIGINT) AS total_c,
+                   round(CAST(100.0 AS DOUBLE)
+                         * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                         THEN rev ELSE 0 END) AS DOUBLE)
+                         / CAST(sum(rev) AS DOUBLE), 4) AS promo_pct
+            FROM j
+        """,
+        "q10_returned_revenue": """
+            SELECT c_custkey, c_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100, 0)
+                                          AS BIGINT))) AS BIGINT) AS rev_c
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name
+            ORDER BY rev_c DESC, c_custkey ASC
+            LIMIT 20
         """,
         "corr_matrix": """
             WITH v AS (SELECT
@@ -3440,7 +3537,8 @@ def oracle_sql() -> dict[str, str]:
         "plot_line_series": """
             SELECT rid AS x, l_quantity, l_extendedprice
             FROM (
-                SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+                SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                                          l_quantity, l_extendedprice) - 1
                            AS rid,
                        l_quantity, l_extendedprice
                 FROM lineitem) t

@@ -171,7 +171,11 @@ def test_preview_pages_are_deterministic_ordinal_ranges(spark, sf_dir):
     sess = EditorSession(spark)
     li = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .orderBy("l_orderkey", "l_linenumber")
+        # select EXACTLY the ordered columns: (l_orderkey, l_linenumber)
+        # is non-unique in the sampled fixture, so rows tying on the
+        # order key must be identical for pages to be reproducible
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
         .repartition(8)  # scramble physical order vs logical order
     )
     sess.bind("li", li)
