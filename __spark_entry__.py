@@ -548,6 +548,26 @@ def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round-trip (§2.1 format matrix: parquet/csv/
+    json/orc all driver-adjudicable): columnar alternative format,
+    exact-cents aggregate oracled from the parquet source."""
+    import tempfile
+
+    from parquet_editor_spark import io as peio
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 101 == 0
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    tmp = tempfile.mkdtemp(prefix="pes_orc_rt_")
+    peio.save(li, f"{tmp}/slice.orc", fmt="orc")
+    back = peio.load(spark, f"{tmp}/slice.orc", fmt="orc")
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("qty_c"),
+    )
+
+
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations over four lineitem measures
     (pandas df.corr() analog) — exact integer moments, one agg pass
@@ -2250,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "q14_promo_revenue": q_q14_promo_revenue,
         "q10_returned_revenue": q_q10_returned_revenue,
+        "orc_roundtrip_lineitem": q_orc_roundtrip_lineitem,
         # --- r1 greens not in this rotation ---
         "pivot_count": _pivot("count", round_to=None),
         "pivot_max": _pivot("max", round_to=None),
@@ -2589,6 +2610,13 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total_c
             FROM orders WHERE o_orderkey % 89 = 0
             GROUP BY o_orderstatus
+        """,
+        "orc_roundtrip_lineitem": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                        AS BIGINT) AS qty_c
+            FROM lineitem WHERE l_orderkey % 101 = 0
+            GROUP BY l_returnflag
         """,
         "q14_promo_revenue": """
             WITH j AS (
