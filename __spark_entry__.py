@@ -1977,6 +1977,176 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition: word-bigram totals,
+    top-bigram repeat count, duplicate-gram fraction
+    (operators/textprep.py repetition_stats; SURVEY.md §2.7 EXT —
+    catches boilerplate that survives cross-document dedup)."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents")
+    return TP.repetition_stats(docs, "doc_id", "text", 2).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary stats + smallest vocab covering 90% of
+    token occurrences (operators/textprep.py vocab_coverage) — the
+    tokenizer-vocab / OOV-rate sizing number, integer-exact."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents")
+    return TP.vocab_coverage(docs, "text", "lang", 90).withColumnRenamed(
+        "grp", "lang"
+    )
+
+
+def q_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage conversion funnel over events: users whose first
+    signup is followed by a purchase within 7 days
+    (operators/query.py funnel — batch sibling of stream_followed_by)."""
+    ev = _t(spark, sf_dir, "events")
+    return q.funnel(
+        ev, "user_id", "ts", "event_type", "signup", "purchase", "7 days"
+    )
+
+
+def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three-way disjunctive brand/size/quantity
+    predicate over the broadcast part join — the OR-of-ANDs plan
+    Catalyst must keep inside the join filter; exact-cents revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#12") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 25) & qty.between(10, 20))
+        | ((brand == "Brand#14") & size.between(1, 35) & qty.between(20, 30))
+    )
+    rev = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+    return j.filter(cond).agg(
+        F.sum(rev).alias("rev_c"), F.count("*").alias("n")
+    )
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7's share of supplier revenue to ASIA
+    customers per order year — two broadcast dim chains into one fact
+    shuffle; integer revenue sums, one deterministic double ratio."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat_c = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        cust.join(
+            F.broadcast(nat_c), cust.c_nationkey == nat_c.n_nationkey
+        )
+        .join(F.broadcast(reg), nat_c.n_regionkey == reg.r_regionkey)
+        .select("c_custkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("s_nation")
+    )
+    supp_n = supp.join(
+        F.broadcast(nat_s), supp.s_nationkey == nat_s.sn_key
+    ).select("s_suppkey", "s_nation")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+    )
+    tgt = F.when(F.col("s_nation") == "NATION_7", rev).otherwise(F.lit(0))
+    return j.groupBy("o_year").agg(
+        F.sum(tgt).alias("nation_c"),
+        F.sum(rev).alias("total_c"),
+        F.round(100.0 * F.sum(tgt) / F.sum(rev), 4).alias("share_pct"),
+    )
+
+
+def q_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: urgent-vs-other order-priority line counts per
+    return flag — fact/orders co-shuffled join feeding conditional
+    integer aggregation."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_lines"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_lines"),
+    )
+
+
+def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-idle customers — above the global
+    positive-balance average (integer cross-multiplied compare, no
+    float threshold) with no OPEN orders (anti join against the
+    status-filtered fact; every fixture customer has SOME order, so
+    the unfiltered anti join would be degenerate), by nation."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_c"),
+    )
+    thresh = cust.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("tot_c"), F.count("*").alias("n_pos")
+    )
+    open_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    rich = cust.crossJoin(F.broadcast(thresh)).filter(
+        F.col("bal_c") * F.col("n_pos") > F.col("tot_c")
+    )
+    idle = rich.join(
+        open_orders, rich.c_custkey == open_orders.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_custs"),
+        F.round(F.sum("bal_c") / 100.0, 2).alias("total_acctbal"),
+    )
+
+
+def q_q21_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the fixture's columns): suppliers
+    who were the ONLY supplier on multi-line orders — the
+    exists/not-exists self-correlation collapsed into one per-order
+    aggregate instead of two extra fact joins (same result, one
+    shuffle on the order key instead of three)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count("*").alias("n_lines"),
+        F.max("l_suppkey").alias("solo_supp"),
+    )
+    solo = per_order.filter(
+        (F.col("n_supp") == 1) & (F.col("n_lines") >= 2)
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        solo.groupBy("solo_supp")
+        .agg(F.count("*").alias("n_solo_orders"))
+        .join(F.broadcast(supp), F.col("solo_supp") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("n_solo_orders")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-divergence probes (round 3).
 #
@@ -2271,6 +2441,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q_q14_promo_revenue,
         "q10_returned_revenue": q_q10_returned_revenue,
         "orc_roundtrip_lineitem": q_orc_roundtrip_lineitem,
+        "repetition_signals": q_repetition_signals,
+        "vocab_coverage": q_vocab_coverage,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q8_market_share": q_q8_market_share,
+        "q12_priority_lines": q_q12_priority_lines,
+        "q22_idle_customers": q_q22_idle_customers,
+        "q21_sole_supplier": q_q21_sole_supplier,
         # --- r1 greens not in this rotation ---
         "pivot_count": _pivot("count", round_to=None),
         "pivot_max": _pivot("max", round_to=None),
@@ -2617,6 +2795,162 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS qty_c
             FROM lineitem WHERE l_orderkey % 101 = 0
             GROUP BY l_returnflag
+        """,
+        "repetition_signals": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS toks
+                FROM documents),
+            b AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(list_zip(toks, toks[2:]),
+                                       p -> p[2] IS NOT NULL),
+                           p -> p[1] || ' ' || p[2]) AS bg
+                FROM t WHERE len(toks) >= 2),
+            e AS (SELECT doc_id, unnest(bg) AS g FROM b),
+            c AS (SELECT doc_id, g, count(*) AS cnt FROM e GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_grams,
+                   CAST(max(cnt) AS BIGINT) AS top_gram_n,
+                   round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 4)
+                       AS dup_fraction
+            FROM c GROUP BY doc_id
+        """,
+        "vocab_coverage": """
+            WITH t AS (
+                SELECT lang,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS toks
+                FROM documents),
+            e AS (SELECT lang, unnest(toks) AS w FROM t),
+            wc AS (SELECT lang, w, count(*) AS n FROM e GROUP BY 1, 2),
+            f AS (
+                SELECT lang, n,
+                       CASE WHEN (sum(n) OVER (
+                                      PARTITION BY lang
+                                      ORDER BY n DESC, w ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) - n) * 100
+                                 < 90 * sum(n) OVER (PARTITION BY lang)
+                            THEN 1 ELSE 0 END AS needed
+                FROM wc)
+            SELECT lang,
+                   CAST(sum(n) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS distinct_words,
+                   CAST(sum(needed) AS BIGINT) AS vocab_90
+            FROM f GROUP BY lang
+        """,
+        "funnel_signup_purchase": """
+            WITH f AS (
+                SELECT user_id AS u, min(ts) AS t0
+                FROM events WHERE event_type = 'signup' GROUP BY 1),
+            p AS (
+                SELECT user_id AS u, ts AS t1
+                FROM events WHERE event_type = 'purchase'),
+            j AS (
+                SELECT f.u,
+                       max(CASE WHEN p.t1 > f.t0
+                                 AND p.t1 <= f.t0 + INTERVAL 7 DAY
+                                THEN 1 ELSE 0 END) AS conv
+                FROM f LEFT JOIN p ON f.u = p.u GROUP BY f.u)
+            SELECT CAST(count(*) AS BIGINT) AS n_entered,
+                   CAST(sum(conv) AS BIGINT) AS n_converted,
+                   round(100.0 * sum(conv) / CAST(count(*) AS DOUBLE), 4)
+                       AS conv_pct
+            FROM j
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100, 0)
+                                          AS BIGINT))) AS BIGINT) AS rev_c,
+                   count(*) AS n
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q8_market_share": """
+            WITH asia_cust AS (
+                SELECT c_custkey
+                FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'),
+            supp_n AS (
+                SELECT s_suppkey, n_name AS s_nation
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+            j AS (
+                SELECT year(o_orderdate) AS o_year,
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                           AS rev,
+                       s_nation
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN asia_cust ON o_custkey = c_custkey
+                JOIN supp_n ON l_suppkey = s_suppkey)
+            SELECT o_year,
+                   CAST(sum(CASE WHEN s_nation = 'NATION_7'
+                                 THEN rev ELSE 0 END) AS BIGINT) AS nation_c,
+                   CAST(sum(rev) AS BIGINT) AS total_c,
+                   round(100.0 * sum(CASE WHEN s_nation = 'NATION_7'
+                                          THEN rev ELSE 0 END)
+                         / sum(rev), 4) AS share_pct
+            FROM j GROUP BY o_year
+        """,
+        "q12_priority_lines": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_returnflag
+        """,
+        "q22_idle_customers": """
+            WITH c AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+                FROM customer),
+            t AS (
+                SELECT CAST(sum(bal_c) AS BIGINT) AS tot_c,
+                       count(*) AS n_pos
+                FROM c WHERE bal_c > 0),
+            rich AS (
+                SELECT c.* FROM c, t
+                WHERE c.bal_c * t.n_pos > t.tot_c),
+            idle AS (
+                SELECT * FROM rich
+                WHERE NOT EXISTS (SELECT 1 FROM orders
+                                  WHERE o_custkey = rich.c_custkey
+                                    AND o_orderstatus = 'O'))
+            SELECT c_nationkey,
+                   count(*) AS n_custs,
+                   round(CAST(sum(bal_c) AS BIGINT) / 100.0, 2)
+                       AS total_acctbal
+            FROM idle GROUP BY c_nationkey
+        """,
+        "q21_sole_supplier": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(*) AS n_lines,
+                       max(l_suppkey) AS solo_supp
+                FROM lineitem GROUP BY l_orderkey),
+            solo AS (
+                SELECT solo_supp FROM per_order
+                WHERE n_supp = 1 AND n_lines >= 2)
+            SELECT s_suppkey, s_name,
+                   CAST(count(*) AS BIGINT) AS n_solo_orders
+            FROM solo JOIN supplier ON solo_supp = s_suppkey
+            GROUP BY s_suppkey, s_name
         """,
         "q14_promo_revenue": """
             WITH j AS (

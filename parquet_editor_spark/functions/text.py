@@ -57,6 +57,22 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
     )
 
 
+def word_ngrams_all(toks: Column, n: int = 2) -> Column:
+    """ALL word n-grams in order, duplicates kept — the unit of
+    repetition measurement (``word_shingles`` distinct-ifies, which is
+    right for dedup but destroys the repeat counts Gopher-style
+    repetition signals need). Guarded like ``word_shingles`` so a
+    document shorter than ``n`` tokens yields an empty array rather
+    than a descending ``sequence`` fabricating grams."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 # ---------------------------------------------------------------------------
 # BPE-ish token estimate (north star: token counting)
 # ---------------------------------------------------------------------------

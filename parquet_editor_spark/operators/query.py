@@ -797,3 +797,50 @@ def stratified_sample_hash(
         )
         keep = cond if keep is None else keep | cond
     return df.filter(keep)
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    first_event: str,
+    then_event: str,
+    within: str = "7 days",
+) -> DataFrame:
+    """Two-stage conversion funnel: users whose FIRST ``first_event``
+    is followed by at least one ``then_event`` within ``within`` —
+    sequence analytics the reference's single-table editor cannot
+    express (SURVEY.md §2.6 absence list; batch sibling of the
+    stream-stream ``followed_by`` join, streaming/stream.py).
+
+    Scale shape: the first-stage relation collapses to ONE row per
+    user (min over a hash agg) before any join; the conversion test is
+    a left join on user keys — both sides shuffle once on the user
+    key, and the per-user row counts are bounded by that user's
+    second-stage events, never the corpus.  Outputs are engine-exact
+    integers plus one deterministic double division.
+    """
+    firsts = (
+        df.filter(F.col(type_col) == first_event)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts_col).alias("t0"))
+    )
+    nxt = df.filter(F.col(type_col) == then_event).select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("t1")
+    )
+    hit = (F.col("t1") > F.col("t0")) & (
+        F.col("t1") <= F.col("t0") + F.expr(f"INTERVAL {within}")
+    )
+    per_user = (
+        firsts.join(nxt, "u", "left")
+        .groupBy("u")
+        .agg(F.max(F.when(hit, 1).otherwise(0)).alias("conv"))
+    )
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_entered"),
+        F.sum("conv").cast("long").alias("n_converted"),
+        F.round(
+            100.0 * F.sum("conv") / F.count("*").cast("double"), 4
+        ).alias("conv_pct"),
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from parquet_editor_spark.functions.text import tokens
+from parquet_editor_spark.functions.text import tokens, word_ngrams_all
 
 
 def mixture_sample_tokens(
@@ -116,6 +116,82 @@ def chunk_documents(
         F.least(
             F.lit(chunk_tokens), F.size("__toks") - F.col("start")
         ).alias("n_chunk_tokens"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals per document: total word
+    n-grams, the repeat count of the most-frequent n-gram, and the
+    duplicate-gram fraction (1 − distinct/total).  High values mark
+    boilerplate/spam that survives exact and near dedup because the
+    repetition is WITHIN one document.
+
+    Scale shape: explode to (doc, gram) then two hash aggregations
+    keyed on (doc_id, gram) and doc_id — partial aggregation combines
+    repeated grams map-side, so what crosses the shuffle is bounded by
+    DISTINCT grams per doc, not corpus tokens.  No Python, no window,
+    no sort.  Documents with fewer than ``n`` tokens have no grams and
+    drop out (same rule both engines)."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams_all(tokens(text_col), n)).alias("g"),
+    )
+    per_gram = grams.groupBy("id", "g").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy("id").agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        F.max("cnt").cast("long").alias("top_gram_n"),
+        # exact-int division: both engines divide the same two integers,
+        # so the double (and its 4-dp rounding) is bit-identical
+        F.round(
+            F.lit(1.0) - F.count("*") / F.sum("cnt").cast("double"), 4
+        ).alias("dup_fraction"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    coverage_pct: int = 90,
+) -> DataFrame:
+    """Per-group vocabulary statistics: total token occurrences,
+    distinct words, and the smallest vocabulary size whose cumulative
+    frequency reaches ``coverage_pct`` percent of all occurrences —
+    the number a tokenizer-vocab or OOV-rate decision actually needs.
+
+    The boundary test is pure integer arithmetic
+    (``(cum − n) · 100 < pct · total``: a word is needed iff coverage
+    is still short BEFORE it), so the result is engine-exact.
+    Frequency ties are broken by word, making the cumulative order
+    total.
+
+    Scale shape: one explode + hash agg keyed (group, word) — map-side
+    combine bounds the shuffle by vocabulary size, not corpus size —
+    then a window sort over DISTINCT WORDS per group (vocab is ~1e6
+    even at 100 TB, far below the data scale) and a final tiny agg."""
+    from pyspark.sql import Window as W
+
+    words = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(text_col)).alias("w"),
+    )
+    wc = words.groupBy("grp", "w").agg(F.count("*").alias("n"))
+    win = W.partitionBy("grp").orderBy(F.desc("n"), F.asc("w"))
+    cum = F.sum("n").over(win.rowsBetween(W.unboundedPreceding, 0))
+    tot = F.sum("n").over(W.partitionBy("grp"))
+    flagged = wc.select(
+        "grp",
+        "n",
+        ((cum - F.col("n")) * 100 < F.lit(coverage_pct) * tot)
+        .cast("long")
+        .alias("needed"),
+    )
+    return flagged.groupBy("grp").agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("distinct_words"),
+        F.sum("needed").cast("long").alias(f"vocab_{coverage_pct}"),
     )
 
 

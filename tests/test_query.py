@@ -124,3 +124,30 @@ def test_intersect_except_semantics(spark):
     assert sorted(
         r["k"] for r in q.except_tables(a, b, keep_duplicates=True).collect()
     ) == [1, 2]
+
+
+def test_funnel_conversion_window(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        # u1: signup then purchase inside 7d → converted
+        (1, "2024-01-01 00:00:00", "signup"),
+        (1, "2024-01-03 00:00:00", "purchase"),
+        # u2: purchase BEFORE signup only → not converted
+        (2, "2024-01-05 00:00:00", "purchase"),
+        (2, "2024-01-06 00:00:00", "signup"),
+        # u3: purchase exactly 7d after signup (inclusive bound) → converted
+        (3, "2024-01-01 00:00:00", "signup"),
+        (3, "2024-01-08 00:00:00", "purchase"),
+        # u4: purchase 7d + 1s after → outside window
+        (4, "2024-01-01 00:00:00", "signup"),
+        (4, "2024-01-08 00:00:01", "purchase"),
+        # u5: purchase only, never signed up → not in funnel
+        (5, "2024-01-02 00:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, et) for u, ts, et in rows], "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    row = q.funnel(df, "user_id", "ts", "event_type", "signup", "purchase").collect()[0]
+    assert (row["n_entered"], row["n_converted"]) == (4, 2)
+    assert row["conv_pct"] == 50.0

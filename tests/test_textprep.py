@@ -155,3 +155,30 @@ class TestMixtureSampleTokens:
 
         with pytest.raises(ValueError):
             mixture_sample_tokens(documents, "source", "doc_id", "text", {})
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),    # bigrams: ab ba ab ba → 4 total, 2 distinct
+         (2, "x y z"),        # xy yz → no repeats
+         (3, "solo")],        # < 2 tokens → no grams, dropped
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in TP.repetition_stats(df, "doc_id", "text", 2).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["n_grams"], out[1]["top_gram_n"]) == (4, 2)
+    assert out[1]["dup_fraction"] == 0.5
+    assert (out[2]["n_grams"], out[2]["top_gram_n"]) == (2, 1)
+    assert out[2]["dup_fraction"] == 0.0
+
+
+def test_vocab_coverage_boundary_word_counted(spark):
+    # counts: a×8, b×1, c×1 → total 10; 90% needs a AND one more word
+    # (after 'a' coverage is 80 < 90, after 'b' it's exactly 90)
+    df = spark.createDataFrame(
+        [(1, "en", "a a a a a a a a b c")], "doc_id long, lang string, text string"
+    )
+    row = TP.vocab_coverage(df, "text", "lang", 90).collect()[0]
+    assert (row["total_tokens"], row["distinct_words"], row["vocab_90"]) == (10, 3, 2)
+    # exact-boundary rule: a word is needed iff coverage is short BEFORE it,
+    # so 'c' (cum-before exactly 9/10 = 90%) is NOT needed
