@@ -196,3 +196,52 @@ def test_resample_grid_no_single_partition(spark, sf_dir):
     for name in ("resample_ffill_events", "resample_interp_events"):
         df = M.queries()[name](spark, sf_dir)
         assert not P.has_single_partition_exchange(df), name
+
+
+def test_q8_market_share_broadcasts_all_dims(spark, sf_dir):
+    import __spark_entry__ as M
+
+    df = M.queries()["q8_market_share"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert P.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    # the only shuffles are the fact joins + year agg — never 1-partition
+    assert not P.has_single_partition_exchange(df)
+
+
+def test_q19_disjunctive_stays_in_join_broadcast(spark, sf_dir):
+    import __spark_entry__ as M
+
+    df = M.queries()["q19_disjunctive_revenue"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert P.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_two_hash_aggs_no_sort(spark, sf_dir):
+    import __spark_entry__ as M
+
+    df = M.queries()["repetition_signals"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert plan.count("HashAggregate") >= 4  # partial+final per stage
+    assert not P.has_single_partition_exchange(df)
+    assert "Sort" not in plan  # pure hash path, no sort-based fallback
+
+
+def test_vocab_coverage_window_partitioned_by_group(spark, sf_dir):
+    import __spark_entry__ as M
+
+    df = M.queries()["vocab_coverage"](spark, sf_dir)
+    # the window sort runs per language partition, never globally
+    assert not P.has_single_partition_exchange(df)
+
+
+def test_funnel_aggregates_first_stage_before_join(spark, sf_dir):
+    import __spark_entry__ as M
+
+    df = M.queries()["funnel_signup_purchase"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # min(ts) per user collapses stage 1 BEFORE the join: an aggregate
+    # must appear on the build side of the join, not only after it
+    assert plan.count("HashAggregate") >= 4
