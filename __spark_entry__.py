@@ -2147,6 +2147,65 @@ def q_q21_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO shape (operators/warehouse.py merge_upsert):
+    a CDC-style update batch (every 97th order re-priced, status 'U')
+    merged over the orders table via broadcast anti join + union;
+    verified through the post-merge per-status rollup."""
+    from parquet_editor_spark.operators import warehouse as WH
+
+    orders = _t(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = WH.merge_upsert(
+        orders, updates, ["o_orderkey"], broadcast_updates=True
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("total_c"),
+    )
+
+
+def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (operators/warehouse.py
+    scd2_intervals): per-user event_type validity intervals from the
+    events change log — consecutive identical states collapse, open
+    intervals flagged current; total order via (ts, event_id)."""
+    from parquet_editor_spark.operators import warehouse as WH
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return WH.scd2_intervals(
+        ev, "user_id", ["ts", "event_id"], ["event_type"]
+    )
+
+
+def q_zorder_cluster_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (operators/warehouse.py
+    zorder_value): bit-interleaved (l_partkey, l_suppkey) — the
+    multi-dimension data-skipping sort key; pure shift/mask/or
+    expression mirrored exactly in the oracle's integer ops."""
+    from parquet_editor_spark.operators import warehouse as WH
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 997 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        WH.zorder_value(["l_partkey", "l_suppkey"], 16).alias("zval"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-divergence probes (round 3).
 #
@@ -2449,6 +2508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_lines": q_q12_priority_lines,
         "q22_idle_customers": q_q22_idle_customers,
         "q21_sole_supplier": q_q21_sole_supplier,
+        "merge_upsert_orders": q_merge_upsert_orders,
+        "scd2_user_status": q_scd2_user_status,
+        "zorder_cluster_keys": q_zorder_cluster_keys,
         # --- r1 greens not in this rotation ---
         "pivot_count": _pivot("count", round_to=None),
         "pivot_max": _pivot("max", round_to=None),
@@ -2937,6 +2999,55 @@ def oracle_sql() -> dict[str, str]:
                        AS total_acctbal
             FROM idle GROUP BY c_nationkey
         """,
+        "merge_upsert_orders": """
+            WITH u AS (
+                SELECT o_orderkey, o_custkey,
+                       'U' AS o_orderstatus,
+                       o_totalprice + 1000 AS o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 97 = 0),
+            m AS (
+                SELECT * FROM orders
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+                UNION ALL
+                SELECT * FROM u)
+            SELECT o_orderstatus,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS total_c
+            FROM m GROUP BY o_orderstatus
+        """,
+        "scd2_user_status": """
+            WITH c AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                           AS prev
+                FROM events),
+            ch AS (
+                SELECT user_id, ts, event_id, event_type
+                FROM c WHERE prev IS NULL OR prev <> event_type)
+            SELECT user_id, event_type,
+                   ts AS valid_from,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS valid_to,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       AS is_current
+            FROM ch
+        """,
+        "zorder_cluster_keys": (
+            "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+            "CAST("
+            + " | ".join(
+                f"((((l_partkey >> {j}) & 1) << {2 * j})"
+                f" | (((l_suppkey >> {j}) & 1) << {2 * j + 1}))"
+                for j in range(16)
+            )
+            + " AS BIGINT) AS zval "
+            "FROM lineitem WHERE l_orderkey % 997 = 0"
+        ),
         "q21_sole_supplier": """
             WITH per_order AS (
                 SELECT l_orderkey,

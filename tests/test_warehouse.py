@@ -1,0 +1,90 @@
+"""Warehouse-maintenance operators: MERGE upsert, SCD2 history,
+Z-order clustering — semantics plus the physical clustering effect."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_editor_spark.operators import warehouse as WH
+
+
+def test_merge_upsert_replaces_inserts_keeps(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    out = {r["k"]: (r["s"], r["v"])
+           for r in WH.merge_upsert(target, updates, ["k"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_scd2_intervals_collapse_and_current_flag(spark):
+    rows = [
+        # key 1: a a b a → intervals a[t1,t3) b[t3,t4) a[t4,∞)
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"),
+        # key 2: single state → one open interval
+        (2, 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, attr string")
+    out = sorted(
+        (r["k"], r["valid_from"], r["attr"], r["valid_to"], r["is_current"])
+        for r in WH.scd2_intervals(df, "k", ["t"], ["attr"]).collect()
+    )
+    assert out == [
+        (1, 1, "a", 3, False),
+        (1, 3, "b", 4, False),
+        (1, 4, "a", None, True),
+        (2, 1, "x", None, True),
+    ]
+
+
+def test_zorder_value_interleaves_bits(spark):
+    # x=0b101 (5), y=0b011 (3) → z bits: y2 x2 y1 x1 y0 x0 = 0 1 1 0 1 1
+    df = spark.range(1).select(
+        F.lit(5).alias("x"), F.lit(3).alias("y")
+    )
+    z = df.select(WH.zorder_value(["x", "y"], 3).alias("z")).collect()[0]["z"]
+    assert z == 0b011011
+    with pytest.raises(ValueError):
+        WH.zorder_value(["x", "y"], 32)
+
+
+def test_zorder_write_narrows_per_file_ranges(spark, sf_dir, tmp_path):
+    """The point of Z-order: every output file covers a narrow range
+    of EVERY clustering column, so parquet min/max stats prune 2-D
+    range queries. Compare per-file stat ranges against an unordered
+    write of the same data."""
+    import pyarrow.parquet as pq
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    plain, zordered = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    li.repartition(16).write.parquet(plain)
+    WH.zorder_write(li, zordered, ["l_partkey", "l_suppkey"], 16, num_files=16)
+
+    def mean_range(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    # a z-range slice isn't a perfect axis-aligned box, so the per-dim
+    # shrink is looser than the 1/√n_files ideal — 0.6 still proves
+    # real 2-D clustering (round-robin files span the whole domain)
+    for col in ("l_partkey", "l_suppkey"):
+        assert mean_range(zordered, col) < 0.6 * mean_range(plain, col), col
+    # and the data survives intact
+    assert (
+        spark.read.parquet(zordered).count() == li.count()
+    )
