@@ -2206,6 +2206,34 @@ def q_zorder_cluster_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events: users grouped by the ISO
+    week of their first event; for offsets 0-3 weeks, how many were
+    active again.  Two hash aggs (per-user first ts; distinct
+    user-week activity) then a join on user — classic product
+    analytics the single-table reference cannot express.
+
+    Week truncation is ISO-Monday in BOTH engines; offsets are exact
+    integer day-diffs divided by 7."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    j = cohort.join(activity, "user_id")
+    offset = (
+        F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return (
+        j.withColumn("offset", offset)
+        .filter(F.col("offset").between(0, 3))
+        .groupBy("cohort_week", "offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-divergence probes (round 3).
 #
@@ -2382,7 +2410,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # free up): the r2 greens, the r1 greens cell_edit/delete_rows/
     # paste_splice/union_distinct_nations/rollup_qty/pivot_count_
     # distinct/date_trunc_orders/string_funcs_part (swapped out for
-    # the new-coverage block), and new-in-r3 bm25_topk/mixture_sample.
+    # the new-coverage block), and the new-in-r3 block (rotate these
+    # into the r4 window first — never driver-adjudicated):
+    # bm25_topk, mixture_sample, parquet_roundtrip_partitioned,
+    # corr_matrix, q14_promo_revenue, q10_returned_revenue,
+    # orc_roundtrip_lineitem, repetition_signals, vocab_coverage,
+    # funnel_signup_purchase, q19_disjunctive_revenue, q8_market_share,
+    # q12_priority_lines, q22_idle_customers, q21_sole_supplier,
+    # merge_upsert_orders, scd2_user_status, zorder_cluster_keys,
+    # retention_cohorts.
     return {
         # --- 1. probes ---
         "probe_int_float_hash": probe_int_float_hash,
@@ -2511,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_orders": q_merge_upsert_orders,
         "scd2_user_status": q_scd2_user_status,
         "zorder_cluster_keys": q_zorder_cluster_keys,
+        "retention_cohorts": q_retention_cohorts,
         # --- r1 greens not in this rotation ---
         "pivot_count": _pivot("count", round_to=None),
         "pivot_max": _pivot("max", round_to=None),
@@ -3036,6 +3073,26 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                        AS is_current
             FROM ch
+        """,
+        "retention_cohorts": """
+            WITH cohort AS (
+                SELECT user_id,
+                       date_trunc('week', min(ts)) AS cohort_week
+                FROM events GROUP BY user_id),
+            activity AS (
+                SELECT DISTINCT user_id,
+                       date_trunc('week', ts) AS act_week
+                FROM events),
+            j AS (
+                SELECT c.cohort_week,
+                       CAST(date_diff('day', c.cohort_week, a.act_week) / 7
+                            AS BIGINT) AS "offset",
+                       a.user_id
+                FROM cohort c JOIN activity a ON c.user_id = a.user_id)
+            SELECT cohort_week, "offset",
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM j WHERE "offset" BETWEEN 0 AND 3
+            GROUP BY cohort_week, "offset"
         """,
         "zorder_cluster_keys": (
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
