@@ -877,6 +877,24 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over binary payloads (deterministic fake transform
+    — digest of payload+target box; real Arrow mapInPandas plumbing).
+    The fake is md5, so the resized bytes have an exact SQL oracle."""
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = MM.resize_images(
+        MM.attach_payload(docs, "text"), target_w=224, target_h=224
+    )
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.lower(F.hex(F.col("payload"))).alias("resized_md5"),
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: one payload row → 4 frame rows with
     deterministic checksums (explode inside the executor)."""
@@ -2548,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_status": q_scd2_user_status,
         "zorder_cluster_keys": q_zorder_cluster_keys,
         "retention_cohorts": q_retention_cohorts,
+        "multimodal_resize": q_multimodal_resize,
         # --- r1 greens not in this rotation ---
         "pivot_count": _pivot("count", round_to=None),
         "pivot_max": _pivot("max", round_to=None),
@@ -3073,6 +3092,13 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                        AS is_current
             FROM ch
+        """,
+        "multimodal_resize": """
+            SELECT doc_id,
+                   224 AS width,
+                   224 AS height,
+                   md5(text || '224x224') AS resized_md5
+            FROM documents
         """,
         "retention_cohorts": """
             WITH cohort AS (

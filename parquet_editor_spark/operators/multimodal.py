@@ -145,6 +145,55 @@ def extract_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    target_w: int = 224,
+    target_h: int = 224,
+) -> DataFrame:
+    """Resize stage: payload → resized payload + target dimensions —
+    the preprocessing step between ingestion and the encoder.  The
+    pixel transform is a clearly-marked deterministic fake (digest of
+    payload + target box; a real PIL/ffmpeg resize drops into
+    ``shrink`` unchanged); the Arrow batch shape, binary-out schema
+    and executor-local byte handling are the production path.
+
+    Scale shape: pure mapInPandas projection — no shuffle, bytes never
+    cross to the driver, output partitioning inherits the scan."""
+    out_schema = T.StructType(
+        [
+            f
+            for f in df.schema.fields
+            if f.name not in (payload_col, "width", "height")
+        ]
+        + [
+            T.StructField(payload_col, T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        import hashlib as _h
+
+        def shrink(p: bytes) -> bytes:
+            # real impl: PIL Image.resize((target_w, target_h)).tobytes()
+            return _h.md5(p + f"{target_w}x{target_h}".encode()).digest()
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[payload_col] = [
+                shrink(bytes(p)) if p is not None else None
+                for p in pdf[payload_col]
+            ]
+            pdf["width"] = target_w
+            pdf["height"] = target_h
+            yield pdf[names]
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame, payload_col: str = "payload", n_frames: int = 4
 ) -> DataFrame:
