@@ -105,16 +105,14 @@ def test_binary_dir_ingestion_to_payload(spark, tmp_path):
 
 
 def test_resize_images_deterministic_and_schema(payloads):
-    out = MM.resize_images(
-        MM.attach_payload(payloads, "content"), "payload", 64, 48
-    )
+    out = MM.resize_images(payloads, "payload", 64, 48)
     rows = out.collect()
     assert all(r["width"] == 64 and r["height"] == 48 for r in rows)
     # fake transform = md5(payload + "64x48"): verify against hashlib
-    src = {r["id"]: bytes(r["payload"])
-           for r in MM.attach_payload(payloads, "content").collect()}
+    src = {r["doc_id"]: bytes(r["payload"])
+           for r in payloads.select("doc_id", "payload").collect()}
     for r in rows:
-        expect = hashlib.md5(src[r["id"]] + b"64x48").digest()
+        expect = hashlib.md5(src[r["doc_id"]] + b"64x48").digest()
         assert bytes(r["payload"]) == expect
     # resized payload replaces the original in place, schema keeps meta
     assert "meta" in out.columns
