@@ -3078,11 +3078,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, event_id, event_type,
                        lag(event_type) OVER (
                            PARTITION BY user_id ORDER BY ts, event_id)
-                           AS prev
+                           AS prev,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                           AS rn
                 FROM events),
             ch AS (
                 SELECT user_id, ts, event_id, event_type
-                FROM c WHERE prev IS NULL OR prev <> event_type)
+                FROM c WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
             SELECT user_id, event_type,
                    ts AS valid_from,
                    lead(ts) OVER (

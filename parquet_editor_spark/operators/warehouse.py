@@ -61,15 +61,20 @@ def scd2_intervals(
     to the log, and both windows share one shuffle+sort on
     (key, order_cols). ``order_cols`` must be a TOTAL order within
     each key (tie-break with a unique id) — ``valid_from``/``valid_to``
-    carry the first order column."""
+    carry the first order column.
+
+    State comparison is null-safe (``<=>`` / IS NOT DISTINCT FROM):
+    a run of NULL attribute values collapses into one interval, and a
+    NULL→value or value→NULL transition opens a new one — the lag()
+    of the packed state struct is NULL only on the first row per key
+    (struct() never evaluates to NULL), so ``~eqNullSafe`` covers the
+    is-first case too."""
     from pyspark.sql import Window as W
 
     ts_col = order_cols[0]
     w = W.partitionBy(key_col).orderBy(*order_cols)
     state = F.struct(*[F.col(c) for c in attr_cols])
-    changed = F.lag(state).over(w).isNull() | (
-        F.lag(state).over(w) != state
-    )
+    changed = ~F.lag(state).over(w).eqNullSafe(state)
     changes = df.withColumn("__chg", changed).filter(F.col("__chg"))
     w2 = W.partitionBy(key_col).orderBy(*order_cols)
     return changes.select(

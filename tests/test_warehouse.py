@@ -42,6 +42,25 @@ def test_scd2_intervals_collapse_and_current_flag(spark):
     ]
 
 
+def test_scd2_intervals_null_state_null_safe(spark):
+    """NULL attribute values: a NULL→NULL run collapses into one
+    interval, NULL→value and value→NULL each open a new one (IS
+    DISTINCT FROM semantics on both engines)."""
+    rows = [
+        (1, 1, None), (1, 2, None), (1, 3, "b"), (1, 4, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, attr string")
+    out = sorted(
+        (r["k"], r["valid_from"], r["attr"], r["valid_to"], r["is_current"])
+        for r in WH.scd2_intervals(df, "k", ["t"], ["attr"]).collect()
+    )
+    assert out == [
+        (1, 1, None, 3, False),
+        (1, 3, "b", 4, False),
+        (1, 4, None, None, True),
+    ]
+
+
 def test_zorder_value_interleaves_bits(spark):
     # x=0b101 (5), y=0b011 (3) → z bits: y2 x2 y1 x1 y0 x0 = 0 1 1 0 1 1
     df = spark.range(1).select(
