@@ -227,6 +227,35 @@ def _save_single(df: DataFrame, path: str, fmt: str) -> None:
         raise ValueError(f"unsupported format {fmt!r}")
 
 
+def _footer_has_nanos(path: str) -> bool:
+    """Cheap driver-side footer probe: does the parquet schema carry a
+    top-level TIMESTAMP(NANOS) column?  One-file read_schema (~ms) so
+    the tolerant-scan wrapper can skip its conf fiddling and column
+    rebuild on the (common) all-µs datasets.  Nested nanos inside
+    struct/array columns are not probed — on any doubt (probe failure)
+    we fall back to the tolerant path, which is always correct."""
+    try:
+        import pyarrow.parquet as pa_pq
+        import pyarrow.types as pa_t
+
+        f = path
+        if os.path.isdir(path):
+            parts = [
+                p
+                for p in os.listdir(path)
+                if p.endswith(".parquet") and not p.startswith(("_", "."))
+            ]
+            if not parts:
+                return True
+            f = os.path.join(path, parts[0])
+        schema = pa_pq.read_schema(f)
+        return any(
+            pa_t.is_timestamp(t) and t.unit == "ns" for t in schema.types
+        )
+    except Exception:
+        return True
+
+
 def load_parquet_nanos(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan tolerant of TIMESTAMP(NANOS) columns.
 
@@ -237,9 +266,16 @@ def load_parquet_nanos(spark: SparkSession, path: str) -> DataFrame:
     integer division (``DIV 1000`` — double division would lose
     precision at 1e18 magnitudes). Sub-microsecond precision is
     truncated; events.parquet carries µs-resolution values so the
-    conversion is lossless there (FIXTURES.md events.ts)."""
+    conversion is lossless there (FIXTURES.md events.ts).
+
+    When the footer shows no NANOS column the scan passes straight
+    through to the stock parquet reader — no conf round-trips, no
+    rebuild projection — so the tolerant wrapper costs nothing on
+    ordinary datasets."""
     from pyspark.sql import functions as F
 
+    if not _footer_has_nanos(path):
+        return spark.read.parquet(path)
     # get_spark() already sets this at build time; this fallback covers
     # externally-built sessions (e.g. the driver's) and is idempotent.
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
