@@ -478,6 +478,29 @@ def q_csv_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xlsx_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel sink + scan round-trip (§2.1, main.py:70-71,81-82): a
+    lineitem slice through the single-file xlsx writer and back.
+    Without openpyxl this exercises the dependency-free SpreadsheetML
+    path (sources/xlsx.py) — numbers stay numeric cells with shortest
+    round-trip repr, so the exact-cents aggregate must hash-match an
+    oracle that reads the same slice straight from parquet."""
+    import tempfile
+
+    from parquet_editor_spark import io as peio
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 101 == 0
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    tmp = tempfile.mkdtemp(prefix="pes_xlsx_rt_")
+    peio.save(li, f"{tmp}/slice.xlsx", fmt="excel")
+    back = peio.load(spark, f"{tmp}/slice.xlsx", fmt="excel")
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("qty_c"),
+    )
+
+
 def q_json_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + scan round-trip (§2.1, main.py:72-73,80):
     orders slice through the distributed JSON sink and back, then an
@@ -2474,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_acct_stats": q_supplier_acct_stats,
         # --- 5. new coverage: first-ever driver verdicts for §2 surface ---
         "csv_roundtrip_lineitem": q_csv_roundtrip_lineitem,
+        "xlsx_roundtrip_lineitem": q_xlsx_roundtrip_lineitem,
         "json_roundtrip_orders": q_json_roundtrip_orders,
         "rename_cast_lineitem": q_rename_cast_lineitem,
         "point_read_cell": q_point_read_cell,
@@ -2898,6 +2922,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
                         AS BIGINT) AS qty_c
             FROM lineitem WHERE l_orderkey % 97 = 0
+            GROUP BY l_returnflag
+        """,
+        "xlsx_roundtrip_lineitem": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                        AS BIGINT) AS qty_c
+            FROM lineitem WHERE l_orderkey % 101 = 0
             GROUP BY l_returnflag
         """,
         "json_roundtrip_orders": """

@@ -138,16 +138,19 @@ def _load_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
 
 
 def _load_excel(spark: SparkSession, path: str) -> DataFrame:
-    """Excel scan (main.py:70-71) — first sheet, pandas small path."""
+    """Excel scan (main.py:70-71) — first sheet, pandas small path.
+
+    openpyxl gives full fidelity when installed; without it the
+    dependency-free SpreadsheetML reader (sources/xlsx.py) covers the
+    editor's single-sheet contract."""
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path)
-    except ImportError as e:  # openpyxl/xlrd not in the image
-        raise NotImplementedError(
-            "Excel support needs openpyxl/xlrd on the driver; "
-            "not available in this environment"
-        ) from e
+    except ImportError:  # openpyxl/xlrd not in the image
+        from .sources.xlsx import read_xlsx
+
+        pdf = read_xlsx(path)
     return spark.createDataFrame(pdf)
 
 
@@ -218,11 +221,11 @@ def _save_single(df: DataFrame, path: str, fmt: str) -> None:
     elif fmt == "excel":
         try:
             pdf.to_excel(path, index=False)
-        except (ImportError, ModuleNotFoundError) as e:
-            raise NotImplementedError(
-                "Excel support needs openpyxl on the driver; "
-                "not available in this environment"
-            ) from e
+        except (ImportError, ModuleNotFoundError):
+            # no openpyxl: dependency-free single-sheet writer
+            from .sources.xlsx import write_xlsx
+
+            write_xlsx(pdf, path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

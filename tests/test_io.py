@@ -168,34 +168,82 @@ def _has_excel_engine() -> bool:
         return False
 
 
-@pytest.mark.skipif(
-    _has_excel_engine(), reason="openpyxl present: the guard path is inert here"
-)
-def test_excel_gate_documented(spark, tmp_path, lineitem):
-    """README 'Documented divergences': without openpyxl/xlrd, BOTH Excel
-    directions fail with a clean NotImplementedError naming the missing
-    dependency — never a bare ImportError from deep inside pandas."""
-    import parquet_editor_spark.io as peio
-
-    import zipfile
-
-    xlsx = tmp_path / "t.xlsx"
-    with zipfile.ZipFile(xlsx, "w") as z:  # valid zip, engine import is
-        z.writestr("xl/workbook.xml", "<workbook/>")  # the first failure
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        peio.load(spark, str(xlsx))
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        peio.save(lineitem.limit(3), str(tmp_path / "t.xlsx"))
-
-
-@pytest.mark.skipif(
-    not _has_excel_engine(), reason="openpyxl absent in this image"
-)
-def test_excel_round_trip_when_engine_present(spark, tmp_path, lineitem):
-    """On an image WITH openpyxl the same guarded paths round-trip."""
+def test_excel_round_trip(spark, tmp_path, lineitem):
+    """Excel load/save (main.py:70-71,81-82) round-trips with or
+    without openpyxl — the dependency-free SpreadsheetML fallback
+    (sources/xlsx.py) carries the single-sheet editor contract."""
     import parquet_editor_spark.io as peio
 
     p = str(tmp_path / "t.xlsx")
-    peio.save(lineitem.limit(5).select("l_orderkey", "l_quantity"), p)
+    src = lineitem.limit(5).select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    peio.save(src, p)
     back = peio.load(spark, p)
-    assert back.count() == 5
+    assert sorted(back.columns) == sorted(src.columns)
+    a = {tuple(r) for r in src.collect()}
+    b = {
+        (r["l_orderkey"], float(r["l_quantity"]), r["l_returnflag"])
+        for r in back.collect()
+    }
+    assert a == b
+
+
+def test_excel_minimal_module_types_and_sparse(tmp_path):
+    """The fallback reader/writer directly: mixed types, None holes,
+    XML-hostile strings, bool columns, int-vs-float inference."""
+    import pandas as pd
+
+    from parquet_editor_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    pdf = pd.DataFrame(
+        {
+            "i": [1, 2, 3],
+            "f": [1.5, None, -2.25],
+            "s": ["a<b&c", "日本語", None],
+            "b": [True, False, True],
+        }
+    )
+    p = str(tmp_path / "m.xlsx")
+    write_xlsx(pdf, p)
+    back = read_xlsx(p)
+    assert list(back.columns) == ["i", "f", "s", "b"]
+    assert back["i"].tolist() == [1, 2, 3] and str(back["i"].dtype) == "int64"
+    assert back["f"][0] == 1.5 and back["f"][2] == -2.25
+    assert pd.isna(back["f"][1]) and str(back["f"].dtype) == "float64"
+    assert back["s"].tolist()[:2] == ["a<b&c", "日本語"] and back["s"][2] is None
+    assert back["b"].tolist() == [True, False, True]
+
+
+def test_excel_reader_handles_shared_strings(tmp_path):
+    """Files written by OTHER tools use a shared-string table; the
+    reader must resolve t="s" indices (our writer emits inline)."""
+    import zipfile
+
+    from parquet_editor_spark.sources import xlsx as X
+
+    p = str(tmp_path / "sst.xlsx")
+    sheet = (
+        '<?xml version="1.0"?>'
+        f'<worksheet xmlns="{X._MAIN_NS}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2"><v>7</v></c>'
+        '<c r="B2" t="s"><v>2</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sst = (
+        '<?xml version="1.0"?>'
+        f'<sst xmlns="{X._MAIN_NS}"><si><t>k</t></si>'
+        "<si><t>v</t></si><si><r><t>he</t></r><r><t>llo</t></r></si></sst>"
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", X._CONTENT_TYPES)
+        z.writestr("_rels/.rels", X._ROOT_RELS)
+        z.writestr("xl/workbook.xml", X._WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", X._WORKBOOK_RELS)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    back = X.read_xlsx(p)
+    assert list(back.columns) == ["k", "v"]
+    assert back["k"].tolist() == [7] and back["v"].tolist() == ["hello"]

@@ -150,7 +150,9 @@ def test_compact_files_reduces_count(spark, sf_dir, tmp_path):
     assert spark.read.parquet(p).count() == li.count()
 
 
-def test_excel_gated_error(spark, tmp_path):
-    df = spark.createDataFrame([(1, "a")], "x long, y string")
-    with pytest.raises(NotImplementedError, match="Excel"):
-        peio.save(df, str(tmp_path / "out.xlsx"))
+def test_excel_sink_writes_readable_file(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "x long, y string")
+    p = str(tmp_path / "out.xlsx")
+    peio.save(df, p)
+    back = peio.load(spark, p)
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
