@@ -873,6 +873,34 @@ def q_ivf_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-signal recall bound for the approximate IVF path: run the
+    ANN (k-means cells=6, nprobe=5 — measured recall ≥0.96 at sf0.001/
+    0.01/0.1, deterministic via the fixed quantizer seed) against the
+    exact brute-force top-5 and assert recall@5 ≥ 0.8 as a boolean the
+    driver can hash-check.  This gives ``embedding_ivf_topk`` (rows-
+    only by design: approximation has no SQL oracle) a sibling with a
+    constant-valued oracle — if the IVF machinery regresses (bucketing,
+    probe join, ranking), the boolean flips and the driver sees RED."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = S.topk_cosine(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = S.ivf_topk(emb, q, k=5, n_cells=6, nprobe=5).select(
+        "query_id", "neighbor_id"
+    ).withColumn("__hit", F.lit(1))
+    flagged = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return flagged.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.lit(5).cast("long").alias("k"),
+        (
+            (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count("*"))
+            >= 0.8
+        ).alias("recall_ge_080"),
+    )
+
+
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal payload metadata: opaque binary + typed meta struct
     (operators/multimodal.py) — byte length and md5 checksum."""
@@ -2569,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_chunk_documents": q_udtf_chunk_documents,
         "stratified_sample_hash": q_stratified_sample_hash,
         "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
+        "ivf_recall_bound": q_ivf_recall_bound,
         "kafka_roundtrip_events": q_kafka_roundtrip_events,
         # --- new in r3 (not yet adjudicated; rotate into the r4 window) ---
         "bm25_topk": q_bm25_topk,
@@ -3350,6 +3379,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk_cosine": _ORACLE_BRUTE_TOPK,
         # exhaustive-probe IVF must equal brute force exactly
         "ivf_topk_exhaustive": _ORACLE_BRUTE_TOPK,
+        # constant-valued oracle: the Spark side measures recall of the
+        # approximate IVF against exact brute force and must land TRUE
+        "ivf_recall_bound": """
+            SELECT CAST(10 AS BIGINT) AS n_queries,
+                   CAST(5 AS BIGINT) AS k,
+                   TRUE AS recall_ge_080
+        """,
         "embedding_cosine_dedup": _ORACLE_COSINE_PAIRS,
         "embedding_lsh_dedup": _ORACLE_LSH_PAIRS,
         "binary_meta": """
