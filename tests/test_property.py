@@ -117,6 +117,91 @@ def test_rejected_edit_leaves_table_unchanged(spark):
     got = sdf.toPandas().sort_values("__rid").drop(columns="__rid").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, BASE)
 
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_long_edit_sequence_with_undo_redo_and_compact(spark, seed):
+    """Deep composition run (120 ops): set/delete/cut-paste/undo/redo
+    through the real EditorSession history, with overlay ``compact()``
+    interleaved as an undoable no-op edit, differentially against a
+    pandas mirror implementing the reference's positional semantics.
+    Pins the ``__rid`` dense-ordinal invariant under arbitrary
+    composition — the editor core's one structural promise.
+
+    Seeded random (not hypothesis): one long trajectory exercises
+    plan-depth/compaction interactions that many short examples never
+    reach, at a fixed CI cost.  Spark ops stay lazy between compacts,
+    so the whole run is ~8 checkpoint jobs + 5 comparison collects."""
+    import random
+
+    from parquet_editor_spark.session import EditorSession
+
+    rng = random.Random(seed)
+    sess = EditorSession(spark)
+    sess.bind("t", E.with_rid(spark.createDataFrame(BASE)), undoable=False)
+    hist, redo = [BASE.copy()], []
+
+    def push(pdf):
+        hist.append(pdf)
+        redo.clear()
+
+    for step in range(1, 121):
+        pdf = hist[-1]
+        n = len(pdf)
+        if step % 15 == 0:
+            # physical compaction, surfaced as an undoable no-op edit
+            sess.bind("t", E.compact(sess.get("t")))
+            push(pdf.copy())
+            continue
+        kind = rng.choices(
+            ["set", "delete", "cutpaste", "undo", "redo"],
+            weights=[40, 15, 15, 15, 10],
+        )[0]
+        if kind == "set" and n:
+            rid = rng.randrange(n)
+            col, val = rng.choice(
+                [("i", rng.randint(-99, 99)), ("f", float(rng.randint(-90, 90)) / 4),
+                 ("s", rng.choice("xyzw"))]
+            )
+            sess.bind("t", E.set_cell(sess.get("t"), rid, col, val))
+            out = pdf.copy()
+            out.iloc[rid, out.columns.get_loc(col)] = val
+            push(out)
+        elif kind == "delete" and n > 1:
+            rids = sorted(rng.sample(range(n), rng.choice([1, 2])))
+            sess.bind("t", E.delete_rows(sess.get("t"), rids))
+            push(pdf.drop(pdf.index[rids]).reset_index(drop=True))
+        elif kind == "cutpaste" and n > 1:
+            src = rng.randrange(n)
+            clip, rest = E.cut_rows(sess.get("t"), [src])
+            pos = rng.randrange(n)  # n-1 rows remain → pos in [0, n-1]
+            sess.bind("t", E.paste_rows(rest, clip, pos))
+            pclip = pdf.iloc[[src]]
+            prest = pdf.drop(pdf.index[src]).reset_index(drop=True)
+            push(
+                pd.concat([prest.iloc[:pos], pclip, prest.iloc[pos:]])
+                .reset_index(drop=True)
+            )
+        elif kind == "undo" and len(hist) > 1:
+            assert sess.can_undo("t")
+            sess.undo("t")
+            redo.append(hist.pop())
+        elif kind == "redo" and redo:
+            assert sess.can_redo("t")
+            sess.redo("t")
+            hist.append(redo.pop())
+        if step % 30 == 0 or step == 120:
+            got = (
+                sess.get("t")
+                .toPandas()
+                .sort_values("__rid")
+                .reset_index(drop=True)
+            )
+            # __rid must remain a dense 0..n-1 ordinal at every point
+            assert got["__rid"].tolist() == list(range(len(got))), step
+            pd.testing.assert_frame_equal(
+                got.drop(columns="__rid"), hist[-1], obj=f"step {step}"
+            )
+
+
 # ---------------------------------------------------------------------------
 # resample properties: a random sparse series, pandas as the oracle
 # ---------------------------------------------------------------------------
