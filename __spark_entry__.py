@@ -2464,98 +2464,55 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
-    # round-3 window, in priority order (exactly 50 entries up to and
-    # including dedup_minhash_lsh):
-    #   1. 12 divergence probes (construct-isolating; two expect RED)
-    #   2. the 5 re-fixed r1/r2 hash-fails
-    #   3. the 9 queries never adjudicated in r1/r2
-    #   4. 4 queries whose code or oracle changed (pivot_mean r2,
-    #      describe/stats decimal-overflow fix r3)
-    #   5. 8 NEW coverage queries for surface the driver has only ever
-    #      seen via pytest (csv/json round-trip, rename/cast, point
-    #      read, cut clip, multiselect, paged preview, empty source)
-    #   6. 12 r1-greens not re-checked since, oldest signal first
-    # Still unwindowed after this rotation (re-check in r4 if slots
-    # free up): the r2 greens, the r1 greens cell_edit/delete_rows/
-    # paste_splice/union_distinct_nations/rollup_qty/pivot_count_
-    # distinct/date_trunc_orders/string_funcs_part (swapped out for
-    # the new-coverage block), and the new-in-r3 block (rotate these
-    # into the r4 window first — never driver-adjudicated):
-    # bm25_topk, mixture_sample, parquet_roundtrip_partitioned,
-    # corr_matrix, q14_promo_revenue, q10_returned_revenue,
-    # orc_roundtrip_lineitem, repetition_signals, vocab_coverage,
-    # funnel_signup_purchase, q19_disjunctive_revenue, q8_market_share,
-    # q12_priority_lines, q22_idle_customers, q21_sole_supplier,
-    # merge_upsert_orders, scd2_user_status, zorder_cluster_keys,
-    # retention_cohorts.
+    # round-4 window (exactly 50 entries up to and including
+    # range_join_prices):
+    #   1. the 20 new-in-r3 queries never driver-adjudicated (all
+    #      local-oracle green at sf0.01 and sf0.1 this round)
+    #   2. 2 new-in-r4 queries (xlsx round-trip, IVF recall bound)
+    #   3. the 8 r1 greens swapped out of the r3 window
+    #   4. 20 r2 greens not re-checked since r2
+    # Retired from the window per the r3 verdict: the 12 probes (kept
+    # below as documentation/canaries — 4 are RED by design and were
+    # burning slots), and the two rows-only entries whose stable
+    # err:no_oracle verdicts are already recorded (their deterministic
+    # oracle-checked twins stay available).  Still unwindowed r2 greens
+    # (unpivot/percentiles/string_agg/clean_*/resample_*/pipeline/
+    # dedup-pipeline/kafka, 21 entries) rotate in r5.
     return {
-        # --- 1. probes ---
-        "probe_int_float_hash": probe_int_float_hash,
-        "probe_hugeint_sum": probe_hugeint_sum,
-        "probe_hugeint_cast": probe_hugeint_cast,
-        "probe_ts_subus": probe_ts_subus,
-        "probe_ts_subsec": probe_ts_subsec,
-        "probe_round_ties": probe_round_ties,
-        "probe_double_repr": probe_double_repr,
-        "probe_ts_repr": probe_ts_repr,
-        "probe_regex_ws_agree": probe_regex_ws_agree,
-        "probe_regex_ws_vt": probe_regex_ws_vt,
-        "probe_json_cast_old": probe_json_cast_old,
-        "probe_json_regex_new": probe_json_regex_new,
-        # --- 2. re-fixed r1/r2 hash-fails (HUGEINT oracle casts) ---
-        "json_extract_events": q_json_extract_events,
-        "sessionize_events": q_sessionize_events,
-        "stream_sessionize": q_stream_sessionize,
-        "map_props_explode": q_map_props_explode,
-        "pack_sequences": q_pack_sequences,
-        # --- 3. never adjudicated in r1/r2 ---
-        "stream_followed_by": q_stream_followed_by,
-        "normalize_text": q_normalize_text,
-        "collect_lang_sets": q_collect_lang_sets,
-        "label_centroids": q_label_centroids,
-        "embedding_quantize": q_embedding_quantize,
-        "cross_join_grid": q_cross_join_grid,
-        "plot_line_series": q_plot_line_series,
-        "stratified_sample": q_stratified_sample,
-        "approx_stats": q_approx_stats,
-        # --- 4. changed since last adjudication ---
-        "pivot_mean": _pivot("mean_exact_cents"),
-        "describe_lineitem": q_describe_lineitem,
-        "stats_aggregates": q_stats_aggregates,
-        "supplier_acct_stats": q_supplier_acct_stats,
-        # --- 5. new coverage: first-ever driver verdicts for §2 surface ---
-        "csv_roundtrip_lineitem": q_csv_roundtrip_lineitem,
+        # --- 1. never driver-adjudicated: new-in-r3 block (local-oracle green) ---
+        "bm25_topk": q_bm25_topk,
+        "mixture_sample": q_mixture_sample,
+        "repetition_signals": q_repetition_signals,
+        "vocab_coverage": q_vocab_coverage,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "retention_cohorts": q_retention_cohorts,
+        "merge_upsert_orders": q_merge_upsert_orders,
+        "scd2_user_status": q_scd2_user_status,
+        "zorder_cluster_keys": q_zorder_cluster_keys,
+        "multimodal_resize": q_multimodal_resize,
+        "parquet_roundtrip_partitioned": q_parquet_roundtrip_partitioned,
+        "orc_roundtrip_lineitem": q_orc_roundtrip_lineitem,
+        "corr_matrix": q_corr_matrix,
+        "q8_market_share": q_q8_market_share,
+        "q10_returned_revenue": q_q10_returned_revenue,
+        "q12_priority_lines": q_q12_priority_lines,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q21_sole_supplier": q_q21_sole_supplier,
+        "q22_idle_customers": q_q22_idle_customers,
+        # --- 2. new in r4 ---
         "xlsx_roundtrip_lineitem": q_xlsx_roundtrip_lineitem,
-        "json_roundtrip_orders": q_json_roundtrip_orders,
-        "rename_cast_lineitem": q_rename_cast_lineitem,
-        "point_read_cell": q_point_read_cell,
-        "cut_rows_clip": q_cut_rows_clip,
-        "multiselect_summary": q_multiselect_summary,
-        "paged_preview": q_paged_preview,
-        "empty_source": q_empty_source,
-        # --- 6. r1-green backfill re-checks ---
-        "groupby_agg": q_groupby_agg,
-        "filter_project": q_filter_project,
-        "topk_orders": q_topk_orders,
-        "join_star_revenue": q_join_star_revenue,
-        "anti_parts_never_sold": q_anti_parts_never_sold,
-        "semi_suppliers_with_sales": q_semi_suppliers_with_sales,
-        "window_running_sum": q_window_running_sum,
-        "window_top3_per_priority": q_window_top3_per_priority,
-        "pivot_sum": _pivot("sum"),
-        "text_stats": q_text_stats,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        # ================= end of 50-entry driver window =================
+        "ivf_recall_bound": q_ivf_recall_bound,
+        # --- 3. r1 greens swapped out of the r3 window (oldest signal) ---
+        "cell_edit": q_cell_edit,
+        "delete_rows": q_delete_rows,
+        "paste_splice": q_paste_splice,
         "union_distinct_nations": q_union_distinct_nations,
         "rollup_qty": q_rollup_qty,
         "pivot_count_distinct": q_pivot_count_distinct,
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
-        "cell_edit": q_cell_edit,
-        "delete_rows": q_delete_rows,
-        "paste_splice": q_paste_splice,
-        # --- r2 greens (re-rotate in r4) ---
+        # --- 4. r2 greens not re-checked since r2 ---
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "q6_forecast_revenue": q_q6_forecast_revenue,
@@ -2576,6 +2533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_revenue_7d": q_rolling_revenue_7d,
         "asof_join_events": q_asof_join_events,
         "range_join_prices": q_range_join_prices,
+        # ================= end of 50-entry driver window =================
+        # --- r2 greens (rotate into r5) ---
         "unpivot_measures": q_unpivot_measures,
         "percentiles_quantity": q_percentiles_quantity,
         "string_agg_nations": q_string_agg_nations,
@@ -2595,31 +2554,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "chunk_documents": q_chunk_documents,
         "udtf_chunk_documents": q_udtf_chunk_documents,
-        "stratified_sample_hash": q_stratified_sample_hash,
         "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
-        "ivf_recall_bound": q_ivf_recall_bound,
         "kafka_roundtrip_events": q_kafka_roundtrip_events,
-        # --- new in r3 (not yet adjudicated; rotate into the r4 window) ---
-        "bm25_topk": q_bm25_topk,
-        "mixture_sample": q_mixture_sample,
-        "parquet_roundtrip_partitioned": q_parquet_roundtrip_partitioned,
-        "corr_matrix": q_corr_matrix,
-        "q14_promo_revenue": q_q14_promo_revenue,
-        "q10_returned_revenue": q_q10_returned_revenue,
-        "orc_roundtrip_lineitem": q_orc_roundtrip_lineitem,
-        "repetition_signals": q_repetition_signals,
-        "vocab_coverage": q_vocab_coverage,
-        "funnel_signup_purchase": q_funnel_signup_purchase,
-        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
-        "q8_market_share": q_q8_market_share,
-        "q12_priority_lines": q_q12_priority_lines,
-        "q22_idle_customers": q_q22_idle_customers,
-        "q21_sole_supplier": q_q21_sole_supplier,
-        "merge_upsert_orders": q_merge_upsert_orders,
-        "scd2_user_status": q_scd2_user_status,
-        "zorder_cluster_keys": q_zorder_cluster_keys,
-        "retention_cohorts": q_retention_cohorts,
-        "multimodal_resize": q_multimodal_resize,
+        # --- r3 driver greens (freshest signal; rotate r5+) ---
+        "json_extract_events": q_json_extract_events,
+        "sessionize_events": q_sessionize_events,
+        "stream_sessionize": q_stream_sessionize,
+        "map_props_explode": q_map_props_explode,
+        "pack_sequences": q_pack_sequences,
+        "stream_followed_by": q_stream_followed_by,
+        "normalize_text": q_normalize_text,
+        "collect_lang_sets": q_collect_lang_sets,
+        "label_centroids": q_label_centroids,
+        "embedding_quantize": q_embedding_quantize,
+        "cross_join_grid": q_cross_join_grid,
+        "plot_line_series": q_plot_line_series,
+        "pivot_mean": _pivot("mean_exact_cents"),
+        "describe_lineitem": q_describe_lineitem,
+        "stats_aggregates": q_stats_aggregates,
+        "supplier_acct_stats": q_supplier_acct_stats,
+        "csv_roundtrip_lineitem": q_csv_roundtrip_lineitem,
+        "json_roundtrip_orders": q_json_roundtrip_orders,
+        "rename_cast_lineitem": q_rename_cast_lineitem,
+        "point_read_cell": q_point_read_cell,
+        "cut_rows_clip": q_cut_rows_clip,
+        "multiselect_summary": q_multiselect_summary,
+        "paged_preview": q_paged_preview,
+        "empty_source": q_empty_source,
+        "groupby_agg": q_groupby_agg,
+        "filter_project": q_filter_project,
+        "topk_orders": q_topk_orders,
+        "join_star_revenue": q_join_star_revenue,
+        "anti_parts_never_sold": q_anti_parts_never_sold,
+        "semi_suppliers_with_sales": q_semi_suppliers_with_sales,
+        "window_running_sum": q_window_running_sum,
+        "window_top3_per_priority": q_window_top3_per_priority,
+        "pivot_sum": _pivot("sum"),
+        "text_stats": q_text_stats,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # --- retired r3 probes (settled divergence canaries; 4 RED by design,
+        # kept as documentation + regression canaries, never re-windowed) ---
+        "probe_int_float_hash": probe_int_float_hash,
+        "probe_hugeint_sum": probe_hugeint_sum,
+        "probe_hugeint_cast": probe_hugeint_cast,
+        "probe_ts_subus": probe_ts_subus,
+        "probe_ts_subsec": probe_ts_subsec,
+        "probe_round_ties": probe_round_ties,
+        "probe_double_repr": probe_double_repr,
+        "probe_ts_repr": probe_ts_repr,
+        "probe_regex_ws_agree": probe_regex_ws_agree,
+        "probe_regex_ws_vt": probe_regex_ws_vt,
+        "probe_json_cast_old": probe_json_cast_old,
+        "probe_json_regex_new": probe_json_regex_new,
+        # --- rows-only by design (deterministic twins stratified_sample_hash /
+        # stats_aggregates are oracle-checked; kept out of the window so the
+        # stable err:no_oracle verdicts stop burning adjudication slots) ---
+        "stratified_sample": q_stratified_sample,
+        "approx_stats": q_approx_stats,
+        "stratified_sample_hash": q_stratified_sample_hash,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         # --- r1 greens not in this rotation ---
         "pivot_count": _pivot("count", round_to=None),
         "pivot_max": _pivot("max", round_to=None),
@@ -2639,7 +2633,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_cosine": q_embedding_topk,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "embedding_lsh_dedup": q_embedding_lsh_dedup,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
         "binary_meta": q_binary_meta,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
