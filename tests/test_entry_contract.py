@@ -47,35 +47,39 @@ def test_top_level_functions_unique():
 def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
-    silently missed adjudication — pin the round-3 window composition."""
+    silently missed adjudication — pin the round-4 window composition:
+    every never-driver-adjudicated query first, probes and stable
+    rows-only entries retired behind the window."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "dedup_minhash_lsh", (
+    assert window[-1] == "range_join_prices", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
-        # probes
-        "probe_int_float_hash", "probe_hugeint_sum", "probe_hugeint_cast",
-        "probe_ts_subus", "probe_ts_subsec", "probe_round_ties",
-        "probe_double_repr", "probe_ts_repr", "probe_regex_ws_agree",
-        "probe_regex_ws_vt", "probe_json_cast_old", "probe_json_regex_new",
-        # re-fixed r1/r2 hash-fails
-        "json_extract_events", "sessionize_events", "stream_sessionize",
-        "map_props_explode", "pack_sequences",
-        # never adjudicated in r1/r2
-        "stream_followed_by", "normalize_text", "collect_lang_sets",
-        "label_centroids", "embedding_quantize", "cross_join_grid",
-        "plot_line_series", "stratified_sample", "approx_stats",
-        # changed since last adjudication
-        "pivot_mean", "describe_lineitem", "stats_aggregates",
-        "supplier_acct_stats",
-        # first-ever driver verdicts for pytest-only §2 surface
-        "csv_roundtrip_lineitem", "json_roundtrip_orders",
-        "rename_cast_lineitem", "point_read_cell", "cut_rows_clip",
-        "multiselect_summary", "paged_preview", "empty_source",
+        # new-in-r3, never driver-adjudicated
+        "bm25_topk", "mixture_sample", "repetition_signals",
+        "vocab_coverage", "funnel_signup_purchase", "retention_cohorts",
+        "merge_upsert_orders", "scd2_user_status", "zorder_cluster_keys",
+        "multimodal_resize", "parquet_roundtrip_partitioned",
+        "orc_roundtrip_lineitem", "corr_matrix", "q8_market_share",
+        "q10_returned_revenue", "q12_priority_lines", "q14_promo_revenue",
+        "q19_disjunctive_revenue", "q21_sole_supplier", "q22_idle_customers",
+        # new in r4
+        "xlsx_roundtrip_lineitem", "ivf_recall_bound",
+        # r1 greens swapped out of the r3 window
+        "cell_edit", "delete_rows", "paste_splice",
+        "union_distinct_nations", "rollup_qty", "pivot_count_distinct",
+        "date_trunc_orders", "string_funcs_part",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
+    # settled probes / stable err:no_oracle entries must NOT burn slots
+    retired = {
+        "probe_int_float_hash", "probe_hugeint_sum", "probe_regex_ws_vt",
+        "probe_json_cast_old", "stratified_sample", "approx_stats",
+    }
+    leaked = retired & set(window)
+    assert not leaked, f"retired entries back inside the window: {leaked}"
 
 
 def test_every_query_has_oracle_or_is_known_rows_only():
