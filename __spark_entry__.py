@@ -2216,6 +2216,303 @@ def q_q21_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cents(col: str):
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the pricing summary report — one date-pruned scan,
+    partial/final hash agg on two low-cardinality keys.  All money
+    math in exact integer cents (charge = cents × pct × pct, far
+    inside BIGINT), averages rounded once at the edge."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz")
+    )
+    price_c = _cents("l_extendedprice")
+    disc_p = _cents("l_discount")  # 0-100 integer percent
+    tax_p = _cents("l_tax")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents("l_quantity")).alias("sum_qty_c"),
+        F.sum(price_c).alias("sum_base_c"),
+        F.sum(price_c * (100 - disc_p)).alias("sum_disc_cp"),
+        F.sum(price_c * (100 - disc_p) * (100 + tax_p)).alias("sum_charge_cpp"),
+        F.sum(disc_p).alias("__sum_disc_p"),
+        F.count("*").alias("count_order"),
+    )
+    # averages derived from the EXACT integer sums (identical operands
+    # in both engines → identical doubles → identical round), never
+    # from engine-ordered double summation
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty_c",
+        "sum_base_c",
+        "sum_disc_cp",
+        "sum_charge_cpp",
+        F.round(F.col("sum_qty_c") / (100.0 * n), 4).alias("avg_qty"),
+        F.round(F.col("sum_base_c") / (100.0 * n), 4).alias("avg_price"),
+        F.round(F.col("__sum_disc_p") / (100.0 * n), 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, adapted (fixture has no partsupp/supplycost):
+    per STANDARD small part, the EUROPE-region supplier with the
+    minimum observed total sale value for that part (exact integer
+    cents, suppkey tie-break) — the correlated-min + join-back plan:
+    per-(part,supplier) agg, then a rank-1 window over each part.
+    Dims broadcast; one shuffle on (part, supplier), one on part."""
+    from pyspark.sql import Window as W
+
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 5)
+    ).select("p_partkey", "p_name", "p_size")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name")
+        .agg(F.sum(_cents("l_extendedprice")).alias("cost_c"))
+    )
+    w = W.partitionBy("p_partkey").orderBy("cost_c", "s_suppkey")
+    return (
+        cost.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "cost_c")
+    )
+
+
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape, adapted (fixture lineitem has no commit/receipt
+    dates): orders placed in Q2-1996 with at least one line shipped
+    more than 90 days after the order date — EXISTS as a left-semi
+    join (equi on the order key + residual date inequality), then a
+    tiny priority rollup."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-04-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.timestamp_add("DAY", F.lit(90), orders.o_orderdate)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape, adapted (no supplycost column exists): revenue
+    on 'red'-named parts by supplier nation and order year.  Fact
+    scans joined with broadcast part/supplier/nation dims; orders
+    co-shuffled on the order key; exact-cents revenue."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    ).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(rev).alias("profit_cp"))
+    )
+
+
+def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape, adapted (no partsupp): per-part sale value
+    from NATION_7 suppliers, keeping parts above 1/2000 of that
+    nation's total — group agg + benign one-row global-scalar
+    broadcast, integer cross-multiplied threshold (no float compare)."""
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_7"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("value_cp"))
+    total = per_part.agg(F.sum("value_cp").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cp") * 2000 > F.col("__total"))
+        .select("l_partkey", "value_cp")
+    )
+
+
+def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution (priority
+    '4-NOT SPECIFIED' excluded, standing in for the comment filter the
+    fixture lacks).  Left join so zero-order customers land in the
+    c_count=0 bucket; two hash aggs, the second on a tiny domain."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier(s) by Q1-1996 revenue — the revenue
+    view materialized once, its max broadcast back as a one-row
+    scalar (benign exchange), equality join instead of a second
+    correlated scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev_cp"))
+    mx = revenue.agg(F.max("total_rev_cp").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_cp") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_cp")
+    )
+
+
+def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape, adapted (supplier-part pairs come from
+    lineitem, not partsupp): distinct supplier counts per
+    (brand, type, size) for non-PROMO parts outside Brand#45, from
+    suppliers in good standing (s_acctbal ≥ 0, standing in for the
+    complaints filter).  Distinct pairs reduce the fact before the
+    count-distinct agg."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 20, 25, 30)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ok_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") >= 0
+    ).select("s_suppkey")
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(ok_supp), F.col("l_suppkey") == ok_supp.s_suppkey)
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue locked in small-quantity orders of Brand#23
+    small parts.  The per-part average-quantity threshold is applied
+    by integer cross-multiplication (5·n·qty_c < sum_qty_c ⇔ qty <
+    0.2·avg) — no float boundary to diverge on.  One shuffle on the
+    part key shared by the agg and the join-back."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(_cents("l_quantity")).alias("__sum_qc"),
+        F.count("*").alias("__n"),
+    )
+    small = li.join(stats, "l_partkey").filter(
+        _cents("l_quantity") * 5 * F.col("__n") < F.col("__sum_qc")
+    )
+    return small.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(_cents("l_extendedprice")).alias("revenue_c"),
+    )
+
+
+def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders (total quantity > 200 units) —
+    per-order agg first (the selective step), then semi-reduced joins
+    back to orders and broadcast customer."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = li.groupBy("l_orderkey").agg(
+        F.sum(_cents("l_quantity")).alias("sum_qty_c")
+    ).filter(F.col("sum_qty_c") > 200 * 100)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            _cents("o_totalprice").alias("totalprice_c"),
+            "sum_qty_c",
+        )
+    )
+
+
+def q_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, adapted (no partsupp availqty): suppliers who
+    shipped more than 300 units of 'small'-named parts during 1996 —
+    the part filter broadcast into the date-pruned fact, per-supplier
+    agg, then a semi join into the supplier dim."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    heavy = li.groupBy("l_suppkey").agg(
+        F.sum(_cents("l_quantity")).alias("qty_c")
+    ).filter(F.col("qty_c") > 300 * 100)
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supp.join(
+        heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi"
+    )
+
+
 def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MERGE INTO shape (operators/warehouse.py merge_upsert):
     a CDC-style update batch (every 97th order re-priced, status 'U')
@@ -2465,12 +2762,13 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
     # round-4 window (exactly 50 entries up to and including
-    # range_join_prices):
+    # salted_join_revenue):
     #   1. the 20 new-in-r3 queries never driver-adjudicated (all
     #      local-oracle green at sf0.01 and sf0.1 this round)
-    #   2. 2 new-in-r4 queries (xlsx round-trip, IVF recall bound)
+    #   2. 13 new-in-r4 queries (xlsx round-trip, IVF recall bound,
+    #      the 11 TPC-H shapes completing Q1-Q22)
     #   3. the 8 r1 greens swapped out of the r3 window
-    #   4. 20 r2 greens not re-checked since r2
+    #   4. 9 r2 greens not re-checked since r2
     # Retired from the window per the r3 verdict: the 12 probes (kept
     # below as documentation/canaries — 4 are RED by design and were
     # burning slots), and the two rows-only entries whose stable
@@ -2500,9 +2798,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
         "q21_sole_supplier": q_q21_sole_supplier,
         "q22_idle_customers": q_q22_idle_customers,
-        # --- 2. new in r4 ---
+        # --- 2. new in r4 (xlsx round-trip, IVF recall bound, and the
+        # 11 remaining TPC-H shapes — Q1-Q22 now complete, adapted
+        # where the fixture schema lacks partsupp/commitdate) ---
         "xlsx_roundtrip_lineitem": q_xlsx_roundtrip_lineitem,
         "ivf_recall_bound": q_ivf_recall_bound,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q4_order_priority": q_q4_order_priority,
+        "q9_product_profit": q_q9_product_profit,
+        "q11_important_stock": q_q11_important_stock,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q16_supplier_part_counts": q_q16_supplier_part_counts,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q18_large_volume_customers": q_q18_large_volume_customers,
+        "q20_part_promotion": q_q20_part_promotion,
         # --- 3. r1 greens swapped out of the r3 window (oldest signal) ---
         "cell_edit": q_cell_edit,
         "delete_rows": q_delete_rows,
@@ -2512,7 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_count_distinct": q_pivot_count_distinct,
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
-        # --- 4. r2 greens not re-checked since r2 ---
+        # --- 4. r2 greens not re-checked since r2 (oldest signal) ---
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "q6_forecast_revenue": q_q6_forecast_revenue,
@@ -2522,6 +2833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_avg_orders": q_above_avg_orders,
         "having_frequent_custs": q_having_frequent_custs,
         "salted_join_revenue": q_salted_join_revenue,
+        # ================= end of 50-entry driver window =================
+        # --- r2 greens (rotate into r5) ---
         "left_join_order_counts": q_left_join_order_counts,
         "full_outer_nation_actors": q_full_outer_nation_actors,
         "except_inactive_custs": q_except_inactive_custs,
@@ -2533,8 +2846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_revenue_7d": q_rolling_revenue_7d,
         "asof_join_events": q_asof_join_events,
         "range_join_prices": q_range_join_prices,
-        # ================= end of 50-entry driver window =================
-        # --- r2 greens (rotate into r5) ---
         "unpivot_measures": q_unpivot_measures,
         "percentiles_quantity": q_percentiles_quantity,
         "string_agg_nations": q_string_agg_nations,
@@ -3201,6 +3512,175 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_solo_orders
             FROM solo JOIN supplier ON solo_supp = s_suppkey
             GROUP BY s_suppkey, s_name
+        """,
+        "q1_pricing_summary": """
+            WITH a AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT))
+                            AS BIGINT) AS sum_qty_c,
+                       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT))
+                            AS BIGINT) AS sum_base_c,
+                       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                            * (100 - CAST(round(l_discount*100,0) AS BIGINT)))
+                            AS BIGINT) AS sum_disc_cp,
+                       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                            * (100 - CAST(round(l_discount*100,0) AS BIGINT))
+                            * (100 + CAST(round(l_tax*100,0) AS BIGINT)))
+                            AS BIGINT) AS sum_charge_cpp,
+                       CAST(sum(CAST(round(l_discount*100,0) AS BIGINT))
+                            AS BIGINT) AS sum_disc_p,
+                       CAST(count(*) AS BIGINT) AS count_order
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+                GROUP BY l_returnflag, l_linestatus)
+            SELECT l_returnflag, l_linestatus, sum_qty_c, sum_base_c,
+                   sum_disc_cp, sum_charge_cpp,
+                   round(sum_qty_c / (100.0 * count_order), 4) AS avg_qty,
+                   round(sum_base_c / (100.0 * count_order), 4) AS avg_price,
+                   round(sum_disc_p / (100.0 * count_order), 6) AS avg_disc,
+                   count_order
+            FROM a
+        """,
+        "q2_min_cost_supplier": """
+            WITH supp AS (
+                SELECT s_suppkey, s_name, n_name FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'),
+            cost AS (
+                SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+                       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT))
+                            AS BIGINT) AS cost_c
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supp ON l_suppkey = s_suppkey
+                WHERE p_type = 'STANDARD' AND p_size <= 5
+                GROUP BY p_partkey, p_name, s_suppkey, s_name, n_name),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY p_partkey ORDER BY cost_c, s_suppkey) AS rk
+                FROM cost)
+            SELECT p_partkey, p_name, s_suppkey, s_name, n_name, cost_c
+            FROM r WHERE rk = 1
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q9_product_profit": """
+            SELECT n_name,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100,0) AS BIGINT)))
+                        AS BIGINT) AS profit_cp
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, o_year
+        """,
+        "q11_important_stock": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                            * (100 - CAST(round(l_discount*100,0) AS BIGINT)))
+                            AS BIGINT) AS value_cp
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_7'
+                GROUP BY l_partkey)
+            SELECT l_partkey, value_cp FROM per_part
+            WHERE value_cp * 2000 >
+                  (SELECT CAST(sum(value_cp) AS BIGINT) FROM per_part)
+        """,
+        "q13_customer_distribution": """
+            WITH per_cust AS (
+                SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '4-NOT SPECIFIED'
+                GROUP BY c_custkey)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                            * (100 - CAST(round(l_discount*100,0) AS BIGINT)))
+                            AS BIGINT) AS total_rev_cp
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_rev_cp
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev_cp = (SELECT max(total_rev_cp) FROM revenue)
+        """,
+        "q16_supplier_part_counts": """
+            WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM pairs
+            JOIN supplier ON l_suppkey = s_suppkey AND s_acctbal >= 0
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+              AND p_size IN (1,4,7,10,15,20,25,30)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q17_small_qty_revenue": """
+            WITH li AS (
+                SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#23' AND p_size <= 10),
+            stats AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT))
+                            AS BIGINT) AS sum_qc,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM li GROUP BY l_partkey)
+            SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT))
+                        AS BIGINT) AS revenue_c
+            FROM li JOIN stats USING (l_partkey)
+            WHERE CAST(round(l_quantity*100,0) AS BIGINT) * 5 * n < sum_qc
+        """,
+        "q18_large_volume_customers": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT))
+                            AS BIGINT) AS sum_qty_c
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum_qty_c > 20000)
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   CAST(round(o_totalprice*100,0) AS BIGINT) AS totalprice_c,
+                   sum_qty_c
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q20_part_promotion": """
+            WITH heavy AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT))
+                            AS BIGINT) AS qty_c
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'small%'
+                  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                GROUP BY l_suppkey HAVING qty_c > 30000)
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
         """,
         "q14_promo_revenue": """
             WITH j AS (

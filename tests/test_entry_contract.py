@@ -52,7 +52,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     rows-only entries retired behind the window."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "range_join_prices", (
+    assert window[-1] == "salted_join_revenue", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
@@ -66,6 +66,11 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "q19_disjunctive_revenue", "q21_sole_supplier", "q22_idle_customers",
         # new in r4
         "xlsx_roundtrip_lineitem", "ivf_recall_bound",
+        "q1_pricing_summary", "q2_min_cost_supplier", "q4_order_priority",
+        "q9_product_profit", "q11_important_stock",
+        "q13_customer_distribution", "q15_top_supplier",
+        "q16_supplier_part_counts", "q17_small_qty_revenue",
+        "q18_large_volume_customers", "q20_part_promotion",
         # r1 greens swapped out of the r3 window
         "cell_edit", "delete_rows", "paste_splice",
         "union_distinct_nations", "rollup_qty", "pivot_count_distinct",

@@ -74,7 +74,7 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     return errs
 
 
-def main(only: list[str]) -> int:
+def main(only: list[str], json_path: str | None = None) -> int:
     import __spark_entry__ as entry_mod
     from parquet_editor_spark.session import get_spark
 
@@ -98,38 +98,67 @@ def main(only: list[str]) -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failed = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        results[name] = rec
         try:
             got = fn(spark, SF_DIR).toPandas()
+            rec["spark_rows"] = len(got)
         except Exception as e:
             print(f"FAIL {name}: spark error {e}")
+            rec["err"] = f"spark: {e}"
             failed.append(name)
             continue
         if name not in oracles:
             print(f"PASS {name}: rows-only ({len(got)} rows, no oracle)")
+            rec["err"] = "no_oracle"
             continue
         try:
             want = con.execute(oracles[name]).fetchdf()
+            rec["oracle_rows"] = len(want)
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
+            rec["err"] = f"oracle: {e}"
             failed.append(name)
             continue
         errs = compare(name, got, want)
+        rec["rows_match"] = len(got) == len(want)
+        rec["schema_match"] = sorted(got.columns) == sorted(want.columns)
+        rec["hash_match"] = not errs
         if errs and name in EXPECTED_DIVERGENT:
             print(f"XFAIL {name}: expected divergence (diagnostic probe)")
+            rec["err"] = "expected_divergent"
         elif errs:
             print(f"FAIL {name}: " + "; ".join(errs))
             failed.append(name)
         elif name in EXPECTED_DIVERGENT:
             print(f"XPASS {name}: expected divergence DID NOT fire — "
                   "strict compare may have lost dtype sensitivity")
+            failed.append(name)
         else:
             print(f"PASS {name} ({len(got)} rows)")
     print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} passed")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_path}")
     return 1 if failed else 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(sys.argv[1:]))
+    argv = sys.argv[1:]
+    out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    argv = [a for a in argv if a != "--only"]
+    raise SystemExit(main(argv, out))
