@@ -901,6 +901,59 @@ def q_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_priority_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact dedup with a keeper policy
+    (operators/dedup.py exact_dedup_keep): documents unioned with a
+    deterministic 'mirror' copy of every 7th doc (the planted
+    duplicates); the original source must win every group and the
+    group size rides out as n_dups.  One min_by hash agg on the
+    fingerprint — map-side combinable, unlike a window keeper."""
+    from parquet_editor_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirror = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    allr = docs.unionByName(mirror)
+    prio = F.when(F.col("source") == "mirror", F.lit(1)).otherwise(F.lit(0))
+    kept = D.exact_dedup_keep(allr, "doc_id", "text", prio)
+    return kept.select("doc_id", "source", "n_dups")
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/sim.py hard_negatives): per
+    query vector, the top-5 most-similar embeddings with a DIFFERENT
+    label — the label mask applied inside the batch scorer before the
+    partial top-k, so same-label rows never reach the shuffle."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_source_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus budget cap (operators/textprep.py
+    source_budget_trim): within each source keep the longest-first
+    prefix whose cumulative characters stay ≤ 1500 — the per-domain
+    budget step mixture-by-rate cannot express.  One per-source
+    window cumsum; integer weights so the oracle is exact."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = TP.source_budget_trim(
+        docs,
+        "source",
+        "n_chars",
+        1500,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return out.select("doc_id", "source", "n_chars", "cum_weight")
+
+
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal payload metadata: opaque binary + typed meta struct
     (operators/multimodal.py) — byte length and md5 checksum."""
@@ -2762,13 +2815,14 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
     # round-4 window (exactly 50 entries up to and including
-    # salted_join_revenue):
+    # exists_high_qty):
     #   1. the 20 new-in-r3 queries never driver-adjudicated (all
     #      local-oracle green at sf0.01 and sf0.1 this round)
-    #   2. 13 new-in-r4 queries (xlsx round-trip, IVF recall bound,
-    #      the 11 TPC-H shapes completing Q1-Q22)
+    #   2. 16 new-in-r4 queries (xlsx round-trip, IVF recall bound,
+    #      the 11 TPC-H shapes completing Q1-Q22, priority-keeper
+    #      dedup, hard-negative mining, per-source budget trim)
     #   3. the 8 r1 greens swapped out of the r3 window
-    #   4. 9 r2 greens not re-checked since r2
+    #   4. 6 r2 greens not re-checked since r2
     # Retired from the window per the r3 verdict: the 12 probes (kept
     # below as documentation/canaries — 4 are RED by design and were
     # burning slots), and the two rows-only entries whose stable
@@ -2798,9 +2852,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
         "q21_sole_supplier": q_q21_sole_supplier,
         "q22_idle_customers": q_q22_idle_customers,
-        # --- 2. new in r4 (xlsx round-trip, IVF recall bound, and the
-        # 11 remaining TPC-H shapes — Q1-Q22 now complete, adapted
-        # where the fixture schema lacks partsupp/commitdate) ---
+        # --- 2. new in r4: xlsx round-trip, IVF recall bound, the 11
+        # remaining TPC-H shapes (Q1-Q22 now complete, adapted where
+        # the fixture schema lacks partsupp/commitdate), and three
+        # pipeline ops (priority-keeper dedup, hard negatives,
+        # per-source budget trim) ---
         "xlsx_roundtrip_lineitem": q_xlsx_roundtrip_lineitem,
         "ivf_recall_bound": q_ivf_recall_bound,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -2814,6 +2870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": q_q17_small_qty_revenue,
         "q18_large_volume_customers": q_q18_large_volume_customers,
         "q20_part_promotion": q_q20_part_promotion,
+        "dedup_priority_keep": q_dedup_priority_keep,
+        "hard_negatives": q_hard_negatives,
+        "source_budget_trim": q_source_budget_trim,
         # --- 3. r1 greens swapped out of the r3 window (oldest signal) ---
         "cell_edit": q_cell_edit,
         "delete_rows": q_delete_rows,
@@ -2830,11 +2889,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_trade_volume": q_q7_nation_trade_volume,
         "correlated_min_suppliers": q_correlated_min_suppliers,
         "exists_high_qty": q_exists_high_qty,
+        # ================= end of 50-entry driver window =================
+        # --- r2 greens (rotate into r5) ---
         "above_avg_orders": q_above_avg_orders,
         "having_frequent_custs": q_having_frequent_custs,
         "salted_join_revenue": q_salted_join_revenue,
-        # ================= end of 50-entry driver window =================
-        # --- r2 greens (rotate into r5) ---
         "left_join_order_counts": q_left_join_order_counts,
         "full_outer_nation_actors": q_full_outer_nation_actors,
         "except_inactive_custs": q_except_inactive_custs,
@@ -3858,6 +3917,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS n_queries,
                    CAST(5 AS BIGINT) AS k,
                    TRUE AS recall_ge_080
+        """,
+        "dedup_priority_keep": """
+            WITH allr AS (
+                SELECT doc_id, text, source FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text, 'mirror'
+                FROM documents WHERE doc_id % 7 = 0),
+            r AS (
+                SELECT doc_id, source, md5(text) AS fp,
+                       CASE WHEN source = 'mirror' THEN 1 ELSE 0 END AS prio
+                FROM allr),
+            g AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY fp ORDER BY prio, doc_id) AS rn,
+                       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT)
+                           AS n_dups
+                FROM r)
+            SELECT doc_id, source, n_dups FROM g WHERE rn = 1
+        """,
+        "hard_negatives": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              embedding::DOUBLE[] AS qv, label AS ql
+                       FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id AS neighbor_id,
+                              embedding::DOUBLE[] AS cv, label AS cl
+                       FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id,
+                              CAST(cl AS BIGINT) AS neighbor_label,
+                              round(list_dot_product(qv, cv)
+                                    / (sqrt(list_dot_product(qv, qv))
+                                       * sqrt(list_dot_product(cv, cv))), 4)
+                                  AS sim
+                       FROM q, c WHERE ql <> cl)
+            SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC)
+                       AS rank,
+                   neighbor_id, neighbor_label, sim
+            FROM s
+            QUALIFY rank <= 5
+        """,
+        "source_budget_trim": """
+            WITH w AS (
+                SELECT doc_id, source, n_chars,
+                       CAST(sum(n_chars) OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+                           AS cum_weight
+                FROM documents)
+            SELECT doc_id, source, n_chars, cum_weight
+            FROM w WHERE cum_weight <= 1500
         """,
         "embedding_cosine_dedup": _ORACLE_COSINE_PAIRS,
         "embedding_lsh_dedup": _ORACLE_LSH_PAIRS,

@@ -54,6 +54,38 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_keep(
+    df: DataFrame, id_col: str, text_col, priority
+) -> DataFrame:
+    """Exact dedup with an explicit keeper policy: one row per content
+    fingerprint, the winner chosen by ascending (``priority``,
+    ``id_col``) — the cross-source "curated beats crawl" rule of
+    corpus assembly, where a plain ``dropDuplicates`` would keep an
+    arbitrary copy.  ``priority`` is any integer Column (smaller
+    wins); ``text_col`` may be a name or Column (e.g. a normalized
+    view).  The kept row rides out whole, plus ``n_dups`` (its
+    duplicate-group size) for dup-mass reporting.
+
+    Shape: ONE hash aggregation on the 16-byte fingerprint —
+    ``min_by(struct(row), (priority, id))`` combines map-side, so
+    each task forwards at most one candidate row per fingerprint into
+    the single shuffle (same scale story as exact_dup_groups; no
+    window, no second pass)."""
+    cols = df.columns
+    keyed = df.withColumn("__fp", X.fingerprint(text_col)).withColumn(
+        "__prio", priority
+    )
+    agg = keyed.groupBy("__fp").agg(
+        F.min_by(
+            F.struct(*cols), F.struct(F.col("__prio"), F.col(id_col))
+        ).alias("__keep"),
+        F.count("*").alias("n_dups"),
+    )
+    return agg.select(
+        *[F.col(f"__keep.{c}").alias(c) for c in cols], "n_dups"
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, inverted-index join)
 # ---------------------------------------------------------------------------

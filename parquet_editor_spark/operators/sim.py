@@ -192,6 +192,104 @@ def topk_cosine(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-k most-similar corpus vectors with a DIFFERENT label —
+    the highest-loss negatives an in-batch sampler would miss.
+
+    Same two-phase exact plan as :func:`topk_cosine` (query matrix in
+    the task closure, one BLAS matmul per Arrow batch, per-batch
+    partial top-k, k·P·|Q| rows into one final shuffle); the label
+    mask is applied inside the batch scorer BEFORE the partial top-k,
+    so a batch never forwards a same-label candidate.  Ranking key
+    (round(sim), neighbor id) for cross-engine hash stability."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col, label_col).collect()
+    raw_q = [(int(r[0]), list(r[1]), r[2]) for r in q_rows]
+    raw_q = [
+        (qid, v, lab)
+        for qid, v, lab in raw_q
+        if np.linalg.norm(np.asarray(v, float)) > 0
+    ]
+    q_ids = [qid for qid, _, _ in raw_q]
+    q_labels = [lab for _, _, lab in raw_q]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("neighbor_label", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    if not q_ids:
+        empty = corpus.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1)).select(
+            "query_id", "rank", "neighbor_id", "neighbor_label", "sim"
+        )
+    q_mat = _unit_rows([v for _, v, _ in raw_q])
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            labels = pdf[label_col].to_numpy()
+            raw = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(raw, axis=1, keepdims=True)
+            zero = norms[:, 0] == 0
+            norms[norms == 0] = 1.0
+            m = raw / norms
+            sims = np.round(m @ q_mat.T, round_to)  # B × Q
+            parts = []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j].copy()
+                col[labels == q_labels[j]] = -np.inf  # negatives only
+                col[zero] = -np.inf
+                keep = min(k, len(col))
+                top = np.argpartition(-col, keep - 1)[:keep]
+                valid = top[np.isfinite(col[top])]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[valid],
+                            "neighbor_label": labels[valid],
+                            "sim": col[valid],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    reduced = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        score, schema=out_schema
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "neighbor_label", "sim")
+    )
+
+
 def _unit_rows(rows):
     """Row-normalize a list of vectors; zero rows stay zero (their
     cosine contributions are 0 and never reach a top-k)."""

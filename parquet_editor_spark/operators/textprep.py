@@ -233,3 +233,36 @@ def pack_sequences(
         (cum - F.col("n_tokens")).alias("start_offset"),
         F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("pack_id"),
     )
+
+
+def source_budget_trim(
+    df: DataFrame,
+    source_col: str,
+    weight_col: str,
+    budget: int,
+    order_cols,
+) -> DataFrame:
+    """Per-source corpus budget enforcement: within every source,
+    rank rows by ``order_cols`` (a deterministic total order — end it
+    with a unique id) and keep the maximal prefix whose cumulative
+    ``weight_col`` stays ≤ ``budget`` — "take the best N tokens from
+    each domain", the cap step of corpus assembly that mixture
+    sampling by RATE cannot express (a rate keeps a fraction forever;
+    a budget stops).  The running total rides out as ``cum_weight``.
+
+    Scale shape: ONE window cumsum partitioned on the source — the
+    shuffle is per-source, parallel across domains, nothing global;
+    the filter on the running sum cannot use WindowGroupLimit (the
+    limit is weight-dependent, not row-count), so cost is one sort of
+    each source's rows — exactly the sort a budgeted selection
+    needs."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(source_col)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        "cum_weight", F.sum(weight_col).over(w).cast("long")
+    ).filter(F.col("cum_weight") <= budget)

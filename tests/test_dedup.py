@@ -182,3 +182,39 @@ def test_incremental_dedup_column_key(spark):
     seen = spark.createDataFrame([(9, "bqq")], "id long, text string")
     out = D.incremental_dedup(new, seen, "id", F.substring("text", 1, 1))
     assert {r["id"] for r in out.collect()} == {1}
+
+
+def test_exact_dedup_keep_priority_wins(spark):
+    """Keeper policy: lowest (priority, id) wins its fingerprint
+    group; group size rides out as n_dups; uniques pass through."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa", "web"),
+            (2, "aa", "curated"),   # same text, better source → wins
+            (3, "bb", "web"),
+            (4, "aa", "curated"),   # tie on priority → lower id (2) wins
+        ],
+        "id long, text string, source string",
+    )
+    prio = F.when(F.col("source") == "curated", 0).otherwise(1)
+    out = {
+        r["id"]: (r["source"], r["n_dups"])
+        for r in D.exact_dedup_keep(df, "id", "text", prio).collect()
+    }
+    assert out == {2: ("curated", 3), 3: ("web", 1)}
+
+
+def test_exact_dedup_keep_plan_is_single_agg(spark):
+    """Scale shape: the keeper is ONE hash aggregate (min_by partial-
+    combines map-side) — no window, no join in the plan."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "aa", "x"), (2, "aa", "y")], "id long, text string, source string"
+    )
+    out = D.exact_dedup_keep(df, "id", "text", F.lit(0))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("Exchange") == 1

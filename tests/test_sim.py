@@ -131,3 +131,34 @@ def test_topk_plan_is_batch_scored(embeddings):
     plan = S.topk_cosine(embeddings, queries, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "Join" not in plan
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Every mined negative has a different label than its query, and
+    ranking matches exact cosine restricted to other labels."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.randn(8)], i % 3) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    out = S.hard_negatives(df, df.filter("vec_id < 4"), k=3).collect()
+    labels = {i: lab for i, _, lab in rows}
+    by_q = {}
+    for r in out:
+        assert r["neighbor_label"] != labels[r["query_id"]]
+        assert r["neighbor_label"] == labels[r["neighbor_id"]]
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # python-side exact reference
+    mat = np.array([v for _, v, _ in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in range(4):
+        sims = np.round(mat @ mat[q], 4)
+        cand = sorted(
+            (i for i in range(40) if labels[i] != labels[q]),
+            key=lambda i: (-sims[i], i),
+        )[:3]
+        assert by_q[q] == cand, q

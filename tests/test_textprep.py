@@ -182,3 +182,27 @@ def test_vocab_coverage_boundary_word_counted(spark):
     assert (row["total_tokens"], row["distinct_words"], row["vocab_90"]) == (10, 3, 2)
     # exact-boundary rule: a word is needed iff coverage is short BEFORE it,
     # so 'c' (cum-before exactly 9/10 = 90%) is NOT needed
+
+
+def test_source_budget_trim_prefix_semantics(spark):
+    """Within each source, the longest-first prefix whose cumulative
+    weight fits the budget survives; the crossing row is dropped even
+    if a later smaller row would still fit (prefix, not knapsack)."""
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.operators.textprep import source_budget_trim
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 60), (2, "a", 50), (3, "a", 40),  # 60,110 |150>120 ✗
+            (4, "b", 200),                             # crosses alone → ✗
+            (5, "c", 10),
+        ],
+        "doc_id long, source string, n_chars long",
+    )
+    out = source_budget_trim(
+        df, "source", "n_chars", 120,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    got = {r["doc_id"]: r["cum_weight"] for r in out.collect()}
+    assert got == {1: 60, 2: 110, 5: 10}
