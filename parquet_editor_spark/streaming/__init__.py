@@ -11,6 +11,7 @@ stateful operators.
 
 from parquet_editor_spark.streaming.stream import (
     dedup_stream,
+    enrich_static,
     followed_by_join,
     read_events_stream,
     session_window_counts,
@@ -24,6 +25,7 @@ from parquet_editor_spark.streaming.stream import (
 
 __all__ = [
     "dedup_stream",
+    "enrich_static",
     "followed_by_join",
     "read_events_stream",
     "session_window_counts",

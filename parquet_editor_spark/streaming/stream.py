@@ -120,6 +120,23 @@ def sliding_counts(
     )
 
 
+def enrich_static(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    join_expr,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the static dimension — the standard pattern for attaching slowly-
+    changing reference data (customer segment, geo, catalog) to an
+    event stream.  The static side is explicitly broadcast: no
+    per-batch shuffle of the stream, no state store, no watermark
+    (only stream-stream joins need one; the static side is complete
+    by definition).  At 100 TB/day of events the dim broadcast is
+    what keeps this embarrassingly parallel."""
+    return stream_df.join(F.broadcast(dim_df), join_expr, how)
+
+
 def sessionize_stateful(
     events: DataFrame, gap_seconds: int = 1800
 ) -> DataFrame:

@@ -407,3 +407,37 @@ def test_windowed_counts_resume_restores_state(spark, events_batch, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static broadcast join ≡ the same join run as a batch:
+    per-segment counts and exact-cents sums agree row for row."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.streaming import stream as ST
+
+    ev = ST.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg_cols = [
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v_c"),
+    ]
+    streamed = ST.run_to_completion(
+        ST.enrich_static(ev, cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(*agg_cols),
+        f"sse_{uuid.uuid4().hex[:8]}",
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(*agg_cols)
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and got
