@@ -799,6 +799,41 @@ def stratified_sample_hash(
     return df.filter(keep)
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 40503,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: exactly
+    ``k`` rows with inclusion probability ∝ ``weight_col`` — the
+    Efraimidis-Spirakis exponential race (rank by ln(u)/w descending,
+    u a uniform per row), with the same engine-portable
+    multiplicative id-hash uniform as :func:`stratified_sample_hash`
+    in place of an RNG, so the drawn set is a pure function of
+    (ids, weights, seed): reproducible across runs, engines and
+    repartitioning.  The race key is rounded to 6 decimals before
+    ranking (an idle ulp of ln() may differ between libm and the JVM;
+    after rounding both engines rank identical doubles) and ties
+    break on the id.
+
+    Scale: orderBy+limit plans as TakeOrderedAndProject — each task
+    forwards its local top-k, only k·P rows reach the driver-side
+    merge; no global sort, no shuffle of the losers."""
+    bucket = (
+        (F.col(id_col) % F.lit(1_000_003)) * F.lit(2654435761) + F.lit(seed)
+    ) % F.lit(4294967296) % F.lit(1000)
+    u = (bucket + F.lit(0.5)) / F.lit(1000.0)
+    key = F.round(F.log(u) / F.col(weight_col), 6)
+    return (
+        df.withColumn("__race", key)
+        .orderBy(F.col("__race").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__race")
+    )
+
+
 def funnel(
     df: DataFrame,
     user_col: str,

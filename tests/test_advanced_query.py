@@ -256,3 +256,28 @@ class TestCorrMatrixExact:
 
         with _pytest.raises(ValueError):
             corr_matrix_exact(lineitem, ["l_quantity"])
+
+
+def test_weighted_sample_k_deterministic_and_biased(spark):
+    """Exponential-race weighted sampling: exact size k, identical
+    draw on re-run and after repartitioning, and heavier rows are
+    actually favored (mean weight of the sample beats the population
+    mean); plan is TakeOrderedAndProject, not a global sort."""
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.operators import query as q
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100 + 1).alias("w"),
+    )
+    a = q.weighted_sample_k(df, "doc_id", "w", 100)
+    b = q.weighted_sample_k(df.repartition(13), "doc_id", "w", 100)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert len(ids_a) == 100 and ids_a == ids_b
+    mean_w = df.agg(F.avg("w")).collect()[0][0]
+    samp_w = a.agg(F.avg("w")).collect()[0][0]
+    assert samp_w > 1.3 * mean_w, (samp_w, mean_w)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
