@@ -247,3 +247,60 @@ def test_excel_reader_handles_shared_strings(tmp_path):
     back = X.read_xlsx(p)
     assert list(back.columns) == ["k", "v"]
     assert back["k"].tolist() == [7] and back["v"].tolist() == ["hello"]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=25, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-(2**53), 2**53),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF
+                    ),
+                    max_size=40,
+                ),
+            ),
+            st.booleans(),
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_xlsx_property_roundtrip(tmp_path_factory, rows):
+    """Pure-python xlsx module property: any (int, float, optional
+    text, bool) frame survives write→read with values intact — ints
+    stay exact (2^53 window), floats round-trip via shortest repr,
+    arbitrary non-control unicode passes through XML."""
+    import math
+
+    import pandas as pd
+
+    from parquet_editor_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    pdf = pd.DataFrame(
+        rows, columns=["i", "f", "s", "b"]
+    )
+    p = str(tmp_path_factory.mktemp("xl") / "p.xlsx")
+    write_xlsx(pdf, p)
+    back = read_xlsx(p)
+    if not rows:
+        assert back.empty
+        return
+    assert list(back.columns) == ["i", "f", "s", "b"]
+    for k, (i, f, s, b) in enumerate(rows):
+        assert int(back["i"][k]) == i
+        bf = back["f"][k]
+        assert bf == f or (math.isnan(bf) and math.isnan(f))
+        got_s = back["s"][k]
+        assert (got_s is None and s is None) or got_s == s
+        assert bool(back["b"][k]) == b
