@@ -37,12 +37,6 @@ _EXT_FMT = {
     ".avro": "avro",
 }
 
-_AVRO_HINT = (
-    "Avro needs the external spark-avro connector jar "
-    "(org.apache.spark:spark-avro_2.13) on the classpath; it is not "
-    "bundled in this environment"
-)
-
 #: soft cap for driver-side collect paths (Excel sink, single-file sinks)
 SMALL_RESULT_ROWS = 1_000_000
 
@@ -120,10 +114,10 @@ def _load_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
 
 def _load_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Avro scan. Spark's avro source is an external module
-    (spark-avro) since 2.4 — when the jar is absent the opaque
-    ``Failed to find data source`` AnalysisException becomes a clean
-    NotImplementedError with the deployment hint; with the jar on the
-    classpath this is a plain lazy distributed scan."""
+    (spark-avro) since 2.4 — with the jar on the classpath this is a
+    plain lazy distributed scan; without it the dependency-free
+    container reader (sources/avro.py) carries flat-record files on
+    the driver-side small path."""
     from pyspark.errors import AnalysisException
 
     r = spark.read.format("avro")
@@ -132,9 +126,16 @@ def _load_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
     try:
         return r.load(path)
     except AnalysisException as e:
-        if "Failed to find data source" in str(e):
-            raise NotImplementedError(_AVRO_HINT) from e
-        raise
+        if "Failed to find data source" not in str(e):
+            raise
+        from .sources.avro import read_avro
+
+        pdf = read_avro(path)
+        return (
+            spark.createDataFrame(pdf, schema=schema)
+            if schema
+            else spark.createDataFrame(pdf)
+        )
 
 
 def _load_excel(spark: SparkSession, path: str) -> DataFrame:
@@ -192,9 +193,10 @@ def save(
         try:
             w.format("avro").save(path)
         except AnalysisException as e:
-            if "Failed to find data source" in str(e):
-                raise NotImplementedError(_AVRO_HINT) from e
-            raise
+            if "Failed to find data source" not in str(e):
+                raise
+            # no spark-avro jar: guarded single-file fallback writer
+            _save_single(df, path, "avro")
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 
@@ -226,6 +228,10 @@ def _save_single(df: DataFrame, path: str, fmt: str) -> None:
             from .sources.xlsx import write_xlsx
 
             write_xlsx(pdf, path)
+    elif fmt == "avro":
+        from .sources.avro import write_avro
+
+        write_avro(pdf, path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

@@ -1,0 +1,236 @@
+"""Dependency-free minimal Avro object-container reader/writer.
+
+Spark's avro source lives in the external spark-avro jar, absent in
+this environment; the Avro container format itself is simple enough
+(magic, metadata map with embedded JSON schema, deflate/null blocks,
+zigzag-varint primitives) that a small pure-python path covers the
+flat-record load/save contract with no dependencies.  ``io.load/save``
+still prefer the jar when it is on the classpath (distributed scan,
+full type surface) and fall back here.
+
+Scope: records of primitive fields (boolean / int / long / float /
+double / string / bytes), each nullable via the ``["null", T]``
+union; one writer block; ``null`` and ``deflate`` codecs (deflate is
+raw zlib, window -15, per the spec).  This is a driver-side small
+path by design — at scale Avro needs the jar; the caller guards row
+counts (io.SMALL_RESULT_ROWS).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import struct
+import zlib
+from typing import Any
+
+import pandas as pd
+
+_MAGIC = b"Obj\x01"
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _w_varint(out: bytearray, n: int) -> None:
+    n = _zigzag(n)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _w_bytes(out: bytearray, b: bytes) -> None:
+    _w_varint(out, len(b))
+    out.extend(b)
+
+
+def _w_str(out: bytearray, s: str) -> None:
+    _w_bytes(out, s.encode("utf-8"))
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def varint(self) -> int:
+        shift = n = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return _unzigzag(n)
+            shift += 7
+
+    def raw(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def bytes_(self) -> bytes:
+        return self.raw(self.varint())
+
+    def str_(self) -> str:
+        return self.bytes_().decode("utf-8")
+
+
+def _field_type(dtype) -> str:
+    k = str(dtype)
+    if k.startswith("int"):
+        return "long"
+    if k.startswith("float"):
+        return "double"
+    if k == "bool":
+        return "boolean"
+    return "string"
+
+
+def write_avro(pdf: pd.DataFrame, path: str, codec: str = "deflate") -> None:
+    """Write a pandas frame as a one-block Avro container.  Every
+    field is a ``["null", T]`` union so missing values round-trip."""
+    fields = [
+        {"name": str(c), "type": ["null", _field_type(t)]}
+        for c, t in zip(pdf.columns, pdf.dtypes)
+    ]
+    schema = {"type": "record", "name": "row", "fields": fields}
+    schema_json = json.dumps(schema)
+    types = [f["type"][1] for f in fields]
+
+    body = bytearray()
+    for row in pdf.astype(object).itertuples(index=False):
+        for v, t in zip(row, types):
+            if v is None or v != v:  # None / NaN
+                _w_varint(body, 0)  # union branch: null
+                continue
+            _w_varint(body, 1)  # union branch: value
+            if t == "long":
+                _w_varint(body, int(v))
+            elif t == "double":
+                body.extend(struct.pack("<d", float(v)))
+            elif t == "boolean":
+                body.append(1 if v else 0)
+            else:
+                _w_str(body, str(v))
+    payload = bytes(body)
+    if codec == "deflate":
+        comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+        payload = comp.compress(payload) + comp.flush()
+    elif codec != "null":
+        raise ValueError(f"unsupported avro codec {codec!r}")
+
+    sync = hashlib.md5(schema_json.encode()).digest()  # deterministic
+    out = bytearray(_MAGIC)
+    _w_varint(out, 2)  # metadata map: 2 entries
+    _w_str(out, "avro.schema")
+    _w_str(out, schema_json)
+    _w_str(out, "avro.codec")
+    _w_str(out, codec)
+    _w_varint(out, 0)  # end of map
+    out.extend(sync)
+    _w_varint(out, len(pdf))
+    _w_varint(out, len(payload))
+    out.extend(payload)
+    out.extend(sync)
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def _decode_value(r: _Reader, t: Any) -> Any:
+    if isinstance(t, list):  # union — branch index selects the type
+        return _decode_value(r, t[r.varint()])
+    if isinstance(t, dict):
+        t = t.get("type", t)
+        return _decode_value(r, t)
+    if t == "null":
+        return None
+    if t in ("int", "long"):
+        return r.varint()
+    if t == "float":
+        return struct.unpack("<f", r.raw(4))[0]
+    if t == "double":
+        return struct.unpack("<d", r.raw(8))[0]
+    if t == "boolean":
+        return r.raw(1) == b"\x01"
+    if t == "string":
+        return r.str_()
+    if t == "bytes":
+        return r.bytes_()
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+def read_avro(path: str) -> pd.DataFrame:
+    """Read a flat-record Avro container into pandas (all blocks,
+    null/deflate codecs)."""
+    with open(path, "rb") as f:
+        r = _Reader(f.read())
+    if r.raw(4) != _MAGIC:
+        raise ValueError(f"{path!r} is not an Avro container")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.varint()
+        if n == 0:
+            break
+        if n < 0:  # negative counts are followed by a byte size
+            n = -n
+            r.varint()
+        for _ in range(n):
+            # explicit temporaries: Python evaluates an assignment's
+            # RHS before the subscript key, which would read the pair
+            # in reverse stream order
+            key = r.str_()
+            meta[key] = r.bytes_()
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    if schema.get("type") != "record":
+        raise ValueError("only flat record schemas are supported")
+    fields = schema["fields"]
+    sync = r.raw(16)
+
+    rows: list[tuple] = []
+    while r.pos < len(r.buf):
+        count = r.varint()
+        size = r.varint()
+        block = r.raw(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported avro codec {codec!r}")
+        br = _Reader(block)
+        for _ in range(count):
+            rows.append(
+                tuple(_decode_value(br, f["type"]) for f in fields)
+            )
+        if r.raw(16) != sync:
+            raise ValueError("avro block sync mismatch")
+
+    names = [f["name"] for f in fields]
+    cols: dict[str, Any] = {}
+    for i, name in enumerate(names):
+        vals = [row[i] for row in rows]
+        present = [v for v in vals if v is not None]
+        if present and all(isinstance(v, bool) for v in present):
+            dtype = "bool" if len(present) == len(vals) else "object"
+        elif present and all(
+            isinstance(v, int) and not isinstance(v, bool) for v in present
+        ):
+            dtype = "int64" if len(present) == len(vals) else "float64"
+        elif present and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in present
+        ):
+            dtype = "float64"
+        else:
+            dtype = "object"
+        cols[name] = pd.Series(vals, dtype=dtype)
+    return pd.DataFrame(cols) if cols else pd.DataFrame()

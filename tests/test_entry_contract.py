@@ -52,7 +52,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     rows-only entries retired behind the window."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "q7_nation_trade_volume", (
+    assert window[-1] == "q6_forecast_revenue", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
@@ -72,7 +72,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "q16_supplier_part_counts", "q17_small_qty_revenue",
         "q18_large_volume_customers", "q20_part_promotion",
         "dedup_priority_keep", "hard_negatives", "source_budget_trim",
-        "stream_static_enrich", "weighted_sample_k",
+        "stream_static_enrich", "weighted_sample_k", "avro_roundtrip_part",
         # r1 greens swapped out of the r3 window
         "cell_edit", "delete_rows", "paste_splice",
         "union_distinct_nations", "rollup_qty", "pivot_count_distinct",

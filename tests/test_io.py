@@ -87,21 +87,46 @@ def test_empty_source(spark):
     assert df.count() == 0 and df.columns == ["a", "b"]
 
 
-def test_avro_guarded(spark, lineitem, tmp_path):
-    """Avro dispatches by extension; without the external spark-avro
-    jar both directions surface the clean NotImplementedError hint
-    (with the jar present, the roundtrip must work instead)."""
+def test_avro_roundtrip(spark, lineitem, tmp_path):
+    """Avro dispatches by extension; with the spark-avro jar this is
+    the distributed source/sink, without it the dependency-free
+    container path (sources/avro.py) — either way the roundtrip must
+    preserve values."""
     p = str(tmp_path / "data.avro")
-    df = lineitem.select("l_orderkey", "l_quantity").limit(10)
+    df = lineitem.select("l_orderkey", "l_quantity", "l_returnflag").limit(10)
     assert peio.detect_format(p) == "avro"
-    try:
-        peio.save(df, p)
-    except NotImplementedError as e:
-        assert "spark-avro" in str(e)
-        with pytest.raises(NotImplementedError):
-            peio.load(spark, p)
-    else:
-        assert peio.load(spark, p).count() == 10
+    peio.save(df, p)
+    back = peio.load(spark, p)
+    assert {tuple(r) for r in back.collect()} == {
+        (r["l_orderkey"], float(r["l_quantity"]), r["l_returnflag"])
+        for r in df.collect()
+    }
+
+
+def test_avro_minimal_module_types_and_nulls(tmp_path):
+    """The pure-python container codec directly: null/deflate codecs,
+    None holes, negative ints (zigzag), NaN doubles, unicode."""
+    import math
+
+    from parquet_editor_spark.sources.avro import read_avro, write_avro
+
+    pdf = pd.DataFrame(
+        {
+            "i": pd.Series([-5, 0, 2**40], dtype="int64"),
+            "f": [1.5, None, float("nan")],
+            "s": ["héllo", None, "a\nb"],
+            "b": [True, False, True],
+        }
+    )
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"m_{codec}.avro")
+        write_avro(pdf, p, codec=codec)
+        back = read_avro(p)
+        assert back["i"].tolist() == [-5, 0, 2**40]
+        assert back["f"][0] == 1.5
+        assert pd.isna(back["f"][1]) and pd.isna(back["f"][2])
+        assert back["s"].tolist() == ["héllo", None, "a\nb"]
+        assert back["b"].tolist() == [True, False, True]
 
 
 def test_clustered_write_disjoint_file_ranges(spark, lineitem, tmp_path):
