@@ -1385,6 +1385,45 @@ def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via Spark 4's native VARIANT type:
+    ``parse_json`` the props column once, ``variant_get`` typed paths
+    out — the engine-native successor to schema-rigid from_json for
+    open JSON. Per-event-type sum/count of the extracted long."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+        )
+    )
+
+
+def q_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-signal error bound for the HLL sketch path (the
+    deterministic sibling of the rows-only ``approx_stats``):
+    approx_count_distinct(rsd=0.01) per event_type must land within
+    5% of the exact distinct count (measured ≤0.7% at sf0.001-0.1;
+    HLL is deterministic for fixed data).  Emits a constant-valued
+    row the driver hash-checks — a regression in the sketch plumbing
+    flips the boolean."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    within = (
+        F.abs(F.col("approx") - F.col("exact")) * 20 <= F.col("exact")
+    )  # |a-e| <= 0.05*e, integer cross-multiplied
+    return per.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.min(within).alias("all_within_5pct"),
+    )
+
+
 def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-data pipeline — the composite proof that
     the operator set composes into one Catalyst plan: Gopher quality
@@ -2880,15 +2919,16 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
     # round-4 window (exactly 50 entries up to and including
-    # q6_forecast_revenue):
+    # q3_shipping_priority):
     #   1. the 20 new-in-r3 queries never driver-adjudicated (all
     #      local-oracle green at sf0.01 and sf0.1 this round)
-    #   2. 19 new-in-r4 queries (xlsx + avro round-trips, IVF recall
-    #      bound, the 11 TPC-H shapes completing Q1-Q22,
-    #      priority-keeper dedup, hard-negative mining, per-source
-    #      budget trim, stream-static enrichment, weighted sampling)
+    #   2. 21 new-in-r4 queries (xlsx + avro round-trips, IVF recall +
+    #      HLL error bounds, VARIANT extraction, the 11 TPC-H shapes
+    #      completing Q1-Q22, priority-keeper dedup, hard-negative
+    #      mining, per-source budget trim, stream-static enrichment,
+    #      weighted sampling)
     #   3. the 8 r1 greens swapped out of the r3 window
-    #   4. 3 r2 greens not re-checked since r2
+    #   4. 1 r2 green not re-checked since r2 (q3)
     # Retired from the window per the r3 verdict: the 12 probes (kept
     # below as documentation/canaries — 4 are RED by design and were
     # burning slots), and the two rows-only entries whose stable
@@ -2942,6 +2982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich": q_stream_static_enrich,
         "weighted_sample_k": q_weighted_sample_k,
         "avro_roundtrip_part": q_avro_roundtrip_part,
+        "variant_extract_events": q_variant_extract_events,
+        "hll_error_bound": q_hll_error_bound,
         # --- 3. r1 greens swapped out of the r3 window (oldest signal) ---
         "cell_edit": q_cell_edit,
         "delete_rows": q_delete_rows,
@@ -2953,10 +2995,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs_part": q_string_funcs_part,
         # --- 4. r2 greens not re-checked since r2 (oldest signal) ---
         "q3_shipping_priority": q_q3_shipping_priority,
-        "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
         # ================= end of 50-entry driver window =================
         # --- r2 greens (rotate into r5) ---
+        "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
         "q7_nation_trade_volume": q_q7_nation_trade_volume,
         "correlated_min_suppliers": q_correlated_min_suppliers,
         "exists_high_qty": q_exists_high_qty,
@@ -4496,6 +4538,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "variant_extract_events": """
+            SELECT event_type,
+                   CAST(count(k) AS BIGINT) AS n_with_k,
+                   CAST(sum(k) AS BIGINT) AS k_sum
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type
+        """,
+        # constant-valued oracle: Spark measures the HLL sketch against
+        # the exact distinct count and must land TRUE (5 event types)
+        "hll_error_bound": """
+            SELECT CAST(5 AS BIGINT) AS n_types,
+                   TRUE AS all_within_5pct
         """,
         "weighted_sample_k": """
             SELECT doc_id, source, n_chars FROM (
