@@ -245,3 +245,53 @@ def test_funnel_aggregates_first_stage_before_join(spark, sf_dir):
     # min(ts) per user collapses stage 1 BEFORE the join: an aggregate
     # must appear on the build side of the join, not only after it
     assert plan.count("HashAggregate") >= 4
+
+
+def test_q9_profit_star_broadcasts_dims_pushes_name_filter(spark, sf_dir):
+    """Q9's 5-table star: every dim side broadcast, the p_name
+    substring filter pushed to the part scan — one pass over the
+    fact, no shuffled dim join at this size."""
+    import __spark_entry__ as M
+
+    df = M.queries()["q9_product_profit"](spark, sf_dir)
+    assert P.has_broadcast_join(df)
+    plan = P.executed_plan(df)
+    assert "Cartesian" not in plan
+    assert any("p_name" in f for f in P.pushed_filters(df)), (
+        P.pushed_filters(df)
+    )
+
+
+def test_q2_rank1_plans_window_group_limit(spark, sf_dir):
+    """Q2's per-part rank-1 keeper must plan the WindowGroupLimit
+    pushdown: each map task forwards only its local best candidate
+    per part into the shuffle."""
+    import __spark_entry__ as M
+
+    df = M.queries()["q2_min_cost_supplier"](spark, sf_dir)
+    assert "WindowGroupLimit" in P.executed_plan(df)
+
+
+def test_priority_dedup_single_agg_no_window_no_join(spark, sf_dir):
+    """The keeper is one min_by hash aggregate — map-side combinable.
+    A window or join in this plan means the scale story regressed."""
+    import __spark_entry__ as M
+
+    df = M.queries()["dedup_priority_keep"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_source_budget_trim_window_partitioned_by_source(spark, sf_dir):
+    import __spark_entry__ as M
+
+    df = M.queries()["source_budget_trim"](spark, sf_dir)
+    assert not P.has_single_partition_exchange(df)
+
+
+def test_weighted_sample_plans_take_ordered(spark, sf_dir):
+    import __spark_entry__ as M
+
+    df = M.queries()["weighted_sample_k"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in P.executed_plan(df)
