@@ -294,11 +294,18 @@ def run_to_completion(
     name: str,
     output_mode: str = "complete",
     checkpoint: Optional[str] = None,
+    available_now: bool = False,
 ) -> DataFrame:
     """Drive a streaming DataFrame over a finite source to completion
     via the memory sink; returns the final result as a batch
     DataFrame. This is the test/oracle bridge — production pipelines
-    swap in writeStream.format('parquet'/'kafka') with a checkpoint."""
+    swap in writeStream.format('parquet'/'kafka') with a checkpoint.
+
+    ``available_now=True`` uses ``Trigger.AvailableNow`` — the
+    incremental batch-drain production jobs schedule (process all
+    data present, checkpoint, terminate) — instead of the default
+    continuous micro-batches stopped by ``processAllAvailable``; both
+    must converge to the same answer on a finite source."""
     spark = stream_df.sparkSession
     writer = (
         stream_df.writeStream.outputMode(output_mode)
@@ -307,9 +314,14 @@ def run_to_completion(
     )
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     q = writer.start()
     try:
-        q.processAllAvailable()
+        if available_now:
+            q.awaitTermination()
+        else:
+            q.processAllAvailable()
     finally:
         q.stop()
     return spark.table(name)

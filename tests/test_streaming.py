@@ -441,3 +441,26 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
     got = {tuple(r) for r in streamed.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and got
+
+
+def test_available_now_trigger_matches_continuous(spark, sf_dir):
+    """Trigger.AvailableNow (the scheduled batch-drain production
+    mode) must converge to the same windowed answer as the default
+    micro-batch run on a finite source."""
+    import uuid
+
+    from parquet_editor_spark.streaming import stream as ST
+
+    def run(available_now):
+        ev = ST.read_events_stream(spark, f"{sf_dir}/events.parquet")
+        return {
+            tuple(r)
+            for r in ST.run_to_completion(
+                ST.windowed_counts(ev),
+                f"an_{uuid.uuid4().hex[:8]}",
+                available_now=available_now,
+            ).collect()
+        }
+
+    a, b = run(True), run(False)
+    assert a == b and a
