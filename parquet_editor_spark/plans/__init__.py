@@ -7,6 +7,8 @@ from parquet_editor_spark.plans.observe import (
 from parquet_editor_spark.plans.explain import (
     executed_plan,
     has_broadcast_join,
+    partition_histogram,
+    skew_ratio,
     has_single_partition_exchange,
     plan_report,
     pushed_filters,
@@ -18,6 +20,8 @@ __all__ = [
     "executed_plan",
     "has_broadcast_join",
     "has_single_partition_exchange",
+    "partition_histogram",
+    "skew_ratio",
     "plan_report",
     "pushed_filters",
     "read_schema_columns",

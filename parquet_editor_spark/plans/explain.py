@@ -87,3 +87,32 @@ def plan_report(df: DataFrame) -> dict:
         "single_partition_exchange": has_single_partition_exchange(df),
         "codegen_spans": wholestage_codegen_spans(df),
     }
+
+
+def partition_histogram(df: DataFrame) -> list[int]:
+    """Rows per partition of ``df`` as materialized, EMPTY partitions
+    included (they are the skew signal: a hot key leaves its
+    siblings at zero) — the direct skew diagnostic.  One distributed
+    count per partition id (a tiny two-column agg), never a collect
+    of data rows."""
+    from pyspark.sql import functions as F
+
+    n_parts = df.rdd.getNumPartitions()
+    counts = {
+        r["__pid"]: r["count"]
+        for r in df.groupBy(
+            F.spark_partition_id().alias("__pid")
+        ).count().collect()
+    }
+    return [counts.get(pid, 0) for pid in range(n_parts)]
+
+
+def skew_ratio(df: DataFrame) -> float:
+    """max/mean rows-per-partition over ALL partitions — 1.0 is
+    perfectly balanced; the threshold AQE's skew-join mitigation keys
+    off is ~5.  Use after a repartition/join to verify a salting or
+    AQE fix actually took."""
+    hist = partition_histogram(df)
+    if not hist or not sum(hist):
+        return 1.0
+    return max(hist) / (sum(hist) / len(hist))

@@ -295,3 +295,17 @@ def test_weighted_sample_plans_take_ordered(spark, sf_dir):
 
     df = M.queries()["weighted_sample_k"](spark, sf_dir)
     assert "TakeOrderedAndProject" in P.executed_plan(df)
+
+
+def test_partition_histogram_and_skew_ratio(spark):
+    """Skew diagnostics: a salted/hash repartition balances, a
+    single-hot-key repartition skews — the ratio must expose it."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).withColumn("k", F.lit(1))
+    skewed = df.repartition(8, "k")       # every row hashes to one task
+    balanced = df.repartition(8, "id")
+    assert P.skew_ratio(skewed) >= 7.9
+    assert P.skew_ratio(balanced) < 1.5
+    hist = P.partition_histogram(balanced)
+    assert sum(hist) == 10_000 and len(hist) == 8
