@@ -17,6 +17,7 @@ from parquet_editor_spark.streaming.stream import (
     session_window_counts,
     run_to_completion,
     sessionize_stateful,
+    sessionize_tws,
     sliding_counts,
     upsert_stream_parquet,
     windowed_counts,
@@ -31,6 +32,7 @@ __all__ = [
     "session_window_counts",
     "run_to_completion",
     "sessionize_stateful",
+    "sessionize_tws",
     "sliding_counts",
     "upsert_stream_parquet",
     "windowed_counts",

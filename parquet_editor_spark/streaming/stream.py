@@ -200,6 +200,100 @@ def sessionize_stateful(
     )
 
 
+def sessionize_tws(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """The :func:`sessionize_stateful` operator on Spark 4's
+    ``transformWithStateInPandas`` — the successor arbitrary-state
+    API (typed value/list/map state handles, timers, TTL, state
+    schema evolution) that supersedes ``applyInPandasWithState``.
+    Same contract: per-user (n_sessions, n_events) totals under the
+    gap rule, timestamps crossing the boundary as plain epoch-micros
+    longs only.
+
+    Environment gate: the TWS python driver worker imports
+    ``google.protobuf`` (its state-server protocol); this container
+    does not ship protobuf, so the gate raises the clean
+    NotImplementedError instead of a worker crash mid-query.  The
+    runtime also needs the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — set by the
+    caller, validated by Spark."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package on "
+            "the driver (its state-server protocol); not available in "
+            "this environment — use sessionize_stateful instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.sess = handle.getValueState("sess", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            last_us, n_sessions, n_events = (
+                self.sess.get() if self.sess.exists() else (None, 0, 0)
+            )
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values(
+                ["ts_us", "event_id"]
+            )
+            for us in pdf["ts_us"]:
+                us = int(us)
+                if last_us is None or us - last_us > gap_us:
+                    n_sessions += 1
+                last_us = us
+                n_events += 1
+            self.sess.update((last_us, n_sessions, n_events))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_sessions": [n_sessions],
+                    "n_events": [n_events],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(
+            "user_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            "event_id",
+        )
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def session_window_counts(
     events: DataFrame,
     gap: str = "30 minutes",

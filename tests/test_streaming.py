@@ -464,3 +464,47 @@ def test_available_now_trigger_matches_continuous(spark, sf_dir):
 
     a, b = run(True), run(False)
     assert a == b and a
+
+
+def test_sessionize_tws_gate_or_equivalence(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas sessionizer: with protobuf
+    on the driver it must equal the applyInPandasWithState operator;
+    without it (this container) the gate raises the clean
+    NotImplementedError naming the missing dependency BEFORE a query
+    starts — never a worker crash mid-stream."""
+    import uuid
+
+    from parquet_editor_spark.streaming import stream as ST
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    ev = ST.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    if not has_protobuf:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="protobuf"):
+            ST.sessionize_tws(ev)
+        return
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    tws = ST.run_to_completion(
+        ST.sessionize_tws(ev), f"tws_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    ref = ST.run_to_completion(
+        ST.sessionize_stateful(ev), f"ref_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    latest = lambda df: {  # noqa: E731 — update mode emits per-batch rows
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in df.orderBy("n_events").collect()
+    }
+    assert latest(tws) == latest(ref)
