@@ -1424,6 +1424,53 @@ def q_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-signal rank-error bound for the approximate-quantile path
+    (KLL/GK sketch behind ``percentile_approx``): for each of 4
+    quantiles of l_extendedprice, the fraction of rows lying between
+    the approximate and the exact quantile value must be ≤1%
+    (measured ≤0.12% at accuracy=1000 across sf0.001-0.1; the sketch
+    is deterministic for fixed data).  Constant-valued oracle row —
+    the sibling of rows-only ``approx_stats``, same pattern as
+    ``hll_error_bound``/``ivf_recall_bound``."""
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    probs = [0.25, 0.5, 0.75, 0.99]
+    bounds = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", probs, 1000
+        ).alias("approx"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))"
+        ).alias("exact"),
+        F.count("*").alias("n"),
+    ).select(
+        F.posexplode(F.arrays_zip("approx", "exact")).alias("qi", "pair"),
+        "n",
+    ).select(
+        "qi",
+        F.least(F.col("pair.approx"), F.col("pair.exact")).alias("lo"),
+        F.greatest(F.col("pair.approx"), F.col("pair.exact")).alias("hi"),
+        "n",
+    )
+    between = (
+        li.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") <= F.col("hi"))
+        )
+        .groupBy("qi", "n")
+        .agg(F.count("*").alias("n_between"))
+    )
+    # zero-row groups never appear; a quantile with no rows between
+    # approx and exact is trivially within bound, so count the misses
+    return between.agg(
+        F.lit(len(probs)).cast("long").alias("n_quantiles"),
+        (F.max(F.col("n_between") * 100 - F.col("n")) <= 0).alias(
+            "all_within_1pct"
+        ),
+    )
+
+
 def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-data pipeline — the composite proof that
     the operator set composes into one Catalyst plan: Gopher quality
@@ -2919,16 +2966,15 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
     # round-4 window (exactly 50 entries up to and including
-    # q3_shipping_priority):
+    # string_funcs_part):
     #   1. the 20 new-in-r3 queries never driver-adjudicated (all
     #      local-oracle green at sf0.01 and sf0.1 this round)
-    #   2. 21 new-in-r4 queries (xlsx + avro round-trips, IVF recall +
-    #      HLL error bounds, VARIANT extraction, the 11 TPC-H shapes
-    #      completing Q1-Q22, priority-keeper dedup, hard-negative
-    #      mining, per-source budget trim, stream-static enrichment,
-    #      weighted sampling)
+    #   2. 22 new-in-r4 queries (xlsx + avro round-trips, IVF recall /
+    #      HLL / quantile error bounds, VARIANT extraction, the 11
+    #      TPC-H shapes completing Q1-Q22, priority-keeper dedup,
+    #      hard-negative mining, per-source budget trim, stream-static
+    #      enrichment, weighted sampling)
     #   3. the 8 r1 greens swapped out of the r3 window
-    #   4. 1 r2 green not re-checked since r2 (q3)
     # Retired from the window per the r3 verdict: the 12 probes (kept
     # below as documentation/canaries — 4 are RED by design and were
     # burning slots), and the two rows-only entries whose stable
@@ -2984,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip_part": q_avro_roundtrip_part,
         "variant_extract_events": q_variant_extract_events,
         "hll_error_bound": q_hll_error_bound,
+        "quantile_error_bound": q_quantile_error_bound,
         # --- 3. r1 greens swapped out of the r3 window (oldest signal) ---
         "cell_edit": q_cell_edit,
         "delete_rows": q_delete_rows,
@@ -2993,10 +3040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_count_distinct": q_pivot_count_distinct,
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
-        # --- 4. r2 greens not re-checked since r2 (oldest signal) ---
-        "q3_shipping_priority": q_q3_shipping_priority,
         # ================= end of 50-entry driver window =================
         # --- r2 greens (rotate into r5) ---
+        "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "q7_nation_trade_volume": q_q7_nation_trade_volume,
@@ -4553,6 +4599,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_error_bound": """
             SELECT CAST(5 AS BIGINT) AS n_types,
                    TRUE AS all_within_5pct
+        """,
+        "quantile_error_bound": """
+            SELECT CAST(4 AS BIGINT) AS n_quantiles,
+                   TRUE AS all_within_1pct
         """,
         "weighted_sample_k": """
             SELECT doc_id, source, n_chars FROM (

@@ -52,7 +52,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     rows-only entries retired behind the window."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "q3_shipping_priority", (
+    assert window[-1] == "string_funcs_part", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
@@ -73,7 +73,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "q18_large_volume_customers", "q20_part_promotion",
         "dedup_priority_keep", "hard_negatives", "source_budget_trim",
         "stream_static_enrich", "weighted_sample_k", "avro_roundtrip_part",
-        "variant_extract_events", "hll_error_bound",
+        "variant_extract_events", "hll_error_bound", "quantile_error_bound",
         # r1 greens swapped out of the r3 window
         "cell_edit", "delete_rows", "paste_splice",
         "union_distinct_nations", "rollup_qty", "pivot_count_distinct",
