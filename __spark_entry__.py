@@ -2776,6 +2776,25 @@ def q_zorder_cluster_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hilbert_cluster_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key (operators/warehouse.py
+    with_hilbert): the locality-preserving alternative to the Morton
+    key of ``zorder_cluster_keys`` — per-bit rotate/reflect recurrence
+    as stacked projections, mirrored CTE-for-CTE in the generated SQL
+    oracle (warehouse.hilbert_sql_ctes — one spec, two engines)."""
+    from parquet_editor_spark.operators import warehouse as WH
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 997 == 0
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 256).alias("hx"),
+        (F.col("l_suppkey") % 256).alias("hy"),
+    )
+    return WH.with_hilbert(li, "hx", "hy", bits=8, out_col="hval")
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over events: users grouped by the ISO
     week of their first event; for offsets 0-3 weeks, how many were
@@ -2966,15 +2985,16 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
     # round-4 window (exactly 50 entries up to and including
-    # string_funcs_part):
+    # date_trunc_orders):
     #   1. the 20 new-in-r3 queries never driver-adjudicated (all
     #      local-oracle green at sf0.01 and sf0.1 this round)
-    #   2. 22 new-in-r4 queries (xlsx + avro round-trips, IVF recall /
+    #   2. 23 new-in-r4 queries (xlsx + avro round-trips, IVF recall /
     #      HLL / quantile error bounds, VARIANT extraction, the 11
     #      TPC-H shapes completing Q1-Q22, priority-keeper dedup,
     #      hard-negative mining, per-source budget trim, stream-static
-    #      enrichment, weighted sampling)
-    #   3. the 8 r1 greens swapped out of the r3 window
+    #      enrichment, weighted sampling, Hilbert clustering keys)
+    #   3. 7 of the 8 r1 greens swapped out of the r3 window
+    #      (string_funcs_part rotates in r5)
     # Retired from the window per the r3 verdict: the 12 probes (kept
     # below as documentation/canaries — 4 are RED by design and were
     # burning slots), and the two rows-only entries whose stable
@@ -3031,6 +3051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_extract_events": q_variant_extract_events,
         "hll_error_bound": q_hll_error_bound,
         "quantile_error_bound": q_quantile_error_bound,
+        "hilbert_cluster_keys": q_hilbert_cluster_keys,
         # --- 3. r1 greens swapped out of the r3 window (oldest signal) ---
         "cell_edit": q_cell_edit,
         "delete_rows": q_delete_rows,
@@ -3039,9 +3060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_qty": q_rollup_qty,
         "pivot_count_distinct": q_pivot_count_distinct,
         "date_trunc_orders": q_date_trunc_orders,
-        "string_funcs_part": q_string_funcs_part,
         # ================= end of 50-entry driver window =================
-        # --- r2 greens (rotate into r5) ---
+        # --- r1/r2 greens (rotate into r5) ---
+        "string_funcs_part": q_string_funcs_part,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "q6_forecast_revenue": q_q6_forecast_revenue,
@@ -3171,7 +3192,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from parquet_editor_spark.operators.warehouse import hilbert_sql_ctes
+
+    # generated from the SAME per-bit recurrence the Spark operator
+    # unrolls — one spec, two engines (see q_hilbert_cluster_keys)
+    hilbert_oracle = hilbert_sql_ctes(
+        "SELECT l_orderkey, l_linenumber, l_partkey % 256 AS hx,"
+        " l_suppkey % 256 AS hy FROM lineitem WHERE l_orderkey % 997 = 0",
+        ["l_orderkey", "l_linenumber", "hx", "hy"],
+        "hx",
+        "hy",
+        bits=8,
+        out_col="hval",
+    )
     return {
+        "hilbert_cluster_keys": hilbert_oracle,
         # --- divergence probes (see the probe_* docstrings) ---
         "probe_int_float_hash": "SELECT CAST(2.0 AS DOUBLE) AS v",
         "probe_hugeint_sum": (

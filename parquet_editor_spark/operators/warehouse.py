@@ -112,12 +112,109 @@ def zorder_value(cols: Sequence[str | Column], bits: int = 16) -> Column:
     return z
 
 
+def with_hilbert(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    bits: int = 8,
+    out_col: str = "hval",
+) -> DataFrame:
+    """Append the 2-D Hilbert-curve index of (``xcol``, ``ycol``) on a
+    2^bits × 2^bits grid — the locality-preserving successor to the
+    Morton key: consecutive curve positions are always grid-adjacent,
+    so range slices of the key cover tighter rectangles in BOTH
+    dimensions than Z-order's (which jumps at every power-of-two
+    boundary).  Inputs must already lie in [0, 2^bits).
+
+    The classic per-bit rotate/reflect recurrence runs as ``bits``
+    stacked projections over running (x, y, d) columns — pure
+    shift/mask/CASE expressions, whole-stage codegen, no UDF.  One
+    projection per bit, NOT one nested expression: each step's x/y
+    feed the next step 2-3 times, so inlining would grow the tree
+    ~3^bits (Catalyst's CollapseProject leaves multiply-referenced
+    non-cheap aliases as separate projections for exactly this
+    reason).  :func:`hilbert_sql_ctes` emits the byte-identical
+    arithmetic as chained SQL CTEs from the same recurrence for the
+    differential oracle."""
+    base = df.columns
+    out = df.select(
+        *base,
+        F.col(xcol).cast("long").alias("__hx"),
+        F.col(ycol).cast("long").alias("__hy"),
+        F.lit(0).cast("long").alias("__hd"),
+    )
+    s = 1 << (bits - 1)
+    while s > 0:
+        x, y, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        nd = d + F.lit(s * s) * (rx * 3).bitwiseXOR(ry)
+        # quadrant rotate/reflect: ry==0 → swap axes (mirroring both
+        # when rx==1) so the sub-curve orientation matches
+        nx = F.when(
+            ry == 0, F.when(rx == 1, F.lit(s - 1) - y).otherwise(y)
+        ).otherwise(x)
+        ny = F.when(
+            ry == 0, F.when(rx == 1, F.lit(s - 1) - x).otherwise(x)
+        ).otherwise(y)
+        out = out.select(
+            *base,
+            nx.alias("__hx"),
+            ny.alias("__hy"),
+            nd.alias("__hd"),
+        )
+        s >>= 1
+    return out.select(*base, F.col("__hd").alias(out_col))
+
+
+def hilbert_sql_ctes(
+    base_sql: str,
+    keep_cols: Sequence[str],
+    xexpr: str,
+    yexpr: str,
+    bits: int = 8,
+    out_col: str = "hval",
+) -> str:
+    """The exact SQL mirror of :func:`with_hilbert`: the same per-bit
+    recurrence as a chain of CTEs over running (x, y, d) columns —
+    linear text size, generated from one spec so both engines compute
+    byte-identical keys.  ``base_sql`` provides the source relation;
+    ``keep_cols`` ride through unchanged."""
+    keep = ", ".join(keep_cols)
+    parts = [
+        f"h0 AS (SELECT {keep}, CAST({xexpr} AS BIGINT) AS _h_x, "
+        f"CAST({yexpr} AS BIGINT) AS _h_y, CAST(0 AS BIGINT) AS _h_d "
+        f"FROM ({base_sql}))"
+    ]
+    s = 1 << (bits - 1)
+    step = 0
+    while s > 0:
+        rx = f"(CASE WHEN (_h_x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (_h_y & {s}) > 0 THEN 1 ELSE 0 END)"
+        parts.append(
+            f"h{step + 1} AS (SELECT {keep}, "
+            f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {s - 1} - _h_y ELSE _h_y END) ELSE _h_x END) AS _h_x, "
+            f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {s - 1} - _h_x ELSE _h_x END) ELSE _h_y END) AS _h_y, "
+            f"(_h_d + {s * s} * xor({rx} * 3, {ry})) AS _h_d "
+            f"FROM h{step})"
+        )
+        s >>= 1
+        step += 1
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT {keep}, _h_d AS {out_col} FROM h{step}"
+    )
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
     cols: Sequence[str],
     bits: int = 16,
     num_files: int = 32,
+    curve: str = "morton",
 ) -> None:
     """Cluster a table on the Z-order key of ``cols`` and write
     parquet: range-partition then sort by the interleaved key, so
@@ -135,7 +232,16 @@ def zorder_write(
     Scale shape: one tiny min/max agg broadcast back, then one range
     shuffle (sampled bounds) + per-partition sort; the sort key is a
     single BIGINT, so the shuffle carries no wider rows than the data
-    itself."""
+    itself.
+
+    ``curve="hilbert"`` (2 columns only) clusters on the Hilbert
+    index instead — strictly better locality than Morton (no
+    power-of-two jumps), same plan shape plus the per-bit projection
+    stack of :func:`with_hilbert`."""
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"unknown curve {curve!r}")
+    if curve == "hilbert" and len(cols) != 2:
+        raise ValueError("hilbert clustering is 2-D; pass exactly 2 cols")
     top = (1 << bits) - 1
     stats = df.agg(
         *[
@@ -159,11 +265,23 @@ def zorder_write(
         .cast("long")
         for c in cols
     ]
-    z = zorder_value(scaled_cols, bits)
+    joined = df.crossJoin(F.broadcast(stats))
+    if curve == "hilbert":
+        keyed = with_hilbert(
+            joined.withColumn("__sx", scaled_cols[0]).withColumn(
+                "__sy", scaled_cols[1]
+            ),
+            "__sx",
+            "__sy",
+            bits,
+            out_col="__z",
+        ).drop("__sx", "__sy")
+    else:
+        keyed = joined.withColumn("__z", zorder_value(scaled_cols, bits))
     (
-        df.crossJoin(F.broadcast(stats))
-        .withColumn("__z", z)
-        .drop(*[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols])
+        keyed.drop(
+            *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
+        )
         .repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")

@@ -107,3 +107,84 @@ def test_zorder_write_narrows_per_file_ranges(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(zordered).count() == li.count()
     )
+
+
+def test_hilbert_bijective_and_adjacent(spark):
+    """The two properties that define a space-filling curve (any
+    orientation): every cell of the 16×16 grid gets a distinct index
+    in [0, 256), and consecutive indices are grid-adjacent (Manhattan
+    distance exactly 1) — the locality Morton keys lack at
+    power-of-two boundaries."""
+    n = 16
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+    rows = WH.with_hilbert(grid, "x", "y", bits=4).collect()
+    pos = {r["hval"]: (r["x"], r["y"]) for r in rows}
+    assert len(pos) == n * n and min(pos) == 0 and max(pos) == n * n - 1
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_hilbert_sql_mirror_matches(spark):
+    """hilbert_sql_ctes generates the byte-identical recurrence for
+    DuckDB — one spec, two engines."""
+    import duckdb
+    import pandas as pd
+
+    n = 8
+    gdf = pd.DataFrame(
+        [(i % n, i // n) for i in range(n * n)], columns=["x", "y"]
+    )
+    con = duckdb.connect()
+    con.register("grid", gdf)
+    sql = WH.hilbert_sql_ctes(
+        "SELECT x, y FROM grid", ["x", "y"], "x", "y", bits=3
+    )
+    got = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
+    want = {
+        (r["x"], r["y"]): r["hval"]
+        for r in WH.with_hilbert(
+            spark.createDataFrame(gdf), "x", "y", bits=3
+        ).collect()
+    }
+    assert got == want
+
+
+def test_zorder_write_hilbert_curve_narrows_ranges(spark, sf_dir, tmp_path):
+    """curve='hilbert' must deliver the same data-skipping property
+    as Morton: per-file min/max ranges on both cluster columns shrink
+    vs an unordered write."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    plain, hil = str(tmp_path / "plain"), str(tmp_path / "hilbert")
+    li.repartition(16).write.parquet(plain)
+    WH.zorder_write(
+        li, hil, ["l_partkey", "l_suppkey"], 8, num_files=16,
+        curve="hilbert",
+    )
+
+    def mean_range(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    for col in ("l_partkey", "l_suppkey"):
+        assert mean_range(hil, col) < 0.6 * mean_range(plain, col), col
+    assert spark.read.parquet(hil).count() == li.count()
+    with pytest.raises(ValueError):
+        WH.zorder_write(li, hil, ["l_partkey"], curve="hilbert")
