@@ -329,3 +329,32 @@ def test_xlsx_property_roundtrip(tmp_path_factory, rows):
         got_s = back["s"][k]
         assert (got_s is None and s is None) or got_s == s
         assert bool(back["b"][k]) == b
+
+
+def test_text_source_reads_gzip_transparently(spark, tmp_path):
+    """Hadoop codecs decompress .gz text at the scan — no user-side
+    decompression step; corpus ingestion takes compressed dumps
+    as-is."""
+    import gzip
+
+    with gzip.open(tmp_path / "c.txt.gz", "wt") as f:
+        f.write("line one\nline two")
+    lines = peio.load_text(spark, str(tmp_path))
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "line one", "line two",
+    ]
+
+
+def test_json_records_array_dialect(spark, tmp_path):
+    """pandas to_json(orient='records') emits one top-level ARRAY of
+    objects (not JSON-lines); the dialect bridge must land it as
+    ordinary rows."""
+    p = str(tmp_path / "arr.json")
+    pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}).to_json(
+        p, orient="records"
+    )
+    df = peio.load(spark, p)
+    assert df.count() == 3 and set(df.columns) == {"a", "b"}
+    assert {(r["a"], r["b"]) for r in df.collect()} == {
+        (1, "x"), (2, "y"), (3, "z"),
+    }
