@@ -774,6 +774,25 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch NEAR-dup admission (operators/dedup.py
+    incremental_minhash_dedup): even doc_ids play the already-ingested
+    corpus, odd ids the incoming batch; a new doc is admitted iff it
+    is below 0.7 Jaccard against every seen doc and every lower-id
+    batch-mate (pairwise rule).  The oracle computes the EXACT rule
+    over all pairs, so a driver hash-match doubles as an LSH recall
+    gate — same protocol as dedup_minhash_lsh."""
+    from parquet_editor_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    kept = D.incremental_minhash_dedup(
+        new, seen, "doc_id", "text", 3, 0.7, num_hashes=32, bands=8
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming≤3 pairs via pigeonhole block join. The word
     hash is the first 8 bytes of md5 (big-endian unsigned), which is
@@ -819,6 +838,23 @@ _ORACLE_SHINGLES = """
                           FOR i IN range(1, len(toks) - 1)]) AS s
     FROM ({toks}) t WHERE len(toks) >= 3
 """.format(toks=_ORACLE_DOC_TOKS)
+
+_ORACLE_INCREMENTAL_MINHASH = """
+    WITH sh AS ({sh}),
+    dropped AS (
+        SELECT DISTINCT a.doc_id
+        FROM sh a, sh b
+        WHERE a.doc_id % 2 = 1
+          AND (b.doc_id % 2 = 0
+               OR (b.doc_id % 2 = 1 AND b.doc_id < a.doc_id))
+          AND a.doc_id <> b.doc_id
+          AND len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= 0.7)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 2 = 1
+      AND doc_id NOT IN (SELECT doc_id FROM dropped)
+""".format(sh=_ORACLE_SHINGLES)
 
 _ORACLE_JACCARD_PAIRS = """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2985,16 +3021,17 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
     # round-4 window (exactly 50 entries up to and including
-    # date_trunc_orders):
+    # pivot_count_distinct):
     #   1. the 20 new-in-r3 queries never driver-adjudicated (all
     #      local-oracle green at sf0.01 and sf0.1 this round)
-    #   2. 23 new-in-r4 queries (xlsx + avro round-trips, IVF recall /
+    #   2. 24 new-in-r4 queries (xlsx + avro round-trips, IVF recall /
     #      HLL / quantile error bounds, VARIANT extraction, the 11
     #      TPC-H shapes completing Q1-Q22, priority-keeper dedup,
-    #      hard-negative mining, per-source budget trim, stream-static
-    #      enrichment, weighted sampling, Hilbert clustering keys)
-    #   3. 7 of the 8 r1 greens swapped out of the r3 window
-    #      (string_funcs_part rotates in r5)
+    #      incremental MinHash admission, hard-negative mining,
+    #      per-source budget trim, stream-static enrichment, weighted
+    #      sampling, Hilbert clustering keys)
+    #   3. 6 of the 8 r1 greens swapped out of the r3 window
+    #      (date_trunc_orders + string_funcs_part rotate in r5)
     # Retired from the window per the r3 verdict: the 12 probes (kept
     # below as documentation/canaries — 4 are RED by design and were
     # burning slots), and the two rows-only entries whose stable
@@ -3052,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_error_bound": q_hll_error_bound,
         "quantile_error_bound": q_quantile_error_bound,
         "hilbert_cluster_keys": q_hilbert_cluster_keys,
+        "incremental_minhash": q_incremental_minhash,
         # --- 3. r1 greens swapped out of the r3 window (oldest signal) ---
         "cell_edit": q_cell_edit,
         "delete_rows": q_delete_rows,
@@ -3059,9 +3097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct_nations": q_union_distinct_nations,
         "rollup_qty": q_rollup_qty,
         "pivot_count_distinct": q_pivot_count_distinct,
-        "date_trunc_orders": q_date_trunc_orders,
         # ================= end of 50-entry driver window =================
         # --- r1/r2 greens (rotate into r5) ---
+        "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
@@ -3207,6 +3245,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "hilbert_cluster_keys": hilbert_oracle,
+        "incremental_minhash": _ORACLE_INCREMENTAL_MINHASH,
         # --- divergence probes (see the probe_* docstrings) ---
         "probe_int_float_hash": "SELECT CAST(2.0 AS DOUBLE) AS v",
         "probe_hugeint_sum": (

@@ -664,3 +664,108 @@ def incremental_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Cross-batch NEAR-dup admission — the MinHash sibling of
+    :func:`incremental_dedup`: from ``new_df``, keep only documents
+    that are (a) below ``threshold`` Jaccard against every document
+    of the already-ingested corpus ``seen_df`` and (b) below it
+    against every LOWER-id member of their own batch (a pairwise,
+    order-free keeper rule — deterministic and engine-portable, no
+    transitive clustering).
+
+    Ids must be unique across both frames.
+
+    Scale shape: one shingle+signature pass over new ∪ seen (at
+    100 TB the seen side is the PERSISTED band/signature store — the
+    recompute here stands in for a store scan, exactly like
+    incremental_dedup's fingerprint relation); banded candidate join
+    so new docs only ever meet same-band collisions; exact Jaccard
+    verification joins shingle arrays for CANDIDATES only; then one
+    anti join admits the batch. Recall is the LSH S-curve (the
+    differential oracle is the EXACT rule, so a driver hash-match
+    doubles as a recall gate, as with minhash_lsh_pairs)."""
+    from pyspark import StorageLevel
+
+    tagged = new_df.select(
+        F.col(id_col).alias("__nid")
+    ).withColumn("__src", F.lit(1))
+    sets_all = shingle_sets(
+        new_df.select(id_col, text_col).unionByName(
+            seen_df.select(id_col, text_col)
+        ),
+        id_col,
+        text_col,
+        n,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    src = sets_all.join(
+        tagged, sets_all.id == tagged.__nid, "left"
+    ).select(
+        "id", "shingles", "set_size",
+        F.coalesce(F.col("__src"), F.lit(0)).alias("src"),
+    )
+    sigs = minhash_signatures(
+        src.select("id", "shingles", "set_size"), num_hashes
+    ).join(src.select("id", "src"), "id")
+    rows = num_hashes // bands
+    banded = sigs.select(
+        "id",
+        "src",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice(F.col("sig"), i * rows + 1, rows))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.filter(F.col("src") == 1).alias("a")  # the new batch
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (
+                (F.col("b.src") == 0)
+                | (F.col("b.id") < F.col("a.id"))
+            ),
+        )
+        .select(F.col("a.id").alias("id_x"), F.col("b.id").alias("id_o"))
+        .distinct()
+    )
+    arr = sets_all.select("id", "shingles", "set_size")
+    dropped = (
+        cand.join(
+            arr.withColumnsRenamed(
+                {"id": "id_x", "shingles": "sh_x", "set_size": "size_x"}
+            ),
+            "id_x",
+        )
+        .join(
+            arr.withColumnsRenamed(
+                {"id": "id_o", "shingles": "sh_o", "set_size": "size_o"}
+            ),
+            "id_o",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_x", "sh_o")))
+        .filter(
+            F.col("n_common")
+            >= F.lit(threshold)
+            * (F.col("size_x") + F.col("size_o") - F.col("n_common"))
+        )
+        .select(F.col("id_x").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(dropped, id_col, "left_anti")

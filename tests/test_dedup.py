@@ -218,3 +218,31 @@ def test_exact_dedup_keep_plan_is_single_agg(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_incremental_minhash_dedup_cross_and_in_batch(spark):
+    """Near-dup admission: a new doc matching a SEEN doc is rejected,
+    a new doc matching only a lower-id batch-mate is rejected, the
+    lower-id mate and novel docs are admitted."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    seen = spark.createDataFrame(
+        [(0, base), (2, "completely unrelated text about spark plans")],
+        "id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base + " ok"),                       # ≈ seen 0 → rejected
+            (3, "novel content one two three four five six seven"),
+            (5, "novel content one two three four five six seven yes"),
+            # ≈ batch-mate 3 (lower id) → rejected, 3 itself admitted
+            (7, "some other genuinely fresh document body here"),
+        ],
+        "id long, text string",
+    )
+    kept = sorted(
+        r["id"]
+        for r in D.incremental_minhash_dedup(
+            new, seen, "id", "text", n=3, threshold=0.5
+        ).collect()
+    )
+    assert kept == [3, 7]

@@ -52,7 +52,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     rows-only entries retired behind the window."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "date_trunc_orders", (
+    assert window[-1] == "pivot_count_distinct", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
@@ -74,12 +74,12 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "dedup_priority_keep", "hard_negatives", "source_budget_trim",
         "stream_static_enrich", "weighted_sample_k", "avro_roundtrip_part",
         "variant_extract_events", "hll_error_bound", "quantile_error_bound",
-        "hilbert_cluster_keys",
-        # r1 greens swapped out of the r3 window (string_funcs_part
-        # yielded its slot to the new-coverage block; rotates in r5)
+        "hilbert_cluster_keys", "incremental_minhash",
+        # r1 greens swapped out of the r3 window (date_trunc_orders and
+        # string_funcs_part yielded their slots to the new-coverage
+        # block; they rotate in r5)
         "cell_edit", "delete_rows", "paste_splice",
         "union_distinct_nations", "rollup_qty", "pivot_count_distinct",
-        "date_trunc_orders",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
