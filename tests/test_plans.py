@@ -309,3 +309,42 @@ def test_partition_histogram_and_skew_ratio(spark):
     assert P.skew_ratio(balanced) < 1.5
     hist = P.partition_histogram(balanced)
     assert sum(hist) == 10_000 and len(hist) == 8
+
+
+def test_salted_join_rebalances_partitions(spark):
+    """The reason salted_join exists: with AQE's skew handling off, a
+    50%-hot key piles its rows into one reducer (skew_ratio ≈
+    n_partitions·0.5); salting must spread it while keeping the
+    result row-identical."""
+    from parquet_editor_spark.operators import query as q
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the test fixture runs 4 shuffle partitions, which caps the
+    # measurable ratio at 4 — widen so the hot key stands out
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, 7)
+            .otherwise(F.col("id") % 500)
+            .alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        dim = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        plain = fact.join(dim, "k").select("k", "v", "w")
+        salted = q.salted_join(fact, dim, "k", n_salts=16).select(
+            "k", "v", "w"
+        )
+        r_plain, r_salted = P.skew_ratio(plain), P.skew_ratio(salted)
+        assert r_plain > 8, r_plain
+        assert r_salted < r_plain / 3, (r_plain, r_salted)
+        assert plain.count() == salted.count() == 200_000
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
