@@ -358,3 +358,55 @@ def test_json_records_array_dialect(spark, tmp_path):
     assert {(r["a"], r["b"]) for r in df.collect()} == {
         (1, "x"), (2, "y"), (3, "z"),
     }
+
+
+@settings(
+    max_examples=25, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-(2**62), 2**62),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs",), max_codepoint=0x2FFF
+                    ),
+                    max_size=40,
+                ),
+            ),
+            st.booleans(),
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_avro_property_roundtrip(tmp_path_factory, rows):
+    """Pure-python avro codec property: any (int, float, optional
+    text, bool) frame survives write→read — zigzag varints across the
+    full signed range, shortest-repr doubles, arbitrary non-surrogate
+    unicode (control chars included: avro strings are raw UTF-8, no
+    XML escaping limits)."""
+    import math
+
+    from parquet_editor_spark.sources.avro import read_avro, write_avro
+
+    pdf = pd.DataFrame(rows, columns=["i", "f", "s", "b"])
+    p = str(tmp_path_factory.mktemp("av") / "p.avro")
+    write_avro(pdf, p)
+    back = read_avro(p)
+    if not rows:
+        assert back.empty
+        return
+    for k, (i, f, s, b) in enumerate(rows):
+        assert int(back["i"][k]) == i
+        bf = back["f"][k]
+        assert bf == f or (
+            (bf is None or (isinstance(bf, float) and math.isnan(bf)))
+            and math.isnan(f)
+        )
+        got_s = back["s"][k]
+        assert (got_s is None and s is None) or got_s == s
+        assert bool(back["b"][k]) == b
