@@ -410,3 +410,36 @@ def test_avro_property_roundtrip(tmp_path_factory, rows):
         got_s = back["s"][k]
         assert (got_s is None and s is None) or got_s == s
         assert bool(back["b"][k]) == b
+
+
+def test_xlsx_python_datasource(spark, lineitem, tmp_path):
+    """Spark 4 Python DataSource API: after registration,
+    spark.read.format('xlsx') is a first-class source — inferred
+    schema, executor-side decode, full DataFrame ops downstream."""
+    from parquet_editor_spark.sources.xlsx_datasource import (
+        register_xlsx_source,
+    )
+
+    p = str(tmp_path / "ds.xlsx")
+    src = lineitem.limit(20).select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    peio.save(src, p)
+    register_xlsx_source(spark)
+    df = spark.read.format("xlsx").load(p)
+    assert dict(df.dtypes) == {
+        "l_orderkey": "bigint",
+        "l_quantity": "double",
+        "l_returnflag": "string",
+    }
+    got = (
+        df.filter(df.l_quantity > 0)
+        .groupBy("l_returnflag")
+        .count()
+        .collect()
+    )
+    want = {
+        (r["l_returnflag"], r["count"])
+        for r in src.groupBy("l_returnflag").count().collect()
+    }
+    assert {(r["l_returnflag"], r["count"]) for r in got} == want
