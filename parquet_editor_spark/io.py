@@ -40,6 +40,24 @@ _EXT_FMT = {
 #: soft cap for driver-side collect paths (Excel sink, single-file sinks)
 SMALL_RESULT_ROWS = 1_000_000
 
+#: byte cap for driver-side LOAD fallbacks (xlsx / jar-less avro): these
+#: readers materialize the whole file on the driver, so refuse anything
+#: that plainly is not editor-scale spreadsheet/container data
+SMALL_SOURCE_BYTES = 256 * 1024 * 1024
+
+
+def _guard_small_source(path: str, what: str) -> None:
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return  # let the reader surface the real error
+    if size > SMALL_SOURCE_BYTES:
+        raise ValueError(
+            f"{what} fallback reads driver-side; {path!r} is "
+            f"{size} bytes (> {SMALL_SOURCE_BYTES}). Convert to "
+            "parquet (or install the native reader) for data this size"
+        )
+
 
 def detect_format(path: str) -> str:
     root, ext = os.path.splitext(path.rstrip("/"))
@@ -130,6 +148,7 @@ def _load_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
             raise
         from .sources.avro import read_avro
 
+        _guard_small_source(path, "jar-less avro")
         pdf = read_avro(path)
         return (
             spark.createDataFrame(pdf, schema=schema)
@@ -146,6 +165,7 @@ def _load_excel(spark: SparkSession, path: str) -> DataFrame:
     editor's single-sheet contract."""
     import pandas as pd
 
+    _guard_small_source(path, "Excel")
     try:
         pdf = pd.read_excel(path)
     except ImportError:  # openpyxl/xlrd not in the image
@@ -195,7 +215,16 @@ def save(
         except AnalysisException as e:
             if "Failed to find data source" not in str(e):
                 raise
-            # no spark-avro jar: guarded single-file fallback writer
+            # no spark-avro jar: guarded single-file fallback writer.
+            # It can only honor overwrite-into-one-file semantics —
+            # refuse loudly rather than silently dropping the caller's
+            # mode/partitioning contract
+            if mode != "overwrite" or partition_by:
+                raise NotImplementedError(
+                    "jar-less avro fallback supports only "
+                    "mode='overwrite' without partition_by; install "
+                    "spark-avro for full writer semantics"
+                ) from e
             _save_single(df, path, "avro")
     else:
         raise ValueError(f"unsupported format {fmt!r}")
@@ -236,30 +265,51 @@ def _save_single(df: DataFrame, path: str, fmt: str) -> None:
         raise ValueError(f"unsupported format {fmt!r}")
 
 
+def _type_has_nanos(t) -> bool:
+    """Recursive pyarrow-type walk: TIMESTAMP(NANOS) anywhere —
+    top-level, struct field, list/map element."""
+    import pyarrow.types as pa_t
+
+    if pa_t.is_timestamp(t) and t.unit == "ns":
+        return True
+    if pa_t.is_struct(t):
+        return any(_type_has_nanos(f.type) for f in t)
+    if pa_t.is_list(t) or pa_t.is_large_list(t) or pa_t.is_fixed_size_list(t):
+        return _type_has_nanos(t.value_type)
+    if pa_t.is_map(t):
+        return _type_has_nanos(t.key_type) or _type_has_nanos(t.item_type)
+    return False
+
+
+#: max per-directory footers the nanos probe reads before giving up
+#: and taking the always-correct tolerant path
+_NANOS_PROBE_MAX_FILES = 32
+
+
 def _footer_has_nanos(path: str) -> bool:
-    """Cheap driver-side footer probe: does the parquet schema carry a
-    top-level TIMESTAMP(NANOS) column?  One-file read_schema (~ms) so
-    the tolerant-scan wrapper can skip its conf fiddling and column
-    rebuild on the (common) all-µs datasets.  Nested nanos inside
-    struct/array columns are not probed — on any doubt (probe failure)
-    we fall back to the tolerant path, which is always correct."""
+    """Driver-side footer probe: does the parquet schema carry a
+    TIMESTAMP(NANOS) column anywhere (nested types included)?  Reads
+    one footer per file (~ms each) so the tolerant-scan wrapper can
+    skip its conf fiddling on the (common) all-µs datasets.  Any
+    doubt — probe failure, unreadable footer, or a directory with more
+    files than the probe budget — returns True: the tolerant path is
+    always correct, only marginally slower."""
     try:
         import pyarrow.parquet as pa_pq
-        import pyarrow.types as pa_t
 
-        f = path
+        files = [path]
         if os.path.isdir(path):
-            parts = [
-                p
+            files = [
+                os.path.join(path, p)
                 for p in os.listdir(path)
                 if p.endswith(".parquet") and not p.startswith(("_", "."))
             ]
-            if not parts:
+            if not files or len(files) > _NANOS_PROBE_MAX_FILES:
                 return True
-            f = os.path.join(path, parts[0])
-        schema = pa_pq.read_schema(f)
         return any(
-            pa_t.is_timestamp(t) and t.unit == "ns" for t in schema.types
+            _type_has_nanos(t)
+            for f in files
+            for t in pa_pq.read_schema(f).types
         )
     except Exception:
         return True

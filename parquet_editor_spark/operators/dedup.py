@@ -265,12 +265,19 @@ def minhash_signatures(
     )
 
 
-def lsh_candidates(sigs: DataFrame, bands: int = 16, num_hashes: int = 64) -> DataFrame:
-    """Band the signature and self-join on (band index, band hash):
-    a pair collides if any band matches — P(collide) ≈ 1−(1−J^r)^b."""
+def _banded(
+    sigs: DataFrame,
+    bands: int,
+    num_hashes: int,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Explode a signature relation into (id, band, band_hash) rows —
+    the ONE place the band-slice arithmetic lives, so in-batch pairing
+    and cross-batch admission can never hash bands differently."""
     rows = num_hashes // bands
-    banded = sigs.select(
+    return sigs.select(
         "id",
+        *extra_cols,
         F.posexplode(
             F.array(
                 *[
@@ -280,6 +287,12 @@ def lsh_candidates(sigs: DataFrame, bands: int = 16, num_hashes: int = 64) -> Da
             )
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_candidates(sigs: DataFrame, bands: int = 16, num_hashes: int = 64) -> DataFrame:
+    """Band the signature and self-join on (band index, band hash):
+    a pair collides if any band matches — P(collide) ≈ 1−(1−J^r)^b."""
+    banded = _banded(sigs, bands, num_hashes)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -717,18 +730,12 @@ def incremental_minhash_dedup(
     sigs = minhash_signatures(
         src.select("id", "shingles", "set_size"), num_hashes
     ).join(src.select("id", "src"), "id")
-    rows = num_hashes // bands
-    banded = sigs.select(
-        "id",
-        "src",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.slice(F.col("sig"), i * rows + 1, rows))
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+    # both sides of the candidate join read this relation — without
+    # the persist the signature stage (including its Python pass)
+    # would execute twice, the exact regression minhash_lsh_pairs
+    # documents
+    banded = _banded(sigs, bands, num_hashes, extra_cols=["src"]).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     a = banded.filter(F.col("src") == 1).alias("a")  # the new batch
     b = banded.alias("b")

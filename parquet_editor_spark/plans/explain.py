@@ -91,20 +91,23 @@ def plan_report(df: DataFrame) -> dict:
 
 def partition_histogram(df: DataFrame) -> list[int]:
     """Rows per partition of ``df`` as materialized, EMPTY partitions
-    included (they are the skew signal: a hot key leaves its
-    siblings at zero) — the direct skew diagnostic.  One distributed
-    count per partition id (a tiny two-column agg), never a collect
-    of data rows."""
-    from pyspark.sql import functions as F
+    included (they are the skew signal: a hot key leaves its siblings
+    at zero) — the direct skew diagnostic.
 
-    n_parts = df.rdd.getNumPartitions()
-    counts = {
-        r["__pid"]: r["count"]
-        for r in df.groupBy(
-            F.spark_partition_id().alias("__pid")
-        ).count().collect()
-    }
-    return [counts.get(pid, 0) for pid in range(n_parts)]
+    Uses ONE job over one RDD so the partition count and the per-
+    partition tallies come from the same physical execution (a
+    separate groupBy(spark_partition_id()) job can finalize a
+    different AQE plan than a separate getNumPartitions probe, and
+    would silently drop ids outside the probed range).  Only
+    per-partition counts cross to the driver.  This is a diagnostic:
+    it executes the plan once via the RDD path."""
+    rdd = df.rdd
+    counts = dict(
+        rdd.mapPartitionsWithIndex(
+            lambda i, it: [(i, sum(1 for _ in it))]
+        ).collect()
+    )
+    return [counts.get(pid, 0) for pid in range(rdd.getNumPartitions())]
 
 
 def skew_ratio(df: DataFrame) -> float:

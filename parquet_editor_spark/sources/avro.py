@@ -86,12 +86,14 @@ class _Reader:
 
 
 def _field_type(dtype) -> str:
-    k = str(dtype)
-    if k.startswith("int"):
+    # case-insensitive so pandas nullable dtypes (Int64/Float64/boolean)
+    # map to their numeric avro types, not string
+    k = str(dtype).lower()
+    if k.startswith(("int", "uint")):
         return "long"
     if k.startswith("float"):
         return "double"
-    if k == "bool":
+    if k in ("bool", "boolean"):
         return "boolean"
     return "string"
 
@@ -110,7 +112,7 @@ def write_avro(pdf: pd.DataFrame, path: str, codec: str = "deflate") -> None:
     body = bytearray()
     for row in pdf.astype(object).itertuples(index=False):
         for v, t in zip(row, types):
-            if v is None or v != v:  # None / NaN
+            if v is None or pd.isna(v):  # None / NaN / pd.NA
                 _w_varint(body, 0)  # union branch: null
                 continue
             _w_varint(body, 1)  # union branch: value
@@ -215,22 +217,14 @@ def read_avro(path: str) -> pd.DataFrame:
             raise ValueError("avro block sync mismatch")
 
     names = [f["name"] for f in fields]
-    cols: dict[str, Any] = {}
-    for i, name in enumerate(names):
-        vals = [row[i] for row in rows]
-        present = [v for v in vals if v is not None]
-        if present and all(isinstance(v, bool) for v in present):
-            dtype = "bool" if len(present) == len(vals) else "object"
-        elif present and all(
-            isinstance(v, int) and not isinstance(v, bool) for v in present
-        ):
-            dtype = "int64" if len(present) == len(vals) else "float64"
-        elif present and all(
-            isinstance(v, (int, float)) and not isinstance(v, bool)
-            for v in present
-        ):
-            dtype = "float64"
-        else:
-            dtype = "object"
-        cols[name] = pd.Series(vals, dtype=dtype)
-    return pd.DataFrame(cols) if cols else pd.DataFrame()
+    if not names:
+        return pd.DataFrame()
+    from parquet_editor_spark.sources._infer import series_for
+
+    series = [
+        series_for([row[i] for row in rows]).rename(i)
+        for i in range(len(names))
+    ]
+    out = pd.concat(series, axis=1)
+    out.columns = names
+    return out

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import re
 import zipfile
-from typing import Any, Optional
+from typing import Any
 from xml.etree import ElementTree as ET
 from xml.sax.saxutils import escape
 
@@ -82,7 +82,7 @@ def col_index(ref: str) -> int:
 
 
 def _cell_xml(ref: str, v: Any) -> str:
-    if v is None or v != v:  # None / NaN
+    if v is None or pd.isna(v):  # None / NaN / pd.NA (scalar-safe)
         return ""
     if isinstance(v, bool):
         return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
@@ -204,22 +204,17 @@ def read_xlsx(path: str) -> pd.DataFrame:
     names = [
         str(header_cells.get(i, f"col{i}")) for i in range(ncols)
     ]
-    cols: dict[str, Any] = {}
-    for i, name in enumerate(names):
-        vals = [r.get(i) for r in data]
-        present = [v for v in vals if v is not None]
-        if present and all(isinstance(v, bool) for v in present):
-            dtype: Optional[str] = "bool" if len(present) == len(vals) else "object"
-        elif present and all(
-            isinstance(v, int) and not isinstance(v, bool) for v in present
-        ):
-            dtype = "int64" if len(present) == len(vals) else "float64"
-        elif present and all(
-            isinstance(v, (int, float)) and not isinstance(v, bool)
-            for v in present
-        ):
-            dtype = "float64"
-        else:
-            dtype = "object"
-        cols[name] = pd.Series(vals, dtype=dtype)
-    return pd.DataFrame(cols)
+    # positional construction so duplicate header names survive (Spark
+    # frames may legally carry duplicates, e.g. after a join; a dict
+    # would silently keep only the last column)
+    from parquet_editor_spark.sources._infer import series_for
+
+    series = [
+        series_for([r.get(i) for r in data]).rename(i)
+        for i in range(ncols)
+    ]
+    if not series:
+        return pd.DataFrame()
+    out = pd.concat(series, axis=1)
+    out.columns = names
+    return out

@@ -443,3 +443,65 @@ def test_xlsx_python_datasource(spark, lineitem, tmp_path):
         for r in src.groupBy("l_returnflag").count().collect()
     }
     assert {(r["l_returnflag"], r["count"]) for r in got} == want
+
+
+def test_xlsx_duplicate_headers_survive(tmp_path):
+    """Duplicate column names (legal in Spark frames, e.g. post-join)
+    must round-trip positionally — not collapse to the last column."""
+    from parquet_editor_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    pdf = pd.DataFrame([[1, 2], [3, 4]], columns=["x", "x"])
+    p = str(tmp_path / "dup.xlsx")
+    write_xlsx(pdf, p)
+    back = read_xlsx(p)
+    assert list(back.columns) == ["x", "x"]
+    assert back.iloc[:, 0].tolist() == [1, 3]
+    assert back.iloc[:, 1].tolist() == [2, 4]
+
+
+def test_small_path_readers_handle_pandas_nullable_dtypes(tmp_path):
+    """pandas nullable Int64/boolean scalars (pd.NA) must not crash
+    the fallback writers and must keep their numeric/boolean types."""
+    from parquet_editor_spark.sources.avro import read_avro, write_avro
+    from parquet_editor_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    pdf = pd.DataFrame(
+        {
+            "i": pd.array([1, None, 3], dtype="Int64"),
+            "b": pd.array([True, None, False], dtype="boolean"),
+        }
+    )
+    pa = str(tmp_path / "n.avro")
+    write_avro(pdf, pa)
+    back = read_avro(pa)
+    assert back["i"][0] == 1 and pd.isna(back["i"][1]) and back["i"][2] == 3
+    assert back["b"][0] is True and back["b"][2] is False
+    px = str(tmp_path / "n.xlsx")
+    write_xlsx(pdf, px)
+    bx = read_xlsx(px)
+    assert bx["i"][0] == 1 and pd.isna(bx["i"][1]) and bx["i"][2] == 3
+
+
+def test_driver_side_load_fallback_refuses_huge_files(spark, tmp_path, monkeypatch):
+    """The jar-less avro / xlsx LOAD paths materialize driver-side;
+    they must refuse files over the byte cap with a clear message
+    instead of attempting a multi-GB driver read."""
+    import parquet_editor_spark.io as peio_mod
+
+    p = tmp_path / "big.avro"
+    p.write_bytes(b"Obj\x01" + b"x" * 128)
+    monkeypatch.setattr(peio_mod, "SMALL_SOURCE_BYTES", 16)
+    with pytest.raises(ValueError, match="driver-side"):
+        peio_mod.load(spark, str(p))
+
+
+def test_avro_fallback_save_refuses_unsupported_mode(spark, tmp_path):
+    """Without the jar, save(mode='append'/partition_by) must raise
+    rather than silently overwrite a single file."""
+    df = spark.createDataFrame([(1, "a")], "x long, y string")
+    try:
+        peio.save(df, str(tmp_path / "m.avro"), mode="append")
+    except NotImplementedError as e:
+        assert "overwrite" in str(e)
+    else:  # spark-avro jar present: native append worked — also fine
+        pass

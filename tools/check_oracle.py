@@ -158,6 +158,8 @@ if __name__ == "__main__":
     out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: check_oracle.py [--json PATH] [name ...]")
         out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     argv = [a for a in argv if a != "--only"]
