@@ -1507,6 +1507,43 @@ def q_quantile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite proof for the round-4 operator block — Gopher
+    quality filter → per-source character-budget trim (longest-first,
+    1500 chars) → deterministic weighted sample (20 docs ∝ n_chars) —
+    composed into ONE Catalyst plan: a filter, a per-source window
+    cumsum and a TakeOrderedAndProject, no barrier between stages.
+    Every stage is exact integer/hash arithmetic, so the composite
+    has an exact SQL oracle."""
+    from parquet_editor_spark.functions import text as X
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__toks", X.tokens("text")
+    )
+    t = F.col("__toks")
+    kept = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        X.gopher_keep(
+            X.token_count("text", t),
+            X.mean_word_length("text", t),
+            X.distinct_token_ratio("text", t),
+        ).alias("__keep"),
+    ).filter(F.col("__keep")).drop("__keep")
+    trimmed = TP.source_budget_trim(
+        kept,
+        "source",
+        "n_chars",
+        1500,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return q.weighted_sample_k(
+        trimmed.drop("cum_weight"), "doc_id", "n_chars", 20
+    ).select("doc_id", "source", "n_chars")
+
+
 def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-data pipeline — the composite proof that
     the operator set composes into one Catalyst plan: Gopher quality
@@ -3098,6 +3135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_qty": q_rollup_qty,
         "pivot_count_distinct": q_pivot_count_distinct,
         # ================= end of 50-entry driver window =================
+        # --- new behind-window (added after the r4 window froze;
+        #     rotate into r5 after a full local cycle) ---
+        "pipeline_curation_v2": q_pipeline_curation_v2,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -4686,6 +4726,37 @@ def oracle_sql() -> dict[str, str]:
                              / n_chars, 6) AS race
                 FROM documents)
             ORDER BY race DESC, doc_id ASC LIMIT 50
+        """,
+        "pipeline_curation_v2": """
+            WITH t AS (
+                SELECT doc_id, source, n_chars,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS toks
+                FROM documents),
+            k AS (
+                SELECT doc_id, source, n_chars FROM t
+                WHERE len(toks) >= 30 AND len(toks) <= 100000
+                  AND CAST(list_sum(list_transform(toks, x -> length(x)))
+                           AS DOUBLE) / len(toks) >= 3.0
+                  AND CAST(list_sum(list_transform(toks, x -> length(x)))
+                           AS DOUBLE) / len(toks) <= 8.0
+                  AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                      >= 0.45),
+            w AS (
+                SELECT doc_id, source, n_chars,
+                       CAST(sum(n_chars) OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS cum
+                FROM k),
+            tr AS (SELECT doc_id, source, n_chars FROM w WHERE cum <= 1500)
+            SELECT doc_id, source, n_chars FROM (
+                SELECT *, round(ln((((doc_id % 1000003) * 2654435761 + 40503)
+                                    % 4294967296 % 1000 + 0.5) / 1000.0)
+                                / n_chars, 6) AS race
+                FROM tr)
+            ORDER BY race DESC, doc_id ASC LIMIT 20
         """,
         "stratified_sample_hash": """
             SELECT doc_id, lang, source FROM (
