@@ -818,6 +818,11 @@ def weighted_sample_k(
     after rounding both engines rank identical doubles) and ties
     break on the id.
 
+    Weights must be strictly positive: a zero weight sorts last
+    (ln(u)/0 → -inf, i.e. "never draw"), but a NEGATIVE weight flips
+    the race key's sign and would sort first — pass magnitudes, not
+    signed scores.
+
     Scale: orderBy+limit plans as TakeOrderedAndProject — each task
     forwards its local top-k, only k·P rows reach the driver-side
     merge; no global sort, no shuffle of the losers."""
