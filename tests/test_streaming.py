@@ -508,3 +508,44 @@ def test_sessionize_tws_gate_or_equivalence(spark, sf_dir):
         for r in df.orderBy("n_events").collect()
     }
     assert latest(tws) == latest(ref)
+
+
+def test_python_streaming_datasource_replay(spark, sf_dir):
+    """Spark 4 Python streaming DataSource: row-granular deterministic
+    replay of the events table — the streamed aggregate must equal
+    the batch answer, and the row-position offsets must partition the
+    table into exact batchSize micro-batches."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.sources.replay_stream import (
+        register_replay_source,
+    )
+    from parquet_editor_spark.streaming import stream as ST
+
+    register_replay_source(spark)
+    src = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batchSize", "4000")
+        .load()
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v_c"),
+    )
+    streamed = ST.run_to_completion(agg, f"rp_{uuid.uuid4().hex[:8]}")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "v_c"
+            ),
+        )
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and got
