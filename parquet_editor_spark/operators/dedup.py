@@ -775,4 +775,10 @@ def incremental_minhash_dedup(
         .select(F.col("id_x").alias(id_col))
         .distinct()
     )
+    # materialize the (small) rejected-id set eagerly, then release the
+    # per-batch caches — a long-running ingest loop would otherwise
+    # leak one banded+shingle cache per admitted batch
+    dropped = dropped.localCheckpoint(eager=True)
+    banded.unpersist()
+    sets_all.unpersist()
     return new_df.join(dropped, id_col, "left_anti")

@@ -94,20 +94,32 @@ def partition_histogram(df: DataFrame) -> list[int]:
     included (they are the skew signal: a hot key leaves its siblings
     at zero) — the direct skew diagnostic.
 
-    Uses ONE job over one RDD so the partition count and the per-
-    partition tallies come from the same physical execution (a
-    separate groupBy(spark_partition_id()) job can finalize a
-    different AQE plan than a separate getNumPartitions probe, and
-    would silently drop ids outside the probed range).  Only
-    per-partition counts cross to the driver.  This is a diagnostic:
-    it executes the plan once via the RDD path."""
-    rdd = df.rdd
-    counts = dict(
-        rdd.mapPartitionsWithIndex(
-            lambda i, it: [(i, sum(1 for _ in it))]
-        ).collect()
-    )
-    return [counts.get(pid, 0) for pid in range(rdd.getNumPartitions())]
+    ONE job, one execution: a narrow constant projection (preserves
+    partitioning) runs through ``mapInArrow``, whose function executes
+    once per partition INCLUDING empty ones, emitting
+    (TaskContext.partitionId, Σ batch.num_rows).  Rows are counted
+    from Arrow batch metadata — no per-row pickling, no ``df.rdd``
+    conversion (which would materialize AQE stages in a second,
+    possibly differently-planned execution)."""
+    from pyspark.sql import functions as F
+
+    def per_partition(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        n = sum(b.num_rows for b in batches)
+        yield pa.RecordBatch.from_pydict(
+            {"pid": [TaskContext.get().partitionId()], "n": [n]}
+        )
+
+    counts = {
+        r["pid"]: r["n"]
+        for r in df.select(F.lit(True).alias("__x"))
+        .mapInArrow(per_partition, "pid long, n long")
+        .collect()
+    }
+    n_parts = max(counts) + 1 if counts else 0
+    return [counts.get(pid, 0) for pid in range(n_parts)]
 
 
 def skew_ratio(df: DataFrame) -> float:

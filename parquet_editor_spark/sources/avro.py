@@ -87,9 +87,11 @@ class _Reader:
 
 def _field_type(dtype) -> str:
     # case-insensitive so pandas nullable dtypes (Int64/Float64/boolean)
-    # map to their numeric avro types, not string
+    # map to their numeric avro types, not string. uint64 stays a
+    # STRING: values ≥ 2^63 don't fit an avro long, and a spec-invalid
+    # varint would poison external readers — lossless text instead.
     k = str(dtype).lower()
-    if k.startswith(("int", "uint")):
+    if k.startswith("int") or k in ("uint8", "uint16", "uint32"):
         return "long"
     if k.startswith("float"):
         return "double"
@@ -109,10 +111,12 @@ def write_avro(pdf: pd.DataFrame, path: str, codec: str = "deflate") -> None:
     schema_json = json.dumps(schema)
     types = [f["type"][1] for f in fields]
 
+    from parquet_editor_spark.sources._infer import is_missing
+
     body = bytearray()
     for row in pdf.astype(object).itertuples(index=False):
         for v, t in zip(row, types):
-            if v is None or pd.isna(v):  # None / NaN / pd.NA
+            if is_missing(v):  # None / NaN / pd.NA (scalar-safe)
                 _w_varint(body, 0)  # union branch: null
                 continue
             _w_varint(body, 1)  # union branch: value

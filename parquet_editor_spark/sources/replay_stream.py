@@ -58,23 +58,21 @@ class EventsReplayDataSource(DataSource):
     def schema(self):
         import pyarrow.parquet as pq
 
+        from parquet_editor_spark.sources._infer import (
+            spark_type_for_arrow,
+        )
+
         pa_schema = pq.read_schema(self.options["path"])
-        fields = []
-        for name in pa_schema.names:
-            t = pa_schema.field(name).type
-            s = str(t)
-            if s.startswith("int"):
-                dt: T.DataType = T.LongType()
-            elif s.startswith(("double", "float")):
-                dt = T.DoubleType()
-            elif s.startswith("timestamp"):
-                dt = T.TimestampNTZType()
-            elif s == "bool":
-                dt = T.BooleanType()
-            else:
-                dt = T.StringType()
-            fields.append(T.StructField(name, dt, True))
-        return T.StructType(fields)
+        return T.StructType(
+            [
+                T.StructField(
+                    name,
+                    spark_type_for_arrow(pa_schema.field(name).type),
+                    True,
+                )
+                for name in pa_schema.names
+            ]
+        )
 
     def simpleStreamReader(self, schema) -> "ReplayStreamReader":
         return ReplayStreamReader(self.options)

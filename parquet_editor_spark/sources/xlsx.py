@@ -82,7 +82,9 @@ def col_index(ref: str) -> int:
 
 
 def _cell_xml(ref: str, v: Any) -> str:
-    if v is None or pd.isna(v):  # None / NaN / pd.NA (scalar-safe)
+    from parquet_editor_spark.sources._infer import is_missing
+
+    if is_missing(v):  # None / NaN / pd.NA — list cells fall through
         return ""
     if isinstance(v, bool):
         return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'

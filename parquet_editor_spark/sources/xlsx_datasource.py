@@ -25,22 +25,18 @@ from pyspark.sql import types as T
 
 
 def _schema_of(path: str) -> T.StructType:
+    from parquet_editor_spark.io import _guard_small_source
+    from parquet_editor_spark.sources._infer import spark_type_for_pandas
     from parquet_editor_spark.sources.xlsx import read_xlsx
 
+    _guard_small_source(path, "xlsx datasource")
     pdf = read_xlsx(path)
-    fields = []
-    for name, dtype in zip(pdf.columns, pdf.dtypes):
-        k = str(dtype)
-        if k.startswith("int"):
-            t: T.DataType = T.LongType()
-        elif k.startswith("float"):
-            t = T.DoubleType()
-        elif k == "bool":
-            t = T.BooleanType()
-        else:
-            t = T.StringType()
-        fields.append(T.StructField(str(name), t, True))
-    return T.StructType(fields)
+    return T.StructType(
+        [
+            T.StructField(str(name), spark_type_for_pandas(dtype), True)
+            for name, dtype in zip(pdf.columns, pdf.dtypes)
+        ]
+    )
 
 
 class XlsxDataSource(DataSource):
@@ -68,13 +64,16 @@ class XlsxReader(DataSourceReader):
         return [InputPartition(0)]
 
     def read(self, partition):
+        from parquet_editor_spark.sources._infer import is_missing
         from parquet_editor_spark.sources.xlsx import read_xlsx
 
         pdf = read_xlsx(self.path)
-        names = [f.name for f in self.schema.fields]
-        pdf = pdf[[n for n in names if n in pdf.columns]]
+        # POSITIONAL alignment with the inferred schema: a name-based
+        # reselection would double-select duplicate headers (legal in
+        # spreadsheets and in Spark frames) and widen the row tuples
+        pdf = pdf.iloc[:, : len(self.schema.fields)]
         for row in pdf.astype(object).itertuples(index=False):
-            yield tuple(None if v != v else v for v in row)
+            yield tuple(None if is_missing(v) else v for v in row)
 
 
 def register_xlsx_source(spark) -> None:

