@@ -1507,6 +1507,17 @@ def q_quantile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus drift (operators/textprep.py
+    source_token_divergence): KL(source unigram ‖ corpus unigram)
+    from exact integer counts — the mixture-monitoring metric.  One
+    explode, vocab-sized joins, tiny broadcast totals."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents")
+    return TP.source_token_divergence(docs, "source", "text")
+
+
 def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite proof for the round-4 operator block — Gopher
     quality filter → per-source character-budget trim (longest-first,
@@ -3138,6 +3149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new behind-window (added after the r4 window froze;
         #     rotate into r5 after a full local cycle) ---
         "pipeline_curation_v2": q_pipeline_curation_v2,
+        "source_token_divergence": q_source_token_divergence,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -4726,6 +4738,27 @@ def oracle_sql() -> dict[str, str]:
                              / n_chars, 6) AS race
                 FROM documents)
             ORDER BY race DESC, doc_id ASC LIMIT 50
+        """,
+        "source_token_divergence": """
+            WITH sw AS (
+                SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+                FROM (SELECT source,
+                             unnest(list_filter(
+                                 string_split_regex(text, '\\s+'),
+                                 x -> x <> '')) AS w
+                      FROM documents)
+                GROUP BY source, w),
+            cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w
+                   FROM sw GROUP BY w),
+            ts AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS t_s
+                   FROM sw GROUP BY source),
+            tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS t_c FROM cw)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+                   round(sum((c_sw / t_s)
+                             * ln((c_sw / t_s) / (c_w / t_c))), 4) AS kl
+            FROM sw JOIN cw USING (w) JOIN ts USING (source)
+            CROSS JOIN tot
+            GROUP BY source
         """,
         "pipeline_curation_v2": """
             WITH t AS (

@@ -266,3 +266,53 @@ def source_budget_trim(
     return df.withColumn(
         "cum_weight", F.sum(weight_col).over(w).cast("long")
     ).filter(F.col("cum_weight") <= budget)
+
+
+def source_token_divergence(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-source distribution drift: KL(source unigram ‖ corpus
+    unigram) plus distinct-vocab size — the mixture-monitoring metric
+    that flags a domain whose token distribution wanders from the
+    blend (new crawl snapshot, contaminated shard) before training
+    ever sees it.
+
+    All probabilities derive from EXACT integer counts in a fixed
+    expression order (p_s = c_sw/t_s etc.), so both engines evaluate
+    identical doubles; the one engine-ordered reduction is the final
+    per-source sum, rounded well above ulp noise (same stability
+    class as unigram_logprob, driver-green since r2).
+
+    Plan: one explode → hash agg on (source, word); the corpus-side
+    counts DERIVE from that relation (no second token pass); word
+    join is vocab-sized; per-source totals and the corpus total are
+    tiny broadcasts.  Nothing touches the raw corpus twice."""
+    from parquet_editor_spark.functions.text import tokens
+
+    sw = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(text_col)).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c_sw"))
+    )
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    ts = sw.groupBy("source").agg(F.sum("c_sw").alias("t_s"))
+    tot = cw.agg(F.sum("c_w").alias("t_c"))
+    p_s = F.col("c_sw") / F.col("t_s")
+    p_c = F.col("c_w") / F.col("t_c")
+    term = p_s * F.log(p_s / p_c)
+    return (
+        sw.join(cw, "w")
+        .join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.round(F.sum(term), round_to).alias("kl"),
+        )
+    )

@@ -206,3 +206,27 @@ def test_source_budget_trim_prefix_semantics(spark):
     )
     got = {r["doc_id"]: r["cum_weight"] for r in out.collect()}
     assert got == {1: 60, 2: 110, 5: 10}
+
+
+def test_source_token_divergence_hand_computed(spark):
+    """Two-source toy corpus with a known KL: source A = {x x y},
+    source B = {y}; corpus = {x:2, y:2}. KL(A‖C) = 2/3·ln((2/3)/(1/2))
+    + 1/3·ln((1/3)/(1/2)); KL(B‖C) = 1·ln(1/(1/2)) = ln 2."""
+    import math
+
+    from parquet_editor_spark.operators.textprep import (
+        source_token_divergence,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "x x y"), ("B", "y")], "source string, text string"
+    )
+    got = {
+        r["source"]: (r["n_words"], r["kl"])
+        for r in source_token_divergence(df, "source", "text").collect()
+    }
+    kl_a = (2 / 3) * math.log((2 / 3) / (1 / 2)) + (1 / 3) * math.log(
+        (1 / 3) / (1 / 2)
+    )
+    assert got["A"] == (2, round(kl_a, 4))
+    assert got["B"] == (1, round(math.log(2), 4))
