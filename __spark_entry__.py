@@ -2907,6 +2907,102 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- EXT round-4b: CDC diff, time travel, compaction, BPE, outliers ---------
+
+
+def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC diff (operators/warehouse.py table_diff): two
+    deterministic versions of ``orders`` (v1 drops keys %7=0; v2 drops
+    %11=0 and bumps %5=0 prices by 1.5) diffed into
+    added/removed/changed rows.  One co-partitioned full outer join;
+    output scales with churn, not table size."""
+    from parquet_editor_spark.operators import warehouse as WH
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    current = orders.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.5
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return WH.table_diff(
+        base, current, ["o_orderkey"], ["o_custkey", "o_totalprice"]
+    )
+
+
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based snapshot versioning (operators/warehouse.py
+    snapshot_write/snapshot_read): commit orders %3=0 as v1, APPEND
+    %3=1 as v2 (a metadata-only commit — v1's files are untouched),
+    then time-travel read v1.  The oracle reproduces v1 from the
+    source table, so any rewrite/leak of v2 rows into the historical
+    snapshot hash-fails."""
+    import tempfile
+
+    from parquet_editor_spark.operators import warehouse as WH
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    tmp = tempfile.mkdtemp(prefix="pes_snap_")
+    v1 = WH.snapshot_write(
+        orders.filter(F.col("o_orderkey") % 3 == 0), tmp, mode="overwrite"
+    )
+    WH.snapshot_write(
+        orders.filter(F.col("o_orderkey") % 3 == 1), tmp, mode="append"
+    )
+    return WH.snapshot_read(spark, tmp, version=v1)
+
+
+def q_compact_lineitem_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators/warehouse.py compact_files):
+    scatter a lineitem slice across 24 tiny files, compact to
+    ~5k-row files (footer-metadata row count, coalesce — no shuffle),
+    and return the compacted table; the oracle reproduces it from the
+    source, so any row lost or duplicated in the rewrite hash-fails.
+    The file-count reduction itself is pinned in tests/test_warehouse.py."""
+    import tempfile
+
+    from parquet_editor_spark.operators import warehouse as WH
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 13 == 0
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    tmp = tempfile.mkdtemp(prefix="pes_compact_")
+    li.repartition(24).write.mode("overwrite").parquet(f"{tmp}/small")
+    return WH.compact_files(
+        spark, f"{tmp}/small", f"{tmp}/compacted",
+        target_rows_per_file=5000,
+    )
+
+
+def q_bpe_pair_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trainer step 1 (operators/textprep.py bpe_pair_counts):
+    corpus-wide adjacent character-pair frequencies weighted by word
+    frequency — computed over the DISTINCT-word relation so the
+    pair explode is vocabulary-sized, not corpus-sized."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents")
+    return TP.bpe_pair_counts(docs, "text", top_n=50)
+
+
+def q_zscore_outliers_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly screen (operators/query.py
+    zscore_outliers): events whose value sits >3 sample stddevs from
+    their event-type group mean (the value distribution is
+    right-skewed, so the tail is non-empty).  Exact integer moments
+    (cents) make the mean/stddev doubles and the boundary comparison
+    bit-identical across engines."""
+    ev = _t(spark, sf_dir, "events")
+    return q.zscore_outliers(
+        ev, "event_type", "value", ["event_id"], k=3.0
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-divergence probes (round 3).
 #
@@ -3150,6 +3246,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     rotate into r5 after a full local cycle) ---
         "pipeline_curation_v2": q_pipeline_curation_v2,
         "source_token_divergence": q_source_token_divergence,
+        "table_diff_orders": q_table_diff_orders,
+        "snapshot_time_travel": q_snapshot_time_travel,
+        "compact_lineitem_files": q_compact_lineitem_files,
+        "bpe_pair_top": q_bpe_pair_top,
+        "zscore_outliers_price": q_zscore_outliers_price,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -4790,6 +4891,85 @@ def oracle_sql() -> dict[str, str]:
                                 / n_chars, 6) AS race
                 FROM tr)
             ORDER BY race DESC, doc_id ASC LIMIT 20
+        """,
+        "table_diff_orders": """
+            WITH base AS (
+                SELECT o_orderkey, o_custkey, o_totalprice
+                FROM orders WHERE o_orderkey % 7 <> 0),
+            curr AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 5 = 0
+                            THEN o_totalprice + 1.5
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders WHERE o_orderkey % 11 <> 0)
+            SELECT * FROM (
+                SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+                       CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                            WHEN c.o_orderkey IS NULL THEN 'removed'
+                            WHEN (b.o_custkey, b.o_totalprice)
+                                 IS DISTINCT FROM
+                                 (c.o_custkey, c.o_totalprice)
+                            THEN 'changed' END AS change_type,
+                       b.o_custkey AS o_custkey_base,
+                       b.o_totalprice AS o_totalprice_base,
+                       c.o_custkey AS o_custkey_curr,
+                       c.o_totalprice AS o_totalprice_curr
+                FROM base b FULL OUTER JOIN curr c
+                  ON b.o_orderkey = c.o_orderkey)
+            WHERE change_type IS NOT NULL
+        """,
+        "snapshot_time_travel": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 3 = 0
+        """,
+        "compact_lineitem_files": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_orderkey % 13 = 0
+        """,
+        "bpe_pair_top": """
+            WITH w AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(text, '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents),
+            wc AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS wc
+                FROM w WHERE length(word) >= 2 GROUP BY word),
+            p AS (
+                SELECT word, wc,
+                       unnest(list_transform(
+                           range(1, length(word)),
+                           i -> substring(word, i, 2))) AS pair
+                FROM wc)
+            SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count,
+                   CAST(count(DISTINCT word) AS BIGINT) AS n_words
+            FROM p GROUP BY pair
+            ORDER BY pair_count DESC, pair ASC LIMIT 50
+        """,
+        "zscore_outliers_price": """
+            WITH v AS (
+                SELECT event_id, event_type, value,
+                       CAST(round(value * 100, 0) AS BIGINT) AS vc
+                FROM events),
+            s AS (
+                SELECT event_type, count(*) AS n,
+                       CAST(sum(vc) AS DOUBLE) AS S,
+                       CAST(sum(CAST(vc AS HUGEINT) * vc) AS DOUBLE) AS S2
+                FROM v GROUP BY event_type),
+            st AS (
+                SELECT event_type,
+                       S / CAST(n AS DOUBLE) AS mean_c,
+                       CASE WHEN n > 1 THEN
+                           sqrt((CAST(n AS DOUBLE) * S2 - S * S)
+                                / (CAST(n AS DOUBLE)
+                                   * (CAST(n AS DOUBLE) - 1.0)))
+                       END AS std_c
+                FROM s)
+            SELECT v.event_id, v.event_type, v.value,
+                   round((CAST(vc AS DOUBLE) - mean_c) / std_c, 4) AS z
+            FROM v JOIN st USING (event_type)
+            WHERE std_c > 0
+              AND abs(CAST(vc AS DOUBLE) - mean_c) > 3.0 * std_c
         """,
         "stratified_sample_hash": """
             SELECT doc_id, lang, source FROM (

@@ -884,3 +884,59 @@ def funnel(
             100.0 * F.sum("conv") / F.count("*").cast("double"), 4
         ).alias("conv_pct"),
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: Sequence[str],
+    k: float = 3.0,
+    unit_scale: int = 100,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group z-score outlier detection: rows whose value lies more
+    than ``k`` sample standard deviations from their group's mean —
+    the anomaly screen a data-quality gate runs per shard/source
+    before admission.
+
+    Group moments accumulate as EXACT integers over ``value·unit_scale``
+    (the ``describe_stats``/``corr_matrix_exact`` precondition: ≤2
+    decimals at scale 100), so the derived mean/stddev doubles are
+    bit-identical under any partial-aggregation order, and the
+    boundary comparison |v−μ| > k·σ evaluates identically in every
+    engine — no row can flip sides from float reassociation.
+
+    Scale shape: one hash aggregation for the per-group moments (tiny
+    output — one row per group), broadcast back onto the fact, and a
+    codegen'd filter.  No window, no second shuffle of the data."""
+    vc = F.round(F.col(value_col) * unit_scale, 0).cast("long")
+    n = F.count("*")
+    nn = n.cast("double")
+    S = F.sum(vc).cast("double")
+    S2 = F.sum(
+        (vc.cast("decimal(19,0)") * vc).cast("decimal(38,0)")
+    ).cast("double")
+    stats = df.groupBy(group_col).agg(
+        n.alias("__n"),
+        (S / nn).alias("__mean_c"),
+        F.when(
+            n > 1,
+            F.sqrt((nn * S2 - S * S) / (nn * (nn - F.lit(1.0)))),
+        ).alias("__std_c"),
+    )
+    j = df.join(F.broadcast(stats), group_col)
+    z = (vc.cast("double") - F.col("__mean_c")) / F.col("__std_c")
+    return (
+        j.filter(
+            (F.col("__std_c") > 0)
+            & (F.abs(vc.cast("double") - F.col("__mean_c"))
+               > F.lit(k) * F.col("__std_c"))
+        )
+        .select(
+            *id_cols,
+            group_col,
+            F.col(value_col),
+            F.round(z, round_to).alias("z"),
+        )
+    )

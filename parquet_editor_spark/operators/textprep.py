@@ -316,3 +316,53 @@ def source_token_divergence(
             F.round(F.sum(term), round_to).alias("kl"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 50,
+) -> DataFrame:
+    """First iteration of byte-pair-encoding tokenizer training:
+    corpus-wide adjacent CHARACTER-pair frequencies, weighted by word
+    frequency — the statistic whose argmax is BPE's first merge (and
+    re-running it after each merge is the whole trainer).
+
+    The crucial scale move is aggregating to the DISTINCT-word level
+    first: pair extraction then runs over the vocabulary (≈10⁵–10⁶
+    rows regardless of corpus size) instead of over every corpus
+    token, so a 100 TB corpus pays one explode + one hash agg on
+    words, and everything after is vocabulary-sized.  Pure
+    expressions (sequence/transform/substr) — no Python in the data
+    path.
+
+    Returns the ``top_n`` (pair, pair_count, n_words) rows ordered by
+    count desc with a lexicographic tie-break, where ``pair_count``
+    sums word frequencies over words containing the pair (counting
+    each adjacent occurrence) and ``n_words`` counts distinct words
+    containing it."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "word",
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wc").cast("long").alias("pair_count"),
+            F.countDistinct("word").cast("long").alias("n_words"),
+        )
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )

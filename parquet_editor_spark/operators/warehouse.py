@@ -86,6 +86,178 @@ def scd2_intervals(
     )
 
 
+def table_diff(
+    base: DataFrame,
+    current: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff (CDC between two table versions): one row per key
+    whose state differs, tagged ``change_type`` ∈ {added, removed,
+    changed}, with the compared columns from both sides
+    (``<col>_base`` / ``<col>_curr``).  Unchanged keys are dropped —
+    at 100 TB the diff output is the small side, and emitting it (not
+    the match set) is what keeps the operator's output proportional to
+    the churn rate, not the table size.
+
+    Comparison is null-safe per packed struct (``<=>``), so NULL→NULL
+    is unchanged and NULL→value is changed — mirrored in the oracle
+    with IS DISTINCT FROM.
+
+    Scale shape: one full outer join co-partitioned on the key columns
+    (single shuffle each side, AQE picks SMJ/hash; skew-join handles a
+    hot key) and a codegen'd CASE — no window, no collect.  Both
+    inputs must be key-unique (dedupe upstream; double keys would
+    cross-multiply in any engine's MERGE/diff)."""
+    ks = list(keys)
+    cmp_cols = [c for c in (compare_cols or base.columns) if c not in ks]
+    b = base.select(
+        *[F.col(k).alias(f"__kb_{k}") for k in ks],
+        *[F.col(c).alias(f"{c}_base") for c in cmp_cols],
+    )
+    c = current.select(
+        *[F.col(k).alias(f"__kc_{k}") for k in ks],
+        *[F.col(x).alias(f"{x}_curr") for x in cmp_cols],
+    )
+    cond = None
+    for k in ks:
+        eq = F.col(f"__kb_{k}").eqNullSafe(F.col(f"__kc_{k}"))
+        cond = eq if cond is None else cond & eq
+    j = b.join(c, cond, "full_outer")
+    in_base = F.col(f"__kb_{ks[0]}").isNotNull()
+    in_curr = F.col(f"__kc_{ks[0]}").isNotNull()
+    state_b = F.struct(*[F.col(f"{x}_base") for x in cmp_cols])
+    state_c = F.struct(*[F.col(f"{x}_curr") for x in cmp_cols])
+    change = (
+        F.when(~in_base, F.lit("added"))
+        .when(~in_curr, F.lit("removed"))
+        .when(~state_b.eqNullSafe(state_c), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(
+                    F.col(f"__kb_{k}"), F.col(f"__kc_{k}")
+                ).alias(k)
+                for k in ks
+            ],
+            "change_type",
+            *[F.col(f"{x}_base") for x in cmp_cols],
+            *[F.col(f"{x}_curr") for x in cmp_cols],
+        )
+    )
+
+
+def snapshot_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> int:
+    """Versioned table write with manifest-tracked snapshots — the
+    Iceberg/Delta time-travel core reduced to its minimal honest form
+    on plain parquet.  Each call writes the batch's data files under
+    ``<path>/data/v<N>/`` and commits ``<path>/_manifests/v<N>.json``
+    listing EVERY data directory that makes up snapshot N:
+
+    - ``mode="overwrite"`` → the new snapshot is just this batch;
+    - ``mode="append"``    → the new snapshot is the previous
+      snapshot's directory list plus this batch (old files are never
+      rewritten or touched — append is a metadata commit).
+
+    Returns the new version number (1-based).  Readers never list the
+    table directory: :func:`snapshot_read` loads exactly the manifest's
+    directories, so at 100 TB a snapshot read costs one tiny JSON read
+    plus the pruned parquet scans — no O(files) listing, and
+    historical versions stay readable until their directories are
+    garbage-collected.  The manifest write is a single driver-side
+    JSON dump (bytes, not data), the commit point of the snapshot."""
+    import json
+    import os
+
+    man_dir = os.path.join(path, "_manifests")
+    os.makedirs(man_dir, exist_ok=True)
+    versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    ver = (versions[-1] if versions else 0) + 1
+    data_dir = os.path.join(path, "data", f"v{ver}")
+    df.write.mode("error").parquet(data_dir)
+    dirs = [f"data/v{ver}"]
+    if mode == "append" and versions:
+        with open(os.path.join(man_dir, f"v{versions[-1]}.json")) as fh:
+            dirs = json.load(fh)["dirs"] + dirs
+    elif mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown snapshot mode {mode!r}")
+    tmp = os.path.join(man_dir, f".v{ver}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": ver, "mode": mode, "dirs": dirs}, fh)
+    os.replace(tmp, os.path.join(man_dir, f"v{ver}.json"))
+    return ver
+
+
+def snapshot_read(
+    spark,
+    path: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Time-travel read of :func:`snapshot_write` output: load the
+    union of the data directories recorded in manifest ``version``
+    (default: latest).  Passing multiple paths to one ``read.parquet``
+    keeps it a single scan relation — partition pruning, pushdown and
+    schema merge behave exactly as for an unversioned table."""
+    import json
+    import os
+
+    man_dir = os.path.join(path, "_manifests")
+    if version is None:
+        version = max(
+            int(f[1:-5])
+            for f in os.listdir(man_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+    with open(os.path.join(man_dir, f"v{version}.json")) as fh:
+        man = json.load(fh)
+    return spark.read.parquet(
+        *[os.path.join(path, d) for d in man["dirs"]]
+    )
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_rows_per_file: int,
+) -> DataFrame:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_rows_per_file`` rows each.  The small-files problem is a
+    pure metadata tax at 100 TB (NameNode/listing pressure, per-file
+    open cost, tiny row groups defeating min/max skipping), and the
+    fix is a row-preserving rewrite — no shuffle of *content*, just
+    placement.
+
+    Uses ``coalesce`` (narrow, no shuffle) when merging down to fewer
+    files; a round-robin ``repartition`` only if the source is so
+    skewed that a file exceeds the target and must be split.  Row
+    count is computed from parquet footers (metadata-only), not a
+    scan.  Returns the compacted frame re-read from ``dst_path``."""
+    import math
+
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(src_path, format="parquet")
+    n_rows = ds.count_rows()  # footer metadata, no data read
+    n_src_files = len(ds.files)
+    n_out = max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
+    df = spark.read.parquet(src_path)
+    out = df.coalesce(n_out) if n_out <= n_src_files else df.repartition(n_out)
+    out.write.mode("overwrite").parquet(dst_path)
+    return spark.read.parquet(dst_path)
+
+
 def zorder_value(cols: Sequence[str | Column], bits: int = 16) -> Column:
     """Z-order (Morton) key: interleave the low ``bits`` bits of each
     integer column so rows close in EVERY dimension get close keys.

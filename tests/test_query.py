@@ -151,3 +151,39 @@ def test_funnel_conversion_window(spark):
     row = q.funnel(df, "user_id", "ts", "event_type", "signup", "purchase").collect()[0]
     assert (row["n_entered"], row["n_converted"]) == (4, 2)
     assert row["conv_pct"] == 50.0
+
+
+def test_zscore_outliers_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    vals = np.round(
+        np.concatenate([rng.uniform(1, 10, 200), [500.0, 600.0]]), 2
+    )
+    grp = ["g1"] * 101 + ["g2"] * 101
+    pdf = pd.DataFrame(
+        {"id": range(202), "g": grp, "v": vals}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["id"]: r["z"]
+        for r in q.zscore_outliers(df, "g", "v", ["id"], k=3.0).collect()
+    }
+    want = {}
+    for g, sub in pdf.groupby("g"):
+        vc = np.round(sub["v"] * 100).astype("int64")
+        m, sd = vc.mean(), vc.std(ddof=1)
+        for i, x in zip(sub["id"], vc):
+            if sd > 0 and abs(x - m) > 3.0 * sd:
+                want[i] = round((x - m) / sd, 4)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_zscore_outliers_constant_group_yields_none(spark):
+    df = spark.createDataFrame(
+        [(i, "g", 5.0) for i in range(10)], "id long, g string, v double"
+    )
+    assert q.zscore_outliers(df, "g", "v", ["id"]).count() == 0

@@ -230,3 +230,43 @@ def test_source_token_divergence_hand_computed(spark):
     )
     assert got["A"] == (2, round(kl_a, 4))
     assert got["B"] == (1, round(math.log(2), 4))
+
+
+def test_bpe_pair_counts_matches_python_reference(spark):
+    texts = [
+        "low lower lowest low",
+        "new newer newest new new",
+        "wide wider low",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["pair"]: (r["pair_count"], r["n_words"])
+        for r in TP.bpe_pair_counts(df, "text", top_n=1000).collect()
+    }
+    # pure-python reference: word-frequency-weighted adjacent char pairs
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split())
+    pair_count: Counter = Counter()
+    n_words: dict = {}
+    for w, c in wc.items():
+        if len(w) < 2:
+            continue
+        seen = set()
+        for i in range(len(w) - 1):
+            p = w[i : i + 2]
+            pair_count[p] += c
+            seen.add(p)
+        for p in seen:
+            n_words[p] = n_words.get(p, 0) + 1
+    want = {p: (c, n_words[p]) for p, c in pair_count.items()}
+    assert got == want
+
+
+def test_bpe_pair_counts_orders_and_limits(spark):
+    df = spark.createDataFrame(
+        [("aa ab aa",)], "text string"
+    )
+    rows = TP.bpe_pair_counts(df, "text", top_n=1).collect()
+    assert len(rows) == 1
+    assert rows[0]["pair"] == "aa" and rows[0]["pair_count"] == 2

@@ -188,3 +188,113 @@ def test_zorder_write_hilbert_curve_narrows_ranges(spark, sf_dir, tmp_path):
     assert spark.read.parquet(hil).count() == li.count()
     with pytest.raises(ValueError):
         WH.zorder_write(li, hil, ["l_partkey"], curve="hilbert")
+
+
+# --- table_diff -----------------------------------------------------------
+
+
+def test_table_diff_classifies_added_removed_changed(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    curr = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in WH.table_diff(base, curr, ["k"]).collect()
+    }
+    assert out == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_table_diff_null_safe_compare(spark):
+    """NULL→NULL is unchanged; NULL→value and value→NULL are changed."""
+    base = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "k long, s string"
+    )
+    curr = spark.createDataFrame(
+        [(1, None), (2, "y"), (3, None)], "k long, s string"
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in WH.table_diff(base, curr, ["k"], ["s"]).collect()
+    }
+    assert out == {2: "changed", 3: "changed"}
+
+
+def test_table_diff_carries_both_sides(spark):
+    base = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    curr = spark.createDataFrame([(1, 11.0)], "k long, v double")
+    r = WH.table_diff(base, curr, ["k"], ["v"]).collect()[0]
+    assert (r["v_base"], r["v_curr"]) == (10.0, 11.0)
+
+
+# --- snapshots / time travel ----------------------------------------------
+
+
+def test_snapshot_append_is_metadata_only_and_time_travels(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    b = spark.createDataFrame([(3, "c")], "k long, s string")
+    v1 = WH.snapshot_write(a, p, mode="overwrite")
+    files_v1 = set(glob.glob(f"{p}/data/v1/*.parquet"))
+    mtimes = {f: __import__("os").path.getmtime(f) for f in files_v1}
+    v2 = WH.snapshot_write(b, p, mode="append")
+    assert (v1, v2) == (1, 2)
+    # v1's data files untouched by the append commit
+    assert {f: __import__("os").path.getmtime(f) for f in files_v1} == mtimes
+    got_v1 = sorted(r["k"] for r in WH.snapshot_read(spark, p, 1).collect())
+    got_v2 = sorted(r["k"] for r in WH.snapshot_read(spark, p, 2).collect())
+    latest = sorted(r["k"] for r in WH.snapshot_read(spark, p).collect())
+    assert got_v1 == [1, 2]
+    assert got_v2 == [1, 2, 3]
+    assert latest == [1, 2, 3]
+
+
+def test_snapshot_overwrite_resets_lineage(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    WH.snapshot_write(
+        spark.createDataFrame([(1,)], "k long"), p, mode="overwrite"
+    )
+    WH.snapshot_write(
+        spark.createDataFrame([(2,)], "k long"), p, mode="overwrite"
+    )
+    assert [r["k"] for r in WH.snapshot_read(spark, p).collect()] == [2]
+    assert [r["k"] for r in WH.snapshot_read(spark, p, 1).collect()] == [1]
+
+
+def test_snapshot_bad_mode_raises(spark, tmp_path):
+    with pytest.raises(ValueError):
+        WH.snapshot_write(
+            spark.createDataFrame([(1,)], "k long"),
+            str(tmp_path / "t"),
+            mode="merge",
+        )
+
+
+# --- compaction -----------------------------------------------------------
+
+
+def test_compact_files_reduces_count_and_preserves_rows(spark, tmp_path):
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(32).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 32
+    out = WH.compact_files(spark, src, dst, target_rows_per_file=5_000)
+    assert len(glob.glob(f"{dst}/*.parquet")) == 2
+    assert out.count() == 10_000
+    assert out.agg(F.sum("v")).collect()[0][0] == 2 * (9_999 * 10_000 // 2)
+
+
+def test_compact_files_splits_oversized(spark, tmp_path):
+    """A single giant file gets SPLIT when it exceeds the target."""
+    src = str(tmp_path / "big")
+    dst = str(tmp_path / "split")
+    spark.range(9_000).coalesce(1).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 1
+    out = WH.compact_files(spark, src, dst, target_rows_per_file=3_000)
+    assert len(glob.glob(f"{dst}/*.parquet")) == 3
+    assert out.count() == 9_000
