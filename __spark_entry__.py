@@ -3003,6 +3003,29 @@ def q_zscore_outliers_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (operators/textprep.py
+    char_entropy): the pre-tokenization garbage screen.  Exact integer
+    char counts; map-side combine bounds the shuffle by docs×alphabet,
+    not corpus bytes."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents")
+    return TP.char_entropy(docs, "doc_id", "text")
+
+
+def q_group_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sampler (operators/query.py
+    group_sample_topk): exactly 40 events per event_type, ranked by a
+    portable multiplicative hash so the slice is reproducible across
+    runs, engines and repartitioning — count-guaranteed, unlike
+    Bernoulli sampling."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    return q.group_sample_topk(ev, "event_type", "event_id", k=40)
+
+
 # ---------------------------------------------------------------------------
 # Driver-divergence probes (round 3).
 #
@@ -3251,6 +3274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_lineitem_files": q_compact_lineitem_files,
         "bpe_pair_top": q_bpe_pair_top,
         "zscore_outliers_price": q_zscore_outliers_price,
+        "char_entropy_docs": q_char_entropy_docs,
+        "group_sample_events": q_group_sample_events,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -4970,6 +4995,32 @@ def oracle_sql() -> dict[str, str]:
             FROM v JOIN st USING (event_type)
             WHERE std_c > 0
               AND abs(CAST(vc AS DOUBLE) - mean_c) > 3.0 * std_c
+        """,
+        "char_entropy_docs": """
+            WITH ch AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents),
+            c AS (
+                SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+                FROM ch WHERE ch <> '' GROUP BY doc_id, ch)
+            SELECT doc_id AS id,
+                   CAST(sum(c) AS BIGINT) AS n_chars,
+                   round((ln(CAST(sum(c) AS DOUBLE))
+                          - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                            / CAST(sum(c) AS DOUBLE)) / ln(2.0),
+                         4) AS entropy_bits
+            FROM c GROUP BY doc_id
+        """,
+        "group_sample_events": """
+            SELECT event_id, event_type, user_id FROM (
+                SELECT event_id, event_type, user_id,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY ((event_id % 1000003) * 2654435761
+                                     + 40503) % 4294967296 ASC,
+                                    event_id ASC) AS rn
+                FROM events)
+            WHERE rn <= 40
         """,
         "stratified_sample_hash": """
             SELECT doc_id, lang, source FROM (

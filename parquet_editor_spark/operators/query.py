@@ -940,3 +940,37 @@ def zscore_outliers(
             F.round(z, round_to).alias("z"),
         )
     )
+
+
+def group_sample_topk(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 40503,
+) -> DataFrame:
+    """Deterministic per-group sample of exactly ``min(k, |group|)``
+    rows: rank rows inside each group by a pure multiplicative hash of
+    the id (the ``hash_split(method="portable")`` family — a function
+    of (id, seed) only) and keep the first ``k``.  Unlike Bernoulli
+    sampling this guarantees the per-group count, and unlike
+    ``ORDER BY random()`` it is reproducible across runs, engines and
+    repartitioning — the holdout/eval-slice sampler a training
+    pipeline can re-derive at any time.
+
+    Scale shape: one shuffle on the group key and a per-group sort for
+    the row_number window.  A pathologically hot group makes that
+    partition the straggler; the remedy at 100 TB is a first-pass
+    per-partition ``k``-prefilter on the same hash (cheap local top-k
+    bounds each group's shuffle input to k·P rows) — composable
+    upstream; the semantics here stay exact."""
+    from pyspark.sql import Window as W
+
+    h = (
+        (F.col(id_col) % F.lit(1_000_003)) * F.lit(2654435761)
+        + F.lit(seed)
+    ) % F.lit(4294967296)
+    rn = F.row_number().over(
+        W.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    )
+    return df.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")

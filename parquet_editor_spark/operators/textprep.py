@@ -10,6 +10,8 @@ Python in the data path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -365,4 +367,42 @@ def bpe_pair_counts(
         )
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
         .limit(top_n)
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document Shannon character entropy in bits — the cheapest
+    garbage detector in the quality stack: binary blobs and encrypted
+    junk score near 8, repeated-character spam near 0, natural prose
+    in a narrow band (≈3.5–4.5 for English).  Complements the
+    word-level Gopher signals, which assume the text tokenizes at all.
+
+    Entropy derives from EXACT integer char counts per doc in a fixed
+    expression: H = (ln n − Σ c·ln c / n) / ln 2.  The one
+    engine-ordered reduction is the Σ over a doc's distinct chars
+    (alphabet-sized, values well-scaled), rounded at ``round_to`` —
+    the same stability class as unigram_logprob (driver-green r2).
+
+    Scale shape: one explode to (doc, char) with map-side partial
+    aggregation (the per-partition combine collapses repeats, so what
+    crosses the shuffle is bounded by docs × alphabet, not corpus
+    bytes), then a per-doc agg that reuses the same key prefix."""
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("id", "ch").agg(F.count("*").alias("c"))
+    n = F.sum("c").cast("long")
+    nn = n.cast("double")
+    sum_clnc = F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+    return counts.groupBy("id").agg(
+        n.alias("n_chars"),
+        F.round(
+            (F.log(nn) - sum_clnc / nn) / F.lit(math.log(2.0)), round_to
+        ).alias("entropy_bits"),
     )

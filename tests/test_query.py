@@ -187,3 +187,21 @@ def test_zscore_outliers_constant_group_yields_none(spark):
         [(i, "g", 5.0) for i in range(10)], "id long, g string, v double"
     )
     assert q.zscore_outliers(df, "g", "v", ["id"]).count() == 0
+
+
+def test_group_sample_topk_exact_counts_and_determinism(spark):
+    rows = [(i, "g%d" % (i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out1 = q.group_sample_topk(df, "g", "id", k=5)
+    got1 = sorted((r["g"], r["id"]) for r in out1.collect())
+    # exactly 5 per group
+    from collections import Counter
+
+    c = Counter(g for g, _ in got1)
+    assert c == {"g0": 5, "g1": 5, "g2": 5}
+    # deterministic across a repartition
+    out2 = q.group_sample_topk(df.repartition(7), "g", "id", k=5)
+    assert sorted((r["g"], r["id"]) for r in out2.collect()) == got1
+    # small group: returns all of it
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "id long, g string")
+    assert q.group_sample_topk(tiny, "g", "id", k=10).count() == 2

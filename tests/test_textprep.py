@@ -270,3 +270,24 @@ def test_bpe_pair_counts_orders_and_limits(spark):
     rows = TP.bpe_pair_counts(df, "text", top_n=1).collect()
     assert len(rows) == 1
     assert rows[0]["pair"] == "aa" and rows[0]["pair_count"] == 2
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd")], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["n_chars"], r["entropy_bits"])
+        for r in TP.char_entropy(df, "doc_id", "text").collect()
+    }
+    assert got[1] == (4, 0.0)          # single symbol: zero entropy
+    assert got[2] == (2, 1.0)          # two equiprobable symbols: 1 bit
+    assert got[3] == (4, 2.0)          # four equiprobable symbols: 2 bits
+    # spaces count as characters (pre-tokenization signal)
+    df2 = spark.createDataFrame([(9, "a a")], "doc_id long, text string")
+    r = TP.char_entropy(df2, "doc_id", "text").collect()[0]
+    assert r["n_chars"] == 3
+    want = round(-(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3), 4)
+    assert r["entropy_bits"] == want
