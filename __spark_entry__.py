@@ -3003,6 +3003,21 @@ def q_zscore_outliers_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused by reciprocal rank
+    fusion (operators/retrieval.py hybrid_rrf_topk): BM25 top-50 for
+    ('join','spark','vector') ∪ cosine top-50 around vec 3, scored
+    Σ 1/(60+rank).  Fusion joins two ≤50-row relations — free at any
+    corpus size; each branch keeps its candidate-bounded plan."""
+    from parquet_editor_spark.operators import retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    embs = _t(spark, sf_dir, "embeddings")
+    return R.hybrid_rrf_topk(
+        docs, embs, ["join", "spark", "vector"], query_vec_id=3, k=20
+    )
+
+
 def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon character entropy per document (operators/textprep.py
     char_entropy): the pre-tokenization garbage screen.  Exact integer
@@ -3276,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers_price": q_zscore_outliers_price,
         "char_entropy_docs": q_char_entropy_docs,
         "group_sample_events": q_group_sample_events,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -4995,6 +5011,58 @@ def oracle_sql() -> dict[str, str]:
             FROM v JOIN st USING (event_type)
             WHERE std_c > 0
               AND abs(CAST(vc AS DOUBLE) - mean_c) > 3.0 * std_c
+        """,
+        "hybrid_rrf_topk": """
+            WITH base AS (
+                SELECT doc_id AS id,
+                       len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x != '')) AS dl,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS toks
+                FROM documents),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                      FROM base),
+            tf AS (SELECT id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM (SELECT id, dl, lower(unnest(toks)) AS term FROM base)
+                   WHERE term IN ('join', 'spark', 'vector')
+                   GROUP BY id, dl, term),
+            dft AS (SELECT term, CAST(count(*) AS BIGINT) AS dft
+                    FROM tf GROUP BY term),
+            scored AS (
+                SELECT tf.id,
+                       round(sum(
+                           ln((n_docs - dft + 0.5) / (dft + 0.5) + 1.0)
+                           * (tf * (1.2 + 1.0))
+                           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                       ), 4) AS score
+                FROM tf JOIN dft USING (term), stats
+                GROUP BY tf.id),
+            lexr AS (
+                SELECT id, CAST(row_number() OVER (
+                           ORDER BY score DESC, id ASC) AS INT) AS lex_rank
+                FROM scored QUALIFY lex_rank <= 50),
+            qd AS (SELECT embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id = 3),
+            cs AS (SELECT vec_id AS id,
+                          round(list_dot_product(qv, cv)
+                                / (sqrt(list_dot_product(qv, qv))
+                                   * sqrt(list_dot_product(cv, cv))),
+                                4) AS sim
+                   FROM (SELECT vec_id, embedding::DOUBLE[] AS cv
+                         FROM embeddings) , qd
+                   WHERE id <> 3),
+            denser AS (
+                SELECT id, CAST(row_number() OVER (
+                           ORDER BY sim DESC, id ASC) AS INT) AS dense_rank
+                FROM cs QUALIFY dense_rank <= 50)
+            SELECT COALESCE(l.id, d.id) AS doc_id,
+                   lex_rank, dense_rank,
+                   round(COALESCE(1.0 / (60 + lex_rank), 0.0)
+                         + COALESCE(1.0 / (60 + dense_rank), 0.0),
+                         6) AS rrf
+            FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
+            ORDER BY rrf DESC, doc_id ASC LIMIT 20
         """,
         "char_entropy_docs": """
             WITH ch AS (

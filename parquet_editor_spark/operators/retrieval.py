@@ -110,3 +110,67 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embs: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 20,
+    rrf_k: int = 60,
+    pool: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion: fuse the BM25
+    lexical top-``pool`` with the dense cosine top-``pool`` for one
+    query, scoring each doc ``Σ_lists 1/(rrf_k + rank)`` — the
+    standard score-free fusion (Cormack et al. 2009) that needs no
+    cross-encoder and no score calibration between the two lists.
+
+    Determinism: both input rankings already break rounded-score ties
+    by id (bm25_topk / sim.topk_cosine contracts), the fused score is
+    exact integer-ratio arithmetic in a fixed addition order, and the
+    final order is (rounded rrf desc, id asc).
+
+    Scale shape: each branch keeps its own candidate-bounded plan
+    (BM25's pre-shuffle term filter; the dense side's per-batch BLAS
+    partial top-k), and fusion itself joins two ≤``pool``-row
+    relations — broadcastable trivia regardless of corpus size."""
+    from pyspark.sql import Window as W
+
+    lex = bm25_topk(
+        docs, query_terms, id_col=id_col, text_col=text_col, k=pool
+    ).select(
+        "id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), F.asc("id")))
+        .alias("lex_rank"),
+    )
+    from parquet_editor_spark.operators.sim import topk_cosine
+
+    dense = topk_cosine(
+        embs,
+        embs.filter(F.col(vec_id_col) == query_vec_id),
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        k=pool,
+    ).select(F.col("neighbor_id").alias("id"), F.col("rank").alias("dense_rank"))
+    fused = lex.join(dense, "id", "full_outer")
+    rrf = F.coalesce(
+        1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0))
+    return (
+        fused.select(
+            F.col("id").alias(id_col),
+            "lex_rank",
+            "dense_rank",
+            F.round(rrf, round_to).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )

@@ -86,3 +86,60 @@ def test_bm25_plan_filters_before_shuffle(spark, corpus_df):
     aggregation, not above it — only matching tokens cross the shuffle."""
     plan = bm25_topk(corpus_df, ["join"], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    from parquet_editor_spark.operators.retrieval import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark join vector"),
+            (1, "spark spark spark"),
+            (2, "nothing relevant here"),
+            (3, "vector vector join"),
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = hybrid_rrf_topk(
+        docs, embs, ["spark", "join", "vector"], query_vec_id=0, k=4
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # doc 2 matches no term: lexical rank NULL, dense rank present
+    assert rows[2]["lex_rank"] is None and rows[2]["dense_rank"] is not None
+    # rrf = 1/(60+lex) + 1/(60+dense), monotone in both ranks
+    for r in out:
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (60 + r["lex_rank"])
+        if r["dense_rank"] is not None:
+            expect += 1.0 / (60 + r["dense_rank"])
+        assert r["rrf"] == round(expect, 6)
+    # ordered by fused score desc
+    vals = [r["rrf"] for r in out]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_hybrid_rrf_respects_k(spark):
+    from parquet_editor_spark.operators.retrieval import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [(i, "spark word%d" % i) for i in range(30)],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    assert (
+        hybrid_rrf_topk(docs, embs, ["spark"], query_vec_id=0, k=7).count()
+        == 7
+    )
