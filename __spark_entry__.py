@@ -3018,6 +3018,16 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus admission dashboard (operators/textprep.py
+    corpus_health_report): doc/dup counts, token mass, mean quality,
+    language spread — one hash aggregation, exact-integer metrics."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents")
+    return TP.corpus_health_report(docs, "source", "doc_id", "text", "lang")
+
+
 def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon character entropy per document (operators/textprep.py
     char_entropy): the pre-tokenization garbage screen.  Exact integer
@@ -3292,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy_docs": q_char_entropy_docs,
         "group_sample_events": q_group_sample_events,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "corpus_health": q_corpus_health,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -5063,6 +5074,43 @@ def oracle_sql() -> dict[str, str]:
                          6) AS rrf
             FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "corpus_health": """
+            WITH t AS (
+                SELECT source, lang, text,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS toks
+                FROM documents),
+            s AS (
+                SELECT source, lang,
+                       md5(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                'g'))) AS fp,
+                       len(toks) AS n_toks,
+                       CAST(round(round(
+                           least(1.0, len(toks) / 50.0)
+                           * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+                               THEN length(regexp_replace(text,
+                                   '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+                                   / length(text)
+                               ELSE 0.0 END) * 4)
+                           * least(1.0, 0.5 + (CASE WHEN len(toks) > 0
+                               THEN len(list_filter(toks,
+                                   x -> x IN ('the','a','of','and','is')
+                                   ))::DOUBLE / len(toks)
+                               ELSE 0.0 END) * 5),
+                       4) * 10000, 0) AS BIGINT) AS q4
+                FROM t)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) - count(DISTINCT fp) AS BIGINT)
+                       AS n_dup_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                   round(CAST(sum(n_toks) AS DOUBLE) / count(*), 4)
+                       AS avg_tokens,
+                   round(CAST(sum(q4) AS DOUBLE) / (10000.0 * count(*)), 6)
+                       AS mean_quality,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM s GROUP BY source
         """,
         "char_entropy_docs": """
             WITH ch AS (

@@ -406,3 +406,62 @@ def char_entropy(
             (F.log(nn) - sum_clnc / nn) / F.lit(math.log(2.0)), round_to
         ).alias("entropy_bits"),
     )
+
+
+def corpus_health_report(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+) -> DataFrame:
+    """Per-source corpus health dashboard in ONE aggregation pass: doc
+    and exact-duplicate counts, token mass, mean tokens/doc, mean
+    composite quality, and language spread — the admission report a
+    data-governance gate renders per shard before a source enters the
+    training mix.
+
+    Every metric derives from exact integers so the report is
+    engine-exact: quality (already 4-dp) is lifted to int units
+    (×10⁴) before summing, duplicate mass is ``n − distinct
+    fingerprints``, and the two means divide exact integer sums.
+
+    Scale shape: one projection computes tokens/fingerprint/quality
+    per row, then a single hash aggregation keyed by source; the two
+    count-distincts (fingerprint, lang) expand internally but shuffle
+    16-byte keys, never text."""
+    from parquet_editor_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        tokens,
+    )
+
+    toked = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.col(text_col).alias("__text"),
+        tokens(text_col).alias("__toks"),
+    )
+    staged = toked.select(
+        "source",
+        "lang",
+        fingerprint("__text").alias("fp"),
+        F.size("__toks").alias("n_toks"),
+        F.round(quality_score("__text", F.col("__toks")) * 10000, 0)
+        .cast("long")
+        .alias("q4"),
+    )
+    n = F.count("*")
+    return staged.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        (n - F.countDistinct("fp")).cast("long").alias("n_dup_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_toks").cast("double") / n.cast("double"), 4
+        ).alias("avg_tokens"),
+        F.round(
+            F.sum("q4").cast("double") / (F.lit(10000.0) * n.cast("double")),
+            6,
+        ).alias("mean_quality"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )

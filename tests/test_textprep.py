@@ -291,3 +291,27 @@ def test_char_entropy_known_values(spark):
     assert r["n_chars"] == 3
     want = round(-(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3), 4)
     assert r["entropy_bits"] == want
+
+
+def test_corpus_health_report_exact_counts(spark):
+    rows = [
+        (0, "s1", "en", "the cat sat"),
+        (1, "s1", "en", "the cat sat"),          # exact dup of 0
+        (2, "s1", "de", "ein anderer text hier"),
+        (3, "s2", "en", "completely different words"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    got = {
+        r["source"]: r
+        for r in TP.corpus_health_report(
+            df, "source", "doc_id", "text", "lang"
+        ).collect()
+    }
+    s1 = got["s1"]
+    assert (s1["n_docs"], s1["n_dup_docs"], s1["n_langs"]) == (3, 1, 2)
+    assert s1["total_tokens"] == 3 + 3 + 4
+    assert s1["avg_tokens"] == round(10 / 3, 4)
+    s2 = got["s2"]
+    assert (s2["n_docs"], s2["n_dup_docs"], s2["n_langs"]) == (1, 0, 1)
