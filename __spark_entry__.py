@@ -3018,6 +3018,17 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (functions/text.py bigram_logprob):
+    mean log P(wᵢ|wᵢ₋₁) per doc under the corpus's own add-0.5
+    smoothed bigram model — penalizes improbable word order, not just
+    rare vocabulary."""
+    from parquet_editor_spark.functions.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "doc_id", "text")
+
+
 def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus admission dashboard (operators/textprep.py
     corpus_health_report): doc/dup counts, token mass, mean quality,
@@ -3303,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample_events": q_group_sample_events,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "corpus_health": q_corpus_health,
+        "bigram_logprob": q_bigram_logprob,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -5074,6 +5086,31 @@ def oracle_sql() -> dict[str, str]:
                          6) AS rrf
             FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "bigram_logprob": """
+            WITH t AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                FROM documents),
+            big AS (
+                SELECT doc_id, bg.prev AS prev, bg.cur AS cur FROM (
+                    SELECT doc_id, unnest(list_transform(
+                        range(1, len(toks)),
+                        i -> {'prev': toks[i], 'cur': toks[i+1]})) AS bg
+                    FROM t)),
+            c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+                   FROM big GROUP BY prev, cur),
+            uni AS (SELECT unnest(toks) AS w FROM t),
+            c1 AS (SELECT w AS prev, CAST(count(*) AS BIGINT) AS c1
+                   FROM uni GROUP BY w),
+            v AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM c1)
+            SELECT doc_id AS id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(ln((c2 + 0.5) / (c1 + 0.5 * V))), 4)
+                       AS avg_logprob
+            FROM big JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+            CROSS JOIN v
+            GROUP BY doc_id
         """,
         "corpus_health": """
             WITH t AS (

@@ -348,3 +348,59 @@ def rolling_hash(col: str | Column, base: int = 31, mod: int = 1_000_000_007) ->
         f"'p', (acc.p * {base}) % {mod}), "
         f"acc -> acc.h)"
     )
+
+
+def bigram_logprob(
+    df, id_col: str, text_col: str, alpha: float = 0.5, round_to: int = 4
+):
+    """Bigram-LM quality score: mean log P(wᵢ | wᵢ₋₁) per document
+    under the corpus's own add-α-smoothed bigram model — one modeling
+    step up from ``unigram_logprob`` (driver-green r2): it penalizes
+    improbable word ORDER, not just rare vocabulary, so shuffled or
+    template-stitched text scores low even when every word is common.
+
+    P(cur|prev) = (c₂(prev,cur) + α) / (c₁(prev) + α·V) from exact
+    integer corpus counts (V = unigram vocabulary size), evaluated in
+    one fixed expression — same cross-engine stability class as
+    unigram_logprob (the per-doc avg is the one engine-ordered
+    reduction, rounded at ``round_to``).
+
+    Plan: one bigram explode feeds BOTH the model counts and the
+    scoring join (the relation is reused, not re-derived from text);
+    bigram counts join on the pair key (bigram-vocab-sized, far below
+    corpus scale), unigram counts and the 1-row V broadcast.  Docs
+    with <2 tokens have no bigrams and drop out."""
+    toks = tokens(text_col)
+    staged = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    # guard like word_ngrams_all: sequence(1, 0) would DESCEND and
+    # fabricate out-of-range indices on docs shorter than 2 tokens
+    pairs = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - 1),
+            lambda i: F.struct(
+                F.element_at("__toks", i).alias("prev"),
+                F.element_at("__toks", i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    big = staged.select("id", F.explode(pairs).alias("bg")).select(
+        "id", "bg.prev", "bg.cur"
+    )
+    c2 = big.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    uni = df.select(F.explode(tokens(text_col)).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    vocab = c1.agg(F.count("*").cast("double").alias("V"))
+    p = (F.col("c2") + F.lit(alpha)) / (
+        F.col("c1") + F.lit(alpha) * F.col("V")
+    )
+    return (
+        big.join(c2, ["prev", "cur"])
+        .join(c1.withColumnRenamed("w", "prev"), "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), round_to).alias("avg_logprob"),
+        )
+    )

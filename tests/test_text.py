@@ -202,3 +202,27 @@ def test_unigram_logprob_orders_rare_docs_lower(spark):
     # hand-check doc 1: p(common) = 6/8 → ln(0.75)
     import math
     assert rows[1] == pytest.approx(round(math.log(6 / 8), 4))
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from parquet_editor_spark.functions.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b a"), (2, "a")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_logprob(df, "doc_id", "text", alpha=0.5).collect()
+    }
+    # corpus: unigrams a=4 b=3, V=2; bigrams: (a,b)=2 (b,a)=2
+    V = 2.0
+    p_ab = (2 + 0.5) / (4 + 0.5 * V)   # prev=a count 4
+    p_ba = (2 + 0.5) / (3 + 0.5 * V)   # prev=b count 3
+    d0 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 4)
+    d1 = round(math.log(p_ba), 4)
+    assert got[0] == (3, d0)
+    assert got[1] == (1, d1)
+    assert 2 not in got  # single-token doc has no bigrams
