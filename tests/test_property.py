@@ -268,3 +268,42 @@ def test_incremental_dedup_matches_python(spark, seen_texts, new_rows):
         if t not in set(seen_texts) and t not in first_by_text:
             first_by_text[t] = i
     assert got == sorted(first_by_text.values())
+
+
+@given(
+    base=st.dictionaries(
+        st.integers(0, 12),
+        st.tuples(st.sampled_from(["a", "b", None]), st.integers(0, 3)),
+        max_size=10,
+    ),
+    curr=st.dictionaries(
+        st.integers(0, 12),
+        st.tuples(st.sampled_from(["a", "b", None]), st.integers(0, 3)),
+        max_size=10,
+    ),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_table_diff_matches_python_reference(spark, base, curr):
+    """table_diff ≡ the dict-diff: added/removed/changed with null-safe
+    equality, unchanged keys absent."""
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.operators import warehouse as WH
+
+    mk = lambda d: spark.createDataFrame(
+        [(k, s, v) for k, (s, v) in sorted(d.items())] or [(None, None, None)],
+        "k long, s string, v long",
+    ).filter(F.col("k").isNotNull())
+    got = {
+        r["k"]: r["change_type"]
+        for r in WH.table_diff(mk(base), mk(curr), ["k"]).collect()
+    }
+    want = {}
+    for k in set(base) | set(curr):
+        if k not in base:
+            want[k] = "added"
+        elif k not in curr:
+            want[k] = "removed"
+        elif base[k] != curr[k]:
+            want[k] = "changed"
+    assert got == want
