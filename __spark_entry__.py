@@ -3018,6 +3018,53 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_purge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style surgical delete (operators/warehouse.py purge_keys):
+    hive-partition orders by status, purge keys %101=0 rewriting only
+    the partitions that contain them, read the table back.  The
+    oracle reproduces the survivor set from the source table, so a
+    dynamic-overwrite leak (fully-purged partition left behind) or an
+    over-rewrite hash-fails."""
+    import tempfile
+
+    from parquet_editor_spark.operators import warehouse as WH
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    tmp = tempfile.mkdtemp(prefix="pes_purge_")
+    p = f"{tmp}/orders"
+    orders.write.partitionBy("o_orderstatus").parquet(p)
+    keys = orders.filter(F.col("o_orderkey") % 101 == 0).select(
+        "o_orderkey"
+    )
+    WH.purge_keys(spark, p, "o_orderkey", keys, "o_orderstatus")
+    return spark.read.parquet(p)
+
+
+def q_refresh_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh (operators/warehouse.py
+    refresh_sum_agg): per-priority revenue matview built from 3/4 of
+    orders, folded with the remaining 1/4 as a delta batch — cost
+    |matview| + |delta|, never the base table.  Oracle aggregates the
+    whole table directly, so the refreshed view must be exact."""
+    from parquet_editor_spark.operators import warehouse as WH
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base = orders.filter(F.col("o_orderkey") % 4 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderpriority", cents.alias("total_c")
+    )
+    mat = base.groupBy("o_orderpriority").agg(
+        F.sum(cents).alias("total_c"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return WH.refresh_sum_agg(
+        mat, delta, ["o_orderpriority"], ["total_c"]
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality score (functions/text.py bigram_logprob):
     mean log P(wᵢ|wᵢ₋₁) per doc under the corpus's own add-0.5
@@ -3315,6 +3362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "corpus_health": q_corpus_health,
         "bigram_logprob": q_bigram_logprob,
+        "purge_orders": q_purge_orders,
+        "refresh_matview": q_refresh_matview,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -5086,6 +5135,17 @@ def oracle_sql() -> dict[str, str]:
                          6) AS rrf
             FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "purge_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 101 <> 0
+        """,
+        "refresh_matview": """
+            SELECT o_orderpriority,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS total_c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_orderpriority
         """,
         "bigram_logprob": """
             WITH t AS (

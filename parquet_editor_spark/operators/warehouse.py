@@ -460,3 +460,97 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def purge_keys(
+    spark,
+    path: str,
+    key_col: str,
+    keys: DataFrame,
+    part_col: str,
+) -> list:
+    """GDPR-style surgical delete from a hive-partitioned parquet
+    table: remove every row whose ``key_col`` appears in ``keys``,
+    rewriting ONLY the partitions that contain such rows.  Returns the
+    list of partition values that were rewritten.
+
+    At 100 TB the entire point is what this does NOT do: untouched
+    partitions are never read for the rewrite, never rewritten, and
+    their files keep their identity (pinned by mtime in the tests).
+    The discovery pass scans just (key, partition) — column-pruned,
+    broadcast-semi-joined against the (small by contract) key set —
+    and the rewrite uses dynamic partition overwrite so only the
+    affected partition directories are replaced.  A partition whose
+    every row is purged yields no rows for dynamic overwrite to
+    replace, so it is removed explicitly — the classic dynamic-mode
+    leak.
+
+    This is the honest plain-parquet analog of DELETE in a table
+    format (Delta/Iceberg would write deletion vectors instead of
+    rewriting; the partition-pruning shape is the same)."""
+    import os
+    import shutil
+
+    bkeys = F.broadcast(keys)
+    tbl = spark.read.parquet(path)
+    affected = [
+        r[0]
+        for r in tbl.join(bkeys, key_col, "semi")
+        .select(part_col)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return []
+    remaining = tbl.filter(F.col(part_col).isin(affected)).join(
+        bkeys, key_col, "left_anti"
+    )
+    survivors = {
+        r[0]
+        for r in remaining.select(part_col).distinct().collect()
+    }
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if survivors:
+            remaining.write.mode("overwrite").partitionBy(part_col).parquet(
+                path
+            )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", old_mode
+        )
+    for p in set(affected) - survivors:
+        d = os.path.join(path, f"{part_col}={p}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    return sorted(affected)
+
+
+def refresh_sum_agg(
+    matview: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for SUM/COUNT
+    aggregates: fold a delta batch into an existing per-key aggregate
+    without touching the base table — ``new = groupBy(keys) over
+    (matview ∪ agg(delta))``.  SUM and COUNT are the self-maintainable
+    aggregates (AVG derives as sum/n downstream; MIN/MAX are NOT
+    refreshable under deletes and are deliberately absent).
+
+    Scale shape: the delta aggregates first (map-side combine over
+    the batch), then one hash agg over matview ∪ delta-agg — cost
+    proportional to |matview| + |delta|, never the base table.  Keys
+    present only in the delta appear; existing keys accumulate."""
+    d = delta.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.count("*").cast("long").alias(count_col),
+    )
+    both = matview.select(*keys, *sum_cols, count_col).unionByName(d)
+    return both.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.sum(count_col).cast("long").alias(count_col),
+    )

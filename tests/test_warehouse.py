@@ -298,3 +298,68 @@ def test_compact_files_splits_oversized(spark, tmp_path):
     out = WH.compact_files(spark, src, dst, target_rows_per_file=3_000)
     assert len(glob.glob(f"{dst}/*.parquet")) == 3
     assert out.count() == 9_000
+
+
+# --- GDPR purge -----------------------------------------------------------
+
+
+def test_purge_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    import os
+
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B"), (5, "C")],
+        "k long, part string",
+    )
+    df.write.partitionBy("part").parquet(p)
+    c_files = sorted(glob.glob(f"{p}/part=C/*.parquet"))
+    c_mtimes = [os.path.getmtime(f) for f in c_files]
+    keys = spark.createDataFrame([(2,), (3,)], "k long")
+    rewritten = WH.purge_keys(spark, p, "k", keys, "part")
+    assert rewritten == ["A", "B"]
+    # purged rows gone, everything else intact
+    left = sorted(r["k"] for r in spark.read.parquet(p).collect())
+    assert left == [1, 4, 5]
+    # partition C untouched: same files, same mtimes
+    assert sorted(glob.glob(f"{p}/part=C/*.parquet")) == c_files
+    assert [os.path.getmtime(f) for f in c_files] == c_mtimes
+
+
+def test_purge_keys_removes_fully_purged_partition(spark, tmp_path):
+    import os
+
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "A"), (2, "B")], "k long, part string"
+    ).write.partitionBy("part").parquet(p)
+    keys = spark.createDataFrame([(2,)], "k long")
+    WH.purge_keys(spark, p, "k", keys, "part")
+    assert not os.path.isdir(f"{p}/part=B")
+    assert [r["k"] for r in spark.read.parquet(p).collect()] == [1]
+
+
+def test_purge_keys_no_match_is_noop(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "A")], "k long, part string"
+    ).write.partitionBy("part").parquet(p)
+    keys = spark.createDataFrame([(99,)], "k long")
+    assert WH.purge_keys(spark, p, "k", keys, "part") == []
+    assert spark.read.parquet(p).count() == 1
+
+
+# --- incremental aggregate refresh ---------------------------------------
+
+
+def test_refresh_sum_agg_folds_delta(spark):
+    mat = spark.createDataFrame(
+        [("a", 10, 2), ("b", 20, 3)], "g string, s long, n long"
+    )
+    delta = spark.createDataFrame(
+        [("b", 5), ("b", 5), ("c", 7)], "g string, s long"
+    )
+    out = {
+        r["g"]: (r["s"], r["n"])
+        for r in WH.refresh_sum_agg(mat, delta, ["g"], ["s"]).collect()
+    }
+    assert out == {"a": (10, 2), "b": (30, 5), "c": (7, 1)}
