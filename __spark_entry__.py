@@ -3018,6 +3018,17 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle contamination matrix (operators/dedup.py
+    source_overlap_matrix): shared distinct 3-gram shingles and
+    overlap coefficient per source pair — candidate pairs generated
+    per shared shingle, never all-pairs."""
+    from parquet_editor_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    return D.source_overlap_matrix(docs, "source", "text", n=3)
+
+
 def q_purge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDPR-style surgical delete (operators/warehouse.py purge_keys):
     hive-partition orders by status, purge keys %101=0 rewriting only
@@ -3364,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "purge_orders": q_purge_orders,
         "refresh_matview": q_refresh_matview,
+        "source_overlap": q_source_overlap,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -5135,6 +5147,33 @@ def oracle_sql() -> dict[str, str]:
                          6) AS rrf
             FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "source_overlap": """
+            WITH t AS (
+                SELECT source, list_filter(
+                    string_split_regex(text, '\\s+'), x -> x != '') AS toks
+                FROM documents),
+            ss AS (
+                SELECT DISTINCT source AS src, sh FROM (
+                    SELECT source,
+                           unnest([toks[i] || ' ' || toks[i+1] || ' '
+                                   || toks[i+2]
+                                   FOR i IN range(1, len(toks) - 1)]) AS sh
+                    FROM t WHERE len(toks) >= 3)),
+            sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n_sh
+                      FROM ss GROUP BY src),
+            shared AS (
+                SELECT a.src AS source_a, b.src AS source_b,
+                       CAST(count(*) AS BIGINT) AS shared
+                FROM ss a JOIN ss b ON a.sh = b.sh
+                WHERE a.src < b.src GROUP BY 1, 2)
+            SELECT source_a, source_b, shared,
+                   sa.n_sh AS n_a, sb.n_sh AS n_b,
+                   round(shared / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE),
+                         4) AS overlap
+            FROM shared
+            JOIN sizes sa ON sa.src = source_a
+            JOIN sizes sb ON sb.src = source_b
         """,
         "purge_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

@@ -782,3 +782,65 @@ def incremental_minhash_dedup(
     banded.unpersist()
     sets_all.unpersist()
     return new_df.join(dropped, id_col, "left_anti")
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    n: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of shared distinct word ``n``-gram shingles and the overlap
+    coefficient ``shared / min(|A|, |B|)`` — the corpus-level sibling
+    of per-doc ``decontaminate``: it answers "how much of source B is
+    already in source A" before mixing, where a high coefficient means
+    one crawl snapshot largely contains another.
+
+    Scale shape: distinct (source, shingle) first (one hash agg —
+    map-side combine bounds the shuffle by per-source shingle
+    vocabulary, not corpus tokens), then a self-equi-join ON THE
+    SHINGLE — candidate pairs are generated per shared shingle, never
+    all-pairs of documents or sources; per-source set sizes broadcast
+    back onto the (#sources²-bounded) pair counts."""
+    ss = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(X.word_shingles(text_col, n)).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = ss.groupBy("src").agg(F.count("*").alias("n_sh"))
+    a = ss.select(F.col("src").alias("source_a"), "sh")
+    b = ss.select(F.col("src").alias("source_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnRenamed("src", "source_a")
+                        .withColumnRenamed("n_sh", "n_a")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("src", "source_b")
+                        .withColumnRenamed("n_sh", "n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("shared")
+                / F.least("n_a", "n_b").cast("double"),
+                round_to,
+            ).alias("overlap"),
+        )
+    )

@@ -246,3 +246,23 @@ def test_incremental_minhash_dedup_cross_and_in_batch(spark):
         ).collect()
     )
     assert kept == [3, 7]
+
+
+def test_source_overlap_matrix_counts(spark):
+    from parquet_editor_spark.operators.dedup import source_overlap_matrix
+
+    rows = [
+        (0, "A", "w1 w2 w3 w4"),        # shingles: {w1w2w3, w2w3w4}
+        (1, "B", "w1 w2 w3"),           # {w1w2w3}
+        (2, "C", "x1 x2 x3"),           # {x1x2x3} — disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(df, "source", "text").collect()
+    }
+    ab = out[("A", "B")]
+    assert (ab["shared"], ab["n_a"], ab["n_b"]) == (1, 2, 1)
+    assert ab["overlap"] == 1.0     # B is fully contained in A
+    assert ("A", "C") not in out    # zero shared shingles -> no row
+    assert ("B", "C") not in out
