@@ -3018,6 +3018,38 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline composing the round-4b signals: per-doc
+    character entropy band (3.9–4.2 bits) ∩ bigram-LM word-order
+    score (≥ −3.5) ∩ exact-dedup canonical keeper (min doc_id per
+    fingerprint).  All three filters compare the operators' ROUNDED
+    outputs, so the boundary decisions are engine-exact; each stage
+    keeps its own bounded plan (alphabet-bounded entropy agg,
+    vocab-bounded bigram joins, 16-byte-fingerprint dedup)."""
+    from parquet_editor_spark.functions.text import bigram_logprob
+    from parquet_editor_spark.operators import dedup as D
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents")
+    ent = TP.char_entropy(docs, "doc_id", "text").filter(
+        F.col("entropy_bits").between(3.9, 4.2)
+    )
+    bg = bigram_logprob(docs, "doc_id", "text").filter(
+        F.col("avg_logprob") >= -3.5
+    )
+    keep = D.exact_dup_groups(docs, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(keep, "doc_id")
+        .join(ent.select(F.col("id").alias("doc_id"), "entropy_bits"), "doc_id")
+        .join(
+            bg.select(F.col("id").alias("doc_id"), "avg_logprob"), "doc_id"
+        )
+    )
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source shingle contamination matrix (operators/dedup.py
     source_overlap_matrix): shared distinct 3-gram shingles and
@@ -3376,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purge_orders": q_purge_orders,
         "refresh_matview": q_refresh_matview,
         "source_overlap": q_source_overlap,
+        "pipeline_curation_v3": q_pipeline_curation_v3,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -5147,6 +5180,54 @@ def oracle_sql() -> dict[str, str]:
                          6) AS rrf
             FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "pipeline_curation_v3": """
+            WITH ch AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents),
+            cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+                   FROM ch WHERE ch <> '' GROUP BY doc_id, ch),
+            ent AS (
+                SELECT doc_id,
+                       round((ln(CAST(sum(c) AS DOUBLE))
+                              - sum(CAST(c AS DOUBLE)
+                                    * ln(CAST(c AS DOUBLE)))
+                                / CAST(sum(c) AS DOUBLE)) / ln(2.0),
+                             4) AS entropy_bits
+                FROM cc GROUP BY doc_id),
+            t AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                FROM documents),
+            big AS (
+                SELECT doc_id, bg.prev AS prev, bg.cur AS cur FROM (
+                    SELECT doc_id, unnest(list_transform(
+                        range(1, len(toks)),
+                        i -> {'prev': toks[i], 'cur': toks[i+1]})) AS bg
+                    FROM t)),
+            c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+                   FROM big GROUP BY prev, cur),
+            uni AS (SELECT unnest(toks) AS w FROM t),
+            c1 AS (SELECT w AS prev, CAST(count(*) AS BIGINT) AS c1
+                   FROM uni GROUP BY w),
+            v AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM c1),
+            bgl AS (
+                SELECT doc_id,
+                       round(avg(ln((c2 + 0.5) / (c1 + 0.5 * V))), 4)
+                           AS avg_logprob
+                FROM big JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+                CROSS JOIN v GROUP BY doc_id),
+            keep AS (
+                SELECT min(doc_id) AS doc_id FROM documents
+                GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                  'g'))))
+            SELECT d.doc_id, d.source, ent.entropy_bits, bgl.avg_logprob
+            FROM documents d
+            JOIN keep USING (doc_id)
+            JOIN ent ON ent.doc_id = d.doc_id
+            JOIN bgl ON bgl.doc_id = d.doc_id
+            WHERE ent.entropy_bits BETWEEN 3.9 AND 4.2
+              AND bgl.avg_logprob >= -3.5
         """,
         "source_overlap": """
             WITH t AS (
