@@ -3018,6 +3018,33 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_refresh_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental matview maintenance (streaming/stream.py
+    refresh_stream_matview): per-event-type exact-cents value sums and
+    counts folded per micro-batch into a parquet matview
+    (foreachBatch + batch-id-transactional atomic swap).  On a finite
+    source the folded view must equal the batch aggregate the oracle
+    computes."""
+    import tempfile
+
+    ST, ev = _stream_events(spark, sf_dir)
+    sel = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
+    )
+    tmp = tempfile.mkdtemp(prefix="pes_smv_")
+    q = ST.refresh_stream_matview(
+        sel, f"{tmp}/mat", f"{tmp}/ckpt", ["event_type"], ["value_c"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(f"{tmp}/mat").select(
+        "event_type", "value_c", "n"
+    )
+
+
 def q_pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation pipeline composing the round-4b signals: per-doc
     character entropy band (3.9–4.2 bits) ∩ bigram-LM word-order
@@ -3409,6 +3436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refresh_matview": q_refresh_matview,
         "source_overlap": q_source_overlap,
         "pipeline_curation_v3": q_pipeline_curation_v3,
+        "stream_refresh_matview": q_stream_refresh_matview,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -5180,6 +5208,13 @@ def oracle_sql() -> dict[str, str]:
                          6) AS rrf
             FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "stream_refresh_matview": """
+            SELECT event_type,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS value_c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
         """,
         "pipeline_curation_v3": """
             WITH ch AS (

@@ -19,6 +19,7 @@ from parquet_editor_spark.streaming.stream import (
     sessionize_stateful,
     sessionize_tws,
     sliding_counts,
+    refresh_stream_matview,
     upsert_stream_parquet,
     windowed_counts,
     write_stream_parquet,
@@ -34,6 +35,7 @@ __all__ = [
     "sessionize_stateful",
     "sessionize_tws",
     "sliding_counts",
+    "refresh_stream_matview",
     "upsert_stream_parquet",
     "windowed_counts",
     "write_stream_parquet",

@@ -482,3 +482,63 @@ def write_stream_parquet(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def refresh_stream_matview(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+):
+    """Streaming incremental materialized-view sink: every micro-batch
+    folds into a running per-key SUM/COUNT aggregate table via
+    ``warehouse.refresh_sum_agg`` — the streaming face of batch
+    matview maintenance, at |matview| + |batch| cost per trigger
+    instead of re-aggregating history.
+
+    Unlike the keyed upsert sink, a SUM fold is NOT naturally
+    idempotent — replaying a batch after a crash-between-swap-and-
+    commit would double-count — so the fold is made transactional on
+    the batch id: the applied batch id is committed inside the table
+    directory (``_applied_batch``) by the same atomic swap that
+    publishes the data, and a replayed batch id is skipped.  On a
+    lakehouse this is the table format's commit-with-metadata; here
+    it is a marker file inside the swapped directory."""
+    import os
+    import shutil
+
+    from parquet_editor_spark.operators.warehouse import refresh_sum_agg
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = os.path.join(path, "_applied_batch")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # replay of an already-committed fold
+        if os.path.isdir(path):
+            mat = spark.read.parquet(path)
+            new = refresh_sum_agg(mat, batch_df, keys, sum_cols, count_col)
+        else:
+            new = batch_df.groupBy(*keys).agg(
+                *[F.sum(c).alias(c) for c in sum_cols],
+                F.count("*").cast("long").alias(count_col),
+            )
+        staging = f"{path}__staging"
+        new.coalesce(1).write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
+        old = f"{path}__old"
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -549,3 +549,65 @@ def test_python_streaming_datasource_replay(spark, sf_dir):
     got = {tuple(r) for r in streamed.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and got
+
+
+def test_stream_matview_folds_across_batches(spark, events_batch, tmp_path):
+    """Multi-batch fold: maxFilesPerTrigger=1 forces several
+    micro-batches; the final matview equals the batch aggregate."""
+    src = str(tmp_path / "src")
+    mat = str(tmp_path / "mat")
+    ckpt = str(tmp_path / "ckpt")
+    events_batch.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        )
+    )
+    q = ST.refresh_stream_matview(
+        stream, mat, ckpt, ["event_type"], ["vc"]
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["event_type"]: (r["vc"], r["n"])
+        for r in spark.read.parquet(mat).collect()
+    }
+    want = {
+        r["event_type"]: (r["vc"], r["n"])
+        for r in events_batch.select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("vc").alias("vc"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_matview_replayed_batch_is_skipped(spark, tmp_path):
+    """The batch-id marker makes a replayed fold a no-op — SUM folds
+    are not naturally idempotent, so this is the exactly-once seam."""
+    import os
+
+    from parquet_editor_spark.streaming.stream import refresh_stream_matview
+
+    mat = str(tmp_path / "mat")
+    batch = spark.createDataFrame([("a", 10), ("b", 5)], "g string, s long")
+    # restart the SAME checkpointed query over an unchanged source —
+    # a replayed/empty batch id must not double the sums
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    batch.write.parquet(src)
+    for _ in range(2):  # second run replays nothing new
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        q = refresh_stream_matview(stream, mat, ckpt, ["g"], ["s"])
+        q.processAllAvailable()
+        q.stop()
+    got = {r["g"]: (r["s"], r["n"]) for r in spark.read.parquet(mat).collect()}
+    assert got == {"a": (10, 1), "b": (5, 1)}
+    assert os.path.isfile(f"{mat}/_applied_batch")
