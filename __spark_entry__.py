@@ -3018,6 +3018,28 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-dropout augmentation (operators/textprep.py
+    token_dropout): 10% per-token drop decided by a pure hash of
+    (doc, position, seed) — reproducible across engines and
+    repartitioning, so the augmented view never needs storing.  Pure
+    projection, no shuffle."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents")
+    return TP.token_dropout(docs, "doc_id", "text", rate_permille=100)
+
+
+def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataloader sharding plan (operators/textprep.py shard_stats):
+    hash-assign docs to 8 shards, report per-shard doc and token
+    mass — the balance check before writing training shards."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents")
+    return TP.shard_stats(docs, "doc_id", "text", n_shards=8)
+
+
 def q_stream_refresh_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental matview maintenance (streaming/stream.py
     refresh_stream_matview): per-event-type exact-cents value sums and
@@ -3437,6 +3459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "pipeline_curation_v3": q_pipeline_curation_v3,
         "stream_refresh_matview": q_stream_refresh_matview,
+        "token_dropout": q_token_dropout,
+        "shard_stats": q_shard_stats,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -5208,6 +5232,32 @@ def oracle_sql() -> dict[str, str]:
                          6) AS rrf
             FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "token_dropout": """
+            WITH t AS (
+                SELECT doc_id AS id, list_filter(
+                    string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                FROM documents),
+            k AS (
+                SELECT id, len(toks) AS n_tokens,
+                       [toks[i] FOR i IN range(1, len(toks) + 1)
+                        IF ((((id % 1000003) * 104729 + i) % 1000003
+                             * 2654435761 + 40503) % 4294967296) % 1000
+                           >= 100] AS kept
+                FROM t WHERE len(toks) > 0)
+            SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   array_to_string(kept, ' ') AS text_aug
+            FROM k
+        """,
+        "shard_stats": """
+            SELECT ((doc_id % 1000003) * 2654435761 + 40503)
+                       % 4294967296 % 8 AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(
+                       string_split_regex(text, '\\s+'),
+                       x -> x <> ''))) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY 1
         """,
         "stream_refresh_matview": """
             SELECT event_type,

@@ -465,3 +465,76 @@ def corpus_health_report(
         ).alias("mean_quality"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+def token_dropout(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rate_permille: int = 100,
+    seed: int = 40503,
+) -> DataFrame:
+    """Deterministic token-dropout augmentation: drop each token with
+    probability ``rate_permille``/1000, decided by a pure hash of
+    (doc id, token position, seed) — so the augmentation is
+    reproducible across runs/engines/repartitioning and a different
+    ``seed`` yields an independent corpus view (the property that
+    makes hash-dropout usable for multi-epoch augmentation without
+    storing the augmented text).
+
+    Pure array expressions — the per-position decision is a list
+    comprehension over token indices, no explode and no shuffle; the
+    operator is a projection."""
+    toks = tokens(text_col)
+    staged = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    # h ≤ 1e6 keeps h*2654435761 ≈ 2.7e15 inside int64
+    keep = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks")),
+            lambda i: F.struct(
+                F.element_at("__toks", i).alias("t"),
+                (
+                    (
+                        (F.col("id") % 1_000_003) * 104729 + i
+                    ) % 1_000_003 * 2654435761 + F.lit(seed)
+                ).cast("long").alias("h"),
+            ),
+        ),
+        lambda s: s["h"] % 4294967296 % 1000 >= rate_permille,
+    )
+    kept = F.transform(keep, lambda s: s["t"])
+    return staged.filter(F.size("__toks") > 0).select(
+        "id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.concat_ws(" ", kept).alias("text_aug"),
+    )
+
+
+def shard_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 8,
+    seed: int = 40503,
+) -> DataFrame:
+    """Dataloader sharding plan: assign each doc to a shard by portable
+    hash and report per-shard doc and token mass — the balance check
+    run before writing N shard files for a training job.  One
+    projection + one hash agg; balanced by construction because the
+    multiplicative hash is uniform on the id space."""
+    bucket = (
+        (F.col(id_col) % F.lit(1_000_003)) * F.lit(2654435761)
+        + F.lit(seed)
+    ) % F.lit(4294967296) % F.lit(n_shards)
+    return (
+        df.select(
+            bucket.cast("long").alias("shard"),
+            F.size(tokens(text_col)).alias("n_toks"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+    )

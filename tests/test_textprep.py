@@ -315,3 +315,45 @@ def test_corpus_health_report_exact_counts(spark):
     assert s1["avg_tokens"] == round(10 / 3, 4)
     s2 = got["s2"]
     assert (s2["n_docs"], s2["n_dup_docs"], s2["n_langs"]) == (1, 0, 1)
+
+
+def test_token_dropout_deterministic_and_rate(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(50))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out1 = TP.token_dropout(df, "doc_id", "text", rate_permille=200)
+    rows1 = sorted(
+        (r["id"], r["n_kept"], r["text_aug"]) for r in out1.collect()
+    )
+    # deterministic across repartition
+    out2 = TP.token_dropout(
+        df.repartition(7), "doc_id", "text", rate_permille=200
+    )
+    assert sorted(
+        (r["id"], r["n_kept"], r["text_aug"]) for r in out2.collect()
+    ) == rows1
+    # realized drop rate near 20% over 2000 tokens
+    total = sum(r[1] for r in rows1)
+    assert 0.70 <= total / 2000 <= 0.90
+    # kept tokens preserve order and come from the original
+    for _id, _nk, aug in rows1[:3]:
+        toks = aug.split()
+        idx = [int(t[1:]) for t in toks]
+        assert idx == sorted(idx)
+    # a different seed gives a different view
+    out3 = TP.token_dropout(df, "doc_id", "text", rate_permille=200, seed=7)
+    assert sorted(
+        (r["id"], r["n_kept"], r["text_aug"]) for r in out3.collect()
+    ) != rows1
+
+
+def test_shard_stats_covers_all_docs(spark):
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(1000)], "doc_id long, text string"
+    )
+    rows = TP.shard_stats(df, "doc_id", "text", n_shards=4).collect()
+    assert sum(r["n_docs"] for r in rows) == 1000
+    assert sum(r["total_tokens"] for r in rows) == 3000
+    # roughly balanced: no shard more than 2x the mean
+    assert max(r["n_docs"] for r in rows) < 2 * 250
