@@ -3018,6 +3018,28 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (operators/graph.py pagerank) over the
+    event-type transition graph (edges = consecutive event types per
+    user, weight = transition count): the iterative-algorithm
+    representative — 3 unrolled supersteps of join+agg, with the
+    generated SQL-CTE oracle replaying every iteration
+    (pagerank_sql_ctes, the hilbert_sql_ctes convention)."""
+    from pyspark.sql import Window as W
+
+    from parquet_editor_spark.operators import graph as G
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    edges = trans.groupBy(
+        F.col("prev").alias("src"), F.col("event_type").alias("dst")
+    ).agg(F.count("*").cast("double").alias("w"))
+    return G.pagerank(edges, "src", "dst", "w", iters=3)
+
+
 def q_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic token-dropout augmentation (operators/textprep.py
     token_dropout): 10% per-token drop decided by a pure hash of
@@ -3461,6 +3483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_refresh_matview": q_stream_refresh_matview,
         "token_dropout": q_token_dropout,
         "shard_stats": q_shard_stats,
+        "pagerank_event_graph": q_pagerank_event_graph,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -3606,7 +3629,23 @@ def oracle_sql() -> dict[str, str]:
         bits=8,
         out_col="hval",
     )
+    from parquet_editor_spark.operators.graph import pagerank_sql_ctes
+
+    # generated from the SAME recurrence the Spark operator unrolls —
+    # one spec, two engines (see q_pagerank_event_graph)
+    pagerank_oracle = pagerank_sql_ctes(
+        "SELECT prev AS src, event_type AS dst,"
+        " CAST(count(*) AS DOUBLE) AS w FROM ("
+        "SELECT event_type, lag(event_type) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS prev"
+        " FROM events) WHERE prev IS NOT NULL GROUP BY 1, 2",
+        "src",
+        "dst",
+        "w",
+        iters=3,
+    )
     return {
+        "pagerank_event_graph": pagerank_oracle,
         "hilbert_cluster_keys": hilbert_oracle,
         "incremental_minhash": _ORACLE_INCREMENTAL_MINHASH,
         # --- divergence probes (see the probe_* docstrings) ---
