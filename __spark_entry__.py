@@ -3018,6 +3018,18 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo/variant word pairs at edit distance ≤1 (operators/dedup.py
+    fuzzy_word_pairs): FastSS deletion-neighborhood blocking + exact
+    levenshtein verify over part-name vocabulary — vocab×len variants,
+    one equi-join, never O(V²); the oracle IS the O(V²) scan at toy
+    scale."""
+    from parquet_editor_spark.operators import dedup as D
+
+    part = _t(spark, sf_dir, "part")
+    return D.fuzzy_word_pairs(part, "p_name")
+
+
 def q_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (operators/graph.py pagerank) over the
     event-type transition graph (edges = consecutive event types per
@@ -3484,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_dropout": q_token_dropout,
         "shard_stats": q_shard_stats,
         "pagerank_event_graph": q_pagerank_event_graph,
+        "fuzzy_word_pairs": q_fuzzy_word_pairs,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -5271,6 +5284,18 @@ def oracle_sql() -> dict[str, str]:
                          6) AS rrf
             FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "fuzzy_word_pairs": """
+            WITH w AS (
+                SELECT DISTINCT unnest(list_filter(
+                    string_split_regex(p_name, '\\s+'),
+                    x -> x <> '')) AS w
+                FROM part),
+            f AS (SELECT w FROM w WHERE length(w) >= 3)
+            SELECT a.w AS word_a, b.w AS word_b,
+                   CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+            FROM f a, f b
+            WHERE a.w < b.w AND levenshtein(a.w, b.w) <= 1
         """,
         "token_dropout": """
             WITH t AS (

@@ -844,3 +844,61 @@ def source_overlap_matrix(
             ).alias("overlap"),
         )
     )
+
+
+def fuzzy_word_pairs(
+    df: DataFrame,
+    text_col: str,
+    min_len: int = 3,
+) -> DataFrame:
+    """All DISTINCT word pairs at Levenshtein distance ≤ 1 — typo /
+    spelling-variant discovery for vocabulary normalization, via
+    FastSS deletion-neighborhood blocking (Bocek et al. 2007) instead
+    of the O(V²) all-pairs scan the oracle runs at toy scale.
+
+    Completeness: two words within edit distance 1 always share a
+    member of each other's 1-deletion neighborhood ∪ {word} —
+    substitution (delete the differing position from both), insertion/
+    deletion (the longer word's deletion IS the shorter word) — so
+    joining on generated variants finds every true pair; exact
+    ``levenshtein`` then kills the false candidates (distance-2 pairs
+    that collide, e.g. transposed neighbors).
+
+    Scale shape: variant generation is a projection + explode bounded
+    by vocabulary × word length (NOT corpus tokens — distinct words
+    first); the equi-join on the variant string is the only shuffle;
+    verification touches candidates only.  Words shorter than
+    ``min_len`` are excluded (their neighborhoods are all noise)."""
+    words = (
+        df.select(F.explode(X.tokens(text_col)).alias("w"))
+        .distinct()
+        .filter(F.length("w") >= min_len)
+    )
+    variants = words.select(
+        "w",
+        F.explode(
+            F.array_union(
+                F.array(F.col("w")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.concat(
+                        F.col("w").substr(F.lit(1), i - 1),
+                        F.col("w").substr(i + 1, F.length("w")),
+                    ),
+                ),
+            )
+        ).alias("v"),
+    ).distinct()
+    a = variants.select(F.col("w").alias("word_a"), "v")
+    b = variants.select(F.col("w").alias("word_b"), "v")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b")
+        .distinct()
+    )
+    return cand.select(
+        "word_a",
+        "word_b",
+        F.levenshtein("word_a", "word_b").cast("long").alias("dist"),
+    ).filter(F.col("dist") <= 1)

@@ -266,3 +266,44 @@ def test_source_overlap_matrix_counts(spark):
     assert ab["overlap"] == 1.0     # B is fully contained in A
     assert ("A", "C") not in out    # zero shared shingles -> no row
     assert ("B", "C") not in out
+
+
+def test_fuzzy_word_pairs_finds_all_distance1_kinds(spark):
+    from parquet_editor_spark.operators.dedup import fuzzy_word_pairs
+
+    # substitution (cat~bat), deletion/insertion (cart~cat is dist 2 —
+    # excluded; cars~car dist 1), identical words (no self-pair),
+    # transposition (act~cat is dist 2 — must be rejected by verify)
+    df = spark.createDataFrame(
+        [("cat bat car cars act zebra",)], "text string"
+    )
+    got = {
+        (r["word_a"], r["word_b"]): r["dist"]
+        for r in fuzzy_word_pairs(df, "text").collect()
+    }
+    # exact expectation via python reference
+    import itertools
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(
+                    m[i - 1][j] + 1,
+                    m[i][j - 1] + 1,
+                    m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return m[len(a)][len(b)]
+
+    vocab = sorted(set("cat bat car cars act zebra".split()))
+    want = {
+        (a, b): 1
+        for a, b in itertools.combinations(vocab, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
+    assert ("act", "cat") not in got  # transposition = distance 2
