@@ -3018,6 +3018,28 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness profile (operators/query.py
+    null_profile) over orders with NULLs planted deterministically
+    (priority blanked for %9=0, custkey for %7=0) — one aggregation
+    pass, long-form output."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(
+            F.col("o_custkey")
+        ),
+    ).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 9 == 0, None).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return q.null_profile(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"],
+    )
+
+
 def q_fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo/variant word pairs at edit distance ≤1 (operators/dedup.py
     fuzzy_word_pairs): FastSS deletion-neighborhood blocking + exact
@@ -3497,6 +3519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_stats": q_shard_stats,
         "pagerank_event_graph": q_pagerank_event_graph,
         "fuzzy_word_pairs": q_fuzzy_word_pairs,
+        "null_profile_orders": q_null_profile_orders,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -5284,6 +5307,40 @@ def oracle_sql() -> dict[str, str]:
                          6) AS rrf
             FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "null_profile_orders": """
+            WITH o AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                            ELSE o_custkey END AS o_custkey,
+                       CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                            ELSE o_orderpriority END AS o_orderpriority,
+                       o_orderstatus
+                FROM orders),
+            m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(o_orderkey) AS BIGINT) AS nn1,
+                       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+                       CAST(count(o_custkey) AS BIGINT) AS nn2,
+                       CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+                       CAST(count(o_orderpriority) AS BIGINT) AS nn3,
+                       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd3,
+                       CAST(count(o_orderstatus) AS BIGINT) AS nn4,
+                       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd4
+                FROM o)
+            SELECT 'o_orderkey' AS column_name, n AS n_rows,
+                   n - nn1 AS n_null,
+                   round((n - nn1) / CAST(n AS DOUBLE), 6) AS null_frac,
+                   nd1 AS n_distinct FROM m
+            UNION ALL
+            SELECT 'o_custkey', n, n - nn2,
+                   round((n - nn2) / CAST(n AS DOUBLE), 6), nd2 FROM m
+            UNION ALL
+            SELECT 'o_orderpriority', n, n - nn3,
+                   round((n - nn3) / CAST(n AS DOUBLE), 6), nd3 FROM m
+            UNION ALL
+            SELECT 'o_orderstatus', n, n - nn4,
+                   round((n - nn4) / CAST(n AS DOUBLE), 6), nd4 FROM m
         """,
         "fuzzy_word_pairs": """
             WITH w AS (

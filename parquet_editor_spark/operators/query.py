@@ -974,3 +974,38 @@ def group_sample_topk(
         W.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     )
     return df.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def null_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column completeness profile: row count, null count, null
+    fraction and exact distinct cardinality — the column-level data-
+    quality report a schema-contract gate checks before admission
+    (complement of ``describe_stats``, which assumes numeric columns;
+    this one profiles anything).
+
+    One aggregation pass: all metrics ride in a single agg (Spark
+    expands multiple COUNT DISTINCTs; at 100 TB swap the exact
+    count_distinct for approx_count_distinct — the exact form is kept
+    here because the differential oracle needs value equality), then
+    a 1-row explode to long form.  Null fraction divides exact
+    integers, so the double is engine-identical."""
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+    m = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("__n").cast("long").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).cast("long").alias("n_null"),
+            F.round(
+                (F.col("__n") - F.col(f"__nn_{c}"))
+                / F.col("__n").cast("double"),
+                6,
+            ).alias("null_frac"),
+            F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    return m.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

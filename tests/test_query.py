@@ -205,3 +205,15 @@ def test_group_sample_topk_exact_counts_and_determinism(spark):
     # small group: returns all of it
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], "id long, g string")
     assert q.group_sample_topk(tiny, "g", "id", k=10).count() == 2
+
+
+def test_null_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None)], "k long, s string"
+    )
+    got = {
+        r["column_name"]: (r["n_rows"], r["n_null"], r["null_frac"], r["n_distinct"])
+        for r in q.null_profile(df, ["k", "s"]).collect()
+    }
+    assert got["k"] == (4, 0, 0.0, 4)
+    assert got["s"] == (4, 2, 0.5, 1)
