@@ -307,3 +307,69 @@ def test_table_diff_matches_python_reference(spark, base, curr):
         elif base[k] != curr[k]:
             want[k] = "changed"
     assert got == want
+
+
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.sampled_from(["overwrite", "append"]),
+            st.lists(st.integers(0, 50), min_size=1, max_size=5),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_snapshot_versions_match_model(spark, tmp_path_factory, steps):
+    """Random overwrite/append commit sequences: every historical
+    version must read back exactly what the python model says that
+    snapshot contained."""
+    from parquet_editor_spark.operators import warehouse as WH
+
+    p = str(tmp_path_factory.mktemp("snap"))
+    model = []          # model[v-1] = multiset of rows in version v
+    for mode, rows in steps:
+        df = spark.createDataFrame([(r,) for r in rows], "k long")
+        WH.snapshot_write(df, p, mode=mode)
+        if mode == "append" and model:
+            model.append(model[-1] + rows)
+        else:
+            model.append(list(rows))
+    for v, want in enumerate(model, start=1):
+        got = sorted(
+            r["k"] for r in WH.snapshot_read(spark, p, v).collect()
+        )
+        assert got == sorted(want), (v, got, want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["A", "B", "C"])),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    purge=st.lists(st.integers(0, 30), max_size=8, unique=True),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_purge_keys_matches_model(spark, tmp_path_factory, rows, purge):
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.operators import warehouse as WH
+
+    p = str(tmp_path_factory.mktemp("purge")) + "/tbl"
+    spark.createDataFrame(rows, "k long, part string").write.partitionBy(
+        "part"
+    ).parquet(p)
+    keys = spark.createDataFrame(
+        [(k,) for k in purge] or [(None,)], "k long"
+    ).filter(F.col("k").isNotNull())
+    WH.purge_keys(spark, p, "k", keys, "part")
+    want = sorted(k for k, _ in rows if k not in set(purge))
+    if not want:
+        import glob as g
+
+        assert not g.glob(f"{p}/part=*")   # every partition purged away
+        return
+    got = sorted(r["k"] for r in spark.read.parquet(p).collect())
+    assert got == want
