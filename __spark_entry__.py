@@ -3018,6 +3018,19 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_topk_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch with verified one-sided bound
+    (operators/sketch.py cms_topk_bound): per-word CMS estimates vs
+    exact counts for the top-20 corpus words, ``exact ≤ est ≤
+    exact + 3N/width`` checked in integer arithmetic.  The portable
+    md5 bucket hashes make the DuckDB oracle replay the identical
+    4×256 sketch."""
+    from parquet_editor_spark.operators import sketch as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    return SK.cms_topk_bound(docs, "text")
+
+
 def q_null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column completeness profile (operators/query.py
     null_profile) over orders with NULLs planted deterministically
@@ -3520,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_event_graph": q_pagerank_event_graph,
         "fuzzy_word_pairs": q_fuzzy_word_pairs,
         "null_profile_orders": q_null_profile_orders,
+        "cms_topk_bound": q_cms_topk_bound,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -5307,6 +5321,39 @@ def oracle_sql() -> dict[str, str]:
                          6) AS rrf
             FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "cms_topk_bound": """
+            WITH wu AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(text, '\\s+'),
+                    x -> x <> '')) AS w
+                FROM documents),
+            exact AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                      FROM wu GROUP BY w),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM exact),
+            cells AS (
+                SELECT j, b, CAST(sum(c) AS BIGINT) AS cell FROM (
+                    SELECT c, u.j,
+                           CAST(('0x' || substring(md5(u.j || '|' || w),
+                                                   1, 8)) AS UBIGINT)
+                               % 256 AS b
+                    FROM exact, unnest(['0', '1', '2', '3']) AS u(j))
+                GROUP BY j, b),
+            topk AS (SELECT w, c FROM exact
+                     ORDER BY c DESC, w ASC LIMIT 20),
+            est AS (
+                SELECT t.w, t.c, min(cells.cell) AS estimate
+                FROM topk t, unnest(['0', '1', '2', '3']) AS u(j)
+                JOIN cells
+                  ON cells.j = u.j
+                 AND cells.b = CAST(('0x' || substring(
+                         md5(u.j || '|' || t.w), 1, 8)) AS UBIGINT) % 256
+                GROUP BY t.w, t.c)
+            SELECT w, c AS exact, estimate,
+                   (estimate >= c AND (estimate - c) * 256 <= 3 * N)
+                       AS within_bound
+            FROM est CROSS JOIN tot
+            ORDER BY exact DESC, w ASC
         """,
         "null_profile_orders": """
             WITH o AS (
