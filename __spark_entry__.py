@@ -3018,6 +3018,21 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zstd_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec coverage: zstd parquet write + read-back
+    (snappy is the default everywhere else).  At 100 TB codec choice
+    is a first-order storage/scan-cost knob; the round-trip pins that
+    nothing in the engine assumes the default codec."""
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 17 == 0
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    tmp = tempfile.mkdtemp(prefix="pes_zstd_")
+    li.write.option("compression", "zstd").parquet(f"{tmp}/z")
+    return spark.read.parquet(f"{tmp}/z")
+
+
 def q_cms_topk_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch with verified one-sided bound
     (operators/sketch.py cms_topk_bound): per-word CMS estimates vs
@@ -3534,6 +3549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_word_pairs": q_fuzzy_word_pairs,
         "null_profile_orders": q_null_profile_orders,
         "cms_topk_bound": q_cms_topk_bound,
+        "zstd_roundtrip_lineitem": q_zstd_roundtrip_lineitem,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -5321,6 +5337,10 @@ def oracle_sql() -> dict[str, str]:
                          6) AS rrf
             FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "zstd_roundtrip_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_orderkey % 17 = 0
         """,
         "cms_topk_bound": """
             WITH wu AS (
