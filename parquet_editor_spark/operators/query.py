@@ -304,11 +304,9 @@ def hash_split(
     if method == "xxhash64":
         bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(100))
     elif method == "portable":
-        h = (
-            F.pmod(F.col(id_col).cast("long"), F.lit(1000003)) * F.lit(2654435761)
-            + F.lit(seed)
-        ) % F.lit(4294967296)
-        bucket = h % 100
+        from parquet_editor_spark.functions.hashing import portable_bucket
+
+        bucket = portable_bucket(id_col, seed, 100)
     else:
         raise ValueError(f"unknown hash_split method: {method}")
     t_hi, v_hi = int(train * 100), int((train + val) * 100)
@@ -787,9 +785,9 @@ def stratified_sample_hash(
     checkable value-for-value. Same multiplicative-hash bucket as
     ``hash_split(method="portable")``.
     """
-    bucket = (
-        (F.col(id_col) % F.lit(1_000_003)) * F.lit(2654435761) + F.lit(seed)
-    ) % F.lit(4294967296) % F.lit(1000)
+    from parquet_editor_spark.functions.hashing import portable_bucket
+
+    bucket = portable_bucket(id_col, seed, 1000)
     keep = None
     for stratum, frac in fractions.items():
         cond = (F.col(strata_col) == stratum) & (
@@ -826,9 +824,9 @@ def weighted_sample_k(
     Scale: orderBy+limit plans as TakeOrderedAndProject — each task
     forwards its local top-k, only k·P rows reach the driver-side
     merge; no global sort, no shuffle of the losers."""
-    bucket = (
-        (F.col(id_col) % F.lit(1_000_003)) * F.lit(2654435761) + F.lit(seed)
-    ) % F.lit(4294967296) % F.lit(1000)
+    from parquet_editor_spark.functions.hashing import portable_bucket
+
+    bucket = portable_bucket(id_col, seed, 1000)
     u = (bucket + F.lit(0.5)) / F.lit(1000.0)
     key = F.round(F.log(u) / F.col(weight_col), 6)
     return (
@@ -966,10 +964,9 @@ def group_sample_topk(
     upstream; the semantics here stay exact."""
     from pyspark.sql import Window as W
 
-    h = (
-        (F.col(id_col) % F.lit(1_000_003)) * F.lit(2654435761)
-        + F.lit(seed)
-    ) % F.lit(4294967296)
+    from parquet_editor_spark.functions.hashing import portable_bucket
+
+    h = portable_bucket(id_col, seed)
     rn = F.row_number().over(
         W.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     )

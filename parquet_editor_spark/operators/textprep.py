@@ -72,9 +72,9 @@ def mixture_sample_tokens(
         )
         .select("source", "rate")
     )
-    bucket = (
-        (F.col("id") % F.lit(1_000_003)) * F.lit(2654435761) + F.lit(seed)
-    ) % F.lit(4294967296) % F.lit(1000)
+    from parquet_editor_spark.functions.hashing import portable_bucket
+
+    bucket = portable_bucket("id", seed, 1000)
     return (
         tokc.join(F.broadcast(rates), "source")
         .filter(bucket < F.floor(F.col("rate") * 1000))
@@ -523,10 +523,9 @@ def shard_stats(
     run before writing N shard files for a training job.  One
     projection + one hash agg; balanced by construction because the
     multiplicative hash is uniform on the id space."""
-    bucket = (
-        (F.col(id_col) % F.lit(1_000_003)) * F.lit(2654435761)
-        + F.lit(seed)
-    ) % F.lit(4294967296) % F.lit(n_shards)
+    from parquet_editor_spark.functions.hashing import portable_bucket
+
+    bucket = portable_bucket(id_col, seed, n_shards)
     return (
         df.select(
             bucket.cast("long").alias("shard"),

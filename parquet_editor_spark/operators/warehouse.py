@@ -110,28 +110,40 @@ def table_diff(
     inputs must be key-unique (dedupe upstream; double keys would
     cross-multiply in any engine's MERGE/diff)."""
     ks = list(keys)
-    cmp_cols = [c for c in (compare_cols or base.columns) if c not in ks]
+    # explicit None check: compare_cols=[] means a pure existence diff
+    # (added/removed only), NOT "fall back to every column"
+    src_cols = base.columns if compare_cols is None else list(compare_cols)
+    cmp_cols = [c for c in src_cols if c not in ks]
+    # presence markers: a NULL key row present on one side must NOT
+    # read as absent, so presence is a literal flag that survives the
+    # outer join as NULL only when the side genuinely has no row
     b = base.select(
         *[F.col(k).alias(f"__kb_{k}") for k in ks],
         *[F.col(c).alias(f"{c}_base") for c in cmp_cols],
+        F.lit(True).alias("__in_b"),
     )
     c = current.select(
         *[F.col(k).alias(f"__kc_{k}") for k in ks],
         *[F.col(x).alias(f"{x}_curr") for x in cmp_cols],
+        F.lit(True).alias("__in_c"),
     )
     cond = None
     for k in ks:
         eq = F.col(f"__kb_{k}").eqNullSafe(F.col(f"__kc_{k}"))
         cond = eq if cond is None else cond & eq
     j = b.join(c, cond, "full_outer")
-    in_base = F.col(f"__kb_{ks[0]}").isNotNull()
-    in_curr = F.col(f"__kc_{ks[0]}").isNotNull()
-    state_b = F.struct(*[F.col(f"{x}_base") for x in cmp_cols])
-    state_c = F.struct(*[F.col(f"{x}_curr") for x in cmp_cols])
+    in_base = F.coalesce(F.col("__in_b"), F.lit(False))
+    in_curr = F.coalesce(F.col("__in_c"), F.lit(False))
+    if cmp_cols:
+        state_b = F.struct(*[F.col(f"{x}_base") for x in cmp_cols])
+        state_c = F.struct(*[F.col(f"{x}_curr") for x in cmp_cols])
+        differs = ~state_b.eqNullSafe(state_c)
+    else:
+        differs = F.lit(False)
     change = (
         F.when(~in_base, F.lit("added"))
         .when(~in_curr, F.lit("removed"))
-        .when(~state_b.eqNullSafe(state_c), F.lit("changed"))
+        .when(differs, F.lit("changed"))
     )
     return (
         j.withColumn("change_type", change)
@@ -176,6 +188,10 @@ def snapshot_write(
     import json
     import os
 
+    if mode not in ("overwrite", "append"):
+        # validate BEFORE writing anything: a data write with no
+        # manifest commit would orphan data/vN
+        raise ValueError(f"unknown snapshot mode {mode!r}")
     man_dir = os.path.join(path, "_manifests")
     os.makedirs(man_dir, exist_ok=True)
     versions = sorted(
@@ -183,15 +199,28 @@ def snapshot_write(
         for f in os.listdir(man_dir)
         if f.startswith("v") and f.endswith(".json")
     )
-    ver = (versions[-1] if versions else 0) + 1
+    # version allocation tolerates orphaned data dirs (a crash between
+    # the data write and the manifest commit leaves data/vN with no
+    # manifest): next version = max over BOTH namespaces + 1, so the
+    # orphan is skipped, never collided with — uncommitted data is
+    # unreachable (no manifest lists it) and GC can reap it later
+    data_root = os.path.join(path, "data")
+    orphans = (
+        [
+            int(d[1:])
+            for d in os.listdir(data_root)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        if os.path.isdir(data_root)
+        else []
+    )
+    ver = max(versions + orphans, default=0) + 1
     data_dir = os.path.join(path, "data", f"v{ver}")
     df.write.mode("error").parquet(data_dir)
     dirs = [f"data/v{ver}"]
     if mode == "append" and versions:
         with open(os.path.join(man_dir, f"v{versions[-1]}.json")) as fh:
             dirs = json.load(fh)["dirs"] + dirs
-    elif mode not in ("overwrite", "append"):
-        raise ValueError(f"unknown snapshot mode {mode!r}")
     tmp = os.path.join(man_dir, f".v{ver}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump({"version": ver, "mode": mode, "dirs": dirs}, fh)
@@ -490,6 +519,38 @@ def purge_keys(
     rewriting; the partition-pruning shape is the same)."""
     import os
     import shutil
+    import urllib.parse
+
+    def _membership(values):
+        """Null-safe partition predicate: isin() never matches NULL."""
+        non_null = [v for v in values if v is not None]
+        cond = F.lit(False)
+        if non_null:
+            cond = cond | F.col(part_col).isin(non_null)
+        if any(v is None for v in values):
+            cond = cond | F.col(part_col).isNull()
+        return cond
+
+    def _dirs_for(values):
+        """Resolve partition VALUES to on-disk directories: Spark
+        hive-escapes special chars (%XX) and writes NULL as
+        __HIVE_DEFAULT_PARTITION__, so the raw value is NOT the dir
+        name — decode the listing instead of re-encoding the value."""
+        wanted = {None if v is None else str(v) for v in values}
+        out = []
+        prefix = f"{part_col}="
+        for d in os.listdir(path):
+            if not d.startswith(prefix):
+                continue
+            raw = d[len(prefix):]
+            val = (
+                None
+                if raw == "__HIVE_DEFAULT_PARTITION__"
+                else urllib.parse.unquote(raw)
+            )
+            if val in wanted:
+                out.append(os.path.join(path, d))
+        return out
 
     bkeys = F.broadcast(keys)
     tbl = spark.read.parquet(path)
@@ -502,7 +563,7 @@ def purge_keys(
     ]
     if not affected:
         return []
-    remaining = tbl.filter(F.col(part_col).isin(affected)).join(
+    remaining = tbl.filter(_membership(affected)).join(
         bkeys, key_col, "left_anti"
     )
     survivors = {
@@ -520,11 +581,10 @@ def purge_keys(
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", old_mode
         )
-    for p in set(affected) - survivors:
-        d = os.path.join(path, f"{part_col}={p}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-    return sorted(affected)
+    fully_purged = set(affected) - survivors
+    for d in _dirs_for(fully_purged):
+        shutil.rmtree(d)
+    return sorted(affected, key=lambda v: (v is None, v))
 
 
 def refresh_sum_agg(

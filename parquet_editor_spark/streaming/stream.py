@@ -421,6 +421,33 @@ def run_to_completion(
     return spark.table(name)
 
 
+def _recover_swap(path: str) -> None:
+    """Heal the two-rename publish used by the foreachBatch sinks.
+
+    The swap sequence is write-staging → rename(path, old) →
+    rename(staging, path) → rm(old); the two renames are individually
+    atomic but the PAIR is not, so on (re)entry:
+
+    - ``path`` exists: last publish completed — any leftover
+      ``staging``/``old`` is stale residue from a crash after the
+      commit point; drop it.
+    - ``path`` missing, ``old`` exists: crashed between the renames —
+      ``old`` IS the last committed state (the batch that produced
+      ``staging`` was never checkpoint-committed and will replay);
+      restore it and drop staging.
+    """
+    import os
+    import shutil
+
+    staging, old = f"{path}__staging", f"{path}__old"
+    if os.path.isdir(path):
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.isdir(old):
+        shutil.rmtree(staging, ignore_errors=True)
+        os.rename(old, path)
+
+
 def upsert_stream_parquet(
     stream_df: DataFrame,
     path: str,
@@ -444,6 +471,7 @@ def upsert_stream_parquet(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover_swap(path)
         batch_df = batch_df.dropDuplicates(keys)
         if os.path.isdir(path):
             current = spark.read.parquet(path)
@@ -501,11 +529,13 @@ def refresh_stream_matview(
     Unlike the keyed upsert sink, a SUM fold is NOT naturally
     idempotent — replaying a batch after a crash-between-swap-and-
     commit would double-count — so the fold is made transactional on
-    the batch id: the applied batch id is committed inside the table
-    directory (``_applied_batch``) by the same atomic swap that
-    publishes the data, and a replayed batch id is skipped.  On a
-    lakehouse this is the table format's commit-with-metadata; here
-    it is a marker file inside the swapped directory."""
+    the batch id: the applied batch id travels INSIDE the published
+    directory (``_applied_batch``), so data and marker commit
+    together, and a replayed batch id is skipped.  The two-rename
+    publish is not atomic as a pair; :func:`_recover_swap` heals the
+    crash-between-renames state on (re)entry by restoring the last
+    committed directory, marker included.  On a lakehouse this whole
+    dance is the table format's commit-with-metadata."""
     import os
     import shutil
 
@@ -513,6 +543,7 @@ def refresh_stream_matview(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover_swap(path)
         marker = os.path.join(path, "_applied_batch")
         if os.path.isfile(marker):
             with open(marker) as fh:

@@ -611,3 +611,30 @@ def test_stream_matview_replayed_batch_is_skipped(spark, tmp_path):
     got = {r["g"]: (r["s"], r["n"]) for r in spark.read.parquet(mat).collect()}
     assert got == {"a": (10, 1), "b": (5, 1)}
     assert os.path.isfile(f"{mat}/_applied_batch")
+
+
+def test_recover_swap_restores_crash_between_renames(spark, tmp_path):
+    """Simulate the non-atomic two-rename crash window: path missing,
+    path__old holding the last committed state (marker included) —
+    recovery must restore it and drop the uncommitted staging."""
+    import os
+
+    from parquet_editor_spark.streaming.stream import _recover_swap
+
+    p = str(tmp_path / "mat")
+    old, staging = f"{p}__old", f"{p}__staging"
+    os.makedirs(old)
+    with open(f"{old}/_applied_batch", "w") as fh:
+        fh.write("3")
+    os.makedirs(staging)
+    _recover_swap(p)
+    assert os.path.isdir(p) and not os.path.isdir(old)
+    assert not os.path.isdir(staging)
+    with open(f"{p}/_applied_batch") as fh:
+        assert fh.read() == "3"
+    # and the post-commit residue case: path present, stale dirs gone
+    os.makedirs(old)
+    os.makedirs(staging)
+    _recover_swap(p)
+    assert os.path.isdir(p)
+    assert not os.path.isdir(old) and not os.path.isdir(staging)

@@ -363,3 +363,71 @@ def test_refresh_sum_agg_folds_delta(spark):
         for r in WH.refresh_sum_agg(mat, delta, ["g"], ["s"]).collect()
     }
     assert out == {"a": (10, 2), "b": (30, 5), "c": (7, 1)}
+
+
+# --- review-fix regressions ------------------------------------------------
+
+
+def test_table_diff_null_key_present_both_sides_is_unchanged(spark):
+    base = spark.createDataFrame([(None, "x"), (1, "a")], "k long, s string")
+    curr = spark.createDataFrame([(None, "x"), (1, "a")], "k long, s string")
+    assert WH.table_diff(base, curr, ["k"]).count() == 0
+    # and a base-only NULL-key row is 'removed', not 'added'
+    curr2 = spark.createDataFrame([(1, "a")], "k long, s string")
+    out = WH.table_diff(base, curr2, ["k"]).collect()
+    assert [(r["k"], r["change_type"]) for r in out] == [(None, "removed")]
+
+
+def test_table_diff_empty_compare_cols_is_existence_only(spark):
+    base = spark.createDataFrame([(1, "a")], "k long, s string")
+    curr = spark.createDataFrame([(1, "zzz")], "k long, s string")
+    assert WH.table_diff(base, curr, ["k"], compare_cols=[]).count() == 0
+
+
+def test_snapshot_bad_mode_does_not_brick_table(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        WH.snapshot_write(df, p, mode="merge")
+    # table still writable afterwards
+    v = WH.snapshot_write(df, p, mode="overwrite")
+    assert [r["k"] for r in WH.snapshot_read(spark, p, v).collect()] == [1]
+
+
+def test_snapshot_write_skips_orphaned_data_dir(spark, tmp_path):
+    import os
+
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,)], "k long")
+    # simulate a crash between data write and manifest commit
+    os.makedirs(f"{p}/data/v1")
+    v = WH.snapshot_write(df, p, mode="overwrite")
+    assert v == 2  # orphan v1 skipped, not collided with
+    assert [r["k"] for r in WH.snapshot_read(spark, p).collect()] == [1]
+
+
+def test_purge_keys_handles_escaped_and_null_partitions(spark, tmp_path):
+    import os
+
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "B:x"), (3, None), (4, "B:x"), (5, None)],
+        "k long, part string",
+    )
+    df.write.partitionBy("part").parquet(p)
+    keys = spark.createDataFrame([(2,), (3,)], "k long")
+    rewritten = WH.purge_keys(spark, p, "k", keys, "part")
+    assert rewritten == ["B:x", None]
+    left = sorted(
+        (r["k"], r["part"]) for r in spark.read.parquet(p).collect()
+    )
+    assert left == [(1, "A"), (4, "B:x"), (5, None)]
+    # now purge the REMAINING rows of both partitions: dirs must go
+    WH.purge_keys(
+        spark, p, "k", spark.createDataFrame([(4,), (5,)], "k long"), "part"
+    )
+    assert sorted(r["k"] for r in spark.read.parquet(p).collect()) == [1]
+    assert not [
+        d for d in os.listdir(p)
+        if d.startswith("part=") and d != "part=A"
+    ]
