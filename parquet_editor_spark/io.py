@@ -91,7 +91,10 @@ def load(
         r = spark.read
         return (r.schema(schema) if schema else r).orc(path)
     if fmt == "csv":
-        r = spark.read.option("header", True)
+        # .tsv dispatches to the csv source WITH its delimiter — a bare
+        # csv read of a tab file silently yields one mangled column
+        sep = "\t" if path.lower().endswith(".tsv") else ","
+        r = spark.read.option("header", True).option("sep", sep)
         return r.schema(schema).csv(path) if schema else r.option("inferSchema", True).csv(path)
     if fmt == "json":
         return _load_json(spark, path, schema)
@@ -204,7 +207,8 @@ def save(
     elif fmt == "orc":
         w.orc(path)
     elif fmt == "csv":
-        w.option("header", True).csv(path)
+        sep = "\t" if path.lower().endswith(".tsv") else ","
+        w.option("header", True).option("sep", sep).csv(path)
     elif fmt == "json":
         w.json(path)
     elif fmt == "avro":
@@ -246,7 +250,11 @@ def _save_single(df: DataFrame, path: str, fmt: str) -> None:
     if fmt == "parquet":
         pdf.to_parquet(path, index=False)
     elif fmt == "csv":
-        pdf.to_csv(path, index=False)
+        pdf.to_csv(
+            path,
+            index=False,
+            sep="\t" if path.lower().endswith(".tsv") else ",",
+        )
     elif fmt == "json":
         pdf.to_json(path, orient="records", lines=True)
     elif fmt == "excel":
@@ -286,14 +294,16 @@ def _type_has_nanos(t) -> bool:
 _NANOS_PROBE_MAX_FILES = 32
 
 
-def _footer_has_nanos(path: str) -> bool:
-    """Driver-side footer probe: does the parquet schema carry a
-    TIMESTAMP(NANOS) column anywhere (nested types included)?  Reads
-    one footer per file (~ms each) so the tolerant-scan wrapper can
-    skip its conf fiddling on the (common) all-µs datasets.  Any
-    doubt — probe failure, unreadable footer, or a directory with more
-    files than the probe budget — returns True: the tolerant path is
-    always correct, only marginally slower."""
+def _footer_nanos_cols(path: str):
+    """Driver-side footer probe: the set of TOP-LEVEL column names
+    whose type carries TIMESTAMP(NANOS) anywhere (nested included),
+    or ``None`` when the probe can't tell (failure, unreadable
+    footer, directory over the probe budget).  Reads one footer per
+    file (~ms each) so the tolerant-scan wrapper can skip its conf
+    fiddling on the (common) all-µs datasets — and so the nano→µs
+    rebuild targets only columns the footer actually marked NANOS
+    (a plain int64 column that merely SHARES a name with the usual
+    timestamp column must pass through untouched)."""
     try:
         import pyarrow.parquet as pa_pq
 
@@ -305,14 +315,22 @@ def _footer_has_nanos(path: str) -> bool:
                 if p.endswith(".parquet") and not p.startswith(("_", "."))
             ]
             if not files or len(files) > _NANOS_PROBE_MAX_FILES:
-                return True
-        return any(
-            _type_has_nanos(t)
-            for f in files
-            for t in pa_pq.read_schema(f).types
-        )
+                return None
+        cols = set()
+        for f in files:
+            for fld in pa_pq.read_schema(f):
+                if _type_has_nanos(fld.type):
+                    cols.add(fld.name)
+        return cols
     except Exception:
-        return True
+        return None
+
+
+def _footer_has_nanos(path: str) -> bool:
+    """True when the footer carries NANOS anywhere — or when the probe
+    can't tell (the tolerant path is always correct)."""
+    cols = _footer_nanos_cols(path)
+    return cols is None or bool(cols)
 
 
 def load_parquet_nanos(spark: SparkSession, path: str) -> DataFrame:
@@ -333,16 +351,20 @@ def load_parquet_nanos(spark: SparkSession, path: str) -> DataFrame:
     ordinary datasets."""
     from pyspark.sql import functions as F
 
-    if not _footer_has_nanos(path):
+    nanos_cols = _footer_nanos_cols(path)
+    if nanos_cols is not None and not nanos_cols:
         return spark.read.parquet(path)
     # get_spark() already sets this at build time; this fallback covers
     # externally-built sessions (e.g. the driver's) and is idempotent.
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    # Re-read of footer metadata can't tell us which longs were NANOS;
-    # the caller converts. Convenience: convert a column named 'ts'.
-    if dict(df.dtypes).get("ts") == "bigint":
+    # Convenience conversion for the conventional 'ts' column — but
+    # ONLY when the footer marked that column NANOS (or the probe was
+    # inconclusive): an int64 of epoch-millis that merely shares the
+    # name must not be silently divided by 1000.
+    ts_is_nanos = nanos_cols is None or "ts" in nanos_cols
+    if ts_is_nanos and dict(df.dtypes).get("ts") == "bigint":
         # cast to NTZ to match Spark's default parquet timestamp mapping
         # (other tables' timestamps arrive as timestamp_ntz)
         # wall-clock arithmetic, NOT cast("timestamp_ntz"): the cast goes

@@ -150,7 +150,7 @@ def jaccard_pairs(
         .agg(F.count("*").alias("n_common"))
     )
     sizes = sets.select("id", "set_size")
-    return (
+    out = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "set_size": "size_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "set_size": "size_b"}), "id_b")
         .withColumn(
@@ -164,6 +164,13 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # the pair list is the op's (dup-mass-bounded) output: materialize
+    # it eagerly, then RELEASE the shingle cache — a long-lived
+    # session calling pair ops repeatedly must not leak one cache per
+    # call (the incremental_minhash_dedup lesson applied batch-side)
+    out = out.localCheckpoint(eager=True)
+    sets.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -341,7 +348,7 @@ def minhash_lsh_pairs(
     )
     cand = lsh_candidates(sigs, bands, num_hashes)
     arr = sets.select("id", "shingles", "set_size")
-    return (
+    out = (
         cand.join(
             arr.withColumnsRenamed(
                 {"id": "id_a", "shingles": "sh_a", "set_size": "size_a"}
@@ -366,6 +373,12 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # materialize the verified (dup-mass-bounded) pair list, then
+    # release both working caches — see jaccard_pairs
+    out = out.localCheckpoint(eager=True)
+    sigs.unpersist()
+    sets.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -406,12 +419,20 @@ def contamination(
         c_sets.select("id", "set_size")
         .join(hits, "id", "left")
         .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        # try_divide: a doc shorter than n tokens has set_size 0 and an
+        # undefined overlap (NULL, contaminated=false) — a plain divide
+        # aborts the whole scan under Spark's default ANSI mode
         .withColumn(
-            "overlap", F.round(F.col("n_hit") / F.col("set_size"), 4)
+            "overlap",
+            F.round(F.try_divide(F.col("n_hit"), F.col("set_size")), 4),
         )
         .withColumn(
             "contaminated",
-            (F.col("n_hit") / F.col("set_size")) >= threshold,
+            F.coalesce(
+                F.try_divide(F.col("n_hit"), F.col("set_size"))
+                >= threshold,
+                F.lit(False),
+            ),
         )
         .select("id", "n_hit", "overlap", "contaminated")
     )
@@ -461,6 +482,13 @@ def connected_components(
         labels = updated.select("id", F.col("new_cluster").alias("cluster_id"))
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing) — the graph "
+            "diameter exceeds max_iter; raise it (a silent return here "
+            "would split one true component into several clusters)"
+        )
     return labels
 
 
@@ -542,6 +570,9 @@ def simhash_pairs(
     block, then verify with ``bit_count(xor)``."""
     blocks = max_hamming + 1
     width = SIMHASH_BITS // blocks
+    # width == 64 (max_hamming=0, exact match): (1<<64)-1 overflows
+    # LongType — the all-ones mask in two's complement is -1
+    mask = -1 if width == SIMHASH_BITS else (1 << width) - 1
     sh = simhash(df, id_col, text_col)
     keyed = sh.select(
         "id",
@@ -550,7 +581,7 @@ def simhash_pairs(
             F.array(
                 *[
                     F.shiftrightunsigned(F.col("simhash"), i * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .bitwiseAND(F.lit(mask))
                     for i in range(blocks)
                 ]
             )
@@ -620,7 +651,7 @@ def common_shingle_fraction(
         .groupBy("id")
         .agg(F.count("*").alias("n_common"))
     )
-    return (
+    out = (
         sets.filter(F.col("set_size") > 0)
         .select("id", "set_size")
         .join(hits, "id", "left")
@@ -634,6 +665,11 @@ def common_shingle_fraction(
             ),
         )
     )
+    # one row per doc (ids + counts, never text): materialize and
+    # release the shingle cache — see jaccard_pairs
+    out = out.localCheckpoint(eager=True)
+    sets.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -667,6 +703,14 @@ def incremental_dedup(
     """
     from pyspark.sql.window import Window
 
+    if "fp" in new_df.columns:
+        # the output schema carries the computed fingerprint AS 'fp'
+        # (callers depend on it) — silently clobbering a caller's
+        # existing fp column would corrupt the admitted batch
+        raise ValueError(
+            "new_df already has a column named 'fp', which this "
+            "operator computes and emits; rename the input column"
+        )
     seen = seen_df.select(X.fingerprint(text_col).alias("fp")).distinct()
     fresh = new_df.withColumn("fp", X.fingerprint(text_col)).join(
         seen, "fp", "left_anti"

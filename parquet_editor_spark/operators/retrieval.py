@@ -109,6 +109,12 @@ def bm25_topk(
             F.round(F.sum("contrib"), round_to).alias("score"),
         )
     )
+    # materialize the per-doc scores (matching-doc-bounded), then
+    # release the tf working cache so repeated retrievals in one
+    # session don't accumulate caches; the top-k stays lazy ABOVE the
+    # checkpoint so its TakeOrderedAndProject plan remains inspectable
+    scored = scored.localCheckpoint(eager=True)
+    tf.unpersist()
     return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
 
 

@@ -167,8 +167,12 @@ def topk_cosine(
                 col[ids == qid] = -np.inf  # exclude self
                 col[zero] = -np.inf  # cosine undefined for zero vectors
                 keep = min(k, len(col))
-                top = np.argpartition(-col, keep - 1)[:keep]
-                valid = top[np.isfinite(col[top])]
+                # deterministic cut: (-sim, id) lexsort, NOT argpartition
+                # — sims are rounded so boundary ties are common, and a
+                # tie dropped here never reaches the final window's
+                # (sim desc, id asc) contract
+                order = np.lexsort((ids, -col))
+                valid = order[np.isfinite(col[order])][:keep]
                 parts.append(
                     pd.DataFrame(
                         {
@@ -262,8 +266,9 @@ def hard_negatives(
                 col[labels == q_labels[j]] = -np.inf  # negatives only
                 col[zero] = -np.inf
                 keep = min(k, len(col))
-                top = np.argpartition(-col, keep - 1)[:keep]
-                valid = top[np.isfinite(col[top])]
+                # deterministic (-sim, id) cut — see topk_cosine
+                order = np.lexsort((ids, -col))
+                valid = order[np.isfinite(col[order])][:keep]
                 parts.append(
                     pd.DataFrame(
                         {
@@ -348,7 +353,7 @@ def cosine_pairs_lsh(
     threshold: float = 0.95,
     bits: int = 32,
     bands: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     round_to: int = 4,
 ) -> DataFrame:
     """Near-dup vector pairs at scale: hyperplane signatures → banded
@@ -357,8 +362,27 @@ def cosine_pairs_lsh(
     P(bit agree) = 1 − θ/π; at cos=0.95 (θ≈18°) each 4-bit band
     collides w.p. ≈0.66, so 8 bands give recall ≈1−(1−0.66)⁸ ≈ 0.9998.
     Emitted pairs are exact (verified); only recall is probabilistic.
-    """
+
+    ``dim`` (hyperplane dimensionality) defaults to the data's actual
+    vector length, probed from one row.  A mismatched explicit dim
+    would NULL every dot product (zip_with pads with NULLs), collapse
+    all signatures to one bucket, and silently degenerate the banded
+    join to the O(n²) scan LSH exists to avoid — so a mismatch is an
+    error, never a fallback."""
     rows = bits // bands
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            dim = 1  # empty input: any planes work, result is empty
+        else:
+            dim = int(first["d"])
+    else:
+        probe = df.select(F.size(vec_col).alias("d")).first()
+        if probe is not None and int(probe["d"]) != dim:
+            raise ValueError(
+                f"dim={dim} does not match the data's vector length "
+                f"{int(probe['d'])}"
+            )
     planes = _hyperplanes(dim, bits)
     sigs = df.select(
         F.col(id_col).alias("id"),

@@ -307,3 +307,51 @@ def test_fuzzy_word_pairs_finds_all_distance1_kinds(spark):
     }
     assert got == want
     assert ("act", "cat") not in got  # transposition = distance 2
+
+
+# --- review-fix regressions ------------------------------------------------
+
+
+def test_contamination_survives_short_docs(spark):
+    """A corpus doc shorter than n tokens has an empty shingle set;
+    the overlap must be NULL/uncontaminated, not an ANSI
+    DIVIDE_BY_ZERO abort of the whole scan."""
+    corpus = spark.createDataFrame(
+        [(0, "hi"), (1, "a b c d e")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    rows = {r["id"]: r for r in D.contamination(
+        corpus, bench, "doc_id", "text").collect()}
+    assert rows[0]["overlap"] is None
+    assert rows[0]["contaminated"] is False
+    assert rows[1]["contaminated"] is True
+
+
+def test_simhash_pairs_exact_match_setting(spark):
+    """max_hamming=0 (64-bit block) must not overflow the mask."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"])
+             for r in D.simhash_pairs(df, "doc_id", "text", max_hamming=0).collect()}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    chain = [(i, i + 1) for i in range(8)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    verts = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(verts, pairs, max_iter=2)
+    # and with enough iterations the chain is ONE component
+    out = D.connected_components(verts, pairs, max_iter=20)
+    assert {r["cluster_id"] for r in out.collect()} == {0}
+
+
+def test_incremental_dedup_rejects_fp_collision(spark):
+    new = spark.createDataFrame([(1, "t", "x")], "id long, text string, fp string")
+    seen = spark.createDataFrame([("u",)], "text string")
+    with pytest.raises(ValueError, match="'fp'"):
+        D.incremental_dedup(new, seen, "id", "text")

@@ -522,3 +522,41 @@ def test_avro_fallback_save_refuses_unsupported_mode(spark, tmp_path):
         assert "overwrite" in str(e)
     else:  # spark-avro jar present: native append worked — also fine
         pass
+
+
+def test_tsv_round_trip_uses_tab_delimiter(spark, tmp_path):
+    import glob
+
+    from parquet_editor_spark import io as peio
+
+    df = spark.createDataFrame([(1, "a b"), (2, "c,d")], "k long, s string")
+    p = str(tmp_path / "out.tsv")
+    peio.save(df, p)
+    raw = open(glob.glob(f"{p}/part-*")[0]).read()
+    assert "\t" in raw and "k,s" not in raw
+    back = peio.load(spark, p)
+    assert back.columns == ["k", "s"]
+    assert sorted((r["k"], r["s"]) for r in back.collect()) == [
+        (1, "a b"), (2, "c,d"),
+    ]
+
+
+def test_nanos_rebuild_targets_only_footer_nanos_columns(spark, tmp_path):
+    """A plain int64 'ts' column must pass through untouched even when
+    ANOTHER column in the footer is TIMESTAMP(NANOS)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_editor_spark.io import load_parquet_nanos
+
+    p = str(tmp_path / "mixed.parquet")
+    t = pa.table(
+        {
+            "ts": pa.array([1_700_000_000_123, 1_700_000_000_456], pa.int64()),
+            "ev": pa.array([1_000, 2_000], pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(t, p)
+    df = load_parquet_nanos(spark, p)
+    got = sorted(r["ts"] for r in df.select("ts").collect())
+    assert got == [1_700_000_000_123, 1_700_000_000_456]  # NOT divided

@@ -162,3 +162,35 @@ def test_hard_negatives_excludes_same_label(spark):
             key=lambda i: (-sims[i], i),
         )[:3]
         assert by_q[q] == cand, q
+
+
+def test_topk_cosine_tie_break_is_deterministic(spark):
+    """Identical vectors (rounded-sim tie) at the k boundary must rank
+    by neighbor_id asc — regardless of row order inside a batch."""
+    from parquet_editor_spark.operators import sim as S
+
+    rows = [(9, [1.0, 0.0]), (5, [1.0, 0.0]), (0, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.topk_cosine(df, df.filter("vec_id = 0"), k=1).collect()
+    assert len(out) == 1
+    assert out[0]["neighbor_id"] == 5  # tie broken by id, not row order
+
+
+def test_cosine_pairs_lsh_infers_dim(spark):
+    """Non-default dims must work (inferred), and a wrong explicit dim
+    must raise instead of silently degenerating to all-pairs."""
+    import pytest
+
+    from parquet_editor_spark.operators import sim as S
+
+    rows = [
+        (1, [1.0] * 32),
+        (2, [1.0] * 32),          # exact dup of 1
+        (3, [float(i % 7) - 3.0 for i in range(32)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in S.cosine_pairs_lsh(df, threshold=0.99).collect()}
+    assert (1, 2) in pairs
+    with pytest.raises(ValueError, match="does not match"):
+        S.cosine_pairs_lsh(df, dim=64)
