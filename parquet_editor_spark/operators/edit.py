@@ -87,11 +87,16 @@ def _rid_from_partition_offsets(df: DataFrame) -> DataFrame:
     if not offsets:
         offsets = [(0, 0)]
     off_df = spark.createDataFrame(offsets, "___pid int, __off long")
-    return (
+    out = (
         annotated.join(F.broadcast(off_df), annotated["__pid"] == off_df["___pid"], "left")
         .withColumn(RID, F.coalesce(F.col("__off"), F.lit(0)) + F.col("__lrn"))
         .select(RID, *df.columns)
     )
+    # expose the pinned cache so a session-level owner can release it
+    # when the rid'd frame is discarded (EditorSession does on rebind);
+    # without this handle every with_rid call leaks one persisted copy
+    out._pes_rid_base = annotated
+    return out
 
 
 def with_rid(df: DataFrame, order: Optional[Sequence[str]] = None) -> DataFrame:
@@ -192,6 +197,22 @@ def set_cell(df: DataFrame, rid: int, column: str, value) -> DataFrame:
         raise ValueError("set_cell requires a __rid column; call with_rid first")
     dtype = df.schema[column].dataType
     coerced = validate_cast(value, dtype)
+    if coerced is not None and isinstance(
+        dtype, (T.TimestampType, T.TimestampNTZType, T.DateType, T.DecimalType)
+    ):
+        # authoritative eager probe: evaluate the cast on one literal
+        # row NOW — under the session's default ANSI mode an invalid
+        # timestamp/date/decimal literal otherwise throws LAZILY on
+        # every later action, poisoning the bound table instead of
+        # raising the reference's immediate rejected-edit error
+        try:
+            df.sparkSession.range(1).select(
+                F.lit(coerced).cast(dtype)
+            ).collect()
+        except Exception as e:
+            raise CellEditRejected(
+                f"cannot coerce {value!r} to {dtype.simpleString()}"
+            ) from e
     return df.withColumn(
         column,
         F.when(F.col(RID) == rid, F.lit(coerced).cast(dtype)).otherwise(F.col(column)),

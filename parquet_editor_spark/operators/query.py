@@ -102,7 +102,14 @@ def pivot_table(
     if round_to is not None:
         out = out.select(
             index,
-            *[F.round(F.col(c), round_to).alias(c) for c in out.columns if c != index],
+            # backtick-quote: a pivot value like 1.5 becomes a column
+            # literally named "1.5", which bare F.col parses as a
+            # nested-field access
+            *[
+                F.round(F.col(f"`{c}`"), round_to).alias(c)
+                for c in out.columns
+                if c != index
+            ],
         )
     return out
 
@@ -309,7 +316,8 @@ def hash_split(
         bucket = portable_bucket(id_col, seed, 100)
     else:
         raise ValueError(f"unknown hash_split method: {method}")
-    t_hi, v_hi = int(train * 100), int((train + val) * 100)
+    # round, don't truncate: int(0.58*100) == 57 shifts the boundary
+    t_hi, v_hi = int(round(train * 100)), int(round((train + val) * 100))
     return df.withColumn(
         out,
         F.when(bucket < t_hi, F.lit("train"))
@@ -332,7 +340,20 @@ def salted_join(
     spread over ``n_salts`` tasks. Result is row-identical to the
     plain join; cost is ×n_salts on the (smaller) right side. AQE's
     skew-join handles moderate skew automatically — reach for this
-    when a single key exceeds what one executor can hold."""
+    when a single key exceeds what one executor can hold.
+
+    Supported ``how``: inner / left / left_outer — the shapes where
+    replicating the right side is row-neutral.  right/full outer are
+    refused: an unmatched right key survives once per salt copy, so
+    the result would multiply those rows ×n_salts (silently breaking
+    the row-identical contract); de-salt the right side with a
+    post-aggregation or use the plain join + AQE skew handling there.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}: "
+            "unmatched right rows would be duplicated once per salt"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     l = left.withColumn("__salt", salt)
     r = right.withColumn(
@@ -371,21 +392,35 @@ def asof_join(
     right_cols = list(right_cols or [c for c in right.columns if c not in (on, right_ts)])
     lcols = [c for c in left.columns]
 
+    # the carried right row travels as ONE struct (NULL on left rows):
+    # last(struct, ignoreNulls) then selects the most recent right ROW
+    # atomically — per-column last() would skip a genuinely-NULL
+    # attribute of the matched row and resurrect a STALE value from an
+    # older row (and could mix attributes across rows)
+    row_struct_type = (
+        "struct<"
+        + ",".join(
+            [f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in right_cols]
+            + [f"`__ts`:{right.schema[right_ts].dataType.simpleString()}"]
+        )
+        + ">"
+    )
     l_tagged = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        F.lit(None).cast(row_struct_type).alias("__r_row"),
     )
     r_tagged = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),  # right sorts BEFORE left at equal ts
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(right_ts).alias("__r_ts"),
+        F.struct(
+            *[F.col(c) for c in right_cols],
+            F.col(right_ts).alias("__ts"),
+        ).alias("__r_row"),
     )
     w = (
         W.partitionBy("__k")
@@ -394,16 +429,15 @@ def asof_join(
     )
     filled = l_tagged.unionByName(r_tagged).select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in right_cols
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
+        F.last("__r_row", ignorenulls=True).over(w).alias("__f_row"),
     )
     return filled.filter(F.col("__side") == 1).select(
         *lcols,
-        *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in right_cols],
-        F.col("__f_ts").alias(f"{right_ts}{suffix}"),
+        *[
+            F.col("__f_row")[c].alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+        F.col("__f_row")["__ts"].alias(f"{right_ts}{suffix}"),
     )
 
 
@@ -463,7 +497,9 @@ def percentiles(
     p = F.percentile(F.col(col), F.lit(list(probs)))
     out = df.groupBy(*keys).agg(
         *[
-            F.round(F.element_at(p, i + 1), round_to).alias(f"p{int(q * 100)}")
+            F.round(F.element_at(p, i + 1), round_to).alias(
+                f"p{int(round(q * 100))}"
+            )
             for i, q in enumerate(probs)
         ]
     )
@@ -569,8 +605,12 @@ def corr_matrix_exact(
             sxy = F.col(f"sp_{a}_{b}").cast("double")
             sx2 = F.col(f"s2_{a}").cast("double")
             sy2 = F.col(f"s2_{b}").cast("double")
-            corr = (nn * sxy - sx * sy) / F.sqrt(
-                (nn * sx2 - sx * sx) * (nn * sy2 - sy * sy)
+            # try_divide: a constant column has zero variance; pandas
+            # df.corr() yields NaN there — ANSI double division would
+            # abort the whole matrix instead
+            corr = F.try_divide(
+                nn * sxy - sx * sy,
+                F.sqrt((nn * sx2 - sx * sx) * (nn * sy2 - sy * sy)),
             )
             pairs.append(
                 F.struct(
@@ -828,7 +868,9 @@ def weighted_sample_k(
 
     bucket = portable_bucket(id_col, seed, 1000)
     u = (bucket + F.lit(0.5)) / F.lit(1000.0)
-    key = F.round(F.log(u) / F.col(weight_col), 6)
+    # try_divide: weight 0 must mean "never draw" (NULL key sorts last
+    # under desc in both engines), not an ANSI DIVIDE_BY_ZERO abort
+    key = F.round(F.try_divide(F.log(u), F.col(weight_col)), 6)
     return (
         df.withColumn("__race", key)
         .orderBy(F.col("__race").desc(), F.col(id_col).asc())
@@ -997,8 +1039,10 @@ def null_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             F.col("__n").cast("long").alias("n_rows"),
             (F.col("__n") - F.col(f"__nn_{c}")).cast("long").alias("n_null"),
             F.round(
-                (F.col("__n") - F.col(f"__nn_{c}"))
-                / F.col("__n").cast("double"),
+                F.try_divide(
+                    F.col("__n") - F.col(f"__nn_{c}"),
+                    F.col("__n").cast("double"),
+                ),
                 6,
             ).alias("null_frac"),
             F.col(f"__nd_{c}").cast("long").alias("n_distinct"),

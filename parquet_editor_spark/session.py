@@ -158,6 +158,7 @@ class EditorSession:
         self.spark = spark or get_spark()
         self.settings = settings or SessionSettings.load()
         self._tables: dict[str, DataFrame] = {}
+        self._rid_frames: dict[str, DataFrame] = {}
         self._undo: dict[str, list[DataFrame]] = {}
         self._redo: dict[str, list[DataFrame]] = {}
         self._edit_depth: dict[str, int] = {}
@@ -177,8 +178,26 @@ class EditorSession:
             self._undo.setdefault(name, []).append(self._tables[name])
             self._redo.pop(name, None)
         self._tables[name] = df
+        self._release_rid_frame(name)  # stale ordinals for the old binding
         df.createOrReplaceTempView(name)
         return df
+
+    def _release_rid_frame(self, name: str) -> None:
+        cached = self._rid_frames.pop(name, None)
+        base = getattr(cached, "_pes_rid_base", None)
+        if base is not None:
+            base.unpersist()
+
+    def _rid_frame(self, name: str):
+        """Per-binding cached ordinal view: with_rid pins a persisted
+        copy of the table to keep ordinals stable, so it must be built
+        ONCE per binding and released on rebind — rebuilding it per
+        preview page would leak one materialized copy per page."""
+        if name not in self._rid_frames:
+            from parquet_editor_spark.operators.edit import with_rid
+
+            self._rid_frames[name] = with_rid(self._tables[name])
+        return self._rid_frames[name]
 
     def drop_table(self, name: str) -> None:
         self._tables.pop(name, None)
@@ -305,15 +324,15 @@ class EditorSession:
         ``filter(...).limit(n)``, which takes n arbitrary rows in
         partition order and made pages beyond the first
         nondeterministic (r3 bug fix, pinned in test_session)."""
-        df = self._tables[name]
-        if offset:
-            from parquet_editor_spark.operators.edit import with_rid
-
-            return (
-                with_rid(df)
-                .filter(f"__rid >= {offset} AND __rid < {offset + n}")
-                .orderBy("__rid")
-                .drop("__rid")
-                .toPandas()
-            )
-        return df.limit(n).toPandas()
+        # EVERY page goes through the cached ordinal view — page 0 via
+        # bare limit(n) would take n rows in physical partition order,
+        # which can disagree with the ordinal order after a splice
+        # (union-appended rows carry interleaved rids), duplicating or
+        # dropping rows across page boundaries
+        return (
+            self._rid_frame(name)
+            .filter(f"__rid >= {offset} AND __rid < {offset + n}")
+            .orderBy("__rid")
+            .drop("__rid")
+            .toPandas()
+        )

@@ -161,3 +161,23 @@ def test_get_cell_and_compact(sdf, pdf):
     for k in range(5):
         want.iloc[k, 0] = k * 100
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_set_cell_rejects_bad_timestamp_eagerly(spark):
+    """An invalid timestamp literal must raise CellEditRejected NOW —
+    not poison the bound table with a lazily-throwing ANSI cast."""
+    import datetime
+
+    from parquet_editor_spark.operators import edit as E
+    from parquet_editor_spark.operators.edit import CellEditRejected
+
+    df = E.with_rid(
+        spark.createDataFrame(
+            [(datetime.datetime(2024, 1, 1),)], "ts timestamp"
+        )
+    )
+    with pytest.raises(CellEditRejected):
+        E.set_cell(df, 0, "ts", "garbage")
+    # valid literal still lands
+    out = E.set_cell(df, 0, "ts", "2025-02-03 04:05:06")
+    assert out.collect()[0]["ts"] == datetime.datetime(2025, 2, 3, 4, 5, 6)

@@ -217,3 +217,40 @@ def test_null_profile_counts(spark):
     }
     assert got["k"] == (4, 0, 0.0, 4)
     assert got["s"] == (4, 2, 0.5, 1)
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    l = spark.createDataFrame([(1, "a")], "k long, v string")
+    r = spark.createDataFrame([(1, "x"), (2, "y")], "k long, w string")
+    with pytest.raises(ValueError, match="duplicated once per salt"):
+        q.salted_join(l, r, "k", how="full")
+    assert q.salted_join(l, r, "k", how="inner").count() == 1
+
+
+def test_hash_split_boundaries_not_truncated(spark):
+    """int(0.58*100)==57: thresholds must round, not truncate."""
+    df = spark.createDataFrame([(i,) for i in range(4000)], "id long")
+    out = q.hash_split(df, "id", train=0.58, val=0.2, method="portable")
+    frac = out.filter("split = 'train'").count() / 4000
+    assert abs(frac - 0.58) < 0.03  # with truncation it centers on 0.57
+
+
+def test_pivot_round_handles_dotted_pivot_values(spark):
+    df = spark.createDataFrame(
+        [("a", 1.5, 10.0), ("a", 2.5, 20.0), ("b", 1.5, 30.0)],
+        "g string, rate double, amount double",
+    )
+    out = q.pivot_table(df, "g", "rate", "amount", "sum", round_to=2)
+    cols = set(out.columns)
+    assert {"1.5", "2.5"} <= cols
+    got = {r["g"]: (r["1.5"], r["2.5"]) for r in out.collect()}
+    assert got["a"] == (10.0, 20.0)
+    assert got["b"] == (30.0, None)
+
+
+def test_corr_matrix_constant_column_yields_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, c double"
+    )
+    rows = q.corr_matrix_exact(df, ["x", "c"]).collect()
+    assert rows[0]["corr"] is None  # pandas NaN analog, not ANSI crash

@@ -193,3 +193,24 @@ def test_preview_pages_are_deterministic_ordinal_ranges(spark, sf_dir):
         .toPandas()
     )
     assert page1.equals(want)
+
+
+def test_preview_page0_follows_ordinals_after_splice(spark):
+    """Page 0 must follow __rid ordinals, not physical partition
+    order — after a paste splice the two orders disagree."""
+    from parquet_editor_spark import session as S
+    from parquet_editor_spark.operators import edit as E
+
+    sess = S.EditorSession(spark)
+    base = E.with_rid(
+        spark.createDataFrame([(i, f"r{i}") for i in range(6)], "k long, s string")
+    )
+    clip = E.with_rid(
+        spark.createDataFrame([(100, "pasted")], "k long, s string")
+    )
+    spliced = E.paste_rows(base, clip, 2)
+    sess.bind("t", spliced)
+    page0 = sess.preview("t", n=4, offset=0)
+    assert list(page0["s"]) == ["r0", "r1", "pasted", "r2"]
+    page1 = sess.preview("t", n=4, offset=4)
+    assert list(page1["s"]) == ["r3", "r4", "r5"]
