@@ -4577,7 +4577,7 @@ def oracle_sql() -> dict[str, str]:
                    round(
                      least(1.0, len(toks) / 50.0)
                      * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
-                         THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)
+                         THEN length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))::DOUBLE / length(text)
                          ELSE 0.0 END) * 4)
                      * least(1.0, 0.5 + (CASE WHEN len(toks) > 0
                          THEN len(list_filter(toks, x -> x IN ('the','a','of','and','is')))::DOUBLE / len(toks)
@@ -4903,7 +4903,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, source, n_toks
             FROM tokc JOIN rates USING (source)
             WHERE ((id % 1000003) * 2654435761 + 40503)
-                  % 4294967296 % 1000 < floor(rate * 1000)
+                  % 4294967296 % 1000 < rate * 1000
         """,
         "bm25_topk": """
             WITH base AS (
@@ -5013,7 +5013,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(toks) = 0 THEN 0 ELSE
                        list_reduce(
                            list_transform(toks, w ->
-                               {h: CAST(length(w) AS BIGINT),
+                               {h: CAST(('0x' || substring(md5(w), 1, 8))
+                                        AS UBIGINT)::BIGINT,
                                 p: CAST(31 AS BIGINT)}),
                            (acc, x) -> {h: (acc.h + x.h * acc.p)
                                             % 1000000007,
@@ -5429,8 +5430,8 @@ def oracle_sql() -> dict[str, str]:
             k AS (
                 SELECT id, len(toks) AS n_tokens,
                        [toks[i] FOR i IN range(1, len(toks) + 1)
-                        IF ((((id % 1000003) * 104729 + i) % 1000003
-                             * 2654435761 + 40503) % 4294967296) % 1000
+                        IF ((((id % 1000003) * 104729 + i + 40503)
+                             % 1000003 * 2654435761) % 4294967296) % 1000
                            >= 100] AS kept
                 FROM t WHERE len(toks) > 0)
             SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -5580,7 +5581,7 @@ def oracle_sql() -> dict[str, str]:
                            least(1.0, len(toks) / 50.0)
                            * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
                                THEN length(regexp_replace(text,
-                                   '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+                                   '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE
                                    / length(text)
                                ELSE 0.0 END) * 4)
                            * least(1.0, 0.5 + (CASE WHEN len(toks) > 0

@@ -174,9 +174,12 @@ def with_lang_id(
 # ---------------------------------------------------------------------------
 
 def punct_ratio(col: str | Column) -> Column:
-    """Share of characters that are not alphanumeric/space."""
+    """Share of characters that are not letters/digits/whitespace —
+    unicode-aware (\p{L}/\p{N}), so non-Latin scripts and newlines
+    are NOT counted as punctuation (an ASCII-only class floored
+    quality_score to 0 for every zh/es/accented document)."""
     c = F.col(col) if isinstance(col, str) else col
-    stripped = F.regexp_replace(c, r"[A-Za-z0-9 ]", "")
+    stripped = F.regexp_replace(c, r"[\p{L}\p{N}\s]", "")
     return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(F.lit(0.0))
 
 
@@ -195,7 +198,11 @@ def quality_score(col: str | Column, toks: Optional[Column] = None) -> Column:
     """Composite [0,1] quality: length saturation × (1 − punctuation
     excess) with a stopword-presence floor. Deterministic, portable to
     ANSI SQL, monotone in the obvious directions."""
-    length_part = F.least(F.lit(1.0), token_count(col, toks) / F.lit(50.0))
+    # coalesce: least() SKIPS nulls, so a NULL text would take the
+    # full length credit (score 0.5) instead of scoring 0
+    length_part = F.least(
+        F.lit(1.0), F.coalesce(token_count(col, toks) / F.lit(50.0), F.lit(0.0))
+    )
     punct_part = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4)
     stop_part = F.least(F.lit(1.0), F.lit(0.5) + stopword_ratio(col, toks) * 5)
     return F.round(length_part * punct_part * stop_part, 4)
@@ -340,11 +347,15 @@ def rolling_hash(col: str | Column, base: int = 31, mod: int = 1_000_000_007) ->
     if name is None:
         raise ValueError("rolling_hash requires a column name")
     toks = f"filter(split({name}, '\\\\s+'), x -> x != '')"
+    # word value = first 8 md5 hex chars (the repo's portable hash) —
+    # hashing only length(w) was content-blind: any equal-shaped
+    # documents (or equal-length word swaps) collided
+    wv = "CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)"
     return F.expr(
         f"aggregate({toks}, "
         f"named_struct('h', CAST(0 AS BIGINT), 'p', CAST(1 AS BIGINT)), "
         f"(acc, w) -> named_struct("
-        f"'h', (acc.h + length(w) * acc.p) % {mod}, "
+        f"'h', (acc.h + {wv} * acc.p) % {mod}, "
         f"'p', (acc.p * {base}) % {mod}), "
         f"acc -> acc.h)"
     )

@@ -55,7 +55,8 @@ def mixture_sample_tokens(
     )
     counts = tokc.groupBy("source").agg(F.sum("n_toks").alias("toks"))
     shares = spark.createDataFrame(
-        sorted(target_shares.items()), "source string, share double"
+        sorted((k, float(v)) for k, v in target_shares.items()),
+        "source string, share double",
     )
     rated = counts.join(shares, "source").withColumn(
         "ratio", F.col("toks").cast("double") / F.col("share")
@@ -77,7 +78,10 @@ def mixture_sample_tokens(
     bucket = portable_bucket("id", seed, 1000)
     return (
         tokc.join(F.broadcast(rates), "source")
-        .filter(bucket < F.floor(F.col("rate") * 1000))
+        # compare against the raw double: floor(rate*1000) drops the
+        # 999-bucket of the LIMITING source when 1.0 round-trips to
+        # 0.9999999999999999 (budget*share/toks in doubles)
+        .filter(bucket < F.col("rate") * 1000)
         .select("id", "source", "n_toks")
     )
 
@@ -480,7 +484,10 @@ def token_dropout(
     reproducible across runs/engines/repartitioning and a different
     ``seed`` yields an independent corpus view (the property that
     makes hash-dropout usable for multi-epoch augmentation without
-    storing the augmented text).
+    storing the augmented text).  The seed enters BEFORE the
+    multiplicative mix — added after it, two seeds would give mere
+    shifted-interval bucket sets overlapping ~90%, not independent
+    views.
 
     Pure array expressions — the per-position decision is a list
     comprehension over token indices, no explode and no shuffle; the
@@ -495,8 +502,14 @@ def token_dropout(
                 F.element_at("__toks", i).alias("t"),
                 (
                     (
-                        (F.col("id") % 1_000_003) * 104729 + i
-                    ) % 1_000_003 * 2654435761 + F.lit(seed)
+                        (
+                            F.pmod(F.col("id"), F.lit(1_000_003)) * 104729
+                            + i
+                            + F.lit(seed)
+                        )
+                        % 1_000_003
+                    )
+                    * 2654435761
                 ).cast("long").alias("h"),
             ),
         ),

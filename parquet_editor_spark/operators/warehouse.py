@@ -37,7 +37,16 @@ def merge_upsert(
     full-table rewrite beyond what any immutable-file table format
     already does on MERGE."""
     up = F.broadcast(updates) if broadcast_updates else updates
-    kept = target.join(up.select(*keys), list(keys), "left_anti")
+    # null-safe anti join: a NULL key never equi-matches, so a plain
+    # left_anti would KEEP the target's NULL-key row and the union
+    # would append the update's — duplicating instead of replacing
+    # (and breaking idempotent replay in the streaming sibling)
+    upk = up.select(*[F.col(k).alias(f"__u_{k}") for k in keys])
+    cond = None
+    for k in keys:
+        eq = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
+        cond = eq if cond is None else cond & eq
+    kept = target.join(upk, cond, "left_anti")
     return kept.unionByName(updates)
 
 
@@ -459,8 +468,11 @@ def zorder_write(
             F.col(f"__mx_{c}") == F.col(f"__mn_{c}"), F.lit(0)
         )
         .otherwise(
+            # multiply in DOUBLE: (col-mn)*top in int64 overflows once
+            # the column range exceeds ~2^63/top (epoch-micros over a
+            # few years) — garbage keys, or an ANSI overflow error
             (F.col(c).cast("long") - F.col(f"__mn_{c}"))
-            * top
+            * F.lit(float(top))
             / (F.col(f"__mx_{c}") - F.col(f"__mn_{c}"))
         )
         .cast("long")

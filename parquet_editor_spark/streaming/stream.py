@@ -475,8 +475,18 @@ def upsert_stream_parquet(
         batch_df = batch_df.dropDuplicates(keys)
         if os.path.isdir(path):
             current = spark.read.parquet(path)
+            # null-safe anti join — see warehouse.merge_upsert: a plain
+            # equi anti-join keeps NULL-key rows, so every replay of a
+            # NULL-key batch would append another copy
+            upk = batch_df.select(
+                *[F.col(k).alias(f"__u_{k}") for k in keys]
+            )
+            cond = None
+            for k in keys:
+                eq = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
+                cond = eq if cond is None else cond & eq
             merged = current.join(
-                F.broadcast(batch_df.select(*keys)), keys, "left_anti"
+                F.broadcast(upk), cond, "left_anti"
             ).unionByName(batch_df)
         else:
             merged = batch_df
@@ -547,8 +557,19 @@ def refresh_stream_matview(
         marker = os.path.join(path, "_applied_batch")
         if os.path.isfile(marker):
             with open(marker) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return  # replay of an already-committed fold
+                applied = int(fh.read().strip())
+            if batch_id == applied:
+                return  # replay of the last committed fold
+            if batch_id < applied:
+                # real Spark replay repeats only the LAST uncommitted
+                # batch; a smaller id means the output path is being
+                # reused with a fresh checkpoint (ids restart at 0) —
+                # silently skipping would discard new data
+                raise RuntimeError(
+                    f"batch id {batch_id} < applied {applied}: output "
+                    f"path {path!r} was built by a different checkpoint"
+                    " lineage; use a fresh path or keep the checkpoint"
+                )
         if os.path.isdir(path):
             mat = spark.read.parquet(path)
             new = refresh_sum_agg(mat, batch_df, keys, sum_cols, count_col)

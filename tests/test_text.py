@@ -66,11 +66,14 @@ def test_rolling_hash_matches_python(documents, doc_rows):
         r["doc_id"]: r["rh"]
         for r in documents.select("doc_id", X.rolling_hash("text").alias("rh")).collect()
     }
+    import hashlib as _hl
+
     B, M = 31, 1_000_000_007
     for r in doc_rows:
         h, p = 0, 1
         for w in py_tokens(r["text"]):
-            h = (h + len(w) * p) % M
+            wv = int(_hl.md5(w.encode()).hexdigest()[:8], 16)
+            h = (h + wv * p) % M
             p = (p * B) % M
         assert got[r["doc_id"]] == h
 
@@ -79,6 +82,17 @@ def test_rolling_hash_order_sensitive(spark):
     df = spark.createDataFrame([("ab cde",), ("cde ab",)], "text string")
     vals = [r[0] for r in df.select(X.rolling_hash("text")).collect()]
     assert vals[0] != vals[1]
+
+
+def test_rolling_hash_is_content_sensitive(spark):
+    """Equal word-length shapes must NOT collide (the hash once used
+    only length(w) and grouped 'hello world' with 'earth moons')."""
+    df = spark.createDataFrame(
+        [("hello world",), ("earth moons",), ("aaa bbb",), ("bbb aaa",)],
+        "text string",
+    )
+    vals = [r[0] for r in df.select(X.rolling_hash("text")).collect()]
+    assert len(set(vals)) == 4
 
 
 def test_lang_id_deterministic_tiebreak(spark):
@@ -226,3 +240,26 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[0] == (3, d0)
     assert got[1] == (1, d1)
     assert 2 not in got  # single-token doc has no bigrams
+
+
+def test_quality_score_null_text_scores_zero(spark):
+    """least() skips NULLs — a NULL text once scored 0.5 (full length
+    credit), outranking every short real document."""
+    df = spark.createDataFrame(
+        [(None,), ("",), ("the cat sat on the mat",)], "text string"
+    )
+    vals = [r[0] for r in df.select(X.quality_score("text")).collect()]
+    assert vals[0] == 0.0 and vals[1] == 0.0
+    assert vals[2] > 0.0
+
+
+def test_punct_ratio_unicode_and_whitespace(spark):
+    df = spark.createDataFrame(
+        [("día y noche",), ("的是了",), ("a\tb\nc",), ("a,b!c",)],
+        "text string",
+    )
+    vals = [r[0] for r in df.select(X.punct_ratio("text")).collect()]
+    assert vals[0] == 0.0      # accented letters are letters
+    assert vals[1] == 0.0      # CJK letters are letters
+    assert vals[2] == 0.0      # tabs/newlines are whitespace
+    assert vals[3] == pytest.approx(2 / 5)  # ',' and '!' only

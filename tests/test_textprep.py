@@ -357,3 +357,25 @@ def test_shard_stats_covers_all_docs(spark):
     assert sum(r["total_tokens"] for r in rows) == 3000
     # roughly balanced: no shard more than 2x the mean
     assert max(r["n_docs"] for r in rows) < 2 * 250
+
+
+def test_token_dropout_seeds_decorrelate(spark):
+    """Different seeds must give (near-)independent drop sets — with
+    the seed added AFTER the multiplicative mix they were mere shifted
+    intervals overlapping ~90%."""
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(100))) for i in range(20)],
+        "doc_id long, text string",
+    )
+
+    def dropped(seed):
+        out = TP.token_dropout(df, "doc_id", "text", rate_permille=200, seed=seed)
+        d = set()
+        for r in out.collect():
+            kept = set(r["text_aug"].split())
+            d |= {(r["id"], f"w{j}") for j in range(100) if f"w{j}" not in kept}
+        return d
+
+    a, b = dropped(40503), dropped(40504)
+    overlap = len(a & b) / max(1, len(a))
+    assert overlap < 0.45, overlap  # independent views ~0.2 expected

@@ -431,3 +431,10 @@ def test_purge_keys_handles_escaped_and_null_partitions(spark, tmp_path):
         d for d in os.listdir(p)
         if d.startswith("part=") and d != "part=A"
     ]
+
+
+def test_merge_upsert_null_key_replaces_not_duplicates(spark):
+    target = spark.createDataFrame([(None, "old"), (1, "a")], "k long, v string")
+    updates = spark.createDataFrame([(None, "new")], "k long, v string")
+    out = {r["k"]: r["v"] for r in WH.merge_upsert(target, updates, ["k"]).collect()}
+    assert out == {None: "new", 1: "a"}
