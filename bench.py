@@ -50,13 +50,19 @@ def build_queries(spark, tmp):
 
     def t(name):
         if name not in cached:
-            src = (
+            cached[name] = (
                 load_parquet_nanos(spark, f"{SF_DIR}/events.parquet")
                 if name == "events"
                 else spark.read.parquet(f"{SF_DIR}/{name}.parquet")
             )
-            cached[name] = src.cache()
-        return cached[name]
+        df = cached[name]
+        # re-register after the per-query clearCache — without this the
+        # "memory-resident" analytics rows silently measured parquet
+        # re-scans from the second query on; the warm-up run then
+        # re-materializes as the protocol states
+        if not df.is_cached:
+            df.cache()
+        return df
 
     def noop_write(df):
         df.write.mode("overwrite").format("noop").save()

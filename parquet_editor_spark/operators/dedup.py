@@ -33,6 +33,18 @@ from pyspark.sql import types as T
 from parquet_editor_spark.functions import text as X
 
 
+def release_caches(df: DataFrame) -> None:
+    """Release the working caches a pair/signal operator attached to
+    its result (``_pes_caches``) — call AFTER consuming the result.
+    A long-lived session invoking dedup ops repeatedly would otherwise
+    accumulate one persisted shingle/signature relation per call; the
+    caches stay attached (not eagerly checkpointed away) because the
+    df.rdd materialization an eager checkpoint needs bypasses AQE and
+    measured 2.5x slower on the minhash pipeline."""
+    for cached in getattr(df, "_pes_caches", []):
+        cached.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -164,12 +176,11 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # the pair list is the op's (dup-mass-bounded) output: materialize
-    # it eagerly, then RELEASE the shingle cache — a long-lived
-    # session calling pair ops repeatedly must not leak one cache per
-    # call (the incremental_minhash_dedup lesson applied batch-side)
-    out = out.localCheckpoint(eager=True)
-    sets.unpersist()
+    # working caches ride along on the result so a long-lived session
+    # can release them once the pairs are consumed (release_caches(out)
+    # — an EAGER checkpoint here measured 2.5x slower: the df.rdd
+    # materialization path bypasses AQE for the whole pipeline)
+    out._pes_caches = [sets]
     return out
 
 
@@ -373,11 +384,8 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # materialize the verified (dup-mass-bounded) pair list, then
-    # release both working caches — see jaccard_pairs
-    out = out.localCheckpoint(eager=True)
-    sigs.unpersist()
-    sets.unpersist()
+    # see jaccard_pairs: caches attached for release_caches(out)
+    out._pes_caches = [sigs, sets]
     return out
 
 
@@ -665,10 +673,8 @@ def common_shingle_fraction(
             ),
         )
     )
-    # one row per doc (ids + counts, never text): materialize and
-    # release the shingle cache — see jaccard_pairs
-    out = out.localCheckpoint(eager=True)
-    sets.unpersist()
+    # see jaccard_pairs: cache attached for release_caches(out)
+    out._pes_caches = [sets]
     return out
 
 

@@ -131,7 +131,13 @@ def extract_features(
         import hashlib as _h
 
         def featurize(payload: bytes) -> list[float]:
-            raw = (_h.md5(payload + bytes([i])).digest()[0] for i in range(dim))
+            # bytes([i]) only accepts 0-255; wider dims use a 2-byte
+            # index suffix (identical values for i < 256 — the oracle
+            # contract — and valid, distinct ones beyond)
+            def sfx(i: int) -> bytes:
+                return bytes([i]) if i < 256 else i.to_bytes(2, "big")
+
+            raw = (_h.md5(payload + sfx(i)).digest()[0] for i in range(dim))
             return [round(b / 255.0, 6) for b in raw]
 
         for pdf in batches:
@@ -201,6 +207,9 @@ def sample_frames(
     Deterministic fake frame checksums; the explode shape (row
     multiplication inside the executor, no driver round-trip) is the
     real thing."""
+    if n_frames < 1:
+        # sequence(0, -1) DESCENDS and would fabricate frames 0 and -1
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
     frames = F.transform(
         F.sequence(F.lit(0), F.lit(n_frames - 1)),
         lambda i: F.struct(

@@ -109,13 +109,11 @@ def bm25_topk(
             F.round(F.sum("contrib"), round_to).alias("score"),
         )
     )
-    # materialize the per-doc scores (matching-doc-bounded), then
-    # release the tf working cache so repeated retrievals in one
-    # session don't accumulate caches; the top-k stays lazy ABOVE the
-    # checkpoint so its TakeOrderedAndProject plan remains inspectable
-    scored = scored.localCheckpoint(eager=True)
-    tf.unpersist()
-    return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+    # tf cache attached for dedup.release_caches(out) — see the
+    # dedup module: eager checkpointing to auto-release bypasses AQE
+    out = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+    out._pes_caches = [tf]
+    return out
 
 
 def hybrid_rrf_topk(

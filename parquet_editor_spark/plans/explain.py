@@ -34,10 +34,26 @@ def pushed_filters(df: DataFrame) -> list[str]:
     queries."""
     text = formatted_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
-        body = m.group(1).strip()
-        if body:
-            out.extend(s.strip() for s in body.split(","))
+    for m in re.finditer(r"PushedFilters: \[", text):
+        # balanced-bracket scan: In(x, [1,2,3]) nests both ']' and ','
+        # inside one filter, so a regex-to-first-']' + flat comma split
+        # would garble it
+        i, depth, start = m.end(), 1, m.end()
+        parts: list[str] = []
+        while i < len(text) and depth:
+            ch = text[i]
+            if ch in "[(":
+                depth += 1
+            elif ch in "])":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                parts.append(text[start:i])
+                start = i + 1
+            i += 1
+        parts.append(text[start:i])
+        out.extend(p.strip() for p in parts if p.strip())
     return out
 
 

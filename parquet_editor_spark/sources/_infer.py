@@ -51,6 +51,14 @@ def spark_type_for_arrow(t) -> "T.DataType":
         return T.DoubleType()
     if pa_t.is_boolean(t):
         return T.BooleanType()
+    if pa_t.is_binary(t) or pa_t.is_large_binary(t):
+        # raw bytes must stay bytes: a StringType fallback would make
+        # the Arrow converter emit Python repr text ("b'\\x01'")
+        return T.BinaryType()
+    if pa_t.is_date(t):
+        return T.DateType()
+    if pa_t.is_decimal(t):
+        return T.DecimalType(t.precision, t.scale)
     return T.StringType()
 
 
@@ -61,7 +69,9 @@ def series_for(vals: Sequence[Any]) -> pd.Series:
     elif present and all(
         isinstance(v, int) and not isinstance(v, bool) for v in present
     ):
-        dtype = "int64" if len(present) == len(vals) else "float64"
+        # nullable Int64 (not float64) when values are missing: the
+        # float widening silently corrupts int64 ids above 2^53
+        dtype = "int64" if len(present) == len(vals) else "Int64"
     elif present and all(
         isinstance(v, (int, float)) and not isinstance(v, bool)
         for v in present

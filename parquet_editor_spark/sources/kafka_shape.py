@@ -51,8 +51,19 @@ def encode_kafka_frame(
     bytes, full row → JSON value bytes, ``key hash % num_partitions``
     → partition (Kafka's default partitioner shape), per-partition
     ``offset`` via a window only at test scale (a real producer assigns
-    offsets; this keeps the contract total)."""
+    offsets; this keeps the contract total).
+
+    BATCH input only: the offset window is a non-time-based window, so
+    a streaming DataFrame is refused eagerly with a clear error — for
+    a real stream the producer (or writeStream kafka sink) assigns
+    offsets and this frame-shaping step is unnecessary."""
     from pyspark.sql import Window
+
+    if df.isStreaming:
+        raise ValueError(
+            "encode_kafka_frame shapes BATCH frames; streaming input "
+            "gets offsets from the broker/sink, not a window"
+        )
 
     payload_cols = [c for c in df.columns]
     ts: Column = (

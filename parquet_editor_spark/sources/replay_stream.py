@@ -38,9 +38,11 @@ def _rows(pdf, lo: int, hi: int):
     # a picklable ITERATOR: the runtime pickles the batch for
     # replay/recovery (generators don't pickle) and also insists on
     # the iterator protocol (a bare list fails) — iter(list) is both
+    from parquet_editor_spark.sources._infer import is_missing
+
     return iter(
         [
-            tuple(None if v != v else v for v in row)
+            tuple(None if is_missing(v) else v for v in row)
             for row in pdf.iloc[lo:hi].astype(object).itertuples(index=False)
         ]
     )

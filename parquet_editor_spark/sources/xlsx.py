@@ -147,6 +147,9 @@ def _first_sheet_part(z: zipfile.ZipFile) -> str:
     for rel in rels.iter():
         if rel.attrib.get("Id") == rid:
             target = rel.attrib["Target"]
+            # absolute OPC targets ("/xl/worksheets/...") are legal;
+            # strip the leading slash before re-rooting
+            target = target.lstrip("/")
             return target if target.startswith("xl/") else f"xl/{target}"
     raise ValueError(f"workbook relationship {rid!r} not found")
 
@@ -204,7 +207,14 @@ def read_xlsx(path: str) -> pd.DataFrame:
     header_cells, data = rows[0], rows[1:]
     ncols = max(max(r, default=-1) for r in rows) + 1
     names = [
-        str(header_cells.get(i, f"col{i}")) for i in range(ncols)
+        # a PRESENT-but-empty header cell stores None: fall back to
+        # colN rather than naming the column "None"
+        (
+            str(header_cells[i])
+            if header_cells.get(i) is not None
+            else f"col{i}"
+        )
+        for i in range(ncols)
     ]
     # positional construction so duplicate header names survive (Spark
     # frames may legally carry duplicates, e.g. after a join; a dict

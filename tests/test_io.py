@@ -560,3 +560,17 @@ def test_nanos_rebuild_targets_only_footer_nanos_columns(spark, tmp_path):
     df = load_parquet_nanos(spark, p)
     got = sorted(r["ts"] for r in df.select("ts").collect())
     assert got == [1_700_000_000_123, 1_700_000_000_456]  # NOT divided
+
+
+def test_plans_pushed_filters_handles_in_lists(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.plans.explain import pushed_filters
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).withColumn("x", F.col("id") % 10).write.parquet(p)
+    df = spark.read.parquet(p).filter(F.col("x").isin(1, 2, 3))
+    filters = pushed_filters(df)
+    assert any(f.startswith("In(x") for f in filters)
+    # the In(...) filter survives as ONE entry, not comma shrapnel
+    assert not any(f in ("2", "3", "[1") for f in filters)

@@ -116,3 +116,24 @@ def test_resize_images_deterministic_and_schema(payloads):
         assert bytes(r["payload"]) == expect
     # resized payload replaces the original in place, schema keeps meta
     assert "meta" in out.columns
+
+
+def test_extract_features_wide_dim(spark):
+    out = MM.extract_features(
+        MM.attach_payload(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+            "text",
+        ),
+        dim=300,
+    ).collect()
+    assert len(out[0]["features"]) == 300
+
+
+def test_sample_frames_rejects_nonpositive(spark):
+    import pytest as _pt
+
+    df = MM.attach_payload(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string"), "text"
+    )
+    with _pt.raises(ValueError):
+        MM.sample_frames(df, n_frames=0)
