@@ -355,3 +355,16 @@ def test_incremental_dedup_rejects_fp_collision(spark):
     seen = spark.createDataFrame([("u",)], "text string")
     with pytest.raises(ValueError, match="'fp'"):
         D.incremental_dedup(new, seen, "id", "text")
+
+
+def test_release_caches_frees_storage(spark):
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h " + str(i)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    pairs = D.jaccard_pairs(df, "doc_id", "text")
+    pairs.count()  # materialize → shingle cache is now persisted
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() > 0
+    D.release_caches(pairs)
+    assert jsc.getPersistentRDDs().size() == 0
