@@ -3018,6 +3018,43 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-lifecycle check (operators/sim.py ivf_build /
+    ivf_topk_indexed): persist the IVF index (centroids + cell-
+    partitioned assignments), query it, and compare against the
+    fit-inline ivf_topk with the same seed — emits the row-count and
+    an all-equal boolean the driver hash-checks (constant oracle, the
+    ivf_recall_bound pattern)."""
+    import tempfile
+
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    tmp = tempfile.mkdtemp(prefix="pes_ivf_")
+    S.ivf_build(emb, tmp, n_cells=8)
+    inline = S.ivf_topk(emb, queries, k=5, n_cells=8)
+    indexed = S.ivf_topk_indexed(spark, tmp, queries, k=5)
+    mismatches = (
+        inline.withColumnRenamed("sim", "sim_a")
+        .join(
+            indexed.withColumnRenamed("sim", "sim_b"),
+            ["query_id", "rank", "neighbor_id"],
+            "full_outer",
+        )
+        .filter(
+            F.col("sim_a").isNull()
+            | F.col("sim_b").isNull()
+            | (F.col("sim_a") != F.col("sim_b"))
+        )
+        .count()
+    )
+    n = indexed.count()
+    return spark.createDataFrame(
+        [(n, mismatches == 0)], "n_rows long, all_equal boolean"
+    )
+
+
 def q_zstd_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-codec coverage: zstd parquet write + read-back
     (snappy is the default everywhere else).  At 100 TB codec choice
@@ -3550,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_profile_orders": q_null_profile_orders,
         "cms_topk_bound": q_cms_topk_bound,
         "zstd_roundtrip_lineitem": q_zstd_roundtrip_lineitem,
+        "ivf_index_roundtrip": q_ivf_index_roundtrip,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -5338,6 +5376,9 @@ def oracle_sql() -> dict[str, str]:
                          6) AS rrf
             FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "ivf_index_roundtrip": """
+            SELECT CAST(50 AS BIGINT) AS n_rows, true AS all_equal
         """,
         "zstd_roundtrip_lineitem": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

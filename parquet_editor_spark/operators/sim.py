@@ -526,6 +526,26 @@ def ivf_topk(
     assigned = model.transform(ml_df).select(
         "id", "v", F.col("prediction").alias("cell")
     )
+    return _ivf_search(
+        assigned, cent_df, queries, id_col, vec_col, k, nprobe, round_to
+    )
+
+
+def _ivf_search(
+    assigned: DataFrame,
+    cent_df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+    round_to: int,
+) -> DataFrame:
+    """The IVF probe+search stage, shared by the fit-inline path
+    (:func:`ivf_topk`) and the persisted-index path
+    (:func:`ivf_topk_indexed`) so both produce byte-identical
+    rankings from the same (assigned, centroids) relations."""
+    from pyspark.sql import Window as W
 
     # queries → nprobe nearest cells by the SAME metric the quantizer
     # used to assign corpus rows (Euclidean) — probing by a different
@@ -555,4 +575,69 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: Optional[int] = None,
+    seed: int = 42,
+) -> int:
+    """Build and PERSIST an IVF index: k-means centroids plus the
+    cell-assigned corpus, as two parquet relations under ``path``
+    (``centroids/``, ``assigned/`` partitioned by cell).  This is the
+    index-lifecycle half ANN deployments actually need — train the
+    coarse quantizer once, then serve many query batches against the
+    stored index without re-fitting (at 100 TB the k-means fit and the
+    full-corpus assignment pass are the expensive steps; a query batch
+    touches only nprobe cells of the partitioned layout, so the scan
+    prunes to those directories).  Returns ``n_cells``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = corpus.count()
+    n_cells = n_cells or max(2, int(n ** 0.5) // 2)
+    ml_df = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(ml_df)
+    spark = corpus.sparkSession
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    model.transform(ml_df).select(
+        "id", "v", F.col("prediction").alias("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/assigned")
+    return n_cells
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Query a persisted :func:`ivf_build` index — byte-identical
+    ranking to the fit-inline :func:`ivf_topk` for the same quantizer
+    (pinned by test).  The probe filter lands on the cell PARTITION
+    column of the stored layout, so the scan prunes to the probed
+    directories."""
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    assigned = spark.read.parquet(f"{path}/assigned").select(
+        "id", "v", F.col("cell").cast("int").alias("cell")
+    )
+    return _ivf_search(
+        assigned, cent_df, queries, id_col, vec_col, k, nprobe, round_to
     )

@@ -194,3 +194,33 @@ def test_cosine_pairs_lsh_infers_dim(spark):
     assert (1, 2) in pairs
     with pytest.raises(ValueError, match="does not match"):
         S.cosine_pairs_lsh(df, dim=64)
+
+
+def test_ivf_indexed_matches_inline(spark, tmp_path):
+    """Persisted-index search must rank byte-identically to the
+    fit-inline path for the same quantizer seed."""
+    import numpy as np
+
+    from parquet_editor_spark.operators import sim as S
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.randn(16)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 5")
+    inline = sorted(
+        tuple(r) for r in S.ivf_topk(df, queries, k=5, n_cells=8).collect()
+    )
+    path = str(tmp_path / "ivf")
+    n_cells = S.ivf_build(df, path, n_cells=8)
+    assert n_cells == 8
+    indexed = sorted(
+        tuple(r)
+        for r in S.ivf_topk_indexed(spark, path, queries, k=5).collect()
+    )
+    assert indexed == inline
+    # the stored layout is cell-partitioned (prunable by probe filter)
+    import glob
+
+    assert glob.glob(f"{path}/assigned/cell=*")
