@@ -5375,6 +5375,7 @@ def oracle_sql() -> dict[str, str]:
                          + COALESCE(1.0 / (60 + dense_rank), 0.0),
                          6) AS rrf
             FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
+            WHERE COALESCE(l.id, d.id) <> 3
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
         """,
         "ivf_index_roundtrip": """

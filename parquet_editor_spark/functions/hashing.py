@@ -25,7 +25,13 @@ def portable_bucket(
     col: str | Column, seed: int = 40503, mod: int | None = None
 ) -> Column:
     """The canonical portable hash of an integer id column; pass
-    ``mod`` for a bucket in ``[0, mod)``, else the raw 32-bit value."""
+    ``mod`` for a bucket in ``[0, mod)``, else the raw 32-bit value.
+
+    CONTRACT: ids are non-negative.  On that domain Spark's pmod here
+    and the oracles' plain ``%`` agree digit-for-digit; for a negative
+    id they would not (pmod wraps positive, ``%`` keeps the sign), so
+    feeding negative ids breaks cross-engine hash identity — guard
+    upstream if your id space can go negative."""
     c = F.col(col) if isinstance(col, str) else col
     h = (
         F.pmod(c.cast("long"), F.lit(1_000_003)) * F.lit(2654435761)

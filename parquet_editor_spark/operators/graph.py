@@ -61,7 +61,19 @@ def pagerank(
         .distinct()
     )
     n_nodes = nodes.count()  # scalar by design: N parameterizes the plan
-    out = e.groupBy("s").agg(F.sum("w").alias("out_w"))
+    if n_nodes == 0:
+        # graceful empty result (the SQL mirror returns empty too)
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank double"
+        )
+    # a node whose weights sum to 0 has no outgoing mass: treat it as
+    # DANGLING (filter it from outw) — dividing by the zero sum would
+    # abort under ANSI mode or silently vanish its rank mass
+    out = (
+        e.groupBy("s")
+        .agg(F.sum("w").alias("out_w"))
+        .filter(F.col("out_w") > 0)
+    )
     norm = e.join(out, "s").select(
         "s", "t", (F.col("w") / F.col("out_w")).alias("wn")
     )
@@ -114,23 +126,31 @@ def pagerank_sql_ctes(
         "nodes AS (SELECT DISTINCT node FROM "
         "(SELECT s AS node FROM e UNION ALL SELECT t FROM e))",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM nodes)",
-        "outw AS (SELECT s, sum(w) AS out_w FROM e GROUP BY s)",
+        "outw AS (SELECT s, sum(w) AS out_w FROM e GROUP BY s "
+        "HAVING sum(w) > 0)",
         "norm AS (SELECT e.s, e.t, e.w / o.out_w AS wn "
         "FROM e JOIN outw o ON o.s = e.s)",
         "r0 AS (SELECT node, 1.0 / N AS r FROM nodes CROSS JOIN nn)",
     ]
     for k in range(iters):
         parts.append(
+            # NOT EXISTS, not NOT IN: a NULL src would make NOT IN
+            # return NULL for every row (dm stuck at 0), diverging
+            # from the DataFrame path's left_anti semantics
             f"dm{k} AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r{k} "
-            f"WHERE node NOT IN (SELECT s FROM outw))"
+            f"WHERE NOT EXISTS (SELECT 1 FROM outw "
+            f"WHERE outw.s = r{k}.node))"
         )
         parts.append(
             f"c{k} AS (SELECT t, sum(r * wn) AS c "
             f"FROM r{k} JOIN norm ON norm.s = r{k}.node GROUP BY t)"
         )
         parts.append(
+            # emit the PRE-COMPUTED float constant: SQL '1.0 - 0.85'
+            # evaluates in exact decimal and lands one ulp away from
+            # Python's binary 1.0-0.85, breaking byte-identity
             f"r{k + 1} AS (SELECT node, "
-            f"(1.0 - {d}) / N + {d} * (coalesce(c, 0.0) + dm / N) AS r "
+            f"{(1.0 - d)!r} / N + {d} * (coalesce(c, 0.0) + dm / N) AS r "
             f"FROM nodes LEFT JOIN c{k} ON c{k}.t = nodes.node "
             f"CROSS JOIN nn CROSS JOIN dm{k})"
         )

@@ -147,9 +147,10 @@ def hybrid_rrf_topk(
     relations — broadcastable trivia regardless of corpus size."""
     from pyspark.sql import Window as W
 
-    lex = bm25_topk(
+    raw_lex = bm25_topk(
         docs, query_terms, id_col=id_col, text_col=text_col, k=pool
-    ).select(
+    )
+    lex = raw_lex.select(
         "id",
         F.row_number()
         .over(W.orderBy(F.desc("score"), F.asc("id")))
@@ -168,13 +169,23 @@ def hybrid_rrf_topk(
     rrf = F.coalesce(
         1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
     ) + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0))
-    return (
+    out = (
         fused.select(
             F.col("id").alias(id_col),
             "lex_rank",
             "dense_rank",
             F.round(rrf, round_to).alias("rrf"),
         )
+        # the query DOCUMENT itself is excluded from results: the dense
+        # branch already self-excludes (topk_cosine contract), so
+        # keeping it in the lexical branch would systematically
+        # under-rank it anyway — symmetric exclusion is the honest
+        # retrieval contract (mirrored in the oracle)
+        .filter(F.col(id_col) != F.lit(query_vec_id))
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )
+    # carry bm25's working cache forward for dedup.release_caches —
+    # .select() would otherwise drop the handle and leak the persist
+    out._pes_caches = getattr(raw_lex, "_pes_caches", [])
+    return out

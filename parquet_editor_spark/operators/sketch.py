@@ -56,11 +56,17 @@ def cms_topk_bound(
     re-aggregated to ``depth×width`` cells, then broadcast back for
     the min-over-rows estimate.  The sketch side never touches corpus
     tokens a second time."""
+    from pyspark import StorageLevel
+
+    # PERSISTED: exact feeds three branches (cells, topk, total) —
+    # without the persist the corpus tokenize+explode re-runs per
+    # branch (the retrieval.py tf lesson); attached to the result for
+    # dedup.release_caches
     exact = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cells = (
         exact.select(
             "c",
@@ -99,7 +105,7 @@ def cms_topk_bound(
         (estimate >= F.col("c"))
         & ((estimate - F.col("c")) * width <= 3 * F.col("N"))
     )
-    return (
+    out = (
         est.crossJoin(F.broadcast(total))
         .select(
             "w",
@@ -109,3 +115,5 @@ def cms_topk_bound(
         )
         .orderBy(F.desc("exact"), F.asc("w"))
     )
+    out._pes_caches = [exact]
+    return out

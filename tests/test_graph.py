@@ -52,3 +52,17 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     df = spark.createDataFrame(edges, "src string, dst string, w double")
     ranks = [r["rank"] for r in G.pagerank(df, "src", "dst", "w").collect()]
     assert all(r == pytest.approx(1 / 3, abs=1e-6) for r in ranks)
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    e = spark.createDataFrame([], "src string, dst string, w double")
+    assert G.pagerank(e, "src", "dst", "w").count() == 0
+
+
+def test_pagerank_zero_weight_node_is_dangling(spark):
+    # 'a' has only zero-weight out-edges: its mass must teleport, not
+    # vanish (or crash under ANSI) — total rank stays ~1
+    edges = [("a", "b", 0.0), ("b", "a", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    rows = G.pagerank(df, "src", "dst", "w", iters=5).collect()
+    assert sum(r["rank"] for r in rows) == pytest.approx(1.0, abs=1e-4)
