@@ -362,9 +362,10 @@ def test_release_caches_frees_storage(spark):
         [(i, "a b c d e f g h " + str(i)) for i in range(20)],
         "doc_id long, text string",
     )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()  # other tests may share the session
     pairs = D.jaccard_pairs(df, "doc_id", "text")
     pairs.count()  # materialize → shingle cache is now persisted
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() > 0
+    assert jsc.getPersistentRDDs().size() > before
     D.release_caches(pairs)
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() == before
