@@ -3018,6 +3018,18 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_spikes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal spike screen (operators/query.py rolling_spikes):
+    events >3σ from the rolling mean of the preceding 50 same-type
+    events — the level-shift-aware sibling of the global z-score.
+    Exact integer moments in a self-excluding ROWS frame with a
+    deterministic (ts, event_id) order."""
+    ev = _t(spark, sf_dir, "events")
+    return q.rolling_spikes(
+        ev, "event_type", "ts", "event_id", "value", window_rows=50, k=3.0
+    )
+
+
 def q_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-lifecycle check (operators/sim.py ivf_build /
     ivf_topk_indexed): persist the IVF index (centroids + cell-
@@ -3588,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk_bound": q_cms_topk_bound,
         "zstd_roundtrip_lineitem": q_zstd_roundtrip_lineitem,
         "ivf_index_roundtrip": q_ivf_index_roundtrip,
+        "rolling_spikes_events": q_rolling_spikes_events,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -5377,6 +5390,35 @@ def oracle_sql() -> dict[str, str]:
             FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
             WHERE COALESCE(l.id, d.id) <> 3
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "rolling_spikes_events": """
+            WITH v AS (
+                SELECT event_id, event_type, ts, value,
+                       CAST(round(value * 100, 0) AS BIGINT) AS vc
+                FROM events),
+            w AS (
+                SELECT event_id, event_type, value, vc,
+                       count(vc) OVER fr AS n,
+                       CAST(sum(vc) OVER fr AS DOUBLE) AS S,
+                       CAST(sum(CAST(vc AS HUGEINT) * vc) OVER fr
+                            AS DOUBLE) AS S2
+                FROM v
+                WINDOW fr AS (PARTITION BY event_type
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN 50 PRECEDING
+                                       AND 1 PRECEDING)),
+            st AS (
+                SELECT event_id, event_type, value, vc, n,
+                       S / CAST(n AS DOUBLE) AS mean_c,
+                       sqrt((CAST(n AS DOUBLE) * S2 - S * S)
+                            / (CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0))) AS std_c
+                FROM w WHERE n >= 10)
+            SELECT event_id, event_type, value,
+                   round((CAST(vc AS DOUBLE) - mean_c) / std_c, 4) AS z
+            FROM st
+            WHERE std_c > 0
+              AND abs(CAST(vc AS DOUBLE) - mean_c) > 3.0 * std_c
         """,
         "ivf_index_roundtrip": """
             SELECT CAST(50 AS BIGINT) AS n_rows, true AS all_equal

@@ -1050,3 +1050,72 @@ def null_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         for c in cols
     ]
     return m.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def rolling_spikes(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_rows: int = 50,
+    k: float = 3.0,
+    unit_scale: int = 100,
+    round_to: int = 4,
+) -> DataFrame:
+    """Temporal anomaly screen: rows whose value sits more than ``k``
+    sample stddevs from the rolling mean of the PRECEDING
+    ``window_rows`` rows in their group's time order — the spike
+    detector a metrics pipeline runs per series, where the global
+    z-score (``zscore_outliers``) would miss level shifts.
+
+    Moments accumulate over exact integer units (the
+    ``describe_stats`` cents convention) inside a ROWS BETWEEN frame
+    that EXCLUDES the current row, so a spike cannot mask itself and
+    the derived mean/stddev doubles are bit-identical across engines;
+    ties in the time order are broken by ``id_col``, making the frame
+    contents deterministic.
+
+    Scale shape: one shuffle+sort per group (two window aggregates
+    share the frame); groups are independent series, so the partition
+    unit is the series, never the table."""
+    from pyspark.sql import Window as W
+
+    vc = F.round(F.col(value_col) * unit_scale, 0).cast("long")
+    frame = (
+        W.partitionBy(group_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-window_rows, -1)
+    )
+    n = F.count(vc).over(frame)
+    nn = n.cast("double")
+    S = F.sum(vc).over(frame).cast("double")
+    S2 = (
+        F.sum((vc.cast("decimal(19,0)") * vc).cast("decimal(38,0)"))
+        .over(frame)
+        .cast("double")
+    )
+    mean_c = S / nn
+    std_c = F.when(
+        n > 1, F.sqrt((nn * S2 - S * S) / (nn * (nn - F.lit(1.0))))
+    )
+    z = (vc.cast("double") - mean_c) / std_c
+    return (
+        df.withColumn("__n", n)
+        .withColumn("__m", mean_c)
+        .withColumn("__s", std_c)
+        .filter(
+            (F.col("__n") >= 10)
+            & (F.col("__s") > 0)
+            & (F.abs(vc.cast("double") - F.col("__m"))
+               > F.lit(k) * F.col("__s"))
+        )
+        .select(
+            id_col,
+            group_col,
+            F.col(value_col),
+            F.round(
+                (vc.cast("double") - F.col("__m")) / F.col("__s"), round_to
+            ).alias("z"),
+        )
+    )

@@ -254,3 +254,44 @@ def test_corr_matrix_constant_column_yields_null(spark):
     )
     rows = q.corr_matrix_exact(df, ["x", "c"]).collect()
     assert rows[0]["corr"] is None  # pandas NaN analog, not ANSI crash
+
+
+def test_rolling_spikes_flags_injected_spike(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        v = 10.0 + (i % 5) * 0.5           # calm series
+        if i == 55:
+            v = 500.0                       # the spike
+        rows.append((i, "g", base + datetime.timedelta(minutes=i), v))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = q.rolling_spikes(
+        df, "event_type", "ts", "event_id", "value", window_rows=50, k=3.0
+    ).collect()
+    assert [r["event_id"] for r in out] == [55]
+    assert out[0]["z"] > 3.0
+
+
+def test_rolling_spikes_frame_excludes_self_and_warmup(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    # constant series: nothing may fire, including the huge first rows
+    # (n<10 warm-up must be skipped, and the self-exclusion means a
+    # constant window has zero stddev -> filtered)
+    rows = [
+        (i, "g", base + datetime.timedelta(minutes=i), 7.0) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    assert (
+        q.rolling_spikes(
+            df, "event_type", "ts", "event_id", "value"
+        ).count()
+        == 0
+    )
