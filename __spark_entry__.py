@@ -44,6 +44,12 @@ def _revenue_exact() -> "F.Column":
 
 #: brute-force cosine top-5 oracle — shared by the exact top-k query
 #: and the exhaustive-probe IVF losslessness check.
+#: NOTE on float order: the Spark path normalizes rows then dots
+#: (numpy matmul); this mirror divides the raw dot by the norm
+#: product.  Associativity makes bit-identical dot products across
+#: engines impossible either way; the round(.,4) BEFORE ranking is
+#: the accepted mitigation (driver-green since r1), with the id
+#: tie-break absorbing equal-rounded sims.
 _ORACLE_BRUTE_TOPK = """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 10),
@@ -62,7 +68,13 @@ _ORACLE_BRUTE_TOPK = """
     QUALIFY rank <= 5
 """
 
-#: DuckDB mirror of :func:`_revenue_exact` (same operation order).
+#: DuckDB mirror of :func:`_revenue_exact` (same operation order) —
+#: the CANONICAL spelling.  Several oracle strings re-spell it inline
+#: (they are plain literals, and converting them to f-strings would
+#: collide with the struct-literal braces some of them contain); the
+#: differential gate is the drift detector — any copy that diverges
+#: from the Spark expression hash-fails its query immediately, at
+#: both sf0.01 and sf0.1.
 _SQL_REVENUE = (
     "round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
     " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2)"
@@ -948,9 +960,9 @@ def q_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_editor_spark.operators import sim as S
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10)
-    exact = S.topk_cosine(emb, q, k=5).select("query_id", "neighbor_id")
-    approx = S.ivf_topk(emb, q, k=5, n_cells=6, nprobe=5).select(
+    qset = emb.filter(F.col("vec_id") < 10)
+    exact = S.topk_cosine(emb, qset, k=5).select("query_id", "neighbor_id")
+    approx = S.ivf_topk(emb, qset, k=5, n_cells=6, nprobe=5).select(
         "query_id", "neighbor_id"
     ).withColumn("__hit", F.lit(1))
     flagged = exact.join(approx, ["query_id", "neighbor_id"], "left")
@@ -1138,8 +1150,8 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_editor_spark.operators import sim as S
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = S.quantize_int8(emb)
-    return q.select(
+    quant = S.quantize_int8(emb)
+    return quant.select(
         "vec_id",
         F.array_join(
             F.transform("q_vec", lambda x: x.cast("string")), ","
@@ -1427,7 +1439,12 @@ def q_variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out — the engine-native successor to schema-rigid from_json for
     open JSON. Per-event-type sum/count of the extracted long."""
     ev = _t(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    # try_parse_json + try_variant_get: the non-try forms THROW
+    # mid-job on broken JSON / uncastable values (e.g. 'not json',
+    # {"k": "x"}) — NULL is the robust contract
+    k = F.try_variant_get(
+        F.try_parse_json(F.col("props")), "$.k", "long"
+    )
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -3188,13 +3205,13 @@ def q_stream_refresh_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
     )
     tmp = tempfile.mkdtemp(prefix="pes_smv_")
-    q = ST.refresh_stream_matview(
+    sq = ST.refresh_stream_matview(
         sel, f"{tmp}/mat", f"{tmp}/ckpt", ["event_type"], ["value_c"]
     )
     try:
-        q.processAllAvailable()
+        sq.processAllAvailable()
     finally:
-        q.stop()
+        sq.stop()
     return spark.read.parquet(f"{tmp}/mat").select(
         "event_type", "value_c", "n"
     )
@@ -3979,8 +3996,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(CAST(round(value * 100, 0) AS BIGINT))
                          / (100.0 * count(*)), 4) AS avg_value,
-                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
-                        AS BIGINT) AS sum_k
+                   CAST(sum(CASE WHEN json_type(TRY_CAST(props AS JSON),
+                                                '$.k')
+                                      IN ('UBIGINT', 'BIGINT')
+                                 THEN TRY_CAST(json_extract_string(
+                                          props, '$.k') AS INTEGER)
+                            END) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
         """,
         "date_trunc_orders": """
@@ -4682,7 +4703,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id + 1000000, text, 'mirror'
                 FROM documents WHERE doc_id % 7 = 0),
             r AS (
-                SELECT doc_id, source, md5(text) AS fp,
+                SELECT doc_id, source,
+                       md5(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                'g'))) AS fp,
                        CASE WHEN source = 'mirror' THEN 1 ELSE 0 END AS prio
                 FROM allr),
             g AS (
@@ -5184,7 +5207,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(k) AS BIGINT) AS n_with_k,
                    CAST(sum(k) AS BIGINT) AS k_sum
             FROM (SELECT event_type,
-                         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                         CASE WHEN json_type(TRY_CAST(props AS JSON),
+                                             '$.k') = 'BOOLEAN'
+                              THEN CASE WHEN json_extract_string(
+                                            props, '$.k') = 'true'
+                                        THEN 1 ELSE 0 END
+                              ELSE CAST(trunc(TRY_CAST(
+                                       json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                                       AS DOUBLE)) AS BIGINT)
+                         END AS k
                   FROM events)
             GROUP BY event_type
         """,
@@ -5979,17 +6010,38 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) >= 18
         """,
         "map_props_explode": """
-            WITH kv AS (SELECT unnest(json_keys(props)) AS key, props
-                        FROM events)
+            WITH ok AS (
+                -- from_json('map<string,int>') NULLs the WHOLE map when
+                -- ANY value is not a strict in-range int (JSON nulls
+                -- allowed) — mirror that row filter first
+                SELECT props FROM events
+                WHERE TRY_CAST(props AS JSON) IS NOT NULL
+                  AND NOT EXISTS (
+                      SELECT 1 FROM unnest(json_keys(TRY_CAST(props AS JSON))) AS u(k2)
+                      WHERE json_type(TRY_CAST(props AS JSON),
+                                      '$.' || k2)
+                            NOT IN ('UBIGINT', 'BIGINT', 'NULL')
+                         OR (json_type(TRY_CAST(props AS JSON),
+                                       '$.' || k2)
+                                 IN ('UBIGINT', 'BIGINT')
+                             AND TRY_CAST(json_extract_string(
+                                     props, '$.' || k2) AS INTEGER)
+                                 IS NULL))),
+            kv AS (SELECT unnest(json_keys(TRY_CAST(props AS JSON))) AS key, props
+                   FROM ok)
             SELECT key, count(*) AS n,
-                   CAST(sum(CAST(json_extract_string(props, '$.' || key)
-                                 AS INT)) AS BIGINT)
-                       AS sum_val,
-                   min(CAST(json_extract_string(props, '$.' || key) AS INT))
-                       AS min_val,
-                   max(CAST(json_extract_string(props, '$.' || key) AS INT))
-                       AS max_val
-            FROM kv GROUP BY key
+                   CAST(sum(iv) AS BIGINT) AS sum_val,
+                   min(iv) AS min_val,
+                   max(iv) AS max_val
+            FROM (SELECT key, props,
+                         CASE WHEN json_type(TRY_CAST(props AS JSON),
+                                             '$.' || key)
+                                   IN ('UBIGINT', 'BIGINT')
+                              THEN TRY_CAST(json_extract_string(
+                                       props, '$.' || key) AS INTEGER)
+                         END AS iv
+                  FROM kv)
+            GROUP BY key
         """,
         "clean_fillna": """
             SELECT l_orderkey, l_linenumber,

@@ -509,8 +509,10 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window as W
 
-    n = corpus.count()
-    n_cells = n_cells or max(2, int(n ** 0.5) // 2)
+    if n_cells is None:
+        # count only when needed — with an explicit n_cells this was a
+        # full-corpus job whose result was discarded
+        n_cells = max(2, int(corpus.count() ** 0.5) // 2)
     ml_df = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -598,8 +600,8 @@ def ivf_build(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    n = corpus.count()
-    n_cells = n_cells or max(2, int(n ** 0.5) // 2)
+    if n_cells is None:
+        n_cells = max(2, int(corpus.count() ** 0.5) // 2)
     ml_df = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
