@@ -638,3 +638,75 @@ def test_recover_swap_restores_crash_between_renames(spark, tmp_path):
     _recover_swap(p)
     assert os.path.isdir(p)
     assert not os.path.isdir(old) and not os.path.isdir(staging)
+
+
+def test_watermark_finalized_windows_are_immutable(spark, tmp_path):
+    """Late-data contract (what Spark actually GUARANTEES): append
+    mode emits each finalized window exactly once, and a row arriving
+    after the watermark passed its window cannot REVISE an
+    already-emitted window.  (A fully-late row may still open a fresh
+    window — the guide is explicit that dropping beyond the watermark
+    is best-effort, so that is deliberately not asserted.)"""
+    import datetime
+
+    src = str(tmp_path / "src")
+    base = datetime.datetime(2024, 1, 1, 10, 0)
+    schema = "ts timestamp, event_type string, value double"
+    # batch A: 10:00-10:20 -> advances watermark to ~10:10
+    a = spark.createDataFrame(
+        [
+            (base, "x", 1.0),
+            (base + datetime.timedelta(minutes=20), "x", 1.0),
+        ],
+        schema,
+    )
+    a.coalesce(1).write.parquet(src)
+    # batch B: one row at 09:00 — a full hour late
+    b = spark.createDataFrame(
+        [(base - datetime.timedelta(hours=1), "x", 1.0)], schema
+    )
+    b.coalesce(1).write.mode("append").parquet(src)
+    # FileStreamSource orders by modification time: pin batch A's
+    # files strictly older so the late row arrives in a SECOND batch,
+    # after the watermark advanced
+    import glob
+    import os
+    import time as _time
+
+    now = _time.time()
+    for f in glob.glob(f"{src}/*.parquet"):
+        pass
+    paths = sorted(glob.glob(f"{src}/*.parquet"), key=os.path.getmtime)
+    os.utime(paths[0], (now - 120, now - 120))
+    os.utime(paths[-1], (now, now))
+    stream = (
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    import uuid
+
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name).collect()
+    keyed = [(r["w"]["start"], r["event_type"]) for r in got]
+    # exactly-once emission: no (window, key) appears twice
+    assert len(keyed) == len(set(keyed))
+    # the finalized 10:00 window emitted with its original count — the
+    # late 09:00 row did not revise it
+    ten = [r for r in got if r["w"]["start"] == base]
+    assert len(ten) == 1 and ten[0]["n"] == 1
