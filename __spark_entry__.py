@@ -3035,6 +3035,16 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level materialization (operators/query.py
+    session_table): one row per (user, session) with dense ordinal
+    ids, start/end, event count and exact-µs duration — one shared
+    shuffle+sort on the user key for boundary lag, running sum and
+    the per-session aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return q.session_table(ev, "user_id", "ts", "event_id")
+
+
 def q_rolling_spikes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal spike screen (operators/query.py rolling_spikes):
     events >3σ from the rolling mean of the preceding 50 same-type
@@ -3618,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zstd_roundtrip_lineitem": q_zstd_roundtrip_lineitem,
         "ivf_index_roundtrip": q_ivf_index_roundtrip,
         "rolling_spikes_events": q_rolling_spikes_events,
+        "session_table_events": q_session_table_events,
         # --- r1/r2 greens (rotate into r5) ---
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
@@ -5421,6 +5432,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
             WHERE COALESCE(l.id, d.id) <> 3
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "session_table_events": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w
+                                 > INTERVAL 1800 SECONDS
+                            THEN 1 ELSE 0 END AS s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)),
+            sessioned AS (
+                SELECT user_id, ts,
+                       CAST(sum(s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS session_id
+                FROM flagged)
+            SELECT user_id, session_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(date_diff('microseconds', min(ts), max(ts))
+                        AS BIGINT) AS duration_us
+            FROM sessioned GROUP BY user_id, session_id
         """,
         "rolling_spikes_events": """
             WITH v AS (

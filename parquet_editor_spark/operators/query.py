@@ -1119,3 +1119,55 @@ def rolling_spikes(
             ).alias("z"),
         )
     )
+
+
+def session_table(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Session-LEVEL table from an event log: one row per (user,
+    session) with ordinal session id, start/end timestamps, event
+    count and duration — the materialization behind funnel/retention/
+    engagement metrics, one step past per-user session COUNTS
+    (``sessionize``-style aggregates).
+
+    Session boundaries by the standard gap rule (new session when the
+    gap to the previous same-user event exceeds ``gap_seconds``);
+    ``session_id`` is the running sum of boundary flags, so ids are
+    dense 1..n per user and deterministic under the (ts, id) total
+    order.  Duration is exact integer epoch arithmetic.
+
+    Scale shape: ONE shuffle+sort on the user key — the boundary lag,
+    the running-sum window and the final (user, session) aggregation
+    all share it (the per-session agg keys are a prefix extension of
+    the window partition, so no second exchange)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    prev = F.lag(ts_col).over(w)
+    gap = (F.col(ts_col) - prev) > F.expr(f"INTERVAL {gap_seconds} SECONDS")
+    start = F.when(prev.isNull() | gap, 1).otherwise(0)
+    sessioned = df.withColumn(
+        "session_id",
+        F.sum(start).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        sessioned.groupBy(user_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        # timestampdiff on the NTZ values directly — a cast to
+        # TIMESTAMP would route through the session timezone, which
+        # an external driver controls (the repo's documented hazard)
+        .withColumn(
+            "duration_us",
+            F.expr(
+                "timestampdiff(MICROSECOND, session_start, session_end)"
+            ),
+        )
+    )

@@ -295,3 +295,31 @@ def test_rolling_spikes_frame_excludes_self_and_warmup(spark):
         ).count()
         == 0
     )
+
+
+def test_session_table_boundaries_and_duration(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 10, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        (1, base, 1), (1, base + 10 * m, 2),            # session 1 (10 min)
+        (1, base + 60 * m, 3),                           # gap > 30 min → s2
+        (2, base, 4),                                    # other user
+    ]
+    df = spark.createDataFrame(
+        [(u, t, i) for u, t, i in rows],
+        "user_id long, ts timestamp, event_id long",
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"],
+            r["duration_us"],
+        )
+        for r in q.session_table(df, "user_id", "ts", "event_id").collect()
+    }
+    assert got == {
+        (1, 1): (2, 600_000_000),
+        (1, 2): (1, 0),
+        (2, 1): (1, 0),
+    }
