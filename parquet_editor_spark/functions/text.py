@@ -174,7 +174,7 @@ def with_lang_id(
 # ---------------------------------------------------------------------------
 
 def punct_ratio(col: str | Column) -> Column:
-    """Share of characters that are not letters/digits/whitespace —
+    r"""Share of characters that are not letters/digits/whitespace —
     unicode-aware (\p{L}/\p{N}), so non-Latin scripts and newlines
     are NOT counted as punctuation (an ASCII-only class floored
     quality_score to 0 for every zh/es/accented document)."""

@@ -1062,12 +1062,20 @@ def rolling_spikes(
     k: float = 3.0,
     unit_scale: int = 100,
     round_to: int = 4,
+    min_periods: int = 10,
 ) -> DataFrame:
     """Temporal anomaly screen: rows whose value sits more than ``k``
     sample stddevs from the rolling mean of the PRECEDING
     ``window_rows`` rows in their group's time order — the spike
     detector a metrics pipeline runs per series, where the global
     z-score (``zscore_outliers``) would miss level shifts.
+
+    The first ``min_periods`` rows of each series are a warm-up: a
+    stddev over fewer samples is too noisy to flag against, so rows
+    whose preceding frame holds fewer than ``min_periods`` values are
+    never emitted.  ``window_rows`` must be >= ``min_periods`` (else
+    every frame is warm-up and the result is always empty — an error,
+    not a silent no-op).
 
     Moments accumulate over exact integer units (the
     ``describe_stats`` cents convention) inside a ROWS BETWEEN frame
@@ -1081,6 +1089,11 @@ def rolling_spikes(
     unit is the series, never the table."""
     from pyspark.sql import Window as W
 
+    if window_rows < min_periods:
+        raise ValueError(
+            f"window_rows={window_rows} < min_periods={min_periods}: "
+            "every frame would be warm-up and the result always empty"
+        )
     vc = F.round(F.col(value_col) * unit_scale, 0).cast("long")
     frame = (
         W.partitionBy(group_col)
@@ -1105,7 +1118,7 @@ def rolling_spikes(
         .withColumn("__m", mean_c)
         .withColumn("__s", std_c)
         .filter(
-            (F.col("__n") >= 10)
+            (F.col("__n") >= min_periods)
             & (F.col("__s") > 0)
             & (F.abs(vc.cast("double") - F.col("__m"))
                > F.lit(k) * F.col("__s"))

@@ -370,19 +370,25 @@ def cosine_pairs_lsh(
     join to the O(n²) scan LSH exists to avoid — so a mismatch is an
     error, never a fallback."""
     rows = bits // bands
+    # One tiny agg validates EVERY row's vector length (a first()-only
+    # probe would let ragged rows beyond the first silently NULL the
+    # zip_with dot products and collapse signatures into one bucket).
+    probe = df.agg(
+        F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
+    ).first()
+    lo = None if probe is None or probe["lo"] is None else int(probe["lo"])
+    hi = None if probe is None or probe["hi"] is None else int(probe["hi"])
+    if lo is not None and lo != hi:
+        raise ValueError(
+            f"ragged {vec_col!r} lengths: min={lo}, max={hi} — all vectors "
+            "must share one dimensionality"
+        )
     if dim is None:
-        first = df.select(F.size(vec_col).alias("d")).first()
-        if first is None:
-            dim = 1  # empty input: any planes work, result is empty
-        else:
-            dim = int(first["d"])
-    else:
-        probe = df.select(F.size(vec_col).alias("d")).first()
-        if probe is not None and int(probe["d"]) != dim:
-            raise ValueError(
-                f"dim={dim} does not match the data's vector length "
-                f"{int(probe['d'])}"
-            )
+        dim = 1 if lo is None else lo  # empty input: any planes work
+    elif lo is not None and lo != dim:
+        raise ValueError(
+            f"dim={dim} does not match the data's vector length {lo}"
+        )
     planes = _hyperplanes(dim, bits)
     sigs = df.select(
         F.col(id_col).alias("id"),

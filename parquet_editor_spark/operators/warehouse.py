@@ -17,6 +17,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _require_local_path(path: str, op: str) -> str:
+    """Manifest/partition maintenance here walks the table directory
+    with driver-local ``os``/``shutil`` calls, which see nothing on
+    HDFS/S3 even though Spark itself could write there.  Failing loud
+    beats silently committing a manifest that lists no files.  Accepts
+    plain paths and ``file:`` URIs (normalized); rejects any other
+    scheme — route those tables through a real table format's catalog
+    (Iceberg/Delta) or copy locally first."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://(.*)$", path)
+    if m is None:
+        return path
+    if m.group(1).lower() == "file":
+        return "/" + m.group(2).lstrip("/")
+    raise ValueError(
+        f"{op} maintains table metadata with driver-local filesystem "
+        f"calls and only supports local paths; got scheme "
+        f"{m.group(1)!r} in {path!r}"
+    )
+
+
 def merge_upsert(
     target: DataFrame,
     updates: DataFrame,
@@ -201,6 +223,7 @@ def snapshot_write(
         # validate BEFORE writing anything: a data write with no
         # manifest commit would orphan data/vN
         raise ValueError(f"unknown snapshot mode {mode!r}")
+    path = _require_local_path(path, "snapshot_write")
     man_dir = os.path.join(path, "_manifests")
     os.makedirs(man_dir, exist_ok=True)
     versions = sorted(
@@ -250,6 +273,7 @@ def snapshot_read(
     import json
     import os
 
+    path = _require_local_path(path, "snapshot_read")
     man_dir = os.path.join(path, "_manifests")
     if version is None:
         version = max(
@@ -532,6 +556,8 @@ def purge_keys(
     import os
     import shutil
     import urllib.parse
+
+    path = _require_local_path(path, "purge_keys")
 
     def _membership(values):
         """Null-safe partition predicate: isin() never matches NULL."""

@@ -203,6 +203,7 @@ class EditorSession:
         self._tables.pop(name, None)
         self._undo.pop(name, None)
         self._redo.pop(name, None)
+        self._release_rid_frame(name)
         self.spark.catalog.dropTempView(name)
 
     # -- undo / redo -------------------------------------------------
@@ -213,6 +214,7 @@ class EditorSession:
         self._redo.setdefault(name, []).append(self._tables[name])
         df = stack.pop()
         self._tables[name] = df
+        self._release_rid_frame(name)  # ordinal view belongs to the old binding
         df.createOrReplaceTempView(name)
         return df
 
@@ -223,6 +225,7 @@ class EditorSession:
         self._undo.setdefault(name, []).append(self._tables[name])
         df = stack.pop()
         self._tables[name] = df
+        self._release_rid_frame(name)
         df.createOrReplaceTempView(name)
         return df
 

@@ -323,3 +323,25 @@ def test_session_table_boundaries_and_duration(spark):
         (1, 2): (1, 0),
         (2, 1): (1, 0),
     }
+
+
+def test_rolling_spikes_min_periods_validated(spark):
+    """ADVICE r4: window_rows below the warm-up floor is an error, not a
+    silent always-empty result; the floor is now a parameter."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, "g", base + datetime.timedelta(minutes=i), 7.0 + (i % 2) * 0.5)
+        for i in range(8)
+    ] + [(8, "g", base + datetime.timedelta(minutes=8), 700.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="min_periods"):
+        q.rolling_spikes(df, "event_type", "ts", "event_id", "value",
+                         window_rows=5)
+    # lowering the floor lets a short series flag its spike
+    out = q.rolling_spikes(df, "event_type", "ts", "event_id", "value",
+                           window_rows=5, min_periods=5)
+    assert [r["event_id"] for r in out.collect()] == [8]

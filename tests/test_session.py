@@ -37,6 +37,30 @@ def test_undo_empty_raises(sess, sf_dir):
         sess.undo("t")
 
 
+def test_preview_tracks_undo_redo(sess, sf_dir):
+    """Regression (ADVICE r4): undo()/redo() must invalidate the cached
+    ordinal preview frame — previously preview() kept serving the
+    pre-undo binding."""
+    sess.load("t", f"{sf_dir}/region.parquet")
+    full = len(sess.preview("t", n=100))  # warm the rid cache
+    sess.bind("t", sess.get("t").limit(2))
+    assert len(sess.preview("t", n=100)) == 2
+    sess.undo("t")
+    assert len(sess.preview("t", n=100)) == full
+    sess.redo("t")
+    assert len(sess.preview("t", n=100)) == 2
+
+
+def test_drop_table_releases_rid_cache(sess, sf_dir):
+    """Regression (ADVICE r4): drop_table() must release the persisted
+    with_rid base, not just the catalog entry."""
+    sess.load("t", f"{sf_dir}/region.parquet")
+    sess.preview("t", n=3)  # builds + persists the rid frame
+    assert "t" in sess._rid_frames
+    sess.drop_table("t")
+    assert "t" not in sess._rid_frames
+
+
 def test_new_edit_invalidates_redo(sess, sf_dir):
     sess.load("t", f"{sf_dir}/region.parquet")
     sess.bind("t", sess.get("t").limit(3))

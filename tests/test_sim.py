@@ -224,3 +224,14 @@ def test_ivf_indexed_matches_inline(spark, tmp_path):
     import glob
 
     assert glob.glob(f"{path}/assigned/cell=*")
+
+
+def test_cosine_pairs_lsh_rejects_ragged_vectors(spark):
+    """ADVICE r4: ragged vector lengths beyond the first row must raise,
+    not silently collapse signatures via NULLed dot products."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        S.cosine_pairs_lsh(df, threshold=0.9)

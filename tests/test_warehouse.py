@@ -438,3 +438,29 @@ def test_merge_upsert_null_key_replaces_not_duplicates(spark):
     updates = spark.createDataFrame([(None, "new")], "k long, v string")
     out = {r["k"]: r["v"] for r in WH.merge_upsert(target, updates, ["k"]).collect()}
     assert out == {None: "new", 1: "a"}
+
+
+def test_remote_scheme_paths_rejected(spark):
+    """ADVICE r4: driver-local os/shutil maintenance must fail loud on
+    non-local URI schemes instead of silently seeing no files."""
+    import pytest
+
+    df = spark.range(3)
+    for fn in (
+        lambda: WH.snapshot_write(df, "hdfs://nn/warehouse/t"),
+        lambda: WH.snapshot_read(spark, "s3a://bucket/t"),
+        lambda: WH.purge_keys(
+            spark, "s3://bucket/t", "k",
+            spark.createDataFrame([(1,)], "k long"), "part",
+        ),
+    ):
+        with pytest.raises(ValueError, match="scheme"):
+            fn()
+
+
+def test_file_uri_normalized(spark, tmp_path):
+    """file: URIs are accepted and normalized to plain local paths."""
+    p = str(tmp_path / "snap_uri")
+    v = WH.snapshot_write(spark.range(4), "file://" + p)
+    assert v == 1
+    assert WH.snapshot_read(spark, "file://" + p).count() == 4
