@@ -3522,27 +3522,81 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
-    # round-4 window (exactly 50 entries up to and including
-    # pivot_count_distinct):
-    #   1. the 20 new-in-r3 queries never driver-adjudicated (all
-    #      local-oracle green at sf0.01 and sf0.1 this round)
-    #   2. 24 new-in-r4 queries (xlsx + avro round-trips, IVF recall /
-    #      HLL / quantile error bounds, VARIANT extraction, the 11
-    #      TPC-H shapes completing Q1-Q22, priority-keeper dedup,
-    #      incremental MinHash admission, hard-negative mining,
-    #      per-source budget trim, stream-static enrichment, weighted
-    #      sampling, Hilbert clustering keys)
-    #   3. 6 of the 8 r1 greens swapped out of the r3 window
-    #      (date_trunc_orders + string_funcs_part rotate in r5)
-    # Retired from the window per the r3 verdict: the 12 probes (kept
-    # below as documentation/canaries — 4 are RED by design and were
-    # burning slots), and the two rows-only entries whose stable
-    # err:no_oracle verdicts are already recorded (their deterministic
-    # oracle-checked twins stay available).  Still unwindowed r2 greens
-    # (unpivot/percentiles/string_agg/clean_*/resample_*/pipeline/
-    # dedup-pipeline/kafka, 21 entries) rotate in r5.
+    # round-5 window (exactly 50 entries up to and including
+    # string_funcs_part), rotated exactly as the r4 verdict directed:
+    #   1. the 27 r4b queries added after the r4 window froze — the
+    #      only entries never driver-adjudicated (warehouse lifecycle:
+    #      CDC diff / snapshots / time travel / compaction / purge /
+    #      matview refresh incl. streaming; PageRank, count-min sketch,
+    #      FastSS fuzzy pairs; corpus-health / entropy / BPE / bigram-LM
+    #      / token-dropout / shard-stats family; rolling spikes, session
+    #      tables, grouped sampling, hybrid RRF, null profiling, zstd +
+    #      IVF-index round-trips)
+    #   2. the 21 r2 greens with the oldest driver signal
+    #      (unpivot/percentiles/string_agg/clean_*/resample_*/pipeline/
+    #      dedup-pipeline/udtf/kafka)
+    #   3. date_trunc_orders + string_funcs_part (r1 signal, oldest of
+    #      all; completes the rotation planned in the r4 comment)
+    # Everything adjudicated green in r4 (the full former window) moves
+    # behind; probes and rows-only entries stay retired as documented
+    # canaries.  After r5 every one of the 197 entries has driver
+    # signal; r6+ re-rotates by staleness (r1 greens first).
     return {
-        # --- 1. never driver-adjudicated: new-in-r3 block (local-oracle green) ---
+        # --- 1. never driver-adjudicated: the 27 r4b additions ---
+        "pipeline_curation_v2": q_pipeline_curation_v2,
+        "source_token_divergence": q_source_token_divergence,
+        "table_diff_orders": q_table_diff_orders,
+        "snapshot_time_travel": q_snapshot_time_travel,
+        "compact_lineitem_files": q_compact_lineitem_files,
+        "bpe_pair_top": q_bpe_pair_top,
+        "zscore_outliers_price": q_zscore_outliers_price,
+        "char_entropy_docs": q_char_entropy_docs,
+        "group_sample_events": q_group_sample_events,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "corpus_health": q_corpus_health,
+        "bigram_logprob": q_bigram_logprob,
+        "purge_orders": q_purge_orders,
+        "refresh_matview": q_refresh_matview,
+        "source_overlap": q_source_overlap,
+        "pipeline_curation_v3": q_pipeline_curation_v3,
+        "stream_refresh_matview": q_stream_refresh_matview,
+        "token_dropout": q_token_dropout,
+        "shard_stats": q_shard_stats,
+        "pagerank_event_graph": q_pagerank_event_graph,
+        "fuzzy_word_pairs": q_fuzzy_word_pairs,
+        "null_profile_orders": q_null_profile_orders,
+        "cms_topk_bound": q_cms_topk_bound,
+        "zstd_roundtrip_lineitem": q_zstd_roundtrip_lineitem,
+        "ivf_index_roundtrip": q_ivf_index_roundtrip,
+        "rolling_spikes_events": q_rolling_spikes_events,
+        "session_table_events": q_session_table_events,
+        # --- 2. r2 greens, oldest driver signal (re-adjudication) ---
+        "unpivot_measures": q_unpivot_measures,
+        "percentiles_quantity": q_percentiles_quantity,
+        "string_agg_nations": q_string_agg_nations,
+        "clean_fillna": q_clean_fillna,
+        "clean_dropna": q_clean_dropna,
+        "clean_replace": q_clean_replace,
+        "resample_ffill_events": q_resample_ffill_events,
+        "resample_interp_events": q_resample_interp_events,
+        "time_rollup_events": q_time_rollup_events,
+        "pipeline_training_data": q_pipeline_training_data,
+        "incremental_dedup": q_incremental_dedup,
+        "decontaminate": q_decontaminate,
+        "boilerplate_shingles": q_boilerplate_shingles,
+        "gopher_quality": q_gopher_quality,
+        "redact_pii": q_redact_pii,
+        "hash_split": q_hash_split,
+        "unigram_logprob": q_unigram_logprob,
+        "chunk_documents": q_chunk_documents,
+        "udtf_chunk_documents": q_udtf_chunk_documents,
+        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
+        "kafka_roundtrip_events": q_kafka_roundtrip_events,
+        # --- 3. r1 greens, oldest signal of all ---
+        "date_trunc_orders": q_date_trunc_orders,
+        "string_funcs_part": q_string_funcs_part,
+        # ================= end of 50-entry driver window =================
+        # --- r4 driver greens (the full former window; freshest signal) ---
         "bm25_topk": q_bm25_topk,
         "mixture_sample": q_mixture_sample,
         "repetition_signals": q_repetition_signals,
@@ -3599,39 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct_nations": q_union_distinct_nations,
         "rollup_qty": q_rollup_qty,
         "pivot_count_distinct": q_pivot_count_distinct,
-        # ================= end of 50-entry driver window =================
-        # --- new behind-window (added after the r4 window froze;
-        #     rotate into r5 after a full local cycle) ---
-        "pipeline_curation_v2": q_pipeline_curation_v2,
-        "source_token_divergence": q_source_token_divergence,
-        "table_diff_orders": q_table_diff_orders,
-        "snapshot_time_travel": q_snapshot_time_travel,
-        "compact_lineitem_files": q_compact_lineitem_files,
-        "bpe_pair_top": q_bpe_pair_top,
-        "zscore_outliers_price": q_zscore_outliers_price,
-        "char_entropy_docs": q_char_entropy_docs,
-        "group_sample_events": q_group_sample_events,
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
-        "corpus_health": q_corpus_health,
-        "bigram_logprob": q_bigram_logprob,
-        "purge_orders": q_purge_orders,
-        "refresh_matview": q_refresh_matview,
-        "source_overlap": q_source_overlap,
-        "pipeline_curation_v3": q_pipeline_curation_v3,
-        "stream_refresh_matview": q_stream_refresh_matview,
-        "token_dropout": q_token_dropout,
-        "shard_stats": q_shard_stats,
-        "pagerank_event_graph": q_pagerank_event_graph,
-        "fuzzy_word_pairs": q_fuzzy_word_pairs,
-        "null_profile_orders": q_null_profile_orders,
-        "cms_topk_bound": q_cms_topk_bound,
-        "zstd_roundtrip_lineitem": q_zstd_roundtrip_lineitem,
-        "ivf_index_roundtrip": q_ivf_index_roundtrip,
-        "rolling_spikes_events": q_rolling_spikes_events,
-        "session_table_events": q_session_table_events,
-        # --- r1/r2 greens (rotate into r5) ---
-        "date_trunc_orders": q_date_trunc_orders,
-        "string_funcs_part": q_string_funcs_part,
+        # --- r1/r2 greens not in this rotation (re-adjudicated r6+) ---
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "q6_forecast_revenue": q_q6_forecast_revenue,
@@ -3652,28 +3674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_revenue_7d": q_rolling_revenue_7d,
         "asof_join_events": q_asof_join_events,
         "range_join_prices": q_range_join_prices,
-        "unpivot_measures": q_unpivot_measures,
-        "percentiles_quantity": q_percentiles_quantity,
-        "string_agg_nations": q_string_agg_nations,
-        "clean_fillna": q_clean_fillna,
-        "clean_dropna": q_clean_dropna,
-        "clean_replace": q_clean_replace,
-        "resample_ffill_events": q_resample_ffill_events,
-        "resample_interp_events": q_resample_interp_events,
-        "time_rollup_events": q_time_rollup_events,
-        "pipeline_training_data": q_pipeline_training_data,
-        "incremental_dedup": q_incremental_dedup,
-        "decontaminate": q_decontaminate,
-        "boilerplate_shingles": q_boilerplate_shingles,
-        "gopher_quality": q_gopher_quality,
-        "redact_pii": q_redact_pii,
-        "hash_split": q_hash_split,
-        "unigram_logprob": q_unigram_logprob,
-        "chunk_documents": q_chunk_documents,
-        "udtf_chunk_documents": q_udtf_chunk_documents,
-        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
-        "kafka_roundtrip_events": q_kafka_roundtrip_events,
-        # --- r3 driver greens (freshest signal; rotate r5+) ---
+        # --- r3 driver greens (rotate r6+) ---
         "json_extract_events": q_json_extract_events,
         "sessionize_events": q_sessionize_events,
         "stream_sessionize": q_stream_sessionize,

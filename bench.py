@@ -6,7 +6,17 @@ operation surface (scan/pivot/sinks, BASELINE.md rows) plus the
 engine's headline analytics (Q1 agg, star join, top-k, dedup,
 similarity, streaming-equivalent windowed agg).
 
+Drift robustness (r4 verdict): a single-session best-of-3 is at the
+mercy of whole-box drift between rounds (the r4 "regression" was 10-15%
+box slowdown, not code).  The harness therefore runs the full suite in
+N separate JVM sessions (subprocesses) and reports the per-query MIN
+across sessions, plus a fixed ``calibration`` block — a no-op
+``spark.range(100)`` write and an empty-relation ``count()`` — whose
+wall-time lets cross-round ratios be drift-corrected without re-running
+old code.  Calibration rows are NOT part of ``value``/``queries``.
+
 Usage: python bench.py            # $SPARK_GRAFT_SF_DIR, default sf0.1
+       SPARK_GRAFT_BENCH_SESSIONS=1 python bench.py   # quick single-shot
 """
 
 from __future__ import annotations
@@ -190,7 +200,8 @@ def build_queries(spark, tmp):
     }
 
 
-def main() -> None:
+def run_session() -> dict:
+    """One full bench pass in THIS process; returns the result dict."""
     from parquet_editor_spark.session import get_spark
 
     spark = get_spark(
@@ -212,32 +223,97 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="pes_bench_")
     queries = build_queries(spark, tmp)
 
-    times: dict[str, float] = {}
-    for name, fn in queries.items():
+    def timed(fn) -> float:
         fn()  # warm-up: plan compilation, codegen, file-footer caches
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
+        return round(best, 4)
+
+    times: dict[str, float] = {}
+    for name, fn in queries.items():
+        times[name] = timed(fn)
         # drop persisted intermediates (e.g. dedup shingle caches) so
         # repeated runs don't accumulate memory pressure
         spark.catalog.clearCache()
 
+    # Fixed calibration rows: pure per-job overhead (scheduler + noop
+    # committer / empty scan), independent of any operator under test.
+    # A future round divides its calibration by this round's to get the
+    # box-drift factor before comparing query rows.
+    calib = {
+        "noop_write_range100": timed(
+            lambda: spark.range(100).write.mode("overwrite")
+            .format("noop").save()
+        ),
+        "empty_count": timed(
+            lambda: spark.range(0).filter("id < 0").count()
+        ),
+    }
+
     shutil.rmtree(tmp, ignore_errors=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds_best_of_3_warm",
-                "value": round(sum(times.values()), 4),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    return {
+        "metric": "total_query_seconds_best_of_3_warm",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "calibration": calib,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+
+def main() -> None:
+    sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "3"))
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1" or sessions <= 1:
+        out = run_session()
+        if sessions <= 1 and os.environ.get("SPARK_GRAFT_BENCH_CHILD") != "1":
+            out["sessions"] = 1
+        print(json.dumps(out))
+        return
+
+    # Parent: run the suite in N fresh JVMs and keep the per-query MIN —
+    # the estimator least sensitive to box drift and GC/compilation luck.
+    import subprocess
+
+    results = []
+    env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+    for i in range(sessions):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
         )
-    )
+        line = [
+            ln for ln in proc.stdout.strip().splitlines()
+            if ln.startswith("{")
+        ]
+        if proc.returncode != 0 or not line:
+            sys.stderr.write(
+                f"bench child {i} failed (rc={proc.returncode}):\n"
+                + proc.stderr[-2000:]
+            )
+            continue
+        results.append(json.loads(line[-1]))
+    if not results:
+        raise SystemExit("all bench sessions failed")
+
+    merged = dict(results[0])
+    merged["queries"] = {
+        q: min(r["queries"][q] for r in results)
+        for q in results[0]["queries"]
+    }
+    merged["calibration"] = {
+        c: min(r["calibration"][c] for r in results)
+        for c in results[0]["calibration"]
+    }
+    merged["value"] = round(sum(merged["queries"].values()), 4)
+    merged["sessions"] = len(results)
+    merged["per_session_totals"] = [r["value"] for r in results]
+    print(json.dumps(merged))
 
 
 if __name__ == "__main__":
