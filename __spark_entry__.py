@@ -1074,6 +1074,87 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
+    item 3): per doc, synthesize an 8-bit PNG whose dimensions and
+    color type derive from doc_id, then decode → nearest-neighbor
+    resize → re-encode → decode again, all executor-side via Arrow
+    batches.  The emitted orig_* dims come out of a CRC-checked IHDR
+    parse + full inflate/unfilter of the generated file, and the
+    resized_* dims out of a second decode of the re-encoded PNG — any
+    codec defect fails the row loudly.  The oracle recomputes every
+    column arithmetically from doc_id, so the differential checks the
+    whole Spark-side codec path against closed-form truth."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 17 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.png import encode_png
+
+        for pdf in batches:
+            ids = list(pdf["doc_id"])
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encode_png(
+                    3 + i % 13,
+                    2 + i % 11,
+                    1 + i % 4,
+                    bytes(
+                        (i * 31 + j * 7) % 256
+                        for j in range((3 + i % 13) * (2 + i % 11) * (1 + i % 4))
+                    ),
+                )
+                for i in ids
+            ]
+            yield pdf[["doc_id", "payload"]]
+
+    payloads = docs.mapInPandas(gen, schema=gen_schema)
+    tagged = payloads.withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("png").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    orig = MM.decode_meta(tagged).select(
+        "doc_id",
+        "meta",
+        "payload",
+        F.col("width").alias("orig_w"),
+        F.col("height").alias("orig_h"),
+        F.col("channels").alias("orig_ch"),
+    )
+    resized = MM.resize_images(orig, target_w=9, target_h=6)
+    back = MM.decode_meta(
+        resized.drop("width", "height")
+    )
+    return back.select(
+        "doc_id",
+        "orig_w",
+        "orig_h",
+        "orig_ch",
+        F.col("width").alias("resized_w"),
+        F.col("height").alias("resized_h"),
+        F.col("channels").alias("resized_ch"),
+    ).orderBy("doc_id")
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: one payload row → 4 frame rows with
     deterministic checksums (explode inside the executor)."""
@@ -3596,6 +3677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
         # ================= end of 50-entry driver window =================
+        # --- new in r5 (behind window; rotate into r6) ---
+        "png_roundtrip_docs": q_png_roundtrip_docs,
         # --- r4 driver greens (the full former window; freshest signal) ---
         "bm25_topk": q_bm25_topk,
         "mixture_sample": q_mixture_sample,
@@ -5050,6 +5133,18 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hit, 0)::DOUBLE / c.sz >= 0.2
                        AS contaminated
             FROM corpus c LEFT JOIN hits h USING (doc_id)
+        """,
+        "png_roundtrip_docs": """
+            SELECT doc_id,
+                   3 + doc_id % 13 AS orig_w,
+                   2 + doc_id % 11 AS orig_h,
+                   1 + doc_id % 4 AS orig_ch,
+                   9 AS resized_w,
+                   6 AS resized_h,
+                   1 + doc_id % 4 AS resized_ch
+            FROM documents
+            WHERE doc_id % 17 = 0
+            ORDER BY doc_id
         """,
         "multimodal_decode": """
             SELECT doc_id,

@@ -3,15 +3,24 @@ image/audio/video payloads as opaque ``binary`` columns with typed
 metadata, and run decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` operators.
 
-The container has no image/audio libraries, so the DECODE step is
-stubbed exactly as the project contract requires: a clearly-marked
-``NotImplementedError`` path plus a deterministic fake
-(``codec="fake"``) that exercises every piece of real Spark plumbing —
-binary Arrow transfer, batch iteration, output schemas with array
-columns, explode for frame sampling — without pretending to decode
-pixels. Swapping in PIL/ffmpeg later changes ONLY the inner
-``_decode_real`` function; schemas, partitioning and batch shapes are
-production-shaped today.
+The container has no image/audio libraries, so decode runs on two
+paths, dispatched per row on ``meta.codec``:
+
+- ``codec="png"`` — REAL end-to-end decode/resize via the
+  dependency-free PNG codec in ``sources/png.py`` (chunk framing, CRC,
+  IDAT inflate, all five scanline filters, nearest-neighbor resample,
+  re-encode).  One format is fully honest without PIL.
+- ``codec="fake"`` — the deterministic fake retained for every other
+  format: exercises the real Spark plumbing (binary Arrow transfer,
+  batch iteration, array-column schemas, explode for frame sampling)
+  without pretending to decode pixels.
+- anything else — a clearly-marked ``NotImplementedError``; swapping
+  in PIL/ffmpeg later changes ONLY ``_decode_real``.
+
+Worker-side note: the PNG path imports ``parquet_editor_spark`` inside
+the UDF, so the package must be shipped to executors (``--py-files`` /
+pex / cluster image) — the standard requirement for any real codec
+dependency, and automatic in local mode.
 """
 
 from __future__ import annotations
@@ -62,12 +71,18 @@ def attach_payload(
 
 
 def _decode_real(payload: bytes, codec: str):
-    """The real decoder seam. Image/audio libs are not in this
-    container — anything but the deterministic fake codec fails
+    """The real decoder seam.  PNG decodes for real via the
+    dependency-free codec; other formats need PIL/ffmpeg and fail
     loudly rather than fabricating pixels."""
+    if codec == "png":
+        from parquet_editor_spark.sources.png import decode_png
+
+        w, h, ch, _ = decode_png(payload)
+        return w, h, ch
     raise NotImplementedError(
         f"decode for codec {codec!r} requires PIL/ffmpeg; not available "
-        "in this environment — use codec='fake' for pipeline testing"
+        "in this environment — use codec='png' (built-in) or "
+        "codec='fake' for pipeline testing"
     )
 
 
@@ -79,9 +94,15 @@ def _decode_fake(payload: bytes) -> tuple[int, int, int]:
     return 16 + d[0] % 1024, 16 + d[1] % 1024, 1 + d[2] % 4
 
 
-def decode_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_meta(
+    df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
+) -> DataFrame:
     """Decode stage: payload → (width, height, channels) metadata.
-    Arrow-batched; bytes never leave the executor."""
+    Arrow-batched; bytes never leave the executor.  Rows whose
+    ``meta.codec`` is ``"png"`` decode for real; ``"fake"`` rows use
+    the deterministic fake; other codecs raise (failing the task, not
+    fabricating pixels).  A frame without ``meta`` decodes as fake."""
+    has_meta = meta_col in df.columns
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -92,19 +113,41 @@ def decode_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
     def run(batches):
-        # self-contained twin of _decode_fake: module-level refs would
-        # pickle by reference and require the package on the WORKER's
-        # PYTHONPATH — nested defs ship by value with the task
+        # the fake path stays self-contained (nested defs ship by
+        # value); the png path imports the package on the worker —
+        # ship it via --py-files/pex in a cluster deployment
         import hashlib as _h
 
         def fake(p: bytes):
             d = _h.md5(p).digest()
             return 16 + d[0] % 1024, 16 + d[1] % 1024, 1 + d[2] % 4
 
+        def dims_of(p, codec: str):
+            if p is None:
+                return (None, None, None)
+            p = bytes(p)
+            if codec == "png":
+                from parquet_editor_spark.sources.png import decode_png
+
+                w, h, ch, _ = decode_png(p)
+                return (w, h, ch)
+            if codec == "fake":
+                return fake(p)
+            raise NotImplementedError(
+                f"decode for codec {codec!r} requires PIL/ffmpeg"
+            )
+
         for pdf in batches:
+            codecs = (
+                [
+                    "fake" if m is None else m["codec"]
+                    for m in pdf[meta_col]
+                ]
+                if has_meta
+                else ["fake"] * len(pdf)
+            )
             dims = [
-                fake(bytes(p)) if p is not None else (None, None, None)
-                for p in pdf[payload_col]
+                dims_of(p, c) for p, c in zip(pdf[payload_col], codecs)
             ]
             pdf = pdf.copy()
             pdf["width"] = [d[0] for d in dims]
@@ -156,13 +199,16 @@ def resize_images(
     payload_col: str = "payload",
     target_w: int = 224,
     target_h: int = 224,
+    meta_col: str = "meta",
 ) -> DataFrame:
     """Resize stage: payload → resized payload + target dimensions —
-    the preprocessing step between ingestion and the encoder.  The
-    pixel transform is a clearly-marked deterministic fake (digest of
-    payload + target box; a real PIL/ffmpeg resize drops into
-    ``shrink`` unchanged); the Arrow batch shape, binary-out schema
-    and executor-local byte handling are the production path.
+    the preprocessing step between ingestion and the encoder.
+
+    ``meta.codec == "png"`` rows resize for REAL: decode (CRC-checked
+    inflate + unfilter), nearest-neighbor resample, re-encode — the
+    output payload is a valid PNG of the target box.  ``"fake"`` rows
+    keep the clearly-marked deterministic fake (digest of payload +
+    target box); other codecs raise.
 
     Scale shape: pure mapInPandas projection — no shuffle, bytes never
     cross to the driver, output partitioning inherits the scan."""
@@ -179,19 +225,41 @@ def resize_images(
         ]
     )
     names = [f.name for f in out_schema.fields]
+    has_meta = meta_col in df.columns
 
     def run(batches):
         import hashlib as _h
 
-        def shrink(p: bytes) -> bytes:
-            # real impl: PIL Image.resize((target_w, target_h)).tobytes()
-            return _h.md5(p + f"{target_w}x{target_h}".encode()).digest()
+        def shrink(p: bytes, codec: str) -> bytes:
+            if codec == "png":
+                from parquet_editor_spark.sources import png as _png
+
+                w, h, ch, pix = _png.decode_png(p)
+                return _png.encode_png(
+                    target_w,
+                    target_h,
+                    ch,
+                    _png.resize_nearest(pix, w, h, ch, target_w, target_h),
+                )
+            if codec == "fake":
+                return _h.md5(p + f"{target_w}x{target_h}".encode()).digest()
+            raise NotImplementedError(
+                f"resize for codec {codec!r} requires PIL/ffmpeg"
+            )
 
         for pdf in batches:
+            codecs = (
+                [
+                    "fake" if m is None else m["codec"]
+                    for m in pdf[meta_col]
+                ]
+                if has_meta
+                else ["fake"] * len(pdf)
+            )
             pdf = pdf.copy()
             pdf[payload_col] = [
-                shrink(bytes(p)) if p is not None else None
-                for p in pdf[payload_col]
+                shrink(bytes(p), c) if p is not None else None
+                for p, c in zip(pdf[payload_col], codecs)
             ]
             pdf["width"] = target_w
             pdf["height"] = target_h

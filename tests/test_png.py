@@ -1,0 +1,240 @@
+"""Dependency-free PNG codec (sources/png.py) and its wiring into the
+multimodal decode/resize operators (r4 verdict item 3: one real format
+end-to-end without PIL)."""
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parquet_editor_spark.sources import png as P
+
+
+def _pixels(w, h, ch):
+    return bytes((x * 7 + 13) % 256 for x in range(w * h * ch))
+
+
+# ---------------------------------------------------------------------------
+# pure codec
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_roundtrip_all_color_types(ch):
+    w, h = 5, 3
+    pix = _pixels(w, h, ch)
+    out = P.decode_png(P.encode_png(w, h, ch, pix))
+    assert out == (w, h, ch, pix)
+
+
+def test_known_vector_asymmetric_dims():
+    """Hand-checked 2x1 grayscale PNG (w != h catches symmetric
+    encode/decode swaps that a round-trip alone would cancel)."""
+    data = P.encode_png(2, 1, 1, bytes([10, 200]))
+    # IHDR body starts at byte 16: width then height, big-endian
+    assert struct.unpack_from(">II", data, 16) == (2, 1)
+    w, h, ch, pix = P.decode_png(data)
+    assert (w, h, ch) == (2, 1, 1) and pix == bytes([10, 200])
+
+
+def _png_with_filters(w, h, ch, pix, ftypes):
+    """Build a PNG whose scanlines use the given filter types, applying
+    each filter's forward transform per the spec so decode must invert."""
+    stride = w * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, ftype in enumerate(ftypes):
+        line = pix[y * stride : (y + 1) * stride]
+        enc = bytearray(line)
+        if ftype == 1:  # Sub
+            for i in range(stride - 1, ch - 1, -1):
+                enc[i] = (enc[i] - line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride - 1, -1, -1):
+                left = line[i - ch] if i >= ch else 0
+                enc[i] = (enc[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride - 1, -1, -1):
+                left = line[i - ch] if i >= ch else 0
+                up = prev[i]
+                ul = prev[i - ch] if i >= ch else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else up if pb <= pc else ul
+                enc[i] = (enc[i] - pred) & 0xFF
+        raw.append(ftype)
+        raw += enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, P._COLOR_TYPE[ch], 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + P._chunk(b"IEND", b"")
+    )
+
+
+def test_decodes_all_five_filters():
+    w, h, ch = 4, 5, 3
+    pix = _pixels(w, h, ch)
+    data = _png_with_filters(w, h, ch, pix, [0, 1, 2, 3, 4])
+    assert P.decode_png(data) == (w, h, ch, pix)
+
+
+def test_crc_corruption_raises():
+    data = bytearray(P.encode_png(2, 2, 1, _pixels(2, 2, 1)))
+    data[40] ^= 0xFF  # somewhere inside IDAT
+    with pytest.raises(ValueError, match="CRC|truncated"):
+        P.decode_png(bytes(data))
+
+
+def test_bad_signature_and_unsupported_features():
+    with pytest.raises(ValueError, match="signature"):
+        P.decode_png(b"JPEG" * 4)
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + P._chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="depth"):
+        P.decode_png(data)
+    # palette color type
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + P._chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="color type"):
+        P.decode_png(data)
+
+
+def test_encode_validates_buffer():
+    with pytest.raises(ValueError, match="bytes"):
+        P.encode_png(2, 2, 1, b"abc")
+    with pytest.raises(ValueError, match="channels"):
+        P.encode_png(1, 1, 5, b"abcde")
+
+
+def test_ancillary_chunks_skipped():
+    data = P.encode_png(2, 2, 1, _pixels(2, 2, 1))
+    # splice a tEXt chunk between IHDR and IDAT
+    ihdr_end = 8 + 12 + 13
+    spliced = (
+        data[:ihdr_end]
+        + P._chunk(b"tEXt", b"comment\x00hi")
+        + data[ihdr_end:]
+    )
+    assert P.decode_png(spliced)[:3] == (2, 2, 1)
+
+
+def test_resize_nearest_shapes():
+    # 2x2 gray -> 1x1 picks the pixel whose center maps to (0.5,0.5)*2=(1,1)
+    pix = bytes([1, 2, 3, 4])
+    assert P.resize_nearest(pix, 2, 2, 1, 1, 1) == bytes([4])
+    # identity resize is a no-op
+    assert P.resize_nearest(pix, 2, 2, 1, 2, 2) == pix
+    # upsample 1x1 -> 3x2 replicates
+    assert P.resize_nearest(bytes([9]), 1, 1, 1, 3, 2) == bytes([9] * 6)
+    # rgb 2x1 -> 4x1 keeps pixel units intact
+    rgb = bytes([1, 2, 3, 4, 5, 6])
+    assert P.resize_nearest(rgb, 2, 1, 3, 4, 1) == bytes(
+        [1, 2, 3, 1, 2, 3, 4, 5, 6, 4, 5, 6]
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+def test_roundtrip_property(w, h, ch, data):
+    pix = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * ch,
+                max_size=w * h * ch,
+            )
+        )
+    )
+    assert P.decode_png(P.encode_png(w, h, ch, pix)) == (w, h, ch, pix)
+
+
+# ---------------------------------------------------------------------------
+# Spark wiring
+# ---------------------------------------------------------------------------
+
+def _png_frame(spark):
+    from parquet_editor_spark.operators.multimodal import attach_payload
+
+    rows = [
+        (i, P.encode_png(3 + i, 2 + 2 * i, 1 + i % 4,
+                         _pixels(3 + i, 2 + 2 * i, 1 + i % 4)))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "img_id long, raw binary")
+    return attach_payload(df, "raw", media_type="image", codec="png").drop("raw")
+
+
+def test_decode_meta_png_real_dimensions(spark):
+    from parquet_editor_spark.operators.multimodal import decode_meta
+
+    out = {
+        r["img_id"]: (r["width"], r["height"], r["channels"])
+        for r in decode_meta(_png_frame(spark)).collect()
+    }
+    assert out == {i: (3 + i, 2 + 2 * i, 1 + i % 4) for i in range(4)}
+
+
+def test_resize_images_png_emits_valid_png(spark):
+    from parquet_editor_spark.operators.multimodal import resize_images
+
+    out = resize_images(_png_frame(spark), target_w=8, target_h=6).collect()
+    assert len(out) == 4
+    for r in out:
+        w, h, ch, pix = P.decode_png(bytes(r["payload"]))
+        assert (w, h) == (8, 6) == (r["width"], r["height"])
+        assert len(pix) == 8 * 6 * ch
+
+
+def test_resize_content_is_nearest_neighbor(spark):
+    """Downsample a 4x4 with a known pattern and check exact pixels."""
+    from parquet_editor_spark.operators.multimodal import (
+        attach_payload,
+        resize_images,
+    )
+
+    pix = bytes(range(16))  # 4x4 gray, pixel value == index
+    df = spark.createDataFrame(
+        [(1, P.encode_png(4, 4, 1, pix))], "img_id long, raw binary"
+    )
+    df = attach_payload(df, "raw", codec="png").drop("raw")
+    (row,) = resize_images(df, target_w=2, target_h=2).collect()
+    # centers map to source index floor((i+0.5)*4/2) = 1, 3
+    assert P.decode_png(bytes(row["payload"]))[3] == bytes(
+        [pix[4 * 1 + 1], pix[4 * 1 + 3], pix[4 * 3 + 1], pix[4 * 3 + 3]]
+    )
+
+
+def test_unknown_codec_still_raises(spark):
+    from parquet_editor_spark.operators.multimodal import (
+        attach_payload,
+        decode_meta,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    df = attach_payload(df, "s", codec="jpeg")
+    with pytest.raises(Exception) as ei:
+        decode_meta(df).collect()
+    assert "PIL" in str(ei.value) or "NotImplementedError" in str(ei.value)
