@@ -12,9 +12,11 @@ Scale shape per iteration: ranks (|V| rows) broadcast-or-shuffle join
 onto the out-weight-normalized edge list (|E| rows, co-partitioned by
 source), one hash agg back to |V| rows, plus two scalar aggregates
 (dangling mass, for nodes with no out-edges).  Iterations unroll into
-one lazy plan; `localCheckpoint` every few supersteps would bound the
-lineage at high iteration counts (same lesson as dedup.py's label
-propagation).
+one lazy plan up to ``checkpoint_every`` supersteps, then
+``localCheckpoint`` truncates the lineage (same lesson as dedup.py's
+label propagation) — without it, plan analysis/codegen cost grows
+superlinearly with iters and 20+ supersteps hit the optimizer wall
+long before any data-size limit.
 
 :func:`pagerank_sql_ctes` emits byte-identical arithmetic as chained
 SQL CTEs from the same recurrence (the hilbert_sql_ctes convention)
@@ -35,6 +37,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     round_to: int = 6,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Weighted PageRank after ``iters`` synchronous iterations:
 
@@ -79,7 +82,16 @@ def pagerank(
     )
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
     has_out = out.select(F.col("s").alias("node"))
-    for _ in range(iters):
+    for it in range(iters):
+        if it > 0 and checkpoint_every > 0 and it % checkpoint_every == 0:
+            # truncate the unrolled lineage so optimizer/codegen cost
+            # stays bounded at high iteration counts: each iteration
+            # references the previous ranks TWICE (contribution join +
+            # dangling-mass aggregate), so an unbounded unroll is
+            # 2^iters subplans — the checkpoint caps it at
+            # 2^checkpoint_every regardless of iters.  eager=True
+            # materializes |V| rows on executors — tiny next to |E|
+            ranks = ranks.localCheckpoint(eager=True)
         dangling = (
             ranks.join(has_out, "node", "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))

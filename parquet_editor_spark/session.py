@@ -245,10 +245,15 @@ class EditorSession:
         return self.bind(name, peio.load(self.spark, self.settings.resolve(path), fmt))
 
     def save(self, name: str, path: str, fmt: Optional[str] = None, **kw) -> None:
-        """File▸Save (main.pyc:344-360)."""
+        """File▸Save (main.pyc:344-360).  The internal ``__rid``
+        ordinal never reaches disk — the same contract as the
+        reference's index=False writes (and preview's drop)."""
         from parquet_editor_spark import io as peio
+        from parquet_editor_spark.operators.edit import strip_rid
 
-        peio.save(self._tables[name], self.settings.resolve(path), fmt, **kw)
+        peio.save(
+            strip_rid(self._tables[name]), self.settings.resolve(path), fmt, **kw
+        )
 
     def new_dataframe(self, name: str, schema: str = "") -> DataFrame:
         """File▸New (``pd.DataFrame()``, main.pyc:285-287)."""

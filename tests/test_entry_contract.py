@@ -47,39 +47,38 @@ def test_top_level_functions_unique():
 def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
-    silently missed adjudication — pin the round-4 window composition:
-    every never-driver-adjudicated query first, probes and stable
-    rows-only entries retired behind the window."""
+    silently missed adjudication — pin the round-5 window composition
+    (the r4 verdict's rotation): every never-driver-adjudicated r4b
+    query first, then the oldest r2/r1 greens; probes and stable
+    rows-only entries stay retired behind the window."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "pivot_count_distinct", (
+    assert window[-1] == "string_funcs_part", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
-        # new-in-r3, never driver-adjudicated
-        "bm25_topk", "mixture_sample", "repetition_signals",
-        "vocab_coverage", "funnel_signup_purchase", "retention_cohorts",
-        "merge_upsert_orders", "scd2_user_status", "zorder_cluster_keys",
-        "multimodal_resize", "parquet_roundtrip_partitioned",
-        "orc_roundtrip_lineitem", "corr_matrix", "q8_market_share",
-        "q10_returned_revenue", "q12_priority_lines", "q14_promo_revenue",
-        "q19_disjunctive_revenue", "q21_sole_supplier", "q22_idle_customers",
-        # new in r4
-        "xlsx_roundtrip_lineitem", "ivf_recall_bound",
-        "q1_pricing_summary", "q2_min_cost_supplier", "q4_order_priority",
-        "q9_product_profit", "q11_important_stock",
-        "q13_customer_distribution", "q15_top_supplier",
-        "q16_supplier_part_counts", "q17_small_qty_revenue",
-        "q18_large_volume_customers", "q20_part_promotion",
-        "dedup_priority_keep", "hard_negatives", "source_budget_trim",
-        "stream_static_enrich", "weighted_sample_k", "avro_roundtrip_part",
-        "variant_extract_events", "hll_error_bound", "quantile_error_bound",
-        "hilbert_cluster_keys", "incremental_minhash",
-        # r1 greens swapped out of the r3 window (date_trunc_orders and
-        # string_funcs_part yielded their slots to the new-coverage
-        # block; they rotate in r5)
-        "cell_edit", "delete_rows", "paste_splice",
-        "union_distinct_nations", "rollup_qty", "pivot_count_distinct",
+        # the 27 r4b additions, never driver-adjudicated before r5
+        "pipeline_curation_v2", "source_token_divergence",
+        "table_diff_orders", "snapshot_time_travel",
+        "compact_lineitem_files", "bpe_pair_top", "zscore_outliers_price",
+        "char_entropy_docs", "group_sample_events", "hybrid_rrf_topk",
+        "corpus_health", "bigram_logprob", "purge_orders",
+        "refresh_matview", "source_overlap", "pipeline_curation_v3",
+        "stream_refresh_matview", "token_dropout", "shard_stats",
+        "pagerank_event_graph", "fuzzy_word_pairs", "null_profile_orders",
+        "cms_topk_bound", "zstd_roundtrip_lineitem", "ivf_index_roundtrip",
+        "rolling_spikes_events", "session_table_events",
+        # r2 greens with the oldest driver signal
+        "unpivot_measures", "percentiles_quantity", "string_agg_nations",
+        "clean_fillna", "clean_dropna", "clean_replace",
+        "resample_ffill_events", "resample_interp_events",
+        "time_rollup_events", "pipeline_training_data", "incremental_dedup",
+        "decontaminate", "boilerplate_shingles", "gopher_quality",
+        "redact_pii", "hash_split", "unigram_logprob", "chunk_documents",
+        "udtf_chunk_documents", "ivf_topk_exhaustive",
+        "kafka_roundtrip_events",
+        # r1 greens, oldest signal of all
+        "date_trunc_orders", "string_funcs_part",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
