@@ -2108,6 +2108,28 @@ def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL (operators/textprep.strip_common_shingles):
+    drop every token covered by a 3-gram appearing in > 5 distinct
+    docs and reassemble the text — the C4/RefinedWeb duplicated-span
+    strip as a transform, not just a signal.  Emits the cleaned text
+    plus before/after token counts so the oracle checks both the
+    reassembled bytes and the mass removed."""
+    from parquet_editor_spark.operators.textprep import strip_common_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    out = strip_common_shingles(docs, "doc_id", "text", n=3, max_docs=5)
+    return out.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        F.when(F.col("clean_text") == "", F.lit(0))
+        .otherwise(F.size(F.split("clean_text", " ")))
+        .cast("long")
+        .alias("n_kept"),
+        "clean_text",
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup: docs with doc_id % 5 == 0 arrive
     as the 'new batch' against the already-ingested remainder; the
@@ -3679,6 +3701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================= end of 50-entry driver window =================
         # --- new in r5 (behind window; rotate into r6) ---
         "png_roundtrip_docs": q_png_roundtrip_docs,
+        "boilerplate_strip": q_boilerplate_strip,
         # --- r4 driver greens (the full former window; freshest signal) ---
         "bm25_topk": q_bm25_topk,
         "mixture_sample": q_mixture_sample,
@@ -5202,6 +5225,37 @@ def oracle_sql() -> dict[str, str]:
                                         p: (acc.p * x.p) % 1000000007}).h
                    END AS rhash
             FROM t
+        """,
+        "boilerplate_strip": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            inv AS (SELECT t.doc_id, r.i AS pos,
+                           ws[r.i] || ' ' || ws[r.i+1] || ' ' || ws[r.i+2]
+                               AS sh
+                    FROM t, unnest(range(1, len(ws) - 1)) AS r(i)
+                    WHERE len(ws) >= 3),
+            common AS (SELECT sh FROM inv GROUP BY sh
+                       HAVING count(DISTINCT doc_id) > 5),
+            covered AS (SELECT DISTINCT inv.doc_id, p.j AS pos
+                        FROM inv JOIN common USING (sh),
+                             unnest(range(inv.pos, inv.pos + 3)) AS p(j)),
+            words AS (SELECT t.doc_id, r.i AS pos, ws[r.i] AS w
+                      FROM t, unnest(range(1, len(ws) + 1)) AS r(i)),
+            clean AS (SELECT w.doc_id,
+                             string_agg(w.w, ' ' ORDER BY w.pos)
+                                 AS clean_text
+                      FROM words w
+                      LEFT JOIN covered c
+                        ON c.doc_id = w.doc_id AND c.pos = w.pos
+                      WHERE c.doc_id IS NULL
+                      GROUP BY w.doc_id)
+            SELECT d.doc_id,
+                   len(string_split(d.text, ' ')) AS n_toks,
+                   CASE WHEN coalesce(c.clean_text, '') = '' THEN 0
+                        ELSE len(string_split(c.clean_text, ' ')) END
+                       AS n_kept,
+                   coalesce(c.clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN clean c USING (doc_id)
         """,
         "boilerplate_shingles": """
             WITH t AS (SELECT doc_id,

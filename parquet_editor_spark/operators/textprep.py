@@ -550,3 +550,100 @@ def shard_stats(
             F.sum("n_toks").cast("long").alias("total_tokens"),
         )
     )
+
+
+def strip_common_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_docs: int = 5,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Boilerplate REMOVAL (not just the signal — the transform): drop
+    every token covered by an ``n``-gram that appears in more than
+    ``max_docs`` distinct documents, and reassemble the surviving
+    tokens in order.  This is the C4/RefinedWeb "remove duplicated
+    spans" step: nav bars, cookie banners and license footers repeat
+    across a corpus verbatim, survive document-level dedup, and leak
+    thousands of copies into training data.  The sibling signal-only
+    operator is :func:`~parquet_editor_spark.operators.dedup.
+    common_shingle_fraction`.
+
+    Token split is a single space (not ``\\s+``) so the reassembled
+    text is byte-reconstructible and the SQL oracle can mirror it
+    exactly; every document comes back (a fully-boilerplate doc yields
+    an empty string), keyed by ``id_col``.
+
+    Scale shape: shingles are built JVM-side from one token array per
+    doc (``transform`` over a ``sequence``, no Python); the common set
+    is found by one (shingle)-keyed agg whose shuffle is bounded by
+    DISTINCT shingles (map-side combined), then broadcast back; covered
+    positions explode only MATCHED shingles (boilerplate mass, not
+    corpus mass); the final reassembly is one (doc)-keyed agg over
+    tokens.  No windows, no sorts, no all-pairs."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("__ws"),
+    )
+    shingled = toks.select(
+        "id",
+        "__ws",
+        # guard short docs: sequence(0, negative) DESCENDS and would
+        # fabricate positions 0 and -1 (same trap as sample_frames)
+        F.when(
+            F.size("__ws") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__ws") - n),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice("__ws", i + 1, n)).alias("sh"),
+                ),
+            ),
+        ).otherwise(F.array()).alias("__shs"),
+    )
+    sh = shingled.select(
+        "id", F.explode("__shs").alias("s")
+    ).select("id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh"))
+    common = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") > max_docs)
+        .select("sh")
+    )
+    covered = (
+        sh.join(F.broadcast(common), "sh")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    words = toks.select(
+        "id", F.posexplode("__ws").alias("pos", "w")
+    )
+    cleaned = (
+        words.join(covered, ["id", "pos"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+            ).alias(out_col)
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(cleaned, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        )
+    )

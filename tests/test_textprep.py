@@ -379,3 +379,70 @@ def test_token_dropout_seeds_decorrelate(spark):
     a, b = dropped(40503), dropped(40504)
     overlap = len(a & b) / max(1, len(a))
     assert overlap < 0.45, overlap  # independent views ~0.2 expected
+
+
+def test_strip_common_shingles_removes_planted_boilerplate(spark):
+    """A 3-gram planted in >max_docs docs is stripped everywhere,
+    including overlap coverage of its full span; rare text survives."""
+    from parquet_editor_spark.operators.textprep import strip_common_shingles
+
+    boiler = "accept all cookies"
+    rows = [(i, f"unique{i} words {boiler} tail{i}") for i in range(4)]
+    rows.append((99, "totally original content here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_common_shingles(
+            df, "doc_id", "text", n=3, max_docs=3
+        ).collect()
+    }
+    assert len(out) == 5
+    for i in range(4):
+        # "words" is covered too: the boundary shingle "words accept
+        # all" is itself shared by all four docs
+        assert out[i] == f"unique{i} tail{i}"
+    assert out[99] == "totally original content here"
+
+
+def test_strip_common_shingles_full_boilerplate_doc_goes_empty(spark):
+    from parquet_editor_spark.operators.textprep import strip_common_shingles
+
+    rows = [(i, "one two three") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = strip_common_shingles(df, "doc_id", "text", n=3, max_docs=3).collect()
+    assert len(out) == 5
+    assert all(r["clean_text"] == "" for r in out)
+
+
+def test_strip_common_shingles_short_docs_untouched(spark):
+    """Docs shorter than n have no shingles — they pass through even
+    if their words appear inside common shingles elsewhere."""
+    from parquet_editor_spark.operators.textprep import strip_common_shingles
+
+    rows = [(i, "a b c d") for i in range(5)] + [(50, "a b"), (51, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_common_shingles(
+            df, "doc_id", "text", n=3, max_docs=3
+        ).collect()
+    }
+    assert out[50] == "a b"
+    assert out[51] == ""
+    assert out[0] == ""  # the common doc is fully covered
+
+
+def test_strip_common_shingles_partial_overlap_coverage(spark):
+    """Coverage is per-position across overlapping common shingles:
+    'x a b c y' with common 'a b c' keeps exactly 'x y'."""
+    from parquet_editor_spark.operators.textprep import strip_common_shingles
+
+    rows = [(i, "a b c") for i in range(5)] + [(9, "x a b c y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_common_shingles(
+            df, "doc_id", "text", n=3, max_docs=4
+        ).collect()
+    }
+    assert out[9] == "x y"
