@@ -529,3 +529,70 @@ def load_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     footer-merging costs a pass over file metadata at planning time;
     turn it on per-read here, not globally."""
     return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def scan_stats(path: str, columns: Optional[list[str]] = None):
+    """Data-skipping audit: per row group, the parquet footer's
+    min/max/null-count for the given columns (default: all leaf
+    columns) plus file and row counts — the report that shows whether
+    a clustered write (``save_clustered`` Z-order/Hilbert) actually
+    produced skippable row groups, and what fraction of row groups a
+    given predicate could prune.
+
+    Metadata only: reads footers, never data pages.  Driver-side and
+    O(row groups) by design — run it on a partition directory or a
+    manifest subset at 100 TB scale, the same way any table-format
+    maintenance job audits clustering health.  Returns a pandas
+    DataFrame (one row per (file, row_group, column))."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    ds = pads.dataset(path, format="parquet")
+    rows = []
+    for f in ds.files:
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if columns is not None and name not in columns:
+                    continue
+                st = col.statistics
+                rows.append(
+                    {
+                        "file": f,
+                        "row_group": rg,
+                        "column": name,
+                        "n_rows": g.num_rows,
+                        "min": None if st is None else st.min,
+                        "max": None if st is None else st.max,
+                        "n_nulls": None if st is None else st.null_count,
+                    }
+                )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "file", "row_group", "column", "n_rows", "min", "max", "n_nulls"
+        ],
+    )
+
+
+def skippable_fraction(
+    path: str, column: str, lo, hi
+) -> float:
+    """Fraction of row groups a ``column BETWEEN lo AND hi`` predicate
+    can skip using footer min/max alone — the single number that
+    grades clustering quality (≈0 on unsorted data, →1 after a
+    Z-order/Hilbert/range-sorted write for range predicates on the
+    clustering keys)."""
+    stats = scan_stats(path, [column])
+    if len(stats) == 0:
+        return 0.0
+    skippable = sum(
+        1
+        for _, r in stats.iterrows()
+        if r["min"] is not None and (r["min"] > hi or r["max"] < lo)
+    )
+    return skippable / len(stats)

@@ -574,3 +574,45 @@ def test_plans_pushed_filters_handles_in_lists(spark, tmp_path):
     assert any(f.startswith("In(x") for f in filters)
     # the In(...) filter survives as ONE entry, not comma shrapnel
     assert not any(f in ("2", "3", "[1") for f in filters)
+
+
+def test_scan_stats_reports_row_group_minmax(spark, tmp_path, sf_dir):
+    """Footer audit: clustered writes produce tight, skippable min/max;
+    the same data written unsorted is unskippable for range predicates."""
+    import parquet_editor_spark.io as peio
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    clustered = str(tmp_path / "clustered")
+    unsorted = str(tmp_path / "unsorted")
+    peio.save_clustered(li, clustered, ["l_orderkey"], n_files=4)
+    li.repartition(4).write.mode("overwrite").parquet(unsorted)
+
+    stats = peio.scan_stats(clustered, ["l_orderkey"])
+    assert set(stats.columns) == {
+        "file", "row_group", "column", "n_rows", "min", "max", "n_nulls"
+    }
+    assert (stats["column"] == "l_orderkey").all()
+    assert stats["n_rows"].sum() == li.count()
+
+    lo = int(li.agg({"l_orderkey": "min"}).collect()[0][0])
+    hi = int(li.agg({"l_orderkey": "max"}).collect()[0][0])
+    mid = (lo + hi) // 2
+    narrow = (mid, mid + (hi - lo) // 100)
+    f_clustered = peio.skippable_fraction(clustered, "l_orderkey", *narrow)
+    f_unsorted = peio.skippable_fraction(unsorted, "l_orderkey", *narrow)
+    # range-clustered files: all but ~1 row group skips a narrow range;
+    # round-robin files all overlap the whole key range
+    assert f_clustered >= 0.5
+    assert f_unsorted == 0.0
+
+
+def test_skippable_fraction_empty_dir(tmp_path):
+    import os
+
+    import parquet_editor_spark.io as peio
+
+    d = tmp_path / "empty"
+    os.makedirs(d)
+    assert peio.skippable_fraction(str(d), "x", 0, 1) == 0.0
