@@ -373,3 +373,50 @@ def test_purge_keys_matches_model(spark, tmp_path_factory, rows, purge):
         return
     got = sorted(r["k"] for r in spark.read.parquet(p).collect())
     assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_strip_common_shingles_matches_python_model(spark, data):
+    """strip_common_shingles vs a direct python model on random small
+    corpora: same covered-position rule, same reassembly."""
+    from parquet_editor_spark.operators.textprep import strip_common_shingles
+
+    vocab = ["a", "b", "c", "d"]
+    n, max_docs = 2, 2
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=8),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+
+    # python model
+    from collections import defaultdict
+
+    sh_docs = defaultdict(set)
+    for i, ws in enumerate(docs):
+        for p in range(len(ws) - n + 1):
+            sh_docs[tuple(ws[p : p + n])].add(i)
+    common = {s for s, ds in sh_docs.items() if len(ds) > max_docs}
+    expect = {}
+    for i, ws in enumerate(docs):
+        covered = set()
+        for p in range(len(ws) - n + 1):
+            if tuple(ws[p : p + n]) in common:
+                covered.update(range(p, p + n))
+        expect[i] = " ".join(
+            w for p, w in enumerate(ws) if p not in covered
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_common_shingles(
+            df, "doc_id", "text", n=n, max_docs=max_docs
+        ).collect()
+    }
+    assert got == expect
