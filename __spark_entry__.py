@@ -1155,6 +1155,81 @@ def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_wav_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-format round-trip, no audio library (sources/wav.py):
+    per doc, synthesize a PCM WAV whose rate/channels/length derive
+    from doc_id, decode it (RIFF chunk walk), nearest-neighbor
+    resample to 6 kHz, re-encode, decode again — all executor-side.
+    The oracle recomputes every emitted column arithmetically from
+    doc_id (integer floor division both sides), so the differential
+    checks the whole codec path against closed-form truth."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 19 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.wav import encode_wav
+
+        for pdf in batches:
+            ids = list(pdf["doc_id"])
+            out = pdf.copy()
+            payloads = []
+            for i in ids:
+                rate = 8000 + (i % 5) * 2000
+                ch = 1 + i % 2
+                n = 50 + i % 97
+                pcm = bytes((i * 13 + j * 7) % 256 for j in range(n * ch * 2))
+                payloads.append(encode_wav(rate, ch, 16, pcm))
+            out["payload"] = payloads
+            yield out[["doc_id", "payload"]]
+
+    payloads = docs.mapInPandas(gen, schema=gen_schema)
+    tagged = payloads.withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("wav").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    orig = MM.audio_meta(tagged).select(
+        "doc_id",
+        "meta",
+        "payload",
+        F.col("sample_rate").alias("orig_rate"),
+        F.col("channels").alias("orig_ch"),
+        F.col("n_frames").alias("orig_frames"),
+        F.col("duration_ms").alias("orig_ms"),
+    )
+    resampled = MM.resample_audio(orig, target_rate=6000)
+    back = MM.audio_meta(resampled.drop("sample_rate"))
+    return back.select(
+        "doc_id",
+        "orig_rate",
+        "orig_ch",
+        "orig_frames",
+        "orig_ms",
+        F.col("sample_rate").alias("new_rate"),
+        F.col("channels").alias("new_ch"),
+        F.col("n_frames").alias("new_frames"),
+        F.col("duration_ms").alias("new_ms"),
+    ).orderBy("doc_id")
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: one payload row → 4 frame rows with
     deterministic checksums (explode inside the executor)."""
@@ -3702,6 +3777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 (behind window; rotate into r6) ---
         "png_roundtrip_docs": q_png_roundtrip_docs,
         "boilerplate_strip": q_boilerplate_strip,
+        "wav_roundtrip_docs": q_wav_roundtrip_docs,
         # --- r4 driver greens (the full former window; freshest signal) ---
         "bm25_topk": q_bm25_topk,
         "mixture_sample": q_mixture_sample,
@@ -5156,6 +5232,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hit, 0)::DOUBLE / c.sz >= 0.2
                        AS contaminated
             FROM corpus c LEFT JOIN hits h USING (doc_id)
+        """,
+        "wav_roundtrip_docs": """
+            SELECT doc_id,
+                   8000 + (doc_id % 5) * 2000 AS orig_rate,
+                   1 + doc_id % 2 AS orig_ch,
+                   50 + doc_id % 97 AS orig_frames,
+                   (50 + doc_id % 97) * 1000
+                       // (8000 + (doc_id % 5) * 2000) AS orig_ms,
+                   6000 AS new_rate,
+                   1 + doc_id % 2 AS new_ch,
+                   greatest(1, (50 + doc_id % 97) * 6000
+                       // (8000 + (doc_id % 5) * 2000)) AS new_frames,
+                   greatest(1, (50 + doc_id % 97) * 6000
+                       // (8000 + (doc_id % 5) * 2000)) * 1000 // 6000
+                       AS new_ms
+            FROM documents
+            WHERE doc_id % 19 = 0
+            ORDER BY doc_id
         """,
         "png_roundtrip_docs": """
             SELECT doc_id,

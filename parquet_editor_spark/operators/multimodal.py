@@ -290,3 +290,134 @@ def sample_frames(
     return df.withColumn("frame", F.explode(frames)).select(
         *df.columns, "frame.frame_idx", "frame.frame_checksum"
     )
+
+
+def audio_meta(
+    df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
+) -> DataFrame:
+    """Audio decode stage: payload → (sample_rate, channels, n_frames,
+    duration_ms).  ``meta.codec == "wav"`` rows decode for REAL via the
+    dependency-free RIFF/PCM codec (``sources/wav.py``); ``"fake"``
+    rows use a deterministic digest-derived fake; other codecs raise.
+    duration_ms is integer floor millis — engine-portable arithmetic.
+
+    Scale shape: pure Arrow ``mapInPandas`` projection, bytes stay on
+    the executors, partitioning inherits the scan."""
+    has_meta = meta_col in df.columns
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("n_frames", T.LongType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+        ]
+    )
+
+    def run(batches):
+        import hashlib as _h
+
+        def meta_of(p, codec: str):
+            if p is None:
+                return (None, None, None, None)
+            p = bytes(p)
+            if codec == "wav":
+                from parquet_editor_spark.sources.wav import decode_wav
+
+                rate, ch, _bits, n, _ = decode_wav(p)
+                return (rate, ch, n, n * 1000 // rate)
+            if codec == "fake":
+                d = _h.md5(p).digest()
+                rate = 8000 * (1 + d[0] % 6)
+                ch = 1 + d[1] % 2
+                n = 1 + int.from_bytes(d[2:5], "big") % 100000
+                return (rate, ch, n, n * 1000 // rate)
+            raise NotImplementedError(
+                f"audio decode for codec {codec!r} requires a real "
+                "audio library"
+            )
+
+        for pdf in batches:
+            codecs = (
+                [
+                    "fake" if m is None else m["codec"]
+                    for m in pdf[meta_col]
+                ]
+                if has_meta
+                else ["fake"] * len(pdf)
+            )
+            metas = [
+                meta_of(p, c) for p, c in zip(pdf[payload_col], codecs)
+            ]
+            pdf = pdf.copy()
+            pdf["sample_rate"] = [m[0] for m in metas]
+            pdf["channels"] = [m[1] for m in metas]
+            pdf["n_frames"] = [m[2] for m in metas]
+            pdf["duration_ms"] = [m[3] for m in metas]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Resample stage: payload → payload re-encoded at ``target_rate``
+    (nearest-neighbor frame mapping — deterministic, no filter design).
+    ``"wav"`` rows resample for REAL (output is a valid WAV at the
+    target rate); ``"fake"`` rows keep the digest fake; others raise."""
+    if target_rate < 1:
+        raise ValueError(f"target_rate must be >= 1, got {target_rate}")
+    has_meta = meta_col in df.columns
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [
+            T.StructField(payload_col, T.BinaryType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        import hashlib as _h
+
+        def shrink(p: bytes, codec: str) -> bytes:
+            if codec == "wav":
+                from parquet_editor_spark.sources import wav as _wav
+
+                rate, ch, bits, n, frames = _wav.decode_wav(p)
+                tgt_n = max(1, n * target_rate // rate)
+                return _wav.encode_wav(
+                    target_rate,
+                    ch,
+                    bits,
+                    _wav.resample_nearest(frames, ch, bits, n, tgt_n),
+                )
+            if codec == "fake":
+                return _h.md5(p + f"@{target_rate}".encode()).digest()
+            raise NotImplementedError(
+                f"audio resample for codec {codec!r} requires a real "
+                "audio library"
+            )
+
+        for pdf in batches:
+            codecs = (
+                [
+                    "fake" if m is None else m["codec"]
+                    for m in pdf[meta_col]
+                ]
+                if has_meta
+                else ["fake"] * len(pdf)
+            )
+            pdf = pdf.copy()
+            pdf[payload_col] = [
+                shrink(bytes(p), c) if p is not None else None
+                for p, c in zip(pdf[payload_col], codecs)
+            ]
+            pdf["sample_rate"] = target_rate
+            yield pdf[names]
+
+    return df.mapInPandas(run, schema=out_schema)

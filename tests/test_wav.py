@@ -1,0 +1,146 @@
+"""Dependency-free WAV codec (sources/wav.py) and the audio_meta /
+resample_audio multimodal operators — the audio sibling of the PNG
+path: one real format end-to-end without an audio library."""
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parquet_editor_spark.sources import wav as W
+
+
+def _frames(n, ch, bits):
+    block = ch * bits // 8
+    return bytes((i * 37 + 11) % 256 for i in range(n * block))
+
+
+@pytest.mark.parametrize("ch,bits", [(1, 8), (2, 8), (1, 16), (2, 16)])
+def test_roundtrip(ch, bits):
+    pcm = _frames(7, ch, bits)
+    rate, c, b, n, out = W.decode_wav(W.encode_wav(16000, ch, bits, pcm))
+    assert (rate, c, b, n, out) == (16000, ch, bits, 7, pcm)
+
+
+def test_known_header_layout():
+    data = W.encode_wav(8000, 1, 8, bytes([1, 2, 3]))
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    # fmt chunk: PCM tag, 1 channel, 8000 Hz
+    assert struct.unpack_from("<HHI", data, 20) == (1, 1, 8000)
+    assert W.decode_wav(data)[4] == bytes([1, 2, 3])
+
+
+def test_skips_list_chunk_and_pad_byte():
+    base = W.encode_wav(8000, 1, 8, bytes([5, 6, 7]))  # odd-size data
+    # splice an odd-sized LIST chunk (pad byte after) before fmt
+    spliced = (
+        base[:12]
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        + base[12:]
+    )
+    assert W.decode_wav(spliced)[4] == bytes([5, 6, 7])
+
+
+def test_unsupported_formats_raise():
+    base = bytearray(W.encode_wav(8000, 1, 16, _frames(2, 1, 16)))
+    bad = bytearray(base)
+    struct.pack_into("<H", bad, 20, 3)  # float tag
+    with pytest.raises(NotImplementedError, match="format 3"):
+        W.decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF"):
+        W.decode_wav(b"OggS" + bytes(40))
+    with pytest.raises(ValueError, match="multiple"):
+        W.encode_wav(8000, 2, 16, bytes(6))  # 6 not divisible by 4
+
+
+def test_resample_nearest():
+    pcm = _frames(4, 1, 8)  # 4 mono 8-bit frames
+    # upsample 4 -> 8 duplicates each frame
+    up = W.resample_nearest(pcm, 1, 8, 4, 8)
+    assert up == bytes(b for b in pcm for _ in (0, 1))
+    # downsample 4 -> 2 picks frames 1 and 3
+    down = W.resample_nearest(pcm, 1, 8, 4, 2)
+    assert down == bytes([pcm[1], pcm[3]])
+    # stereo 16-bit keeps frames intact
+    st16 = _frames(2, 2, 16)
+    assert W.resample_nearest(st16, 2, 16, 2, 1) == st16[4:8]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rate=st.integers(1, 96000),
+    ch=st.integers(1, 4),
+    bits=st.sampled_from([8, 16]),
+    n=st.integers(0, 32),
+)
+def test_roundtrip_property(rate, ch, bits, n):
+    pcm = _frames(n, ch, bits)
+    assert W.decode_wav(W.encode_wav(rate, ch, bits, pcm)) == (
+        rate, ch, bits, n, pcm
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark wiring
+# ---------------------------------------------------------------------------
+
+def _wav_frame(spark):
+    from parquet_editor_spark.operators.multimodal import attach_payload
+
+    rows = [
+        (i, W.encode_wav(8000 * (1 + i), 1 + i % 2, 16,
+                         _frames(100 * (i + 1), 1 + i % 2, 16)))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "clip_id long, raw binary")
+    return attach_payload(df, "raw", media_type="audio", codec="wav").drop("raw")
+
+
+def test_audio_meta_real_wav(spark):
+    from parquet_editor_spark.operators.multimodal import audio_meta
+
+    out = {
+        r["clip_id"]: (
+            r["sample_rate"], r["channels"], r["n_frames"], r["duration_ms"]
+        )
+        for r in audio_meta(_wav_frame(spark)).collect()
+    }
+    assert out == {
+        i: (
+            8000 * (1 + i),
+            1 + i % 2,
+            100 * (i + 1),
+            100 * (i + 1) * 1000 // (8000 * (1 + i)),
+        )
+        for i in range(4)
+    }
+
+
+def test_resample_audio_emits_valid_wav(spark):
+    from parquet_editor_spark.operators.multimodal import (
+        audio_meta,
+        resample_audio,
+    )
+
+    out = resample_audio(_wav_frame(spark), target_rate=4000)
+    rows = audio_meta(out.drop("sample_rate")).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["sample_rate"] == 4000
+        # duration preserved to frame-floor precision
+        i = r["clip_id"]
+        src_n, src_rate = 100 * (i + 1), 8000 * (1 + i)
+        assert r["n_frames"] == max(1, src_n * 4000 // src_rate)
+
+
+def test_audio_fake_path_unchanged(spark):
+    from parquet_editor_spark.operators.multimodal import (
+        attach_payload,
+        audio_meta,
+    )
+
+    df = spark.createDataFrame([(1, "blob")], "id long, s string")
+    out = audio_meta(attach_payload(df, "s", codec="fake")).collect()[0]
+    assert out["sample_rate"] in range(8000, 48001, 8000)
+    assert out["duration_ms"] == out["n_frames"] * 1000 // out["sample_rate"]
