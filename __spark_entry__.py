@@ -1230,6 +1230,69 @@ def q_wav_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_y4m_frames_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, no ffmpeg (sources/y4m.py): per doc,
+    synthesize a YUV4MPEG2 clip whose dimensions and frame count derive
+    from doc_id, then container-decode and sample 3 evenly-spaced
+    frames executor-side (operators/multimodal.sample_frames_video).
+    Emitted frame indices/counts/dimensions come out of a real header
+    parse + frame walk; the oracle recomputes them arithmetically
+    (frame checksums are additionally pinned by pytest against real
+    frame bytes — md5 of generated YUV is not SQL-expressible)."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 23 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.y4m import encode_y4m
+
+        for pdf in batches:
+            ids = list(pdf["doc_id"])
+            out = pdf.copy()
+            payloads = []
+            for i in ids:
+                w = 2 * (1 + i % 5)
+                h = 2 * (1 + i % 3)
+                n = 3 + i % 7
+                fb = w * h * 3 // 2
+                frames = [
+                    bytes((i * 17 + f * 5 + j) % 256 for j in range(fb))
+                    for f in range(n)
+                ]
+                payloads.append(encode_y4m(w, h, (30, 1), frames))
+            out["payload"] = payloads
+            yield out[["doc_id", "payload"]]
+
+    payloads = docs.mapInPandas(gen, schema=gen_schema)
+    tagged = payloads.withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("y4m").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    return (
+        MM.sample_frames_video(tagged, k=3)
+        .select("doc_id", "frame_idx", "n_frames", "frame_w", "frame_h")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: one payload row → 4 frame rows with
     deterministic checksums (explode inside the executor)."""
@@ -3778,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_roundtrip_docs": q_png_roundtrip_docs,
         "boilerplate_strip": q_boilerplate_strip,
         "wav_roundtrip_docs": q_wav_roundtrip_docs,
+        "y4m_frames_docs": q_y4m_frames_docs,
         # --- r4 driver greens (the full former window; freshest signal) ---
         "bm25_topk": q_bm25_topk,
         "mixture_sample": q_mixture_sample,
@@ -5232,6 +5296,22 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hit, 0)::DOUBLE / c.sz >= 0.2
                        AS contaminated
             FROM corpus c LEFT JOIN hits h USING (doc_id)
+        """,
+        "y4m_frames_docs": """
+            WITH base AS (
+                SELECT doc_id,
+                       2 * (doc_id % 5 + 1) AS w,
+                       2 * (doc_id % 3 + 1) AS h,
+                       3 + doc_id % 7 AS n
+                FROM documents WHERE doc_id % 23 = 0
+            )
+            SELECT DISTINCT doc_id,
+                   CAST(floor((u.i + 0.5) * n / 3.0) AS INT) AS frame_idx,
+                   CAST(n AS INT) AS n_frames,
+                   CAST(w AS INT) AS frame_w,
+                   CAST(h AS INT) AS frame_h
+            FROM base, unnest([0, 1, 2]) AS u(i)
+            ORDER BY doc_id, frame_idx
         """,
         "wav_roundtrip_docs": """
             SELECT doc_id,
