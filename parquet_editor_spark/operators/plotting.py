@@ -79,3 +79,107 @@ def render_line(pdf, x: str = "x"):  # pragma: no cover - needs matplotlib
             ax.plot(pdf[x], pdf[c], label=c)
     ax.legend()
     return fig
+
+
+# ---------------------------------------------------------------------------
+# dependency-free SVG rendering (round 5): the reference's PlotWindow
+# (main.pyc:362-383) draws line/scatter/histogram with matplotlib; this
+# backend renders the same reduced frames to standalone SVG with string
+# formatting only, so the plot surface works END-TO-END in environments
+# without matplotlib.  matplotlib, when present, remains available via
+# render_line.
+# ---------------------------------------------------------------------------
+
+_SVG_COLORS = ["#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd",
+               "#8c564b", "#e377c2", "#7f7f7f", "#bcbd22", "#17becf"]
+
+
+def _scale(vals, lo, hi, out_lo, out_hi):
+    span = (hi - lo) or 1.0
+    return [
+        out_lo + (float(v) - lo) / span * (out_hi - out_lo) for v in vals
+    ]
+
+
+def _svg_frame(width, height, title):
+    return (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}">'
+        f'<rect width="{width}" height="{height}" fill="white"/>'
+        f'<text x="{width / 2}" y="16" text-anchor="middle" '
+        f'font-family="sans-serif" font-size="13">{title}</text>'
+    )
+
+
+def render_line_svg(
+    pdf, x: str = "x", width: int = 640, height: int = 400,
+    title: str = "line",
+) -> str:
+    """Reduced line-series frame (``line_series`` output) → standalone
+    SVG string: one polyline per non-x column, min-max scaled into the
+    plot box, with a simple legend.  Pure string formatting — no
+    matplotlib, no numpy."""
+    ys = [c for c in pdf.columns if c != x]
+    if not ys or len(pdf) == 0:
+        raise ValueError("nothing to plot: need rows and >=1 y column")
+    pad, legend_h = 30, 14 * len(ys)
+    xs = [float(v) for v in pdf[x]]
+    all_y = [float(v) for c in ys for v in pdf[c] if v is not None]
+    x_lo, x_hi = min(xs), max(xs)
+    y_lo, y_hi = (min(all_y), max(all_y)) if all_y else (0.0, 1.0)
+    px = _scale(xs, x_lo, x_hi, pad, width - pad)
+    parts = [_svg_frame(width, height + legend_h, title)]
+    for k, c in enumerate(ys):
+        color = _SVG_COLORS[k % len(_SVG_COLORS)]
+        pts = " ".join(
+            f"{xx:.2f},{yy:.2f}"
+            for xx, yy, v in zip(
+                px,
+                _scale(
+                    [0.0 if v is None else float(v) for v in pdf[c]],
+                    y_lo, y_hi, height - pad, pad,
+                ),
+                pdf[c],
+            )
+            if v is not None
+        )
+        parts.append(
+            f'<polyline fill="none" stroke="{color}" stroke-width="1.5" '
+            f'points="{pts}"/>'
+        )
+        ly = height + 12 + 14 * k
+        parts.append(
+            f'<rect x="{pad}" y="{ly - 8}" width="10" height="10" '
+            f'fill="{color}"/>'
+            f'<text x="{pad + 14}" y="{ly}" font-family="sans-serif" '
+            f'font-size="11">{c}</text>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def render_histogram_svg(
+    pdf, bin_col: str = "bin", count_col: str = "n",
+    width: int = 640, height: int = 400, title: str = "histogram",
+) -> str:
+    """Reduced histogram frame (``histogram_data`` output: one row per
+    bin) → standalone SVG bar chart."""
+    if len(pdf) == 0:
+        raise ValueError("nothing to plot: empty histogram frame")
+    pad = 30
+    rows = sorted(
+        zip([float(v) for v in pdf[bin_col]],
+            [int(v) for v in pdf[count_col]])
+    )
+    max_n = max(n for _, n in rows) or 1
+    bar_w = (width - 2 * pad) / len(rows)
+    parts = [_svg_frame(width, height, title)]
+    for i, (_b, n) in enumerate(rows):
+        bh = (height - 2 * pad) * n / max_n
+        parts.append(
+            f'<rect x="{pad + i * bar_w:.2f}" '
+            f'y="{height - pad - bh:.2f}" width="{bar_w * 0.9:.2f}" '
+            f'height="{bh:.2f}" fill="{_SVG_COLORS[0]}"/>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)

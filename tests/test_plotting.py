@@ -56,3 +56,46 @@ def test_render_gated_without_matplotlib(lineitem):
     else:
         with pytest.raises(NotImplementedError, match="matplotlib"):
             PL.render_line(pdf)
+
+def test_render_line_svg_end_to_end(spark, sf_dir):
+    """The plot surface works end-to-end without matplotlib: reduce
+    server-side, render the reduced frame to valid standalone SVG."""
+    import xml.etree.ElementTree as ET
+
+    from parquet_editor_spark.operators import plotting as P
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    reduced = P.line_series(
+        li, ["l_quantity", "l_extendedprice"], max_points=50
+    ).toPandas()
+    svg = P.render_line_svg(reduced, title="lineitem")
+    root = ET.fromstring(svg)  # well-formed XML
+    assert root.tag.endswith("svg")
+    polylines = [e for e in root.iter() if e.tag.endswith("polyline")]
+    assert len(polylines) == 2  # one per series
+    assert all(len(p.get("points", "")) > 0 for p in polylines)
+
+
+def test_render_histogram_svg(spark, sf_dir):
+    import xml.etree.ElementTree as ET
+
+    from parquet_editor_spark.operators import plotting as P
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pdf = P.histogram_data(li, "l_quantity", bins=10).toPandas()
+    svg = P.render_histogram_svg(pdf)
+    root = ET.fromstring(svg)
+    bars = [e for e in root.iter() if e.tag.endswith("rect")]
+    assert len(bars) >= 10  # background + one bar per bin
+
+
+def test_render_svg_guards(spark):
+    import pandas as pd
+    import pytest as pt
+
+    from parquet_editor_spark.operators import plotting as P
+
+    with pt.raises(ValueError, match="nothing to plot"):
+        P.render_line_svg(pd.DataFrame({"x": []}))
+    with pt.raises(ValueError, match="nothing to plot"):
+        P.render_histogram_svg(pd.DataFrame({"bin": [], "n": []}))
