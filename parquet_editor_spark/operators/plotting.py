@@ -183,3 +183,28 @@ def render_histogram_svg(
         )
     parts.append("</svg>")
     return "".join(parts)
+
+
+def render_scatter_svg(
+    pdf, x: str, y: str, width: int = 640, height: int = 400,
+    title: str = "scatter", r: float = 2.0,
+) -> str:
+    """Reduced scatter frame (``scatter_sample`` or ``query.bin2d``
+    output) → standalone SVG circles; with a ``bin2d`` frame pass the
+    bin columns and the count column as ``r_col`` sizing is not needed
+    — density plots read better re-binned upstream."""
+    if len(pdf) == 0:
+        raise ValueError("nothing to plot: empty scatter frame")
+    xs = [float(v) for v in pdf[x]]
+    ys = [float(v) for v in pdf[y]]
+    pad = 30
+    px = _scale(xs, min(xs), max(xs), pad, width - pad)
+    py = _scale(ys, min(ys), max(ys), height - pad, pad)
+    parts = [_svg_frame(width, height, title)]
+    parts.extend(
+        f'<circle cx="{a:.2f}" cy="{b:.2f}" r="{r}" '
+        f'fill="{_SVG_COLORS[0]}" fill-opacity="0.55"/>'
+        for a, b in zip(px, py)
+    )
+    parts.append("</svg>")
+    return "".join(parts)

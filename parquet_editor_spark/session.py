@@ -273,6 +273,38 @@ class EditorSession:
         """Query surface over all bound tables (registered as temp views)."""
         return self.spark.sql(statement)
 
+    def plot(self, name: str, kind: str = "line", **kw) -> str:
+        """Data▸Plot Data (PlotWindow, main.pyc:362-383) end-to-end:
+        reduce server-side (stride/sample/bin — only a plot-sized frame
+        reaches the driver) and render to a standalone SVG string with
+        zero dependencies.  ``kind``: line | scatter | histogram.
+        scatter needs ``x=``/``y=`` columns; histogram needs
+        ``column=``."""
+        from parquet_editor_spark.operators import plotting as P
+
+        df = self._tables[name]
+        if kind == "line":
+            pdf = P.line_series(
+                df, kw.get("cols"), kw.get("max_points", 1000)
+            ).toPandas()
+            return P.render_line_svg(pdf, title=kw.get("title", name))
+        if kind == "scatter":
+            x, y = kw["x"], kw["y"]
+            pdf = P.scatter_sample(
+                df, x, y, kw.get("fraction", 0.01), kw.get("seed", 42)
+            ).toPandas()
+            return P.render_scatter_svg(
+                pdf, x, y, title=kw.get("title", name)
+            )
+        if kind == "histogram":
+            pdf = P.histogram_data(
+                df, kw["column"], kw.get("bins", 20)
+            ).toPandas()
+            return P.render_histogram_svg(pdf, title=kw.get("title", name))
+        raise ValueError(
+            f"unknown plot kind {kind!r}: expected line|scatter|histogram"
+        )
+
     # -- editor mutations (PandasModel.setData et al., SURVEY.md §2.3) --
     def with_rid(self, name: str, order=None) -> DataFrame:
         from parquet_editor_spark.operators import edit as E

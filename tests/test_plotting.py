@@ -99,3 +99,26 @@ def test_render_svg_guards(spark):
         P.render_line_svg(pd.DataFrame({"x": []}))
     with pt.raises(ValueError, match="nothing to plot"):
         P.render_histogram_svg(pd.DataFrame({"bin": [], "n": []}))
+
+
+def test_session_plot_all_kinds(spark, sf_dir):
+    """The reference's Data>Plot menu end-to-end through the session:
+    every kind reduces server-side and renders valid SVG."""
+    import xml.etree.ElementTree as ET
+
+    from parquet_editor_spark.session import EditorSession
+
+    sess = EditorSession(spark)
+    sess.load("li", f"{sf_dir}/lineitem.parquet")
+    for kind, kw in (
+        ("line", {"cols": ["l_quantity"], "max_points": 40}),
+        ("scatter", {"x": "l_quantity", "y": "l_extendedprice",
+                     "fraction": 0.05}),
+        ("histogram", {"column": "l_quantity", "bins": 8}),
+    ):
+        svg = sess.plot("li", kind, **kw)
+        assert ET.fromstring(svg).tag.endswith("svg")
+    import pytest as pt
+
+    with pt.raises(ValueError, match="unknown plot kind"):
+        sess.plot("li", "pie")
