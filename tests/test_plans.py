@@ -387,3 +387,30 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_th,
         )
+
+
+def test_boilerplate_strip_broadcasts_common_no_cartesian(spark, sf_dir):
+    """strip_common_shingles: the common-shingle set joins back by
+    BROADCAST (it is nav-bar sized by construction) and nothing in the
+    plan is a cartesian product or a full-row single-partition funnel."""
+    import __spark_entry__ as M
+
+    df = M.queries()["boilerplate_strip"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "Cartesian" not in plan
+    assert P.has_broadcast_join(df)
+    assert not P.has_single_partition_exchange(df)
+
+
+def test_codec_queries_are_pure_map_side(spark, sf_dir):
+    """png/wav/y4m round-trip queries: codec work is mapInPandas over
+    the scan — the only exchange allowed is the final orderBy's range
+    exchange (plot-sized output), never a hash shuffle of payloads."""
+    import __spark_entry__ as M
+
+    for name in ("png_roundtrip_docs", "wav_roundtrip_docs",
+                 "y4m_frames_docs"):
+        df = M.queries()[name](spark, sf_dir)
+        plan = P.executed_plan(df)
+        assert "Cartesian" not in plan, name
+        assert "hashpartitioning" not in plan.lower(), name
