@@ -3780,8 +3780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      all; completes the rotation planned in the r4 comment)
     # Everything adjudicated green in r4 (the full former window) moves
     # behind; probes and rows-only entries stay retired as documented
-    # canaries.  After r5 every one of the 197 entries has driver
-    # signal; r6+ re-rotates by staleness (r1 greens first).
+    # canaries.  After r5 every one of the original 197 entries has
+    # driver signal (the 4 new-in-r5 queries — png/wav/y4m round-trips
+    # and boilerplate_strip — sit just behind the window for r6); r6+
+    # re-rotates by staleness (r1 greens first).
     return {
         # --- 1. never driver-adjudicated: the 27 r4b additions ---
         "pipeline_curation_v2": q_pipeline_curation_v2,
