@@ -29,17 +29,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _revenue_exact() -> "F.Column":
-    """``round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
-                         / 10000.0, 2)`` over exact
-    integer 10^-4 currency units. The true revenue is a multiple of
-    1e-4, so it CAN land exactly on the .005 round-half boundary where
-    the last-ulp error of an order-sensitive double sum decides the
-    rounding — integer sums are associative and the pre-round double is
-    bit-identical on both engines. SQL mirror: ``_SQL_REVENUE``."""
+    """Revenue summed in exact integer 10^-4 currency units, then
+    HALF_UP-rounded to cents IN INTEGER SPACE:
+    ``floor((sum_units + 50) / 100) / 100.0``.
+
+    Integer sums are associative (no order-of-summation ulp), and the
+    r5 sf1 sweep showed why the rounding must be integer too: a sum
+    landing exactly on the .005 boundary (q7 at sf1) is rounded up by
+    Spark's BigDecimal HALF_UP but down by DuckDB's double round —
+    the probe_round_ties class.  ``+ 50`` then floor-divide by 100 is
+    HALF_UP with no doubles involved until the final exact /100.0
+    (the floor's double operand can only sit at an integer boundary
+    when the quotient IS that integer — sums stay far below 2^53).
+    SQL mirror: ``_SQL_REVENUE`` (DuckDB ``//`` floor division)."""
     pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     dc = F.round(F.col("l_discount") * 100, 0).cast("long")
-    return F.round(F.sum(pc * (100 - dc)) / 10000.0, 2)
+    units = F.sum(pc * (100 - dc))
+    return F.floor((units + F.lit(50)) / F.lit(100)).cast("long") / F.lit(100.0)
 
 
 #: brute-force cosine top-5 oracle — shared by the exact top-k query
@@ -76,8 +82,9 @@ _ORACLE_BRUTE_TOPK = """
 #: from the Spark expression hash-fails its query immediately, at
 #: both sf0.01 and sf0.1.
 _SQL_REVENUE = (
-    "round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
-    " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2)"
+    "((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50)"
+    " // 100) / 100.0"
 )
 
 
@@ -154,8 +161,12 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("pc") * (100 - F.col("dc"))) / 10000.0, 2
+            (
+                F.floor(
+                    (F.sum(F.col("pc") * (100 - F.col("dc"))) + F.lit(50))
+                    / F.lit(100)
+                ).cast("long")
+                / F.lit(100.0)
             ).alias("sum_disc_price"),
             F.round(F.sum("dc") / (100.0 * F.count("*")), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -2309,13 +2320,18 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(
-            F.sum(
-                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-                * F.round(F.col("l_discount") * 100, 0).cast("long")
-            )
-            / 10000.0,
-            2,
+        (
+            F.floor(
+                (
+                    F.sum(
+                        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                        * F.round(F.col("l_discount") * 100, 0).cast("long")
+                    )
+                    + F.lit(50)
+                )
+                / F.lit(100)
+            ).cast("long")
+            / F.lit(100.0)
         ).alias("revenue"),
         F.count("*").alias("n"),
     )
@@ -4156,7 +4172,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
                    round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(pc * (100 - dc)) / 10000.0, 2) AS sum_disc_price,
+                   ((sum(pc * (100 - dc)) + 50) // 100) / 100.0
+                       AS sum_disc_price,
                    round(sum(dc) / (100.0 * count(*)), 6) AS avg_disc,
                    count(*) AS count_order
             FROM (SELECT *,
@@ -5489,9 +5506,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier_revenue": """
             SELECT n_name,
-                   round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
-                         / 10000.0, 2)
+                   ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                     + 50) // 100) / 100.0
                        AS revenue,
                    count(*) AS n
             FROM region
@@ -5507,9 +5524,9 @@ def oracle_sql() -> dict[str, str]:
         "q7_nation_trade_volume": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                    year(l_shipdate) AS l_year,
-                   round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
-                         / 10000.0, 2)
+                   ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                     + 50) // 100) / 100.0
                        AS revenue,
                    count(*) AS n
             FROM lineitem
@@ -5531,9 +5548,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_join_revenue": """
             SELECT o_orderpriority,
-                   round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
-                         / 10000.0, 2)
+                   ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                     + 50) // 100) / 100.0
                        AS revenue,
                    count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -6435,9 +6452,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_nationkey AS nationkey FROM supplier
         """,
         "q6_forecast_revenue": """
-            SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                             * CAST(round(l_discount * 100, 0) AS BIGINT))
-                         / 10000.0, 2) AS revenue,
+            SELECT ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                         * CAST(round(l_discount * 100, 0) AS BIGINT))
+                     + 50) // 100) / 100.0 AS revenue,
                    count(*) AS n
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -6447,9 +6464,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
-                         / 10000.0, 2) AS revenue
+                   ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                     + 50) // 100) / 100.0 AS revenue
             FROM customer
             JOIN orders   ON o_custkey = c_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
