@@ -3799,7 +3799,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # canaries.  After r5 every one of the original 197 entries has
     # driver signal (the 4 new-in-r5 queries — png/wav/y4m round-trips
     # and boilerplate_strip — sit just behind the window for r6); r6+
-    # re-rotates by staleness (r1 greens first).
+    # re-rotates by staleness.  Planned r6 window: the 4 new-in-r5
+    # queries, the 6 stream_* entries whose signal is r1-old
+    # (windowed/sliding/dedup/session_windows/sessionize/followed_by —
+    # the r4 verdict asked for deeper streaming adjudication), then
+    # r1 greens oldest-first.
     return {
         # --- 1. never driver-adjudicated: the 27 r4b additions ---
         "pipeline_curation_v2": q_pipeline_curation_v2,
