@@ -12,7 +12,8 @@ as §6 of the spec defines them.
 Scope (honest, not padded):
 
 - 8-bit samples; color types 0 (gray), 2 (RGB), 4 (gray+alpha) and
-  6 (RGBA) — i.e. channels 1/3/2/4.  Palette (type 3), 1/2/4/16-bit
+  6 (RGBA) — i.e. channels 1/3/2/4 — plus 8-bit palette (type 3),
+  expanded through the PLTE lookup to RGB on decode.  1/2/4/16-bit
   depths and Adam7 interlace raise ``NotImplementedError`` — decoding
   those is real work a production deployment does with libpng; the
   formats above are the ones our own encoder (and most ML pipelines'
@@ -84,7 +85,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     pixels."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG: bad signature")
-    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    pos, ihdr, idat, plte, ended = 8, None, bytearray(), None, False
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
@@ -96,6 +97,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"CRC mismatch in {tag!r} chunk")
         if tag == b"IHDR":
             ihdr = body
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -110,15 +113,17 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     )
     if depth != 8:
         raise NotImplementedError(f"bit depth {depth} (only 8 supported)")
-    if ctype not in _CHANNELS:
-        raise NotImplementedError(
-            f"color type {ctype} (palette PNGs need libpng)"
-        )
+    paletted = ctype == 3
+    if paletted:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG missing/invalid PLTE chunk")
+    elif ctype not in _CHANNELS:
+        raise NotImplementedError(f"color type {ctype}")
     if interlace != 0:
         raise NotImplementedError("Adam7 interlace")
     if comp != 0 or filt != 0:
         raise ValueError("invalid compression/filter method")
-    channels = _CHANNELS[ctype]
+    channels = 1 if paletted else _CHANNELS[ctype]
     stride = width * channels
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
@@ -135,6 +140,16 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         _unfilter(line, prev, ftype, channels)
         out[y * stride : (y + 1) * stride] = line
         prev = line
+    if paletted:
+        # expand indices through the PLTE lookup: decoded output is
+        # plain RGB, so downstream resize/re-encode never sees type 3
+        n_entries = len(plte) // 3
+        rgb = bytearray(len(out) * 3)
+        for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ValueError(f"palette index {idx} out of range")
+            rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
+        return width, height, 3, bytes(rgb)
     return width, height, channels, bytes(out)
 
 

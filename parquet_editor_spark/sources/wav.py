@@ -3,8 +3,9 @@
 
 Scope (public RIFF/WAVE spec, nothing else):
 
-- PCM integer formats (audio format tag 1), 8-bit unsigned and 16-bit
-  signed little-endian samples, any channel count / sample rate.
+- PCM integer formats (audio format tag 1), 8/16/24/32-bit integer
+  samples, any channel count / sample rate (frames are moved as opaque
+  blocks — sample width only affects block math).
 - Float (tag 3), ADPCM, extensible (tag 0xFFFE) and other compressed
   formats raise ``NotImplementedError`` — those belong to a real audio
   library; PCM is what ML feature pipelines exchange.
@@ -19,7 +20,7 @@ from __future__ import annotations
 
 import struct
 
-_SUPPORTED_BITS = {8, 16}
+_SUPPORTED_BITS = {8, 16, 24, 32}
 
 
 def encode_wav(
@@ -93,7 +94,7 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, bytes]:
             "audio library)"
         )
     if bits not in _SUPPORTED_BITS:
-        raise NotImplementedError(f"{bits}-bit samples (only 8/16)")
+        raise NotImplementedError(f"{bits}-bit samples (only 8/16/24/32)")
     expect_block = channels * bits // 8
     if block != expect_block:
         raise ValueError(

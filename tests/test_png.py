@@ -105,8 +105,8 @@ def test_bad_signature_and_unsupported_features():
     )
     with pytest.raises(NotImplementedError, match="depth"):
         P.decode_png(data)
-    # palette color type
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    # unknown color type (palette now decodes — see the PLTE test)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 5, 0, 0, 0)
     data = (
         b"\x89PNG\r\n\x1a\n"
         + P._chunk(b"IHDR", ihdr)
@@ -238,3 +238,43 @@ def test_unknown_codec_still_raises(spark):
     with pytest.raises(Exception) as ei:
         decode_meta(df).collect()
     assert "PIL" in str(ei.value) or "NotImplementedError" in str(ei.value)
+
+
+def test_palette_png_decodes_to_rgb():
+    """8-bit palette (type 3) PNGs expand through PLTE to RGB."""
+    # hand-build: 3x2 image of palette indices, 4-entry palette
+    palette = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  7, 8, 9])
+    idx = bytes([0, 1, 2, 3, 0, 1])  # 3x2
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    raw = b"\x00" + idx[:3] + b"\x00" + idx[3:]
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"PLTE", palette)
+        + P._chunk(b"IDAT", zlib.compress(raw))
+        + P._chunk(b"IEND", b"")
+    )
+    w, h, ch, pix = P.decode_png(data)
+    assert (w, h, ch) == (3, 2, 3)
+    expect = b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+    assert pix == expect
+    # out-of-range index fails loudly
+    bad_raw = b"\x00" + bytes([9, 0, 0]) + b"\x00" + idx[3:]
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"PLTE", palette)
+        + P._chunk(b"IDAT", zlib.compress(bad_raw))
+        + P._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        P.decode_png(bad)
+    # palette with no PLTE chunk fails loudly
+    noplte = (
+        b"\x89PNG\r\n\x1a\n"
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(raw))
+        + P._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        P.decode_png(noplte)

@@ -144,3 +144,15 @@ def test_audio_fake_path_unchanged(spark):
     out = audio_meta(attach_payload(df, "s", codec="fake")).collect()[0]
     assert out["sample_rate"] in range(8000, 48001, 8000)
     assert out["duration_ms"] == out["n_frames"] * 1000 // out["sample_rate"]
+
+
+@pytest.mark.parametrize("bits", [24, 32])
+def test_wide_pcm_roundtrip_and_resample(bits):
+    """24/32-bit PCM: frames move as opaque blocks; round-trip and
+    frame-exact resample both hold."""
+    pcm = _frames(5, 2, bits)
+    rate, ch, b, n, out = W.decode_wav(W.encode_wav(44100, 2, bits, pcm))
+    assert (rate, ch, b, n, out) == (44100, 2, bits, 5, pcm)
+    block = 2 * bits // 8
+    down = W.resample_nearest(pcm, 2, bits, 5, 2)
+    assert down == pcm[1 * block : 2 * block] + pcm[3 * block : 4 * block]
