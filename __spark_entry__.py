@@ -2596,6 +2596,19 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense tf-idf document vectors over the corpus-derived top-32
+    vocabulary (operators/retrieval.tfidf_vectors) — the classic-ML
+    vectorization step between BM25 and learned embeddings.  The
+    vector layout (df desc, term asc) and smoothed-idf arithmetic are
+    reproduced verbatim in the DuckDB oracle; log outputs rounded at
+    4 dp (the unigram_logprob portability convention)."""
+    from parquet_editor_spark.operators.retrieval import tfidf_vectors
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_vectors(docs, "doc_id", "text", vocab_size=32, round_to=4)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 lexical top-50 for a 3-term query — decontamination
     lookup / audit retrieval over the corpus (operators/retrieval.py;
@@ -3864,6 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "wav_roundtrip_docs": q_wav_roundtrip_docs,
         "y4m_frames_docs": q_y4m_frames_docs,
+        "tfidf_vectors": q_tfidf_vectors,
         # --- r4 driver greens (the full former window; freshest signal) ---
         "bm25_topk": q_bm25_topk,
         "mixture_sample": q_mixture_sample,
@@ -5335,6 +5349,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(h AS INT) AS frame_h
             FROM base, unnest([0, 1, 2]) AS u(i)
             ORDER BY doc_id, frame_idx
+        """,
+        "tfidf_vectors": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> x != '')) AS t
+                FROM documents),
+            tf AS (SELECT doc_id, t, count(*) AS tf
+                   FROM toks GROUP BY doc_id, t),
+            dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            vocab AS (SELECT t, df,
+                             row_number() OVER
+                                 (ORDER BY df DESC, t ASC) - 1 AS idx
+                      FROM dfreq ORDER BY df DESC, t ASC LIMIT 32),
+            n AS (SELECT count(*) AS N FROM documents),
+            vals AS (SELECT tf.doc_id, v.idx,
+                            round(tf.tf * (ln((N + 1) / (v.df + 1)) + 1), 4)
+                                AS val
+                     FROM tf JOIN vocab v USING (t) CROSS JOIN n),
+            grid AS (SELECT d.doc_id, v.idx FROM documents d, vocab v),
+            dense AS (SELECT g.doc_id,
+                             list(coalesce(vals.val, 0.0)
+                                  ORDER BY g.idx) AS tfidf
+                      FROM grid g
+                      LEFT JOIN vals ON vals.doc_id = g.doc_id
+                                    AND vals.idx = g.idx
+                      GROUP BY g.doc_id)
+            SELECT doc_id, tfidf FROM dense
         """,
         "wav_roundtrip_docs": """
             SELECT doc_id,

@@ -189,3 +189,87 @@ def hybrid_rrf_topk(
     # .select() would otherwise drop the handle and leak the persist
     out._pes_caches = getattr(raw_lex, "_pes_caches", [])
     return out
+
+
+def tfidf_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 32,
+    round_to: int = 6,
+) -> DataFrame:
+    """Dense tf-idf document vectors over a corpus-derived vocabulary —
+    the classic vectorization step between lexical retrieval (BM25,
+    here) and learned embeddings: feeds k-means, linear classifiers and
+    near-dup cosine on interpretable features.
+
+    Vocabulary = the ``vocab_size`` terms with the highest document
+    frequency (ties broken by term, ascending) — deterministic, so the
+    vector layout is reproducible across engines and runs; the vector
+    length is ``min(vocab_size, |distinct terms|)`` (a corpus with a
+    smaller vocabulary yields exactly that many dimensions, not
+    trailing dead slots).  Value at vocab index i =
+    ``round(tf * (ln((N+1)/(df+1)) + 1), round_to)`` (smoothed idf;
+    tf with multiplicity); terms outside the vocabulary contribute
+    nothing.
+
+    Scale shape: one token explode feeds BOTH the df aggregate
+    (shuffle bounded by distinct terms, map-side combined) and the
+    per-(doc, term) tf aggregate; the vocabulary (tiny) broadcasts
+    back; the dense vector is built with map_from_entries + transform
+    — one (doc)-keyed agg, no per-row Python, no V-way crossJoin."""
+    n_docs = df.count()  # scalar by design: N parameterizes idf
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    )
+    tf = toks.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    vocab = (
+        tf.groupBy("t")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("t").asc())
+        .limit(vocab_size)
+    )
+    from pyspark.sql import Window as W
+
+    indexed = vocab.withColumn(
+        "idx",
+        F.row_number().over(
+            W.orderBy(F.col("df").desc(), F.col("t").asc())
+        ) - 1,
+    ).withColumn(
+        "idf",
+        F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0,
+    )
+    n_dims = indexed.count()  # tiny by construction (<= vocab_size)
+    if n_dims == 0:
+        return df.select(
+            F.col(id_col),
+            F.array().cast("array<double>").alias("tfidf"),
+        )
+    entries = (
+        tf.join(F.broadcast(indexed), "t")
+        .select(
+            "id",
+            F.struct(
+                F.col("idx"),
+                F.round(F.col("tf") * F.col("idf"), round_to).alias("v"),
+            ).alias("e"),
+        )
+        .groupBy("id")
+        .agg(F.map_from_entries(F.collect_list("e")).alias("m"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_dims - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(entries, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(
+                dense,
+                F.array_repeat(F.lit(0.0), n_dims),
+            ).alias("tfidf"),
+        )
+    )

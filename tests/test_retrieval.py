@@ -143,3 +143,34 @@ def test_hybrid_rrf_respects_k(spark):
         hybrid_rrf_topk(docs, embs, ["spark"], query_vec_id=0, k=7).count()
         == 7
     )
+
+
+def test_tfidf_vectors_layout_and_values(spark):
+    """Deterministic vocab layout (df desc, term asc) and hand-checked
+    tf-idf values; docs with no vocab terms get the zero vector."""
+    import math
+
+    from parquet_editor_spark.operators.retrieval import tfidf_vectors
+
+    rows = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "apple banana"),
+        (3, "zzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["tfidf"]
+        for r in tfidf_vectors(df, "doc_id", "text", vocab_size=3,
+                               round_to=6).collect()
+    }
+    # df: banana=3, apple=2, cherry=1, zzz=1 -> vocab [banana, apple, cherry]
+    N = 4
+    idf = {t: math.log((N + 1) / (d + 1)) + 1 for t, d in
+           [("banana", 3), ("apple", 2), ("cherry", 1)]}
+    assert out[0] == [round(1 * idf["banana"], 6),
+                      round(2 * idf["apple"], 6), 0.0]
+    assert out[1] == [round(1 * idf["banana"], 6), 0.0,
+                      round(1 * idf["cherry"], 6)]
+    assert out[3] == [0.0, 0.0, 0.0]  # zzz lost the tie to cherry
+    assert all(len(v) == 3 for v in out.values())
