@@ -3792,150 +3792,63 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
-    # round-5 window (exactly 50 entries up to and including
-    # string_funcs_part), rotated exactly as the r4 verdict directed:
-    #   1. the 27 r4b queries added after the r4 window froze — the
-    #      only entries never driver-adjudicated (warehouse lifecycle:
-    #      CDC diff / snapshots / time travel / compaction / purge /
-    #      matview refresh incl. streaming; PageRank, count-min sketch,
-    #      FastSS fuzzy pairs; corpus-health / entropy / BPE / bigram-LM
-    #      / token-dropout / shard-stats family; rolling spikes, session
-    #      tables, grouped sampling, hybrid RRF, null profiling, zstd +
-    #      IVF-index round-trips)
-    #   2. the 21 r2 greens with the oldest driver signal
-    #      (unpivot/percentiles/string_agg/clean_*/resample_*/pipeline/
-    #      dedup-pipeline/udtf/kafka)
-    #   3. date_trunc_orders + string_funcs_part (r1 signal, oldest of
-    #      all; completes the rotation planned in the r4 comment)
-    # Everything adjudicated green in r4 (the full former window) moves
-    # behind; probes and rows-only entries stay retired as documented
-    # canaries.  After r5 every one of the original 197 entries has
-    # driver signal (the 4 new-in-r5 queries — png/wav/y4m round-trips
-    # and boilerplate_strip — sit just behind the window for r6); r6+
-    # re-rotates by staleness.  Planned r6 window: the 4 new-in-r5
-    # queries, the 6 stream_* entries whose signal is r1-old
-    # (windowed/sliding/dedup/session_windows/sessionize/followed_by —
-    # the r4 verdict asked for deeper streaming adjudication), then
-    # r1 greens oldest-first.
+    # round-6 window executes the rotation planned in r5 and ordered by
+    # the r5 verdict (VERDICT.md "Next round" item 1):
+    #   1. the 5 new-in-r5 queries — the ONLY never-driver-adjudicated
+    #      entries (PNG/WAV/Y4M codec round-trips, boilerplate span
+    #      removal, tf-idf dense vectors)
+    #   2. the 6 stream_* entries with the stalest streaming signal
+    #      (windowed/sliding/dedup/session_windows r1; sessionize/
+    #      followed_by r3) — the r4+r5 verdicts both asked for deeper
+    #      streaming adjudication
+    #   3. the 21 remaining r1-signal oracle greens, the oldest signal
+    #      of all (pivot count/max/min, scan_region, projections,
+    #      histogram/bin2d, text family, dedup family, embedding family,
+    #      multimodal family)
+    #   4. 18 of the 21 r2-signal greens (TPC-H q3/q5/q6/q7, subquery
+    #      family, join family, cube/rollup/window family) to fill the
+    #      window; asof_join_events / range_join_prices /
+    #      stratified_sample_hash stay just behind for r7 with the r3
+    #      block next.
+    # Everything with r4/r5 signal moves behind (freshest last);
+    # probes and rows-only entries stay retired as documented canaries.
     return {
-        # --- 1. never driver-adjudicated: the 27 r4b additions ---
-        "pipeline_curation_v2": q_pipeline_curation_v2,
-        "source_token_divergence": q_source_token_divergence,
-        "table_diff_orders": q_table_diff_orders,
-        "snapshot_time_travel": q_snapshot_time_travel,
-        "compact_lineitem_files": q_compact_lineitem_files,
-        "bpe_pair_top": q_bpe_pair_top,
-        "zscore_outliers_price": q_zscore_outliers_price,
-        "char_entropy_docs": q_char_entropy_docs,
-        "group_sample_events": q_group_sample_events,
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
-        "corpus_health": q_corpus_health,
-        "bigram_logprob": q_bigram_logprob,
-        "purge_orders": q_purge_orders,
-        "refresh_matview": q_refresh_matview,
-        "source_overlap": q_source_overlap,
-        "pipeline_curation_v3": q_pipeline_curation_v3,
-        "stream_refresh_matview": q_stream_refresh_matview,
-        "token_dropout": q_token_dropout,
-        "shard_stats": q_shard_stats,
-        "pagerank_event_graph": q_pagerank_event_graph,
-        "fuzzy_word_pairs": q_fuzzy_word_pairs,
-        "null_profile_orders": q_null_profile_orders,
-        "cms_topk_bound": q_cms_topk_bound,
-        "zstd_roundtrip_lineitem": q_zstd_roundtrip_lineitem,
-        "ivf_index_roundtrip": q_ivf_index_roundtrip,
-        "rolling_spikes_events": q_rolling_spikes_events,
-        "session_table_events": q_session_table_events,
-        # --- 2. r2 greens, oldest driver signal (re-adjudication) ---
-        "unpivot_measures": q_unpivot_measures,
-        "percentiles_quantity": q_percentiles_quantity,
-        "string_agg_nations": q_string_agg_nations,
-        "clean_fillna": q_clean_fillna,
-        "clean_dropna": q_clean_dropna,
-        "clean_replace": q_clean_replace,
-        "resample_ffill_events": q_resample_ffill_events,
-        "resample_interp_events": q_resample_interp_events,
-        "time_rollup_events": q_time_rollup_events,
-        "pipeline_training_data": q_pipeline_training_data,
-        "incremental_dedup": q_incremental_dedup,
-        "decontaminate": q_decontaminate,
-        "boilerplate_shingles": q_boilerplate_shingles,
-        "gopher_quality": q_gopher_quality,
-        "redact_pii": q_redact_pii,
-        "hash_split": q_hash_split,
-        "unigram_logprob": q_unigram_logprob,
-        "chunk_documents": q_chunk_documents,
-        "udtf_chunk_documents": q_udtf_chunk_documents,
-        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
-        "kafka_roundtrip_events": q_kafka_roundtrip_events,
-        # --- 3. r1 greens, oldest signal of all ---
-        "date_trunc_orders": q_date_trunc_orders,
-        "string_funcs_part": q_string_funcs_part,
-        # ================= end of 50-entry driver window =================
-        # --- new in r5 (behind window; rotate into r6) ---
+        # --- 1. never driver-adjudicated: the 5 r5 additions ---
         "png_roundtrip_docs": q_png_roundtrip_docs,
-        "boilerplate_strip": q_boilerplate_strip,
         "wav_roundtrip_docs": q_wav_roundtrip_docs,
         "y4m_frames_docs": q_y4m_frames_docs,
+        "boilerplate_strip": q_boilerplate_strip,
         "tfidf_vectors": q_tfidf_vectors,
-        # --- r4 driver greens (the full former window; freshest signal) ---
-        "bm25_topk": q_bm25_topk,
-        "mixture_sample": q_mixture_sample,
-        "repetition_signals": q_repetition_signals,
-        "vocab_coverage": q_vocab_coverage,
-        "funnel_signup_purchase": q_funnel_signup_purchase,
-        "retention_cohorts": q_retention_cohorts,
-        "merge_upsert_orders": q_merge_upsert_orders,
-        "scd2_user_status": q_scd2_user_status,
-        "zorder_cluster_keys": q_zorder_cluster_keys,
-        "multimodal_resize": q_multimodal_resize,
-        "parquet_roundtrip_partitioned": q_parquet_roundtrip_partitioned,
-        "orc_roundtrip_lineitem": q_orc_roundtrip_lineitem,
-        "corr_matrix": q_corr_matrix,
-        "q8_market_share": q_q8_market_share,
-        "q10_returned_revenue": q_q10_returned_revenue,
-        "q12_priority_lines": q_q12_priority_lines,
-        "q14_promo_revenue": q_q14_promo_revenue,
-        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
-        "q21_sole_supplier": q_q21_sole_supplier,
-        "q22_idle_customers": q_q22_idle_customers,
-        # --- 2. new in r4: xlsx round-trip, IVF recall bound, the 11
-        # remaining TPC-H shapes (Q1-Q22 now complete, adapted where
-        # the fixture schema lacks partsupp/commitdate), and three
-        # pipeline ops (priority-keeper dedup, hard negatives,
-        # per-source budget trim) ---
-        "xlsx_roundtrip_lineitem": q_xlsx_roundtrip_lineitem,
-        "ivf_recall_bound": q_ivf_recall_bound,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
-        "q4_order_priority": q_q4_order_priority,
-        "q9_product_profit": q_q9_product_profit,
-        "q11_important_stock": q_q11_important_stock,
-        "q13_customer_distribution": q_q13_customer_distribution,
-        "q15_top_supplier": q_q15_top_supplier,
-        "q16_supplier_part_counts": q_q16_supplier_part_counts,
-        "q17_small_qty_revenue": q_q17_small_qty_revenue,
-        "q18_large_volume_customers": q_q18_large_volume_customers,
-        "q20_part_promotion": q_q20_part_promotion,
-        "dedup_priority_keep": q_dedup_priority_keep,
-        "hard_negatives": q_hard_negatives,
-        "source_budget_trim": q_source_budget_trim,
-        "stream_static_enrich": q_stream_static_enrich,
-        "weighted_sample_k": q_weighted_sample_k,
-        "avro_roundtrip_part": q_avro_roundtrip_part,
-        "variant_extract_events": q_variant_extract_events,
-        "hll_error_bound": q_hll_error_bound,
-        "quantile_error_bound": q_quantile_error_bound,
-        "hilbert_cluster_keys": q_hilbert_cluster_keys,
-        "incremental_minhash": q_incremental_minhash,
-        # --- 3. r1 greens swapped out of the r3 window (oldest signal) ---
-        "cell_edit": q_cell_edit,
-        "delete_rows": q_delete_rows,
-        "paste_splice": q_paste_splice,
-        "union_distinct_nations": q_union_distinct_nations,
-        "rollup_qty": q_rollup_qty,
-        "pivot_count_distinct": q_pivot_count_distinct,
-        # --- r1/r2 greens not in this rotation (re-adjudicated r6+) ---
+        # --- 2. streaming family, stalest streaming signal (r1/r3) ---
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_sliding_counts": q_stream_sliding_counts,
+        "stream_dedup_events": q_stream_dedup_events,
+        "stream_session_windows": q_stream_session_windows,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_followed_by": q_stream_followed_by,
+        # --- 3. r1 oracle greens, oldest signal of all ---
+        "pivot_count": _pivot("count", round_to=None),
+        "pivot_max": _pivot("max", round_to=None),
+        "pivot_min": _pivot("min", round_to=None),
+        "scan_region": q_scan_region,
+        "numeric_projection": q_numeric_projection,
+        "histogram_quantity": q_histogram_quantity,
+        "bin2d_scatter": q_bin2d_scatter,
+        "add_drop_column": q_add_drop_column,
+        "lang_id_histogram": q_lang_id_histogram,
+        "quality_scores": q_quality_scores,
+        "top_words": q_top_words,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "doc_rolling_hash": q_doc_rolling_hash,
+        "embedding_topk_cosine": q_embedding_topk,
+        "embedding_cosine_dedup": q_embedding_cosine_dedup,
+        "embedding_lsh_dedup": q_embedding_lsh_dedup,
+        "binary_meta": q_binary_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
+        # --- 4. r2 greens filling the window ---
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "q6_forecast_revenue": q_q6_forecast_revenue,
@@ -3954,15 +3867,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ranks": q_window_ranks,
         "window_lead_lag": q_window_lead_lag,
         "rolling_revenue_7d": q_rolling_revenue_7d,
+        # ================= end of 50-entry driver window =================
+        # --- behind window: r2/r3 signal, oldest first (r7 candidates) ---
         "asof_join_events": q_asof_join_events,
         "range_join_prices": q_range_join_prices,
-        # --- r3 driver greens (rotate r6+) ---
+        "stratified_sample_hash": q_stratified_sample_hash,
         "json_extract_events": q_json_extract_events,
         "sessionize_events": q_sessionize_events,
-        "stream_sessionize": q_stream_sessionize,
         "map_props_explode": q_map_props_explode,
         "pack_sequences": q_pack_sequences,
-        "stream_followed_by": q_stream_followed_by,
         "normalize_text": q_normalize_text,
         "collect_lang_sets": q_collect_lang_sets,
         "label_centroids": q_label_centroids,
@@ -3993,8 +3906,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        # --- retired r3 probes (settled divergence canaries; 4 RED by design,
-        # kept as documentation + regression canaries, never re-windowed) ---
+        "bm25_topk": q_bm25_topk,
+        "mixture_sample": q_mixture_sample,
+        "repetition_signals": q_repetition_signals,
+        "vocab_coverage": q_vocab_coverage,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "retention_cohorts": q_retention_cohorts,
+        "merge_upsert_orders": q_merge_upsert_orders,
+        "scd2_user_status": q_scd2_user_status,
+        "zorder_cluster_keys": q_zorder_cluster_keys,
+        "multimodal_resize": q_multimodal_resize,
+        "parquet_roundtrip_partitioned": q_parquet_roundtrip_partitioned,
+        "orc_roundtrip_lineitem": q_orc_roundtrip_lineitem,
+        "corr_matrix": q_corr_matrix,
+        "q8_market_share": q_q8_market_share,
+        "q10_returned_revenue": q_q10_returned_revenue,
+        "q12_priority_lines": q_q12_priority_lines,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q21_sole_supplier": q_q21_sole_supplier,
+        "q22_idle_customers": q_q22_idle_customers,
+        "xlsx_roundtrip_lineitem": q_xlsx_roundtrip_lineitem,
+        "ivf_recall_bound": q_ivf_recall_bound,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q4_order_priority": q_q4_order_priority,
+        "q9_product_profit": q_q9_product_profit,
+        "q11_important_stock": q_q11_important_stock,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q16_supplier_part_counts": q_q16_supplier_part_counts,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q18_large_volume_customers": q_q18_large_volume_customers,
+        "q20_part_promotion": q_q20_part_promotion,
+        "dedup_priority_keep": q_dedup_priority_keep,
+        "hard_negatives": q_hard_negatives,
+        "source_budget_trim": q_source_budget_trim,
+        "stream_static_enrich": q_stream_static_enrich,
+        "weighted_sample_k": q_weighted_sample_k,
+        "avro_roundtrip_part": q_avro_roundtrip_part,
+        "variant_extract_events": q_variant_extract_events,
+        "hll_error_bound": q_hll_error_bound,
+        "quantile_error_bound": q_quantile_error_bound,
+        "hilbert_cluster_keys": q_hilbert_cluster_keys,
+        "incremental_minhash": q_incremental_minhash,
+        "cell_edit": q_cell_edit,
+        "delete_rows": q_delete_rows,
+        "paste_splice": q_paste_splice,
+        "union_distinct_nations": q_union_distinct_nations,
+        "rollup_qty": q_rollup_qty,
+        "pivot_count_distinct": q_pivot_count_distinct,
+        "pipeline_curation_v2": q_pipeline_curation_v2,
+        "source_token_divergence": q_source_token_divergence,
+        "table_diff_orders": q_table_diff_orders,
+        "snapshot_time_travel": q_snapshot_time_travel,
+        "compact_lineitem_files": q_compact_lineitem_files,
+        "bpe_pair_top": q_bpe_pair_top,
+        "zscore_outliers_price": q_zscore_outliers_price,
+        "char_entropy_docs": q_char_entropy_docs,
+        "group_sample_events": q_group_sample_events,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "corpus_health": q_corpus_health,
+        "bigram_logprob": q_bigram_logprob,
+        "purge_orders": q_purge_orders,
+        "refresh_matview": q_refresh_matview,
+        "source_overlap": q_source_overlap,
+        "pipeline_curation_v3": q_pipeline_curation_v3,
+        "stream_refresh_matview": q_stream_refresh_matview,
+        "token_dropout": q_token_dropout,
+        "shard_stats": q_shard_stats,
+        "pagerank_event_graph": q_pagerank_event_graph,
+        "fuzzy_word_pairs": q_fuzzy_word_pairs,
+        "null_profile_orders": q_null_profile_orders,
+        "cms_topk_bound": q_cms_topk_bound,
+        "zstd_roundtrip_lineitem": q_zstd_roundtrip_lineitem,
+        "ivf_index_roundtrip": q_ivf_index_roundtrip,
+        "rolling_spikes_events": q_rolling_spikes_events,
+        "session_table_events": q_session_table_events,
+        "unpivot_measures": q_unpivot_measures,
+        "percentiles_quantity": q_percentiles_quantity,
+        "string_agg_nations": q_string_agg_nations,
+        "clean_fillna": q_clean_fillna,
+        "clean_dropna": q_clean_dropna,
+        "clean_replace": q_clean_replace,
+        "resample_ffill_events": q_resample_ffill_events,
+        "resample_interp_events": q_resample_interp_events,
+        "time_rollup_events": q_time_rollup_events,
+        "pipeline_training_data": q_pipeline_training_data,
+        "incremental_dedup": q_incremental_dedup,
+        "decontaminate": q_decontaminate,
+        "boilerplate_shingles": q_boilerplate_shingles,
+        "gopher_quality": q_gopher_quality,
+        "redact_pii": q_redact_pii,
+        "hash_split": q_hash_split,
+        "unigram_logprob": q_unigram_logprob,
+        "chunk_documents": q_chunk_documents,
+        "udtf_chunk_documents": q_udtf_chunk_documents,
+        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
+        "kafka_roundtrip_events": q_kafka_roundtrip_events,
+        "date_trunc_orders": q_date_trunc_orders,
+        "string_funcs_part": q_string_funcs_part,
+        # --- retired canaries: expected-divergent probes + rows-only entries ---
         "probe_int_float_hash": probe_int_float_hash,
         "probe_hugeint_sum": probe_hugeint_sum,
         "probe_hugeint_cast": probe_hugeint_cast,
@@ -4007,39 +4019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probe_regex_ws_vt": probe_regex_ws_vt,
         "probe_json_cast_old": probe_json_cast_old,
         "probe_json_regex_new": probe_json_regex_new,
-        # --- rows-only by design (deterministic twins stratified_sample_hash /
-        # stats_aggregates are oracle-checked; kept out of the window so the
-        # stable err:no_oracle verdicts stop burning adjudication slots) ---
         "stratified_sample": q_stratified_sample,
         "approx_stats": q_approx_stats,
-        "stratified_sample_hash": q_stratified_sample_hash,
         "embedding_ivf_topk": q_embedding_ivf_topk,
-        # --- r1 greens not in this rotation ---
-        "pivot_count": _pivot("count", round_to=None),
-        "pivot_max": _pivot("max", round_to=None),
-        "pivot_min": _pivot("min", round_to=None),
-        "scan_region": q_scan_region,
-        "numeric_projection": q_numeric_projection,
-        "histogram_quantity": q_histogram_quantity,
-        "bin2d_scatter": q_bin2d_scatter,
-        "add_drop_column": q_add_drop_column,
-        "lang_id_histogram": q_lang_id_histogram,
-        "quality_scores": q_quality_scores,
-        "top_words": q_top_words,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "doc_rolling_hash": q_doc_rolling_hash,
-        "embedding_topk_cosine": q_embedding_topk,
-        "embedding_cosine_dedup": q_embedding_cosine_dedup,
-        "embedding_lsh_dedup": q_embedding_lsh_dedup,
-        "binary_meta": q_binary_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "frame_sample": q_frame_sample,
-        "stream_windowed_counts": q_stream_windowed_counts,
-        "stream_sliding_counts": q_stream_sliding_counts,
-        "stream_dedup_events": q_stream_dedup_events,
-        "stream_session_windows": q_stream_session_windows,
     }
 
 

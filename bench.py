@@ -302,13 +302,18 @@ def main() -> None:
         raise SystemExit("all bench sessions failed")
 
     merged = dict(results[0])
+    # a child that partially diverged (different env) may miss keys —
+    # merge over the intersection so one odd child can't KeyError the run
+    qkeys = set(results[0]["queries"])
+    ckeys = set(results[0]["calibration"])
+    for r in results[1:]:
+        qkeys &= set(r["queries"])
+        ckeys &= set(r["calibration"])
     merged["queries"] = {
-        q: min(r["queries"][q] for r in results)
-        for q in results[0]["queries"]
+        q: min(r["queries"][q] for r in results) for q in sorted(qkeys)
     }
     merged["calibration"] = {
-        c: min(r["calibration"][c] for r in results)
-        for c in results[0]["calibration"]
+        c: min(r["calibration"][c] for r in results) for c in sorted(ckeys)
     }
     merged["value"] = round(sum(merged["queries"].values()), 4)
     merged["sessions"] = len(results)

@@ -168,7 +168,7 @@ def with_lang_id(
     import re
 
     langs = sorted(LANG_MARKERS)
-    c = F.col(col) if isinstance(col, str) else F.col(col)
+    c = F.col(col) if isinstance(col, str) else col
     all_alts = "|".join(
         sorted({re.escape(m) for lang in langs for m in LANG_MARKERS[lang]})
     )

@@ -94,6 +94,12 @@ _SVG_COLORS = ["#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd",
                "#8c564b", "#e377c2", "#7f7f7f", "#bcbd22", "#17becf"]
 
 
+def _xml_escape(s):
+    from xml.sax.saxutils import escape
+
+    return escape(str(s))
+
+
 def _scale(vals, lo, hi, out_lo, out_hi):
     span = (hi - lo) or 1.0
     return [
@@ -102,12 +108,14 @@ def _scale(vals, lo, hi, out_lo, out_hi):
 
 
 def _svg_frame(width, height, title):
+    from xml.sax.saxutils import escape
+
     return (
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
         f'height="{height}" viewBox="0 0 {width} {height}">'
         f'<rect width="{width}" height="{height}" fill="white"/>'
         f'<text x="{width / 2}" y="16" text-anchor="middle" '
-        f'font-family="sans-serif" font-size="13">{title}</text>'
+        f'font-family="sans-serif" font-size="13">{escape(str(title))}</text>'
     )
 
 
@@ -123,6 +131,9 @@ def render_line_svg(
     if not ys or len(pdf) == 0:
         raise ValueError("nothing to plot: need rows and >=1 y column")
     pad, legend_h = 30, 14 * len(ys)
+    pdf = pdf[pdf[x].notna()]
+    if len(pdf) == 0:
+        raise ValueError("nothing to plot: all x values are null")
     xs = [float(v) for v in pdf[x]]
     all_y = [float(v) for c in ys for v in pdf[c] if v is not None]
     x_lo, x_hi = min(xs), max(xs)
@@ -152,7 +163,7 @@ def render_line_svg(
             f'<rect x="{pad}" y="{ly - 8}" width="10" height="10" '
             f'fill="{color}"/>'
             f'<text x="{pad + 14}" y="{ly}" font-family="sans-serif" '
-            f'font-size="11">{c}</text>'
+            f'font-size="11">{_xml_escape(c)}</text>'
         )
     parts.append("</svg>")
     return "".join(parts)
@@ -195,6 +206,9 @@ def render_scatter_svg(
     — density plots read better re-binned upstream."""
     if len(pdf) == 0:
         raise ValueError("nothing to plot: empty scatter frame")
+    pdf = pdf[pdf[x].notna() & pdf[y].notna()]
+    if len(pdf) == 0:
+        raise ValueError("nothing to plot: all scatter points have null x/y")
     xs = [float(v) for v in pdf[x]]
     ys = [float(v) for v in pdf[y]]
     pad = 30

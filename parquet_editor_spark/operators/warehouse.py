@@ -27,7 +27,11 @@ def _require_local_path(path: str, op: str) -> str:
     (Iceberg/Delta) or copy locally first."""
     import re
 
-    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://(.*)$", path)
+    # Spark accepts both "file:///p" and single-slash "file:/p" URIs —
+    # match any "scheme:/..." form, not just "scheme://" (a single-slash
+    # file: URI used to slip through unnormalized and os.makedirs then
+    # created a literal "file:" directory under cwd).
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]{1,}):/(.*)$", path)
     if m is None:
         return path
     if m.group(1).lower() == "file":

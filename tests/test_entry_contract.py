@@ -47,38 +47,41 @@ def test_top_level_functions_unique():
 def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
-    silently missed adjudication — pin the round-5 window composition
-    (the r4 verdict's rotation): every never-driver-adjudicated r4b
-    query first, then the oldest r2/r1 greens; probes and stable
-    rows-only entries stay retired behind the window."""
+    silently missed adjudication — pin the round-6 window composition
+    (the r5 verdict's rotation): the 5 never-driver-adjudicated r5
+    additions first, then the 6 stalest stream_* entries, then the r1
+    greens (oldest signal of all) and 18 r2 greens to fill; probes and
+    stable rows-only entries stay retired behind the window."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "string_funcs_part", (
+    assert window[-1] == "rolling_revenue_7d", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
-        # the 27 r4b additions, never driver-adjudicated before r5
-        "pipeline_curation_v2", "source_token_divergence",
-        "table_diff_orders", "snapshot_time_travel",
-        "compact_lineitem_files", "bpe_pair_top", "zscore_outliers_price",
-        "char_entropy_docs", "group_sample_events", "hybrid_rrf_topk",
-        "corpus_health", "bigram_logprob", "purge_orders",
-        "refresh_matview", "source_overlap", "pipeline_curation_v3",
-        "stream_refresh_matview", "token_dropout", "shard_stats",
-        "pagerank_event_graph", "fuzzy_word_pairs", "null_profile_orders",
-        "cms_topk_bound", "zstd_roundtrip_lineitem", "ivf_index_roundtrip",
-        "rolling_spikes_events", "session_table_events",
-        # r2 greens with the oldest driver signal
-        "unpivot_measures", "percentiles_quantity", "string_agg_nations",
-        "clean_fillna", "clean_dropna", "clean_replace",
-        "resample_ffill_events", "resample_interp_events",
-        "time_rollup_events", "pipeline_training_data", "incremental_dedup",
-        "decontaminate", "boilerplate_shingles", "gopher_quality",
-        "redact_pii", "hash_split", "unigram_logprob", "chunk_documents",
-        "udtf_chunk_documents", "ivf_topk_exhaustive",
-        "kafka_roundtrip_events",
-        # r1 greens, oldest signal of all
-        "date_trunc_orders", "string_funcs_part",
+        # the 5 r5 additions, never driver-adjudicated
+        "png_roundtrip_docs", "wav_roundtrip_docs", "y4m_frames_docs",
+        "boilerplate_strip", "tfidf_vectors",
+        # streaming family with the stalest streaming signal (r1/r3)
+        "stream_windowed_counts", "stream_sliding_counts",
+        "stream_dedup_events", "stream_session_windows",
+        "stream_sessionize", "stream_followed_by",
+        # r1 oracle greens, oldest signal of all
+        "pivot_count", "pivot_max", "pivot_min", "scan_region",
+        "numeric_projection", "histogram_quantity", "bin2d_scatter",
+        "add_drop_column", "lang_id_histogram", "quality_scores",
+        "top_words", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_clusters", "doc_rolling_hash", "embedding_topk_cosine",
+        "embedding_cosine_dedup", "embedding_lsh_dedup", "binary_meta",
+        "multimodal_decode", "frame_sample",
+        # 18 r2 greens filling the window
+        "q3_shipping_priority", "q5_local_supplier_revenue",
+        "q6_forecast_revenue", "q7_nation_trade_volume",
+        "correlated_min_suppliers", "exists_high_qty", "above_avg_orders",
+        "having_frequent_custs", "salted_join_revenue",
+        "left_join_order_counts", "full_outer_nation_actors",
+        "except_inactive_custs", "intersect_nations", "cube_qty",
+        "grouping_sets_revenue", "window_ranks", "window_lead_lag",
+        "rolling_revenue_7d",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"

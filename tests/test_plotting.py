@@ -122,3 +122,34 @@ def test_session_plot_all_kinds(spark, sf_dir):
 
     with pt.raises(ValueError, match="unknown plot kind"):
         sess.plot("li", "pie")
+
+
+def test_render_svg_escapes_markup_and_skips_null_points():
+    """ADVICE r5: titles/column names containing XML metacharacters must
+    be escaped (session.plot defaults title to the table name), and
+    null x/y values must be dropped, not crash float()."""
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    from parquet_editor_spark.operators import plotting as P
+
+    pdf = pd.DataFrame({"x": [1.0, None, 3.0], "a<&b": [1.0, 2.0, None]})
+    svg = P.render_line_svg(pdf, title="t<&>1")
+    root = ET.fromstring(svg)  # must be well-formed despite < and &
+    texts = [e.text for e in root.iter() if e.tag.endswith("text")]
+    assert "t<&>1" in texts and "a<&b" in texts
+
+    sc = pd.DataFrame({"x": [1.0, None, 3.0], "y": [None, 2.0, 4.0]})
+    svg2 = P.render_scatter_svg(sc, "x", "y", title="s&s")
+    root2 = ET.fromstring(svg2)
+    circles = [e for e in root2.iter() if e.tag.endswith("circle")]
+    assert len(circles) == 1  # only the (3.0, 4.0) point survives
+
+    import pytest as pt
+
+    allnull = pd.DataFrame({"x": [None], "y": [1.0]})
+    with pt.raises(ValueError, match="null"):
+        P.render_scatter_svg(allnull, "x", "y")
+    with pt.raises(ValueError, match="null"):
+        P.render_line_svg(allnull.rename(columns={"y": "v"}), x="x")

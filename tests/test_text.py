@@ -263,3 +263,23 @@ def test_punct_ratio_unicode_and_whitespace(spark):
     assert vals[1] == 0.0      # CJK letters are letters
     assert vals[2] == 0.0      # tabs/newlines are whitespace
     assert vals[3] == pytest.approx(2 / 5)  # ',' and '!' only
+
+
+def test_with_lang_id_accepts_column_arg(spark):
+    """ADVICE r5: both ternary branches were F.col(col), so passing a
+    Column (allowed by the module's convention elsewhere) raised inside
+    F.col.  A Column argument must behave identically to its name."""
+    import pyspark.sql.functions as F
+
+    from parquet_editor_spark.functions.text import with_lang_id
+
+    df = spark.createDataFrame(
+        [("the quick brown fox and the lazy dog",),
+         ("el perro y el gato en la casa",)],
+        ["body"],
+    )
+    by_name = with_lang_id(df, "body").select("body", "lang_pred")
+    by_col = with_lang_id(df, F.col("body")).select("body", "lang_pred")
+    assert sorted(map(tuple, by_name.collect())) == sorted(
+        map(tuple, by_col.collect())
+    )

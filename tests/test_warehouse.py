@@ -464,3 +464,20 @@ def test_file_uri_normalized(spark, tmp_path):
     v = WH.snapshot_write(spark.range(4), "file://" + p)
     assert v == 1
     assert WH.snapshot_read(spark, "file://" + p).count() == 4
+
+
+def test_require_local_path_single_slash_file_uri(tmp_path):
+    """ADVICE r5: Spark accepts single-slash 'file:/p' URIs — they must
+    normalize like 'file:///p', not fall through and create a literal
+    'file:' directory under cwd; non-file schemes still fail loud."""
+    import pytest as pt
+
+    from parquet_editor_spark.operators.warehouse import _require_local_path
+
+    assert _require_local_path("file:/tmp/x", "op") == "/tmp/x"
+    assert _require_local_path("file:///tmp/x", "op") == "/tmp/x"
+    assert _require_local_path("/tmp/x", "op") == "/tmp/x"
+    assert _require_local_path("rel/dir", "op") == "rel/dir"
+    for bad in ("s3://bucket/k", "hdfs:/nn/x", "s3a://b/k"):
+        with pt.raises(ValueError, match="local paths"):
+            _require_local_path(bad, "op")

@@ -111,19 +111,19 @@ def main(only: list[str], json_path: str | None = None) -> int:
             got = fn(spark, SF_DIR).toPandas()
             rec["spark_rows"] = len(got)
         except Exception as e:
-            print(f"FAIL {name}: spark error {e}")
+            print(f"FAIL {name}: spark error {e}", flush=True)
             rec["err"] = f"spark: {e}"
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"PASS {name}: rows-only ({len(got)} rows, no oracle)")
+            print(f"PASS {name}: rows-only ({len(got)} rows, no oracle)", flush=True)
             rec["err"] = "no_oracle"
             continue
         try:
             want = con.execute(oracles[name]).fetchdf()
             rec["oracle_rows"] = len(want)
         except Exception as e:
-            print(f"FAIL {name}: oracle error {e}")
+            print(f"FAIL {name}: oracle error {e}", flush=True)
             rec["err"] = f"oracle: {e}"
             failed.append(name)
             continue
@@ -132,18 +132,19 @@ def main(only: list[str], json_path: str | None = None) -> int:
         rec["schema_match"] = sorted(got.columns) == sorted(want.columns)
         rec["hash_match"] = not errs
         if errs and name in EXPECTED_DIVERGENT:
-            print(f"XFAIL {name}: expected divergence (diagnostic probe)")
+            print(f"XFAIL {name}: expected divergence (diagnostic probe)", flush=True)
             rec["err"] = "expected_divergent"
         elif errs:
-            print(f"FAIL {name}: " + "; ".join(errs))
+            print(f"FAIL {name}: " + "; ".join(errs), flush=True)
             failed.append(name)
         elif name in EXPECTED_DIVERGENT:
             print(f"XPASS {name}: expected divergence DID NOT fire — "
-                  "strict compare may have lost dtype sensitivity")
+                  "strict compare may have lost dtype sensitivity", flush=True)
             failed.append(name)
         else:
-            print(f"PASS {name} ({len(got)} rows)")
-    print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} passed")
+            print(f"PASS {name} ({len(got)} rows)", flush=True)
+    ran = len(results)
+    print(f"\n{ran - len(failed)}/{ran} passed", flush=True)
     if json_path:
         import json
 
