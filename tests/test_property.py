@@ -120,11 +120,12 @@ def test_rejected_edit_leaves_table_unchanged(spark):
 @pytest.mark.parametrize("seed", [7, 1234])
 def test_long_edit_sequence_with_undo_redo_and_compact(spark, seed):
     """Deep composition run (120 ops): set/delete/cut-paste/undo/redo
-    through the real EditorSession history, with overlay ``compact()``
-    interleaved as an undoable no-op edit, differentially against a
+    through the real EditorSession history, differentially against a
     pandas mirror implementing the reference's positional semantics.
     Pins the ``__rid`` dense-ordinal invariant under arbitrary
-    composition — the editor core's one structural promise.
+    composition — the editor core's one structural promise — and (r5
+    verdict item 7) that ``bind``'s automatic overlay compaction keeps
+    the plan bounded WITHOUT any explicit ``compact()`` call.
 
     Seeded random (not hypothesis): one long trajectory exercises
     plan-depth/compaction interactions that many short examples never
@@ -146,11 +147,6 @@ def test_long_edit_sequence_with_undo_redo_and_compact(spark, seed):
     for step in range(1, 121):
         pdf = hist[-1]
         n = len(pdf)
-        if step % 15 == 0:
-            # physical compaction, surfaced as an undoable no-op edit
-            sess.bind("t", E.compact(sess.get("t")))
-            push(pdf.copy())
-            continue
         kind = rng.choices(
             ["set", "delete", "cutpaste", "undo", "redo"],
             weights=[40, 15, 15, 15, 10],
@@ -199,6 +195,18 @@ def test_long_edit_sequence_with_undo_redo_and_compact(spark, seed):
             assert got["__rid"].tolist() == list(range(len(got))), step
             pd.testing.assert_frame_equal(
                 got.drop(columns="__rid"), hist[-1], obj=f"step {step}"
+            )
+            # bind()'s auto-compaction must bound the overlay plan: a
+            # chain deeper than COMPACT_EVERY CASE WHEN projections
+            # means no compaction fired on this mutation route
+            plan = sess.get("t")._jdf.queryExecution().analyzed().toString()
+            # one bind can add a few CASE WHENs (paste re-ranks rids,
+            # delete re-ranks survivors), so the bound is per-bind cost
+            # times the compaction period — the point is it's O(period),
+            # not O(total edits): 120 uncompacted steps would exceed it
+            assert plan.count("CASE WHEN") <= 3 * sess.COMPACT_EVERY, (
+                f"step {step}: overlay depth {plan.count('CASE WHEN')} "
+                "exceeds auto-compaction bound"
             )
 
 
