@@ -1112,8 +1112,9 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
-    item 3): per doc, synthesize an 8-bit PNG whose dimensions and
-    color type derive from doc_id, then decode → nearest-neighbor
+    item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
+    per doc, synthesize a PNG whose dimensions, color type and sample
+    depth derive from doc_id, then decode → nearest-neighbor
     resize → re-encode → decode again, all executor-side via Arrow
     batches.  The emitted orig_* dims come out of a CRC-checked IHDR
     parse + full inflate/unfilter of the generated file, and the
@@ -1144,18 +1145,28 @@ def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids = list(pdf["doc_id"])
             pdf = pdf.copy()
-            pdf["payload"] = [
-                encode_png(
-                    3 + i % 13,
-                    2 + i % 11,
-                    1 + i % 4,
-                    bytes(
+            payloads = []
+            for i in ids:
+                # r6: cycle the stored depth through 8/16/1/2/4 so the
+                # fixture exercises every decode path the codec claims;
+                # sub-byte depths are grayscale-only per the spec, and
+                # decode_png's 8-bit view reports channels=1 for them
+                w, h = 3 + i % 13, 2 + i % 11
+                depth = (8, 16, 1, 2, 4)[i % 5]
+                if depth in (1, 2, 4):
+                    ch = 1
+                    maxv = (1 << depth) - 1
+                    px = bytes(
+                        (i * 31 + j * 7) % (maxv + 1) for j in range(w * h)
+                    )
+                else:
+                    ch = 1 + i % 4
+                    px = bytes(
                         (i * 31 + j * 7) % 256
-                        for j in range((3 + i % 13) * (2 + i % 11) * (1 + i % 4))
-                    ),
-                )
-                for i in ids
-            ]
+                        for j in range(w * h * ch * (depth // 8))
+                    )
+                payloads.append(encode_png(w, h, ch, px, depth=depth))
+            pdf["payload"] = payloads
             yield pdf[["doc_id", "payload"]]
 
     payloads = docs.mapInPandas(gen, schema=gen_schema)
@@ -1192,9 +1203,10 @@ def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_wav_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio-format round-trip, no audio library (sources/wav.py):
-    per doc, synthesize a PCM WAV whose rate/channels/length derive
-    from doc_id, decode it (RIFF chunk walk), nearest-neighbor
+    """REAL audio-format round-trip, no audio library (sources/wav.py;
+    r6 cycles float32 / PCM16 / PCM24 sample formats per r5 verdict
+    item 4): per doc, synthesize a WAV whose rate/channels/length/format
+    derive from doc_id, decode it (RIFF chunk walk), nearest-neighbor
     resample to 6 kHz, re-encode, decode again — all executor-side.
     The oracle recomputes every emitted column arithmetically from
     doc_id (integer floor division both sides), so the differential
@@ -1217,7 +1229,7 @@ def q_wav_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(batches):
-        from parquet_editor_spark.sources.wav import encode_wav
+        from parquet_editor_spark.sources.wav import IEEE_FLOAT, PCM, encode_wav
 
         for pdf in batches:
             ids = list(pdf["doc_id"])
@@ -1227,8 +1239,15 @@ def q_wav_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rate = 8000 + (i % 5) * 2000
                 ch = 1 + i % 2
                 n = 50 + i % 97
-                pcm = bytes((i * 13 + j * 7) % 256 for j in range(n * ch * 2))
-                payloads.append(encode_wav(rate, ch, 16, pcm))
+                # r6: cycle the sample format through float32 / PCM16 /
+                # PCM24 so the fixture exercises the IEEE-float path
+                # (frames are opaque blocks either way — the format tag
+                # must survive the resample's re-encode)
+                bits, tag = ((32, IEEE_FLOAT), (16, PCM), (24, PCM))[i % 3]
+                pcm = bytes(
+                    (i * 13 + j * 7) % 256 for j in range(n * ch * bits // 8)
+                )
+                payloads.append(encode_wav(rate, ch, bits, pcm, fmt_tag=tag))
             out["payload"] = payloads
             yield out[["doc_id", "payload"]]
 
@@ -5415,10 +5434,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    3 + doc_id % 13 AS orig_w,
                    2 + doc_id % 11 AS orig_h,
-                   1 + doc_id % 4 AS orig_ch,
+                   CASE WHEN doc_id % 5 >= 2 THEN 1
+                        ELSE 1 + doc_id % 4 END AS orig_ch,
                    9 AS resized_w,
                    6 AS resized_h,
-                   1 + doc_id % 4 AS resized_ch
+                   CASE WHEN doc_id % 5 >= 2 THEN 1
+                        ELSE 1 + doc_id % 4 END AS resized_ch
             FROM documents
             WHERE doc_id % 17 = 0
             ORDER BY doc_id

@@ -388,13 +388,16 @@ def resample_audio(
             if codec == "wav":
                 from parquet_editor_spark.sources import wav as _wav
 
-                rate, ch, bits, n, frames = _wav.decode_wav(p)
+                # decode_wav_ex keeps the fmt tag so a float WAV
+                # re-encodes as float, not mislabeled int PCM
+                rate, ch, bits, n, frames, tag = _wav.decode_wav_ex(p)
                 tgt_n = max(1, n * target_rate // rate)
                 return _wav.encode_wav(
                     target_rate,
                     ch,
                     bits,
                     _wav.resample_nearest(frames, ch, bits, n, tgt_n),
+                    fmt_tag=tag,
                 )
             if codec == "fake":
                 return _h.md5(p + f"@{target_rate}".encode()).digest()

@@ -11,13 +11,18 @@ as §6 of the spec defines them.
 
 Scope (honest, not padded):
 
-- 8-bit samples; color types 0 (gray), 2 (RGB), 4 (gray+alpha) and
-  6 (RGBA) — i.e. channels 1/3/2/4 — plus 8-bit palette (type 3),
-  expanded through the PLTE lookup to RGB on decode.  1/2/4/16-bit
-  depths and Adam7 interlace raise ``NotImplementedError`` — decoding
-  those is real work a production deployment does with libpng; the
-  formats above are the ones our own encoder (and most ML pipelines'
-  intermediate artifacts) emit.
+- Sample depths 1/2/4/8/16 (r5 verdict item 4 added the non-8-bit
+  depths — the first thing a real crawl corpus hits beyond 8-bit):
+  color types 0 (gray), 2 (RGB), 4 (gray+alpha) and 6 (RGBA) at
+  8/16-bit; gray and palette additionally at 1/2/4-bit.  Palette
+  indices expand through the PLTE lookup to RGB on decode.
+  ``decode_png`` always returns an 8-bit view (16-bit takes the high
+  byte — the spec's own sample-depth rescale; sub-byte gray scales by
+  255/(2^d-1)) so every downstream resize/re-encode path stays
+  depth-free; ``decode_png_raw`` returns the exact stored samples for
+  lossless round-trips.  Adam7 interlace raises
+  ``NotImplementedError`` — de-interlacing is real work a production
+  deployment does with libpng.
 - The encoder writes filter type 0 on every scanline (always valid);
   the decoder handles all five filters, so PNGs from other writers
   decode too.
@@ -39,27 +44,67 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 _COLOR_TYPE = {1: 0, 3: 2, 2: 4, 4: 6}  # channels → color type
 
 
-def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
-    """Serialize raw 8-bit pixel bytes (row-major, ``channels``
-    samples per pixel) into a spec-valid PNG.  ``len(pixels)`` must be
-    exactly ``width*height*channels``."""
+def encode_png(
+    width: int, height: int, channels: int, pixels: bytes, depth: int = 8
+) -> bytes:
+    """Serialize raw pixel samples (row-major, ``channels`` samples per
+    pixel) into a spec-valid PNG.
+
+    ``depth`` 8 (default): one byte per sample, ``len(pixels)`` ==
+    ``width*height*channels``.  ``depth`` 16: two big-endian bytes per
+    sample (the wire order the spec mandates), twice that length.
+    ``depth`` 1/2/4: grayscale only (``channels`` == 1), one byte per
+    pixel holding a value < 2**depth; the encoder packs them MSB-first
+    with scanlines padded to a byte boundary, exactly as §7.2 lays out
+    samples."""
     if channels not in _COLOR_TYPE:
         raise ValueError(f"channels must be one of {sorted(_COLOR_TYPE)}")
     if width < 1 or height < 1:
         raise ValueError(f"invalid dimensions {width}x{height}")
-    stride = width * channels
-    if len(pixels) != stride * height:
-        raise ValueError(
-            f"pixel buffer is {len(pixels)} bytes, expected "
-            f"{stride * height} for {width}x{height}x{channels}"
-        )
+    if depth in (1, 2, 4):
+        if channels != 1:
+            raise ValueError(f"depth {depth} is grayscale-only in PNG")
+        if len(pixels) != width * height:
+            raise ValueError(
+                f"pixel buffer is {len(pixels)} bytes, expected "
+                f"{width * height} unpacked sub-byte samples"
+            )
+        maxv = (1 << depth) - 1
+        if any(p > maxv for p in pixels):
+            raise ValueError(f"sample exceeds {maxv} for depth {depth}")
+    elif depth in (8, 16):
+        stride = width * channels * (depth // 8)
+        if len(pixels) != stride * height:
+            raise ValueError(
+                f"pixel buffer is {len(pixels)} bytes, expected "
+                f"{stride * height} for {width}x{height}x{channels}"
+                f"@{depth}bit"
+            )
+    else:
+        raise ValueError(f"depth must be one of 1/2/4/8/16, got {depth}")
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, _COLOR_TYPE[channels], 0, 0, 0
+        ">IIBBBBB", width, height, depth, _COLOR_TYPE[channels], 0, 0, 0
     )
     raw = bytearray()
-    for y in range(height):
-        raw.append(0)  # filter type None
-        raw += pixels[y * stride : (y + 1) * stride]
+    if depth in (1, 2, 4):
+        per_byte = 8 // depth
+        for y in range(height):
+            raw.append(0)  # filter type None
+            acc, nbits = 0, 0
+            row = pixels[y * width : (y + 1) * width]
+            for v in row:
+                acc = (acc << depth) | v
+                nbits += depth
+                if nbits == 8:
+                    raw.append(acc)
+                    acc, nbits = 0, 0
+            if nbits:
+                raw.append(acc << (8 - nbits))  # pad final byte with 0s
+    else:
+        stride = width * channels * (depth // 8)
+        for y in range(height):
+            raw.append(0)  # filter type None
+            raw += pixels[y * stride : (y + 1) * stride]
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -77,12 +122,14 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
-    """Parse + inflate + unfilter a PNG; returns
-    ``(width, height, channels, pixels)`` with ``pixels`` the raw
-    row-major 8-bit samples.  CRCs are verified — a corrupt payload in
-    a 100 TB media table should fail its row loudly, not fabricate
-    pixels."""
+def _decode_samples(data: bytes):
+    """Shared parse + inflate + unfilter + bit-unpack path; returns
+    ``(width, height, channels, depth, paletted, plte, samples)`` where
+    ``samples`` holds exact stored values — one byte per sample for
+    depths <= 8 (sub-byte values unpacked, NOT rescaled), two
+    big-endian bytes per sample at depth 16.  CRCs are verified — a
+    corrupt payload in a 100 TB media table should fail its row loudly,
+    not fabricate pixels."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG: bad signature")
     pos, ihdr, idat, plte, ended = 8, None, bytearray(), None, False
@@ -111,46 +158,99 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     width, height, depth, ctype, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8:
-        raise NotImplementedError(f"bit depth {depth} (only 8 supported)")
     paletted = ctype == 3
     if paletted:
         if plte is None or len(plte) % 3 or not plte:
             raise ValueError("palette PNG missing/invalid PLTE chunk")
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"palette PNGs cap depth at 8, got {depth}")
     elif ctype not in _CHANNELS:
         raise NotImplementedError(f"color type {ctype}")
+    elif depth in (1, 2, 4):
+        if ctype != 0:
+            raise ValueError(f"depth {depth} only pairs with grayscale")
+    elif depth not in (8, 16):
+        raise NotImplementedError(f"bit depth {depth}")
     if interlace != 0:
         raise NotImplementedError("Adam7 interlace")
     if comp != 0 or filt != 0:
         raise ValueError("invalid compression/filter method")
     channels = 1 if paletted else _CHANNELS[ctype]
-    stride = width * channels
+    # filters operate on BYTES: stride is the packed scanline length,
+    # bpp the per-pixel byte distance (min 1 for sub-byte depths, §6)
+    stride = (width * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
         raise ValueError(
             f"inflated to {len(raw)} bytes, expected {(stride + 1) * height}"
         )
-    out = bytearray(stride * height)
+    packed = bytearray(stride * height)
     prev = bytes(stride)
     for y in range(height):
         ftype = raw[y * (stride + 1)]
         line = bytearray(
             raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
         )
-        _unfilter(line, prev, ftype, channels)
-        out[y * stride : (y + 1) * stride] = line
+        _unfilter(line, prev, ftype, bpp)
+        packed[y * stride : (y + 1) * stride] = line
         prev = line
+    if depth in (1, 2, 4):
+        # unpack MSB-first sub-byte samples, one byte per sample out
+        mask = (1 << depth) - 1
+        out = bytearray(width * height)
+        o = 0
+        for y in range(height):
+            row = packed[y * stride : (y + 1) * stride]
+            for x in range(width):
+                byte = row[(x * depth) // 8]
+                shift = 8 - depth - (x * depth) % 8
+                out[o] = (byte >> shift) & mask
+                o += 1
+        samples = bytes(out)
+    else:
+        samples = bytes(packed)
+    return width, height, channels, depth, paletted, plte, samples
+
+
+def decode_png_raw(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """Lossless decode: ``(width, height, channels, depth, samples)``
+    with the exact stored sample values — one byte per sample for
+    depths <= 8 (sub-byte unpacked, unscaled), two big-endian bytes at
+    depth 16.  ``encode_png(w, h, ch, samples, depth)`` of the result
+    reproduces the image bit-for-bit.  Palette images are refused here
+    (the encoder writes no PLTE); use ``decode_png`` for the RGB view."""
+    w, h, ch, depth, paletted, _plte, samples = _decode_samples(data)
     if paletted:
-        # expand indices through the PLTE lookup: decoded output is
-        # plain RGB, so downstream resize/re-encode never sees type 3
+        raise ValueError(
+            "palette PNG has no raw round-trip (encoder is truecolor/"
+            "gray only); decode_png returns the expanded RGB view"
+        )
+    return w, h, ch, depth, samples
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Parse + inflate + unfilter a PNG; returns
+    ``(width, height, channels, pixels)`` with ``pixels`` row-major
+    8-bit samples whatever the stored depth: 16-bit keeps the high byte
+    (the spec's sample-depth rescale), sub-byte gray scales by
+    255/(2^depth - 1), palette indices expand through PLTE to RGB so
+    downstream resize/re-encode never sees color type 3."""
+    w, h, ch, depth, paletted, plte, samples = _decode_samples(data)
+    if paletted:
         n_entries = len(plte) // 3
-        rgb = bytearray(len(out) * 3)
-        for i, idx in enumerate(out):
+        rgb = bytearray(w * h * 3)
+        for i, idx in enumerate(samples):
             if idx >= n_entries:
                 raise ValueError(f"palette index {idx} out of range")
             rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
-        return width, height, 3, bytes(rgb)
-    return width, height, channels, bytes(out)
+        return w, h, 3, bytes(rgb)
+    if depth == 16:
+        return w, h, ch, bytes(samples[0::2])  # high byte of each pair
+    if depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        return w, h, ch, bytes((v * 255) // maxv for v in samples)
+    return w, h, ch, bytes(samples)
 
 
 def _unfilter(line: bytearray, prev: bytes, ftype: int, bpp: int) -> None:

@@ -6,9 +6,12 @@ Scope (public RIFF/WAVE spec, nothing else):
 - PCM integer formats (audio format tag 1), 8/16/24/32-bit integer
   samples, any channel count / sample rate (frames are moved as opaque
   blocks — sample width only affects block math).
-- Float (tag 3), ADPCM, extensible (tag 0xFFFE) and other compressed
-  formats raise ``NotImplementedError`` — those belong to a real audio
-  library; PCM is what ML feature pipelines exchange.
+- IEEE-float formats (tag 3), 32/64-bit (r5 verdict item 4 — the
+  format feature-extraction pipelines exchange most after 16-bit PCM).
+  Per the spec non-PCM files carry a ``fact`` chunk; the encoder
+  writes one and the decoder tolerates its absence.
+- ADPCM, extensible (tag 0xFFFE) and other compressed formats raise
+  ``NotImplementedError`` — those belong to a real audio library.
 - The parser walks chunks (skipping LIST/fact/etc.), validates sizes,
   and tolerates the common off-spec trailing-pad byte.
 
@@ -21,19 +24,36 @@ from __future__ import annotations
 import struct
 
 _SUPPORTED_BITS = {8, 16, 24, 32}
+_FLOAT_BITS = {32, 64}
+PCM = 1
+IEEE_FLOAT = 3
 
 
 def encode_wav(
-    sample_rate: int, channels: int, bits: int, frames: bytes
+    sample_rate: int,
+    channels: int,
+    bits: int,
+    frames: bytes,
+    fmt_tag: int = PCM,
 ) -> bytes:
-    """Serialize raw PCM frames (interleaved, ``bits``-per-sample)
-    into a canonical 44-byte-header WAV file."""
+    """Serialize raw frames (interleaved, ``bits``-per-sample) into a
+    canonical WAV file.  ``fmt_tag`` PCM (1, default) takes 8/16/24/32
+    integer bits; IEEE_FLOAT (3) takes 32/64 and, per the spec's
+    non-PCM rule, adds a ``fact`` chunk with the frame count."""
     if channels < 1:
         raise ValueError(f"channels must be >= 1, got {channels}")
     if sample_rate < 1:
         raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
-    if bits not in _SUPPORTED_BITS:
-        raise ValueError(f"bits must be one of {sorted(_SUPPORTED_BITS)}")
+    if fmt_tag == PCM:
+        if bits not in _SUPPORTED_BITS:
+            raise ValueError(f"bits must be one of {sorted(_SUPPORTED_BITS)}")
+    elif fmt_tag == IEEE_FLOAT:
+        if bits not in _FLOAT_BITS:
+            raise ValueError(
+                f"float WAV bits must be one of {sorted(_FLOAT_BITS)}"
+            )
+    else:
+        raise ValueError(f"unsupported format tag {fmt_tag} (PCM=1, float=3)")
     block = channels * bits // 8
     if block == 0 or len(frames) % block:
         raise ValueError(
@@ -42,21 +62,26 @@ def encode_wav(
         )
     fmt = struct.pack(
         "<HHIIHH",
-        1,  # PCM
+        fmt_tag,
         channels,
         sample_rate,
         sample_rate * block,  # byte rate
         block,
         bits,
     )
+    fact = (
+        b"" if fmt_tag == PCM
+        else b"fact" + struct.pack("<II", 4, len(frames) // block)
+    )
     data_size = len(frames)
     return (
         b"RIFF"
-        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + data_size)
+        + struct.pack("<I", 4 + 8 + len(fmt) + len(fact) + 8 + data_size)
         + b"WAVE"
         + b"fmt "
         + struct.pack("<I", len(fmt))
         + fmt
+        + fact
         + b"data"
         + struct.pack("<I", data_size)
         + frames
@@ -65,7 +90,15 @@ def encode_wav(
 
 def decode_wav(data: bytes) -> tuple[int, int, int, int, bytes]:
     """Parse a WAV container; returns ``(sample_rate, channels, bits,
-    n_frames, frames)`` with ``frames`` the raw interleaved PCM."""
+    n_frames, frames)`` with ``frames`` the raw interleaved samples.
+    Accepts PCM and IEEE-float; ``decode_wav_ex`` adds the format tag
+    for callers that need to tell them apart."""
+    rate, channels, bits, n, frames, _tag = decode_wav_ex(data)
+    return rate, channels, bits, n, frames
+
+
+def decode_wav_ex(data: bytes) -> tuple[int, int, int, int, bytes, int]:
+    """``decode_wav`` plus the fmt tag (PCM=1 / IEEE_FLOAT=3)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     pos, fmt, frames = 12, None, None
@@ -88,13 +121,21 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, bytes]:
     tag, channels, rate, _brate, block, bits = struct.unpack_from(
         "<HHIIHH", fmt
     )
-    if tag != 1:
+    if tag == PCM:
+        if bits not in _SUPPORTED_BITS:
+            raise NotImplementedError(
+                f"{bits}-bit PCM samples (only 8/16/24/32)"
+            )
+    elif tag == IEEE_FLOAT:
+        if bits not in _FLOAT_BITS:
+            raise NotImplementedError(
+                f"{bits}-bit float samples (only 32/64)"
+            )
+    else:
         raise NotImplementedError(
-            f"audio format {tag} (only PCM=1; float/ADPCM need a real "
-            "audio library)"
+            f"audio format {tag} (PCM=1 and IEEE float=3; ADPCM and "
+            "extensible need a real audio library)"
         )
-    if bits not in _SUPPORTED_BITS:
-        raise NotImplementedError(f"{bits}-bit samples (only 8/16/24/32)")
     expect_block = channels * bits // 8
     if block != expect_block:
         raise ValueError(
@@ -103,7 +144,7 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, bytes]:
         )
     if len(frames) % block:
         raise ValueError("data chunk is not a whole number of frames")
-    return rate, channels, bits, len(frames) // block, frames
+    return rate, channels, bits, len(frames) // block, frames, tag
 
 
 def resample_nearest(

@@ -95,15 +95,25 @@ def test_crc_corruption_raises():
 def test_bad_signature_and_unsupported_features():
     with pytest.raises(ValueError, match="signature"):
         P.decode_png(b"JPEG" * 4)
-    # 16-bit depth
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    # depth 3 is not a legal PNG depth at all
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 3, 0, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + P._chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="depth"):
+        P.decode_png(data)
+    # sub-byte depths pair only with grayscale (spec table 11.1)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0)
     data = (
         b"\x89PNG\r\n\x1a\n"
         + P._chunk(b"IHDR", ihdr)
         + P._chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
         + P._chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="depth"):
+    with pytest.raises(ValueError, match="grayscale"):
         P.decode_png(data)
     # unknown color type (palette now decodes — see the PLTE test)
     ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 5, 0, 0, 0)
@@ -278,3 +288,91 @@ def test_palette_png_decodes_to_rgb():
     )
     with pytest.raises(ValueError, match="PLTE"):
         P.decode_png(noplte)
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_roundtrip_16bit(ch):
+    """r5 verdict item 4: 16-bit samples (two big-endian bytes each)
+    round-trip exactly through decode_png_raw; decode_png's 8-bit view
+    is the per-sample high byte (the spec's depth rescale)."""
+    import random
+
+    rng = random.Random(16)
+    w, h = 7, 5
+    px = bytes(rng.randrange(256) for _ in range(w * h * ch * 2))
+    png = P.encode_png(w, h, ch, px, depth=16)
+    assert P.decode_png_raw(png) == (w, h, ch, 16, px)
+    assert P.decode_png(png) == (w, h, ch, px[0::2])
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_roundtrip_subbyte_gray(depth):
+    """1/2/4-bit grayscale: encoder packs MSB-first with scanline
+    padding; decode_png_raw returns the exact stored values, decode_png
+    rescales to 0..255 by 255/(2^d - 1)."""
+    import random
+
+    rng = random.Random(depth)
+    maxv = (1 << depth) - 1
+    for w, h in ((8, 3), (9, 4), (1, 1), (3, 2)):  # incl. non-byte-aligned
+        px = bytes(rng.randrange(maxv + 1) for _ in range(w * h))
+        png = P.encode_png(w, h, 1, px, depth=depth)
+        assert P.decode_png_raw(png) == (w, h, 1, depth, px), (w, h)
+        got = P.decode_png(png)
+        assert got == (w, h, 1, bytes((v * 255) // maxv for v in px))
+
+
+def test_16bit_filtered_scanlines_unfilter_with_2byte_bpp():
+    """Filters at depth 16 step by bytes-per-pixel = 2*channels; a
+    hand-built Sub-filtered 16-bit gray image must reconstruct."""
+    w, h = 3, 2
+    rows = [[1000, 2000, 3000], [60000, 50, 700]]
+    want = b"".join(struct.pack(">H", v) for r in rows for v in r)
+    raw = bytearray()
+    for r in rows:
+        raw.append(1)  # Sub
+        vals = b"".join(struct.pack(">H", v) for v in r)
+        for i, byte in enumerate(vals):
+            left = vals[i - 2] if i >= 2 else 0
+            raw.append((byte - left) & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + P._chunk(b"IEND", b"")
+    )
+    assert P.decode_png_raw(png) == (w, h, 1, 16, want)
+
+
+def test_encode_validates_depth_combinations():
+    with pytest.raises(ValueError, match="grayscale-only"):
+        P.encode_png(2, 2, 3, bytes(12), depth=4)
+    with pytest.raises(ValueError, match="depth"):
+        P.encode_png(2, 2, 1, bytes(4), depth=12)
+    with pytest.raises(ValueError, match="exceeds"):
+        P.encode_png(2, 2, 1, bytes([5, 0, 0, 0]), depth=2)
+    with pytest.raises(ValueError, match="expected"):
+        P.encode_png(2, 2, 1, bytes(4), depth=16)  # needs 8 bytes
+
+
+def test_palette_refuses_raw_but_decodes_view():
+    """decode_png_raw is the lossless API — palette images can't
+    round-trip through our truecolor encoder, so they are refused there
+    while decode_png still returns the expanded RGB view."""
+    # 2-bit palette image: 4 entries, 2x2 pixels
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7])
+    raw = bytes([0, 0b01100000, 0, 0b11000000])  # rows: [1,2] [3,0]
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 2, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"PLTE", plte)
+        + P._chunk(b"IDAT", zlib.compress(raw))
+        + P._chunk(b"IEND", b"")
+    )
+    w, h, ch, px = P.decode_png(png)
+    assert (w, h, ch) == (2, 2, 3)
+    assert px == bytes([0, 255, 0, 0, 0, 255, 7, 7, 7, 255, 0, 0])
+    with pytest.raises(ValueError, match="round-trip"):
+        P.decode_png_raw(png)

@@ -45,8 +45,12 @@ def test_skips_list_chunk_and_pad_byte():
 def test_unsupported_formats_raise():
     base = bytearray(W.encode_wav(8000, 1, 16, _frames(2, 1, 16)))
     bad = bytearray(base)
-    struct.pack_into("<H", bad, 20, 3)  # float tag
-    with pytest.raises(NotImplementedError, match="format 3"):
+    struct.pack_into("<H", bad, 20, 3)  # float tag on 16-bit samples
+    with pytest.raises(NotImplementedError, match="float"):
+        W.decode_wav(bytes(bad))
+    bad = bytearray(base)
+    struct.pack_into("<H", bad, 20, 2)  # ADPCM
+    with pytest.raises(NotImplementedError, match="format 2"):
         W.decode_wav(bytes(bad))
     with pytest.raises(ValueError, match="RIFF"):
         W.decode_wav(b"OggS" + bytes(40))
@@ -156,3 +160,50 @@ def test_wide_pcm_roundtrip_and_resample(bits):
     block = 2 * bits // 8
     down = W.resample_nearest(pcm, 2, bits, 5, 2)
     assert down == pcm[1 * block : 2 * block] + pcm[3 * block : 4 * block]
+
+
+@pytest.mark.parametrize("bits", [32, 64])
+def test_float_roundtrip(bits):
+    """r5 verdict item 4: IEEE-float WAVs (tag 3) round-trip with the
+    fact chunk the spec requires for non-PCM, and decode_wav_ex
+    preserves the format tag."""
+    vals = [0.5, -0.25, 1.0, -1.0, 0.125, 0.0]
+    frames = struct.pack(f"<{len(vals)}{'f' if bits == 32 else 'd'}", *vals)
+    data = W.encode_wav(16000, 1, bits, frames, fmt_tag=W.IEEE_FLOAT)
+    rate, ch, got_bits, n, got, tag = W.decode_wav_ex(data)
+    assert (rate, ch, got_bits, n, tag) == (16000, 1, bits, len(vals), 3)
+    assert got == frames
+    # fact chunk present with the frame count
+    assert b"fact" in data
+    i = data.index(b"fact")
+    assert struct.unpack_from("<II", data, i + 4) == (4, len(vals))
+
+
+def test_float_encode_validates_bits():
+    with pytest.raises(ValueError, match="float"):
+        W.encode_wav(8000, 1, 16, bytes(4), fmt_tag=W.IEEE_FLOAT)
+    with pytest.raises(ValueError, match="format tag"):
+        W.encode_wav(8000, 1, 16, bytes(4), fmt_tag=2)
+
+
+def test_float_resample_preserves_format_tag(spark):
+    """resample_audio must re-encode a float WAV as float — a frame
+    block is opaque either way, but the container tag must survive."""
+    from parquet_editor_spark.operators import multimodal as MM
+    from pyspark.sql import functions as F
+
+    frames = struct.pack("<8f", *[0.1 * k for k in range(8)])
+    payload = W.encode_wav(8000, 1, 32, frames, fmt_tag=W.IEEE_FLOAT)
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, payload binary")
+    df = df.withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("wav").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    out = MM.resample_audio(df, target_rate=4000).collect()[0]
+    rate, ch, bits, n, got, tag = W.decode_wav_ex(bytes(out["payload"]))
+    assert (rate, ch, bits, n, tag) == (4000, 1, 32, 4, W.IEEE_FLOAT)
