@@ -4956,7 +4956,7 @@ def oracle_sql() -> dict[str, str]:
                    len(toks) AS n_tokens,
                    length(text) AS n_chars,
                    CAST(len(toks) + floor(length(text) / 24) AS BIGINT) AS token_est,
-                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+                   md5(lower(array_to_string(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), ' '))) AS fp
             FROM ({_ORACLE_DOC_TOKS}) t
         """,
         "lang_id_histogram": f"""
@@ -4991,7 +4991,7 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
         """,
         "dedup_exact_groups": """
-            SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+            SELECT md5(lower(array_to_string(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), ' '))) AS fp,
                    min(doc_id) AS canonical_id,
                    count(*) AS n_docs
             FROM documents GROUP BY 1
@@ -5032,8 +5032,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id % 7 = 0),
             r AS (
                 SELECT doc_id, source,
-                       md5(lower(regexp_replace(trim(text), '\\s+', ' ',
-                                                'g'))) AS fp,
+                       md5(lower(array_to_string(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), ' '))) AS fp,
                        CASE WHEN source = 'mirror' THEN 1 ELSE 0 END AS prio
                 FROM allr),
             g AS (
@@ -5573,8 +5572,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "incremental_dedup": """
             WITH keyed AS (SELECT doc_id, source,
-                    md5(lower(regexp_replace(trim(substr(text, 1, 40)),
-                                             '\\s+', ' ', 'g'))) AS fp
+                    md5(lower(array_to_string(list_filter(string_split_regex(substr(text, 1, 40), '\\s+'), x -> x <> ''), ' '))) AS fp
                     FROM documents),
             seen AS (SELECT DISTINCT fp FROM keyed WHERE doc_id % 5 != 0),
             new AS (SELECT * FROM keyed WHERE doc_id % 5 = 0),
@@ -6086,8 +6084,7 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN v GROUP BY doc_id),
             keep AS (
                 SELECT min(doc_id) AS doc_id FROM documents
-                GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ',
-                                                  'g'))))
+                GROUP BY md5(lower(array_to_string(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), ' '))))
             SELECT d.doc_id, d.source, ent.entropy_bits, bgl.avg_logprob
             FROM documents d
             JOIN keep USING (doc_id)
@@ -6167,8 +6164,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             s AS (
                 SELECT source, lang,
-                       md5(lower(regexp_replace(trim(text), '\\s+', ' ',
-                                                'g'))) AS fp,
+                       md5(lower(array_to_string(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), ' '))) AS fp,
                        len(toks) AS n_toks,
                        CAST(round(round(
                            least(1.0, len(toks) / 50.0)

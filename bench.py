@@ -145,14 +145,20 @@ def build_queries(spark, tmp):
         ).collect()
 
     def text_quality():
+        # one tokens scan + one marker scan + one punct scan for the
+        # whole projection: fingerprint rebuilds the normalized text
+        # from the shared tokens array, stopword hits come out of the
+        # kept lang-marker match array (r5 verdict item 8: 5 full-text
+        # regex passes → 3, value-identical, pinned by pytest)
         docs = t("documents").withColumn("__toks", X.tokens("text"))
         toks = F.col("__toks")
+        staged = X.with_lang_id(docs, "text", toks=toks, keep_matches="__lm")
         noop_write(
-            X.with_lang_id(docs, "text", toks=toks).select(
+            staged.select(
                 "doc_id",
                 "lang_pred",
-                X.quality_score("text", toks).alias("q"),
-                X.fingerprint("text").alias("fp"),
+                X.quality_score("text", toks, F.col("__lm")).alias("q"),
+                X.fingerprint("text", toks).alias("fp"),
             )
         )
 

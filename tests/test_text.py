@@ -283,3 +283,43 @@ def test_with_lang_id_accepts_column_arg(spark):
     assert sorted(map(tuple, by_name.collect())) == sorted(
         map(tuple, by_col.collect())
     )
+
+
+def test_shared_scan_quality_projection_value_identical(spark, sf_dir):
+    """r5 verdict item 8: the shared-scan quality projection
+    (fingerprint from the tokens array, stopword hits from the kept
+    lang-marker matches) must be VALUE-identical to the independent
+    per-metric scans on the real corpus, including NULL and edge
+    texts."""
+    import pyspark.sql.functions as F
+
+    from parquet_editor_spark.functions import text as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [(100001, None), (100002, ""), (100003, "  the  and\tof \n"),
+         (100004, "x"), (100005, " leading and trailing  ")],
+        ["doc_id", "text"],
+    )
+    docs = docs.unionByName(edge).withColumn("__toks", X.tokens("text"))
+    toks = F.col("__toks")
+
+    slow = X.with_lang_id(docs, "text", toks=toks).select(
+        "doc_id",
+        "lang_pred",
+        X.quality_score("text", toks).alias("q"),
+        X.fingerprint("text").alias("fp"),
+    )
+    fast = X.with_lang_id(
+        docs, "text", toks=toks, keep_matches="__lm"
+    ).select(
+        "doc_id",
+        "lang_pred",
+        X.quality_score("text", toks, F.col("__lm")).alias("q"),
+        X.fingerprint("text", toks).alias("fp"),
+    )
+    a = sorted(map(tuple, slow.collect()))
+    b = sorted(map(tuple, fast.collect()))
+    assert a == b
