@@ -735,6 +735,93 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_markup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-text markup removal (functions/text.py strip_markup, new
+    r6): per doc, wrap the text in deterministic HTML derived from
+    doc_id — attributes, entities (incl. a double-escape), a script
+    block containing tags and comparison operators, a style block —
+    then strip it back to prose.  The SAME construction runs in the
+    DuckDB oracle, so the differential pins tag removal, wholesale
+    script/style dropping, entity order (&amp; last) and whitespace
+    collapse against an independent regex engine (RE2 vs Java)."""
+    from parquet_editor_spark.functions import text as X
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 13 == 0)
+    )
+    html = F.concat(
+        F.lit('<html><body class="c'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"><h1>Doc &amp; '),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp;lt; </h1><p>"),
+        F.replace(F.col("text"), F.lit(" data "), F.lit(" &quot;data&quot; ")),
+        F.lit(
+            '</p><script>var x = 1; if (2 > 1) { s = "<div>"; }</script>'
+            "<style>p { color: red; }</style></body></html>"
+        ),
+    )
+    staged = docs.withColumn("__html", html)
+    clean = X.strip_markup(F.col("__html"))
+    return staged.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("n_chars"),
+        X.token_count(clean).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_script_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script character histogram + argmax script label
+    (functions/text.py script_counts, new r6) over a corpus sample
+    UNION'd with fixed multilingual edge rows (Cyrillic, Han, Arabic
+    incl. Arabic-Indic digits, mixed-script, NULL, empty) — the corpus
+    itself is ASCII-only, so the literals carry the non-Latin signal.
+    The oracle recomputes every count with RE2's script classes
+    (``\\p{Latin}`` vs Java's ``\\p{IsLatin}``), pinning cross-engine
+    agreement of the character classes themselves."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.functions import text as X
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 29 == 0)
+    )
+    extra = spark.createDataFrame(
+        [
+            (1000001, "Привет, мир — хорошо!"),
+            (1000002, "你好 世界 abc 123"),
+            (1000003, "مرحبا بالعالم ١٢٣"),
+            (1000004, "mixed Мир 世界 text"),
+            (1000005, None),
+            (1000006, ""),
+        ],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    u = docs.unionByName(extra)
+    sc = X.script_counts(F.col("text"))
+    return u.select(
+        "doc_id",
+        *[
+            sc[k].cast("long").alias(k)
+            for k in (
+                "n_latin", "n_cyrillic", "n_han", "n_arabic",
+                "n_digit", "n_chars",
+            )
+        ],
+        sc["script_pred"].alias("script_pred"),
+    ).orderBy("doc_id")
+
+
 def q_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-word argmax) → histogram."""
     from parquet_editor_spark.functions import text as X
@@ -3919,6 +4006,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lead_lag": q_window_lead_lag,
         "rolling_revenue_7d": q_rolling_revenue_7d,
         # ================= end of 50-entry driver window =================
+        # --- new in r6 (behind window; rotate into r7 first) ---
+        "strip_markup_docs": q_strip_markup_docs,
+        "script_profile_docs": q_script_profile_docs,
         # --- behind window: r2/r3 signal, oldest first (r7 candidates) ---
         "asof_join_events": q_asof_join_events,
         "range_join_prices": q_range_join_prices,
@@ -4958,6 +5048,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks) + floor(length(text) / 24) AS BIGINT) AS token_est,
                    md5(lower(array_to_string(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), ' '))) AS fp
             FROM ({_ORACLE_DOC_TOKS}) t
+        """,
+        "strip_markup_docs": """
+            WITH h AS (
+                SELECT doc_id,
+                       '<html><body class="c' || (doc_id % 7)
+                       || '"><h1>Doc &amp; ' || doc_id
+                       || ' &amp;lt; </h1><p>'
+                       || replace(text, ' data ', ' &quot;data&quot; ')
+                       || '</p><script>var x = 1; if (2 > 1) { s = "<div>"; }</script>'
+                       || '<style>p { color: red; }</style></body></html>'
+                           AS html
+                FROM documents WHERE doc_id % 13 = 0),
+            c AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                         replace(replace(replace(replace(replace(replace(
+                           regexp_replace(regexp_replace(regexp_replace(html,
+                             '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                             '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                             '<[^>]*>', ' ', 'g'),
+                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                         '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+                         '\\s+', ' ', 'g')) AS clean_text
+                FROM h)
+            SELECT doc_id, clean_text,
+                   length(clean_text) AS n_chars,
+                   len(list_filter(string_split_regex(clean_text, '\\s+'),
+                                   x -> x <> '')) AS n_tokens
+            FROM c ORDER BY doc_id
+        """,
+        "script_profile_docs": """
+            WITH u AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0
+                UNION ALL
+                SELECT * FROM (VALUES
+                    (1000001, 'Привет, мир — хорошо!'),
+                    (1000002, '你好 世界 abc 123'),
+                    (1000003, 'مرحبا بالعالم ١٢٣'),
+                    (1000004, 'mixed Мир 世界 text'),
+                    (1000005, NULL),
+                    (1000006, '')) AS v(doc_id, text)),
+            c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\\p{Latin}')) AS n_latin,
+                       len(regexp_extract_all(text, '\\p{Cyrillic}'))
+                           AS n_cyrillic,
+                       len(regexp_extract_all(text, '\\p{Han}')) AS n_han,
+                       len(regexp_extract_all(text, '\\p{Arabic}'))
+                           AS n_arabic,
+                       len(regexp_extract_all(text, '\\p{Nd}')) AS n_digit,
+                       length(text) AS n_chars
+                FROM u)
+            SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_digit,
+                   n_chars,
+                   CASE
+                     WHEN coalesce(greatest(n_latin, n_cyrillic, n_han,
+                                            n_arabic), 0) = 0 THEN 'und'
+                     WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+                          AND n_latin >= n_arabic THEN 'latin'
+                     WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic
+                          THEN 'cyrillic'
+                     WHEN n_han >= n_arabic THEN 'han'
+                     ELSE 'arabic'
+                   END AS script_pred
+            FROM c ORDER BY doc_id
         """,
         "lang_id_histogram": f"""
             SELECT CASE

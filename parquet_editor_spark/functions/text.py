@@ -495,3 +495,83 @@ def bigram_logprob(
             F.round(F.avg(F.log(p)), round_to).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl-text markup removal + script profiling (EXT, new r6)
+# ---------------------------------------------------------------------------
+
+def strip_markup(col: str | Column) -> Column:
+    """HTML/XML markup removal for crawl-sourced text — the step every
+    web-corpus pipeline runs before quality scoring and dedup (the
+    reference has no text surface; EXT like the rest of §2.7).
+
+    - ``<script>``/``<style>`` blocks go wholesale (content included),
+      one non-greedy ``(?s)`` pass per tag — no backreference, so the
+      exact same pattern runs on Java regex and RE2 (DuckDB oracle).
+    - remaining tags become a space (``<[^>]*>`` — forgiving of
+      attributes and unclosed fragments).
+    - the six common named entities unescape, ``&amp;`` LAST so
+      double-escaped ``&amp;lt;`` lands on literal ``&lt;`` text, not
+      on ``<``.
+    - whitespace collapses to single spaces, edges trimmed (post-
+      collapse edges are plain spaces, where SQL ``trim`` is
+      engine-portable).
+
+    Scale shape: a pure column expression — whole-stage codegen, no
+    shuffle, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = F.regexp_replace(c, r"(?s)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?s)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+#: script classes profiled by :func:`script_counts` — (name, Java regex,
+#: and the RE2 spelling differs only by the Is prefix, kept in
+#: ``__spark_entry__``'s oracle)
+_SCRIPT_CLASSES = (
+    ("latin", r"\p{IsLatin}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("han", r"\p{IsHan}"),
+    ("arabic", r"\p{IsArabic}"),
+)
+
+
+def script_counts(col: str | Column) -> dict[str, Column]:
+    """Per-character Unicode-script histogram — the language signal
+    that works when marker words don't (short strings, non-Latin
+    scripts the marker list misses).  Returns named count columns plus
+    ``script_pred``, an argmax label with the explicit precedence
+    latin > cyrillic > han > arabic on ties and ``und`` for empty/NULL
+    text.  Counts are ``regexp_count`` of single-char script classes —
+    verified value-identical between Java regex (``\\p{IsLatin}``) and
+    RE2 (``\\p{Latin}``), which keeps the operator oracle-checkable.
+
+    Scale shape: N single-pass regex projections fused by codegen into
+    one scan of the text column; no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = {
+        f"n_{name}": F.regexp_count(c, F.lit(pat))
+        for name, pat in _SCRIPT_CLASSES
+    }
+    counts["n_digit"] = F.regexp_count(c, F.lit(r"\p{Nd}"))
+    counts["n_chars"] = F.length(c)
+    l, cy, h, a = (
+        counts["n_latin"], counts["n_cyrillic"],
+        counts["n_han"], counts["n_arabic"],
+    )
+    pred = (
+        F.when(F.coalesce(F.greatest(l, cy, h, a), F.lit(0)) == 0, "und")
+        .when((l >= cy) & (l >= h) & (l >= a), "latin")
+        .when((cy >= h) & (cy >= a), "cyrillic")
+        .when(h >= a, "han")
+        .otherwise("arabic")
+    )
+    counts["script_pred"] = pred
+    return counts

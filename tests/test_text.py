@@ -323,3 +323,66 @@ def test_shared_scan_quality_projection_value_identical(spark, sf_dir):
     a = sorted(map(tuple, slow.collect()))
     b = sorted(map(tuple, fast.collect()))
     assert a == b
+
+
+def test_strip_markup_edges(spark):
+    """Tag removal, wholesale script/style dropping, entity order
+    (&amp; last so double-escapes surface as literal entities), and
+    NULL pass-through."""
+    import pyspark.sql.functions as F
+
+    from parquet_editor_spark.functions import text as X
+
+    cases = [
+        ("<p>a &amp; b</p>", "a & b"),
+        ("x &amp;lt; y", "x &lt; y"),  # double-escape stays literal
+        ('<script>if (1 < 2) { s = "<div>"; }</script>after', "after"),
+        ("<style>p{color:red}</style>text", "text"),
+        ("a&nbsp;b", "a b"),
+        ("no markup at all", "no markup at all"),
+        ("<unclosed attr='x' y", "<unclosed attr='x' y"),  # no '>' -> kept
+        ("", ""),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "id long, t string"
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", X.strip_markup("t").alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_script_counts_classes_and_argmax(spark):
+    from parquet_editor_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "Héllo Мир 世界 مرحبا abc123"),
+            (2, "Привет мир"),
+            (3, "٣٤٥"),  # Arabic-Indic digits: Arabic script AND Nd
+            (4, ""),
+            (5, None),
+        ],
+        "id long, t string",
+    )
+    sc = X.script_counts("t")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", *[c.alias(k) for k, c in sc.items()]
+        ).collect()
+    }
+    assert rows[1]["n_latin"] == 8 and rows[1]["n_cyrillic"] == 3
+    assert rows[1]["n_han"] == 2 and rows[1]["n_arabic"] == 5
+    assert rows[1]["n_digit"] == 3
+    assert rows[1]["script_pred"] == "latin"
+    assert rows[2]["script_pred"] == "cyrillic"
+    assert rows[3]["n_arabic"] == 3 and rows[3]["n_digit"] == 3
+    assert rows[3]["script_pred"] == "arabic"
+    assert rows[4]["script_pred"] == "und"
+    assert rows[5]["script_pred"] == "und" and rows[5]["n_latin"] is None
