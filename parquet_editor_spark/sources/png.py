@@ -20,9 +20,13 @@ Scope (honest, not padded):
   byte — the spec's own sample-depth rescale; sub-byte gray scales by
   255/(2^d-1)) so every downstream resize/re-encode path stays
   depth-free; ``decode_png_raw`` returns the exact stored samples for
-  lossless round-trips.  Adam7 interlace raises
-  ``NotImplementedError`` — de-interlacing is real work a production
-  deployment does with libpng.
+  lossless round-trips.
+- Adam7 interlace DECODES (r6): the seven fixed passes each unfilter
+  as an independent sub-image (filter state resets per pass, strides
+  from the pass geometry, spec §8.2) and scatter into the output
+  grid.  The encoder never writes interlace — progressive rendering
+  is a display concern, not a storage one — so interlace is
+  decode-only, which is the direction crawl corpora need.
 - The encoder writes filter type 0 on every scanline (always valid);
   the decoder handles all five filters, so PNGs from other writers
   decode too.
@@ -171,16 +175,19 @@ def _decode_samples(data: bytes):
             raise ValueError(f"depth {depth} only pairs with grayscale")
     elif depth not in (8, 16):
         raise NotImplementedError(f"bit depth {depth}")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlace")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ValueError("invalid compression/filter method")
     channels = 1 if paletted else _CHANNELS[ctype]
     # filters operate on BYTES: stride is the packed scanline length,
     # bpp the per-pixel byte distance (min 1 for sub-byte depths, §6)
-    stride = (width * channels * depth + 7) // 8
     bpp = max(1, channels * depth // 8)
     raw = zlib.decompress(bytes(idat))
+    if interlace == 1:
+        samples = _deinterlace_adam7(raw, width, height, channels, depth, bpp)
+        return width, height, channels, depth, paletted, plte, samples
+    stride = (width * channels * depth + 7) // 8
     if len(raw) != (stride + 1) * height:
         raise ValueError(
             f"inflated to {len(raw)} bytes, expected {(stride + 1) * height}"
@@ -211,6 +218,64 @@ def _decode_samples(data: bytes):
     else:
         samples = bytes(packed)
     return width, height, channels, depth, paletted, plte, samples
+
+
+#: Adam7 pass geometry (x0, y0, dx, dy) — spec §8.2's fixed pattern
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _deinterlace_adam7(
+    raw: bytes, width: int, height: int, channels: int, depth: int, bpp: int
+) -> bytes:
+    """De-interlace an inflated Adam7 IDAT stream: the seven passes
+    are stored back-to-back, each a fully independent sub-image (its
+    own scanline strides and filter state, §8.2 — a pass's first row
+    filters against a zero row, NOT the previous pass), whose pixels
+    scatter onto the (x0 + i*dx, y0 + j*dy) grid.  Empty passes
+    (zero rows or columns at this image size) contribute no bytes.
+    Returns samples in the same layout as the sequential path: one
+    byte per sample for depths <= 8, big-endian pairs at 16."""
+    unit = 2 if depth == 16 else 1
+    out = bytearray(width * height * channels * unit)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        stride = (wp * channels * depth + 7) // 8
+        prev = bytes(stride)
+        for j in range(hp):
+            if pos + 1 + stride > len(raw):
+                raise ValueError("truncated interlaced IDAT stream")
+            ftype = raw[pos]
+            line = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            _unfilter(line, prev, ftype, bpp)
+            prev = line
+            y = y0 + j * dy
+            if depth in (1, 2, 4):
+                mask = (1 << depth) - 1
+                for i in range(wp):
+                    byte = line[(i * depth) // 8]
+                    shift = 8 - depth - (i * depth) % 8
+                    out[y * width + x0 + i * dx] = (byte >> shift) & mask
+            else:
+                bs = channels * unit
+                row = y * width
+                for i in range(wp):
+                    x = x0 + i * dx
+                    out[(row + x) * bs : (row + x + 1) * bs] = line[
+                        i * bs : (i + 1) * bs
+                    ]
+    if pos != len(raw):
+        raise ValueError(
+            f"interlaced IDAT has {len(raw) - pos} trailing bytes"
+        )
+    return bytes(out)
 
 
 def decode_png_raw(data: bytes) -> tuple[int, int, int, int, bytes]:

@@ -376,3 +376,98 @@ def test_palette_refuses_raw_but_decodes_view():
     assert px == bytes([0, 255, 0, 0, 0, 255, 7, 7, 7, 255, 0, 0])
     with pytest.raises(ValueError, match="round-trip"):
         P.decode_png_raw(png)
+
+
+def _interlace_adam7(px, w, h, ch, depth):
+    """Independent test-side Adam7 interlacer (filter 0 scanlines):
+    builds the pass-ordered IDAT stream from raw samples so the
+    decoder's de-interlacer is checked against straightforwardly
+    different code, not against itself."""
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    unit = 2 if depth == 16 else 1
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        cols = list(range(x0, w, dx))
+        rows = list(range(y0, h, dy))
+        if not cols or not rows:
+            continue
+        for y in rows:
+            raw.append(0)  # filter None
+            if depth in (1, 2, 4):
+                acc, nbits = 0, 0
+                for x in cols:
+                    acc = (acc << depth) | px[y * w + x]
+                    nbits += depth
+                    if nbits == 8:
+                        raw.append(acc)
+                        acc, nbits = 0, 0
+                if nbits:
+                    raw.append(acc << (8 - nbits))
+            else:
+                bs = ch * unit
+                for x in cols:
+                    raw += px[(y * w + x) * bs : (y * w + x + 1) * bs]
+    return bytes(raw)
+
+
+@pytest.mark.parametrize(
+    "w,h,ch,depth",
+    [(8, 8, 3, 8), (13, 7, 1, 8), (5, 3, 4, 8), (6, 9, 2, 16),
+     (1, 1, 1, 8), (2, 2, 3, 8), (11, 5, 1, 1), (9, 6, 1, 4)],
+)
+def test_adam7_interlaced_decodes(w, h, ch, depth):
+    """r6: Adam7 de-interlacing across sizes that exercise empty
+    passes (1x1 has five empty passes), sub-byte packing per pass,
+    and 16-bit sample units."""
+    import random
+
+    rng = random.Random(w * 100 + h * 10 + depth)
+    unit = 2 if depth == 16 else 1
+    if depth in (1, 2, 4):
+        px = bytes(rng.randrange(1 << depth) for _ in range(w * h))
+    else:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch * unit))
+    raw = _interlace_adam7(px, w, h, ch, depth)
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch] if depth not in (1, 2, 4) else 0
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(raw))
+        + P._chunk(b"IEND", b"")
+    )
+    assert P.decode_png_raw(png) == (w, h, ch, depth, px)
+
+
+def test_adam7_hand_computed_4x4_gray():
+    """Spec §8.2 pass order verified by hand on a 4x4 8-bit gray
+    image: pass 1 takes (0,0); 4 takes (2,0); 5 takes (0,2),(2,2);
+    6 takes (1,0),(3,0),(1,2),(3,2); 7 takes rows 1 and 3 whole."""
+    vals = list(range(16))  # pixel (x,y) = y*4+x
+    stream = bytearray()
+    stream += bytes([0, 0])                       # pass1: (0,0)=0
+    stream += bytes([0, 2])                       # pass4: (2,0)=2
+    stream += bytes([0, 8, 10])                   # pass5: (0,2),(2,2)
+    stream += bytes([0, 1, 3, 0, 9, 11])          # pass6: rows 0,2 odd x
+    stream += bytes([0, 4, 5, 6, 7, 0, 12, 13, 14, 15])  # pass7: rows 1,3
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + P._chunk(b"IEND", b"")
+    )
+    assert P.decode_png_raw(png) == (4, 4, 1, 8, bytes(vals))
+
+
+def test_adam7_truncated_stream_raises():
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(bytes([0, 0])))  # pass1 only
+        + P._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated interlaced"):
+        P.decode_png_raw(png)
