@@ -1025,10 +1025,14 @@ def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_planted_dups(emb: DataFrame) -> DataFrame:
-    """Corpus ∪ exact copies of vec_id<20 shifted to id+10000 — a
-    deterministic near-dup population for recall gating."""
+    """Corpus ∪ exact copies of vec_id<20 shifted to id+100000000 — a
+    deterministic near-dup population for recall gating.  The offset
+    sits far above any scale factor's id range: the former +10000
+    COLLIDED with real sf1 vec_ids (0..19999), silently merging a
+    planted dup and a real vector under one id (caught by the r6 sf1
+    sweep)."""
     dups = emb.filter(F.col("vec_id") < 20).withColumn(
-        "vec_id", F.col("vec_id") + 10000
+        "vec_id", F.col("vec_id") + 100000000
     )
     return emb.unionByName(dups)
 
@@ -2705,7 +2709,7 @@ _ORACLE_LSH_PAIRS = """
     WITH base0 AS (
         SELECT vec_id, embedding::DOUBLE[64] AS e FROM embeddings
         UNION ALL
-        SELECT vec_id + 10000, embedding::DOUBLE[64]
+        SELECT vec_id + 100000000, embedding::DOUBLE[64]
         FROM embeddings WHERE vec_id < 20
     ),
     base AS (SELECT vec_id, e,

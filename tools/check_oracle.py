@@ -63,6 +63,7 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     errs = []
     if len(spark_df) != len(oracle_df):
         errs.append(f"rows: spark={len(spark_df)} oracle={len(oracle_df)}")
+        return errs  # misaligned frames cannot value-compare
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
         errs.append(f"cols: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}")
         return errs
