@@ -235,3 +235,22 @@ def test_cosine_pairs_lsh_rejects_ragged_vectors(spark):
     )
     with pytest.raises(ValueError, match="ragged"):
         S.cosine_pairs_lsh(df, threshold=0.9)
+
+
+def test_cosine_pairs_exact_block_invariant(embeddings):
+    """r6 blocked-BLAS form: the result set must be identical whatever
+    the block count — every unordered pair lands in exactly one bucket
+    pair, including the degenerate single-block layout."""
+    base = sorted(
+        map(tuple, S.cosine_pairs_exact(embeddings, threshold=0.45).collect())
+    )
+    for blocks in (1, 3, 7):
+        got = sorted(
+            map(
+                tuple,
+                S.cosine_pairs_exact(
+                    embeddings, threshold=0.45, blocks=blocks
+                ).collect(),
+            )
+        )
+        assert got == base, f"blocks={blocks} diverged"
