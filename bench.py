@@ -84,19 +84,26 @@ def build_queries(spark, tmp):
         noop_write(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"))
 
     def scan_events():
-        # per-table scan sizing (r5 verdict item 2): the 8-way split
-        # the 10 MB lineitem scan wants is pure task-launch overhead on
-        # this 2 MB single file — a real deployment tunes files.* per
-        # table the same way; conf is restored either way
-        prev = spark.conf.get("spark.sql.files.minPartitionNum", None)
-        spark.conf.set("spark.sql.files.minPartitionNum", "1")
+        # per-table scan sizing (r5 verdict item 2): the session-wide
+        # minPartitionNum=8 is right for the 10 MB lineitem scan but
+        # pure task-launch overhead on this small single file.  Size
+        # by BYTES instead so the split count scales with the data:
+        # ~4 MB per task gives 1 task at sf0.1 (2 MB) and ~5 at sf1
+        # (20 MB) — a real deployment tunes files.* per table the same
+        # way; both confs are restored either way.
+        prev_min = spark.conf.get("spark.sql.files.minPartitionNum", None)
+        prev_max = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+        spark.conf.unset("spark.sql.files.minPartitionNum")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
         try:
             noop_write(load_parquet_nanos(spark, f"{SF_DIR}/events.parquet"))
         finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.files.minPartitionNum")
+            if prev_min is not None:
+                spark.conf.set("spark.sql.files.minPartitionNum", prev_min)
+            if prev_max is None:
+                spark.conf.unset("spark.sql.files.maxPartitionBytes")
             else:
-                spark.conf.set("spark.sql.files.minPartitionNum", prev)
+                spark.conf.set("spark.sql.files.maxPartitionBytes", prev_max)
 
     def pivot_mean():
         q.pivot_table(
