@@ -1024,6 +1024,23 @@ def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_pairs_exact(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (sim.py
+    semantic_decontaminate, new r6): per corpus vector, max cosine vs
+    the benchmark set (vec_id < 20) with self-matches excluded by id,
+    plus the contaminated flag.  The textual shingle-overlap sibling
+    is `decontaminate`; this one catches paraphrases shingles miss.
+    Oracle: the same max-of-rounded-cosine in DuckDB over the same
+    corpus × benchmark cross (20 columns per row — linear, cheap)."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 20)
+    return S.semantic_decontaminate(emb, bench, threshold=0.9).orderBy(
+        "vec_id"
+    )
+
+
 def _with_planted_dups(emb: DataFrame) -> DataFrame:
     """Corpus ∪ exact copies of vec_id<20 shifted to id+100000000 — a
     deterministic near-dup population for recall gating.  The offset
@@ -4013,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r6 (behind window; rotate into r7 first) ---
         "strip_markup_docs": q_strip_markup_docs,
         "script_profile_docs": q_script_profile_docs,
+        "semantic_decontaminate": q_semantic_decontaminate,
         # --- behind window: r2/r3 signal, oldest first (r7 candidates) ---
         "asof_join_events": q_asof_join_events,
         "range_join_prices": q_range_join_prices,
@@ -5081,6 +5099,28 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split_regex(clean_text, '\\s+'),
                                    x -> x <> '')) AS n_tokens
             FROM c ORDER BY doc_id
+        """,
+        "semantic_decontaminate": """
+            WITH b AS (
+                SELECT vec_id AS bid, embedding::DOUBLE[64] AS e,
+                       sqrt(array_inner_product(embedding::DOUBLE[64],
+                                                embedding::DOUBLE[64])) AS nrm
+                FROM embeddings WHERE vec_id < 20),
+            c AS (
+                SELECT vec_id, embedding::DOUBLE[64] AS e,
+                       sqrt(array_inner_product(embedding::DOUBLE[64],
+                                                embedding::DOUBLE[64])) AS nrm
+                FROM embeddings),
+            s AS (
+                SELECT c.vec_id,
+                       max(round(array_inner_product(c.e, b.e)
+                                 / (c.nrm * b.nrm), 4)) AS max_sim
+                FROM c JOIN b ON c.vec_id <> b.bid
+                GROUP BY c.vec_id)
+            SELECT c.vec_id, s.max_sim,
+                   coalesce(s.max_sim >= 0.9, FALSE) AS contaminated
+            FROM c LEFT JOIN s USING (vec_id)
+            ORDER BY vec_id
         """,
         "script_profile_docs": """
             WITH u AS (

@@ -740,3 +740,79 @@ def ivf_topk_indexed(
     return _ivf_search(
         assigned, cent_df, queries, id_col, vec_col, k, nprobe, round_to
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination (new r6): for every
+    corpus vector, the maximum cosine against the benchmark set plus a
+    ``contaminated`` flag.  The textual sibling
+    (``dedup.decontaminate``, shingle overlap) misses paraphrases and
+    translations; embedding similarity is the standard second line.
+
+    Self-matches are excluded BY ID (a benchmark vector present in the
+    corpus should not flag itself — its near-duplicates still do).
+
+    Scale shape: the benchmark matrix ships in the task closure (tiny
+    by contract — eval sets are thousands of rows, not corpora); each
+    Arrow batch takes ONE BLAS matmul + row-wise max; output is one
+    row per corpus vector with NO shuffle at all — a pure projection
+    at any corpus size.  Zero-norm corpus vectors emit NULL max_sim
+    and contaminated=false (cosine undefined), zero-norm benchmark
+    vectors are dropped, both matching the expression path's
+    NULL-similarity semantics."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    b_rows = benchmark.select(id_col, vec_col).collect()
+    raw_b = [(int(r[0]), np.asarray(list(r[1]), float)) for r in b_rows]
+    raw_b = [(i, v) for i, v in raw_b if np.linalg.norm(v) > 0]
+    b_ids = np.array([i for i, _ in raw_b], dtype=np.int64)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", corpus.schema[id_col].dataType),
+            T.StructField("max_sim", T.DoubleType()),
+            T.StructField("contaminated", T.BooleanType()),
+        ]
+    )
+    if not len(b_ids):
+        src0 = corpus.select(F.col(id_col).alias("vec_id"))
+        return src0.select(
+            "vec_id",
+            F.lit(None).cast("double").alias("max_sim"),
+            F.lit(False).alias("contaminated"),
+        )
+    B = np.stack([v for _, v in raw_b])
+    B = B / np.linalg.norm(B, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["__id"].to_numpy()
+            A = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
+            na = np.linalg.norm(A, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round((A @ B.T) / na[:, None], round_to)
+            # exclude self-matches by id: -inf never wins a max
+            for col, bid in enumerate(b_ids):
+                sims[ids == bid, col] = -np.inf
+            best = np.max(sims, axis=1)
+            max_sim = pd.Series(best).where(np.isfinite(best) & (na > 0))
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "max_sim": max_sim,
+                    "contaminated": max_sim.ge(threshold).fillna(False),
+                }
+            )
+
+    src = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    return src.mapInPandas(score, schema=out_schema)

@@ -254,3 +254,30 @@ def test_cosine_pairs_exact_block_invariant(embeddings):
             )
         )
         assert got == base, f"blocks={blocks} diverged"
+
+
+def test_semantic_decontaminate_edges(spark):
+    """Self-exclusion by id, zero-norm corpus row -> NULL sim /
+    False flag, empty benchmark -> all NULL, threshold flagging."""
+    rows = [
+        (0, [1.0, 0.0]),       # benchmark member, also in corpus
+        (1, [1.0, 0.001]),     # near-copy of 0 -> contaminated
+        (2, [0.0, 1.0]),       # orthogonal -> clean
+        (3, [0.0, 0.0]),       # zero norm -> NULL
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = emb.filter("vec_id = 0")
+    got = {
+        r["vec_id"]: (r["max_sim"], r["contaminated"])
+        for r in S.semantic_decontaminate(
+            emb, bench, threshold=0.9
+        ).collect()
+    }
+    assert got[0] == (None, False)  # only benchmark entry is itself
+    assert got[1][0] == pytest.approx(1.0, abs=1e-4) and got[1][1]
+    assert got[2] == (0.0, False)
+    assert got[3] == (None, False)
+    # empty benchmark: every row NULL/False
+    none_bench = emb.filter("vec_id < 0")
+    got2 = S.semantic_decontaminate(emb, none_bench).collect()
+    assert all(r["max_sim"] is None and not r["contaminated"] for r in got2)
