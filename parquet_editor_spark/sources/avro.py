@@ -179,9 +179,17 @@ def read_avro(path: str) -> pd.DataFrame:
     """Read a flat-record Avro container into pandas (all blocks,
     null/deflate codecs)."""
     with open(path, "rb") as f:
-        r = _Reader(f.read())
+        return decode_avro(f.read(), origin=path)
+
+
+def decode_avro(data: bytes, origin: str = "<bytes>") -> pd.DataFrame:
+    """Decode a flat-record Avro container from BYTES — the unit the
+    distributed scan path hands each executor (r6: io._load_avro maps
+    this over binaryFile rows so a multi-file dataset decodes in
+    parallel, one task per file, bytes never on the driver)."""
+    r = _Reader(data)
     if r.raw(4) != _MAGIC:
-        raise ValueError(f"{path!r} is not an Avro container")
+        raise ValueError(f"{origin!r} is not an Avro container")
     meta: dict[str, bytes] = {}
     while True:
         n = r.varint()

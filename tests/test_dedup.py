@@ -358,14 +358,24 @@ def test_incremental_dedup_rejects_fp_collision(spark):
 
 
 def test_release_caches_frees_storage(spark):
+    """Tracks the SPECIFIC RDD ids this test creates, not global
+    counts: the shared session's ContextCleaner asynchronously
+    unpersists RDDs other tests have dropped, so a total-count
+    before/after comparison races it (the one-in-many-runs r5/r6
+    flake: 'assert 9 > 10' — the global count shrank mid-test)."""
+
+    def rdd_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
     df = spark.createDataFrame(
         [(i, "a b c d e f g h " + str(i)) for i in range(20)],
         "doc_id long, text string",
     )
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()  # other tests may share the session
+    before = rdd_ids()
     pairs = D.jaccard_pairs(df, "doc_id", "text")
     pairs.count()  # materialize → shingle cache is now persisted
-    assert jsc.getPersistentRDDs().size() > before
+    created = rdd_ids() - before
+    assert created, "jaccard_pairs materialization cached nothing"
     D.release_caches(pairs)
-    assert jsc.getPersistentRDDs().size() == before
+    assert not (rdd_ids() & created), "shingle cache still persisted"
