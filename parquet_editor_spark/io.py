@@ -210,13 +210,26 @@ def _load_avro_distributed(spark: SparkSession, members, schema) -> DataFrame:
 
 
 def _load_excel(spark: SparkSession, path: str) -> DataFrame:
-    """Excel scan (main.py:70-71) — first sheet, pandas small path.
+    """Excel scan (main.py:70-71) — first sheet.
 
     openpyxl gives full fidelity when installed; without it the
     dependency-free SpreadsheetML reader (sources/xlsx.py) covers the
-    editor's single-sheet contract."""
+    editor's single-sheet contract.  A DIRECTORY of .xlsx files (r6)
+    decodes DISTRIBUTED like the jar-less avro path: schema from one
+    driver-side probe file, then binaryFile rows decode executor-side,
+    one task per file — a real corpus of spreadsheet exports stops
+    being driver-bound.  Single files keep the guarded small path."""
+    import glob as _glob
+    import os
+
     import pandas as pd
 
+    if os.path.isdir(path):
+        members = sorted(_glob.glob(os.path.join(path, "*.xlsx")))
+        if len(members) > 1:
+            return _load_excel_distributed(spark, members)
+        if members:
+            path = members[0]
     _guard_small_source(path, "Excel")
     try:
         pdf = pd.read_excel(path)
@@ -225,6 +238,47 @@ def _load_excel(spark: SparkSession, path: str) -> DataFrame:
 
         pdf = read_xlsx(path)
     return spark.createDataFrame(pdf)
+
+
+def _load_excel_distributed(spark: SparkSession, members) -> DataFrame:
+    """Multi-file Excel: one probe file infers the schema driver-side,
+    then ``binaryFile`` → ``mapInPandas`` decodes each member on the
+    executors (openpyxl when importable there, else the dependency-free
+    SpreadsheetML codec — both accept in-memory bytes)."""
+    import io as _io
+
+    import pandas as pd
+
+    def decode(data: bytes) -> pd.DataFrame:
+        try:
+            return pd.read_excel(_io.BytesIO(data))
+        except ImportError:
+            from parquet_editor_spark.sources.xlsx import read_xlsx
+
+            return read_xlsx(_io.BytesIO(data))
+
+    with open(members[0], "rb") as f:
+        probe = decode(f.read())
+    schema = spark.createDataFrame(probe.head(100)).schema
+    names = [f.name for f in schema.fields]
+
+    def run(batches):
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                out = decode(bytes(content))
+                missing = [c for c in names if c not in out.columns]
+                if missing:
+                    raise ValueError(
+                        f"{path_}: xlsx member missing columns {missing}"
+                    )
+                yield out[names]
+
+    files = (
+        spark.read.format("binaryFile")
+        .load([str(m) for m in members])
+        .select("path", "content")
+    )
+    return files.mapInPandas(run, schema=schema)
 
 
 def save(

@@ -650,3 +650,27 @@ def test_avro_multifile_dataset_distributed(spark, tmp_path):
 
     with pt.raises(Exception, match="missing columns"):
         peio.load(spark, str(d), fmt="avro").collect()
+
+
+def test_excel_multifile_dataset_distributed(spark, tmp_path):
+    """r6: a directory of .xlsx files decodes distributed (binaryFile
+    → executor-side SpreadsheetML codec), same contract as the
+    multi-file avro path."""
+    import pandas as pd
+
+    from parquet_editor_spark.sources.xlsx import write_xlsx
+
+    d = tmp_path / "xs"
+    d.mkdir()
+    for k in range(3):
+        write_xlsx(
+            pd.DataFrame(
+                {"id": [10 * k + i for i in range(4)],
+                 "tag": [f"t{k}{i}" for i in range(4)]}
+            ),
+            str(d / f"sheet-{k}.xlsx"),
+        )
+    df = peio.load(spark, str(d), fmt="excel")
+    rows = sorted((r["id"], r["tag"]) for r in df.collect())
+    assert len(rows) == 12 and rows[0] == (0, "t00") and rows[-1] == (23, "t23")
+    assert df.rdd.getNumPartitions() >= 2
