@@ -822,6 +822,65 @@ def q_script_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingest curation pipeline composing the r6 operators
+    end-to-end: deterministic markup wrap (simulated crawl HTML) →
+    ``strip_markup`` → quality score + latin-script gate computed over
+    the CLEANED text → semantic benchmark decontamination over the
+    embeddings (vec_id < 20 as the benchmark, joined doc_id = vec_id;
+    docs without an embedding pass — NULL max_sim is not contaminated).
+    Thresholds sit inside the corpus distributions (q ≥ 0.6 keeps
+    ~60% at sf0.01) so every gate actually cuts.  The oracle rebuilds
+    the whole chain in DuckDB from the shared fragment semantics."""
+    from parquet_editor_spark.functions import text as X
+    from parquet_editor_spark.operators import sim as S
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    html = F.concat(
+        F.lit('<html><body class="c'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"><h1>Doc &amp; '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.replace(F.col("text"), F.lit(" data "), F.lit(" &quot;data&quot; ")),
+        F.lit("</p><script>var x = 1;</script><style>p{}</style>"
+              "</body></html>"),
+    )
+    clean = X.strip_markup(html)
+    staged = docs.select("doc_id", "source", clean.alias("__clean"))
+    sc = X.script_counts(F.col("__clean"))
+    scored = staged.select(
+        "doc_id",
+        "source",
+        "__clean",
+        X.quality_score(F.col("__clean")).alias("q"),
+        sc["script_pred"].alias("__script"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    decon = S.semantic_decontaminate(
+        emb, emb.filter(F.col("vec_id") < 20), threshold=0.45
+    )
+    return (
+        scored.join(
+            decon.withColumnRenamed("vec_id", "doc_id"), "doc_id", "left"
+        )
+        .filter(
+            (F.col("q") >= 0.6)
+            & (F.col("__script") == "latin")
+            & ~F.coalesce(F.col("contaminated"), F.lit(False))
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.length("__clean").cast("long").alias("clean_len"),
+            X.token_count(F.col("__clean")).cast("long").alias("n_tokens"),
+            "q",
+            "max_sim",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-word argmax) → histogram."""
     from parquet_editor_spark.functions import text as X
@@ -4031,6 +4090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_markup_docs": q_strip_markup_docs,
         "script_profile_docs": q_script_profile_docs,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "pipeline_curation_v4": q_pipeline_curation_v4,
         # --- behind window: r2/r3 signal, oldest first (r7 candidates) ---
         "asof_join_events": q_asof_join_events,
         "range_join_prices": q_range_join_prices,
@@ -5099,6 +5159,83 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split_regex(clean_text, '\\s+'),
                                    x -> x <> '')) AS n_tokens
             FROM c ORDER BY doc_id
+        """,
+        "pipeline_curation_v4": """
+            WITH h AS (
+                SELECT doc_id, source,
+                       '<html><body class="c' || (doc_id % 7)
+                       || '"><h1>Doc &amp; ' || doc_id || '</h1><p>'
+                       || replace(text, ' data ', ' &quot;data&quot; ')
+                       || '</p><script>var x = 1;</script><style>p{}</style>'
+                       || '</body></html>' AS html
+                FROM documents),
+            c AS (
+                SELECT doc_id, source,
+                       trim(regexp_replace(
+                         replace(replace(replace(replace(replace(replace(
+                           regexp_replace(regexp_replace(regexp_replace(html,
+                             '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                             '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                             '<[^>]*>', ' ', 'g'),
+                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                         '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+                         '\\s+', ' ', 'g')) AS clean
+                FROM h),
+            t AS (SELECT *, list_filter(string_split_regex(clean, '\\s+'),
+                                        x -> x <> '') AS toks
+                  FROM c),
+            sq AS (
+                SELECT doc_id, source, clean, toks,
+                   round(least(1.0, len(toks) / 50.0)
+                     * greatest(0.0, 1.0 - (CASE WHEN length(clean) > 0
+                         THEN length(regexp_replace(clean,
+                              '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE
+                              / length(clean)
+                         ELSE 0.0 END) * 4)
+                     * least(1.0, 0.5 + (CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks,
+                              x -> x IN ('the','a','of','and','is')))::DOUBLE
+                              / len(toks)
+                         ELSE 0.0 END) * 5), 4) AS q,
+                   len(regexp_extract_all(clean, '\\p{Latin}')) AS nl,
+                   len(regexp_extract_all(clean, '\\p{Cyrillic}')) AS nc,
+                   len(regexp_extract_all(clean, '\\p{Han}')) AS nh,
+                   len(regexp_extract_all(clean, '\\p{Arabic}')) AS na
+                FROM t),
+            g AS (
+                SELECT *,
+                   CASE
+                     WHEN coalesce(greatest(nl, nc, nh, na), 0) = 0 THEN 'und'
+                     WHEN nl >= nc AND nl >= nh AND nl >= na THEN 'latin'
+                     WHEN nc >= nh AND nc >= na THEN 'cyrillic'
+                     WHEN nh >= na THEN 'han'
+                     ELSE 'arabic'
+                   END AS script_pred
+                FROM sq),
+            b AS (
+                SELECT vec_id AS bid, embedding::DOUBLE[64] AS e,
+                       sqrt(array_inner_product(embedding::DOUBLE[64],
+                                                embedding::DOUBLE[64])) AS nrm
+                FROM embeddings WHERE vec_id < 20),
+            ce AS (
+                SELECT vec_id, embedding::DOUBLE[64] AS e,
+                       sqrt(array_inner_product(embedding::DOUBLE[64],
+                                                embedding::DOUBLE[64])) AS nrm
+                FROM embeddings),
+            s AS (
+                SELECT ce.vec_id,
+                       max(round(array_inner_product(ce.e, b.e)
+                                 / (ce.nrm * b.nrm), 4)) AS max_sim
+                FROM ce JOIN b ON ce.vec_id <> b.bid
+                GROUP BY ce.vec_id)
+            SELECT g.doc_id, g.source,
+                   length(g.clean) AS clean_len,
+                   len(g.toks) AS n_tokens,
+                   g.q, s.max_sim
+            FROM g LEFT JOIN s ON g.doc_id = s.vec_id
+            WHERE g.q >= 0.6 AND g.script_pred = 'latin'
+              AND NOT coalesce(s.max_sim >= 0.45, FALSE)
+            ORDER BY g.doc_id
         """,
         "semantic_decontaminate": """
             WITH b AS (
