@@ -4030,6 +4030,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      block next.
     # Everything with r4/r5 signal moves behind (freshest last);
     # probes and rows-only entries stay retired as documented canaries.
+    # Planned r7 window: the 4 new-in-r6 queries first
+    # (strip_markup_docs, script_profile_docs, semantic_decontaminate,
+    # pipeline_curation_v4 — never driver-adjudicated; all four green
+    # locally at sf0.01/sf0.1/sf1), then asof_join_events /
+    # range_join_prices / stratified_sample_hash (last r2 signal),
+    # then the r3 block oldest-first.
     return {
         # --- 1. never driver-adjudicated: the 5 r5 additions ---
         "png_roundtrip_docs": q_png_roundtrip_docs,
