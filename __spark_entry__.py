@@ -822,6 +822,26 @@ def q_script_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_stream_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-quality rollup (streaming/stream.py
+    quality_rollup, new r6): the documents table replayed as a file
+    stream, the BATCH text operators (with_lang_id + quality_score —
+    pure column expressions) applied unchanged per micro-batch, rolled
+    up per (source, predicted lang) in complete mode.  Quality mass
+    aggregates as exact integer ten-thousandths so the float-sum
+    tie-break class cannot fire.  Oracle: the equivalent batch
+    aggregate in DuckDB."""
+    import uuid
+
+    from parquet_editor_spark import streaming as ST
+
+    docs = ST.read_table_stream(spark, f"{sf_dir}/documents.parquet")
+    out = ST.run_to_completion(
+        ST.quality_rollup(docs), f"qr_{uuid.uuid4().hex[:8]}"
+    )
+    return out.orderBy("source", "lang_pred")
+
+
 def q_pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-ingest curation pipeline composing the r6 operators
     end-to-end: deterministic markup wrap (simulated crawl HTML) →
@@ -4030,12 +4050,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      block next.
     # Everything with r4/r5 signal moves behind (freshest last);
     # probes and rows-only entries stay retired as documented canaries.
-    # Planned r7 window: the 4 new-in-r6 queries first
+    # Planned r7 window: the 5 new-in-r6 queries first
     # (strip_markup_docs, script_profile_docs, semantic_decontaminate,
-    # pipeline_curation_v4 — never driver-adjudicated; all four green
-    # locally at sf0.01/sf0.1/sf1), then asof_join_events /
-    # range_join_prices / stratified_sample_hash (last r2 signal),
-    # then the r3 block oldest-first.
+    # pipeline_curation_v4, stream_quality_rollup — never
+    # driver-adjudicated; all five green locally at sf0.01/sf0.1/sf1),
+    # then asof_join_events / range_join_prices /
+    # stratified_sample_hash (last r2 signal), then the r3 block
+    # oldest-first.
     return {
         # --- 1. never driver-adjudicated: the 5 r5 additions ---
         "png_roundtrip_docs": q_png_roundtrip_docs,
@@ -4097,6 +4118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile_docs": q_script_profile_docs,
         "semantic_decontaminate": q_semantic_decontaminate,
         "pipeline_curation_v4": q_pipeline_curation_v4,
+        "stream_quality_rollup": q_stream_quality_rollup,
         # --- behind window: r2/r3 signal, oldest first (r7 candidates) ---
         "asof_join_events": q_asof_join_events,
         "range_join_prices": q_range_join_prices,
@@ -5165,6 +5187,63 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split_regex(clean_text, '\\s+'),
                                    x -> x <> '')) AS n_tokens
             FROM c ORDER BY doc_id
+        """,
+        "stream_quality_rollup": """
+            WITH t AS (
+                SELECT doc_id, source, text,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            l AS (
+                SELECT doc_id,
+                       len(list_filter(toks, x -> x IN
+                           ('der','die','und','ist','ein'))) AS h_de,
+                       len(list_filter(toks, x -> x IN
+                           ('the','a','of','and','is'))) AS h_en,
+                       len(list_filter(toks, x -> x IN
+                           ('el','la','de','y','es'))) AS h_es,
+                       len(list_filter(toks, x -> x IN
+                           ('le','la','et','est','un'))) AS h_fr,
+                       len(list_filter(toks, x -> x IN
+                           ('的','是','了','在','和'))) AS h_zh
+                FROM t),
+            p AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0
+                             THEN 'und'
+                         WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh)
+                             THEN 'de'
+                         WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh)
+                             THEN 'en'
+                         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh)
+                             THEN 'es'
+                         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh)
+                             THEN 'fr'
+                         ELSE 'zh'
+                       END AS lang_pred
+                FROM l),
+            q AS (
+                SELECT doc_id,
+                   round(least(1.0, len(toks) / 50.0)
+                     * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text,
+                              '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE
+                              / length(text)
+                         ELSE 0.0 END) * 4)
+                     * least(1.0, 0.5 + (CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks,
+                              x -> x IN ('the','a','of','and','is')))::DOUBLE
+                              / len(toks)
+                         ELSE 0.0 END) * 5), 4) AS q
+                FROM t)
+            SELECT t.source, p.lang_pred,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(round(q.q * 10000, 0) AS BIGINT))
+                        AS BIGINT) AS q_sum_4dp
+            FROM t JOIN p USING (doc_id) JOIN q USING (doc_id)
+            GROUP BY t.source, p.lang_pred
+            ORDER BY t.source, p.lang_pred
         """,
         "pipeline_curation_v4": """
             WITH h AS (

@@ -14,6 +14,8 @@ from parquet_editor_spark.streaming.stream import (
     enrich_static,
     followed_by_join,
     read_events_stream,
+    read_table_stream,
+    quality_rollup,
     session_window_counts,
     run_to_completion,
     sessionize_stateful,
@@ -30,6 +32,8 @@ __all__ = [
     "enrich_static",
     "followed_by_join",
     "read_events_stream",
+    "read_table_stream",
+    "quality_rollup",
     "session_window_counts",
     "run_to_completion",
     "sessionize_stateful",

@@ -77,6 +77,46 @@ def read_events_stream(spark: SparkSession, path_or_dir: str) -> DataFrame:
     return stream.withColumn("ts", ntz_as_utc_ts("ts"))
 
 
+def read_table_stream(spark: SparkSession, path_or_dir: str) -> DataFrame:
+    """readStream over ANY parquet table (finite source for tests) —
+    the generic sibling of :func:`read_events_stream` without the
+    events-specific timestamp bridge: schema peeked from a batch read,
+    single files narrowed with ``pathGlobFilter`` (file sources stream
+    directories)."""
+    import os
+
+    batch_schema = spark.read.parquet(path_or_dir).schema
+    reader = spark.readStream.schema(batch_schema).format("parquet")
+    if os.path.isfile(path_or_dir):
+        reader = reader.option(
+            "pathGlobFilter", os.path.basename(path_or_dir)
+        )
+        path_or_dir = os.path.dirname(path_or_dir)
+    return reader.load(path_or_dir)
+
+
+def quality_rollup(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Streaming corpus-quality rollup (new r6): language-ID and the
+    quality score are pure column expressions, so the BATCH text
+    operators run UNCHANGED on the stream — the point of keeping the
+    pipeline declarative; per (source, predicted lang): doc count and
+    the quality mass as exact integer ten-thousandths (each per-doc
+    score is already rounded to 4 dp, so ``round(q·10⁴)`` sums are
+    tie-free across engines — the ``stream_static_enrich`` integer-
+    cents lesson applied to quality).  Complete-mode aggregate; on an
+    unbounded source you would window it and add a watermark."""
+    from parquet_editor_spark.functions import text as X
+
+    staged = X.with_lang_id(docs, text_col)
+    q = X.quality_score(text_col)
+    return staged.groupBy(source_col, "lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.round(q * 10000, 0).cast("long")).alias("q_sum_4dp"),
+    )
+
+
 def windowed_counts(
     events: DataFrame,
     window: str = "5 minutes",

@@ -710,3 +710,28 @@ def test_watermark_finalized_windows_are_immutable(spark, tmp_path):
     # late 09:00 row did not revise it
     ten = [r for r in got if r["w"]["start"] == base]
     assert len(ten) == 1 and ten[0]["n"] == 1
+
+
+def test_stream_quality_rollup_matches_batch(spark, sf_dir):
+    """r6: the streamed quality rollup must equal the identical batch
+    aggregate — same column expressions, complete-mode agg over the
+    finite replay."""
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark import streaming as ST
+    from parquet_editor_spark.functions import text as X
+
+    path = f"{sf_dir}/documents.parquet"
+    streamed = ST.run_to_completion(
+        ST.quality_rollup(ST.read_table_stream(spark, path)), "qr_test"
+    )
+    batch_docs = spark.read.parquet(path)
+    staged = X.with_lang_id(batch_docs, "text")
+    q = X.quality_score("text")
+    batch = staged.groupBy("source", "lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.round(q * 10000, 0).cast("long")).alias("q_sum_4dp"),
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
