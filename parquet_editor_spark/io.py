@@ -181,13 +181,14 @@ def _load_avro_distributed(spark: SparkSession, members, schema) -> DataFrame:
     """Jar-less distributed Avro: schema from ONE driver-side probe
     file (every member must share it — standard Avro dataset
     contract), then ``binaryFile`` → ``mapInPandas`` decode, one task
-    per file.  The probe file is NOT decoded on the driver beyond
-    schema inference rows; file contents flow executor-side."""
+    per file.  The probe decodes only the first 100 records
+    (``max_rows`` rides the container's block structure, r6 ADVICE) —
+    an arbitrarily large first member never lands on the driver."""
     from .sources.avro import decode_avro, read_avro
 
     if schema is None:
-        probe = read_avro(members[0])
-        schema = spark.createDataFrame(probe.head(100)).schema
+        probe = read_avro(members[0], max_rows=100)
+        schema = spark.createDataFrame(probe).schema
     names = [f.name for f in schema.fields]
 
     def run(batches):
@@ -244,22 +245,28 @@ def _load_excel_distributed(spark: SparkSession, members) -> DataFrame:
     """Multi-file Excel: one probe file infers the schema driver-side,
     then ``binaryFile`` → ``mapInPandas`` decodes each member on the
     executors (openpyxl when importable there, else the dependency-free
-    SpreadsheetML codec — both accept in-memory bytes)."""
+    SpreadsheetML codec — both accept in-memory bytes).  The probe
+    reads only the first 100 rows (``nrows``); the dependency-free
+    fallback must parse the whole sheet XML, so that path is size-
+    guarded like every other driver-side decode (r6 ADVICE)."""
     import io as _io
 
     import pandas as pd
 
-    def decode(data: bytes) -> pd.DataFrame:
+    def decode(data: bytes, nrows: int | None = None) -> pd.DataFrame:
         try:
-            return pd.read_excel(_io.BytesIO(data))
+            return pd.read_excel(_io.BytesIO(data), nrows=nrows)
         except ImportError:
             from parquet_editor_spark.sources.xlsx import read_xlsx
 
-            return read_xlsx(_io.BytesIO(data))
+            if nrows is not None:  # driver-side probe: bound the parse
+                _guard_small_source(members[0], "Excel schema probe")
+            out = read_xlsx(_io.BytesIO(data))
+            return out.head(nrows) if nrows is not None else out
 
     with open(members[0], "rb") as f:
-        probe = decode(f.read())
-    schema = spark.createDataFrame(probe.head(100)).schema
+        probe = decode(f.read(), nrows=100)
+    schema = spark.createDataFrame(probe).schema
     names = [f.name for f in schema.fields]
 
     def run(batches):

@@ -127,6 +127,8 @@ def render_line_svg(
     SVG string: one polyline per non-x column, min-max scaled into the
     plot box, with a simple legend.  Pure string formatting — no
     matplotlib, no numpy."""
+    import pandas as pd
+
     ys = [c for c in pdf.columns if c != x]
     if not ys or len(pdf) == 0:
         raise ValueError("nothing to plot: need rows and >=1 y column")
@@ -135,7 +137,10 @@ def render_line_svg(
     if len(pdf) == 0:
         raise ValueError("nothing to plot: all x values are null")
     xs = [float(v) for v in pdf[x]]
-    all_y = [float(v) for c in ys for v in pdf[c] if v is not None]
+    # pd.notna, not `is not None`: numeric-column nulls surface as NaN
+    # in pandas, which would slip past a None check into the y bounds
+    # and emit "nan,nan" polyline points (r6 ADVICE)
+    all_y = [float(v) for c in ys for v in pdf[c] if pd.notna(v)]
     x_lo, x_hi = min(xs), max(xs)
     y_lo, y_hi = (min(all_y), max(all_y)) if all_y else (0.0, 1.0)
     px = _scale(xs, x_lo, x_hi, pad, width - pad)
@@ -147,12 +152,12 @@ def render_line_svg(
             for xx, yy, v in zip(
                 px,
                 _scale(
-                    [0.0 if v is None else float(v) for v in pdf[c]],
+                    [0.0 if pd.isna(v) else float(v) for v in pdf[c]],
                     y_lo, y_hi, height - pad, pad,
                 ),
                 pdf[c],
             )
-            if v is not None
+            if pd.notna(v)
         )
         parts.append(
             f'<polyline fill="none" stroke="{color}" stroke-width="1.5" '

@@ -488,10 +488,12 @@ def cosine_pairs_lsh(
     # fold), gather each (band, key) bucket ONCE and verify the whole
     # bucket with one matmul.  The shuffle is vectors × bands (linear
     # in the corpus), qualifying pairs leave the bucket already
-    # verified, and the final distinct dedupes the (tiny) overlap of
-    # pairs that collide in several bands — sims are bit-identical
-    # across buckets (same float64 inputs, same kernel), so the
-    # three-column distinct collapses them exactly.
+    # verified, and the final group-by on the PAIR KEY dedupes the
+    # (tiny) overlap of pairs that collide in several bands.  Buckets
+    # differ in panel shape, so dgemm blocking can differ in the last
+    # ulp; at a rounding boundary a (id_a, id_b, sim) distinct could
+    # emit the same pair twice (r6 ADVICE) — max(sim) over the pair
+    # key keeps one row per pair, deterministically.
     id_type = df.schema[id_col].dataType.simpleString()
     buckets = (
         banded.groupBy("band", "band_key")
@@ -510,9 +512,13 @@ def cosine_pairs_lsh(
                 if out is not None:
                     yield out
 
-    return buckets.mapInPandas(
-        run, schema=f"id_a {id_type}, id_b {id_type}, sim double"
-    ).distinct()
+    return (
+        buckets.mapInPandas(
+            run, schema=f"id_a {id_type}, id_b {id_type}, sim double"
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("sim").alias("sim"))
+    )
 
 
 # ---------------------------------------------------------------------------

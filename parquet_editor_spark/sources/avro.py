@@ -175,18 +175,24 @@ def _decode_value(r: _Reader, t: Any) -> Any:
     raise ValueError(f"unsupported avro type {t!r}")
 
 
-def read_avro(path: str) -> pd.DataFrame:
+def read_avro(path: str, max_rows: int | None = None) -> pd.DataFrame:
     """Read a flat-record Avro container into pandas (all blocks,
-    null/deflate codecs)."""
+    null/deflate codecs).  ``max_rows`` stops decoding once that many
+    records are out — the container is block-structured, so a schema
+    probe never pays for (or holds) the whole file's rows."""
     with open(path, "rb") as f:
-        return decode_avro(f.read(), origin=path)
+        return decode_avro(f.read(), origin=path, max_rows=max_rows)
 
 
-def decode_avro(data: bytes, origin: str = "<bytes>") -> pd.DataFrame:
+def decode_avro(
+    data: bytes, origin: str = "<bytes>", max_rows: int | None = None
+) -> pd.DataFrame:
     """Decode a flat-record Avro container from BYTES — the unit the
     distributed scan path hands each executor (r6: io._load_avro maps
     this over binaryFile rows so a multi-file dataset decodes in
-    parallel, one task per file, bytes never on the driver)."""
+    parallel, one task per file, bytes never on the driver).
+    ``max_rows``: early-exit after that many records (driver-side
+    schema probes; r6 ADVICE — the probe must not decode the member)."""
     r = _Reader(data)
     if r.raw(4) != _MAGIC:
         raise ValueError(f"{origin!r} is not an Avro container")
@@ -212,7 +218,8 @@ def decode_avro(data: bytes, origin: str = "<bytes>") -> pd.DataFrame:
     sync = r.raw(16)
 
     rows: list[tuple] = []
-    while r.pos < len(r.buf):
+    done = False
+    while r.pos < len(r.buf) and not done:
         count = r.varint()
         size = r.varint()
         block = r.raw(size)
@@ -225,7 +232,10 @@ def decode_avro(data: bytes, origin: str = "<bytes>") -> pd.DataFrame:
             rows.append(
                 tuple(_decode_value(br, f["type"]) for f in fields)
             )
-        if r.raw(16) != sync:
+            if max_rows is not None and len(rows) >= max_rows:
+                done = True  # probe satisfied: skip the remaining blocks
+                break
+        if not done and r.raw(16) != sync:
             raise ValueError("avro block sync mismatch")
 
     names = [f["name"] for f in fields]
