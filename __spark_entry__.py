@@ -2840,11 +2840,23 @@ def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorization step between BM25 and learned embeddings.  The
     vector layout (df desc, term asc) and smoothed-idf arithmetic are
     reproduced verbatim in the DuckDB oracle; log outputs rounded at
-    4 dp (the unigram_logprob portability convention)."""
+    4 dp (the unigram_logprob portability convention).
+
+    The adjudicated entry serializes the dense vector to a fixed
+    "%.4f"-formatted CSV string: the driver's canonicalizer sorts a
+    pandas frame, and a top-level array column is unhashable there
+    (driver rows ERR'd in r6/r7 on exactly this).  API users get the
+    raw ``array<double>`` from ``retrieval.tfidf_vectors`` directly."""
     from parquet_editor_spark.operators.retrieval import tfidf_vectors
 
     docs = _t(spark, sf_dir, "documents")
-    return tfidf_vectors(docs, "doc_id", "text", vocab_size=32, round_to=4)
+    vecs = tfidf_vectors(docs, "doc_id", "text", vocab_size=32, round_to=4)
+    return vecs.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("tfidf", lambda v: F.format_string("%.4f", v))
+        ).alias("tfidf_csv"),
+    )
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4030,99 +4042,44 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
-    # round-6 window executes the rotation planned in r5 and ordered by
-    # the r5 verdict (VERDICT.md "Next round" item 1):
-    #   1. the 5 new-in-r5 queries — the ONLY never-driver-adjudicated
-    #      entries (PNG/WAV/Y4M codec round-trips, boilerplate span
-    #      removal, tf-idf dense vectors)
-    #   2. the 6 stream_* entries with the stalest streaming signal
-    #      (windowed/sliding/dedup/session_windows r1; sessionize/
-    #      followed_by r3) — the r4+r5 verdicts both asked for deeper
-    #      streaming adjudication
-    #   3. the 21 remaining r1-signal oracle greens, the oldest signal
-    #      of all (pivot count/max/min, scan_region, projections,
-    #      histogram/bin2d, text family, dedup family, embedding family,
-    #      multimodal family)
-    #   4. 18 of the 21 r2-signal greens (TPC-H q3/q5/q6/q7, subquery
-    #      family, join family, cube/rollup/window family) to fill the
-    #      window; asof_join_events / range_join_prices /
-    #      stratified_sample_hash stay just behind for r7 with the r3
-    #      block next.
-    # Everything with r4/r5 signal moves behind (freshest last);
-    # probes and rows-only entries stay retired as documented canaries.
-    # Planned r7 window: the 5 new-in-r6 queries first
-    # (strip_markup_docs, script_profile_docs, semantic_decontaminate,
-    # pipeline_curation_v4, stream_quality_rollup — never
-    # driver-adjudicated; all five green locally at sf0.01/sf0.1/sf1),
-    # then asof_join_events / range_join_prices /
-    # stratified_sample_hash (last r2 signal), then the r3 block
-    # oldest-first.
+    # round-8 window executes the rotation the r7 verdict mandated
+    # (VERDICT.md "Next round" items 1-2):
+    #   1. tfidf_vectors — locally hash-green since r5 but its driver
+    #      row ERR'd in r6 AND r7 because the adjudicated entry carried
+    #      a raw array<double> column the driver canonicalizer cannot
+    #      sort/hash; the entry now serializes the vector to a "%.4f"
+    #      CSV string on both engines (the raw array stays available
+    #      via operators/retrieval.tfidf_vectors).
+    #   2. the 5 new-in-r6 operators, never driver-adjudicated
+    #      (strip_markup_docs, script_profile_docs,
+    #      semantic_decontaminate, pipeline_curation_v4,
+    #      stream_quality_rollup — all green locally at
+    #      sf0.01/sf0.1/sf1 since r6).
+    #   3. asof_join_events / range_join_prices /
+    #      stratified_sample_hash — the last entries whose only driver
+    #      signal is r2.
+    #   4. the r3-signal block oldest-first to fill the window.
+    # The 49 greens of the r6/r7 window move behind (freshest signal
+    # last); probes and rows-only entries stay retired as documented
+    # canaries.  tests/test_entry_contract.py pins both the window
+    # membership and the no-top-level-Array/Map/Struct output contract
+    # for every window entry (the r6/r7 tfidf crash class).
+    # Planned r9 window: any new-in-r8 entries first, then
+    # scd2_user_status → onward (r3/r4 signal, oldest first).
     return {
-        # --- 1. never driver-adjudicated: the 5 r5 additions ---
-        "png_roundtrip_docs": q_png_roundtrip_docs,
-        "wav_roundtrip_docs": q_wav_roundtrip_docs,
-        "y4m_frames_docs": q_y4m_frames_docs,
-        "boilerplate_strip": q_boilerplate_strip,
+        # --- 1. r6/r7 harness-shape casualty, output now scalar-serialized ---
         "tfidf_vectors": q_tfidf_vectors,
-        # --- 2. streaming family, stalest streaming signal (r1/r3) ---
-        "stream_windowed_counts": q_stream_windowed_counts,
-        "stream_sliding_counts": q_stream_sliding_counts,
-        "stream_dedup_events": q_stream_dedup_events,
-        "stream_session_windows": q_stream_session_windows,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_followed_by": q_stream_followed_by,
-        # --- 3. r1 oracle greens, oldest signal of all ---
-        "pivot_count": _pivot("count", round_to=None),
-        "pivot_max": _pivot("max", round_to=None),
-        "pivot_min": _pivot("min", round_to=None),
-        "scan_region": q_scan_region,
-        "numeric_projection": q_numeric_projection,
-        "histogram_quantity": q_histogram_quantity,
-        "bin2d_scatter": q_bin2d_scatter,
-        "add_drop_column": q_add_drop_column,
-        "lang_id_histogram": q_lang_id_histogram,
-        "quality_scores": q_quality_scores,
-        "top_words": q_top_words,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "doc_rolling_hash": q_doc_rolling_hash,
-        "embedding_topk_cosine": q_embedding_topk,
-        "embedding_cosine_dedup": q_embedding_cosine_dedup,
-        "embedding_lsh_dedup": q_embedding_lsh_dedup,
-        "binary_meta": q_binary_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "frame_sample": q_frame_sample,
-        # --- 4. r2 greens filling the window ---
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
-        "q7_nation_trade_volume": q_q7_nation_trade_volume,
-        "correlated_min_suppliers": q_correlated_min_suppliers,
-        "exists_high_qty": q_exists_high_qty,
-        "above_avg_orders": q_above_avg_orders,
-        "having_frequent_custs": q_having_frequent_custs,
-        "salted_join_revenue": q_salted_join_revenue,
-        "left_join_order_counts": q_left_join_order_counts,
-        "full_outer_nation_actors": q_full_outer_nation_actors,
-        "except_inactive_custs": q_except_inactive_custs,
-        "intersect_nations": q_intersect_nations,
-        "cube_qty": q_cube_qty,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "window_ranks": q_window_ranks,
-        "window_lead_lag": q_window_lead_lag,
-        "rolling_revenue_7d": q_rolling_revenue_7d,
-        # ================= end of 50-entry driver window =================
-        # --- new in r6 (behind window; rotate into r7 first) ---
+        # --- 2. never driver-adjudicated: the 5 r6 additions ---
         "strip_markup_docs": q_strip_markup_docs,
         "script_profile_docs": q_script_profile_docs,
         "semantic_decontaminate": q_semantic_decontaminate,
         "pipeline_curation_v4": q_pipeline_curation_v4,
         "stream_quality_rollup": q_stream_quality_rollup,
-        # --- behind window: r2/r3 signal, oldest first (r7 candidates) ---
+        # --- 3. stalest signal (r2): asof/range joins, hash-stratified sample ---
         "asof_join_events": q_asof_join_events,
         "range_join_prices": q_range_join_prices,
         "stratified_sample_hash": q_stratified_sample_hash,
+        # --- 4. r3-signal block, oldest-first, filling the window ---
         "json_extract_events": q_json_extract_events,
         "sessionize_events": q_sessionize_events,
         "map_props_explode": q_map_props_explode,
@@ -4164,6 +4121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
         "merge_upsert_orders": q_merge_upsert_orders,
+        # ================= end of 50-entry driver window =================
+        # --- behind window: remaining r3/r4/r5 signal, oldest first ---
         "scd2_user_status": q_scd2_user_status,
         "zorder_cluster_keys": q_zorder_cluster_keys,
         "multimodal_resize": q_multimodal_resize,
@@ -4257,6 +4216,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_roundtrip_events": q_kafka_roundtrip_events,
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
+        # --- behind window: the 49 r6/r7 window greens (freshest signal) ---
+        "png_roundtrip_docs": q_png_roundtrip_docs,
+        "wav_roundtrip_docs": q_wav_roundtrip_docs,
+        "y4m_frames_docs": q_y4m_frames_docs,
+        "boilerplate_strip": q_boilerplate_strip,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_sliding_counts": q_stream_sliding_counts,
+        "stream_dedup_events": q_stream_dedup_events,
+        "stream_session_windows": q_stream_session_windows,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_followed_by": q_stream_followed_by,
+        "pivot_count": _pivot("count", round_to=None),
+        "pivot_max": _pivot("max", round_to=None),
+        "pivot_min": _pivot("min", round_to=None),
+        "scan_region": q_scan_region,
+        "numeric_projection": q_numeric_projection,
+        "histogram_quantity": q_histogram_quantity,
+        "bin2d_scatter": q_bin2d_scatter,
+        "add_drop_column": q_add_drop_column,
+        "lang_id_histogram": q_lang_id_histogram,
+        "quality_scores": q_quality_scores,
+        "top_words": q_top_words,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "doc_rolling_hash": q_doc_rolling_hash,
+        "embedding_topk_cosine": q_embedding_topk,
+        "embedding_cosine_dedup": q_embedding_cosine_dedup,
+        "embedding_lsh_dedup": q_embedding_lsh_dedup,
+        "binary_meta": q_binary_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q7_nation_trade_volume": q_q7_nation_trade_volume,
+        "correlated_min_suppliers": q_correlated_min_suppliers,
+        "exists_high_qty": q_exists_high_qty,
+        "above_avg_orders": q_above_avg_orders,
+        "having_frequent_custs": q_having_frequent_custs,
+        "salted_join_revenue": q_salted_join_revenue,
+        "left_join_order_counts": q_left_join_order_counts,
+        "full_outer_nation_actors": q_full_outer_nation_actors,
+        "except_inactive_custs": q_except_inactive_custs,
+        "intersect_nations": q_intersect_nations,
+        "cube_qty": q_cube_qty,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "window_ranks": q_window_ranks,
+        "window_lead_lag": q_window_lead_lag,
+        "rolling_revenue_7d": q_rolling_revenue_7d,
         # --- retired canaries: expected-divergent probes + rows-only entries ---
         "probe_int_float_hash": probe_int_float_hash,
         "probe_hugeint_sum": probe_hugeint_sum,
@@ -5830,7 +5839,11 @@ def oracle_sql() -> dict[str, str]:
                       LEFT JOIN vals ON vals.doc_id = g.doc_id
                                     AND vals.idx = g.idx
                       GROUP BY g.doc_id)
-            SELECT doc_id, tfidf FROM dense
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(tfidf, v -> printf('%.4f', v)),
+                       ',') AS tfidf_csv
+            FROM dense
         """,
         "wav_roundtrip_docs": """
             SELECT doc_id,

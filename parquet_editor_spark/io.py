@@ -169,26 +169,31 @@ def _load_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
         if len(members) > 1:
             return _load_avro_distributed(spark, members, schema)
         _guard_small_source(path, "jar-less avro")
-        pdf = read_avro(members[0] if members else path)
-        return (
-            spark.createDataFrame(pdf, schema=schema)
-            if schema
-            else spark.createDataFrame(pdf)
-        )
+        target = members[0] if members else path
+        pdf = read_avro(target)
+        if schema is None:
+            # the container header's embedded avro.schema is
+            # authoritative — data inference breaks on all-null
+            # columns (r7 ADVICE)
+            from .sources.avro import spark_schema_for
+
+            schema = spark_schema_for(target)
+        return spark.createDataFrame(pdf, schema=schema)
 
 
 def _load_avro_distributed(spark: SparkSession, members, schema) -> DataFrame:
-    """Jar-less distributed Avro: schema from ONE driver-side probe
-    file (every member must share it — standard Avro dataset
+    """Jar-less distributed Avro: schema from ONE member's container
+    HEADER (every member must share it — standard Avro dataset
     contract), then ``binaryFile`` → ``mapInPandas`` decode, one task
-    per file.  The probe decodes only the first 100 records
-    (``max_rows`` rides the container's block structure, r6 ADVICE) —
-    an arbitrarily large first member never lands on the driver."""
-    from .sources.avro import decode_avro, read_avro
+    per file.  The probe parses only the header's embedded
+    avro.schema JSON with incremental reads (r7 ADVICE): no row is
+    ever decoded driver-side, the member body never lands in driver
+    memory, and an all-null leading column cannot break inference
+    the way a data probe could."""
+    from .sources.avro import decode_avro, spark_schema_for
 
     if schema is None:
-        probe = read_avro(members[0], max_rows=100)
-        schema = spark.createDataFrame(probe).schema
+        schema = spark_schema_for(members[0])
     names = [f.name for f in schema.fields]
 
     def run(batches):
@@ -245,10 +250,16 @@ def _load_excel_distributed(spark: SparkSession, members) -> DataFrame:
     """Multi-file Excel: one probe file infers the schema driver-side,
     then ``binaryFile`` → ``mapInPandas`` decodes each member on the
     executors (openpyxl when importable there, else the dependency-free
-    SpreadsheetML codec — both accept in-memory bytes).  The probe
-    reads only the first 100 rows (``nrows``); the dependency-free
-    fallback must parse the whole sheet XML, so that path is size-
-    guarded like every other driver-side decode (r6 ADVICE)."""
+    SpreadsheetML codec — both accept in-memory bytes).
+
+    Probe bounds (r7 ADVICE): ``nrows`` limits only the DataFrame
+    conversion — openpyxl (and the fallback codec) still parse the
+    whole workbook XML — so the REAL driver-memory bound is the size
+    guard, applied before the probe bytes are read on either path.
+    And because a column that is all-null within the probe rows
+    infers a wrong or indeterminate type, the probe escalates its row
+    budget until every column shows a value (full parse as the last
+    resort; the guard has already capped that cost)."""
     import io as _io
 
     import pandas as pd
@@ -259,13 +270,18 @@ def _load_excel_distributed(spark: SparkSession, members) -> DataFrame:
         except ImportError:
             from parquet_editor_spark.sources.xlsx import read_xlsx
 
-            if nrows is not None:  # driver-side probe: bound the parse
-                _guard_small_source(members[0], "Excel schema probe")
             out = read_xlsx(_io.BytesIO(data))
             return out.head(nrows) if nrows is not None else out
 
+    _guard_small_source(members[0], "Excel schema probe")
     with open(members[0], "rb") as f:
-        probe = decode(f.read(), nrows=100)
+        probe_bytes = f.read()
+    for nrows in (100, 1000, None):
+        probe = decode(probe_bytes, nrows=nrows)
+        if nrows is None or probe.empty or not any(
+            probe[c].isna().all() for c in probe.columns
+        ):
+            break
     schema = spark.createDataFrame(probe).schema
     names = [f.name for f in schema.fields]
 

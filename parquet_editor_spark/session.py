@@ -191,9 +191,16 @@ class EditorSession:
                 df = E.compact(df)
                 depth = 0
             self._edit_depth[name] = depth
-        else:
-            # fresh or non-undoable binding starts a new overlay chain
+        elif name not in self._tables:
+            # a fresh binding starts a new overlay chain
             self._edit_depth[name] = 0
+        # else: a NON-undoable rebind of an existing table (with_rid's
+        # ordinal pin) derives from the current binding — the
+        # uncompacted overlay chain carries forward, so the depth
+        # counter must too.  Resetting here let edit streams that
+        # interleave with_rid calls more often than every
+        # COMPACT_EVERY edits defer auto-compaction indefinitely
+        # (r6 ADVICE item 4).
         self._tables[name] = df
         self._release_rid_frame(name)  # stale ordinals for the old binding
         df.createOrReplaceTempView(name)

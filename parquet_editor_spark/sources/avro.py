@@ -85,6 +85,111 @@ class _Reader:
         return self.bytes_().decode("utf-8")
 
 
+class _FileReader(_Reader):
+    """Incremental file-backed reader: pulls bytes on demand so header
+    parsing never materializes the member body in driver memory (r7
+    ADVICE — the schema probe previously slurped the whole file)."""
+
+    def __init__(self, f, chunk: int = 4096):
+        super().__init__(b"")
+        self._f = f
+        self._chunk = chunk
+
+    def _ensure(self, n: int) -> None:
+        while len(self.buf) - self.pos < n:
+            more = self._f.read(self._chunk)
+            if not more:
+                raise ValueError("truncated avro header")
+            self.buf += more
+
+    def varint(self) -> int:
+        shift = n = 0
+        while True:
+            self._ensure(1)
+            b = self.buf[self.pos]
+            self.pos += 1
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return _unzigzag(n)
+            shift += 7
+
+    def raw(self, n: int) -> bytes:
+        self._ensure(n)
+        return super().raw(n)
+
+
+def _read_meta(r: _Reader) -> dict[str, bytes]:
+    """Container metadata map (shared by the full decode and the
+    header-only probe)."""
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.varint()
+        if n == 0:
+            break
+        if n < 0:  # negative counts are followed by a byte size
+            n = -n
+            r.varint()
+        for _ in range(n):
+            # explicit temporaries: Python evaluates an assignment's
+            # RHS before the subscript key, which would read the pair
+            # in reverse stream order
+            key = r.str_()
+            meta[key] = r.bytes_()
+    return meta
+
+
+def read_avro_header(path: str) -> tuple[dict, str]:
+    """Parse ONLY the container header (magic + metadata map) with
+    bounded incremental reads; returns ``(schema_dict, codec)``.
+    The embedded ``avro.schema`` JSON is the dataset's authoritative
+    schema — no row ever needs decoding to learn it."""
+    with open(path, "rb") as f:
+        r = _FileReader(f)
+        if r.raw(4) != _MAGIC:
+            raise ValueError(f"{path!r} is not an Avro container")
+        meta = _read_meta(r)
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    return schema, codec
+
+
+def spark_schema_for(path: str):
+    """Spark StructType straight from the container's embedded
+    avro.schema JSON (r7 ADVICE medium: data inference over a probe's
+    first rows breaks on all-null columns — [CANNOT_DETERMINE_TYPE] —
+    while the header schema is authoritative and free).  Widening
+    mapping (int→long, float→double) matches what the python decoder
+    yields anyway."""
+    from pyspark.sql import types as T
+
+    avro_schema, _ = read_avro_header(path)
+    if avro_schema.get("type") != "record":
+        raise ValueError("only flat record schemas are supported")
+    spark_t = {
+        "int": T.LongType(),
+        "long": T.LongType(),
+        "float": T.DoubleType(),
+        "double": T.DoubleType(),
+        "boolean": T.BooleanType(),
+        "string": T.StringType(),
+        "bytes": T.BinaryType(),
+    }
+    fields = []
+    for f in avro_schema["fields"]:
+        t = f["type"]
+        nullable = False
+        if isinstance(t, list):  # ["null", T] union
+            branches = [b for b in t if b != "null"]
+            nullable = len(branches) < len(t)
+            if len(branches) != 1 or not isinstance(branches[0], str):
+                raise ValueError(f"unsupported avro union {t!r}")
+            t = branches[0]
+        if not isinstance(t, str) or t not in spark_t:
+            raise ValueError(f"unsupported avro type {t!r}")
+        fields.append(T.StructField(f["name"], spark_t[t], nullable))
+    return T.StructType(fields)
+
+
 def _field_type(dtype) -> str:
     # case-insensitive so pandas nullable dtypes (Int64/Float64/boolean)
     # map to their numeric avro types, not string. uint64 stays a
@@ -177,9 +282,11 @@ def _decode_value(r: _Reader, t: Any) -> Any:
 
 def read_avro(path: str, max_rows: int | None = None) -> pd.DataFrame:
     """Read a flat-record Avro container into pandas (all blocks,
-    null/deflate codecs).  ``max_rows`` stops decoding once that many
-    records are out — the container is block-structured, so a schema
-    probe never pays for (or holds) the whole file's rows."""
+    null/deflate codecs).  ``max_rows`` stops DECODING once that many
+    records are out (block-structured early exit); the raw file bytes
+    are still read whole, so callers size-guard the path — a schema
+    probe that must not hold the file belongs on
+    ``read_avro_header``/``spark_schema_for`` instead (r7 ADVICE)."""
     with open(path, "rb") as f:
         return decode_avro(f.read(), origin=path, max_rows=max_rows)
 
@@ -196,20 +303,7 @@ def decode_avro(
     r = _Reader(data)
     if r.raw(4) != _MAGIC:
         raise ValueError(f"{origin!r} is not an Avro container")
-    meta: dict[str, bytes] = {}
-    while True:
-        n = r.varint()
-        if n == 0:
-            break
-        if n < 0:  # negative counts are followed by a byte size
-            n = -n
-            r.varint()
-        for _ in range(n):
-            # explicit temporaries: Python evaluates an assignment's
-            # RHS before the subscript key, which would read the pair
-            # in reverse stream order
-            key = r.str_()
-            meta[key] = r.bytes_()
+    meta = _read_meta(r)
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
     if schema.get("type") != "record":

@@ -5,6 +5,7 @@ silently shadows an earlier entry (a real round-1 defect: two
 oracle texts)."""
 
 import ast
+import os
 from pathlib import Path
 
 ENTRY = Path(__file__).resolve().parent.parent / "__spark_entry__.py"
@@ -47,41 +48,44 @@ def test_top_level_functions_unique():
 def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
-    silently missed adjudication — pin the round-6 window composition
-    (the r5 verdict's rotation): the 5 never-driver-adjudicated r5
-    additions first, then the 6 stalest stream_* entries, then the r1
-    greens (oldest signal of all) and 18 r2 greens to fill; probes and
-    stable rows-only entries stay retired behind the window."""
+    silently missed adjudication — pin the round-8 window composition
+    (the r7 verdict's rotation, items 1-2): tfidf_vectors first (its
+    r6/r7 driver rows ERR'd on the raw array column; the entry is now
+    scalar-serialized), then the 5 never-driver-adjudicated r6
+    additions, then the three last-r2-signal entries, then the
+    r3-signal block oldest-first; probes and stable rows-only entries
+    stay retired behind the window."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "rolling_revenue_7d", (
+    assert window[-1] == "merge_upsert_orders", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
-        # the 5 r5 additions, never driver-adjudicated
-        "png_roundtrip_docs", "wav_roundtrip_docs", "y4m_frames_docs",
-        "boilerplate_strip", "tfidf_vectors",
-        # streaming family with the stalest streaming signal (r1/r3)
-        "stream_windowed_counts", "stream_sliding_counts",
-        "stream_dedup_events", "stream_session_windows",
-        "stream_sessionize", "stream_followed_by",
-        # r1 oracle greens, oldest signal of all
-        "pivot_count", "pivot_max", "pivot_min", "scan_region",
-        "numeric_projection", "histogram_quantity", "bin2d_scatter",
-        "add_drop_column", "lang_id_histogram", "quality_scores",
-        "top_words", "dedup_ngram_jaccard", "dedup_simhash",
-        "dedup_clusters", "doc_rolling_hash", "embedding_topk_cosine",
-        "embedding_cosine_dedup", "embedding_lsh_dedup", "binary_meta",
-        "multimodal_decode", "frame_sample",
-        # 18 r2 greens filling the window
-        "q3_shipping_priority", "q5_local_supplier_revenue",
-        "q6_forecast_revenue", "q7_nation_trade_volume",
-        "correlated_min_suppliers", "exists_high_qty", "above_avg_orders",
-        "having_frequent_custs", "salted_join_revenue",
-        "left_join_order_counts", "full_outer_nation_actors",
-        "except_inactive_custs", "intersect_nations", "cube_qty",
-        "grouping_sets_revenue", "window_ranks", "window_lead_lag",
-        "rolling_revenue_7d",
+        # the harness-shape casualty, re-adjudicated with scalar output
+        "tfidf_vectors",
+        # the 5 r6 additions, never driver-adjudicated
+        "strip_markup_docs", "script_profile_docs",
+        "semantic_decontaminate", "pipeline_curation_v4",
+        "stream_quality_rollup",
+        # last entries whose only driver signal is r2
+        "asof_join_events", "range_join_prices", "stratified_sample_hash",
+        # r3-signal block, oldest first
+        "json_extract_events", "sessionize_events", "map_props_explode",
+        "pack_sequences", "normalize_text", "collect_lang_sets",
+        "label_centroids", "embedding_quantize", "cross_join_grid",
+        "plot_line_series", "pivot_mean", "describe_lineitem",
+        "stats_aggregates", "supplier_acct_stats",
+        "csv_roundtrip_lineitem", "json_roundtrip_orders",
+        "rename_cast_lineitem", "point_read_cell", "cut_rows_clip",
+        "multiselect_summary", "paged_preview", "empty_source",
+        "groupby_agg", "filter_project", "topk_orders",
+        "join_star_revenue", "anti_parts_never_sold",
+        "semi_suppliers_with_sales", "window_running_sum",
+        "window_top3_per_priority", "pivot_sum", "text_stats",
+        "dedup_exact_groups", "dedup_minhash_lsh", "bm25_topk",
+        "mixture_sample", "repetition_signals", "vocab_coverage",
+        "funnel_signup_purchase", "retention_cohorts",
+        "merge_upsert_orders",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
@@ -92,6 +96,39 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     }
     leaked = retired & set(window)
     assert not leaked, f"retired entries back inside the window: {leaked}"
+
+
+def test_window_outputs_are_scalar_shaped(spark):
+    """Every first-50 (driver-adjudicated) query must emit only
+    scalar top-level columns.  The driver canonicalizer sorts the
+    result as a pandas frame before hashing, and a top-level
+    Array/Map/Struct column crashes it (``TypeError: unhashable
+    type: 'list'`` — burned the `tfidf_vectors` row in BOTH r6 and
+    r7).  Nested data crossing the adjudication boundary must be
+    serialized (CSV-joined string, exploded rows, …)."""
+    import sys
+
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sys.path.insert(0, str(ENTRY.parent))
+    import __spark_entry__ as M
+
+    sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+    offenders = []
+    for i, (name, fn) in enumerate(M.queries().items()):
+        if i >= 50:
+            break
+        schema = fn(spark, sf_dir).schema
+        bad = [
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, (
+        "driver-window queries with non-scalar top-level columns "
+        f"(the driver canon cannot hash these): {offenders}"
+    )
 
 
 def test_every_query_has_oracle_or_is_known_rows_only():
