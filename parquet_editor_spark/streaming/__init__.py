@@ -16,6 +16,8 @@ from parquet_editor_spark.streaming.stream import (
     read_events_stream,
     read_table_stream,
     quality_rollup,
+    quality_rollup_windowed,
+    ts_as_ntz,
     session_window_counts,
     run_to_completion,
     sessionize_stateful,
@@ -34,6 +36,8 @@ __all__ = [
     "read_events_stream",
     "read_table_stream",
     "quality_rollup",
+    "quality_rollup_windowed",
+    "ts_as_ntz",
     "session_window_counts",
     "run_to_completion",
     "sessionize_stateful",

@@ -117,6 +117,50 @@ def quality_rollup(
     )
 
 
+def quality_rollup_windowed(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    source_col: str = "source",
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Windowed + watermarked corpus-quality rollup (r7 verdict item
+    8) — the unbounded-source variant the complete-mode
+    :func:`quality_rollup` docstring promises: same pure-column text
+    operators applied unchanged per micro-batch, but aggregated per
+    (event-time window, source, predicted lang) with a watermark, so
+    state is BOUNDED — windows older than the watermark finalize,
+    emit once (append mode), and are evicted.  On a 100 TB crawl
+    stream this is the only shape that doesn't accumulate the whole
+    history in the state store.
+
+    Run in append mode: the emitted set is exactly the finalized
+    windows (window end ≤ final watermark), which is deterministic on
+    a finite source with deterministic event times — so it oracles."""
+    from parquet_editor_spark.functions import text as X
+
+    staged = X.with_lang_id(docs, text_col)
+    q = X.quality_score(text_col)
+    return (
+        staged.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("w"), source_col, "lang_pred"
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.round(q * 10000, 0).cast("long")).alias("q_sum_4dp"),
+        )
+        .select(
+            ts_as_ntz("w.start").alias("window_start"),
+            source_col,
+            "lang_pred",
+            "n_docs",
+            "q_sum_4dp",
+        )
+    )
+
+
 def windowed_counts(
     events: DataFrame,
     window: str = "5 minutes",

@@ -1,0 +1,145 @@
+"""sources/jpeg.py — header-only JPEG metadata (SOF marker walk).
+
+The codec's honest scope (r7 verdict item 7): dimensions/channels
+from the frame header, never pixels.  The fixture stream is the
+module's own ``make_jpeg_header``; structural variations (EXIF APP1,
+fill bytes, restart markers, progressive SOF2) are hand-spliced so
+the walker is tested against streams the generator does not emit."""
+
+import pytest
+
+from parquet_editor_spark.sources.jpeg import (
+    jpeg_header_meta,
+    make_jpeg_header,
+)
+
+
+def test_roundtrip_dims():
+    for w, h, ch in [(1, 1, 1), (640, 480, 3), (65535, 1, 4), (16, 9, 2)]:
+        assert jpeg_header_meta(make_jpeg_header(w, h, ch)) == (w, h, ch)
+
+
+def test_non_jpeg_rejected():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_header_meta(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_header_meta(b"")
+
+
+def test_sof_after_extra_app_segments():
+    """EXIF-style APP1 and a comment segment before the SOF."""
+    base = make_jpeg_header(33, 44, 3)
+    app1 = b"Exif\x00\x00" + b"\x01" * 10
+    com = b"hello"
+    spliced = (
+        base[:2]
+        + b"\xff\xe1" + (len(app1) + 2).to_bytes(2, "big") + app1
+        + b"\xff\xfe" + (len(com) + 2).to_bytes(2, "big") + com
+        + base[2:]
+    )
+    assert jpeg_header_meta(spliced) == (33, 44, 3)
+
+
+def test_fill_bytes_between_segments():
+    base = make_jpeg_header(5, 7, 1)
+    # legal 0xFF fill padding before the SOF marker
+    i = base.index(b"\xff\xc0")
+    spliced = base[:i] + b"\xff\xff\xff" + base[i:]
+    assert jpeg_header_meta(spliced) == (5, 7, 1)
+
+
+def test_progressive_sof2_variant():
+    base = make_jpeg_header(100, 200, 3)
+    assert jpeg_header_meta(base.replace(b"\xff\xc0", b"\xff\xc2")) == (
+        100, 200, 3,
+    )
+
+
+def test_dht_c4_is_not_a_frame_header():
+    """0xC4 (DHT) sits inside the SOF numeric range but is a huffman
+    table — the walker must skip it and find the real SOF."""
+    base = make_jpeg_header(12, 34, 3)
+    dht = b"\x00" + bytes(16) + b""  # class/id + 16 zero counts
+    i = base.index(b"\xff\xc0")
+    spliced = (
+        base[:i]
+        + b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+        + base[i:]
+    )
+    assert jpeg_header_meta(spliced) == (12, 34, 3)
+
+
+def test_no_sof_before_sos_rejected():
+    base = make_jpeg_header(9, 9, 1)
+    i = base.index(b"\xff\xc0")
+    seg_len = int.from_bytes(base[i + 2 : i + 4], "big")
+    no_sof = base[:i] + base[i + 2 + seg_len :]  # drop the SOF segment
+    with pytest.raises(ValueError, match="no SOF"):
+        jpeg_header_meta(no_sof)
+
+
+def test_truncated_sof_rejected():
+    base = make_jpeg_header(9, 9, 1)
+    i = base.index(b"\xff\xc0")
+    with pytest.raises(ValueError):
+        jpeg_header_meta(base[: i + 5])
+
+
+def test_decode_meta_jpeg_codec(spark):
+    """The production decode stage routes codec='jpeg' through the
+    header walk, Arrow-batched on the executors."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    rows = [(i, make_jpeg_header(10 + i, 20 + i, 1 + i % 3)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("jpeg").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    got = (
+        MM.decode_meta(df)
+        .select("doc_id", "width", "height", "channels")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got,
+        pd.DataFrame(
+            {
+                "doc_id": range(5),
+                "width": [10 + i for i in range(5)],
+                "height": [20 + i for i in range(5)],
+                "channels": [1 + i % 3 for i in range(5)],
+            }
+        ).astype({"width": "int32", "height": "int32", "channels": "int32"}),
+    )
+
+
+def test_jpeg_pixel_decode_still_raises(spark):
+    """Pixel-level ops stay honest: resize on a jpeg payload raises
+    NotImplementedError on the executor (no libjpeg here)."""
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, make_jpeg_header(8, 8, 3))], "doc_id long, payload binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("jpeg").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|requires"):
+        MM.resize_images(df, target_w=4, target_h=4).collect()

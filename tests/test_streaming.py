@@ -735,3 +735,67 @@ def test_stream_quality_rollup_matches_batch(spark, sf_dir):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_stream_quality_rollup_windowed_matches_batch(spark, sf_dir):
+    """r8: the windowed+watermarked rollup's APPEND output must equal
+    the batch aggregate restricted to FINALIZED windows (window end ≤
+    final watermark = max event time − delay) — the deterministic
+    append-mode contract the oracle also relies on — and every emitted
+    (window, source, lang) key must appear exactly once."""
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark import streaming as ST
+    from parquet_editor_spark.functions import text as X
+
+    path = f"{sf_dir}/documents.parquet"
+    ts_expr = F.timestamp_micros(
+        (
+            (F.lit(1704067200) + (F.col("doc_id") % 192) * 3600)
+            * F.lit(1000000)
+        ).cast("long")
+    )
+    streamed = ST.run_to_completion(
+        ST.quality_rollup_windowed(
+            ST.read_table_stream(spark, path).withColumn("ts", ts_expr)
+        ),
+        "qrw_test",
+        output_mode="append",
+    ).collect()
+    keyed = [(r["window_start"], r["source"], r["lang_pred"]) for r in streamed]
+    assert len(keyed) == len(set(keyed)), "a finalized window re-emitted"
+
+    batch_docs = spark.read.parquet(path).withColumn("ts", ts_expr)
+    staged = X.with_lang_id(batch_docs, "text")
+    q = X.quality_score("text")
+    batch = (
+        staged.groupBy(
+            F.window("ts", "1 day").alias("w"), "source", "lang_pred"
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.round(q * 10000, 0).cast("long")).alias("q_sum_4dp"),
+        )
+        .withColumn(
+            "threshold",
+            F.lit(None),  # placeholder; filled below via crossJoin
+        )
+    )
+    wm = batch_docs.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("threshold")
+    )
+    finalized = (
+        batch.drop("threshold")
+        .crossJoin(wm)
+        .filter(F.col("w.end") <= F.col("threshold"))
+        .select(
+            ST.ts_as_ntz("w.start").alias("window_start"),
+            "source",
+            "lang_pred",
+            "n_docs",
+            "q_sum_4dp",
+        )
+    )
+    assert sorted(map(tuple, streamed)) == sorted(
+        map(tuple, finalized.collect())
+    )
