@@ -1393,6 +1393,125 @@ def q_jpeg_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flac_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC metadata path, no libFLAC (sources/flac.py, new r8):
+    synthesize a spec-valid fLaC+STREAMINFO stream per doc with
+    doc_id-derived rate/channels/depth/length, run it through the
+    production ``audio_meta`` stage (Arrow mapInPandas, executor-side
+    bitfield parse), emit the decoded fields.  Oracle: closed-form
+    arithmetic on doc_id, including the integer floor duration."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 11 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.flac import make_flac_header
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                make_flac_header(
+                    8000 + (int(i) % 11) * 4000,
+                    1 + int(i) % 8,
+                    8 + (int(i) % 4) * 8,
+                    1000 + (int(i) * 37) % 100000,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("flac").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    return (
+        MM.audio_meta(with_payload)
+        .select("doc_id", "sample_rate", "channels", "n_frames", "duration_ms")
+        .orderBy("doc_id")
+    )
+
+
+def q_mp4_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 container-metadata path, no ffmpeg (sources/mp4.py,
+    new r8): synthesize an ISO-BMFF file per doc (ftyp + moov[mvhd +
+    trak·n[tkhd]] + mdat) with doc_id-derived duration/track-count/
+    dims — every third doc audio-only (zero tkhd dims → NULL width/
+    height) — and run the production ``video_meta`` box walk on the
+    executors.  Oracle: closed-form arithmetic on doc_id with the
+    audio-only NULL case."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 7 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.mp4 import make_mp4_header
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                audio_only = i % 3 == 0
+                payloads.append(
+                    make_mp4_header(
+                        1000 + (i * 13) % 3600000,
+                        timescale=1000,
+                        width=None if audio_only else 320 + (i % 5) * 160,
+                        height=None if audio_only else 240 + (i % 3) * 120,
+                        n_tracks=1 + i % 3,
+                    )
+                )
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("mp4").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    return (
+        MM.video_meta(with_payload)
+        .select("doc_id", "duration_ms", "n_tracks", "width", "height")
+        .orderBy("doc_id")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -4173,6 +4292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quality_rollup": q_stream_quality_rollup,
         # --- new in r8: JPEG SOF header decode + windowed rollup ---
         "jpeg_meta_docs": q_jpeg_meta_docs,
+        "flac_meta_docs": q_flac_meta_docs,
+        "mp4_meta_docs": q_mp4_meta_docs,
         "stream_quality_rollup_windowed": q_stream_quality_rollup_windowed,
         # --- 3. stalest signal (r2): asof/range joins, hash-stratified sample ---
         "asof_join_events": q_asof_join_events,
@@ -4216,10 +4337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "mixture_sample": q_mixture_sample,
         "repetition_signals": q_repetition_signals,
-        "vocab_coverage": q_vocab_coverage,
-        "funnel_signup_purchase": q_funnel_signup_purchase,
         # ================= end of 50-entry driver window =================
         # --- behind window: remaining r3/r4/r5 signal, oldest first ---
+        "vocab_coverage": q_vocab_coverage,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
         "merge_upsert_orders": q_merge_upsert_orders,
         "scd2_user_status": q_scd2_user_status,
@@ -6024,6 +6145,33 @@ def oracle_sql() -> dict[str, str]:
                        AS new_ms
             FROM documents
             WHERE doc_id % 19 = 0
+            ORDER BY doc_id
+        """,
+        "flac_meta_docs": """
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 11) * 4000 AS INT) AS sample_rate,
+                   CAST(1 + doc_id % 8 AS INT) AS channels,
+                   CAST(1000 + (doc_id * 37) % 100000 AS BIGINT) AS n_frames,
+                   CAST((1000 + (doc_id * 37) % 100000) * 1000
+                        // (8000 + (doc_id % 11) * 4000) AS BIGINT)
+                       AS duration_ms
+            FROM documents
+            WHERE doc_id % 11 = 0
+            ORDER BY doc_id
+        """,
+        "mp4_meta_docs": """
+            SELECT doc_id,
+                   CAST(1000 + (doc_id * 13) % 3600000 AS BIGINT)
+                       AS duration_ms,
+                   CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL
+                        ELSE CAST(320 + (doc_id % 5) * 160 AS INT)
+                   END AS width,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL
+                        ELSE CAST(240 + (doc_id % 3) * 120 AS INT)
+                   END AS height
+            FROM documents
+            WHERE doc_id % 7 = 0
             ORDER BY doc_id
         """,
         "jpeg_meta_docs": """

@@ -313,8 +313,11 @@ def audio_meta(
 ) -> DataFrame:
     """Audio decode stage: payload → (sample_rate, channels, n_frames,
     duration_ms).  ``meta.codec == "wav"`` rows decode for REAL via the
-    dependency-free RIFF/PCM codec (``sources/wav.py``); ``"fake"``
-    rows use a deterministic digest-derived fake; other codecs raise.
+    dependency-free RIFF/PCM codec (``sources/wav.py``); ``"flac"``
+    rows read the STREAMINFO block (``sources/flac.py`` — the spec's
+    mandatory first metadata block carries rate/channels/total
+    samples, no libFLAC needed; r8); ``"fake"`` rows use a
+    deterministic digest-derived fake; other codecs raise.
     duration_ms is integer floor millis — engine-portable arithmetic.
 
     Scale shape: pure Arrow ``mapInPandas`` projection, bytes stay on
@@ -341,6 +344,13 @@ def audio_meta(
                 from parquet_editor_spark.sources.wav import decode_wav
 
                 rate, ch, _bits, n, _ = decode_wav(p)
+                return (rate, ch, n, n * 1000 // rate)
+            if codec == "flac":
+                from parquet_editor_spark.sources.flac import (
+                    flac_stream_info,
+                )
+
+                rate, ch, _bits, n = flac_stream_info(p)
                 return (rate, ch, n, n * 1000 // rate)
             if codec == "fake":
                 d = _h.md5(p).digest()
@@ -370,6 +380,82 @@ def audio_meta(
             pdf["channels"] = [m[1] for m in metas]
             pdf["n_frames"] = [m[2] for m in metas]
             pdf["duration_ms"] = [m[3] for m in metas]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def video_meta(
+    df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
+) -> DataFrame:
+    """Video container metadata: payload → (duration_ms, n_tracks,
+    width, height).  ``meta.codec == "mp4"`` rows walk the ISO-BMFF
+    box tree (``sources/mp4.py`` — mvhd duration/timescale, trak
+    count, tkhd 16.16 dims; ``mdat`` skipped by declared size, so
+    media bytes are never parsed; r8); ``"y4m"`` rows parse the
+    YUV4MPEG2 header + frame count for a real duration; ``"fake"``
+    rows use the digest fake; other codecs raise — sample decode
+    belongs to ffmpeg.
+
+    Scale shape: pure Arrow ``mapInPandas`` projection, bytes stay on
+    the executors, partitioning inherits the scan."""
+    has_meta = meta_col in df.columns
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("n_tracks", T.IntegerType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
+
+    def run(batches):
+        import hashlib as _h
+
+        def meta_of(p, codec: str):
+            if p is None:
+                return (None, None, None, None)
+            p = bytes(p)
+            if codec == "mp4":
+                from parquet_editor_spark.sources.mp4 import mp4_meta
+
+                dur, _scale, n_tracks, w, h = mp4_meta(p)
+                return (dur, n_tracks, w, h)
+            if codec == "y4m":
+                from parquet_editor_spark.sources.y4m import decode_y4m
+
+                w, h, num, den, _cs, frames = decode_y4m(p)
+                return (len(frames) * 1000 * den // num, 1, w, h)
+            if codec == "fake":
+                d = _h.md5(p).digest()
+                return (
+                    1 + int.from_bytes(d[0:3], "big") % 3_600_000,
+                    1 + d[3] % 3,
+                    16 + d[4] % 1024,
+                    16 + d[5] % 1024,
+                )
+            raise NotImplementedError(
+                f"video metadata for codec {codec!r} requires ffmpeg"
+            )
+
+        for pdf in batches:
+            codecs = (
+                [
+                    "fake" if m is None else m["codec"]
+                    for m in pdf[meta_col]
+                ]
+                if has_meta
+                else ["fake"] * len(pdf)
+            )
+            metas = [
+                meta_of(p, c) for p, c in zip(pdf[payload_col], codecs)
+            ]
+            pdf = pdf.copy()
+            pdf["duration_ms"] = [m[0] for m in metas]
+            pdf["n_tracks"] = [m[1] for m in metas]
+            pdf["width"] = [m[2] for m in metas]
+            pdf["height"] = [m[3] for m in metas]
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

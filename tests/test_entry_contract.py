@@ -57,7 +57,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     stay retired behind the window."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "funnel_signup_purchase", (
+    assert window[-1] == "repetition_signals", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
@@ -67,8 +67,9 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "strip_markup_docs", "script_profile_docs",
         "semantic_decontaminate", "pipeline_curation_v4",
         "stream_quality_rollup",
-        # new in r8: JPEG SOF header decode + windowed rollup
-        "jpeg_meta_docs", "stream_quality_rollup_windowed",
+        # new in r8: JPEG/FLAC/MP4 header codecs + windowed rollup
+        "jpeg_meta_docs", "flac_meta_docs", "mp4_meta_docs",
+        "stream_quality_rollup_windowed",
         # last entries whose only driver signal is r2
         "asof_join_events", "range_join_prices", "stratified_sample_hash",
         # r3-signal block, oldest first
@@ -85,8 +86,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "semi_suppliers_with_sales", "window_running_sum",
         "window_top3_per_priority", "pivot_sum", "text_stats",
         "dedup_exact_groups", "dedup_minhash_lsh", "bm25_topk",
-        "mixture_sample", "repetition_signals", "vocab_coverage",
-        "funnel_signup_purchase",
+        "mixture_sample", "repetition_signals",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"

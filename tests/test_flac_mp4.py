@@ -1,0 +1,164 @@
+"""sources/flac.py + sources/mp4.py — header-only audio/video
+container metadata (r8).  Same honest scope as the JPEG walker:
+authoritative structural fields without decoding a single sample."""
+
+import pytest
+
+from parquet_editor_spark.sources.flac import (
+    flac_stream_info,
+    make_flac_header,
+)
+from parquet_editor_spark.sources.mp4 import make_mp4_header, mp4_meta
+
+
+# ---------------------------------------------------------------------------
+# FLAC STREAMINFO
+# ---------------------------------------------------------------------------
+
+def test_flac_roundtrip():
+    for rate, ch, bits, total in [
+        (44100, 2, 16, 123456),
+        (8000, 1, 8, 0),
+        (192000, 8, 32, (1 << 36) - 1),
+        (48000, 6, 24, 1),
+    ]:
+        assert flac_stream_info(make_flac_header(rate, ch, bits, total)) == (
+            rate, ch, bits, total,
+        )
+
+
+def test_flac_rejects_non_flac():
+    with pytest.raises(ValueError, match="not a FLAC"):
+        flac_stream_info(b"RIFF....WAVE")
+    with pytest.raises(ValueError, match="not a FLAC"):
+        flac_stream_info(b"")
+
+
+def test_flac_rejects_wrong_first_block():
+    data = bytearray(make_flac_header(44100, 2))
+    data[4] = 0x84  # first block claims type 4 (VORBIS_COMMENT)
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        flac_stream_info(bytes(data))
+
+
+def test_flac_rejects_truncation():
+    data = make_flac_header(44100, 2)
+    with pytest.raises(ValueError, match="truncated"):
+        flac_stream_info(data[:20])
+
+
+# ---------------------------------------------------------------------------
+# MP4 box walk
+# ---------------------------------------------------------------------------
+
+def test_mp4_roundtrip_video():
+    dur, scale, n_tracks, w, h = mp4_meta(
+        make_mp4_header(65000, 1000, 1920, 1080, n_tracks=2)
+    )
+    assert (dur, scale, n_tracks, w, h) == (65000, 1000, 2, 1920, 1080)
+
+
+def test_mp4_audio_only_has_null_dims():
+    dur, scale, n_tracks, w, h = mp4_meta(make_mp4_header(1500, 90000))
+    assert (dur, n_tracks, w, h) == (1500, 1, None, None)
+    assert scale == 90000
+
+
+def test_mp4_skips_large_mdat_without_parsing():
+    """moov AFTER a big mdat: the walk must hop over the media bytes
+    by declared size, never scanning them."""
+    base = make_mp4_header(2000, 1000, 64, 48)
+    ftyp_end = 24  # ftyp box is 8 + 16 bytes
+    moov = base[ftyp_end:-8]  # moov box (mdat is the trailing 8 bytes)
+    mdat = (10_008).to_bytes(4, "big") + b"mdat" + b"\x00" * 10_000
+    reordered = base[:ftyp_end] + mdat + moov
+    assert mp4_meta(reordered) == (2000, 1000, 1, 64, 48)
+
+
+def test_mp4_rejects_non_mp4():
+    with pytest.raises(ValueError, match="not an ISO-BMFF"):
+        mp4_meta(b"\xff\xd8\xff\xe0" + bytes(20))
+
+
+def test_mp4_rejects_missing_moov():
+    base = make_mp4_header(1000, 1000)
+    ftyp_only = base[:24] + (8).to_bytes(4, "big") + b"mdat"
+    with pytest.raises(ValueError, match="no moov"):
+        mp4_meta(ftyp_only)
+
+
+def test_mp4_rejects_overrunning_box():
+    base = bytearray(make_mp4_header(1000, 1000))
+    base[0:4] = (1 << 24).to_bytes(4, "big")  # ftyp claims 16MB
+    with pytest.raises(ValueError, match="overruns"):
+        mp4_meta(bytes(base))
+
+
+# ---------------------------------------------------------------------------
+# operator routing
+# ---------------------------------------------------------------------------
+
+def _media_df(spark, rows, codec, media_type):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows, "doc_id long, payload binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(codec).alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+
+
+def test_audio_meta_flac_codec(spark):
+    from parquet_editor_spark.operators import multimodal as MM
+
+    df = _media_df(
+        spark,
+        [(i, make_flac_header(8000 * (i + 1), 1 + i, 16, 4000 * (i + 1)))
+         for i in range(3)],
+        "flac",
+        "audio",
+    )
+    got = {
+        r["doc_id"]: (r["sample_rate"], r["channels"], r["n_frames"],
+                      r["duration_ms"])
+        for r in MM.audio_meta(df).collect()
+    }
+    assert got == {
+        0: (8000, 1, 4000, 500),
+        1: (16000, 2, 8000, 500),
+        2: (24000, 3, 12000, 500),
+    }
+
+
+def test_video_meta_mp4_and_y4m(spark):
+    from parquet_editor_spark.operators import multimodal as MM
+    from parquet_editor_spark.sources.y4m import encode_y4m
+
+    y4m = encode_y4m(
+        4, 2, (5, 1), [bytes(4 * 2 * 3) for _ in range(10)], cs="444"
+    )
+    mp4_rows = _media_df(
+        spark, [(0, make_mp4_header(1234, 1000, 320, 240))], "mp4", "video"
+    )
+    y4m_rows = _media_df(spark, [(1, y4m)], "y4m", "video")
+    got = {
+        r["doc_id"]: (r["duration_ms"], r["n_tracks"], r["width"],
+                      r["height"])
+        for r in MM.video_meta(mp4_rows.unionByName(y4m_rows)).collect()
+    }
+    assert got[0] == (1234, 1, 320, 240)
+    assert got[1] == (2000, 1, 4, 2)  # 10 frames @ 5fps = 2000 ms
+
+
+def test_video_meta_unknown_codec_raises(spark):
+    from parquet_editor_spark.operators import multimodal as MM
+
+    df = _media_df(spark, [(0, b"AVI fakebytes")], "avi", "video")
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        MM.video_meta(df).collect()
