@@ -252,14 +252,16 @@ def _load_excel_distributed(spark: SparkSession, members) -> DataFrame:
     executors (openpyxl when importable there, else the dependency-free
     SpreadsheetML codec — both accept in-memory bytes).
 
-    Probe bounds (r7 ADVICE): ``nrows`` limits only the DataFrame
+    Probe bounds (r7/r8 ADVICE): ``nrows`` limits only the DataFrame
     conversion — openpyxl (and the fallback codec) still parse the
     whole workbook XML — so the REAL driver-memory bound is the size
     guard, applied before the probe bytes are read on either path.
-    And because a column that is all-null within the probe rows
-    infers a wrong or indeterminate type, the probe escalates its row
-    budget until every column shows a value (full parse as the last
-    resort; the guard has already capped that cost)."""
+    Because of that, the old (100, 1000, None) escalation loop was
+    re-parsing the whole workbook up to 3×; the probe now does ONE
+    full decode (the guard has already capped that cost).  A column
+    that is all-null across the ENTIRE member has no value anywhere
+    to infer from, so it is pinned to a nullable StringType instead
+    of letting createDataFrame die with CANNOT_DETERMINE_TYPE."""
     import io as _io
 
     import pandas as pd
@@ -276,13 +278,30 @@ def _load_excel_distributed(spark: SparkSession, members) -> DataFrame:
     _guard_small_source(members[0], "Excel schema probe")
     with open(members[0], "rb") as f:
         probe_bytes = f.read()
-    for nrows in (100, 1000, None):
-        probe = decode(probe_bytes, nrows=nrows)
-        if nrows is None or probe.empty or not any(
-            probe[c].isna().all() for c in probe.columns
-        ):
-            break
+    probe = decode(probe_bytes)  # one parse only
+    if probe.empty and len(probe.columns):
+        raise ValueError(
+            f"{members[0]}: schema probe member has headers but no "
+            "rows — cannot infer column types; write at least one "
+            "data row into the first member"
+        )
+    null_cols = {c for c in probe.columns if probe[c].isna().all()}
+    if null_cols:
+        probe = probe.copy()
+        for c in null_cols:
+            probe[c] = ""  # infer as StringType; re-marked nullable below
     schema = spark.createDataFrame(probe).schema
+    if null_cols:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField(
+                    f.name, f.dataType, f.nullable or f.name in null_cols
+                )
+                for f in schema.fields
+            ]
+        )
     names = [f.name for f in schema.fields]
 
     def run(batches):
@@ -294,7 +313,17 @@ def _load_excel_distributed(spark: SparkSession, members) -> DataFrame:
                     raise ValueError(
                         f"{path_}: xlsx member missing columns {missing}"
                     )
-                yield out[names]
+                out = out[names]
+                if null_cols:
+                    # probe-all-null columns were pinned to StringType;
+                    # other members may carry NaN floats (or values) in
+                    # them — stringify so Arrow can build the batch.
+                    out = out.copy()
+                    for c in null_cols:
+                        out[c] = out[c].map(
+                            lambda v: None if pd.isna(v) else str(v)
+                        )
+                yield out
 
     files = (
         spark.read.format("binaryFile")

@@ -181,9 +181,14 @@ def spark_schema_for(path: str):
         if isinstance(t, list):  # ["null", T] union
             branches = [b for b in t if b != "null"]
             nullable = len(branches) < len(t)
-            if len(branches) != 1 or not isinstance(branches[0], str):
+            if len(branches) != 1:
                 raise ValueError(f"unsupported avro union {t!r}")
             t = branches[0]
+        if isinstance(t, dict):
+            # {"type": "long", "logicalType": "timestamp-millis"} —
+            # unwrap exactly like _decode_value does (r8 ADVICE medium:
+            # the decoder accepts these, so the schema mapper must too).
+            t = t.get("type", t)
         if not isinstance(t, str) or t not in spark_t:
             raise ValueError(f"unsupported avro type {t!r}")
         fields.append(T.StructField(f["name"], spark_t[t], nullable))

@@ -55,16 +55,29 @@ def mp4_meta(
     mvhd = None
     n_tracks = 0
     width = height = None
-    stack = [(b"", 0, n)]
-    while stack:
-        _, lo, hi = stack.pop()
+    # FIFO traversal (r8 ADVICE: a LIFO stack visited traks in reverse
+    # file order, so the LAST video trak's dims won instead of the
+    # documented first-trak-with-non-zero-dims).
+    from collections import deque
+
+    queue = deque([(b"", 0, n)])
+    while queue:
+        _, lo, hi = queue.popleft()
         for btype, p_lo, p_hi in _boxes(data, lo, hi):
             if btype in _CONTAINERS:
-                stack.append((btype, p_lo, p_hi))
+                queue.append((btype, p_lo, p_hi))
                 if btype == b"trak":
                     n_tracks += 1
             elif btype == b"mvhd":
+                if p_hi - p_lo < 4:
+                    raise ValueError(f"{origin!r}: truncated mvhd box")
                 ver = data[p_lo]
+                need = 32 if ver == 1 else 20
+                if p_hi - p_lo < need:
+                    raise ValueError(
+                        f"{origin!r}: mvhd v{ver} payload "
+                        f"{p_hi - p_lo} B < {need} B"
+                    )
                 if ver == 1:
                     timescale = int.from_bytes(
                         data[p_lo + 20 : p_lo + 24], "big"
@@ -81,6 +94,8 @@ def mp4_meta(
                     )
                 mvhd = (duration, timescale)
             elif btype == b"tkhd" and width is None:
+                if p_hi - p_lo < 4:
+                    raise ValueError(f"{origin!r}: truncated tkhd box")
                 ver = data[p_lo]
                 dims_at = p_lo + (88 if ver == 1 else 76)
                 if dims_at + 8 <= p_hi:

@@ -162,3 +162,51 @@ def test_video_meta_unknown_codec_raises(spark):
     df = _media_df(spark, [(0, b"AVI fakebytes")], "avi", "video")
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         MM.video_meta(df).collect()
+
+
+def test_mp4_first_video_trak_wins():
+    """r8 ADVICE: the old LIFO walk visited traks in reverse, so the
+    LAST trak's dims won; FIFO order makes the first video trak
+    authoritative as documented."""
+    from parquet_editor_spark.sources import mp4 as M
+
+    base_a = M.make_mp4_header(1000, 1000, 64, 48)
+    base_b = M.make_mp4_header(1000, 1000, 1920, 1080)
+    moov_a, moov_b = base_a[24:-8], base_b[24:-8]
+    mvhd_size = int.from_bytes(moov_a[8:12], "big")
+    mvhd = moov_a[8 : 8 + mvhd_size]
+    trak_a = moov_a[8 + mvhd_size :]
+    trak_b = moov_b[8 + mvhd_size :]
+    data = base_a[:24] + M._box(b"moov", mvhd + trak_a + trak_b) + base_a[-8:]
+    dur, scale, n_tracks, w, h = M.mp4_meta(data)
+    assert (n_tracks, w, h) == (2, 64, 48)
+
+
+def test_mp4_truncated_mvhd_raises_valueerror():
+    """r8 ADVICE: a short mvhd payload must be a documented ValueError,
+    not an IndexError / silently-wrong duration."""
+    from parquet_editor_spark.sources import mp4 as M
+
+    ftyp = M._box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    short = ftyp + M._box(b"moov", M._box(b"mvhd", bytes(10)))
+    with pytest.raises(ValueError, match="mvhd"):
+        M.mp4_meta(short)
+    empty = ftyp + M._box(b"moov", M._box(b"mvhd", b""))
+    with pytest.raises(ValueError, match="mvhd"):
+        M.mp4_meta(empty)
+
+
+def test_mp4_truncated_tkhd_raises_valueerror():
+    from parquet_editor_spark.sources import mp4 as M
+
+    base = M.make_mp4_header(1000, 1000)
+    moov = base[24:-8]
+    mvhd_size = int.from_bytes(moov[8:12], "big")
+    mvhd = moov[8 : 8 + mvhd_size]
+    bad = (
+        base[:24]
+        + M._box(b"moov", mvhd + M._box(b"trak", M._box(b"tkhd", b"")))
+        + base[-8:]
+    )
+    with pytest.raises(ValueError, match="tkhd"):
+        M.mp4_meta(bad)

@@ -674,3 +674,70 @@ def test_excel_multifile_dataset_distributed(spark, tmp_path):
     rows = sorted((r["id"], r["tag"]) for r in df.collect())
     assert len(rows) == 12 and rows[0] == (0, "t00") and rows[-1] == (23, "t23")
     assert df.rdd.getNumPartitions() >= 2
+
+
+def test_avro_schema_unwraps_logical_types(monkeypatch):
+    """r8 ADVICE medium: dict-form field types with logicalType
+    annotations ({"type": "long", "logicalType": "timestamp-millis"})
+    must map through spark_schema_for the same way _decode_value
+    unwraps them — directly and inside ["null", T] unions."""
+    from parquet_editor_spark.sources import avro as A
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-millis"}},
+            {"name": "d", "type": ["null", {"type": "int",
+                                            "logicalType": "date"}]},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    monkeypatch.setattr(A, "read_avro_header", lambda p: (schema, "null"))
+    st = A.spark_schema_for("ignored.avro")
+    assert [f.dataType.simpleString() for f in st.fields] == [
+        "bigint", "bigint", "string",
+    ]
+    assert [f.nullable for f in st.fields] == [True, True, True] or [
+        f.nullable for f in st.fields
+    ] == [False, True, False]
+
+
+def test_excel_distributed_all_null_probe_column(spark, tmp_path):
+    """r8 ADVICE low + verdict item 5: a column that is null across
+    the ENTIRE probe member pins to nullable StringType (instead of
+    CANNOT_DETERMINE_TYPE), and members carrying values in it still
+    decode (stringified)."""
+    import pandas as pd
+
+    from parquet_editor_spark.sources.xlsx import write_xlsx
+
+    d = tmp_path / "xn"
+    d.mkdir()
+    write_xlsx(
+        pd.DataFrame({"id": [1, 2], "note": [None, None]}),
+        str(d / "a.xlsx"),
+    )
+    write_xlsx(
+        pd.DataFrame({"id": [3, 4], "note": ["hello", None]}),
+        str(d / "b.xlsx"),
+    )
+    df = peio.load(spark, str(d), fmt="excel")
+    assert dict(df.dtypes)["note"] == "string"
+    rows = {r["id"]: r["note"] for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: "hello", 4: None}
+
+
+def test_excel_distributed_empty_probe_member_raises(spark, tmp_path):
+    import pandas as pd
+
+    from parquet_editor_spark.sources.xlsx import write_xlsx
+
+    d = tmp_path / "xe"
+    d.mkdir()
+    write_xlsx(pd.DataFrame({"id": pd.Series([], dtype="int64")}),
+               str(d / "a.xlsx"))
+    write_xlsx(pd.DataFrame({"id": [1]}), str(d / "b.xlsx"))
+    with pytest.raises(ValueError, match="no\\s+rows|schema probe"):
+        peio.load(spark, str(d), fmt="excel")

@@ -238,6 +238,24 @@ def test_resize_content_is_nearest_neighbor(spark):
 
 
 def test_unknown_codec_still_raises(spark):
+    """A codec with no dependency-free decoder stays an honest
+    NotImplementedError (r8 made jpeg a real codec, so the example
+    here is tiff, which genuinely has no decoder)."""
+    from parquet_editor_spark.operators.multimodal import (
+        attach_payload,
+        decode_meta,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    df = attach_payload(df, "s", codec="tiff")
+    with pytest.raises(Exception) as ei:
+        decode_meta(df).collect()
+    assert "PIL" in str(ei.value) or "NotImplementedError" in str(ei.value)
+
+
+def test_jpeg_invalid_bytes_raise_valueerror(spark):
+    """jpeg is a REAL codec since r8: a payload without the SOI marker
+    fails the header walk with ValueError, not NotImplementedError."""
     from parquet_editor_spark.operators.multimodal import (
         attach_payload,
         decode_meta,
@@ -247,7 +265,7 @@ def test_unknown_codec_still_raises(spark):
     df = attach_payload(df, "s", codec="jpeg")
     with pytest.raises(Exception) as ei:
         decode_meta(df).collect()
-    assert "PIL" in str(ei.value) or "NotImplementedError" in str(ei.value)
+    assert "not a JPEG" in str(ei.value) or "ValueError" in str(ei.value)
 
 
 def test_palette_png_decodes_to_rgb():
