@@ -316,7 +316,10 @@ def audio_meta(
     dependency-free RIFF/PCM codec (``sources/wav.py``); ``"flac"``
     rows read the STREAMINFO block (``sources/flac.py`` — the spec's
     mandatory first metadata block carries rate/channels/total
-    samples, no libFLAC needed; r8); ``"fake"`` rows use a
+    samples, no libFLAC needed; r8); ``"mp3"`` rows walk every
+    Layer III frame header (``sources/mp3.py``, r9 — O(#frames)
+    header bytes, payloads skipped by declared size, ID3 tags
+    tolerated); ``"fake"`` rows use a
     deterministic digest-derived fake; other codecs raise.
     duration_ms is integer floor millis — engine-portable arithmetic.
 
@@ -351,6 +354,13 @@ def audio_meta(
                 )
 
                 rate, ch, _bits, n = flac_stream_info(p)
+                return (rate, ch, n, n * 1000 // rate)
+            if codec == "mp3":
+                from parquet_editor_spark.sources.mp3 import (
+                    mp3_stream_info,
+                )
+
+                rate, ch, n, _frames, _kbps = mp3_stream_info(p)
                 return (rate, ch, n, n * 1000 // rate)
             if codec == "fake":
                 d = _h.md5(p).digest()

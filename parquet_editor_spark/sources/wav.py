@@ -10,8 +10,15 @@ Scope (public RIFF/WAVE spec, nothing else):
   format feature-extraction pipelines exchange most after 16-bit PCM).
   Per the spec non-PCM files carry a ``fact`` chunk; the encoder
   writes one and the decoder tolerates its absence.
-- ADPCM, extensible (tag 0xFFFE) and other compressed formats raise
-  ``NotImplementedError`` — those belong to a real audio library.
+- IMA/DVI ADPCM (tag 0x11, r9 verdict item 7) decodes for REAL: the
+  public 4-bit step-table algorithm, vectorized ACROSS blocks with
+  numpy (every block's recurrence advances in lock-step, so the
+  Python loop is over the ~505 within-block sample positions, not
+  over samples).  ``encode_wav_adpcm`` round-trips 16-bit PCM for
+  fixtures and tests.
+- MS-ADPCM (tag 2), extensible (tag 0xFFFE) and other compressed
+  formats raise ``NotImplementedError`` — those belong to a real
+  audio library.
 - The parser walks chunks (skipping LIST/fact/etc.), validates sizes,
   and tolerates the common off-spec trailing-pad byte.
 
@@ -27,6 +34,20 @@ _SUPPORTED_BITS = {8, 16, 24, 32}
 _FLOAT_BITS = {32, 64}
 PCM = 1
 IEEE_FLOAT = 3
+IMA_ADPCM = 0x11
+
+# public IMA/DVI ADPCM tables (IMA Digital Audio Pack recommendation)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
 
 
 def encode_wav(
@@ -98,10 +119,12 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, bytes]:
 
 
 def decode_wav_ex(data: bytes) -> tuple[int, int, int, int, bytes, int]:
-    """``decode_wav`` plus the fmt tag (PCM=1 / IEEE_FLOAT=3)."""
+    """``decode_wav`` plus the fmt tag (PCM=1 / IEEE_FLOAT=3 /
+    IMA_ADPCM=0x11 — ADPCM rows come back already decoded to 16-bit
+    PCM, with the tag telling the caller they were compressed)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
-    pos, fmt, frames = 12, None, None
+    pos, fmt, frames, fact = 12, None, None, None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
@@ -112,7 +135,9 @@ def decode_wav_ex(data: bytes) -> tuple[int, int, int, int, bytes, int]:
             fmt = body
         elif tag == b"data":
             frames = body
-        # LIST/fact/cue/... chunks are skipped; chunks are word-aligned
+        elif tag == b"fact" and size >= 4:
+            fact = struct.unpack_from("<I", body)[0]
+        # LIST/cue/... chunks are skipped; chunks are word-aligned
         pos += 8 + size + (size & 1)
     if fmt is None or frames is None:
         raise ValueError("missing fmt or data chunk")
@@ -131,10 +156,25 @@ def decode_wav_ex(data: bytes) -> tuple[int, int, int, int, bytes, int]:
             raise NotImplementedError(
                 f"{bits}-bit float samples (only 32/64)"
             )
+    elif tag == IMA_ADPCM:
+        if bits != 4:
+            raise ValueError(
+                f"IMA ADPCM declares {bits}-bit samples (must be 4)"
+            )
+        if len(fmt) >= 20:
+            spb_declared = struct.unpack_from("<H", fmt, 18)[0]
+            spb = (block - 4 * channels) * 2 // channels + 1
+            if spb_declared != spb:
+                raise ValueError(
+                    f"ADPCM samplesPerBlock {spb_declared} inconsistent "
+                    f"with blockAlign {block} ({spb} expected)"
+                )
+        pcm, n = _decode_ima_adpcm(frames, channels, block, fact)
+        return rate, channels, 16, n, pcm, tag
     else:
         raise NotImplementedError(
-            f"audio format {tag} (PCM=1 and IEEE float=3; ADPCM and "
-            "extensible need a real audio library)"
+            f"audio format {tag} (PCM=1, IEEE float=3, IMA ADPCM=0x11; "
+            "MS-ADPCM and extensible need a real audio library)"
         )
     expect_block = channels * bits // 8
     if block != expect_block:
@@ -169,3 +209,181 @@ def resample_nearest(
             src * block : (src + 1) * block
         ]
     return bytes(out)
+
+
+def _decode_ima_adpcm(
+    frames: bytes, channels: int, block_align: int, n_samples: int | None
+) -> tuple[bytes, int]:
+    """Decode IMA-ADPCM blocks to interleaved int16 PCM; returns
+    ``(pcm_bytes, n_frames)``.  Vectorized ACROSS blocks: numpy
+    advances every block's predictor/step-index recurrence in
+    lock-step, so the Python loop runs once per within-block sample
+    position (~505), independent of how many blocks the payload has."""
+    import numpy as np
+
+    hdr_bytes = 4 * channels
+    if block_align <= hdr_bytes or (block_align - hdr_bytes) % (
+        4 * channels
+    ):
+        raise ValueError(
+            f"ADPCM block align {block_align} is not headers + whole "
+            f"4-byte nibble groups for {channels} channel(s)"
+        )
+    if len(frames) % block_align:
+        raise ValueError(
+            "data chunk is not a whole number of ADPCM blocks"
+        )
+    n_blocks = len(frames) // block_align
+    spb = (block_align - hdr_bytes) * 2 // channels + 1
+    if n_blocks == 0:
+        return b"", 0
+    raw = np.frombuffer(frames, dtype=np.uint8).reshape(
+        n_blocks, block_align
+    )
+    hdr = raw[:, :hdr_bytes].reshape(n_blocks, channels, 4)
+    pred0 = hdr[:, :, 0].astype(np.int32) | (
+        hdr[:, :, 1].astype(np.int32) << 8
+    )
+    pred0 = np.where(pred0 >= 32768, pred0 - 65536, pred0)
+    idx0 = hdr[:, :, 2].astype(np.int32)
+    if (idx0 > 88).any():
+        raise ValueError("ADPCM step index out of range (> 88)")
+    # after the headers the stream is 4-byte nibble groups alternating
+    # channels; each byte holds two samples, LOW nibble first
+    groups = raw[:, hdr_bytes:].reshape(n_blocks, -1, channels, 4)
+    nibbles = np.stack([groups & 0x0F, groups >> 4], axis=-1).reshape(
+        n_blocks, -1, channels, 8
+    )  # [block, group, channel, 8 samples]
+    steps = np.asarray(_IMA_STEPS, dtype=np.int32)
+    adj = np.asarray(_IMA_INDEX_ADJ, dtype=np.int32)
+    out = np.empty((n_blocks, spb, channels), dtype=np.int16)
+    for c in range(channels):
+        seq = nibbles[:, :, c, :].reshape(n_blocks, spb - 1)
+        pred = pred0[:, c].copy()
+        idx = np.clip(idx0[:, c], 0, 88)
+        out[:, 0, c] = pred.astype(np.int16)
+        for j in range(spb - 1):
+            nib = seq[:, j].astype(np.int32)
+            step = steps[idx]
+            diff = (
+                (step >> 3)
+                + np.where(nib & 1, step >> 2, 0)
+                + np.where(nib & 2, step >> 1, 0)
+                + np.where(nib & 4, step, 0)
+            )
+            pred = np.clip(
+                np.where(nib & 8, pred - diff, pred + diff),
+                -32768,
+                32767,
+            )
+            idx = np.clip(idx + adj[nib & 7], 0, 88)
+            out[:, j + 1, c] = pred.astype(np.int16)
+    total = n_blocks * spb
+    n = total if n_samples is None else min(n_samples, total)
+    flat = out.reshape(total, channels)[:n]
+    return flat.astype("<i2").tobytes(), n
+
+
+def encode_wav_adpcm(
+    sample_rate: int,
+    channels: int,
+    pcm_frames: bytes,
+    samples_per_block: int = 505,
+) -> bytes:
+    """Encode interleaved 16-bit PCM frames as an IMA-ADPCM WAV
+    (format tag 0x11) — the reference encoder for round-trip tests
+    and fixtures, plain Python.  The true frame count goes in the
+    ``fact`` chunk so a partial final block decodes to exactly the
+    input length."""
+    import struct as _s
+
+    if channels < 1 or sample_rate < 1:
+        raise ValueError("bad channels/sample_rate")
+    if samples_per_block < 9 or (samples_per_block - 1) % 8:
+        raise ValueError(
+            "samples_per_block must be 1 + a multiple of 8"
+        )
+    if len(pcm_frames) % (2 * channels):
+        raise ValueError("PCM buffer is not whole 16-bit frames")
+    n_frames = len(pcm_frames) // (2 * channels)
+    if n_frames == 0:
+        raise ValueError("cannot encode an empty clip")
+    samples = list(
+        _s.unpack(f"<{n_frames * channels}h", pcm_frames)
+    )
+    chans = [samples[c::channels] for c in range(channels)]
+    block_align = 4 * channels + (samples_per_block - 1) * channels // 2
+    indices = [0] * channels  # step index carries across blocks
+    out_blocks = []
+    for start in range(0, n_frames, samples_per_block):
+        chunk = bytearray()
+        datas = []
+        for c in range(channels):
+            src = chans[c][start : start + samples_per_block]
+            src = src + [src[-1]] * (samples_per_block - len(src))
+            pred, idx = src[0], indices[c]
+            chunk += _s.pack("<hBB", pred, idx, 0)
+            nibs = []
+            for s in src[1:]:
+                step = _IMA_STEPS[idx]
+                delta = s - pred
+                nib = 8 if delta < 0 else 0
+                delta = abs(delta)
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = max(
+                    -32768, min(32767, pred - diff if nib & 8 else pred + diff)
+                )
+                idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 7]))
+                nibs.append(nib)
+            indices[c] = idx
+            datas.append(
+                bytes(
+                    nibs[k] | (nibs[k + 1] << 4)
+                    for k in range(0, len(nibs), 2)
+                )
+            )
+        # interleave per-channel data in 4-byte groups
+        for g in range(len(datas[0]) // 4):
+            for c in range(channels):
+                chunk += datas[c][g * 4 : g * 4 + 4]
+        out_blocks.append(bytes(chunk))
+    data = b"".join(out_blocks)
+    byte_rate = sample_rate * block_align // samples_per_block
+    fmt = _s.pack(
+        "<HHIIHHHH",
+        IMA_ADPCM,
+        channels,
+        sample_rate,
+        byte_rate,
+        block_align,
+        4,  # bits per (coded) sample
+        2,  # cbSize
+        samples_per_block,
+    )
+    fact = b"fact" + _s.pack("<II", 4, n_frames)
+    return (
+        b"RIFF"
+        + _s.pack("<I", 4 + 8 + len(fmt) + len(fact) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + _s.pack("<I", len(fmt))
+        + fmt
+        + fact
+        + b"data"
+        + _s.pack("<I", len(data))
+        + data
+    )

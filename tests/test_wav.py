@@ -207,3 +207,189 @@ def test_float_resample_preserves_format_tag(spark):
     out = MM.resample_audio(df, target_rate=4000).collect()[0]
     rate, ch, bits, n, got, tag = W.decode_wav_ex(bytes(out["payload"]))
     assert (rate, ch, bits, n, tag) == (4000, 1, 32, 4, W.IEEE_FLOAT)
+
+
+# ---------------------------------------------------------------------------
+# IMA-ADPCM (r9 verdict item 7)
+# ---------------------------------------------------------------------------
+
+def _adpcm_decode_scalar(wav: bytes):
+    """Independent pure-scalar IMA decoder — pins the production
+    numpy cross-block vectorization bit-for-bit."""
+    import struct
+
+    from parquet_editor_spark.sources.wav import (
+        _IMA_INDEX_ADJ,
+        _IMA_STEPS,
+    )
+
+    pos, fmt, data, fact = 12, None, None, None
+    while pos + 8 <= len(wav):
+        tag = wav[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", wav, pos + 4)
+        body = wav[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        elif tag == b"fact":
+            fact = struct.unpack_from("<I", body)[0]
+        pos += 8 + size + (size & 1)
+    _tag, ch, rate, _br, block, _bits = struct.unpack_from("<HHIIHH", fmt)
+    spb = (block - 4 * ch) * 2 // ch + 1
+    out = []
+    for b0 in range(0, len(data), block):
+        chans = []
+        for c in range(ch):
+            h = b0 + 4 * c
+            pred = struct.unpack_from("<h", data, h)[0]
+            idx = data[h + 2]
+            samples = [pred]
+            nibs = []
+            p = b0 + 4 * ch
+            g = 0
+            while len(nibs) < spb - 1:
+                at = p + (g // 1) * 4 * ch + c * 4
+                chunk = data[at : at + 4]
+                for byte in chunk:
+                    nibs.append(byte & 0x0F)
+                    nibs.append(byte >> 4)
+                g += 1
+            for nib in nibs[: spb - 1]:
+                step = _IMA_STEPS[idx]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = max(-32768, min(32767, pred - diff if nib & 8 else pred + diff))
+                idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 7]))
+                samples.append(pred)
+            chans.append(samples)
+        for k in range(spb):
+            for c in range(ch):
+                out.append(chans[c][k])
+    if fact is not None:
+        out = out[: fact * ch]
+    return rate, ch, out
+
+
+def test_adpcm_roundtrip_meta_and_fidelity():
+    import numpy as np
+
+    from parquet_editor_spark.sources.wav import (
+        IMA_ADPCM,
+        decode_wav_ex,
+        encode_wav_adpcm,
+    )
+
+    rng = np.random.RandomState(11)
+    for ch in (1, 2):
+        for n in (9, 504, 505, 506, 2000):
+            t = np.arange(n)
+            chans = [
+                3000 * np.sin(t / 9.0 + c) + rng.randint(-150, 150, n)
+                for c in range(ch)
+            ]
+            pcm = np.stack(chans, axis=1).reshape(-1).astype("<i2")
+            wav = encode_wav_adpcm(22050, ch, pcm.tobytes())
+            rate, c2, bits, nf, frames, tag = decode_wav_ex(wav)
+            assert (rate, c2, bits, nf, tag) == (22050, ch, 16, n, IMA_ADPCM)
+            dec = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+            err = dec - pcm.astype(np.float64)
+            snr = 10 * np.log10(
+                (pcm.astype(np.float64) ** 2).mean() / max((err ** 2).mean(), 1e-9)
+            )
+            # clips shorter than the step-table adaptation ramp have
+            # no meaningful SNR — meta exactness above is the check
+            if n >= 100:
+                assert snr > 25, (ch, n, snr)
+
+
+def test_adpcm_numpy_matches_scalar_reference():
+    import numpy as np
+
+    from parquet_editor_spark.sources.wav import (
+        decode_wav_ex,
+        encode_wav_adpcm,
+    )
+
+    rng = np.random.RandomState(3)
+    for ch in (1, 2):
+        pcm = rng.randint(-32768, 32768, 1111 * ch).astype("<i2")
+        wav = encode_wav_adpcm(8000, ch, pcm.tobytes())
+        _r, _c, _b, nf, frames, _t = decode_wav_ex(wav)
+        got = np.frombuffer(frames, dtype="<i2").tolist()
+        rate, c2, want = _adpcm_decode_scalar(wav)
+        assert (rate, c2) == (8000, ch)
+        assert got == want
+
+
+def test_adpcm_constant_signal_is_lossless():
+    """nibble 0 at step-index 0 adds 7>>3 == 0, so a constant clip
+    round-trips EXACTLY — the property the driver oracle leans on."""
+    import numpy as np
+
+    from parquet_editor_spark.sources.wav import (
+        decode_wav_ex,
+        encode_wav_adpcm,
+    )
+
+    for v in (-15000, -1, 0, 1, 123, 32767):
+        pcm = np.full(700, v, dtype="<i2")
+        wav = encode_wav_adpcm(16000, 1, pcm.tobytes())
+        _r, _c, _b, nf, frames, _t = decode_wav_ex(wav)
+        assert nf == 700
+        assert np.frombuffer(frames, dtype="<i2").tolist() == [v] * 700
+
+
+def test_adpcm_error_paths():
+    import numpy as np
+    import pytest as _pt
+
+    from parquet_editor_spark.sources.wav import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    pcm = np.zeros(100, dtype="<i2").tobytes()
+    with _pt.raises(ValueError, match="multiple of 8"):
+        encode_wav_adpcm(8000, 1, pcm, samples_per_block=10)
+    with _pt.raises(ValueError, match="empty"):
+        encode_wav_adpcm(8000, 1, b"")
+    wav = bytearray(encode_wav_adpcm(8000, 1, pcm))
+    # corrupt the declared samplesPerBlock in the fmt extension
+    import struct as _s
+
+    at = wav.index(b"fmt ") + 8 + 18
+    wav[at : at + 2] = _s.pack("<H", 999)
+    with _pt.raises(ValueError, match="samplesPerBlock"):
+        decode_wav(bytes(wav))
+
+
+def test_adpcm_flows_through_audio_meta_wav_codec(spark):
+    """codec='wav' rows that carry ADPCM payloads decode through the
+    same audio_meta stage — the fact chunk gives the exact count."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.operators import multimodal as MM
+    from parquet_editor_spark.sources.wav import encode_wav_adpcm
+
+    pcm = np.full(1234, 42, dtype="<i2").tobytes()
+    rows = [(1, encode_wav_adpcm(22050, 1, pcm))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("wav").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    (row,) = MM.audio_meta(df).collect()
+    assert row["sample_rate"] == 22050 and row["channels"] == 1
+    assert row["n_frames"] == 1234
+    assert row["duration_ms"] == 1234 * 1000 // 22050
