@@ -1512,6 +1512,175 @@ def q_mp4_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mp3_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 metadata path, no codec library (sources/mp3.py, new
+    r9 — verdict item 6): synthesize a spec-valid Layer III stream per
+    doc with doc_id-derived version/rate/channels/frame-count/bitrate
+    (ID3v2/ID3v1 tags and the padding bit exercised on doc_id strides)
+    and run it through the production ``audio_meta`` stage (Arrow
+    mapInPandas, executor-side frame-header walk).  Oracle:
+    closed-form arithmetic on doc_id — samples = frames × 1152
+    (MPEG-1 rates) or × 576 (MPEG-2/2.5 rates)."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 23 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    _RATES9 = (44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000)
+
+    def gen(batches):
+        from parquet_editor_spark.sources.mp3 import make_mp3
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                rate = _RATES9[i % 9]
+                kbps = (
+                    (32, 128, 320)[i % 3]
+                    if i % 9 < 3
+                    else (16, 64, 160)[i % 3]
+                )
+                payloads.append(
+                    make_mp3(
+                        rate,
+                        channels=1 + i % 2,
+                        n_frames=3 + (i * 7) % 40,
+                        bitrate_kbps=kbps,
+                        pad_alternate=i % 5 == 0,
+                        id3v2_bytes=(57 + i % 100) if i % 2 == 0 else 0,
+                        id3v1=i % 3 == 0,
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("mp3").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    return (
+        MM.audio_meta(with_payload)
+        .select("doc_id", "sample_rate", "channels", "n_frames", "duration_ms")
+        .orderBy("doc_id")
+    )
+
+
+def q_wav_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA-ADPCM decode path (sources/wav.py tag 0x11, new r9 —
+    verdict item 7): per doc, encode a CONSTANT 16-bit clip (constant
+    clips round-trip IMA ADPCM bit-exactly: nibble 0 at step 7 adds
+    7>>3 == 0 — pinned by test_adpcm_constant_signal_is_lossless),
+    run the compressed payload through the production ``audio_meta``
+    wav path (fact-chunk-exact frame count), then decode the samples
+    and emit first/min/max — all equal to the constant, so the DuckDB
+    oracle is closed-form on doc_id while the Spark side exercises the
+    full numpy block decode."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 29 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from parquet_editor_spark.sources.wav import encode_wav_adpcm
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                v = (i * 131) % 30001 - 15000
+                ch = 1 + i % 2
+                n = 100 + (i * 3) % 1500
+                pcm = np.full(n * ch, v, dtype="<i2")
+                payloads.append(
+                    encode_wav_adpcm(
+                        8000 + (i % 4) * 4000, ch, pcm.tobytes()
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("wav").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    metaed = MM.audio_meta(with_payload)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("first_sample", T.IntegerType()),
+            T.StructField("min_sample", T.IntegerType()),
+            T.StructField("max_sample", T.IntegerType()),
+        ]
+    )
+
+    def decode_samples(batches):
+        import numpy as np
+
+        from parquet_editor_spark.sources.wav import decode_wav
+
+        for pdf in batches:
+            firsts, mins, maxs = [], [], []
+            for p in pdf["payload"]:
+                _r, _c, _b, _n, frames = decode_wav(bytes(p))
+                s = np.frombuffer(frames, dtype="<i2")
+                firsts.append(int(s[0]))
+                mins.append(int(s.min()))
+                maxs.append(int(s.max()))
+            pdf = pdf.copy()
+            pdf["first_sample"] = firsts
+            pdf["min_sample"] = mins
+            pdf["max_sample"] = maxs
+            yield pdf[[f.name for f in out_schema.fields]]
+
+    return metaed.mapInPandas(decode_samples, schema=out_schema).orderBy(
+        "doc_id"
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -4257,88 +4426,33 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
-    # round-8 window executes the rotation the r7 verdict mandated
-    # (VERDICT.md "Next round" items 1-2):
-    #   1. tfidf_vectors — locally hash-green since r5 but its driver
-    #      row ERR'd in r6 AND r7 because the adjudicated entry carried
-    #      a raw array<double> column the driver canonicalizer cannot
-    #      sort/hash; the entry now serializes the vector to a "%.4f"
-    #      CSV string on both engines (the raw array stays available
-    #      via operators/retrieval.tfidf_vectors).
-    #   2. the 5 new-in-r6 operators, never driver-adjudicated
-    #      (strip_markup_docs, script_profile_docs,
-    #      semantic_decontaminate, pipeline_curation_v4,
-    #      stream_quality_rollup — all green locally at
-    #      sf0.01/sf0.1/sf1 since r6).
-    #   3. asof_join_events / range_join_prices /
-    #      stratified_sample_hash — the last entries whose only driver
-    #      signal is r2.
-    #   4. the r3-signal block oldest-first to fill the window.
-    # The 49 greens of the r6/r7 window move behind (freshest signal
-    # last); probes and rows-only entries stay retired as documented
+    # round-9 window executes the rotation the r8 verdict mandated
+    # (VERDICT.md "Next round" item 4): the r8 window burned its
+    # novelty (50/50 green), so the window moves to the next-stalest
+    # signal — the r3/r4/r5-signal block (editor point-ops, avro/xlsx
+    # round-trips, the warehouse MERGE/SCD2/zorder family, TPC-H
+    # shapes) whose last driver adjudication is r3-r5 — plus the two
+    # new-in-r9 operators up front:
+    #   1. mp3_meta_docs — Layer III frame-header walk (sources/
+    #      mp3.py, verdict item 6).
+    #   2. wav_adpcm_roundtrip — IMA-ADPCM real decode (verdict item
+    #      7; constant clips round-trip bit-exactly, so the oracle is
+    #      closed-form while Spark runs the full numpy block decode).
+    #   3-50. the stale block, oldest signal first, in its r8
+    #      behind-window order.
+    # The 50 greens of the r8 window move behind (freshest signal);
+    # probes and rows-only entries stay retired as documented
     # canaries.  tests/test_entry_contract.py pins both the window
     # membership and the no-top-level-Array/Map/Struct output contract
     # for every window entry (the r6/r7 tfidf crash class).
-    # Planned r9 window: any new-in-r8 entries first, then
-    # scd2_user_status → onward (r3/r4 signal, oldest first).
+    # Planned r10 window: any new-in-r9 entries first, then the
+    # remainder of the stale block (source_token_divergence →
+    # string_funcs_part), then the oldest r6/r7 greens.
     return {
-        # --- 1. r6/r7 harness-shape casualty, output now scalar-serialized ---
-        "tfidf_vectors": q_tfidf_vectors,
-        # --- 2. never driver-adjudicated: the 5 r6 additions ---
-        "strip_markup_docs": q_strip_markup_docs,
-        "script_profile_docs": q_script_profile_docs,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "pipeline_curation_v4": q_pipeline_curation_v4,
-        "stream_quality_rollup": q_stream_quality_rollup,
-        # --- new in r8: JPEG SOF header decode + windowed rollup ---
-        "jpeg_meta_docs": q_jpeg_meta_docs,
-        "flac_meta_docs": q_flac_meta_docs,
-        "mp4_meta_docs": q_mp4_meta_docs,
-        "stream_quality_rollup_windowed": q_stream_quality_rollup_windowed,
-        # --- 3. stalest signal (r2): asof/range joins, hash-stratified sample ---
-        "asof_join_events": q_asof_join_events,
-        "range_join_prices": q_range_join_prices,
-        "stratified_sample_hash": q_stratified_sample_hash,
-        # --- 4. r3-signal block, oldest-first, filling the window ---
-        "json_extract_events": q_json_extract_events,
-        "sessionize_events": q_sessionize_events,
-        "map_props_explode": q_map_props_explode,
-        "pack_sequences": q_pack_sequences,
-        "normalize_text": q_normalize_text,
-        "collect_lang_sets": q_collect_lang_sets,
-        "label_centroids": q_label_centroids,
-        "embedding_quantize": q_embedding_quantize,
-        "cross_join_grid": q_cross_join_grid,
-        "plot_line_series": q_plot_line_series,
-        "pivot_mean": _pivot("mean_exact_cents"),
-        "describe_lineitem": q_describe_lineitem,
-        "stats_aggregates": q_stats_aggregates,
-        "supplier_acct_stats": q_supplier_acct_stats,
-        "csv_roundtrip_lineitem": q_csv_roundtrip_lineitem,
-        "json_roundtrip_orders": q_json_roundtrip_orders,
-        "rename_cast_lineitem": q_rename_cast_lineitem,
-        "point_read_cell": q_point_read_cell,
-        "cut_rows_clip": q_cut_rows_clip,
-        "multiselect_summary": q_multiselect_summary,
-        "paged_preview": q_paged_preview,
-        "empty_source": q_empty_source,
-        "groupby_agg": q_groupby_agg,
-        "filter_project": q_filter_project,
-        "topk_orders": q_topk_orders,
-        "join_star_revenue": q_join_star_revenue,
-        "anti_parts_never_sold": q_anti_parts_never_sold,
-        "semi_suppliers_with_sales": q_semi_suppliers_with_sales,
-        "window_running_sum": q_window_running_sum,
-        "window_top3_per_priority": q_window_top3_per_priority,
-        "pivot_sum": _pivot("sum"),
-        "text_stats": q_text_stats,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "bm25_topk": q_bm25_topk,
-        "mixture_sample": q_mixture_sample,
-        "repetition_signals": q_repetition_signals,
-        # ================= end of 50-entry driver window =================
-        # --- behind window: remaining r3/r4/r5 signal, oldest first ---
+        # --- 1-2. new in r9: MP3 frame walk + IMA-ADPCM decode ---
+        "mp3_meta_docs": q_mp3_meta_docs,
+        "wav_adpcm_roundtrip": q_wav_adpcm_roundtrip,
+        # --- 3-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -4387,6 +4501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_qty": q_rollup_qty,
         "pivot_count_distinct": q_pivot_count_distinct,
         "pipeline_curation_v2": q_pipeline_curation_v2,
+        # ================= end of 50-entry driver window =================
+        # --- behind window: remainder of the stale block ---
         "source_token_divergence": q_source_token_divergence,
         "table_diff_orders": q_table_diff_orders,
         "snapshot_time_travel": q_snapshot_time_travel,
@@ -4486,6 +4602,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ranks": q_window_ranks,
         "window_lead_lag": q_window_lead_lag,
         "rolling_revenue_7d": q_rolling_revenue_7d,
+        # --- behind window: the 50 r8 window greens (freshest signal) ---
+        "tfidf_vectors": q_tfidf_vectors,
+        "strip_markup_docs": q_strip_markup_docs,
+        "script_profile_docs": q_script_profile_docs,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "pipeline_curation_v4": q_pipeline_curation_v4,
+        "stream_quality_rollup": q_stream_quality_rollup,
+        "jpeg_meta_docs": q_jpeg_meta_docs,
+        "flac_meta_docs": q_flac_meta_docs,
+        "mp4_meta_docs": q_mp4_meta_docs,
+        "stream_quality_rollup_windowed": q_stream_quality_rollup_windowed,
+        "asof_join_events": q_asof_join_events,
+        "range_join_prices": q_range_join_prices,
+        "stratified_sample_hash": q_stratified_sample_hash,
+        "json_extract_events": q_json_extract_events,
+        "sessionize_events": q_sessionize_events,
+        "map_props_explode": q_map_props_explode,
+        "pack_sequences": q_pack_sequences,
+        "normalize_text": q_normalize_text,
+        "collect_lang_sets": q_collect_lang_sets,
+        "label_centroids": q_label_centroids,
+        "embedding_quantize": q_embedding_quantize,
+        "cross_join_grid": q_cross_join_grid,
+        "plot_line_series": q_plot_line_series,
+        "pivot_mean": _pivot("mean_exact_cents"),
+        "describe_lineitem": q_describe_lineitem,
+        "stats_aggregates": q_stats_aggregates,
+        "supplier_acct_stats": q_supplier_acct_stats,
+        "csv_roundtrip_lineitem": q_csv_roundtrip_lineitem,
+        "json_roundtrip_orders": q_json_roundtrip_orders,
+        "rename_cast_lineitem": q_rename_cast_lineitem,
+        "point_read_cell": q_point_read_cell,
+        "cut_rows_clip": q_cut_rows_clip,
+        "multiselect_summary": q_multiselect_summary,
+        "paged_preview": q_paged_preview,
+        "empty_source": q_empty_source,
+        "groupby_agg": q_groupby_agg,
+        "filter_project": q_filter_project,
+        "topk_orders": q_topk_orders,
+        "join_star_revenue": q_join_star_revenue,
+        "anti_parts_never_sold": q_anti_parts_never_sold,
+        "semi_suppliers_with_sales": q_semi_suppliers_with_sales,
+        "window_running_sum": q_window_running_sum,
+        "window_top3_per_priority": q_window_top3_per_priority,
+        "pivot_sum": _pivot("sum"),
+        "text_stats": q_text_stats,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "bm25_topk": q_bm25_topk,
+        "mixture_sample": q_mixture_sample,
+        "repetition_signals": q_repetition_signals,
         # --- retired canaries: expected-divergent probes + rows-only entries ---
         "probe_int_float_hash": probe_int_float_hash,
         "probe_hugeint_sum": probe_hugeint_sum,
@@ -6181,6 +6348,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + doc_id % 4 AS INT) AS channels
             FROM documents
             WHERE doc_id % 13 = 0
+            ORDER BY doc_id
+        """,
+        "mp3_meta_docs": """
+            WITH params AS (
+                SELECT doc_id,
+                       CASE doc_id % 9
+                           WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                           WHEN 2 THEN 32000 WHEN 3 THEN 22050
+                           WHEN 4 THEN 24000 WHEN 5 THEN 16000
+                           WHEN 6 THEN 11025 WHEN 7 THEN 12000
+                           ELSE 8000
+                       END AS rate,
+                       CASE WHEN doc_id % 9 < 3 THEN 1152 ELSE 576
+                       END AS spf,
+                       3 + (doc_id * 7) % 40 AS frames
+                FROM documents
+                WHERE doc_id % 23 = 0
+            )
+            SELECT doc_id,
+                   CAST(rate AS INT) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST(frames * spf AS BIGINT) AS n_frames,
+                   CAST(frames * spf * 1000 // rate AS BIGINT)
+                       AS duration_ms
+            FROM params
+            ORDER BY doc_id
+        """,
+        "wav_adpcm_roundtrip": """
+            WITH params AS (
+                SELECT doc_id,
+                       (doc_id * 131) % 30001 - 15000 AS v,
+                       8000 + (doc_id % 4) * 4000 AS rate,
+                       100 + (doc_id * 3) % 1500 AS n
+                FROM documents
+                WHERE doc_id % 29 = 0
+            )
+            SELECT doc_id,
+                   CAST(rate AS INT) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+                   CAST(v AS INT) AS first_sample,
+                   CAST(v AS INT) AS min_sample,
+                   CAST(v AS INT) AS max_sample
+            FROM params
             ORDER BY doc_id
         """,
         "png_roundtrip_docs": """

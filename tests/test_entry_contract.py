@@ -48,45 +48,41 @@ def test_top_level_functions_unique():
 def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
-    silently missed adjudication — pin the round-8 window composition
-    (the r7 verdict's rotation, items 1-2): tfidf_vectors first (its
-    r6/r7 driver rows ERR'd on the raw array column; the entry is now
-    scalar-serialized), then the 5 never-driver-adjudicated r6
-    additions, then the three last-r2-signal entries, then the
-    r3-signal block oldest-first; probes and stable rows-only entries
-    stay retired behind the window."""
+    silently missed adjudication — pin the round-9 window composition
+    (the r8 verdict's rotation, item 4): the two new-in-r9 codecs
+    first (MP3 frame walk, IMA-ADPCM decode), then the stale
+    r3/r4/r5-signal block oldest-first (editor point-ops, avro/xlsx
+    round-trips, warehouse MERGE/SCD2/zorder family, TPC-H shapes);
+    the fully-green r8 window moves behind, probes and stable
+    rows-only entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "repetition_signals", (
+    assert window[-1] == "pipeline_curation_v2", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
-        # the harness-shape casualty, re-adjudicated with scalar output
-        "tfidf_vectors",
-        # the 5 r6 additions, never driver-adjudicated
-        "strip_markup_docs", "script_profile_docs",
-        "semantic_decontaminate", "pipeline_curation_v4",
-        "stream_quality_rollup",
-        # new in r8: JPEG/FLAC/MP4 header codecs + windowed rollup
-        "jpeg_meta_docs", "flac_meta_docs", "mp4_meta_docs",
-        "stream_quality_rollup_windowed",
-        # last entries whose only driver signal is r2
-        "asof_join_events", "range_join_prices", "stratified_sample_hash",
-        # r3-signal block, oldest first
-        "json_extract_events", "sessionize_events", "map_props_explode",
-        "pack_sequences", "normalize_text", "collect_lang_sets",
-        "label_centroids", "embedding_quantize", "cross_join_grid",
-        "plot_line_series", "pivot_mean", "describe_lineitem",
-        "stats_aggregates", "supplier_acct_stats",
-        "csv_roundtrip_lineitem", "json_roundtrip_orders",
-        "rename_cast_lineitem", "point_read_cell", "cut_rows_clip",
-        "multiselect_summary", "paged_preview", "empty_source",
-        "groupby_agg", "filter_project", "topk_orders",
-        "join_star_revenue", "anti_parts_never_sold",
-        "semi_suppliers_with_sales", "window_running_sum",
-        "window_top3_per_priority", "pivot_sum", "text_stats",
-        "dedup_exact_groups", "dedup_minhash_lsh", "bm25_topk",
-        "mixture_sample", "repetition_signals",
+        # new in r9: MP3 header walk + IMA-ADPCM real decode
+        "mp3_meta_docs", "wav_adpcm_roundtrip",
+        # stale r3/r4/r5-signal block, oldest first
+        "vocab_coverage", "funnel_signup_purchase", "retention_cohorts",
+        "merge_upsert_orders", "scd2_user_status", "zorder_cluster_keys",
+        "multimodal_resize", "parquet_roundtrip_partitioned",
+        "orc_roundtrip_lineitem", "corr_matrix", "q8_market_share",
+        "q10_returned_revenue", "q12_priority_lines", "q14_promo_revenue",
+        "q19_disjunctive_revenue", "q21_sole_supplier",
+        "q22_idle_customers", "xlsx_roundtrip_lineitem",
+        "ivf_recall_bound", "q1_pricing_summary", "q2_min_cost_supplier",
+        "q4_order_priority", "q9_product_profit", "q11_important_stock",
+        "q13_customer_distribution", "q15_top_supplier",
+        "q16_supplier_part_counts", "q17_small_qty_revenue",
+        "q18_large_volume_customers", "q20_part_promotion",
+        "dedup_priority_keep", "hard_negatives", "source_budget_trim",
+        "stream_static_enrich", "weighted_sample_k",
+        "avro_roundtrip_part", "variant_extract_events",
+        "hll_error_bound", "quantile_error_bound",
+        "hilbert_cluster_keys", "incremental_minhash", "cell_edit",
+        "delete_rows", "paste_splice", "union_distinct_nations",
+        "rollup_qty", "pivot_count_distinct", "pipeline_curation_v2",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
