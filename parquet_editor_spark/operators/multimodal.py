@@ -9,7 +9,14 @@ paths, dispatched per row on ``meta.codec``:
 - ``codec="png"`` — REAL end-to-end decode/resize via the
   dependency-free PNG codec in ``sources/png.py`` (chunk framing, CRC,
   IDAT inflate, all five scanline filters, nearest-neighbor resample,
-  re-encode).  One format is fully honest without PIL.
+  re-encode).
+- ``codec="jpeg"``/``"jpg"`` — REAL on two tiers: ``decode_meta``
+  stays the O(header) SOF marker walk (``sources/jpeg.py``, r8 —
+  dimensions never need entropy decode), while ``resize_images`` and
+  ``image_pixel_stats`` run the full baseline-sequential pixel codec
+  (``sources/jpeg_codec.py``, r9 — stream-supplied Huffman/quant
+  tables, numpy einsum IDCT, 4:4:4/4:2:0, restart markers).
+  Progressive/arithmetic streams still raise.
 - ``codec="fake"`` — the deterministic fake retained for every other
   format: exercises the real Spark plumbing (binary Arrow transfer,
   batch iteration, array-column schemas, explode for frame sampling)
@@ -257,6 +264,23 @@ def resize_images(
                     ch,
                     _png.resize_nearest(pix, w, h, ch, target_w, target_h),
                 )
+            if codec in ("jpeg", "jpg"):
+                # REAL since r9: baseline decode → nearest resize →
+                # baseline re-encode (sources/jpeg_codec.py); gray and
+                # RGB only (a 2/4-channel frame was never a JPEG)
+                from parquet_editor_spark.sources import png as _png
+                from parquet_editor_spark.sources.jpeg_codec import (
+                    decode_jpeg_baseline,
+                    encode_jpeg_baseline,
+                )
+
+                w, h, ch, pix = decode_jpeg_baseline(p)
+                return encode_jpeg_baseline(
+                    target_w,
+                    target_h,
+                    ch,
+                    _png.resize_nearest(pix, w, h, ch, target_w, target_h),
+                )
             if codec == "fake":
                 return _h.md5(p + f"{target_w}x{target_h}".encode()).digest()
             raise NotImplementedError(
@@ -280,6 +304,92 @@ def resize_images(
             pdf["width"] = target_w
             pdf["height"] = target_h
             yield pdf[names]
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_pixel_stats(
+    df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
+) -> DataFrame:
+    """Pixel-statistics stage: payload → (width, height, channels,
+    px_min, px_max, px_sum, n_px) — the integer-exact inputs a
+    curation pipeline filters on (all-black frames, blown-out scans,
+    brightness bands).  ``"png"`` and (since r9) ``"jpeg"``/``"jpg"``
+    rows decode for REAL — baseline sequential JPEG through the
+    dependency-free Huffman+IDCT codec (``sources/jpeg_codec.py``);
+    ``"fake"`` rows derive stats from the digest; other codecs raise.
+    Sums are int64 so every engine agrees bit-for-bit (no float mean).
+
+    Scale shape: pure Arrow ``mapInPandas`` projection — bytes stay on
+    the executors, partitioning inherits the scan."""
+    has_meta = meta_col in df.columns
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("px_min", T.IntegerType(), True),
+            T.StructField("px_max", T.IntegerType(), True),
+            T.StructField("px_sum", T.LongType(), True),
+            T.StructField("n_px", T.LongType(), True),
+        ]
+    )
+
+    def run(batches):
+        import hashlib as _h
+
+        import numpy as _np
+
+        def stats_of(p, codec: str):
+            if p is None:
+                return (None,) * 7
+            p = bytes(p)
+            if codec == "png":
+                from parquet_editor_spark.sources.png import decode_png
+
+                w, h, ch, pix = decode_png(p)
+            elif codec in ("jpeg", "jpg"):
+                from parquet_editor_spark.sources.jpeg_codec import (
+                    decode_jpeg_baseline,
+                )
+
+                w, h, ch, pix = decode_jpeg_baseline(p)
+            elif codec == "fake":
+                d = _h.md5(p).digest()
+                w, h, ch = 16 + d[0] % 1024, 16 + d[1] % 1024, 1 + d[2] % 4
+                v = d[3]
+                return (w, h, ch, v, v, v * w * h * ch, w * h * ch)
+            else:
+                raise NotImplementedError(
+                    f"pixel stats for codec {codec!r} requires PIL/ffmpeg"
+                )
+            a = _np.frombuffer(pix, dtype=_np.uint8)
+            return (
+                w,
+                h,
+                ch,
+                int(a.min()),
+                int(a.max()),
+                int(a.astype(_np.int64).sum()),
+                int(a.size),
+            )
+
+        cols = ["width", "height", "channels", "px_min", "px_max",
+                "px_sum", "n_px"]
+        for pdf in batches:
+            codecs = (
+                ["fake" if m is None else m["codec"] for m in pdf[meta_col]]
+                if has_meta
+                else ["fake"] * len(pdf)
+            )
+            stats = [
+                stats_of(p, c) for p, c in zip(pdf[payload_col], codecs)
+            ]
+            pdf = pdf.copy()
+            for i, c in enumerate(cols):
+                pdf[c] = [s[i] for s in stats]
+            yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
 
