@@ -1681,6 +1681,85 @@ def q_wav_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG PIXEL decode (sources/jpeg_codec.py, new r9
+    — r8 verdict item 8): per doc, encode a constant-gray image whose
+    dims/value derive from doc_id using a DC quant step of 8 (flat
+    fields round-trip EXACTLY: the only nonzero coefficient is
+    DC = 8·(v−128), and quantizing by 8 is lossless — pinned by
+    test_constant_gray_roundtrips_exactly), then run the production
+    ``image_pixel_stats`` stage: full Huffman entropy decode + numpy
+    IDCT on the executors, int64-exact pixel stats out.  Oracle:
+    closed-form arithmetic on doc_id."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 31 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from parquet_editor_spark.sources.jpeg_codec import (
+            encode_jpeg_baseline,
+        )
+
+        qt = (
+            np.full(64, 8, dtype=np.int64),
+            np.full(64, 8, dtype=np.int64),
+        )
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                w = 8 + i % 120
+                h = 8 + (i * 3) % 90
+                v = (i * 17) % 256
+                payloads.append(
+                    encode_jpeg_baseline(
+                        w,
+                        h,
+                        1,
+                        bytes([v]) * (w * h),
+                        quant_tables=qt,
+                        restart_interval=2 if i % 4 == 0 else 0,
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("jpeg").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    return (
+        MM.image_pixel_stats(with_payload)
+        .select(
+            "doc_id", "width", "height", "channels",
+            "px_min", "px_max", "px_sum", "n_px",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -4449,10 +4528,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remainder of the stale block (source_token_divergence →
     # string_funcs_part), then the oldest r6/r7 greens.
     return {
-        # --- 1-2. new in r9: MP3 frame walk + IMA-ADPCM decode ---
+        # --- 1-3. new in r9: MP3 walk, IMA-ADPCM, JPEG pixel decode ---
         "mp3_meta_docs": q_mp3_meta_docs,
         "wav_adpcm_roundtrip": q_wav_adpcm_roundtrip,
-        # --- 3-50. stale r3/r4/r5-signal block, oldest first ---
+        "jpeg_decode_docs": q_jpeg_decode_docs,
+        # --- 4-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -4500,9 +4580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct_nations": q_union_distinct_nations,
         "rollup_qty": q_rollup_qty,
         "pivot_count_distinct": q_pivot_count_distinct,
-        "pipeline_curation_v2": q_pipeline_curation_v2,
         # ================= end of 50-entry driver window =================
         # --- behind window: remainder of the stale block ---
+        "pipeline_curation_v2": q_pipeline_curation_v2,
         "source_token_divergence": q_source_token_divergence,
         "table_diff_orders": q_table_diff_orders,
         "snapshot_time_travel": q_snapshot_time_travel,
@@ -6348,6 +6428,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + doc_id % 4 AS INT) AS channels
             FROM documents
             WHERE doc_id % 13 = 0
+            ORDER BY doc_id
+        """,
+        "jpeg_decode_docs": """
+            WITH params AS (
+                SELECT doc_id,
+                       8 + doc_id % 120 AS w,
+                       8 + (doc_id * 3) % 90 AS h,
+                       (doc_id * 17) % 256 AS v
+                FROM documents
+                WHERE doc_id % 31 = 0
+            )
+            SELECT doc_id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(1 AS INT) AS channels,
+                   CAST(v AS INT) AS px_min,
+                   CAST(v AS INT) AS px_max,
+                   CAST(v * w * h AS BIGINT) AS px_sum,
+                   CAST(w * h AS BIGINT) AS n_px
+            FROM params
             ORDER BY doc_id
         """,
         "mp3_meta_docs": """
