@@ -1681,6 +1681,105 @@ def q_wav_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wav_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 A-law/µ-law decode path (sources/wav.py tags 6/7,
+    new r9): per doc, encode a constant clip whose value is an EXACT
+    code point of the chosen law — µ-law's exp-0 codes are the
+    multiples of 8 in [0, 120], A-law's seg-0 codes are 16·m+8 — so
+    the nearest-code encoder hits it exactly and the table-lookup
+    decode returns it bit-for-bit (pinned by
+    test_g711_code_points_roundtrip_exactly).  Spark runs the real
+    np.take expansion through ``audio_meta`` + a sample-stats stage;
+    the DuckDB oracle is closed-form on doc_id."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 37 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from parquet_editor_spark.sources.wav import encode_wav_g711
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                law = "a" if i % 3 == 0 else "mu"
+                mag = 16 * (i % 16) + 8 if law == "a" else 8 * (i % 16)
+                v = mag if i % 2 == 0 else -mag
+                ch = 1 + i % 2
+                n = 50 + (i * 7) % 1000
+                pcm = np.full(n * ch, v, dtype="<i2")
+                payloads.append(
+                    encode_wav_g711(
+                        8000 * (1 + i % 3), ch, pcm.tobytes(), law=law
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("wav").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    metaed = MM.audio_meta(with_payload)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("first_sample", T.IntegerType()),
+            T.StructField("min_sample", T.IntegerType()),
+            T.StructField("max_sample", T.IntegerType()),
+        ]
+    )
+
+    def decode_samples(batches):
+        import numpy as np
+
+        from parquet_editor_spark.sources.wav import decode_wav
+
+        for pdf in batches:
+            firsts, mins, maxs = [], [], []
+            for p in pdf["payload"]:
+                _r, _c, _b, _n, frames = decode_wav(bytes(p))
+                s = np.frombuffer(frames, dtype="<i2")
+                firsts.append(int(s[0]))
+                mins.append(int(s.min()))
+                maxs.append(int(s.max()))
+            pdf = pdf.copy()
+            pdf["first_sample"] = firsts
+            pdf["min_sample"] = mins
+            pdf["max_sample"] = maxs
+            yield pdf[[f.name for f in out_schema.fields]]
+
+    return metaed.mapInPandas(decode_samples, schema=out_schema).orderBy(
+        "doc_id"
+    )
+
+
 def q_jpeg_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG PIXEL decode (sources/jpeg_codec.py, new r9
     — r8 verdict item 8): per doc, encode a constant-gray image whose
@@ -4528,11 +4627,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remainder of the stale block (source_token_divergence →
     # string_funcs_part), then the oldest r6/r7 greens.
     return {
-        # --- 1-3. new in r9: MP3 walk, IMA-ADPCM, JPEG pixel decode ---
+        # --- 1-4. new in r9: MP3 walk, ADPCM, JPEG pixels, G.711 ---
         "mp3_meta_docs": q_mp3_meta_docs,
         "wav_adpcm_roundtrip": q_wav_adpcm_roundtrip,
         "jpeg_decode_docs": q_jpeg_decode_docs,
-        # --- 4-50. stale r3/r4/r5-signal block, oldest first ---
+        "wav_g711_roundtrip": q_wav_g711_roundtrip,
+        # --- 5-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -4579,9 +4679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paste_splice": q_paste_splice,
         "union_distinct_nations": q_union_distinct_nations,
         "rollup_qty": q_rollup_qty,
-        "pivot_count_distinct": q_pivot_count_distinct,
         # ================= end of 50-entry driver window =================
         # --- behind window: remainder of the stale block ---
+        "pivot_count_distinct": q_pivot_count_distinct,
         "pipeline_curation_v2": q_pipeline_curation_v2,
         "source_token_divergence": q_source_token_divergence,
         "table_diff_orders": q_table_diff_orders,
@@ -6428,6 +6528,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + doc_id % 4 AS INT) AS channels
             FROM documents
             WHERE doc_id % 13 = 0
+            ORDER BY doc_id
+        """,
+        "wav_g711_roundtrip": """
+            WITH params AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 3 = 0
+                             THEN 16 * (doc_id % 16) + 8
+                             ELSE 8 * (doc_id % 16) END)
+                       * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+                           AS v,
+                       8000 * (1 + doc_id % 3) AS rate,
+                       50 + (doc_id * 7) % 1000 AS n
+                FROM documents
+                WHERE doc_id % 37 = 0
+            )
+            SELECT doc_id,
+                   CAST(rate AS INT) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+                   CAST(v AS INT) AS first_sample,
+                   CAST(v AS INT) AS min_sample,
+                   CAST(v AS INT) AS max_sample
+            FROM params
             ORDER BY doc_id
         """,
         "jpeg_decode_docs": """

@@ -16,6 +16,10 @@ Scope (public RIFF/WAVE spec, nothing else):
   Python loop is over the ~505 within-block sample positions, not
   over samples).  ``encode_wav_adpcm`` round-trips 16-bit PCM for
   fixtures and tests.
+- G.711 A-law (tag 6) and µ-law (tag 7) decode for REAL (r9): the
+  public segment/mantissa expansion as 256-entry lookup tables, one
+  ``np.take`` per payload.  ``encode_wav_g711`` round-trips 16-bit
+  PCM for fixtures (nearest-code search against the same tables).
 - MS-ADPCM (tag 2), extensible (tag 0xFFFE) and other compressed
   formats raise ``NotImplementedError`` — those belong to a real
   audio library.
@@ -35,6 +39,34 @@ _FLOAT_BITS = {32, 64}
 PCM = 1
 IEEE_FLOAT = 3
 IMA_ADPCM = 0x11
+ALAW = 6
+MULAW = 7
+
+
+def _g711_tables():
+    """(alaw, mulaw) 256-entry byte→int16 expansion tables from the
+    public G.711 segment/mantissa layout (the classic Sun g711.c
+    arithmetic, re-derived from the spec)."""
+    alaw = [0] * 256
+    mulaw = [0] * 256
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[b] = t if a & 0x80 else -t
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        mulaw[b] = 0x84 - t if u & 0x80 else t - 0x84
+    return alaw, mulaw
+
+
+_ALAW_TABLE, _MULAW_TABLE = _g711_tables()
 
 # public IMA/DVI ADPCM tables (IMA Digital Audio Pack recommendation)
 _IMA_STEPS = (
@@ -171,10 +203,34 @@ def decode_wav_ex(data: bytes) -> tuple[int, int, int, int, bytes, int]:
                 )
         pcm, n = _decode_ima_adpcm(frames, channels, block, fact)
         return rate, channels, 16, n, pcm, tag
+    elif tag in (ALAW, MULAW):
+        if bits != 8:
+            raise ValueError(
+                f"G.711 declares {bits}-bit samples (must be 8)"
+            )
+        if channels < 1 or len(frames) % channels:
+            raise ValueError(
+                "data chunk is not a whole number of frames"
+            )
+        import numpy as np
+
+        table = np.asarray(
+            _ALAW_TABLE if tag == ALAW else _MULAW_TABLE, dtype=np.int16
+        )
+        pcm = np.take(table, np.frombuffer(frames, dtype=np.uint8))
+        return (
+            rate,
+            channels,
+            16,
+            len(frames) // channels,
+            pcm.astype("<i2").tobytes(),
+            tag,
+        )
     else:
         raise NotImplementedError(
-            f"audio format {tag} (PCM=1, IEEE float=3, IMA ADPCM=0x11; "
-            "MS-ADPCM and extensible need a real audio library)"
+            f"audio format {tag} (PCM=1, IEEE float=3, IMA ADPCM=0x11, "
+            "A-law=6, mu-law=7; MS-ADPCM and extensible need a real "
+            "audio library)"
         )
     expect_block = channels * bits // 8
     if block != expect_block:
@@ -375,6 +431,62 @@ def encode_wav_adpcm(
         samples_per_block,
     )
     fact = b"fact" + _s.pack("<II", 4, n_frames)
+    return (
+        b"RIFF"
+        + _s.pack("<I", 4 + 8 + len(fmt) + len(fact) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + _s.pack("<I", len(fmt))
+        + fmt
+        + fact
+        + b"data"
+        + _s.pack("<I", len(data))
+        + data
+    )
+
+
+def encode_wav_g711(
+    sample_rate: int, channels: int, pcm_frames: bytes, law: str = "mu"
+) -> bytes:
+    """Encode interleaved 16-bit PCM as a G.711 WAV (``law`` = "mu" →
+    tag 7, "a" → tag 6) — fixtures/tests reference encoder.  Each
+    sample maps to the nearest code of the decode table, so
+    decode(encode(x)) == x whenever x is an exact code point."""
+    import struct as _s
+
+    import numpy as np
+
+    if law not in ("mu", "a"):
+        raise ValueError(f"law must be 'mu' or 'a', got {law!r}")
+    if channels < 1 or sample_rate < 1:
+        raise ValueError("bad channels/sample_rate")
+    if len(pcm_frames) % (2 * channels):
+        raise ValueError("PCM buffer is not whole 16-bit frames")
+    tag = MULAW if law == "mu" else ALAW
+    table = np.asarray(
+        _MULAW_TABLE if law == "mu" else _ALAW_TABLE, dtype=np.int32
+    )
+    order = np.argsort(table, kind="stable")
+    sorted_vals = table[order]
+    samples = np.frombuffer(pcm_frames, dtype="<i2").astype(np.int32)
+    pos = np.searchsorted(sorted_vals, samples)
+    pos = np.clip(pos, 1, 255)
+    left = sorted_vals[pos - 1]
+    right = sorted_vals[np.clip(pos, 0, 255)]
+    pick = np.where(samples - left <= right - samples, pos - 1, pos)
+    codes = order[pick].astype(np.uint8)
+    n_frames = len(samples) // channels
+    fmt = _s.pack(
+        "<HHIIHH",
+        tag,
+        channels,
+        sample_rate,
+        sample_rate * channels,  # byte rate: 1 byte per sample
+        channels,
+        8,
+    )
+    fact = b"fact" + _s.pack("<II", 4, n_frames)
+    data = codes.tobytes()
     return (
         b"RIFF"
         + _s.pack("<I", 4 + 8 + len(fmt) + len(fact) + 8 + len(data))

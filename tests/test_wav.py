@@ -393,3 +393,97 @@ def test_adpcm_flows_through_audio_meta_wav_codec(spark):
     assert row["sample_rate"] == 22050 and row["channels"] == 1
     assert row["n_frames"] == 1234
     assert row["duration_ms"] == 1234 * 1000 // 22050
+
+
+# ---------------------------------------------------------------------------
+# G.711 A-law / mu-law (r9)
+# ---------------------------------------------------------------------------
+
+def test_g711_code_points_roundtrip_exactly():
+    import numpy as np
+
+    from parquet_editor_spark.sources.wav import (
+        ALAW,
+        MULAW,
+        _ALAW_TABLE,
+        _MULAW_TABLE,
+        decode_wav_ex,
+        encode_wav_g711,
+    )
+
+    for law, table, tag in [("mu", _MULAW_TABLE, MULAW), ("a", _ALAW_TABLE, ALAW)]:
+        vals = np.asarray(table, dtype="<i2")
+        wav = encode_wav_g711(8000, 1, vals.tobytes(), law=law)
+        r, c, b, n, frames, t = decode_wav_ex(wav)
+        assert (r, c, b, n, t) == (8000, 1, 16, 256, tag)
+        assert (np.frombuffer(frames, dtype="<i2") == vals).all()
+
+
+def test_g711_known_reference_values():
+    """Spot values every G.711 implementation agrees on."""
+    from parquet_editor_spark.sources.wav import _ALAW_TABLE, _MULAW_TABLE
+
+    assert _MULAW_TABLE[0xFF] == 0  # mu-law silence
+    assert _MULAW_TABLE[0x7F] == 0  # negative zero
+    assert max(_MULAW_TABLE) == 32124 and min(_MULAW_TABLE) == -32124
+    assert _ALAW_TABLE[0xD5] == 8  # A-law "zero" code
+    assert max(_ALAW_TABLE) == 32256 and min(_ALAW_TABLE) == -32256
+    assert len(set(_MULAW_TABLE)) == 255  # +0/-0 collide, rest distinct
+
+
+def test_g711_snr_on_speechlike_signal():
+    import numpy as np
+
+    from parquet_editor_spark.sources.wav import (
+        decode_wav_ex,
+        encode_wav_g711,
+    )
+
+    rng = np.random.RandomState(2)
+    t = np.arange(4000)
+    pcm = (
+        9000 * np.sin(t / 7.0) + 2500 * np.sin(t / 1.7) + rng.randint(-300, 300, 4000)
+    ).astype("<i2")
+    for law in ("mu", "a"):
+        wav = encode_wav_g711(8000, 1, pcm.tobytes(), law=law)
+        _r, _c, _b, _n, frames, _t = decode_wav_ex(wav)
+        back = np.frombuffer(frames, dtype="<i2").astype(float)
+        err = back - pcm.astype(float)
+        snr = 10 * np.log10((pcm.astype(float) ** 2).mean() / (err ** 2).mean())
+        assert snr > 30, (law, snr)  # G.711 is ~35-38 dB on speech
+
+
+def test_g711_flows_through_audio_meta(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.operators import multimodal as MM
+    from parquet_editor_spark.sources.wav import encode_wav_g711
+
+    pcm = np.full(800, 64, dtype="<i2").tobytes()  # 64 = exact mu code
+    rows = [(1, encode_wav_g711(16000, 2, pcm, law="mu"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("wav").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    (row,) = MM.audio_meta(df).collect()
+    assert (row["sample_rate"], row["channels"], row["n_frames"]) == (16000, 2, 400)
+
+
+def test_g711_error_paths():
+    import pytest as _pt
+
+    from parquet_editor_spark.sources.wav import decode_wav, encode_wav_g711
+
+    with _pt.raises(ValueError, match="law"):
+        encode_wav_g711(8000, 1, bytes(4), law="g726")
+    wav = bytearray(encode_wav_g711(8000, 1, bytes(8), law="mu"))
+    at = wav.index(b"fmt ") + 8 + 14
+    wav[at] = 16  # claim 16-bit G.711
+    with _pt.raises(ValueError, match="must be 8"):
+        decode_wav(bytes(wav))
