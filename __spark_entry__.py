@@ -1681,6 +1681,102 @@ def q_wav_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wav_ms_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MS-ADPCM decode path (sources/wav.py tag 2, new r9): per
+    doc, encode a CONSTANT clip — the least-squares predictor pick
+    lands on pair 0 (pred = sample1) and every nibble is 0, so the
+    compressed stream decodes bit-exactly back to the constant
+    (pinned by test_ms_adpcm_constant_is_lossless) — then run the
+    production ``audio_meta`` wav path + sample stats.  Oracle:
+    closed-form on doc_id while Spark runs the real cross-block numpy
+    recurrence."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 41 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from parquet_editor_spark.sources.wav import encode_wav_ms_adpcm
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                v = (i * 173) % 50001 - 25000
+                ch = 1 + i % 2
+                n = 80 + (i * 11) % 1200
+                pcm = np.full(n * ch, v, dtype="<i2")
+                payloads.append(
+                    encode_wav_ms_adpcm(
+                        8000 + (i % 5) * 3000, ch, pcm.tobytes()
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("wav").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    metaed = MM.audio_meta(with_payload)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("first_sample", T.IntegerType()),
+            T.StructField("min_sample", T.IntegerType()),
+            T.StructField("max_sample", T.IntegerType()),
+        ]
+    )
+
+    def decode_samples(batches):
+        import numpy as np
+
+        from parquet_editor_spark.sources.wav import decode_wav
+
+        for pdf in batches:
+            firsts, mins, maxs = [], [], []
+            for p in pdf["payload"]:
+                _r, _c, _b, _n, frames = decode_wav(bytes(p))
+                s = np.frombuffer(frames, dtype="<i2")
+                firsts.append(int(s[0]))
+                mins.append(int(s.min()))
+                maxs.append(int(s.max()))
+            pdf = pdf.copy()
+            pdf["first_sample"] = firsts
+            pdf["min_sample"] = mins
+            pdf["max_sample"] = maxs
+            yield pdf[[f.name for f in out_schema.fields]]
+
+    return metaed.mapInPandas(decode_samples, schema=out_schema).orderBy(
+        "doc_id"
+    )
+
+
 def q_wav_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL G.711 A-law/µ-law decode path (sources/wav.py tags 6/7,
     new r9): per doc, encode a constant clip whose value is an EXACT
@@ -4627,12 +4723,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remainder of the stale block (source_token_divergence →
     # string_funcs_part), then the oldest r6/r7 greens.
     return {
-        # --- 1-4. new in r9: MP3 walk, ADPCM, JPEG pixels, G.711 ---
+        # --- 1-5. new in r9: MP3 walk, IMA/MS-ADPCM, JPEG px, G.711 ---
         "mp3_meta_docs": q_mp3_meta_docs,
         "wav_adpcm_roundtrip": q_wav_adpcm_roundtrip,
         "jpeg_decode_docs": q_jpeg_decode_docs,
         "wav_g711_roundtrip": q_wav_g711_roundtrip,
-        # --- 5-50. stale r3/r4/r5-signal block, oldest first ---
+        "wav_ms_adpcm_roundtrip": q_wav_ms_adpcm_roundtrip,
+        # --- 6-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -4678,9 +4775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_rows": q_delete_rows,
         "paste_splice": q_paste_splice,
         "union_distinct_nations": q_union_distinct_nations,
-        "rollup_qty": q_rollup_qty,
         # ================= end of 50-entry driver window =================
         # --- behind window: remainder of the stale block ---
+        "rollup_qty": q_rollup_qty,
         "pivot_count_distinct": q_pivot_count_distinct,
         "pipeline_curation_v2": q_pipeline_curation_v2,
         "source_token_divergence": q_source_token_divergence,
@@ -6528,6 +6625,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + doc_id % 4 AS INT) AS channels
             FROM documents
             WHERE doc_id % 13 = 0
+            ORDER BY doc_id
+        """,
+        "wav_ms_adpcm_roundtrip": """
+            WITH params AS (
+                SELECT doc_id,
+                       (doc_id * 173) % 50001 - 25000 AS v,
+                       8000 + (doc_id % 5) * 3000 AS rate,
+                       80 + (doc_id * 11) % 1200 AS n
+                FROM documents
+                WHERE doc_id % 41 = 0
+            )
+            SELECT doc_id,
+                   CAST(rate AS INT) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+                   CAST(v AS INT) AS first_sample,
+                   CAST(v AS INT) AS min_sample,
+                   CAST(v AS INT) AS max_sample
+            FROM params
             ORDER BY doc_id
         """,
         "wav_g711_roundtrip": """

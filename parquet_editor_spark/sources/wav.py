@@ -20,9 +20,12 @@ Scope (public RIFF/WAVE spec, nothing else):
   public segment/mantissa expansion as 256-entry lookup tables, one
   ``np.take`` per payload.  ``encode_wav_g711`` round-trips 16-bit
   PCM for fixtures (nearest-code search against the same tables).
-- MS-ADPCM (tag 2), extensible (tag 0xFFFE) and other compressed
-  formats raise ``NotImplementedError`` — those belong to a real
-  audio library.
+- MS-ADPCM (tag 2) decodes for REAL (r9): the public 7-coefficient
+  linear predictor + per-nibble delta adaptation, vectorized across
+  blocks exactly like the IMA path; ``encode_wav_ms_adpcm`` writes
+  fixtures (predictor chosen per block by least squared error).
+- Extensible (tag 0xFFFE) and anything else raise
+  ``NotImplementedError`` — those belong to a real audio library.
 - The parser walks chunks (skipping LIST/fact/etc.), validates sizes,
   and tolerates the common off-spec trailing-pad byte.
 
@@ -80,6 +83,13 @@ _IMA_STEPS = (
     29794, 32767,
 )
 _IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+# public MS-ADPCM constants (Microsoft multimedia standards update)
+MS_ADPCM = 2
+_MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232))
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
 
 
 def encode_wav(
@@ -203,6 +213,13 @@ def decode_wav_ex(data: bytes) -> tuple[int, int, int, int, bytes, int]:
                 )
         pcm, n = _decode_ima_adpcm(frames, channels, block, fact)
         return rate, channels, 16, n, pcm, tag
+    elif tag == MS_ADPCM:
+        if bits != 4:
+            raise ValueError(
+                f"MS ADPCM declares {bits}-bit samples (must be 4)"
+            )
+        pcm, n = _decode_ms_adpcm(frames, channels, block, fact)
+        return rate, channels, 16, n, pcm, tag
     elif tag in (ALAW, MULAW):
         if bits != 8:
             raise ValueError(
@@ -228,9 +245,9 @@ def decode_wav_ex(data: bytes) -> tuple[int, int, int, int, bytes, int]:
         )
     else:
         raise NotImplementedError(
-            f"audio format {tag} (PCM=1, IEEE float=3, IMA ADPCM=0x11, "
-            "A-law=6, mu-law=7; MS-ADPCM and extensible need a real "
-            "audio library)"
+            f"audio format {tag} (PCM=1, MS-ADPCM=2, IEEE float=3, "
+            "A-law=6, mu-law=7, IMA ADPCM=0x11; extensible and the "
+            "rest need a real audio library)"
         )
     expect_block = channels * bits // 8
     if block != expect_block:
@@ -487,6 +504,195 @@ def encode_wav_g711(
     )
     fact = b"fact" + _s.pack("<II", 4, n_frames)
     data = codes.tobytes()
+    return (
+        b"RIFF"
+        + _s.pack("<I", 4 + 8 + len(fmt) + len(fact) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + _s.pack("<I", len(fmt))
+        + fmt
+        + fact
+        + b"data"
+        + _s.pack("<I", len(data))
+        + data
+    )
+
+
+def _decode_ms_adpcm(
+    frames: bytes, channels: int, block_align: int, n_samples: int | None
+) -> tuple[bytes, int]:
+    """Decode MS-ADPCM blocks to interleaved int16 PCM; returns
+    ``(pcm_bytes, n_frames)``.  Same vectorization shape as the IMA
+    kernel: numpy advances every block's (sample1, sample2, delta)
+    recurrence in lock-step, Python loops only over within-block
+    sample positions."""
+    import numpy as np
+
+    hdr = 7 * channels
+    if block_align <= hdr:
+        raise ValueError(
+            f"MS-ADPCM block align {block_align} too small for "
+            f"{channels} channel(s)"
+        )
+    if len(frames) % block_align:
+        raise ValueError(
+            "data chunk is not a whole number of ADPCM blocks"
+        )
+    n_blocks = len(frames) // block_align
+    data_bytes = block_align - hdr
+    if (data_bytes * 2) % channels:
+        raise ValueError("MS-ADPCM nibble count not divisible by channels")
+    spb = data_bytes * 2 // channels + 2
+    if n_blocks == 0:
+        return b"", 0
+    raw = np.frombuffer(frames, dtype=np.uint8).reshape(
+        n_blocks, block_align
+    )
+    pred_idx = raw[:, :channels].astype(np.int64)
+    if (pred_idx >= len(_MS_COEFS)).any():
+        raise ValueError(
+            f"MS-ADPCM predictor index out of range "
+            f"(max {len(_MS_COEFS) - 1})"
+        )
+
+    def _i16(col0: int) -> "np.ndarray":
+        lo = raw[:, col0 : col0 + 2 * channels : 2].astype(np.int64)
+        hi = raw[:, col0 + 1 : col0 + 2 * channels : 2].astype(np.int64)
+        v = lo | (hi << 8)
+        return np.where(v >= 32768, v - 65536, v)  # [n_blocks, channels]
+
+    delta = np.maximum(_i16(channels), 16)
+    samp1 = _i16(3 * channels)
+    samp2 = _i16(5 * channels)
+
+    coefs = np.asarray(_MS_COEFS, dtype=np.int64)
+    c1 = coefs[pred_idx, 0]  # [n_blocks, channels]
+    c2 = coefs[pred_idx, 1]
+    adapt = np.asarray(_MS_ADAPT, dtype=np.int64)
+
+    # nibble stream: HIGH nibble first, alternating channels (int64 —
+    # uint8 arithmetic would wrap the `nib - 16` sign extension)
+    d = raw[:, hdr:].astype(np.int64)
+    nibs = np.stack([d >> 4, d & 0x0F], axis=-1).reshape(n_blocks, -1)
+    # [n_blocks, n_positions, channels]
+    nibs = nibs.reshape(n_blocks, -1, channels)
+
+    out = np.empty((n_blocks, spb, channels), dtype=np.int16)
+    out[:, 0, :] = samp2.astype(np.int16)  # older stored sample first
+    out[:, 1, :] = samp1.astype(np.int16)
+    s1, s2, dl = samp1.copy(), samp2.copy(), delta.copy()
+    for j in range(spb - 2):
+        nib = nibs[:, j, :]
+        signed = np.where(nib >= 8, nib - 16, nib)
+        pred = (s1 * c1 + s2 * c2) >> 8
+        s = np.clip(pred + dl * signed, -32768, 32767)
+        s2, s1 = s1, s
+        dl = np.maximum((adapt[nib] * dl) >> 8, 16)
+        out[:, j + 2, :] = s.astype(np.int16)
+    total = n_blocks * spb
+    n = total if n_samples is None else min(n_samples, total)
+    flat = out.reshape(total, channels)[:n]
+    return flat.astype("<i2").tobytes(), n
+
+
+def encode_wav_ms_adpcm(
+    sample_rate: int,
+    channels: int,
+    pcm_frames: bytes,
+    samples_per_block: int = 500,
+) -> bytes:
+    """Encode interleaved 16-bit PCM as an MS-ADPCM WAV (tag 2) — the
+    fixtures/tests reference encoder, plain Python.  Per block and
+    channel the predictor pair is chosen by least squared prediction
+    error over the true samples; the true frame count goes in the
+    ``fact`` chunk.  A constant clip round-trips EXACTLY with
+    predictor 0 (pred = sample1, every nibble 0)."""
+    import struct as _s
+
+    if channels < 1 or sample_rate < 1:
+        raise ValueError("bad channels/sample_rate")
+    if samples_per_block < 3 or ((samples_per_block - 2) * channels) % 2:
+        raise ValueError(
+            "samples_per_block must leave a whole number of nibble bytes"
+        )
+    if len(pcm_frames) % (2 * channels):
+        raise ValueError("PCM buffer is not whole 16-bit frames")
+    n_frames = len(pcm_frames) // (2 * channels)
+    if n_frames == 0:
+        raise ValueError("cannot encode an empty clip")
+    samples = list(_s.unpack(f"<{n_frames * channels}h", pcm_frames))
+    chans = [samples[c::channels] for c in range(channels)]
+    block_align = 7 * channels + (samples_per_block - 2) * channels // 2
+    blocks = []
+    for start in range(0, n_frames, samples_per_block):
+        src = []
+        for c in range(channels):
+            s = chans[c][start : start + samples_per_block]
+            src.append(s + [s[-1]] * (samples_per_block - len(s)))
+        # choose predictor per channel by squared error of the pure
+        # linear prediction over the block
+        pidx, deltas = [], []
+        for c in range(channels):
+            s = src[c]
+            best, best_err = 0, None
+            for pi, (c1, c2) in enumerate(_MS_COEFS):
+                err = sum(
+                    (s[k] - ((s[k - 1] * c1 + s[k - 2] * c2) >> 8)) ** 2
+                    for k in range(2, len(s))
+                )
+                if best_err is None or err < best_err:
+                    best, best_err = pi, err
+            pidx.append(best)
+            c1, c2 = _MS_COEFS[best]
+            errs = [
+                abs(s[k] - ((s[k - 1] * c1 + s[k - 2] * c2) >> 8))
+                for k in range(2, len(s))
+            ]
+            mean_err = sum(errs) // max(1, len(errs))
+            deltas.append(max(16, mean_err // 4))
+        hdr = bytes(pidx)
+        hdr += b"".join(_s.pack("<h", d) for d in deltas)
+        hdr += b"".join(_s.pack("<h", src[c][1]) for c in range(channels))
+        hdr += b"".join(_s.pack("<h", src[c][0]) for c in range(channels))
+        nibbles = []
+        state = [
+            (src[c][1], src[c][0], deltas[c]) for c in range(channels)
+        ]  # (s1, s2, delta)
+        for k in range(2, samples_per_block):
+            for c in range(channels):
+                s1, s2, dl = state[c]
+                c1, c2 = _MS_COEFS[pidx[c]]
+                pred = (s1 * c1 + s2 * c2) >> 8
+                want = src[c][k] - pred
+                nib = max(-8, min(7, int(round(want / dl))))
+                rec = max(-32768, min(32767, pred + dl * nib))
+                nib &= 0x0F
+                state[c] = (
+                    rec,
+                    s1,
+                    max(16, (_MS_ADAPT[nib] * dl) >> 8),
+                )
+                nibbles.append(nib)
+        data = bytes(
+            (nibbles[k] << 4) | nibbles[k + 1]
+            for k in range(0, len(nibbles), 2)
+        )
+        blocks.append(hdr + data)
+    data = b"".join(blocks)
+    byte_rate = sample_rate * block_align // samples_per_block
+    ext = _s.pack("<HH", samples_per_block, len(_MS_COEFS))
+    ext += b"".join(_s.pack("<hh", a, b) for a, b in _MS_COEFS)
+    fmt = _s.pack(
+        "<HHIIHHH",
+        MS_ADPCM,
+        channels,
+        sample_rate,
+        byte_rate,
+        block_align,
+        4,
+        len(ext),
+    ) + ext
+    fact = b"fact" + _s.pack("<II", 4, n_frames)
     return (
         b"RIFF"
         + _s.pack("<I", 4 + 8 + len(fmt) + len(fact) + 8 + len(data))

@@ -57,13 +57,13 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     rows-only entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "rollup_qty", (
+    assert window[-1] == "union_distinct_nations", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
-        # new in r9: MP3 walk, IMA-ADPCM, JPEG pixel decode, G.711
+        # new in r9: MP3 walk, IMA/MS-ADPCM, JPEG pixel decode, G.711
         "mp3_meta_docs", "wav_adpcm_roundtrip", "jpeg_decode_docs",
-        "wav_g711_roundtrip",
+        "wav_g711_roundtrip", "wav_ms_adpcm_roundtrip",
         # stale r3/r4/r5-signal block, oldest first
         "vocab_coverage", "funnel_signup_purchase", "retention_cohorts",
         "merge_upsert_orders", "scd2_user_status", "zorder_cluster_keys",
@@ -83,7 +83,6 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "hll_error_bound", "quantile_error_bound",
         "hilbert_cluster_keys", "incremental_minhash", "cell_edit",
         "delete_rows", "paste_splice", "union_distinct_nations",
-        "rollup_qty",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"

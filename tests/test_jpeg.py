@@ -123,15 +123,11 @@ def test_decode_meta_jpeg_codec(spark):
     )
 
 
-def test_jpeg_pixel_decode_still_raises(spark):
-    """Pixel-level ops stay honest: resize on a jpeg payload raises
-    NotImplementedError on the executor (no libjpeg here)."""
+def _jpeg_frame(spark, payload: bytes):
     from pyspark.sql import functions as F
 
-    from parquet_editor_spark.operators import multimodal as MM
-
-    df = spark.createDataFrame(
-        [(1, make_jpeg_header(8, 8, 3))], "doc_id long, payload binary"
+    return spark.createDataFrame(
+        [(1, payload)], "doc_id long, payload binary"
     ).withColumn(
         "meta",
         F.struct(
@@ -141,5 +137,41 @@ def test_jpeg_pixel_decode_still_raises(spark):
             F.md5("payload").alias("checksum"),
         ),
     )
-    with pytest.raises(Exception, match="NotImplementedError|requires"):
-        MM.resize_images(df, target_w=4, target_h=4).collect()
+
+
+def test_jpeg_pixel_decode_tier_boundaries(spark):
+    """Pixel ops on jpeg are REAL since r9 (baseline sequential via
+    sources/jpeg_codec.py) — the honest gate moved one tier down:
+    a header-only stream (no scan data) fails loudly with ValueError,
+    and a PROGRESSIVE stream raises NotImplementedError."""
+    import numpy as np
+
+    from parquet_editor_spark.operators import multimodal as MM
+    from parquet_editor_spark.sources.jpeg_codec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    # real tier: a baseline payload resizes for real
+    qt = (np.ones(64, dtype=np.int64), np.ones(64, dtype=np.int64))
+    ok = encode_jpeg_baseline(8, 8, 1, bytes(range(64)), quant_tables=qt)
+    (row,) = MM.resize_images(
+        _jpeg_frame(spark, ok), target_w=4, target_h=4
+    ).collect()
+    assert decode_jpeg_baseline(bytes(row["payload"]))[:3] == (4, 4, 1)
+
+    # malformed tier: header-only fixture (no entropy data) → ValueError
+    with pytest.raises(Exception, match="ValueError|no SOS|exhausted"):
+        MM.resize_images(
+            _jpeg_frame(spark, make_jpeg_header(8, 8, 3)),
+            target_w=4,
+            target_h=4,
+        ).collect()
+
+    # gated tier: progressive (SOF2) → NotImplementedError
+    prog = bytearray(ok)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(Exception, match="NotImplementedError|SOF2"):
+        MM.resize_images(
+            _jpeg_frame(spark, bytes(prog)), target_w=4, target_h=4
+        ).collect()

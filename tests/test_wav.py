@@ -49,8 +49,13 @@ def test_unsupported_formats_raise():
     with pytest.raises(NotImplementedError, match="float"):
         W.decode_wav(bytes(bad))
     bad = bytearray(base)
-    struct.pack_into("<H", bad, 20, 2)  # ADPCM
-    with pytest.raises(NotImplementedError, match="format 2"):
+    struct.pack_into("<H", bad, 20, 2)  # MS-ADPCM is REAL since r9 —
+    # but a 16-bit-sample fmt claiming tag 2 is malformed, not missing
+    with pytest.raises(ValueError, match="must be 4"):
+        W.decode_wav(bytes(bad))
+    bad = bytearray(base)
+    struct.pack_into("<H", bad, 20, 0xFFFE)  # extensible: still gated
+    with pytest.raises(NotImplementedError, match="format 65534"):
         W.decode_wav(bytes(bad))
     with pytest.raises(ValueError, match="RIFF"):
         W.decode_wav(b"OggS" + bytes(40))
@@ -486,4 +491,157 @@ def test_g711_error_paths():
     at = wav.index(b"fmt ") + 8 + 14
     wav[at] = 16  # claim 16-bit G.711
     with _pt.raises(ValueError, match="must be 8"):
+        decode_wav(bytes(wav))
+
+
+# ---------------------------------------------------------------------------
+# MS-ADPCM (r9)
+# ---------------------------------------------------------------------------
+
+def _ms_scalar_decode(wav: bytes):
+    """Independent scalar MS-ADPCM decoder pinning the numpy kernel."""
+    import struct
+
+    from parquet_editor_spark.sources.wav import _MS_ADAPT, _MS_COEFS
+
+    pos, fmt, data, fact = 12, None, None, None
+    while pos + 8 <= len(wav):
+        tag = wav[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", wav, pos + 4)
+        body = wav[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        elif tag == b"fact":
+            fact = struct.unpack_from("<I", body)[0]
+        pos += 8 + size + (size & 1)
+    _t, ch, rate, _br, block, _bits = struct.unpack_from("<HHIIHH", fmt)
+    spb = (block - 7 * ch) * 2 // ch + 2
+    out = []
+    for b0 in range(0, len(data), block):
+        pid = [data[b0 + c] for c in range(ch)]
+        dl = [
+            struct.unpack_from("<h", data, b0 + ch + 2 * c)[0]
+            for c in range(ch)
+        ]
+        s1 = [
+            struct.unpack_from("<h", data, b0 + 3 * ch + 2 * c)[0]
+            for c in range(ch)
+        ]
+        s2 = [
+            struct.unpack_from("<h", data, b0 + 5 * ch + 2 * c)[0]
+            for c in range(ch)
+        ]
+        for c in range(ch):
+            dl[c] = max(16, dl[c])
+        nibs = []
+        for byte in data[b0 + 7 * ch : b0 + block]:
+            nibs += [byte >> 4, byte & 15]
+        for c in range(ch):
+            out.append(s2[c])
+        for c in range(ch):
+            out.append(s1[c])
+        for k in range(spb - 2):
+            for c in range(ch):
+                nib = nibs[k * ch + c]
+                signed = nib - 16 if nib >= 8 else nib
+                c1, c2 = _MS_COEFS[pid[c]]
+                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                s = max(-32768, min(32767, pred + dl[c] * signed))
+                s2[c], s1[c] = s1[c], s
+                dl[c] = max(16, (_MS_ADAPT[nib] * dl[c]) >> 8)
+                out.append(s)
+    if fact is not None:
+        out = out[: fact * ch]
+    return rate, ch, out
+
+
+def test_ms_adpcm_constant_is_lossless():
+    """Predictor 0 makes pred == sample1, so a constant clip encodes
+    to all-zero nibbles and round-trips EXACTLY — the driver-oracle
+    property."""
+    import numpy as np
+
+    from parquet_editor_spark.sources.wav import (
+        MS_ADPCM,
+        decode_wav_ex,
+        encode_wav_ms_adpcm,
+    )
+
+    for v in (-15000, -1, 0, 123, 32767):
+        pcm = np.full(1100, v, dtype="<i2")
+        wav = encode_wav_ms_adpcm(22050, 1, pcm.tobytes())
+        _r, _c, _b, n, frames, tag = decode_wav_ex(wav)
+        assert (n, tag) == (1100, MS_ADPCM)
+        assert np.frombuffer(frames, dtype="<i2").tolist() == [v] * 1100
+
+
+def test_ms_adpcm_fidelity_and_meta():
+    import numpy as np
+
+    from parquet_editor_spark.sources.wav import (
+        MS_ADPCM,
+        decode_wav_ex,
+        encode_wav_ms_adpcm,
+    )
+
+    rng = np.random.RandomState(4)
+    for ch in (1, 2):
+        for n in (3, 498, 500, 503, 2000):
+            t = np.arange(n)
+            sig = [
+                3000 * np.sin(t / 9.0 + c) + rng.randint(-100, 100, n)
+                for c in range(ch)
+            ]
+            pcm = np.stack(sig, axis=1).reshape(-1).astype("<i2")
+            wav = encode_wav_ms_adpcm(22050, ch, pcm.tobytes())
+            r, c2, b, nf, frames, tag = decode_wav_ex(wav)
+            assert (r, c2, b, nf, tag) == (22050, ch, 16, n, MS_ADPCM)
+            if n >= 100:
+                dec = np.frombuffer(frames, dtype="<i2").astype(float)
+                err = dec - pcm.astype(float)
+                snr = 10 * np.log10(
+                    (pcm.astype(float) ** 2).mean() / max((err ** 2).mean(), 1e-9)
+                )
+                assert snr > 25, (ch, n, snr)
+
+
+def test_ms_adpcm_numpy_matches_scalar_reference():
+    import numpy as np
+
+    from parquet_editor_spark.sources.wav import (
+        decode_wav_ex,
+        encode_wav_ms_adpcm,
+    )
+
+    rng = np.random.RandomState(8)
+    for ch in (1, 2):
+        pcm = rng.randint(-32768, 32768, 1111 * ch).astype("<i2")
+        wav = encode_wav_ms_adpcm(8000, ch, pcm.tobytes())
+        _r, _c, _b, _n, frames, _t = decode_wav_ex(wav)
+        got = np.frombuffer(frames, dtype="<i2").tolist()
+        rate, c2, want = _ms_scalar_decode(wav)
+        assert (rate, c2) == (8000, ch) and got == want
+
+
+def test_ms_adpcm_error_paths():
+    import numpy as np
+    import pytest as _pt
+
+    from parquet_editor_spark.sources.wav import (
+        decode_wav,
+        encode_wav_ms_adpcm,
+    )
+
+    with _pt.raises(ValueError, match="nibble"):
+        encode_wav_ms_adpcm(8000, 1, bytes(8), samples_per_block=2)
+    with _pt.raises(ValueError, match="nibble"):
+        encode_wav_ms_adpcm(8000, 1, bytes(8), samples_per_block=5)
+    wav = bytearray(
+        encode_wav_ms_adpcm(8000, 1, np.zeros(100, dtype="<i2").tobytes())
+    )
+    at = wav.index(b"data") + 8
+    wav[at] = 9  # predictor index > 6
+    with _pt.raises(ValueError, match="predictor"):
         decode_wav(bytes(wav))
