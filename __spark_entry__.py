@@ -1955,6 +1955,77 @@ def q_jpeg_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_bmp_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF (LZW) + BMP decode paths (sources/gif.py, sources/
+    bmp.py, new r9): per doc, synthesize a 256-wide horizontal
+    GRADIENT image — pixel(x) = (x + doc_id) % 256 — encoded as GIF
+    for even docs (real variable-width LZW with interlace on every
+    third) and BMP for odd docs (bottom-up palettized rows).  Both
+    formats are lossless, and a 256-wide gradient covers every gray
+    level, so the stats are closed-form: each row of the RGB-expanded
+    output sums to 3·32640 regardless of the doc_id phase.  Runs the
+    production ``image_pixel_stats`` stage (Arrow, executor-side)."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 43 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("codec", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.bmp import encode_bmp
+        from parquet_editor_spark.sources.gif import encode_gif
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads, codecs = [], []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                h = 3 + i % 14
+                row = bytes((x + i) % 256 for x in range(256))
+                pix = row * h
+                if i % 2 == 0:
+                    payloads.append(
+                        encode_gif(256, h, 1, pix, interlace=i % 3 == 0)
+                    )
+                    codecs.append("gif")
+                else:
+                    payloads.append(encode_bmp(256, h, 1, pix))
+                    codecs.append("bmp")
+            pdf["payload"] = payloads
+            pdf["codec"] = codecs
+            yield pdf[["doc_id", "payload", "codec"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.col("codec").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    return (
+        MM.image_pixel_stats(with_payload)
+        .select(
+            "doc_id", "codec", "width", "height", "channels",
+            "px_min", "px_max", "px_sum", "n_px",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -4729,7 +4800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode_docs": q_jpeg_decode_docs,
         "wav_g711_roundtrip": q_wav_g711_roundtrip,
         "wav_ms_adpcm_roundtrip": q_wav_ms_adpcm_roundtrip,
-        # --- 6-50. stale r3/r4/r5-signal block, oldest first ---
+        "gif_bmp_decode_docs": q_gif_bmp_decode_docs,
+        # --- 7-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -4774,9 +4846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_edit": q_cell_edit,
         "delete_rows": q_delete_rows,
         "paste_splice": q_paste_splice,
-        "union_distinct_nations": q_union_distinct_nations,
         # ================= end of 50-entry driver window =================
         # --- behind window: remainder of the stale block ---
+        "union_distinct_nations": q_union_distinct_nations,
         "rollup_qty": q_rollup_qty,
         "pivot_count_distinct": q_pivot_count_distinct,
         "pipeline_curation_v2": q_pipeline_curation_v2,
@@ -6625,6 +6697,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + doc_id % 4 AS INT) AS channels
             FROM documents
             WHERE doc_id % 13 = 0
+            ORDER BY doc_id
+        """,
+        "gif_bmp_decode_docs": """
+            WITH params AS (
+                SELECT doc_id,
+                       3 + doc_id % 14 AS h,
+                       CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp'
+                       END AS codec
+                FROM documents
+                WHERE doc_id % 43 = 0
+            )
+            SELECT doc_id,
+                   codec,
+                   CAST(256 AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   CAST(0 AS INT) AS px_min,
+                   CAST(255 AS INT) AS px_max,
+                   CAST(3 * h * 32640 AS BIGINT) AS px_sum,
+                   CAST(256 * h * 3 AS BIGINT) AS n_px
+            FROM params
             ORDER BY doc_id
         """,
         "wav_ms_adpcm_roundtrip": """

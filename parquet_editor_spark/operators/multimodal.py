@@ -154,6 +154,15 @@ def decode_meta(
                 )
 
                 return jpeg_header_meta(p)
+            if codec == "gif":
+                from parquet_editor_spark.sources.gif import gif_meta
+
+                w, h, _frames = gif_meta(p)
+                return (w, h, 3)
+            if codec == "bmp":
+                from parquet_editor_spark.sources.bmp import bmp_meta
+
+                return bmp_meta(p)
             if codec == "fake":
                 return fake(p)
             raise NotImplementedError(
@@ -281,6 +290,37 @@ def resize_images(
                     ch,
                     _png.resize_nearest(pix, w, h, ch, target_w, target_h),
                 )
+            if codec == "gif":
+                # nearest-neighbor keeps the palette closed (it only
+                # samples existing pixels), so re-encode cannot exceed
+                # the 256-color fixture bound
+                from parquet_editor_spark.sources import png as _png
+                from parquet_editor_spark.sources.gif import (
+                    decode_gif,
+                    encode_gif,
+                )
+
+                w, h, ch, pix = decode_gif(p)
+                return encode_gif(
+                    target_w,
+                    target_h,
+                    ch,
+                    _png.resize_nearest(pix, w, h, ch, target_w, target_h),
+                )
+            if codec == "bmp":
+                from parquet_editor_spark.sources import png as _png
+                from parquet_editor_spark.sources.bmp import (
+                    decode_bmp,
+                    encode_bmp,
+                )
+
+                w, h, ch, pix = decode_bmp(p)
+                return encode_bmp(
+                    target_w,
+                    target_h,
+                    ch,
+                    _png.resize_nearest(pix, w, h, ch, target_w, target_h),
+                )
             if codec == "fake":
                 return _h.md5(p + f"{target_w}x{target_h}".encode()).digest()
             raise NotImplementedError(
@@ -355,6 +395,14 @@ def image_pixel_stats(
                 )
 
                 w, h, ch, pix = decode_jpeg_baseline(p)
+            elif codec == "gif":
+                from parquet_editor_spark.sources.gif import decode_gif
+
+                w, h, ch, pix = decode_gif(p)
+            elif codec == "bmp":
+                from parquet_editor_spark.sources.bmp import decode_bmp
+
+                w, h, ch, pix = decode_bmp(p)
             elif codec == "fake":
                 d = _h.md5(p).digest()
                 w, h, ch = 16 + d[0] % 1024, 16 + d[1] % 1024, 1 + d[2] % 4

@@ -24,8 +24,13 @@ Scope (public RIFF/WAVE spec, nothing else):
   linear predictor + per-nibble delta adaptation, vectorized across
   blocks exactly like the IMA path; ``encode_wav_ms_adpcm`` writes
   fixtures (predictor chosen per block by least squared error).
-- Extensible (tag 0xFFFE) and anything else raise
-  ``NotImplementedError`` — those belong to a real audio library.
+- WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE, r9) unwraps for REAL: the
+  SubFormat GUID's first two bytes are the true format tag (per the
+  public multichannel spec, how >2-channel and 24/32-bit files are
+  normally written); the decoder validates the standard GUID suffix
+  and re-dispatches to whichever inner format it already handles.
+- Anything else raises ``NotImplementedError`` — those belong to a
+  real audio library.
 - The parser walks chunks (skipping LIST/fact/etc.), validates sizes,
   and tolerates the common off-spec trailing-pad byte.
 
@@ -90,6 +95,10 @@ _MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
              (460, -208), (392, -232))
 _MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
              768, 614, 512, 409, 307, 230, 230, 230)
+
+EXTENSIBLE = 0xFFFE
+# KSDATAFORMAT_SUBTYPE_* GUID minus the leading 2-byte format tag
+_KSDATAFORMAT_SUFFIX = bytes.fromhex("0000000010008000 00aa00389b71".replace(" ", ""))
 
 
 def encode_wav(
@@ -188,6 +197,24 @@ def decode_wav_ex(data: bytes) -> tuple[int, int, int, int, bytes, int]:
     tag, channels, rate, _brate, block, bits = struct.unpack_from(
         "<HHIIHH", fmt
     )
+    if tag == EXTENSIBLE:
+        # SubFormat GUID: 2-byte true tag + the fixed media-subtype
+        # suffix 00-00-00-10-00-80-00-00-AA-00-38-9B-71
+        if len(fmt) < 40:
+            raise ValueError(
+                "WAVE_FORMAT_EXTENSIBLE fmt chunk shorter than 40 bytes"
+            )
+        guid = fmt[24:40]
+        if guid[2:] != _KSDATAFORMAT_SUFFIX:
+            raise NotImplementedError(
+                f"non-standard WAVE_FORMAT_EXTENSIBLE SubFormat GUID "
+                f"{guid.hex()}"
+            )
+        tag = struct.unpack_from("<H", guid)[0]
+        # valid-bits may narrow the container width; the container
+        # width (fmt wBitsPerSample) is what block math uses
+        if tag == EXTENSIBLE:
+            raise ValueError("EXTENSIBLE SubFormat nests EXTENSIBLE")
     if tag == PCM:
         if bits not in _SUPPORTED_BITS:
             raise NotImplementedError(

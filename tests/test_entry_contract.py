@@ -57,13 +57,15 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     rows-only entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "union_distinct_nations", (
+    assert window[-1] == "paste_splice", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
-        # new in r9: MP3 walk, IMA/MS-ADPCM, JPEG pixel decode, G.711
+        # new in r9: MP3 walk, IMA/MS-ADPCM, JPEG pixels, G.711,
+        # GIF-LZW + BMP
         "mp3_meta_docs", "wav_adpcm_roundtrip", "jpeg_decode_docs",
         "wav_g711_roundtrip", "wav_ms_adpcm_roundtrip",
+        "gif_bmp_decode_docs",
         # stale r3/r4/r5-signal block, oldest first
         "vocab_coverage", "funnel_signup_purchase", "retention_cohorts",
         "merge_upsert_orders", "scd2_user_status", "zorder_cluster_keys",
@@ -82,7 +84,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "avro_roundtrip_part", "variant_extract_events",
         "hll_error_bound", "quantile_error_bound",
         "hilbert_cluster_keys", "incremental_minhash", "cell_edit",
-        "delete_rows", "paste_splice", "union_distinct_nations",
+        "delete_rows", "paste_splice",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"

@@ -54,8 +54,12 @@ def test_unsupported_formats_raise():
     with pytest.raises(ValueError, match="must be 4"):
         W.decode_wav(bytes(bad))
     bad = bytearray(base)
-    struct.pack_into("<H", bad, 20, 0xFFFE)  # extensible: still gated
-    with pytest.raises(NotImplementedError, match="format 65534"):
+    struct.pack_into("<H", bad, 20, 0xFFFE)  # extensible w/o extension
+    with pytest.raises(ValueError, match="40 bytes"):
+        W.decode_wav(bytes(bad))
+    bad = bytearray(base)
+    struct.pack_into("<H", bad, 20, 0x0055)  # MPEG-layer-3-in-WAV: gated
+    with pytest.raises(NotImplementedError, match="format 85"):
         W.decode_wav(bytes(bad))
     with pytest.raises(ValueError, match="RIFF"):
         W.decode_wav(b"OggS" + bytes(40))
@@ -645,3 +649,71 @@ def test_ms_adpcm_error_paths():
     wav[at] = 9  # predictor index > 6
     with _pt.raises(ValueError, match="predictor"):
         decode_wav(bytes(wav))
+
+
+# ---------------------------------------------------------------------------
+# WAVE_FORMAT_EXTENSIBLE (r9)
+# ---------------------------------------------------------------------------
+
+def _make_extensible(inner_wav: bytes, channel_mask: int = 0) -> bytes:
+    """Rewrap a canonical WAV's fmt chunk as WAVE_FORMAT_EXTENSIBLE
+    (tag 0xFFFE + 22-byte extension with the true tag in the GUID)."""
+    import struct
+
+    at = inner_wav.index(b"fmt ")
+    (size,) = struct.unpack_from("<I", inner_wav, at + 4)
+    fmt = bytearray(inner_wav[at + 8 : at + 8 + size])
+    (true_tag,) = struct.unpack_from("<H", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    struct.pack_into("<H", fmt, 0, 0xFFFE)
+    ext = struct.pack("<HHI", 22, bits, channel_mask) + struct.pack(
+        "<H", true_tag
+    ) + bytes.fromhex("000000001000800000aa00389b71")
+    new_fmt = bytes(fmt[:16]) + ext
+    return (
+        inner_wav[:at]
+        + b"fmt "
+        + struct.pack("<I", len(new_fmt))
+        + new_fmt
+        + inner_wav[at + 8 + size :]
+    )
+
+
+def test_extensible_unwraps_pcm_float_and_g711():
+    import struct
+
+    import numpy as np
+
+    # PCM 24-bit 3-channel — the shape extensible exists for
+    pcm = bytes((i * 7 + 3) % 256 for i in range(9 * 3 * 3))
+    base = W.encode_wav(48000, 3, 24, pcm)
+    got = W.decode_wav(_make_extensible(base, channel_mask=0b111))
+    assert got == (48000, 3, 24, 9, pcm)
+
+    # float 32
+    frames = struct.pack("<6f", *[0.5, -0.25, 1.0, -1.0, 0.125, 0.0])
+    base = W.encode_wav(16000, 1, 32, frames, fmt_tag=W.IEEE_FLOAT)
+    rate, ch, bits, n, out, tag = W.decode_wav_ex(_make_extensible(base))
+    assert (rate, ch, bits, n, out, tag) == (16000, 1, 32, 6, frames, 3)
+
+    # mu-law (already non-trivial inner decode)
+    vals = np.asarray([0, 8, -8, 64, -64, 120], dtype="<i2")
+    base = W.encode_wav_g711(8000, 1, vals.tobytes(), law="mu")
+    rate, ch, bits, n, out, tag = W.decode_wav_ex(_make_extensible(base))
+    assert (rate, ch, bits, n, tag) == (8000, 1, 16, 6, W.MULAW)
+    assert (np.frombuffer(out, dtype="<i2") == vals).all()
+
+
+def test_extensible_rejects_unknown_guid_and_nesting():
+    import struct
+
+    base = W.encode_wav(8000, 1, 16, bytes(4))
+    wrapped = bytearray(_make_extensible(base))
+    at = wrapped.index(b"fmt ") + 8 + 16 + 8 + 2  # GUID suffix start
+    wrapped[at] ^= 0xFF
+    with pytest.raises(NotImplementedError, match="GUID"):
+        W.decode_wav(bytes(wrapped))
+    wrapped = bytearray(_make_extensible(base))
+    struct.pack_into("<H", wrapped, wrapped.index(b"fmt ") + 8 + 16 + 8, 0xFFFE)
+    with pytest.raises(ValueError, match="nests"):
+        W.decode_wav(bytes(wrapped))
