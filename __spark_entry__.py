@@ -1877,15 +1877,18 @@ def q_wav_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jpeg_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-JPEG PIXEL decode (sources/jpeg_codec.py, new r9
-    — r8 verdict item 8): per doc, encode a constant-gray image whose
+    """REAL JPEG PIXEL decode (sources/jpeg_codec.py, new r9 — r8
+    verdict item 8): per doc, encode a constant-gray image whose
     dims/value derive from doc_id using a DC quant step of 8 (flat
     fields round-trip EXACTLY: the only nonzero coefficient is
     DC = 8·(v−128), and quantizing by 8 is lossless — pinned by
     test_constant_gray_roundtrips_exactly), then run the production
     ``image_pixel_stats`` stage: full Huffman entropy decode + numpy
-    IDCT on the executors, int64-exact pixel stats out.  Oracle:
-    closed-form arithmetic on doc_id."""
+    IDCT on the executors, int64-exact pixel stats out.  Every third
+    doc encodes PROGRESSIVE (SOF2: spectral selection + successive
+    approximation, exercising the multi-scan DC/AC refinement
+    decode); every fourth baseline doc carries restart markers.
+    Oracle: closed-form arithmetic on doc_id."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -1909,6 +1912,7 @@ def q_jpeg_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from parquet_editor_spark.sources.jpeg_codec import (
             encode_jpeg_baseline,
+            encode_jpeg_progressive,
         )
 
         qt = (
@@ -1923,16 +1927,23 @@ def q_jpeg_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w = 8 + i % 120
                 h = 8 + (i * 3) % 90
                 v = (i * 17) % 256
-                payloads.append(
-                    encode_jpeg_baseline(
-                        w,
-                        h,
-                        1,
-                        bytes([v]) * (w * h),
-                        quant_tables=qt,
-                        restart_interval=2 if i % 4 == 0 else 0,
+                if i % 3 == 0:
+                    payloads.append(
+                        encode_jpeg_progressive(
+                            w, h, 1, bytes([v]) * (w * h), quant_tables=qt
+                        )
                     )
-                )
+                else:
+                    payloads.append(
+                        encode_jpeg_baseline(
+                            w,
+                            h,
+                            1,
+                            bytes([v]) * (w * h),
+                            quant_tables=qt,
+                            restart_interval=2 if i % 4 == 0 else 0,
+                        )
+                    )
             pdf["payload"] = payloads
             yield pdf[["doc_id", "payload"]]
 

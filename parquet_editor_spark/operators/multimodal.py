@@ -13,10 +13,12 @@ paths, dispatched per row on ``meta.codec``:
 - ``codec="jpeg"``/``"jpg"`` — REAL on two tiers: ``decode_meta``
   stays the O(header) SOF marker walk (``sources/jpeg.py``, r8 —
   dimensions never need entropy decode), while ``resize_images`` and
-  ``image_pixel_stats`` run the full baseline-sequential pixel codec
-  (``sources/jpeg_codec.py``, r9 — stream-supplied Huffman/quant
-  tables, numpy einsum IDCT, 4:4:4/4:2:0, restart markers).
-  Progressive/arithmetic streams still raise.
+  ``image_pixel_stats`` run the full pixel codec
+  (``sources/jpeg_codec.py``, r9 — baseline SOF0 AND progressive
+  SOF2 with spectral selection + successive approximation;
+  stream-supplied Huffman/quant tables, numpy einsum IDCT,
+  4:4:4/4:2:0, restart markers).  Arithmetic/lossless/hierarchical
+  streams still raise.
 - ``codec="fake"`` — the deterministic fake retained for every other
   format: exercises the real Spark plumbing (binary Arrow transfer,
   batch iteration, array-column schemas, explode for frame sampling)
@@ -279,11 +281,11 @@ def resize_images(
                 # RGB only (a 2/4-channel frame was never a JPEG)
                 from parquet_editor_spark.sources import png as _png
                 from parquet_editor_spark.sources.jpeg_codec import (
-                    decode_jpeg_baseline,
+                    decode_jpeg,
                     encode_jpeg_baseline,
                 )
 
-                w, h, ch, pix = decode_jpeg_baseline(p)
+                w, h, ch, pix = decode_jpeg(p)
                 return encode_jpeg_baseline(
                     target_w,
                     target_h,
@@ -391,10 +393,10 @@ def image_pixel_stats(
                 w, h, ch, pix = decode_png(p)
             elif codec in ("jpeg", "jpg"):
                 from parquet_editor_spark.sources.jpeg_codec import (
-                    decode_jpeg_baseline,
+                    decode_jpeg,
                 )
 
-                w, h, ch, pix = decode_jpeg_baseline(p)
+                w, h, ch, pix = decode_jpeg(p)
             elif codec == "gif":
                 from parquet_editor_spark.sources.gif import decode_gif
 

@@ -140,25 +140,31 @@ def _jpeg_frame(spark, payload: bytes):
 
 
 def test_jpeg_pixel_decode_tier_boundaries(spark):
-    """Pixel ops on jpeg are REAL since r9 (baseline sequential via
-    sources/jpeg_codec.py) — the honest gate moved one tier down:
-    a header-only stream (no scan data) fails loudly with ValueError,
-    and a PROGRESSIVE stream raises NotImplementedError."""
+    """Pixel ops on jpeg are REAL since r9 — baseline AND progressive
+    (sources/jpeg_codec.py) — so the honest gate moved two tiers
+    down: a header-only stream (no scan data) fails loudly with
+    ValueError, and an ARITHMETIC-coded stream (SOF9) raises
+    NotImplementedError."""
     import numpy as np
 
     from parquet_editor_spark.operators import multimodal as MM
     from parquet_editor_spark.sources.jpeg_codec import (
-        decode_jpeg_baseline,
+        decode_jpeg,
         encode_jpeg_baseline,
+        encode_jpeg_progressive,
     )
 
-    # real tier: a baseline payload resizes for real
+    # real tier: baseline AND progressive payloads resize for real
     qt = (np.ones(64, dtype=np.int64), np.ones(64, dtype=np.int64))
     ok = encode_jpeg_baseline(8, 8, 1, bytes(range(64)), quant_tables=qt)
-    (row,) = MM.resize_images(
-        _jpeg_frame(spark, ok), target_w=4, target_h=4
-    ).collect()
-    assert decode_jpeg_baseline(bytes(row["payload"]))[:3] == (4, 4, 1)
+    prog = encode_jpeg_progressive(
+        8, 8, 1, bytes(range(64)), quant_tables=qt
+    )
+    for payload in (ok, prog):
+        (row,) = MM.resize_images(
+            _jpeg_frame(spark, payload), target_w=4, target_h=4
+        ).collect()
+        assert decode_jpeg(bytes(row["payload"]))[:3] == (4, 4, 1)
 
     # malformed tier: header-only fixture (no entropy data) → ValueError
     with pytest.raises(Exception, match="ValueError|no SOS|exhausted"):
@@ -168,10 +174,10 @@ def test_jpeg_pixel_decode_tier_boundaries(spark):
             target_h=4,
         ).collect()
 
-    # gated tier: progressive (SOF2) → NotImplementedError
-    prog = bytearray(ok)
-    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(Exception, match="NotImplementedError|SOF2"):
+    # gated tier: arithmetic coding (SOF9) → NotImplementedError
+    arith = bytearray(ok)
+    arith[arith.index(b"\xff\xc0") + 1] = 0xC9
+    with pytest.raises(Exception, match="NotImplementedError|SOF9"):
         MM.resize_images(
-            _jpeg_frame(spark, bytes(prog)), target_w=4, target_h=4
+            _jpeg_frame(spark, bytes(arith)), target_w=4, target_h=4
         ).collect()

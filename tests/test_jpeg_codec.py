@@ -160,3 +160,83 @@ def test_image_pixel_stats_stage(spark):
     out = {r["doc_id"]: r for r in image_pixel_stats(df).collect()}
     assert (out[1]["px_min"], out[1]["px_max"], out[1]["px_sum"], out[1]["n_px"]) == (9, 9, 9 * 24, 24)
     assert (out[2]["width"], out[2]["height"], out[2]["px_sum"]) == (3, 2, 21)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — r9
+# ---------------------------------------------------------------------------
+
+def test_progressive_pixels_equal_baseline_pixels():
+    """Both encoders write identical quantized coefficients through
+    completely different entropy stacks (sequential Huffman vs
+    spectral-selection + successive-approximation scans), so decoded
+    pixels must be BIT-IDENTICAL — one mismatch anywhere in the
+    EOB-run / refinement machinery breaks this."""
+    from parquet_editor_spark.sources.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(9)
+    for w, h, ch, sub in [
+        (8, 8, 1, "444"), (23, 11, 1, "444"),
+        (32, 24, 3, "444"), (32, 24, 3, "420"), (17, 9, 3, "420"),
+    ]:
+        pix = bytes(rng.randint(0, 256, w * h * ch).astype(np.uint8))
+        for q in (30, 85, 95):
+            base = encode_jpeg_baseline(
+                w, h, ch, pix, quality=q, subsampling=sub
+            )
+            prog = encode_jpeg_progressive(
+                w, h, ch, pix, quality=q, subsampling=sub
+            )
+            assert decode_jpeg(prog) == decode_jpeg(base), (w, h, ch, sub, q)
+
+
+def test_progressive_stream_is_really_sof2_multiscan():
+    from parquet_editor_spark.sources.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    prog = encode_jpeg_progressive(16, 16, 3, bytes(16 * 16 * 3))
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+    assert prog.count(b"\xff\xda") == 1 + 2 * 3 + 1 + 2 * 3  # 14 scans
+
+
+def test_progressive_band_split_parameter():
+    from parquet_editor_spark.sources.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(2)
+    pix = bytes(rng.randint(0, 256, 24 * 16).astype(np.uint8))
+    outs = {
+        decode_jpeg(
+            encode_jpeg_progressive(24, 16, 1, pix, split_at=s)
+        )
+        for s in (2, 6, 33, 63)
+    }
+    assert len(outs) == 1  # split point changes scans, not pixels
+
+
+def test_decode_jpeg_delegates_baseline_and_gates_arithmetic():
+    from parquet_editor_spark.sources.jpeg_codec import decode_jpeg
+
+    base = encode_jpeg_baseline(8, 8, 1, bytes(64), quant_tables=_QT_DC8)
+    assert decode_jpeg(base) == decode_jpeg_baseline(base)
+    arith = bytearray(base)
+    arith[arith.index(b"\xff\xc0") + 1] = 0xC9  # SOF9: arithmetic
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_jpeg(bytes(arith))
+
+
+def test_progressive_truncated_stream_raises():
+    from parquet_editor_spark.sources.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    prog = encode_jpeg_progressive(16, 16, 1, bytes(256))
+    with pytest.raises(ValueError):
+        decode_jpeg(prog[: len(prog) - 30])  # EOI + last scan cut off
