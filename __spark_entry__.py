@@ -2037,6 +2037,106 @@ def q_gif_bmp_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_curation_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MULTIMODAL curation composition (new r9): one
+    Arrow pipeline dispatches four REAL image codecs per row — PNG,
+    JPEG (DC-8 exact), GIF (LZW), BMP — through the production
+    ``image_pixel_stats`` stage, derives integer brightness, joins it
+    with the document's own text length, and emits the keep/drop
+    decision a crawl-curation pass would make (brightness band x
+    minimum text length).  Constant-gray fixtures make every stat
+    closed-form while Spark runs the full four-codec decode fan.
+    Scale shape: projections + one Arrow stage, no shuffle before the
+    final orderBy."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 47 == 0)
+        .select("doc_id", F.length("text").cast("long").alias("text_len"))
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text_len", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("codec", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from parquet_editor_spark.sources.bmp import encode_bmp
+        from parquet_editor_spark.sources.gif import encode_gif
+        from parquet_editor_spark.sources.jpeg_codec import (
+            encode_jpeg_baseline,
+        )
+        from parquet_editor_spark.sources.png import encode_png
+
+        qt = (
+            np.full(64, 8, dtype=np.int64),
+            np.full(64, 8, dtype=np.int64),
+        )
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads, codecs = [], []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                w = 8 + i % 60
+                h = 8 + (i * 3) % 40
+                v = (i * 29) % 256
+                pix = bytes([v]) * (w * h)
+                k = i % 4
+                if k == 0:
+                    payloads.append(encode_png(w, h, 1, pix))
+                    codecs.append("png")
+                elif k == 1:
+                    payloads.append(
+                        encode_jpeg_baseline(w, h, 1, pix, quant_tables=qt)
+                    )
+                    codecs.append("jpeg")
+                elif k == 2:
+                    payloads.append(encode_gif(w, h, 1, pix))
+                    codecs.append("gif")
+                else:
+                    payloads.append(encode_bmp(w, h, 1, pix))
+                    codecs.append("bmp")
+            pdf["payload"] = payloads
+            pdf["codec"] = codecs
+            yield pdf[["doc_id", "text_len", "payload", "codec"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.col("codec").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    stats = MM.image_pixel_stats(with_payload)
+    # brightness is exact for constant frames: px_sum / n_px == v
+    bright = (F.col("px_sum") / F.col("n_px")).cast("long")
+    return (
+        stats.select(
+            "doc_id",
+            "codec",
+            "width",
+            "height",
+            "text_len",
+            bright.alias("brightness"),
+            (
+                bright.between(10, 240) & (F.col("text_len") >= 100)
+            ).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -4812,7 +4912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_g711_roundtrip": q_wav_g711_roundtrip,
         "wav_ms_adpcm_roundtrip": q_wav_ms_adpcm_roundtrip,
         "gif_bmp_decode_docs": q_gif_bmp_decode_docs,
-        # --- 7-50. stale r3/r4/r5-signal block, oldest first ---
+        "multimodal_curation_v1": q_multimodal_curation_v1,
+        # --- 8-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -4851,7 +4952,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip_part": q_avro_roundtrip_part,
         "variant_extract_events": q_variant_extract_events,
         "hll_error_bound": q_hll_error_bound,
-        "quantile_error_bound": q_quantile_error_bound,
         "hilbert_cluster_keys": q_hilbert_cluster_keys,
         "incremental_minhash": q_incremental_minhash,
         "cell_edit": q_cell_edit,
@@ -4859,6 +4959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paste_splice": q_paste_splice,
         # ================= end of 50-entry driver window =================
         # --- behind window: remainder of the stale block ---
+        "quantile_error_bound": q_quantile_error_bound,
         "union_distinct_nations": q_union_distinct_nations,
         "rollup_qty": q_rollup_qty,
         "pivot_count_distinct": q_pivot_count_distinct,
@@ -6708,6 +6809,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + doc_id % 4 AS INT) AS channels
             FROM documents
             WHERE doc_id % 13 = 0
+            ORDER BY doc_id
+        """,
+        "multimodal_curation_v1": """
+            WITH params AS (
+                SELECT doc_id,
+                       length(text) AS text_len,
+                       8 + doc_id % 60 AS w,
+                       8 + (doc_id * 3) % 40 AS h,
+                       (doc_id * 29) % 256 AS v,
+                       CASE doc_id % 4
+                           WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                           WHEN 2 THEN 'gif' ELSE 'bmp'
+                       END AS codec
+                FROM documents
+                WHERE doc_id % 47 = 0
+            )
+            SELECT doc_id,
+                   codec,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(text_len AS BIGINT) AS text_len,
+                   CAST(v AS BIGINT) AS brightness,
+                   CAST(CASE WHEN v BETWEEN 10 AND 240
+                              AND text_len >= 100
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM params
             ORDER BY doc_id
         """,
         "gif_bmp_decode_docs": """
