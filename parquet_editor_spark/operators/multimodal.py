@@ -661,15 +661,23 @@ def resample_audio(
                 from parquet_editor_spark.sources import wav as _wav
 
                 # decode_wav_ex keeps the fmt tag so a float WAV
-                # re-encodes as float, not mislabeled int PCM
+                # re-encodes as float (not mislabeled int PCM) and a
+                # compressed WAV re-encodes in its OWN format — every
+                # decodable tag has a matching encoder since r9
                 rate, ch, bits, n, frames, tag = _wav.decode_wav_ex(p)
                 tgt_n = max(1, n * target_rate // rate)
+                res = _wav.resample_nearest(frames, ch, bits, n, tgt_n)
+                if tag == _wav.IMA_ADPCM:
+                    return _wav.encode_wav_adpcm(target_rate, ch, res)
+                if tag == _wav.MS_ADPCM:
+                    return _wav.encode_wav_ms_adpcm(target_rate, ch, res)
+                if tag in (_wav.ALAW, _wav.MULAW):
+                    return _wav.encode_wav_g711(
+                        target_rate, ch, res,
+                        law="a" if tag == _wav.ALAW else "mu",
+                    )
                 return _wav.encode_wav(
-                    target_rate,
-                    ch,
-                    bits,
-                    _wav.resample_nearest(frames, ch, bits, n, tgt_n),
-                    fmt_tag=tag,
+                    target_rate, ch, bits, res, fmt_tag=tag
                 )
             if codec == "fake":
                 return _h.md5(p + f"@{target_rate}".encode()).digest()

@@ -717,3 +717,41 @@ def test_extensible_rejects_unknown_guid_and_nesting():
     struct.pack_into("<H", wrapped, wrapped.index(b"fmt ") + 8 + 16 + 8, 0xFFFE)
     with pytest.raises(ValueError, match="nests"):
         W.decode_wav(bytes(wrapped))
+
+
+def test_resample_audio_preserves_compressed_formats(spark):
+    """resample_audio re-encodes each decodable WAV variant in its
+    OWN format (r9: ADPCM/G.711 inputs previously had no encoder and
+    would have crashed at the PCM re-encode)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    pcm = np.full(800, 64, dtype="<i2").tobytes()  # 64: exact mu code
+    rows = [
+        (1, W.encode_wav_adpcm(16000, 1, pcm), W.IMA_ADPCM),
+        (2, W.encode_wav_ms_adpcm(16000, 1, pcm), W.MS_ADPCM),
+        (3, W.encode_wav_g711(16000, 1, pcm, law="mu"), W.MULAW),
+        (4, W.encode_wav_g711(16000, 1, pcm, law="a"), W.ALAW),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _t in rows], "clip_id long, payload binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("wav").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    out = {
+        r["clip_id"]: r
+        for r in MM.resample_audio(df, target_rate=8000).collect()
+    }
+    want_tags = {i: t for i, _p, t in rows}
+    for cid, row in out.items():
+        rate, ch, _b, n, _f, tag = W.decode_wav_ex(bytes(row["payload"]))
+        assert (rate, ch, tag) == (8000, 1, want_tags[cid]), cid
+        assert n == 400
