@@ -2137,6 +2137,123 @@ def q_multimodal_curation_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_curation_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio sibling of ``multimodal_curation_v1`` (new r9): one
+    Arrow ``audio_meta`` stage dispatches four REAL audio decoders
+    per row — PCM WAV, FLAC STREAMINFO, MP3 frame walk, IMA-ADPCM —
+    then the duration/rate band plus the document's text length make
+    the keep/drop decision.  Every branch reuses a doc_id formula
+    already proven by its own codec query, so the oracle is
+    closed-form CASE arithmetic."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 53 == 0)
+        .select("doc_id", F.length("text").cast("long").alias("text_len"))
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text_len", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("codec", T.StringType()),
+        ]
+    )
+
+    _RATES9 = (44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000)
+
+    def gen(batches):
+        import numpy as np
+
+        from parquet_editor_spark.sources.flac import make_flac_header
+        from parquet_editor_spark.sources.mp3 import make_mp3
+        from parquet_editor_spark.sources.wav import (
+            encode_wav,
+            encode_wav_adpcm,
+        )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads, codecs = [], []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                k = i % 4
+                if k == 0:
+                    ch = 1 + i % 2
+                    n = 200 + (i * 7) % 900
+                    payloads.append(
+                        encode_wav(
+                            8000 + (i % 5) * 2000, ch, 16,
+                            bytes(2 * ch * n),
+                        )
+                    )
+                    codecs.append("wav")
+                elif k == 1:
+                    payloads.append(
+                        make_flac_header(
+                            8000 + (i % 11) * 4000,
+                            1 + i % 8,
+                            16,
+                            1000 + (i * 37) % 100000,
+                        )
+                    )
+                    codecs.append("flac")
+                elif k == 2:
+                    rate = _RATES9[i % 9]
+                    kbps = 128 if i % 9 < 3 else 64
+                    payloads.append(
+                        make_mp3(
+                            rate, 1 + i % 2, 3 + (i * 7) % 40, kbps
+                        )
+                    )
+                    codecs.append("mp3")
+                else:
+                    ch = 1 + i % 2
+                    n = 100 + (i * 3) % 1500
+                    pcm = np.zeros(n * ch, dtype="<i2")
+                    payloads.append(
+                        encode_wav_adpcm(
+                            8000 + (i % 4) * 4000, ch, pcm.tobytes()
+                        )
+                    )
+                    codecs.append("wav")
+            pdf["payload"] = payloads
+            pdf["codec"] = codecs
+            yield pdf[["doc_id", "text_len", "payload", "codec"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.col("codec").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    metaed = MM.audio_meta(with_payload)
+    return (
+        metaed.select(
+            "doc_id",
+            "codec",
+            "sample_rate",
+            "channels",
+            "n_frames",
+            "duration_ms",
+            "text_len",
+            (
+                F.col("duration_ms").between(50, 5000)
+                & (F.col("sample_rate") >= 16000)
+                & (F.col("text_len") >= 80)
+            ).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -4913,7 +5030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_ms_adpcm_roundtrip": q_wav_ms_adpcm_roundtrip,
         "gif_bmp_decode_docs": q_gif_bmp_decode_docs,
         "multimodal_curation_v1": q_multimodal_curation_v1,
-        # --- 8-50. stale r3/r4/r5-signal block, oldest first ---
+        "audio_curation_v1": q_audio_curation_v1,
+        # --- 9-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -4951,7 +5069,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_k": q_weighted_sample_k,
         "avro_roundtrip_part": q_avro_roundtrip_part,
         "variant_extract_events": q_variant_extract_events,
-        "hll_error_bound": q_hll_error_bound,
         "hilbert_cluster_keys": q_hilbert_cluster_keys,
         "incremental_minhash": q_incremental_minhash,
         "cell_edit": q_cell_edit,
@@ -4959,6 +5076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paste_splice": q_paste_splice,
         # ================= end of 50-entry driver window =================
         # --- behind window: remainder of the stale block ---
+        "hll_error_bound": q_hll_error_bound,
         "quantile_error_bound": q_quantile_error_bound,
         "union_distinct_nations": q_union_distinct_nations,
         "rollup_qty": q_rollup_qty,
@@ -6809,6 +6927,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + doc_id % 4 AS INT) AS channels
             FROM documents
             WHERE doc_id % 13 = 0
+            ORDER BY doc_id
+        """,
+        "audio_curation_v1": """
+            WITH params AS (
+                SELECT doc_id,
+                       length(text) AS text_len,
+                       doc_id % 4 AS k,
+                       CASE doc_id % 4
+                           WHEN 0 THEN 8000 + (doc_id % 5) * 2000
+                           WHEN 1 THEN 8000 + (doc_id % 11) * 4000
+                           WHEN 2 THEN CASE doc_id % 9
+                               WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                               WHEN 2 THEN 32000 WHEN 3 THEN 22050
+                               WHEN 4 THEN 24000 WHEN 5 THEN 16000
+                               WHEN 6 THEN 11025 WHEN 7 THEN 12000
+                               ELSE 8000 END
+                           ELSE 8000 + (doc_id % 4) * 4000
+                       END AS rate,
+                       CASE doc_id % 4
+                           WHEN 1 THEN 1 + doc_id % 8
+                           ELSE 1 + doc_id % 2
+                       END AS ch,
+                       CASE doc_id % 4
+                           WHEN 0 THEN 200 + (doc_id * 7) % 900
+                           WHEN 1 THEN 1000 + (doc_id * 37) % 100000
+                           WHEN 2 THEN (3 + (doc_id * 7) % 40)
+                               * (CASE WHEN doc_id % 9 < 3
+                                  THEN 1152 ELSE 576 END)
+                           ELSE 100 + (doc_id * 3) % 1500
+                       END AS n,
+                       CASE doc_id % 4
+                           WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
+                           ELSE 'wav'
+                       END AS codec
+                FROM documents
+                WHERE doc_id % 53 = 0
+            )
+            SELECT doc_id,
+                   codec,
+                   CAST(rate AS INT) AS sample_rate,
+                   CAST(ch AS INT) AS channels,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+                   CAST(text_len AS BIGINT) AS text_len,
+                   CAST(CASE WHEN n * 1000 // rate BETWEEN 50 AND 5000
+                              AND rate >= 16000 AND text_len >= 80
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM params
             ORDER BY doc_id
         """,
         "multimodal_curation_v1": """

@@ -80,25 +80,34 @@ def attach_payload(
 
 
 def _decode_real(payload: bytes, codec: str):
-    """The real decoder seam.  PNG decodes for real via the
-    dependency-free codec; other formats need PIL/ffmpeg and fail
-    loudly rather than fabricating pixels."""
+    """The real decoder seam: dimensions per codec, mirroring
+    ``decode_meta``'s per-row dispatch.  Formats without a
+    dependency-free decoder fail loudly rather than fabricating
+    pixels."""
     if codec == "png":
         from parquet_editor_spark.sources.png import decode_png
 
         w, h, ch, _ = decode_png(payload)
         return w, h, ch
     if codec in ("jpeg", "jpg"):
-        # header-only: dimensions from the SOF segment — pixel decode
-        # still needs libjpeg and raises below via resize paths
+        # dimensions come from the O(header) SOF walk; the pixel
+        # codec (sources/jpeg_codec.py) runs in the pixel-level stages
         from parquet_editor_spark.sources.jpeg import jpeg_header_meta
 
         return jpeg_header_meta(payload)
+    if codec == "gif":
+        from parquet_editor_spark.sources.gif import gif_meta
+
+        w, h, _frames = gif_meta(payload)
+        return w, h, 3
+    if codec == "bmp":
+        from parquet_editor_spark.sources.bmp import bmp_meta
+
+        return bmp_meta(payload)
     raise NotImplementedError(
         f"decode for codec {codec!r} requires PIL/ffmpeg; not available "
-        "in this environment — use codec='png' (built-in), "
-        "codec='jpeg' (header metadata only) or codec='fake' for "
-        "pipeline testing"
+        "in this environment — use the built-in codecs (png, jpeg, "
+        "gif, bmp) or codec='fake' for pipeline testing"
     )
 
 

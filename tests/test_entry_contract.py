@@ -67,6 +67,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "mp3_meta_docs", "wav_adpcm_roundtrip", "jpeg_decode_docs",
         "wav_g711_roundtrip", "wav_ms_adpcm_roundtrip",
         "gif_bmp_decode_docs", "multimodal_curation_v1",
+        "audio_curation_v1",
         # stale r3/r4/r5-signal block, oldest first
         "vocab_coverage", "funnel_signup_purchase", "retention_cohorts",
         "merge_upsert_orders", "scd2_user_status", "zorder_cluster_keys",
@@ -83,7 +84,6 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "dedup_priority_keep", "hard_negatives", "source_budget_trim",
         "stream_static_enrich", "weighted_sample_k",
         "avro_roundtrip_part", "variant_extract_events",
-        "hll_error_bound",
         "hilbert_cluster_keys", "incremental_minhash", "cell_edit",
         "delete_rows", "paste_splice",
     }
