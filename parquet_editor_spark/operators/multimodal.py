@@ -126,10 +126,12 @@ def decode_meta(
     Arrow-batched; bytes never leave the executor.  Rows whose
     ``meta.codec`` is ``"png"`` decode for real; ``"jpeg"``/``"jpg"``
     rows read the SOF frame header (sources/jpeg.py — dimensions
-    without entropy decode, the honest scope for a no-libjpeg
-    environment; r7 verdict item 7); ``"fake"`` rows use the
-    deterministic fake; other codecs raise (failing the task, not
-    fabricating pixels).  A frame without ``meta`` decodes as fake."""
+    never need entropy decode; the pixel-level stages run the full
+    codec); ``"gif"`` rows use the frame walk (``gif_meta`` — no LZW
+    work for dimensions) and ``"bmp"`` the O(1) header read (r9);
+    ``"fake"`` rows use the deterministic fake; other codecs raise
+    (failing the task, not fabricating pixels).  A frame without
+    ``meta`` decodes as fake."""
     has_meta = meta_col in df.columns
     out_schema = T.StructType(
         list(df.schema.fields)
