@@ -2254,6 +2254,122 @@ def q_audio_curation_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC sample decode (sources/flac_codec.py, new r9 — the
+    full bitstream: Rice partitions, fixed predictors, mid/side
+    decorrelation, CRC-8/16 + STREAMINFO MD5 verification).  Per doc,
+    synthesize a full-swing int16 sawtooth (+ per-doc DC offset),
+    encode it with the pure-numpy FLAC encoder (mid/side when
+    stereo), run the compressed payload through the production
+    ``audio_meta`` FLAC path (STREAMINFO, O(header)), then decode the
+    samples through ``decode_flac`` and emit first/min/max/sum.
+    FLAC is lossless, so the decoded signal equals the synthesized
+    one bit-exactly and the DuckDB oracle is closed-form: over whole
+    256-sample cycles the sawtooth sums to zero, leaving
+    ``sum = offset · n · ch``; min/max are the cycle extremes ± the
+    offset.  Unlike the constant-clip ADPCM tricks this exercises
+    varied residuals through the real Rice coder.
+
+    Scale shape: generation, encode, meta and decode are all Arrow
+    ``mapInPandas`` projections — payload bytes never leave the
+    executors, no shuffle except the final presentation sort."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 31 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from parquet_editor_spark.sources.flac_codec import encode_flac
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                ch = 1 + i % 2
+                rate = 8000 + (i % 5) * 8000
+                n = 256 * (1 + i % 8)
+                phase = i % 256
+                d = i % 100 - 50
+                t = np.arange(n * ch, dtype=np.int64)
+                sig = (((t + phase) % 256) * 256 - 32640 + d).reshape(
+                    n, ch
+                )
+                payloads.append(
+                    encode_flac(
+                        rate,
+                        ch,
+                        16,
+                        sig,
+                        block_size=1024,
+                        stereo="mid-side" if ch == 2 else "independent",
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("flac").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    metaed = MM.audio_meta(with_payload)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("first_sample", T.IntegerType()),
+            T.StructField("min_sample", T.IntegerType()),
+            T.StructField("max_sample", T.IntegerType()),
+            T.StructField("sum_samples", T.LongType()),
+        ]
+    )
+
+    def decode_samples(batches):
+        from parquet_editor_spark.sources.flac_codec import decode_flac
+
+        for pdf in batches:
+            firsts, mins, maxs, sums = [], [], [], []
+            for p in pdf["payload"]:
+                _r, _c, _b, _n, s = decode_flac(bytes(p))
+                firsts.append(int(s[0, 0]))
+                mins.append(int(s.min()))
+                maxs.append(int(s.max()))
+                sums.append(int(s.sum()))
+            pdf = pdf.copy()
+            pdf["first_sample"] = firsts
+            pdf["min_sample"] = mins
+            pdf["max_sample"] = maxs
+            pdf["sum_samples"] = sums
+            yield pdf[[f.name for f in out_schema.fields]]
+
+    return metaed.mapInPandas(decode_samples, schema=out_schema).orderBy(
+        "doc_id"
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -5031,7 +5147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_bmp_decode_docs": q_gif_bmp_decode_docs,
         "multimodal_curation_v1": q_multimodal_curation_v1,
         "audio_curation_v1": q_audio_curation_v1,
-        # --- 9-50. stale r3/r4/r5-signal block, oldest first ---
+        "flac_roundtrip": q_flac_roundtrip,
+        # --- 10-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -5073,9 +5190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash": q_incremental_minhash,
         "cell_edit": q_cell_edit,
         "delete_rows": q_delete_rows,
-        "paste_splice": q_paste_splice,
         # ================= end of 50-entry driver window =================
         # --- behind window: remainder of the stale block ---
+        "paste_splice": q_paste_splice,
         "hll_error_bound": q_hll_error_bound,
         "quantile_error_bound": q_quantile_error_bound,
         "union_distinct_nations": q_union_distinct_nations,
@@ -7130,6 +7247,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(v AS INT) AS first_sample,
                    CAST(v AS INT) AS min_sample,
                    CAST(v AS INT) AS max_sample
+            FROM params
+            ORDER BY doc_id
+        """,
+        "flac_roundtrip": """
+            WITH params AS (
+                SELECT doc_id,
+                       1 + doc_id % 2 AS ch,
+                       8000 + (doc_id % 5) * 8000 AS rate,
+                       256 * (1 + doc_id % 8) AS n,
+                       doc_id % 256 AS phase,
+                       doc_id % 100 - 50 AS d
+                FROM documents
+                WHERE doc_id % 31 = 0
+            )
+            SELECT doc_id,
+                   CAST(rate AS INT) AS sample_rate,
+                   CAST(ch AS INT) AS channels,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+                   CAST(phase * 256 - 32640 + d AS INT) AS first_sample,
+                   CAST(-32640 + d AS INT) AS min_sample,
+                   CAST(32640 + d AS INT) AS max_sample,
+                   CAST(d * n * ch AS BIGINT) AS sum_samples
             FROM params
             ORDER BY doc_id
         """,

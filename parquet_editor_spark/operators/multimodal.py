@@ -651,7 +651,11 @@ def resample_audio(
     """Resample stage: payload → payload re-encoded at ``target_rate``
     (nearest-neighbor frame mapping — deterministic, no filter design).
     ``"wav"`` rows resample for REAL (output is a valid WAV at the
-    target rate); ``"fake"`` rows keep the digest fake; others raise."""
+    target rate); ``"flac"`` rows decode through the full pure-numpy
+    FLAC codec and re-encode as FLAC at the target rate
+    (``sources/flac_codec.py``, r9 — lossless, so the only change is
+    the frame mapping); ``"fake"`` rows keep the digest fake; others
+    raise."""
     if target_rate < 1:
         raise ValueError(f"target_rate must be >= 1, got {target_rate}")
     has_meta = meta_col in df.columns
@@ -689,6 +693,21 @@ def resample_audio(
                     )
                 return _wav.encode_wav(
                     target_rate, ch, bits, res, fmt_tag=tag
+                )
+            if codec == "flac":
+                import numpy as np
+
+                from parquet_editor_spark.sources import flac_codec as FC
+
+                rate, ch, bits, n, samples = FC.decode_flac(p)
+                tgt_n = max(1, n * target_rate // rate) if n else 0
+                idx = (
+                    (np.arange(tgt_n, dtype=np.int64) * n) // tgt_n
+                    if tgt_n
+                    else np.zeros(0, np.int64)
+                )
+                return FC.encode_flac(
+                    target_rate, ch, bits, samples[idx]
                 )
             if codec == "fake":
                 return _h.md5(p + f"@{target_rate}".encode()).digest()
