@@ -210,3 +210,160 @@ def test_mp4_truncated_tkhd_raises_valueerror():
     )
     with pytest.raises(ValueError, match="tkhd"):
         M.mp4_meta(bad)
+
+
+# ------------------------------------------------------------------
+# mp4 sample tables + video_frame_index (r9)
+# ------------------------------------------------------------------
+
+
+def test_mp4_sample_index_full_tables():
+    """stts/ctts/stsz/stsc/stco/stss across multi-chunk layout, with
+    every decoded byte range checked against the actual mdat fill."""
+    import numpy as np
+
+    from parquet_editor_spark.sources.mp4 import (
+        make_mp4_with_samples,
+        mp4_sample_index,
+    )
+
+    deltas = [30, 31, 32, 30, 30, 33, 30, 31]
+    sizes = [100, 50, 75, 200, 10, 60, 90, 120]
+    data = make_mp4_with_samples(
+        600, deltas, sizes, sync=[1, 4, 7],
+        ctts_offsets=[0, 10, 20, 0, 10, 20, 0, 10],
+        samples_per_chunk=3,
+    )
+    ix = mp4_sample_index(data)
+    assert ix["timescale"] == 600 and ix["n_samples"] == 8
+    exp_dts = np.concatenate(([0], np.cumsum(deltas)[:-1]))
+    assert np.array_equal(ix["dts"], exp_dts)
+    assert np.array_equal(
+        ix["pts"], exp_dts + [0, 10, 20, 0, 10, 20, 0, 10]
+    )
+    assert np.array_equal(ix["size"], sizes)
+    assert ix["is_sync"].tolist() == [
+        True, False, False, True, False, False, True, False,
+    ]
+    for i in range(8):
+        off, s = int(ix["offset"][i]), int(ix["size"][i])
+        assert data[off : off + s] == bytes(
+            (7 * i + j) % 256 for j in range(s)
+        )
+
+
+def test_mp4_sample_index_defaults_and_single_chunk():
+    import numpy as np
+
+    from parquet_editor_spark.sources.mp4 import (
+        make_mp4_with_samples,
+        mp4_sample_index,
+    )
+
+    data = make_mp4_with_samples(1000, [10] * 5, [20] * 5)
+    ix = mp4_sample_index(data)
+    assert ix["is_sync"].all()  # no stss ⇒ every sample is sync
+    assert np.array_equal(ix["pts"], ix["dts"])  # no ctts
+    assert np.array_equal(
+        ix["offset"], ix["offset"][0] + np.arange(5) * 20
+    )
+
+
+def test_mp4_sample_index_rejects_inconsistent_tables():
+    import pytest
+
+    from parquet_editor_spark.sources.mp4 import (
+        make_mp4_header,
+        make_mp4_with_samples,
+        mp4_sample_index,
+    )
+
+    # header-only fixture has no video sample tables at all
+    with pytest.raises(ValueError, match="sample tables|stbl"):
+        mp4_sample_index(make_mp4_header(1000, width=64, height=48))
+    # corrupt the stsz count so it disagrees with stts
+    good = make_mp4_with_samples(600, [10] * 4, [30] * 4)
+    at = good.index(b"stsz") + 4 + 4 + 4  # type + verflags + uniform
+    bad = good[:at] + (7).to_bytes(4, "big") + good[at + 4 :]
+    with pytest.raises(ValueError, match="stsz count"):
+        mp4_sample_index(bad)
+
+
+def test_video_frame_index_mp4_and_y4m(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.operators.multimodal import (
+        video_frame_index,
+    )
+    from parquet_editor_spark.sources.mp4 import make_mp4_with_samples
+    from parquet_editor_spark.sources.y4m import encode_y4m
+
+    mp4 = make_mp4_with_samples(
+        1000, [40, 40, 40, 40], [100, 101, 102, 103], sync=[1, 3],
+        samples_per_chunk=2,
+    )
+    fb = 4 * 2 * 3 // 2  # 4x2 C420 = w*h*1.5 = 12
+    y4m_frames = [bytes([i] * 12) for i in range(3)]
+    y4m = encode_y4m(4, 2, (25, 1), y4m_frames)
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"clip_id": [0, 1], "payload": [mp4, y4m],
+             "codec": ["mp4", "y4m"]}
+        )
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.col("codec").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    ).drop("codec")
+    rows = video_frame_index(df).orderBy("clip_id", "frame_idx").collect()
+    m = [r for r in rows if r["clip_id"] == 0]
+    assert [r["frame_idx"] for r in m] == [0, 1, 2, 3]
+    assert [r["dts_ms"] for r in m] == [0, 40, 80, 120]
+    assert [r["is_sync"] for r in m] == [True, False, True, False]
+    assert [r["frame_bytes"] for r in m] == [100, 101, 102, 103]
+    y = [r for r in rows if r["clip_id"] == 1]
+    assert [r["frame_idx"] for r in y] == [0, 1, 2]
+    assert [r["dts_ms"] for r in y] == [0, 40, 80]
+    assert all(r["is_sync"] for r in y)
+    # y4m offsets point at the REAL frame bytes
+    for r in y:
+        off, sz = r["frame_offset"], r["frame_bytes"]
+        assert y4m[off : off + sz] == y4m_frames[r["frame_idx"]]
+        assert sz == fb
+
+    # keyframes_only keeps just the sync samples
+    keys = video_frame_index(df, keyframes_only=True).collect()
+    assert sorted(
+        (r["clip_id"], r["frame_idx"]) for r in keys
+    ) == [(0, 0), (0, 2), (1, 0), (1, 1), (1, 2)]
+
+
+def test_video_frame_index_unknown_codec_raises(spark):
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.operators.multimodal import (
+        video_frame_index,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [0], "payload": [b"xxxx"]})
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("mkv").alias("codec"),
+            F.lit(4).cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    with pytest.raises(Exception, match="mkv|ffmpeg"):
+        video_frame_index(df).collect()
