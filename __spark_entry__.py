@@ -2463,6 +2463,96 @@ def q_mp4_frame_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ogg_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Ogg page walk (sources/ogg.py, new r9): per doc,
+    synthesize an Ogg-Opus (even doc_id) or Ogg-Vorbis (odd) stream —
+    id/comment header pages plus 1-4 audio pages with real per-page
+    CRC-32s — and run it through the production ``audio_meta`` path,
+    which verifies every page CRC, reads the id header, and takes the
+    last granule position (minus Opus pre-skip, per RFC 7845 §4).
+    Opus reports the canonical 48 kHz decode rate.  Oracle is
+    closed-form on doc_id.
+
+    Scale shape: Arrow ``mapInPandas`` projections end-to-end, bytes
+    executor-side, O(pages) per clip, no shuffle except the
+    presentation sort."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 19 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("codec", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.ogg import (
+            make_ogg_opus,
+            make_ogg_vorbis,
+        )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads, codecs = [], []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                pages = 1 + i % 4
+                if i % 2 == 0:
+                    payloads.append(
+                        make_ogg_opus(
+                            channels=1 + (i // 2) % 2,
+                            pre_skip=100 + i % 300,
+                            n_frames=4800 * (1 + i % 5),
+                            n_audio_pages=pages,
+                        )
+                    )
+                    codecs.append("opus")
+                else:
+                    payloads.append(
+                        make_ogg_vorbis(
+                            channels=1 + (i // 2) % 2,
+                            sample_rate=8000 * (1 + i % 4),
+                            n_frames=1000 * (1 + i % 7),
+                            n_audio_pages=pages,
+                        )
+                    )
+                    codecs.append("vorbis")
+            pdf["payload"] = payloads
+            pdf["codec"] = codecs
+            yield pdf[["doc_id", "payload", "codec"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.col("codec").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    return (
+        MM.audio_meta(with_payload)
+        .select(
+            "doc_id",
+            "codec",
+            "sample_rate",
+            "channels",
+            "n_frames",
+            "duration_ms",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -5242,7 +5332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_curation_v1": q_audio_curation_v1,
         "flac_roundtrip": q_flac_roundtrip,
         "mp4_frame_index_docs": q_mp4_frame_index_docs,
-        # --- 11-50. stale r3/r4/r5-signal block, oldest first ---
+        "ogg_meta_docs": q_ogg_meta_docs,
+        # --- 12-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -5282,9 +5373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_extract_events": q_variant_extract_events,
         "hilbert_cluster_keys": q_hilbert_cluster_keys,
         "incremental_minhash": q_incremental_minhash,
-        "cell_edit": q_cell_edit,
         # ================= end of 50-entry driver window =================
         # --- behind window: remainder of the stale block ---
+        "cell_edit": q_cell_edit,
         "delete_rows": q_delete_rows,
         "paste_splice": q_paste_splice,
         "hll_error_bound": q_hll_error_bound,
@@ -7364,6 +7455,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(-32640 + d AS INT) AS min_sample,
                    CAST(32640 + d AS INT) AS max_sample,
                    CAST(d * n * ch AS BIGINT) AS sum_samples
+            FROM params
+            ORDER BY doc_id
+        """,
+        "ogg_meta_docs": """
+            WITH params AS (
+                SELECT doc_id,
+                       1 + (doc_id // 2) % 2 AS ch,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 48000
+                            ELSE 8000 * (1 + doc_id % 4) END AS rate,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 4800 * (1 + doc_id % 5)
+                            ELSE 1000 * (1 + doc_id % 7) END AS n
+                FROM documents
+                WHERE doc_id % 19 = 0
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'opus'
+                        ELSE 'vorbis' END AS codec,
+                   CAST(rate AS INT) AS sample_rate,
+                   CAST(ch AS INT) AS channels,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(n * 1000 // rate AS BIGINT) AS duration_ms
             FROM params
             ORDER BY doc_id
         """,

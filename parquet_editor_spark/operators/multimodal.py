@@ -490,7 +490,10 @@ def audio_meta(
     samples, no libFLAC needed; r8); ``"mp3"`` rows walk every
     Layer III frame header (``sources/mp3.py``, r9 — O(#frames)
     header bytes, payloads skipped by declared size, ID3 tags
-    tolerated); ``"fake"`` rows use a
+    tolerated); ``"ogg"``/``"opus"``/``"vorbis"`` rows walk the Ogg
+    pages with CRC verification and read the Opus/Vorbis id header +
+    last granule position (``sources/ogg.py``, r9 — Opus reports the
+    canonical 48 kHz decode rate, RFC 7845 §4); ``"fake"`` rows use a
     deterministic digest-derived fake; other codecs raise.
     duration_ms is integer floor millis — engine-portable arithmetic.
 
@@ -532,6 +535,13 @@ def audio_meta(
                 )
 
                 rate, ch, n, _frames, _kbps = mp3_stream_info(p)
+                return (rate, ch, n, n * 1000 // rate)
+            if codec in ("ogg", "opus", "vorbis"):
+                from parquet_editor_spark.sources.ogg import (
+                    ogg_stream_info,
+                )
+
+                _codec, rate, ch, n = ogg_stream_info(p)
                 return (rate, ch, n, n * 1000 // rate)
             if codec == "fake":
                 d = _h.md5(p).digest()
