@@ -2553,6 +2553,103 @@ def q_ogg_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end (new r9): per doc, render a
+    9×8 grayscale whose dHash equals splitmix64(doc_id // 74) by
+    construction, encoded as a GRAY PNG for even group members and an
+    RGB (r=g=b) PNG for odd — identical pixel content in different
+    layouts, the canonical cross-encode duplicate.  The production
+    ``image_dhash`` stage (real PNG decode → luma → box-average →
+    difference bits) then ``dedup.hamming_pairs`` (banded pigeonhole
+    join, Hamming ≤ 3, no cross join) must find EXACTLY the same-group
+    pairs at distance 0.  The oracle is the self-join of document ids
+    37 apart — valid because cross-group separation was verified
+    offline: the minimum pairwise Hamming distance among
+    splitmix64(g) codewords over the full sf1 doc-id range is 14
+    (BENCH_NOTES r9), so no cross-group pair can pass the ≤3 gate.
+
+    Scale shape: hashing is an Arrow projection (bytes stay on
+    executors); the pair join shuffles only (id, hash, block_key)
+    triples — the image-corpus analogue of the MinHash-LSH shape."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import dedup as DD
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 37 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from parquet_editor_spark.sources.png import encode_png
+
+        M = (1 << 64) - 1
+
+        def mix(x: int) -> int:
+            x = (x + 0x9E3779B97F4A7C15) & M
+            x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M
+            x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M
+            return x ^ (x >> 31)
+
+        def grid(bits64: int) -> bytes:
+            rows = []
+            for r in range(8):
+                v = 128
+                rows.append(v)
+                for c in range(8):
+                    bit = (bits64 >> (63 - (r * 8 + c))) & 1
+                    v = v + 8 if bit else v - 8
+                    rows.append(v)
+            return bytes(rows)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                gray = grid(mix(i // 74))
+                if (i // 37) % 2 == 0:
+                    payloads.append(encode_png(9, 8, 1, gray))
+                else:
+                    rgb = bytes(
+                        np.repeat(np.frombuffer(gray, np.uint8), 3)
+                    )
+                    payloads.append(encode_png(9, 8, 3, rgb))
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("png").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    hashed = MM.image_dhash(with_payload)
+    return (
+        DD.hamming_pairs(hashed, "doc_id", "dhash", max_hamming=3)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .orderBy("id_a")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -5333,7 +5430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flac_roundtrip": q_flac_roundtrip,
         "mp4_frame_index_docs": q_mp4_frame_index_docs,
         "ogg_meta_docs": q_ogg_meta_docs,
-        # --- 12-50. stale r3/r4/r5-signal block, oldest first ---
+        "image_dedup_dhash": q_image_dedup_dhash,
+        # --- 13-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -5372,9 +5470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip_part": q_avro_roundtrip_part,
         "variant_extract_events": q_variant_extract_events,
         "hilbert_cluster_keys": q_hilbert_cluster_keys,
-        "incremental_minhash": q_incremental_minhash,
         # ================= end of 50-entry driver window =================
         # --- behind window: remainder of the stale block ---
+        "incremental_minhash": q_incremental_minhash,
         "cell_edit": q_cell_edit,
         "delete_rows": q_delete_rows,
         "paste_splice": q_paste_splice,
@@ -7457,6 +7555,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d * n * ch AS BIGINT) AS sum_samples
             FROM params
             ORDER BY doc_id
+        """,
+        "image_dedup_dhash": """
+            SELECT a.doc_id AS id_a,
+                   b.doc_id AS id_b,
+                   CAST(0 AS INT) AS hamming
+            FROM documents a
+            JOIN documents b ON b.doc_id = a.doc_id + 37
+            WHERE a.doc_id % 74 = 0
+            ORDER BY id_a
         """,
         "ogg_meta_docs": """
             WITH params AS (

@@ -569,26 +569,39 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def hamming_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ k, found WITHOUT a
-    cross join: split the 64-bit hash into k+1 blocks — any pair within
-    Hamming k must agree exactly on ≥1 block (pigeonhole) — join per
-    block, then verify with ``bit_count(xor)``."""
+    """Pairs within Hamming distance ≤ k over ANY precomputed 64-bit
+    hash column (SimHash, image dHash, audio fingerprints), found
+    WITHOUT a cross join: split the hash into k+1 blocks — any pair
+    within Hamming k must agree exactly on ≥1 block (pigeonhole) —
+    join per block, then verify with ``bit_count(xor)``.  Output:
+    (id_a, id_b, hamming) with id_a < id_b, deduplicated across
+    blocks.
+
+    Scale shape: the shuffle carries only (id, hash, block_key)
+    triples — 24 bytes per item per block, never payloads; candidate
+    verification is a single JVM bit_count, and skewed blocks (a
+    constant-background corpus) surface in the block-join AQE
+    metrics, the standard LSH operating concern."""
+    if not 0 <= max_hamming <= SIMHASH_BITS - 1:
+        raise ValueError(f"max_hamming must be in [0, 63]: {max_hamming}")
     blocks = max_hamming + 1
     width = SIMHASH_BITS // blocks
     # width == 64 (max_hamming=0, exact match): (1<<64)-1 overflows
     # LongType — the all-ones mask in two's complement is -1
     mask = -1 if width == SIMHASH_BITS else (1 << width) - 1
-    sh = simhash(df, id_col, text_col)
-    keyed = sh.select(
-        "id",
-        "simhash",
+    keyed = hashed.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    F.shiftrightunsigned(F.col(hash_col), i * width)
                     .bitwiseAND(F.lit(mask))
                     for i in range(blocks)
                 ]
@@ -607,11 +620,22 @@ def simhash_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("a.h").bitwiseXOR(F.col("b.h"))
             ).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k — the text
+    instantiation of :func:`hamming_pairs` (same banded pigeonhole
+    join, hash computed by :func:`simhash`)."""
+    return hamming_pairs(
+        simhash(df, id_col, text_col), "id", "simhash", max_hamming
     )
 
 

@@ -361,6 +361,35 @@ def resize_images(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def _decode_pixels(
+    p: bytes, codec: str, what: str
+) -> tuple[int, int, int, bytes]:
+    """Shared pixel-level decode dispatch for the four real image
+    codecs (PNG inflate+unfilter, baseline+progressive JPEG,
+    GIF-LZW, BMP) → (width, height, channels, row-major u8 samples).
+    Unknown codecs raise — failing ``what``, never fabricating
+    pixels."""
+    if codec == "png":
+        from parquet_editor_spark.sources.png import decode_png
+
+        return decode_png(p)
+    if codec in ("jpeg", "jpg"):
+        from parquet_editor_spark.sources.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(p)
+    if codec == "gif":
+        from parquet_editor_spark.sources.gif import decode_gif
+
+        return decode_gif(p)
+    if codec == "bmp":
+        from parquet_editor_spark.sources.bmp import decode_bmp
+
+        return decode_bmp(p)
+    raise NotImplementedError(
+        f"{what} for codec {codec!r} requires PIL/ffmpeg"
+    )
+
+
 def image_pixel_stats(
     df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
 ) -> DataFrame:
@@ -398,33 +427,12 @@ def image_pixel_stats(
             if p is None:
                 return (None,) * 7
             p = bytes(p)
-            if codec == "png":
-                from parquet_editor_spark.sources.png import decode_png
-
-                w, h, ch, pix = decode_png(p)
-            elif codec in ("jpeg", "jpg"):
-                from parquet_editor_spark.sources.jpeg_codec import (
-                    decode_jpeg,
-                )
-
-                w, h, ch, pix = decode_jpeg(p)
-            elif codec == "gif":
-                from parquet_editor_spark.sources.gif import decode_gif
-
-                w, h, ch, pix = decode_gif(p)
-            elif codec == "bmp":
-                from parquet_editor_spark.sources.bmp import decode_bmp
-
-                w, h, ch, pix = decode_bmp(p)
-            elif codec == "fake":
+            if codec == "fake":
                 d = _h.md5(p).digest()
                 w, h, ch = 16 + d[0] % 1024, 16 + d[1] % 1024, 1 + d[2] % 4
                 v = d[3]
                 return (w, h, ch, v, v, v * w * h * ch, w * h * ch)
-            else:
-                raise NotImplementedError(
-                    f"pixel stats for codec {codec!r} requires PIL/ffmpeg"
-                )
+            w, h, ch, pix = _decode_pixels(p, codec, "pixel stats")
             a = _np.frombuffer(pix, dtype=_np.uint8)
             return (
                 w,
@@ -977,5 +985,98 @@ def video_frame_index(
                         )
                     )
             yield pd.DataFrame(out_rows, columns=out_names)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_dhash(
+    df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
+) -> DataFrame:
+    """Perceptual difference-hash stage: payload → 64-bit ``dhash``
+    (long) + width/height — the image analogue of SimHash for
+    near-duplicate detection over crawl corpora.
+
+    Canonical dHash: decode (any of the four real codecs via
+    ``_decode_pixels``), integer luma (mean of the first three
+    channels; gray passthrough), box-average down to a 9×8 grid
+    (integer area means — deterministic, no float resampling), then
+    bit (r,c) = 1 iff cell (r,c) < cell (r,c+1), packed row-major
+    MSB-first into a signed int64.  Identical pixel content hashes
+    identically regardless of container format or channel layout;
+    small re-encodes move few bits, so a banded Hamming join
+    (``dedup.hamming_pairs``) finds near-dups without a cross join.
+
+    Scale shape: Arrow ``mapInPandas`` projection, bytes stay on the
+    executors; downstream pair-finding shuffles only (id, hash) —
+    16 bytes per image, not pixels."""
+    has_meta = meta_col in df.columns
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("dhash", T.LongType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
+
+    def run(batches):
+        import hashlib as _h
+
+        import numpy as _np
+
+        def cell_means(gray, k_w: int = 9, k_h: int = 8):
+            h, w = gray.shape
+            out = _np.empty((k_h, k_w), _np.int64)
+            for r in range(k_h):
+                r0, r1 = (r * h) // k_h, ((r + 1) * h) // k_h
+                r1 = min(max(r1, r0 + 1), h) if h else 0
+                r0 = min(r0, h - 1)
+                for c in range(k_w):
+                    c0, c1 = (c * w) // k_w, ((c + 1) * w) // k_w
+                    c1 = min(max(c1, c0 + 1), w) if w else 0
+                    c0 = min(c0, w - 1)
+                    block = gray[r0:r1, c0:c1]
+                    out[r, c] = int(block.sum()) // block.size
+            return out
+
+        def hash_of(p, codec: str):
+            if p is None:
+                return (None, None, None)
+            p = bytes(p)
+            if codec == "fake":
+                d = _h.md5(p).digest()
+                v = int.from_bytes(d[:8], "big")
+                v = v - (1 << 64) if v >= (1 << 63) else v
+                return (v, 16 + d[8] % 1024, 16 + d[9] % 1024)
+            w, h, ch, pix = _decode_pixels(p, codec, "dhash")
+            a = _np.frombuffer(pix, dtype=_np.uint8).reshape(h, w, ch)
+            if ch >= 3:
+                gray = (
+                    a[:, :, 0].astype(_np.int64)
+                    + a[:, :, 1]
+                    + a[:, :, 2]
+                ) // 3
+            else:
+                gray = a[:, :, 0].astype(_np.int64)
+            g = cell_means(gray)
+            bits = (g[:, :8] < g[:, 1:]).reshape(-1)
+            v = 0
+            for b in bits:
+                v = (v << 1) | int(b)
+            v = v - (1 << 64) if v >= (1 << 63) else v
+            return (v, w, h)
+
+        for pdf in batches:
+            codecs = (
+                ["fake" if m is None else m["codec"] for m in pdf[meta_col]]
+                if has_meta
+                else ["fake"] * len(pdf)
+            )
+            hs = [hash_of(p, c) for p, c in zip(pdf[payload_col], codecs)]
+            pdf = pdf.copy()
+            pdf["dhash"] = [x[0] for x in hs]
+            pdf["width"] = [x[1] for x in hs]
+            pdf["height"] = [x[2] for x in hs]
+            yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

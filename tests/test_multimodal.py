@@ -142,3 +142,160 @@ def test_sample_frames_rejects_nonpositive(spark):
     )
     with _pt.raises(ValueError):
         MM.sample_frames(df, n_frames=0)
+
+
+# ------------------------------------------------------------------
+# image_dhash + hamming_pairs (r9): perceptual image dedup
+# ------------------------------------------------------------------
+
+
+def _dhash_df(spark, items):
+    """items: list of (img_id, payload_bytes, codec)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {"img_id": [i[0] for i in items],
+         "payload": [i[1] for i in items],
+         "codec": [i[2] for i in items]}
+    )
+    return (
+        spark.createDataFrame(pdf)
+        .withColumn(
+            "meta",
+            F.struct(
+                F.lit("image").alias("media_type"),
+                F.col("codec").alias("codec"),
+                F.octet_length("payload").cast("long").alias("n_bytes"),
+                F.md5("payload").alias("checksum"),
+            ),
+        )
+        .drop("codec")
+    )
+
+
+def _grid_image(bits64: int) -> bytes:
+    """9x8 gray pixels whose dHash equals bits64 (MSB-first
+    row-major): walk each row from 128 stepping +-8 per target bit."""
+    rows = []
+    for r in range(8):
+        v = 128
+        row = [v]
+        for c in range(8):
+            bit = (bits64 >> (63 - (r * 8 + c))) & 1
+            v = v + 8 if bit else v - 8
+            row.append(v)
+        rows.extend(row)
+    return bytes(rows)
+
+
+def test_image_dhash_matches_constructed_bits(spark):
+    from parquet_editor_spark.operators.multimodal import image_dhash
+    from parquet_editor_spark.sources.png import encode_png
+
+    want = 0xA5C33C5A0F70F10F
+    png = encode_png(9, 8, 1, _grid_image(want))
+    df = _dhash_df(spark, [(0, png, "png")])
+    got = image_dhash(df).collect()[0]
+    expect_signed = want - (1 << 64) if want >= 1 << 63 else want
+    assert got["dhash"] == expect_signed
+    assert (got["width"], got["height"]) == (9, 8)
+
+
+def test_image_dhash_invariant_to_format_and_channels(spark):
+    """Identical pixel content → identical dhash whether stored as
+    gray PNG, RGB PNG (r=g=b), or BMP."""
+    import numpy as np
+
+    from parquet_editor_spark.operators.multimodal import image_dhash
+    from parquet_editor_spark.sources.png import encode_png
+
+    gray = _grid_image(0x123456789ABCDEF0)
+    rgb = bytes(np.repeat(np.frombuffer(gray, np.uint8), 3))
+    items = [
+        (0, encode_png(9, 8, 1, gray), "png"),
+        (1, encode_png(9, 8, 3, rgb), "png"),
+    ]
+    rows = image_dhash(_dhash_df(spark, items)).collect()
+    hashes = {r["img_id"]: r["dhash"] for r in rows}
+    assert hashes[0] == hashes[1]
+
+
+def test_image_dhash_downsample_block_invariance(spark):
+    """Scaling each cell up to a 10x6 block (90x48 image) leaves the
+    box-averaged dHash unchanged."""
+    import numpy as np
+
+    from parquet_editor_spark.operators.multimodal import image_dhash
+    from parquet_editor_spark.sources.png import encode_png
+
+    base = np.frombuffer(_grid_image(0x0F1E2D3C4B5A6978), np.uint8)
+    big = np.kron(base.reshape(8, 9), np.ones((6, 10), np.uint8))
+    items = [
+        (0, encode_png(9, 8, 1, base.tobytes()), "png"),
+        (1, encode_png(90, 48, 1, big.tobytes()), "png"),
+    ]
+    rows = image_dhash(_dhash_df(spark, items)).collect()
+    hashes = {r["img_id"]: r["dhash"] for r in rows}
+    assert hashes[0] == hashes[1]
+    assert {r["img_id"]: r["width"] for r in rows}[1] == 90
+
+
+def test_hamming_pairs_banding_and_threshold(spark):
+    """hamming 3 found, hamming 4 excluded, across block boundaries."""
+    import pandas as pd
+
+    from parquet_editor_spark.operators.dedup import hamming_pairs
+
+    base = 0x7234_5678_9ABC_DEF0
+    h3 = base ^ 0b1011  # 3 bits flipped in block 0
+    # 4 bits flipped across FOUR different 16-bit blocks: no block
+    # agrees... wait, k=3 → 4 blocks of 16; flip one bit in each
+    h4 = base ^ (1 << 0) ^ (1 << 16) ^ (1 << 32) ^ (1 << 48)
+    pdf = pd.DataFrame({"id": [1, 2, 3], "h": [base, h3, h4]})
+    out = hamming_pairs(
+        spark.createDataFrame(pdf), "id", "h", max_hamming=3
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs == {(1, 2): 3}
+
+
+def test_hamming_pairs_exact_match_mode(spark):
+    import pandas as pd
+
+    from parquet_editor_spark.operators.dedup import hamming_pairs
+
+    pdf = pd.DataFrame(
+        {"id": [1, 2, 3, 4], "h": [-5, -5, 7, -5]}
+    )
+    out = hamming_pairs(
+        spark.createDataFrame(pdf), "id", "h", max_hamming=0
+    ).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in out) == [
+        (1, 2), (1, 4), (2, 4),
+    ]
+
+
+def test_image_dedup_pipeline_png_vs_bmp_negative_dhash(spark):
+    """End-to-end: dHash + banded join finds the cross-format
+    duplicate pair, including hashes with bit 63 set (negative
+    longs through shiftrightunsigned)."""
+    import numpy as np
+
+    from parquet_editor_spark.operators.dedup import hamming_pairs
+    from parquet_editor_spark.operators.multimodal import image_dhash
+    from parquet_editor_spark.sources.png import encode_png
+
+    gray = _grid_image(0xF00DFACEDEADBEEF)  # bit 63 set → negative long
+    other = _grid_image(0x0123456789ABCDEF ^ 0x5555)
+    rgb = bytes(np.repeat(np.frombuffer(gray, np.uint8), 3))
+    items = [
+        (10, encode_png(9, 8, 1, gray), "png"),
+        (11, encode_png(9, 8, 3, rgb), "png"),
+        (12, encode_png(9, 8, 1, other), "png"),
+    ]
+    hashed = image_dhash(_dhash_df(spark, items))
+    out = hamming_pairs(hashed, "img_id", "dhash", max_hamming=3).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [
+        (10, 11, 0)
+    ]
