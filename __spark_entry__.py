@@ -2650,6 +2650,105 @@ def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sample-level audio statistics (``audio_stats``, new r9)
+    over BOTH lossless decode tiers in one query: even docs encode the
+    full-swing sawtooth as WAV-PCM, odd docs as FLAC (mid/side for
+    stereo) — identical signal family, two independent decoders, one
+    stats kernel (peak / DC sum / energy / per-channel zero
+    crossings).  The DuckDB oracle recomputes every statistic
+    RELATIONALLY from a generated series (LAG over per-channel lanes
+    for the crossings, SUM(v²) for energy) — a genuinely differential
+    check of decode + stats, no closed-form shortcuts.
+
+    Scale shape: Arrow ``mapInPandas`` end-to-end, O(samples) per
+    clip executor-side, no shuffle except the presentation sort."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 27 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("codec", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from parquet_editor_spark.sources.flac_codec import encode_flac
+        from parquet_editor_spark.sources.wav import encode_wav
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads, codecs = [], []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                ch = 1 + (i // 2) % 2
+                rate = 8000 + (i % 5) * 8000
+                n = 256 * (1 + i % 8)
+                phase = i % 256
+                d = i % 100 - 50
+                t = np.arange(n * ch, dtype=np.int64)
+                sig = ((t + phase) % 256) * 256 - 32640 + d
+                if i % 2 == 0:
+                    payloads.append(
+                        encode_wav(
+                            rate, ch, 16, sig.astype("<i2").tobytes()
+                        )
+                    )
+                    codecs.append("wav")
+                else:
+                    payloads.append(
+                        encode_flac(
+                            rate,
+                            ch,
+                            16,
+                            sig.reshape(n, ch),
+                            stereo="mid-side"
+                            if ch == 2
+                            else "independent",
+                        )
+                    )
+                    codecs.append("flac")
+            pdf["payload"] = payloads
+            pdf["codec"] = codecs
+            yield pdf[["doc_id", "payload", "codec"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.col("codec").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    return (
+        MM.audio_stats(with_payload)
+        .select(
+            "doc_id",
+            "codec",
+            "sample_rate",
+            "channels",
+            "n_frames",
+            "peak",
+            "dc_sum",
+            "sq_sum",
+            "zero_crossings",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -5431,7 +5530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_frame_index_docs": q_mp4_frame_index_docs,
         "ogg_meta_docs": q_ogg_meta_docs,
         "image_dedup_dhash": q_image_dedup_dhash,
-        # --- 13-50. stale r3/r4/r5-signal block, oldest first ---
+        "audio_stats_docs": q_audio_stats_docs,
+        # --- 14-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -5469,9 +5569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_k": q_weighted_sample_k,
         "avro_roundtrip_part": q_avro_roundtrip_part,
         "variant_extract_events": q_variant_extract_events,
-        "hilbert_cluster_keys": q_hilbert_cluster_keys,
         # ================= end of 50-entry driver window =================
         # --- behind window: remainder of the stale block ---
+        "hilbert_cluster_keys": q_hilbert_cluster_keys,
         "incremental_minhash": q_incremental_minhash,
         "cell_edit": q_cell_edit,
         "delete_rows": q_delete_rows,
@@ -7554,6 +7654,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(32640 + d AS INT) AS max_sample,
                    CAST(d * n * ch AS BIGINT) AS sum_samples
             FROM params
+            ORDER BY doc_id
+        """,
+        "audio_stats_docs": """
+            WITH params AS (
+                SELECT doc_id,
+                       1 + (doc_id // 2) % 2 AS ch,
+                       8000 + (doc_id % 5) * 8000 AS rate,
+                       256 * (1 + doc_id % 8) AS n,
+                       doc_id % 256 AS phase,
+                       doc_id % 100 - 50 AS d
+                FROM documents
+                WHERE doc_id % 27 = 0
+            ), vals AS (
+                SELECT p.doc_id, p.ch, p.rate, p.n, g.t,
+                       ((g.t + p.phase) % 256) * 256 - 32640 + p.d AS v
+                FROM params p, generate_series(0, 4095) AS g(t)
+                WHERE g.t < p.n * p.ch
+            ), lagged AS (
+                SELECT doc_id, ch, rate, n, v,
+                       LAG(v) OVER (PARTITION BY doc_id, t % ch
+                                    ORDER BY t) AS pv
+                FROM vals
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'wav'
+                        ELSE 'flac' END AS codec,
+                   CAST(rate AS INT) AS sample_rate,
+                   CAST(ch AS INT) AS channels,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(MAX(ABS(v)) AS INT) AS peak,
+                   CAST(SUM(v) AS BIGINT) AS dc_sum,
+                   CAST(SUM(v * v) AS BIGINT) AS sq_sum,
+                   CAST(SUM(CASE WHEN pv IS NOT NULL
+                                  AND ((v >= 0) != (pv >= 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS zero_crossings
+            FROM lagged
+            GROUP BY doc_id, ch, rate, n
             ORDER BY doc_id
         """,
         "image_dedup_dhash": """

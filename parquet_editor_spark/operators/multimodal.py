@@ -1080,3 +1080,139 @@ def image_dhash(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_stats(
+    df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
+) -> DataFrame:
+    """Sample-level audio statistics: payload → (sample_rate,
+    channels, n_frames, peak, dc_sum, sq_sum, zero_crossings) — the
+    integer-exact inputs an audio-curation pipeline filters on
+    (silence, clipping, DC offset, noisiness).  ``"wav"`` rows decode
+    through the full PCM/ADPCM/G.711 tier (``sources/wav.py``;
+    unsigned 8-bit is centered at −128, IEEE-float WAVs raise — float
+    stats aren't engine-portable); ``"flac"`` rows decode through the
+    pure-numpy FLAC codec (``sources/flac_codec.py``, r9); ``"fake"``
+    rows derive stats from the digest; other codecs raise.
+
+    ``peak`` = max |sample|, ``dc_sum`` = Σ sample, ``sq_sum`` =
+    Σ sample² (ValueError past int64 — reachable only for ≥2³²-sample
+    32-bit clips), ``zero_crossings`` counts per-channel sign
+    transitions (zero counts as non-negative), summed over channels.
+
+    Scale shape: Arrow ``mapInPandas`` projection, O(samples) per
+    clip executor-side, no shuffle."""
+    has_meta = meta_col in df.columns
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("n_frames", T.LongType(), True),
+            T.StructField("peak", T.IntegerType(), True),
+            T.StructField("dc_sum", T.LongType(), True),
+            T.StructField("sq_sum", T.LongType(), True),
+            T.StructField("zero_crossings", T.LongType(), True),
+        ]
+    )
+
+    def run(batches):
+        import hashlib as _h
+
+        import numpy as _np
+
+        def samples_of(p: bytes, codec: str):
+            """(rate, ch, samples) with samples shaped (n, ch) int64."""
+            if codec == "wav":
+                from parquet_editor_spark.sources import wav as _wav
+
+                rate, ch, bits, n, frames, tag = _wav.decode_wav_ex(p)
+                if tag == _wav.IEEE_FLOAT:
+                    raise NotImplementedError(
+                        "audio stats for IEEE-float WAV are not "
+                        "engine-portable; convert to PCM first"
+                    )
+                if bits == 8:
+                    a = (
+                        _np.frombuffer(frames, _np.uint8).astype(
+                            _np.int64
+                        )
+                        - 128
+                    )
+                elif bits == 16:
+                    a = _np.frombuffer(frames, "<i2").astype(_np.int64)
+                elif bits == 32:
+                    a = _np.frombuffer(frames, "<i4").astype(_np.int64)
+                elif bits == 24:
+                    raw = _np.frombuffer(frames, _np.uint8).reshape(
+                        -1, 3
+                    )
+                    u = (
+                        raw[:, 0].astype(_np.int64)
+                        | (raw[:, 1].astype(_np.int64) << 8)
+                        | (raw[:, 2].astype(_np.int64) << 16)
+                    )
+                    a = _np.where(u >= 1 << 23, u - (1 << 24), u)
+                else:
+                    raise NotImplementedError(
+                        f"audio stats for {bits}-bit WAV"
+                    )
+                return rate, ch, a.reshape(n, ch)
+            if codec == "flac":
+                from parquet_editor_spark.sources.flac_codec import (
+                    decode_flac,
+                )
+
+                rate, ch, _bits, _n, s = decode_flac(p)
+                return rate, ch, s
+            raise NotImplementedError(
+                f"audio stats for codec {codec!r} requires a real "
+                "audio library"
+            )
+
+        def stats_of(p, codec: str):
+            if p is None:
+                return (None,) * 7
+            p = bytes(p)
+            if codec == "fake":
+                d = _h.md5(p).digest()
+                rate = 8000 * (1 + d[0] % 6)
+                ch = 1 + d[1] % 2
+                n = 1 + int.from_bytes(d[2:5], "big") % 100000
+                v = d[5] % 128
+                return (rate, ch, n, v, v * n * ch,
+                        v * v * n * ch, 0)
+            rate, ch, s = samples_of(p, codec)
+            n = len(s)
+            if n == 0:
+                return (rate, ch, 0, 0, 0, 0, 0)
+            peak = int(_np.abs(s).max())
+            dc = int(s.sum())
+            sq = int((s * s).sum()) if peak < (1 << 31) else sum(
+                int(v) * int(v) for v in s.reshape(-1)
+            )
+            if sq > (1 << 63) - 1:
+                raise ValueError(
+                    "sq_sum exceeds int64 for this clip"
+                )
+            nonneg = s >= 0
+            zc = int((nonneg[1:] != nonneg[:-1]).sum())
+            return (rate, ch, n, peak, dc, sq, zc)
+
+        cols = ["sample_rate", "channels", "n_frames", "peak",
+                "dc_sum", "sq_sum", "zero_crossings"]
+        for pdf in batches:
+            codecs = (
+                ["fake" if m is None else m["codec"] for m in pdf[meta_col]]
+                if has_meta
+                else ["fake"] * len(pdf)
+            )
+            stats = [
+                stats_of(p, c) for p, c in zip(pdf[payload_col], codecs)
+            ]
+            pdf = pdf.copy()
+            for i, c in enumerate(cols):
+                pdf[c] = [s[i] for s in stats]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

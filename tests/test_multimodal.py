@@ -299,3 +299,136 @@ def test_image_dedup_pipeline_png_vs_bmp_negative_dhash(spark):
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [
         (10, 11, 0)
     ]
+
+
+# ------------------------------------------------------------------
+# audio_stats (r9): sample-level stats over the wav + flac decoders
+# ------------------------------------------------------------------
+
+
+def _audio_df(spark, items):
+    """items: list of (clip_id, payload, codec)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {"clip_id": [i[0] for i in items],
+         "payload": [i[1] for i in items],
+         "codec": [i[2] for i in items]}
+    )
+    return (
+        spark.createDataFrame(pdf)
+        .withColumn(
+            "meta",
+            F.struct(
+                F.lit("audio").alias("media_type"),
+                F.col("codec").alias("codec"),
+                F.octet_length("payload").cast("long").alias("n_bytes"),
+                F.md5("payload").alias("checksum"),
+            ),
+        )
+        .drop("codec")
+    )
+
+
+def _ref_stats(sig2d):
+    import numpy as np
+
+    s = np.asarray(sig2d, np.int64)
+    peak = int(np.abs(s).max())
+    dc = int(s.sum())
+    sq = int((s * s).sum())
+    zc = 0
+    for c in range(s.shape[1]):
+        col = s[:, c] >= 0
+        zc += int((col[1:] != col[:-1]).sum())
+    return peak, dc, sq, zc
+
+
+def test_audio_stats_wav_and_flac_agree(spark):
+    """The same signal through WAV-PCM and FLAC yields identical
+    stats (both decoders are lossless)."""
+    import numpy as np
+
+    from parquet_editor_spark.operators.multimodal import audio_stats
+    from parquet_editor_spark.sources.flac_codec import encode_flac
+    from parquet_editor_spark.sources.wav import encode_wav
+
+    rng = np.random.RandomState(42)
+    sig = rng.randint(-20000, 20000, (500, 2)).astype(np.int64)
+    wav = encode_wav(16000, 2, 16, sig.astype("<i2").tobytes())
+    flac = encode_flac(16000, 2, 16, sig, stereo="mid-side")
+    rows = {
+        r["clip_id"]: r
+        for r in audio_stats(
+            _audio_df(spark, [(0, wav, "wav"), (1, flac, "flac")])
+        ).collect()
+    }
+    peak, dc, sq, zc = _ref_stats(sig)
+    for cid in (0, 1):
+        r = rows[cid]
+        assert (r["sample_rate"], r["channels"], r["n_frames"]) == (
+            16000, 2, 500,
+        )
+        assert (r["peak"], r["dc_sum"], r["sq_sum"],
+                r["zero_crossings"]) == (peak, dc, sq, zc)
+
+
+def test_audio_stats_8bit_centering_and_24bit_sign(spark):
+    import numpy as np
+
+    from parquet_editor_spark.operators.multimodal import audio_stats
+    from parquet_editor_spark.sources.wav import encode_wav
+
+    # 8-bit unsigned 0..255 → centered −128..127
+    u8 = np.array([0, 128, 255, 130], np.uint8)
+    wav8 = encode_wav(8000, 1, 8, u8.tobytes())
+    # 24-bit: −2 stored little-endian
+    vals24 = np.array([-2, 3, -70000], np.int64)
+    b24 = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals24
+    )
+    wav24 = encode_wav(8000, 1, 24, b24)
+    rows = {
+        r["clip_id"]: r
+        for r in audio_stats(
+            _audio_df(spark, [(0, wav8, "wav"), (1, wav24, "wav")])
+        ).collect()
+    }
+    s8 = (u8.astype(np.int64) - 128).reshape(-1, 1)
+    p, dc, sq, zc = _ref_stats(s8)
+    r = rows[0]
+    assert (r["peak"], r["dc_sum"], r["sq_sum"],
+            r["zero_crossings"]) == (p, dc, sq, zc)
+    p, dc, sq, zc = _ref_stats(vals24.reshape(-1, 1))
+    r = rows[1]
+    assert (r["peak"], r["dc_sum"], r["sq_sum"],
+            r["zero_crossings"]) == (p, dc, sq, zc)
+
+
+def test_audio_stats_zero_counts_as_nonnegative(spark):
+    import numpy as np
+
+    from parquet_editor_spark.operators.multimodal import audio_stats
+    from parquet_editor_spark.sources.wav import encode_wav
+
+    sig = np.array([5, 0, -3, 0, -1, 2], "<i2")
+    wav = encode_wav(8000, 1, 16, sig.tobytes())
+    r = audio_stats(_audio_df(spark, [(0, wav, "wav")])).collect()[0]
+    # transitions: 5→0 no, 0→−3 yes, −3→0 yes, 0→−1 yes, −1→2 yes
+    assert r["zero_crossings"] == 4
+
+
+def test_audio_stats_float_wav_raises(spark):
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from parquet_editor_spark.operators.multimodal import audio_stats
+    from parquet_editor_spark.sources.wav import encode_wav
+
+    frames = struct.pack("<4f", 0.5, -0.25, 0.125, 1.0)
+    wav = encode_wav(8000, 1, 32, frames, fmt_tag=3)
+    with pytest.raises(Exception, match="float|portable"):
+        audio_stats(_audio_df(spark, [(0, wav, "wav")])).collect()
