@@ -2749,6 +2749,84 @@ def q_audio_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tiff_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL striped-TIFF decode (sources/tiff.py, new r9 — IFD walk,
+    none/PackBits/TIFF-LZW strips, both byte orders): per doc,
+    synthesize a 256-wide gradient (pixel(x) = (x + doc_id) % 256),
+    cycle compression by doc_id % 3 (none → PackBits → LZW), byte
+    order by doc_id % 2, multi-strip layout (4 rows per strip), RGB
+    on every fifth doc (r = g = b).  TIFF is lossless, the gradient
+    covers every gray level, so the stats are closed-form: each
+    256-pixel row sums to 32640 per channel.  Runs the production
+    ``image_pixel_stats`` stage (Arrow, executor-side), same shape as
+    the r9 GIF/BMP query."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 39 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.tiff import encode_tiff
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                h = 3 + i % 11
+                ch = 3 if i % 5 == 0 else 1
+                row = bytes((x + i) % 256 for x in range(256))
+                if ch == 3:
+                    pix = b"".join(
+                        bytes([v, v, v]) for v in row
+                    ) * h
+                else:
+                    pix = row * h
+                payloads.append(
+                    encode_tiff(
+                        256,
+                        h,
+                        ch,
+                        pix,
+                        compression=[1, 32773, 5][i % 3],
+                        rows_per_strip=4,
+                        big_endian=i % 2 == 1,
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("tiff").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    return (
+        MM.image_pixel_stats(with_payload)
+        .select(
+            "doc_id", "width", "height", "channels",
+            "px_min", "px_max", "px_sum", "n_px",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -5531,7 +5609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogg_meta_docs": q_ogg_meta_docs,
         "image_dedup_dhash": q_image_dedup_dhash,
         "audio_stats_docs": q_audio_stats_docs,
-        # --- 14-50. stale r3/r4/r5-signal block, oldest first ---
+        "tiff_decode_docs": q_tiff_decode_docs,
+        # --- 15-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -5568,9 +5647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich": q_stream_static_enrich,
         "weighted_sample_k": q_weighted_sample_k,
         "avro_roundtrip_part": q_avro_roundtrip_part,
-        "variant_extract_events": q_variant_extract_events,
         # ================= end of 50-entry driver window =================
         # --- behind window: remainder of the stale block ---
+        "variant_extract_events": q_variant_extract_events,
         "hilbert_cluster_keys": q_hilbert_cluster_keys,
         "incremental_minhash": q_incremental_minhash,
         "cell_edit": q_cell_edit,
@@ -7653,6 +7732,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(-32640 + d AS INT) AS min_sample,
                    CAST(32640 + d AS INT) AS max_sample,
                    CAST(d * n * ch AS BIGINT) AS sum_samples
+            FROM params
+            ORDER BY doc_id
+        """,
+        "tiff_decode_docs": """
+            WITH params AS (
+                SELECT doc_id,
+                       3 + doc_id % 11 AS h,
+                       CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 1 END AS ch
+                FROM documents
+                WHERE doc_id % 39 = 0
+            )
+            SELECT doc_id,
+                   CAST(256 AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(ch AS INT) AS channels,
+                   CAST(0 AS INT) AS px_min,
+                   CAST(255 AS INT) AS px_max,
+                   CAST(32640 * h * ch AS BIGINT) AS px_sum,
+                   CAST(256 * h * ch AS BIGINT) AS n_px
             FROM params
             ORDER BY doc_id
         """,

@@ -104,10 +104,14 @@ def _decode_real(payload: bytes, codec: str):
         from parquet_editor_spark.sources.bmp import bmp_meta
 
         return bmp_meta(payload)
+    if codec in ("tiff", "tif"):
+        from parquet_editor_spark.sources.tiff import tiff_meta
+
+        return tiff_meta(payload)
     raise NotImplementedError(
         f"decode for codec {codec!r} requires PIL/ffmpeg; not available "
         "in this environment — use the built-in codecs (png, jpeg, "
-        "gif, bmp) or codec='fake' for pipeline testing"
+        "gif, bmp, tiff) or codec='fake' for pipeline testing"
     )
 
 
@@ -176,6 +180,10 @@ def decode_meta(
                 from parquet_editor_spark.sources.bmp import bmp_meta
 
                 return bmp_meta(p)
+            if codec in ("tiff", "tif"):
+                from parquet_editor_spark.sources.tiff import tiff_meta
+
+                return tiff_meta(p)
             if codec == "fake":
                 return fake(p)
             raise NotImplementedError(
@@ -364,11 +372,11 @@ def resize_images(
 def _decode_pixels(
     p: bytes, codec: str, what: str
 ) -> tuple[int, int, int, bytes]:
-    """Shared pixel-level decode dispatch for the four real image
+    """Shared pixel-level decode dispatch for the five real image
     codecs (PNG inflate+unfilter, baseline+progressive JPEG,
-    GIF-LZW, BMP) → (width, height, channels, row-major u8 samples).
-    Unknown codecs raise — failing ``what``, never fabricating
-    pixels."""
+    GIF-LZW, BMP, striped TIFF none/PackBits/LZW) → (width, height,
+    channels, row-major u8 samples).  Unknown codecs raise — failing
+    ``what``, never fabricating pixels."""
     if codec == "png":
         from parquet_editor_spark.sources.png import decode_png
 
@@ -385,6 +393,10 @@ def _decode_pixels(
         from parquet_editor_spark.sources.bmp import decode_bmp
 
         return decode_bmp(p)
+    if codec in ("tiff", "tif"):
+        from parquet_editor_spark.sources.tiff import decode_tiff
+
+        return decode_tiff(p)
     raise NotImplementedError(
         f"{what} for codec {codec!r} requires PIL/ffmpeg"
     )

@@ -239,8 +239,24 @@ def test_resize_content_is_nearest_neighbor(spark):
 
 def test_unknown_codec_still_raises(spark):
     """A codec with no dependency-free decoder stays an honest
-    NotImplementedError (r8 made jpeg a real codec, so the example
-    here is tiff, which genuinely has no decoder)."""
+    NotImplementedError (r8 made jpeg real, r9 made tiff real — the
+    example here is heic, whose HEVC payload will never be in
+    scope)."""
+    from parquet_editor_spark.operators.multimodal import (
+        attach_payload,
+        decode_meta,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    df = attach_payload(df, "s", codec="heic")
+    with pytest.raises(Exception) as ei:
+        decode_meta(df).collect()
+    assert "PIL" in str(ei.value) or "NotImplementedError" in str(ei.value)
+
+
+def test_tiff_invalid_bytes_raise_valueerror(spark):
+    """tiff is a REAL codec since r9: a payload without the II/MM
+    byte-order mark fails the IFD walk with ValueError."""
     from parquet_editor_spark.operators.multimodal import (
         attach_payload,
         decode_meta,
@@ -250,7 +266,7 @@ def test_unknown_codec_still_raises(spark):
     df = attach_payload(df, "s", codec="tiff")
     with pytest.raises(Exception) as ei:
         decode_meta(df).collect()
-    assert "PIL" in str(ei.value) or "NotImplementedError" in str(ei.value)
+    assert "not a TIFF" in str(ei.value) or "ValueError" in str(ei.value)
 
 
 def test_jpeg_invalid_bytes_raise_valueerror(spark):
