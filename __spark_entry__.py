@@ -2137,6 +2137,131 @@ def q_multimodal_curation_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-codec MULTIMODAL curation (new r9, extends v1's four):
+    one Arrow pipeline dispatches PNG, JPEG (SOF header walk), GIF,
+    BMP, TIFF (r9) and WebP (r9 — lossy/lossless/extended cycled)
+    per row through the production ``decode_meta`` stage, then makes
+    the dims-band × text-length keep/drop decision a CLIP-style
+    image-curation pass applies (drop tiny images, extreme aspect
+    ratios, caption-less docs).  Dimensions are deterministic per
+    doc, so the oracle is closed-form while Spark runs the real
+    six-codec header/decode fan.
+
+    Scale shape: projections + one Arrow stage, no shuffle before
+    the presentation sort; WebP/JPEG rows cost O(header) — the tier
+    a 100 TB image crawl actually runs before any pixel work."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 21 == 0)
+        .select("doc_id", F.length("text").cast("long").alias("text_len"))
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text_len", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("codec", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from parquet_editor_spark.sources.bmp import encode_bmp
+        from parquet_editor_spark.sources.gif import encode_gif
+        from parquet_editor_spark.sources.jpeg_codec import (
+            encode_jpeg_baseline,
+        )
+        from parquet_editor_spark.sources.png import encode_png
+        from parquet_editor_spark.sources.tiff import encode_tiff
+        from parquet_editor_spark.sources.webp import (
+            make_webp_extended,
+            make_webp_lossless,
+            make_webp_lossy,
+        )
+
+        qt = (
+            np.full(64, 8, dtype=np.int64),
+            np.full(64, 8, dtype=np.int64),
+        )
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads, codecs = [], []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                w = 8 + (i * 7) % 120
+                h = 8 + (i * 11) % 120
+                v = (i * 31) % 256
+                pix = bytes([v]) * (w * h)
+                k = i % 6
+                if k == 0:
+                    payloads.append(encode_png(w, h, 1, pix))
+                    codecs.append("png")
+                elif k == 1:
+                    payloads.append(
+                        encode_jpeg_baseline(w, h, 1, pix, quant_tables=qt)
+                    )
+                    codecs.append("jpeg")
+                elif k == 2:
+                    payloads.append(encode_gif(w, h, 1, pix))
+                    codecs.append("gif")
+                elif k == 3:
+                    payloads.append(encode_bmp(w, h, 1, pix))
+                    codecs.append("bmp")
+                elif k == 4:
+                    payloads.append(
+                        encode_tiff(w, h, 1, pix, compression=5)
+                    )
+                    codecs.append("tiff")
+                else:
+                    sub = (i // 6) % 3
+                    if sub == 0:
+                        payloads.append(make_webp_lossy(w, h))
+                    elif sub == 1:
+                        payloads.append(make_webp_lossless(w, h))
+                    else:
+                        payloads.append(make_webp_extended(w, h))
+                    codecs.append("webp")
+            pdf["payload"] = payloads
+            pdf["codec"] = codecs
+            yield pdf[["doc_id", "text_len", "payload", "codec"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.col("codec").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    metas = MM.decode_meta(with_payload)
+    keep = (
+        (F.col("width") >= 32)
+        & (F.col("height") >= 32)
+        & (F.col("width") <= 4 * F.col("height"))
+        & (F.col("height") <= 4 * F.col("width"))
+        & (F.col("text_len") >= 80)
+    )
+    return (
+        metas.select(
+            "doc_id",
+            "codec",
+            "width",
+            "height",
+            "text_len",
+            keep.cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_audio_curation_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio sibling of ``multimodal_curation_v1`` (new r9): one
     Arrow ``audio_meta`` stage dispatches four REAL audio decoders
@@ -5610,7 +5735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_dhash": q_image_dedup_dhash,
         "audio_stats_docs": q_audio_stats_docs,
         "tiff_decode_docs": q_tiff_decode_docs,
-        # --- 15-50. stale r3/r4/r5-signal block, oldest first ---
+        "multimodal_curation_v2": q_multimodal_curation_v2,
+        # --- 16-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -5646,9 +5772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_budget_trim": q_source_budget_trim,
         "stream_static_enrich": q_stream_static_enrich,
         "weighted_sample_k": q_weighted_sample_k,
-        "avro_roundtrip_part": q_avro_roundtrip_part,
         # ================= end of 50-entry driver window =================
         # --- behind window: remainder of the stale block ---
+        "avro_roundtrip_part": q_avro_roundtrip_part,
         "variant_extract_events": q_variant_extract_events,
         "hilbert_cluster_keys": q_hilbert_cluster_keys,
         "incremental_minhash": q_incremental_minhash,
@@ -7732,6 +7858,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(-32640 + d AS INT) AS min_sample,
                    CAST(32640 + d AS INT) AS max_sample,
                    CAST(d * n * ch AS BIGINT) AS sum_samples
+            FROM params
+            ORDER BY doc_id
+        """,
+        "multimodal_curation_v2": """
+            WITH params AS (
+                SELECT doc_id,
+                       length(text) AS text_len,
+                       8 + (doc_id * 7) % 120 AS w,
+                       8 + (doc_id * 11) % 120 AS h,
+                       CASE doc_id % 6
+                            WHEN 0 THEN 'png'
+                            WHEN 1 THEN 'jpeg'
+                            WHEN 2 THEN 'gif'
+                            WHEN 3 THEN 'bmp'
+                            WHEN 4 THEN 'tiff'
+                            ELSE 'webp' END AS codec
+                FROM documents
+                WHERE doc_id % 21 = 0
+            )
+            SELECT doc_id,
+                   codec,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(text_len AS BIGINT) AS text_len,
+                   CAST(CASE WHEN w >= 32 AND h >= 32
+                              AND w <= 4 * h AND h <= 4 * w
+                              AND text_len >= 80
+                         THEN 1 ELSE 0 END AS INT) AS keep
             FROM params
             ORDER BY doc_id
         """,

@@ -108,6 +108,10 @@ def _decode_real(payload: bytes, codec: str):
         from parquet_editor_spark.sources.tiff import tiff_meta
 
         return tiff_meta(payload)
+    if codec == "webp":
+        from parquet_editor_spark.sources.webp import webp_meta
+
+        return webp_meta(payload)
     raise NotImplementedError(
         f"decode for codec {codec!r} requires PIL/ffmpeg; not available "
         "in this environment — use the built-in codecs (png, jpeg, "
@@ -184,6 +188,10 @@ def decode_meta(
                 from parquet_editor_spark.sources.tiff import tiff_meta
 
                 return tiff_meta(p)
+            if codec == "webp":
+                from parquet_editor_spark.sources.webp import webp_meta
+
+                return webp_meta(p)
             if codec == "fake":
                 return fake(p)
             raise NotImplementedError(
