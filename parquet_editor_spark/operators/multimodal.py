@@ -785,9 +785,11 @@ def sample_frames_video(
     PNG/WAV resamplers), and emit one row per sampled frame with the
     frame's true index, the clip's frame count/dimensions, and the md5
     of the REAL frame bytes.  ``meta.codec == "y4m"`` decodes via the
-    dependency-free YUV4MPEG2 codec (``sources/y4m.py``); compressed
-    codecs raise — H.264 belongs to ffmpeg, not a reimplementation.
-    The JVM-expression fake for non-video payloads stays in
+    dependency-free YUV4MPEG2 codec (``sources/y4m.py``); ``"mp4"``
+    (r9) samples via the container's sample tables — the checksum
+    covers the coded sample's true byte range, the honest unit of
+    work to hand an ffmpeg/GPU decode stage; other compressed codecs
+    raise.  The JVM-expression fake for non-video payloads stays in
     :func:`sample_frames`.
 
     Scale shape: row multiplication happens INSIDE the executor
@@ -834,10 +836,43 @@ def sample_frames_video(
                              frame_checksum=None)
                     )
                     continue
+                if codec == "mp4":
+                    # sample tables give the frames' true byte ranges;
+                    # the checksum covers the CODED sample bytes (no
+                    # H.26x pixel decode — that belongs to ffmpeg on
+                    # exactly these sampled ranges)
+                    from parquet_editor_spark.sources.mp4 import (
+                        mp4_meta,
+                        mp4_sample_index,
+                    )
+                    from parquet_editor_spark.sources.y4m import (
+                        sample_frame_indices,
+                    )
+
+                    p = bytes(p)
+                    ix = mp4_sample_index(p)
+                    _d, _ts, _nt, w, h = mp4_meta(p)
+                    n = ix["n_samples"]
+                    for idx in sample_frame_indices(n, k):
+                        off = int(ix["offset"][idx])
+                        sz = int(ix["size"][idx])
+                        out_rows.append(
+                            dict(
+                                base,
+                                frame_idx=idx,
+                                n_frames=n,
+                                frame_w=w,
+                                frame_h=h,
+                                frame_checksum=_h.md5(
+                                    p[off : off + sz]
+                                ).hexdigest(),
+                            )
+                        )
+                    continue
                 if codec != "y4m":
                     raise NotImplementedError(
                         f"frame extraction for codec {codec!r} requires "
-                        "ffmpeg; built-in support is y4m only"
+                        "ffmpeg; built-in support is y4m/mp4"
                     )
                 from parquet_editor_spark.sources.y4m import (
                     decode_y4m,

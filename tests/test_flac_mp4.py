@@ -367,3 +367,48 @@ def test_video_frame_index_unknown_codec_raises(spark):
     )
     with pytest.raises(Exception, match="mkv|ffmpeg"):
         video_frame_index(df).collect()
+
+
+def test_sample_frames_video_mp4_byte_ranges(spark):
+    """mp4 rows sample via the container tables; each checksum is the
+    md5 of the sample's REAL mdat byte range."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.operators.multimodal import (
+        sample_frames_video,
+    )
+    from parquet_editor_spark.sources.mp4 import (
+        make_mp4_with_samples,
+        mp4_sample_index,
+    )
+
+    sizes = [50 + 7 * i for i in range(10)]
+    data = make_mp4_with_samples(
+        1000, [40] * 10, sizes, samples_per_chunk=3,
+        width=320, height=240,
+    )
+    ix = mp4_sample_index(data)
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [0], "payload": [data]})
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("mp4").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    rows = sample_frames_video(df, k=4).orderBy("frame_idx").collect()
+    assert len(rows) == 4
+    assert all(r["n_frames"] == 10 for r in rows)
+    assert all((r["frame_w"], r["frame_h"]) == (320, 240) for r in rows)
+    for r in rows:
+        off = int(ix["offset"][r["frame_idx"]])
+        sz = int(ix["size"][r["frame_idx"]])
+        assert r["frame_checksum"] == hashlib.md5(
+            data[off : off + sz]
+        ).hexdigest()
