@@ -74,12 +74,15 @@ def test_sample_frames_explodes(payloads):
 
 def test_real_codec_raises():
     # r8: jpeg now has a real header-metadata path — garbage bytes are
-    # a ValueError (not a JPEG), while pixel-needing codecs still
-    # raise NotImplementedError
+    # a ValueError (not a JPEG); r9 made webp real too (RIFF header
+    # walk), so only genuinely unimplemented codecs raise
+    # NotImplementedError
     with pytest.raises(ValueError, match="not a JPEG"):
         MM._decode_real(b"bytes", "jpeg")
-    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+    with pytest.raises(ValueError):
         MM._decode_real(b"bytes", "webp")
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        MM._decode_real(b"bytes", "heic")
 
 
 def test_binary_dir_ingestion_to_payload(spark, tmp_path):
