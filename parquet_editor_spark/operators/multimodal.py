@@ -611,10 +611,13 @@ def video_meta(
     width, height).  ``meta.codec == "mp4"`` rows walk the ISO-BMFF
     box tree (``sources/mp4.py`` — mvhd duration/timescale, trak
     count, tkhd 16.16 dims; ``mdat`` skipped by declared size, so
-    media bytes are never parsed; r8); ``"y4m"`` rows parse the
-    YUV4MPEG2 header + frame count for a real duration; ``"fake"``
-    rows use the digest fake; other codecs raise — sample decode
-    belongs to ffmpeg.
+    media bytes are never parsed; r8); ``"avi"`` rows walk the RIFF
+    chunk tree (``sources/avi.py``, r9 — avih dims/stream count,
+    video strh scale/rate for an exact rational duration, ``movi``
+    skipped by declared size); ``"y4m"`` rows parse the YUV4MPEG2
+    header + frame count for a real duration; ``"fake"`` rows use
+    the digest fake; other codecs raise — sample decode belongs to
+    ffmpeg.
 
     Scale shape: pure Arrow ``mapInPandas`` projection, bytes stay on
     the executors, partitioning inherits the scan."""
@@ -641,6 +644,11 @@ def video_meta(
 
                 dur, _scale, n_tracks, w, h = mp4_meta(p)
                 return (dur, n_tracks, w, h)
+            if codec == "avi":
+                from parquet_editor_spark.sources.avi import avi_meta
+
+                dur, n_streams, w, h, _n = avi_meta(p)
+                return (dur, n_streams, w, h)
             if codec == "y4m":
                 from parquet_editor_spark.sources.y4m import decode_y4m
 
@@ -869,10 +877,41 @@ def sample_frames_video(
                             )
                         )
                     continue
+                if codec == "avi":
+                    # like mp4: the checksum covers the coded frame
+                    # chunk (a complete JPEG for MJPEG files) — the
+                    # pixel-level stage is video_frame_stats
+                    from parquet_editor_spark.sources.avi import (
+                        avi_meta,
+                        avi_video_chunks,
+                    )
+                    from parquet_editor_spark.sources.y4m import (
+                        sample_frame_indices,
+                    )
+
+                    p = bytes(p)
+                    chunks = avi_video_chunks(p)
+                    _d, _ns, w, h, _n = avi_meta(p)
+                    n = len(chunks)
+                    for idx in sample_frame_indices(n, k):
+                        off, sz = chunks[idx]
+                        out_rows.append(
+                            dict(
+                                base,
+                                frame_idx=idx,
+                                n_frames=n,
+                                frame_w=w,
+                                frame_h=h,
+                                frame_checksum=_h.md5(
+                                    p[off : off + sz]
+                                ).hexdigest(),
+                            )
+                        )
+                    continue
                 if codec != "y4m":
                     raise NotImplementedError(
                         f"frame extraction for codec {codec!r} requires "
-                        "ffmpeg; built-in support is y4m/mp4"
+                        "ffmpeg; built-in support is y4m/mp4/avi"
                     )
                 from parquet_editor_spark.sources.y4m import (
                     decode_y4m,
@@ -966,6 +1005,21 @@ def video_frame_index(
                     ix["offset"],
                     ix["is_sync"],
                 )
+            if codec == "avi":
+                from parquet_editor_spark.sources.avi import (
+                    avi_video_chunks,
+                    avi_video_timing,
+                )
+
+                chunks = avi_video_chunks(p)
+                scale, rate = avi_video_timing(p)
+                n = len(chunks)
+                t = np.arange(n, dtype=np.int64)
+                dts = t * scale * 1000 // rate
+                sizes = np.array([s for _, s in chunks], np.int64)
+                offs = np.array([o for o, _ in chunks], np.int64)
+                # every MJPEG frame is intra-coded → all sync
+                return (n, dts, dts, sizes, offs, np.ones(n, bool))
             if codec == "y4m":
                 from parquet_editor_spark.sources.y4m import decode_y4m
 
@@ -1133,6 +1187,216 @@ def image_dhash(
             pdf["width"] = [x[1] for x in hs]
             pdf["height"] = [x[2] for x in hs]
             yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def _video_pixel_frames(p: bytes, codec: str, what: str):
+    """(width, height, frames) with ``frames`` a list of per-frame
+    uint8 numpy sample buffers — the REAL pixel tier shared by
+    :func:`video_frame_stats` and :func:`video_scene_cuts`.
+
+    ``"y4m"`` frames are the raw planar YUV buffers (already pixels);
+    ``"avi"`` (MJPEG) frames run the full baseline/progressive JPEG
+    decode per frame (``sources/jpeg_codec.py``).  Inter-coded codecs
+    (H.264 in mp4) raise — their pixel decode belongs to ffmpeg."""
+    import numpy as _np
+
+    if codec == "y4m":
+        from parquet_editor_spark.sources.y4m import decode_y4m
+
+        w, h, _n, _d, _cs, frames = decode_y4m(p)
+        return w, h, [_np.frombuffer(f, _np.uint8) for f in frames]
+    if codec == "avi":
+        from parquet_editor_spark.sources.avi import avi_video_frames
+        from parquet_editor_spark.sources.jpeg_codec import decode_jpeg
+
+        out, w, h = [], None, None
+        for i, coded in enumerate(avi_video_frames(p)):
+            fw, fh, _ch, pix = decode_jpeg(coded)
+            if w is None:
+                w, h = fw, fh
+            elif (fw, fh) != (w, h):
+                raise ValueError(
+                    f"MJPEG frame {i} is {fw}x{fh}, expected {w}x{h}"
+                )
+            out.append(_np.frombuffer(pix, _np.uint8))
+        if w is None:
+            raise ValueError("AVI has no video frames")
+        return w, h, out
+    raise NotImplementedError(
+        f"{what} for codec {codec!r} requires ffmpeg; built-in pixel "
+        "support is y4m (raw YUV) and avi (MJPEG)"
+    )
+
+
+def video_frame_stats(
+    df: DataFrame,
+    k: int = 4,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """REAL per-frame pixel statistics: sample k evenly-spaced frames
+    (the shared nearest convention) and emit one row per sampled
+    frame with integer-exact sample stats — the video analogue of
+    ``image_pixel_stats``, and the honest quality gate before
+    shipping a clip to an encoder (all-black intros, blown-out
+    scans, frozen frames).
+
+    ``"y4m"`` stats cover the raw planar YUV buffer; ``"avi"``
+    (MJPEG) frames decode through the full JPEG codec first.  Sums
+    are int64 so every engine agrees bit-for-bit.
+
+    Scale shape: row expansion happens INSIDE the executor (one clip
+    → ≤k rows); only scalars leave the worker; no shuffle."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    has_meta = meta_col in df.columns
+    keep = [
+        f for f in df.schema.fields if f.name not in (payload_col, meta_col)
+    ]
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("frame_idx", T.IntegerType(), True),
+            T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField("frame_w", T.IntegerType(), True),
+            T.StructField("frame_h", T.IntegerType(), True),
+            T.StructField("px_min", T.IntegerType(), True),
+            T.StructField("px_max", T.IntegerType(), True),
+            T.StructField("px_sum", T.LongType(), True),
+            T.StructField("n_px", T.LongType(), True),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+    out_names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        import pandas as pd
+
+        from parquet_editor_spark.sources.y4m import sample_frame_indices
+
+        for pdf in batches:
+            codecs = (
+                ["fake" if m is None else m["codec"] for m in pdf[meta_col]]
+                if has_meta
+                else ["fake"] * len(pdf)
+            )
+            out_rows = []
+            for (_, row), codec in zip(pdf.iterrows(), codecs):
+                p = row[payload_col]
+                base = {c: row[c] for c in keep_names}
+                if p is None:
+                    out_rows.append(
+                        dict(base, frame_idx=None, n_frames=None,
+                             frame_w=None, frame_h=None, px_min=None,
+                             px_max=None, px_sum=None, n_px=None)
+                    )
+                    continue
+                w, h, frames = _video_pixel_frames(
+                    bytes(p), codec, "frame stats"
+                )
+                n = len(frames)
+                for idx in sample_frame_indices(n, k):
+                    a = frames[idx]
+                    out_rows.append(
+                        dict(
+                            base,
+                            frame_idx=idx,
+                            n_frames=n,
+                            frame_w=w,
+                            frame_h=h,
+                            px_min=int(a.min()),
+                            px_max=int(a.max()),
+                            px_sum=int(a.astype("int64").sum()),
+                            n_px=int(a.size),
+                        )
+                    )
+            yield pd.DataFrame(out_rows, columns=out_names)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    threshold: int = 16,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Scene-cut detection over REAL decoded frames: one row per
+    adjacent frame pair with the integer-exact total absolute sample
+    difference, flagged as a cut when the per-sample mean difference
+    exceeds ``threshold`` (``diff_sum > threshold * n_px``) — the
+    shot-boundary signal a video-curation pipeline samples scenes
+    with instead of blind strides.
+
+    ``"y4m"`` diffs the raw planar YUV buffers; ``"avi"`` (MJPEG)
+    decodes every frame through the JPEG codec first.  All arithmetic
+    is int64 — no float drift between engines.
+
+    Scale shape: O(frames × samples) per clip, entirely executor-side
+    (numpy vectorized); output is (clip × transitions) scalar rows —
+    no payload bytes shuffle."""
+    if threshold < 0:
+        raise ValueError(f"threshold must be >= 0, got {threshold}")
+    has_meta = meta_col in df.columns
+    keep = [
+        f for f in df.schema.fields if f.name not in (payload_col, meta_col)
+    ]
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("frame_idx", T.IntegerType(), True),
+            T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField("diff_sum", T.LongType(), True),
+            T.StructField("n_px", T.LongType(), True),
+            T.StructField("is_cut", T.BooleanType(), True),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+    out_names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        import numpy as _np
+        import pandas as pd
+
+        for pdf in batches:
+            codecs = (
+                ["fake" if m is None else m["codec"] for m in pdf[meta_col]]
+                if has_meta
+                else ["fake"] * len(pdf)
+            )
+            out_rows = []
+            for (_, row), codec in zip(pdf.iterrows(), codecs):
+                p = row[payload_col]
+                base = {c: row[c] for c in keep_names}
+                if p is None:
+                    out_rows.append(
+                        dict(base, frame_idx=None, n_frames=None,
+                             diff_sum=None, n_px=None, is_cut=None)
+                    )
+                    continue
+                _w, _h, frames = _video_pixel_frames(
+                    bytes(p), codec, "scene cuts"
+                )
+                n = len(frames)
+                prev = None
+                for i, a in enumerate(frames):
+                    a = a.astype(_np.int64)
+                    if prev is not None:
+                        diff = int(_np.abs(a - prev).sum())
+                        out_rows.append(
+                            dict(
+                                base,
+                                frame_idx=i,
+                                n_frames=n,
+                                diff_sum=diff,
+                                n_px=int(a.size),
+                                is_cut=diff > threshold * a.size,
+                            )
+                        )
+                    prev = a
+            yield pd.DataFrame(out_rows, columns=out_names)
 
     return df.mapInPandas(run, schema=out_schema)
 
