@@ -1191,6 +1191,74 @@ def image_dhash(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def image_exif(
+    df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
+) -> DataFrame:
+    """EXIF camera-tag extraction: payload → (make, model,
+    orientation, taken_at, exif_w, exif_h, iso) — the provenance
+    metadata an image-curation pipeline filters and joins on
+    (device dedup, orientation-aware resize, capture-date windows).
+
+    ``"jpeg"``/``"jpg"`` rows walk the APP1 segment and its embedded
+    TIFF IFDs for REAL (``sources/exif.py`` — both byte orders, IFD0
+    + Exif sub-IFD); a JPEG without EXIF yields all-None fields
+    (missing metadata is data, not an error); other codecs raise —
+    EXIF is a JPEG/TIFF concept.
+
+    Scale shape: O(header) per payload, pure Arrow ``mapInPandas``
+    projection, no shuffle."""
+    has_meta = meta_col in df.columns
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("make", T.StringType(), True),
+            T.StructField("model", T.StringType(), True),
+            T.StructField("orientation", T.IntegerType(), True),
+            T.StructField("taken_at", T.StringType(), True),
+            T.StructField("exif_w", T.IntegerType(), True),
+            T.StructField("exif_h", T.IntegerType(), True),
+            T.StructField("iso", T.IntegerType(), True),
+        ]
+    )
+
+    def run(batches):
+        from parquet_editor_spark.sources.exif import exif_from_jpeg
+
+        def exif_of(p, codec: str):
+            if p is None:
+                return {}
+            if codec in ("jpeg", "jpg"):
+                return exif_from_jpeg(bytes(p))
+            raise NotImplementedError(
+                f"EXIF extraction for codec {codec!r}: EXIF is a "
+                "JPEG/TIFF concept"
+            )
+
+        for pdf in batches:
+            codecs = (
+                ["fake" if m is None else m["codec"] for m in pdf[meta_col]]
+                if has_meta
+                else ["fake"] * len(pdf)
+            )
+            infos = [
+                exif_of(p, c) for p, c in zip(pdf[payload_col], codecs)
+            ]
+            pdf = pdf.copy()
+            for col, key in (
+                ("make", "make"),
+                ("model", "model"),
+                ("orientation", "orientation"),
+                ("taken_at", "datetime"),
+                ("exif_w", "exif_w"),
+                ("exif_h", "exif_h"),
+                ("iso", "iso"),
+            ):
+                pdf[col] = [i.get(key) for i in infos]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def _video_pixel_frames(p: bytes, codec: str, what: str):
     """(width, height, frames) with ``frames`` a list of per-frame
     uint8 numpy sample buffers — the REAL pixel tier shared by

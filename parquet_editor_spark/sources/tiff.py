@@ -42,6 +42,16 @@ def _read_ifd(data: bytes, origin: str) -> dict[int, list[int]]:
     """First IFD → {tag: [values...]} for integer-typed entries."""
     endian = _byte_order(data, origin)
     (ifd_at,) = struct.unpack_from(endian + "I", data, 4)
+    return read_ifd_entries(data, endian, ifd_at, origin)
+
+
+def read_ifd_entries(
+    data: bytes, endian: str, ifd_at: int, origin: str
+) -> dict[int, list[int]]:
+    """IFD at ``ifd_at`` → {tag: [values...]} for byte/ASCII/short/
+    long-typed entries — shared by the image IFD walk here and the
+    EXIF APP1 walk (``sources/exif.py``), which reads sub-IFDs at
+    pointer offsets."""
     if ifd_at + 2 > len(data):
         raise ValueError(f"{origin!r}: IFD offset out of bounds")
     (n_entries,) = struct.unpack_from(endian + "H", data, ifd_at)
