@@ -3222,6 +3222,149 @@ def q_jpeg_exif_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_curation_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end VIDEO curation composition (new r9): per doc, build
+    a clip — raw Y4M for even docs, AVI/MJPEG for odd — whose scene
+    structure derives from doc_id (every 5th doc single-scene, every
+    7th alternating frames = a hard-cut storm, the rest two scenes),
+    then run THREE production stages and combine their signals into a
+    keep/drop decision the way a crawl-video pipeline would:
+
+    - ``video_meta``: container walk → exact rational duration;
+    - ``video_scene_cuts``: full pixel decode of every frame (raw
+      YUV / per-frame JPEG), adjacent-frame int64 diffs → cut count;
+    - ``video_frame_stats`` (k=1): the middle frame's integer-exact
+      brightness.
+
+    keep = ≤1 cut AND duration ≥ 160 ms AND mid-frame brightness in
+    [64, 191].  Constant fields are exact through both decode paths,
+    so every signal is closed-form arithmetic on doc_id.
+
+    Scale shape: all three stages are executor-side mapInPandas over
+    the same generated payloads; the joins key on doc_id with
+    scalar-only rows (AQE picks broadcast at these sizes; at 100 TB
+    the three stages fuse over one scan per signal and the join
+    shuffles only scalars, never payload bytes)."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 57 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from parquet_editor_spark.sources.avi import encode_avi_mjpeg
+        from parquet_editor_spark.sources.jpeg_codec import (
+            encode_jpeg_baseline,
+        )
+        from parquet_editor_spark.sources.y4m import encode_y4m
+
+        qt = (
+            np.full(64, 8, dtype=np.int64),
+            np.full(64, 8, dtype=np.int64),
+        )
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads, codecs = [], []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                w = 8 + (i % 5) * 2
+                h = 6 + (i % 3) * 2
+                n = 2 + i % 6
+                a = (i * 23) % 256
+                b = (a + 120) % 256
+                if i % 5 == 0:
+                    vals = [a] * n  # single scene
+                elif i % 7 == 0:
+                    vals = [a if j % 2 == 0 else b for j in range(n)]
+                else:
+                    m = 1 + i % max(n - 1, 1)
+                    vals = [a if j < m else b for j in range(n)]
+                if i % 2 == 0:
+                    fb = w * h * 3 // 2
+                    payloads.append(
+                        encode_y4m(
+                            w, h, (25, 1),
+                            [bytes([v]) * fb for v in vals],
+                        )
+                    )
+                    codecs.append("y4m")
+                else:
+                    payloads.append(
+                        encode_avi_mjpeg(
+                            w, h, (25, 1),
+                            [
+                                encode_jpeg_baseline(
+                                    w, h, 1, bytes([v]) * (w * h),
+                                    quant_tables=qt,
+                                )
+                                for v in vals
+                            ],
+                        )
+                    )
+                    codecs.append("avi")
+            pdf["payload"] = payloads
+            pdf["codec"] = codecs
+            yield pdf[["doc_id", "codec", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.col("codec").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    meta = MM.video_meta(with_payload).select(
+        "doc_id", "codec", "duration_ms"
+    )
+    cuts = (
+        MM.video_scene_cuts(with_payload, threshold=16)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("is_cut").cast("long")).alias("n_cuts"))
+    )
+    mid = MM.video_frame_stats(with_payload, k=1).select(
+        "doc_id",
+        "n_frames",
+        (F.col("px_sum") / F.col("n_px")).cast("int").alias("mid_val"),
+    )
+    return (
+        meta.join(cuts, "doc_id")
+        .join(mid, "doc_id")
+        .select(
+            "doc_id",
+            "codec",
+            "n_frames",
+            "duration_ms",
+            "n_cuts",
+            "mid_val",
+            (
+                (F.col("n_cuts") <= 1)
+                & (F.col("duration_ms") >= 160)
+                & (F.col("mid_val") >= 64)
+                & (F.col("mid_val") <= 191)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -6009,7 +6152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avi_mjpeg_decode_docs": q_avi_mjpeg_decode_docs,
         "video_scene_cuts_docs": q_video_scene_cuts_docs,
         "jpeg_exif_docs": q_jpeg_exif_docs,
-        # --- 19-50. stale r3/r4/r5-signal block, oldest first ---
+        "video_curation_v1": q_video_curation_v1,
+        # --- 20-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -8249,6 +8393,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_frames,
                    CAST(n * 1000 // rate AS BIGINT) AS duration_ms
             FROM params
+            ORDER BY doc_id
+        """,
+        "video_curation_v1": """
+            WITH params AS (
+                SELECT doc_id,
+                       2 + doc_id % 6 AS n,
+                       (doc_id * 23) % 256 AS a,
+                       ((doc_id * 23) % 256 + 120) % 256 AS b,
+                       CASE WHEN doc_id % 2 = 0 THEN 'y4m'
+                            ELSE 'avi' END AS codec
+                FROM documents
+                WHERE doc_id % 57 = 0
+            ), sig AS (
+                SELECT doc_id, codec, n,
+                       n * 40 AS duration_ms,
+                       CASE WHEN doc_id % 5 = 0 THEN 0
+                            WHEN doc_id % 7 = 0 THEN n - 1
+                            ELSE 1 END AS n_cuts,
+                       CASE WHEN doc_id % 5 = 0 THEN a
+                            WHEN doc_id % 7 = 0 THEN
+                                 CASE WHEN (n // 2) % 2 = 0
+                                      THEN a ELSE b END
+                            ELSE CASE WHEN n // 2 <
+                                          1 + doc_id % (n - 1)
+                                      THEN a ELSE b END
+                       END AS mid_val
+                FROM params
+            )
+            SELECT doc_id, codec,
+                   CAST(n AS INT) AS n_frames,
+                   CAST(duration_ms AS BIGINT) AS duration_ms,
+                   CAST(n_cuts AS BIGINT) AS n_cuts,
+                   CAST(mid_val AS INT) AS mid_val,
+                   CAST(CASE WHEN n_cuts <= 1
+                              AND duration_ms >= 160
+                              AND mid_val BETWEEN 64 AND 191
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM sig
             ORDER BY doc_id
         """,
         "jpeg_exif_docs": """
