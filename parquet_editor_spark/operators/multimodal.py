@@ -1191,6 +1191,76 @@ def image_dhash(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def warc_records(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Crawl-archive ingestion: one WARC payload row → one row per
+    record with its type, target URI, date, content type and UTF-8
+    body — the first operator a Common-Crawl-shaped pipeline runs.
+    Plain and per-record-gzip (``.warc.gz``) streams both parse
+    (``sources/warc.py``); body text decodes as UTF-8 with
+    replacement (crawl bodies are declared-charset chaos — the
+    downstream quality stages handle mojibake).
+
+    Scale shape: record expansion happens INSIDE the executor (Arrow
+    ``mapInPandas``); archive bytes never shuffle — only the
+    extracted scalar columns do.  At 100 TB each executor walks its
+    own archive byte ranges, the same unit of work a WARC splitter
+    hands out."""
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("rec_idx", T.IntegerType(), True),
+            T.StructField("warc_type", T.StringType(), True),
+            T.StructField("target_uri", T.StringType(), True),
+            T.StructField("warc_date", T.StringType(), True),
+            T.StructField("content_type", T.StringType(), True),
+            T.StructField("content_length", T.LongType(), True),
+            T.StructField("body", T.StringType(), True),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+    out_names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        import pandas as pd
+
+        from parquet_editor_spark.sources.warc import parse_warc
+
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                p = row[payload_col]
+                base = {c: row[c] for c in keep_names}
+                if p is None:
+                    out_rows.append(
+                        dict(base, rec_idx=None, warc_type=None,
+                             target_uri=None, warc_date=None,
+                             content_type=None, content_length=None,
+                             body=None)
+                    )
+                    continue
+                for i, rec in enumerate(parse_warc(bytes(p))):
+                    out_rows.append(
+                        dict(
+                            base,
+                            rec_idx=i,
+                            warc_type=rec["warc_type"],
+                            target_uri=rec["target_uri"],
+                            warc_date=rec["date"],
+                            content_type=rec["content_type"],
+                            content_length=len(rec["payload"]),
+                            body=rec["payload"].decode(
+                                "utf-8", "replace"
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(out_rows, columns=out_names)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def image_exif(
     df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
 ) -> DataFrame:
