@@ -3443,6 +3443,71 @@ def q_warc_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zip_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-bundle ZIP ingestion (sources/ziparc.py, new r9): per
+    doc, bundle 2 + doc_id%3 text members — each carrying the doc's
+    REAL text — into a ZIP archive (deflate for even docs, stored
+    for odd), then explode it back through the production
+    ``zip_members`` stage: central-directory walk + per-member
+    inflate + CRC-32 verification, all executor-side via stdlib
+    zipfile.  Differential oracle: names are arithmetic on
+    (doc_id, member_idx), sizes/prefixes recompute from
+    ``documents.text`` — any byte lost in deflate→inflate fails the
+    row.  CRC and compressed size are verified by the stage and unit
+    tests but not emitted (not SQL-recomputable).
+
+    Scale shape: build + parse are Arrow ``mapInPandas`` in the same
+    partition; archive bytes never shuffle."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 61 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.ziparc import make_zip
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(raw)
+                members = [
+                    (f"docs/{i}/{j}.txt", text or "")
+                    for j in range(2 + i % 3)
+                ]
+                payloads.append(
+                    make_zip(members, compress=i % 2 == 0)
+                )
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema)
+    return (
+        MM.zip_members(with_payload)
+        .select(
+            "doc_id",
+            "member_idx",
+            "name",
+            "size_bytes",
+            F.length("content").alias("content_chars"),
+            F.substring("content", 1, 48).alias("content_prefix"),
+        )
+        .orderBy("doc_id", "member_idx")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -6232,7 +6297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_exif_docs": q_jpeg_exif_docs,
         "video_curation_v1": q_video_curation_v1,
         "warc_extract_docs": q_warc_extract_docs,
-        # --- 21-50. stale r3/r4/r5-signal block, oldest first ---
+        "zip_extract_docs": q_zip_extract_docs,
+        # --- 22-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -8473,6 +8539,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * 1000 // rate AS BIGINT) AS duration_ms
             FROM params
             ORDER BY doc_id
+        """,
+        "zip_extract_docs": """
+            WITH docs AS (
+                SELECT doc_id, text, 2 + doc_id % 3 AS n_members
+                FROM documents
+                WHERE doc_id % 61 = 0
+            )
+            SELECT d.doc_id,
+                   CAST(g.j AS INT) AS member_idx,
+                   'docs/' || CAST(d.doc_id AS VARCHAR) || '/' ||
+                       CAST(g.j AS VARCHAR) || '.txt' AS name,
+                   CAST(octet_length(ENCODE(COALESCE(d.text, '')))
+                        AS BIGINT) AS size_bytes,
+                   CAST(length(COALESCE(d.text, '')) AS INT)
+                       AS content_chars,
+                   substr(COALESCE(d.text, ''), 1, 48)
+                       AS content_prefix
+            FROM docs d, generate_series(0, 4) AS g(j)
+            WHERE g.j < d.n_members
+            ORDER BY doc_id, member_idx
         """,
         "warc_extract_docs": """
             WITH docs AS (

@@ -1,0 +1,60 @@
+"""ZIP archive tier tests — deterministic round trips (deflate and
+stored), corrupt archives, and the ``zip_members`` Spark stage."""
+
+import zlib
+
+import pytest
+
+from parquet_editor_spark.operators import multimodal as MM
+from parquet_editor_spark.sources.ziparc import make_zip, parse_zip
+
+MEMBERS = [
+    ("a/first.txt", "hello zip"),
+    ("a/second.txt", "multibyte éè body"),
+    ("bin.dat", b"\x00\x01\x02raw"),
+]
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_roundtrip(compress):
+    data = make_zip(MEMBERS, compress=compress)
+    got = parse_zip(data)
+    assert [m["name"] for m in got] == [n for n, _ in MEMBERS]
+    assert got[0]["data"] == b"hello zip"
+    assert got[1]["data"] == "multibyte éè body".encode()
+    assert got[2]["data"] == b"\x00\x01\x02raw"
+    for m in got:
+        assert m["crc32"] == zlib.crc32(m["data"])
+        assert m["size"] == len(m["data"])
+
+
+def test_deterministic_bytes():
+    assert make_zip(MEMBERS) == make_zip(MEMBERS)
+
+
+def test_garbage_raises():
+    with pytest.raises(ValueError, match="not a valid ZIP"):
+        parse_zip(b"PK\x03\x04 but not really a zip")
+    with pytest.raises(ValueError, match="not a valid ZIP"):
+        parse_zip(b"plain text")
+
+
+def test_zip_members_stage(spark):
+    rows = [
+        (1, make_zip(MEMBERS)),
+        (2, make_zip(MEMBERS, compress=False)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = MM.zip_members(df).orderBy("id", "member_idx").collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["id"], []).append(r)
+    for i in (1, 2):
+        rs = by_id[i]
+        assert [r["name"] for r in rs] == [n for n, _ in MEMBERS]
+        assert rs[1]["content"] == "multibyte éè body"
+        assert rs[1]["size_bytes"] == len("multibyte éè body".encode())
+        assert rs[0]["crc32"] == zlib.crc32(b"hello zip")
+    # deflate actually compressed; stored did not
+    assert by_id[3][0]["member_idx"] is None
