@@ -159,9 +159,15 @@ def test_video_meta_mp4_and_y4m(spark):
 def test_video_meta_unknown_codec_raises(spark):
     from parquet_editor_spark.operators import multimodal as MM
 
+    # r9: avi became a real container walk — garbage bytes are a
+    # ValueError (not an AVI); genuinely-unknown codecs still raise
+    # NotImplementedError
     df = _media_df(spark, [(0, b"AVI fakebytes")], "avi", "video")
-    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+    with pytest.raises(Exception, match="not an AVI"):
         MM.video_meta(df).collect()
+    df2 = _media_df(spark, [(0, b"mkv bytes")], "mkv", "video")
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        MM.video_meta(df2).collect()
 
 
 def test_mp4_first_video_trak_wins():
