@@ -3508,6 +3508,88 @@ def q_zip_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_subtitle_cues_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-tier ingestion (sources/subtitles.py, new r9): per
+    doc, serialize 2 + doc_id%4 cues — timings arithmetic on
+    (doc_id, cue) — as SRT for even docs and WebVTT for odd (the
+    two formats differ in header, millisecond separator and counter
+    conventions), then explode them back through the production
+    ``subtitle_cues`` stage: timestamp grammar → integer
+    milliseconds, executor-side.  The round trip crosses the
+    HH:MM:SS,mmm formatting in both directions, so a single
+    ms-arithmetic slip fails closed-form."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 63 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.subtitles import (
+            make_srt,
+            make_vtt,
+        )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads, fmts = [], []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                cues = [
+                    {
+                        "start_ms": j * 1500 + (i % 7) * 13,
+                        "end_ms": j * 1500 + (i % 7) * 13
+                        + 800 + (i % 11) * 10,
+                        "text": f"cue {i}-{j} caption",
+                    }
+                    for j in range(2 + i % 4)
+                ]
+                if i % 2 == 0:
+                    payloads.append(make_srt(cues).encode())
+                    fmts.append("srt")
+                else:
+                    payloads.append(make_vtt(cues).encode())
+                    fmts.append("vtt")
+            pdf["payload"] = payloads
+            pdf["fmt"] = fmts
+            yield pdf[["doc_id", "fmt", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("text").alias("media_type"),
+            F.col("fmt").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    return (
+        MM.subtitle_cues(with_payload)
+        .select(
+            "doc_id",
+            "fmt",
+            "cue_idx",
+            "start_ms",
+            "end_ms",
+            (F.col("end_ms") - F.col("start_ms")).alias("duration_ms"),
+            "cue_text",
+        )
+        .orderBy("doc_id", "cue_idx")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -6298,7 +6380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_curation_v1": q_video_curation_v1,
         "warc_extract_docs": q_warc_extract_docs,
         "zip_extract_docs": q_zip_extract_docs,
-        # --- 22-50. stale r3/r4/r5-signal block, oldest first ---
+        "subtitle_cues_docs": q_subtitle_cues_docs,
+        # --- 23-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -8539,6 +8622,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * 1000 // rate AS BIGINT) AS duration_ms
             FROM params
             ORDER BY doc_id
+        """,
+        "subtitle_cues_docs": """
+            WITH docs AS (
+                SELECT doc_id,
+                       2 + doc_id % 4 AS n,
+                       CASE WHEN doc_id % 2 = 0 THEN 'srt'
+                            ELSE 'vtt' END AS fmt
+                FROM documents
+                WHERE doc_id % 63 = 0
+            )
+            SELECT d.doc_id, d.fmt,
+                   CAST(g.j + 1 AS INT) AS cue_idx,
+                   CAST(g.j * 1500 + (d.doc_id % 7) * 13 AS BIGINT)
+                       AS start_ms,
+                   CAST(g.j * 1500 + (d.doc_id % 7) * 13
+                        + 800 + (d.doc_id % 11) * 10 AS BIGINT)
+                       AS end_ms,
+                   CAST(800 + (d.doc_id % 11) * 10 AS BIGINT)
+                       AS duration_ms,
+                   'cue ' || CAST(d.doc_id AS VARCHAR) || '-' ||
+                       CAST(g.j AS VARCHAR) || ' caption' AS cue_text
+            FROM docs d, generate_series(0, 5) AS g(j)
+            WHERE g.j < d.n
+            ORDER BY doc_id, cue_idx
         """,
         "zip_extract_docs": """
             WITH docs AS (

@@ -1332,6 +1332,82 @@ def zip_members(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def subtitle_cues(
+    df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
+) -> DataFrame:
+    """Caption ingestion: one SRT/WebVTT payload row → one row per
+    cue with integer-millisecond timings and the cue text — the
+    caption-alignment input of a video training pipeline
+    (``sources/subtitles.py``).  Dispatches on ``meta.codec``
+    (``"srt"`` / ``"vtt"``); other codecs raise.
+
+    Scale shape: cue expansion happens INSIDE the executor (Arrow
+    ``mapInPandas``); only scalar cue rows shuffle."""
+    has_meta = meta_col in df.columns
+    keep = [
+        f for f in df.schema.fields if f.name not in (payload_col, meta_col)
+    ]
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("cue_idx", T.IntegerType(), True),
+            T.StructField("start_ms", T.LongType(), True),
+            T.StructField("end_ms", T.LongType(), True),
+            T.StructField("cue_text", T.StringType(), True),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+    out_names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        import pandas as pd
+
+        from parquet_editor_spark.sources.subtitles import (
+            parse_srt,
+            parse_vtt,
+        )
+
+        for pdf in batches:
+            codecs = (
+                ["srt" if m is None else m["codec"] for m in pdf[meta_col]]
+                if has_meta
+                else ["srt"] * len(pdf)
+            )
+            out_rows = []
+            for (_, row), codec in zip(pdf.iterrows(), codecs):
+                p = row[payload_col]
+                base = {c: row[c] for c in keep_names}
+                if p is None:
+                    out_rows.append(
+                        dict(base, cue_idx=None, start_ms=None,
+                             end_ms=None, cue_text=None)
+                    )
+                    continue
+                text = bytes(p).decode("utf-8", "replace")
+                if codec == "srt":
+                    cues = parse_srt(text)
+                elif codec == "vtt":
+                    cues = parse_vtt(text)
+                else:
+                    raise NotImplementedError(
+                        f"subtitle parse for codec {codec!r}: "
+                        "built-in support is srt/vtt"
+                    )
+                for c in cues:
+                    out_rows.append(
+                        dict(
+                            base,
+                            cue_idx=c["cue_idx"],
+                            start_ms=c["start_ms"],
+                            end_ms=c["end_ms"],
+                            cue_text=c["text"],
+                        )
+                    )
+            yield pd.DataFrame(out_rows, columns=out_names)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def image_exif(
     df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
 ) -> DataFrame:
