@@ -3590,6 +3590,72 @@ def q_subtitle_cues_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tar_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-bundle TAR ingestion (sources/tararc.py, new r9): per
+    doc, bundle 2 + doc_id%3 text members — each carrying the doc's
+    REAL text — into a ustar archive (gzipped ``.tar.gz`` stream for
+    odd docs, plain for even; mtime = doc_id), then explode it back
+    through the production ``tar_members`` stage: 512-byte header
+    walk with checksum verification, executor-side.  This is the
+    WebDataset-shard shape (tar of per-sample files) that large
+    multimodal training corpora actually ship as.  Differential
+    oracle: names/mtime are arithmetic on (doc_id, member_idx),
+    sizes/prefixes recompute from ``documents.text`` — a byte lost
+    in gzip→gunzip or a mis-advanced 512-block offset fails the row.
+
+    Scale shape: build + parse are Arrow ``mapInPandas`` in the same
+    partition; archive bytes never shuffle."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 67 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.tararc import make_tar
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(raw)
+                members = [
+                    (f"shard/{i}/{j}.txt", text or "")
+                    for j in range(2 + i % 3)
+                ]
+                payloads.append(
+                    make_tar(members, mtime=i, gzip_compress=i % 2 == 1)
+                )
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema)
+    return (
+        MM.tar_members(with_payload)
+        .select(
+            "doc_id",
+            "member_idx",
+            "name",
+            "size_bytes",
+            "mtime",
+            F.length("content").alias("content_chars"),
+            F.substring("content", 1, 48).alias("content_prefix"),
+        )
+        .orderBy("doc_id", "member_idx")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -6381,7 +6447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract_docs": q_warc_extract_docs,
         "zip_extract_docs": q_zip_extract_docs,
         "subtitle_cues_docs": q_subtitle_cues_docs,
-        # --- 23-50. stale r3/r4/r5-signal block, oldest first ---
+        "tar_extract_docs": q_tar_extract_docs,
+        # --- 24-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -8646,6 +8713,27 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d, generate_series(0, 5) AS g(j)
             WHERE g.j < d.n
             ORDER BY doc_id, cue_idx
+        """,
+        "tar_extract_docs": """
+            WITH docs AS (
+                SELECT doc_id, text, 2 + doc_id % 3 AS n_members
+                FROM documents
+                WHERE doc_id % 67 = 0
+            )
+            SELECT d.doc_id,
+                   CAST(g.j AS INT) AS member_idx,
+                   'shard/' || CAST(d.doc_id AS VARCHAR) || '/' ||
+                       CAST(g.j AS VARCHAR) || '.txt' AS name,
+                   CAST(octet_length(ENCODE(COALESCE(d.text, '')))
+                        AS BIGINT) AS size_bytes,
+                   CAST(d.doc_id AS BIGINT) AS mtime,
+                   CAST(length(COALESCE(d.text, '')) AS INT)
+                       AS content_chars,
+                   substr(COALESCE(d.text, ''), 1, 48)
+                       AS content_prefix
+            FROM docs d, generate_series(0, 4) AS g(j)
+            WHERE g.j < d.n_members
+            ORDER BY doc_id, member_idx
         """,
         "zip_extract_docs": """
             WITH docs AS (

@@ -1,0 +1,92 @@
+"""Hand-rolled ustar walk (sources/tararc.py) and the tar_members
+stage — cross-validated against stdlib tarfile in both directions."""
+
+import io
+import tarfile
+
+import pytest
+
+from parquet_editor_spark.operators import multimodal as MM
+from parquet_editor_spark.sources.tararc import make_tar, parse_tar
+
+MEMBERS = [
+    ("a.txt", "hello tar"),
+    ("dir/b.bin", b"\x00\x01\x02" * 200),
+    ("dir/deep/c.txt", ""),
+]
+
+
+def test_roundtrip_plain_and_gzip():
+    for gz in (False, True):
+        got = parse_tar(make_tar(MEMBERS, mtime=123, gzip_compress=gz))
+        assert [(m["name"], m["data"]) for m in got] == [
+            (n, c if isinstance(c, bytes) else c.encode())
+            for n, c in MEMBERS
+        ]
+        assert all(m["mtime"] == 123 for m in got)
+        assert [m["size"] for m in got] == [9, 600, 0]
+
+
+def test_stdlib_tarfile_reads_our_output():
+    with tarfile.open(fileobj=io.BytesIO(make_tar(MEMBERS))) as tf:
+        names = tf.getnames()
+        assert names == [n for n, _ in MEMBERS]
+        assert tf.extractfile("a.txt").read() == b"hello tar"
+        assert tf.extractfile("dir/b.bin").read() == b"\x00\x01\x02" * 200
+
+
+def test_we_read_stdlib_tarfile_output():
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, content in MEMBERS:
+            data = content if isinstance(content, bytes) else content.encode()
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            ti.mtime = 456
+            tf.addfile(ti, io.BytesIO(data))
+        # directories must be skipped by our walk
+        tf.addfile(tarfile.TarInfo("dir/"))
+    got = parse_tar(buf.getvalue())
+    assert [(m["name"], m["data"]) for m in got] == [
+        (n, c if isinstance(c, bytes) else c.encode()) for n, c in MEMBERS
+    ]
+
+
+def test_long_name_uses_prefix_field():
+    name = "x" * 80 + "/" + "y" * 60 + ".txt"
+    blob = make_tar([(name, "deep")])
+    assert parse_tar(blob)[0]["name"] == name
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        assert tf.getnames() == [name]
+
+
+def test_corrupt_raises():
+    with pytest.raises(ValueError, match="TAR"):
+        parse_tar(b"definitely not a tar archive" + b"\x00" * 600)
+    with pytest.raises(ValueError, match="not a TAR"):
+        parse_tar(b"")
+    good = bytearray(make_tar(MEMBERS))
+    good[20] ^= 0xFF  # flip a header byte -> checksum mismatch
+    with pytest.raises(ValueError, match="checksum"):
+        parse_tar(bytes(good))
+    with pytest.raises(ValueError, match="truncated"):
+        parse_tar(make_tar(MEMBERS)[:600])
+    with pytest.raises(ValueError, match="truncated gzip"):
+        parse_tar(make_tar(MEMBERS, gzip_compress=True)[:40])
+
+
+def test_tar_members_stage(spark):
+    rows = [
+        (1, make_tar([("a.txt", "alpha"), ("b.txt", "beta")], mtime=9)),
+        (2, make_tar([("c.txt", "gamma")], gzip_compress=True)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = MM.tar_members(df).orderBy("id", "member_idx").collect()
+    assert [(r["id"], r["name"], r["size_bytes"], r["content"]) for r in got] == [
+        (1, "a.txt", 5, "alpha"),
+        (1, "b.txt", 4, "beta"),
+        (2, "c.txt", 5, "gamma"),
+        (3, None, None, None),
+    ]
+    assert got[0]["mtime"] == 9
