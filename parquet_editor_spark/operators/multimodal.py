@@ -1400,6 +1400,101 @@ def tar_members(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def wds_samples(
+    df: DataFrame, payload_col: str = "payload", text: bool = True
+) -> DataFrame:
+    """WebDataset sample grouping: one TAR-shard payload row → one
+    row per SAMPLE.  WebDataset convention (the shard layout used by
+    large multimodal training corpora): members whose basenames share
+    the stem before the FIRST dot form one sample (``0001.jpg`` +
+    ``0001.txt`` + ``0001.json`` → sample ``0001`` with components
+    ``jpg``/``txt``/``json``), and a sample's members are contiguous
+    in the archive.  Emits the sample key, its component-extension
+    set, byte totals, and a ``components`` map ext → content.
+
+    Scale shape: the TAR walk AND the sample grouping both happen
+    inside one executor-side Arrow pass (``sources/tararc.py``) —
+    a sample's members live in the same archive payload, so grouping
+    them here avoids the groupBy shuffle a post-explode regroup
+    would pay.  Archive bytes never shuffle and never visit the
+    driver."""
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    val_t = T.StringType() if text else T.BinaryType()
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("sample_idx", T.IntegerType(), True),
+            T.StructField("sample_key", T.StringType(), True),
+            T.StructField("n_components", T.IntegerType(), True),
+            T.StructField("exts", T.StringType(), True),
+            T.StructField("total_bytes", T.LongType(), True),
+            T.StructField(
+                "components", T.MapType(T.StringType(), val_t), True
+            ),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+    out_names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        import pandas as pd
+
+        from parquet_editor_spark.sources.tararc import parse_tar
+
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                p = row[payload_col]
+                base = {c: row[c] for c in keep_names}
+                if p is None:
+                    out_rows.append(
+                        dict(base, sample_idx=None, sample_key=None,
+                             n_components=None, exts=None,
+                             total_bytes=None, components=None)
+                    )
+                    continue
+                samples: dict[str, dict[str, bytes]] = {}
+                order: list[str] = []
+                for m in parse_tar(bytes(p)):
+                    name = m["name"]
+                    base_name = name.rsplit("/", 1)[-1]
+                    dot = base_name.find(".")
+                    if dot <= 0:
+                        key, ext = name, ""
+                    else:
+                        key = name[: len(name) - len(base_name) + dot]
+                        ext = base_name[dot + 1 :]
+                    if key not in samples:
+                        samples[key] = {}
+                        order.append(key)
+                    samples[key][ext] = m["data"]
+                for i, key in enumerate(order):
+                    comp = samples[key]
+                    out_rows.append(
+                        dict(
+                            base,
+                            sample_idx=i,
+                            sample_key=key,
+                            n_components=len(comp),
+                            exts=";".join(sorted(comp)),
+                            total_bytes=sum(
+                                len(v) for v in comp.values()
+                            ),
+                            components={
+                                k: (
+                                    v.decode("utf-8", "replace")
+                                    if text
+                                    else v
+                                )
+                                for k, v in comp.items()
+                            },
+                        )
+                    )
+            yield pd.DataFrame(out_rows, columns=out_names)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def subtitle_cues(
     df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
 ) -> DataFrame:

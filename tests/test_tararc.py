@@ -90,3 +90,38 @@ def test_tar_members_stage(spark):
         (3, None, None, None),
     ]
     assert got[0]["mtime"] == 9
+
+
+def test_wds_samples_groups_by_first_dot_stem(spark):
+    # WebDataset layout: stem-before-FIRST-dot groups, so 0001.seg.png
+    # belongs to sample 0001; directories prefix the key; members of a
+    # sample are contiguous.
+    tar = make_tar(
+        [
+            ("sh/0001.txt", "first doc"),
+            ("sh/0001.cls", "3"),
+            ("sh/0001.seg.png", b"\x89fakepng"),
+            ("sh/0002.txt", "second"),
+            ("noext", b"orphan"),
+        ]
+    )
+    df = spark.createDataFrame([(1, tar), (2, None)], "id long, payload binary")
+    got = MM.wds_samples(df).orderBy("id", "sample_idx").collect()
+    assert [
+        (r["id"], r["sample_key"], r["n_components"], r["exts"], r["total_bytes"])
+        for r in got
+    ] == [
+        (1, "sh/0001", 3, "cls;seg.png;txt", 9 + 1 + 8),
+        (1, "sh/0002", 1, "txt", 6),
+        (1, "noext", 1, "", 6),
+        (2, None, None, None, None),
+    ]
+    assert got[0]["components"]["txt"] == "first doc"
+    assert got[0]["components"]["cls"] == "3"
+
+
+def test_wds_samples_binary_mode(spark):
+    tar = make_tar([("k.bin", b"\x00\xff\x10")])
+    df = spark.createDataFrame([(1, tar)], "id long, payload binary")
+    r = MM.wds_samples(df, text=False).collect()[0]
+    assert bytes(r["components"]["bin"]) == b"\x00\xff\x10"
