@@ -3826,6 +3826,56 @@ def q_crawl_curation_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wds_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset EXPORT → re-ingest round trip (``shard_webdataset``
+    + ``wds_samples``, new r9): shard the whole documents table into
+    TAR shards of ≤64 samples (shard = doc_id//64, the way a real
+    export sizes output files), each sample = ``<doc_id:08d>.txt``
+    (the doc's REAL text) + ``.cls`` (label doc_id%5); then read the
+    shards back through the sample-grouping walk and emit one row
+    per recovered sample.  Writer and reader share only the TAR
+    format — a packing slip (wrong member order, wrong sample
+    grouping, byte loss in the 512-block walk) breaks the closed-form
+    oracle, which recomputes every column from ``documents`` alone.
+
+    Scale shape: one groupBy(shard) shuffle IS the export plan
+    (sample bytes move once, shard size = task size); re-ingest is a
+    zero-shuffle Arrow pass."""
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.floor(F.col("doc_id") / 64).cast("long").alias("shard_id"),
+            F.format_string("%08d", F.col("doc_id")).alias("skey"),
+            F.coalesce(F.col("text"), F.lit("")).alias("txt"),
+            (F.col("doc_id") % 5).cast("string").alias("cls"),
+        )
+    )
+    shards = MM.shard_webdataset(
+        docs, "shard_id", "skey", {"txt": "txt", "cls": "cls"}
+    )
+    return (
+        MM.wds_samples(shards.drop("n_samples", "shard_bytes"))
+        .select(
+            "shard_id",
+            "sample_idx",
+            "sample_key",
+            "n_components",
+            "exts",
+            F.element_at("components", "cls").alias("cls"),
+            F.length(F.element_at("components", "txt")).alias(
+                "txt_chars"
+            ),
+            F.substring(
+                F.element_at("components", "txt"), 1, 48
+            ).alias("txt_prefix"),
+        )
+        .orderBy("shard_id", "sample_idx")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -6620,7 +6670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_extract_docs": q_tar_extract_docs,
         "wds_samples_docs": q_wds_samples_docs,
         "crawl_curation_v1": q_crawl_curation_v1,
-        # --- 26-50. stale r3/r4/r5-signal block, oldest first ---
+        "wds_export_roundtrip": q_wds_export_roundtrip,
+        # --- 27-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -8885,6 +8936,21 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d, generate_series(0, 5) AS g(j)
             WHERE g.j < d.n
             ORDER BY doc_id, cue_idx
+        """,
+        "wds_export_roundtrip": """
+            SELECT CAST(doc_id // 64 AS BIGINT) AS shard_id,
+                   CAST(row_number() OVER (
+                            PARTITION BY doc_id // 64
+                            ORDER BY doc_id) - 1 AS INT) AS sample_idx,
+                   lpad(CAST(doc_id AS VARCHAR), 8, '0') AS sample_key,
+                   CAST(2 AS INT) AS n_components,
+                   'cls;txt' AS exts,
+                   CAST(doc_id % 5 AS VARCHAR) AS cls,
+                   CAST(length(COALESCE(text, '')) AS INT)
+                       AS txt_chars,
+                   substr(COALESCE(text, ''), 1, 48) AS txt_prefix
+            FROM documents
+            ORDER BY shard_id, sample_idx
         """,
         "crawl_curation_v1": """
             WITH docs AS (

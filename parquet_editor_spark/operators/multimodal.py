@@ -1495,6 +1495,69 @@ def wds_samples(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def shard_webdataset(
+    df: DataFrame,
+    shard_col: str,
+    key_col: str,
+    components: dict[str, str],
+    gzip_compress: bool = False,
+) -> DataFrame:
+    """WebDataset shard EXPORT — the write half of :func:`wds_samples`.
+    Groups rows by ``shard_col`` (the caller decides the shard mapping,
+    e.g. ``F.floor(F.col("doc_id") / 1024)``) and packs each shard's
+    samples — sorted by ``key_col``, one member per ``components``
+    entry ext → column, named ``<key>.<ext>`` — into ONE ustar TAR
+    payload (``sources/tararc.py``), gzipped when asked.  Emits one
+    row per shard: shard id, sample count, shard bytes, payload.
+
+    Scale shape: the groupBy shuffle IS the export plan — shard size
+    directly controls task size, so the caller tunes
+    ``samples_per_shard`` via the shard mapping the same way a 100 TB
+    export job sizes its output files.  Packing happens in one Arrow
+    ``applyInPandas`` pass per shard; sample bytes shuffle exactly
+    once (they must — samples of one shard start on many input
+    partitions) and never visit the driver."""
+    shard_field = df.schema[shard_col]
+    out_schema = T.StructType(
+        [
+            shard_field,
+            T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("shard_bytes", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        from parquet_editor_spark.sources.tararc import make_tar
+
+        pdf = pdf.sort_values(key_col, kind="mergesort")
+        members = []
+        for _, row in pdf.iterrows():
+            key = row[key_col]
+            for ext, col in components.items():
+                v = row[col]
+                if v is None:
+                    v = b""
+                elif isinstance(v, str):
+                    v = v.encode()
+                members.append((f"{key}.{ext}", bytes(v)))
+        payload = make_tar(members, gzip_compress=gzip_compress)
+        return pd.DataFrame(
+            [
+                {
+                    shard_col: pdf[shard_col].iloc[0],
+                    "n_samples": len(pdf),
+                    "shard_bytes": len(payload),
+                    "payload": payload,
+                }
+            ]
+        )
+
+    return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)
+
+
 def subtitle_cues(
     df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
 ) -> DataFrame:

@@ -120,6 +120,44 @@ def test_wds_samples_groups_by_first_dot_stem(spark):
     assert got[0]["components"]["cls"] == "3"
 
 
+def test_shard_webdataset_packs_sorted_and_roundtrips(spark):
+    rows = [
+        (0, "b", "beta text", "1"),
+        (0, "a", "alpha text", "0"),
+        (1, "c", "gamma", "2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "shard_id long, skey string, txt string, cls string"
+    )
+    shards = MM.shard_webdataset(
+        df, "shard_id", "skey", {"txt": "txt", "cls": "cls"}
+    ).orderBy("shard_id")
+    got = shards.collect()
+    assert [(r["shard_id"], r["n_samples"]) for r in got] == [(0, 2), (1, 1)]
+    assert all(r["shard_bytes"] == len(r["payload"]) for r in got)
+    # members sorted by key inside the shard, one .txt + .cls each
+    members = parse_tar(bytes(got[0]["payload"]))
+    assert [m["name"] for m in members] == [
+        "a.txt", "a.cls", "b.txt", "b.cls"
+    ]
+    assert members[0]["data"] == b"alpha text"
+    # and the read half regroups them into the original samples
+    back = (
+        MM.wds_samples(shards.select("shard_id", "payload"))
+        .orderBy("shard_id", "sample_idx")
+        .collect()
+    )
+    assert [
+        (r["shard_id"], r["sample_key"], r["components"]["txt"],
+         r["components"]["cls"])
+        for r in back
+    ] == [
+        (0, "a", "alpha text", "0"),
+        (0, "b", "beta text", "1"),
+        (1, "c", "gamma", "2"),
+    ]
+
+
 def test_wds_samples_binary_mode(spark):
     tar = make_tar([("k.bin", b"\x00\xff\x10")])
     df = spark.createDataFrame([(1, tar)], "id long, payload binary")
