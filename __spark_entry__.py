@@ -3829,8 +3829,10 @@ def q_crawl_curation_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_wds_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset EXPORT → re-ingest round trip (``shard_webdataset``
     + ``wds_samples``, new r9): shard the whole documents table into
-    TAR shards of ≤64 samples (shard = doc_id//64, the way a real
-    export sizes output files), each sample = ``<doc_id:08d>.txt``
+    zstd-compressed TAR shards (``.tar.zst``, the modern shard
+    convention; Arrow C++ codec) of ≤64 samples (shard = doc_id//64,
+    the way a real export sizes output files), each sample =
+    ``<doc_id:08d>.txt``
     (the doc's REAL text) + ``.cls`` (label doc_id%5); then read the
     shards back through the sample-grouping walk and emit one row
     per recovered sample.  Writer and reader share only the TAR
@@ -3854,7 +3856,8 @@ def q_wds_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     shards = MM.shard_webdataset(
-        docs, "shard_id", "skey", {"txt": "txt", "cls": "cls"}
+        docs, "shard_id", "skey", {"txt": "txt", "cls": "cls"},
+        compression="zstd",
     )
     return (
         MM.wds_samples(shards.drop("n_samples", "shard_bytes"))

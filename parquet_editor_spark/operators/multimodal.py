@@ -1500,15 +1500,17 @@ def shard_webdataset(
     shard_col: str,
     key_col: str,
     components: dict[str, str],
-    gzip_compress: bool = False,
+    compression: str | None = None,
 ) -> DataFrame:
     """WebDataset shard EXPORT — the write half of :func:`wds_samples`.
     Groups rows by ``shard_col`` (the caller decides the shard mapping,
     e.g. ``F.floor(F.col("doc_id") / 1024)``) and packs each shard's
     samples — sorted by ``key_col``, one member per ``components``
     entry ext → column, named ``<key>.<ext>`` — into ONE ustar TAR
-    payload (``sources/tararc.py``), gzipped when asked.  Emits one
-    row per shard: shard id, sample count, shard bytes, payload.
+    payload (``sources/tararc.py``), optionally compressed
+    (``compression`` ∈ {None, 'gzip', 'zstd'} — zstd via pyarrow's
+    Arrow C++ codec, the modern shard convention).  Emits one row
+    per shard: shard id, sample count, shard bytes, payload.
 
     Scale shape: the groupBy shuffle IS the export plan — shard size
     directly controls task size, so the caller tunes
@@ -1543,7 +1545,7 @@ def shard_webdataset(
                 elif isinstance(v, str):
                     v = v.encode()
                 members.append((f"{key}.{ext}", bytes(v)))
-        payload = make_tar(members, gzip_compress=gzip_compress)
+        payload = make_tar(members, compression=compression)
         return pd.DataFrame(
             [
                 {

@@ -37,6 +37,16 @@ def _gunzip(data: bytes) -> bytes:
     return b"".join(out)
 
 
+def _unzstd(data: bytes) -> bytes:
+    """Decompress a ``.tar.zst`` stream via pyarrow's zstd codec (the
+    same public Arrow C++ codec Spark's parquet reader links)."""
+    import pyarrow as pa
+
+    return pa.CompressedInputStream(
+        pa.BufferReader(data), "zstd"
+    ).read()
+
+
 def _octal(field: bytes, what: str, origin: str) -> int:
     s = field.split(b"\x00", 1)[0].strip()
     if not s:
@@ -54,6 +64,8 @@ def parse_tar(data: bytes, origin: str = "<bytes>") -> list[dict]:
     magic or truncated data block raises ValueError."""
     if data[:2] == b"\x1f\x8b":
         data = _gunzip(data)
+    elif data[:4] == b"\x28\xb5\x2f\xfd":
+        data = _unzstd(data)
     members, pos = [], 0
     while pos + BLOCK <= len(data):
         hdr = data[pos : pos + BLOCK]
@@ -113,10 +125,12 @@ def make_tar(
     members: list[tuple[str, str | bytes]],
     mtime: int = 0,
     gzip_compress: bool = False,
+    compression: str | None = None,
 ) -> bytes:
-    """Serialize ``(name, content)`` members as a ustar TAR (gzipped
-    when ``gzip_compress``).  Names longer than 100 bytes use the
-    ustar prefix field; longer than 255 raise."""
+    """Serialize ``(name, content)`` members as a ustar TAR.
+    ``compression`` ∈ {None, 'gzip', 'zstd'} (``gzip_compress=True``
+    is the legacy spelling of 'gzip').  Names longer than 100 bytes
+    use the ustar prefix field; longer than 255 raise."""
     import zlib
 
     out = []
@@ -148,6 +162,17 @@ def make_tar(
     out.append(b"\x00" * (2 * BLOCK))
     raw = b"".join(out)
     if gzip_compress:
+        compression = "gzip"
+    if compression == "gzip":
         gz = zlib.compressobj(9, zlib.DEFLATED, 31)
         return gz.compress(raw) + gz.flush()
+    if compression == "zstd":
+        import pyarrow as pa
+
+        sink = pa.BufferOutputStream()
+        with pa.CompressedOutputStream(sink, "zstd") as s:
+            s.write(raw)
+        return sink.getvalue().to_pybytes()
+    if compression is not None:
+        raise ValueError(f"unsupported TAR compression {compression!r}")
     return raw

@@ -60,6 +60,39 @@ def test_long_name_uses_prefix_field():
         assert tf.getnames() == [name]
 
 
+def test_zstd_roundtrip_and_cli_cross_check(tmp_path):
+    blob = make_tar(MEMBERS, mtime=7, compression="zstd")
+    assert blob[:4] == b"\x28\xb5\x2f\xfd"
+    got = parse_tar(blob)
+    assert [(m["name"], m["data"]) for m in got] == [
+        (n, c if isinstance(c, bytes) else c.encode()) for n, c in MEMBERS
+    ]
+    # independent decoder: the system zstd binary, when present
+    import shutil
+    import subprocess
+
+    if shutil.which("zstd"):
+        p = tmp_path / "a.tar.zst"
+        p.write_bytes(blob)
+        subprocess.run(["zstd", "-d", "-q", str(p)], check=True)
+        raw = (tmp_path / "a.tar").read_bytes()
+        with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+            assert tf.getnames() == [n for n, _ in MEMBERS]
+        # and our parser reads what the CLI compresses
+        subprocess.run(
+            ["zstd", "-q", "-f", "-o", str(tmp_path / "b.tar.zst"),
+             str(tmp_path / "a.tar")],
+            check=True,
+        )
+        got2 = parse_tar((tmp_path / "b.tar.zst").read_bytes())
+        assert [m["name"] for m in got2] == [n for n, _ in MEMBERS]
+
+
+def test_make_tar_rejects_unknown_compression():
+    with pytest.raises(ValueError, match="compression"):
+        make_tar(MEMBERS, compression="lz4wrong")
+
+
 def test_corrupt_raises():
     with pytest.raises(ValueError, match="TAR"):
         parse_tar(b"definitely not a tar archive" + b"\x00" * 600)
