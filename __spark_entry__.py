@@ -3879,6 +3879,34 @@ def q_wds_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-training sequence packing (``pack_documents``, new r9):
+    concatenate the corpus token stream in doc_id order and split it
+    into fixed 32-token training blocks — one row per (block, doc)
+    overlap with the doc-local span and block-local position.  The
+    Spark side runs the DISTRIBUTED prefix sum (bucketed cumsum +
+    one-row-per-bucket offsets broadcast back — no data-sized global
+    window); the oracle recomputes the same placement with a plain
+    single-stream window cumsum in DuckDB, so any off-by-one in the
+    bucket stitching or block arithmetic fails closed-form."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        TP.pack_documents(
+            docs, "doc_id", "text", block_tokens=32, bucket_docs=64
+        )
+        .select(
+            "block_id",
+            F.col("id").alias("doc_id"),
+            "tok_start",
+            "n_block_tokens",
+            "block_pos",
+        )
+        .orderBy("block_id", "doc_id")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -6674,7 +6702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_samples_docs": q_wds_samples_docs,
         "crawl_curation_v1": q_crawl_curation_v1,
         "wds_export_roundtrip": q_wds_export_roundtrip,
-        # --- 27-50. stale r3/r4/r5-signal block, oldest first ---
+        "pack_sequences_docs": q_pack_sequences_docs,
+        # --- 28-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -8939,6 +8968,36 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d, generate_series(0, 5) AS g(j)
             WHERE g.j < d.n
             ORDER BY doc_id, cue_idx
+        """,
+        "pack_sequences_docs": """
+            WITH d AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(
+                           COALESCE(text, ''), '\\s+'),
+                           x -> x <> ''))::BIGINT AS n
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n,
+                       COALESCE(SUM(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM d
+            ), e AS (
+                SELECT doc_id, n, o,
+                       unnest(range(o // 32,
+                                    (o + n - 1) // 32 + 1)) AS block_id
+                FROM c
+                WHERE n > 0
+            )
+            SELECT CAST(block_id AS BIGINT) AS block_id,
+                   doc_id,
+                   greatest(0, block_id * 32 - o)::BIGINT AS tok_start,
+                   (least(n, (block_id + 1) * 32 - o)
+                    - greatest(0, block_id * 32 - o))::BIGINT
+                       AS n_block_tokens,
+                   greatest(0, o - block_id * 32)::BIGINT AS block_pos
+            FROM e
+            ORDER BY block_id, doc_id
         """,
         "wds_export_roundtrip": """
             SELECT CAST(doc_id // 64 AS BIGINT) AS shard_id,

@@ -12,10 +12,14 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from parquet_editor_spark.functions.text import tokens, word_ngrams_all
+from parquet_editor_spark.functions.text import (
+    token_count,
+    tokens,
+    word_ngrams_all,
+)
 
 
 def mixture_sample_tokens(
@@ -122,6 +126,87 @@ def chunk_documents(
         F.least(
             F.lit(chunk_tokens), F.size("__toks") - F.col("start")
         ).alias("n_chunk_tokens"),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_tokens: int = 2048,
+    bucket_docs: int = 4096,
+) -> DataFrame:
+    """LLM-training sequence packing: concatenate the corpus token
+    stream in ``id_col`` order and split it into fixed ``block_tokens``
+    blocks — the packing step that turns curated documents into
+    training sequences (a doc may span blocks; a block holds many
+    docs).  Emits one row per (block, doc) overlap: block id, doc id,
+    the doc-local token span ``[tok_start, tok_start+n_block_tokens)``
+    and the block-local start position.
+
+    Scale shape: the global running offset is a DISTRIBUTED prefix
+    sum, not a single-partition window — docs cumsum inside
+    ``floor(id/bucket_docs)`` buckets (partitioned window), bucket
+    totals aggregate to one row per bucket, and only that
+    metadata-scale frame crosses the benign one-row-per-bucket global
+    window before broadcast-joining back.  Block expansion is a
+    ``sequence``/``explode`` projection — no data-sized shuffle
+    anywhere, text never moves."""
+    if block_tokens <= 0:
+        raise ValueError("block_tokens must be positive")
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        token_count(text_col).cast("long").alias("n"),
+        F.floor(F.col(id_col) / bucket_docs).cast("long").alias("__b"),
+    )
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = staged.withColumn(
+        "__cum", F.sum("n").over(w_local) - F.col("n")
+    )
+    # one row per bucket: the only thing that crosses a global window
+    totals = staged.groupBy("__b").agg(F.sum("n").alias("__tot"))
+    w_buckets = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.withColumn(
+        "__off", F.sum("__tot").over(w_buckets) - F.col("__tot")
+    ).select("__b", "__off")
+    placed = (
+        local.join(F.broadcast(offsets), "__b")
+        .withColumn("__o", F.col("__cum") + F.col("__off"))
+        .filter(F.col("n") > 0)
+    )
+    B = F.lit(block_tokens)
+    exploded = placed.select(
+        "id",
+        "n",
+        "__o",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__o") / B),
+                F.floor((F.col("__o") + F.col("n") - 1) / B),
+            )
+        ).alias("block_id"),
+    )
+    tok_start = F.greatest(
+        F.lit(0).cast("long"), F.col("block_id") * B - F.col("__o")
+    )
+    tok_end = F.least(
+        F.col("n"), (F.col("block_id") + 1) * B - F.col("__o")
+    )
+    return exploded.select(
+        F.col("block_id").cast("long"),
+        F.col("id"),
+        tok_start.alias("tok_start"),
+        (tok_end - tok_start).alias("n_block_tokens"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("__o") - F.col("block_id") * B,
+        ).alias("block_pos"),
     )
 
 

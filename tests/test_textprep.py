@@ -446,3 +446,63 @@ def test_strip_common_shingles_partial_overlap_coverage(spark):
         ).collect()
     }
     assert out[9] == "x y"
+
+
+def test_pack_documents_spans_and_positions(spark):
+    """4 docs × known token counts at block=5: the concatenated
+    stream is |3|4|6|2| → offsets 0,3,7,13; doc 3 (6 tokens at
+    offset 7) spans blocks 1 and 2."""
+    from parquet_editor_spark.operators.textprep import pack_documents
+
+    rows = [
+        (1, "a b c"),            # n=3, o=0  -> block 0 pos 0
+        (2, "d e f g"),          # n=4, o=3  -> block 0 pos 3 (2 toks), block 1 (2 toks)
+        (3, "h i j k l m"),      # n=6, o=7  -> block 1 pos 2 (3), block 2 (3)
+        (4, "n o"),              # n=2, o=13 -> block 2 pos 3
+        (5, ""),                 # empty doc dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["block_id"], r["id"], r["tok_start"], r["n_block_tokens"], r["block_pos"])
+        for r in pack_documents(
+            df, "doc_id", "text", block_tokens=5, bucket_docs=2
+        ).orderBy("block_id", "id").collect()
+    ]
+    assert got == [
+        (0, 1, 0, 3, 0),
+        (0, 2, 0, 2, 3),
+        (1, 2, 2, 2, 0),
+        (1, 3, 0, 3, 2),
+        (2, 3, 3, 3, 0),
+        (2, 4, 0, 2, 3),
+    ]
+    # every block except the last is exactly full
+    import collections
+    per_block = collections.Counter()
+    for b, _, _, nb, _ in got:
+        per_block[b] += nb
+    assert per_block[0] == per_block[1] == 5 and per_block[2] == 5
+
+
+def test_pack_documents_bucket_stitching_matches_single_stream(spark):
+    """The distributed prefix sum (many small buckets) must place
+    every token exactly where one global cumsum would."""
+    from parquet_editor_spark.operators.textprep import pack_documents
+
+    rows = [(i, " ".join(["w"] * (1 + i % 7))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = pack_documents(df, "doc_id", "text", 16, bucket_docs=3)
+    b = pack_documents(df, "doc_id", "text", 16, bucket_docs=1000)
+    key = lambda r: (r["block_id"], r["id"])
+    assert sorted(map(tuple, a.collect()), key=lambda t: (t[0], t[1])) == \
+        sorted(map(tuple, b.collect()), key=lambda t: (t[0], t[1]))
+
+
+def test_pack_documents_rejects_bad_block(spark):
+    import pytest
+
+    from parquet_editor_spark.operators.textprep import pack_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="block_tokens"):
+        pack_documents(df, "doc_id", "text", 0)
