@@ -3907,6 +3907,66 @@ def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord-shard ingestion (sources/tfrecord.py, new r9): per
+    doc, frame 1 + doc_id%3 records — record j carries the doc's
+    REAL text prefixed by an arithmetic header line — with the
+    standard TFRecord ``length | masked-crc32c | data | masked-crc32c``
+    framing, then explode them back through the production
+    ``tfrecord_records`` stage (both CRCs verify per record,
+    executor-side).  The CRC-32C is pinned to the public check value
+    in unit tests, so the oracle only needs the payload arithmetic:
+    sizes/prefixes recompute from ``documents.text``."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 79 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.tfrecord import make_tfrecord
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(raw)
+                payloads.append(
+                    make_tfrecord(
+                        [
+                            f"rec {i}-{j}\n" + (text or "")
+                            for j in range(1 + i % 3)
+                        ]
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema)
+    return (
+        MM.tfrecord_records(with_payload)
+        .select(
+            "doc_id",
+            "rec_idx",
+            "size_bytes",
+            F.length("content").alias("content_chars"),
+            F.substring("content", 1, 48).alias("content_prefix"),
+        )
+        .orderBy("doc_id", "rec_idx")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -6703,7 +6763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_curation_v1": q_crawl_curation_v1,
         "wds_export_roundtrip": q_wds_export_roundtrip,
         "pack_sequences_docs": q_pack_sequences_docs,
-        # --- 28-50. stale r3/r4/r5-signal block, oldest first ---
+        "tfrecord_roundtrip": q_tfrecord_roundtrip,
+        # --- 29-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -8968,6 +9029,28 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d, generate_series(0, 5) AS g(j)
             WHERE g.j < d.n
             ORDER BY doc_id, cue_idx
+        """,
+        "tfrecord_roundtrip": """
+            WITH docs AS (
+                SELECT doc_id, text, 1 + doc_id % 3 AS n_recs
+                FROM documents
+                WHERE doc_id % 79 = 0
+            ), recs AS (
+                SELECT d.doc_id,
+                       CAST(g.j AS INT) AS rec_idx,
+                       'rec ' || CAST(d.doc_id AS VARCHAR) || '-' ||
+                           CAST(g.j AS VARCHAR) || chr(10) ||
+                           COALESCE(d.text, '') AS content
+                FROM docs d, generate_series(0, 2) AS g(j)
+                WHERE g.j < d.n_recs
+            )
+            SELECT doc_id, rec_idx,
+                   CAST(octet_length(ENCODE(content)) AS BIGINT)
+                       AS size_bytes,
+                   CAST(length(content) AS INT) AS content_chars,
+                   substr(content, 1, 48) AS content_prefix
+            FROM recs
+            ORDER BY doc_id, rec_idx
         """,
         "pack_sequences_docs": """
             WITH d AS (

@@ -1560,6 +1560,67 @@ def shard_webdataset(
     return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)
 
 
+def tfrecord_records(
+    df: DataFrame, payload_col: str = "payload", text: bool = True
+) -> DataFrame:
+    """TFRecord-shard ingestion: one TFRecord payload row → one row
+    per record with its index, byte size and (when ``text``) UTF-8
+    content.  Both framing CRC-32Cs verify per record
+    (``sources/tfrecord.py``); a corrupt shard fails the row loudly.
+
+    Scale shape: record expansion happens INSIDE the executor (Arrow
+    ``mapInPandas``); shard bytes never shuffle and never visit the
+    driver — the same contract as the TAR/ZIP/WARC walks."""
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("rec_idx", T.IntegerType(), True),
+            T.StructField("size_bytes", T.LongType(), True),
+            T.StructField(
+                "content",
+                T.StringType() if text else T.BinaryType(),
+                True,
+            ),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+    out_names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        import pandas as pd
+
+        from parquet_editor_spark.sources.tfrecord import parse_tfrecord
+
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                p = row[payload_col]
+                base = {c: row[c] for c in keep_names}
+                if p is None:
+                    out_rows.append(
+                        dict(base, rec_idx=None, size_bytes=None,
+                             content=None)
+                    )
+                    continue
+                for i, rec in enumerate(parse_tfrecord(bytes(p))):
+                    out_rows.append(
+                        dict(
+                            base,
+                            rec_idx=i,
+                            size_bytes=len(rec),
+                            content=(
+                                rec.decode("utf-8", "replace")
+                                if text
+                                else rec
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(out_rows, columns=out_names)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def subtitle_cues(
     df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
 ) -> DataFrame:
