@@ -3967,6 +3967,30 @@ def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_packed_blocks_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training blocks (``pack_blocks``, new r9): the
+    packed 32-token sequences themselves — each block's text assembled
+    from its documents' spans in stream order, with doc/token counts
+    and an md5 over the packed text so the oracle pins every token
+    position, not just the placement arithmetic.  The DuckDB side
+    rebuilds the same blocks with a window cumsum + list_slice +
+    ordered string_agg."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    blocks = TP.pack_blocks(
+        docs, "doc_id", "text", block_tokens=32, bucket_docs=64
+    )
+    return blocks.select(
+        "block_id",
+        "n_docs",
+        "n_tokens",
+        F.length("block_text").cast("long").alias("block_chars"),
+        F.substring("block_text", 1, 40).alias("block_prefix"),
+        F.md5(F.encode("block_text", "utf-8")).alias("block_md5"),
+    ).orderBy("block_id")
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -6764,7 +6788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_export_roundtrip": q_wds_export_roundtrip,
         "pack_sequences_docs": q_pack_sequences_docs,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
-        # --- 29-50. stale r3/r4/r5-signal block, oldest first ---
+        "packed_blocks_text": q_packed_blocks_text,
+        # --- 30-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -9029,6 +9054,53 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d, generate_series(0, 5) AS g(j)
             WHERE g.j < d.n
             ORDER BY doc_id, cue_idx
+        """,
+        "packed_blocks_text": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           COALESCE(text, ''), '\\s+'),
+                           x -> x <> '') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, toks, len(toks)::BIGINT AS n,
+                       COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM d
+            ), e AS (
+                SELECT doc_id, toks, n, o,
+                       unnest(range(o // 32,
+                                    (o + n - 1) // 32 + 1)) AS block_id
+                FROM c
+                WHERE n > 0
+            ), p AS (
+                SELECT block_id, doc_id,
+                       greatest(0, block_id * 32 - o) AS tok_start,
+                       least(n, (block_id + 1) * 32 - o)
+                           - greatest(0, block_id * 32 - o) AS nb,
+                       greatest(0, o - block_id * 32) AS block_pos,
+                       array_to_string(
+                           toks[greatest(0, block_id * 32 - o) + 1 :
+                                least(n, (block_id + 1) * 32 - o)],
+                           ' ') AS piece
+                FROM e
+            ), b AS (
+                SELECT block_id,
+                       count(*)::BIGINT AS n_docs,
+                       sum(nb)::BIGINT AS n_tokens,
+                       string_agg(piece, ' ' ORDER BY block_pos)
+                           AS block_text
+                FROM p
+                GROUP BY block_id
+            )
+            SELECT CAST(block_id AS BIGINT) AS block_id,
+                   n_docs, n_tokens,
+                   CAST(length(block_text) AS BIGINT) AS block_chars,
+                   substr(block_text, 1, 40) AS block_prefix,
+                   md5(block_text) AS block_md5
+            FROM b
+            ORDER BY block_id
         """,
         "tfrecord_roundtrip": """
             WITH docs AS (

@@ -210,6 +210,57 @@ def pack_documents(
     )
 
 
+def pack_blocks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_tokens: int = 2048,
+    bucket_docs: int = 4096,
+) -> DataFrame:
+    """Materialized sequence packing: :func:`pack_documents` placement
+    joined back to the token arrays, each doc's block-local span
+    sliced out and assembled in block order — one row per training
+    block with its document count, token count and packed text.
+
+    Scale shape: the join moves each doc's tokens to its blocks
+    exactly once (inherent — block assembly is a data movement), the
+    groupBy(block) agg is a sorted-struct ``collect_list`` whose size
+    is bounded by ``block_tokens``, and blocks parallelize across the
+    cluster.  Every block except the stream tail is exactly
+    ``block_tokens`` long by construction."""
+    placement = pack_documents(
+        df, id_col, text_col, block_tokens, bucket_docs
+    )
+    toks_df = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    )
+    piece = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("__toks"),
+            F.col("tok_start").cast("int") + 1,
+            F.col("n_block_tokens").cast("int"),
+        ),
+    )
+    joined = placement.join(toks_df, "id").select(
+        "block_id",
+        "block_pos",
+        "n_block_tokens",
+        piece.alias("__piece"),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("block_pos", "__piece"))
+        ),
+        lambda s: s["__piece"],
+    )
+    return joined.groupBy("block_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_block_tokens").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", ordered).alias("block_text"),
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:

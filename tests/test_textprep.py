@@ -506,3 +506,28 @@ def test_pack_documents_rejects_bad_block(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="block_tokens"):
         pack_documents(df, "doc_id", "text", 0)
+
+
+def test_pack_blocks_materializes_exact_stream(spark):
+    """The packed text must equal the concatenated token stream cut
+    every block_tokens — docs crossing block boundaries included."""
+    from parquet_editor_spark.operators.textprep import pack_blocks
+
+    rows = [
+        (1, "a b c"),
+        (2, "d e f g"),
+        (3, "h i j k l m"),
+        (4, "n o"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["block_id"]: (r["n_docs"], r["n_tokens"], r["block_text"])
+        for r in pack_blocks(
+            df, "doc_id", "text", block_tokens=5, bucket_docs=2
+        ).collect()
+    }
+    assert got == {
+        0: (2, 5, "a b c d e"),
+        1: (2, 5, "f g h i j"),
+        2: (2, 5, "k l m n o"),
+    }
