@@ -3991,6 +3991,70 @@ def q_packed_blocks_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("block_id")
 
 
+def q_shards_to_blocks_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data assembly line in one plan (new r9):
+    export the corpus as zstd WebDataset TAR shards
+    (``shard_webdataset``) → re-ingest and regroup samples
+    (``wds_samples``) → exact content dedup with the min-id keeper
+    (``exact_dedup_keep`` — one min_by hash agg on 16-byte
+    fingerprints) → pack the survivors' token stream into 32-token
+    training blocks with materialized text (``pack_blocks``,
+    distributed prefix sum).  Bytes → samples → deduped docs →
+    packed sequences: the end-to-end shape a 100 TB pretraining
+    pipeline runs, with every stage's arithmetic pinned by one
+    closed-form DuckDB rebuild (dedup = arg_min per canonical form,
+    packing = window cumsum, text = ordered string_agg + md5).
+
+    Scale shape: one groupBy(shard) shuffle out, zero-shuffle
+    re-ingest, one fingerprint agg, the bucketed prefix sum, and the
+    bounded per-block assembly — no data-sized global window, no
+    driver collect."""
+    from parquet_editor_spark.operators import dedup as D
+    from parquet_editor_spark.operators import multimodal as MM
+    from parquet_editor_spark.operators import textprep as TP
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("txt")
+    )
+    # inject case-variant duplicates (every 10th doc, id+1e6) so the
+    # dedup stage has real work: the canonical form collapses them and
+    # the min-id keeper must pick the ORIGINAL row back out
+    dups = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.upper(F.col("txt")).alias("txt"),
+    )
+    docs = base.unionByName(dups).select(
+        "doc_id",
+        F.floor(F.col("doc_id") / 64).cast("long").alias("shard_id"),
+        F.format_string("%08d", F.col("doc_id")).alias("skey"),
+        "txt",
+    )
+    shards = MM.shard_webdataset(
+        docs, "shard_id", "skey", {"txt": "txt"}, compression="zstd"
+    )
+    recovered = MM.wds_samples(
+        shards.select("shard_id", "payload")
+    ).select(
+        F.col("sample_key").cast("long").alias("doc_id"),
+        F.element_at("components", "txt").alias("text"),
+    )
+    kept = D.exact_dedup_keep(recovered, "doc_id", "text", F.lit(0))
+    blocks = TP.pack_blocks(
+        kept.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        block_tokens=32,
+        bucket_docs=64,
+    )
+    return blocks.select(
+        "block_id",
+        "n_docs",
+        "n_tokens",
+        F.length("block_text").cast("long").alias("block_chars"),
+        F.md5(F.encode("block_text", "utf-8")).alias("block_md5"),
+    ).orderBy("block_id")
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -6789,7 +6853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": q_pack_sequences_docs,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "packed_blocks_text": q_packed_blocks_text,
-        # --- 30-50. stale r3/r4/r5-signal block, oldest first ---
+        "shards_to_blocks_v1": q_shards_to_blocks_v1,
+        # --- 31-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -9054,6 +9119,67 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d, generate_series(0, 5) AS g(j)
             WHERE g.j < d.n
             ORDER BY doc_id, cue_idx
+        """,
+        "shards_to_blocks_v1": """
+            WITH rec AS (
+                SELECT doc_id, COALESCE(text, '') AS txt
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, upper(COALESCE(text, ''))
+                FROM documents WHERE doc_id % 10 = 0
+            ), fp AS (
+                SELECT doc_id, txt,
+                       lower(array_to_string(list_filter(
+                           string_split_regex(txt, '\\s+'),
+                           x -> x <> ''), ' ')) AS canon
+                FROM rec
+            ), kept AS (
+                SELECT min(doc_id) AS doc_id,
+                       arg_min(txt, doc_id) AS txt
+                FROM fp
+                GROUP BY canon
+            ), d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(txt, '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM kept
+            ), c AS (
+                SELECT doc_id, toks, len(toks)::BIGINT AS n,
+                       COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM d
+            ), e AS (
+                SELECT doc_id, toks, n, o,
+                       unnest(range(o // 32,
+                                    (o + n - 1) // 32 + 1)) AS block_id
+                FROM c
+                WHERE n > 0
+            ), p AS (
+                SELECT block_id,
+                       least(n, (block_id + 1) * 32 - o)
+                           - greatest(0, block_id * 32 - o) AS nb,
+                       greatest(0, o - block_id * 32) AS block_pos,
+                       array_to_string(
+                           toks[greatest(0, block_id * 32 - o) + 1 :
+                                least(n, (block_id + 1) * 32 - o)],
+                           ' ') AS piece
+                FROM e
+            ), b AS (
+                SELECT block_id,
+                       count(*)::BIGINT AS n_docs,
+                       sum(nb)::BIGINT AS n_tokens,
+                       string_agg(piece, ' ' ORDER BY block_pos)
+                           AS block_text
+                FROM p
+                GROUP BY block_id
+            )
+            SELECT CAST(block_id AS BIGINT) AS block_id,
+                   n_docs, n_tokens,
+                   CAST(length(block_text) AS BIGINT) AS block_chars,
+                   md5(block_text) AS block_md5
+            FROM b
+            ORDER BY block_id
         """,
         "packed_blocks_text": """
             WITH d AS (
