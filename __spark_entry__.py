@@ -4055,6 +4055,41 @@ def q_shards_to_blocks_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("block_id")
 
 
+def q_tfrecord_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord EXPORT → re-ingest round trip (``shard_tfrecord`` +
+    ``tfrecord_records``, new r9): shard the documents table into
+    TFRecord shards of ≤64 records (shard = doc_id//64), record
+    value = ``<doc_id:08d>\\t<text>``; then walk the framing back
+    (both masked CRC-32Cs verify per record) and emit one row per
+    recovered record.  Writer and reader share only the public
+    framing; the oracle recomputes everything from ``documents``
+    with a row_number per shard."""
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.floor(F.col("doc_id") / 64).cast("long").alias("shard_id"),
+        F.col("doc_id").alias("okey"),
+        F.concat(
+            F.format_string("%08d", F.col("doc_id")),
+            F.lit("\t"),
+            F.coalesce(F.col("text"), F.lit("")),
+        ).alias("val"),
+    )
+    shards = MM.shard_tfrecord(docs, "shard_id", "okey", "val")
+    return (
+        MM.tfrecord_records(shards.select("shard_id", "payload"))
+        .select(
+            "shard_id",
+            "rec_idx",
+            "size_bytes",
+            F.substring("content", 1, 8).alias("rec_doc_id"),
+            F.length("content").alias("content_chars"),
+            F.substring("content", 10, 40).alias("text_prefix"),
+        )
+        .orderBy("shard_id", "rec_idx")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -6854,7 +6889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "packed_blocks_text": q_packed_blocks_text,
         "shards_to_blocks_v1": q_shards_to_blocks_v1,
-        # --- 31-50. stale r3/r4/r5-signal block, oldest first ---
+        "tfrecord_export_roundtrip": q_tfrecord_export_roundtrip,
+        # --- 32-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -9119,6 +9155,26 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d, generate_series(0, 5) AS g(j)
             WHERE g.j < d.n
             ORDER BY doc_id, cue_idx
+        """,
+        "tfrecord_export_roundtrip": """
+            WITH d AS (
+                SELECT doc_id // 64 AS shard_id,
+                       doc_id,
+                       lpad(CAST(doc_id AS VARCHAR), 8, '0') ||
+                           chr(9) || COALESCE(text, '') AS content
+                FROM documents
+            )
+            SELECT CAST(shard_id AS BIGINT) AS shard_id,
+                   CAST(row_number() OVER (
+                            PARTITION BY shard_id
+                            ORDER BY doc_id) - 1 AS INT) AS rec_idx,
+                   CAST(octet_length(ENCODE(content)) AS BIGINT)
+                       AS size_bytes,
+                   substr(content, 1, 8) AS rec_doc_id,
+                   CAST(length(content) AS INT) AS content_chars,
+                   substr(content, 10, 40) AS text_prefix
+            FROM d
+            ORDER BY shard_id, rec_idx
         """,
         "shards_to_blocks_v1": """
             WITH rec AS (

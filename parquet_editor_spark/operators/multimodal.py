@@ -1621,6 +1621,55 @@ def tfrecord_records(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def shard_tfrecord(
+    df: DataFrame, shard_col: str, order_col: str, value_col: str
+) -> DataFrame:
+    """TFRecord shard EXPORT — the write half of
+    :func:`tfrecord_records`, mirroring :func:`shard_webdataset` for
+    the record-stream format: groups rows by ``shard_col``, frames
+    each ``value_col`` (string or binary) as one TFRecord in
+    ``order_col`` order, and emits one row per shard with the framed
+    payload.
+
+    Scale shape: same as the TAR exporter — the groupBy shuffle IS
+    the export plan, record bytes move exactly once, framing happens
+    in one Arrow ``applyInPandas`` pass per shard."""
+    shard_field = df.schema[shard_col]
+    out_schema = T.StructType(
+        [
+            shard_field,
+            T.StructField("n_records", T.IntegerType(), False),
+            T.StructField("shard_bytes", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        from parquet_editor_spark.sources.tfrecord import make_tfrecord
+
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        payload = make_tfrecord(
+            [
+                v if isinstance(v, (str, bytes)) else bytes(v)
+                for v in pdf[value_col]
+            ]
+        )
+        return pd.DataFrame(
+            [
+                {
+                    shard_col: pdf[shard_col].iloc[0],
+                    "n_records": len(pdf),
+                    "shard_bytes": len(payload),
+                    "payload": payload,
+                }
+            ]
+        )
+
+    return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)
+
+
 def subtitle_cues(
     df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
 ) -> DataFrame:

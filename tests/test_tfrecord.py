@@ -67,3 +67,21 @@ def test_tfrecord_records_stage(spark):
         (2, 0, 5, "gamma"),
         (3, None, None, None),
     ]
+
+
+def test_shard_tfrecord_orders_and_roundtrips(spark):
+    rows = [(0, 2, "second"), (0, 1, "first"), (1, 3, "third ✓")]
+    df = spark.createDataFrame(rows, "shard long, k long, v string")
+    shards = MM.shard_tfrecord(df, "shard", "k", "v").orderBy("shard")
+    got = shards.collect()
+    assert [(r["shard"], r["n_records"]) for r in got] == [(0, 2), (1, 1)]
+    assert all(r["shard_bytes"] == len(r["payload"]) for r in got)
+    assert parse_tfrecord(bytes(got[0]["payload"])) == [b"first", b"second"]
+    back = (
+        MM.tfrecord_records(shards.select("shard", "payload"))
+        .orderBy("shard", "rec_idx")
+        .collect()
+    )
+    assert [(r["shard"], r["rec_idx"], r["content"]) for r in back] == [
+        (0, 0, "first"), (0, 1, "second"), (1, 0, "third ✓"),
+    ]
