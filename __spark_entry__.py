@@ -4090,6 +4090,40 @@ def q_tfrecord_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC interchange round trip (``shard_arrow_ipc`` +
+    ``arrow_ipc_table``, new r9): serialize each 64-doc shard of the
+    documents table as one Arrow IPC stream payload (schema
+    preserved inside the bytes — the Kafka-value / cross-language
+    hand-off shape), then re-ingest it with a declared schema and
+    emit one row per recovered doc.  The oracle recomputes from
+    ``documents`` directly, so any row lost, reordered or re-typed
+    through the Arrow framing fails closed-form."""
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.floor(F.col("doc_id") / 64).cast("long").alias("shard_id"),
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("txt"),
+        (F.col("doc_id") % 5).cast("int").alias("label"),
+    )
+    shards = MM.shard_arrow_ipc(docs, "shard_id", "doc_id")
+    return (
+        MM.arrow_ipc_table(
+            shards.select("shard_id", "payload"),
+            ddl="doc_id long, txt string, label int",
+        )
+        .select(
+            "shard_id",
+            "doc_id",
+            "label",
+            F.length("txt").alias("txt_chars"),
+            F.substring("txt", 1, 48).alias("txt_prefix"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -6890,7 +6924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_blocks_text": q_packed_blocks_text,
         "shards_to_blocks_v1": q_shards_to_blocks_v1,
         "tfrecord_export_roundtrip": q_tfrecord_export_roundtrip,
-        # --- 32-50. stale r3/r4/r5-signal block, oldest first ---
+        "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
+        # --- 33-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -9155,6 +9190,16 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d, generate_series(0, 5) AS g(j)
             WHERE g.j < d.n
             ORDER BY doc_id, cue_idx
+        """,
+        "arrow_ipc_roundtrip": """
+            SELECT CAST(doc_id // 64 AS BIGINT) AS shard_id,
+                   doc_id,
+                   CAST(doc_id % 5 AS INT) AS label,
+                   CAST(length(COALESCE(text, '')) AS INT)
+                       AS txt_chars,
+                   substr(COALESCE(text, ''), 1, 48) AS txt_prefix
+            FROM documents
+            ORDER BY doc_id
         """,
         "tfrecord_export_roundtrip": """
             WITH d AS (

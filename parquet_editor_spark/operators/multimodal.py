@@ -1670,6 +1670,111 @@ def shard_tfrecord(
     return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)
 
 
+def shard_arrow_ipc(
+    df: DataFrame, shard_col: str, order_col: str
+) -> DataFrame:
+    """Arrow IPC shard EXPORT: groups rows by ``shard_col`` and
+    serializes each group's remaining columns — in ``order_col``
+    order, schema preserved — as one Arrow IPC *stream* payload
+    (the standard interchange framing, e.g. for Kafka values or
+    cross-language hand-off).  Emits one row per shard: shard id,
+    row count, payload bytes.
+
+    Scale shape: same contract as the TAR/TFRecord exporters — one
+    groupBy shuffle, Arrow-native serialization inside
+    ``applyInPandas`` (the data is already Arrow on the worker; this
+    is close to a memcpy), payloads never visit the driver."""
+    shard_field = df.schema[shard_col]
+    data_cols = [c for c in df.columns if c != shard_col]
+    out_schema = T.StructType(
+        [
+            shard_field,
+            T.StructField("n_rows", T.IntegerType(), False),
+            T.StructField("shard_bytes", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def pack(pdf):
+        import pandas as pd
+        import pyarrow as pa
+
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        table = pa.Table.from_pandas(
+            pdf[data_cols], preserve_index=False
+        )
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, table.schema) as w:
+            w.write_table(table)
+        payload = sink.getvalue().to_pybytes()
+        return pd.DataFrame(
+            [
+                {
+                    shard_col: pdf[shard_col].iloc[0],
+                    "n_rows": len(pdf),
+                    "shard_bytes": len(payload),
+                    "payload": payload,
+                }
+            ]
+        )
+
+    return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)
+
+
+def arrow_ipc_table(
+    df: DataFrame, payload_col: str = "payload", ddl: str = ""
+) -> DataFrame:
+    """Arrow IPC ingestion — the read half of :func:`shard_arrow_ipc`:
+    each payload row holds an Arrow IPC stream whose rows are emitted
+    with the caller-declared column schema (``ddl``, e.g.
+    ``"doc_id long, txt string"``) appended to the carried-through
+    columns.  A payload whose embedded schema does not match the
+    declaration fails the row loudly (Arrow's cast raises).
+
+    Scale shape: zero-copy-ish explode inside the executor — the
+    payload is already Arrow bytes, so ``open_stream`` is a metadata
+    walk, not a parse."""
+    if not ddl:
+        raise ValueError("declare the embedded schema, e.g. 'a long'")
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    declared = T.StructType.fromDDL(ddl)
+    out_schema = T.StructType(list(keep) + list(declared.fields))
+    keep_names = [f.name for f in keep]
+    decl_names = [f.name for f in declared.fields]
+    out_names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        import pandas as pd
+        import pyarrow as pa
+
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                p = row[payload_col]
+                if p is None:
+                    inner = pd.DataFrame(
+                        [{c: None for c in decl_names}]
+                    )
+                else:
+                    inner = (
+                        pa.ipc.open_stream(bytes(p))
+                        .read_all()
+                        .select(decl_names)
+                        .to_pandas()
+                    )
+                for c in keep_names:
+                    inner[c] = row[c]
+                frames.append(inner)
+            out = (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(columns=out_names)
+            )
+            yield out[out_names]
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def subtitle_cues(
     df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
 ) -> DataFrame:
