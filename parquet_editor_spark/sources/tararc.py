@@ -140,7 +140,9 @@ def make_tar(
         nb = name.encode()
         prefix = b""
         if len(nb) > 100:
-            cut = nb.rindex(b"/", 0, 156)
+            cut = nb.rfind(b"/", 0, 156)
+            if cut <= 0:
+                raise ValueError(f"TAR member name too long: {name!r}")
             prefix, nb = nb[:cut], nb[cut + 1 :]
             if len(nb) > 100 or len(prefix) > 155:
                 raise ValueError(f"TAR member name too long: {name!r}")

@@ -196,3 +196,63 @@ def test_wds_samples_binary_mode(spark):
     df = spark.createDataFrame([(1, tar)], "id long, payload binary")
     r = MM.wds_samples(df, text=False).collect()[0]
     assert bytes(r["components"]["bin"]) == b"\x00\xff\x10"
+
+
+# ---------------------------------------------------------------------------
+# property tests: arbitrary member names/contents round-trip bit-exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_name = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="/\x00", min_codepoint=33
+    ),
+    min_size=1,
+    max_size=20,  # ≤80 UTF-8 bytes: stays inside the 100-byte name field
+)
+
+
+@settings(
+    max_examples=30, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    members=st.lists(
+        st.tuples(_name, st.binary(max_size=2000)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    compression=st.sampled_from([None, "gzip", "zstd"]),
+    mtime=st.integers(0, 2**32 - 1),
+)
+def test_property_tar_roundtrip(members, compression, mtime):
+    got = parse_tar(make_tar(members, mtime=mtime, compression=compression))
+    assert [(m["name"], m["data"], m["mtime"]) for m in got] == [
+        (n, c, mtime) for n, c in members
+    ]
+
+
+@settings(
+    max_examples=30, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    members=st.lists(
+        st.tuples(_name, st.binary(max_size=2000)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_property_tar_stdlib_agrees(members):
+    blob = make_tar(members)
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        assert [(ti.name, tf.extractfile(ti).read()) for ti in tf] == list(
+            members
+        )
+
+
+def test_long_name_without_slash_raises_cleanly():
+    with pytest.raises(ValueError, match="too long"):
+        make_tar([("x" * 150, b"d")])

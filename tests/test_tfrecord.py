@@ -85,3 +85,19 @@ def test_shard_tfrecord_orders_and_roundtrips(spark):
     assert [(r["shard"], r["rec_idx"], r["content"]) for r in back] == [
         (0, 0, "first"), (0, 1, "second"), (1, 0, "third ✓"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# property test: arbitrary record streams round-trip bit-exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=40, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(recs=st.lists(st.binary(max_size=3000), max_size=10))
+def test_property_tfrecord_roundtrip(recs):
+    assert parse_tfrecord(make_tfrecord(recs)) == recs
