@@ -4185,6 +4185,37 @@ def q_stream_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("bucket")
 
 
+def q_parquet_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-in-payload round trip (``shard_parquet_payload`` +
+    ``parquet_payload_table``, new r9): serialize each 64-doc shard
+    of the documents table as one complete zstd parquet file inside
+    a binary column — the dataset-dump-inside-archive shape — then
+    re-ingest with a declared schema (projection pushes into the
+    embedded parquet read) and emit one row per recovered doc.  The
+    oracle recomputes from ``documents`` directly."""
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.floor(F.col("doc_id") / 64).cast("long").alias("shard_id"),
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("txt"),
+    )
+    shards = MM.shard_parquet_payload(docs, "shard_id", "doc_id")
+    return (
+        MM.parquet_payload_table(
+            shards.select("shard_id", "payload"),
+            ddl="doc_id long, txt string",
+        )
+        .select(
+            "shard_id",
+            "doc_id",
+            F.length("txt").alias("txt_chars"),
+            F.substring("txt", 1, 48).alias("txt_prefix"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -6987,7 +7018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfrecord_export_roundtrip": q_tfrecord_export_roundtrip,
         "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
         "stream_shard_ingest": q_stream_shard_ingest,
-        # --- 34-50. stale r3/r4/r5-signal block, oldest first ---
+        "parquet_payload_roundtrip": q_parquet_payload_roundtrip,
+        # --- 35-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -9252,6 +9284,15 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d, generate_series(0, 5) AS g(j)
             WHERE g.j < d.n
             ORDER BY doc_id, cue_idx
+        """,
+        "parquet_payload_roundtrip": """
+            SELECT CAST(doc_id // 64 AS BIGINT) AS shard_id,
+                   doc_id,
+                   CAST(length(COALESCE(text, '')) AS INT)
+                       AS txt_chars,
+                   substr(COALESCE(text, ''), 1, 48) AS txt_prefix
+            FROM documents
+            ORDER BY doc_id
         """,
         "stream_shard_ingest": """
             WITH docs AS (

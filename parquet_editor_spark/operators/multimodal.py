@@ -1775,6 +1775,108 @@ def arrow_ipc_table(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def shard_parquet_payload(
+    df: DataFrame, shard_col: str, order_col: str
+) -> DataFrame:
+    """Parquet-payload shard EXPORT: groups rows by ``shard_col`` and
+    serializes each group's remaining columns — in ``order_col``
+    order — as one complete parquet FILE in a binary payload (zstd
+    data pages), the shape of dataset dumps shipped inside archives
+    or object-store blobs.  Emits one row per shard: shard id, row
+    count, payload bytes.
+
+    Scale shape: identical contract to the TAR/TFRecord/Arrow-IPC
+    exporters — one groupBy shuffle, pyarrow serialization inside
+    ``applyInPandas``, payloads never visit the driver."""
+    shard_field = df.schema[shard_col]
+    data_cols = [c for c in df.columns if c != shard_col]
+    out_schema = T.StructType(
+        [
+            shard_field,
+            T.StructField("n_rows", T.IntegerType(), False),
+            T.StructField("shard_bytes", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def pack(pdf):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        table = pa.Table.from_pandas(
+            pdf[data_cols], preserve_index=False
+        )
+        sink = pa.BufferOutputStream()
+        pq.write_table(table, sink, compression="zstd")
+        payload = sink.getvalue().to_pybytes()
+        return pd.DataFrame(
+            [
+                {
+                    shard_col: pdf[shard_col].iloc[0],
+                    "n_rows": len(pdf),
+                    "shard_bytes": len(payload),
+                    "payload": payload,
+                }
+            ]
+        )
+
+    return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)
+
+
+def parquet_payload_table(
+    df: DataFrame, payload_col: str = "payload", ddl: str = ""
+) -> DataFrame:
+    """Parquet-payload ingestion — the read half of
+    :func:`shard_parquet_payload`: each payload row holds a complete
+    parquet file whose rows are emitted with the caller-declared
+    column schema (``ddl``) appended to the carried-through columns.
+    Column projection pushes into the parquet read (only declared
+    columns decode).
+
+    Scale shape: executor-side explode; the parquet footer walk and
+    column decode run inside the Arrow pass, payload bytes never
+    shuffle."""
+    if not ddl:
+        raise ValueError("declare the embedded schema, e.g. 'a long'")
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    declared = T.StructType.fromDDL(ddl)
+    out_schema = T.StructType(list(keep) + list(declared.fields))
+    keep_names = [f.name for f in keep]
+    decl_names = [f.name for f in declared.fields]
+    out_names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                p = row[payload_col]
+                if p is None:
+                    inner = pd.DataFrame(
+                        [{c: None for c in decl_names}]
+                    )
+                else:
+                    inner = pq.read_table(
+                        pa.BufferReader(bytes(p)), columns=decl_names
+                    ).to_pandas()
+                for c in keep_names:
+                    inner[c] = row[c]
+                frames.append(inner)
+            out = (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(columns=out_names)
+            )
+            yield out[out_names]
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def subtitle_cues(
     df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
 ) -> DataFrame:

@@ -59,3 +59,46 @@ def test_arrow_ipc_table_rejects_missing_ddl_and_bad_column(spark):
     )
     with pytest.raises(Exception, match="nope|Nonexistent|KeyError"):
         bad.collect()
+
+
+def test_shard_parquet_payload_roundtrip(spark):
+    rows = [(0, 2, "second"), (0, 1, "first"), (1, 3, "third")]
+    df = spark.createDataFrame(rows, "shard long, k long, v string")
+    shards = MM.shard_parquet_payload(df, "shard", "k").orderBy("shard")
+    got = shards.collect()
+    assert [(r["shard"], r["n_rows"]) for r in got] == [(0, 2), (1, 1)]
+    # independent reader: pyarrow directly; payload is a whole file
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(pa.BufferReader(bytes(got[0]["payload"])))
+    assert t.column("v").to_pylist() == ["first", "second"]
+    back = (
+        MM.parquet_payload_table(
+            shards.select("shard", "payload"), ddl="k long, v string"
+        )
+        .orderBy("shard", "k")
+        .collect()
+    )
+    assert [(r["shard"], r["k"], r["v"]) for r in back] == [
+        (0, 1, "first"),
+        (0, 2, "second"),
+        (1, 3, "third"),
+    ]
+
+
+def test_parquet_payload_table_projection_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(0, 1, "a"), (0, 2, "b")], "shard long, k long, v string"
+    )
+    shards = MM.shard_parquet_payload(df, "shard", "k")
+    only_v = MM.parquet_payload_table(
+        shards.select("shard", "payload"), ddl="v string"
+    ).collect()
+    assert sorted(r["v"] for r in only_v) == ["a", "b"]
+    null_rows = MM.parquet_payload_table(
+        spark.createDataFrame([(9, None)], "shard long, payload binary"),
+        ddl="v string",
+    ).collect()
+    assert [(r["shard"], r["v"]) for r in null_rows] == [(9, None)]
+    with pytest.raises(ValueError, match="schema"):
+        MM.parquet_payload_table(shards.select("shard", "payload"))
