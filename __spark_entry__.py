@@ -4216,6 +4216,53 @@ def q_parquet_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report (new r9) — the one-page
+    analytics a curation run ends with: document and token counts,
+    exact-duplicate document mass (corpus-wide canonical-form
+    groups), quality mass (integer ten-thousandths so float-sum
+    ties cannot fire) and English-prediction counts, per source.
+    One shared tokens scan feeds every metric; the dup count is one
+    fingerprint aggregation joined back on the 16-byte key.  The
+    oracle rebuilds each metric from the shared fragment semantics
+    already pinned by the dedup/lang/quality queries."""
+    from parquet_editor_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    staged = docs.withColumn("__toks", X.tokens("text"))
+    staged = X.with_lang_id(staged, "text", toks=F.col("__toks"))
+    staged = staged.select(
+        "source",
+        "__toks",
+        "lang_pred",
+        X.quality_score("text", F.col("__toks")).alias("__q"),
+        F.coalesce(
+            X.fingerprint("text", F.col("__toks")), F.lit("")
+        ).alias("__fp"),
+    )
+    cnt = staged.groupBy("__fp").agg(F.count("*").alias("__c"))
+    joined = staged.join(cnt, "__fp")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size("__toks")).cast("long").alias("total_tokens"),
+            F.sum((F.col("__c") >= 2).cast("long")).cast("long").alias(
+                "n_dup_docs"
+            ),
+            F.sum(F.round(F.col("__q") * 10000).cast("long")).alias(
+                "quality_mass"
+            ),
+            F.sum((F.col("lang_pred") == "en").cast("long")).alias(
+                "n_en"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -7019,7 +7066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
         "stream_shard_ingest": q_stream_shard_ingest,
         "parquet_payload_roundtrip": q_parquet_payload_roundtrip,
-        # --- 35-50. stale r3/r4/r5-signal block, oldest first ---
+        "corpus_report_v1": q_corpus_report_v1,
+        # --- 36-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -9284,6 +9332,76 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d, generate_series(0, 5) AS g(j)
             WHERE g.j < d.n
             ORDER BY doc_id, cue_idx
+        """,
+        "corpus_report_v1": """
+            WITH t AS (
+                SELECT doc_id, source, text,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), s AS (
+                SELECT source, toks,
+                       len(list_filter(toks,
+                           x -> x IN ('der','die','und','ist','ein')))
+                           AS h_de,
+                       len(list_filter(toks,
+                           x -> x IN ('the','a','of','and','is')))
+                           AS h_en,
+                       len(list_filter(toks,
+                           x -> x IN ('el','la','de','y','es')))
+                           AS h_es,
+                       len(list_filter(toks,
+                           x -> x IN ('le','la','et','est','un')))
+                           AS h_fr,
+                       len(list_filter(toks,
+                           x -> x IN ('的','是','了','在','和')))
+                           AS h_zh,
+                       round(least(1.0, len(toks) / 50.0)
+                         * greatest(0.0, 1.0 -
+                             (CASE WHEN length(text) > 0
+                              THEN length(regexp_replace(text,
+                                   '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE
+                                   / length(text)
+                              ELSE 0.0 END) * 4)
+                         * least(1.0, 0.5 + (CASE WHEN len(toks) > 0
+                             THEN len(list_filter(toks,
+                                  x -> x IN ('the','a','of','and','is')))::DOUBLE
+                                  / len(toks)
+                             ELSE 0.0 END) * 5), 4) AS q,
+                       COALESCE(md5(lower(array_to_string(toks, ' '))),
+                                '') AS fp
+                FROM t
+            ), c AS (
+                SELECT fp, count(*) AS n FROM s GROUP BY fp
+            ), j AS (
+                SELECT s.*, c.n,
+                       CASE
+                         WHEN greatest(h_de, h_en, h_es, h_fr, h_zh)
+                              = 0 THEN 'und'
+                         WHEN h_de = greatest(h_de, h_en, h_es,
+                              h_fr, h_zh) THEN 'de'
+                         WHEN h_en = greatest(h_de, h_en, h_es,
+                              h_fr, h_zh) THEN 'en'
+                         WHEN h_es = greatest(h_de, h_en, h_es,
+                              h_fr, h_zh) THEN 'es'
+                         WHEN h_fr = greatest(h_de, h_en, h_es,
+                              h_fr, h_zh) THEN 'fr'
+                         ELSE 'zh'
+                       END AS lang_pred
+                FROM s JOIN c USING (fp)
+            )
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(len(toks))::BIGINT AS total_tokens,
+                   sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_dup_docs,
+                   sum(CAST(round(q * 10000) AS BIGINT))::BIGINT
+                       AS quality_mass,
+                   sum(CASE WHEN lang_pred = 'en' THEN 1
+                       ELSE 0 END)::BIGINT AS n_en
+            FROM j
+            GROUP BY source
+            ORDER BY source
         """,
         "parquet_payload_roundtrip": """
             SELECT CAST(doc_id // 64 AS BIGINT) AS shard_id,
