@@ -4263,6 +4263,39 @@ def q_corpus_report_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonl_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL shard round trip (``shard_jsonl`` + ``jsonl_records``,
+    new r9): serialize each 64-doc shard as one newline-delimited
+    JSON payload and re-ingest with a declared schema — the most
+    common LLM-corpus interchange shape, and the one pair in the
+    export tier that is PURE Catalyst in both directions (to_json /
+    collect_list / array_join out, split / explode / from_json back;
+    whole-stage codegen, zero Python).  Embedded newlines in text are
+    JSON-escaped by construction, which the round trip pins.  Oracle:
+    identity rebuild from ``documents``."""
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.floor(F.col("doc_id") / 64).cast("long").alias("shard_id"),
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("txt"),
+    )
+    shards = MM.shard_jsonl(docs, "shard_id", "doc_id")
+    return (
+        MM.jsonl_records(
+            shards.select("shard_id", "payload"),
+            ddl="doc_id long, txt string",
+        )
+        .select(
+            "shard_id",
+            "doc_id",
+            F.length("txt").alias("txt_chars"),
+            F.substring("txt", 1, 48).alias("txt_prefix"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -7067,7 +7100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_shard_ingest": q_stream_shard_ingest,
         "parquet_payload_roundtrip": q_parquet_payload_roundtrip,
         "corpus_report_v1": q_corpus_report_v1,
-        # --- 36-50. stale r3/r4/r5-signal block, oldest first ---
+        "jsonl_shard_roundtrip": q_jsonl_shard_roundtrip,
+        # --- 37-50. stale r3/r4/r5-signal block, oldest first ---
         "vocab_coverage": q_vocab_coverage,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "retention_cohorts": q_retention_cohorts,
@@ -9332,6 +9366,15 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d, generate_series(0, 5) AS g(j)
             WHERE g.j < d.n
             ORDER BY doc_id, cue_idx
+        """,
+        "jsonl_shard_roundtrip": """
+            SELECT CAST(doc_id // 64 AS BIGINT) AS shard_id,
+                   doc_id,
+                   CAST(length(COALESCE(text, '')) AS INT)
+                       AS txt_chars,
+                   substr(COALESCE(text, ''), 1, 48) AS txt_prefix
+            FROM documents
+            ORDER BY doc_id
         """,
         "corpus_report_v1": """
             WITH t AS (

@@ -1877,6 +1877,64 @@ def parquet_payload_table(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def shard_jsonl(
+    df: DataFrame, shard_col: str, order_col: str
+) -> DataFrame:
+    """JSONL shard EXPORT — the text-format sibling of the
+    TAR/TFRecord/Arrow exporters and the most common LLM-corpus
+    interchange shape (``.jsonl`` shards).  Groups rows by
+    ``shard_col`` and serializes each group's remaining columns — in
+    ``order_col`` order — as one newline-delimited JSON string
+    payload.
+
+    Scale shape: PURE Catalyst — ``to_json`` + sorted
+    ``collect_list`` + ``array_join``, whole-stage codegen end to
+    end, zero Python.  One groupBy shuffle, payload never visits the
+    driver."""
+    data_cols = [c for c in df.columns if c != shard_col]
+    line = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col), line.alias("j")))
+        ),
+        lambda s: s["j"],
+    )
+    return df.groupBy(shard_col).agg(
+        F.count("*").cast("int").alias("n_rows"),
+        F.array_join(ordered, "\n").alias("payload"),
+    )
+
+
+def jsonl_records(
+    df: DataFrame, payload_col: str = "payload", ddl: str = ""
+) -> DataFrame:
+    """JSONL ingestion — the read half of :func:`shard_jsonl`: each
+    payload row holds newline-delimited JSON whose records are
+    emitted with the caller-declared schema (``ddl``) appended to the
+    carried-through columns.
+
+    Scale shape: PURE Catalyst — ``split`` + ``explode`` +
+    ``from_json``, codegen end to end, zero Python; malformed lines
+    surface as NULL structs (from_json's PERMISSIVE contract) rather
+    than killing the task."""
+    if not ddl:
+        raise ValueError("declare the embedded schema, e.g. 'a long'")
+    declared = T.StructType.fromDDL(ddl)
+    keep = [
+        F.col(f.name) for f in df.schema.fields if f.name != payload_col
+    ]
+    exploded = df.select(
+        *keep,
+        F.explode(
+            F.split(F.col(payload_col), "\n")
+        ).alias("__line"),
+    )
+    rec = F.from_json(F.col("__line"), declared)
+    return exploded.select(
+        *keep, *[rec[f.name].alias(f.name) for f in declared.fields]
+    )
+
+
 def subtitle_cues(
     df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
 ) -> DataFrame:

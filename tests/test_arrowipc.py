@@ -102,3 +102,29 @@ def test_parquet_payload_table_projection_and_nulls(spark):
     assert [(r["shard"], r["v"]) for r in null_rows] == [(9, None)]
     with pytest.raises(ValueError, match="schema"):
         MM.parquet_payload_table(shards.select("shard", "payload"))
+
+
+def test_shard_jsonl_pure_catalyst_roundtrip(spark):
+    rows = [(0, 2, "second\nline"), (0, 1, 'first "quoted"'), (1, 3, None)]
+    df = spark.createDataFrame(rows, "shard long, k long, v string")
+    shards = MM.shard_jsonl(df, "shard", "k").orderBy("shard")
+    got = shards.collect()
+    assert [(r["shard"], r["n_rows"]) for r in got] == [(0, 2), (1, 1)]
+    # embedded newline is JSON-escaped: each record stays on one line
+    assert got[0]["payload"].count("\n") == 1
+    back = (
+        MM.jsonl_records(
+            shards.select("shard", "payload"), ddl="k long, v string"
+        )
+        .orderBy("shard", "k")
+        .collect()
+    )
+    assert [(r["shard"], r["k"], r["v"]) for r in back] == [
+        (0, 1, 'first "quoted"'),
+        (0, 2, "second\nline"),
+        (1, 3, None),
+    ]
+    # both halves stay JVM-side: no Python runners in either plan
+    for frame in (shards, MM.jsonl_records(shards.select("shard", "payload"), ddl="k long")):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "ArrowEval" not in plan

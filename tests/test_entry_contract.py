@@ -57,7 +57,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     rows-only entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "q19_disjunctive_revenue", (
+    assert window[-1] == "q14_promo_revenue", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
@@ -78,14 +78,13 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "packed_blocks_text", "shards_to_blocks_v1",
         "tfrecord_export_roundtrip", "arrow_ipc_roundtrip",
         "stream_shard_ingest", "parquet_payload_roundtrip",
-        "corpus_report_v1",
+        "corpus_report_v1", "jsonl_shard_roundtrip",
         # stale r3/r4/r5-signal block, oldest first
         "vocab_coverage", "funnel_signup_purchase", "retention_cohorts",
         "merge_upsert_orders", "scd2_user_status", "zorder_cluster_keys",
         "multimodal_resize", "parquet_roundtrip_partitioned",
         "orc_roundtrip_lineitem", "corr_matrix", "q8_market_share",
         "q10_returned_revenue", "q12_priority_lines", "q14_promo_revenue",
-        "q19_disjunctive_revenue",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
