@@ -7053,15 +7053,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. wav_adpcm_roundtrip — IMA-ADPCM real decode (verdict item
     #      7; constant clips round-trip bit-exactly, so the oracle is
     #      closed-form while Spark runs the full numpy block decode).
-    #   3-50. the stale block, oldest signal first, in its r8
-    #      behind-window order.
-    # The 50 greens of the r8 window move behind (freshest signal);
-    # probes and rows-only entries stay retired as documented
+    #   3-36. the rest of the r9 debuts, in landing order: the codec
+    #      second wave (G.711, MS-ADPCM, GIF/BMP, progressive JPEG,
+    #      curation compositions), the container/metadata wave (FLAC
+    #      roundtrip, MP4 frame index, Ogg, dHash, audio stats, TIFF,
+    #      AVI/MJPEG, scene cuts, EXIF, video curation), and the
+    #      archive/interchange wave (WARC, ZIP, SRT/VTT, TAR+zstd,
+    #      WebDataset read+write, crawl curation, sequence packing,
+    #      packed blocks, shards→blocks, TFRecord read+write, Arrow
+    #      IPC, streaming shard ingest, parquet-payload, corpus
+    #      report, JSONL pure-Catalyst pair).  Debuts outrank stale
+    #      re-greens: a never-adjudicated query has no driver signal
+    #      at all.
+    #   37-50. the stale r3/r4/r5-signal block, oldest first, as far
+    #      as fits (vocab_coverage → q14_promo_revenue).
+    # Probes and rows-only entries stay retired as documented
     # canaries.  tests/test_entry_contract.py pins both the window
     # membership and the no-top-level-Array/Map/Struct output contract
     # for every window entry (the r6/r7 tfidf crash class).
-    # Planned r10 window: any new-in-r9 entries first, then the
-    # remainder of the stale block (source_token_divergence →
+    # Planned r10 window: any new-in-r10 entries first, then the
+    # stale entries displaced by this round's debuts
+    # (q19_disjunctive_revenue → q17_small_qty_revenue block,
+    # xlsx_roundtrip_lineitem, ivf_recall_bound), then the remainder
+    # of the stale block (source_token_divergence →
     # string_funcs_part), then the oldest r6/r7 greens.
     return {
         # --- 1-5. new in r9: MP3 walk, IMA/MS-ADPCM, JPEG px, G.711 ---
