@@ -414,3 +414,59 @@ def test_codec_queries_are_pure_map_side(spark, sf_dir):
         plan = P.executed_plan(df)
         assert "Cartesian" not in plan, name
         assert "hashpartitioning" not in plan.lower(), name
+
+
+def test_pack_documents_data_side_window_is_bucketed(documents):
+    """pack_documents' distributed prefix sum: the doc-sized window
+    must be hash-partitioned by bucket; the only single-partition
+    frame is the one-row-per-bucket offsets aggregate, which enters
+    the data side through a broadcast join."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    df = TP.pack_documents(documents, "doc_id", "text", 32, bucket_docs=64)
+    plan = P.executed_plan(df)
+    assert P.has_broadcast_join(df), plan
+    # the data-side window is keyed (hashpartitioning on the bucket)
+    assert "hashpartitioning" in plan, plan
+    # exactly the one benign metadata-scale single-partition frame
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_shard_exporters_shuffle_once_by_shard(documents):
+    """Every payload exporter's only exchange is the groupBy(shard)
+    hash shuffle — shard size = task size, no global funnel."""
+    from parquet_editor_spark.operators import multimodal as MM
+
+    staged = documents.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.col("doc_id").alias("k"),
+        F.coalesce("text", F.lit("")).alias("v"),
+    )
+    frames = [
+        MM.shard_webdataset(staged, "shard", "k", {"txt": "v"}),
+        MM.shard_tfrecord(staged, "shard", "k", "v"),
+        MM.shard_arrow_ipc(staged, "shard", "k"),
+        MM.shard_parquet_payload(staged, "shard", "k"),
+        MM.shard_jsonl(staged, "shard", "k"),
+    ]
+    for df in frames:
+        plan = P.executed_plan(df)
+        assert not P.has_single_partition_exchange(df), plan
+        assert "hashpartitioning(shard" in plan, plan
+
+
+def test_jsonl_pair_has_no_python_stage(documents):
+    """The JSONL export/ingest pair is pure Catalyst — no Arrow/Python
+    evaluation anywhere in either plan."""
+    from parquet_editor_spark.operators import multimodal as MM
+
+    staged = documents.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.col("doc_id").alias("k"),
+        F.coalesce("text", F.lit("")).alias("v"),
+    )
+    out = MM.shard_jsonl(staged, "shard", "k")
+    back = MM.jsonl_records(out.select("shard", "payload"), ddl="k long, v string")
+    for df in (out, back):
+        plan = P.executed_plan(df)
+        assert "Python" not in plan and "ArrowEval" not in plan, plan
