@@ -53,7 +53,11 @@ def main() -> None:
             "aggregates — only the per-partition partial results (one row\n"
             "per task) cross it, not the data. It is an anti-pattern only\n"
             "when full rows funnel through it (global sorts/windows), which\n"
-            "tests/test_plans.py pins out of every such operator.\n\n"
+            "tests/test_plans.py pins out of every such operator.  The\n"
+            "pack_* / shards_to_blocks rows are the same class: their only\n"
+            "single-partition frame is the one-row-per-bucket offsets window\n"
+            "of the distributed prefix sum (metadata-scale, broadcast back),\n"
+            "pinned by test_pack_documents_data_side_window_is_bucketed.\n\n"
             "| query | pushed filters | scan cols | broadcast | single-partition exchange |\n"
             "| --- | --- | --- | --- | --- |\n"
         )
