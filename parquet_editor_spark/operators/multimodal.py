@@ -1895,9 +1895,13 @@ def shard_jsonl(
     line = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
     ordered = F.transform(
         F.array_sort(
-            F.collect_list(F.struct(F.col(order_col), line.alias("j")))
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("__o"), line.alias("__j")
+                )
+            )
         ),
-        lambda s: s["j"],
+        lambda s: s["__j"],
     )
     return df.groupBy(shard_col).agg(
         F.count("*").cast("int").alias("n_rows"),
