@@ -157,7 +157,11 @@ def pack_documents(
     staged = df.select(
         F.col(id_col).alias("id"),
         token_count(text_col).cast("long").alias("n"),
-        F.floor(F.col(id_col) / bucket_docs).cast("long").alias("__b"),
+        # integer div, not floor(double/): ids past 2^53 would lose
+        # bucket monotonicity through the float path
+        (F.col(id_col).cast("long") - F.pmod(
+            F.col(id_col).cast("long"), F.lit(bucket_docs)
+        )).alias("__b"),
     )
     w_local = (
         Window.partitionBy("__b")
