@@ -4296,6 +4296,43 @@ def q_jsonl_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means (``kmeans_lloyd``, new r9 —
+    behind-window debut for the r10 rotation): 2 full Lloyd
+    iterations over the embeddings table, k=8, init = the 8
+    lowest-id vectors, every distance and mean quantized to 1e-6 so
+    the whole trajectory is engine-reproducible.  This gives the
+    k-means primitive (the quantizer ``ivf_topk`` trains with
+    pyspark.ml, one of the 3 rows-only entries) a closed-form
+    differential: the oracle unrolls BOTH iterations in DuckDB —
+    cross-join argmin with the same rounded-distance tie-break,
+    per-dim means via the label_centroids indexing pattern, empty
+    clusters inheriting their previous centroid."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.kmeans_lloyd(
+        emb, "vec_id", "embedding", k=8, iters=2, round_to=6
+    )
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("centroid"),
+                    F.col("centroid"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ),
+        4,
+    )
+    return out.select(
+        "cluster", "n_points", norm.alias("centroid_norm")
+    ).orderBy("cluster")
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -7286,6 +7323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "collect_lang_sets": q_collect_lang_sets,
         "label_centroids": q_label_centroids,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "embedding_quantize": q_embedding_quantize,
         "cross_join_grid": q_cross_join_grid,
         "plot_line_series": q_plot_line_series,
@@ -8711,6 +8749,72 @@ def oracle_sql() -> dict[str, str]:
                                PARTITION BY user_id ORDER BY ts, event_id) AS prev
                     FROM events) t1) t2
             GROUP BY user_id
+        """,
+        "kmeans_embeddings": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[64] AS v
+                FROM embeddings
+            ), c0 AS (
+                SELECT vec_id::INT AS c, v FROM e WHERE vec_id < 8
+            ), d1 AS (
+                SELECT e.vec_id, c0.c,
+                       round(array_inner_product(e.v, e.v)
+                             + array_inner_product(c0.v, c0.v)
+                             - 2 * array_inner_product(e.v, c0.v),
+                             6) AS d
+                FROM e, c0
+            ), a1 AS (
+                SELECT vec_id, c FROM (
+                    SELECT vec_id, c,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, c) AS rn
+                    FROM d1) WHERE rn = 1
+            ), m1 AS (
+                SELECT a1.c, g.dim, round(avg(e.v[g.dim]), 6) AS m
+                FROM a1 JOIN e USING (vec_id),
+                     (SELECT unnest(range(1, 65)) AS dim) g
+                GROUP BY a1.c, g.dim
+            ), c1 AS (
+                SELECT c0.c,
+                       (COALESCE(mm.w, c0.v::DOUBLE[]))::DOUBLE[64]
+                           AS v
+                FROM c0 LEFT JOIN (
+                    SELECT c, list(m ORDER BY dim) AS w
+                    FROM m1 GROUP BY c) mm USING (c)
+            ), d2 AS (
+                SELECT e.vec_id, c1.c,
+                       round(array_inner_product(e.v, e.v)
+                             + array_inner_product(c1.v, c1.v)
+                             - 2 * array_inner_product(e.v, c1.v),
+                             6) AS d
+                FROM e, c1
+            ), a2 AS (
+                SELECT vec_id, c FROM (
+                    SELECT vec_id, c,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, c) AS rn
+                    FROM d2) WHERE rn = 1
+            ), cnt AS (
+                SELECT c, count(*)::BIGINT AS n FROM a2 GROUP BY c
+            ), m2 AS (
+                SELECT a2.c, g.dim, round(avg(e.v[g.dim]), 6) AS m
+                FROM a2 JOIN e USING (vec_id),
+                     (SELECT unnest(range(1, 65)) AS dim) g
+                GROUP BY a2.c, g.dim
+            ), c2 AS (
+                SELECT c1.c,
+                       (COALESCE(mm.w, c1.v::DOUBLE[]))::DOUBLE[64]
+                           AS v
+                FROM c1 LEFT JOIN (
+                    SELECT c, list(m ORDER BY dim) AS w
+                    FROM m2 GROUP BY c) mm USING (c)
+            )
+            SELECT c2.c AS cluster,
+                   COALESCE(cnt.n, 0)::BIGINT AS n_points,
+                   round(sqrt(array_inner_product(c2.v, c2.v)), 4)
+                       AS centroid_norm
+            FROM c2 LEFT JOIN cnt USING (c)
+            ORDER BY cluster
         """,
         "embedding_quantize": """
             WITH s AS (

@@ -591,6 +591,112 @@ def label_centroids(
 # IVF (inverted-file) approximate top-k
 # ---------------------------------------------------------------------------
 
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic distributed Lloyd k-means — the oracle-checkable
+    sibling of the pyspark.ml quantizer :func:`ivf_topk` uses.
+    Init = the ``k`` lowest-id vectors.  Each iteration: assign every
+    point to the nearest centroid by squared L2, computed as
+    ``ip(a,a) + ip(b,b) − 2·ip(a,b)`` with every inner product summed
+    in index order and the distance ROUNDED to ``round_to`` before
+    the argmin (ties → lowest cluster id) — the quantization that
+    makes the whole trajectory bit-reproducible in any engine; then
+    recompute per-dim means, also rounded to ``round_to``.  Empty
+    clusters keep their previous centroid.  Returns one row per
+    cluster: ``cluster``, final-assignment ``n_points``, and the
+    updated ``centroid`` array.
+
+    Scale shape: centroids are k×dim scalars — the ONLY thing
+    collected (bounded metadata, k·dim doubles), re-entering each
+    iteration as literal codegen expressions, so assignment is a
+    pure whole-stage-codegen projection over the corpus (k fused
+    dot products, no join, no UDF); the update is one
+    (cluster, dim)-keyed shuffle via posexplode (the
+    :func:`label_centroids` shape).  Per iteration: one projection +
+    one keyed agg — the plan a 100 TB k-means needs."""
+    if k < 1 or iters < 1:
+        raise ValueError("need k >= 1 and iters >= 1")
+    vec = F.col(vec_col).cast("array<double>")
+    init = (
+        df.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(vec.alias("v"))
+        .collect()
+    )
+    if len(init) < k:
+        raise ValueError(f"need {k} init rows with {id_col} < {k}")
+    cents = [[float(x) for x in r["v"]] for r in init]
+    dim = len(cents[0])
+
+    def _assign(frame, centroids):
+        ip_aa = F.aggregate(
+            F.zip_with(vec, vec, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        choices = []
+        for ci, c in enumerate(centroids):
+            lit_c = F.array(*[F.lit(float(x)) for x in c])
+            ip_bb = float(sum(x * x for x in c))
+            ip_ab = F.aggregate(
+                F.zip_with(vec, lit_c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            d = F.round(
+                ip_aa + F.lit(ip_bb) - F.lit(2.0) * ip_ab, round_to
+            )
+            choices.append(
+                F.struct(
+                    d.alias("d"), F.lit(ci).cast("int").alias("c")
+                )
+            )
+        return frame.withColumn(
+            "__c", F.array_min(F.array(*choices))["c"]
+        )
+
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(df, cents)
+        means = (
+            assigned.select("__c", F.posexplode(vec).alias("pos", "x"))
+            .groupBy("__c", "pos")
+            .agg(F.round(F.avg("x"), round_to).alias("m"))
+            .collect()
+        )
+        new = {r["__c"]: [0.0] * dim for r in means}
+        for r in means:
+            new[r["__c"]][r["pos"]] = r["m"]
+        cents = [new.get(ci, cents[ci]) for ci in range(k)]
+    counts = assigned.groupBy("__c").agg(
+        F.count("*").cast("long").alias("n_points")
+    )
+    cent_df = df.sparkSession.createDataFrame(
+        [(ci, cents[ci]) for ci in range(k)],
+        "cluster int, centroid array<double>",
+    )
+    return (
+        cent_df.join(
+            counts.withColumnRenamed("__c", "cluster"),
+            "cluster",
+            "left",
+        )
+        .select(
+            "cluster",
+            F.coalesce("n_points", F.lit(0)).cast("long").alias(
+                "n_points"
+            ),
+            "centroid",
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -281,3 +281,54 @@ def test_semantic_decontaminate_edges(spark):
     none_bench = emb.filter("vec_id < 0")
     got2 = S.semantic_decontaminate(emb, none_bench).collect()
     assert all(r["max_sim"] is None and not r["contaminated"] for r in got2)
+
+
+def test_kmeans_lloyd_separated_clusters_converge(spark):
+    """Two tight blobs, k=2, init = one point from each: Lloyd must
+    assign each blob to its own centroid and land on the blob means."""
+    from parquet_editor_spark.operators.sim import kmeans_lloyd
+
+    rows = (
+        [(0, [0.0, 0.0]), (2, [0.2, 0.0]), (4, [0.0, 0.2])]
+        + [(1, [10.0, 10.0]), (3, [10.2, 10.0]), (5, [10.0, 10.2])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["cluster"]: (r["n_points"], [round(x, 6) for x in r["centroid"]])
+        for r in kmeans_lloyd(df, k=2, iters=2).collect()
+    }
+    assert got[0] == (3, [round(0.2 / 3, 6), round(0.2 / 3, 6)])
+    assert got[1] == (3, [round(30.2 / 3, 6), round(30.2 / 3, 6)])
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
+    """A centroid that attracts nothing must survive unchanged (and
+    report zero points), not vanish or go NaN."""
+    from parquet_editor_spark.operators.sim import kmeans_lloyd
+
+    # both init points sit at index 0/1 but every OTHER point is far
+    # from centroid 1's side, so cluster 1 still holds only its own
+    # init vector; shrink to the degenerate case: k=2 where point 1
+    # is closer to centroid 0 after the first update
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.1, 0.0]),
+            (3, [0.2, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["cluster"]: r["n_points"]
+        for r in kmeans_lloyd(df, k=2, iters=3).collect()
+    }
+    assert set(got) == {0, 1} and sum(got.values()) == 4
+
+
+def test_kmeans_lloyd_validates_args(spark):
+    import pytest
+
+    from parquet_editor_spark.operators.sim import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(0, [0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="k >= 1"):
+        kmeans_lloyd(df, k=0)
+    with pytest.raises(ValueError, match="init rows"):
+        kmeans_lloyd(df, k=5)
