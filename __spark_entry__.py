@@ -56,6 +56,73 @@ def _revenue_exact() -> "F.Column":
 #: engines impossible either way; the round(.,4) BEFORE ranking is
 #: the accepted mitigation (driver-green since r1), with the id
 #: tie-break absorbing equal-rounded sims.
+#: Unrolled 2-iteration deterministic Lloyd (k=8, init = vec_id<8,
+#: every distance/mean rounded to 1e-6) — the DuckDB mirror of
+#: operators/sim.py::kmeans_lloyd, shared by the kmeans_embeddings
+#: and ivf_topk_det oracles so the trajectory cannot drift between
+#: them.  Ends at: c2 (cluster, final centroid DOUBLE[64]),
+#: cnt (cluster, n points of the final assignment), e (vec_id, v).
+_ORACLE_KMEANS_CELLS = """
+            e AS (
+                SELECT vec_id, embedding::DOUBLE[64] AS v
+                FROM embeddings
+            ), c0 AS (
+                SELECT vec_id::INT AS c, v FROM e WHERE vec_id < 8
+            ), d1 AS (
+                SELECT e.vec_id, c0.c,
+                       round(array_inner_product(e.v, e.v)
+                             + array_inner_product(c0.v, c0.v)
+                             - 2 * array_inner_product(e.v, c0.v),
+                             6) AS d
+                FROM e, c0
+            ), a1 AS (
+                SELECT vec_id, c FROM (
+                    SELECT vec_id, c,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, c) AS rn
+                    FROM d1) WHERE rn = 1
+            ), m1 AS (
+                SELECT a1.c, g.dim, round(avg(e.v[g.dim]), 6) AS m
+                FROM a1 JOIN e USING (vec_id),
+                     (SELECT unnest(range(1, 65)) AS dim) g
+                GROUP BY a1.c, g.dim
+            ), c1 AS (
+                SELECT c0.c,
+                       (COALESCE(mm.w, c0.v::DOUBLE[]))::DOUBLE[64]
+                           AS v
+                FROM c0 LEFT JOIN (
+                    SELECT c, list(m ORDER BY dim) AS w
+                    FROM m1 GROUP BY c) mm USING (c)
+            ), d2 AS (
+                SELECT e.vec_id, c1.c,
+                       round(array_inner_product(e.v, e.v)
+                             + array_inner_product(c1.v, c1.v)
+                             - 2 * array_inner_product(e.v, c1.v),
+                             6) AS d
+                FROM e, c1
+            ), a2 AS (
+                SELECT vec_id, c FROM (
+                    SELECT vec_id, c,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, c) AS rn
+                    FROM d2) WHERE rn = 1
+            ), cnt AS (
+                SELECT c, count(*)::BIGINT AS n FROM a2 GROUP BY c
+            ), m2 AS (
+                SELECT a2.c, g.dim, round(avg(e.v[g.dim]), 6) AS m
+                FROM a2 JOIN e USING (vec_id),
+                     (SELECT unnest(range(1, 65)) AS dim) g
+                GROUP BY a2.c, g.dim
+            ), c2 AS (
+                SELECT c1.c,
+                       (COALESCE(mm.w, c1.v::DOUBLE[]))::DOUBLE[64]
+                           AS v
+                FROM c1 LEFT JOIN (
+                    SELECT c, list(m ORDER BY dim) AS w
+                    FROM m2 GROUP BY c) mm USING (c)
+            )
+"""
+
 _ORACLE_BRUTE_TOPK = """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 10),
@@ -4333,6 +4400,23 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster")
 
 
+def q_ivf_topk_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IVF top-5 (``ivf_topk_det``, new r9 —
+    behind-window debut for the r10 rotation): the same inverted-file
+    ANN shape as ``embedding_ivf_topk`` (8 cells, nprobe=3), but the
+    quantizer is the closed-form ``kmeans_lloyd`` and every ordering
+    is rounded-then-tie-broken, so the APPROXIMATE result itself
+    hash-checks against a DuckDB rebuild — upgrading the IVF story
+    from "recall measured in tests" to a full differential.  The
+    ml-quantizer entry stays rows-only by design for API parity."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk_det(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, nprobe=3
+    ).orderBy("query_id", "rank")
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -7324,6 +7408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_lang_sets": q_collect_lang_sets,
         "label_centroids": q_label_centroids,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "ivf_topk_det": q_ivf_topk_det,
         "embedding_quantize": q_embedding_quantize,
         "cross_join_grid": q_cross_join_grid,
         "plot_line_series": q_plot_line_series,
@@ -8750,71 +8835,55 @@ def oracle_sql() -> dict[str, str]:
                     FROM events) t1) t2
             GROUP BY user_id
         """,
-        "kmeans_embeddings": """
-            WITH e AS (
-                SELECT vec_id, embedding::DOUBLE[64] AS v
-                FROM embeddings
-            ), c0 AS (
-                SELECT vec_id::INT AS c, v FROM e WHERE vec_id < 8
-            ), d1 AS (
-                SELECT e.vec_id, c0.c,
-                       round(array_inner_product(e.v, e.v)
-                             + array_inner_product(c0.v, c0.v)
-                             - 2 * array_inner_product(e.v, c0.v),
-                             6) AS d
-                FROM e, c0
-            ), a1 AS (
-                SELECT vec_id, c FROM (
-                    SELECT vec_id, c,
-                           row_number() OVER (PARTITION BY vec_id
-                                              ORDER BY d, c) AS rn
-                    FROM d1) WHERE rn = 1
-            ), m1 AS (
-                SELECT a1.c, g.dim, round(avg(e.v[g.dim]), 6) AS m
-                FROM a1 JOIN e USING (vec_id),
-                     (SELECT unnest(range(1, 65)) AS dim) g
-                GROUP BY a1.c, g.dim
-            ), c1 AS (
-                SELECT c0.c,
-                       (COALESCE(mm.w, c0.v::DOUBLE[]))::DOUBLE[64]
-                           AS v
-                FROM c0 LEFT JOIN (
-                    SELECT c, list(m ORDER BY dim) AS w
-                    FROM m1 GROUP BY c) mm USING (c)
-            ), d2 AS (
-                SELECT e.vec_id, c1.c,
-                       round(array_inner_product(e.v, e.v)
-                             + array_inner_product(c1.v, c1.v)
-                             - 2 * array_inner_product(e.v, c1.v),
-                             6) AS d
-                FROM e, c1
-            ), a2 AS (
-                SELECT vec_id, c FROM (
-                    SELECT vec_id, c,
-                           row_number() OVER (PARTITION BY vec_id
-                                              ORDER BY d, c) AS rn
-                    FROM d2) WHERE rn = 1
-            ), cnt AS (
-                SELECT c, count(*)::BIGINT AS n FROM a2 GROUP BY c
-            ), m2 AS (
-                SELECT a2.c, g.dim, round(avg(e.v[g.dim]), 6) AS m
-                FROM a2 JOIN e USING (vec_id),
-                     (SELECT unnest(range(1, 65)) AS dim) g
-                GROUP BY a2.c, g.dim
-            ), c2 AS (
-                SELECT c1.c,
-                       (COALESCE(mm.w, c1.v::DOUBLE[]))::DOUBLE[64]
-                           AS v
-                FROM c1 LEFT JOIN (
-                    SELECT c, list(m ORDER BY dim) AS w
-                    FROM m2 GROUP BY c) mm USING (c)
-            )
+        "kmeans_embeddings": "WITH " + _ORACLE_KMEANS_CELLS + """
             SELECT c2.c AS cluster,
                    COALESCE(cnt.n, 0)::BIGINT AS n_points,
                    round(sqrt(array_inner_product(c2.v, c2.v)), 4)
                        AS centroid_norm
             FROM c2 LEFT JOIN cnt USING (c)
             ORDER BY cluster
+        """,
+        "ivf_topk_det": "WITH " + _ORACLE_KMEANS_CELLS + """
+            , cells AS (
+                SELECT vec_id AS neighbor_id, c AS cell FROM (
+                    SELECT e.vec_id, c2.c,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY round(
+                                   array_inner_product(e.v, e.v)
+                                   + array_inner_product(c2.v, c2.v)
+                                   - 2 * array_inner_product(e.v, c2.v),
+                                   6), c2.c) AS rn
+                    FROM e, c2) WHERE rn = 1
+            ), probes AS (
+                SELECT vec_id AS query_id, c AS cell FROM (
+                    SELECT q.vec_id, c2.c,
+                           row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY round(
+                                   array_inner_product(q.v, q.v)
+                                   + array_inner_product(c2.v, c2.v)
+                                   - 2 * array_inner_product(q.v, c2.v),
+                                   6), c2.c) AS rn
+                    FROM e q, c2 WHERE q.vec_id < 10) WHERE rn <= 3
+            ), s AS (
+                SELECT p.query_id, cl.neighbor_id,
+                       round(array_inner_product(q.v, n.v)
+                             / (sqrt(array_inner_product(q.v, q.v))
+                                * sqrt(array_inner_product(n.v, n.v))),
+                             4) AS sim
+                FROM probes p
+                JOIN cells cl ON cl.cell = p.cell
+                JOIN e q ON q.vec_id = p.query_id
+                JOIN e n ON n.vec_id = cl.neighbor_id
+                WHERE p.query_id <> cl.neighbor_id
+            )
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS INT)
+                       AS rank,
+                   neighbor_id, sim
+            FROM s
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank
         """,
         "embedding_quantize": """
             WITH s AS (

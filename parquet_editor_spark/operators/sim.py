@@ -591,6 +591,35 @@ def label_centroids(
 # IVF (inverted-file) approximate top-k
 # ---------------------------------------------------------------------------
 
+def _cell_dist_structs(vec, centroids, round_to: int):
+    """Array of (rounded squared-L2 distance, cell id) structs for a
+    vector column against literal centroids — the codegen argmin /
+    probe-ranking primitive shared by :func:`kmeans_lloyd` and
+    :func:`ivf_topk_det`.  ``ip(a,a) + ip(b,b) − 2·ip(a,b)``, every
+    inner product summed in index order, distance rounded BEFORE any
+    comparison so the ordering is engine-reproducible (ties break on
+    the cell id via struct comparison)."""
+    ip_aa = F.aggregate(
+        F.zip_with(vec, vec, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    choices = []
+    for ci, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        ip_bb = float(sum(x * x for x in c))
+        ip_ab = F.aggregate(
+            F.zip_with(vec, lit_c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        d = F.round(ip_aa + F.lit(ip_bb) - F.lit(2.0) * ip_ab, round_to)
+        choices.append(
+            F.struct(d.alias("d"), F.lit(ci).cast("int").alias("c"))
+        )
+    return F.array(*choices)
+
+
 def kmeans_lloyd(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -634,36 +663,12 @@ def kmeans_lloyd(
     cents = [[float(x) for x in r["v"]] for r in init]
     dim = len(cents[0])
 
-    def _assign(frame, centroids):
-        ip_aa = F.aggregate(
-            F.zip_with(vec, vec, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        choices = []
-        for ci, c in enumerate(centroids):
-            lit_c = F.array(*[F.lit(float(x)) for x in c])
-            ip_bb = float(sum(x * x for x in c))
-            ip_ab = F.aggregate(
-                F.zip_with(vec, lit_c, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            d = F.round(
-                ip_aa + F.lit(ip_bb) - F.lit(2.0) * ip_ab, round_to
-            )
-            choices.append(
-                F.struct(
-                    d.alias("d"), F.lit(ci).cast("int").alias("c")
-                )
-            )
-        return frame.withColumn(
-            "__c", F.array_min(F.array(*choices))["c"]
-        )
-
     assigned = None
     for _ in range(iters):
-        assigned = _assign(df, cents)
+        assigned = df.withColumn(
+            "__c",
+            F.array_min(_cell_dist_structs(vec, cents, round_to))["c"],
+        )
         means = (
             assigned.select("__c", F.posexplode(vec).alias("pos", "x"))
             .groupBy("__c", "pos")
@@ -694,6 +699,92 @@ def kmeans_lloyd(
             ),
             "centroid",
         )
+    )
+
+
+def ivf_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    iters: int = 2,
+    round_to: int = 4,
+    cell_round: int = 6,
+) -> DataFrame:
+    """Fully DETERMINISTIC IVF top-k: the quantizer is
+    :func:`kmeans_lloyd` (engine-reproducible by construction), the
+    corpus→cell assignment and the query→probe-cell ranking use the
+    same rounded squared-L2 ordering, and candidates score by
+    rounded cosine with (sim desc, id asc) ranking — so the
+    APPROXIMATE result itself is closed-form oracle-checkable, not
+    just a recall bound (contrast :func:`ivf_topk`, whose pyspark.ml
+    quantizer is seed-deterministic within Spark but not
+    reproducible by another engine).
+
+    Scale shape: centroids are literal codegen expressions (k·dim
+    doubles in the task closure); the corpus never joins the
+    quantizer — one projection tags each row's cell; the probe join
+    broadcasts |Q|·nprobe rows against the cell-pruned corpus, and
+    the final window ranks only candidate rows."""
+    vec = F.col(vec_col).cast("array<double>")
+    cents_rows = kmeans_lloyd(
+        corpus, id_col, vec_col, k=n_cells, iters=iters,
+        round_to=cell_round,
+    ).collect()
+    by_c = {int(r["cluster"]): list(r["centroid"]) for r in cents_rows}
+    cents = [by_c[i] for i in range(n_cells)]
+
+    dists = _cell_dist_structs(vec, cents, cell_round)
+    tagged = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vec.alias("__cv"),
+        F.array_min(dists)["c"].alias("__cell"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        vec.alias("__qv"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(dists), 1, nprobe),
+                lambda s: s["c"],
+            )
+        ).alias("__cell"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col(c), F.col(c), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    scored = (
+        tagged.join(F.broadcast(probes), "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (norm("__qv") * norm("__cv")), round_to).alias(
+                "sim"
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
     )
 
 

