@@ -4417,6 +4417,25 @@ def q_ivf_topk_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_stratified_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample (``hash_stratified_sample``,
+    new r9 — behind-window debut for the r10 rotation): per-source
+    rates ``10 + (7·length(source)) mod 60`` percent, keep decided by
+    the all-integer md5-bucket cross-multiplication — so unlike the
+    seeded-``sampleBy`` entry (``stratified_sample``, rows-only by
+    necessity), the SAMPLE ITSELF hash-checks against DuckDB
+    computing the identical predicate.  Emits the kept rows plus
+    their stratum rate."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pct = (F.lit(10) + (F.length("source") * 7) % 60).cast("int")
+    kept = TP.hash_stratified_sample(
+        docs.withColumn("pct", pct), "doc_id", F.col("pct")
+    )
+    return kept.select("doc_id", "source", "pct").orderBy("doc_id")
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -7409,6 +7428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "kmeans_embeddings": q_kmeans_embeddings,
         "ivf_topk_det": q_ivf_topk_det,
+        "stratified_sample_det": q_stratified_sample_det,
         "embedding_quantize": q_embedding_quantize,
         "cross_join_grid": q_cross_join_grid,
         "plot_line_series": q_plot_line_series,
@@ -8884,6 +8904,15 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             QUALIFY rank <= 5
             ORDER BY query_id, rank
+        """,
+        "stratified_sample_det": """
+            SELECT doc_id, source,
+                   CAST(10 + (7 * length(source)) % 60 AS INT) AS pct
+            FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  )::BIGINT * 100
+                  < (10 + (7 * length(source)) % 60) * 65536
+            ORDER BY doc_id
         """,
         "embedding_quantize": """
             WITH s AS (

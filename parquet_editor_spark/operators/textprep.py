@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from parquet_editor_spark.functions.text import (
@@ -262,6 +262,31 @@ def pack_blocks(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_block_tokens").cast("long").alias("n_tokens"),
         F.concat_ws(" ", ordered).alias("block_text"),
+    )
+
+
+def hash_stratified_sample(
+    df: DataFrame, id_col: str, pct: Column
+) -> DataFrame:
+    """DETERMINISTIC stratified sampling: keep a row iff the first 16
+    bits of ``md5(id)`` fall under its stratum's rate — reproducible
+    across engines, runs, partitionings and cluster sizes, unlike
+    ``sampleBy``'s seeded Bernoulli draw (Spark-internal RNG, the
+    reason the ``stratified_sample`` entry is rows-only).  ``pct`` is
+    an integer-percent Column (0-100), e.g. a per-stratum when-chain
+    or arithmetic on the stratum key; the md5 bucket is uniform and
+    independent of any data column, so each stratum keeps ≈pct% with
+    1/65536 granularity.  The keep predicate is the all-integer cross
+    multiplication ``bucket·100 < pct·65536`` — no float anywhere.
+
+    Scale shape: one codegen projection + filter; no shuffle, no RNG
+    state to coordinate, and re-running on any subset reproduces the
+    same keep set (the property incremental pipelines need)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return df.filter(
+        bucket * F.lit(100) < pct.cast("long") * F.lit(65536)
     )
 
 

@@ -531,3 +531,36 @@ def test_pack_blocks_materializes_exact_stream(spark):
         1: (2, 5, "f g h i j"),
         2: (2, 5, "k l m n o"),
     }
+
+
+def test_hash_stratified_sample_deterministic_and_rate_accurate(spark):
+    """Same keep set on every run/partitioning; per-stratum rate lands
+    near the requested percentage; pct=0 and pct=100 are exact."""
+    from pyspark.sql import functions as F
+
+    from parquet_editor_spark.operators.textprep import (
+        hash_stratified_sample,
+    )
+
+    rows = [(i, ["a", "b", "none", "all"][i % 4]) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    pct = (
+        F.when(F.col("source") == "a", 25)
+        .when(F.col("source") == "b", 75)
+        .when(F.col("source") == "none", 0)
+        .otherwise(100)
+    )
+    kept1 = hash_stratified_sample(df, "doc_id", pct).collect()
+    kept2 = hash_stratified_sample(
+        df.repartition(13), "doc_id", pct
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept1) == sorted(
+        r["doc_id"] for r in kept2
+    )
+    by_src = {}
+    for r in kept1:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert by_src.get("none", 0) == 0
+    assert by_src["all"] == 1000
+    assert abs(by_src["a"] - 250) < 60
+    assert abs(by_src["b"] - 750) < 60
