@@ -7212,11 +7212,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # membership and the no-top-level-Array/Map/Struct output contract
     # for every window entry (the r6/r7 tfidf crash class).
     # Planned r10 window: any new-in-r10 entries first, then the
-    # stale entries displaced by this round's debuts
-    # (q19_disjunctive_revenue → q17_small_qty_revenue block,
-    # xlsx_roundtrip_lineitem, ivf_recall_bound), then the remainder
-    # of the stale block (source_token_divergence →
-    # string_funcs_part), then the oldest r6/r7 greens.
+    # never-adjudicated behind-window r9 debuts (kmeans_embeddings,
+    # ivf_topk_det, stratified_sample_det), then the stale entries
+    # displaced by this round's debuts (q19_disjunctive_revenue →
+    # q17_small_qty_revenue block, xlsx_roundtrip_lineitem,
+    # ivf_recall_bound), then the remainder of the stale block
+    # (source_token_divergence → string_funcs_part), then the oldest
+    # r6/r7 greens.
     return {
         # --- 1-5. new in r9: MP3 walk, IMA/MS-ADPCM, JPEG px, G.711 ---
         "mp3_meta_docs": q_mp3_meta_docs,
