@@ -96,3 +96,57 @@ def test_subtitle_cues_stage_rejects_unknown(spark):
     )
     with pytest.raises(Exception, match="srt/vtt"):
         MM.subtitle_cues(df).collect()
+
+
+# ---------------------------------------------------------------------------
+# property test: arbitrary timings/text round-trip through both formats
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_cue_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_characters="\r\n",
+        exclude_categories=("Cs", "Cc"),
+    ),
+    max_size=40,
+).map(str.strip).filter(
+    # a line of pure digits would parse as the next SRT counter, and
+    # WEBVTT/arrow markers would parse as structure: exclude the
+    # inputs the grammar reserves (the generators never emit them)
+    lambda t: not t.isdigit() and "-->" not in t and t != "WEBVTT"
+)
+
+
+@settings(
+    max_examples=40, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    cues=st.lists(
+        st.tuples(
+            st.integers(0, 359_999_999),  # < 100 h in ms
+            st.integers(1, 60_000),
+            _cue_text,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_property_srt_vtt_roundtrip(cues):
+    from parquet_editor_spark.sources.subtitles import (
+        make_srt,
+        make_vtt,
+        parse_srt,
+        parse_vtt,
+    )
+
+    payload = [
+        {"start_ms": s, "end_ms": s + d, "text": t} for s, d, t in cues
+    ]
+    for make, parse in ((make_srt, parse_srt), (make_vtt, parse_vtt)):
+        got = parse(make(payload))
+        assert [
+            (c["start_ms"], c["end_ms"], c["text"]) for c in got
+        ] == [(s, s + d, t) for s, d, t in cues]

@@ -81,3 +81,48 @@ def test_warc_records_stage(spark):
         assert rs[1]["content_length"] == 16  # bytes, not chars
         assert rs[2]["target_uri"] == "https://example.org/b"
     assert by_id[3][0]["rec_idx"] is None  # null payload passes through
+
+
+# ---------------------------------------------------------------------------
+# property test: arbitrary bodies (binary, CRLF-laden) round-trip
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=30, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.sampled_from(["response", "resource", "metadata"]),
+            # bodies containing \r\n\r\n and WARC/ are the trap: the
+            # walk must trust Content-Length, never scan for markers
+            st.binary(max_size=400) | st.just(b"\r\n\r\nWARC/1.0\r\n"),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    gz=st.booleans(),
+)
+def test_property_warc_roundtrip(recs, gz):
+    from parquet_editor_spark.sources.warc import make_warc, parse_warc
+
+    blob = make_warc(
+        [
+            {
+                "warc_type": t,
+                "target_uri": f"https://x/{i}",
+                "content_type": "application/octet-stream",
+                "payload": body,
+            }
+            for i, (t, body) in enumerate(recs)
+        ],
+        gzip_members=gz,
+    )
+    got = parse_warc(blob)
+    assert [(r["warc_type"], r["payload"]) for r in got] == [
+        (t, body) for t, body in recs
+    ]
