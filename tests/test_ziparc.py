@@ -58,3 +58,46 @@ def test_zip_members_stage(spark):
         assert rs[0]["crc32"] == zlib.crc32(b"hello zip")
     # deflate actually compressed; stored did not
     assert by_id[3][0]["member_idx"] is None
+
+
+# ---------------------------------------------------------------------------
+# property test: arbitrary member names/bytes round-trip, both methods
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=30, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    members=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8",
+                    exclude_characters="/\\\x00",
+                    min_codepoint=33,
+                ),
+                min_size=1,
+                max_size=24,
+            ),
+            st.binary(max_size=1500),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    compress=st.booleans(),
+)
+def test_property_zip_roundtrip(members, compress):
+    import zlib
+
+    from parquet_editor_spark.sources.ziparc import make_zip, parse_zip
+
+    got = parse_zip(make_zip(members, compress=compress))
+    assert [(m["name"], m["data"]) for m in got] == list(members)
+    assert all(
+        m["crc32"] == zlib.crc32(m["data"]) & 0xFFFFFFFF for m in got
+    )
