@@ -4436,6 +4436,47 @@ def q_stratified_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source", "pct").orderBy("doc_id")
 
 
+def q_winnow_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing substring-containment pairs (``winnow_fingerprints``,
+    new r9 — behind-window debut for the r10 rotation): the MOSS
+    rolling-hash fingerprint scheme (k=8-char grams, window 4 —
+    every shared substring ≥ 11 chars leaves a shared fingerprint),
+    then the inverted-index pair pattern: doc-frequency-capped
+    fingerprints (2..20 — the boilerplate guard that keeps any fp
+    group's pair fan-out ≤ C(20,2)), pairs sharing ≥ 3 fingerprints.
+    This is the substring-level near-dup signal token-shingle
+    Jaccard can't express.  The oracle rebuilds the identical
+    construction: the gram hash is portable md5-prefix arithmetic,
+    not Spark's murmur."""
+    from parquet_editor_spark.operators import dedup as D
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 11 == 0)
+    )
+    fps = D.winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
+    dfreq = fps.groupBy("fp").agg(F.count("*").alias("__n"))
+    kept = fps.join(
+        dfreq.filter((F.col("__n") >= 2) & (F.col("__n") <= 20)),
+        "fp",
+    ).select("id", "fp")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_png_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-format round-trip, no PIL (sources/png.py, r4 verdict
     item 3; r6 adds 16-bit and 1/2/4-bit depths per r5 verdict item 4):
@@ -7431,6 +7472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "ivf_topk_det": q_ivf_topk_det,
         "stratified_sample_det": q_stratified_sample_det,
+        "winnow_pairs_docs": q_winnow_pairs_docs,
         "embedding_quantize": q_embedding_quantize,
         "cross_join_grid": q_cross_join_grid,
         "plot_line_series": q_plot_line_series,
@@ -8906,6 +8948,47 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             QUALIFY rank <= 5
             ORDER BY query_id, rank
+        """,
+        "winnow_pairs_docs": """
+            WITH d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS c
+                FROM documents WHERE doc_id % 11 = 0
+            ), h AS (
+                SELECT doc_id,
+                    CASE WHEN length(c) - 7 >= 1 THEN
+                        list_transform(
+                            range(1, (length(c) - 7 + 1)::BIGINT),
+                            p -> ('0x' || substr(md5(substr(c, p::INT, 8)),
+                                                 1, 8))::BIGINT)
+                    ELSE [] END AS hs
+                FROM d
+            ), wf AS (
+                SELECT doc_id,
+                    CASE WHEN len(hs) - 3 >= 1 THEN
+                        list_distinct(list_transform(
+                            range(1, (len(hs) - 3 + 1)::BIGINT),
+                            j -> list_min(hs[j::INT : j::INT + 3])))
+                    ELSE [] END AS fps
+                FROM h
+            ), f AS (
+                SELECT doc_id, unnest(fps) AS fp FROM wf
+            ), dfreq AS (
+                SELECT fp, count(*) AS n FROM f GROUP BY fp
+            ), k AS (
+                SELECT f.doc_id, f.fp
+                FROM f JOIN dfreq USING (fp)
+                WHERE dfreq.n BETWEEN 2 AND 20
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::BIGINT AS n_shared
+            FROM k a JOIN k b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
+            ORDER BY id_a, id_b
         """,
         "stratified_sample_det": """
             SELECT doc_id, source,

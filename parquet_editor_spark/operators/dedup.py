@@ -49,6 +49,72 @@ def release_caches(df: DataFrame) -> None:
 # exact dedup
 # ---------------------------------------------------------------------------
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS rolling-hash scheme): hash every k-char
+    gram of the canonical text, slide a w-hash window, keep each
+    window's MINIMUM hash; the deduplicated minima are the doc's
+    fingerprint set.  Guarantees every shared substring of length
+    ≥ k+w−1 contributes at least one shared fingerprint — the
+    substring-level containment signal shingle-Jaccard can't give.
+    The gram hash is the first 8 md5 hex digits as an integer, so
+    the whole construction is engine-portable (differential-testable
+    in DuckDB), unlike Spark's murmur ``F.hash``.
+
+    Emits one (id, fp) row per distinct fingerprint.  Scale shape:
+    pure codegen projection + explode — the per-doc cost is
+    O(len·k) hashing inside whole-stage codegen, no shuffle, no
+    Python; downstream joins on ``fp`` are the usual inverted-index
+    pattern."""
+    if k < 2 or w < 1:
+        raise ValueError("need k >= 2 and w >= 1")
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        X.normalize_text(text_col).alias("__c"),
+    )
+    n_grams = F.length("__c") - (k - 1)
+    # NB sequence(1, 0) in Spark infers a NEGATIVE step ([1, 0]) —
+    # short docs must take the explicit empty branch
+    gram_hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda p: F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.substring(F.col("__c"), p, F.lit(k)),
+                            "utf-8",
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    hashed = staged.select("id", gram_hashes.alias("__h"))
+    n_wins = F.size("__h") - (w - 1)
+    fps = F.when(
+        n_wins >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_wins),
+                lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return hashed.select("id", F.explode(fps).alias("fp"))
+
+
 def exact_dedup(df: DataFrame, subset: Optional[Sequence[str]] = None) -> DataFrame:
     """Keep one row per distinct value of ``subset`` (all columns if
     None) — Spark's hash-based dropDuplicates; the keeper is

@@ -379,3 +379,53 @@ def test_release_caches_frees_storage(spark):
     assert created, "jaccard_pairs materialization cached nothing"
     D.release_caches(pairs)
     assert not (rdd_ids() & created), "shingle cache still persisted"
+
+
+def test_winnow_fingerprints_matches_reference_and_guarantee(spark):
+    """Spark winnowing equals an independent python implementation,
+    and the winnowing guarantee holds: two docs sharing a substring
+    of length >= k+w-1 share at least one fingerprint."""
+    import hashlib
+
+    from parquet_editor_spark.operators.dedup import winnow_fingerprints
+
+    shared = "a very distinctive shared phrase here"
+    rows = [
+        (1, f"alpha {shared} omega"),
+        (2, f"{shared} entirely different tail text"),
+        (3, "nothing in common with the others at all"),
+        (4, "tiny"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_fingerprints(df, "doc_id", "text", k=8, w=4).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["id"], set()).add(r["fp"])
+    assert 4 not in by_id and 5 not in by_id  # too short / null
+
+    def ref(text):
+        s = " ".join(
+            "".join(ch if ch.isalnum() or ch.isspace() else " "
+                    for ch in text.lower()).split()
+        )
+        hs = [
+            int(hashlib.md5(s[i:i + 8].encode()).hexdigest()[:8], 16)
+            for i in range(len(s) - 7)
+        ]
+        return {min(hs[j:j + 4]) for j in range(len(hs) - 3)}
+
+    for i, text in rows[:3]:
+        assert by_id[i] == ref(text), i
+    assert by_id[1] & by_id[2], "winnowing guarantee violated"
+    assert not (by_id[3] & by_id[1] & by_id[2])
+
+
+def test_winnow_fingerprints_validates_args(spark):
+    import pytest
+
+    from parquet_editor_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k >= 2"):
+        winnow_fingerprints(df, "doc_id", "text", k=1)
