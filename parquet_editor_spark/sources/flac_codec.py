@@ -678,6 +678,19 @@ def encode_flac(
         raise ValueError(f"unsupported bits_per_sample {bits_per_sample}")
     if not (0 < sample_rate < (1 << 20)):
         raise ValueError(f"sample_rate out of range: {sample_rate}")
+    if (
+        sample_rate not in _RATE_TBL.values()
+        and not (sample_rate % 1000 == 0 and sample_rate // 1000 < 256)
+        and sample_rate >= 65536
+        and (sample_rate % 10 or sample_rate // 10 >= 65536)
+    ):
+        # the only remaining frame-header encoding is code 14 (rate/10
+        # in 16 bits); a rate it can't represent exactly would disagree
+        # with STREAMINFO and be rejected by decode_flac
+        raise ValueError(
+            f"sample_rate {sample_rate} >= 65536 must be divisible by 10 "
+            "and < 655360 (FLAC frame-header code-14 stores rate/10)"
+        )
     s = np.asarray(samples, np.int64)
     if s.ndim == 1:
         if len(s) % channels:

@@ -223,6 +223,11 @@ def decode_gif(
                 f"{origin!r}: unknown block 0x{block:02X} at {pos - 1}"
             )
         left, top, fw, fh = struct.unpack_from("<HHHH", data, pos)
+        if left + fw > sw or top + fh > sh:
+            raise ValueError(
+                f"{origin!r}: frame {fw}x{fh}@({left},{top}) exceeds "
+                f"logical screen {sw}x{sh}"
+            )
         iflags = data[pos + 8]
         pos += 9
         pal = gct

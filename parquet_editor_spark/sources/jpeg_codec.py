@@ -1192,11 +1192,13 @@ def encode_jpeg_progressive(
                         if t == 0:
                             run += 1
                             continue
-                        if t > 1:
-                            # history-significant: owe a correction bit
-                            br.append(t & 1)
-                            continue
-                        # newly significant (t == 1)
+                        # ZRLs not foldable into the EOB run must be
+                        # emitted for EVERY nonzero coefficient — also
+                        # when it is history-significant — or the
+                        # buffered correction bit lands after a ZRL the
+                        # decoder's skip walk never revisits (libjpeg
+                        # encode_mcu_AC_refine emits before the
+                        # temp > 1 test).
                         while run > 15 and i <= eob:
                             pw.flush_eobrun()
                             pw.sym(0xF0)
@@ -1204,6 +1206,11 @@ def encode_jpeg_progressive(
                             for b in br:
                                 pw.w.write(b, 1)
                             br = []
+                        if t > 1:
+                            # history-significant: owe a correction bit
+                            br.append(t & 1)
+                            continue
+                        # newly significant (t == 1)
                         pw.flush_eobrun()
                         pw.sym((run << 4) | 1)
                         pw.w.write(

@@ -350,3 +350,16 @@ def test_resample_audio_flac_path(spark):
         assert (r2, c2, b2, m2) == (4000, ch, 16, tgt_n)
         idx = (np.arange(tgt_n, dtype=np.int64) * n) // tgt_n
         assert np.array_equal(out, sig[idx])
+
+
+def test_code14_rates_unrepresentable_raise_representable_roundtrip():
+    """Regression (r10): rates >= 65536 on the code-14 fallback store
+    rate//10 in 16 bits; 96001 would make the frame header disagree
+    with STREAMINFO and decode_flac reject the encoder's own output,
+    so encode_flac must refuse it (same for rates >= 655360)."""
+    sig = _noise(100, 1, 16, seed=3)
+    for rate in (96001, 65537, 655367, 655360):
+        with pytest.raises(ValueError, match="code-14"):
+            encode_flac(rate, 1, 16, sig)
+    out = decode_flac(encode_flac(96010, 1, 16, sig))
+    assert out[0] == 96010 and np.array_equal(out[4], sig)

@@ -164,3 +164,20 @@ def test_gif_bmp_resize_real(spark):
             _frame(spark, payload, codec), target_w=2, target_h=2
         ).collect()
         assert dec(bytes(row["payload"]))[3] == want, codec
+
+
+def test_gif_frame_rect_must_fit_logical_screen():
+    """Regression (r10): a frame descriptor whose rectangle exceeds the
+    logical screen must raise, not silently write pixels into wrong
+    rows (and past the buffer, where bytearray slice-assign APPENDS,
+    breaking downstream reshape(h, w, ch))."""
+    g = bytearray(encode_gif(4, 4, 1, bytes(16)))
+    at = g.index(b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4))
+    assert struct.unpack_from("<HHHH", g, at + 1) == (0, 0, 4, 4)
+    for left, top, fw, fh in [(0, 0, 5, 4), (0, 0, 4, 5), (2, 0, 4, 4), (0, 3, 4, 2)]:
+        bad = bytearray(g)
+        struct.pack_into("<HHHH", bad, at + 1, left, top, fw, fh)
+        with pytest.raises(ValueError, match="exceeds"):
+            decode_gif(bytes(bad))
+    # untampered control still decodes
+    assert decode_gif(bytes(g))[:3] == (4, 4, 3)

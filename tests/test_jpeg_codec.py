@@ -240,3 +240,40 @@ def test_progressive_truncated_stream_raises():
     prog = encode_jpeg_progressive(16, 16, 1, bytes(256))
     with pytest.raises(ValueError):
         decode_jpeg(prog[: len(prog) - 30])  # EOI + last scan cut off
+
+
+def test_progressive_refine_zrl_before_history_significant_coef():
+    """Regression (r10): AC refinement must emit pending ZRLs for EVERY
+    nonzero coefficient — including history-significant ones — before
+    buffering their correction bit (libjpeg encode_mcu_AC_refine emits
+    the ZRL loop ahead of the temp > 1 test).  With >=16 zero-history
+    slots, then |coef| == 2, then |coef| == 1 inside one spectral band,
+    an encoder that only emits ZRL on the newly-significant branch
+    attaches the +2 correction bit to the ZRL, where the decoder's
+    16-slot skip walk never reads it, desyncing the scan."""
+    from parquet_editor_spark.sources.jpeg_codec import (
+        _C,
+        _ZIGZAG,
+        _fdct_quant,
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    qstep = 16
+    target = np.zeros(64, dtype=np.int64)  # zigzag order
+    target[22] = 2  # band [6,63]: zz 6..21 zero (run 16), then |2|
+    target[23] = 1  # then newly-significant |1| -> eob past the ZRL
+    raster = np.zeros(64, dtype=np.float64)
+    raster[_ZIGZAG] = target * qstep
+    block = _C.T @ raster.reshape(8, 8) @ _C + 128.0
+    pix = np.clip(np.round(block), 0, 255).astype(np.uint8)
+
+    qt = (np.full(64, qstep, dtype=np.int64),) * 2
+    # self-check: the synthesized pixels really quantize to the repro
+    # pattern (16 zeros, +2, +1) after the encoder's own FDCT
+    got = _fdct_quant(pix.reshape(1, 8, 8).astype(np.float64), qt[0])
+    assert list(got[0]) == list(target), "fixture drifted off-pattern"
+
+    base = encode_jpeg_baseline(8, 8, 1, bytes(pix.reshape(-1)), quant_tables=qt)
+    prog = encode_jpeg_progressive(8, 8, 1, bytes(pix.reshape(-1)), quant_tables=qt)
+    assert decode_jpeg(prog) == decode_jpeg(base)
