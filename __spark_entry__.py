@@ -7222,97 +7222,31 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
-    # round-9 window executes the rotation the r8 verdict mandated
-    # (VERDICT.md "Next round" item 4): the r8 window burned its
-    # novelty (50/50 green), so the window moves to the next-stalest
-    # signal — the r3/r4/r5-signal block (editor point-ops, avro/xlsx
-    # round-trips, the warehouse MERGE/SCD2/zorder family, TPC-H
-    # shapes) whose last driver adjudication is r3-r5 — plus the two
-    # new-in-r9 operators up front:
-    #   1. mp3_meta_docs — Layer III frame-header walk (sources/
-    #      mp3.py, verdict item 6).
-    #   2. wav_adpcm_roundtrip — IMA-ADPCM real decode (verdict item
-    #      7; constant clips round-trip bit-exactly, so the oracle is
-    #      closed-form while Spark runs the full numpy block decode).
-    #   3-36. the rest of the r9 debuts, in landing order: the codec
-    #      second wave (G.711, MS-ADPCM, GIF/BMP, progressive JPEG,
-    #      curation compositions), the container/metadata wave (FLAC
-    #      roundtrip, MP4 frame index, Ogg, dHash, audio stats, TIFF,
-    #      AVI/MJPEG, scene cuts, EXIF, video curation), and the
-    #      archive/interchange wave (WARC, ZIP, SRT/VTT, TAR+zstd,
-    #      WebDataset read+write, crawl curation, sequence packing,
-    #      packed blocks, shards→blocks, TFRecord read+write, Arrow
-    #      IPC, streaming shard ingest, parquet-payload, corpus
-    #      report, JSONL pure-Catalyst pair).  Debuts outrank stale
-    #      re-greens: a never-adjudicated query has no driver signal
-    #      at all.
-    #   37-50. the stale r3/r4/r5-signal block, oldest first, as far
-    #      as fits (vocab_coverage → q14_promo_revenue).
-    # Probes and rows-only entries stay retired as documented
-    # canaries.  tests/test_entry_contract.py pins both the window
-    # membership and the no-top-level-Array/Map/Struct output contract
-    # for every window entry (the r6/r7 tfidf crash class).
-    # Planned r10 window: any new-in-r10 entries first, then the
-    # never-adjudicated behind-window r9 debuts (kmeans_embeddings,
-    # ivf_topk_det, stratified_sample_det), then the stale entries
-    # displaced by this round's debuts (q19_disjunctive_revenue →
-    # q17_small_qty_revenue block, xlsx_roundtrip_lineitem,
-    # ivf_recall_bound), then the remainder of the stale block
-    # (source_token_divergence → string_funcs_part), then the oldest
-    # r6/r7 greens.
+    # round-10 window executes the rotation the r9 verdict mandated
+    # (VERDICT.md "Next round" items 1): first the four r9 debuts that
+    # landed behind the window and have never been adjudicated
+    # (kmeans_embeddings, ivf_topk_det, stratified_sample_det,
+    # winnow_pairs_docs — local green at sf0.01/0.1/1 and re-confirmed
+    # by the r9 judge's independent re-run, but with zero driver
+    # signal), then the 14 stale entries the r9 debuts displaced
+    # (q19_disjunctive_revenue ... q17_small_qty_revenue, last driver
+    # signal r3-r5), then the remainder of the stale block in standing
+    # order as far as fits.  New-in-r10 entries are inserted at the
+    # very front as they land (debuts outrank everything: a
+    # never-adjudicated query has no driver signal at all), shifting
+    # the tail of the stale block out.  Probes and rows-only entries
+    # stay retired as documented canaries.  tests/test_entry_contract.py
+    # pins both the window membership and the
+    # no-top-level-Array/Map/Struct output contract for every window
+    # entry (the r6/r7 tfidf crash class).
     return {
-        # --- 1-5. new in r9: MP3 walk, IMA/MS-ADPCM, JPEG px, G.711 ---
-        "mp3_meta_docs": q_mp3_meta_docs,
-        "wav_adpcm_roundtrip": q_wav_adpcm_roundtrip,
-        "jpeg_decode_docs": q_jpeg_decode_docs,
-        "wav_g711_roundtrip": q_wav_g711_roundtrip,
-        "wav_ms_adpcm_roundtrip": q_wav_ms_adpcm_roundtrip,
-        "gif_bmp_decode_docs": q_gif_bmp_decode_docs,
-        "multimodal_curation_v1": q_multimodal_curation_v1,
-        "audio_curation_v1": q_audio_curation_v1,
-        "flac_roundtrip": q_flac_roundtrip,
-        "mp4_frame_index_docs": q_mp4_frame_index_docs,
-        "ogg_meta_docs": q_ogg_meta_docs,
-        "image_dedup_dhash": q_image_dedup_dhash,
-        "audio_stats_docs": q_audio_stats_docs,
-        "tiff_decode_docs": q_tiff_decode_docs,
-        "multimodal_curation_v2": q_multimodal_curation_v2,
-        "avi_mjpeg_decode_docs": q_avi_mjpeg_decode_docs,
-        "video_scene_cuts_docs": q_video_scene_cuts_docs,
-        "jpeg_exif_docs": q_jpeg_exif_docs,
-        "video_curation_v1": q_video_curation_v1,
-        "warc_extract_docs": q_warc_extract_docs,
-        "zip_extract_docs": q_zip_extract_docs,
-        "subtitle_cues_docs": q_subtitle_cues_docs,
-        "tar_extract_docs": q_tar_extract_docs,
-        "wds_samples_docs": q_wds_samples_docs,
-        "crawl_curation_v1": q_crawl_curation_v1,
-        "wds_export_roundtrip": q_wds_export_roundtrip,
-        "pack_sequences_docs": q_pack_sequences_docs,
-        "tfrecord_roundtrip": q_tfrecord_roundtrip,
-        "packed_blocks_text": q_packed_blocks_text,
-        "shards_to_blocks_v1": q_shards_to_blocks_v1,
-        "tfrecord_export_roundtrip": q_tfrecord_export_roundtrip,
-        "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
-        "stream_shard_ingest": q_stream_shard_ingest,
-        "parquet_payload_roundtrip": q_parquet_payload_roundtrip,
-        "corpus_report_v1": q_corpus_report_v1,
-        "jsonl_shard_roundtrip": q_jsonl_shard_roundtrip,
-        # --- 37-50. stale r3/r4/r5-signal block, oldest first ---
-        "vocab_coverage": q_vocab_coverage,
-        "funnel_signup_purchase": q_funnel_signup_purchase,
-        "retention_cohorts": q_retention_cohorts,
-        "merge_upsert_orders": q_merge_upsert_orders,
-        "scd2_user_status": q_scd2_user_status,
-        "zorder_cluster_keys": q_zorder_cluster_keys,
-        "multimodal_resize": q_multimodal_resize,
-        "parquet_roundtrip_partitioned": q_parquet_roundtrip_partitioned,
-        "orc_roundtrip_lineitem": q_orc_roundtrip_lineitem,
-        "corr_matrix": q_corr_matrix,
-        "q8_market_share": q_q8_market_share,
-        "q10_returned_revenue": q_q10_returned_revenue,
-        "q12_priority_lines": q_q12_priority_lines,
-        "q14_promo_revenue": q_q14_promo_revenue,
+        # --- 1-4. never-adjudicated r9 debuts: deterministic kmeans/IVF/
+        # sample twins + winnowing fingerprints ---
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "ivf_topk_det": q_ivf_topk_det,
+        "stratified_sample_det": q_stratified_sample_det,
+        "winnow_pairs_docs": q_winnow_pairs_docs,
+        # --- 5-18. the 14 stale entries displaced by the r9 debuts ---
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
         "q21_sole_supplier": q_q21_sole_supplier,
         "q22_idle_customers": q_q22_idle_customers,
@@ -7327,6 +7261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q_q15_top_supplier,
         "q16_supplier_part_counts": q_q16_supplier_part_counts,
         "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        # --- 19-50. stale r3/r4/r5-signal block remainder, standing order ---
         "q18_large_volume_customers": q_q18_large_volume_customers,
         "q20_part_promotion": q_q20_part_promotion,
         "dedup_priority_keep": q_dedup_priority_keep,
@@ -7334,8 +7269,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_budget_trim": q_source_budget_trim,
         "stream_static_enrich": q_stream_static_enrich,
         "weighted_sample_k": q_weighted_sample_k,
-        # ================= end of 50-entry driver window =================
-        # --- behind window: remainder of the stale block ---
         "avro_roundtrip_part": q_avro_roundtrip_part,
         "variant_extract_events": q_variant_extract_events,
         "hilbert_cluster_keys": q_hilbert_cluster_keys,
@@ -7361,6 +7294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_health": q_corpus_health,
         "bigram_logprob": q_bigram_logprob,
         "purge_orders": q_purge_orders,
+        # ================= end of 50-entry driver window =================
+        # --- behind window: remainder of the stale block ---
         "refresh_matview": q_refresh_matview,
         "source_overlap": q_source_overlap,
         "pipeline_curation_v3": q_pipeline_curation_v3,
@@ -7398,7 +7333,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_roundtrip_events": q_kafka_roundtrip_events,
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
-        # --- behind window: the 49 r6/r7 window greens (freshest signal) ---
+        # --- behind window: the 50 r9 window greens (freshest signal) ---
+        "mp3_meta_docs": q_mp3_meta_docs,
+        "wav_adpcm_roundtrip": q_wav_adpcm_roundtrip,
+        "jpeg_decode_docs": q_jpeg_decode_docs,
+        "wav_g711_roundtrip": q_wav_g711_roundtrip,
+        "wav_ms_adpcm_roundtrip": q_wav_ms_adpcm_roundtrip,
+        "gif_bmp_decode_docs": q_gif_bmp_decode_docs,
+        "multimodal_curation_v1": q_multimodal_curation_v1,
+        "audio_curation_v1": q_audio_curation_v1,
+        "flac_roundtrip": q_flac_roundtrip,
+        "mp4_frame_index_docs": q_mp4_frame_index_docs,
+        "ogg_meta_docs": q_ogg_meta_docs,
+        "image_dedup_dhash": q_image_dedup_dhash,
+        "audio_stats_docs": q_audio_stats_docs,
+        "tiff_decode_docs": q_tiff_decode_docs,
+        "multimodal_curation_v2": q_multimodal_curation_v2,
+        "avi_mjpeg_decode_docs": q_avi_mjpeg_decode_docs,
+        "video_scene_cuts_docs": q_video_scene_cuts_docs,
+        "jpeg_exif_docs": q_jpeg_exif_docs,
+        "video_curation_v1": q_video_curation_v1,
+        "warc_extract_docs": q_warc_extract_docs,
+        "zip_extract_docs": q_zip_extract_docs,
+        "subtitle_cues_docs": q_subtitle_cues_docs,
+        "tar_extract_docs": q_tar_extract_docs,
+        "wds_samples_docs": q_wds_samples_docs,
+        "crawl_curation_v1": q_crawl_curation_v1,
+        "wds_export_roundtrip": q_wds_export_roundtrip,
+        "pack_sequences_docs": q_pack_sequences_docs,
+        "tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "packed_blocks_text": q_packed_blocks_text,
+        "shards_to_blocks_v1": q_shards_to_blocks_v1,
+        "tfrecord_export_roundtrip": q_tfrecord_export_roundtrip,
+        "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
+        "stream_shard_ingest": q_stream_shard_ingest,
+        "parquet_payload_roundtrip": q_parquet_payload_roundtrip,
+        "corpus_report_v1": q_corpus_report_v1,
+        "jsonl_shard_roundtrip": q_jsonl_shard_roundtrip,
+        "vocab_coverage": q_vocab_coverage,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "retention_cohorts": q_retention_cohorts,
+        "merge_upsert_orders": q_merge_upsert_orders,
+        "scd2_user_status": q_scd2_user_status,
+        "zorder_cluster_keys": q_zorder_cluster_keys,
+        "multimodal_resize": q_multimodal_resize,
+        "parquet_roundtrip_partitioned": q_parquet_roundtrip_partitioned,
+        "orc_roundtrip_lineitem": q_orc_roundtrip_lineitem,
+        "corr_matrix": q_corr_matrix,
+        "q8_market_share": q_q8_market_share,
+        "q10_returned_revenue": q_q10_returned_revenue,
+        "q12_priority_lines": q_q12_priority_lines,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        # --- behind window: r6/r7/r8 greens ---
         "png_roundtrip_docs": q_png_roundtrip_docs,
         "wav_roundtrip_docs": q_wav_roundtrip_docs,
         "y4m_frames_docs": q_y4m_frames_docs,
@@ -7448,7 +7434,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ranks": q_window_ranks,
         "window_lead_lag": q_window_lead_lag,
         "rolling_revenue_7d": q_rolling_revenue_7d,
-        # --- behind window: the 50 r8 window greens (freshest signal) ---
         "tfidf_vectors": q_tfidf_vectors,
         "strip_markup_docs": q_strip_markup_docs,
         "script_profile_docs": q_script_profile_docs,
@@ -7469,10 +7454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "collect_lang_sets": q_collect_lang_sets,
         "label_centroids": q_label_centroids,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "ivf_topk_det": q_ivf_topk_det,
-        "stratified_sample_det": q_stratified_sample_det,
-        "winnow_pairs_docs": q_winnow_pairs_docs,
         "embedding_quantize": q_embedding_quantize,
         "cross_join_grid": q_cross_join_grid,
         "plot_line_series": q_plot_line_series,

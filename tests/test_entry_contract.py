@@ -48,43 +48,37 @@ def test_top_level_functions_unique():
 def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
-    silently missed adjudication — pin the round-9 window composition
-    (the r8 verdict's rotation, item 4): the two new-in-r9 codecs
-    first (MP3 frame walk, IMA-ADPCM decode), then the stale
-    r3/r4/r5-signal block oldest-first (editor point-ops, avro/xlsx
-    round-trips, warehouse MERGE/SCD2/zorder family, TPC-H shapes);
-    the fully-green r8 window moves behind, probes and stable
-    rows-only entries stay retired."""
+    silently missed adjudication — pin the round-10 window composition
+    (the r9 verdict's rotation, item 1): new-in-r10 debuts at the very
+    front as they land, then the four never-adjudicated r9 debuts
+    (kmeans/IVF/sample deterministic twins + winnowing fingerprints),
+    then the 14 stale entries the r9 debuts displaced, then the
+    remainder of the stale r3/r4/r5-signal block as far as fits; the
+    fully-green r9 window moves behind, probes and stable rows-only
+    entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "q14_promo_revenue", (
+    assert window[-1] == "purge_orders", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
-        # new in r9: MP3 walk, IMA/MS-ADPCM, JPEG pixels (baseline +
-        # progressive), G.711, GIF-LZW + BMP, the 4-codec curation
-        # composition
-        "mp3_meta_docs", "wav_adpcm_roundtrip", "jpeg_decode_docs",
-        "wav_g711_roundtrip", "wav_ms_adpcm_roundtrip",
-        "gif_bmp_decode_docs", "multimodal_curation_v1",
-        "audio_curation_v1", "flac_roundtrip", "mp4_frame_index_docs",
-        "ogg_meta_docs", "image_dedup_dhash", "audio_stats_docs",
-        "tiff_decode_docs", "multimodal_curation_v2",
-        "avi_mjpeg_decode_docs", "video_scene_cuts_docs",
-        "jpeg_exif_docs", "video_curation_v1", "warc_extract_docs",
-        "zip_extract_docs", "subtitle_cues_docs", "tar_extract_docs",
-        "wds_samples_docs", "crawl_curation_v1", "wds_export_roundtrip",
-        "pack_sequences_docs", "tfrecord_roundtrip",
-        "packed_blocks_text", "shards_to_blocks_v1",
-        "tfrecord_export_roundtrip", "arrow_ipc_roundtrip",
-        "stream_shard_ingest", "parquet_payload_roundtrip",
-        "corpus_report_v1", "jsonl_shard_roundtrip",
-        # stale r3/r4/r5-signal block, oldest first
-        "vocab_coverage", "funnel_signup_purchase", "retention_cohorts",
-        "merge_upsert_orders", "scd2_user_status", "zorder_cluster_keys",
-        "multimodal_resize", "parquet_roundtrip_partitioned",
-        "orc_roundtrip_lineitem", "corr_matrix", "q8_market_share",
-        "q10_returned_revenue", "q12_priority_lines", "q14_promo_revenue",
+        # never-adjudicated r9 debuts — the r9 verdict's top item
+        "kmeans_embeddings", "ivf_topk_det", "stratified_sample_det",
+        "winnow_pairs_docs",
+        # the 14 stale entries displaced by the r9 debuts
+        "q19_disjunctive_revenue", "q21_sole_supplier",
+        "q22_idle_customers", "xlsx_roundtrip_lineitem",
+        "ivf_recall_bound", "q1_pricing_summary", "q2_min_cost_supplier",
+        "q4_order_priority", "q9_product_profit", "q11_important_stock",
+        "q13_customer_distribution", "q15_top_supplier",
+        "q16_supplier_part_counts", "q17_small_qty_revenue",
+        # head of the stale-block remainder
+        "q18_large_volume_customers", "q20_part_promotion",
+        "dedup_priority_keep", "hard_negatives", "source_budget_trim",
+        "stream_static_enrich", "weighted_sample_k",
+        "avro_roundtrip_part", "variant_extract_events",
+        "hilbert_cluster_keys", "incremental_minhash", "cell_edit",
+        "delete_rows", "paste_splice",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
