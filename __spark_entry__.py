@@ -4058,6 +4058,139 @@ def q_packed_blocks_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("block_id")
 
 
+# --- BPE tokenizer fixture (r10): pinned merges table + vocab --------------
+# Rank-ordered merges over a lowercase-letters alphabet.  VALID by
+# construction (each merge's inputs are single chars or earlier
+# outputs), which is what makes the DuckDB sequential-replace mirror
+# exact — see textprep.bpe_tokenize's equivalence note and
+# tests/test_textprep.py::test_bpe_greedy_equals_sequential_replace_mirror.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("o", "n"), ("an", "d"), ("in", "g"), ("e", "n"), ("o", "r"),
+]
+# ids: 'a'..'z' -> 0..25, merge outputs -> 26..35
+_BPE_VOCAB = {
+    chr(c): i for i, c in enumerate(range(ord("a"), ord("z") + 1))
+}
+_BPE_VOCAB.update(
+    {a + b: 26 + i for i, (a, b) in enumerate(_BPE_MERGES)}
+)
+
+# DuckDB mirror: each merge output i is encoded as chr('A'+i), so the
+# pattern for a merge is the 1-char encodings of its two inputs and
+# the final string is exactly one char per token.  ids recover via
+# ascii arithmetic: a-z -> 0..25, A-J -> 26..35 (ascii('A')=65 -> -39).
+_ORACLE_BPE_IDS = """
+    SELECT doc_id,
+           list_transform(
+               list_filter(
+                   string_split(
+                       replace(replace(replace(replace(replace(
+                       replace(replace(replace(replace(replace(
+                           trim(regexp_replace(lower(COALESCE(text, '')),
+                                               '[^a-z]+', ' ', 'g')),
+                           'th', 'A'), 'Ae', 'B'), 'in', 'C'),
+                           'er', 'D'), 'an', 'E'), 'on', 'F'),
+                           'Ed', 'G'), 'Cg', 'H'), 'en', 'I'),
+                           'or', 'J'),
+                       ''),
+                   c -> c <> ' '),
+               c -> CASE WHEN c BETWEEN 'a' AND 'z'
+                         THEN ascii(c) - 97
+                         ELSE ascii(c) - 39 END) AS ids
+    FROM documents
+"""
+
+
+def _bpe_norm(col: str) -> F.Column:
+    """Both engines' shared text normalization for the BPE fixture:
+    lowercase, non-letter runs to single spaces, trim."""
+    return F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(col), F.lit(""))), "[^a-z]+", " "
+        )
+    )
+
+
+def q_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real subword tokenization (``textprep.bpe_tokenize``, new r10 —
+    the r9 verdict's #2 gap): greedy BPE apply with the pinned 10-merge
+    table over normalized document text, one row per doc with the
+    token count, id sum, first-16 ids and an md5 over the FULL id
+    sequence — the md5 pins every token id at every position.  The
+    Spark side runs the GPT-2-style lowest-rank-first merge loop in an
+    Arrow kernel (zero shuffle, Zipf word cache); the DuckDB side
+    rebuilds the ids with the sequential placeholder-replace chain,
+    exact for a valid merge list (equivalence property-tested)."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _bpe_norm("text").alias("norm")
+    )
+    toks = TP.bpe_tokenize(
+        docs, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
+    )
+    ids_csv = F.array_join(
+        F.transform("input_ids", lambda x: x.cast("string")), ","
+    )
+    head_csv = F.array_join(
+        F.transform(
+            F.slice("input_ids", 1, 16), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+    return toks.select(
+        F.col("id").alias("doc_id"),
+        F.size("input_ids").cast("long").alias("n_tokens"),
+        F.aggregate(
+            "input_ids",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ).alias("ids_sum"),
+        head_csv.alias("head_ids"),
+        F.md5(F.encode(ids_csv, "utf-8")).alias("ids_md5"),
+    ).orderBy("doc_id")
+
+
+def q_pack_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID sequence packing (``textprep.pack_id_blocks``, new
+    r10): the full tokenize→pack training-data assembly — BPE ids from
+    the pinned merge table, packed into fixed 32-id training blocks by
+    the distributed prefix sum, each block's REAL ``input_ids``
+    flattened in stream order.  One row per block with doc/id counts,
+    the first-12 ids and an md5 over the whole id block, so the oracle
+    pins both the placement arithmetic and every id value.  This
+    closes the gap between word-count packing (``packed_blocks_text``)
+    and actual training-sequence assembly."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _bpe_norm("text").alias("norm")
+    )
+    toks = TP.bpe_tokenize(
+        docs, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
+    )
+    blocks = TP.pack_id_blocks(
+        toks, "id", "input_ids", block_tokens=32, bucket_docs=64
+    )
+    ids_csv = F.array_join(
+        F.transform("input_ids", lambda x: x.cast("string")), ","
+    )
+    head_csv = F.array_join(
+        F.transform(
+            F.slice("input_ids", 1, 12), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+    return blocks.select(
+        "block_id",
+        "n_docs",
+        "n_ids",
+        head_csv.alias("head_ids"),
+        F.md5(F.encode(ids_csv, "utf-8")).alias("ids_md5"),
+    ).orderBy("block_id")
+
+
 def q_shards_to_blocks_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data assembly line in one plan (new r9):
     export the corpus as zstd WebDataset TAR shards
@@ -7240,7 +7373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no-top-level-Array/Map/Struct output contract for every window
     # entry (the r6/r7 tfidf crash class).
     return {
-        # --- 1-4. never-adjudicated r9 debuts: deterministic kmeans/IVF/
+        # --- new in r10: BPE tokenizer apply + token-id packing ---
+        "bpe_tokenize_docs": q_bpe_tokenize_docs,
+        "pack_ids_docs": q_pack_ids_docs,
+        # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
         # sample twins + winnowing fingerprints ---
         "kmeans_embeddings": q_kmeans_embeddings,
         "ivf_topk_det": q_ivf_topk_det,
@@ -9845,6 +9981,55 @@ def oracle_sql() -> dict[str, str]:
                    n_docs, n_tokens,
                    CAST(length(block_text) AS BIGINT) AS block_chars,
                    md5(block_text) AS block_md5
+            FROM b
+            ORDER BY block_id
+        """,
+        "bpe_tokenize_docs": f"""
+            WITH t AS ({_ORACLE_BPE_IDS})
+            SELECT doc_id,
+                   len(ids)::BIGINT AS n_tokens,
+                   COALESCE(list_sum(ids), 0)::BIGINT AS ids_sum,
+                   array_to_string(ids[1:16], ',') AS head_ids,
+                   md5(array_to_string(ids, ',')) AS ids_md5
+            FROM t
+            ORDER BY doc_id
+        """,
+        "pack_ids_docs": f"""
+            WITH t AS ({_ORACLE_BPE_IDS}), c AS (
+                SELECT doc_id, ids, len(ids)::BIGINT AS n,
+                       COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM t
+            ), e AS (
+                SELECT doc_id, ids, n, o,
+                       unnest(range(o // 32,
+                                    (o + n - 1) // 32 + 1)) AS block_id
+                FROM c
+                WHERE n > 0
+            ), p AS (
+                SELECT block_id,
+                       least(n, (block_id + 1) * 32 - o)
+                           - greatest(0, block_id * 32 - o) AS nb,
+                       greatest(0, o - block_id * 32) AS block_pos,
+                       array_to_string(
+                           ids[greatest(0, block_id * 32 - o) + 1 :
+                               least(n, (block_id + 1) * 32 - o)],
+                           ',') AS piece
+                FROM e
+            ), b AS (
+                SELECT block_id,
+                       count(*)::BIGINT AS n_docs,
+                       sum(nb)::BIGINT AS n_ids,
+                       string_agg(piece, ',' ORDER BY block_pos) AS csv
+                FROM p
+                GROUP BY block_id
+            )
+            SELECT CAST(block_id AS BIGINT) AS block_id,
+                   n_docs, n_ids,
+                   array_to_string((string_split(csv, ','))[1:12], ',')
+                       AS head_ids,
+                   md5(csv) AS ids_md5
             FROM b
             ORDER BY block_id
         """,

@@ -132,9 +132,10 @@ def chunk_documents(
 def pack_documents(
     df: DataFrame,
     id_col: str,
-    text_col: str,
+    text_col: str | None,
     block_tokens: int = 2048,
     bucket_docs: int = 4096,
+    count_col: str | None = None,
 ) -> DataFrame:
     """LLM-training sequence packing: concatenate the corpus token
     stream in ``id_col`` order and split it into fixed ``block_tokens``
@@ -151,12 +152,21 @@ def pack_documents(
     metadata-scale frame crosses the benign one-row-per-bucket global
     window before broadcast-joining back.  Block expansion is a
     ``sequence``/``explode`` projection — no data-sized shuffle
-    anywhere, text never moves."""
+    anywhere, text never moves.
+
+    ``count_col`` overrides the whitespace ``token_count`` with a
+    precomputed per-doc length (e.g. ``size(input_ids)`` from
+    :func:`bpe_tokenize`) so the same placement machinery packs real
+    token-id streams."""
     if block_tokens <= 0:
         raise ValueError("block_tokens must be positive")
+    n_expr = (
+        F.col(count_col) if count_col is not None
+        else token_count(text_col)
+    )
     staged = df.select(
         F.col(id_col).alias("id"),
-        token_count(text_col).cast("long").alias("n"),
+        n_expr.cast("long").alias("n"),
         # integer div, not floor(double/): ids past 2^53 would lose
         # bucket monotonicity through the float path
         (F.col(id_col).cast("long") - F.pmod(
@@ -262,6 +272,183 @@ def pack_blocks(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_block_tokens").cast("long").alias("n_tokens"),
         F.concat_ws(" ", ordered).alias("block_text"),
+    )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    unk_id: int | None = None,
+) -> DataFrame:
+    """Greedy byte-pair-encoding APPLY with a pinned merges table —
+    the tokenization step that turns curated text into training token
+    ids (the r9 ``bpe_pair_counts`` computes the trainer's first-merge
+    statistic; this applies a trained table).  Per whitespace word:
+    split to characters, repeatedly merge the lowest-rank adjacent
+    pair present (all occurrences, left-to-right non-overlapping),
+    exactly the classic GPT-2 ``encoder.py`` loop.  Emits one row per
+    input row: ``(id, tokens array<string>, input_ids array<int>)``.
+
+    ``merges`` is rank-ordered ``(left, right)`` pairs; ``vocab`` maps
+    token string → id and must cover every single character and every
+    merge output; characters outside it map to ``unk_id`` (or raise if
+    ``unk_id`` is None — fail loud beats silent corruption).
+
+    Scale shape: embarrassingly parallel Arrow ``mapInPandas`` — zero
+    shuffle, text never moves, the merges/vocab tables ship once per
+    executor in the closure (pinned tokenizer tables are ≤ a few MB;
+    a 100 TB corpus pays per-word CPU amortized by an in-kernel word
+    cache that exploits the Zipf distribution: the hot vocabulary
+    tokenizes once per partition, not once per occurrence).
+
+    Equivalence note (what the differential oracle leans on): for a
+    VALID merge list — each merge's inputs are single characters or
+    the outputs of strictly earlier merges — greedy lowest-rank-first
+    application is equivalent to applying each merge fully in rank
+    order, because merging two tokens can only create adjacencies
+    involving the NEW token, which only later-rank merges may consume.
+    Sequential ``replace`` over a one-char-per-token encoding is
+    therefore an exact mirror (pinned by property test)."""
+    from pyspark.sql import types as T
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for left, right in merges:
+        if (left + right) not in vocab:
+            raise ValueError(f"merge output {left + right!r} not in vocab")
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("input_ids", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def apply_word(word: str) -> list[str]:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            parts = list(word)
+            while len(parts) > 1:
+                best_rank, best = None, None
+                for pair in zip(parts, parts[1:]):
+                    r = ranks.get(pair)
+                    if r is not None and (
+                        best_rank is None or r < best_rank
+                    ):
+                        best_rank, best = r, pair
+                if best is None:
+                    break
+                a, b = best
+                merged: list[str] = []
+                i = 0
+                while i < len(parts):
+                    if (
+                        i + 1 < len(parts)
+                        and parts[i] == a
+                        and parts[i + 1] == b
+                    ):
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(parts[i])
+                        i += 1
+                parts = merged
+            if len(cache) < 1_000_000:  # bound executor memory
+                cache[word] = parts
+            return parts
+
+        for pdf in batches:
+            out_ids, out_tokens, out_input = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list[str] = []
+                for word in (text or "").split():
+                    toks.extend(apply_word(word))
+                ids: list[int] = []
+                for t in toks:
+                    v = vocab.get(t, unk_id)
+                    if v is None:
+                        raise ValueError(
+                            f"token {t!r} not in vocab and no unk_id"
+                        )
+                    ids.append(v)
+                out_ids.append(int(rid))
+                out_tokens.append(toks)
+                out_input.append(ids)
+            yield pd.DataFrame(
+                {"id": out_ids, "tokens": out_tokens, "input_ids": out_input}
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(text_col),
+    ).mapInPandas(kernel, schema=schema)
+
+
+def pack_id_blocks(
+    df: DataFrame,
+    id_col: str,
+    ids_col: str,
+    block_tokens: int = 2048,
+    bucket_docs: int = 4096,
+) -> DataFrame:
+    """Materialized token-ID packing: :func:`pack_documents` placement
+    over ``size(ids_col)`` joined back to the id arrays, each doc's
+    block-local span sliced out and flattened in stream order — one
+    row per training block with its real ``input_ids``, the actual
+    tensor a dataloader feeds the model (vs :func:`pack_blocks`'
+    packed text).  Every block except the stream tail is exactly
+    ``block_tokens`` ids long by construction.
+
+    Scale shape: identical to :func:`pack_blocks` — the distributed
+    prefix sum places docs without a data-sized global window, the
+    join moves each doc's ids to its blocks exactly once, and the
+    per-block ``array_sort(collect_list)``/``flatten`` assembly is
+    bounded by ``block_tokens``."""
+    counted = df.select(
+        F.col(id_col).alias("id"),
+        F.col(ids_col).alias("__ids"),
+        F.size(ids_col).cast("long").alias("__n"),
+    )
+    placement = pack_documents(
+        counted,
+        "id",
+        None,
+        block_tokens=block_tokens,
+        bucket_docs=bucket_docs,
+        count_col="__n",
+    )
+    piece = F.slice(
+        F.col("__ids"),
+        F.col("tok_start").cast("int") + 1,
+        F.col("n_block_tokens").cast("int"),
+    )
+    joined = placement.join(counted, "id").select(
+        "block_id",
+        "block_pos",
+        "n_block_tokens",
+        piece.alias("__piece"),
+    )
+    ordered = F.flatten(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("block_pos", "__piece"))
+            ),
+            lambda s: s["__piece"],
+        )
+    )
+    return joined.groupBy("block_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_block_tokens").cast("long").alias("n_ids"),
+        ordered.alias("input_ids"),
     )
 
 

@@ -564,3 +564,135 @@ def test_hash_stratified_sample_deterministic_and_rate_accurate(spark):
     assert by_src["all"] == 1000
     assert abs(by_src["a"] - 250) < 60
     assert abs(by_src["b"] - 750) < 60
+
+
+# ---------------------------------------------------------------------------
+# bpe_tokenize / pack_id_blocks (r10)
+# ---------------------------------------------------------------------------
+
+_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("o", "n"), ("an", "d"), ("in", "g"), ("e", "n"), ("o", "r"),
+]
+
+
+def _mk_vocab(merges):
+    vocab = {chr(c): i for i, c in enumerate(range(ord("a"), ord("z") + 1))}
+    for i, (a, b) in enumerate(merges):
+        vocab[a + b] = 26 + i
+    return vocab
+
+
+def _scalar_bpe(word, merges):
+    """Independent scalar reference: the GPT-2 encoder.py loop,
+    written separately from the kernel (min over ranks dict)."""
+    ranks = {m: i for i, m in enumerate(merges)}
+    parts = list(word)
+    while True:
+        pairs = {p for p in zip(parts, parts[1:]) if p in ranks}
+        if not pairs:
+            return parts
+        a, b = min(pairs, key=lambda p: ranks[p])
+        out, i = [], 0
+        while i < len(parts):
+            if i + 1 < len(parts) and (parts[i], parts[i + 1]) == (a, b):
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = out
+
+
+def _replace_mirror(word, merges):
+    """Sequential full-replacement mirror over a one-char-per-token
+    encoding — the exact construction the DuckDB oracle uses."""
+    reprs = {}  # token -> 1-char representation
+    s = word
+    for i, (a, b) in enumerate(merges):
+        pat = reprs.get(a, a) + reprs.get(b, b)
+        ph = chr(ord("A") + i)
+        reprs[a + b] = ph
+        s = s.replace(pat, ph)
+    back = {v: k for k, v in reprs.items()}
+    return [back.get(c, c) for c in s]
+
+
+def test_bpe_tokenize_matches_scalar_reference(spark):
+    texts = [
+        "the theory of everything",
+        "anding inin thhe ther ethe anon nin ein ien",
+        "winter morning ran on and on thinking",
+        "",
+        "zzz qqq the the the",
+    ]
+    vocab = _mk_vocab(_MERGES)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (list(r["tokens"]), list(r["input_ids"]))
+        for r in TP.bpe_tokenize(
+            df, "doc_id", "text", _MERGES, vocab
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want_toks = [tok for w in t.split() for tok in _scalar_bpe(w, _MERGES)]
+        assert got[i][0] == want_toks, (i, t)
+        assert got[i][1] == [vocab[tok] for tok in want_toks], (i, t)
+
+
+def test_bpe_greedy_equals_sequential_replace_mirror():
+    """The oracle's soundness: for a VALID merge list, greedy
+    lowest-rank-first == sequential full replacement in rank order.
+    Property-tested over random words; this is what lets a DuckDB
+    replace chain mirror the kernel exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="theraindogn", min_size=0, max_size=24))
+    def check(word):
+        assert _scalar_bpe(word, _MERGES) == _replace_mirror(word, _MERGES)
+
+    check()
+
+
+def test_bpe_tokenize_unk_and_validation(spark):
+    vocab = _mk_vocab(_MERGES)
+    df = spark.createDataFrame([(1, "the x9")], "doc_id long, text string")
+    # '9' is outside the vocab: unk_id maps it, no unk_id raises
+    row = TP.bpe_tokenize(
+        df, "doc_id", "text", _MERGES, vocab, unk_id=-1
+    ).collect()[0]
+    assert row["tokens"] == ["the", "x", "9"]
+    assert row["input_ids"] == [27, 23, -1]
+    with pytest.raises(Exception, match="not in vocab"):
+        TP.bpe_tokenize(df, "doc_id", "text", _MERGES, vocab).collect()
+    with pytest.raises(ValueError, match="merge output"):
+        TP.bpe_tokenize(df, "doc_id", "text", [("q", "q")], vocab)
+
+
+def test_pack_id_blocks_exact_assembly(spark):
+    rows = [
+        (1, [10, 11, 12]),
+        (2, [20]),
+        (3, []),  # empty doc: contributes nothing
+        (4, [40, 41, 42, 43, 44, 45]),
+        (5, [50, 51]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    out = {
+        r["block_id"]: r
+        for r in TP.pack_id_blocks(
+            df, "doc_id", "ids", block_tokens=4, bucket_docs=2
+        ).collect()
+    }
+    stream = [v for _, ids in rows for v in ids]
+    want_blocks = [stream[i : i + 4] for i in range(0, len(stream), 4)]
+    assert len(out) == len(want_blocks)
+    for b, want in enumerate(want_blocks):
+        assert list(out[b]["input_ids"]) == want, b
+        assert out[b]["n_ids"] == len(want)
+    assert out[0]["n_docs"] == 2  # docs 1 and 2
+    assert out[1]["n_docs"] == 1  # doc 4 alone spans block 1
