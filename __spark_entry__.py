@@ -4191,6 +4191,178 @@ def q_pack_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("block_id")
 
 
+# --- URL/host curation fixture (r10): deterministic messy URLs ------------
+# documents has no URL column, so both engines synthesize the same
+# string per doc — mixed-case scheme/host, www and subdomain labels,
+# default AND non-default ports, a trailing root dot, empty paths,
+# unsorted query params, fragments — every mess the canonicalizer
+# must normalize.
+_ORACLE_URL_SYNTH = """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+           || '://'
+           || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+           || (CASE WHEN doc_id % 9 = 1 THEN 'CDN.'
+                    WHEN doc_id % 9 = 4 THEN 'blog.' ELSE '' END)
+           || 'Site' || CAST(doc_id % 23 AS VARCHAR) || '.'
+           || (CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                    WHEN 2 THEN 'io' ELSE 'org' END)
+           || (CASE WHEN doc_id % 19 = 0 THEN '.' ELSE '' END)
+           || (CASE WHEN doc_id % 5 = 0 THEN
+                        (CASE WHEN doc_id % 2 = 0 THEN ':443'
+                              ELSE ':80' END)
+                    WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+           || (CASE WHEN doc_id % 13 = 0 THEN ''
+                    ELSE '/Articles/' || CAST(doc_id % 17 AS VARCHAR)
+               END)
+           || (CASE WHEN doc_id % 2 = 1 THEN
+                        '?b=' || CAST(doc_id % 3 AS VARCHAR)
+                        || '&a=' || CAST(doc_id % 5 AS VARCHAR)
+                    ELSE '' END)
+           || (CASE WHEN doc_id % 3 = 1 THEN
+                        '#S' || CAST(doc_id % 4 AS VARCHAR)
+                    ELSE '' END) AS u
+    FROM documents
+"""
+
+# DuckDB mirror of the Spark-side parse_url + canonicalization
+_ORACLE_URL_PARTS = f"""
+    SELECT doc_id, u,
+           lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme_c,
+           regexp_replace(regexp_replace(lower(regexp_replace(
+               regexp_extract(u, '^[A-Za-z]+://([^/?#]*)', 1),
+               ':[0-9]+$', '')), '\\.$', ''), '^www\\.', '') AS host_c,
+           regexp_extract(regexp_extract(u, '^[A-Za-z]+://([^/?#]*)', 1),
+                          ':([0-9]+)$', 1) AS port,
+           CASE WHEN regexp_extract(u, '^[A-Za-z]+://[^/?#]*([^?#]*)',
+                                    1) = '' THEN '/'
+                ELSE regexp_extract(u, '^[A-Za-z]+://[^/?#]*([^?#]*)',
+                                    1) END AS path_c,
+           CASE WHEN regexp_extract(u, '\\?([^#]*)', 1) = '' THEN ''
+                ELSE array_to_string(list_sort(string_split(
+                         regexp_extract(u, '\\?([^#]*)', 1), '&')),
+                     '&') END AS q_c
+    FROM ({_ORACLE_URL_SYNTH}) s
+"""
+
+_ORACLE_URL_CANON = f"""
+    SELECT doc_id, host_c, path_c, q_c,
+           scheme_c || '://' || host_c
+           || CASE WHEN port <> ''
+                    AND NOT ((scheme_c = 'http' AND port = '80')
+                          OR (scheme_c = 'https' AND port = '443')
+                          OR (scheme_c = 'ftp' AND port = '21'))
+                   THEN ':' || port ELSE '' END
+           || path_c
+           || CASE WHEN q_c <> '' THEN '?' || q_c ELSE '' END AS canon
+    FROM ({_ORACLE_URL_PARTS}) p
+"""
+
+
+def _synth_url_col() -> F.Column:
+    """Spark side of the URL fixture — must build the SAME string as
+    ``_ORACLE_URL_SYNTH`` (one spec, two engines)."""
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(d % 9 == 1, F.lit("CDN."))
+        .when(d % 9 == 4, F.lit("blog."))
+        .otherwise(F.lit("")),
+        F.lit("Site"), s(d % 23), F.lit("."),
+        F.when(d % 4 == 0, F.lit("com"))
+        .when(d % 4 == 1, F.lit("co.uk"))
+        .when(d % 4 == 2, F.lit("io"))
+        .otherwise(F.lit("org")),
+        F.when(d % 19 == 0, F.lit(".")).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        )
+        .when(d % 7 == 0, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/Articles/"), s(d % 17))
+        ),
+        F.when(
+            d % 2 == 1,
+            F.concat(F.lit("?b="), s(d % 3), F.lit("&a="), s(d % 5)),
+        ).otherwise(F.lit("")),
+        F.when(d % 3 == 1, F.concat(F.lit("#S"), s(d % 4))).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def q_url_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/host curation (functions/urls.py, new r10 — the r9
+    verdict's #3 gap): canonicalize deterministic messy URLs
+    (mixed-case scheme/host, www + subdomain labels, default and
+    non-default ports, trailing root dot, empty paths, unsorted query
+    params, fragments), extract the registered domain against the
+    pinned public-suffix subset, and cap each host at 3 documents in
+    doc_id order — the CommonCrawl-style per-host trim.  Spark runs
+    ``parse_url`` + codegen regexp canonicalization and ONE
+    shuffle-on-host window; DuckDB mirrors the parse with regexps and
+    the suffix walk with the CASE chain generated from the SAME
+    table."""
+    from parquet_editor_spark.functions import urls as U
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_col().alias("u")
+    )
+    parts = docs.select(
+        "doc_id",
+        U.canonical_url("u").alias("canon_url"),
+        U.url_host("u").alias("host"),
+    ).withColumn(
+        "reg_domain", U.registered_domain(F.col("host"))
+    )
+    return (
+        U.host_cap(parts, "host", 3, ["doc_id"])
+        .select(
+            "doc_id", "canon_url", "host", "reg_domain",
+            "host_rank", "host_docs",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_host_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain rollup of the same URL fixture (new r10):
+    hosts, docs, distinct canonical paths and with-query counts per
+    pay-level domain — the aggregate view a crawl-curation pipeline
+    caps and mixes by.  One hash agg on the registered domain; the
+    suffix walk stays codegen."""
+    from parquet_editor_spark.functions import urls as U
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_col().alias("u")
+    )
+    parts = docs.select(
+        "doc_id",
+        U.url_host("u").alias("host"),
+        U.url_path("u").alias("path"),
+        U.url_query_sorted("u").alias("q"),
+    ).withColumn(
+        "reg_domain", U.registered_domain(F.col("host"))
+    )
+    return (
+        parts.groupBy("reg_domain")
+        .agg(
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("path").cast("long").alias("n_paths"),
+            F.sum((F.col("q") != "").cast("long"))
+            .cast("long")
+            .alias("n_query_docs"),
+        )
+        .orderBy("reg_domain")
+    )
+
+
 def q_shards_to_blocks_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data assembly line in one plan (new r9):
     export the corpus as zstd WebDataset TAR shards
@@ -7373,9 +7545,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no-top-level-Array/Map/Struct output contract for every window
     # entry (the r6/r7 tfidf crash class).
     return {
-        # --- new in r10: BPE tokenizer apply + token-id packing ---
+        # --- new in r10: BPE tokenizer apply + token-id packing,
+        # URL/host curation tier ---
         "bpe_tokenize_docs": q_bpe_tokenize_docs,
         "pack_ids_docs": q_pack_ids_docs,
+        "url_curation_docs": q_url_curation_docs,
+        "host_profile_docs": q_host_profile_docs,
         # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
         # sample twins + winnowing fingerprints ---
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -7640,7 +7815,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from parquet_editor_spark.functions.urls import registered_domain_sql
     from parquet_editor_spark.operators.warehouse import hilbert_sql_ctes
+
+    # suffix walk generated from the SAME pinned public-suffix table
+    # the Spark operator compiles (see q_url_curation_docs)
+    url_reg_sql = registered_domain_sql("host_c")
 
     # generated from the SAME per-bit recurrence the Spark operator
     # unrolls — one spec, two engines (see q_hilbert_cluster_keys)
@@ -9983,6 +10163,34 @@ def oracle_sql() -> dict[str, str]:
                    md5(block_text) AS block_md5
             FROM b
             ORDER BY block_id
+        """,
+        "url_curation_docs": f"""
+            WITH c AS ({_ORACLE_URL_CANON}), r AS (
+                SELECT doc_id, canon AS canon_url, host_c AS host,
+                       {url_reg_sql} AS reg_domain,
+                       row_number() OVER (PARTITION BY host_c
+                                          ORDER BY doc_id) AS host_rank,
+                       count(*) OVER (PARTITION BY host_c) AS host_docs
+                FROM c
+            )
+            SELECT doc_id, canon_url, host, reg_domain,
+                   CAST(host_rank AS INT) AS host_rank,
+                   CAST(host_docs AS BIGINT) AS host_docs
+            FROM r
+            WHERE host_rank <= 3
+            ORDER BY doc_id
+        """,
+        "host_profile_docs": f"""
+            WITH p AS ({_ORACLE_URL_PARTS})
+            SELECT {url_reg_sql} AS reg_domain,
+                   CAST(COUNT(DISTINCT host_c) AS BIGINT) AS n_hosts,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT path_c) AS BIGINT) AS n_paths,
+                   CAST(SUM(CASE WHEN q_c <> '' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_query_docs
+            FROM p
+            GROUP BY 1
+            ORDER BY reg_domain
         """,
         "bpe_tokenize_docs": f"""
             WITH t AS ({_ORACLE_BPE_IDS})

@@ -1,0 +1,182 @@
+"""URL canonicalization and host-level curation — the tier a
+CommonCrawl-style pretraining pipeline runs between crawl extraction
+and dedup: canonicalize URLs, extract the registered domain against a
+pinned public-suffix subset, cap documents per host.  No reference
+counterpart (the reference is a pandas GUI with no URL surface,
+SURVEY.md §2.7 EXT); designed for the ``documents`` table and 100 TB
+corpora.
+
+Everything here is pure Catalyst column expressions (``parse_url`` +
+regexp/conditionals — whole-stage codegen, no Python in the data
+path); the registered-domain suffix walk is generated from ONE pinned
+suffix table for both engines (``registered_domain`` for Spark,
+``registered_domain_sql`` for the DuckDB differential oracle — the
+``hilbert_sql_ctes`` one-spec-two-engines pattern).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Default ports stripped during canonicalization, keyed by lowercase
+# scheme (RFC 3986 §3.2.3: omitting an empty/default port is the
+# scheme's normal form).
+DEFAULT_PORTS: dict[str, str] = {"http": "80", "https": "443", "ftp": "21"}
+
+# Pinned public-suffix subset (the real PSL is a versioned external
+# artifact; a pinned table keeps the operator deterministic and the
+# oracle exact).  Matching tries more-labels-first, then longer-first
+# — 'co.uk' wins over 'uk' — via _suffixes_by_priority().
+PUBLIC_SUFFIXES: list[str] = [
+    "co.uk", "gov.uk", "ac.uk", "org.uk", "com.au", "net.au", "co.jp",
+    "com.br", "co.in", "com.cn",
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "ai",
+    "dev", "app", "info", "biz",
+    "uk", "de", "fr", "jp", "au", "br", "in", "cn", "ru", "nl", "se",
+    "ch", "us", "eu",
+]
+
+
+def _suffixes_by_priority() -> list[str]:
+    return sorted(
+        PUBLIC_SUFFIXES, key=lambda s: (-s.count("."), -len(s), s)
+    )
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def url_scheme(url: str | Column) -> Column:
+    """Lowercased scheme, NULL when the string has none."""
+    return F.lower(F.parse_url(_c(url), F.lit("PROTOCOL")))
+
+
+def url_host(url: str | Column) -> Column:
+    """Canonical host: lowercased, trailing root-dot stripped, one
+    leading ``www.`` label stripped (the classic crawl-dedup alias)."""
+    h = F.lower(F.parse_url(_c(url), F.lit("HOST")))
+    h = F.regexp_replace(h, r"\.$", "")
+    return F.regexp_replace(h, r"^www\.", "")
+
+
+def url_port(url: str | Column) -> Column:
+    """Explicit port as a string, '' when absent (ports live in the
+    AUTHORITY component, which ``parse_url`` exposes verbatim)."""
+    return F.regexp_extract(
+        F.parse_url(_c(url), F.lit("AUTHORITY")), r":(\d+)$", 1
+    )
+
+
+def url_path(url: str | Column) -> Column:
+    """Path with the empty path normalized to '/'; case PRESERVED
+    (paths are case-sensitive, unlike scheme/host)."""
+    p = F.parse_url(_c(url), F.lit("PATH"))
+    return F.when(
+        p.isNull() | (p == F.lit("")), F.lit("/")
+    ).otherwise(p)
+
+
+def url_query_sorted(url: str | Column) -> Column:
+    """Query string with parameters sorted lexicographically ('b=1&a=2'
+    → 'a=2&b=1'), '' when absent — the canonical form that makes
+    param-order aliases hash-equal."""
+    q = F.parse_url(_c(url), F.lit("QUERY"))
+    return F.when(
+        q.isNull() | (q == F.lit("")), F.lit("")
+    ).otherwise(F.array_join(F.array_sort(F.split(q, "&")), "&"))
+
+
+def canonical_url(url: str | Column) -> Column:
+    """Full canonical form: lowercased scheme/host, ``www.`` and
+    trailing-dot stripped, default port dropped (non-default kept),
+    empty path → '/', query params sorted, fragment dropped.  Pure
+    codegen — safe in the hot path of a 100 TB crawl table."""
+    scheme = url_scheme(url)
+    port = url_port(url)
+    default = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in DEFAULT_PORTS.items() for x in kv]
+        ),
+        scheme,
+    )  # NULL for schemes without a pinned default
+    keep_port = (port != F.lit("")) & ~F.coalesce(
+        port == default, F.lit(False)
+    )
+    q = url_query_sorted(url)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        url_host(url),
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(
+            F.lit("")
+        ),
+        url_path(url),
+        F.when(q != F.lit(""), F.concat(F.lit("?"), q)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def registered_domain(host: str | Column) -> Column:
+    """Registered (pay-level) domain of a canonical host against the
+    pinned :data:`PUBLIC_SUFFIXES` subset: the label immediately left
+    of the longest matching suffix, plus the suffix — 'cdn.a.co.uk' →
+    'a.co.uk', 'blog.a.com' → 'a.com'.  Hosts matching no suffix (or
+    equal to a bare suffix) pass through unchanged.  A chained CASE of
+    anchored regexps — codegen, no Python, no shuffle."""
+    h = _c(host)
+    expr = h  # fallback: host IS its own registered domain
+    for s in reversed(_suffixes_by_priority()):
+        pat = r"([^.]+\." + re.escape(s) + r")$"
+        expr = F.when(
+            h.rlike(r"(^|\.)[^.]+\." + re.escape(s) + r"$"),
+            F.regexp_extract(h, pat, 1),
+        ).otherwise(expr)
+    return expr
+
+
+def registered_domain_sql(host_expr: str) -> str:
+    """The DuckDB mirror of :func:`registered_domain`, generated from
+    the SAME suffix table — one spec, two engines."""
+    branches = []
+    for s in _suffixes_by_priority():
+        esc = re.escape(s)
+        branches.append(
+            f"WHEN regexp_matches({host_expr}, '(^|\\.)[^.]+\\.{esc}$') "
+            f"THEN regexp_extract({host_expr}, '([^.]+\\.{esc})$', 1)"
+        )
+    return "CASE " + " ".join(branches) + f" ELSE {host_expr} END"
+
+
+def host_cap(
+    df: DataFrame,
+    host_col: str,
+    n: int,
+    order_cols: list[str | Column],
+) -> DataFrame:
+    """Per-host document cap: keep the first ``n`` rows of each host in
+    ``order_cols`` order (deterministic — pass a total order), with the
+    host's pre-cap size and the row's rank attached as ``host_docs`` /
+    ``host_rank``.
+
+    Scale shape: ONE shuffle on host for both window functions (same
+    partitioning), map-side nothing to combine — inherent, the cap is
+    a per-host order statistic.  Hot hosts are exactly what the cap
+    trims, and AQE's skew-split handles the pathological ones; ``n``
+    bounds what survives, not what shuffles, so pre-filter upstream
+    when a host is known to dominate."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = Window.partitionBy(host_col)
+    wo = w.orderBy(*[_c(c) for c in order_cols])
+    return (
+        df.withColumn("host_rank", F.row_number().over(wo))
+        .withColumn(
+            "host_docs", F.count(F.lit(1)).over(w).cast("long")
+        )
+        .filter(F.col("host_rank") <= n)
+    )

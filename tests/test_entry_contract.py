@@ -58,7 +58,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "corpus_health", (
+    assert window[-1] == "group_sample_events", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {

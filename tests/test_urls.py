@@ -1,0 +1,116 @@
+"""functions/urls.py — canonicalization, registered domain (both
+engines from the one pinned suffix table), per-host cap."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_editor_spark.functions import urls as U
+
+_CASES = [
+    # raw url, canonical, host, registered domain
+    (
+        "HTTPS://WWW.Site3.co.uk:443/Articles/5?b=1&a=2#x",
+        "https://site3.co.uk/Articles/5?a=2&b=1",
+        "site3.co.uk",
+        "site3.co.uk",
+    ),
+    (
+        "http://site4.com:8080",
+        "http://site4.com:8080/",
+        "site4.com",
+        "site4.com",
+    ),
+    (
+        "http://CDN.Site5.org./p",
+        "http://cdn.site5.org/p",
+        "cdn.site5.org",
+        "site5.org",
+    ),
+    (
+        "https://site6.io?a=1",
+        "https://site6.io/?a=1",
+        "site6.io",
+        "site6.io",
+    ),
+    (
+        "http://deep.sub.Site7.gov.uk:80/x",
+        "http://deep.sub.site7.gov.uk/x",
+        "deep.sub.site7.gov.uk",
+        "site7.gov.uk",
+    ),
+    (
+        "http://localhost:9999/admin",
+        "http://localhost:9999/admin",
+        "localhost",
+        "localhost",  # no suffix match: passes through
+    ),
+    (
+        "ftp://Files.example.com:21/pub",
+        "ftp://files.example.com/pub",
+        "files.example.com",
+        "example.com",
+    ),
+]
+
+
+def test_canonical_url_host_and_registered_domain(spark):
+    df = spark.createDataFrame([(u,) for u, *_ in _CASES], "u string")
+    got = df.select(
+        "u",
+        U.canonical_url("u").alias("canon"),
+        U.url_host("u").alias("host"),
+        U.registered_domain(U.url_host("u")).alias("reg"),
+    ).collect()
+    by_url = {r["u"]: r for r in got}
+    for u, canon, host, reg in _CASES:
+        r = by_url[u]
+        assert r["canon"] == canon, u
+        assert r["host"] == host, u
+        assert r["reg"] == reg, u
+
+
+def test_registered_domain_sql_mirror_matches_spark(spark):
+    """The DuckDB CASE chain is generated from the SAME suffix table;
+    both engines must agree on every case including multi-label
+    suffixes, bare suffixes, and no-match hosts."""
+    hosts = [h for _, _, h, _ in _CASES] + [
+        "co.uk",  # bare suffix: no label to its left -> pass through
+        "a.co.uk",
+        "x.y.z.com.au",
+        "internal",
+        "a.unknowntld",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "h string")
+    spark_out = {
+        r["h"]: r["reg"]
+        for r in df.select(
+            "h", U.registered_domain("h").alias("reg")
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql = U.registered_domain_sql("h")
+    for h in hosts:
+        duck = con.sql(
+            f"SELECT {sql} FROM (SELECT ? AS h)", params=[h]
+        ).fetchone()[0]
+        assert duck == spark_out[h], h
+    assert spark_out["co.uk"] == "co.uk"
+    assert spark_out["x.y.z.com.au"] == "z.com.au"
+    assert spark_out["a.unknowntld"] == "a.unknowntld"
+
+
+def test_host_cap_keeps_first_n_deterministically(spark):
+    rows = [(h, i) for h in ("a.com", "b.com") for i in range(5)] + [
+        ("c.com", 0)
+    ]
+    df = spark.createDataFrame(rows, "host string, doc_id long")
+    out = U.host_cap(df, "host", 3, ["doc_id"]).collect()
+    kept = sorted((r["host"], r["doc_id"], r["host_rank"], r["host_docs"]) for r in out)
+    assert kept == [
+        ("a.com", 0, 1, 5), ("a.com", 1, 2, 5), ("a.com", 2, 3, 5),
+        ("b.com", 0, 1, 5), ("b.com", 1, 2, 5), ("b.com", 2, 3, 5),
+        ("c.com", 0, 1, 1),
+    ]
+    with pytest.raises(ValueError):
+        U.host_cap(df, "host", 0, ["doc_id"])
