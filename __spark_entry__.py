@@ -7818,9 +7818,14 @@ def oracle_sql() -> dict[str, str]:
     from parquet_editor_spark.functions.urls import registered_domain_sql
     from parquet_editor_spark.operators.warehouse import hilbert_sql_ctes
 
+    from parquet_editor_spark.operators.dedup import winnow_gram_hash_sql
+
     # suffix walk generated from the SAME pinned public-suffix table
     # the Spark operator compiles (see q_url_curation_docs)
     url_reg_sql = registered_domain_sql("host_c")
+    # winnowing gram hash generated from the SAME Horner recurrence
+    # the Spark operator unrolls (see winnow_fingerprints)
+    winnow_hash = winnow_gram_hash_sql("c", "p", 8)
 
     # generated from the SAME per-bit recurrence the Spark operator
     # unrolls — one spec, two engines (see q_hilbert_cluster_keys)
@@ -9246,7 +9251,7 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
             ORDER BY query_id, rank
         """,
-        "winnow_pairs_docs": """
+        "winnow_pairs_docs": f"""
             WITH d AS (
                 SELECT doc_id,
                        trim(regexp_replace(regexp_replace(lower(text),
@@ -9258,8 +9263,7 @@ def oracle_sql() -> dict[str, str]:
                     CASE WHEN length(c) - 7 >= 1 THEN
                         list_transform(
                             range(1, (length(c) - 7 + 1)::BIGINT),
-                            p -> ('0x' || substr(md5(substr(c, p::INT, 8)),
-                                                 1, 8))::BIGINT)
+                            p -> {winnow_hash})
                     ELSE [] END AS hs
                 FROM d
             ), wf AS (

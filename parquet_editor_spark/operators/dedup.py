@@ -49,6 +49,26 @@ def release_caches(df: DataFrame) -> None:
 # exact dedup
 # ---------------------------------------------------------------------------
 
+# Polynomial gram-hash parameters for winnowing: a prime just under
+# 2^55 keeps every Horner step (h·131 + codepoint) inside int64 in
+# BOTH engines (2^55·131 + 2^21 < 2^63), with a hash space 2^23×
+# larger than the r9 md5-prefix's 32 bits.  2^61−1 would need 128-bit
+# mulmod, which Catalyst int64 arithmetic can't express.
+WINNOW_MOD = 36028797018963913  # 2^55 − 55, prime
+WINNOW_BASE = 131
+
+
+def winnow_gram_hash_sql(col: str, pos: str, k: int) -> str:
+    """DuckDB mirror of the winnowing gram hash, generated from the
+    SAME Horner recurrence the Spark operator unrolls — one spec, two
+    engines (``pos`` is the 1-based gram start expression)."""
+    h = "0"
+    for j in range(k):
+        c = f"ascii(substr({col}, ({pos})::INT + {j}, 1))"
+        h = f"(({h}) * {WINNOW_BASE} + {c}) % {WINNOW_MOD}"
+    return h
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -63,14 +83,20 @@ def winnow_fingerprints(
     fingerprint set.  Guarantees every shared substring of length
     ≥ k+w−1 contributes at least one shared fingerprint — the
     substring-level containment signal shingle-Jaccard can't give.
-    The gram hash is the first 8 md5 hex digits as an integer, so
-    the whole construction is engine-portable (differential-testable
-    in DuckDB), unlike Spark's murmur ``F.hash``.
+    The gram hash is a Horner-unrolled polynomial over character
+    codes mod the 2^55−55 prime (r10, replacing the r9 md5-prefix
+    per the verdict's efficiency finding #1: integer multiply-adds
+    instead of an md5 round per character position — ~an order of
+    magnitude less per-doc CPU at the 100 TB design point) — plain
+    int64 arithmetic, engine-portable (differential-testable in
+    DuckDB via :func:`winnow_gram_hash_sql`), unlike Spark's murmur
+    ``F.hash``.  The hash swap preserves the PAIR output on shared
+    substrings (pinned by the A/B test against an md5-prefix replica).
 
     Emits one (id, fp) row per distinct fingerprint.  Scale shape:
-    pure codegen projection + explode — the per-doc cost is
-    O(len·k) hashing inside whole-stage codegen, no shuffle, no
-    Python; downstream joins on ``fp`` are the usual inverted-index
+    pure codegen projection + explode — the per-doc cost is O(len·k)
+    integer ops inside whole-stage codegen, no shuffle, no Python;
+    downstream joins on ``fp`` are the usual inverted-index
     pattern."""
     if k < 2 or w < 1:
         raise ValueError("need k >= 2 and w >= 1")
@@ -79,27 +105,20 @@ def winnow_fingerprints(
         X.normalize_text(text_col).alias("__c"),
     )
     n_grams = F.length("__c") - (k - 1)
+
+    def poly(p):  # Horner over the k codepoints starting at p
+        h = F.lit(0).cast("long")
+        for j in range(k):
+            h = (h * WINNOW_BASE + F.ascii(
+                F.substr(F.col("__c"), p + j, F.lit(1))
+            )) % WINNOW_MOD
+        return h
+
     # NB sequence(1, 0) in Spark infers a NEGATIVE step ([1, 0]) —
     # short docs must take the explicit empty branch
     gram_hashes = F.when(
         n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda p: F.conv(
-                F.substring(
-                    F.md5(
-                        F.encode(
-                            F.substring(F.col("__c"), p, F.lit(k)),
-                            "utf-8",
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long"),
-        ),
+        F.transform(F.sequence(F.lit(1), n_grams), poly),
     ).otherwise(F.array().cast("array<long>"))
     hashed = staged.select("id", gram_hashes.alias("__h"))
     n_wins = F.size("__h") - (w - 1)

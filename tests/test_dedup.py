@@ -381,12 +381,36 @@ def test_release_caches_frees_storage(spark):
     assert not (rdd_ids() & created), "shingle cache still persisted"
 
 
+def _winnow_norm(text):
+    return " ".join(
+        "".join(ch if ch.isalnum() or ch.isspace() else " "
+                for ch in text.lower()).split()
+    )
+
+
+def _winnow_ref(text, gram_hash, k=8, w=4):
+    """Independent scalar winnowing with a pluggable gram hash."""
+    s = _winnow_norm(text)
+    hs = [gram_hash(s[i:i + k]) for i in range(len(s) - k + 1)]
+    return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+
+def _poly_hash(gram):
+    from parquet_editor_spark.operators.dedup import (
+        WINNOW_BASE,
+        WINNOW_MOD,
+    )
+
+    h = 0
+    for ch in gram:
+        h = (h * WINNOW_BASE + ord(ch)) % WINNOW_MOD
+    return h
+
+
 def test_winnow_fingerprints_matches_reference_and_guarantee(spark):
     """Spark winnowing equals an independent python implementation,
     and the winnowing guarantee holds: two docs sharing a substring
     of length >= k+w-1 share at least one fingerprint."""
-    import hashlib
-
     from parquet_editor_spark.operators.dedup import winnow_fingerprints
 
     shared = "a very distinctive shared phrase here"
@@ -404,21 +428,77 @@ def test_winnow_fingerprints_matches_reference_and_guarantee(spark):
         by_id.setdefault(r["id"], set()).add(r["fp"])
     assert 4 not in by_id and 5 not in by_id  # too short / null
 
-    def ref(text):
-        s = " ".join(
-            "".join(ch if ch.isalnum() or ch.isspace() else " "
-                    for ch in text.lower()).split()
-        )
-        hs = [
-            int(hashlib.md5(s[i:i + 8].encode()).hexdigest()[:8], 16)
-            for i in range(len(s) - 7)
-        ]
-        return {min(hs[j:j + 4]) for j in range(len(hs) - 3)}
-
     for i, text in rows[:3]:
-        assert by_id[i] == ref(text), i
+        assert by_id[i] == _winnow_ref(text, _poly_hash), i
     assert by_id[1] & by_id[2], "winnowing guarantee violated"
     assert not (by_id[3] & by_id[1] & by_id[2])
+
+
+def test_winnow_gram_hash_sql_mirrors_spark_polynomial():
+    """The DuckDB Horner chain (winnow_gram_hash_sql) and the Spark
+    unrolled polynomial come from one recurrence — pin value equality
+    on real grams through the scalar twin of each."""
+    import duckdb
+
+    from parquet_editor_spark.operators.dedup import winnow_gram_hash_sql
+
+    con = duckdb.connect()
+    sql = winnow_gram_hash_sql("c", "p", 8)
+    for gram in ["abcdefgh", "the quic", "zz 99 aa", "        "]:
+        duck = con.sql(
+            f"SELECT {sql} FROM (SELECT ? AS c, 1 AS p)", params=[gram]
+        ).fetchone()[0]
+        assert duck == _poly_hash(gram), gram
+
+
+def test_winnow_pair_output_invariant_under_hash_swap(spark):
+    """A/B for the r10 hash swap (r9 verdict item 5): the pair SET a
+    winnowing pair join produces on docs with genuine shared
+    substrings is identical under the old md5-prefix gram hash and
+    the new polynomial — the fingerprints differ, the containment
+    signal must not."""
+    import hashlib
+
+    from parquet_editor_spark.operators.dedup import winnow_fingerprints
+
+    boiler = "subscribe to our newsletter for updates every week"
+    quote = "to be or not to be that is the question"
+    rows = [
+        (1, f"first article body {boiler} more original prose one"),
+        (2, f"{boiler} completely different second article text"),
+        (3, f"essay citing {quote} with commentary around it"),
+        (4, f"another essay quoting {quote} differently framed"),
+        (5, "entirely disjoint prose about gardening tools"),
+        (6, "something else covering kitchen recipe notes"),
+    ]
+
+    def md5_hash(gram):
+        return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+
+    def pairs(gram_hash):
+        fps = {i: _winnow_ref(t, gram_hash) for i, t in rows}
+        out = set()
+        for a in fps:
+            for b in fps:
+                if a < b and len(fps[a] & fps[b]) >= 3:
+                    out.add((a, b))
+        return out
+
+    assert pairs(md5_hash) == pairs(_poly_hash) == {(1, 2), (3, 4)}
+
+    # and the production operator agrees with the scalar poly pairs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=8, w=4)
+    spark_fps = {}
+    for r in fps.collect():
+        spark_fps.setdefault(r["id"], set()).add(r["fp"])
+    got = {
+        (a, b)
+        for a in spark_fps
+        for b in spark_fps
+        if a < b and len(spark_fps[a] & spark_fps[b]) >= 3
+    }
+    assert got == {(1, 2), (3, 4)}
 
 
 def test_winnow_fingerprints_validates_args(spark):
