@@ -4191,6 +4191,74 @@ def q_pack_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("block_id")
 
 
+def q_pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (sources/pdf.py + ``pdf_pages``, new r10 —
+    the r9 verdict's #6: the largest remaining real-world document
+    format): per doc, synthesize a 1-3 page PDF whose pages carry an
+    arithmetic header line plus three 48-char slices of the doc's
+    ASCII-sanitized text (FlateDecode content streams, Tj AND TJ
+    operators, a real xref table), then extract per-page text through
+    the production classic-PDF walk — object parser, xref chain,
+    inflate, show-operator text assembly with the kern-gap heuristic.
+    The oracle rebuilds each page's text arithmetically from
+    ``documents.text``, so any defect anywhere in the encoder/parser
+    pair fails the md5."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.coalesce(F.col("text"), F.lit("")), "[^ -~]", "#"
+            ).alias("clean"),
+        )
+        .filter(F.col("doc_id") % 83 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.pdf import encode_pdf
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw, clean in zip(pdf["doc_id"], pdf["clean"]):
+                i = int(raw)
+                pages = []
+                for p in range(1 + i % 3):
+                    lines = [f"doc {i} page {p}"] + [
+                        (clean or "")[(p * 3 + m) * 48:(p * 3 + m) * 48 + 48]
+                        for m in range(3)
+                    ]
+                    pages.append(lines)
+                payloads.append(encode_pdf(pages))
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema)
+    return (
+        MM.pdf_pages(with_payload)
+        .select(
+            "doc_id",
+            "page_idx",
+            "n_pages",
+            F.length("page_text").cast("long").alias("n_chars"),
+            F.substring("page_text", 1, 40).alias("text_prefix"),
+            F.md5(F.encode("page_text", "utf-8")).alias("text_md5"),
+        )
+        .orderBy("doc_id", "page_idx")
+    )
+
+
 # --- URL/host curation fixture (r10): deterministic messy URLs ------------
 # documents has no URL column, so both engines synthesize the same
 # string per doc — mixed-case scheme/host, www and subdomain labels,
@@ -7551,6 +7619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_ids_docs": q_pack_ids_docs,
         "url_curation_docs": q_url_curation_docs,
         "host_profile_docs": q_host_profile_docs,
+        "pdf_extract_docs": q_pdf_extract_docs,
         # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
         # sample twins + winnowing fingerprints ---
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -10167,6 +10236,36 @@ def oracle_sql() -> dict[str, str]:
                    md5(block_text) AS block_md5
             FROM b
             ORDER BY block_id
+        """,
+        "pdf_extract_docs": """
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_replace(COALESCE(text, ''), '[^ -~]',
+                                      '#', 'g') AS clean,
+                       1 + doc_id % 3 AS np
+                FROM documents
+                WHERE doc_id % 83 = 0
+            ), pages AS (
+                SELECT doc_id,
+                       CAST(g.p AS INT) AS page_idx,
+                       CAST(np AS INT) AS n_pages,
+                       'doc ' || CAST(doc_id AS VARCHAR) || ' page '
+                       || CAST(g.p AS VARCHAR) || chr(10)
+                       || substr(clean, 1 + (g.p * 3 + 0) * 48, 48)
+                       || chr(10)
+                       || substr(clean, 1 + (g.p * 3 + 1) * 48, 48)
+                       || chr(10)
+                       || substr(clean, 1 + (g.p * 3 + 2) * 48, 48)
+                           AS ptext
+                FROM docs, generate_series(0, 2) AS g(p)
+                WHERE g.p < np
+            )
+            SELECT doc_id, page_idx, n_pages,
+                   CAST(length(ptext) AS BIGINT) AS n_chars,
+                   substr(ptext, 1, 40) AS text_prefix,
+                   md5(ptext) AS text_md5
+            FROM pages
+            ORDER BY doc_id, page_idx
         """,
         "url_curation_docs": f"""
             WITH c AS ({_ORACLE_URL_CANON}), r AS (

@@ -1621,6 +1621,61 @@ def tfrecord_records(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def pdf_pages(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """PDF text extraction: one PDF payload row → one row per page
+    with its index, the document's page count and the page's
+    extracted text (``sources/pdf.py``: classic xref walk,
+    FlateDecode, Tj/TJ/'/\" show operators — the modern-PDF features
+    are honest NotImplementedError gates there).
+
+    Scale shape: the page walk and inflate run INSIDE the executor
+    (Arrow ``mapInPandas``); PDF bytes never shuffle and never visit
+    the driver — the same contract as the TAR/ZIP/WARC walks."""
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("page_idx", T.IntegerType(), True),
+            T.StructField("n_pages", T.IntegerType(), True),
+            T.StructField("page_text", T.StringType(), True),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+    out_names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        import pandas as pd
+
+        from parquet_editor_spark.sources.pdf import decode_pdf_text
+
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                p = row[payload_col]
+                base = {c: row[c] for c in keep_names}
+                if p is None:
+                    out_rows.append(
+                        dict(base, page_idx=None, n_pages=None,
+                             page_text=None)
+                    )
+                    continue
+                texts = decode_pdf_text(bytes(p))
+                for i, txt in enumerate(texts):
+                    out_rows.append(
+                        dict(
+                            base,
+                            page_idx=i,
+                            n_pages=len(texts),
+                            page_text=txt,
+                        )
+                    )
+            yield pd.DataFrame(out_rows, columns=out_names)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def shard_tfrecord(
     df: DataFrame, shard_col: str, order_col: str, value_col: str
 ) -> DataFrame:

@@ -1,0 +1,509 @@
+"""Dependency-free PDF text extraction (r10 — the r9 verdict's #6:
+real crawl corpora are PDF-heavy and this was the largest remaining
+document format).  No reference counterpart (the reference is a
+221-line pandas GUI, SURVEY.md §2.7 EXT); same executor-side byte-walk
+pattern as the WARC/ZIP/TAR tier: parse on the executor inside Arrow
+batches, payloads never touch the driver.
+
+Honest scope (classic-PDF baseline, everything else gated loudly):
+  - classic cross-reference TABLES with /Prev chains (incremental
+    updates); PDF 1.5 xref STREAMS and /ObjStm object streams raise
+    NotImplementedError,
+  - content streams stored raw or /FlateDecode (zlib — same dependency
+    footprint as the PNG codec); other filters raise,
+  - text via the Tj / ' / " / TJ show operators with full PDF string
+    syntax (nested parens, \\-escapes, octal, hex strings <...>),
+    decoded as Latin-1 (the PDFDocEncoding/WinAnsi ASCII-compatible
+    baseline); Td/TD/T*/'/" line moves emit newlines,
+  - encryption raises.
+
+The fixture encoder writes the same dialect the parser reads —
+catalog → page tree → per-page FlateDecode content streams + a real
+xref table — so round-trip tests exercise the whole walk.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# ---------------------------------------------------------------------------
+# object-level parser
+# ---------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int, origin: str):
+        self.d = data
+        self.p = pos
+        self.origin = origin
+
+    def _skip_ws(self) -> None:
+        d, p = self.d, self.p
+        while p < len(d):
+            c = d[p : p + 1]
+            if c in (b"%",):  # comment to EOL
+                while p < len(d) and d[p] not in b"\r\n":
+                    p += 1
+            elif c in _WS:
+                p += 1
+            else:
+                break
+        self.p = p
+
+    def peek(self) -> bytes:
+        self._skip_ws()
+        return self.d[self.p : self.p + 1]
+
+    def _token(self) -> bytes:
+        self._skip_ws()
+        d, p = self.d, self.p
+        start = p
+        while p < len(d) and d[p : p + 1] not in _WS and d[p : p + 1] not in _DELIM:
+            p += 1
+        self.p = p
+        return d[start:p]
+
+    def value(self):
+        """Parse one PDF object at the cursor."""
+        c = self.peek()
+        d = self.d
+        if c == b"<":
+            if d[self.p : self.p + 2] == b"<<":
+                return self._dict()
+            return self._hex_string()
+        if c == b"(":
+            return self._lit_string()
+        if c == b"/":
+            self.p += 1
+            return "/" + self._token().decode("latin-1")
+        if c == b"[":
+            self.p += 1
+            out = []
+            while self.peek() != b"]":
+                out.append(self.value())
+            self.p += 1
+            return out
+        tok = self._token()
+        if tok in (b"true", b"false"):
+            return tok == b"true"
+        if tok == b"null":
+            return None
+        if not tok:
+            raise ValueError(f"{self.origin!r}: bad token at {self.p}")
+        # number — possibly the start of an 'N G R' indirect reference
+        try:
+            if b"." in tok:
+                return float(tok)
+            num = int(tok)
+        except ValueError:
+            raise ValueError(
+                f"{self.origin!r}: unexpected token {tok!r} at {self.p}"
+            ) from None
+        save = self.p
+        nxt = self._token()
+        if nxt.isdigit():
+            op = self._token()
+            if op == b"R":
+                return _Ref(num)
+        self.p = save
+        return num
+
+    def _dict(self) -> dict:
+        self.p += 2  # <<
+        out: dict = {}
+        while True:
+            c = self.peek()
+            if self.d[self.p : self.p + 2] == b">>":
+                self.p += 2
+                return out
+            if c != b"/":
+                raise ValueError(
+                    f"{self.origin!r}: dict key is not a name at {self.p}"
+                )
+            self.p += 1
+            key = self._token().decode("latin-1")
+            out[key] = self.value()
+
+    def _hex_string(self) -> bytes:
+        end = self.d.index(b">", self.p)
+        hx = re.sub(rb"\s", b"", self.d[self.p + 1 : end])
+        self.p = end + 1
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+
+    def _lit_string(self) -> bytes:
+        d = self.d
+        p = self.p + 1
+        depth = 1
+        out = bytearray()
+        while p < len(d):
+            ch = d[p]
+            if ch == 0x5C:  # backslash
+                p += 1
+                e = d[p : p + 1]
+                mapped = {
+                    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                    b"f": b"\x0c", b"(": b"(", b")": b")", b"\\": b"\\",
+                }.get(e)
+                if mapped is not None:
+                    out += mapped
+                    p += 1
+                elif e.isdigit():  # up to 3 octal digits
+                    oct_s = b""
+                    while len(oct_s) < 3 and d[p : p + 1].isdigit():
+                        oct_s += d[p : p + 1]
+                        p += 1
+                    out.append(int(oct_s, 8) & 0xFF)
+                elif e in (b"\n", b"\r"):  # line continuation
+                    p += 1
+                    if e == b"\r" and d[p : p + 1] == b"\n":
+                        p += 1
+                else:
+                    out += e
+                    p += 1
+            elif ch == 0x28:
+                depth += 1
+                out.append(ch)
+                p += 1
+            elif ch == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.p = p + 1
+                    return bytes(out)
+                out.append(ch)
+                p += 1
+            else:
+                out.append(ch)
+                p += 1
+        raise ValueError(f"{self.origin!r}: unterminated string")
+
+
+# ---------------------------------------------------------------------------
+# document walk
+# ---------------------------------------------------------------------------
+
+
+def _xref_offsets(
+    data: bytes, origin: str
+) -> tuple[dict[int, int], int | None]:
+    """(object number → byte offset, root object number) from the
+    classic xref table chain — later sections win over /Prev'd earlier
+    ones, and the newest trailer's /Root wins."""
+    at = data.rfind(b"startxref")
+    if at < 0:
+        raise ValueError(f"{origin!r}: no startxref")
+    m = re.match(rb"\s*(\d+)", data[at + 9 :])
+    if not m:
+        raise ValueError(f"{origin!r}: bad startxref offset")
+    offsets: dict[int, int] = {}
+    root_num: int | None = None
+    pos = int(m.group(1))
+    seen: set[int] = set()
+    while True:
+        if pos in seen:
+            raise ValueError(f"{origin!r}: xref /Prev cycle")
+        seen.add(pos)
+        lex = _Lexer(data, pos, origin)
+        if lex.peek().isdigit():
+            raise NotImplementedError(
+                f"{origin!r}: cross-reference STREAM (PDF 1.5+) — only "
+                "classic xref tables are supported"
+            )
+        if lex._token() != b"xref":
+            raise ValueError(f"{origin!r}: no xref table at {pos}")
+        section: dict[int, int] = {}
+        while True:
+            lex._skip_ws()
+            if data[lex.p : lex.p + 7] == b"trailer":
+                lex.p += 7
+                break
+            first = int(lex._token())
+            count = int(lex._token())
+            lex._skip_ws()
+            for i in range(count):
+                row = data[lex.p : lex.p + 20]
+                if row[17:18] == b"n":
+                    section[first + i] = int(row[:10])
+                lex.p += 20
+        trailer = lex.value()
+        if "Encrypt" in trailer:
+            raise NotImplementedError(f"{origin!r}: encrypted PDF")
+        # earlier (Prev'd) sections must not override newer entries
+        for k, v in section.items():
+            offsets.setdefault(k, v)
+        root = trailer.get("Root")
+        if root_num is None and isinstance(root, _Ref):
+            root_num = root.num
+        prev = trailer.get("Prev")
+        if prev is None:
+            break
+        pos = int(prev)
+    return offsets, root_num
+
+
+def _parse_object(data: bytes, pos: int, origin: str):
+    """Parse ``N G obj <value> [stream]`` at ``pos`` → (value, stream
+    bytes or None)."""
+    lex = _Lexer(data, pos, origin)
+    lex._token()  # obj number
+    lex._token()  # generation
+    if lex._token() != b"obj":
+        raise ValueError(f"{origin!r}: no obj keyword at {pos}")
+    val = lex.value()
+    lex._skip_ws()
+    if data[lex.p : lex.p + 6] != b"stream":
+        return val, None
+    p = lex.p + 6
+    if data[p : p + 2] == b"\r\n":
+        p += 2
+    elif data[p : p + 1] == b"\n":
+        p += 1
+    if not isinstance(val, dict) or "Length" not in val:
+        raise ValueError(f"{origin!r}: stream without /Length at {pos}")
+    length = val["Length"]
+    if isinstance(length, _Ref):
+        raise NotImplementedError(
+            f"{origin!r}: indirect /Length — not in the supported dialect"
+        )
+    return val, data[p : p + int(length)]
+
+
+class _Doc:
+    def __init__(self, data: bytes, origin: str):
+        self.data = data
+        self.origin = origin
+        if not data.startswith(b"%PDF-"):
+            raise ValueError(f"{origin!r} is not a PDF (no %PDF header)")
+        self.version = data[5:8].decode("latin-1", "replace")
+        self.offsets, self.root_num = _xref_offsets(data, origin)
+        self._cache: dict[int, tuple] = {}
+
+    def obj(self, num: int):
+        if num not in self._cache:
+            if num not in self.offsets:
+                raise ValueError(
+                    f"{self.origin!r}: missing object {num}"
+                )
+            self._cache[num] = _parse_object(
+                self.data, self.offsets[num], self.origin
+            )
+        return self._cache[num]
+
+    def deref(self, v):
+        while isinstance(v, _Ref):
+            v = self.obj(v.num)[0]
+        return v
+
+    def pages(self) -> list[dict]:
+        if self.root_num is None:
+            raise ValueError(f"{self.origin!r}: trailer has no /Root")
+        catalog = self.deref(self.obj(self.root_num)[0])
+        out: list[dict] = []
+
+        def walk(node_ref, depth=0):
+            if depth > 64:
+                raise ValueError(f"{self.origin!r}: page tree too deep")
+            node = self.deref(node_ref)
+            t = node.get("Type")
+            if t == "/Pages":
+                for kid in self.deref(node.get("Kids", [])):
+                    walk(kid, depth + 1)
+            elif t == "/Page":
+                out.append(node)
+            else:
+                raise ValueError(
+                    f"{self.origin!r}: unexpected page-tree node {t!r}"
+                )
+
+        walk(catalog["Pages"])
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        contents = page.get("Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        out = bytearray()
+        for ref in refs:
+            if not isinstance(ref, _Ref):
+                raise ValueError(
+                    f"{self.origin!r}: /Contents is not a stream ref"
+                )
+            val, stream = self.obj(ref.num)
+            if stream is None:
+                raise ValueError(
+                    f"{self.origin!r}: /Contents object has no stream"
+                )
+            filt = val.get("Filter")
+            if filt in ("/FlateDecode", ["/FlateDecode"]):
+                stream = zlib.decompress(stream)
+            elif filt is not None:
+                raise NotImplementedError(
+                    f"{self.origin!r}: content filter {filt!r} — only "
+                    "/FlateDecode or raw streams are supported"
+                )
+            out += stream + b"\n"
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# content-stream text extraction
+# ---------------------------------------------------------------------------
+
+
+def _extract_text(content: bytes, origin: str) -> str:
+    """Walk a content stream's tokens; Tj / ' / " / TJ emit text,
+    Td / TD / T* / ' / " start a new line.  Latin-1 baseline decode."""
+    lex = _Lexer(content, 0, origin)
+    lines: list[str] = []
+    cur: list[str] = []
+
+    def newline():
+        if cur:
+            lines.append("".join(cur))
+            cur.clear()
+
+    operands: list = []
+    while True:
+        lex._skip_ws()
+        if lex.p >= len(content):
+            break
+        c = lex.peek()
+        if c in (b"(", b"<", b"[", b"/") or c.isdigit() or c in (b"+", b"-", b"."):
+            if c in (b"+", b"-", b"."):  # bare numeric operand
+                tok = lex._token()
+                operands.append(tok)
+                continue
+            operands.append(lex.value())
+            continue
+        op = lex._token()
+        if op == b"Tj" and operands:
+            s = operands[-1]
+            if isinstance(s, bytes):
+                cur.append(s.decode("latin-1"))
+        elif op in (b"'", b'"') and operands:
+            s = operands[-1]
+            newline()
+            if isinstance(s, bytes):
+                cur.append(s.decode("latin-1"))
+        elif op == b"TJ" and operands:
+            arr = operands[-1]
+            if isinstance(arr, list):
+                for el in arr:
+                    if isinstance(el, bytes):
+                        cur.append(el.decode("latin-1"))
+                    elif (
+                        isinstance(el, (int, float)) and el < -100
+                    ):
+                        # the classic extractor heuristic: a kern
+                        # wider than 100/1000 em is a word gap
+                        cur.append(" ")
+        elif op in (b"Td", b"TD", b"T*"):
+            newline()
+        operands = []
+    newline()
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def pdf_meta(data: bytes, origin: str = "<bytes>") -> dict:
+    """Header version + page count from a full xref/page-tree walk."""
+    doc = _Doc(data, origin)
+    return {"version": doc.version, "n_pages": len(doc.pages())}
+
+
+def decode_pdf_text(data: bytes, origin: str = "<bytes>") -> list[str]:
+    """Extract per-page text: one string per page in page-tree order,
+    lines joined with newlines."""
+    doc = _Doc(data, origin)
+    return [
+        _extract_text(doc.page_content(pg), origin)
+        for pg in doc.pages()
+    ]
+
+
+def _esc(s: str) -> bytes:
+    b = s.encode("latin-1")
+    return (
+        b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    )
+
+
+def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
+    """Fixture encoder: one content stream per page, each inner list
+    is that page's lines (written with Td + Tj, and TJ for every
+    third line to cover the array operator), /FlateDecode'd by
+    default, with a real xref table — the exact dialect the parser
+    walks."""
+    if not pages:
+        raise ValueError("need at least one page")
+    objects: list[bytes] = []  # 1-indexed object bodies
+
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )  # 2
+    for i, lines in enumerate(pages):
+        page_num = 3 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {page_num + 1} 0 R /Resources << /Font "
+                f"<< /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        ops = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+        for j, line in enumerate(lines):
+            if j:
+                ops += b"0 -14 Td\n"
+            if j % 3 == 2 and " " in line:
+                head, tail = line.split(" ", 1)
+                ops += (
+                    b"[(" + _esc(head) + b") -278 (" + _esc(tail)
+                    + b")] TJ\n"
+                )
+            else:
+                ops += b"(" + _esc(line) + b") Tj\n"
+        ops += b"ET"
+        body = zlib.compress(bytes(ops), 6) if compress else bytes(ops)
+        filt = b" /Filter /FlateDecode" if compress else b""
+        objects.append(
+            b"<< /Length " + str(len(body)).encode() + filt
+            + b" >>\nstream\n" + body + b"\nendstream"
+        )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
