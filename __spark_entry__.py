@@ -4191,6 +4191,26 @@ def q_pack_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("block_id")
 
 
+def q_bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (``textprep.bpe_train``, new r10): learn
+    the corpus's first six merges — iterative most-frequent-pair
+    argmax + merge-all, the loop whose output feeds
+    ``bpe_tokenize``.  The Spark side aggregates to distinct words
+    once (vocabulary-sized forever after), runs one 2-gram explode +
+    weighted hash agg per iteration in the one-char-per-token
+    placeholder encoding, and collects exactly ONE argmax row per
+    iteration; the DuckDB side is the same iteration unrolled
+    (``bpe_train_oracle_sql`` — one spec, two engines), so any
+    divergence in counting, merging or tie-breaking fails the
+    differential."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        _bpe_norm("text").alias("norm")
+    )
+    return TP.bpe_train(docs, "norm", n_merges=6).orderBy("merge_rank")
+
+
 def q_pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction (sources/pdf.py + ``pdf_pages``, new r10 —
     the r9 verdict's #6: the largest remaining real-world document
@@ -7620,6 +7640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_curation_docs": q_url_curation_docs,
         "host_profile_docs": q_host_profile_docs,
         "pdf_extract_docs": q_pdf_extract_docs,
+        "bpe_train_docs": q_bpe_train_docs,
         # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
         # sample twins + winnowing fingerprints ---
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -7888,6 +7909,7 @@ def oracle_sql() -> dict[str, str]:
     from parquet_editor_spark.operators.warehouse import hilbert_sql_ctes
 
     from parquet_editor_spark.operators.dedup import winnow_gram_hash_sql
+    from parquet_editor_spark.operators.textprep import bpe_train_oracle_sql
 
     # suffix walk generated from the SAME pinned public-suffix table
     # the Spark operator compiles (see q_url_curation_docs)
@@ -10237,6 +10259,12 @@ def oracle_sql() -> dict[str, str]:
             FROM b
             ORDER BY block_id
         """,
+        "bpe_train_docs": bpe_train_oracle_sql(
+            """SELECT trim(regexp_replace(lower(COALESCE(text, '')),
+                           '[^a-z]+', ' ', 'g')) AS norm
+               FROM documents""",
+            n_merges=6,
+        ),
         "pdf_extract_docs": """
             WITH docs AS (
                 SELECT doc_id,

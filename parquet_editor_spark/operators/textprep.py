@@ -452,6 +452,148 @@ def pack_id_blocks(
     )
 
 
+_BPE_PLACEHOLDERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 4,
+) -> DataFrame:
+    """Byte-pair-encoding TRAINER (r10 — extends the r9
+    ``bpe_pair_counts`` first-merge statistic to the full loop):
+    iteratively find the most frequent adjacent token pair and merge
+    it, ``n_merges`` times.  Returns the learned merge table — one row
+    per merge: ``merge_rank``, decoded ``lhs``/``rhs`` token strings,
+    ``pair_count``.  Ties break lexicographically on the encoded pair
+    (deterministic, engine-portable).
+
+    Token state lives in a one-char-per-token PLACEHOLDER encoding
+    (merge j's output is the single char ``'A'+j``), so every
+    iteration is pure Catalyst: 2-gram explode + weighted hash agg +
+    literal ``replace`` — the same encoding equivalence
+    :func:`bpe_tokenize` documents, which also makes an unrolled
+    DuckDB mirror exact (:func:`bpe_train_oracle_sql`).  Input text
+    must not contain uppercase A-Z (reserve them for placeholders) —
+    normalize first.
+
+    Scale shape: the corpus aggregates to DISTINCT words once
+    (the :func:`bpe_pair_counts` trick — vocabulary-sized forever
+    after, ≈10⁵-10⁶ rows regardless of corpus bytes); each iteration
+    is one explode + one hash agg over the cached vocab and collects
+    exactly ONE row (the argmax) to the driver — bounded metadata,
+    the :func:`~parquet_editor_spark.operators.sim.kmeans_lloyd`
+    loop contract."""
+    if not 1 <= n_merges <= len(_BPE_PLACEHOLDERS):
+        raise ValueError(
+            f"n_merges must be 1..{len(_BPE_PLACEHOLDERS)}"
+        )
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .withColumn("enc", F.col("w"))
+        .persist()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    dec: dict[str, str] = {}
+    cur = words
+    try:
+        for j in range(n_merges):
+            grams = F.when(
+                F.length("enc") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("enc") - 1),
+                    lambda p: F.substr(F.col("enc"), p, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            top = (
+                cur.select("wc", F.explode(grams).alias("pair"))
+                .groupBy("pair")
+                .agg(F.sum("wc").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+            ph = _BPE_PLACEHOLDERS[j]
+            lhs, rhs = pair[0], pair[1]
+            merges.append(
+                (j, dec.get(lhs, lhs), dec.get(rhs, rhs), cnt)
+            )
+            dec[ph] = dec.get(lhs, lhs) + dec.get(rhs, rhs)
+            cur = cur.withColumn(
+                "enc", F.replace(F.col("enc"), F.lit(pair), F.lit(ph))
+            )
+    finally:
+        words.unpersist()
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, pair_count long",
+    )
+
+
+def bpe_train_oracle_sql(norm_sql: str, n_merges: int = 4) -> str:
+    """DuckDB mirror of :func:`bpe_train`, unrolled — generated from
+    the SAME iteration (one spec, two engines).  ``norm_sql`` must
+    select a ``norm`` text column."""
+    P = _BPE_PLACEHOLDERS
+    parts = [
+        f"""w0 AS (
+            SELECT w, COUNT(*)::BIGINT AS wc
+            FROM (SELECT unnest(string_split(norm, ' ')) AS w
+                  FROM ({norm_sql}) nrm) u
+            WHERE w <> '' GROUP BY w)"""
+    ]
+    for j in range(n_merges):
+        parts.append(
+            f"""p{j} AS (
+            SELECT pair, SUM(wc)::BIGINT AS cnt FROM (
+                SELECT wc,
+                       unnest(list_transform(
+                           range(1, length(w)::BIGINT),
+                           p -> substr(w, p::INT, 2))) AS pair
+                FROM w{j}) x
+            GROUP BY pair)"""
+        )
+        parts.append(
+            f"m{j} AS (SELECT pair, cnt FROM p{j} "
+            f"ORDER BY cnt DESC, pair ASC LIMIT 1)"
+        )
+        if j + 1 < n_merges:
+            parts.append(
+                f"""w{j + 1} AS (
+                SELECT replace(base.w, m.pair, '{P[j]}') AS w, base.wc
+                FROM w{j} base, m{j} m)"""
+            )
+
+    def decode(expr: str, upto: int) -> str:
+        # newest placeholder first: its expansion may contain older
+        # placeholders, which the later replaces resolve
+        for i in reversed(range(upto)):
+            expr = (
+                f"replace({expr}, '{P[i]}', (SELECT pair FROM m{i}))"
+            )
+        return expr
+
+    selects = []
+    for j in range(n_merges):
+        selects.append(
+            f"SELECT {j} AS merge_rank, "
+            f"{decode(f'substr(pair, 1, 1)', j)} AS lhs, "
+            f"{decode(f'substr(pair, 2, 1)', j)} AS rhs, "
+            f"cnt AS pair_count FROM m{j}"
+        )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY merge_rank"
+    )
+
+
 def hash_stratified_sample(
     df: DataFrame, id_col: str, pct: Column
 ) -> DataFrame:

@@ -696,3 +696,97 @@ def test_pack_id_blocks_exact_assembly(spark):
         assert out[b]["n_ids"] == len(want)
     assert out[0]["n_docs"] == 2  # docs 1 and 2
     assert out[1]["n_docs"] == 1  # doc 4 alone spans block 1
+
+
+def _scalar_bpe_train(texts, n_merges):
+    """Independent scalar trainer: token-LIST based (no placeholder
+    string trick), but sharing the documented tie-break — max count,
+    then lexicographic on the pair's one-char-per-token ENCODING
+    (merge j's output encodes as chr('A'+j))."""
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split() if w)
+    vocab = {w: list(w) for w in words}
+    ph = {}  # token string -> placeholder char
+    merges = []
+    for j in range(n_merges):
+        counts = Counter()
+        for w, toks in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] += words[w]
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(),
+            key=lambda kv: (
+                -kv[1],
+                ph.get(kv[0][0], kv[0][0]) + ph.get(kv[0][1], kv[0][1]),
+            ),
+        )
+        merges.append((a, b, cnt))
+        ph[a + b] = chr(ord("A") + j)
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and (toks[i], toks[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_scalar_reference(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the theory the thing",
+        "banana bandana and another band",
+        "singing ringing winging",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "norm string")
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in TP.bpe_train(df, "norm", n_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    want = [
+        (j, a, b, c)
+        for j, (a, b, c) in enumerate(_scalar_bpe_train(texts, 6))
+    ]
+    assert got == want
+
+
+def test_bpe_train_oracle_sql_matches_scalar(spark):
+    """The unrolled DuckDB mirror implements the same iteration."""
+    import duckdb
+
+    texts = [
+        "the cat sat on the mat",
+        "the theory the thing",
+        "banana bandana and another band",
+        "singing ringing winging",
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(norm VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+    sql = TP.bpe_train_oracle_sql("SELECT norm FROM t", n_merges=6)
+    duck = [tuple(r) for r in con.sql(sql).fetchall()]
+    want = [
+        (j, a, b, c)
+        for j, (a, b, c) in enumerate(_scalar_bpe_train(texts, 6))
+    ]
+    assert duck == want
+
+
+def test_bpe_train_validates_and_ties_deterministic(spark):
+    df = spark.createDataFrame([("ab ab ba",)], "norm string")
+    with pytest.raises(ValueError, match="n_merges"):
+        TP.bpe_train(df, "norm", n_merges=0)
+    rows = TP.bpe_train(df, "norm", n_merges=1).collect()
+    # ('a','b') x2 beats ('b','a') x2 on the lexicographic tie-break
+    assert [(r["lhs"], r["rhs"], r["pair_count"]) for r in rows] == [
+        ("a", "b", 2)
+    ]
