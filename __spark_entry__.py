@@ -4211,6 +4211,60 @@ def q_bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TP.bpe_train(docs, "norm", n_merges=6).orderBy("merge_rank")
 
 
+def q_train_tokenize_pack_v1(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full tokenizer lifecycle in one plan (new r10): TRAIN six
+    BPE merges on the normalized corpus (``bpe_train`` — vocab-sized
+    iterations, one argmax row collected each), then TOKENIZE the same
+    corpus with the learned table (``bpe_tokenize``), then PACK the
+    real token ids into 40-id training blocks (``pack_id_blocks`` —
+    distributed prefix sum).  Corpus → learned tokenizer → input_ids
+    blocks: the end-to-end shape a from-scratch pretraining run
+    executes.  The DuckDB oracle replays the SAME chain — unrolled
+    training CTEs, the learned-pattern replace-chain apply, a window
+    cumsum pack — so a divergence anywhere in the lifecycle fails the
+    block md5s."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _bpe_norm("text").alias("norm")
+    )
+    learned = sorted(
+        TP.bpe_train(docs.select("norm"), "norm", n_merges=6).collect(),
+        key=lambda r: r["merge_rank"],
+    )  # six rows — bounded metadata, the kmeans-loop contract
+    merges = [(r["lhs"], r["rhs"]) for r in learned]
+    outs = [a + b for a, b in merges]
+    if len(set(outs)) != len(outs):
+        # two merge paths yielding one token string would give the
+        # string one id here but distinct placeholder ids in the
+        # mirror — fail loudly instead of diverging silently
+        raise ValueError(f"learned merges collide: {outs}")
+    vocab = {chr(97 + i): i for i in range(26)}
+    vocab.update({t: 26 + j for j, t in enumerate(outs)})
+    toks = TP.bpe_tokenize(docs, "doc_id", "norm", merges, vocab)
+    blocks = TP.pack_id_blocks(
+        toks, "id", "input_ids", block_tokens=40, bucket_docs=64
+    )
+    ids_csv = F.array_join(
+        F.transform("input_ids", lambda x: x.cast("string")), ","
+    )
+    head_csv = F.array_join(
+        F.transform(
+            F.slice("input_ids", 1, 10), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+    return blocks.select(
+        "block_id",
+        "n_docs",
+        "n_ids",
+        head_csv.alias("head_ids"),
+        F.md5(F.encode(ids_csv, "utf-8")).alias("ids_md5"),
+    ).orderBy("block_id")
+
+
 def q_pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction (sources/pdf.py + ``pdf_pages``, new r10 —
     the r9 verdict's #6: the largest remaining real-world document
@@ -7641,6 +7695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_profile_docs": q_host_profile_docs,
         "pdf_extract_docs": q_pdf_extract_docs,
         "bpe_train_docs": q_bpe_train_docs,
+        "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
         # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
         # sample twins + winnowing fingerprints ---
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -7909,7 +7964,11 @@ def oracle_sql() -> dict[str, str]:
     from parquet_editor_spark.operators.warehouse import hilbert_sql_ctes
 
     from parquet_editor_spark.operators.dedup import winnow_gram_hash_sql
-    from parquet_editor_spark.operators.textprep import bpe_train_oracle_sql
+    from parquet_editor_spark.operators.textprep import (
+        bpe_apply_sql,
+        bpe_train_ctes,
+        bpe_train_oracle_sql,
+    )
 
     # suffix walk generated from the SAME pinned public-suffix table
     # the Spark operator compiles (see q_url_curation_docs)
@@ -10265,6 +10324,61 @@ def oracle_sql() -> dict[str, str]:
                FROM documents""",
             n_merges=6,
         ),
+        "train_tokenize_pack_v1": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(COALESCE(text, '')),
+                                           '[^a-z]+', ' ', 'g')) AS norm
+                FROM documents
+            ), {bpe_train_ctes("SELECT norm FROM d", 6)}, tok AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(
+                               string_split(
+                                   {bpe_apply_sql("norm", 6)}, ''),
+                               ch -> ch <> ' '),
+                           ch -> CASE WHEN ch BETWEEN 'a' AND 'z'
+                                      THEN ascii(ch) - 97
+                                      ELSE ascii(ch) - 39 END) AS ids
+                FROM d
+            ), c AS (
+                SELECT doc_id, ids, len(ids)::BIGINT AS n,
+                       COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM tok
+            ), e AS (
+                SELECT doc_id, ids, n, o,
+                       unnest(range(o // 40,
+                                    (o + n - 1) // 40 + 1)) AS block_id
+                FROM c
+                WHERE n > 0
+            ), pp AS (
+                SELECT block_id,
+                       least(n, (block_id + 1) * 40 - o)
+                           - greatest(0, block_id * 40 - o) AS nb,
+                       greatest(0, o - block_id * 40) AS block_pos,
+                       array_to_string(
+                           ids[greatest(0, block_id * 40 - o) + 1 :
+                               least(n, (block_id + 1) * 40 - o)],
+                           ',') AS piece
+                FROM e
+            ), b AS (
+                SELECT block_id,
+                       count(*)::BIGINT AS n_docs,
+                       sum(nb)::BIGINT AS n_ids,
+                       string_agg(piece, ',' ORDER BY block_pos) AS csv
+                FROM pp
+                GROUP BY block_id
+            )
+            SELECT CAST(block_id AS BIGINT) AS block_id,
+                   n_docs, n_ids,
+                   array_to_string((string_split(csv, ','))[1:10], ',')
+                       AS head_ids,
+                   md5(csv) AS ids_md5
+            FROM b
+            ORDER BY block_id
+        """,
         "pdf_extract_docs": """
             WITH docs AS (
                 SELECT doc_id,

@@ -536,10 +536,10 @@ def bpe_train(
     )
 
 
-def bpe_train_oracle_sql(norm_sql: str, n_merges: int = 4) -> str:
-    """DuckDB mirror of :func:`bpe_train`, unrolled — generated from
-    the SAME iteration (one spec, two engines).  ``norm_sql`` must
-    select a ``norm`` text column."""
+def bpe_train_ctes(norm_sql: str, n_merges: int = 4) -> str:
+    """The unrolled training CTE chain (``w0``/``p{j}``/``m{j}``) the
+    DuckDB mirrors build on: ``m{j}`` is the one-row argmax of
+    iteration j.  ``norm_sql`` must select a ``norm`` text column."""
     P = _BPE_PLACEHOLDERS
     parts = [
         f"""w0 AS (
@@ -569,26 +569,49 @@ def bpe_train_oracle_sql(norm_sql: str, n_merges: int = 4) -> str:
                 SELECT replace(base.w, m.pair, '{P[j]}') AS w, base.wc
                 FROM w{j} base, m{j} m)"""
             )
+    return ", ".join(parts)
 
-    def decode(expr: str, upto: int) -> str:
-        # newest placeholder first: its expansion may contain older
-        # placeholders, which the later replaces resolve
-        for i in reversed(range(upto)):
-            expr = (
-                f"replace({expr}, '{P[i]}', (SELECT pair FROM m{i}))"
-            )
-        return expr
 
+def bpe_decode_sql(expr: str, upto: int) -> str:
+    """Expand placeholders in ``expr`` back to token strings using the
+    learned ``m{i}`` one-row CTEs — newest placeholder first: its
+    expansion may contain older placeholders, which the later
+    replaces resolve."""
+    P = _BPE_PLACEHOLDERS
+    for i in reversed(range(upto)):
+        expr = f"replace({expr}, '{P[i]}', (SELECT pair FROM m{i}))"
+    return expr
+
+
+def bpe_apply_sql(text_expr: str, n_merges: int) -> str:
+    """Tokenize ``text_expr`` with the LEARNED merges: the sequential
+    placeholder-replace chain whose patterns are the ``m{j}`` argmax
+    rows — the exact mirror of ``bpe_tokenize`` run on
+    :func:`bpe_train`'s output (valid-merge-list equivalence, see
+    bpe_tokenize's note)."""
+    P = _BPE_PLACEHOLDERS
+    expr = text_expr
+    for j in range(n_merges):
+        expr = (
+            f"replace({expr}, (SELECT pair FROM m{j}), '{P[j]}')"
+        )
+    return expr
+
+
+def bpe_train_oracle_sql(norm_sql: str, n_merges: int = 4) -> str:
+    """DuckDB mirror of :func:`bpe_train`, unrolled — generated from
+    the SAME iteration (one spec, two engines)."""
+    decode = bpe_decode_sql
     selects = []
     for j in range(n_merges):
         selects.append(
             f"SELECT {j} AS merge_rank, "
-            f"{decode(f'substr(pair, 1, 1)', j)} AS lhs, "
-            f"{decode(f'substr(pair, 2, 1)', j)} AS rhs, "
+            f"{decode('substr(pair, 1, 1)', j)} AS lhs, "
+            f"{decode('substr(pair, 2, 1)', j)} AS rhs, "
             f"cnt AS pair_count FROM m{j}"
         )
     return (
-        "WITH " + ", ".join(parts) + " "
+        "WITH " + bpe_train_ctes(norm_sql, n_merges) + " "
         + " UNION ALL ".join(selects)
         + " ORDER BY merge_rank"
     )
