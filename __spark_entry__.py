@@ -3893,6 +3893,116 @@ def q_crawl_curation_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl curation with the URL/host tier composed in (new r10):
+    the v1 chain (WARC walk → markup strip → quality gate) extended
+    the way a real CommonCrawl pipeline runs it — each response's
+    MESSY ``WARC-Target-URI`` (mixed-case scheme/host, www and mobile
+    subdomains, non-default ports, unsorted query params) is
+    canonicalized, its registered domain extracted against the pinned
+    suffix table, and each HOST capped at 2 surviving records.  Bytes
+    → text → quality → URL identity → host cap: every curation stage
+    in one plan, all of it pinned by one DuckDB rebuild.
+
+    Scale shape: archive explode inside one Arrow pass, codegen
+    strip/quality/URL projections, then exactly ONE shuffle (on host,
+    for the cap windows)."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.functions import text as X
+    from parquet_editor_spark.functions import urls as U
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 89 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.warc import make_warc
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(raw)
+                body = (
+                    f'<html><body class="c{i % 7}"><h1>Doc &amp; {i}'
+                    "</h1><p>"
+                    + (text or "").replace(
+                        " data ", " &quot;data&quot; "
+                    )
+                    + "</p><script>var x = 1;</script><style>p{}"
+                    "</style></body></html>"
+                )
+                recs = []
+                for j in range(1, 2 + i % 3):
+                    scheme = "HTTPS" if (i + j) % 2 == 0 else "http"
+                    www = "WWW." if j % 2 == 0 else ""
+                    sub = "m." if i % 3 == 0 else ""
+                    tld = "com" if i % 2 == 0 else "co.uk"
+                    port = ":8080" if (i + j) % 3 == 0 else ""
+                    q = "?b=2&a=1" if j % 2 == 1 else ""
+                    recs.append(
+                        {
+                            "warc_type": "response",
+                            "target_uri": (
+                                f"{scheme}://{www}{sub}Site{i % 5}"
+                                f".{tld}{port}/page/{i}/{j}{q}"
+                            ),
+                            "content_type": "text/html",
+                            "payload": body,
+                        }
+                    )
+                payloads.append(
+                    make_warc(recs, gzip_members=i % 2 == 1)
+                )
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema)
+    clean = X.strip_markup(F.col("body"))
+    scored = (
+        MM.warc_records(with_payload)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            "doc_id",
+            "rec_idx",
+            "target_uri",
+            clean.alias("__clean"),
+        )
+        .withColumn("q", X.quality_score(F.col("__clean")))
+        .filter(F.col("q") >= 0.6)
+        .select(
+            "doc_id",
+            "rec_idx",
+            U.canonical_url("target_uri").alias("canon_url"),
+            U.url_host("target_uri").alias("host"),
+            F.length("__clean").cast("long").alias("clean_len"),
+            "q",
+        )
+        .withColumn(
+            "reg_domain", U.registered_domain(F.col("host"))
+        )
+    )
+    return (
+        U.host_cap(scored, "host", 2, ["doc_id", "rec_idx"])
+        .select(
+            "doc_id", "rec_idx", "canon_url", "host", "reg_domain",
+            "host_rank", "host_docs", "clean_len", "q",
+        )
+        .orderBy("doc_id", "rec_idx")
+    )
+
+
 def q_wds_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset EXPORT → re-ingest round trip (``shard_webdataset``
     + ``wds_samples``, new r9): shard the whole documents table into
@@ -7696,6 +7806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract_docs": q_pdf_extract_docs,
         "bpe_train_docs": q_bpe_train_docs,
         "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
+        "crawl_curation_v2": q_crawl_curation_v2,
         # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
         # sample twins + winnowing fingerprints ---
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -10654,6 +10765,94 @@ def oracle_sql() -> dict[str, str]:
                    s.q
             FROM sq s, generate_series(0, 1) AS g(j)
             WHERE g.j < s.n_resp AND s.q >= 0.6
+            ORDER BY doc_id, rec_idx
+        """,
+        "crawl_curation_v2": f"""
+            WITH docs AS (
+                SELECT doc_id, text, 1 + doc_id % 3 AS n_resp
+                FROM documents
+                WHERE doc_id % 89 = 0
+            ), h AS (
+                SELECT doc_id, n_resp,
+                       '<html><body class="c' || (doc_id % 7)
+                       || '"><h1>Doc &amp; ' || doc_id || '</h1><p>'
+                       || replace(COALESCE(text, ''), ' data ',
+                                  ' &quot;data&quot; ')
+                       || '</p><script>var x = 1;</script><style>p{{}}</style>'
+                       || '</body></html>' AS html
+                FROM docs
+            ), c AS (
+                SELECT doc_id, n_resp,
+                       trim(regexp_replace(
+                         replace(replace(replace(replace(replace(replace(
+                           regexp_replace(regexp_replace(regexp_replace(html,
+                             '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                             '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                             '<[^>]*>', ' ', 'g'),
+                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                         '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+                         '\\s+', ' ', 'g')) AS clean
+                FROM h
+            ), t AS (
+                SELECT *, list_filter(string_split_regex(clean, '\\s+'),
+                                      x -> x <> '') AS toks
+                FROM c
+            ), sq AS (
+                SELECT doc_id, n_resp, clean,
+                   round(least(1.0, len(toks) / 50.0)
+                     * greatest(0.0, 1.0 - (CASE WHEN length(clean) > 0
+                         THEN length(regexp_replace(clean,
+                              '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))::DOUBLE
+                              / length(clean)
+                         ELSE 0.0 END) * 4)
+                     * least(1.0, 0.5 + (CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks,
+                              x -> x IN ('the','a','of','and','is')))::DOUBLE
+                              / len(toks)
+                         ELSE 0.0 END) * 5), 4) AS q
+                FROM t
+            ), recs AS (
+                SELECT s.doc_id,
+                       CAST(g.j AS INT) AS rec_idx,
+                       g.j + 1 AS jj,
+                       s.clean, s.q
+                FROM sq s, generate_series(0, 2) AS g(j)
+                WHERE g.j < s.n_resp AND s.q >= 0.6
+            ), u AS (
+                SELECT doc_id, rec_idx, clean, q,
+                       (CASE WHEN (doc_id + jj) % 2 = 0
+                             THEN 'https' ELSE 'http' END) AS scheme_c,
+                       (CASE WHEN doc_id % 3 = 0 THEN 'm.' ELSE '' END)
+                       || 'site' || CAST(doc_id % 5 AS VARCHAR) || '.'
+                       || (CASE WHEN doc_id % 2 = 0
+                                THEN 'com' ELSE 'co.uk' END) AS host_c,
+                       (CASE WHEN (doc_id + jj) % 3 = 0
+                             THEN ':8080' ELSE '' END) AS port_part,
+                       '/page/' || CAST(doc_id AS VARCHAR) || '/'
+                       || CAST(jj AS VARCHAR) AS path_c,
+                       (CASE WHEN jj % 2 = 1
+                             THEN '?a=1&b=2' ELSE '' END) AS q_part
+                FROM recs
+            ), r AS (
+                SELECT doc_id, rec_idx,
+                       scheme_c || '://' || host_c || port_part
+                           || path_c || q_part AS canon_url,
+                       host_c AS host,
+                       {url_reg_sql} AS reg_domain,
+                       row_number() OVER (
+                           PARTITION BY host_c
+                           ORDER BY doc_id, rec_idx) AS host_rank,
+                       count(*) OVER (PARTITION BY host_c) AS host_docs,
+                       CAST(length(clean) AS BIGINT) AS clean_len,
+                       q
+                FROM u
+            )
+            SELECT doc_id, rec_idx, canon_url, host, reg_domain,
+                   CAST(host_rank AS INT) AS host_rank,
+                   CAST(host_docs AS BIGINT) AS host_docs,
+                   clean_len, q
+            FROM r
+            WHERE host_rank <= 2
             ORDER BY doc_id, rec_idx
         """,
         "wds_samples_docs": """
