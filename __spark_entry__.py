@@ -4375,6 +4375,56 @@ def q_train_tokenize_pack_v1(
     ).orderBy("block_id")
 
 
+_HLQ_BUCKETS = 512
+_HLQ_BIAS = 0.05
+# pinned weight table: one formula, two engines (the Spark side
+# materializes it as a literal array, the oracle inlines the formula)
+_HLQ_WEIGHTS = [
+    ((b * 2654435761) % 1000003) / 1000003.0 - 0.5
+    for b in range(_HLQ_BUCKETS)
+]
+_HLQ_WEIGHT_SQL = "(((__B__ * 2654435761) % 1000003) / 1000003.0 - 0.5)"
+
+
+def q_hash_quality_filter_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """fastText-style hashed linear quality filter
+    (``text.hash_linear_score``, new r10): unigram+bigram features
+    hashed into 512 buckets with the portable polynomial hash, scored
+    against a pinned weight table, thresholded at margin > 0 — the
+    bag-of-ngrams classifier architecture real pretraining quality
+    filters run (CCNet/fastText), here with deterministic weights so
+    the WHOLE scorer is differential-testable.  Pure codegen: one
+    sequential fold per doc, float summation in feature order (bit-
+    reproducible), no shuffle; the weight table ships as a literal
+    array, the 100 TB shape for any broadcast model under a few MB."""
+    from parquet_editor_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.normalize_text("text").alias("norm")
+    )
+    n_tok = F.size(
+        F.filter(F.split("norm", " "), lambda t: t != F.lit(""))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.when(n_tok >= 2, 2 * n_tok - 1)
+            .otherwise(n_tok)
+            .cast("long")
+            .alias("n_feats"),
+            X.hash_linear_score(
+                "norm", _HLQ_WEIGHTS, bias=_HLQ_BIAS
+            ).alias("margin"),
+        )
+        .withColumn(
+            "keep", (F.col("margin") > 0).cast("int")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction (sources/pdf.py + ``pdf_pages``, new r10 —
     the r9 verdict's #6: the largest remaining real-world document
@@ -7807,6 +7857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_docs": q_bpe_train_docs,
         "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
         "crawl_curation_v2": q_crawl_curation_v2,
+        "hash_quality_filter_docs": q_hash_quality_filter_docs,
         # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
         # sample twins + winnowing fingerprints ---
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -8075,10 +8126,16 @@ def oracle_sql() -> dict[str, str]:
     from parquet_editor_spark.operators.warehouse import hilbert_sql_ctes
 
     from parquet_editor_spark.operators.dedup import winnow_gram_hash_sql
+    from parquet_editor_spark.functions.text import hash_linear_score_sql
     from parquet_editor_spark.operators.textprep import (
         bpe_apply_sql,
         bpe_train_ctes,
         bpe_train_oracle_sql,
+    )
+
+    # hashed-linear scorer mirror over the shared normalization
+    hlq_margin = hash_linear_score_sql(
+        "norm", _HLQ_BUCKETS, _HLQ_WEIGHT_SQL, bias=_HLQ_BIAS
     )
 
     # suffix walk generated from the SAME pinned public-suffix table
@@ -10489,6 +10546,28 @@ def oracle_sql() -> dict[str, str]:
                    md5(csv) AS ids_md5
             FROM b
             ORDER BY block_id
+        """,
+        "hash_quality_filter_docs": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS norm
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(norm, ' '),
+                                       t -> t <> ''))::BIGINT AS nt,
+                       round({hlq_margin}, 6) AS margin
+                FROM d
+            )
+            SELECT doc_id,
+                   (CASE WHEN nt >= 2 THEN 2 * nt - 1 ELSE nt
+                    END)::BIGINT AS n_feats,
+                   margin,
+                   (CASE WHEN margin > 0 THEN 1 ELSE 0 END)::INT AS keep
+            FROM s
+            ORDER BY doc_id
         """,
         "pdf_extract_docs": """
             WITH docs AS (

@@ -38,3 +38,36 @@ def portable_bucket(
         + F.lit(seed)
     ) % F.lit(4294967296)
     return h % F.lit(mod) if mod is not None else h
+
+
+# Polynomial string hash shared by winnowing and the hashed-feature
+# scorer: Horner over character codes mod a prime just under 2^55 —
+# every step (h*131 + codepoint) stays inside int64 in BOTH engines
+# (2^55·131 + 2^21 < 2^63; a 2^61-1 modulus would need the 128-bit
+# mulmod Catalyst int64 arithmetic can't express).
+POLY_MOD = 36028797018963913  # 2^55 − 55, prime
+POLY_BASE = 131
+
+
+def poly_string_hash(col: str | Column) -> Column:
+    """Portable polynomial hash of a STRING column (variable length —
+    the fold runs over the split characters, unlike the winnowing
+    gram hash which unrolls a fixed k).  Pure codegen: split +
+    aggregate, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda h, ch: (h * POLY_BASE + F.ascii(ch)) % POLY_MOD,
+    )
+
+
+def poly_string_hash_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`poly_string_hash` — same fold, same
+    constants (list_reduce has no init, so 0 is prepended)."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({expr}, ''), "
+        f"ch -> ascii(ch)::BIGINT)), "
+        f"(h, c) -> (h * {POLY_BASE} + c) % {POLY_MOD})"
+    )

@@ -276,6 +276,106 @@ def quality_score(
     return F.round(length_part * punct_part * stop_part, 4)
 
 
+def hash_linear_score(
+    col: str | Column,
+    weights: Sequence[float],
+    bias: float = 0.0,
+    round_to: int = 6,
+) -> Column:
+    """fastText-style hashed linear text scorer (r10): features are
+    the whitespace unigrams plus '_'-joined adjacent bigrams, each
+    hashed into ``len(weights)`` buckets with the portable polynomial
+    string hash, and the score is the MEAN bucket weight plus bias —
+    the linear margin of a bag-of-ngrams classifier (the standard
+    pretraining quality-filter architecture; the sigmoid is monotone,
+    so thresholding the margin IS thresholding the probability and
+    the margin stays engine-portable where ``exp`` is not).
+
+    ``weights`` is the trained (here: pinned) weight table, shipped
+    as a literal array — broadcast once per executor inside the plan.
+    Pure codegen: split + transform + one sequential fold, no Python,
+    no shuffle; the fold order is the feature order, so float
+    summation is bit-reproducible in any engine.  Empty docs score
+    ``round(bias, round_to)``."""
+    from parquet_editor_spark.functions.hashing import (
+        POLY_BASE,
+        POLY_MOD,
+    )
+
+    c = F.col(col) if isinstance(col, str) else col
+    n_b = len(weights)
+    if n_b < 1:
+        raise ValueError("weights must be non-empty")
+    toks = F.filter(F.split(c, " "), lambda t: t != F.lit(""))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i),
+                F.lit("_"),
+                F.element_at(toks, i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+
+    def bucket(t):
+        h = F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * POLY_BASE + F.ascii(ch)) % POLY_MOD,
+        )
+        return (h % n_b).cast("int")
+
+    total = F.aggregate(
+        feats,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(w_arr, bucket(t) + 1),
+    )
+    margin = F.when(
+        F.size(feats) > 0,
+        F.lit(float(bias)) + total / F.size(feats),
+    ).otherwise(F.lit(float(bias)))
+    return F.round(margin, round_to)
+
+
+def hash_linear_score_sql(
+    norm_expr: str, n_buckets: int, weight_sql: str, bias: float = 0.0
+) -> str:
+    """DuckDB mirror of :func:`hash_linear_score` — same features,
+    same fold order, same constants; ``weight_sql`` maps the bucket
+    placeholder ``__B__`` to its weight (one formula, two engines)."""
+    from parquet_editor_spark.functions.hashing import (
+        POLY_BASE,
+        POLY_MOD,
+    )
+
+    toks = (
+        f"list_filter(string_split({norm_expr}, ' '), t -> t <> '')"
+    )
+    feats = f"""list_concat({toks},
+        CASE WHEN len({toks}) >= 2 THEN
+            list_transform(range(1, len({toks})::BIGINT),
+                i -> {toks}[i::INT] || '_' || {toks}[i::INT + 1])
+        ELSE [] END)"""
+    bucket = (
+        f"(list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split(t, ''), "
+        f"ch -> ascii(ch)::BIGINT)), "
+        f"(h, c) -> (h * {POLY_BASE} + c) % {POLY_MOD}) % {n_buckets})"
+    )
+    if "__B__" not in weight_sql:
+        raise ValueError("weight_sql must reference __B__")
+    w_of_t = weight_sql.replace("__B__", f"({bucket})")
+    return f"""(CASE WHEN len({feats}) > 0 THEN
+        {bias} + list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform({feats}, t -> {w_of_t})),
+            (acc, x) -> acc + x) / len({feats})
+        ELSE {bias} END)"""
+
+
 def mean_word_length(col: str | Column, toks: Optional[Column] = None) -> Column:
     """Mean characters per token — a Gopher-style quality signal
     (machine-generated text skews short or long). Single sequential

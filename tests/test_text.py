@@ -386,3 +386,80 @@ def test_script_counts_classes_and_argmax(spark):
     assert rows[3]["script_pred"] == "arabic"
     assert rows[4]["script_pred"] == "und"
     assert rows[5]["script_pred"] == "und" and rows[5]["n_latin"] is None
+
+
+# ---------------------------------------------------------------------------
+# hash_linear_score (r10)
+# ---------------------------------------------------------------------------
+
+def _hl_scalar(text, weights, bias=0.0):
+    from parquet_editor_spark.functions.hashing import POLY_BASE, POLY_MOD
+
+    toks = [t for t in text.split(" ") if t]
+    feats = toks + [
+        f"{a}_{b}" for a, b in zip(toks, toks[1:])
+    ]
+
+    def bucket(t):
+        h = 0
+        for ch in t:
+            h = (h * POLY_BASE + ord(ch)) % POLY_MOD
+        return h % len(weights)
+
+    if not feats:
+        return round(bias, 6)
+    s = 0.0
+    for t in feats:
+        s = s + weights[bucket(t)]
+    return round(bias + s / len(feats), 6)
+
+
+_HL_W = [
+    ((b * 2654435761) % 1000003) / 1000003.0 - 0.5 for b in range(64)
+]
+_HL_W_SQL = "(((__B__ * 2654435761) % 1000003) / 1000003.0 - 0.5)"
+
+
+def test_hash_linear_score_matches_scalar(spark):
+    from parquet_editor_spark.functions.text import hash_linear_score
+
+    texts = [
+        "the cat sat on the mat today",
+        "one",
+        "",
+        "a b c d e f g h i j k l",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    got = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i", hash_linear_score("t", _HL_W, bias=0.1).alias("s")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == pytest.approx(_hl_scalar(t, _HL_W, 0.1), abs=0), (i, t)
+
+
+def test_hash_linear_score_sql_mirror_matches_scalar():
+    import duckdb
+
+    from parquet_editor_spark.functions.text import hash_linear_score_sql
+
+    sql = hash_linear_score_sql("t", 64, _HL_W_SQL, bias=0.1)
+    con = duckdb.connect()
+    for t in ["the cat sat on the mat", "", "solo", "x y z x y z"]:
+        duck = con.sql(
+            f"SELECT round({sql}, 6) FROM (SELECT ? AS t)", params=[t]
+        ).fetchone()[0]
+        assert duck == pytest.approx(_hl_scalar(t, _HL_W, 0.1), abs=0), t
+    import pytest as _pt
+    with _pt.raises(ValueError, match="__B__"):
+        hash_linear_score_sql("t", 64, "0.5")
+
+
+def test_hash_linear_score_validates():
+    from parquet_editor_spark.functions.text import hash_linear_score
+
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_linear_score("t", [])
