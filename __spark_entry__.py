@@ -4375,6 +4375,41 @@ def q_train_tokenize_pack_v1(
     ).orderBy("block_id")
 
 
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup (``dedup.line_dedup``, new r10):
+    every doc gets two INJECTED boilerplate lines (a per-bucket promo
+    header and a corpus-wide footer — the dedup has real work even
+    where the corpus lacks natural repeated sentences) around its
+    text, lines split on '. '; the operator keeps each distinct
+    trimmed line's global first occurrence, drops every later copy,
+    and reassembles the survivors in order.  One fingerprint hash agg
+    (map-side combinable min(struct(id,pos))), one key join back, one
+    per-doc reassembly; the oracle rebuilds the same keep set with a
+    first-occurrence window in DuckDB and pins the reassembled text
+    by md5."""
+    from parquet_editor_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("promo "),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(". "),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(". visit example site today"),
+        ).alias("lined"),
+    )
+    out = D.line_dedup(docs, "doc_id", "lined", sep=". ", min_chars=2)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_lines",
+        "n_kept",
+        F.length("kept_text").cast("long").alias("kept_chars"),
+        F.substring("kept_text", 1, 32).alias("kept_prefix"),
+        F.md5(F.encode("kept_text", "utf-8")).alias("kept_md5"),
+    ).orderBy("doc_id")
+
+
 _HLQ_BUCKETS = 512
 _HLQ_BIAS = 0.05
 # pinned weight table: one formula, two engines (the Spark side
@@ -7858,6 +7893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
         "crawl_curation_v2": q_crawl_curation_v2,
         "hash_quality_filter_docs": q_hash_quality_filter_docs,
+        "line_dedup_docs": q_line_dedup_docs,
         # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
         # sample twins + winnowing fingerprints ---
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -10546,6 +10582,48 @@ def oracle_sql() -> dict[str, str]:
                    md5(csv) AS ids_md5
             FROM b
             ORDER BY block_id
+        """,
+        "line_dedup_docs": """
+            WITH d AS (
+                SELECT doc_id,
+                       'promo ' || CAST(doc_id % 3 AS VARCHAR) || '. '
+                       || COALESCE(text, '')
+                       || '. visit example site today' AS lined
+                FROM documents
+            ), l0 AS (
+                SELECT doc_id,
+                       unnest(range(len(string_split(lined, '. '))))
+                           AS pos,
+                       unnest(string_split(lined, '. ')) AS line
+                FROM d
+            ), l AS (
+                SELECT doc_id, CAST(pos AS INT) AS pos, line,
+                       trim(line) AS canon
+                FROM l0
+            ), k AS (
+                SELECT doc_id, pos, line,
+                       CASE WHEN length(canon) < 2 THEN TRUE
+                            ELSE row_number() OVER (
+                                PARTITION BY canon
+                                ORDER BY doc_id, pos) = 1
+                       END AS keep
+                FROM l
+            ), r AS (
+                SELECT doc_id,
+                       count(*)::BIGINT AS n_lines,
+                       COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0
+                                    END), 0)::BIGINT AS n_kept,
+                       COALESCE(string_agg(line, '. ' ORDER BY pos)
+                                FILTER (WHERE keep), '') AS kept_text
+                FROM k
+                GROUP BY doc_id
+            )
+            SELECT doc_id, n_lines, n_kept,
+                   CAST(length(kept_text) AS BIGINT) AS kept_chars,
+                   substr(kept_text, 1, 32) AS kept_prefix,
+                   md5(kept_text) AS kept_md5
+            FROM r
+            ORDER BY doc_id
         """,
         "hash_quality_filter_docs": f"""
             WITH d AS (

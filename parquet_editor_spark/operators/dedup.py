@@ -183,6 +183,83 @@ def exact_dedup_keep(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """C4-style LINE-level exact dedup (r10): split every document on
+    ``sep``, keep each distinct line's GLOBAL first occurrence (lowest
+    (doc id, line position)), drop every later copy, and reassemble
+    each document from its surviving lines in original order — the
+    classic boilerplate killer (C4 ran it at the line level; most
+    crawl pipelines run it before document-level dedup).  Lines
+    shorter than ``min_chars`` after trimming pass through unkeyed
+    (never deduped — one-word lines are not boilerplate evidence).
+
+    Emits one row per doc: ``id``, ``n_lines``, ``n_kept``, and
+    ``kept_text`` (surviving lines re-joined with ``sep``); docs whose
+    every line was dropped keep a row with empty text.
+
+    Scale shape: posexplode → ONE hash agg on the 16-byte line
+    fingerprint (``min(struct(id,pos))`` — map-side combinable, no
+    window over data) → broadcast-unfriendly but fingerprint-keyed
+    join back (shuffles keys + positions, not text — text rides the
+    doc-keyed side) → one groupBy(doc) sorted reassembly.  Three
+    shuffles, each moving each line's key or text exactly once."""
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        # sep is a LITERAL separator (split's pattern arg is a regex)
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("pos", "line"),
+    )
+    keyed = lines.withColumn(
+        "__canon", F.trim(F.col("line"))
+    ).withColumn(
+        "__fp",
+        F.when(
+            F.length("__canon") >= min_chars,
+            F.md5(F.encode(F.col("__canon"), "utf-8")),
+        ),
+    )
+    firsts = (
+        keyed.filter(F.col("__fp").isNotNull())
+        .groupBy("__fp")
+        .agg(F.min(F.struct("id", "pos")).alias("__first"))
+        .select(
+            "__fp",
+            F.col("__first.id").alias("__fid"),
+            F.col("__first.pos").alias("__fpos"),
+        )
+    )
+    kept = keyed.join(firsts, "__fp", "left").filter(
+        F.col("__fp").isNull()
+        | ((F.col("id") == F.col("__fid")) & (F.col("pos") == F.col("__fpos")))
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+        lambda s: s["line"],
+    )
+    totals = lines.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_lines")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(ordered, sep).alias("kept_text"),
+    )
+    return totals.join(rebuilt, "id", "left").select(
+        "id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, inverted-index join)
 # ---------------------------------------------------------------------------

@@ -509,3 +509,49 @@ def test_winnow_fingerprints_validates_args(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="k >= 2"):
         winnow_fingerprints(df, "doc_id", "text", k=1)
+
+
+def test_line_dedup_keeps_global_first_occurrence(spark):
+    from parquet_editor_spark.operators.dedup import line_dedup
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"intro one. {boiler}. body one"),
+        (2, f"{boiler}. body two. {boiler}"),  # in-doc repeat too
+        (3, "body three. x"),                   # 'x' short: passes thru
+        (4, f"x. {boiler}. body three"),        # dup body from doc 3
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in line_dedup(
+            df, "doc_id", "text", sep=". ", min_chars=2
+        ).collect()
+    }
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 3)
+    assert out[1]["kept_text"] == rows[0][1]
+    # doc 2: boiler already seen (doc1,pos1); both copies drop
+    assert out[2]["kept_text"] == "body two"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (3, 1)
+    # doc 3 intact; doc 4 keeps short 'x' (unkeyed) but loses dups
+    assert out[3]["kept_text"] == "body three. x"
+    assert out[4]["kept_text"] == "x"
+    assert (out[4]["n_lines"], out[4]["n_kept"]) == (3, 1)
+    # empty doc: one empty line, trimmed '' below min_chars -> kept
+    assert (out[5]["n_lines"], out[5]["n_kept"]) == (1, 1)
+    assert out[5]["kept_text"] == ""
+
+
+def test_line_dedup_whitespace_canonicalization(spark):
+    from parquet_editor_spark.operators.dedup import line_dedup
+
+    rows = [(1, "alpha beta\ngamma"), (2, "  alpha beta  \ndelta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r["kept_text"]
+        for r in line_dedup(df, "doc_id", "text").collect()
+    }
+    # trim-canonical: doc 2's padded copy is the same line
+    assert out[1] == "alpha beta\ngamma"
+    assert out[2] == "delta"
