@@ -4375,6 +4375,72 @@ def q_train_tokenize_pack_v1(
     ).orderBy("block_id")
 
 
+def q_robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl filtering (``urls.robots_rules`` +
+    ``robots_allowed``, new r10): per host, synthesize a REAL
+    robots.txt (comments, a denied-everything badbot group, a stacked
+    two-agent ``*`` group, an empty-valued Disallow, a host-parity
+    extra rule); per doc, a URL path hitting every verdict class —
+    no-match, prefix-deny, longer-allow-override, parity rule, exact
+    prefix.  Spark PARSES the text (group walk, star scoping) and
+    applies Google longest-match/allow-wins semantics through a
+    broadcast rule join; the oracle asserts the closed-form verdict
+    arithmetic directly, so any parsing or matching defect diverges."""
+    from parquet_editor_spark.functions import urls as U
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (d % 7).cast("string"), F.lit(".com")
+        ).alias("host"),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit("/public/"), d.cast("string")),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(F.lit("/private/x"), d.cast("string")),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit("/private/ok/"), d.cast("string")),
+        )
+        .when(d % 5 == 3, F.concat(F.lit("/tmp/"), d.cast("string")))
+        .otherwise(F.lit("/private"))
+        .alias("path"),
+    )
+    n = F.col("n")
+    hosts = (
+        docs.select((d % 7).alias("n"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("site"), n.cast("string"), F.lit(".com")
+            ).alias("host"),
+            F.concat(
+                F.lit("# robots for site"),
+                n.cast("string"),
+                F.lit(
+                    "\nUser-agent: badbot\nDisallow: /\n\n"
+                    "User-agent: bot2\nUser-agent: *\n"
+                    "Disallow: /private\nAllow: /private/ok\n"
+                    "Disallow:"
+                ),
+                F.when(
+                    n % 2 == 0, F.lit("\nDisallow: /tmp")
+                ).otherwise(F.lit("")),
+            ).alias("robots"),
+        )
+    )
+    rules = U.robots_rules(hosts, "host", "robots")
+    return (
+        U.robots_allowed(docs, rules, "host", "path")
+        .select("doc_id", "host", "path", "allowed", "matched_len")
+        .orderBy("doc_id")
+    )
+
+
 def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level dedup (``dedup.line_dedup``, new r10):
     every doc gets two INJECTED boilerplate lines (a per-bucket promo
@@ -7894,6 +7960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_curation_v2": q_crawl_curation_v2,
         "hash_quality_filter_docs": q_hash_quality_filter_docs,
         "line_dedup_docs": q_line_dedup_docs,
+        "robots_filter_docs": q_robots_filter_docs,
         # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
         # sample twins + winnowing fingerprints ---
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -10582,6 +10649,33 @@ def oracle_sql() -> dict[str, str]:
                    md5(csv) AS ids_md5
             FROM b
             ORDER BY block_id
+        """,
+        "robots_filter_docs": """
+            SELECT doc_id,
+                   'site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                       AS host,
+                   CASE doc_id % 5
+                        WHEN 0 THEN '/public/' || CAST(doc_id AS VARCHAR)
+                        WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                        WHEN 2 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+                        WHEN 3 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+                        ELSE '/private' END AS path,
+                   CAST(CASE doc_id % 5
+                        WHEN 0 THEN 1
+                        WHEN 1 THEN 0
+                        WHEN 2 THEN 1
+                        WHEN 3 THEN (CASE WHEN (doc_id % 7) % 2 = 0
+                                          THEN 0 ELSE 1 END)
+                        ELSE 0 END AS INT) AS allowed,
+                   CAST(CASE doc_id % 5
+                        WHEN 0 THEN 0
+                        WHEN 1 THEN 8
+                        WHEN 2 THEN 11
+                        WHEN 3 THEN (CASE WHEN (doc_id % 7) % 2 = 0
+                                          THEN 4 ELSE 0 END)
+                        ELSE 8 END AS INT) AS matched_len
+            FROM documents
+            ORDER BY doc_id
         """,
         "line_dedup_docs": """
             WITH d AS (

@@ -114,3 +114,69 @@ def test_host_cap_keeps_first_n_deterministically(spark):
     ]
     with pytest.raises(ValueError):
         U.host_cap(df, "host", 0, ["doc_id"])
+
+
+_ROBOTS = """# robots for test
+User-agent: badbot
+Disallow: /
+
+User-agent: bot2
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow:
+Disallow: /tmp
+"""
+
+
+def test_robots_rules_star_group_only(spark):
+    df = spark.createDataFrame(
+        [("a.com", _ROBOTS), ("b.com", "User-agent: *\nAllow: /x")],
+        "host string, robots string",
+    )
+    got = {
+        (r["host"], r["is_allow"], r["prefix"])
+        for r in U.robots_rules(df, "host", "robots").collect()
+    }
+    # badbot's 'Disallow: /' excluded; empty-value Disallow skipped;
+    # the stacked bot2/* group's rules all included
+    assert got == {
+        ("a.com", 0, "/private"),
+        ("a.com", 1, "/private/ok"),
+        ("a.com", 0, "/tmp"),
+        ("b.com", 1, "/x"),
+    }
+
+
+def test_robots_allowed_longest_match_and_ties(spark):
+    rules = spark.createDataFrame(
+        [
+            ("a.com", 0, "/private"),
+            ("a.com", 1, "/private/ok"),
+            ("a.com", 0, "/p"),
+            ("a.com", 1, "/dual"),   # length tie with next:
+            ("a.com", 0, "/dual"),   # allow wins equal length
+        ],
+        "host string, is_allow int, prefix string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "/public/page"),      # '/p' prefix -> denied
+            (2, "a.com", "/private/x"),        # /private -> denied
+            (3, "a.com", "/private/ok/y"),     # longer allow wins
+            (4, "a.com", "/dual/z"),           # tie -> allow wins
+            (5, "b.com", "/private/x"),        # no rules host -> allowed
+        ],
+        "doc_id long, host string, path string",
+    )
+    got = {
+        r["doc_id"]: (r["allowed"], r["matched_len"])
+        for r in U.robots_allowed(urls, rules).collect()
+    }
+    assert got == {
+        1: (0, 2),   # robots prefixes have no segment boundary
+        2: (0, 8),
+        3: (1, 11),
+        4: (1, 5),
+        5: (1, 0),
+    }
