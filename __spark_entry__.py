@@ -4375,6 +4375,37 @@ def q_train_tokenize_pack_v1(
     ).orderBy("block_id")
 
 
+def q_cdx_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style URL index build (``urls.surt_key``, new r10): the
+    CommonCrawl/Wayback index artifact — per doc, the canonicalized
+    messy-URL fixture's SURT key (reversed host labels — sorting
+    clusters a domain's URLs contiguously, the property a
+    range-scannable petabyte URL index needs), the canonical URL and a
+    content digest, emitted in index order.  Pure projections + the
+    final sort; the oracle rebuilds key construction from the same
+    parse arithmetic."""
+    from parquet_editor_spark.functions import urls as U
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", _synth_url_col().alias("u")
+    )
+    parts = docs.select(
+        "doc_id",
+        U.url_host("u").alias("host"),
+        U.url_path("u").alias("path"),
+        U.canonical_url("u").alias("canon_url"),
+        F.md5(
+            F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
+        ).alias("digest"),
+    )
+    return parts.select(
+        "doc_id",
+        U.surt_key("host", "path").alias("surt"),
+        "canon_url",
+        "digest",
+    ).orderBy("surt", "doc_id")
+
+
 def q_robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt crawl filtering (``urls.robots_rules`` +
     ``robots_allowed``, new r10): per host, synthesize a REAL
@@ -7961,6 +7992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_quality_filter_docs": q_hash_quality_filter_docs,
         "line_dedup_docs": q_line_dedup_docs,
         "robots_filter_docs": q_robots_filter_docs,
+        "cdx_index_docs": q_cdx_index_docs,
         # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
         # sample twins + winnowing fingerprints ---
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -10649,6 +10681,19 @@ def oracle_sql() -> dict[str, str]:
                    md5(csv) AS ids_md5
             FROM b
             ORDER BY block_id
+        """,
+        "cdx_index_docs": f"""
+            WITH p AS ({_ORACLE_URL_PARTS}), cc AS ({_ORACLE_URL_CANON})
+            SELECT p.doc_id,
+                   array_to_string(list_reverse(
+                       string_split(p.host_c, '.')), ',')
+                   || ')' || p.path_c AS surt,
+                   cc.canon AS canon_url,
+                   md5(COALESCE(dd.text, '')) AS digest
+            FROM p
+            JOIN cc ON cc.doc_id = p.doc_id
+            JOIN documents dd ON dd.doc_id = p.doc_id
+            ORDER BY surt, p.doc_id
         """,
         "robots_filter_docs": """
             SELECT doc_id,

@@ -152,6 +152,23 @@ def registered_domain_sql(host_expr: str) -> str:
     return "CASE " + " ".join(branches) + f" ELSE {host_expr} END"
 
 
+def surt_key(
+    host: str | Column, path: str | Column
+) -> Column:
+    """SURT-form index key (Sort-friendly URI Reordering Transform —
+    the CommonCrawl/Wayback CDX convention): host labels reversed and
+    comma-joined, then ``)`` and the path — ``com,example)/page``.
+    Sorting SURT keys clusters a registered domain's URLs contiguously,
+    which is what makes a petabyte-scale URL index range-scannable.
+    Pure codegen: split + reverse + join."""
+    h = _c(host)
+    return F.concat(
+        F.array_join(F.reverse(F.split(h, r"\.")), ","),
+        F.lit(")"),
+        _c(path),
+    )
+
+
 def robots_rules(
     df: DataFrame, host_col: str, robots_col: str
 ) -> DataFrame:

@@ -180,3 +180,23 @@ def test_robots_allowed_longest_match_and_ties(spark):
         4: (1, 5),
         5: (1, 0),
     }
+
+
+def test_surt_key_clusters_domains(spark):
+    df = spark.createDataFrame(
+        [
+            ("www.example.com", "/a"),   # caller canonicalizes first
+            ("sub.example.com", "/b"),
+            ("example.org", "/c"),
+        ],
+        "host string, path string",
+    )
+    got = [
+        r["s"]
+        for r in df.select(U.surt_key("host", "path").alias("s")).collect()
+    ]
+    assert got == [
+        "com,example,www)/a",
+        "com,example,sub)/b",
+        "org,example)/c",
+    ]
