@@ -4375,6 +4375,75 @@ def q_train_tokenize_pack_v1(
     ).orderBy("block_id")
 
 
+def q_epub_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB text extraction (sources/epub.py + ``epub_book_chapters``,
+    new r10): per doc, synthesize a real EPUB (stored mimetype entry,
+    container.xml → OPF manifest + spine, deflated XHTML chapters
+    carrying 80-char slices of the doc's text), then run the
+    production walk — ZIP member table, OCF/OPF resolution, spine
+    ordering — and strip the chapter markup in Catalyst.  The oracle
+    rebuilds each chapter's XHTML string arithmetically and applies
+    the same strip chain, so a byte lost anywhere in the container
+    walk or a spine misorder fails the md5."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.functions import text as X
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 101 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.epub import make_epub
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(raw)
+                chapters = [
+                    (
+                        f"Chapter {i}-{j}",
+                        (text or "")[j * 80:(j + 1) * 80],
+                    )
+                    for j in range(1 + i % 3)
+                ]
+                payloads.append(make_epub(chapters, title=f"Doc {i}"))
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema)
+    clean = X.strip_markup(F.col("xhtml"))
+    return (
+        MM.epub_book_chapters(with_payload)
+        .select(
+            "doc_id",
+            "chapter_idx",
+            "href",
+            clean.alias("__clean"),
+        )
+        .select(
+            "doc_id",
+            "chapter_idx",
+            "href",
+            F.length("__clean").cast("long").alias("clean_len"),
+            F.substring("__clean", 1, 40).alias("clean_prefix"),
+            F.md5(F.encode("__clean", "utf-8")).alias("clean_md5"),
+        )
+        .orderBy("doc_id", "chapter_idx")
+    )
+
+
 def q_cdx_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX-style URL index build (``urls.surt_key``, new r10): the
     CommonCrawl/Wayback index artifact — per doc, the canonicalized
@@ -7993,6 +8062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": q_line_dedup_docs,
         "robots_filter_docs": q_robots_filter_docs,
         "cdx_index_docs": q_cdx_index_docs,
+        "epub_extract_docs": q_epub_extract_docs,
         # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
         # sample twins + winnowing fingerprints ---
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -10681,6 +10751,48 @@ def oracle_sql() -> dict[str, str]:
                    md5(csv) AS ids_md5
             FROM b
             ORDER BY block_id
+        """,
+        "epub_extract_docs": """
+            WITH docs AS (
+                SELECT doc_id, text, 1 + doc_id % 3 AS n_ch
+                FROM documents
+                WHERE doc_id % 101 = 0
+            ), ch AS (
+                SELECT d.doc_id,
+                       CAST(g.j AS INT) AS chapter_idx,
+                       'chap' || CAST(g.j AS VARCHAR) || '.xhtml'
+                           AS href,
+                       '<?xml version="1.0"?><html><head><title>'
+                       || 'Chapter ' || CAST(d.doc_id AS VARCHAR)
+                       || '-' || CAST(g.j AS VARCHAR)
+                       || '</title></head><body><h1>'
+                       || 'Chapter ' || CAST(d.doc_id AS VARCHAR)
+                       || '-' || CAST(g.j AS VARCHAR)
+                       || '</h1><p>'
+                       || substr(COALESCE(d.text, ''),
+                                 1 + g.j * 80, 80)
+                       || '</p></body></html>' AS html
+                FROM docs d, generate_series(0, 2) AS g(j)
+                WHERE g.j < d.n_ch
+            ), c AS (
+                SELECT doc_id, chapter_idx, href,
+                       trim(regexp_replace(
+                         replace(replace(replace(replace(replace(replace(
+                           regexp_replace(regexp_replace(regexp_replace(html,
+                             '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                             '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                             '<[^>]*>', ' ', 'g'),
+                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                         '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+                         '\\s+', ' ', 'g')) AS clean
+                FROM ch
+            )
+            SELECT doc_id, chapter_idx, href,
+                   CAST(length(clean) AS BIGINT) AS clean_len,
+                   substr(clean, 1, 40) AS clean_prefix,
+                   md5(clean) AS clean_md5
+            FROM c
+            ORDER BY doc_id, chapter_idx
         """,
         "cdx_index_docs": f"""
             WITH p AS ({_ORACLE_URL_PARTS}), cc AS ({_ORACLE_URL_CANON})

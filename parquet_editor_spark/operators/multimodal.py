@@ -1676,6 +1676,53 @@ def pdf_pages(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def epub_book_chapters(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """EPUB chapter extraction: one EPUB payload row → one row per
+    spine-ordered chapter with its index, href and RAW XHTML
+    (``sources/epub.py``: mimetype gate, container.xml → OPF manifest
+    + spine walk over the ZIP member table).  Markup stripping stays
+    downstream in Catalyst (``strip_markup``), so the Python here is
+    only the container walk — the WARC-tier split.
+
+    Scale shape: archive explode inside the executor's Arrow pass;
+    book bytes never shuffle and never visit the driver."""
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("chapter_idx", T.IntegerType(), True),
+            T.StructField("href", T.StringType(), True),
+            T.StructField("xhtml", T.StringType(), True),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+    out_names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        import pandas as pd
+
+        from parquet_editor_spark.sources.epub import epub_chapters
+
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                p = row[payload_col]
+                base = {c: row[c] for c in keep_names}
+                if p is None:
+                    out_rows.append(
+                        dict(base, chapter_idx=None, href=None,
+                             xhtml=None)
+                    )
+                    continue
+                for ch in epub_chapters(bytes(p)):
+                    out_rows.append(dict(base, **ch))
+            yield pd.DataFrame(out_rows, columns=out_names)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def shard_tfrecord(
     df: DataFrame, shard_col: str, order_col: str, value_col: str
 ) -> DataFrame:
