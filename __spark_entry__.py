@@ -4375,6 +4375,47 @@ def q_train_tokenize_pack_v1(
     ).orderBy("block_id")
 
 
+def q_stream_url_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/host tier under Structured Streaming (new r10): the
+    documents table replayed as a file stream, the messy-URL fixture
+    synthesized and canonicalized per micro-batch (pure codegen —
+    streaming-transparent), rolled up per registered domain in
+    complete mode: docs, hosts, distinct canonical paths, with-query
+    counts.  ``collect_set`` stands in for the unsupported streaming
+    ``countDistinct``; state stays bounded because the fixture's host
+    and path alphabets are finite by construction (the honest scale
+    note: unbounded path spaces need an approx or bucketed rollup).
+    The oracle is the identical batch aggregate —
+    ``host_profile_docs``'s SQL verbatim — so streamed and batch URL
+    semantics are pinned equal."""
+    import uuid
+
+    from parquet_editor_spark import streaming as ST
+    from parquet_editor_spark.functions import urls as U
+
+    docs = ST.read_table_stream(spark, f"{sf_dir}/documents.parquet")
+    parts = docs.select("doc_id", _synth_url_col().alias("u")).select(
+        "doc_id",
+        U.url_host("u").alias("host"),
+        U.url_path("u").alias("path"),
+        U.url_query_sorted("u").alias("q"),
+    ).withColumn("reg_domain", U.registered_domain(F.col("host")))
+    rolled = parts.groupBy("reg_domain").agg(
+        F.size(F.collect_set("host")).cast("long").alias("n_hosts"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.size(F.collect_set("path")).cast("long").alias("n_paths"),
+        F.sum((F.col("q") != "").cast("long"))
+        .cast("long")
+        .alias("n_query_docs"),
+    )
+    out = ST.run_to_completion(
+        rolled, f"sup_{uuid.uuid4().hex[:8]}"
+    )
+    return out.select(
+        "reg_domain", "n_hosts", "n_docs", "n_paths", "n_query_docs"
+    ).orderBy("reg_domain")
+
+
 def q_epub_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPUB text extraction (sources/epub.py + ``epub_book_chapters``,
     new r10): per doc, synthesize a real EPUB (stored mimetype entry,
@@ -8063,6 +8104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter_docs": q_robots_filter_docs,
         "cdx_index_docs": q_cdx_index_docs,
         "epub_extract_docs": q_epub_extract_docs,
+        "stream_url_profile": q_stream_url_profile,
         # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
         # sample twins + winnowing fingerprints ---
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -10944,7 +10986,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE host_rank <= 3
             ORDER BY doc_id
         """,
-        "host_profile_docs": f"""
+        # shared by host_profile_docs AND its streaming twin
+        # stream_url_profile: streamed-vs-batch equivalence is the pin
+        "host_profile_docs": (host_profile_oracle := f"""
             WITH p AS ({_ORACLE_URL_PARTS})
             SELECT {url_reg_sql} AS reg_domain,
                    CAST(COUNT(DISTINCT host_c) AS BIGINT) AS n_hosts,
@@ -10955,7 +10999,8 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             GROUP BY 1
             ORDER BY reg_domain
-        """,
+        """),
+        "stream_url_profile": host_profile_oracle,
         "bpe_tokenize_docs": f"""
             WITH t AS ({_ORACLE_BPE_IDS})
             SELECT doc_id,
