@@ -416,7 +416,12 @@ def pack_id_blocks(
     counted = df.select(
         F.col(id_col).alias("id"),
         F.col(ids_col).alias("__ids"),
-        F.size(ids_col).cast("long").alias("__n"),
+        # size(NULL) is -1 in non-ANSI Spark — a null array must count
+        # as 0 or it would subtract from the prefix sums downstream
+        F.when(F.col(ids_col).isNull(), F.lit(0))
+        .otherwise(F.size(ids_col))
+        .cast("long")
+        .alias("__n"),
     )
     placement = pack_documents(
         counted,

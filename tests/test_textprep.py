@@ -790,3 +790,19 @@ def test_bpe_train_validates_and_ties_deterministic(spark):
     assert [(r["lhs"], r["rhs"], r["pair_count"]) for r in rows] == [
         ("a", "b", 2)
     ]
+
+
+def test_pack_id_blocks_null_ids_count_zero(spark):
+    """size(NULL) is -1 in non-ANSI Spark; a null array must not
+    subtract from the packing prefix sums."""
+    df = spark.createDataFrame(
+        [(1, [10, 11]), (2, None), (3, [30, 31])],
+        "doc_id long, ids array<int>",
+    )
+    out = {
+        r["block_id"]: list(r["input_ids"])
+        for r in TP.pack_id_blocks(
+            df, "doc_id", "ids", block_tokens=3, bucket_docs=2
+        ).collect()
+    }
+    assert out == {0: [10, 11, 30], 1: [31]}
