@@ -160,9 +160,13 @@ class _Lexer:
                 if mapped is not None:
                     out += mapped
                     p += 1
-                elif e.isdigit():  # up to 3 octal digits
+                elif e in b"01234567":  # up to 3 OCTAL digits
+                    # (\8 and \9 are not octal: the spec says drop the
+                    # backslash, which the final else below does)
                     oct_s = b""
-                    while len(oct_s) < 3 and d[p : p + 1].isdigit():
+                    while len(oct_s) < 3 and d[p : p + 1] in (
+                        b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"
+                    ):
                         oct_s += d[p : p + 1]
                         p += 1
                     out.append(int(oct_s, 8) & 0xFF)

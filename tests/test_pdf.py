@@ -171,3 +171,14 @@ def test_pdf_pages_stage_explodes_and_handles_null(spark):
     assert rows[(1, 1)]["page_text"] == "two b\nsecond line"
     assert rows[(1, 0)]["n_pages"] == 2
     assert rows[(2, None)]["page_text"] is None
+
+
+def test_octal_escape_edges():
+    # \101 = 'A'; \53 two-digit stop at non-octal; \8 is NOT octal:
+    # the backslash drops per spec; \0758 = \075 then literal '8'
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"(\\101 \\53x \\8 \\0758) Tj ET"
+    )
+    data = _raw_pdf_with_content(content)
+    assert decode_pdf_text(data) == ["A +x 8 =8"]
