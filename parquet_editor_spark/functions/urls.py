@@ -240,11 +240,14 @@ def robots_allowed(
     matching prefix wins; allow wins a length tie; no matching rule
     means allowed).  Adds ``allowed`` (1/0) and ``matched_len``.
 
-    Scale shape: one left join keyed on host with the prefix match in
-    the JOIN condition (non-matching URLs keep their null row), one
-    per-URL ``max(struct(len, is_allow))`` agg — rule tables are tiny,
-    so Spark broadcasts the build side and the verdict never
-    shuffles the URL table."""
+    Scale shape: one left join EQUI-keyed on host with the prefix
+    match as a residual join filter (non-matching URLs keep their
+    null row), then one per-URL ``max(struct(len, is_allow))`` agg.
+    The host equality keeps the join hash/sort-merge plannable:
+    Catalyst broadcasts the rule side when it is small (the common
+    case) and falls back to a host-keyed shuffle when a web-scale
+    rule table outgrows the broadcast threshold — which is why the
+    hint is deliberately absent."""
     r = rules.select(
         F.col("host").alias("__rh"),
         "is_allow",
@@ -253,7 +256,7 @@ def robots_allowed(
     )
     cols = urls.columns
     j = urls.join(
-        F.broadcast(r),
+        r,
         (F.col(host_col) == F.col("__rh"))
         & F.col(path_col).startswith(F.col("prefix")),
         "left",
