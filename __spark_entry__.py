@@ -4375,6 +4375,31 @@ def q_train_tokenize_pack_v1(
     ).orderBy("block_id")
 
 
+def q_trigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram-LM perplexity filter
+    (``text.trigram_backoff_logprob``, new r10 — the CCNet
+    architecture): train stupid-backoff trigram counts on the
+    even-doc_id half of the corpus, score EVERY doc's mean
+    log-likelihood under that reference model.  Held-out scoring makes
+    all three backoff levels fire (a self-trained model never backs
+    off); exact integer counts, one fixed score expression, the
+    per-doc mean as the single rounded float reduction.  The oracle
+    rebuilds the identical model and joins in DuckDB."""
+    from parquet_editor_spark.functions.text import (
+        trigram_backoff_logprob,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    return (
+        trigram_backoff_logprob(docs, train, "doc_id", "text")
+        .select(
+            F.col("id").alias("doc_id"), "n_trigrams", "avg_logprob"
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_stream_url_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/host tier under Structured Streaming (new r10): the
     documents table replayed as a file stream, the messy-URL fixture
@@ -8105,6 +8130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index_docs": q_cdx_index_docs,
         "epub_extract_docs": q_epub_extract_docs,
         "stream_url_profile": q_stream_url_profile,
+        "trigram_quality_docs": q_trigram_quality_docs,
         # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
         # sample twins + winnowing fingerprints ---
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -10793,6 +10819,67 @@ def oracle_sql() -> dict[str, str]:
                    md5(csv) AS ids_md5
             FROM b
             ORDER BY block_id
+        """,
+        "trigram_quality_docs": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           COALESCE(text, ''), '\\s+'),
+                           x -> x <> '') AS t
+                FROM documents
+            ), tr3 AS (
+                SELECT doc_id,
+                       unnest(t[1 : len(t) - 2]) AS w1,
+                       unnest(t[2 : len(t) - 1]) AS w2,
+                       unnest(t[3 : len(t)]) AS w3
+                FROM tok WHERE len(t) >= 3
+            ), trn AS (SELECT t FROM tok WHERE doc_id % 2 = 0),
+            m3 AS (
+                SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM (
+                    SELECT unnest(t[1 : len(t) - 2]) AS w1,
+                           unnest(t[2 : len(t) - 1]) AS w2,
+                           unnest(t[3 : len(t)]) AS w3
+                    FROM trn WHERE len(t) >= 3) x
+                GROUP BY w1, w2, w3
+            ), m2 AS (
+                SELECT w1, w2, count(*)::BIGINT AS c2 FROM (
+                    SELECT unnest(t[1 : len(t) - 1]) AS w1,
+                           unnest(t[2 : len(t)]) AS w2
+                    FROM trn WHERE len(t) >= 2) x
+                GROUP BY w1, w2
+            ), m1 AS (
+                SELECT w1, count(*)::BIGINT AS c1 FROM (
+                    SELECT unnest(t) AS w1 FROM trn) x
+                GROUP BY w1
+            ), nv AS (
+                SELECT SUM(c1)::DOUBLE AS N,
+                       COUNT(*)::DOUBLE AS V
+                FROM m1
+            ), scored AS (
+                SELECT g.doc_id,
+                       CASE WHEN m3.c3 IS NOT NULL
+                            THEN m3.c3 / ctx2.c2
+                            WHEN hit2.c2 IS NOT NULL
+                            THEN 0.4 * hit2.c2 / ctx1.c1
+                            ELSE 0.4 * 0.4
+                                 * (COALESCE(hit1.c1, 0) + 0.5)
+                                 / (nv.N + 0.5 * nv.V)
+                       END AS s
+                FROM tr3 g
+                LEFT JOIN m3 ON m3.w1 = g.w1 AND m3.w2 = g.w2
+                            AND m3.w3 = g.w3
+                LEFT JOIN m2 ctx2 ON ctx2.w1 = g.w1 AND ctx2.w2 = g.w2
+                LEFT JOIN m2 hit2 ON hit2.w1 = g.w2 AND hit2.w2 = g.w3
+                LEFT JOIN m1 ctx1 ON ctx1.w1 = g.w2
+                LEFT JOIN m1 hit1 ON hit1.w1 = g.w3
+                CROSS JOIN nv
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_trigrams,
+                   round(avg(ln(s)), 4) AS avg_logprob
+            FROM scored
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "epub_extract_docs": """
             WITH docs AS (

@@ -597,6 +597,144 @@ def bigram_logprob(
     )
 
 
+def trigram_backoff_logprob(
+    score_df,
+    train_df,
+    id_col: str,
+    text_col: str,
+    backoff: float = 0.4,
+    alpha: float = 0.5,
+    round_to: int = 4,
+):
+    """Held-out trigram LM quality score with stupid backoff (r10 —
+    the CCNet architecture: score a corpus under a REFERENCE language
+    model trained on different text, the perplexity filter real
+    pretraining pipelines run).  Per doc: mean log S(w₃|w₁w₂) where
+
+        S(w₃|w₁w₂) = c₃/c₂(w₁w₂)              if the trigram was seen
+                   = λ·c₂(w₂w₃)/c₁(w₂)         else if the bigram was
+                   = λ²·(c₁(w₃)+α)/(N+α·V)     else (add-α unigram —
+                                               unseen words can't zero)
+
+    with λ = ``backoff`` (Brants et al. 2007's 0.4).  Training on
+    ``train_df`` and scoring ``score_df`` makes every backoff level
+    fire — a self-trained model never backs off because each scored
+    n-gram counted itself.
+
+    All counts are exact integers, S is one fixed expression, and the
+    per-doc mean is the single engine-ordered float reduction,
+    rounded at ``round_to`` — the ``bigram_logprob`` cross-engine
+    stability class.
+
+    Plan: the scored trigram relation feeds five LEFT joins against
+    the model tables (c₃ / context-c₂ / c₂ / context-c₁ / c₁ — all
+    n-gram-vocabulary-sized, far below corpus scale, broadcast or
+    shuffled by size) plus the 1-row (N, V) broadcast; docs with <3
+    tokens drop out."""
+
+    def grams(df, n):
+        toks = tokens(text_col)
+        staged = df.select(
+            F.col(id_col).alias("id"), toks.alias("__toks")
+        )
+        fields = [
+            (f"w{j + 1}", j) for j in range(n)
+        ]
+        arr = F.when(
+            F.size("__toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+                lambda i: F.struct(
+                    *[
+                        F.element_at("__toks", i + off).alias(name)
+                        for name, off in fields
+                    ]
+                ),
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<"
+                + ",".join(f"{name}:string" for name, _ in fields)
+                + ">>"
+            )
+        )
+        out = staged.select("id", F.explode(arr).alias("g"))
+        return out.select("id", *[f"g.{name}" for name, _ in fields])
+
+    c3 = (
+        grams(train_df, 3)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+    )
+    c2 = (
+        grams(train_df, 2)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    c1 = grams(train_df, 1).groupBy("w1").agg(F.count("*").alias("c1"))
+    nv = c1.agg(
+        F.sum("c1").cast("double").alias("N"),
+        F.count("*").cast("double").alias("V"),
+    )
+
+    tri = grams(score_df, 3)
+    j = (
+        tri.join(c3, ["w1", "w2", "w3"], "left")
+        .join(
+            c2.select(
+                F.col("w1"), F.col("w2"), F.col("c2").alias("c2ctx")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2").alias("c2hit"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            c1.select(
+                F.col("w1").alias("w2"), F.col("c1").alias("c1ctx")
+            ),
+            ["w2"],
+            "left",
+        )
+        .join(
+            c1.select(
+                F.col("w1").alias("w3"), F.col("c1").alias("c1hit")
+            ),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(nv))
+    )
+    lam = F.lit(float(backoff))
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3") / F.col("c2ctx"),
+        )
+        .when(
+            F.col("c2hit").isNotNull(),
+            lam * F.col("c2hit") / F.col("c1ctx"),
+        )
+        .otherwise(
+            lam
+            * lam
+            * (F.coalesce(F.col("c1hit"), F.lit(0)) + F.lit(alpha))
+            / (F.col("N") + F.lit(alpha) * F.col("V"))
+        )
+    )
+    return j.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.round(F.avg(F.log(s)), round_to).alias("avg_logprob"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # crawl-text markup removal + script profiling (EXT, new r6)
 # ---------------------------------------------------------------------------

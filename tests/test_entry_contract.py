@@ -58,7 +58,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "rollup_qty", (
+    assert window[-1] == "union_distinct_nations", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
@@ -68,7 +68,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "train_tokenize_pack_v1", "crawl_curation_v2",
         "hash_quality_filter_docs", "line_dedup_docs",
         "robots_filter_docs", "cdx_index_docs", "epub_extract_docs",
-        "stream_url_profile",
+        "stream_url_profile", "trigram_quality_docs",
         # never-adjudicated r9 debuts — the r9 verdict's top item
         "kmeans_embeddings", "ivf_topk_det", "stratified_sample_det",
         "winnow_pairs_docs",

@@ -463,3 +463,71 @@ def test_hash_linear_score_validates():
 
     with pytest.raises(ValueError, match="non-empty"):
         hash_linear_score("t", [])
+
+
+# ---------------------------------------------------------------------------
+# trigram_backoff_logprob (r10)
+# ---------------------------------------------------------------------------
+
+def _tri_scalar(score_texts, train_texts, lam=0.4, alpha=0.5):
+    import math
+    from collections import Counter
+
+    def toks(t):
+        return (t or "").split()
+
+    c1, c2, c3 = Counter(), Counter(), Counter()
+    for t in train_texts:
+        w = toks(t)
+        c1.update(w)
+        c2.update(zip(w, w[1:]))
+        c3.update(zip(w, w[1:], w[2:]))
+    N, V = sum(c1.values()), len(c1)
+    out = {}
+    for i, t in enumerate(score_texts):
+        w = toks(t)
+        tris = list(zip(w, w[1:], w[2:]))
+        if not tris:
+            continue
+        logs = []
+        for a, b, c in tris:
+            if (a, b, c) in c3:
+                s = c3[(a, b, c)] / c2[(a, b)]
+            elif (b, c) in c2:
+                s = lam * c2[(b, c)] / c1[b]
+            else:
+                s = lam * lam * (c1.get(c, 0) + alpha) / (N + alpha * V)
+            logs.append(math.log(s))
+        out[i] = (len(tris), round(sum(logs) / len(logs), 4))
+    return out
+
+
+def test_trigram_backoff_logprob_matches_scalar(spark):
+    from parquet_editor_spark.functions.text import (
+        trigram_backoff_logprob,
+    )
+
+    train = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "a cat and a dog",
+    ]
+    score = [
+        "the cat sat on the rug",     # seen trigrams + bigram backoff
+        "the zebra sat quietly here", # unigram backoff + unseen words
+        "on the mat",                 # exactly one trigram
+        "too short",                  # <3 tokens: drops out
+    ]
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(score)], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["n_trigrams"], r["avg_logprob"])
+        for r in trigram_backoff_logprob(
+            sdf, tdf, "doc_id", "text"
+        ).collect()
+    }
+    assert got == _tri_scalar(score, train)
