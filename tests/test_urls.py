@@ -200,3 +200,32 @@ def test_surt_key_clusters_domains(spark):
         "com,example,sub)/b",
         "org,example)/c",
     ]
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — the property that
+    makes re-canonicalizing merged crawl snapshots safe."""
+    df = spark.createDataFrame([(u,) for u, *_ in _CASES], "u string")
+    once = df.select(U.canonical_url("u").alias("c1"))
+    twice = once.select(
+        "c1", U.canonical_url("c1").alias("c2")
+    ).collect()
+    for r in twice:
+        assert r["c2"] == r["c1"], r["c1"]
+
+
+def test_robots_rules_ignores_headerless_rules_and_comments(spark):
+    df = spark.createDataFrame(
+        [
+            ("x.com", "Disallow: /orphan\n# note\nUser-agent: *\nAllow: /ok"),
+            ("y.com", "# only comments\n\n"),
+        ],
+        "host string, robots string",
+    )
+    got = {
+        (r["host"], r["is_allow"], r["prefix"])
+        for r in U.robots_rules(df, "host", "robots").collect()
+    }
+    # rules before any User-agent group are ignored; comment-only
+    # files yield nothing
+    assert got == {("x.com", 1, "/ok")}
