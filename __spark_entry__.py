@@ -4375,6 +4375,35 @@ def q_train_tokenize_pack_v1(
     ).orderBy("block_id")
 
 
+def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (``sim.semdedup``, new r10 — Abbas et al. 2023):
+    semantic dedup by clustering embeddings with the deterministic
+    kmeans quantizer (trained on the plain corpus, the paper's
+    sample-trained-quantizer move) and pruning within cluster cells
+    only — a vector drops iff its rounded cosine to a lower-id
+    cluster-mate is ≥ 0.95.  Scored over the corpus plus the planted
+    exact-duplicate population (sim 1.0), so the prune has
+    known-answer work.  The oracle unrolls the same two Lloyd
+    iterations (the shared ``_ORACLE_KMEANS_CELLS`` fragment), assigns
+    the planted corpus to the final centroids with the identical
+    rounded-distance tie-break, and rebuilds the within-cell max —
+    the paper's faiss pipeline as one closed-form differential."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        S.semdedup(
+            _with_planted_dups(emb),
+            n_cells=8,
+            threshold=0.95,
+            round_to=4,
+            quantizer_df=emb,
+        )
+        .select("vec_id", "cell", "max_sim_lower", "kept")
+        .orderBy("vec_id")
+    )
+
+
 def q_trigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out trigram-LM perplexity filter
     (``text.trigram_backoff_logprob``, new r10 — the CCNet
@@ -8131,6 +8160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epub_extract_docs": q_epub_extract_docs,
         "stream_url_profile": q_stream_url_profile,
         "trigram_quality_docs": q_trigram_quality_docs,
+        "semdedup_embeddings": q_semdedup_embeddings,
         # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
         # sample twins + winnowing fingerprints ---
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -9841,6 +9871,44 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             QUALIFY rank <= 5
             ORDER BY query_id, rank
+        """,
+        "semdedup_embeddings": "WITH " + _ORACLE_KMEANS_CELLS + """
+            , e2 AS (
+                SELECT vec_id, v FROM e
+                UNION ALL
+                SELECT vec_id + 100000000 AS vec_id, v
+                FROM e WHERE vec_id < 20
+            ), cells AS (
+                SELECT vec_id, c AS cell FROM (
+                    SELECT e2.vec_id, c2.c,
+                           row_number() OVER (PARTITION BY e2.vec_id
+                               ORDER BY round(
+                                   array_inner_product(e2.v, e2.v)
+                                   + array_inner_product(c2.v, c2.v)
+                                   - 2 * array_inner_product(e2.v, c2.v),
+                                   6), c2.c) AS rn
+                    FROM e2, c2) WHERE rn = 1
+            ), sims AS (
+                SELECT b.vec_id,
+                       max(round(array_inner_product(va.v, vb.v)
+                           / (sqrt(array_inner_product(va.v, va.v))
+                              * sqrt(array_inner_product(vb.v, vb.v))),
+                           4)) AS ms
+                FROM cells a
+                JOIN cells b ON a.cell = b.cell
+                            AND a.vec_id < b.vec_id
+                JOIN e2 va ON va.vec_id = a.vec_id
+                JOIN e2 vb ON vb.vec_id = b.vec_id
+                GROUP BY b.vec_id
+            )
+            SELECT c.vec_id,
+                   CAST(c.cell AS INT) AS cell,
+                   COALESCE(s.ms, -1.0) AS max_sim_lower,
+                   CAST(CASE WHEN COALESCE(s.ms, -1.0) < 0.95
+                             THEN 1 ELSE 0 END AS INT) AS kept
+            FROM cells c
+            LEFT JOIN sims s USING (vec_id)
+            ORDER BY c.vec_id
         """,
         "winnow_pairs_docs": f"""
             WITH d AS (

@@ -1022,3 +1022,99 @@ def semantic_decontaminate(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
     return src.mapInPandas(score, schema=out_schema)
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 2,
+    threshold: float = 0.92,
+    round_to: int = 4,
+    cell_round: int = 6,
+    quantizer_df: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup by clustering embeddings and pruning near-duplicates
+    WITHIN each cluster only — the trick that makes embedding-level
+    dedup sub-quadratic (pairs are confined to cluster cells; the
+    paper's observation is that semantic duplicates land in the same
+    cell).  The quantizer is the deterministic :func:`kmeans_lloyd`,
+    so unlike the paper's faiss pipeline the whole operator is
+    closed-form differential-testable.  Keeper rule: a vector is
+    DROPPED iff its rounded cosine to some LOWER-id cluster-mate is
+    >= ``threshold`` (keep-first, matching exact dedup's min-id
+    convention).  Emits one row per vector: ``vec_id``, ``cell``,
+    ``max_sim_lower`` (−1.0 when it has no lower-id mate) and
+    ``kept`` (1/0).
+
+    Scale shape: centroids are literal codegen expressions (bounded
+    metadata, the kmeans-loop contract), cell assignment is a pure
+    projection, and the only join is the WITHIN-CELL self-join —
+    O(Σ|cell|²) pairs by construction, which is the knob: ``n_cells``
+    must grow with the corpus (the paper uses ~100k cells for LAION)
+    to keep cells at the√-bounded size the quadratic tolerates.
+    ``quantizer_df`` trains the k-means on a different frame (the
+    paper's own move — a sample — and what keeps the quantizer stable
+    while the deduped corpus churns); default is the corpus itself."""
+    vec = F.col(vec_col).cast("array<double>")
+    cents_rows = kmeans_lloyd(
+        quantizer_df if quantizer_df is not None else corpus,
+        id_col, vec_col, k=n_cells, iters=iters,
+        round_to=cell_round,
+    ).collect()
+    by_c = {int(r["cluster"]): list(r["centroid"]) for r in cents_rows}
+    cents = [by_c[i] for i in range(n_cells)]
+
+    dists = _cell_dist_structs(vec, cents, cell_round)
+    tagged = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        vec.alias("__v"),
+        F.array_min(dists)["c"].alias("cell"),
+    )
+    a = tagged.select(
+        F.col("vec_id").alias("__aid"),
+        F.col("__v").alias("__av"),
+        "cell",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__av"), F.col("__v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col(c), F.col(c), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    sims = (
+        tagged.join(a, "cell")
+        .filter(F.col("__aid") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            F.round(dot / (norm("__av") * norm("__v")), round_to).alias(
+                "__sim"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("__sim").alias("max_sim_lower"))
+    )
+    return tagged.join(sims, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce("max_sim_lower", F.lit(-1.0)).alias(
+            "max_sim_lower"
+        ),
+        (
+            F.coalesce("max_sim_lower", F.lit(-1.0))
+            < F.lit(float(threshold))
+        )
+        .cast("int")
+        .alias("kept"),
+    )

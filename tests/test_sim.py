@@ -373,3 +373,56 @@ def test_ivf_topk_det_prunes_to_probed_cells(spark):
     out = ivf_topk_det(df, q, k=5, n_cells=4, nprobe=1).collect()
     assert out, "nprobe=1 should still return candidates"
     assert len({r["query_id"] for r in out}) == 4
+
+
+def test_semdedup_prune_matches_numpy(embeddings):
+    """Within-cell prune math vs an independent numpy recomputation:
+    cells taken from the operator (the quantizer is differentially
+    pinned elsewhere), max-lower-id-cosine and the keep rule
+    recomputed brute-force per cell."""
+    import numpy as np
+
+    from parquet_editor_spark.operators.sim import semdedup
+
+    from pyspark.sql import functions as F
+
+    planted = embeddings.unionByName(
+        embeddings.filter(F.col("vec_id") < 20).withColumn(
+            "vec_id", F.col("vec_id") + 100000000
+        )
+    )
+    out = semdedup(
+        planted, n_cells=8, threshold=0.95, round_to=4,
+        quantizer_df=embeddings,
+    ).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in planted.select("vec_id", "embedding").collect()
+    }
+    by_cell: dict = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    got = {r["vec_id"]: (r["max_sim_lower"], r["kept"]) for r in out}
+    assert set(got) == set(vecs)
+    dropped = 0
+    for cell, ids in by_cell.items():
+        ids = sorted(ids)
+        for i, b in enumerate(ids):
+            lower = ids[:i]
+            if not lower:
+                want = -1.0
+            else:
+                vb = vecs[b]
+                sims = [
+                    round(
+                        float(vecs[a] @ vb)
+                        / (np.linalg.norm(vecs[a]) * np.linalg.norm(vb)),
+                        4,
+                    )
+                    for a in lower
+                ]
+                want = max(sims)
+            assert got[b][0] == pytest.approx(want, abs=1e-9), b
+            assert got[b][1] == int(want < 0.95), b
+            dropped += 1 - int(want < 0.95)
+    assert dropped > 0, "corpus's planted near-dups must be pruned"
