@@ -4262,6 +4262,51 @@ def q_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_tokenizer_fertility_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility / compression-ratio eval (new r10): per
+    language, characters-per-token under the pinned BPE table — THE
+    standard tokenizer evaluation metric (a merge table trained on
+    one language tokenizes others at worse fertility, which is what
+    multilingual-tokenizer audits measure).  Composition of
+    ``bpe_tokenize`` with one per-lang hash agg; chars count the
+    normalized non-space characters so the ratio is exactly
+    total-chars / total-tokens in both engines."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _bpe_norm("text").alias("norm")
+    )
+    toks = TP.bpe_tokenize(
+        docs, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.size("input_ids").cast("long").alias("n_toks"),
+    )
+    joined = docs.select(
+        "doc_id",
+        "lang",
+        F.length(F.regexp_replace("norm", " ", ""))
+        .cast("long")
+        .alias("n_chars"),
+    ).join(toks, "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double")
+                / F.sum("n_toks").cast("double"),
+                4,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_pack_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-ID sequence packing (``textprep.pack_id_blocks``, new
     r10): the full tokenize→pack training-data assembly — BPE ids from
@@ -8161,6 +8206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_url_profile": q_stream_url_profile,
         "trigram_quality_docs": q_trigram_quality_docs,
         "semdedup_embeddings": q_semdedup_embeddings,
+        "tokenizer_fertility_docs": q_tokenizer_fertility_docs,
         # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
         # sample twins + winnowing fingerprints ---
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -11165,6 +11211,26 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(ids, ',')) AS ids_md5
             FROM t
             ORDER BY doc_id
+        """,
+        "tokenizer_fertility_docs": f"""
+            WITH t AS ({_ORACLE_BPE_IDS}), d AS (
+                SELECT doc_id, lang,
+                       length(replace(
+                           trim(regexp_replace(lower(COALESCE(text, '')),
+                                               '[^a-z]+', ' ', 'g')),
+                           ' ', ''))::BIGINT AS n_chars
+                FROM documents
+            )
+            SELECT d.lang,
+                   count(*)::BIGINT AS n_docs,
+                   SUM(d.n_chars)::BIGINT AS total_chars,
+                   SUM(len(t.ids))::BIGINT AS total_tokens,
+                   round(SUM(d.n_chars)::DOUBLE
+                         / SUM(len(t.ids))::DOUBLE, 4)
+                       AS chars_per_token
+            FROM d JOIN t USING (doc_id)
+            GROUP BY d.lang
+            ORDER BY d.lang
         """,
         "pack_ids_docs": f"""
             WITH t AS ({_ORACLE_BPE_IDS}), c AS (

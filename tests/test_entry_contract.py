@@ -58,7 +58,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "quantile_error_bound", (
+    assert window[-1] == "hll_error_bound", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
@@ -69,7 +69,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "hash_quality_filter_docs", "line_dedup_docs",
         "robots_filter_docs", "cdx_index_docs", "epub_extract_docs",
         "stream_url_profile", "trigram_quality_docs",
-        "semdedup_embeddings",
+        "semdedup_embeddings", "tokenizer_fertility_docs",
         # never-adjudicated r9 debuts — the r9 verdict's top item
         "kmeans_embeddings", "ivf_topk_det", "stratified_sample_det",
         "winnow_pairs_docs",
