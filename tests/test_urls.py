@@ -229,3 +229,66 @@ def test_robots_rules_ignores_headerless_rules_and_comments(spark):
     # rules before any User-agent group are ignored; comment-only
     # files yield nothing
     assert got == {("x.com", 1, "/ok")}
+
+
+def _r10_regex_chain(h: str) -> str:
+    """The r10 implementation (anchored-regexp CASE chain), kept here
+    as the A/B spec for the r11 split-labels + InSet rewrite."""
+    import re
+
+    for s in sorted(
+        U.PUBLIC_SUFFIXES, key=lambda s: (-s.count("."), -len(s), s)
+    ):
+        esc = re.escape(s)
+        if re.search(r"(^|\.)[^.]+\." + esc + "$", h):
+            return re.search(r"([^.]+\." + esc + ")$", h).group(1)
+    return h
+
+
+def test_registered_domain_matches_r10_regex_chain(spark):
+    """A/B pin (r11 verdict item 7): the split-labels rewrite must
+    reproduce the r10 regex chain byte-for-byte on a brute battery,
+    including empty labels, bare suffixes, deep subdomains and
+    no-match hosts — in BOTH engines."""
+    parts = ["", "a", "blog"]
+    tails = ["co.uk", "uk", "com", "com.au", "unknowntld", "internal"]
+    hosts = set()
+    for t in tails:
+        hosts.add(t)
+        for p1 in parts:
+            hosts.add(f"{p1}.{t}")
+            for p2 in parts:
+                hosts.add(f"{p2}.{p1}.{t}")
+    hosts |= {"", "x", "a.b.c.co.uk", "x..co.uk", "a..com", "co.uk."}
+    hosts = sorted(hosts)
+    df = spark.createDataFrame([(h,) for h in hosts], "h string")
+    got = {
+        r["h"]: r["reg"]
+        for r in df.select(
+            "h", U.registered_domain("h").alias("reg")
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql = U.registered_domain_sql("h")
+    for h in hosts:
+        want = _r10_regex_chain(h)
+        assert got[h] == want, (h, got[h], want)
+        duck = con.sql(
+            f"SELECT {sql} FROM (SELECT ? AS h)", params=[h]
+        ).fetchone()[0]
+        assert duck == want, (h, duck, want)
+
+
+def test_registered_domain_plan_has_no_regex(spark):
+    """r11 done-criterion: the plan shows no rlike chain — the probe
+    compiles to split + IN-set membership."""
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    df = spark.range(4).select(
+        U.registered_domain(
+            F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".co.uk"))
+        ).alias("reg")
+    )
+    plan = formatted_plan(df)
+    assert "rlike" not in plan.lower(), plan
+    assert "regexp_extract" not in plan.lower(), plan
