@@ -5,10 +5,13 @@ document format).  No reference counterpart (the reference is a
 pattern as the WARC/ZIP/TAR tier: parse on the executor inside Arrow
 batches, payloads never touch the driver.
 
-Honest scope (classic-PDF baseline, everything else gated loudly):
+Honest scope (classic + modern structural tiers, the rest gated):
   - classic cross-reference TABLES with /Prev chains (incremental
-    updates); PDF 1.5 xref STREAMS and /ObjStm object streams raise
-    NotImplementedError,
+    updates), AND (r11 — the r10 verdict's #1: most post-2005 crawl
+    PDFs) PDF 1.5 cross-reference STREAMS (/Type /XRef, W-field
+    rows, /Index subsections, PNG predictors 10-15 via DecodeParms)
+    with /Prev chains, /ObjStm object streams, hybrid-reference
+    files (/XRefStm in a classic trailer), and indirect /Length,
   - content streams stored raw or /FlateDecode (zlib — same dependency
     footprint as the PNG codec); other filters raise,
   - text via the Tj / ' / " / TJ show operators with full PDF string
@@ -199,57 +202,199 @@ class _Lexer:
 # ---------------------------------------------------------------------------
 
 
+def _png_defilter(raw: bytes, columns: int, bpp: int, origin: str) -> bytes:
+    """Undo PNG row filters (predictors 10-15: one filter byte per
+    row of ``columns`` bytes) — xref streams almost always ship with
+    /Predictor 12 (Up).  Same five filters as the PNG codec; ``bpp``
+    is bytes-per-pixel (colors*bpc/8, 1 for xref W-rows)."""
+    stride = columns + 1
+    if len(raw) % stride:
+        raise ValueError(
+            f"{origin!r}: predictor data is not a whole number of rows"
+        )
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(raw), stride):
+        ftype = raw[r]
+        row = bytearray(raw[r + 1 : r + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, columns):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(columns):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(
+                f"{origin!r}: unknown PNG filter type {ftype}"
+            )
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_stream(val: dict, stream: bytes, origin: str) -> bytes:
+    """Apply /Filter (+ /DecodeParms predictors) to a raw stream —
+    the shared path for content, XRef and ObjStm streams.  Only
+    FlateDecode (or no filter) is in the supported dialect."""
+    filt = val.get("Filter")
+    if filt is None:
+        return stream
+    filters = filt if isinstance(filt, list) else [filt]
+    parms = val.get("DecodeParms") or val.get("DP")
+    parms_list = parms if isinstance(parms, list) else [parms]
+    out = stream
+    for i, f in enumerate(filters):
+        if f != "/FlateDecode":
+            raise NotImplementedError(
+                f"{origin!r}: stream filter {f!r} — only /FlateDecode "
+                "or raw streams are supported"
+            )
+        out = zlib.decompress(out)
+        p = parms_list[i] if i < len(parms_list) else None
+        if isinstance(p, dict):
+            pred = int(p.get("Predictor", 1))
+            if pred == 1:
+                continue
+            if pred < 10:
+                raise NotImplementedError(
+                    f"{origin!r}: TIFF predictor {pred} — only PNG "
+                    "predictors (10-15) are supported"
+                )
+            columns = int(p.get("Columns", 1))
+            colors = int(p.get("Colors", 1))
+            bpc = int(p.get("BitsPerComponent", 8))
+            bpp = max(1, (colors * bpc) // 8)
+            out = _png_defilter(out, columns * bpp, bpp, origin)
+    return out
+
+
+# xref entry encodings: ("f", byte_offset) = object lives in the file
+# at that offset; ("s", objstm_num, idx) = compressed object number
+# idx inside object stream objstm_num.
+def _xref_table_section(
+    data: bytes, pos: int, origin: str
+) -> tuple[dict[int, tuple], dict]:
+    """One classic ``xref`` TABLE section + its trailer dict."""
+    lex = _Lexer(data, pos, origin)
+    if lex._token() != b"xref":
+        raise ValueError(f"{origin!r}: no xref table at {pos}")
+    section: dict[int, tuple] = {}
+    while True:
+        lex._skip_ws()
+        if data[lex.p : lex.p + 7] == b"trailer":
+            lex.p += 7
+            break
+        first = int(lex._token())
+        count = int(lex._token())
+        lex._skip_ws()
+        for i in range(count):
+            row = data[lex.p : lex.p + 20]
+            if row[17:18] == b"n":
+                section[first + i] = ("f", int(row[:10]))
+            lex.p += 20
+    return section, lex.value()
+
+
+def _xref_stream_section(
+    data: bytes, pos: int, origin: str
+) -> tuple[dict[int, tuple], dict]:
+    """One PDF 1.5 cross-reference STREAM section: the stream dict IS
+    the trailer; entries are fixed-width big-endian W-field rows over
+    the /Index subsections (type 1 = in file, type 2 = in ObjStm,
+    type 0 = free; a zero-width type field defaults to 1)."""
+    val, stream = _parse_object(data, pos, origin)
+    if not isinstance(val, dict) or val.get("Type") != "/XRef":
+        raise ValueError(f"{origin!r}: no xref stream at {pos}")
+    if stream is None:
+        raise ValueError(f"{origin!r}: /XRef object has no stream")
+    raw = _decode_stream(val, stream, origin)
+    w = [int(x) for x in val["W"]]
+    if len(w) != 3:
+        raise ValueError(f"{origin!r}: /W must have 3 fields")
+    size = int(val["Size"])
+    index = [int(x) for x in val.get("Index", [0, size])]
+    row_bytes = sum(w)
+    section: dict[int, tuple] = {}
+    at = 0
+    for k in range(0, len(index), 2):
+        start, count = index[k], index[k + 1]
+        for num in range(start, start + count):
+            row = raw[at : at + row_bytes]
+            if len(row) < row_bytes:
+                raise ValueError(
+                    f"{origin!r}: xref stream data truncated"
+                )
+            at += row_bytes
+            f1 = int.from_bytes(row[: w[0]], "big") if w[0] else 1
+            f2 = int.from_bytes(row[w[0] : w[0] + w[1]], "big")
+            f3 = int.from_bytes(row[w[0] + w[1] :], "big")
+            if f1 == 1:
+                section[num] = ("f", f2)
+            elif f1 == 2:
+                section[num] = ("s", f2, f3)
+            # type 0 (free) and unknown future types: skipped
+    return section, val
+
+
 def _xref_offsets(
     data: bytes, origin: str
-) -> tuple[dict[int, int], int | None]:
-    """(object number → byte offset, root object number) from the
-    classic xref table chain — later sections win over /Prev'd earlier
-    ones, and the newest trailer's /Root wins."""
+) -> tuple[dict[int, tuple], int | None]:
+    """(object number → xref entry, root object number) from the xref
+    chain — classic tables, xref streams, or the hybrid mix; later
+    sections win over /Prev'd earlier ones, and the newest /Root
+    wins.  In hybrid files the /XRefStm section is consulted after
+    its own table section but before that trailer's /Prev (ISO 32000
+    §7.5.8.4)."""
     at = data.rfind(b"startxref")
     if at < 0:
         raise ValueError(f"{origin!r}: no startxref")
     m = re.match(rb"\s*(\d+)", data[at + 9 :])
     if not m:
         raise ValueError(f"{origin!r}: bad startxref offset")
-    offsets: dict[int, int] = {}
+    offsets: dict[int, tuple] = {}
     root_num: int | None = None
     pos = int(m.group(1))
     seen: set[int] = set()
+
+    def merge(section: dict[int, tuple]) -> None:
+        # earlier (Prev'd) sections must not override newer entries
+        for k, v in section.items():
+            offsets.setdefault(k, v)
+
     while True:
         if pos in seen:
             raise ValueError(f"{origin!r}: xref /Prev cycle")
         seen.add(pos)
         lex = _Lexer(data, pos, origin)
         if lex.peek().isdigit():
-            raise NotImplementedError(
-                f"{origin!r}: cross-reference STREAM (PDF 1.5+) — only "
-                "classic xref tables are supported"
-            )
-        if lex._token() != b"xref":
-            raise ValueError(f"{origin!r}: no xref table at {pos}")
-        section: dict[int, int] = {}
-        while True:
-            lex._skip_ws()
-            if data[lex.p : lex.p + 7] == b"trailer":
-                lex.p += 7
-                break
-            first = int(lex._token())
-            count = int(lex._token())
-            lex._skip_ws()
-            for i in range(count):
-                row = data[lex.p : lex.p + 20]
-                if row[17:18] == b"n":
-                    section[first + i] = int(row[:10])
-                lex.p += 20
-        trailer = lex.value()
+            section, trailer = _xref_stream_section(data, pos, origin)
+        else:
+            section, trailer = _xref_table_section(data, pos, origin)
         if "Encrypt" in trailer:
             raise NotImplementedError(f"{origin!r}: encrypted PDF")
-        # earlier (Prev'd) sections must not override newer entries
-        for k, v in section.items():
-            offsets.setdefault(k, v)
+        merge(section)
         root = trailer.get("Root")
         if root_num is None and isinstance(root, _Ref):
             root_num = root.num
+        xstm = trailer.get("XRefStm")
+        if xstm is not None:
+            s2, _ = _xref_stream_section(data, int(xstm), origin)
+            merge(s2)
         prev = trailer.get("Prev")
         if prev is None:
             break
@@ -257,9 +402,12 @@ def _xref_offsets(
     return offsets, root_num
 
 
-def _parse_object(data: bytes, pos: int, origin: str):
+def _parse_object(data: bytes, pos: int, origin: str, resolve=None):
     """Parse ``N G obj <value> [stream]`` at ``pos`` → (value, stream
-    bytes or None)."""
+    bytes or None).  ``resolve`` derefs an indirect /Length (r11 —
+    common in real writers that emit the stream before its length);
+    without it, an indirect /Length raises (the xref stream itself
+    must carry a direct /Length: its entries aren't known yet)."""
     lex = _Lexer(data, pos, origin)
     lex._token()  # obj number
     lex._token()  # generation
@@ -278,9 +426,11 @@ def _parse_object(data: bytes, pos: int, origin: str):
         raise ValueError(f"{origin!r}: stream without /Length at {pos}")
     length = val["Length"]
     if isinstance(length, _Ref):
-        raise NotImplementedError(
-            f"{origin!r}: indirect /Length — not in the supported dialect"
-        )
+        if resolve is None:
+            raise NotImplementedError(
+                f"{origin!r}: indirect /Length on a bootstrap object"
+            )
+        length = resolve(length)
     return val, data[p : p + int(length)]
 
 
@@ -293,16 +443,54 @@ class _Doc:
         self.version = data[5:8].decode("latin-1", "replace")
         self.offsets, self.root_num = _xref_offsets(data, origin)
         self._cache: dict[int, tuple] = {}
+        self._objstms: dict[int, tuple] = {}
+
+    def _objstm(self, num: int) -> tuple[bytes, list[tuple[int, int]], int]:
+        """Decoded object-stream payload + its (objnum, offset) pair
+        table + /First — cached per ObjStm so N members cost one
+        inflate."""
+        if num not in self._objstms:
+            val, stream = self.obj(num)
+            if not isinstance(val, dict) or val.get("Type") != "/ObjStm":
+                raise ValueError(
+                    f"{self.origin!r}: object {num} is not an /ObjStm"
+                )
+            if stream is None:
+                raise ValueError(
+                    f"{self.origin!r}: /ObjStm {num} has no stream"
+                )
+            raw = _decode_stream(val, stream, self.origin)
+            n = int(self.deref(val["N"]))
+            first = int(self.deref(val["First"]))
+            lex = _Lexer(raw, 0, self.origin)
+            pairs = [
+                (int(lex._token()), int(lex._token())) for _ in range(n)
+            ]
+            self._objstms[num] = (raw, pairs, first)
+        return self._objstms[num]
 
     def obj(self, num: int):
         if num not in self._cache:
-            if num not in self.offsets:
+            ent = self.offsets.get(num)
+            if ent is None:
                 raise ValueError(
                     f"{self.origin!r}: missing object {num}"
                 )
-            self._cache[num] = _parse_object(
-                self.data, self.offsets[num], self.origin
-            )
+            if ent[0] == "f":
+                self._cache[num] = _parse_object(
+                    self.data, ent[1], self.origin, resolve=self.deref
+                )
+            else:  # ("s", objstm_num, idx): compressed object
+                raw, pairs, first = self._objstm(ent[1])
+                idx = ent[2]
+                if idx >= len(pairs) or pairs[idx][0] != num:
+                    raise ValueError(
+                        f"{self.origin!r}: ObjStm {ent[1]} index {idx} "
+                        f"does not hold object {num}"
+                    )
+                lex = _Lexer(raw, first + pairs[idx][1], self.origin)
+                # ISO 32000 §7.5.7: no streams inside object streams
+                self._cache[num] = (lex.value(), None)
         return self._cache[num]
 
     def deref(self, v):
@@ -348,15 +536,7 @@ class _Doc:
                 raise ValueError(
                     f"{self.origin!r}: /Contents object has no stream"
                 )
-            filt = val.get("Filter")
-            if filt in ("/FlateDecode", ["/FlateDecode"]):
-                stream = zlib.decompress(stream)
-            elif filt is not None:
-                raise NotImplementedError(
-                    f"{self.origin!r}: content filter {filt!r} — only "
-                    "/FlateDecode or raw streams are supported"
-                )
-            out += stream + b"\n"
+            out += _decode_stream(val, stream, self.origin) + b"\n"
         return bytes(out)
 
 
@@ -447,6 +627,25 @@ def _esc(s: str) -> bytes:
     )
 
 
+def _page_content_ops(lines: list[str]) -> bytes:
+    """One page's content-stream operators: Td line moves, Tj shows,
+    and TJ for every third line to cover the array operator."""
+    ops = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+    for j, line in enumerate(lines):
+        if j:
+            ops += b"0 -14 Td\n"
+        if j % 3 == 2 and " " in line:
+            head, tail = line.split(" ", 1)
+            ops += (
+                b"[(" + _esc(head) + b") -278 (" + _esc(tail)
+                + b")] TJ\n"
+            )
+        else:
+            ops += b"(" + _esc(line) + b") Tj\n"
+    ops += b"ET"
+    return bytes(ops)
+
+
 def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
     """Fixture encoder: one content stream per page, each inner list
     is that page's lines (written with Td + Tj, and TJ for every
@@ -473,20 +672,8 @@ def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
                 f"<< /F1 {font_num} 0 R >> >> >>"
             ).encode()
         )
-        ops = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
-        for j, line in enumerate(lines):
-            if j:
-                ops += b"0 -14 Td\n"
-            if j % 3 == 2 and " " in line:
-                head, tail = line.split(" ", 1)
-                ops += (
-                    b"[(" + _esc(head) + b") -278 (" + _esc(tail)
-                    + b")] TJ\n"
-                )
-            else:
-                ops += b"(" + _esc(line) + b") Tj\n"
-        ops += b"ET"
-        body = zlib.compress(bytes(ops), 6) if compress else bytes(ops)
+        ops = _page_content_ops(lines)
+        body = zlib.compress(ops, 6) if compress else ops
         filt = b" /Filter /FlateDecode" if compress else b""
         objects.append(
             b"<< /Length " + str(len(body)).encode() + filt
@@ -510,4 +697,131 @@ def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
         f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
+    return bytes(out)
+
+
+def _png_up_filter(rows: list[bytes]) -> bytes:
+    """Apply the PNG Up filter (type 2) to fixed-width rows — the
+    /Predictor 12 encoding real writers put on xref streams."""
+    out = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for row in rows:
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+def encode_pdf_modern(pages: list[list[str]]) -> bytes:
+    """Modern-dialect fixture encoder (r11): the same page/content
+    model as :func:`encode_pdf`, but with every PDF 1.5 structural
+    feature the parser supports —
+
+      - catalog, page tree, page dicts, font AND the first content
+        stream's /Length integer packed into one /ObjStm,
+      - content streams as file objects, content stream #1 carrying
+        an INDIRECT /Length that resolves into the ObjStm,
+      - a cross-reference STREAM (/Type /XRef, W [1 3 2], type-2
+        rows for the compressed objects) compressed with FlateDecode
+        under /Predictor 12 (PNG Up) DecodeParms,
+
+    so one round-trip exercises the xref-stream walk, the predictor,
+    ObjStm member loading and indirect-/Length resolution together."""
+    if not pages:
+        raise ValueError("need at least one page")
+    n = len(pages)
+    # object numbering
+    cat, tree = 1, 2
+    page_nums = [3 + i for i in range(n)]
+    content_nums = [3 + n + i for i in range(n)]
+    len_num = 3 + 2 * n  # /Length of content stream #1, in the ObjStm
+    font_num = len_num + 1
+    stm_num = font_num + 1  # the /ObjStm
+    xref_num = stm_num + 1  # the /XRef stream
+
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    members: list[tuple[int, bytes]] = [
+        (cat, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (
+            tree,
+            f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
+        ),
+    ]
+    contents: list[bytes] = []
+    for i, lines in enumerate(pages):
+        members.append(
+            (
+                page_nums[i],
+                (
+                    f"<< /Type /Page /Parent 2 0 R "
+                    f"/MediaBox [0 0 612 792] "
+                    f"/Contents {content_nums[i]} 0 R /Resources "
+                    f"<< /Font << /F1 {font_num} 0 R >> >> >>"
+                ).encode(),
+            )
+        )
+        contents.append(zlib.compress(_page_content_ops(lines), 6))
+    members.append((len_num, str(len(contents[0])).encode()))
+    members.append(
+        (font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    )
+
+    # object stream payload: "num offset" pair header, then members
+    body = bytearray()
+    header = bytearray()
+    for num, member in members:
+        header += f"{num} {len(body)} ".encode()
+        body += member + b" "
+    objstm_payload = zlib.compress(bytes(header) + bytes(body), 6)
+    first = len(header)
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for i, comp in enumerate(contents):
+        num = content_nums[i]
+        offsets[num] = len(out)
+        length = f"{len_num} 0 R" if i == 0 else str(len(comp))
+        out += (
+            f"{num} 0 obj\n<< /Length {length} /Filter /FlateDecode "
+            f">>\nstream\n".encode()
+            + comp
+            + b"\nendstream\nendobj\n"
+        )
+    offsets[stm_num] = len(out)
+    out += (
+        f"{stm_num} 0 obj\n<< /Type /ObjStm /N {len(members)} "
+        f"/First {first} /Length {len(objstm_payload)} "
+        f"/Filter /FlateDecode >>\nstream\n".encode()
+        + objstm_payload
+        + b"\nendstream\nendobj\n"
+    )
+
+    # xref stream: W [1 3 2] rows for objects 0..xref_num
+    xref_at = len(out)
+    offsets[xref_num] = xref_at
+    rows: list[bytes] = []
+    for num in range(xref_num + 1):
+        if num == 0:
+            rows.append(b"\x00" + (0).to_bytes(3, "big") + b"\xff\xff")
+        elif num in offsets:
+            rows.append(
+                b"\x01" + offsets[num].to_bytes(3, "big")
+                + (0).to_bytes(2, "big")
+            )
+        else:
+            idx = [m[0] for m in members].index(num)
+            rows.append(
+                b"\x02" + stm_num.to_bytes(3, "big")
+                + idx.to_bytes(2, "big")
+            )
+    xref_payload = zlib.compress(_png_up_filter(rows), 6)
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {xref_num + 1} "
+        f"/W [1 3 2] /Root {cat} 0 R /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 6 >> "
+        f"/Length {len(xref_payload)} >>\nstream\n".encode()
+        + xref_payload
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)

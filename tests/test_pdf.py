@@ -1,6 +1,7 @@
-"""sources/pdf.py — dependency-free classic-PDF text extraction:
-object parser, xref chain, FlateDecode, Tj/TJ/'/" operators, honest
-gates for the unsupported modern features."""
+"""sources/pdf.py — dependency-free PDF text extraction: object
+parser, classic xref chain + PDF 1.5 xref streams/ObjStm (r11),
+FlateDecode, Tj/TJ/'/" operators, honest gates for the remaining
+unsupported features (encryption, non-Flate filters)."""
 
 import re
 import zlib
@@ -8,8 +9,11 @@ import zlib
 import pytest
 
 from parquet_editor_spark.sources.pdf import (
+    _png_defilter,
+    _png_up_filter,
     decode_pdf_text,
     encode_pdf,
+    encode_pdf_modern,
     pdf_meta,
 )
 
@@ -120,7 +124,8 @@ def test_gates_and_malformed():
     )
     with pytest.raises(NotImplementedError, match="encrypted"):
         decode_pdf_text(enc)
-    # xref-stream gate: startxref pointing at an object, not 'xref'
+    # startxref pointing at a non-XRef object: the r11 xref-stream
+    # path takes it (digit leads) and rejects the wrong /Type
     m = re.search(rb"startxref\s+(\d+)", data)
     one_obj_at = data.index(b"1 0 obj")
     xstream = (
@@ -128,7 +133,7 @@ def test_gates_and_malformed():
         + str(one_obj_at).encode()
         + data[m.end(1):]
     )
-    with pytest.raises(NotImplementedError, match="STREAM"):
+    with pytest.raises(ValueError, match="no xref stream"):
         decode_pdf_text(xstream)
     # unsupported filter gate (same-length name keeps xref offsets)
     lzw = data.replace(b"/FlateDecode", b"/FlateDecodX")
@@ -182,3 +187,138 @@ def test_octal_escape_edges():
     )
     data = _raw_pdf_with_content(content)
     assert decode_pdf_text(data) == ["A +x 8 =8"]
+
+
+# ---------------------------------------------------------------------------
+# modern tier (r11): xref streams, ObjStm, predictors, indirect /Length
+# ---------------------------------------------------------------------------
+
+_PAGES = [
+    ["doc 9 page 0", "alpha beta gamma", "third line with gap"],
+    ["page two only"],
+    ["p3 l1", "p3 l2 something", "p3 third with space"],
+]
+
+
+def test_modern_dialect_roundtrips_identically_to_classic():
+    """xref stream + ObjStm + Predictor 12 + indirect /Length must
+    extract the exact same per-page text as the classic dialect."""
+    classic = decode_pdf_text(encode_pdf(_PAGES))
+    modern_bytes = encode_pdf_modern(_PAGES)
+    assert decode_pdf_text(modern_bytes) == classic
+    meta = pdf_meta(modern_bytes)
+    assert meta == {"version": "1.5", "n_pages": 3}
+    # the structural features are actually present in the bytes
+    assert b"/Type /XRef" in modern_bytes
+    assert b"/Type /ObjStm" in modern_bytes
+    assert b"/Predictor 12" in modern_bytes
+    assert re.search(rb"/Length \d+ 0 R", modern_bytes)  # indirect
+
+
+def test_png_defilter_inverts_every_filter_type():
+    rows = [bytes([7, 200, 13, 0, 255]), bytes([9, 1, 250, 128, 64]),
+            bytes([0, 0, 3, 200, 199])]
+    cols, bpp = 5, 1
+
+    def apply_filter(ftype):
+        out = bytearray()
+        prev = bytes(cols)
+        for row in rows:
+            out.append(ftype)
+            for i in range(cols):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                out.append((row[i] - pred) & 0xFF)
+            prev = row
+        return bytes(out)
+
+    want = b"".join(rows)
+    for ftype in range(5):
+        got = _png_defilter(apply_filter(ftype), cols, bpp, "t")
+        assert got == want, f"filter {ftype}"
+    # the fixture Up encoder matches the hand filter
+    assert _png_up_filter(rows) == apply_filter(2)
+    with pytest.raises(ValueError, match="unknown PNG filter"):
+        _png_defilter(b"\x09" + bytes(cols), cols, bpp, "t")
+    with pytest.raises(ValueError, match="whole number"):
+        _png_defilter(b"\x00\x01", cols, bpp, "t")
+
+
+def test_hybrid_xrefstm_trailer_is_consulted():
+    """A classic trailer carrying /XRefStm (the hybrid-reference
+    layout): the table section itself resolves nothing, the xref
+    stream supplies every object."""
+    base = encode_pdf_modern(_PAGES[:1])
+    old_xref_at = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    table_at = len(base)
+    out = (
+        base
+        + b"xref\n0 1\n0000000000 65535 f \n"
+        + b"trailer\n<< /Size 20 /Root 1 0 R /XRefStm "
+        + str(old_xref_at).encode()
+        + b" >>\nstartxref\n"
+        + str(table_at).encode()
+        + b"\n%%EOF\n"
+    )
+    assert decode_pdf_text(out) == decode_pdf_text(base)
+
+
+def test_xref_stream_prev_chain_incremental_update():
+    """Incremental update on a modern file: a new content stream +
+    a second xref STREAM whose /Prev points at the original — the
+    newest entry must win, the original file must stay readable."""
+    base = encode_pdf_modern([["original modern text"]])
+    old_xref_at = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    # object 4 is the (only) page's content stream in the modern
+    # numbering: cat=1 tree=2 page=3 content=4
+    new_stream = b"BT /F1 12 Tf 72 720 Td (updated modern) Tj ET"
+    upd_at = len(base)
+    body = (
+        b"4 0 obj\n<< /Length " + str(len(new_stream)).encode()
+        + b" >>\nstream\n" + new_stream + b"\nendstream\nendobj\n"
+    )
+    new_xref_at = upd_at + len(body)
+    # W [1 3 2] raw rows (no predictor), /Index [4 1]
+    row = b"\x01" + upd_at.to_bytes(3, "big") + b"\x00\x00"
+    payload = zlib.compress(row)
+    xref_obj = (
+        b"9 0 obj\n<< /Type /XRef /Size 10 /W [1 3 2] /Index [4 1] "
+        b"/Root 1 0 R /Prev " + str(old_xref_at).encode()
+        + b" /Filter /FlateDecode /Length "
+        + str(len(payload)).encode()
+        + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n"
+    )
+    out = (
+        base + body + xref_obj
+        + b"startxref\n" + str(new_xref_at).encode() + b"\n%%EOF\n"
+    )
+    assert decode_pdf_text(out) == ["updated modern"]
+    assert decode_pdf_text(base) == ["original modern text"]
+
+
+def test_objstm_member_mismatch_and_bad_w_raise():
+    data = encode_pdf_modern([["x y z"]])
+    # corrupt the xref stream's W to 2 fields
+    bad = data.replace(b"/W [1 3 2]", b"/W [1 3 4]", 1)
+    with pytest.raises(ValueError):
+        decode_pdf_text(bad)
+    # encrypted gate works through the xref-stream trailer too
+    enc = data.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        decode_pdf_text(enc)
