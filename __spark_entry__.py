@@ -4366,6 +4366,31 @@ def q_bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TP.bpe_train(docs, "norm", n_merges=6).orderBy("merge_rank")
 
 
+def q_bpe_train_batched_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCHED BPE training past the r10 ceiling (r11 — the r10
+    verdict's #4): 64 merge slots at batch=4 = 16 Spark jobs (one
+    rank-window collect per iteration, ≤ n_merges/4), placeholders
+    crossing into the private-use block at slot 26
+    (``textprep.bpe_placeholder``).  Each iteration ranks pairs once,
+    examines the top 16 by (count desc, encoded pair asc) and
+    greedily accepts 4 whose character sets are disjoint — the
+    standard parallel-BPE batching, here a finite slot spec the
+    DuckDB mirror unrolls exactly (16 ranked-p CTEs + 64 one-row
+    selection CTEs, MATERIALIZED).  With PUA-A/B this encoding holds
+    ~137k slots and batch=256 trains a 32k vocab in ~125 jobs — the
+    named scale path."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        _bpe_norm("text").alias("norm")
+    )
+    return TP.bpe_train(
+        docs, "norm", n_merges=64, batch=4
+    ).orderBy("merge_rank")
+
+
 def q_train_tokenize_pack_v1(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8266,6 +8291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract_docs": q_pdf_extract_docs,
         "pdf_modern_docs": q_pdf_modern_docs,
         "bpe_train_docs": q_bpe_train_docs,
+        "bpe_train_batched_docs": q_bpe_train_batched_docs,
         "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
         "crawl_curation_v2": q_crawl_curation_v2,
         "hash_quality_filter_docs": q_hash_quality_filter_docs,
@@ -10948,6 +10974,13 @@ def oracle_sql() -> dict[str, str]:
                            '[^a-z]+', ' ', 'g')) AS norm
                FROM documents""",
             n_merges=6,
+        ),
+        "bpe_train_batched_docs": bpe_train_oracle_sql(
+            """SELECT trim(regexp_replace(lower(COALESCE(text, '')),
+                           '[^a-z]+', ' ', 'g')) AS norm
+               FROM documents""",
+            n_merges=64,
+            batch=4,
         ),
         "train_tokenize_pack_v1": f"""
             WITH d AS (

@@ -458,41 +458,93 @@ def pack_id_blocks(
 
 
 _BPE_PLACEHOLDERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+# two control chars no normalized text contains — the "pattern that
+# never matches" the SQL mirror substitutes for an EMPTY merge slot
+_BPE_NO_MATCH_SQL = "(chr(1) || chr(1))"
+
+
+def bpe_placeholder(slot: int) -> str:
+    """One-char placeholder for merge slot ``slot``: A-Z for the
+    first 26 (the r10 encoding, kept so r10 oracles are unchanged),
+    then Unicode private-use codepoints U+E000+ — one CHARACTER per
+    token in both engines (`length`/`substr` count codepoints), which
+    is what breaks the r10 26-merge ceiling.  The PUA block alone
+    holds 6 400 slots; with plane-15/16 PUA-A/B this encoding reaches
+    ~137k — a real 32k-100k vocab fits."""
+    if slot < 26:
+        return _BPE_PLACEHOLDERS[slot]
+    if slot - 26 >= 6400:
+        raise ValueError("merge slot beyond the BMP private-use area")
+    return chr(0xE000 + slot - 26)
+
+
+def _bpe_pick_disjoint(
+    ranked: list[tuple[str, int]], take: int
+) -> list[tuple[str, int]]:
+    """Greedy scan of rank-ordered (pair, cnt): accept a pair iff it
+    shares no character with an already-accepted pair in this batch —
+    disjoint replaces commute, so the batch applies in one pass.  THE
+    shared spec: the SQL mirror unrolls exactly this walk."""
+    out: list[tuple[str, int]] = []
+    for pair, cnt in ranked:
+        if len(out) >= take:
+            break
+        if any(c in p for c in pair for p, _ in out):
+            continue
+        out.append((pair, cnt))
+    return out
 
 
 def bpe_train(
     df: DataFrame,
     text_col: str,
     n_merges: int = 4,
+    batch: int = 1,
+    window_factor: int = 4,
 ) -> DataFrame:
-    """Byte-pair-encoding TRAINER (r10 — extends the r9
-    ``bpe_pair_counts`` first-merge statistic to the full loop):
-    iteratively find the most frequent adjacent token pair and merge
-    it, ``n_merges`` times.  Returns the learned merge table — one row
-    per merge: ``merge_rank``, decoded ``lhs``/``rhs`` token strings,
-    ``pair_count``.  Ties break lexicographically on the encoded pair
-    (deterministic, engine-portable).
+    """Byte-pair-encoding TRAINER (r10; r11 lifts the 26-merge
+    ceiling and batches merges).  Returns the learned merge table —
+    one row per filled merge slot: ``merge_rank`` (the slot id),
+    decoded ``lhs``/``rhs`` token strings, ``pair_count``.  Ties
+    break lexicographically on the encoded pair (deterministic,
+    engine-portable).
+
+    ``batch=1`` is EXACT greedy BPE (the r10 semantics, bit-for-bit).
+    ``batch>1`` is standard parallel-BPE batching: each iteration
+    ranks pairs once, examines the top ``batch*window_factor``
+    candidates, and greedily accepts up to ``batch`` of them whose
+    character sets are pairwise DISJOINT (disjoint merges commute —
+    applying them in one pass equals applying them sequentially; the
+    rank-window cap makes the selection a finite spec both engines
+    implement identically, :func:`_bpe_pick_disjoint`).  Batched
+    selection can diverge from strict greedy when a merge's OUTPUT
+    would itself participate in the next-best pair — the documented
+    approximation every parallel BPE trainer makes.
 
     Token state lives in a one-char-per-token PLACEHOLDER encoding
-    (merge j's output is the single char ``'A'+j``), so every
-    iteration is pure Catalyst: 2-gram explode + weighted hash agg +
-    literal ``replace`` — the same encoding equivalence
-    :func:`bpe_tokenize` documents, which also makes an unrolled
-    DuckDB mirror exact (:func:`bpe_train_oracle_sql`).  Input text
-    must not contain uppercase A-Z (reserve them for placeholders) —
-    normalize first.
+    (slot s's output is the single char :func:`bpe_placeholder`\\(s)
+    — A-Z then private-use codepoints), so every iteration is pure
+    Catalyst: 2-gram explode + weighted hash agg + literal
+    ``replace`` — the same encoding equivalence :func:`bpe_tokenize`
+    documents, which also makes an unrolled DuckDB mirror exact
+    (:func:`bpe_train_oracle_sql`).  Input text must not contain
+    uppercase A-Z or U+E000-U+F8FF (reserved) — normalize first.
 
     Scale shape: the corpus aggregates to DISTINCT words once
-    (the :func:`bpe_pair_counts` trick — vocabulary-sized forever
-    after, ≈10⁵-10⁶ rows regardless of corpus bytes); each iteration
-    is one explode + one hash agg over the cached vocab and collects
-    exactly ONE row (the argmax) to the driver — bounded metadata,
-    the :func:`~parquet_editor_spark.operators.sim.kmeans_lloyd`
-    loop contract."""
-    if not 1 <= n_merges <= len(_BPE_PLACEHOLDERS):
-        raise ValueError(
-            f"n_merges must be 1..{len(_BPE_PLACEHOLDERS)}"
-        )
+    (vocabulary-sized forever after, ≈10⁵-10⁶ rows regardless of
+    corpus bytes); each iteration is one explode + one hash agg over
+    the materialized vocab and collects ``batch*window_factor`` rows
+    (bounded metadata, the kmeans-loop contract), and the vocab is
+    re-persisted per iteration so lineage stays O(1).  Spark jobs =
+    ceil(n_merges/batch): a 32k-merge vocab at batch=256 is ~125
+    jobs — the PUA encoding (~137k slots with the supplementary
+    planes) and this batching ARE the 32k-vocab path."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if batch < 1 or window_factor < 1:
+        raise ValueError("batch and window_factor must be >= 1")
+    bpe_placeholder(n_merges - 1)  # raises beyond the encoding
+    window = batch * window_factor
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
@@ -504,8 +556,10 @@ def bpe_train(
     merges: list[tuple[int, str, str, int]] = []
     dec: dict[str, str] = {}
     cur = words
+    pinned = [words]
     try:
-        for j in range(n_merges):
+        for base in range(0, n_merges, batch):
+            take = min(batch, n_merges - base)
             grams = F.when(
                 F.length("enc") >= 2,
                 F.transform(
@@ -518,105 +572,162 @@ def bpe_train(
                 .groupBy("pair")
                 .agg(F.sum("wc").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), F.col("pair").asc())
-                .limit(1)
+                .limit(window)
                 .collect()
             )
             if not top:
                 break
-            pair, cnt = top[0]["pair"], int(top[0]["cnt"])
-            ph = _BPE_PLACEHOLDERS[j]
-            lhs, rhs = pair[0], pair[1]
-            merges.append(
-                (j, dec.get(lhs, lhs), dec.get(rhs, rhs), cnt)
+            picked = _bpe_pick_disjoint(
+                [(r["pair"], int(r["cnt"])) for r in top], take
             )
-            dec[ph] = dec.get(lhs, lhs) + dec.get(rhs, rhs)
-            cur = cur.withColumn(
-                "enc", F.replace(F.col("enc"), F.lit(pair), F.lit(ph))
-            )
+            enc = F.col("enc")
+            for i, (pair, cnt) in enumerate(picked):
+                slot = base + i
+                ph = bpe_placeholder(slot)
+                lhs, rhs = pair[0], pair[1]
+                merges.append(
+                    (slot, dec.get(lhs, lhs), dec.get(rhs, rhs), cnt)
+                )
+                dec[ph] = dec.get(lhs, lhs) + dec.get(rhs, rhs)
+                enc = F.replace(enc, F.lit(pair), F.lit(ph))
+            cur = cur.withColumn("enc", enc).persist()
+            pinned.append(cur)
     finally:
-        words.unpersist()
+        for p in pinned:
+            p.unpersist()
     return df.sparkSession.createDataFrame(
         merges,
         "merge_rank int, lhs string, rhs string, pair_count long",
     )
 
 
-def bpe_train_ctes(norm_sql: str, n_merges: int = 4) -> str:
-    """The unrolled training CTE chain (``w0``/``p{j}``/``m{j}``) the
-    DuckDB mirrors build on: ``m{j}`` is the one-row argmax of
-    iteration j.  ``norm_sql`` must select a ``norm`` text column."""
-    P = _BPE_PLACEHOLDERS
+def _bpe_slot_pattern_sql(slot: int) -> str:
+    """Scalar-subquery pattern for merge slot ``slot``, guarded so an
+    EMPTY slot (batch underfill) degrades to a never-matching pattern
+    instead of a NULL that would nuke the whole string."""
+    return f"COALESCE((SELECT pair FROM m{slot}), {_BPE_NO_MATCH_SQL})"
+
+
+def bpe_train_ctes(
+    norm_sql: str,
+    n_merges: int = 4,
+    batch: int = 1,
+    window_factor: int = 4,
+) -> str:
+    """The unrolled training CTE chain (``w0``/``p{j}``/``m{slot}``)
+    the DuckDB mirrors build on: ``p{j}`` ranks iteration j's pair
+    counts, ``m{slot}`` is merge slot ``slot``'s one-row selection —
+    for ``batch=1`` exactly the r10 argmax; for ``batch>1`` the
+    rank-window greedy-disjoint walk of :func:`_bpe_pick_disjoint`,
+    unrolled as one CTE per slot whose WHERE excludes any pair
+    sharing a character with an earlier slot in the same batch.
+    ``norm_sql`` must select a ``norm`` text column."""
+    window = batch * window_factor
     parts = [
-        f"""w0 AS (
+        f"""w0 AS MATERIALIZED (
             SELECT w, COUNT(*)::BIGINT AS wc
             FROM (SELECT unnest(string_split(norm, ' ')) AS w
                   FROM ({norm_sql}) nrm) u
             WHERE w <> '' GROUP BY w)"""
     ]
-    for j in range(n_merges):
+    n_iters = (n_merges + batch - 1) // batch
+    for j in range(n_iters):
+        base = j * batch
+        take = min(batch, n_merges - base)
         parts.append(
-            f"""p{j} AS (
-            SELECT pair, SUM(wc)::BIGINT AS cnt FROM (
-                SELECT wc,
-                       unnest(list_transform(
-                           range(1, length(w)::BIGINT),
-                           p -> substr(w, p::INT, 2))) AS pair
-                FROM w{j}) x
-            GROUP BY pair)"""
+            f"""p{j} AS MATERIALIZED (
+            SELECT pair, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, pair ASC)
+                       AS rnk
+            FROM (
+                SELECT pair, SUM(wc)::BIGINT AS cnt FROM (
+                    SELECT wc,
+                           unnest(list_transform(
+                               range(1, length(w)::BIGINT),
+                               p -> substr(w, p::INT, 2))) AS pair
+                    FROM w{j}) x
+                GROUP BY pair) c
+            ORDER BY rnk LIMIT {window})"""
         )
-        parts.append(
-            f"m{j} AS (SELECT pair, cnt FROM p{j} "
-            f"ORDER BY cnt DESC, pair ASC LIMIT 1)"
-        )
-        if j + 1 < n_merges:
+        for i in range(take):
+            slot = base + i
+            disjoint = " ".join(
+                f"AND strpos(pair, substr("
+                f"{_bpe_slot_pattern_sql(base + k)}, 1, 1)) = 0 "
+                f"AND strpos(pair, substr("
+                f"{_bpe_slot_pattern_sql(base + k)}, 2, 1)) = 0"
+                for k in range(i)
+            )
             parts.append(
-                f"""w{j + 1} AS (
-                SELECT replace(base.w, m.pair, '{P[j]}') AS w, base.wc
-                FROM w{j} base, m{j} m)"""
+                f"m{slot} AS MATERIALIZED (SELECT pair, cnt FROM p{j} "
+                f"WHERE 1=1 {disjoint} ORDER BY rnk LIMIT 1)"
+            )
+        if j + 1 < n_iters:
+            repl = "w"
+            for i in range(take):
+                slot = base + i
+                repl = (
+                    f"replace({repl}, {_bpe_slot_pattern_sql(slot)}, "
+                    f"'{bpe_placeholder(slot)}')"
+                )
+            parts.append(
+                f"w{j + 1} AS MATERIALIZED "
+                f"(SELECT {repl} AS w, wc FROM w{j})"
             )
     return ", ".join(parts)
 
 
 def bpe_decode_sql(expr: str, upto: int) -> str:
     """Expand placeholders in ``expr`` back to token strings using the
-    learned ``m{i}`` one-row CTEs — newest placeholder first: its
+    learned ``m{slot}`` one-row CTEs — newest placeholder first: its
     expansion may contain older placeholders, which the later
     replaces resolve."""
-    P = _BPE_PLACEHOLDERS
     for i in reversed(range(upto)):
-        expr = f"replace({expr}, '{P[i]}', (SELECT pair FROM m{i}))"
+        expr = (
+            f"replace({expr}, '{bpe_placeholder(i)}', "
+            f"{_bpe_slot_pattern_sql(i)})"
+        )
     return expr
 
 
 def bpe_apply_sql(text_expr: str, n_merges: int) -> str:
     """Tokenize ``text_expr`` with the LEARNED merges: the sequential
-    placeholder-replace chain whose patterns are the ``m{j}`` argmax
-    rows — the exact mirror of ``bpe_tokenize`` run on
+    placeholder-replace chain whose patterns are the ``m{slot}``
+    selection rows — the exact mirror of ``bpe_tokenize`` run on
     :func:`bpe_train`'s output (valid-merge-list equivalence, see
     bpe_tokenize's note)."""
-    P = _BPE_PLACEHOLDERS
     expr = text_expr
     for j in range(n_merges):
         expr = (
-            f"replace({expr}, (SELECT pair FROM m{j}), '{P[j]}')"
+            f"replace({expr}, {_bpe_slot_pattern_sql(j)}, "
+            f"'{bpe_placeholder(j)}')"
         )
     return expr
 
 
-def bpe_train_oracle_sql(norm_sql: str, n_merges: int = 4) -> str:
+def bpe_train_oracle_sql(
+    norm_sql: str,
+    n_merges: int = 4,
+    batch: int = 1,
+    window_factor: int = 4,
+) -> str:
     """DuckDB mirror of :func:`bpe_train`, unrolled — generated from
-    the SAME iteration (one spec, two engines)."""
+    the SAME iteration and the SAME slot spec (one spec, two
+    engines); empty slots contribute no row, exactly like the Spark
+    side skipping unaccepted slots."""
     decode = bpe_decode_sql
     selects = []
-    for j in range(n_merges):
+    for slot in range(n_merges):
         selects.append(
-            f"SELECT {j} AS merge_rank, "
-            f"{decode('substr(pair, 1, 1)', j)} AS lhs, "
-            f"{decode('substr(pair, 2, 1)', j)} AS rhs, "
-            f"cnt AS pair_count FROM m{j}"
+            f"SELECT {slot} AS merge_rank, "
+            f"{decode('substr(pair, 1, 1)', slot)} AS lhs, "
+            f"{decode('substr(pair, 2, 1)', slot)} AS rhs, "
+            f"cnt AS pair_count FROM m{slot}"
         )
     return (
-        "WITH " + bpe_train_ctes(norm_sql, n_merges) + " "
+        "WITH "
+        + bpe_train_ctes(norm_sql, n_merges, batch, window_factor)
+        + " "
         + " UNION ALL ".join(selects)
         + " ORDER BY merge_rank"
     )

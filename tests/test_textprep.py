@@ -806,3 +806,122 @@ def test_pack_id_blocks_null_ids_count_zero(spark):
         ).collect()
     }
     assert out == {0: [10, 11, 30], 1: [31]}
+
+
+def _scalar_bpe_train_batched(texts, n_merges, batch, window_factor):
+    """Independent scalar trainer for the r11 BATCHED slot spec:
+    rank pairs once per iteration, examine the top batch*window_factor
+    by (count desc, encoded pair asc), greedily accept char-disjoint
+    (in the one-char-per-token encoding) pairs up to the batch size,
+    apply them all, repeat.  Token-LIST based — no placeholder string
+    trick — so it is an independent oracle for both engines."""
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split() if w)
+    vocab = {w: list(w) for w in words}
+    ph = {}  # token string -> placeholder char
+    merges = []
+    window = batch * window_factor
+    slot = 0
+    while slot < n_merges:
+        take = min(batch, n_merges - slot)
+        counts = Counter()
+        for w, toks in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] += words[w]
+        if not counts:
+            break
+        enc = lambda t: ph.get(t, t)
+        ranked = sorted(
+            counts.items(),
+            key=lambda kv: (-kv[1], enc(kv[0][0]) + enc(kv[0][1])),
+        )[:window]
+        accepted = []
+        for (a, b), cnt in ranked:
+            if len(accepted) >= take:
+                break
+            cand = enc(a) + enc(b)
+            if any(
+                c in enc(x) + enc(y) for c in cand for (x, y), _ in accepted
+            ):
+                continue
+            accepted.append(((a, b), cnt))
+        for (a, b), cnt in accepted:
+            merges.append((slot, a, b, cnt))
+            ph[a + b] = TP.bpe_placeholder(slot)
+            slot += 1
+            for w, toks in vocab.items():
+                out, i = [], 0
+                while i < len(toks):
+                    if (
+                        i + 1 < len(toks)
+                        and (toks[i], toks[i + 1]) == (a, b)
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                vocab[w] = out
+        slot = (slot + batch - 1) // batch * batch  # skip empty slots
+    return merges
+
+
+def test_bpe_placeholder_crosses_26_and_gates():
+    assert TP.bpe_placeholder(0) == "A"
+    assert TP.bpe_placeholder(25) == "Z"
+    assert TP.bpe_placeholder(26) == chr(0xE000)
+    assert TP.bpe_placeholder(100) == chr(0xE000 + 74)
+    with pytest.raises(ValueError, match="private-use"):
+        TP.bpe_placeholder(26 + 6400)
+
+
+def test_bpe_train_batched_matches_scalar(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the theory the thing thinks",
+        "banana bandana and another band",
+        "singing ringing winging zing",
+        "persistent insistent consistent",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "norm string")
+    for batch in (2, 4):
+        got = [
+            (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+            for r in TP.bpe_train(df, "norm", n_merges=8, batch=batch)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        want = _scalar_bpe_train_batched(texts, 8, batch, 4)
+        assert got == want, batch
+
+
+def test_bpe_train_batched_oracle_matches_spark_past_26(spark):
+    """64 merges at batch=4 — past the r10 placeholder ceiling, 16
+    Spark jobs — must match the unrolled DuckDB mirror row-for-row
+    (the r11 done-criterion)."""
+    import duckdb
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs every single day",
+        "how vexingly quick daft zebras jump while wizards watch",
+        "sphinx of black quartz judge my vow said the old sage",
+        "the sage and the fox and the dog walked to the box",
+    ] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "norm string")
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in TP.bpe_train(df, "norm", n_merges=64, batch=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert len(got) >= 40  # deep past the 26-slot ceiling
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(norm VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+    sql = TP.bpe_train_oracle_sql(
+        "SELECT norm FROM t", n_merges=64, batch=4
+    )
+    duck = [tuple(r) for r in con.sql(sql).fetchall()]
+    assert duck == got
