@@ -4791,6 +4791,140 @@ def q_hash_quality_filter_docs(
     )
 
 
+def _thc_labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the r11 classifier-training pair: per doc,
+    a quantized-SIGNAL feature text ('qn<len/8> qd<dtr*20> qm<mwl*2>'
+    — token count, distinct-token ratio and mean word length binned
+    into tokens, the CCNet trained-scorecard architecture) plus a 0/1
+    label from the EXISTING gopher heuristic filter (the r10
+    verdict's 'labels from the existing heuristic filters').  Signal
+    tokens make the gopher label LINEARLY EXPRESSIBLE for the
+    mean-pooled scorer — a raw bag-of-content-ngrams provably cannot
+    encode the distinct-token-ratio threshold that dominates this
+    label (it is a ratio of counts, not a count), which is exactly
+    why CCNet-style pipelines featurize signals; swap ``sig`` for the
+    normalized text and the same trainer trains a content classifier
+    (the r10 ``hash_quality_filter_docs`` scorer's weights)."""
+    from parquet_editor_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__toks", X.tokens("text")
+    )
+    t = F.col("__toks")
+    staged = docs.select(
+        "doc_id",
+        X.token_count("text", t).alias("__n"),
+        X.mean_word_length("text", t).alias("__mwl"),
+        X.distinct_token_ratio("text", t).alias("__dtr"),
+    )
+    sig = F.concat(
+        F.lit("qn"),
+        F.floor(F.col("__n") / F.lit(8)).cast("int").cast("string"),
+        F.lit(" qd"),
+        F.floor(F.col("__dtr") * F.lit(20.0)).cast("int").cast("string"),
+        F.lit(" qm"),
+        F.floor(F.col("__mwl") * F.lit(2.0)).cast("int").cast("string"),
+    )
+    return staged.select(
+        "doc_id",
+        sig.alias("sig"),  # NULL when the doc has no tokens
+        F.coalesce(
+            X.gopher_keep(F.col("__n"), F.col("__mwl"), F.col("__dtr")),
+            F.lit(False),
+        )
+        .cast("int")
+        .alias("y"),
+    )
+
+
+_THC_BUCKETS, _THC_ITERS, _THC_LR = 256, 16, 8.0
+
+# the same labeled-docs fixture for DuckDB (y from the gopher rule,
+# sig from the same quantized signals; NULLIF keeps the zero-token
+# row NULL like Spark's try_divide) — feeds train_hash_classifier_ctes
+_ORACLE_THC_DOCS = """
+    SELECT CASE WHEN len(toks) >= 30 AND len(toks) <= 100000
+                AND CAST(list_sum(list_transform(toks, x -> length(x)))
+                         AS DOUBLE) / len(toks) >= 3.0
+                AND CAST(list_sum(list_transform(toks, x -> length(x)))
+                         AS DOUBLE) / len(toks) <= 8.0
+                AND CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / len(toks) >= 0.45
+           THEN 1 ELSE 0 END AS y,
+           doc_id,
+           'qn' || CAST(CAST(floor(len(toks) / 8.0) AS INT) AS VARCHAR)
+           || ' qd' || CAST(CAST(floor(
+                  CAST(len(list_distinct(toks)) AS DOUBLE)
+                  / NULLIF(len(toks), 0) * 20.0) AS INT) AS VARCHAR)
+           || ' qm' || CAST(CAST(floor(
+                  CAST(list_sum(list_transform(toks, x -> length(x)))
+                       AS DOUBLE)
+                  / NULLIF(len(toks), 0) * 2.0) AS INT) AS VARCHAR)
+               AS norm
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents) s0
+"""
+
+
+def q_train_quality_classifier_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRAIN the hashed linear quality classifier (r11 — the r10
+    verdict's #5): fixed-iteration full-batch gradient descent whose
+    every operation is IEEE-exact (Elliott fast-sigmoid link, per-doc
+    error quantized to the 2^-20 integer grid, exact integer gradient
+    sums, pinned float update tree), so the learned 256-bucket weight
+    table is BIT-IDENTICAL between Spark and the unrolled DuckDB
+    mirror (``text.train_hash_classifier`` /
+    ``train_hash_classifier_ctes`` — one spec, two engines; compared
+    at abs=0, no rounding).  Labels come from the existing gopher
+    heuristic — the CCNet-style bootstrap.  Scale shape: featurize
+    once into a persisted bucket array, one integer hash agg per
+    iteration collecting ≤256 rows — gradient traffic is model-sized
+    at any corpus size."""
+    from parquet_editor_spark.functions import text as X
+
+    labeled = _thc_labeled_docs(spark, sf_dir)
+    w = X.train_hash_classifier(
+        labeled, "sig", "y",
+        n_buckets=_THC_BUCKETS, iters=_THC_ITERS, lr=_THC_LR,
+    )
+    return spark.createDataFrame(
+        [(b, x) for b, x in enumerate(w)], "bucket int, weight double"
+    ).orderBy("bucket")
+
+
+def q_trained_quality_filter_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The trained classifier COMPOSED into a curation pass (r11):
+    train on the gopher-labeled corpus (driver holds the 256-double
+    table — bounded metadata), then score every doc with
+    ``hash_linear_score`` under the learned weights and threshold at
+    margin > 0 — the train→deploy loop of a real quality-filter
+    pipeline, with the label echoed so the differential also pins
+    train-set agreement.  The oracle replays the identical unrolled
+    training and scores through the same fold."""
+    from parquet_editor_spark.functions import text as X
+
+    labeled = _thc_labeled_docs(spark, sf_dir)
+    w = X.train_hash_classifier(
+        labeled, "sig", "y",
+        n_buckets=_THC_BUCKETS, iters=_THC_ITERS, lr=_THC_LR,
+    )
+    return (
+        labeled.select(
+            "doc_id",
+            "y",
+            X.hash_linear_score("sig", w, bias=0.0).alias("margin"),
+        )
+        .withColumn("keep", (F.col("margin") > 0).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
 def q_pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction (sources/pdf.py + ``pdf_pages``, new r10 —
     the r9 verdict's #6: the largest remaining real-world document
@@ -8295,6 +8429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
         "crawl_curation_v2": q_crawl_curation_v2,
         "hash_quality_filter_docs": q_hash_quality_filter_docs,
+        "train_quality_classifier_docs": q_train_quality_classifier_docs,
+        "trained_quality_filter_docs": q_trained_quality_filter_docs,
         "line_dedup_docs": q_line_dedup_docs,
         "robots_filter_docs": q_robots_filter_docs,
         "cdx_index_docs": q_cdx_index_docs,
@@ -8582,6 +8718,30 @@ def oracle_sql() -> dict[str, str]:
     hlq_margin = hash_linear_score_sql(
         "norm", _HLQ_BUCKETS, _HLQ_WEIGHT_SQL, bias=_HLQ_BIAS
     )
+
+    # classifier-training mirror (r11): the unrolled fixed-iteration
+    # gradient chain, generated from the SAME spec the Spark trainer
+    # runs (see q_train_quality_classifier_docs)
+    from parquet_editor_spark.functions.text import (
+        _hash_feats_sql,
+        _poly_bucket_sql,
+        train_hash_classifier_ctes,
+    )
+
+    thc_ctes, thc_final = train_hash_classifier_ctes(
+        _ORACLE_THC_DOCS,
+        n_buckets=_THC_BUCKETS, iters=_THC_ITERS, lr=_THC_LR,
+    )
+    thc_feats = _hash_feats_sql("norm")
+    thc_bucket = _poly_bucket_sql("t", _THC_BUCKETS)
+    # the hash_linear_score margin fold under the TRAINED weight list
+    # (same expression tree as the Spark scorer, bias 0, round 6)
+    thc_margin = f"""round(CASE WHEN len({thc_feats}) > 0 THEN
+        0.0 + list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform({thc_feats},
+                t -> w.w[({thc_bucket}) + 1])),
+            (acc, x) -> acc + x) / len({thc_feats})
+        ELSE 0.0 END, 6)"""
 
     # suffix walk generated from the SAME pinned public-suffix table
     # the Spark operator compiles (see q_url_curation_docs)
@@ -11242,6 +11402,22 @@ def oracle_sql() -> dict[str, str]:
                    margin,
                    (CASE WHEN margin > 0 THEN 1 ELSE 0 END)::INT AS keep
             FROM s
+            ORDER BY doc_id
+        """,
+        "train_quality_classifier_docs": f"""
+            WITH {thc_ctes}
+            SELECT r.b::INT AS bucket, w.w[r.b::INT + 1] AS weight
+            FROM range({_THC_BUCKETS}) r(b), {thc_final} w
+            ORDER BY bucket
+        """,
+        "trained_quality_filter_docs": f"""
+            WITH {thc_ctes}, sc AS (
+                SELECT doc_id, y, {thc_margin} AS margin
+                FROM ({_ORACLE_THC_DOCS}) d, {thc_final} w
+            )
+            SELECT doc_id, y, margin,
+                   (CASE WHEN margin > 0 THEN 1 ELSE 0 END)::INT AS keep
+            FROM sc
             ORDER BY doc_id
         """,
         "pdf_extract_docs": """

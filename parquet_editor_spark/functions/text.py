@@ -276,6 +276,52 @@ def quality_score(
     return F.round(length_part * punct_part * stop_part, 4)
 
 
+def _hash_feats(c: Column) -> Column:
+    """Whitespace unigrams + '_'-joined adjacent bigrams, in feature
+    order — the shared featurizer of :func:`hash_linear_score` and
+    :func:`train_hash_classifier`."""
+    toks = F.filter(F.split(c, " "), lambda t: t != F.lit(""))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i),
+                F.lit("_"),
+                F.element_at(toks, i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def _poly_bucket(t: Column, n_buckets: int) -> Column:
+    """Portable polynomial hash of one feature string → bucket id."""
+    from parquet_editor_spark.functions.hashing import (
+        POLY_BASE,
+        POLY_MOD,
+    )
+
+    h = F.aggregate(
+        F.split(t, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * POLY_BASE + F.ascii(ch)) % POLY_MOD,
+    )
+    return (h % n_buckets).cast("int")
+
+
+def hash_feature_buckets(
+    col: str | Column, n_buckets: int
+) -> Column:
+    """Bucket-id array of a doc's hashed n-gram features, in feature
+    order — the cached representation :func:`train_hash_classifier`
+    iterates over (hashing runs once, not once per iteration)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        _hash_feats(c), lambda t: _poly_bucket(t, n_buckets)
+    )
+
+
 def hash_linear_score(
     col: str | Column,
     weights: Sequence[float],
@@ -291,43 +337,22 @@ def hash_linear_score(
     so thresholding the margin IS thresholding the probability and
     the margin stays engine-portable where ``exp`` is not).
 
-    ``weights`` is the trained (here: pinned) weight table, shipped
-    as a literal array — broadcast once per executor inside the plan.
+    ``weights`` is the trained (r10: pinned; r11:
+    :func:`train_hash_classifier` output) weight table, shipped as a
+    literal array — broadcast once per executor inside the plan.
     Pure codegen: split + transform + one sequential fold, no Python,
     no shuffle; the fold order is the feature order, so float
     summation is bit-reproducible in any engine.  Empty docs score
     ``round(bias, round_to)``."""
-    from parquet_editor_spark.functions.hashing import (
-        POLY_BASE,
-        POLY_MOD,
-    )
-
     c = F.col(col) if isinstance(col, str) else col
     n_b = len(weights)
     if n_b < 1:
         raise ValueError("weights must be non-empty")
-    toks = F.filter(F.split(c, " "), lambda t: t != F.lit(""))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i),
-                F.lit("_"),
-                F.element_at(toks, i + 1),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(toks, bigrams)
+    feats = _hash_feats(c)
     w_arr = F.array(*[F.lit(float(w)) for w in weights])
 
     def bucket(t):
-        h = F.aggregate(
-            F.split(t, ""),
-            F.lit(0).cast("long"),
-            lambda acc, ch: (acc * POLY_BASE + F.ascii(ch)) % POLY_MOD,
-        )
-        return (h % n_b).cast("int")
+        return _poly_bucket(t, n_b)
 
     total = F.aggregate(
         feats,
@@ -341,31 +366,41 @@ def hash_linear_score(
     return F.round(margin, round_to)
 
 
+def _hash_feats_sql(norm_expr: str) -> str:
+    """DuckDB mirror of :func:`_hash_feats`."""
+    toks = (
+        f"list_filter(string_split({norm_expr}, ' '), t -> t <> '')"
+    )
+    return f"""list_concat({toks},
+        CASE WHEN len({toks}) >= 2 THEN
+            list_transform(range(1, len({toks})::BIGINT),
+                i -> {toks}[i::INT] || '_' || {toks}[i::INT + 1])
+        ELSE [] END)"""
+
+
+def _poly_bucket_sql(var: str, n_buckets: int) -> str:
+    """DuckDB mirror of :func:`_poly_bucket` over variable ``var``."""
+    from parquet_editor_spark.functions.hashing import (
+        POLY_BASE,
+        POLY_MOD,
+    )
+
+    return (
+        f"(list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({var}, ''), "
+        f"ch -> ascii(ch)::BIGINT)), "
+        f"(h, c) -> (h * {POLY_BASE} + c) % {POLY_MOD}) % {n_buckets})"
+    )
+
+
 def hash_linear_score_sql(
     norm_expr: str, n_buckets: int, weight_sql: str, bias: float = 0.0
 ) -> str:
     """DuckDB mirror of :func:`hash_linear_score` — same features,
     same fold order, same constants; ``weight_sql`` maps the bucket
     placeholder ``__B__`` to its weight (one formula, two engines)."""
-    from parquet_editor_spark.functions.hashing import (
-        POLY_BASE,
-        POLY_MOD,
-    )
-
-    toks = (
-        f"list_filter(string_split({norm_expr}, ' '), t -> t <> '')"
-    )
-    feats = f"""list_concat({toks},
-        CASE WHEN len({toks}) >= 2 THEN
-            list_transform(range(1, len({toks})::BIGINT),
-                i -> {toks}[i::INT] || '_' || {toks}[i::INT + 1])
-        ELSE [] END)"""
-    bucket = (
-        f"(list_reduce(list_prepend(0::BIGINT, "
-        f"list_transform(string_split(t, ''), "
-        f"ch -> ascii(ch)::BIGINT)), "
-        f"(h, c) -> (h * {POLY_BASE} + c) % {POLY_MOD}) % {n_buckets})"
-    )
+    feats = _hash_feats_sql(norm_expr)
+    bucket = _poly_bucket_sql("t", n_buckets)
     if "__B__" not in weight_sql:
         raise ValueError("weight_sql must reference __B__")
     w_of_t = weight_sql.replace("__B__", f"({bucket})")
@@ -374,6 +409,143 @@ def hash_linear_score_sql(
             list_transform({feats}, t -> {w_of_t})),
             (acc, x) -> acc + x) / len({feats})
         ELSE {bias} END)"""
+
+
+def train_hash_classifier(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 256,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> list[float]:
+    """TRAIN the hashed linear quality classifier (r11 — the r10
+    verdict's #5: ``hash_linear_score`` consumed pinned weights; this
+    is the missing training step).  Fixed-iteration full-batch
+    gradient descent on a quasi-logistic loss whose every operation
+    is IEEE-exact, so the learned weights are BIT-IDENTICAL across
+    engines and the whole trainer is differential-testable
+    (:func:`train_hash_classifier_ctes` is the unrolled mirror):
+
+      - link: the Elliott fast sigmoid ``p = 0.5 + 0.5·(m/(1+|m|))``
+        — only +,·,/,abs, all correctly-rounded IEEE ops, where
+        ``exp`` would differ between libm implementations;
+      - margin: the :func:`hash_linear_score` mean-bucket fold (same
+        expression tree, bias 0), summed in feature order;
+      - the per-doc error is QUANTIZED to the 2⁻²⁰ integer grid —
+        ``q = floor(((p − y)/n)·2²⁰)`` — so per-bucket gradients are
+        exact INTEGER sums: order-free, partitioning-free,
+        engine-free;
+      - update: ``w_b ← w_b − lr·(g_b/(2²⁰·n_docs))`` on the driver
+        (Python doubles ARE IEEE doubles — the same pinned tree the
+        mirror evaluates).
+
+    Returns the final weight list, sized for
+    :func:`hash_linear_score`.
+
+    Scale shape: featurization runs ONCE into a persisted bucket-id
+    array (pure codegen); each iteration is one explode + integer
+    hash agg collecting ≤ ``n_buckets`` rows (bounded metadata, the
+    kmeans-loop contract) — gradient traffic is model-sized, never
+    corpus-sized, at any corpus size."""
+    if n_buckets < 1 or iters < 1:
+        raise ValueError("n_buckets and iters must be >= 1")
+    feat = (
+        df.select(
+            F.col(label_col).cast("int").alias("y"),
+            hash_feature_buckets(text_col, n_buckets).alias("b"),
+        )
+        .filter(F.size("b") > 0)
+        .persist()
+    )
+    try:
+        n_docs = feat.count()
+        if n_docs == 0:
+            raise ValueError("no documents with features to train on")
+        w = [0.0] * n_buckets
+        for _ in range(iters):
+            w_arr = F.array(*[F.lit(x) for x in w])
+            total = F.aggregate(
+                F.col("b"),
+                F.lit(0.0),
+                lambda acc, i: acc + F.element_at(w_arr, i + 1),
+            )
+            m = F.lit(0.0) + total / F.size("b")
+            p = F.lit(0.5) + F.lit(0.5) * (m / (F.lit(1.0) + F.abs(m)))
+            q = F.floor(
+                ((p - F.col("y").cast("double")) / F.size("b"))
+                * F.lit(1048576.0)
+            ).cast("long")
+            grad = (
+                feat.select(q.alias("q"), F.explode("b").alias("bk"))
+                .groupBy("bk")
+                .agg(F.sum("q").alias("g"))
+                .collect()
+            )
+            for r in grad:
+                w[r["bk"]] -= lr * (float(r["g"]) / (1048576.0 * n_docs))
+    finally:
+        feat.unpersist()
+    return w
+
+
+def train_hash_classifier_ctes(
+    doc_sql: str,
+    n_buckets: int = 256,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> tuple[str, str]:
+    """DuckDB mirror of :func:`train_hash_classifier`, unrolled —
+    generated from the SAME iteration (one spec, two engines).
+    ``doc_sql`` must select ``y`` (0/1) and ``norm`` (the feature
+    text).  Returns ``(ctes, final_w_cte)``: append the CTE chain to
+    a WITH clause, then read the trained weight LIST from the one-row
+    CTE ``final_w_cte`` (column ``w``, 1-indexed)."""
+    feats = _hash_feats_sql("norm")
+    bucket = _poly_bucket_sql("t", n_buckets)
+    parts = [
+        f"""thc_d AS MATERIALIZED (
+            SELECT y,
+                   list_transform({feats}, t -> {bucket}) AS b
+            FROM ({doc_sql}) src
+            WHERE len({feats}) > 0)""",
+        "thc_n AS (SELECT COUNT(*)::BIGINT AS nd FROM thc_d)",
+        f"""thc_w0 AS (SELECT list_transform(range({n_buckets}),
+            x -> 0.0::DOUBLE) AS w)""",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""thc_q{t} AS (
+            SELECT floor(((0.5 + 0.5 * (m / (1.0 + abs(m)))
+                           - y::DOUBLE) / n) * 1048576.0)::BIGINT AS q,
+                   b
+            FROM (
+                SELECT y, b, len(b) AS n,
+                       0.0 + list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(b, i -> w.w[i + 1])),
+                           (acc, x) -> acc + x) / len(b) AS m
+                FROM thc_d, thc_w{t} w) s)"""
+        )
+        parts.append(
+            f"""thc_g{t} AS (
+            SELECT bk, SUM(q)::BIGINT AS g
+            FROM (SELECT q, unnest(b) AS bk FROM thc_q{t}) x
+            GROUP BY bk)"""
+        )
+        parts.append(
+            f"""thc_gl{t} AS (
+            SELECT list(COALESCE(g.g, 0) ORDER BY r.b) AS gl
+            FROM range({n_buckets}) r(b)
+            LEFT JOIN thc_g{t} g ON g.bk = r.b)"""
+        )
+        parts.append(
+            f"""thc_w{t + 1} AS MATERIALIZED (
+            SELECT list_transform(range({n_buckets}),
+                i -> w.w[i::INT + 1] - {lr!r} * (gl.gl[i::INT + 1]::DOUBLE
+                     / (1048576.0 * n.nd))) AS w
+            FROM thc_w{t} w, thc_gl{t} gl, thc_n n)"""
+        )
+    return ", ".join(parts), f"thc_w{iters}"
 
 
 def mean_word_length(col: str | Column, toks: Optional[Column] = None) -> Column:

@@ -531,3 +531,109 @@ def test_trigram_backoff_logprob_matches_scalar(spark):
         ).collect()
     }
     assert got == _tri_scalar(score, train)
+
+
+# ---------------------------------------------------------------------------
+# train_hash_classifier (r11)
+# ---------------------------------------------------------------------------
+
+
+def _thc_scalar(rows, n_buckets, iters, lr):
+    """Independent scalar trainer: same spec — quasi-sigmoid link,
+    2^-20 error quantization, exact integer gradient sums, pinned
+    float update tree."""
+    import math
+
+    from parquet_editor_spark.functions.hashing import POLY_BASE, POLY_MOD
+
+    def buckets(text):
+        toks = [t for t in text.split(" ") if t]
+        feats = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        out = []
+        for t in feats:
+            h = 0
+            for ch in t:
+                h = (h * POLY_BASE + ord(ch)) % POLY_MOD
+            out.append(h % n_buckets)
+        return out
+
+    feat = [(y, buckets(t)) for y, t in rows if buckets(t)]
+    nd = len(feat)
+    w = [0.0] * n_buckets
+    for _ in range(iters):
+        g = [0] * n_buckets
+        for y, b in feat:
+            s = 0.0
+            for i in b:
+                s = s + w[i]
+            m = 0.0 + s / len(b)
+            p = 0.5 + 0.5 * (m / (1.0 + abs(m)))
+            q = math.floor(((p - float(y)) / len(b)) * 1048576.0)
+            for i in b:
+                g[i] += q
+        for i in range(n_buckets):
+            w[i] -= lr * (float(g[i]) / (1048576.0 * nd))
+    return w
+
+
+_THC_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog near the barn"),
+    (1, "a well written sentence with many distinct common words"),
+    (0, "spam spam spam spam spam spam spam"),
+    (0, "buy now buy now buy now cheap cheap"),
+    (1, "reading long books improves careful thought over many years"),
+    (0, "zzz zzz zzz"),
+    (0, ""),
+    (1, "another normal document with a healthy mix of english words"),
+]
+
+
+def test_train_hash_classifier_matches_scalar_bitwise(spark):
+    from parquet_editor_spark.functions.text import train_hash_classifier
+
+    df = spark.createDataFrame(_THC_ROWS, "y int, norm string")
+    got = train_hash_classifier(df, "norm", "y", n_buckets=32, iters=3,
+                                lr=0.5)
+    want = _thc_scalar(_THC_ROWS, 32, 3, 0.5)
+    assert got == want  # bit-identical, abs=0
+    assert any(x != 0.0 for x in got)
+
+
+def test_train_hash_classifier_duckdb_mirror_bitwise(spark):
+    import duckdb
+
+    from parquet_editor_spark.functions.text import (
+        train_hash_classifier_ctes,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(y INT, norm VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", _THC_ROWS)
+    ctes, final = train_hash_classifier_ctes(
+        "SELECT y, norm FROM d", n_buckets=32, iters=3, lr=0.5
+    )
+    duck = con.sql(
+        f"WITH {ctes} SELECT w.w[r.b::INT + 1] AS wt "
+        f"FROM range(32) r(b), {final} w ORDER BY r.b"
+    ).fetchall()
+    want = _thc_scalar(_THC_ROWS, 32, 3, 0.5)
+    assert [r[0] for r in duck] == want  # bit-identical, abs=0
+
+
+def test_train_hash_classifier_learns_the_labels(spark):
+    """Sanity: after training, scoring the training set with the
+    learned weights separates the classes."""
+    from parquet_editor_spark.functions.text import (
+        hash_linear_score,
+        train_hash_classifier,
+    )
+
+    df = spark.createDataFrame(_THC_ROWS, "y int, norm string")
+    w = train_hash_classifier(df, "norm", "y", n_buckets=64, iters=8,
+                              lr=1.0)
+    scored = df.select(
+        "y", hash_linear_score("norm", w, bias=0.0).alias("s")
+    ).collect()
+    for r in scored:
+        if r["s"] is not None and r["s"] != 0.0:
+            assert (r["s"] > 0) == (r["y"] == 1), r
