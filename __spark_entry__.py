@@ -4003,6 +4003,244 @@ def q_crawl_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE full r10/r11-tier curation DAG in one oracled plan (r11 —
+    the r10 verdict's #8): mixed-format ingest (2/3 of docs arrive as
+    WARC-wrapped HTML responses, 1/3 as MODERN xref-stream/ObjStm
+    PDFs) → format-dispatched extraction (``warc_records`` +
+    ``strip_markup`` / ``pdf_pages``) → messy-URI canonicalization +
+    robots.txt longest-match filtering + per-host cap → C4 line dedup
+    → hashed-linear quality gate (the r10 pinned classifier) → BPE
+    tokenization with the pinned 10-merge table → ``input_ids``
+    training blocks via the distributed prefix-sum pack.  Bytes in,
+    training blocks out — the whole pretraining-data DAG as ONE lazy
+    plan whose block md5s pin every stage; the DuckDB oracle rebuilds
+    the chain end-to-end (closed-form PDF/HTML text, URL/robots
+    verdict arithmetic, window dedup/cap, the hlq margin fold, the
+    placeholder replace-chain tokenizer, a cumsum pack).
+
+    The trigram-LM and SemDeDup gates stay in their own oracled
+    queries (`trigram_quality_docs`, `semdedup_embeddings`): their
+    held-out model tables / quantizer would triple this oracle for no
+    added stage coverage.
+
+    Scale shape (pinned by tests/test_plans.py and SCALE.md): codec
+    walks and tokenization run inside Arrow passes with zero shuffle;
+    the shuffles are exactly the semantic ones — one PDF page
+    reassembly, one host window, the three line-dedup moves
+    (fingerprint agg, keep join, reassembly), and the pack's
+    bucketed prefix sum + block assembly; text/ids move once each."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.functions import text as X
+    from parquet_editor_spark.functions import urls as U
+    from parquet_editor_spark.operators import dedup as D
+    from parquet_editor_spark.operators import multimodal as MM
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("uri", T.StringType()),
+            T.StructField("warc", T.BinaryType()),
+            T.StructField("pdf", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.pdf import encode_pdf_modern
+        from parquet_editor_spark.sources.warc import make_warc
+
+        for pdf in batches:
+            out = {"doc_id": [], "uri": [], "warc": [], "pdf": []}
+            for raw, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(raw)
+                scheme = "HTTPS" if i % 2 == 0 else "http"
+                www = "WWW." if i % 5 == 0 else ""
+                tld = "com" if i % 2 == 0 else "co.uk"
+                port = ":8080" if i % 7 == 0 else ""
+                path = {
+                    0: f"/p/{i}", 1: f"/priv/x{i}",
+                    2: f"/priv/ok/{i}", 3: f"/tmp/{i}", 4: f"/p/{i}",
+                }[i % 5]
+                q = "?b=2&a=1" if i % 2 == 1 else ""
+                uri = (
+                    f"{scheme}://{www}vsite{i % 97}.{tld}{port}{path}{q}"
+                )
+                out["doc_id"].append(i)
+                out["uri"].append(uri)
+                if i % 3 == 0:  # modern-PDF branch
+                    clean = "".join(
+                        ch if " " <= ch <= "~" else "#"
+                        for ch in (text or "")
+                    )
+                    pages = []
+                    for p in range(1 + i % 2):
+                        pages.append(
+                            [f"vdoc {i} page {p}"]
+                            + [
+                                clean[(p * 2 + m) * 40:(p * 2 + m) * 40 + 40]
+                                for m in range(2)
+                            ]
+                        )
+                    out["warc"].append(None)
+                    out["pdf"].append(encode_pdf_modern(pages))
+                else:  # WARC-wrapped HTML branch
+                    body = (
+                        f'<html><body class="c{i % 7}"><h1>Doc &amp; {i}'
+                        "</h1><p>"
+                        + (text or "").replace(
+                            " data ", " &quot;data&quot; "
+                        )
+                        + "</p><script>var x = 1;</script><style>p{}"
+                        "</style></body></html>"
+                    )
+                    out["warc"].append(
+                        make_warc(
+                            [
+                                {
+                                    "warc_type": "response",
+                                    "target_uri": uri,
+                                    "content_type": "text/html",
+                                    "payload": body,
+                                }
+                            ],
+                            gzip_members=i % 2 == 1,
+                        )
+                    )
+                    out["pdf"].append(None)
+            import pandas as pd
+
+            yield pd.DataFrame(out)
+
+    ingested = docs.mapInPandas(gen, schema=gen_schema)
+
+    html_txt = (
+        MM.warc_records(
+            ingested.filter(F.col("warc").isNotNull()).select(
+                "doc_id", "uri", F.col("warc").alias("payload")
+            )
+        )
+        .filter(F.col("warc_type") == "response")
+        .select(
+            "doc_id", "uri", X.strip_markup(F.col("body")).alias("etext")
+        )
+    )
+    pdf_txt = (
+        MM.pdf_pages(
+            ingested.filter(F.col("pdf").isNotNull()).select(
+                "doc_id", "uri", F.col("pdf").alias("payload")
+            )
+        )
+        .groupBy("doc_id", "uri")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("page_idx", "page_text"))
+                    ),
+                    lambda s: s["page_text"],
+                ),
+                "\n",
+            ).alias("etext")
+        )
+    )
+    extracted = html_txt.unionByName(pdf_txt.select("doc_id", "uri", "etext"))
+
+    with_url = extracted.select(
+        "doc_id",
+        "etext",
+        # the canonicalization primitives that gate downstream:
+        # lowered/www-stripped host keys robots + the cap, the path
+        # feeds the longest-match verdict
+        U.url_host("uri").alias("host"),
+        U.url_path("uri").alias("path"),
+    )
+    n = F.col("doc_id") % 97
+    hosts = (
+        docs.select(
+            F.concat(
+                F.lit("vsite"),
+                n.cast("string"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit(".com")).otherwise(
+                    F.lit(".co.uk")
+                ),
+            ).alias("host"),
+            F.concat(
+                F.lit(
+                    "# v5 robots\nUser-agent: badbot\nDisallow: /\n\n"
+                    "User-agent: bot2\nUser-agent: *\n"
+                    "Disallow: /priv\nAllow: /priv/ok\nDisallow:"
+                ),
+                F.when(n % 2 == 0, F.lit("\nDisallow: /tmp")).otherwise(
+                    F.lit("")
+                ),
+            ).alias("robots"),
+        )
+        .distinct()
+    )
+    rules = U.robots_rules(hosts, "host", "robots")
+    allowed = U.robots_allowed(with_url, rules, "host", "path").filter(
+        F.col("allowed") == 1
+    )
+    # stage boundary: line dedup reads its input three times
+    # (fingerprint agg, keep join, reassembly) — persist so the codec
+    # walks and the URL/robots tier run ONCE; at 100 TB this boundary
+    # is a checkpointed table between pipeline stages
+    capped = U.host_cap(allowed, "host", 3, ["doc_id"]).persist()
+
+    lined = capped.select(
+        "doc_id",
+        F.concat(
+            F.lit("promo "),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(". "),
+            F.col("etext"),
+            F.lit(". visit example v5 today"),
+        ).alias("lined"),
+    )
+    kept = D.line_dedup(lined, "doc_id", "lined", sep=". ", min_chars=2)
+
+    gated = (
+        kept.select(
+            F.col("id").alias("doc_id"),
+            "kept_text",
+            X.hash_linear_score(
+                X.normalize_text("kept_text"), _HLQ_WEIGHTS, bias=_HLQ_BIAS
+            ).alias("__margin"),
+        )
+        .filter(F.col("__margin") > 0)
+        .select("doc_id", _bpe_norm("kept_text").alias("norm"))
+    )
+
+    # second boundary: the pack reads the id table twice (placement +
+    # ids join) — persist the tokenized frame for the same reason
+    toks = TP.bpe_tokenize(
+        gated, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
+    ).persist()
+    blocks = TP.pack_id_blocks(
+        toks, "id", "input_ids", block_tokens=32, bucket_docs=64
+    )
+    ids_csv = F.array_join(
+        F.transform("input_ids", lambda x: x.cast("string")), ","
+    )
+    head_csv = F.array_join(
+        F.transform(
+            F.slice("input_ids", 1, 10), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+    return blocks.select(
+        "block_id",
+        "n_docs",
+        "n_ids",
+        head_csv.alias("head_ids"),
+        F.md5(F.encode(ids_csv, "utf-8")).alias("ids_md5"),
+    ).orderBy("block_id")
+
+
 def q_wds_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset EXPORT → re-ingest round trip (``shard_webdataset``
     + ``wds_samples``, new r9): shard the whole documents table into
@@ -8428,6 +8666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_batched_docs": q_bpe_train_batched_docs,
         "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
         "crawl_curation_v2": q_crawl_curation_v2,
+        "pipeline_curation_v5": q_pipeline_curation_v5,
         "hash_quality_filter_docs": q_hash_quality_filter_docs,
         "train_quality_classifier_docs": q_train_quality_classifier_docs,
         "trained_quality_filter_docs": q_trained_quality_filter_docs,
@@ -11837,6 +12076,161 @@ def oracle_sql() -> dict[str, str]:
             FROM r
             WHERE host_rank <= 2
             ORDER BY doc_id, rec_idx
+        """,
+        # the full-tier DAG rebuilt end-to-end: closed-form PDF/HTML
+        # text, URL/robots verdict arithmetic, host-cap window, the
+        # line-dedup first-occurrence windows, the hlq margin fold,
+        # the placeholder replace-chain tokenizer, a cumsum pack
+        "pipeline_curation_v5": f"""
+            WITH v5d AS (
+                SELECT doc_id, text,
+                       regexp_replace(COALESCE(text, ''), '[^ -~]',
+                                      '#', 'g') AS ac
+                FROM documents
+            ), v5h AS (
+                SELECT doc_id,
+                       '<html><body class="c' || (doc_id % 7)
+                       || '"><h1>Doc &amp; ' || doc_id || '</h1><p>'
+                       || replace(COALESCE(text, ''), ' data ',
+                                  ' &quot;data&quot; ')
+                       || '</p><script>var x = 1;</script>'
+                       || '<style>p{{}}</style></body></html>' AS html
+                FROM v5d WHERE doc_id % 3 <> 0
+            ), v5hc AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                         replace(replace(replace(replace(replace(replace(
+                           regexp_replace(regexp_replace(regexp_replace(html,
+                             '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                             '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                             '<[^>]*>', ' ', 'g'),
+                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                         '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+                         '\\s+', ' ', 'g')) AS etext
+                FROM v5h
+            ), v5p AS (
+                SELECT doc_id,
+                       'vdoc ' || CAST(doc_id AS VARCHAR) || ' page 0'
+                       || chr(10) || substr(ac, 1, 40)
+                       || chr(10) || substr(ac, 41, 40)
+                       || CASE WHEN doc_id % 2 = 1 THEN
+                            chr(10) || 'vdoc ' || CAST(doc_id AS VARCHAR)
+                            || ' page 1'
+                            || chr(10) || substr(ac, 81, 40)
+                            || chr(10) || substr(ac, 121, 40)
+                          ELSE '' END AS etext
+                FROM v5d WHERE doc_id % 3 = 0
+            ), v5e AS (
+                SELECT doc_id, etext FROM v5hc
+                UNION ALL SELECT doc_id, etext FROM v5p
+            ), v5u AS (
+                SELECT doc_id, etext,
+                       'vsite' || CAST(doc_id % 97 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '.com' ELSE '.co.uk' END AS host
+                FROM v5e
+            ), v5a AS (
+                SELECT doc_id, etext, host FROM v5u
+                WHERE doc_id % 5 IN (0, 2, 4)
+                   OR (doc_id % 5 = 3 AND (doc_id % 97) % 2 = 1)
+            ), v5cap AS (
+                SELECT doc_id, etext FROM (
+                    SELECT doc_id, etext,
+                           row_number() OVER (PARTITION BY host
+                                              ORDER BY doc_id) AS hr
+                    FROM v5a) c
+                WHERE hr <= 3
+            ), v5lined AS (
+                SELECT doc_id,
+                       'promo ' || CAST(doc_id % 3 AS VARCHAR) || '. '
+                       || etext || '. visit example v5 today' AS lined
+                FROM v5cap
+            ), v5l0 AS (
+                SELECT doc_id,
+                       unnest(range(len(string_split(lined, '. '))))
+                           AS pos,
+                       unnest(string_split(lined, '. ')) AS line
+                FROM v5lined
+            ), v5l AS (
+                SELECT doc_id, CAST(pos AS INT) AS pos, line,
+                       trim(line) AS canon
+                FROM v5l0
+            ), v5k AS (
+                SELECT doc_id, pos, line,
+                       CASE WHEN length(canon) < 2 THEN TRUE
+                            ELSE row_number() OVER (
+                                PARTITION BY canon
+                                ORDER BY doc_id, pos) = 1
+                       END AS keep
+                FROM v5l
+            ), v5kept AS (
+                SELECT doc_id,
+                       COALESCE(string_agg(line, '. ' ORDER BY pos)
+                                FILTER (WHERE keep), '') AS kept_text
+                FROM v5k GROUP BY doc_id
+            ), v5g AS (
+                SELECT doc_id, kept_text FROM (
+                    SELECT doc_id, kept_text,
+                           trim(regexp_replace(regexp_replace(
+                               lower(kept_text), '[^a-z0-9\\s]', ' ',
+                               'g'), '\\s+', ' ', 'g')) AS norm
+                    FROM v5kept) s
+                WHERE round({hlq_margin}, 6) > 0
+            ), v5t AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(
+                               string_split(
+                                   replace(replace(replace(replace(replace(
+                                   replace(replace(replace(replace(replace(
+                                       trim(regexp_replace(lower(kept_text),
+                                           '[^a-z]+', ' ', 'g')),
+                                       'th', 'A'), 'Ae', 'B'), 'in', 'C'),
+                                       'er', 'D'), 'an', 'E'), 'on', 'F'),
+                                       'Ed', 'G'), 'Cg', 'H'), 'en', 'I'),
+                                       'or', 'J'),
+                                   ''),
+                               c -> c <> ' '),
+                           ch -> CASE WHEN ch BETWEEN 'a' AND 'z'
+                                      THEN ascii(ch) - 97
+                                      ELSE ascii(ch) - 39 END) AS ids
+                FROM v5g
+            ), v5c AS (
+                SELECT doc_id, ids, len(ids)::BIGINT AS n,
+                       COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM v5t
+            ), v5ee AS (
+                SELECT doc_id, ids, n, o,
+                       unnest(range(o // 32,
+                                    (o + n - 1) // 32 + 1)) AS block_id
+                FROM v5c WHERE n > 0
+            ), v5pp AS (
+                SELECT block_id,
+                       least(n, (block_id + 1) * 32 - o)
+                           - greatest(0, block_id * 32 - o) AS nb,
+                       greatest(0, o - block_id * 32) AS block_pos,
+                       array_to_string(
+                           ids[greatest(0, block_id * 32 - o) + 1 :
+                               least(n, (block_id + 1) * 32 - o)],
+                           ',') AS piece
+                FROM v5ee
+            ), v5b AS (
+                SELECT block_id,
+                       count(*)::BIGINT AS n_docs,
+                       sum(nb)::BIGINT AS n_ids,
+                       string_agg(piece, ',' ORDER BY block_pos) AS csv
+                FROM v5pp
+                GROUP BY block_id
+            )
+            SELECT CAST(block_id AS BIGINT) AS block_id,
+                   n_docs, n_ids,
+                   array_to_string((string_split(csv, ','))[1:10], ',')
+                       AS head_ids,
+                   md5(csv) AS ids_md5
+            FROM v5b
+            ORDER BY block_id
         """,
         "wds_samples_docs": """
             WITH docs AS (

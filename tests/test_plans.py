@@ -470,3 +470,27 @@ def test_jsonl_pair_has_no_python_stage(documents):
     for df in (out, back):
         plan = P.executed_plan(df)
         assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_pipeline_curation_v5_plan_shape(spark, sf_dir):
+    """r11: the full-tier DAG's exchanges stay bounded and every
+    expensive subtree is read once — the two multi-consumer stage
+    boundaries (post-cap extracted text; token ids) are persisted, so
+    the WARC/PDF codec walks and the URL/robots tier appear ONCE in
+    the plan instead of once per downstream consumer."""
+    import re
+
+    import __spark_entry__ as M
+
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    df = M.queries()["pipeline_curation_v5"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # codec ingest appears exactly once (inside the cached subtree)
+    assert plan.count("gen(doc_id") <= 2, plan.count("gen(doc_id")
+    ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
+    assert len(ex) <= 24, sorted(ex)
+    # the only single-partition exchange is pack_documents' bucket
+    # OFFSETS frame (one row per bucket — the documented benign class
+    # test_pack_documents_data_side_window_is_bucketed pins); the
+    # data-sized frames all stay hash/range partitioned
