@@ -12,8 +12,11 @@ Honest scope (classic + modern structural tiers, the rest gated):
     rows, /Index subsections, PNG predictors 10-15 via DecodeParms)
     with /Prev chains, /ObjStm object streams, hybrid-reference
     files (/XRefStm in a classic trailer), and indirect /Length,
-  - content streams stored raw or /FlateDecode (zlib — same dependency
-    footprint as the PNG codec); other filters raise,
+  - stream filters (r11): /FlateDecode, /LZWDecode (the TIFF MSB
+    early-change coder shared with sources/tiff.py),
+    /ASCIIHexDecode, /ASCII85Decode, /RunLengthDecode — chained in
+    array order, PNG predictors on the compression filters; image
+    filters (DCT/JBIG2/CCITT/JPX) and EarlyChange=0 raise,
   - text via the Tj / ' / " / TJ show operators with full PDF string
     syntax (nested parens, \\-escapes, octal, hex strings <...>),
     decoded as Latin-1 (the PDFDocEncoding/WinAnsi ASCII-compatible
@@ -247,10 +250,97 @@ def _png_defilter(raw: bytes, columns: int, bpp: int, origin: str) -> bytes:
     return bytes(out)
 
 
+def _ascii_hex_decode(data: bytes, origin: str) -> bytes:
+    """/ASCIIHexDecode (ISO 32000 §7.4.2): hex digits, whitespace
+    skipped, '>' is EOD, an odd trailing digit pads with 0."""
+    hx = bytearray()
+    for b in data:
+        c = bytes([b])
+        if c == b">":
+            break
+        if c in _WS:
+            continue
+        if not (b"0" <= c <= b"9" or b"A" <= c <= b"F" or b"a" <= c <= b"f"):
+            raise ValueError(f"{origin!r}: bad ASCIIHex digit {c!r}")
+        hx += c
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes, origin: str) -> bytes:
+    """/ASCII85Decode (ISO 32000 §7.4.3): base-85 groups, 'z' for a
+    zero quad (only between groups), whitespace skipped, '~>' EOD, a
+    trailing partial group of n chars yields n-1 bytes."""
+    out = bytearray()
+    group: list[int] = []
+    i = 0
+    while i < len(data):
+        c = data[i : i + 1]
+        if c == b"~":
+            break
+        i += 1
+        if c in _WS:
+            continue
+        if c == b"z":
+            if group:
+                raise ValueError(f"{origin!r}: 'z' inside ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        v = c[0] - 0x21
+        if not 0 <= v <= 84:
+            raise ValueError(f"{origin!r}: bad ASCII85 char {c!r}")
+        group.append(v)
+        if len(group) == 5:
+            acc = 0
+            for g in group:
+                acc = acc * 85 + g
+            out += acc.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError(f"{origin!r}: 1-char ASCII85 tail group")
+        n = len(group)
+        acc = 0
+        for g in group + [84] * (5 - n):  # pad with 'u'
+            acc = acc * 85 + g
+        out += acc.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes, origin: str) -> bytes:
+    """/RunLengthDecode (ISO 32000 §7.4.5): length byte L — 0-127
+    copies the next L+1 bytes, 129-255 repeats the next byte 257-L
+    times, 128 is EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            chunk = data[i : i + ln + 1]
+            if len(chunk) != ln + 1:
+                raise ValueError(f"{origin!r}: RunLength literal truncated")
+            out += chunk
+            i += ln + 1
+        else:
+            if i >= len(data):
+                raise ValueError(f"{origin!r}: RunLength run truncated")
+            out += data[i : i + 1] * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
 def _decode_stream(val: dict, stream: bytes, origin: str) -> bytes:
-    """Apply /Filter (+ /DecodeParms predictors) to a raw stream —
-    the shared path for content, XRef and ObjStm streams.  Only
-    FlateDecode (or no filter) is in the supported dialect."""
+    """Apply the /Filter chain (+ /DecodeParms) to a raw stream — the
+    shared path for content, XRef and ObjStm streams.  Supported
+    (r11): FlateDecode, LZWDecode (the TIFF MSB early-change coder,
+    shared with sources/tiff.py), ASCIIHexDecode, ASCII85Decode,
+    RunLengthDecode, chained in array order, with PNG predictors
+    10-15 on the compression filters; DCT/JBIG2/CCITT and
+    EarlyChange=0 LZW gate loudly."""
     filt = val.get("Filter")
     if filt is None:
         return stream
@@ -259,14 +349,28 @@ def _decode_stream(val: dict, stream: bytes, origin: str) -> bytes:
     parms_list = parms if isinstance(parms, list) else [parms]
     out = stream
     for i, f in enumerate(filters):
-        if f != "/FlateDecode":
-            raise NotImplementedError(
-                f"{origin!r}: stream filter {f!r} — only /FlateDecode "
-                "or raw streams are supported"
-            )
-        out = zlib.decompress(out)
         p = parms_list[i] if i < len(parms_list) else None
-        if isinstance(p, dict):
+        if f == "/FlateDecode":
+            out = zlib.decompress(out)
+        elif f == "/LZWDecode":
+            if isinstance(p, dict) and int(p.get("EarlyChange", 1)) != 1:
+                raise NotImplementedError(
+                    f"{origin!r}: LZW EarlyChange=0 is not supported"
+                )
+            from parquet_editor_spark.sources.tiff import _lzw_decode_msb
+
+            out = _lzw_decode_msb(out, None, origin)
+        elif f == "/ASCIIHexDecode":
+            out = _ascii_hex_decode(out, origin)
+        elif f == "/ASCII85Decode":
+            out = _ascii85_decode(out, origin)
+        elif f == "/RunLengthDecode":
+            out = _runlength_decode(out, origin)
+        else:
+            raise NotImplementedError(
+                f"{origin!r}: stream filter {f!r} is not supported"
+            )
+        if f in ("/FlateDecode", "/LZWDecode") and isinstance(p, dict):
             pred = int(p.get("Predictor", 1))
             if pred == 1:
                 continue

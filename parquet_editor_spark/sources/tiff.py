@@ -151,10 +151,16 @@ def _packbits(src: bytes) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode_msb(src: bytes, expect: int, origin: str) -> bytes:
+def _lzw_decode_msb(
+    src: bytes, expect: int | None, origin: str
+) -> bytes:
     """TIFF LZW (spec §13): MSB-first code packing, Clear=256,
     EOI=257, first dynamic code 258, code width grows at 511/1023/
-    2047 (early change — one code BEFORE the table fills)."""
+    2047 (early change — one code BEFORE the table fills).  With
+    ``expect=None`` (the PDF /LZWDecode caller — same MSB
+    early-change variant, ISO 32000 §7.4.4) the full decode is
+    returned at EOI/end-of-data instead of truncating to a strip
+    size."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     table: list[bytes] = []
@@ -179,6 +185,8 @@ def _lzw_decode_msb(src: bytes, expect: int, origin: str) -> bytes:
                 prev = None
                 continue
             if code == EOI:
+                if expect is None:
+                    return bytes(out)
                 if len(out) < expect:
                     raise ValueError(
                         f"{origin!r}: LZW EOI before strip complete"
@@ -202,6 +210,8 @@ def _lzw_decode_msb(src: bytes, expect: int, origin: str) -> bytes:
             # overflow, i.e. at table sizes 511/1023/2047
             if len(table) + 1 >= (1 << width) and width < 12:
                 width += 1
+    if expect is None:
+        return bytes(out)
     if len(out) < expect:
         raise ValueError(
             f"{origin!r}: LZW strip decoded {len(out)} < {expect}"

@@ -322,3 +322,137 @@ def test_objstm_member_mismatch_and_bad_w_raise():
     enc = data.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
     with pytest.raises(NotImplementedError, match="encrypted"):
         decode_pdf_text(enc)
+
+
+# ---------------------------------------------------------------------------
+# filter tier (r11): LZW / ASCIIHex / ASCII85 / RunLength (+ chains)
+# ---------------------------------------------------------------------------
+
+
+def _one_page_pdf(filter_spec: bytes, encoded: bytes) -> bytes:
+    """Minimal classic PDF whose single content stream carries an
+    arbitrary /Filter spec — the integration harness for the r11
+    filter tier."""
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(encoded)).encode() + b" /Filter "
+        + filter_spec + b" >>\nstream\n" + encoded + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for n, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n"
+        + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+_OPS = b"BT /F1 12 Tf 72 720 Td (filter tier works) Tj ET"
+
+
+def _a85_encode(data: bytes) -> bytes:
+    import struct
+
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i:i + 4]
+        n = len(chunk)
+        acc = int.from_bytes(chunk + b"\x00" * (4 - n), "big")
+        digits = []
+        for _ in range(5):
+            digits.append(acc % 85)
+            acc //= 85
+        enc = bytes(d + 0x21 for d in reversed(digits))
+        if n == 4 and enc == b"!!!!!":
+            out += b"z"
+        else:
+            out += enc[: n + 1]
+    return bytes(out) + b"~>"
+
+
+def _rle_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < len(data) and j - i < 128
+                and not (j + 1 < len(data) and data[j] == data[j + 1])
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out) + b"\x80"
+
+
+def test_filter_tier_roundtrips_each_and_chained():
+    from parquet_editor_spark.sources.tiff import _lzw_encode_msb
+
+    want = ["filter tier works"]
+    cases = [
+        (b"/ASCIIHexDecode", _OPS.hex().encode() + b">"),
+        (b"/ASCII85Decode", _a85_encode(_OPS)),
+        (b"/RunLengthDecode", _rle_encode(_OPS)),
+        (b"/LZWDecode", _lzw_encode_msb(_OPS)),
+        (
+            b"[/ASCII85Decode /FlateDecode]",
+            _a85_encode(zlib.compress(_OPS)),
+        ),
+        (
+            b"[/ASCIIHexDecode /LZWDecode]",
+            _lzw_encode_msb(_OPS).hex().encode() + b">",
+        ),
+    ]
+    for spec, enc in cases:
+        assert decode_pdf_text(_one_page_pdf(spec, enc)) == want, spec
+
+
+def test_ascii85_matches_stdlib_and_edges():
+    import base64
+
+    from parquet_editor_spark.sources.pdf import _ascii85_decode
+
+    for data in (b"", b"x", b"ab", b"abc", b"abcd", b"abcde",
+                 b"\x00\x00\x00\x00hello", bytes(range(256))):
+        enc = base64.a85decode  # noqa — decoder reference below
+        encoded = base64.a85encode(data) + b"~>"
+        assert _ascii85_decode(encoded, "t") == data, data
+    # 'z' shorthand + whitespace skipping
+    assert _ascii85_decode(b"z \n z~>", "t") == bytes(8)
+    with pytest.raises(ValueError, match="1-char"):
+        _ascii85_decode(b"a~>", "t")
+    with pytest.raises(ValueError, match="inside"):
+        _ascii85_decode(b"ab z~>".replace(b" ", b""), "t")
+
+
+def test_runlength_and_hex_edges():
+    from parquet_editor_spark.sources.pdf import (
+        _ascii_hex_decode,
+        _runlength_decode,
+    )
+
+    assert _runlength_decode(b"\x02abc\xffd\x80", "t") == b"abc" + b"d" * 2
+    assert _runlength_decode(b"\x81x\x80trailing", "t") == b"x" * 128
+    with pytest.raises(ValueError, match="truncated"):
+        _runlength_decode(b"\x05ab", "t")
+    assert _ascii_hex_decode(b"48 65 6C 6c 6F2", "t") == b"Hello "
+    with pytest.raises(ValueError, match="digit"):
+        _ascii_hex_decode(b"4G>", "t")
