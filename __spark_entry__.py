@@ -4737,6 +4737,53 @@ def q_trigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_bucket_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity BUCKETING (r11 — completes the r10 trigram-LM
+    filter into the full CCNet pipeline step): score every doc's mean
+    log-likelihood under the held-out trigram model, then split each
+    LANGUAGE into head/middle/tail terciles by model fit (best
+    logprob = head, the split Wenzek et al. 2020 use to stratify
+    CommonCrawl quality).  Deterministic: the tercile window orders
+    by the ROUNDED score with doc_id as tiebreak, so both engines cut
+    identically.
+
+    Scale shape: the per-lang ntile is a per-language sort — correct
+    at test scale and the exact spec; at 100 TB CCNet computes the
+    two percentile CUTOFFS on a sample and maps the corpus through a
+    broadcast filter instead (one pass, no global sort) — the
+    documented deployment variant."""
+    from pyspark.sql import Window as W
+
+    from parquet_editor_spark.functions.text import (
+        trigram_backoff_logprob,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    scored = trigram_backoff_logprob(
+        docs, train, "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
+    lang = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    tier = F.ntile(3).over(w)
+    return (
+        scored.join(lang, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_trigrams",
+            "avg_logprob",
+            F.when(tier == 1, F.lit("head"))
+            .when(tier == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_stream_url_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/host tier under Structured Streaming (new r10): the
     documents table replayed as a file stream, the messy-URL fixture
@@ -8676,6 +8723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epub_extract_docs": q_epub_extract_docs,
         "stream_url_profile": q_stream_url_profile,
         "trigram_quality_docs": q_trigram_quality_docs,
+        "ccnet_bucket_docs": q_ccnet_bucket_docs,
         "semdedup_embeddings": q_semdedup_embeddings,
         "tokenizer_fertility_docs": q_tokenizer_fertility_docs,
         # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
@@ -11436,7 +11484,7 @@ def oracle_sql() -> dict[str, str]:
             FROM b
             ORDER BY block_id
         """,
-        "trigram_quality_docs": """
+        "trigram_quality_docs": (trigram_scored_sql := """
             WITH tok AS (
                 SELECT doc_id,
                        list_filter(string_split_regex(
@@ -11495,6 +11543,20 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(s)), 4) AS avg_logprob
             FROM scored
             GROUP BY doc_id
+            ORDER BY doc_id
+        """),
+        "ccnet_bucket_docs": f"""
+            WITH base AS ({trigram_scored_sql}), ranked AS (
+                SELECT b.doc_id, d.lang, b.n_trigrams, b.avg_logprob,
+                       ntile(3) OVER (PARTITION BY d.lang
+                                      ORDER BY b.avg_logprob DESC,
+                                               b.doc_id ASC) AS tier
+                FROM base b JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, lang, n_trigrams, avg_logprob,
+                   CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ranked
             ORDER BY doc_id
         """,
         "epub_extract_docs": """
