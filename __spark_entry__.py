@@ -4683,6 +4683,64 @@ def q_train_tokenize_pack_v1(
     ).orderBy("block_id")
 
 
+def q_train_tokenize_pack_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The tokenizer lifecycle on the BATCHED trainer (r11): learn 32
+    merges at batch=4 (8 Spark jobs, merge slots 26-31 in the
+    private-use placeholder block — past the r10 ceiling), tokenize
+    the corpus with the learned table, pack real ``input_ids`` into
+    48-id blocks.  Token ids are slot-keyed (26 + merge slot), so a
+    batch that underfills leaves stable gaps instead of shifting
+    every later id.  The mirror replays the same slot spec: unrolled
+    ranked-window training CTEs, the guarded replace-chain apply,
+    codepoint arithmetic for both placeholder ranges, a cumsum
+    pack — any divergence anywhere in train/apply/pack fails the
+    block md5s."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _bpe_norm("text").alias("norm")
+    )
+    learned = sorted(
+        TP.bpe_train(
+            docs.select("norm"), "norm", n_merges=32, batch=4
+        ).collect(),
+        key=lambda r: r["merge_rank"],
+    )  # ≤32 rows — bounded metadata, the kmeans-loop contract
+    merges = [(r["lhs"], r["rhs"]) for r in learned]
+    outs = [a + b for a, b in merges]
+    if len(set(outs)) != len(outs):
+        raise ValueError(f"learned merges collide: {outs}")
+    vocab = {chr(97 + i): i for i in range(26)}
+    vocab.update(
+        {
+            (r["lhs"] + r["rhs"]): 26 + r["merge_rank"]
+            for r in learned
+        }
+    )
+    toks = TP.bpe_tokenize(docs, "doc_id", "norm", merges, vocab)
+    blocks = TP.pack_id_blocks(
+        toks, "id", "input_ids", block_tokens=48, bucket_docs=64
+    )
+    ids_csv = F.array_join(
+        F.transform("input_ids", lambda x: x.cast("string")), ","
+    )
+    head_csv = F.array_join(
+        F.transform(
+            F.slice("input_ids", 1, 10), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+    return blocks.select(
+        "block_id",
+        "n_docs",
+        "n_ids",
+        head_csv.alias("head_ids"),
+        F.md5(F.encode(ids_csv, "utf-8")).alias("ids_md5"),
+    ).orderBy("block_id")
+
+
 def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (``sim.semdedup``, new r10 — Abbas et al. 2023):
     semantic dedup by clustering embeddings with the deterministic
@@ -8712,6 +8770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_docs": q_bpe_train_docs,
         "bpe_train_batched_docs": q_bpe_train_batched_docs,
         "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
+        "train_tokenize_pack_v2": q_train_tokenize_pack_v2,
         "crawl_curation_v2": q_crawl_curation_v2,
         "pipeline_curation_v5": q_pipeline_curation_v5,
         "hash_quality_filter_docs": q_hash_quality_filter_docs,
@@ -11482,6 +11541,64 @@ def oracle_sql() -> dict[str, str]:
                        AS head_ids,
                    md5(csv) AS ids_md5
             FROM b
+            ORDER BY block_id
+        """,
+        "train_tokenize_pack_v2": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(COALESCE(text, '')),
+                                           '[^a-z]+', ' ', 'g')) AS norm
+                FROM documents
+            ), {bpe_train_ctes("SELECT norm FROM d", 32, batch=4)},
+            tok AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(
+                               string_split(
+                                   {bpe_apply_sql("norm", 32)}, ''),
+                               ch -> ch <> ' '),
+                           ch -> CASE WHEN ch BETWEEN 'a' AND 'z'
+                                      THEN ascii(ch) - 97
+                                      WHEN ascii(ch) >= 57344
+                                      THEN ascii(ch) - 57344 + 52
+                                      ELSE ascii(ch) - 39 END) AS ids
+                FROM d
+            ), c2 AS (
+                SELECT doc_id, ids, len(ids)::BIGINT AS n,
+                       COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM tok
+            ), e2 AS (
+                SELECT doc_id, ids, n, o,
+                       unnest(range(o // 48,
+                                    (o + n - 1) // 48 + 1)) AS block_id
+                FROM c2
+                WHERE n > 0
+            ), pp2 AS (
+                SELECT block_id,
+                       least(n, (block_id + 1) * 48 - o)
+                           - greatest(0, block_id * 48 - o) AS nb,
+                       greatest(0, o - block_id * 48) AS block_pos,
+                       array_to_string(
+                           ids[greatest(0, block_id * 48 - o) + 1 :
+                               least(n, (block_id + 1) * 48 - o)],
+                           ',') AS piece
+                FROM e2
+            ), b2 AS (
+                SELECT block_id,
+                       count(*)::BIGINT AS n_docs,
+                       sum(nb)::BIGINT AS n_ids,
+                       string_agg(piece, ',' ORDER BY block_pos) AS csv
+                FROM pp2
+                GROUP BY block_id
+            )
+            SELECT CAST(block_id AS BIGINT) AS block_id,
+                   n_docs, n_ids,
+                   array_to_string((string_split(csv, ','))[1:10], ',')
+                       AS head_ids,
+                   md5(csv) AS ids_md5
+            FROM b2
             ORDER BY block_id
         """,
         "trigram_quality_docs": (trigram_scored_sql := """
