@@ -8741,86 +8741,29 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
-    # round-10 window executes the rotation the r9 verdict mandated
-    # (VERDICT.md "Next round" items 1): first the four r9 debuts that
-    # landed behind the window and have never been adjudicated
-    # (kmeans_embeddings, ivf_topk_det, stratified_sample_det,
-    # winnow_pairs_docs — local green at sf0.01/0.1/1 and re-confirmed
-    # by the r9 judge's independent re-run, but with zero driver
-    # signal), then the 14 stale entries the r9 debuts displaced
-    # (q19_disjunctive_revenue ... q17_small_qty_revenue, last driver
-    # signal r3-r5), then the remainder of the stale block in standing
-    # order as far as fits.  New-in-r10 entries are inserted at the
-    # very front as they land (debuts outrank everything: a
-    # never-adjudicated query has no driver signal at all), shifting
-    # the tail of the stale block out.  Probes and rows-only entries
-    # stay retired as documented canaries.  tests/test_entry_contract.py
-    # pins both the window membership and the
-    # no-top-level-Array/Map/Struct output contract for every window
-    # entry (the r6/r7 tfidf crash class).
+    # round-11 window executes the rotation the r10 verdict mandated
+    # (VERDICT.md "Next round" item 3): the seven never-adjudicated
+    # r11 debuts first (a debut has no driver signal at all), then the
+    # stale-signal remainder continuing from exactly where the r10
+    # window ended — hll_error_bound through incremental_dedup, last
+    # driver signal r4-r6 — 43 entries, filling the window.  The
+    # fully-green r10 block (17 r10 debuts + the 4 r9 twins + the 29
+    # r10 re-greens, all with fresh r10 signal) moves behind; the
+    # still-stale tail (decontaminate … string_funcs_part) heads the
+    # r12 rotation.  Probes and rows-only entries stay retired as
+    # documented canaries.  tests/test_entry_contract.py pins both the
+    # window membership and the no-top-level-Array/Map/Struct output
+    # contract for every window entry (the r6/r7 tfidf crash class).
     return {
-        # --- new in r10: BPE tokenizer apply + token-id packing,
-        # URL/host curation tier ---
-        "bpe_tokenize_docs": q_bpe_tokenize_docs,
-        "pack_ids_docs": q_pack_ids_docs,
-        "url_curation_docs": q_url_curation_docs,
-        "host_profile_docs": q_host_profile_docs,
-        "pdf_extract_docs": q_pdf_extract_docs,
+        # --- new in r11 (debuts outrank everything: no driver signal yet) ---
         "pdf_modern_docs": q_pdf_modern_docs,
-        "bpe_train_docs": q_bpe_train_docs,
         "bpe_train_batched_docs": q_bpe_train_batched_docs,
-        "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
         "train_tokenize_pack_v2": q_train_tokenize_pack_v2,
-        "crawl_curation_v2": q_crawl_curation_v2,
-        "pipeline_curation_v5": q_pipeline_curation_v5,
-        "hash_quality_filter_docs": q_hash_quality_filter_docs,
         "train_quality_classifier_docs": q_train_quality_classifier_docs,
         "trained_quality_filter_docs": q_trained_quality_filter_docs,
-        "line_dedup_docs": q_line_dedup_docs,
-        "robots_filter_docs": q_robots_filter_docs,
-        "cdx_index_docs": q_cdx_index_docs,
-        "epub_extract_docs": q_epub_extract_docs,
-        "stream_url_profile": q_stream_url_profile,
-        "trigram_quality_docs": q_trigram_quality_docs,
         "ccnet_bucket_docs": q_ccnet_bucket_docs,
-        "semdedup_embeddings": q_semdedup_embeddings,
-        "tokenizer_fertility_docs": q_tokenizer_fertility_docs,
-        # --- never-adjudicated r9 debuts: deterministic kmeans/IVF/
-        # sample twins + winnowing fingerprints ---
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "ivf_topk_det": q_ivf_topk_det,
-        "stratified_sample_det": q_stratified_sample_det,
-        "winnow_pairs_docs": q_winnow_pairs_docs,
-        # --- 5-18. the 14 stale entries displaced by the r9 debuts ---
-        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
-        "q21_sole_supplier": q_q21_sole_supplier,
-        "q22_idle_customers": q_q22_idle_customers,
-        "xlsx_roundtrip_lineitem": q_xlsx_roundtrip_lineitem,
-        "ivf_recall_bound": q_ivf_recall_bound,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
-        "q4_order_priority": q_q4_order_priority,
-        "q9_product_profit": q_q9_product_profit,
-        "q11_important_stock": q_q11_important_stock,
-        "q13_customer_distribution": q_q13_customer_distribution,
-        "q15_top_supplier": q_q15_top_supplier,
-        "q16_supplier_part_counts": q_q16_supplier_part_counts,
-        "q17_small_qty_revenue": q_q17_small_qty_revenue,
-        # --- 19-50. stale r3/r4/r5-signal block remainder, standing order ---
-        "q18_large_volume_customers": q_q18_large_volume_customers,
-        "q20_part_promotion": q_q20_part_promotion,
-        "dedup_priority_keep": q_dedup_priority_keep,
-        "hard_negatives": q_hard_negatives,
-        "source_budget_trim": q_source_budget_trim,
-        "stream_static_enrich": q_stream_static_enrich,
-        "weighted_sample_k": q_weighted_sample_k,
-        "avro_roundtrip_part": q_avro_roundtrip_part,
-        "variant_extract_events": q_variant_extract_events,
-        "hilbert_cluster_keys": q_hilbert_cluster_keys,
-        "incremental_minhash": q_incremental_minhash,
-        "cell_edit": q_cell_edit,
-        "delete_rows": q_delete_rows,
-        "paste_splice": q_paste_splice,
+        "pipeline_curation_v5": q_pipeline_curation_v5,
+        # --- stale-signal remainder (last driver signal r4-r6; the r10 window ended at hll_error_bound — continue from there) ---
         "hll_error_bound": q_hll_error_bound,
         "quantile_error_bound": q_quantile_error_bound,
         "union_distinct_nations": q_union_distinct_nations,
@@ -8839,8 +8782,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_health": q_corpus_health,
         "bigram_logprob": q_bigram_logprob,
         "purge_orders": q_purge_orders,
-        # ================= end of 50-entry driver window =================
-        # --- behind window: remainder of the stale block ---
         "refresh_matview": q_refresh_matview,
         "source_overlap": q_source_overlap,
         "pipeline_curation_v3": q_pipeline_curation_v3,
@@ -8866,6 +8807,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup_events": q_time_rollup_events,
         "pipeline_training_data": q_pipeline_training_data,
         "incremental_dedup": q_incremental_dedup,
+        # --- behind the window: the fully-green r10/r11-signal block, in standing order ---
+        "bpe_tokenize_docs": q_bpe_tokenize_docs,
+        "pack_ids_docs": q_pack_ids_docs,
+        "url_curation_docs": q_url_curation_docs,
+        "host_profile_docs": q_host_profile_docs,
+        "pdf_extract_docs": q_pdf_extract_docs,
+        "bpe_train_docs": q_bpe_train_docs,
+        "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
+        "crawl_curation_v2": q_crawl_curation_v2,
+        "hash_quality_filter_docs": q_hash_quality_filter_docs,
+        "line_dedup_docs": q_line_dedup_docs,
+        "robots_filter_docs": q_robots_filter_docs,
+        "cdx_index_docs": q_cdx_index_docs,
+        "epub_extract_docs": q_epub_extract_docs,
+        "stream_url_profile": q_stream_url_profile,
+        "trigram_quality_docs": q_trigram_quality_docs,
+        "semdedup_embeddings": q_semdedup_embeddings,
+        "tokenizer_fertility_docs": q_tokenizer_fertility_docs,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "ivf_topk_det": q_ivf_topk_det,
+        "stratified_sample_det": q_stratified_sample_det,
+        "winnow_pairs_docs": q_winnow_pairs_docs,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q21_sole_supplier": q_q21_sole_supplier,
+        "q22_idle_customers": q_q22_idle_customers,
+        "xlsx_roundtrip_lineitem": q_xlsx_roundtrip_lineitem,
+        "ivf_recall_bound": q_ivf_recall_bound,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q4_order_priority": q_q4_order_priority,
+        "q9_product_profit": q_q9_product_profit,
+        "q11_important_stock": q_q11_important_stock,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q16_supplier_part_counts": q_q16_supplier_part_counts,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q18_large_volume_customers": q_q18_large_volume_customers,
+        "q20_part_promotion": q_q20_part_promotion,
+        "dedup_priority_keep": q_dedup_priority_keep,
+        "hard_negatives": q_hard_negatives,
+        "source_budget_trim": q_source_budget_trim,
+        "stream_static_enrich": q_stream_static_enrich,
+        "weighted_sample_k": q_weighted_sample_k,
+        "avro_roundtrip_part": q_avro_roundtrip_part,
+        "variant_extract_events": q_variant_extract_events,
+        "hilbert_cluster_keys": q_hilbert_cluster_keys,
+        "incremental_minhash": q_incremental_minhash,
+        "cell_edit": q_cell_edit,
+        "delete_rows": q_delete_rows,
+        "paste_splice": q_paste_splice,
+        # --- standing order remainder (stale tail for r12, then r6-r9 greens, probes retired at the back) ---
         "decontaminate": q_decontaminate,
         "boilerplate_shingles": q_boilerplate_shingles,
         "gopher_quality": q_gopher_quality,
@@ -8878,7 +8870,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_roundtrip_events": q_kafka_roundtrip_events,
         "date_trunc_orders": q_date_trunc_orders,
         "string_funcs_part": q_string_funcs_part,
-        # --- behind window: the 50 r9 window greens (freshest signal) ---
         "mp3_meta_docs": q_mp3_meta_docs,
         "wav_adpcm_roundtrip": q_wav_adpcm_roundtrip,
         "jpeg_decode_docs": q_jpeg_decode_docs,
@@ -8929,7 +8920,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q_q10_returned_revenue,
         "q12_priority_lines": q_q12_priority_lines,
         "q14_promo_revenue": q_q14_promo_revenue,
-        # --- behind window: r6/r7/r8 greens ---
         "png_roundtrip_docs": q_png_roundtrip_docs,
         "wav_roundtrip_docs": q_wav_roundtrip_docs,
         "y4m_frames_docs": q_y4m_frames_docs,
@@ -8940,9 +8930,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_windows": q_stream_session_windows,
         "stream_sessionize": q_stream_sessionize,
         "stream_followed_by": q_stream_followed_by,
-        "pivot_count": _pivot("count", round_to=None),
-        "pivot_max": _pivot("max", round_to=None),
-        "pivot_min": _pivot("min", round_to=None),
+        "pivot_count": _pivot('count', round_to=None),
+        "pivot_max": _pivot('max', round_to=None),
+        "pivot_min": _pivot('min', round_to=None),
         "scan_region": q_scan_region,
         "numeric_projection": q_numeric_projection,
         "histogram_quantity": q_histogram_quantity,
@@ -9002,7 +8992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "cross_join_grid": q_cross_join_grid,
         "plot_line_series": q_plot_line_series,
-        "pivot_mean": _pivot("mean_exact_cents"),
+        "pivot_mean": _pivot('mean_exact_cents'),
         "describe_lineitem": q_describe_lineitem,
         "stats_aggregates": q_stats_aggregates,
         "supplier_acct_stats": q_supplier_acct_stats,
@@ -9022,14 +9012,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_suppliers_with_sales": q_semi_suppliers_with_sales,
         "window_running_sum": q_window_running_sum,
         "window_top3_per_priority": q_window_top3_per_priority,
-        "pivot_sum": _pivot("sum"),
+        "pivot_sum": _pivot('sum'),
         "text_stats": q_text_stats,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "bm25_topk": q_bm25_topk,
         "mixture_sample": q_mixture_sample,
         "repetition_signals": q_repetition_signals,
-        # --- retired canaries: expected-divergent probes + rows-only entries ---
         "probe_int_float_hash": probe_int_float_hash,
         "probe_hugeint_sum": probe_hugeint_sum,
         "probe_hugeint_cast": probe_hugeint_cast,

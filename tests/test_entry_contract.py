@@ -48,45 +48,44 @@ def test_top_level_functions_unique():
 def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
-    silently missed adjudication — pin the round-10 window composition
-    (the r9 verdict's rotation, item 1): new-in-r10 debuts at the very
-    front as they land, then the four never-adjudicated r9 debuts
-    (kmeans/IVF/sample deterministic twins + winnowing fingerprints),
-    then the 14 stale entries the r9 debuts displaced, then the
-    remainder of the stale r3/r4/r5-signal block as far as fits; the
-    fully-green r9 window moves behind, probes and stable rows-only
+    silently missed adjudication — pin the round-11 window composition
+    (the r10 verdict's rotation, item 3): the seven never-adjudicated
+    r11 debuts at the very front, then the stale-signal remainder
+    continuing from exactly where the r10 window ended
+    (hll_error_bound … incremental_dedup, last signal r4-r6); the
+    fully-green r10 block moves behind, probes and stable rows-only
     entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "hll_error_bound", (
+    assert window[-1] == "incremental_dedup", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
-        # new in r10
-        "bpe_tokenize_docs", "pack_ids_docs", "url_curation_docs",
-        "host_profile_docs", "pdf_extract_docs", "bpe_train_docs",
-        "train_tokenize_pack_v1", "crawl_curation_v2",
-        "hash_quality_filter_docs", "line_dedup_docs",
-        "robots_filter_docs", "cdx_index_docs", "epub_extract_docs",
-        "stream_url_profile", "trigram_quality_docs",
-        "semdedup_embeddings", "tokenizer_fertility_docs",
-        # never-adjudicated r9 debuts — the r9 verdict's top item
-        "kmeans_embeddings", "ivf_topk_det", "stratified_sample_det",
-        "winnow_pairs_docs",
-        # the 14 stale entries displaced by the r9 debuts
-        "q19_disjunctive_revenue", "q21_sole_supplier",
-        "q22_idle_customers", "xlsx_roundtrip_lineitem",
-        "ivf_recall_bound", "q1_pricing_summary", "q2_min_cost_supplier",
-        "q4_order_priority", "q9_product_profit", "q11_important_stock",
-        "q13_customer_distribution", "q15_top_supplier",
-        "q16_supplier_part_counts", "q17_small_qty_revenue",
-        # head of the stale-block remainder
-        "q18_large_volume_customers", "q20_part_promotion",
-        "dedup_priority_keep", "hard_negatives", "source_budget_trim",
-        "stream_static_enrich", "weighted_sample_k",
-        "avro_roundtrip_part", "variant_extract_events",
-        "hilbert_cluster_keys", "incremental_minhash", "cell_edit",
-        "delete_rows", "paste_splice",
+        # new in r11
+        "pdf_modern_docs", "bpe_train_batched_docs",
+        "train_tokenize_pack_v2", "train_quality_classifier_docs",
+        "trained_quality_filter_docs", "ccnet_bucket_docs",
+        "pipeline_curation_v5",
+        # the stale-signal remainder, continuing from the r10 boundary
+        "hll_error_bound", "quantile_error_bound",
+        "union_distinct_nations", "rollup_qty", "pivot_count_distinct",
+        "pipeline_curation_v2", "source_token_divergence",
+        "table_diff_orders", "snapshot_time_travel",
+        "compact_lineitem_files", "bpe_pair_top",
+        "zscore_outliers_price", "char_entropy_docs",
+        "group_sample_events", "hybrid_rrf_topk", "corpus_health",
+        "bigram_logprob", "purge_orders", "refresh_matview",
+        "source_overlap", "pipeline_curation_v3",
+        "stream_refresh_matview", "token_dropout", "shard_stats",
+        "pagerank_event_graph", "fuzzy_word_pairs",
+        "null_profile_orders", "cms_topk_bound",
+        "zstd_roundtrip_lineitem", "ivf_index_roundtrip",
+        "rolling_spikes_events", "session_table_events",
+        "unpivot_measures", "percentiles_quantity",
+        "string_agg_nations", "clean_fillna", "clean_dropna",
+        "clean_replace", "resample_ffill_events",
+        "resample_interp_events", "time_rollup_events",
+        "pipeline_training_data", "incremental_dedup",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
