@@ -4983,6 +4983,90 @@ def q_cdx_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("surt", "doc_id")
 
 
+def q_sitemap_extract_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """sitemap.xml extraction (r11 — the crawl-frontier input next to
+    robots.txt in the URL tier): per doc, synthesize a real sitemap
+    protocol document (1-3 ``<url>`` entries with ``loc``/``lastmod``/
+    ``changefreq``/``priority``, XML declaration, urlset namespace),
+    then extract the entry table ENTIRELY in Catalyst —
+    ``regexp_extract_all`` over the ``<url>`` blocks, ``posexplode``,
+    per-field regexp pulls — and compose with the r10 tier:
+    canonicalized loc, host, SURT index key.  Zero Python, zero
+    shuffle before the ordered output; the oracle rebuilds every
+    field arithmetically."""
+    from parquet_editor_spark.functions import urls as U
+
+    d = F.col("doc_id")
+    n_urls = 1 + d % 3
+    entry = lambda j: F.when(  # noqa: E731 — local plan builder
+        n_urls > j,
+        F.concat(
+            F.lit("  <url><loc>"),
+            F.lit("https://WWW.smap"),
+            (d % 53).cast("string"),
+            F.lit(".org/page/"),
+            ((d + j) % 17).cast("string"),
+            F.lit("</loc><lastmod>2024-"),
+            F.lpad((1 + (d + j) % 12).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((1 + (d * 3 + j) % 28).cast("string"), 2, "0"),
+            F.lit("</lastmod><changefreq>"),
+            F.element_at(
+                F.array(
+                    F.lit("daily"), F.lit("weekly"), F.lit("monthly")
+                ),
+                ((d + j) % 3 + 1).cast("int"),
+            ),
+            F.lit("</changefreq><priority>0."),
+            ((d + j) % 10).cast("string"),
+            F.lit("</priority></url>\n"),
+        ),
+    ).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'),
+        entry(0), entry(1), entry(2),
+        F.lit("</urlset>\n"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", xml.alias("xml"))
+    blocks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                "xml", F.lit(r"(?s)<url>(.*?)</url>"), 1
+            )
+        ).alias("url_idx", "b"),
+    )
+    loc = F.regexp_extract("b", r"<loc>(.*?)</loc>", 1)
+    parsed = blocks.select(
+        "doc_id",
+        F.col("url_idx").cast("int").alias("url_idx"),
+        U.canonical_url(loc).alias("canon_url"),
+        U.url_host(loc).alias("host"),
+        U.url_path(loc).alias("path"),
+        # kept as the ISO string: the driver comparator canonicalizes
+        # DATE columns differently per engine (date vs midnight ts)
+        F.regexp_extract("b", r"<lastmod>(.*?)</lastmod>", 1)
+        .alias("lastmod"),
+        F.regexp_extract("b", r"<changefreq>(.*?)</changefreq>", 1)
+        .alias("changefreq"),
+        F.regexp_extract("b", r"<priority>(.*?)</priority>", 1)
+        .cast("double")
+        .alias("priority"),
+    )
+    return parsed.select(
+        "doc_id",
+        "url_idx",
+        "canon_url",
+        U.surt_key("host", "path").alias("surt"),
+        "lastmod",
+        "changefreq",
+        "priority",
+    ).orderBy("doc_id", "url_idx")
+
+
 def q_robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt crawl filtering (``urls.robots_rules`` +
     ``robots_allowed``, new r10): per host, synthesize a REAL
@@ -8742,11 +8826,11 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
     # round-11 window executes the rotation the r10 verdict mandated
-    # (VERDICT.md "Next round" item 3): the seven never-adjudicated
+    # (VERDICT.md "Next round" item 3): the eight never-adjudicated
     # r11 debuts first (a debut has no driver signal at all), then the
     # stale-signal remainder continuing from exactly where the r10
-    # window ended — hll_error_bound through incremental_dedup, last
-    # driver signal r4-r6 — 43 entries, filling the window.  The
+    # window ended — hll_error_bound through pipeline_training_data,
+    # last driver signal r4-r6 — 42 entries, filling the window.  The
     # fully-green r10 block (17 r10 debuts + the 4 r9 twins + the 29
     # r10 re-greens, all with fresh r10 signal) moves behind; the
     # still-stale tail (decontaminate … string_funcs_part) heads the
@@ -8762,6 +8846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_quality_classifier_docs": q_train_quality_classifier_docs,
         "trained_quality_filter_docs": q_trained_quality_filter_docs,
         "ccnet_bucket_docs": q_ccnet_bucket_docs,
+        "sitemap_extract_docs": q_sitemap_extract_docs,
         "pipeline_curation_v5": q_pipeline_curation_v5,
         # --- stale-signal remainder (last driver signal r4-r6; the r10 window ended at hll_error_bound — continue from there) ---
         "hll_error_bound": q_hll_error_bound,
@@ -11719,6 +11804,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN cc ON cc.doc_id = p.doc_id
             JOIN documents dd ON dd.doc_id = p.doc_id
             ORDER BY surt, p.doc_id
+        """,
+        "sitemap_extract_docs": """
+            WITH d AS (
+                SELECT doc_id, 1 + doc_id % 3 AS nu FROM documents
+            ), e AS (
+                SELECT doc_id,
+                       CAST(g.j AS INT) AS url_idx,
+                       'smap' || CAST(doc_id % 53 AS VARCHAR)
+                           || '.org' AS host,
+                       '/page/' || CAST((doc_id + g.j) % 17 AS VARCHAR)
+                           AS path,
+                       '2024-'
+                       || lpad(CAST(1 + (doc_id + g.j) % 12
+                                    AS VARCHAR), 2, '0')
+                       || '-'
+                       || lpad(CAST(1 + (doc_id * 3 + g.j) % 28
+                                    AS VARCHAR), 2, '0') AS lastmod,
+                       CASE (doc_id + g.j) % 3
+                            WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                            ELSE 'monthly' END AS changefreq,
+                       CAST('0.' || CAST((doc_id + g.j) % 10
+                                         AS VARCHAR)
+                            AS DOUBLE) AS priority
+                FROM d, generate_series(0, 2) AS g(j)
+                WHERE g.j < d.nu
+            )
+            SELECT doc_id, url_idx,
+                   'https://' || host || path AS canon_url,
+                   array_to_string(list_reverse(
+                       string_split(host, '.')), ',')
+                   || ')' || path AS surt,
+                   lastmod, changefreq, priority
+            FROM e
+            ORDER BY doc_id, url_idx
         """,
         "robots_filter_docs": """
             SELECT doc_id,
