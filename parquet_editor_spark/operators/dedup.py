@@ -208,7 +208,15 @@ def line_dedup(
     window over data) → broadcast-unfriendly but fingerprint-keyed
     join back (shuffles keys + positions, not text — text rides the
     doc-keyed side) → one groupBy(doc) sorted reassembly.  Three
-    shuffles, each moving each line's key or text exactly once."""
+    shuffles, each moving each line's key or text exactly once.
+
+    The fingerprint stays md5 DELIBERATELY (vs winnowing's r10 move
+    to the 55-bit polynomial hash): this key is a global-corpus
+    first-occurrence identity, and 2^55 bits birthday-collide around
+    ~10^8 distinct lines — well inside a 100 TB corpus — where a
+    collision silently DELETES a line; md5's 128 bits push that past
+    10^19.  Lines are also ~10-100× fewer than k-grams, so the CPU
+    stake that motivated the winnowing swap is absent here."""
     import re as _re
 
     lines = df.select(
