@@ -925,3 +925,35 @@ def test_bpe_train_batched_oracle_matches_spark_past_26(spark):
     )
     duck = [tuple(r) for r in con.sql(sql).fetchall()]
     assert duck == got
+
+
+def test_bpe_train_deep_into_pua_matches_scalar(spark):
+    """128 merges at batch=16 (8 Spark jobs): placeholders run >100
+    slots into the private-use block — the 32k-vocab encoding claim,
+    exercised against the independent scalar trainer."""
+    base = [
+        "interdependence independence interdependent independently",
+        "understanding understated understood underwriting underdog",
+        "reconstruction reconnaissance reconciliation recognition",
+        "transformation transportation transcription translation",
+        "internationalization institutionalization industrialization",
+        "characterization categorization standardization organization",
+    ]
+    texts = [" ".join(base[i % len(base)].split()[: 2 + i % 3])
+             for i in range(24)] + base * 4
+    df = spark.createDataFrame([(t,) for t in texts], "norm string")
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in TP.bpe_train(df, "norm", n_merges=128, batch=16)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    want = _scalar_bpe_train_batched(texts, 128, 16, 4)
+    assert got == want
+    assert len(got) > 90  # ~70 slots past A-Z: PUA placeholders held
+    # the decoded merge table reconstructs real token strings, not
+    # placeholder chars
+    assert all(
+        all(0x61 <= ord(c) <= 0x7A for c in lhs + rhs)
+        for _, lhs, rhs, _ in got
+    )
