@@ -4741,6 +4741,94 @@ def q_train_tokenize_pack_v2(
     ).orderBy("block_id")
 
 
+def q_sft_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT sample construction (r11 — the instruction-tuning data
+    path next to the pretraining one): per doc, render a 1-2-round
+    conversation from the normalized text (role word + word-slices as
+    user/assistant turns), tokenize EACH turn separately with the
+    pinned BPE table (the standard way chat templates keep loss-mask
+    alignment exact), carry the per-token LOSS MASK (assistant turns
+    train, user turns don't) by packing ``id*2 + mask`` combined
+    symbols, and pack the mask-aligned stream into 64-symbol training
+    blocks with the distributed prefix sum — per block: doc count,
+    symbol count, TRAINED-token count (mask popcount), head ids and
+    the full-stream md5.  Composite segment keys ``doc_id*4 + turn``
+    make the pack's id order the (doc, turn) render order, so the
+    existing packer needs zero new code.
+
+    Scale shape: turn explode + Arrow tokenizer kernel (zero
+    shuffle), then exactly the pack's bucketed prefix sum — masks
+    ride inside the symbols, so alignment survives any partitioning."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    d = F.col("doc_id")
+    words = F.filter(
+        F.split(_bpe_norm("text"), " "), lambda w: w != F.lit("")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", words.alias("w"), (1 + d % 2).alias("n_rounds")
+    )
+
+    def seg(k: int, role: str, lo: int, n: int, mask: int):
+        txt = F.concat(
+            F.lit(role + " "),
+            F.array_join(F.slice("w", lo, n), " "),
+        )
+        return F.struct(
+            F.lit(k).alias("k"), txt.alias("t"), F.lit(mask).alias("m")
+        )
+
+    segs = F.array(
+        seg(0, "user", 1, 6, 0),
+        seg(1, "assistant", 7, 10, 1),
+        seg(2, "user", 17, 6, 0),
+        seg(3, "assistant", 23, 10, 1),
+    )
+    turns = docs.select(
+        "doc_id",
+        "n_rounds",
+        F.explode(F.slice(segs, 1, (F.col("n_rounds") * 2).cast("int")))
+        .alias("s"),
+    ).select(
+        (d * 4 + F.col("s.k")).alias("seg_id"),
+        F.col("s.t").alias("t"),
+        F.col("s.m").alias("m"),
+    )
+    toks = TP.bpe_tokenize(turns, "seg_id", "t", _BPE_MERGES, _BPE_VOCAB)
+    combined = toks.join(
+        turns.select("seg_id", "m"), toks["id"] == F.col("seg_id")
+    ).select(
+        F.col("id"),
+        F.transform(
+            "input_ids", lambda x: x * 2 + F.col("m")
+        ).alias("sym"),
+    )
+    blocks = TP.pack_id_blocks(
+        combined, "id", "sym", block_tokens=64, bucket_docs=64
+    )
+    sym_csv = F.array_join(
+        F.transform("input_ids", lambda x: x.cast("string")), ","
+    )
+    n_loss = F.aggregate(
+        "input_ids",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + (x % 2).cast("long"),
+    )
+    return blocks.select(
+        "block_id",
+        F.col("n_docs").alias("n_segments"),
+        F.col("n_ids").alias("n_syms"),
+        n_loss.alias("n_loss_ids"),
+        F.array_join(
+            F.transform(
+                F.slice("input_ids", 1, 10), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("head_syms"),
+        F.md5(F.encode(sym_csv, "utf-8")).alias("syms_md5"),
+    ).orderBy("block_id")
+
+
 def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (``sim.semdedup``, new r10 — Abbas et al. 2023):
     semantic dedup by clustering embeddings with the deterministic
@@ -8826,11 +8914,11 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
     # round-11 window executes the rotation the r10 verdict mandated
-    # (VERDICT.md "Next round" item 3): the eight never-adjudicated
+    # (VERDICT.md "Next round" item 3): the nine never-adjudicated
     # r11 debuts first (a debut has no driver signal at all), then the
     # stale-signal remainder continuing from exactly where the r10
-    # window ended — hll_error_bound through pipeline_training_data,
-    # last driver signal r4-r6 — 42 entries, filling the window.  The
+    # window ended — hll_error_bound through time_rollup_events,
+    # last driver signal r4-r6 — 41 entries, filling the window.  The
     # fully-green r10 block (17 r10 debuts + the 4 r9 twins + the 29
     # r10 re-greens, all with fresh r10 signal) moves behind; the
     # still-stale tail (decontaminate … string_funcs_part) heads the
@@ -8847,6 +8935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trained_quality_filter_docs": q_trained_quality_filter_docs,
         "ccnet_bucket_docs": q_ccnet_bucket_docs,
         "sitemap_extract_docs": q_sitemap_extract_docs,
+        "sft_pack_docs": q_sft_pack_docs,
         "pipeline_curation_v5": q_pipeline_curation_v5,
         # --- stale-signal remainder (last driver signal r4-r6; the r10 window ended at hll_error_bound — continue from there) ---
         "hll_error_bound": q_hll_error_bound,
@@ -11673,6 +11762,77 @@ def oracle_sql() -> dict[str, str]:
                        AS head_ids,
                    md5(csv) AS ids_md5
             FROM b2
+            ORDER BY block_id
+        """,
+        "sft_pack_docs": """
+            WITH dd AS (
+                SELECT doc_id, 1 + doc_id % 2 AS n_rounds,
+                       list_filter(string_split(
+                           trim(regexp_replace(lower(COALESCE(text, '')),
+                                               '[^a-z]+', ' ', 'g')),
+                           ' '), x -> x <> '') AS w
+                FROM documents
+            ), segd AS (
+                SELECT doc_id * 4 + g.k AS seg_id,
+                       CAST(g.k % 2 AS INT) AS m,
+                       (CASE WHEN g.k % 2 = 0 THEN 'user '
+                             ELSE 'assistant ' END)
+                       || COALESCE(array_to_string(
+                            w[(CASE g.k WHEN 0 THEN 1 WHEN 1 THEN 7
+                                    WHEN 2 THEN 17 ELSE 23 END) :
+                              (CASE g.k WHEN 0 THEN 6 WHEN 1 THEN 16
+                                    WHEN 2 THEN 22 ELSE 32 END)],
+                            ' '), '') AS t
+                FROM dd, generate_series(0, 3) AS g(k)
+                WHERE g.k < 2 * n_rounds
+            ), tok AS (
+                SELECT seg_id,
+                       list_transform(
+                           list_transform(
+                               list_filter(
+                                   string_split(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(t, 'th', 'A'), 'Ae', 'B'), 'in', 'C'), 'er', 'D'), 'an', 'E'), 'on', 'F'), 'Ed', 'G'), 'Cg', 'H'), 'en', 'I'), 'or', 'J'), ''),
+                                   c -> c <> ' '),
+                               ch -> CASE WHEN ch BETWEEN 'a' AND 'z'
+                                          THEN ascii(ch) - 97
+                                          ELSE ascii(ch) - 39 END),
+                           x -> x * 2 + m) AS syms
+                FROM segd
+            ), sc AS (
+                SELECT seg_id, syms, len(syms)::BIGINT AS n,
+                       COALESCE(SUM(len(syms)) OVER (ORDER BY seg_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM tok
+            ), se AS (
+                SELECT seg_id, syms, n, o,
+                       unnest(range(o // 64,
+                                    (o + n - 1) // 64 + 1)) AS block_id
+                FROM sc WHERE n > 0
+            ), sp AS (
+                SELECT block_id,
+                       least(n, (block_id + 1) * 64 - o)
+                           - greatest(0, block_id * 64 - o) AS nb,
+                       greatest(0, o - block_id * 64) AS block_pos,
+                       syms[greatest(0, block_id * 64 - o) + 1 :
+                            least(n, (block_id + 1) * 64 - o)] AS piece
+                FROM se
+            ), sb AS (
+                SELECT block_id,
+                       count(*)::BIGINT AS n_segments,
+                       sum(nb)::BIGINT AS n_syms,
+                       SUM(len(list_filter(piece,
+                           x -> x % 2 = 1)))::BIGINT AS n_loss_ids,
+                       string_agg(array_to_string(piece, ','), ','
+                                  ORDER BY block_pos) AS csv
+                FROM sp
+                GROUP BY block_id
+            )
+            SELECT CAST(block_id AS BIGINT) AS block_id,
+                   n_segments, n_syms, n_loss_ids,
+                   array_to_string((string_split(csv, ','))[1:10], ',')
+                       AS head_syms,
+                   md5(csv) AS syms_md5
+            FROM sb
             ORDER BY block_id
         """,
         "trigram_quality_docs": (trigram_scored_sql := """
