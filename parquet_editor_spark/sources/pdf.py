@@ -21,7 +21,12 @@ Honest scope (classic + modern structural tiers, the rest gated):
     syntax (nested parens, \\-escapes, octal, hex strings <...>),
     decoded as Latin-1 (the PDFDocEncoding/WinAnsi ASCII-compatible
     baseline); Td/TD/T*/'/" line moves emit newlines,
-  - encryption raises.
+  - encryption (r11): the /Standard security handler, RC4 V1/V2
+    revisions 2-3 with the EMPTY user password — the state most
+    'encrypted' crawl PDFs are in (owner restrictions only; the
+    padding constant and algorithms 2-5 are ISO 32000-1 §7.6.3);
+    per-object keys on strings and streams.  Real user passwords
+    and V4+ AES crypt filters raise.
 
 The fixture encoder writes the same dialect the parser reads —
 catalog → page tree → per-page FlateDecode content streams + a real
@@ -457,13 +462,13 @@ def _xref_stream_section(
 
 def _xref_offsets(
     data: bytes, origin: str
-) -> tuple[dict[int, tuple], int | None]:
-    """(object number → xref entry, root object number) from the xref
-    chain — classic tables, xref streams, or the hybrid mix; later
-    sections win over /Prev'd earlier ones, and the newest /Root
-    wins.  In hybrid files the /XRefStm section is consulted after
-    its own table section but before that trailer's /Prev (ISO 32000
-    §7.5.8.4)."""
+) -> tuple[dict[int, tuple], int | None, "_Ref | None", bytes]:
+    """(object number → xref entry, root object number, /Encrypt ref,
+    first /ID string) from the xref chain — classic tables, xref
+    streams, or the hybrid mix; later sections win over /Prev'd
+    earlier ones, and the newest /Root wins.  In hybrid files the
+    /XRefStm section is consulted after its own table section but
+    before that trailer's /Prev (ISO 32000 §7.5.8.4)."""
     at = data.rfind(b"startxref")
     if at < 0:
         raise ValueError(f"{origin!r}: no startxref")
@@ -472,6 +477,8 @@ def _xref_offsets(
         raise ValueError(f"{origin!r}: bad startxref offset")
     offsets: dict[int, tuple] = {}
     root_num: int | None = None
+    encrypt: _Ref | None = None
+    id0 = b""
     pos = int(m.group(1))
     seen: set[int] = set()
 
@@ -489,8 +496,12 @@ def _xref_offsets(
             section, trailer = _xref_stream_section(data, pos, origin)
         else:
             section, trailer = _xref_table_section(data, pos, origin)
-        if "Encrypt" in trailer:
-            raise NotImplementedError(f"{origin!r}: encrypted PDF")
+        enc = trailer.get("Encrypt")
+        if encrypt is None and isinstance(enc, _Ref):
+            encrypt = enc
+            fid = trailer.get("ID")
+            if isinstance(fid, list) and fid and isinstance(fid[0], bytes):
+                id0 = fid[0]
         merge(section)
         root = trailer.get("Root")
         if root_num is None and isinstance(root, _Ref):
@@ -503,7 +514,7 @@ def _xref_offsets(
         if prev is None:
             break
         pos = int(prev)
-    return offsets, root_num
+    return offsets, root_num, encrypt, id0
 
 
 def _parse_object(data: bytes, pos: int, origin: str, resolve=None):
@@ -545,9 +556,36 @@ class _Doc:
         if not data.startswith(b"%PDF-"):
             raise ValueError(f"{origin!r} is not a PDF (no %PDF header)")
         self.version = data[5:8].decode("latin-1", "replace")
-        self.offsets, self.root_num = _xref_offsets(data, origin)
+        (
+            self.offsets,
+            self.root_num,
+            encrypt_ref,
+            id0,
+        ) = _xref_offsets(data, origin)
         self._cache: dict[int, tuple] = {}
         self._objstms: dict[int, tuple] = {}
+        self._dec: _Decryptor | None = None
+        self._enc_num = -1
+        if encrypt_ref is not None:
+            self._enc_num = encrypt_ref.num
+            ent = self.offsets.get(self._enc_num)
+            if ent is None or ent[0] != "f":
+                raise ValueError(
+                    f"{origin!r}: /Encrypt object not in the file xref"
+                )
+            enc_dict, _ = _parse_object(data, ent[1], origin)
+            self._dec = _build_decryptor(enc_dict, id0, origin)
+
+    def _decrypt_value(self, num: int, v):
+        """Strings inside an encrypted document are individually
+        RC4'd under the containing object's key."""
+        if isinstance(v, bytes):
+            return self._dec.decrypt(num, 0, v)
+        if isinstance(v, dict):
+            return {k: self._decrypt_value(num, x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [self._decrypt_value(num, x) for x in v]
+        return v
 
     def _objstm(self, num: int) -> tuple[bytes, list[tuple[int, int]], int]:
         """Decoded object-stream payload + its (objnum, offset) pair
@@ -581,9 +619,14 @@ class _Doc:
                     f"{self.origin!r}: missing object {num}"
                 )
             if ent[0] == "f":
-                self._cache[num] = _parse_object(
+                val, stream = _parse_object(
                     self.data, ent[1], self.origin, resolve=self.deref
                 )
+                if self._dec is not None and num != self._enc_num:
+                    val = self._decrypt_value(num, val)
+                    if stream is not None:
+                        stream = self._dec.decrypt(num, 0, stream)
+                self._cache[num] = (val, stream)
             else:  # ("s", objstm_num, idx): compressed object
                 raw, pairs, first = self._objstm(ent[1])
                 idx = ent[2]
@@ -929,3 +972,245 @@ def encode_pdf_modern(pages: list[list[str]]) -> bytes:
     )
     out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# standard security handler (r11): RC4 revisions 2-3, empty user password
+# ---------------------------------------------------------------------------
+
+# ISO 32000-1 §7.6.3.3 Algorithm 2 padding string
+_PDF_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 (public algorithm; pinned in tests against the classic
+    published test vectors)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _pad_pw(pw: bytes) -> bytes:
+    return (pw + _PDF_PAD)[:32]
+
+
+def _std_file_key(
+    user_pw: bytes, o_entry: bytes, p: int, id0: bytes,
+    r: int, key_len: int,
+) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    import hashlib
+
+    h = hashlib.md5(
+        _pad_pw(user_pw)
+        + o_entry[:32]
+        + (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:key_len]).digest()
+    return h[:key_len]
+
+
+def _std_o_entry(
+    owner_pw: bytes, user_pw: bytes, r: int, key_len: int
+) -> bytes:
+    """Algorithm 3: the /O entry."""
+    import hashlib
+
+    h = hashlib.md5(_pad_pw(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    rc4key = h[:key_len]
+    o = _rc4(rc4key, _pad_pw(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in rc4key), o)
+    return o
+
+
+def _std_u_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithms 4 (R2) / 5 (R3): the /U entry."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(file_key, _PDF_PAD)
+    h = hashlib.md5(_PDF_PAD + id0).digest()
+    u = _rc4(file_key, h)
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16
+
+
+class _Decryptor:
+    """Per-object RC4 decryption under a validated file key."""
+
+    def __init__(self, file_key: bytes):
+        self.file_key = file_key
+
+    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        import hashlib
+
+        obj_key = hashlib.md5(
+            self.file_key
+            + num.to_bytes(3, "little")
+            + gen.to_bytes(2, "little")
+        ).digest()[: min(len(self.file_key) + 5, 16)]
+        return _rc4(obj_key, data)
+
+
+def _build_decryptor(enc: dict, id0: bytes, origin: str) -> _Decryptor:
+    """Validate the standard security handler with the EMPTY user
+    password (the state most 'encrypted' crawl PDFs are in — owner
+    restrictions only) and return the decryptor.  RC4 V1/V2, R2/R3;
+    V4+ crypt filters (AES) and real user passwords gate loudly."""
+    if enc.get("Filter") != "/Standard":
+        raise NotImplementedError(
+            f"{origin!r}: security handler {enc.get('Filter')!r} — "
+            "only /Standard is supported"
+        )
+    v = int(enc.get("V", 0))
+    r = int(enc["R"])
+    if v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(
+            f"{origin!r}: encryption V={v} R={r} — only RC4 V1/V2 "
+            "R2/R3 are supported (AES crypt filters gate here)"
+        )
+    key_len = int(enc.get("Length", 40)) // 8
+    if v == 1:
+        key_len = 5
+    o_entry = enc["O"]
+    u_entry = enc["U"]
+    p = int(enc["P"])
+    key = _std_file_key(b"", o_entry, p, id0, r, key_len)
+    want_u = _std_u_entry(key, id0, r)
+    got, want = (u_entry[:16], want_u[:16]) if r >= 3 else (
+        u_entry, want_u
+    )
+    if got != want:
+        raise NotImplementedError(
+            f"{origin!r}: PDF requires a non-empty user password"
+        )
+    return _Decryptor(key)
+
+
+def encode_pdf_encrypted(
+    pages: list[list[str]],
+    owner_pw: bytes = b"owner-secret",
+    r: int = 3,
+    key_bits: int = 128,
+) -> bytes:
+    """Fixture encoder: the classic dialect of :func:`encode_pdf`
+    with RC4 standard-handler encryption — empty USER password (the
+    crawl-realistic case), owner password set, per-object keys on
+    every stream.  R2 forces 40-bit keys per spec."""
+    if r == 2:
+        key_bits = 40
+    plain = encode_pdf(pages)
+    # deterministic file ID from the plain bytes
+    import hashlib
+
+    id0 = hashlib.md5(b"pes-id" + plain[:64]).digest()
+    p = -44  # print allowed, modify/copy/annotate denied
+    key_len = key_bits // 8
+    o_entry = _std_o_entry(owner_pw, b"", r, key_len)
+    file_key = _std_file_key(b"", o_entry, p, id0, r, key_len)
+    u_entry = _std_u_entry(file_key, id0, r)
+    dec = _Decryptor(file_key)
+
+    # re-emit every object, RC4-ing stream bodies (RC4(RC4(x)) == x)
+    doc = _Doc(plain, "<fixture>")
+    objects: list[tuple[int, bytes]] = []
+    for num in sorted(doc.offsets):
+        val, stream = doc.obj(num)
+        body = _serialize_value(val)
+        if stream is not None:
+            enc_stream = dec.decrypt(num, 0, stream)
+            body += (
+                b"\nstream\n" + enc_stream + b"\nendstream"
+            )
+        objects.append((num, body))
+    info_num = max(doc.offsets) + 1
+    enc_num = info_num + 1
+    title = dec.decrypt(info_num, 0, b"encrypted fixture title")
+    objects.append(
+        (info_num, b"<< /Title " + _hex_str(title) + b" >>")
+    )
+    v = 1 if key_bits == 40 else 2
+    enc_dict = (
+        b"<< /Filter /Standard /V " + str(v).encode()
+        + b" /R " + str(r).encode()
+        + b" /Length " + str(key_bits).encode()
+        + b" /P " + str(p).encode()
+        + b" /O " + _hex_str(o_entry)
+        + b" /U " + _hex_str(u_entry) + b" >>"
+    )
+    objects.append((enc_num, enc_dict))
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num, body in objects:
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    size = enc_num + 1
+    out += f"xref\n0 {size}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(size).encode()
+        + b" /Root 1 0 R /Info " + str(info_num).encode()
+        + b" 0 R /Encrypt " + str(enc_num).encode()
+        + b" 0 R /ID [" + _hex_str(id0) + b" " + _hex_str(id0)
+        + b"] >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def _hex_str(b: bytes) -> bytes:
+    return b"<" + b.hex().encode() + b">"
+
+
+def _serialize_value(v) -> bytes:
+    """Re-serialize a parsed PDF value (fixture encoder use)."""
+    if isinstance(v, dict):
+        inner = b" ".join(
+            b"/" + k.encode("latin-1") + b" " + _serialize_value(x)
+            for k, x in v.items()
+        )
+        return b"<< " + inner + b" >>"
+    if isinstance(v, list):
+        return b"[" + b" ".join(_serialize_value(x) for x in v) + b"]"
+    if isinstance(v, _Ref):
+        return f"{v.num} 0 R".encode()
+    if isinstance(v, bool):
+        return b"true" if v else b"false"
+    if v is None:
+        return b"null"
+    if isinstance(v, bytes):
+        return _hex_str(v)
+    if isinstance(v, str):  # name
+        return v.encode("latin-1")
+    if isinstance(v, float):
+        return repr(v).encode()
+    return str(v).encode()

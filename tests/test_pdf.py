@@ -118,12 +118,18 @@ def test_gates_and_malformed():
     data = encode_pdf([["x"]])
     with pytest.raises(ValueError, match="startxref|no xref"):
         decode_pdf_text(data[: len(data) // 2])
-    # encrypted gate
+    # an /Encrypt pointing at a non-handler dict gates on /Filter
     enc = data.replace(
-        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 1 0 R"
     )
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    with pytest.raises(NotImplementedError, match="handler"):
         decode_pdf_text(enc)
+    # a dangling /Encrypt ref is a structural error
+    dangling = data.replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 99 0 R"
+    )
+    with pytest.raises(ValueError, match="Encrypt"):
+        decode_pdf_text(dangling)
     # startxref pointing at a non-XRef object: the r11 xref-stream
     # path takes it (digit leads) and rejects the wrong /Type
     m = re.search(rb"startxref\s+(\d+)", data)
@@ -318,9 +324,9 @@ def test_objstm_member_mismatch_and_bad_w_raise():
     bad = data.replace(b"/W [1 3 2]", b"/W [1 3 4]", 1)
     with pytest.raises(ValueError):
         decode_pdf_text(bad)
-    # encrypted gate works through the xref-stream trailer too
-    enc = data.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    # the /Encrypt path engages through the xref-stream trailer too
+    enc = data.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 1 0 R")
+    with pytest.raises((NotImplementedError, ValueError)):
         decode_pdf_text(enc)
 
 
@@ -456,3 +462,69 @@ def test_runlength_and_hex_edges():
     assert _ascii_hex_decode(b"48 65 6C 6c 6F2", "t") == b"Hello "
     with pytest.raises(ValueError, match="digit"):
         _ascii_hex_decode(b"4G>", "t")
+
+
+# ---------------------------------------------------------------------------
+# encryption tier (r11): RC4 standard security handler, R2/R3
+# ---------------------------------------------------------------------------
+
+
+def test_rc4_published_vectors():
+    from parquet_editor_spark.sources.pdf import _rc4
+
+    assert _rc4(b"Key", b"Plaintext") == bytes.fromhex(
+        "BBF316E8D940AF0AD3"
+    )
+    assert _rc4(b"Wiki", b"pedia") == bytes.fromhex("1021BF0420")
+    assert _rc4(b"Secret", b"Attack at dawn") == bytes.fromhex(
+        "45A01F645FC35B383552544B9BF5"
+    )
+    # stream cipher: decrypt == encrypt
+    assert _rc4(b"k", _rc4(b"k", b"roundtrip")) == b"roundtrip"
+
+
+def test_encrypted_roundtrip_r3_and_r2():
+    from parquet_editor_spark.sources.pdf import encode_pdf_encrypted
+
+    want = decode_pdf_text(encode_pdf(_PAGES))
+    for r, bits in ((3, 128), (2, 40)):
+        enc = encode_pdf_encrypted(_PAGES, r=r, key_bits=bits)
+        assert decode_pdf_text(enc) == want, (r, bits)
+        assert b"/Encrypt" in enc
+        # the page text must actually be ciphertext on disk
+        assert b"doc 9 page 0" not in enc
+
+
+def test_encrypted_string_decryption_via_info():
+    from parquet_editor_spark.sources.pdf import _Doc, encode_pdf_encrypted
+
+    enc = encode_pdf_encrypted(_PAGES[:1])
+    doc = _Doc(enc, "t")
+    info_ref = None
+    # trailer Info object = highest file object before /Encrypt
+    for num in sorted(doc.offsets):
+        val, _ = doc.obj(num)
+        if isinstance(val, dict) and "Title" in val:
+            info_ref = val
+    assert info_ref is not None
+    assert info_ref["Title"] == b"encrypted fixture title"
+
+
+def test_encryption_gates():
+    from parquet_editor_spark.sources.pdf import encode_pdf_encrypted
+
+    enc = encode_pdf_encrypted(_PAGES[:1])
+    # AES/crypt-filter versions gate
+    v4 = enc.replace(b"/V 2", b"/V 4")
+    with pytest.raises(NotImplementedError, match="V=4|AES"):
+        decode_pdf_text(v4)
+    # a tampered /U means the empty user password does not verify -
+    # i.e. a genuinely password-protected document
+    at = enc.index(b"/U <") + 4
+    bad = enc[:at] + (b"00" if enc[at:at + 2] != b"00" else b"11") + enc[at + 2:]
+    with pytest.raises(NotImplementedError, match="user password"):
+        decode_pdf_text(bad)
+    # non-standard handler gates
+    other = enc.replace(b"/Filter /Standard", b"/Filter /Custard!")
+    with pytest.raises(NotImplementedError, match="handler"):
+        decode_pdf_text(other)
