@@ -528,3 +528,44 @@ def test_encryption_gates():
     other = enc.replace(b"/Filter /Standard", b"/Filter /Custard!")
     with pytest.raises(NotImplementedError, match="handler"):
         decode_pdf_text(other)
+
+
+def test_filter_and_crypto_property_roundtrips():
+    """Hypothesis-style randomized round-trips for the r11 byte
+    filters and RC4 (seeded, deterministic)."""
+    import random
+
+    from parquet_editor_spark.sources.pdf import (
+        _ascii85_decode,
+        _ascii_hex_decode,
+        _rc4,
+        _runlength_decode,
+    )
+    from parquet_editor_spark.sources.tiff import _lzw_encode_msb
+    from parquet_editor_spark.sources.pdf import _decode_stream
+
+    rng = random.Random(1311)
+    for trial in range(40):
+        n = rng.randrange(0, 400)
+        # mix runs and noise so RLE exercises both branches
+        data = bytearray()
+        while len(data) < n:
+            if rng.random() < 0.5:
+                data += bytes([rng.randrange(256)]) * rng.randrange(1, 200)
+            else:
+                data += bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(1, 20))
+                )
+        data = bytes(data[:n])
+        assert _ascii_hex_decode(data.hex().encode() + b">", "t") == data
+        import base64
+
+        assert _ascii85_decode(
+            base64.a85encode(data) + b"~>", "t"
+        ) == data
+        assert _runlength_decode(_rle_encode(data), "t") == data
+        assert _decode_stream(
+            {"Filter": "/LZWDecode"}, _lzw_encode_msb(data), "t"
+        ) == data
+        key = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 17)))
+        assert _rc4(key, _rc4(key, data)) == data
