@@ -4971,6 +4971,51 @@ def q_stream_url_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("reg_domain")
 
 
+def q_stream_trained_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The trained quality classifier DEPLOYED on a stream (r11):
+    train in batch (``text.train_hash_classifier`` — the 256-double
+    table collects to the driver, bounded metadata), then score the
+    documents table replayed as a file stream with the learned
+    weights under the SAME signal featurization — the
+    batch-train / stream-deploy split every production quality filter
+    runs.  Scoring is pure codegen (streaming-transparent); the
+    complete-mode rollup is the per-(label, verdict) confusion matrix
+    with exact min/max margins (integers and order-free extremes
+    only — no float sums cross the engine boundary).  The oracle is
+    the identical batch aggregate over the same unrolled training, so
+    streamed and batch deployment semantics are pinned equal."""
+    import uuid
+
+    from parquet_editor_spark import streaming as ST
+    from parquet_editor_spark.functions import text as X
+
+    labeled = _thc_labeled_docs(spark, sf_dir)
+    w = X.train_hash_classifier(
+        labeled, "sig", "y",
+        n_buckets=_THC_BUCKETS, iters=_THC_ITERS, lr=_THC_LR,
+    )
+    stream_docs = ST.read_table_stream(
+        spark, f"{sf_dir}/documents.parquet"
+    )
+    scored = _thc_labeled_docs(spark, sf_dir, docs=stream_docs).select(
+        "y",
+        X.hash_linear_score("sig", w, bias=0.0).alias("margin"),
+    ).withColumn("keep", (F.col("margin") > 0).cast("int"))
+    rolled = scored.groupBy("y", "keep").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("margin").alias("margin_min"),
+        F.max("margin").alias("margin_max"),
+    )
+    out = ST.run_to_completion(
+        rolled, f"stf_{uuid.uuid4().hex[:8]}"
+    )
+    return out.select(
+        "y", "keep", "n_docs", "margin_min", "margin_max"
+    ).orderBy("y", "keep")
+
+
 def q_epub_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPUB text extraction (sources/epub.py + ``epub_book_chapters``,
     new r10): per doc, synthesize a real EPUB (stored mimetype entry,
@@ -5306,7 +5351,9 @@ def q_hash_quality_filter_docs(
     )
 
 
-def _thc_labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _thc_labeled_docs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Shared fixture for the r11 classifier-training pair: per doc,
     a quantized-SIGNAL feature text ('qn<len/8> qd<dtr*20> qm<mwl*2>'
     — token count, distinct-token ratio and mean word length binned
@@ -5322,9 +5369,9 @@ def _thc_labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the r10 ``hash_quality_filter_docs`` scorer's weights)."""
     from parquet_editor_spark.functions import text as X
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "__toks", X.tokens("text")
-    )
+    if docs is None:
+        docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn("__toks", X.tokens("text"))
     t = F.col("__toks")
     staged = docs.select(
         "doc_id",
@@ -8986,11 +9033,11 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
     # round-11 window executes the rotation the r10 verdict mandated
-    # (VERDICT.md "Next round" item 3): the ten never-adjudicated
+    # (VERDICT.md "Next round" item 3): the eleven never-adjudicated
     # r11 debuts first (a debut has no driver signal at all), then the
     # stale-signal remainder continuing from exactly where the r10
-    # window ended — hll_error_bound through resample_interp_events,
-    # last driver signal r4-r6 — 40 entries, filling the window.  The
+    # window ended — hll_error_bound through resample_ffill_events,
+    # last driver signal r4-r6 — 39 entries, filling the window.  The
     # fully-green r10 block (17 r10 debuts + the 4 r9 twins + the 29
     # r10 re-greens, all with fresh r10 signal) moves behind; the
     # still-stale tail (decontaminate … string_funcs_part) heads the
@@ -9006,6 +9053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_tokenize_pack_v2": q_train_tokenize_pack_v2,
         "train_quality_classifier_docs": q_train_quality_classifier_docs,
         "trained_quality_filter_docs": q_trained_quality_filter_docs,
+        "stream_trained_filter": q_stream_trained_filter,
         "ccnet_bucket_docs": q_ccnet_bucket_docs,
         "sitemap_extract_docs": q_sitemap_extract_docs,
         "sft_pack_docs": q_sft_pack_docs,
@@ -12178,6 +12226,21 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN margin > 0 THEN 1 ELSE 0 END)::INT AS keep
             FROM sc
             ORDER BY doc_id
+        """,
+        "stream_trained_filter": f"""
+            WITH {thc_ctes}, sc AS (
+                SELECT doc_id, y, {thc_margin} AS margin
+                FROM ({_ORACLE_THC_DOCS}) d, {thc_final} w
+            )
+            SELECT y,
+                   (CASE WHEN margin > 0 THEN 1 ELSE 0 END)::INT
+                       AS keep,
+                   COUNT(*)::BIGINT AS n_docs,
+                   min(margin) AS margin_min,
+                   max(margin) AS margin_max
+            FROM sc
+            GROUP BY 1, 2
+            ORDER BY y, keep
         """,
         "pdf_extract_docs": """
             WITH docs AS (

@@ -49,22 +49,23 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
     silently missed adjudication — pin the round-11 window composition
-    (the r10 verdict's rotation, item 3): the ten never-adjudicated
+    (the r10 verdict's rotation, item 3): the eleven never-adjudicated
     r11 debuts at the very front, then the stale-signal remainder
     continuing from exactly where the r10 window ended
-    (hll_error_bound … resample_interp_events, last signal r4-r6); the
+    (hll_error_bound … resample_ffill_events, last signal r4-r6); the
     fully-green r10 block moves behind, probes and stable rows-only
     entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "resample_interp_events", (
+    assert window[-1] == "resample_ffill_events", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
         # new in r11
         "pdf_modern_docs", "pdf_encrypted_docs", "bpe_train_batched_docs",
         "train_tokenize_pack_v2", "train_quality_classifier_docs",
-        "trained_quality_filter_docs", "ccnet_bucket_docs",
+        "trained_quality_filter_docs", "stream_trained_filter",
+        "ccnet_bucket_docs",
         "sitemap_extract_docs", "sft_pack_docs",
         "pipeline_curation_v5",
         # the stale-signal remainder, continuing from the r10 boundary
@@ -85,7 +86,6 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "unpivot_measures", "percentiles_quantity",
         "string_agg_nations", "clean_fillna", "clean_dropna",
         "clean_replace", "resample_ffill_events",
-        "resample_interp_events",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
