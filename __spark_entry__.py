@@ -4584,6 +4584,41 @@ def q_pack_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("block_id")
 
 
+def q_pack_boundaries_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Document-boundary-aware packing (r11): the same tokenize→pack
+    assembly as ``pack_ids_docs`` (48-id blocks) but ALSO emitting
+    each block's ``doc_starts`` — the in-block offsets where a
+    document's token 0 lands, i.e. the attention-reset points a
+    block-diagonal (document-masked) attention mask needs; a piece
+    continuing a document from the previous block is correctly NOT a
+    boundary.  The oracle derives the same offsets from the cumsum
+    placement arithmetic, so both the id stream and the mask
+    geometry are pinned."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _bpe_norm("text").alias("norm")
+    )
+    toks = TP.bpe_tokenize(
+        docs, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
+    )
+    blocks = TP.pack_id_blocks(
+        toks, "id", "input_ids", block_tokens=48, bucket_docs=64
+    )
+    ids_csv = F.array_join(
+        F.transform("input_ids", lambda x: x.cast("string")), ","
+    )
+    return blocks.select(
+        "block_id",
+        "n_docs",
+        "n_ids",
+        "doc_starts",
+        F.md5(F.encode(ids_csv, "utf-8")).alias("ids_md5"),
+    ).orderBy("block_id")
+
+
 def q_bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (``textprep.bpe_train``, new r10): learn
     the corpus's first six merges — iterative most-frequent-pair
@@ -9033,11 +9068,11 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
     # round-11 window executes the rotation the r10 verdict mandated
-    # (VERDICT.md "Next round" item 3): the eleven never-adjudicated
+    # (VERDICT.md "Next round" item 3): the twelve never-adjudicated
     # r11 debuts first (a debut has no driver signal at all), then the
     # stale-signal remainder continuing from exactly where the r10
-    # window ended — hll_error_bound through resample_ffill_events,
-    # last driver signal r4-r6 — 39 entries, filling the window.  The
+    # window ended — hll_error_bound through clean_replace, last
+    # driver signal r4-r6 — 38 entries, filling the window.  The
     # fully-green r10 block (17 r10 debuts + the 4 r9 twins + the 29
     # r10 re-greens, all with fresh r10 signal) moves behind; the
     # still-stale tail (decontaminate … string_funcs_part) heads the
@@ -9057,6 +9092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_bucket_docs": q_ccnet_bucket_docs,
         "sitemap_extract_docs": q_sitemap_extract_docs,
         "sft_pack_docs": q_sft_pack_docs,
+        "pack_boundaries_docs": q_pack_boundaries_docs,
         "pipeline_curation_v5": q_pipeline_curation_v5,
         # --- stale-signal remainder (last driver signal r4-r6; the r10 window ended at hll_error_bound — continue from there) ---
         "hll_error_bound": q_hll_error_bound,
@@ -12372,6 +12408,48 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(ids, ',')) AS ids_md5
             FROM t
             ORDER BY doc_id
+        """,
+        "pack_boundaries_docs": f"""
+            WITH t AS ({_ORACLE_BPE_IDS}), c AS (
+                SELECT doc_id, ids, len(ids)::BIGINT AS n,
+                       COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM t
+            ), e AS (
+                SELECT doc_id, ids, n, o,
+                       unnest(range(o // 48,
+                                    (o + n - 1) // 48 + 1)) AS block_id
+                FROM c
+                WHERE n > 0
+            ), p AS (
+                SELECT block_id,
+                       least(n, (block_id + 1) * 48 - o)
+                           - greatest(0, block_id * 48 - o) AS nb,
+                       greatest(0, o - block_id * 48) AS block_pos,
+                       greatest(0, block_id * 48 - o) AS tok_start,
+                       array_to_string(
+                           ids[greatest(0, block_id * 48 - o) + 1 :
+                               least(n, (block_id + 1) * 48 - o)],
+                           ',') AS piece
+                FROM e
+            ), b AS (
+                SELECT block_id,
+                       count(*)::BIGINT AS n_docs,
+                       sum(nb)::BIGINT AS n_ids,
+                       COALESCE(string_agg(
+                           CAST(block_pos AS VARCHAR), ',' ORDER BY
+                           block_pos) FILTER (WHERE tok_start = 0),
+                           '') AS doc_starts,
+                       string_agg(piece, ',' ORDER BY block_pos) AS csv
+                FROM p
+                GROUP BY block_id
+            )
+            SELECT CAST(block_id AS BIGINT) AS block_id,
+                   n_docs, n_ids, doc_starts,
+                   md5(csv) AS ids_md5
+            FROM b
+            ORDER BY block_id
         """,
         "tokenizer_fertility_docs": f"""
             WITH t AS ({_ORACLE_BPE_IDS}), d AS (

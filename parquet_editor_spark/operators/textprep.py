@@ -440,6 +440,7 @@ def pack_id_blocks(
         "block_id",
         "block_pos",
         "n_block_tokens",
+        F.col("tok_start").alias("__tok_start"),
         piece.alias("__piece"),
     )
     ordered = F.flatten(
@@ -450,10 +451,30 @@ def pack_id_blocks(
             lambda s: s["__piece"],
         )
     )
+    # per-block DOCUMENT-START offsets (r11): the positions where a
+    # doc's token 0 lands in this block — exactly the attention-reset
+    # points a block-diagonal (document-masked) attention needs.  A
+    # piece that CONTINUES a doc from the previous block (tok_start
+    # > 0) is not a boundary.
+    starts = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("block_pos", "__tok_start")
+                    )
+                ),
+                lambda s: s["__tok_start"] == 0,
+            ),
+            lambda s: s["block_pos"].cast("string"),
+        ),
+        ",",
+    )
     return joined.groupBy("block_id").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_block_tokens").cast("long").alias("n_ids"),
         ordered.alias("input_ids"),
+        starts.alias("doc_starts"),
     )
 
 
