@@ -5151,6 +5151,69 @@ def q_cdx_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("surt", "doc_id")
 
 
+def q_crawl_schedule_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling (r11 — the fetch
+    planner between robots parsing and the fetcher): per host,
+    synthesize a robots.txt whose ``*`` group declares a
+    ``Crawl-delay`` (plus a decoy slow-bot group whose 99 s delay
+    must NOT leak across user-agent scoping), parse it with the
+    production group walk (``urls.robots_crawl_delay``), and space
+    each host's URL queue by its delay — fetch rank and offset per
+    URL, the schedule a polite distributed fetcher executes.  One
+    host-keyed shuffle for the rank window; delays join
+    broadcast-or-shuffle by size.  The oracle asserts the closed-form
+    delay and spacing arithmetic."""
+    from parquet_editor_spark.functions import urls as U
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("csite"), (d % 13).cast("string"), F.lit(".com")
+        ).alias("host"),
+    )
+    n = F.col("n")
+    hosts = (
+        docs.select((d % 13).alias("n"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("csite"), n.cast("string"), F.lit(".com")
+            ).alias("host"),
+            F.concat(
+                F.lit(
+                    "# schedule fixture\nUser-agent: slowbot\n"
+                    "Crawl-delay: 99\nDisallow: /\n\n"
+                    "User-agent: *\nDisallow: /private\nCrawl-delay: "
+                ),
+                (1 + n % 4).cast("string"),
+            ).alias("robots"),
+        )
+    )
+    delays = U.robots_crawl_delay(hosts, "host", "robots")
+    from pyspark.sql import Window as W
+
+    rank = F.row_number().over(
+        W.partitionBy("host").orderBy("doc_id")
+    )
+    return (
+        docs.join(delays, "host")
+        .withColumn("fetch_rank", rank)
+        .select(
+            "doc_id",
+            "host",
+            "crawl_delay_s",
+            "fetch_rank",
+            ((F.col("fetch_rank") - 1) * F.col("crawl_delay_s"))
+            .cast("long")
+            .alias("fetch_offset_s"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_sitemap_extract_docs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -9068,11 +9131,11 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
     # round-11 window executes the rotation the r10 verdict mandated
-    # (VERDICT.md "Next round" item 3): the twelve never-adjudicated
+    # (VERDICT.md "Next round" item 3): the thirteen never-adjudicated
     # r11 debuts first (a debut has no driver signal at all), then the
     # stale-signal remainder continuing from exactly where the r10
-    # window ended — hll_error_bound through clean_replace, last
-    # driver signal r4-r6 — 38 entries, filling the window.  The
+    # window ended — hll_error_bound through clean_dropna, last
+    # driver signal r4-r6 — 37 entries, filling the window.  The
     # fully-green r10 block (17 r10 debuts + the 4 r9 twins + the 29
     # r10 re-greens, all with fresh r10 signal) moves behind; the
     # still-stale tail (decontaminate … string_funcs_part) heads the
@@ -9091,6 +9154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_trained_filter": q_stream_trained_filter,
         "ccnet_bucket_docs": q_ccnet_bucket_docs,
         "sitemap_extract_docs": q_sitemap_extract_docs,
+        "crawl_schedule_docs": q_crawl_schedule_docs,
         "sft_pack_docs": q_sft_pack_docs,
         "pack_boundaries_docs": q_pack_boundaries_docs,
         "pipeline_curation_v5": q_pipeline_curation_v5,
@@ -12121,6 +12185,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN cc ON cc.doc_id = p.doc_id
             JOIN documents dd ON dd.doc_id = p.doc_id
             ORDER BY surt, p.doc_id
+        """,
+        "crawl_schedule_docs": """
+            WITH u AS (
+                SELECT doc_id,
+                       'csite' || CAST(doc_id % 13 AS VARCHAR)
+                           || '.com' AS host,
+                       CAST(1 + (doc_id % 13) % 4 AS INT)
+                           AS crawl_delay_s,
+                       row_number() OVER (
+                           PARTITION BY doc_id % 13
+                           ORDER BY doc_id) AS fetch_rank
+                FROM documents
+            )
+            SELECT doc_id, host, crawl_delay_s,
+                   CAST(fetch_rank AS INT) AS fetch_rank,
+                   CAST((fetch_rank - 1) * crawl_delay_s AS BIGINT)
+                       AS fetch_offset_s
+            FROM u
+            ORDER BY doc_id
         """,
         "sitemap_extract_docs": """
             WITH d AS (

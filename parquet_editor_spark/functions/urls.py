@@ -342,3 +342,58 @@ def host_cap(
         )
         .filter(F.col("host_rank") <= n)
     )
+
+
+def robots_crawl_delay(
+    df: DataFrame, host_col: str, robots_col: str
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` from the ``*`` user-agent group — the
+    politeness knob a crawl FRONTIER schedules around (r11, extends
+    :func:`robots_rules`' group walk to the non-path directive).  One
+    row per host that declares a delay: ``host``,
+    ``crawl_delay_s`` (int; ties resolved by MIN — the conservative
+    crawler reading).  Same lag-based group machinery, same
+    host-keyed single shuffle."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\n", -1)).alias(
+            "pos", "raw"
+        ),
+    ).select(
+        "host",
+        "pos",
+        F.lower(
+            F.trim(F.regexp_extract("raw", r"^([^:#]+):", 1))
+        ).alias("key"),
+        F.trim(F.regexp_extract("raw", r"^[^:#]+:(.*)$", 1)).alias(
+            "val"
+        ),
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = (
+        lines.withColumn("is_ua", F.col("key") == "user-agent")
+        .withColumn(
+            "grp_start",
+            F.col("is_ua")
+            & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+        )
+        .withColumn(
+            "grp",
+            F.sum(F.col("grp_start").cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    stars = (
+        grouped.filter(F.col("is_ua") & (F.col("val") == "*"))
+        .select("host", "grp")
+        .distinct()
+    )
+    delays = grouped.filter(
+        (F.col("key") == "crawl-delay") & F.col("val").rlike(r"^\d+$")
+    )
+    return (
+        delays.join(stars, ["host", "grp"])
+        .groupBy("host")
+        .agg(F.min(F.col("val").cast("int")).alias("crawl_delay_s"))
+    )

@@ -49,15 +49,15 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
     silently missed adjudication — pin the round-11 window composition
-    (the r10 verdict's rotation, item 3): the twelve never-adjudicated
+    (the r10 verdict's rotation, item 3): the thirteen never-adjudicated
     r11 debuts at the very front, then the stale-signal remainder
     continuing from exactly where the r10 window ended
-    (hll_error_bound … clean_replace, last signal r4-r6); the
+    (hll_error_bound … clean_dropna, last signal r4-r6); the
     fully-green r10 block moves behind, probes and stable rows-only
     entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "clean_replace", (
+    assert window[-1] == "clean_dropna", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
@@ -66,7 +66,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "train_tokenize_pack_v2", "train_quality_classifier_docs",
         "trained_quality_filter_docs", "stream_trained_filter",
         "ccnet_bucket_docs",
-        "sitemap_extract_docs", "sft_pack_docs",
+        "sitemap_extract_docs", "crawl_schedule_docs", "sft_pack_docs",
         "pack_boundaries_docs",
         "pipeline_curation_v5",
         # the stale-signal remainder, continuing from the r10 boundary
@@ -86,7 +86,6 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "rolling_spikes_events", "session_table_events",
         "unpivot_measures", "percentiles_quantity",
         "string_agg_nations", "clean_fillna", "clean_dropna",
-        "clean_replace",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
