@@ -126,7 +126,15 @@ def _suffix_sets() -> tuple[list[str], list[str]]:
     more-labels-first PSL walk."""
     two = sorted(s for s in PUBLIC_SUFFIXES if "." in s)
     one = sorted(s for s in PUBLIC_SUFFIXES if "." not in s)
-    assert all(s.count(".") == 1 for s in two), "pinned table is 1-2 labels"
+    if not all(s.count(".") == 1 for s in two):
+        # load-bearing: the two-probe rewrite is only equivalent to
+        # the longest-match PSL walk while the table holds 1-2 label
+        # suffixes — a ValueError (not an assert, which -O strips)
+        # forces a third probe to be added before the table grows
+        raise ValueError(
+            "PUBLIC_SUFFIXES grew a >2-label suffix; extend "
+            "registered_domain with a last-3 probe"
+        )
     return two, one
 
 

@@ -522,6 +522,7 @@ def bpe_train(
     n_merges: int = 4,
     batch: int = 1,
     window_factor: int = 4,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Byte-pair-encoding TRAINER (r10; r11 lifts the 26-merge
     ceiling and batches merges).  Returns the learned merge table —
@@ -556,7 +557,12 @@ def bpe_train(
     corpus bytes); each iteration is one explode + one hash agg over
     the materialized vocab and collects ``batch*window_factor`` rows
     (bounded metadata, the kmeans-loop contract), and the vocab is
-    re-persisted per iteration so lineage stays O(1).  Spark jobs =
+    re-persisted per iteration so RECOMPUTATION stays O(1).  The
+    LOGICAL plan still chains one projection per batch, so every
+    ``checkpoint_every`` batches the vocab is ``localCheckpoint``'d
+    (r12, the r11 verdict's watch-item): lineage truncates to the
+    materialized blocks and Catalyst analysis time stays flat in
+    batch count instead of O(batches²) over the loop.  Spark jobs =
     ceil(n_merges/batch): a 32k-merge vocab at batch=256 is ~125
     jobs — the PUA encoding (~137k slots with the supplementary
     planes) and this batching ARE the 32k-vocab path."""
@@ -564,6 +570,8 @@ def bpe_train(
         raise ValueError("n_merges must be >= 1")
     if batch < 1 or window_factor < 1:
         raise ValueError("batch and window_factor must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     bpe_placeholder(n_merges - 1)  # raises beyond the encoding
     window = batch * window_factor
     words = (
@@ -578,6 +586,7 @@ def bpe_train(
     dec: dict[str, str] = {}
     cur = words
     pinned = [words]
+    since_ckpt = 0
     try:
         for base in range(0, n_merges, batch):
             take = min(batch, n_merges - base)
@@ -613,6 +622,18 @@ def bpe_train(
                 enc = F.replace(enc, F.lit(pair), F.lit(ph))
             cur = cur.withColumn("enc", enc).persist()
             pinned.append(cur)
+            since_ckpt += 1
+            if since_ckpt >= checkpoint_every:
+                # truncate lineage: localCheckpoint materializes the
+                # vocab into blocks and replaces the (now
+                # batch-count-deep) projection chain with a leaf, so
+                # driver-side analysis stays O(1) per iteration at
+                # the 32k-vocab ~125-batch scale
+                cur = cur.localCheckpoint(eager=True)
+                for p in pinned:
+                    p.unpersist()
+                pinned = []
+                since_ckpt = 0
     finally:
         for p in pinned:
             p.unpersist()

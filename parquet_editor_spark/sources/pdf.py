@@ -338,23 +338,41 @@ def _runlength_decode(data: bytes, origin: str) -> bytes:
     return bytes(out)
 
 
-def _decode_stream(val: dict, stream: bytes, origin: str) -> bytes:
+def _decode_stream(
+    val: dict, stream: bytes, origin: str, resolve=None
+) -> bytes:
     """Apply the /Filter chain (+ /DecodeParms) to a raw stream — the
     shared path for content, XRef and ObjStm streams.  Supported
     (r11): FlateDecode, LZWDecode (the TIFF MSB early-change coder,
     shared with sources/tiff.py), ASCIIHexDecode, ASCII85Decode,
     RunLengthDecode, chained in array order, with PNG predictors
     10-15 on the compression filters; DCT/JBIG2/CCITT and
-    EarlyChange=0 LZW gate loudly."""
+    EarlyChange=0 LZW gate loudly.  Indirect /DecodeParms entries are
+    deref'd through ``resolve`` when one is supplied and gate loudly
+    otherwise (never silently skipped — a skipped predictor decodes
+    to garbage)."""
     filt = val.get("Filter")
     if filt is None:
         return stream
     filters = filt if isinstance(filt, list) else [filt]
     parms = val.get("DecodeParms") or val.get("DP")
+    if isinstance(parms, _Ref):
+        if resolve is None:
+            raise NotImplementedError(
+                f"{origin!r}: indirect /DecodeParms on a bootstrap object"
+            )
+        parms = resolve(parms)
     parms_list = parms if isinstance(parms, list) else [parms]
     out = stream
     for i, f in enumerate(filters):
         p = parms_list[i] if i < len(parms_list) else None
+        if isinstance(p, _Ref):
+            if resolve is None:
+                raise NotImplementedError(
+                    f"{origin!r}: indirect /DecodeParms entry on a "
+                    f"bootstrap object"
+                )
+            p = resolve(p)
         if f == "/FlateDecode":
             out = zlib.decompress(out)
         elif f == "/LZWDecode":
@@ -415,6 +433,10 @@ def _xref_table_section(
             row = data[lex.p : lex.p + 20]
             if row[17:18] == b"n":
                 section[first + i] = ("f", int(row[:10]))
+            else:
+                # free entry: tombstone so /Prev'd sections cannot
+                # resurrect an object deleted by a newer update
+                section[first + i] = ("x",)
             lex.p += 20
     return section, lex.value()
 
@@ -456,14 +478,19 @@ def _xref_stream_section(
                 section[num] = ("f", f2)
             elif f1 == 2:
                 section[num] = ("s", f2, f3)
-            # type 0 (free) and unknown future types: skipped
+            elif f1 == 0:
+                # free entry: tombstone masks older in-use entries
+                section[num] = ("x",)
+            # unknown future types: skipped (ISO 32000 §7.5.8.3 says
+            # readers shall treat them as type 0 references to null)
     return section, val
 
 
 def _xref_offsets(
     data: bytes, origin: str
-) -> tuple[dict[int, tuple], int | None, "_Ref | None", bytes]:
-    """(object number → xref entry, root object number, /Encrypt ref,
+) -> tuple[dict[int, tuple], int | None, "_Ref | dict | None", bytes]:
+    """(object number → xref entry, root object number, /Encrypt ref
+    or inline /Encrypt dict,
     first /ID string) from the xref chain — classic tables, xref
     streams, or the hybrid mix; later sections win over /Prev'd
     earlier ones, and the newest /Root wins.  In hybrid files the
@@ -497,7 +524,7 @@ def _xref_offsets(
         else:
             section, trailer = _xref_table_section(data, pos, origin)
         enc = trailer.get("Encrypt")
-        if encrypt is None and isinstance(enc, _Ref):
+        if encrypt is None and isinstance(enc, (_Ref, dict)):
             encrypt = enc
             fid = trailer.get("ID")
             if isinstance(fid, list) and fid and isinstance(fid[0], bytes):
@@ -566,7 +593,11 @@ class _Doc:
         self._objstms: dict[int, tuple] = {}
         self._dec: _Decryptor | None = None
         self._enc_num = -1
-        if encrypt_ref is not None:
+        if isinstance(encrypt_ref, dict):
+            # a writer may inline the /Encrypt dictionary directly in
+            # the trailer instead of via an indirect reference
+            self._dec = _build_decryptor(encrypt_ref, id0, origin)
+        elif encrypt_ref is not None:
             self._enc_num = encrypt_ref.num
             ent = self.offsets.get(self._enc_num)
             if ent is None or ent[0] != "f":
@@ -601,7 +632,7 @@ class _Doc:
                 raise ValueError(
                     f"{self.origin!r}: /ObjStm {num} has no stream"
                 )
-            raw = _decode_stream(val, stream, self.origin)
+            raw = _decode_stream(val, stream, self.origin, self.deref)
             n = int(self.deref(val["N"]))
             first = int(self.deref(val["First"]))
             lex = _Lexer(raw, 0, self.origin)
@@ -614,7 +645,7 @@ class _Doc:
     def obj(self, num: int):
         if num not in self._cache:
             ent = self.offsets.get(num)
-            if ent is None:
+            if ent is None or ent[0] == "x":
                 raise ValueError(
                     f"{self.origin!r}: missing object {num}"
                 )
@@ -683,7 +714,7 @@ class _Doc:
                 raise ValueError(
                     f"{self.origin!r}: /Contents object has no stream"
                 )
-            out += _decode_stream(val, stream, self.origin) + b"\n"
+            out += _decode_stream(val, stream, self.origin, self.deref) + b"\n"
         return bytes(out)
 
 
@@ -1141,6 +1172,8 @@ def encode_pdf_encrypted(
     doc = _Doc(plain, "<fixture>")
     objects: list[tuple[int, bytes]] = []
     for num in sorted(doc.offsets):
+        if doc.offsets[num][0] == "x":  # free-list tombstone
+            continue
         val, stream = doc.obj(num)
         body = _serialize_value(val)
         if stream is not None:

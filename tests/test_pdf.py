@@ -503,6 +503,8 @@ def test_encrypted_string_decryption_via_info():
     info_ref = None
     # trailer Info object = highest file object before /Encrypt
     for num in sorted(doc.offsets):
+        if doc.offsets[num][0] == "x":  # free-list tombstone
+            continue
         val, _ = doc.obj(num)
         if isinstance(val, dict) and "Title" in val:
             info_ref = val
@@ -569,3 +571,83 @@ def test_filter_and_crypto_property_roundtrips():
         ) == data
         key = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 17)))
         assert _rc4(key, _rc4(key, data)) == data
+
+
+def test_inline_encrypt_dict_in_trailer():
+    """r12 (ADVICE): a direct (non-indirect) /Encrypt dictionary in
+    the trailer must decrypt, not silently parse as plaintext."""
+    import re
+
+    from parquet_editor_spark.sources.pdf import encode_pdf_encrypted
+
+    enc = encode_pdf_encrypted(_PAGES[:1])
+    want = decode_pdf_text(enc)
+    m = re.search(rb"/Encrypt (\d+) 0 R", enc)
+    assert m
+    enc_num = int(m.group(1))
+    body = re.search(
+        rb"(?s)\n%d 0 obj\n(.*?)\nendobj\n" % enc_num, enc
+    ).group(1)
+    inlined = enc[: m.start()] + b"/Encrypt " + body + enc[m.end():]
+    # object offsets after the trailer edit are unchanged (the
+    # trailer is the last thing before startxref in this fixture)
+    assert decode_pdf_text(inlined) == want
+
+
+def test_indirect_decodeparms_deref_and_gate():
+    """r12 (ADVICE): an indirect /DecodeParms must deref through the
+    document (never silently skip the predictor), and gate loudly on
+    bootstrap objects where no resolver exists."""
+    import pytest as _pytest
+
+    from parquet_editor_spark.sources.pdf import _Ref, _decode_stream
+
+    data = bytes(range(40)) * 3
+    comp = zlib.compress(data)
+    # no resolver → loud gate
+    with _pytest.raises(NotImplementedError, match="DecodeParms"):
+        _decode_stream(
+            {"Filter": "/FlateDecode", "DecodeParms": _Ref(9)},
+            comp,
+            "t",
+        )
+    with _pytest.raises(NotImplementedError, match="DecodeParms"):
+        _decode_stream(
+            {"Filter": ["/FlateDecode"], "DecodeParms": [_Ref(9)]},
+            comp,
+            "t",
+        )
+    # resolver → deref'd parms apply (Predictor 1 == no-op here)
+    got = _decode_stream(
+        {"Filter": "/FlateDecode", "DecodeParms": _Ref(9)},
+        comp,
+        "t",
+        resolve=lambda r: {"Predictor": 1},
+    )
+    assert got == data
+
+
+def test_incremental_update_free_masks_prev():
+    """r12 (ADVICE): a type-0 (free) xref entry in a NEWER section
+    must mask the older in-use entry from the /Prev chain instead of
+    resurrecting the deleted object (ISO 32000 §7.5.4)."""
+    import re
+
+    from parquet_editor_spark.sources.pdf import _Doc, encode_pdf
+
+    base = encode_pdf(_PAGES[:1])
+    prev_at = int(re.search(rb"startxref\n(\d+)", base).group(1))
+    font_num = 5  # /Type /Font object in the 1-page fixture
+    upd = bytearray(base)
+    xref_at = len(upd)
+    upd += (
+        b"xref\n%d 1\n0000000000 65535 f \n" % font_num
+        + b"trailer\n<< /Size 7 /Root 1 0 R /Prev "
+        + str(prev_at).encode()
+        + b" >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    doc = _Doc(bytes(upd), "t")
+    with pytest.raises(ValueError, match="missing object 5"):
+        doc.obj(font_num)
+    # untouched objects still resolve through /Prev
+    assert doc.obj(1)[0]["Type"] == "/Catalog"

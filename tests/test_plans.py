@@ -494,3 +494,4 @@ def test_pipeline_curation_v5_plan_shape(spark, sf_dir):
     # OFFSETS frame (one row per bucket — the documented benign class
     # test_pack_documents_data_side_window_is_bucketed pins); the
     # data-sized frames all stay hash/range partitioned
+    assert plan.count("Exchange SinglePartition") <= 1, plan

@@ -957,3 +957,64 @@ def test_bpe_train_deep_into_pua_matches_scalar(spark):
         all(0x61 <= ord(c) <= 0x7A for c in lhs + rhs)
         for _, lhs, rhs, _ in got
     )
+
+
+def test_bpe_train_checkpoint_bounds_plan_depth(spark, monkeypatch):
+    """r12 (the r11 verdict's watch-item): the per-batch projection
+    chain is truncated by localCheckpoint every ``checkpoint_every``
+    batches, so the analyzed plan's Project depth stays bounded
+    across >=8 batches instead of growing linearly — AND the learned
+    merges are identical to the unchecked-pointed run."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pre-4.0 layout
+        from pyspark.sql import DataFrame
+
+    texts = [
+        "the cat sat on the mat",
+        "the theory the thing thinks",
+        "banana bandana and another band",
+        "singing ringing winging zing",
+        "persistent insistent consistent",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "norm string")
+
+    depths_at_ckpt: list[int] = []
+    n_ckpts = [0]
+    real_lc = DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        n_ckpts[0] += 1
+        plan = self._jdf.queryExecution().analyzed().toString()
+        depths_at_ckpt.append(plan.count("Project"))
+        return real_lc(self, eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in TP.bpe_train(
+            df, "norm", n_merges=10, batch=1, checkpoint_every=3
+        )
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # 10 batches at K=3 -> checkpoints after batches 3, 6, 9
+    assert n_ckpts[0] == 3
+    # depth at each checkpoint is the K-batch chain over a leaf (or
+    # the initial vocab agg), never the cumulative batch count
+    assert max(depths_at_ckpt) <= 6, depths_at_ckpt
+    assert depths_at_ckpt[-1] <= depths_at_ckpt[0], depths_at_ckpt
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", real_lc)
+    want = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in TP.bpe_train(
+            df, "norm", n_merges=10, batch=1, checkpoint_every=1000
+        )
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
+
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        TP.bpe_train(df, "norm", n_merges=1, checkpoint_every=0)
