@@ -495,3 +495,43 @@ def test_pipeline_curation_v5_plan_shape(spark, sf_dir):
     # test_pack_documents_data_side_window_is_bucketed pins); the
     # data-sized frames all stay hash/range partitioned
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_outlink_extraction_is_zero_python_zero_shuffle(spark, sf_dir):
+    """r12: the outlink path (extract → resolve → canonicalize →
+    fetchable filter) is pure codegen — no Python evals and no
+    exchange before the ordered output's range partitioning."""
+    import __spark_entry__ as M
+
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    df = M.queries()["outlink_extract_docs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    # only the final orderBy's range exchange
+    import re
+
+    ex = re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)
+    assert len(ex) <= 1, plan
+
+
+def test_crawl_frontier_v2_plan_shape(spark, sf_dir):
+    """r12: the composed frontier keeps the documented scale shape —
+    rule/delay joins broadcast, no Python, and the host window is the
+    only data-sized single-key shuffle class (bounded exchanges)."""
+    import re
+
+    import __spark_entry__ as M
+
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    df = M.queries()["crawl_frontier_v2"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    # structural tally: union-distinct + host/sitemap distincts + the
+    # robots rule/delay group windows & star joins (host-sized data) +
+    # the allowed agg + schedule window + output range sort — every
+    # data-sized frame stays hash/range partitioned
+    ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
+    assert len(ex) <= 14, sorted(ex)
+    assert "Exchange SinglePartition" not in plan, plan

@@ -292,3 +292,155 @@ def test_registered_domain_plan_has_no_regex(spark):
     plan = formatted_plan(df)
     assert "rlike" not in plan.lower(), plan
     assert "regexp_extract" not in plan.lower(), plan
+
+
+# ---------------------------------------------------------------------------
+# r12: outlink extraction + RFC 3986 resolution (crawl frontier input 3)
+# ---------------------------------------------------------------------------
+
+_HTML = """<!doctype html><html><head>
+<link href="/styles.css" rel="stylesheet">
+<title>t &amp; x</title></head>
+<body>plain text with href= bait and a < b comparisons
+<a href="https://abs.example.net/x/1?b=2">dq absolute</a>
+<A HREF='/root/Rel'>sq root-relative</A>
+<a class="c" href=../up/two>unquoted relative</a>
+<a data-x="1" href="//proto.org/p">network-path</a>
+<a href="#frag">fragment only</a>
+<a href="javascript:void(0)">js</a>
+<a href = "spaced/attr" >spaced equals</a>
+<a name="anchor-without-href">none</a>
+</body></html>"""
+
+
+def test_extract_outlinks_quoting_case_and_non_anchor(spark):
+    df = spark.createDataFrame([(_HTML,)], "html string")
+    (got,) = df.select(
+        U.extract_outlinks("html").alias("links")
+    ).collect()
+    assert got["links"] == [
+        "https://abs.example.net/x/1?b=2",
+        "/root/Rel",
+        "../up/two",
+        "//proto.org/p",
+        "#frag",
+        "javascript:void(0)",
+        "spaced/attr",
+    ]
+
+
+def test_extract_outlinks_empty_and_null(spark):
+    df = spark.createDataFrame(
+        [("no links here",), (None,)], "html string"
+    )
+    rows = df.select(U.extract_outlinks("html").alias("l")).collect()
+    assert rows[0]["l"] == []
+    assert rows[1]["l"] is None
+
+
+_RESOLVE_CASES = [
+    # base, href, expected (urljoin-verified below too)
+    ("https://h.com/a/b.html", "c.html", "https://h.com/a/c.html"),
+    ("https://h.com/a/b.html", "../c", "https://h.com/c"),
+    ("https://h.com/a/b/", "../../x/y", "https://h.com/x/y"),
+    ("https://h.com/a/b.html", "/r/s", "https://h.com/r/s"),
+    ("https://h.com/a/b.html", "//z.org/p", "https://z.org/p"),
+    ("http://h.com/a/b", "//z.org", "http://z.org"),
+    ("https://h.com/a/b?q=1", "", "https://h.com/a/b?q=1"),
+    ("https://h.com/a/b?q=1", "#frag", "https://h.com/a/b?q=1"),
+    ("https://h.com/a/b", "?x=2", "https://h.com/a/b?x=2"),
+    ("https://h.com/a/b", "./", "https://h.com/a/"),
+    ("https://h.com/a/b", ".", "https://h.com/a/"),
+    ("https://h.com/a/b", "..", "https://h.com/"),
+    ("https://h.com/a/b", "../../../up", "https://h.com/up"),
+    ("https://h.com", "x", "https://h.com/x"),
+    ("https://h.com:8080/a/", "p?y=2#z", "https://h.com:8080/a/p?y=2"),
+    ("https://u@h.com/a/", "p", "https://u@h.com/a/p"),
+    ("https://h.com/a/b", "mailto:x@y.z", "mailto:x@y.z"),
+    (
+        "https://h.com/a/b",
+        "https://other.io/q#f",
+        "https://other.io/q",
+    ),
+    ("https://h.com/d1/d2/d3/f", "../../x", "https://h.com/d1/x"),
+    ("https://h.com/a/b", "sub/dir/../leaf", "https://h.com/a/sub/leaf"),
+]
+
+
+def test_resolve_url_cases(spark):
+    df = spark.createDataFrame(
+        [(b, h) for b, h, _ in _RESOLVE_CASES], "base string, href string"
+    )
+    got = [
+        r["out"]
+        for r in df.select(
+            U.resolve_url("base", "href").alias("out")
+        ).collect()
+    ]
+    assert got == [e for _, _, e in _RESOLVE_CASES]
+
+
+def test_resolve_url_matches_urljoin_randomized(spark):
+    """A/B the Catalyst resolver against CPython's RFC 3986
+    implementation (urljoin + urldefrag) over a constrained random
+    space: clean absolute bases; relative / root-relative /
+    network-path / query / fragment / dot-segment hrefs.  Absolute
+    hrefs are excluded (they pass through verbatim by contract;
+    urljoin additionally normalizes same-scheme absolutes)."""
+    import random
+    from urllib.parse import urldefrag, urljoin
+
+    rng = random.Random(1207)
+    segs = ["a", "bb", "c3", "d-d", "e.f", "g"]
+    cases = []
+    for _ in range(400):
+        scheme = rng.choice(["http", "https"])
+        host = rng.choice(["h.com", "x.org", "sub.y.net"])
+        port = rng.choice(["", "", ":8080"])
+        depth = rng.randrange(0, 4)
+        bpath = "/" + "/".join(rng.choice(segs) for _ in range(depth))
+        if depth and rng.random() < 0.5:
+            bpath += "/"
+        bq = rng.choice(["", "", "?k=1", "?b=2&a=1"])
+        base = f"{scheme}://{host}{port}{bpath}{bq}"
+        kind = rng.randrange(6)
+        if kind == 0:  # relative with optional dot segments
+            parts = [
+                rng.choice(segs + ["..", "."])
+                for _ in range(rng.randrange(1, 4))
+            ]
+            href = "/".join(parts)
+        elif kind == 1:  # root-relative
+            href = "/" + "/".join(
+                rng.choice(segs + [".."])
+                for _ in range(rng.randrange(0, 3))
+            )
+        elif kind == 2:  # network-path
+            href = "//z.io/" + rng.choice(segs)
+        elif kind == 3:  # query-only
+            href = "?q=" + rng.choice(segs)
+        elif kind == 4:  # fragment-only / empty
+            href = rng.choice(["", "#top"])
+        else:  # relative + query + fragment
+            href = rng.choice(segs) + "?x=1#sec"
+        cases.append((base, href))
+    df = spark.createDataFrame(cases, "base string, href string")
+    got = [
+        r["out"]
+        for r in df.select(
+            U.resolve_url("base", "href").alias("out")
+        ).collect()
+    ]
+    for (base, href), g in zip(cases, got):
+        want = urldefrag(urljoin(base, href))[0]
+        assert g == want, (base, href, g, want)
+
+
+def test_resolve_url_plan_is_pure_codegen(spark):
+    from parquet_editor_spark.plans import explain as P
+
+    df = spark.createDataFrame(
+        [("https://h.com/a/", "x")], "base string, href string"
+    ).select(U.resolve_url("base", "href").alias("out"))
+    plan = P.executed_plan(df)
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
