@@ -5584,6 +5584,51 @@ def q_robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dedup_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring dedup (r12 — ``dedup.substring_dedup``, the
+    Lee et al. 2022 ExactSubstr operator): groups of 4 consecutive
+    doc_ids share a planted periodic block (unit ``" x" + rev(g)`` ×
+    14 — the reversed group digits keep any CROSS-group shared run
+    far below the winnowing candidate floor of k+w−1, so candidate
+    generation stays within-group and the whole pipeline is linear in
+    docs at any SF); per-doc unique id markers frame the block.  The
+    operator must excise each later doc's copy with EXACT
+    maximal-run boundaries (including the deterministic extensions
+    into the shared frame characters) under the keep-first policy.
+    The oracle is a full DuckDB MIRROR of the phase-2 semantics —
+    same Horner gram hashes (``winnow_gram_hash_sql``), same
+    gaps-and-islands runs, same interval merge and subtraction —
+    phase 1 being a lossless optimization by construction
+    (min_len ≥ k+w−1)."""
+    from parquet_editor_spark.operators import dedup as D
+
+    d = F.col("doc_id")
+    rev_g = F.reverse((d / 4).cast("long").cast("string"))
+    t = F.concat(
+        F.lit("u"),
+        d.cast("string"),
+        F.lit("~"),
+        F.repeat(F.concat(F.lit(" x"), rev_g), 14),
+        F.lit(" ~"),
+        d.cast("string"),
+        F.lit("v"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", t.alias("text")
+    )
+    out = D.substring_dedup(docs, "doc_id", "text", min_len=40)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_spans",
+        "cut_chars",
+        F.length("kept_text").cast("long").alias("kept_len"),
+        F.md5(F.encode("kept_text", "utf-8")).alias("kept_md5"),
+    ).orderBy("doc_id")
+
+
+
 def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level dedup (``dedup.line_dedup``, new r10):
     every doc gets two INJECTED boilerplate lines (a per-bucket promo
@@ -9435,6 +9480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_curation_v2": q_crawl_curation_v2,
         "hash_quality_filter_docs": q_hash_quality_filter_docs,
         "line_dedup_docs": q_line_dedup_docs,
+        "substring_dedup_docs": q_substring_dedup_docs,
         "robots_filter_docs": q_robots_filter_docs,
         "cdx_index_docs": q_cdx_index_docs,
         "epub_extract_docs": q_epub_extract_docs,
@@ -9701,6 +9747,9 @@ def oracle_sql() -> dict[str, str]:
     # winnowing gram hash generated from the SAME Horner recurrence
     # the Spark operator unrolls (see winnow_fingerprints)
     winnow_hash = winnow_gram_hash_sql("c", "p", 8)
+    # exact-substring dedup mirror (r12): positioned grams over the
+    # fixture text, same recurrence (see q_substring_dedup_docs)
+    ssd_hash = winnow_gram_hash_sql("t", "g.p", 8)
 
     # generated from the SAME per-bit recurrence the Spark operator
     # unrolls — one spec, two engines (see q_hilbert_cluster_keys)
@@ -12595,6 +12644,83 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY doc_id
         """,
+        "substring_dedup_docs": """
+            WITH docs AS (
+                SELECT doc_id,
+                       'u' || CAST(doc_id AS VARCHAR) || '~'
+                       || repeat(' x' || reverse(
+                              CAST(doc_id // 4 AS VARCHAR)), 14)
+                       || ' ~' || CAST(doc_id AS VARCHAR) || 'v' AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, CAST(g.p AS INT) AS pos,
+                       __SSD_HASH__ AS h
+                FROM docs, generate_series(1, 200) AS g(p)
+                WHERE g.p <= len(t) - 7
+            ), m AS (
+                SELECT ga.doc_id AS a, gb.doc_id AS b,
+                       gb.pos AS pb, gb.pos - ga.pos AS off
+                FROM grams ga
+                JOIN grams gb
+                  ON ga.h = gb.h AND ga.doc_id < gb.doc_id
+            ), isl AS (
+                SELECT a, b, off, pb,
+                       pb - row_number() OVER (
+                           PARTITION BY a, b, off ORDER BY pb)
+                           AS grp
+                FROM m
+            ), runs AS (
+                SELECT b, MIN(pb) AS s, MAX(pb) + 7 AS e
+                FROM isl GROUP BY a, b, off, grp
+                HAVING MAX(pb) + 7 - MIN(pb) + 1 >= 40
+            ), spans AS (
+                SELECT DISTINCT b, s, e FROM runs
+            ), brkd AS (
+                SELECT b, s, e,
+                       CASE WHEN s > COALESCE(MAX(e) OVER (
+                                PARTITION BY b ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1) + 1
+                            THEN 1 ELSE 0 END AS brk
+                FROM spans
+            ), mg AS (
+                SELECT b, s, e,
+                       SUM(brk) OVER (
+                           PARTITION BY b ORDER BY s, e) AS gid
+                FROM brkd
+            ), fin AS (
+                SELECT b, MIN(s) AS s, MAX(e) AS e
+                FROM mg GROUP BY b, gid
+            ), seg AS (
+                SELECT b,
+                       COALESCE(LAG(e) OVER (
+                           PARTITION BY b ORDER BY s), 0) + 1 AS gs,
+                       s - 1 AS ge
+                FROM fin
+                UNION ALL
+                SELECT b, MAX(e) + 1, NULL FROM fin GROUP BY b
+            ), rebuilt AS (
+                SELECT d.doc_id,
+                       COUNT(*) FILTER (WHERE seg.ge IS NOT NULL)
+                           AS n_spans,
+                       string_agg(
+                           substr(d.t, seg.gs,
+                                  GREATEST(COALESCE(seg.ge, len(d.t))
+                                           - seg.gs + 1, 0)),
+                           '' ORDER BY seg.gs) AS kept
+                FROM docs d JOIN seg ON seg.b = d.doc_id
+                GROUP BY d.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(r.n_spans, 0) AS INT) AS n_spans,
+                   CAST(len(d.t) - len(COALESCE(r.kept, d.t))
+                        AS BIGINT) AS cut_chars,
+                   CAST(len(COALESCE(r.kept, d.t)) AS BIGINT)
+                       AS kept_len,
+                   md5(COALESCE(r.kept, d.t)) AS kept_md5
+            FROM docs d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """.replace("__SSD_HASH__", ssd_hash),
         "line_dedup_docs": """
             WITH d AS (
                 SELECT doc_id,

@@ -268,6 +268,221 @@ def line_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 40,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Exact-SUBSTRING dedup (r12 — the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr operator, the method most large pretraining runs pair
+    with MinHash; no reference counterpart, SURVEY §2.7 EXT): remove
+    from every document each maximal substring of ≥ ``min_len``
+    characters that also appears in a LOWER-id document (keep-first
+    policy — the earliest occurrence survives, all later copies are
+    excised), emitting per doc the surviving text and cut accounting.
+
+    The paper builds a corpus suffix array; the Spark-first shape
+    replaces it with two hash-join phases over the existing winnowing
+    machinery:
+
+    1. CANDIDATE pairs via :func:`winnow_fingerprints` (banded — a
+       shared substring of length ≥ k+w−1 guarantees a shared
+       fingerprint, and ``min_len`` ≥ k+w−1 is enforced, so this
+       phase is a pure optimization that can never drop a qualifying
+       pair; no all-pairs path exists).
+    2. For candidate pairs only: join the POSITIONED k-gram hashes
+       (the same Horner polynomial mod 2^55−55, exploded with their
+       start offsets), group matches by (a, b, pos_b − pos_a) — a
+       shared substring of length S is exactly a run of S−k+1
+       consecutive matching positions at constant offset — and
+       resolve each gaps-and-islands run to its EXACT span
+       ``[min_pos, max_pos + k − 1]`` in the later doc.  No
+       winnowing raggedness: boundaries are maximal-run-exact (up to
+       55-bit hash collisions, which a differential oracle running
+       the identical arithmetic reproduces).
+
+    Spans from all partners are then merged per doc (sorted interval
+    union) and subtracted in one pass, both as ``F.aggregate`` folds
+    over the per-doc span array — bounded by the doc's own length,
+    never corpus-sized.
+
+    Returns one row per input doc: ``id``, ``n_spans`` (after
+    merging), ``cut_chars``, ``kept_text``.
+
+    Scale shape: gram hashing/explode is zero-shuffle codegen; the
+    phase-2 join ships only candidate docs' (pos, hash) pairs keyed
+    by the 55-bit hash (inverted-index pattern — matches exist only
+    where content is actually shared); one window over
+    (a, b, offset) islands; one groupBy(doc) span collect.  Like the
+    paper's operator, pathological corpora (one substring shared by
+    m docs) cost O(m) pairs against the first occurrence — the
+    keep-first policy pairs every doc against the group minimum, not
+    all-pairs, once spans are taken from (min-partner ∪ others)
+    merged."""
+    if min_len < k + w - 1:
+        raise ValueError(
+            f"min_len must be >= k+w-1 (= {k + w - 1}) so winnowing "
+            "candidate recall is lossless"
+        )
+    staged = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    )
+    # --- phase 1: banded candidate pairs ------------------------------
+    fps = winnow_fingerprints(staged, "id", "__t", k=k, w=w)
+    cand = (
+        fps.alias("fa")
+        .join(fps.alias("fb"), F.col("fa.fp") == F.col("fb.fp"))
+        .filter(F.col("fa.id") < F.col("fb.id"))
+        .select(
+            F.col("fa.id").alias("a"), F.col("fb.id").alias("b")
+        )
+        .distinct()
+    )
+    # --- phase 2: positioned gram hashes on candidate docs ------------
+    cand_ids = (
+        cand.select(F.col("a").alias("id"))
+        .unionByName(cand.select(F.col("b").alias("id")))
+        .distinct()
+    )
+
+    def poly(c, p):  # Horner over the k codepoints starting at p
+        h = F.lit(0).cast("long")
+        for j in range(k):
+            h = (
+                h * WINNOW_BASE
+                + F.ascii(F.substr(c, p + j, F.lit(1)))
+            ) % WINNOW_MOD
+        return h
+
+    n_grams = F.length("__t") - (k - 1)
+    grams = (
+        staged.join(cand_ids, "id")  # only candidate docs hash fully
+        .select(
+            "id",
+            F.when(
+                n_grams >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_grams),
+                    lambda p: F.struct(
+                        p.cast("int").alias("pos"),
+                        poly(F.col("__t"), p).alias("h"),
+                    ),
+                ),
+            )
+            .otherwise(
+                F.array().cast("array<struct<pos:int,h:long>>")
+            )
+            .alias("__g"),
+        )
+        .select("id", F.explode("__g").alias("g"))
+        .select(
+            "id",
+            F.col("g.pos").alias("pos"),
+            F.col("g.h").alias("h"),
+        )
+    )
+    matches = (
+        cand.join(
+            grams.select(
+                F.col("id").alias("a"),
+                F.col("pos").alias("pa"),
+                "h",
+            ),
+            "a",
+        )
+        .join(
+            grams.select(
+                F.col("id").alias("b"),
+                F.col("pos").alias("pb"),
+                "h",
+            ),
+            ["b", "h"],
+        )
+        .select("a", "b", "pa", "pb", (F.col("pb") - F.col("pa")).alias("off"))
+    )
+    # gaps-and-islands: consecutive pb at constant (a, b, off) = one
+    # maximal common run
+    from pyspark.sql.window import Window
+
+    iw = Window.partitionBy("a", "b", "off").orderBy("pb")
+    runs = (
+        matches.withColumn(
+            "isl", F.col("pb") - F.row_number().over(iw)
+        )
+        .groupBy("a", "b", "off", "isl")
+        .agg(
+            F.min("pb").alias("s"),
+            (F.max("pb") + (k - 1)).alias("e"),
+        )
+        .filter(F.col("e") - F.col("s") + 1 >= min_len)
+    )
+    # --- span merge + subtraction per (later) doc ----------------------
+    spans = runs.groupBy(F.col("b").alias("id")).agg(
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.struct("s", "e")))
+        ).alias("__spans")
+    )
+    empty_spans = F.array().cast("array<struct<s:int,e:int>>")
+    merged = F.aggregate(
+        F.col("__spans"),
+        empty_spans,
+        lambda acc, sp: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1)["e"] >= sp["s"] - 1),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], sp["e"]
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(sp))),
+    )
+    joined = staged.join(spans, "id", "left").select(
+        "id",
+        "__t",
+        F.coalesce(merged, empty_spans).alias("__m"),
+    )
+    kept = F.aggregate(
+        F.col("__m"),
+        F.struct(
+            F.lit("").alias("t"), F.lit(1).cast("int").alias("nxt")
+        ),
+        lambda acc, sp: F.struct(
+            F.concat(
+                acc["t"],
+                F.substr(
+                    F.col("__t"), acc["nxt"], sp["s"] - acc["nxt"]
+                ),
+            ).alias("t"),
+            (sp["e"] + 1).cast("int").alias("nxt"),
+        ),
+        lambda acc: F.concat(
+            acc["t"],
+            F.substr(F.col("__t"), acc["nxt"], F.length("__t")),
+        ),
+    )
+    cut = F.aggregate(
+        F.col("__m"),
+        F.lit(0).cast("long"),
+        lambda acc, sp: acc + (sp["e"] - sp["s"] + 1),
+    )
+    return joined.select(
+        "id",
+        F.size("__m").cast("int").alias("n_spans"),
+        cut.alias("cut_chars"),
+        kept.alias("kept_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, inverted-index join)
 # ---------------------------------------------------------------------------

@@ -555,3 +555,137 @@ def test_line_dedup_whitespace_canonicalization(spark):
     # trim-canonical: doc 2's padded copy is the same line
     assert out[1] == "alpha beta\ngamma"
     assert out[2] == "delta"
+
+
+# ---------------------------------------------------------------------------
+# r12: exact-substring dedup (Lee et al. 2022 ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def _brute_substring_dedup(rows, min_len, k=8):
+    """Reference implementation of substring_dedup's semantics: for
+    every pair a<b, char-equality runs at every alignment offset; a
+    run of length >= min_len is a span in b; spans merge per doc and
+    subtract (keep-first)."""
+    spans = {i: [] for i, _ in rows}
+    for ia, (a, ta) in enumerate(rows):
+        for b, tb in rows[ia + 1:]:
+            # offset o = pb - pa (0-based here)
+            for o in range(-(len(ta) - 1), len(tb)):
+                run = 0
+                lo = max(0, o)
+                hi = min(len(tb), len(ta) + o)
+                for pb in range(lo, hi + 1):
+                    same = pb < hi and ta[pb - o] == tb[pb]
+                    if same:
+                        run += 1
+                    else:
+                        if run >= max(min_len, k):
+                            spans[b].append((pb - run, pb - 1))
+                        run = 0
+    out = {}
+    for i, t in rows:
+        sp = sorted(set(spans[i]))
+        merged = []
+        for s, e in sp:
+            if merged and merged[-1][1] >= s - 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        kept, nxt = [], 0
+        for s, e in merged:
+            kept.append(t[nxt:s])
+            nxt = e + 1
+        kept.append(t[nxt:])
+        out[i] = (
+            len(merged),
+            sum(e - s + 1 for s, e in merged),
+            "".join(kept),
+        )
+    return out
+
+
+def test_substring_dedup_matches_brute_force_planted(spark):
+    from parquet_editor_spark.operators.dedup import substring_dedup
+
+    block_a = "alpha shared passage that runs well past forty characters!"
+    block_b = "another, different long block also exceeding the threshold"
+    rows = [
+        (1, "u1< " + block_a + " >t1"),
+        (2, "u2( " + block_a + " )t2 then " + block_b + " end2"),
+        (3, "u3[ " + block_b + " ]t3"),
+        (4, "no repeats in this one at all, just filler text ok"),
+        (5, "u5{ " + block_a + " }t5 " + block_a + " again5"),
+        (6, ""),
+        (7, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_spans"], r["cut_chars"], r["kept_text"])
+        for r in substring_dedup(
+            df, "doc_id", "text", min_len=40
+        ).collect()
+    }
+    want = _brute_substring_dedup(rows, 40)
+    assert got == want
+    # the first occurrence is never cut
+    assert got[1][1] == 0
+    # every later doc containing an earlier doc's block was cut
+    # (doc 2's block_b copy is the FIRST occurrence — cut from 3)
+    assert got[2][0] >= 1 and got[3][0] >= 1 and got[5][0] >= 2
+
+
+def test_substring_dedup_randomized_matches_brute_force(spark):
+    """Randomized A/B: low-alphabet texts with randomly planted
+    shared blocks (shared boundary runs, nested/overlapping copies
+    arise naturally)."""
+    import random
+
+    from parquet_editor_spark.operators.dedup import substring_dedup
+
+    rng = random.Random(1212)
+    blocks = [
+        "".join(rng.choice("abcd ") for _ in range(rng.randrange(45, 70)))
+        for _ in range(4)
+    ]
+    rows = []
+    for i in range(18):
+        t = "".join(rng.choice("abcd ") for _ in range(rng.randrange(0, 40)))
+        for _ in range(rng.randrange(0, 3)):
+            t += rng.choice(blocks)
+            t += "".join(
+                rng.choice("abcd ") for _ in range(rng.randrange(0, 30))
+            )
+        rows.append((i, t))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_spans"], r["cut_chars"], r["kept_text"])
+        for r in substring_dedup(
+            df, "doc_id", "text", min_len=40
+        ).collect()
+    }
+    want = _brute_substring_dedup(rows, 40)
+    assert got == want
+
+
+def test_substring_dedup_validates_min_len(spark):
+    from parquet_editor_spark.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_len"):
+        substring_dedup(df, "doc_id", "text", min_len=5, k=8, w=4)
+
+
+def test_substring_dedup_plan_no_cartesian_no_single_partition(spark):
+    from parquet_editor_spark import plans as P
+    from parquet_editor_spark.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"text {i} " + "shared block far past forty characters ok!")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = substring_dedup(df, "doc_id", "text", min_len=40)
+    plan = P.executed_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
