@@ -25,8 +25,12 @@ Honest scope (classic + modern structural tiers, the rest gated):
     revisions 2-3 with the EMPTY user password — the state most
     'encrypted' crawl PDFs are in (owner restrictions only; the
     padding constant and algorithms 2-5 are ISO 32000-1 §7.6.3);
-    per-object keys on strings and streams.  Real user passwords
-    and V4+ AES crypt filters raise.
+    per-object keys on strings and streams.  r12 adds the V4 R4
+    crypt-filter dialect — /StdCF with /CFM /V2 (RC4) or /AESV2
+    (AES-128-CBC, IV prefix + PKCS#7 padding, the dependency-free
+    FIPS-197 core in sources/aes.py) — still empty-user-password
+    only.  Real user passwords, AESV3/R6 (V5), per-class filter
+    mixes and EncryptMetadata=false raise.
 
 The fixture encoder writes the same dialect the parser reads —
 catalog → page tree → per-page FlateDecode content streams + a real
@@ -1093,20 +1097,50 @@ def _std_u_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
 
 
 class _Decryptor:
-    """Per-object RC4 decryption under a validated file key."""
+    """Per-object decryption under a validated file key — RC4
+    (V1/V2, and V4 /V2 crypt filters) or AES-128-CBC (V4 /AESV2:
+    per-object key salted with b"sAlT", 16-byte IV prefix, PKCS#7
+    padding; ISO 32000-1 §7.6.2 Algorithm 1)."""
 
-    def __init__(self, file_key: bytes):
+    def __init__(self, file_key: bytes, aes: bool = False):
         self.file_key = file_key
+        self.aes = aes
 
-    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+    def _obj_key(self, num: int, gen: int) -> bytes:
         import hashlib
 
-        obj_key = hashlib.md5(
+        salt = b"sAlT" if self.aes else b""
+        return hashlib.md5(
             self.file_key
             + num.to_bytes(3, "little")
             + gen.to_bytes(2, "little")
+            + salt
         ).digest()[: min(len(self.file_key) + 5, 16)]
-        return _rc4(obj_key, data)
+
+    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        key = self._obj_key(num, gen)
+        if not self.aes:
+            return _rc4(key, data)
+        from parquet_editor_spark.sources.aes import aes128_cbc_decrypt
+
+        if len(data) < 16:
+            raise ValueError("AESV2 payload shorter than its IV")
+        return aes128_cbc_decrypt(key, data[:16], data[16:])
+
+    def encrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        """Fixture-encoder forward direction (RC4 is an involution;
+        AES needs a real encrypt with a deterministic per-object IV)."""
+        key = self._obj_key(num, gen)
+        if not self.aes:
+            return _rc4(key, data)
+        import hashlib
+
+        from parquet_editor_spark.sources.aes import aes128_cbc_encrypt
+
+        iv = hashlib.md5(
+            b"pes-iv" + num.to_bytes(3, "little") + data[:16]
+        ).digest()
+        return iv + aes128_cbc_encrypt(key, iv, data)
 
 
 def _build_decryptor(enc: dict, id0: bytes, origin: str) -> _Decryptor:
@@ -1121,10 +1155,41 @@ def _build_decryptor(enc: dict, id0: bytes, origin: str) -> _Decryptor:
         )
     v = int(enc.get("V", 0))
     r = int(enc["R"])
-    if v not in (1, 2) or r not in (2, 3):
+    aes = False
+    if v == 4 and r == 4:
+        # crypt-filter dispatch (r12): /StdCF with /CFM /AESV2
+        # (AES-128-CBC) or /V2 (RC4) covering both streams and
+        # strings; anything else — /Identity mixes, per-class
+        # filters, AESV3/R6 — gates loudly
+        stmf = enc.get("StmF", "/Identity")
+        strf = enc.get("StrF", "/Identity")
+        if stmf != "/StdCF" or strf != "/StdCF":
+            raise NotImplementedError(
+                f"{origin!r}: V4 crypt filters StmF={stmf!r} "
+                f"StrF={strf!r} — only a shared /StdCF is supported"
+            )
+        cf = enc.get("CF", {})
+        stdcf = cf.get("StdCF") if isinstance(cf, dict) else None
+        if not isinstance(stdcf, dict):
+            raise ValueError(f"{origin!r}: V4 without a /StdCF entry")
+        cfm = stdcf.get("CFM")
+        if cfm == "/AESV2":
+            aes = True
+        elif cfm != "/V2":
+            raise NotImplementedError(
+                f"{origin!r}: crypt filter method {cfm!r} — only "
+                "/V2 (RC4) and /AESV2 are supported (AESV3/R6 "
+                "gates here)"
+            )
+        if not bool(enc.get("EncryptMetadata", True)):
+            raise NotImplementedError(
+                f"{origin!r}: EncryptMetadata=false key derivation "
+                "is not supported"
+            )
+    elif v not in (1, 2) or r not in (2, 3):
         raise NotImplementedError(
             f"{origin!r}: encryption V={v} R={r} — only RC4 V1/V2 "
-            "R2/R3 are supported (AES crypt filters gate here)"
+            "R2/R3 and V4 R4 (/V2, /AESV2) are supported"
         )
     key_len = int(enc.get("Length", 40)) // 8
     if v == 1:
@@ -1141,7 +1206,7 @@ def _build_decryptor(enc: dict, id0: bytes, origin: str) -> _Decryptor:
         raise NotImplementedError(
             f"{origin!r}: PDF requires a non-empty user password"
         )
-    return _Decryptor(key)
+    return _Decryptor(key, aes=aes)
 
 
 def encode_pdf_encrypted(
@@ -1149,13 +1214,18 @@ def encode_pdf_encrypted(
     owner_pw: bytes = b"owner-secret",
     r: int = 3,
     key_bits: int = 128,
+    cfm: str | None = None,
 ) -> bytes:
     """Fixture encoder: the classic dialect of :func:`encode_pdf`
-    with RC4 standard-handler encryption — empty USER password (the
+    with standard-handler encryption — empty USER password (the
     crawl-realistic case), owner password set, per-object keys on
-    every stream.  R2 forces 40-bit keys per spec."""
+    every stream.  R2 forces 40-bit keys per spec.  ``cfm`` switches
+    to the V4/R4 crypt-filter dialect: "/V2" (RC4) or "/AESV2"
+    (AES-128-CBC with IV prefix + PKCS#7 padding, r12)."""
     if r == 2:
         key_bits = 40
+    if cfm is not None:
+        r, key_bits = 4, 128
     plain = encode_pdf(pages)
     # deterministic file ID from the plain bytes
     import hashlib
@@ -1166,37 +1236,52 @@ def encode_pdf_encrypted(
     o_entry = _std_o_entry(owner_pw, b"", r, key_len)
     file_key = _std_file_key(b"", o_entry, p, id0, r, key_len)
     u_entry = _std_u_entry(file_key, id0, r)
-    dec = _Decryptor(file_key)
+    dec = _Decryptor(file_key, aes=cfm == "/AESV2")
 
-    # re-emit every object, RC4-ing stream bodies (RC4(RC4(x)) == x)
+    # re-emit every object, encrypting stream bodies (AES grows the
+    # payload — IV + padding — so /Length is rewritten)
     doc = _Doc(plain, "<fixture>")
     objects: list[tuple[int, bytes]] = []
     for num in sorted(doc.offsets):
         if doc.offsets[num][0] == "x":  # free-list tombstone
             continue
         val, stream = doc.obj(num)
-        body = _serialize_value(val)
         if stream is not None:
-            enc_stream = dec.decrypt(num, 0, stream)
+            enc_stream = dec.encrypt(num, 0, stream)
+            if isinstance(val, dict):
+                val = {**val, "Length": len(enc_stream)}
+            body = _serialize_value(val)
             body += (
                 b"\nstream\n" + enc_stream + b"\nendstream"
             )
+        else:
+            body = _serialize_value(val)
         objects.append((num, body))
     info_num = max(doc.offsets) + 1
     enc_num = info_num + 1
-    title = dec.decrypt(info_num, 0, b"encrypted fixture title")
+    title = dec.encrypt(info_num, 0, b"encrypted fixture title")
     objects.append(
         (info_num, b"<< /Title " + _hex_str(title) + b" >>")
     )
-    v = 1 if key_bits == 40 else 2
-    enc_dict = (
-        b"<< /Filter /Standard /V " + str(v).encode()
-        + b" /R " + str(r).encode()
-        + b" /Length " + str(key_bits).encode()
-        + b" /P " + str(p).encode()
-        + b" /O " + _hex_str(o_entry)
-        + b" /U " + _hex_str(u_entry) + b" >>"
-    )
+    if cfm is not None:
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+            + b" /P " + str(p).encode()
+            + b" /CF << /StdCF << /CFM " + cfm.encode()
+            + b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            + b" /O " + _hex_str(o_entry)
+            + b" /U " + _hex_str(u_entry) + b" >>"
+        )
+    else:
+        v = 1 if key_bits == 40 else 2
+        enc_dict = (
+            b"<< /Filter /Standard /V " + str(v).encode()
+            + b" /R " + str(r).encode()
+            + b" /Length " + str(key_bits).encode()
+            + b" /P " + str(p).encode()
+            + b" /O " + _hex_str(o_entry)
+            + b" /U " + _hex_str(u_entry) + b" >>"
+        )
     objects.append((enc_num, enc_dict))
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")

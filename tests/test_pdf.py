@@ -651,3 +651,77 @@ def test_incremental_update_free_masks_prev():
         doc.obj(font_num)
     # untouched objects still resolve through /Prev
     assert doc.obj(1)[0]["Type"] == "/Catalog"
+
+
+# ---------------------------------------------------------------------------
+# r12: AES tier (V4/R4 crypt filters, sources/aes.py)
+# ---------------------------------------------------------------------------
+
+
+def test_aes128_fips197_vector_and_randomized_cbc():
+    from parquet_editor_spark.sources.aes import (
+        _decrypt_block,
+        _encrypt_block,
+        _expand_key,
+        aes128_cbc_decrypt,
+        aes128_cbc_encrypt,
+    )
+
+    key = bytes(range(16))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = _encrypt_block(pt, _expand_key(key))
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"  # FIPS-197 C.1
+    assert _decrypt_block(ct, _expand_key(key)) == pt
+
+    import random
+
+    rng = random.Random(1219)
+    for _ in range(25):
+        k = bytes(rng.randrange(256) for _ in range(16))
+        iv = bytes(rng.randrange(256) for _ in range(16))
+        data = bytes(
+            rng.randrange(256) for _ in range(rng.randrange(0, 200))
+        )
+        enc = aes128_cbc_encrypt(k, iv, data)
+        assert len(enc) % 16 == 0 and len(enc) > len(data)
+        assert aes128_cbc_decrypt(k, iv, enc) == data
+    # wrong key surfaces loudly at the padding check (almost surely)
+    with pytest.raises(ValueError):
+        aes128_cbc_decrypt(b"x" * 16, b"i" * 16,
+                           aes128_cbc_encrypt(b"k" * 16, b"i" * 16, b"data"))
+
+
+def test_encrypted_v4_rc4_and_aesv2_roundtrip():
+    from parquet_editor_spark.sources.pdf import encode_pdf_encrypted
+
+    want = decode_pdf_text(encode_pdf(_PAGES))
+    for cfm in ("/V2", "/AESV2"):
+        enc = encode_pdf_encrypted(_PAGES, cfm=cfm)
+        assert decode_pdf_text(enc) == want, cfm
+        assert b"/CFM " + cfm.encode() in enc
+
+
+def test_aes_v4_gates():
+    from parquet_editor_spark.sources.pdf import encode_pdf_encrypted
+
+    enc = encode_pdf_encrypted(_PAGES[:1], cfm="/AESV2")
+    # AESV3/R6 (same-length edit keeps xref offsets)
+    v5 = enc.replace(b"/V 4 /R 4", b"/V 5 /R 6")
+    with pytest.raises(NotImplementedError, match="V=5|AESV3"):
+        decode_pdf_text(v5)
+    # an unknown crypt-filter method
+    bad_cfm = enc.replace(b"/CFM /AESV2", b"/CFM /AESV9")
+    with pytest.raises(NotImplementedError, match="AESV9"):
+        decode_pdf_text(bad_cfm)
+    # per-class filter mixes gate (same-length /Identity swap is not
+    # possible; rename StrF target instead)
+    mixed = enc.replace(b"/StrF /StdCF", b"/StrF /StdCX")
+    with pytest.raises(NotImplementedError, match="StrF"):
+        decode_pdf_text(mixed)
+    # tampered /U = a real user password under V4
+    at = enc.index(b"/U <") + 4
+    bad = enc[:at] + (
+        b"00" if enc[at:at + 2] != b"00" else b"11"
+    ) + enc[at + 2:]
+    with pytest.raises(NotImplementedError, match="user password"):
+        decode_pdf_text(bad)
