@@ -4003,40 +4003,18 @@ def q_crawl_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE full r10/r11-tier curation DAG in one oracled plan (r11 —
-    the r10 verdict's #8): mixed-format ingest (2/3 of docs arrive as
-    WARC-wrapped HTML responses, 1/3 as MODERN xref-stream/ObjStm
-    PDFs) → format-dispatched extraction (``warc_records`` +
-    ``strip_markup`` / ``pdf_pages``) → messy-URI canonicalization +
-    robots.txt longest-match filtering + per-host cap → C4 line dedup
-    → hashed-linear quality gate (the r10 pinned classifier) → BPE
-    tokenization with the pinned 10-merge table → ``input_ids``
-    training blocks via the distributed prefix-sum pack.  Bytes in,
-    training blocks out — the whole pretraining-data DAG as ONE lazy
-    plan whose block md5s pin every stage; the DuckDB oracle rebuilds
-    the chain end-to-end (closed-form PDF/HTML text, URL/robots
-    verdict arithmetic, window dedup/cap, the hlq margin fold, the
-    placeholder replace-chain tokenizer, a cumsum pack).
-
-    The trigram-LM and SemDeDup gates stay in their own oracled
-    queries (`trigram_quality_docs`, `semdedup_embeddings`): their
-    held-out model tables / quantizer would triple this oracle for no
-    added stage coverage.
-
-    Scale shape (pinned by tests/test_plans.py and SCALE.md): codec
-    walks and tokenization run inside Arrow passes with zero shuffle;
-    the shuffles are exactly the semantic ones — one PDF page
-    reassembly, one host window, the three line-dedup moves
-    (fingerprint agg, keep join, reassembly), and the pack's
-    bucketed prefix sum + block assembly; text/ids move once each."""
+def _v5_curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared v5/v6 curation front half: mixed WARC-HTML /
+    modern-PDF ingest → format-dispatched extraction → URL
+    canonicalization + robots filter + host cap (persisted stage
+    boundary) → C4 line dedup.  Returns line_dedup's output
+    (``id``/``n_lines``/``n_kept``/``kept_text``)."""
     from pyspark.sql import types as T
 
     from parquet_editor_spark.functions import text as X
     from parquet_editor_spark.functions import urls as U
     from parquet_editor_spark.operators import dedup as D
     from parquet_editor_spark.operators import multimodal as MM
-    from parquet_editor_spark.operators import textprep as TP
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -4202,6 +4180,41 @@ def q_pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lined"),
     )
     kept = D.line_dedup(lined, "doc_id", "lined", sep=". ", min_chars=2)
+    return kept
+
+
+def q_pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE full r10/r11-tier curation DAG in one oracled plan (r11 —
+    the r10 verdict's #8): mixed-format ingest (2/3 of docs arrive as
+    WARC-wrapped HTML responses, 1/3 as MODERN xref-stream/ObjStm
+    PDFs) → format-dispatched extraction (``warc_records`` +
+    ``strip_markup`` / ``pdf_pages``) → messy-URI canonicalization +
+    robots.txt longest-match filtering + per-host cap → C4 line dedup
+    → hashed-linear quality gate (the r10 pinned classifier) → BPE
+    tokenization with the pinned 10-merge table → ``input_ids``
+    training blocks via the distributed prefix-sum pack.  Bytes in,
+    training blocks out — the whole pretraining-data DAG as ONE lazy
+    plan whose block md5s pin every stage; the DuckDB oracle rebuilds
+    the chain end-to-end (closed-form PDF/HTML text, URL/robots
+    verdict arithmetic, window dedup/cap, the hlq margin fold, the
+    placeholder replace-chain tokenizer, a cumsum pack).
+
+    The trigram-LM and SemDeDup gates stay in their own oracled
+    queries (`trigram_quality_docs`, `semdedup_embeddings`): their
+    held-out model tables / quantizer would triple this oracle for no
+    added stage coverage.
+
+    Scale shape (pinned by tests/test_plans.py and SCALE.md): codec
+    walks and tokenization run inside Arrow passes with zero shuffle;
+    the shuffles are exactly the semantic ones — one PDF page
+    reassembly, one host window, the three line-dedup moves
+    (fingerprint agg, keep join, reassembly), and the pack's
+    bucketed prefix sum + block assembly; text/ids move once each."""
+    from parquet_editor_spark.functions import text as X
+    from parquet_editor_spark.operators import textprep as TP
+
+    kept = _v5_curation_kept(spark, sf_dir)
+
 
     gated = (
         kept.select(
@@ -4217,6 +4230,78 @@ def q_pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # second boundary: the pack reads the id table twice (placement +
     # ids join) — persist the tokenized frame for the same reason
+    toks = TP.bpe_tokenize(
+        gated, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
+    ).persist()
+    blocks = TP.pack_id_blocks(
+        toks, "id", "input_ids", block_tokens=32, bucket_docs=64
+    )
+    ids_csv = F.array_join(
+        F.transform("input_ids", lambda x: x.cast("string")), ","
+    )
+    head_csv = F.array_join(
+        F.transform(
+            F.slice("input_ids", 1, 10), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+    return blocks.select(
+        "block_id",
+        "n_docs",
+        "n_ids",
+        head_csv.alias("head_ids"),
+        F.md5(F.encode(ids_csv, "utf-8")).alias("ids_md5"),
+    ).orderBy("block_id")
+
+
+def q_pipeline_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation DAG v6 (r12 — the r11 verdict's #7): v5 with the
+    PINNED-weight quality gate replaced by TRAIN-THEN-DEPLOY — the
+    bit-exact gradient-descent trainer
+    (``text.train_hash_classifier``) learns the 256-bucket weight
+    table on a HELD-OUT quarter of the raw corpus (doc_id % 4 == 1,
+    gopher-labeled signal features — the CCNet bootstrap), and the
+    learned weights gate the pipeline's line-deduped text before
+    tokenization + packing.  The whole v5 front half (mixed WARC/PDF
+    ingest → extraction → URL/robots/host-cap → line dedup) is
+    shared verbatim (``_v5_curation_kept``); the DuckDB oracle trains
+    through the identical unrolled CTE chain
+    (``train_hash_classifier_ctes`` on the same split — weights
+    bit-identical) and replays the deploy margin fold.
+
+    Scale shape: training adds one persisted featurize pass over a
+    quarter of the corpus plus 16 model-sized integer hash aggs
+    (≤256 rows collected per iteration); deployment is pure codegen
+    scoring — no new data-sized shuffles beyond v5's."""
+    from parquet_editor_spark.functions import text as X
+    from parquet_editor_spark.operators import textprep as TP
+
+    kept = _v5_curation_kept(spark, sf_dir)
+    # train on the held-out quarter of the RAW corpus
+    labeled = _thc_labeled_docs(spark, sf_dir).filter(
+        F.col("doc_id") % 4 == 1
+    )
+    w = X.train_hash_classifier(
+        labeled, "sig", "y",
+        n_buckets=_THC_BUCKETS, iters=_THC_ITERS, lr=_THC_LR,
+    )
+    # deploy: featurize the pipeline's own kept text with the same
+    # signal builder, score under the LEARNED weights
+    deploy = kept.select(
+        F.col("id").alias("doc_id"), F.col("kept_text").alias("text")
+    )
+    sigs = _thc_labeled_docs(
+        spark, sf_dir, docs=deploy, extra_cols=("text",)
+    )
+    gated = (
+        sigs.select(
+            "doc_id",
+            "text",
+            X.hash_linear_score("sig", w, bias=0.0).alias("__margin"),
+        )
+        .filter(F.col("__margin") > 0)
+        .select("doc_id", _bpe_norm("text").alias("norm"))
+    )
     toks = TP.bpe_tokenize(
         gated, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
     ).persist()
@@ -4862,6 +4947,112 @@ def q_sft_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head_syms"),
         F.md5(F.encode(sym_csv, "utf-8")).alias("syms_md5"),
     ).orderBy("block_id")
+
+
+def q_sft_pack_docs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT sample construction v2 (r12 — the r11 verdict's #8
+    realism bump): conversations grow a SYSTEM prompt (masked 0, like
+    user turns) and up to 3 rounds, and the mask-aligned ``id*2+m``
+    symbol stream is packed under BOTH truncation-at-block-boundary
+    policies the packer now exposes — ``truncate`` (a segment
+    crossing its starting 64-symbol block keeps only the in-block
+    prefix; the SFT context-window cut) and ``drop`` (a crossing
+    segment is discarded whole; strict sample integrity).  Offsets
+    stay the full cumsum under both (discarded symbols are implicit
+    padding), so placement remains the distributed prefix sum.
+    Per (policy, block): segment count, real symbol count,
+    TRAINED-token count (mask popcount), head symbols, stream md5 —
+    the popcount invariants are additionally pinned in pytest.
+
+    Scale shape: identical to v1 — turn explode + Arrow tokenizer
+    (zero shuffle) + the bucketed prefix-sum pack, run once per
+    policy over the persisted symbol frame."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    d = F.col("doc_id")
+    words = F.filter(
+        F.split(_bpe_norm("text"), " "), lambda w: w != F.lit("")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", words.alias("w"), (1 + d % 3).alias("n_rounds")
+    )
+
+    def seg(k: int, role: str, lo: int, n: int, mask: int):
+        txt = F.concat(
+            F.lit(role + " "),
+            F.array_join(F.slice("w", lo, n), " "),
+        )
+        return F.struct(
+            F.lit(k).alias("k"), txt.alias("t"), F.lit(mask).alias("m")
+        )
+
+    segs = F.array(
+        seg(0, "system", 1, 4, 0),
+        seg(1, "user", 5, 6, 0),
+        seg(2, "assistant", 11, 10, 1),
+        seg(3, "user", 21, 6, 0),
+        seg(4, "assistant", 27, 10, 1),
+        seg(5, "user", 37, 6, 0),
+        seg(6, "assistant", 43, 10, 1),
+    )
+    turns = docs.select(
+        "doc_id",
+        F.explode(
+            F.slice(segs, 1, (1 + F.col("n_rounds") * 2).cast("int"))
+        ).alias("s"),
+    ).select(
+        (d * 8 + F.col("s.k")).alias("seg_id"),
+        F.col("s.t").alias("t"),
+        F.col("s.m").alias("m"),
+    )
+    toks = TP.bpe_tokenize(turns, "seg_id", "t", _BPE_MERGES, _BPE_VOCAB)
+    combined = (
+        toks.join(
+            turns.select("seg_id", "m"), toks["id"] == F.col("seg_id")
+        )
+        .select(
+            F.col("id"),
+            F.transform(
+                "input_ids", lambda x: x * 2 + F.col("m")
+            ).alias("sym"),
+        )
+        .persist()
+    )
+
+    def packed(policy: str) -> DataFrame:
+        blocks = TP.pack_id_blocks(
+            combined, "id", "sym",
+            block_tokens=64, bucket_docs=64, overflow=policy,
+        )
+        sym_csv = F.array_join(
+            F.transform("input_ids", lambda x: x.cast("string")), ","
+        )
+        n_loss = F.aggregate(
+            "input_ids",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (x % 2).cast("long"),
+        )
+        return blocks.select(
+            F.lit(policy).alias("policy"),
+            "block_id",
+            F.col("n_docs").alias("n_segments"),
+            F.col("n_ids").alias("n_syms"),
+            n_loss.alias("n_loss_ids"),
+            F.array_join(
+                F.transform(
+                    F.slice("input_ids", 1, 10),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("head_syms"),
+            F.md5(F.encode(sym_csv, "utf-8")).alias("syms_md5"),
+        )
+
+    return (
+        packed("truncate")
+        .unionByName(packed("drop"))
+        .orderBy("policy", "block_id")
+    )
 
 
 def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5715,7 +5906,10 @@ def q_hash_quality_filter_docs(
 
 
 def _thc_labeled_docs(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Shared fixture for the r11 classifier-training pair: per doc,
     a quantized-SIGNAL feature text ('qn<len/8> qd<dtr*20> qm<mwl*2>'
@@ -5738,6 +5932,7 @@ def _thc_labeled_docs(
     t = F.col("__toks")
     staged = docs.select(
         "doc_id",
+        *extra_cols,
         X.token_count("text", t).alias("__n"),
         X.mean_word_length("text", t).alias("__mwl"),
         X.distinct_token_ratio("text", t).alias("__dtr"),
@@ -5752,6 +5947,7 @@ def _thc_labeled_docs(
     )
     return staged.select(
         "doc_id",
+        *extra_cols,
         sig.alias("sig"),  # NULL when the doc has no tokens
         F.coalesce(
             X.gopher_keep(F.col("__n"), F.col("__mwl"), F.col("__dtr")),
@@ -9493,8 +9689,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_v2": q_crawl_frontier_v2,
         "crawl_schedule_docs": q_crawl_schedule_docs,
         "sft_pack_docs": q_sft_pack_docs,
+        "sft_pack_docs_v2": q_sft_pack_docs_v2,
         "pack_boundaries_docs": q_pack_boundaries_docs,
         "pipeline_curation_v5": q_pipeline_curation_v5,
+        "pipeline_curation_v6": q_pipeline_curation_v6,
         # --- stale-signal remainder (last driver signal r4-r6; the r10 window ended at hll_error_bound — continue from there) ---
         "hll_error_bound": q_hll_error_bound,
         "quantile_error_bound": q_quantile_error_bound,
@@ -9798,6 +9996,12 @@ def oracle_sql() -> dict[str, str]:
 
     thc_ctes, thc_final = train_hash_classifier_ctes(
         _ORACLE_THC_DOCS,
+        n_buckets=_THC_BUCKETS, iters=_THC_ITERS, lr=_THC_LR,
+    )
+    # v6 trains on the held-out quarter (r12) — same unrolled chain
+    thc6_ctes, thc6_final = train_hash_classifier_ctes(
+        "SELECT * FROM (" + _ORACLE_THC_DOCS
+        + ") thcsrc WHERE doc_id % 4 = 1",
         n_buckets=_THC_BUCKETS, iters=_THC_ITERS, lr=_THC_LR,
     )
     thc_feats = _hash_feats_sql("norm")
@@ -12397,6 +12601,83 @@ def oracle_sql() -> dict[str, str]:
             FROM sb
             ORDER BY block_id
         """,
+        "sft_pack_docs_v2": """
+            WITH dd AS (
+                SELECT doc_id, 1 + doc_id % 3 AS n_rounds,
+                       list_filter(string_split(
+                           trim(regexp_replace(lower(COALESCE(text, '')),
+                                               '[^a-z]+', ' ', 'g')),
+                           ' '), x -> x <> '') AS w
+                FROM documents
+            ), segd AS (
+                SELECT doc_id * 8 + g.k AS seg_id,
+                       CAST(CASE WHEN g.k IN (2, 4, 6) THEN 1
+                            ELSE 0 END AS INT) AS m,
+                       (CASE WHEN g.k = 0 THEN 'system '
+                             WHEN g.k IN (1, 3, 5) THEN 'user '
+                             ELSE 'assistant ' END)
+                       || COALESCE(array_to_string(
+                            w[(CASE g.k WHEN 0 THEN 1 WHEN 1 THEN 5
+                                    WHEN 2 THEN 11 WHEN 3 THEN 21
+                                    WHEN 4 THEN 27 WHEN 5 THEN 37
+                                    ELSE 43 END) :
+                              (CASE g.k WHEN 0 THEN 4 WHEN 1 THEN 10
+                                    WHEN 2 THEN 20 WHEN 3 THEN 26
+                                    WHEN 4 THEN 36 WHEN 5 THEN 42
+                                    ELSE 52 END)],
+                            ' '), '') AS t
+                FROM dd, generate_series(0, 6) AS g(k)
+                WHERE g.k < 1 + 2 * n_rounds
+            ), tok AS (
+                SELECT seg_id,
+                       list_transform(
+                           list_transform(
+                               list_filter(
+                                   string_split(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(t, 'th', 'A'), 'Ae', 'B'), 'in', 'C'), 'er', 'D'), 'an', 'E'), 'on', 'F'), 'Ed', 'G'), 'Cg', 'H'), 'en', 'I'), 'or', 'J'), ''),
+                                   c -> c <> ' '),
+                               ch -> CASE WHEN ch BETWEEN 'a' AND 'z'
+                                          THEN ascii(ch) - 97
+                                          ELSE ascii(ch) - 39 END),
+                           x -> x * 2 + m) AS syms
+                FROM segd
+            ), sc AS (
+                SELECT seg_id, syms, len(syms)::BIGINT AS n,
+                       COALESCE(SUM(len(syms)) OVER (ORDER BY seg_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM tok
+            ), sp AS (
+                SELECT 'truncate' AS policy,
+                       o // 64 AS block_id,
+                       least(n, (o // 64 + 1) * 64 - o) AS nb,
+                       o % 64 AS block_pos,
+                       syms[1 : least(n, (o // 64 + 1) * 64 - o)]
+                           AS piece
+                FROM sc WHERE n > 0
+                UNION ALL
+                SELECT 'drop', o // 64, n, o % 64, syms
+                FROM sc
+                WHERE n > 0 AND o // 64 = (o + n - 1) // 64
+            ), sb AS (
+                SELECT policy, block_id,
+                       count(*)::BIGINT AS n_segments,
+                       sum(nb)::BIGINT AS n_syms,
+                       SUM(len(list_filter(piece,
+                           x -> x % 2 = 1)))::BIGINT AS n_loss_ids,
+                       string_agg(array_to_string(piece, ','), ','
+                                  ORDER BY block_pos) AS csv
+                FROM sp
+                GROUP BY policy, block_id
+            )
+            SELECT policy,
+                   CAST(block_id AS BIGINT) AS block_id,
+                   n_segments, n_syms, n_loss_ids,
+                   array_to_string((string_split(csv, ','))[1:10], ',')
+                       AS head_syms,
+                   md5(csv) AS syms_md5
+            FROM sb
+            ORDER BY policy, block_id
+        """,
         "trigram_quality_docs": (trigram_scored_sql := """
             WITH tok AS (
                 SELECT doc_id,
@@ -13505,6 +13786,174 @@ def oracle_sql() -> dict[str, str]:
                                'g'), '\\s+', ' ', 'g')) AS norm
                     FROM v5kept) s
                 WHERE round({hlq_margin}, 6) > 0
+            ), v5t AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(
+                               string_split(
+                                   replace(replace(replace(replace(replace(
+                                   replace(replace(replace(replace(replace(
+                                       trim(regexp_replace(lower(kept_text),
+                                           '[^a-z]+', ' ', 'g')),
+                                       'th', 'A'), 'Ae', 'B'), 'in', 'C'),
+                                       'er', 'D'), 'an', 'E'), 'on', 'F'),
+                                       'Ed', 'G'), 'Cg', 'H'), 'en', 'I'),
+                                       'or', 'J'),
+                                   ''),
+                               c -> c <> ' '),
+                           ch -> CASE WHEN ch BETWEEN 'a' AND 'z'
+                                      THEN ascii(ch) - 97
+                                      ELSE ascii(ch) - 39 END) AS ids
+                FROM v5g
+            ), v5c AS (
+                SELECT doc_id, ids, len(ids)::BIGINT AS n,
+                       COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM v5t
+            ), v5ee AS (
+                SELECT doc_id, ids, n, o,
+                       unnest(range(o // 32,
+                                    (o + n - 1) // 32 + 1)) AS block_id
+                FROM v5c WHERE n > 0
+            ), v5pp AS (
+                SELECT block_id,
+                       least(n, (block_id + 1) * 32 - o)
+                           - greatest(0, block_id * 32 - o) AS nb,
+                       greatest(0, o - block_id * 32) AS block_pos,
+                       array_to_string(
+                           ids[greatest(0, block_id * 32 - o) + 1 :
+                               least(n, (block_id + 1) * 32 - o)],
+                           ',') AS piece
+                FROM v5ee
+            ), v5b AS (
+                SELECT block_id,
+                       count(*)::BIGINT AS n_docs,
+                       sum(nb)::BIGINT AS n_ids,
+                       string_agg(piece, ',' ORDER BY block_pos) AS csv
+                FROM v5pp
+                GROUP BY block_id
+            )
+            SELECT CAST(block_id AS BIGINT) AS block_id,
+                   n_docs, n_ids,
+                   array_to_string((string_split(csv, ','))[1:10], ',')
+                       AS head_ids,
+                   md5(csv) AS ids_md5
+            FROM v5b
+            ORDER BY block_id
+        """,
+        "pipeline_curation_v6": f"""
+            WITH {thc6_ctes}, v5d AS (
+                SELECT doc_id, text,
+                       regexp_replace(COALESCE(text, ''), '[^ -~]',
+                                      '#', 'g') AS ac
+                FROM documents
+            ), v5h AS (
+                SELECT doc_id,
+                       '<html><body class="c' || (doc_id % 7)
+                       || '"><h1>Doc &amp; ' || doc_id || '</h1><p>'
+                       || replace(COALESCE(text, ''), ' data ',
+                                  ' &quot;data&quot; ')
+                       || '</p><script>var x = 1;</script>'
+                       || '<style>p{{}}</style></body></html>' AS html
+                FROM v5d WHERE doc_id % 3 <> 0
+            ), v5hc AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                         replace(replace(replace(replace(replace(replace(
+                           regexp_replace(regexp_replace(regexp_replace(html,
+                             '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                             '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                             '<[^>]*>', ' ', 'g'),
+                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                         '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+                         '\\s+', ' ', 'g')) AS etext
+                FROM v5h
+            ), v5p AS (
+                SELECT doc_id,
+                       'vdoc ' || CAST(doc_id AS VARCHAR) || ' page 0'
+                       || chr(10) || substr(ac, 1, 40)
+                       || chr(10) || substr(ac, 41, 40)
+                       || CASE WHEN doc_id % 2 = 1 THEN
+                            chr(10) || 'vdoc ' || CAST(doc_id AS VARCHAR)
+                            || ' page 1'
+                            || chr(10) || substr(ac, 81, 40)
+                            || chr(10) || substr(ac, 121, 40)
+                          ELSE '' END AS etext
+                FROM v5d WHERE doc_id % 3 = 0
+            ), v5e AS (
+                SELECT doc_id, etext FROM v5hc
+                UNION ALL SELECT doc_id, etext FROM v5p
+            ), v5u AS (
+                SELECT doc_id, etext,
+                       'vsite' || CAST(doc_id % 97 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '.com' ELSE '.co.uk' END AS host
+                FROM v5e
+            ), v5a AS (
+                SELECT doc_id, etext, host FROM v5u
+                WHERE doc_id % 5 IN (0, 2, 4)
+                   OR (doc_id % 5 = 3 AND (doc_id % 97) % 2 = 1)
+            ), v5cap AS (
+                SELECT doc_id, etext FROM (
+                    SELECT doc_id, etext,
+                           row_number() OVER (PARTITION BY host
+                                              ORDER BY doc_id) AS hr
+                    FROM v5a) c
+                WHERE hr <= 3
+            ), v5lined AS (
+                SELECT doc_id,
+                       'promo ' || CAST(doc_id % 3 AS VARCHAR) || '. '
+                       || etext || '. visit example v5 today' AS lined
+                FROM v5cap
+            ), v5l0 AS (
+                SELECT doc_id,
+                       unnest(range(len(string_split(lined, '. '))))
+                           AS pos,
+                       unnest(string_split(lined, '. ')) AS line
+                FROM v5lined
+            ), v5l AS (
+                SELECT doc_id, CAST(pos AS INT) AS pos, line,
+                       trim(line) AS canon
+                FROM v5l0
+            ), v5k AS (
+                SELECT doc_id, pos, line,
+                       CASE WHEN length(canon) < 2 THEN TRUE
+                            ELSE row_number() OVER (
+                                PARTITION BY canon
+                                ORDER BY doc_id, pos) = 1
+                       END AS keep
+                FROM v5l
+            ), v5kept AS (
+                SELECT doc_id,
+                       COALESCE(string_agg(line, '. ' ORDER BY pos)
+                                FILTER (WHERE keep), '') AS kept_text
+                FROM v5k GROUP BY doc_id
+            ), v6s0 AS (
+                SELECT doc_id, kept_text,
+                       list_filter(
+                           string_split_regex(kept_text, '\\s+'),
+                           x -> x <> '') AS toks
+                FROM v5kept
+            ), v6sig AS (
+                SELECT doc_id, kept_text,
+                       'qn' || CAST(CAST(floor(len(toks) / 8.0)
+                                         AS INT) AS VARCHAR)
+                       || ' qd' || CAST(CAST(floor(
+                              CAST(len(list_distinct(toks)) AS DOUBLE)
+                              / NULLIF(len(toks), 0) * 20.0)
+                                  AS INT) AS VARCHAR)
+                       || ' qm' || CAST(CAST(floor(
+                              CAST(list_sum(list_transform(
+                                       toks, x -> length(x)))
+                                   AS DOUBLE)
+                              / NULLIF(len(toks), 0) * 2.0)
+                                  AS INT) AS VARCHAR) AS norm
+                FROM v6s0
+            ), v5g AS (
+                SELECT doc_id, kept_text
+                FROM v6sig, {thc6_final} w
+                WHERE {thc_margin} > 0
             ), v5t AS (
                 SELECT doc_id,
                        list_transform(

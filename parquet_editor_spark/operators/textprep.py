@@ -136,6 +136,7 @@ def pack_documents(
     block_tokens: int = 2048,
     bucket_docs: int = 4096,
     count_col: str | None = None,
+    overflow: str = "wrap",
 ) -> DataFrame:
     """LLM-training sequence packing: concatenate the corpus token
     stream in ``id_col`` order and split it into fixed ``block_tokens``
@@ -157,9 +158,27 @@ def pack_documents(
     ``count_col`` overrides the whitespace ``token_count`` with a
     precomputed per-doc length (e.g. ``size(input_ids)`` from
     :func:`bpe_tokenize`) so the same placement machinery packs real
-    token-id streams."""
+    token-id streams.
+
+    ``overflow`` (r12 — SFT truncation semantics) controls a doc
+    whose span crosses its starting block's boundary:
+
+    - ``"wrap"`` (default): split across blocks — the pretraining
+      convention; every non-tail block is exactly full.
+    - ``"truncate"``: keep only the prefix inside the starting
+      block; the tail is discarded (the SFT context-window cut).
+    - ``"drop"``: discard the whole doc unless it fits entirely
+      inside one block (strict sample-integrity SFT).
+
+    Under both non-wrap policies every doc KEEPS its full-cumsum
+    offset — discarded symbols become implicit padding slots, so
+    placement stays a pure prefix-sum projection (no sequential
+    refit recurrence) and blocks may carry fewer than
+    ``block_tokens`` real ids."""
     if block_tokens <= 0:
         raise ValueError("block_tokens must be positive")
+    if overflow not in ("wrap", "truncate", "drop"):
+        raise ValueError("overflow must be wrap|truncate|drop")
     n_expr = (
         F.col(count_col) if count_col is not None
         else token_count(text_col)
@@ -195,16 +214,16 @@ def pack_documents(
         .filter(F.col("n") > 0)
     )
     B = F.lit(block_tokens)
+    first_b = F.floor(F.col("__o") / B)
+    last_b = F.floor((F.col("__o") + F.col("n") - 1) / B)
+    if overflow == "drop":
+        placed = placed.filter(first_b == last_b)
+    end_b = first_b if overflow == "truncate" else last_b
     exploded = placed.select(
         "id",
         "n",
         "__o",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("__o") / B),
-                F.floor((F.col("__o") + F.col("n") - 1) / B),
-            )
-        ).alias("block_id"),
+        F.explode(F.sequence(first_b, end_b)).alias("block_id"),
     )
     tok_start = F.greatest(
         F.lit(0).cast("long"), F.col("block_id") * B - F.col("__o")
@@ -399,6 +418,7 @@ def pack_id_blocks(
     ids_col: str,
     block_tokens: int = 2048,
     bucket_docs: int = 4096,
+    overflow: str = "wrap",
 ) -> DataFrame:
     """Materialized token-ID packing: :func:`pack_documents` placement
     over ``size(ids_col)`` joined back to the id arrays, each doc's
@@ -430,6 +450,7 @@ def pack_id_blocks(
         block_tokens=block_tokens,
         bucket_docs=bucket_docs,
         count_col="__n",
+        overflow=overflow,
     )
     piece = F.slice(
         F.col("__ids"),

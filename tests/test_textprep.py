@@ -1018,3 +1018,95 @@ def test_bpe_train_checkpoint_bounds_plan_depth(spark, monkeypatch):
 
     with pytest.raises(ValueError, match="checkpoint_every"):
         TP.bpe_train(df, "norm", n_merges=1, checkpoint_every=0)
+
+
+def test_pack_documents_overflow_policies(spark):
+    """r12 SFT truncation semantics: wrap splits a crossing doc,
+    truncate keeps only the starting-block prefix, drop discards the
+    crossing doc — and offsets stay the full cumsum under every
+    policy (discarded symbols are implicit padding)."""
+    rows = [(0, "a " * 5), (1, "b " * 6), (2, "c " * 4), (3, "d " * 3)]
+    # lengths 5,6,4,3 -> offsets 0,5,11,15; block=8:
+    #   doc0 [0,5) fits block 0
+    #   doc1 [5,11) CROSSES 0->1
+    #   doc2 [11,15) fits block 1
+    #   doc3 [15,18) CROSSES 1->2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def placements(overflow):
+        out = {}
+        for r in TP.pack_documents(
+            df, "doc_id", "text", block_tokens=8, overflow=overflow
+        ).collect():
+            out.setdefault(r["id"], []).append(
+                (r["block_id"], r["tok_start"], r["n_block_tokens"],
+                 r["block_pos"])
+            )
+        return {k: sorted(v) for k, v in out.items()}
+
+    wrap = placements("wrap")
+    assert wrap[1] == [(0, 0, 3, 5), (1, 3, 3, 0)]
+    assert wrap[3] == [(1, 0, 1, 7), (2, 1, 2, 0)]
+
+    trunc = placements("truncate")
+    assert trunc[0] == [(0, 0, 5, 0)]
+    assert trunc[1] == [(0, 0, 3, 5)]   # tail discarded
+    assert trunc[2] == [(1, 0, 4, 3)]   # offset unchanged
+    assert trunc[3] == [(1, 0, 1, 7)]
+
+    drop = placements("drop")
+    assert 1 not in drop and 3 not in drop
+    assert drop[0] == [(0, 0, 5, 0)] and drop[2] == [(1, 0, 4, 3)]
+
+    with pytest.raises(ValueError, match="overflow"):
+        TP.pack_documents(df, "doc_id", "text", overflow="pad")
+
+
+def test_pack_id_blocks_overflow_truncate_blocks_underfull(spark):
+    rows = [
+        (0, list(range(100, 105))),
+        (1, list(range(200, 206))),
+        (2, list(range(300, 304))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    out = {
+        r["block_id"]: r
+        for r in TP.pack_id_blocks(
+            df, "doc_id", "ids", block_tokens=8, overflow="truncate"
+        ).collect()
+    }
+    # block 0: doc0 full + doc1 prefix [200,201,202]; block 1: doc2
+    assert out[0]["input_ids"] == [100, 101, 102, 103, 104, 200, 201, 202]
+    assert out[1]["input_ids"] == [300, 301, 302, 303]
+    assert out[1]["n_ids"] == 4  # underfull: truncation padding slots
+
+
+def test_sft_pack_v2_loss_mask_invariants(spark, sf_dir):
+    """r12: the v2 SFT pack's popcount invariants — every block's
+    trained-token count is the odd-symbol count (masks ride inside
+    symbols); drop-policy blocks hold only WHOLE segments (no
+    truncated piece can appear), so per-policy totals order
+    wrap >= truncate >= drop."""
+    import __spark_entry__ as M
+
+    rows = M.queries()["sft_pack_docs_v2"](spark, sf_dir).collect()
+    by_policy = {}
+    for r in rows:
+        assert 0 <= r["n_loss_ids"] <= r["n_syms"]
+        assert r["n_syms"] <= 64
+        # head_syms odd-count never exceeds the block's popcount
+        head = [int(x) for x in r["head_syms"].split(",") if x != ""]
+        assert sum(1 for x in head if x % 2) <= r["n_loss_ids"]
+        p = by_policy.setdefault(
+            r["policy"], {"syms": 0, "loss": 0, "segs": 0}
+        )
+        p["syms"] += r["n_syms"]
+        p["loss"] += r["n_loss_ids"]
+        p["segs"] += r["n_segments"]
+    assert set(by_policy) == {"truncate", "drop"}
+    t, d = by_policy["truncate"], by_policy["drop"]
+    # truncate keeps every segment's prefix; drop discards crossing
+    # segments entirely
+    assert t["segs"] >= d["segs"]
+    assert t["syms"] >= d["syms"] and t["loss"] >= d["loss"]
+    assert d["segs"] > 0  # fixture actually exercises both policies
