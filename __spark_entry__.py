@@ -5342,6 +5342,158 @@ def q_cdx_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("surt", "doc_id")
 
 
+def q_robots_sitemap_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sitemap DISCOVERY from robots.txt (r12 —
+    ``urls.robots_sitemaps``): per host, synthesize a robots.txt
+    whose ``Sitemap:`` lines are declared OUTSIDE any relevant group
+    (they are global per the REP), with mixed-case keys, an
+    empty-valued line (skipped), and 1-2 declarations; extract the
+    per-host sitemap list in declaration order and canonicalize each
+    URL (the second declaration carries a www + default-port mess the
+    canonicalizer must strip).  Closed-form oracle."""
+    from parquet_editor_spark.functions import urls as U
+
+    k = F.col("k")
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 19).alias("k"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("rs"), k.cast("string"), F.lit(".com")
+            ).alias("host"),
+            F.concat(
+                F.lit(
+                    "# discovery fixture\nUser-agent: badbot\n"
+                    "Disallow: /\n\nSitemap: https://WWW.rs"
+                ),
+                k.cast("string"),
+                F.lit(".com:443/maps/s"),
+                k.cast("string"),
+                F.lit(".xml\nUser-agent: *\nDisallow: /x\nSitemap:\n"),
+                F.when(
+                    k % 2 == 1,
+                    F.concat(
+                        F.lit("sitemap: http://rs"),
+                        k.cast("string"),
+                        F.lit(".com:80/extra.xml\n"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("robots"),
+        )
+    )
+    sm = U.robots_sitemaps(hosts, "host", "robots")
+    return sm.select(
+        "host",
+        "sitemap_idx",
+        "sitemap_url",
+        U.canonical_url("sitemap_url").alias("canon_url"),
+    ).orderBy("host", "sitemap_idx")
+
+
+def q_anchor_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlinks WITH anchor text (r12 — ``urls.extract_anchors``, the
+    relevance signal a frontier prioritizes on and a search index
+    keys on): per doc, anchors whose inner text carries nested markup
+    (<b>, an <img>), uppercase tags, a no-href anchor (excluded) and
+    surrounding prose; extract (href, anchor-text) pairs in document
+    order, resolve each href against the page URL, canonicalize.
+    Zero Python, zero shuffle before the ordered output; closed-form
+    oracle."""
+    from parquet_editor_spark.functions import urls as U
+
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://an"),
+        (d % 31).cast("string"),
+        F.lit(".org/d/"),
+        (d % 9).cast("string"),
+        F.lit("/"),
+    )
+    html = F.concat(
+        F.lit('<html><body><p>prose</p><a href="/p/'),
+        (d % 7).cast("string"),
+        F.lit('">Read <b>more '),
+        (d % 7).cast("string"),
+        F.lit("</b>\n now</a> <a name='x'>skip</a> <A HREF='../u"),
+        (d % 5).cast("string"),
+        F.lit("'><img src=i> Click "),
+        (d % 11).cast("string"),
+        F.lit(" </A></body></html>"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", base.alias("page_url"), html.alias("html")
+    )
+    anchors = docs.select(
+        "doc_id",
+        "page_url",
+        F.posexplode(U.extract_anchors("html")).alias("idx", "a"),
+    )
+    return anchors.select(
+        "doc_id",
+        F.col("idx").cast("int").alias("link_idx"),
+        F.col("a.href").alias("href"),
+        F.col("a.anchor").alias("anchor"),
+        U.canonical_url(
+            U.resolve_url("page_url", F.col("a.href"))
+        ).alias("canon_url"),
+    ).orderBy("doc_id", "link_idx")
+
+
+def q_outlink_graph_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Host-graph PageRank over EXTRACTED outlinks (r12 — the r12
+    outlink tier composed with the r8 iterative-algorithm
+    representative): synthesize per-doc HTML whose anchors link host
+    ``g{d%13}.com`` to ``g{(d*3+1)%13}.com`` and ``g{(d+5)%13}.com``
+    (plus a relative self-link that must DROP as a self-loop after
+    resolution), extract through the production path
+    (``extract_outlinks`` → ``resolve_url`` → ``url_host``), distinct
+    the host edge list, and run 3 unrolled PageRank supersteps —
+    crawl prioritization by link centrality.  The oracle replays the
+    identical recurrence via ``pagerank_sql_ctes`` over the same
+    closed-form edge set."""
+    from parquet_editor_spark.functions import urls as U
+    from parquet_editor_spark.operators import graph as G
+
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://g"),
+        (d % 13).cast("string"),
+        F.lit(".com/a/p"),
+        (d % 3).cast("string"),
+    )
+    html = F.concat(
+        F.lit('<a href="https://g'),
+        ((d * 3 + 1) % 13).cast("string"),
+        F.lit('.com/a">x</a><a href="https://g'),
+        ((d + 5) % 13).cast("string"),
+        F.lit('.com/b">y</a><a href="self">z</a>'),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", base.alias("page_url"), html.alias("html")
+    )
+    links = docs.select(
+        U.url_host("page_url").alias("src"),
+        F.explode(U.extract_outlinks("html")).alias("href"),
+        "page_url",
+    ).select(
+        "src",
+        U.url_host(U.resolve_url("page_url", "href")).alias("dst"),
+    )
+    edges = (
+        links.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .select("src", "dst", F.lit(1.0).alias("w"))
+    )
+    return G.pagerank(edges, "src", "dst", "w", iters=3).orderBy(
+        "node"
+    )
+
+
 def q_crawl_schedule_docs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -9687,6 +9839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_extract_docs": q_sitemap_extract_docs,
         "outlink_extract_docs": q_outlink_extract_docs,
         "crawl_frontier_v2": q_crawl_frontier_v2,
+        "robots_sitemap_docs": q_robots_sitemap_docs,
+        "anchor_text_docs": q_anchor_text_docs,
+        "outlink_graph_rank": q_outlink_graph_rank,
         "crawl_schedule_docs": q_crawl_schedule_docs,
         "sft_pack_docs": q_sft_pack_docs,
         "sft_pack_docs_v2": q_sft_pack_docs_v2,
@@ -10040,6 +10195,24 @@ def oracle_sql() -> dict[str, str]:
 
     # generated from the SAME recurrence the Spark operator unrolls —
     # one spec, two engines (see q_pagerank_event_graph)
+    outlink_rank_oracle = pagerank_sql_ctes(
+        "SELECT DISTINCT 'g' || CAST(doc_id % 13 AS VARCHAR)"
+        " || '.com' AS src,"
+        " 'g' || CAST((doc_id * 3 + 1) % 13 AS VARCHAR)"
+        " || '.com' AS dst, 1.0 AS w FROM documents"
+        " WHERE (doc_id * 3 + 1) % 13 <> doc_id % 13"
+        " UNION"
+        " SELECT DISTINCT 'g' || CAST(doc_id % 13 AS VARCHAR)"
+        " || '.com',"
+        " 'g' || CAST((doc_id + 5) % 13 AS VARCHAR) || '.com', 1.0"
+        " FROM documents"
+        " WHERE (doc_id + 5) % 13 <> doc_id % 13",
+        "src",
+        "dst",
+        "w",
+        iters=3,
+    ) + " ORDER BY node"
+
     pagerank_oracle = pagerank_sql_ctes(
         "SELECT prev AS src, event_type AS dst,"
         " CAST(count(*) AS DOUBLE) AS w FROM ("
@@ -12866,6 +13039,58 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             ORDER BY doc_id, link_idx
         """,
+        "robots_sitemap_docs": """
+            WITH ks AS (
+                SELECT DISTINCT doc_id % 19 AS k FROM documents
+            ), e AS (
+                SELECT 'rs' || CAST(k AS VARCHAR) || '.com' AS host,
+                       0 AS sitemap_idx,
+                       'https://WWW.rs' || CAST(k AS VARCHAR)
+                       || '.com:443/maps/s' || CAST(k AS VARCHAR)
+                       || '.xml' AS sitemap_url,
+                       'https://rs' || CAST(k AS VARCHAR)
+                       || '.com/maps/s' || CAST(k AS VARCHAR)
+                       || '.xml' AS canon_url
+                FROM ks
+                UNION ALL
+                SELECT 'rs' || CAST(k AS VARCHAR) || '.com',
+                       1,
+                       'http://rs' || CAST(k AS VARCHAR)
+                       || '.com:80/extra.xml',
+                       'http://rs' || CAST(k AS VARCHAR)
+                       || '.com/extra.xml'
+                FROM ks WHERE k % 2 = 1
+            )
+            SELECT host, CAST(sitemap_idx AS INT) AS sitemap_idx,
+                   sitemap_url, canon_url
+            FROM e
+            ORDER BY host, sitemap_idx
+        """,
+        "anchor_text_docs": """
+            SELECT doc_id,
+                   CAST(g.j AS INT) AS link_idx,
+                   CASE g.j
+                        WHEN 0 THEN '/p/'
+                            || CAST(doc_id % 7 AS VARCHAR)
+                        ELSE '../u' || CAST(doc_id % 5 AS VARCHAR)
+                        END AS href,
+                   CASE g.j
+                        WHEN 0 THEN 'Read more '
+                            || CAST(doc_id % 7 AS VARCHAR) || ' now'
+                        ELSE 'Click ' || CAST(doc_id % 11 AS VARCHAR)
+                        END AS anchor,
+                   CASE g.j
+                        WHEN 0 THEN 'https://an'
+                            || CAST(doc_id % 31 AS VARCHAR)
+                            || '.org/p/' || CAST(doc_id % 7 AS VARCHAR)
+                        ELSE 'https://an'
+                            || CAST(doc_id % 31 AS VARCHAR)
+                            || '.org/d/u' || CAST(doc_id % 5 AS VARCHAR)
+                        END AS canon_url
+            FROM documents, generate_series(0, 1) AS g(j)
+            ORDER BY doc_id, link_idx
+        """,
+        "outlink_graph_rank": outlink_rank_oracle,
         "crawl_frontier_v2": """
             WITH ol AS (
                 SELECT 'fr' || CAST(doc_id % 11 AS VARCHAR) || '.com'

@@ -510,3 +510,76 @@ def resolve_url(base: str | Column, href: str | Column) -> Column:
             )
         )
     )
+
+
+def robots_sitemaps(
+    df: DataFrame, host_col: str, robots_col: str
+) -> DataFrame:
+    """Per-host ``Sitemap:`` URLs from robots.txt (r12 — sitemap
+    DISCOVERY, closing the loop between the robots parse and
+    sitemap.xml extraction).  Unlike path rules, ``Sitemap`` lines
+    are GLOBAL — independent of any user-agent group (sitemaps.org /
+    REP) — and the key is case-insensitive; the value keeps its
+    internal colons (``https://``).  Emits one row per declared
+    sitemap: ``host``, ``sitemap_idx`` (declaration order),
+    ``sitemap_url``.  Pure explode + filter — zero Python, and the
+    only shuffle is whatever the caller does downstream."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\n", -1)).alias(
+            "pos", "raw"
+        ),
+    ).select(
+        "host",
+        "pos",
+        F.lower(
+            F.trim(F.regexp_extract("raw", r"^([^:#]+):", 1))
+        ).alias("key"),
+        F.trim(F.regexp_extract("raw", r"^[^:#]+:(.*)$", 1)).alias(
+            "val"
+        ),
+    )
+    sm = lines.filter(
+        (F.col("key") == "sitemap") & (F.col("val") != "")
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    return sm.select(
+        "host",
+        (F.row_number().over(w) - 1).cast("int").alias("sitemap_idx"),
+        F.col("val").alias("sitemap_url"),
+    )
+
+
+# Full anchor elements (href required) — lazy body, RE2-portable.
+_ANCHOR_PATTERN = r"(?is)<a\b[^>]*\shref\s*=[^>]*>.*?</a>"
+
+
+def extract_anchors(html: str | Column) -> Column:
+    """``array<struct<href:string, anchor:string>>`` — outlinks WITH
+    their anchor text (r12): the classic relevance/quality signal a
+    crawl frontier and a search index both key on.  Anchor text is
+    the element's inner text with nested tags stripped and whitespace
+    collapsed.  Anchors without an ``href`` don't match; an anchor
+    missing its closing ``</a>`` is skipped (vs
+    :func:`extract_outlinks`, which only needs the opening tag —
+    documented divergence).  Pure Catalyst: one
+    ``regexp_extract_all`` + per-element pulls inside ``transform``;
+    zero Python, zero shuffle."""
+    els = F.regexp_extract_all(_c(html), F.lit(_ANCHOR_PATTERN), 0)
+
+    def one(el: Column) -> Column:
+        href = F.regexp_replace(
+            F.regexp_extract(el, _HREF_PATTERN, 1),
+            """^["']|["']$""",
+            "",
+        )
+        txt = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(el, r"(?s)<[^>]*>", " "),
+                r"\s+",
+                " ",
+            )
+        )
+        return F.struct(href.alias("href"), txt.alias("anchor"))
+
+    return F.transform(els, one)

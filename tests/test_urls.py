@@ -444,3 +444,41 @@ def test_resolve_url_plan_is_pure_codegen(spark):
     ).select(U.resolve_url("base", "href").alias("out"))
     plan = P.executed_plan(df)
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_robots_sitemaps_global_case_insensitive(spark):
+    robots = (
+        "# c\nUser-agent: a\nDisallow: /\nSitemap: https://h/s1.xml\n"
+        "User-agent: *\nDisallow: /x\n"
+        "sitemap: https://h/s2.xml\nSiteMap: https://h/s3.xml\n"
+        "Sitemap:\n"  # empty value skipped
+    )
+    df = spark.createDataFrame(
+        [("h.com", robots), ("empty.com", "User-agent: *\nAllow: /")],
+        "host string, robots string",
+    )
+    rows = U.robots_sitemaps(df, "host", "robots").collect()
+    got = sorted((r["host"], r["sitemap_idx"], r["sitemap_url"]) for r in rows)
+    assert got == [
+        ("h.com", 0, "https://h/s1.xml"),
+        ("h.com", 1, "https://h/s2.xml"),
+        ("h.com", 2, "https://h/s3.xml"),
+    ]
+
+
+def test_extract_anchors_inner_text_and_divergences(spark):
+    html = (
+        '<p>x</p><a href="/p/1">Read <b>more 1</b>\n now</a>'
+        "<a name='no-href'>skip</a>"
+        "<A HREF='https://x.net/q'><img src=i> Click 2 </A>"
+        '<a href="/broken">never closed'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    (row,) = df.select(U.extract_anchors("html").alias("a")).collect()
+    assert [(x["href"], x["anchor"]) for x in row["a"]] == [
+        ("/p/1", "Read more 1 now"),
+        ("https://x.net/q", "Click 2"),
+    ]
+    # extract_outlinks still sees the unterminated anchor
+    (row,) = df.select(U.extract_outlinks("html").alias("l")).collect()
+    assert row["l"] == ["/p/1", "https://x.net/q", "/broken"]
