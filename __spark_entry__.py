@@ -5055,6 +5055,55 @@ def q_sft_pack_docs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_detokenize_roundtrip_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer DETOKENIZE round-trip (r12 — the integrity law every
+    id pipeline rests on): tokenize the normalized text with the
+    pinned 10-merge table, map ids back to token strings through the
+    inverted vocab (a 36-entry literal map — pure Catalyst, zero
+    Python on the decode side) and re-concatenate; the result must
+    equal the normalized text with spaces removed (word boundaries
+    are not represented in this id space — the documented
+    information loss), so ``equal`` pins that NO token is dropped,
+    duplicated or mangled anywhere in tokenize → ids → decode.  The
+    oracle recomputes the token count through the replace-chain
+    tokenizer mirror and the detok md5 closed-form."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _bpe_norm("text").alias("norm")
+    )
+    toks = TP.bpe_tokenize(docs, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB)
+    inv = sorted((v, k) for k, v in _BPE_VOCAB.items())
+    id2tok = F.create_map(
+        *[F.lit(x) for pair in inv for x in pair]
+    )
+    detok = F.array_join(
+        F.transform("input_ids", lambda i: F.element_at(id2tok, i)),
+        "",
+    )
+    return (
+        toks.select(
+            F.col("id").alias("doc_id"),
+            F.size("input_ids").cast("long").alias("n_tokens"),
+            detok.alias("__detok"),
+        )
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.md5(F.encode("__detok", "utf-8")).alias("detok_md5"),
+            (
+                F.col("__detok") == F.translate("norm", " ", "")
+            )
+            .cast("int")
+            .alias("equal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (``sim.semdedup``, new r10 — Abbas et al. 2023):
     semantic dedup by clustering embeddings with the deterministic
@@ -5491,6 +5540,52 @@ def q_outlink_graph_rank(
     )
     return G.pagerank(edges, "src", "dst", "w", iters=3).orderBy(
         "node"
+    )
+
+
+def q_bloom_frontier_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-filter seen-set frontier dedup (r12 —
+    ``dedup.bloom_build`` / ``bloom_member``): the already-crawled
+    URL set (every doc_id % 3 == 0 doc's canonical URL) builds a
+    DELIBERATELY tiny bitmap (8 words × 63 usable bits, k=4 double-
+    hashed portable polynomial probes), and every candidate URL
+    probes it — ``member`` = possibly-seen (including the filter's
+    REAL false positives, which the bit-exact DuckDB mirror
+    reproduces one-for-one), ``seen_exact`` = ground truth from the
+    exact join, so the differential pins both the no-false-negative
+    law and the exact FP pattern.  Scale shape: the bitmap is
+    metadata-sized and broadcasts; candidates explode k probe rows
+    and agg back — nothing corpus-sized shuffles (the structure that
+    replaces an unbroadcastable 10^12-row exact seen-set at 100 TB)."""
+    from parquet_editor_spark.operators import dedup as D
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://bf"),
+        (d % 11).cast("string"),
+        F.lit(".com/s/"),
+        (d % 37).cast("string"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(d % 3 == 0).select(url.alias("key")).distinct()
+    bloom = D.bloom_build(seen, "key", n_words=8, k=4)
+    cand = docs.select("doc_id", url.alias("url"))
+    probed = D.bloom_member(cand, bloom, "url", n_words=8, k=4)
+    return (
+        probed.join(
+            seen.select(F.col("key").alias("url"), F.lit(1).alias("__s")),
+            "url",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "url",
+            "member",
+            F.coalesce("__s", F.lit(0)).cast("int").alias("seen_exact"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -9842,6 +9937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemap_docs": q_robots_sitemap_docs,
         "anchor_text_docs": q_anchor_text_docs,
         "outlink_graph_rank": q_outlink_graph_rank,
+        "bloom_frontier_docs": q_bloom_frontier_docs,
         "crawl_schedule_docs": q_crawl_schedule_docs,
         "sft_pack_docs": q_sft_pack_docs,
         "sft_pack_docs_v2": q_sft_pack_docs_v2,
@@ -9894,6 +9990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         # --- behind the window: the fully-green r10/r11-signal block, in standing order ---
         "bpe_tokenize_docs": q_bpe_tokenize_docs,
+        "detokenize_roundtrip_docs": q_detokenize_roundtrip_docs,
         "pack_ids_docs": q_pack_ids_docs,
         "url_curation_docs": q_url_curation_docs,
         "host_profile_docs": q_host_profile_docs,
@@ -10195,6 +10292,49 @@ def oracle_sql() -> dict[str, str]:
 
     # generated from the SAME recurrence the Spark operator unrolls —
     # one spec, two engines (see q_pagerank_event_graph)
+    from parquet_editor_spark.functions.hashing import poly_string_hash_sql
+
+    _bf_url = ("'https://bf' || CAST(doc_id % 11 AS VARCHAR)"
+               " || '.com/s/' || CAST(doc_id % 37 AS VARCHAR)")
+    _bf_h1 = poly_string_hash_sql("key")
+    _bf_h2 = poly_string_hash_sql("reverse(key)")
+    _bf_bit = "(1::BIGINT << CAST(p % 63 AS INT))"
+    bloom_oracle = f"""
+        WITH seen AS (
+            SELECT DISTINCT {_bf_url} AS key
+            FROM documents WHERE doc_id % 3 = 0
+        ), sh AS (
+            SELECT key, {_bf_h1} AS h1, {_bf_h2} AS h2 FROM seen
+        ), spos AS (
+            SELECT ((h1 + g.i * h2) % 504) AS p
+            FROM sh, generate_series(0, 3) AS g(i)
+        ), words AS (
+            SELECT p // 63 AS wi, bit_or({_bf_bit}) AS w
+            FROM spos GROUP BY p // 63
+        ), cand AS (
+            SELECT doc_id, {_bf_url} AS key FROM documents
+        ), ch AS (
+            SELECT doc_id, key, {_bf_h1} AS h1, {_bf_h2} AS h2
+            FROM cand
+        ), cpos AS (
+            SELECT doc_id, key, ((h1 + g.i * h2) % 504) AS p
+            FROM ch, generate_series(0, 3) AS g(i)
+        ), hit AS (
+            SELECT doc_id, key,
+                   min(CASE WHEN w.w IS NOT NULL
+                            AND (w.w & {_bf_bit}) = {_bf_bit}
+                       THEN 1 ELSE 0 END) AS member
+            FROM cpos LEFT JOIN words w ON w.wi = cpos.p // 63
+            GROUP BY doc_id, key
+        )
+        SELECT h.doc_id, h.key AS url,
+               CAST(h.member AS INT) AS member,
+               CAST(CASE WHEN s.key IS NOT NULL THEN 1 ELSE 0 END
+                    AS INT) AS seen_exact
+        FROM hit h LEFT JOIN seen s ON s.key = h.key
+        ORDER BY h.doc_id
+    """
+
     outlink_rank_oracle = pagerank_sql_ctes(
         "SELECT DISTINCT 'g' || CAST(doc_id % 13 AS VARCHAR)"
         " || '.com' AS src,"
@@ -13091,6 +13231,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id, link_idx
         """,
         "outlink_graph_rank": outlink_rank_oracle,
+        "bloom_frontier_docs": bloom_oracle,
         "crawl_frontier_v2": """
             WITH ol AS (
                 SELECT 'fr' || CAST(doc_id % 11 AS VARCHAR) || '.com'
@@ -13552,6 +13693,21 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(ids, ',')) AS ids_md5
             FROM t
             ORDER BY doc_id
+        """,
+        "detokenize_roundtrip_docs": f"""
+            WITH t AS ({_ORACLE_BPE_IDS}), flat AS (
+                SELECT doc_id,
+                       replace(trim(regexp_replace(
+                           lower(COALESCE(text, '')),
+                           '[^a-z]+', ' ', 'g')), ' ', '') AS f
+                FROM documents
+            )
+            SELECT t.doc_id,
+                   len(t.ids)::BIGINT AS n_tokens,
+                   md5(flat.f) AS detok_md5,
+                   1::INT AS equal
+            FROM t JOIN flat ON flat.doc_id = t.doc_id
+            ORDER BY t.doc_id
         """,
         "pack_boundaries_docs": f"""
             WITH t AS ({_ORACLE_BPE_IDS}), c AS (

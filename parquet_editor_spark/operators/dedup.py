@@ -1361,3 +1361,131 @@ def fuzzy_word_pairs(
         "word_b",
         F.levenshtein("word_a", "word_b").cast("long").alias("dist"),
     ).filter(F.col("dist") <= 1)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter seen-set (r12): incremental crawl-frontier dedup
+# ---------------------------------------------------------------------------
+
+#: bits per bitmap word — 63, not 64: DuckDB's checked `<<` rejects
+#: `1::BIGINT << 63`, so the engine-portable bit range is 0-62
+BLOOM_WORD_BITS = 63
+
+
+def _bloom_positions(key: Column, n_words: int, k: int) -> list[Column]:
+    """The k probe positions in [0, n_words·63): Kirsch-Mitzenmacher
+    double hashing ``(h1 + i·h2) mod m`` over the two portable
+    polynomial string hashes (forward and reversed text) — every step
+    integer-exact and engine-portable (h1, h2 < 2^55; k ≤ 64 keeps
+    h1 + i·h2 < 2^61)."""
+    from parquet_editor_spark.functions.hashing import poly_string_hash
+
+    m = n_words * BLOOM_WORD_BITS
+    h1 = poly_string_hash(key)
+    h2 = poly_string_hash(F.reverse(key))
+    return [(h1 + F.lit(i) * h2) % F.lit(m) for i in range(k)]
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, n_words: int = 64, k: int = 4
+) -> DataFrame:
+    """Build a Bloom-filter bitmap over a key column — the SEEN-SET
+    structure an incremental crawl frontier dedups against (r12):
+    at 100 TB the crawled-URL set has ~10^12 members, far past any
+    broadcastable exact set, but a 1% -FP Bloom filter over it is
+    ~1.2 TB/10^9-th... sized in GB and, for per-host shards, KB —
+    this operator emits the bitmap as ``(word_idx, word)`` rows
+    (``n_words`` rows of 63 usable bits each) that downstream
+    membership joins broadcast.
+
+    Engine-exact: probe positions are the double-hashed portable
+    polynomial (see :func:`_bloom_positions`), words combine with
+    ``bit_or`` — no float, no hash-seed divergence, so a DuckDB
+    mirror running the same arithmetic reproduces the bitmap
+    bit-for-bit (including false positives).
+
+    Scale shape: one projection exploding k positions per key, one
+    hash agg over at most ``n_words`` groups — map-side combinable,
+    output is metadata-sized."""
+    if n_words < 1 or not 1 <= k <= 64:
+        raise ValueError("need n_words >= 1 and 1 <= k <= 64")
+    key = F.col(key_col)
+    pos = F.explode(F.array(*_bloom_positions(key, n_words, k)))
+    staged = df.select(pos.alias("p"))
+    return (
+        staged.select(
+            (F.col("p") - F.pmod("p", F.lit(BLOOM_WORD_BITS)))
+            .cast("long")
+            .alias("__pw"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod("p", F.lit(BLOOM_WORD_BITS)).cast("int"),
+            ).alias("__m"),
+        )
+        .select(
+            (F.col("__pw") / BLOOM_WORD_BITS)
+            .cast("long")
+            .alias("word_idx"),
+            F.col("__m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__m").alias("word"))
+    )
+
+
+def bloom_member(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    n_words: int = 64,
+    k: int = 4,
+) -> DataFrame:
+    """Probe every row's key against a :func:`bloom_build` bitmap:
+    adds ``member`` (1 = possibly seen, with the filter's false-
+    positive rate; 0 = DEFINITELY new — the side a frontier trusts).
+    The bitmap side is metadata-sized and broadcasts; the data side
+    explodes k probe rows per key and aggregates back — one
+    broadcast join, one key-grouped agg, nothing corpus-sized
+    shuffles."""
+    if n_words < 1 or not 1 <= k <= 64:
+        raise ValueError("need n_words >= 1 and 1 <= k <= 64")
+    cols = df.columns
+    key = F.col(key_col)
+    probes = df.select(
+        *cols,
+        F.explode(
+            F.array(*_bloom_positions(key, n_words, k))
+        ).alias("__p"),
+    ).select(
+        *cols,
+        (
+            (F.col("__p") - F.pmod("__p", F.lit(BLOOM_WORD_BITS)))
+            / BLOOM_WORD_BITS
+        )
+        .cast("long")
+        .alias("__wi"),
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.pmod("__p", F.lit(BLOOM_WORD_BITS)).cast("int"),
+        ).alias("__m"),
+    )
+    b = F.broadcast(
+        bloom.select(
+            F.col("word_idx").alias("__wi"), F.col("word").alias("__w")
+        )
+    )
+    hits = probes.join(b, "__wi", "left").withColumn(
+        "__hit",
+        F.coalesce(
+            (F.col("__w").bitwiseAND(F.col("__m")) == F.col("__m")).cast(
+                "int"
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        hits.groupBy(*[F.col(c) for c in cols])
+        .agg((F.min("__hit") == 1).cast("int").alias("member"))
+    )

@@ -689,3 +689,93 @@ def test_substring_dedup_plan_no_cartesian_no_single_partition(spark):
     plan = P.executed_plan(out)
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# r12: Bloom-filter seen-set
+# ---------------------------------------------------------------------------
+
+
+def _brute_bloom(keys, n_words, k):
+    MOD, BASE = 36028797018963913, 131
+
+    def poly(s):
+        h = 0
+        for ch in s:
+            h = (h * BASE + ord(ch)) % MOD
+        return h
+
+    m = n_words * 63
+    words = {}
+    positions = {}
+    for s in keys:
+        h1, h2 = poly(s), poly(s[::-1])
+        ps = [(h1 + i * h2) % m for i in range(k)]
+        positions[s] = ps
+        for p in ps:
+            words[p // 63] = words.get(p // 63, 0) | (1 << (p % 63))
+    return words, positions
+
+
+def test_bloom_build_and_member_match_brute_force(spark):
+    from parquet_editor_spark.operators.dedup import (
+        bloom_build,
+        bloom_member,
+    )
+
+    seen = [f"https://h{i % 5}.com/p/{i}" for i in range(0, 60, 3)]
+    cand = [f"https://h{i % 5}.com/p/{i}" for i in range(40)]
+    n_words, k = 8, 4  # deliberately tiny -> real false positives
+    sdf = spark.createDataFrame([(s,) for s in seen], "key string")
+    bloom = bloom_build(sdf, "key", n_words=n_words, k=k)
+    words, _ = _brute_bloom(seen, n_words, k)
+    got_words = {r["word_idx"]: r["word"] for r in bloom.collect()}
+    assert got_words == words
+
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cand)], "i long, key string"
+    )
+    got = {
+        r["key"]: r["member"]
+        for r in bloom_member(
+            cdf, bloom, "key", n_words=n_words, k=k
+        ).collect()
+    }
+    _, cpos = _brute_bloom(cand, n_words, k)
+    fp = 0
+    for c in cand:
+        want = int(
+            all(
+                words.get(p // 63, 0) >> (p % 63) & 1 for p in cpos[c]
+            )
+        )
+        assert got[c] == want, c
+        if want and c not in seen:
+            fp += 1
+    # every true member is found (no false negatives — the Bloom law)
+    for c in cand:
+        if c in seen:
+            assert got[c] == 1, c
+    assert fp > 0  # the tiny filter really exercises the FP path
+
+
+def test_bloom_member_plan_broadcasts_bitmap(spark):
+    from parquet_editor_spark import plans as P
+    from parquet_editor_spark.operators.dedup import (
+        bloom_build,
+        bloom_member,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}",) for i in range(50)], "key string"
+    )
+    bloom = bloom_build(df, "key")
+    out = bloom_member(df, bloom, "key")
+    plan = P.executed_plan(out)
+    assert P.has_broadcast_join(out)
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+    with pytest.raises(ValueError, match="n_words"):
+        bloom_build(df, "key", n_words=0)
+    with pytest.raises(ValueError, match="n_words"):
+        bloom_member(df, bloom, "key", k=65)
