@@ -9921,10 +9921,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window membership and the no-top-level-Array/Map/Struct output
     # contract for every window entry (the r6/r7 tfidf crash class).
     return {
-        # --- new in r11 (debuts outrank everything: no driver signal yet) ---
+        # --- r12 WINDOW: 11 debuts, then the 18 r5-stale +
+        # 21 oldest-r7 entries (oldest-first rotation, the r11
+        # verdict's #3) --------------------------------------
+        "outlink_extract_docs": q_outlink_extract_docs,
+        "crawl_frontier_v2": q_crawl_frontier_v2,
+        "substring_dedup_docs": q_substring_dedup_docs,
+        "pdf_aes_docs": q_pdf_aes_docs,
+        "pipeline_curation_v6": q_pipeline_curation_v6,
+        "sft_pack_docs_v2": q_sft_pack_docs_v2,
+        "robots_sitemap_docs": q_robots_sitemap_docs,
+        "anchor_text_docs": q_anchor_text_docs,
+        "outlink_graph_rank": q_outlink_graph_rank,
+        "bloom_frontier_docs": q_bloom_frontier_docs,
+        "detokenize_roundtrip_docs": q_detokenize_roundtrip_docs,
+        "boilerplate_shingles": q_boilerplate_shingles,
+        "chunk_documents": q_chunk_documents,
+        "clean_replace": q_clean_replace,
+        "date_trunc_orders": q_date_trunc_orders,
+        "decontaminate": q_decontaminate,
+        "gopher_quality": q_gopher_quality,
+        "hash_split": q_hash_split,
+        "incremental_dedup": q_incremental_dedup,
+        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
+        "kafka_roundtrip_events": q_kafka_roundtrip_events,
+        "pipeline_training_data": q_pipeline_training_data,
+        "redact_pii": q_redact_pii,
+        "resample_ffill_events": q_resample_ffill_events,
+        "resample_interp_events": q_resample_interp_events,
+        "string_funcs_part": q_string_funcs_part,
+        "time_rollup_events": q_time_rollup_events,
+        "udtf_chunk_documents": q_udtf_chunk_documents,
+        "unigram_logprob": q_unigram_logprob,
+        "above_avg_orders": q_above_avg_orders,
+        "add_drop_column": q_add_drop_column,
+        "bin2d_scatter": q_bin2d_scatter,
+        "binary_meta": q_binary_meta,
+        "boilerplate_strip": q_boilerplate_strip,
+        "correlated_min_suppliers": q_correlated_min_suppliers,
+        "cube_qty": q_cube_qty,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "doc_rolling_hash": q_doc_rolling_hash,
+        "embedding_cosine_dedup": q_embedding_cosine_dedup,
+        "embedding_lsh_dedup": q_embedding_lsh_dedup,
+        "embedding_topk_cosine": q_embedding_topk,
+        "except_inactive_custs": q_except_inactive_custs,
+        "exists_high_qty": q_exists_high_qty,
+        "frame_sample": q_frame_sample,
+        "full_outer_nation_actors": q_full_outer_nation_actors,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "having_frequent_custs": q_having_frequent_custs,
+        "histogram_quantity": q_histogram_quantity,
+        # --- behind the window: newest-signal entries, then
+        # probes / no-oracle sampling entries -----------------
         "pdf_modern_docs": q_pdf_modern_docs,
         "pdf_encrypted_docs": q_pdf_encrypted_docs,
-        "pdf_aes_docs": q_pdf_aes_docs,
         "bpe_train_batched_docs": q_bpe_train_batched_docs,
         "train_tokenize_pack_v2": q_train_tokenize_pack_v2,
         "train_quality_classifier_docs": q_train_quality_classifier_docs,
@@ -9932,19 +9985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_trained_filter": q_stream_trained_filter,
         "ccnet_bucket_docs": q_ccnet_bucket_docs,
         "sitemap_extract_docs": q_sitemap_extract_docs,
-        "outlink_extract_docs": q_outlink_extract_docs,
-        "crawl_frontier_v2": q_crawl_frontier_v2,
-        "robots_sitemap_docs": q_robots_sitemap_docs,
-        "anchor_text_docs": q_anchor_text_docs,
-        "outlink_graph_rank": q_outlink_graph_rank,
-        "bloom_frontier_docs": q_bloom_frontier_docs,
         "crawl_schedule_docs": q_crawl_schedule_docs,
         "sft_pack_docs": q_sft_pack_docs,
-        "sft_pack_docs_v2": q_sft_pack_docs_v2,
         "pack_boundaries_docs": q_pack_boundaries_docs,
         "pipeline_curation_v5": q_pipeline_curation_v5,
-        "pipeline_curation_v6": q_pipeline_curation_v6,
-        # --- stale-signal remainder (last driver signal r4-r6; the r10 window ended at hll_error_bound — continue from there) ---
         "hll_error_bound": q_hll_error_bound,
         "quantile_error_bound": q_quantile_error_bound,
         "union_distinct_nations": q_union_distinct_nations,
@@ -9982,15 +10026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_agg_nations": q_string_agg_nations,
         "clean_fillna": q_clean_fillna,
         "clean_dropna": q_clean_dropna,
-        "clean_replace": q_clean_replace,
-        "resample_ffill_events": q_resample_ffill_events,
-        "resample_interp_events": q_resample_interp_events,
-        "time_rollup_events": q_time_rollup_events,
-        "pipeline_training_data": q_pipeline_training_data,
-        "incremental_dedup": q_incremental_dedup,
-        # --- behind the window: the fully-green r10/r11-signal block, in standing order ---
         "bpe_tokenize_docs": q_bpe_tokenize_docs,
-        "detokenize_roundtrip_docs": q_detokenize_roundtrip_docs,
         "pack_ids_docs": q_pack_ids_docs,
         "url_curation_docs": q_url_curation_docs,
         "host_profile_docs": q_host_profile_docs,
@@ -10000,7 +10036,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_curation_v2": q_crawl_curation_v2,
         "hash_quality_filter_docs": q_hash_quality_filter_docs,
         "line_dedup_docs": q_line_dedup_docs,
-        "substring_dedup_docs": q_substring_dedup_docs,
         "robots_filter_docs": q_robots_filter_docs,
         "cdx_index_docs": q_cdx_index_docs,
         "epub_extract_docs": q_epub_extract_docs,
@@ -10040,19 +10075,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_edit": q_cell_edit,
         "delete_rows": q_delete_rows,
         "paste_splice": q_paste_splice,
-        # --- standing order remainder (stale tail for r12, then r6-r9 greens, probes retired at the back) ---
-        "decontaminate": q_decontaminate,
-        "boilerplate_shingles": q_boilerplate_shingles,
-        "gopher_quality": q_gopher_quality,
-        "redact_pii": q_redact_pii,
-        "hash_split": q_hash_split,
-        "unigram_logprob": q_unigram_logprob,
-        "chunk_documents": q_chunk_documents,
-        "udtf_chunk_documents": q_udtf_chunk_documents,
-        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
-        "kafka_roundtrip_events": q_kafka_roundtrip_events,
-        "date_trunc_orders": q_date_trunc_orders,
-        "string_funcs_part": q_string_funcs_part,
         "mp3_meta_docs": q_mp3_meta_docs,
         "wav_adpcm_roundtrip": q_wav_adpcm_roundtrip,
         "jpeg_decode_docs": q_jpeg_decode_docs,
@@ -10106,7 +10128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_roundtrip_docs": q_png_roundtrip_docs,
         "wav_roundtrip_docs": q_wav_roundtrip_docs,
         "y4m_frames_docs": q_y4m_frames_docs,
-        "boilerplate_strip": q_boilerplate_strip,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_sliding_counts": q_stream_sliding_counts,
         "stream_dedup_events": q_stream_dedup_events,
@@ -10118,37 +10139,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_min": _pivot('min', round_to=None),
         "scan_region": q_scan_region,
         "numeric_projection": q_numeric_projection,
-        "histogram_quantity": q_histogram_quantity,
-        "bin2d_scatter": q_bin2d_scatter,
-        "add_drop_column": q_add_drop_column,
         "lang_id_histogram": q_lang_id_histogram,
         "quality_scores": q_quality_scores,
         "top_words": q_top_words,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "doc_rolling_hash": q_doc_rolling_hash,
-        "embedding_topk_cosine": q_embedding_topk,
-        "embedding_cosine_dedup": q_embedding_cosine_dedup,
-        "embedding_lsh_dedup": q_embedding_lsh_dedup,
-        "binary_meta": q_binary_meta,
         "multimodal_decode": q_multimodal_decode,
-        "frame_sample": q_frame_sample,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "q7_nation_trade_volume": q_q7_nation_trade_volume,
-        "correlated_min_suppliers": q_correlated_min_suppliers,
-        "exists_high_qty": q_exists_high_qty,
-        "above_avg_orders": q_above_avg_orders,
-        "having_frequent_custs": q_having_frequent_custs,
         "salted_join_revenue": q_salted_join_revenue,
         "left_join_order_counts": q_left_join_order_counts,
-        "full_outer_nation_actors": q_full_outer_nation_actors,
-        "except_inactive_custs": q_except_inactive_custs,
         "intersect_nations": q_intersect_nations,
-        "cube_qty": q_cube_qty,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
         "window_ranks": q_window_ranks,
         "window_lead_lag": q_window_lead_lag,
         "rolling_revenue_7d": q_rolling_revenue_7d,

@@ -48,44 +48,41 @@ def test_top_level_functions_unique():
 def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
-    silently missed adjudication — pin the round-11 window composition
-    (the r10 verdict's rotation, item 3): the thirteen never-adjudicated
-    r11 debuts at the very front, then the stale-signal remainder
-    continuing from exactly where the r10 window ended
-    (hll_error_bound … clean_dropna, last signal r4-r6); the
-    fully-green r10 block moves behind, probes and stable rows-only
-    entries stay retired."""
+    silently missed adjudication — pin the round-12 window composition
+    (the r11 verdict's #3, OLDEST-FIRST rotation): the eleven
+    never-adjudicated r12 debuts at the very front, then the 18
+    entries whose last driver signal is r5 and the 21 oldest r7
+    entries; everything newer-signal moves behind, probes and stable
+    rows-only entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "clean_dropna", (
+    assert window[-1] == "histogram_quantity", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
-        # new in r11
-        "pdf_modern_docs", "pdf_encrypted_docs", "bpe_train_batched_docs",
-        "train_tokenize_pack_v2", "train_quality_classifier_docs",
-        "trained_quality_filter_docs", "stream_trained_filter",
-        "ccnet_bucket_docs",
-        "sitemap_extract_docs", "crawl_schedule_docs", "sft_pack_docs",
-        "pack_boundaries_docs",
-        "pipeline_curation_v5",
-        # the stale-signal remainder, continuing from the r10 boundary
-        "hll_error_bound", "quantile_error_bound",
-        "union_distinct_nations", "rollup_qty", "pivot_count_distinct",
-        "pipeline_curation_v2", "source_token_divergence",
-        "table_diff_orders", "snapshot_time_travel",
-        "compact_lineitem_files", "bpe_pair_top",
-        "zscore_outliers_price", "char_entropy_docs",
-        "group_sample_events", "hybrid_rrf_topk", "corpus_health",
-        "bigram_logprob", "purge_orders", "refresh_matview",
-        "source_overlap", "pipeline_curation_v3",
-        "stream_refresh_matview", "token_dropout", "shard_stats",
-        "pagerank_event_graph", "fuzzy_word_pairs",
-        "null_profile_orders", "cms_topk_bound",
-        "zstd_roundtrip_lineitem", "ivf_index_roundtrip",
-        "rolling_spikes_events", "session_table_events",
-        "unpivot_measures", "percentiles_quantity",
-        "string_agg_nations", "clean_fillna", "clean_dropna",
+        # new in r12
+        "outlink_extract_docs", "crawl_frontier_v2",
+        "substring_dedup_docs", "pdf_aes_docs", "pipeline_curation_v6",
+        "sft_pack_docs_v2", "robots_sitemap_docs", "anchor_text_docs",
+        "outlink_graph_rank", "bloom_frontier_docs",
+        "detokenize_roundtrip_docs",
+        # the 18 r5-stale entries (the r11 verdict's Missing #4 list)
+        "boilerplate_shingles", "chunk_documents", "clean_replace",
+        "date_trunc_orders", "decontaminate", "gopher_quality",
+        "hash_split", "incremental_dedup", "ivf_topk_exhaustive",
+        "kafka_roundtrip_events", "pipeline_training_data",
+        "redact_pii", "resample_ffill_events", "resample_interp_events",
+        "string_funcs_part", "time_rollup_events",
+        "udtf_chunk_documents", "unigram_logprob",
+        # the oldest-r7 block
+        "above_avg_orders", "add_drop_column", "bin2d_scatter",
+        "binary_meta", "boilerplate_strip", "correlated_min_suppliers",
+        "cube_qty", "dedup_clusters", "dedup_ngram_jaccard",
+        "dedup_simhash", "doc_rolling_hash", "embedding_cosine_dedup",
+        "embedding_lsh_dedup", "embedding_topk_cosine",
+        "except_inactive_custs", "exists_high_qty", "frame_sample",
+        "full_outer_nation_actors", "grouping_sets_revenue",
+        "having_frequent_custs", "histogram_quantity",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
