@@ -5291,6 +5291,123 @@ def q_stream_trained_filter(
     ).orderBy("y", "keep")
 
 
+def q_classifier_pr_curve_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classifier CALIBRATION sweep (r12 — the evaluation step between
+    training a quality filter and picking its operating point): train
+    the bit-exact hashed classifier, score every doc, and compute the
+    confusion counts + precision/recall at a fixed threshold grid —
+    the PR curve a pipeline owner reads before setting the keep
+    margin.  Counts are exact integers; precision/recall are one
+    division each, rounded at 6 (no float accumulation crosses the
+    engine boundary).  Token-free docs score the bias (0.0) in both
+    engines and land on the keep side of negative thresholds — the
+    documented scorer behavior, mirrored."""
+    from parquet_editor_spark.functions import text as X
+
+    labeled = _thc_labeled_docs(spark, sf_dir)
+    w = X.train_hash_classifier(
+        labeled, "sig", "y",
+        n_buckets=_THC_BUCKETS, iters=_THC_ITERS, lr=_THC_LR,
+    )
+    scored = labeled.select(
+        "y", X.hash_linear_score("sig", w, bias=0.0).alias("margin")
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in _PR_THRESHOLDS], "threshold double"
+    )
+    keep = F.coalesce(
+        (F.col("margin") > F.col("threshold")).cast("int"), F.lit(0)
+    )
+    cm = (
+        scored.crossJoin(F.broadcast(grid))
+        .select("y", "threshold", keep.alias("k"))
+        .groupBy("threshold")
+        .agg(
+            F.sum(((F.col("y") == 1) & (F.col("k") == 1)).cast("long"))
+            .alias("tp"),
+            F.sum(((F.col("y") == 0) & (F.col("k") == 1)).cast("long"))
+            .alias("fp"),
+            F.sum(((F.col("y") == 1) & (F.col("k") == 0)).cast("long"))
+            .alias("fn"),
+            F.sum(((F.col("y") == 0) & (F.col("k") == 0)).cast("long"))
+            .alias("tn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6),
+    ).otherwise(F.lit(0.0))
+    return cm.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        prec.alias("precision"), rec.alias("recall"),
+    ).orderBy("threshold")
+
+
+def q_stream_bloom_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Bloom seen-set DEPLOYED on a stream (r12 — the incremental
+    crawl loop: yesterday's bitmap filters today's candidate stream):
+    build the filter in batch over the seen URLs, collect the
+    metadata-sized bitmap (``bloom_words`` — the weight-table class)
+    and probe every streamed doc's candidate URL as a PURE PROJECTION
+    against the literal bitmap (``bloom_member_expr`` — Spark's
+    multi-stateful correctness check forbids the join+agg probe shape
+    inside a streaming aggregation, and a real deployment ships the
+    bitmap as a broadcast variable anyway), then roll up the
+    (member, seen_exact) confusion — streamed deployment
+    semantics pinned equal to the batch aggregate, false positives
+    included."""
+    import uuid
+
+    from parquet_editor_spark import streaming as ST
+    from parquet_editor_spark.operators import dedup as D
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://bf"),
+        (d % 11).cast("string"),
+        F.lit(".com/s/"),
+        (d % 37).cast("string"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(d % 3 == 0).select(url.alias("key")).distinct()
+    bloom = D.bloom_build(seen, "key", n_words=8, k=4)
+    stream_docs = ST.read_table_stream(
+        spark, f"{sf_dir}/documents.parquet"
+    )
+    words = D.bloom_words(bloom, n_words=8)
+    cand = stream_docs.select("doc_id", url.alias("url"))
+    probed = cand.withColumn(
+        "member", D.bloom_member_expr("url", words, k=4)
+    )
+    flagged = probed.join(
+        F.broadcast(
+            seen.select(F.col("key").alias("url"), F.lit(1).alias("__s"))
+        ),
+        "url",
+        "left",
+    ).select(
+        "member",
+        F.coalesce("__s", F.lit(0)).cast("int").alias("seen_exact"),
+    )
+    rolled = flagged.groupBy("member", "seen_exact").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    out = ST.run_to_completion(
+        rolled, f"sbf_{uuid.uuid4().hex[:8]}"
+    )
+    return out.select("member", "seen_exact", "n_docs").orderBy(
+        "member", "seen_exact"
+    )
+
+
 def q_epub_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPUB text extraction (sources/epub.py + ``epub_book_chapters``,
     new r10): per doc, synthesize a real EPUB (stored mimetype entry,
@@ -5586,6 +5703,175 @@ def q_bloom_frontier_docs(
             F.coalesce("__s", F.lit(0)).cast("int").alias("seen_exact"),
         )
         .orderBy("doc_id")
+    )
+
+
+def q_crawl_frontier_v3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPLETE crawl-frontier loop v3 (r12 capstone — every
+    frontier input and gate composed through the production
+    operators): robots.txt → ``Sitemap:`` DISCOVERY
+    (``robots_sitemaps``) → per-sitemap XML "fetch" (deterministic
+    fixture) → ``<loc>`` extraction → canonicalize, UNION page
+    OUTLINKS (``extract_outlinks`` → ``resolve_url`` →
+    ``canonical_url``), distinct, then the already-crawled PAGE set
+    filters the frontier through the Bloom seen-set
+    (``bloom_build``/``bloom_member`` — definitely-new survives;
+    deterministic false positives drop a few, mirrored bit-for-bit by
+    the oracle), robots longest-match allows, and the parsed
+    ``Crawl-delay`` spaces each host's fetch queue.
+
+    Scale shape: extraction/resolution pure codegen; one distinct
+    shuffle on the canonical URL; the Bloom bitmap is metadata-sized
+    and broadcasts (the 10¹²-member seen-set never moves); robots
+    rule/delay joins broadcast; ONE host-keyed schedule window."""
+    from parquet_editor_spark.functions import urls as U
+    from parquet_editor_spark.operators import dedup as D
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("k")
+    ks = F.regexp_extract("host", r"rs(\d+)", 1).cast("int")
+    hosts = (
+        docs.select((d % 19).alias("k"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("rs"), k.cast("string"), F.lit(".com")
+            ).alias("host"),
+            F.concat(
+                F.lit(
+                    "User-agent: badbot\nDisallow: /\n\n"
+                    "Sitemap: https://WWW.rs"
+                ),
+                k.cast("string"),
+                F.lit(".com:443/maps/s"),
+                k.cast("string"),
+                F.lit(
+                    ".xml\nUser-agent: *\nDisallow: /priv\n"
+                    "Crawl-delay: "
+                ),
+                (1 + k % 3).cast("string"),
+                F.lit("\nSitemap:\n"),
+                F.when(
+                    k % 2 == 1,
+                    F.concat(
+                        F.lit("sitemap: http://rs"),
+                        k.cast("string"),
+                        F.lit(".com:80/extra.xml\n"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("robots"),
+        )
+        .persist()
+    )
+    # discovery -> deterministic per-sitemap XML "fetch" -> <loc>s
+    disc = U.robots_sitemaps(hosts, "host", "robots")
+    xml = F.when(
+        F.col("sitemap_idx") == 0,
+        F.concat(
+            F.lit("<urlset><url><loc>https://rs"),
+            ks.cast("string"),
+            F.lit(".com/sm/0</loc></url>"),
+            F.when(
+                ks % 2 == 1,
+                F.concat(
+                    F.lit("<url><loc>https://rs"),
+                    ks.cast("string"),
+                    F.lit(".com/sm/1</loc></url>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</urlset>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<urlset><url><loc>https://rs"),
+            ks.cast("string"),
+            F.lit(".com/ex/"),
+            (ks % 4).cast("string"),
+            F.lit("</loc></url></urlset>"),
+        )
+    )
+    locs = (
+        disc.select(xml.alias("xml"))
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    "xml", F.lit(r"<loc>(.*?)</loc>"), 1
+                )
+            ).alias("loc")
+        )
+        .select(U.canonical_url(F.col("loc")).alias("canon_url"))
+    )
+    page = F.concat(
+        F.lit("https://rs"),
+        (d % 19).cast("string"),
+        F.lit(".com/a/p"),
+        (d % 5).cast("string"),
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<a href="/ok/'),
+        (d % 7).cast("string"),
+        F.lit("\">a</a> <a href='/priv/"),
+        (d % 3).cast("string"),
+        F.lit("'>b</a> <a href=\"https://rs"),
+        ((d + 4) % 19).cast("string"),
+        F.lit(".com/x/"),
+        (d % 6).cast("string"),
+        F.lit('">c</a>'),
+    )
+    outl = (
+        docs.select(page.alias("page_url"), html.alias("html"))
+        .select(
+            F.explode(U.extract_outlinks("html")).alias("href"),
+            "page_url",
+        )
+        .select(
+            U.canonical_url(
+                U.resolve_url("page_url", "href")
+            ).alias("canon_url")
+        )
+    )
+    frontier = (
+        locs.unionByName(outl)
+        .distinct()
+        .select(
+            "canon_url",
+            U.url_host(F.col("canon_url")).alias("host"),
+            U.url_path(F.col("canon_url")).alias("path"),
+        )
+        .persist()
+    )
+    seen_pages = docs.select(page.alias("key")).distinct()
+    bloom = D.bloom_build(seen_pages, "key", n_words=16, k=4)
+    fresh = D.bloom_member(
+        frontier, bloom, "canon_url", n_words=16, k=4
+    ).filter(F.col("member") == 0)
+    rules = U.robots_rules(hosts, "host", "robots")
+    allowed = U.robots_allowed(fresh, rules, "host", "path").filter(
+        F.col("allowed") == 1
+    )
+    delays = U.robots_crawl_delay(hosts, "host", "robots")
+    from pyspark.sql import Window as W
+
+    rank = F.row_number().over(
+        W.partitionBy("host").orderBy("canon_url")
+    )
+    return (
+        allowed.join(delays, "host")
+        .withColumn("fetch_rank", rank)
+        .select(
+            "host",
+            "canon_url",
+            "crawl_delay_s",
+            "fetch_rank",
+            ((F.col("fetch_rank") - 1) * F.col("crawl_delay_s"))
+            .cast("long")
+            .alias("fetch_offset_s"),
+        )
+        .orderBy("host", "fetch_rank")
     )
 
 
@@ -6206,6 +6492,7 @@ def _thc_labeled_docs(
 
 
 _THC_BUCKETS, _THC_ITERS, _THC_LR = 256, 16, 8.0
+_PR_THRESHOLDS = [-0.05, -0.02, 0.0, 0.02, 0.05]
 
 # the same labeled-docs fixture for DuckDB (y from the gopher rule,
 # sig from the same quantized signals; NULLIF keeps the zero-token
@@ -9921,8 +10208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window membership and the no-top-level-Array/Map/Struct output
     # contract for every window entry (the r6/r7 tfidf crash class).
     return {
-        # --- r12 WINDOW: 11 debuts, then the 18 r5-stale +
-        # 21 oldest-r7 entries (oldest-first rotation, the r11
+        # --- r12 WINDOW: 14 debuts, then the 18 r5-stale +
+        # 18 oldest-r7 entries (oldest-first rotation, the r11
         # verdict's #3) --------------------------------------
         "outlink_extract_docs": q_outlink_extract_docs,
         "crawl_frontier_v2": q_crawl_frontier_v2,
@@ -9935,6 +10222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_graph_rank": q_outlink_graph_rank,
         "bloom_frontier_docs": q_bloom_frontier_docs,
         "detokenize_roundtrip_docs": q_detokenize_roundtrip_docs,
+        "crawl_frontier_v3": q_crawl_frontier_v3,
+        "classifier_pr_curve_docs": q_classifier_pr_curve_docs,
+        "stream_bloom_filter": q_stream_bloom_filter,
         "boilerplate_shingles": q_boilerplate_shingles,
         "chunk_documents": q_chunk_documents,
         "clean_replace": q_clean_replace,
@@ -9971,11 +10261,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_high_qty": q_exists_high_qty,
         "frame_sample": q_frame_sample,
         "full_outer_nation_actors": q_full_outer_nation_actors,
+        # --- behind the window: the remaining r7 tail (first
+        # in line for r13), newer-signal entries, probes and
+        # no-oracle sampling entries --------------------------
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "having_frequent_custs": q_having_frequent_custs,
         "histogram_quantity": q_histogram_quantity,
-        # --- behind the window: newest-signal entries, then
-        # probes / no-oracle sampling entries -----------------
         "pdf_modern_docs": q_pdf_modern_docs,
         "pdf_encrypted_docs": q_pdf_encrypted_docs,
         "bpe_train_batched_docs": q_bpe_train_batched_docs,
@@ -10334,6 +10625,81 @@ def oracle_sql() -> dict[str, str]:
                     AS INT) AS seen_exact
         FROM hit h LEFT JOIN seen s ON s.key = h.key
         ORDER BY h.doc_id
+    """
+
+    frontier_v3_oracle = f"""
+        WITH ks AS (
+            SELECT DISTINCT doc_id % 19 AS k FROM documents
+        ), fr AS (
+            SELECT 'rs' || CAST(k AS VARCHAR) || '.com' AS host,
+                   '/sm/0' AS path
+            FROM ks
+            UNION
+            SELECT 'rs' || CAST(k AS VARCHAR) || '.com', '/sm/1'
+            FROM ks WHERE k % 2 = 1
+            UNION
+            SELECT 'rs' || CAST(k AS VARCHAR) || '.com',
+                   '/ex/' || CAST(k % 4 AS VARCHAR)
+            FROM ks WHERE k % 2 = 1
+            UNION
+            SELECT 'rs' || CAST(doc_id % 19 AS VARCHAR) || '.com',
+                   '/ok/' || CAST(doc_id % 7 AS VARCHAR)
+            FROM documents
+            UNION
+            SELECT 'rs' || CAST(doc_id % 19 AS VARCHAR) || '.com',
+                   '/priv/' || CAST(doc_id % 3 AS VARCHAR)
+            FROM documents
+            UNION
+            SELECT 'rs' || CAST((doc_id + 4) % 19 AS VARCHAR)
+                       || '.com',
+                   '/x/' || CAST(doc_id % 6 AS VARCHAR)
+            FROM documents
+        ), f AS (
+            SELECT DISTINCT host, path,
+                   'https://' || host || path AS key
+            FROM fr
+        ), seen AS (
+            SELECT DISTINCT 'https://rs'
+                   || CAST(doc_id % 19 AS VARCHAR) || '.com/a/p'
+                   || CAST(doc_id % 5 AS VARCHAR) || '.html' AS key
+            FROM documents
+        ), sh AS (
+            SELECT key, {_bf_h1} AS h1, {_bf_h2} AS h2 FROM seen
+        ), spos AS (
+            SELECT ((h1 + g.i * h2) % 1008) AS p
+            FROM sh, generate_series(0, 3) AS g(i)
+        ), words AS (
+            SELECT p // 63 AS wi, bit_or({_bf_bit}) AS w
+            FROM spos GROUP BY p // 63
+        ), ch AS (
+            SELECT host, path, key, {_bf_h1} AS h1, {_bf_h2} AS h2
+            FROM f
+        ), cpos AS (
+            SELECT host, path, key, ((h1 + g.i * h2) % 1008) AS p
+            FROM ch, generate_series(0, 3) AS g(i)
+        ), hit AS (
+            SELECT host, path, key,
+                   min(CASE WHEN w.w IS NOT NULL
+                            AND (w.w & {_bf_bit}) = {_bf_bit}
+                       THEN 1 ELSE 0 END) AS member
+            FROM cpos LEFT JOIN words w ON w.wi = cpos.p // 63
+            GROUP BY host, path, key
+        ), sched AS (
+            SELECT host, key AS canon_url,
+                   CAST(1 + CAST(regexp_extract(
+                           host, 'rs(\\d+)', 1) AS INT) % 3
+                        AS INT) AS crawl_delay_s,
+                   row_number() OVER (
+                       PARTITION BY host ORDER BY key) AS fetch_rank
+            FROM hit
+            WHERE member = 0 AND path NOT LIKE '/priv%'
+        )
+        SELECT host, canon_url, crawl_delay_s,
+               CAST(fetch_rank AS INT) AS fetch_rank,
+               CAST((fetch_rank - 1) * crawl_delay_s AS BIGINT)
+                   AS fetch_offset_s
+        FROM sched
+        ORDER BY host, fetch_rank
     """
 
     outlink_rank_oracle = pagerank_sql_ctes(
@@ -13233,6 +13599,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "outlink_graph_rank": outlink_rank_oracle,
         "bloom_frontier_docs": bloom_oracle,
+        "crawl_frontier_v3": frontier_v3_oracle,
         "crawl_frontier_v2": """
             WITH ol AS (
                 SELECT 'fr' || CAST(doc_id % 11 AS VARCHAR) || '.com'
@@ -13518,6 +13885,72 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN margin > 0 THEN 1 ELSE 0 END)::INT AS keep
             FROM sc
             ORDER BY doc_id
+        """,
+        "classifier_pr_curve_docs": f"""
+            WITH {thc_ctes}, sc AS (
+                SELECT doc_id, y, {thc_margin} AS margin
+                FROM ({_ORACLE_THC_DOCS}) d, {thc_final} w
+            ), grid(threshold) AS (
+                VALUES (-0.05), (-0.02), (0.0), (0.02), (0.05)
+            ), cm AS (
+                SELECT g.threshold,
+                       SUM(CASE WHEN y = 1 AND margin > g.threshold
+                           THEN 1 ELSE 0 END)::BIGINT AS tp,
+                       SUM(CASE WHEN y = 0 AND margin > g.threshold
+                           THEN 1 ELSE 0 END)::BIGINT AS fp,
+                       SUM(CASE WHEN y = 1 AND margin <= g.threshold
+                           THEN 1 ELSE 0 END)::BIGINT AS fn,
+                       SUM(CASE WHEN y = 0 AND margin <= g.threshold
+                           THEN 1 ELSE 0 END)::BIGINT AS tn
+                FROM sc, grid g
+                GROUP BY g.threshold
+            )
+            SELECT CAST(threshold AS DOUBLE) AS threshold,
+                   tp, fp, fn, tn,
+                   CASE WHEN tp + fp > 0
+                        THEN round(tp / (tp + fp), 6)
+                        ELSE 0.0 END AS precision,
+                   CASE WHEN tp + fn > 0
+                        THEN round(tp / (tp + fn), 6)
+                        ELSE 0.0 END AS recall
+            FROM cm
+            ORDER BY threshold
+        """,
+        "stream_bloom_filter": f"""
+            WITH seen AS (
+                SELECT DISTINCT {_bf_url} AS key
+                FROM documents WHERE doc_id % 3 = 0
+            ), sh AS (
+                SELECT key, {_bf_h1} AS h1, {_bf_h2} AS h2 FROM seen
+            ), spos AS (
+                SELECT ((h1 + g.i * h2) % 504) AS p
+                FROM sh, generate_series(0, 3) AS g(i)
+            ), words AS (
+                SELECT p // 63 AS wi, bit_or({_bf_bit}) AS w
+                FROM spos GROUP BY p // 63
+            ), cand AS (
+                SELECT doc_id, {_bf_url} AS key FROM documents
+            ), ch AS (
+                SELECT doc_id, key, {_bf_h1} AS h1, {_bf_h2} AS h2
+                FROM cand
+            ), cpos AS (
+                SELECT doc_id, key, ((h1 + g.i * h2) % 504) AS p
+                FROM ch, generate_series(0, 3) AS g(i)
+            ), hit AS (
+                SELECT doc_id, key,
+                       min(CASE WHEN w.w IS NOT NULL
+                                AND (w.w & {_bf_bit}) = {_bf_bit}
+                           THEN 1 ELSE 0 END) AS member
+                FROM cpos LEFT JOIN words w ON w.wi = cpos.p // 63
+                GROUP BY doc_id, key
+            )
+            SELECT CAST(h.member AS INT) AS member,
+                   CAST(CASE WHEN s.key IS NOT NULL THEN 1 ELSE 0 END
+                        AS INT) AS seen_exact,
+                   COUNT(*)::BIGINT AS n_docs
+            FROM hit h LEFT JOIN seen s ON s.key = h.key
+            GROUP BY 1, 2
+            ORDER BY member, seen_exact
         """,
         "stream_trained_filter": f"""
             WITH {thc_ctes}, sc AS (

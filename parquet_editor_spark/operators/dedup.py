@@ -1489,3 +1489,47 @@ def bloom_member(
         hits.groupBy(*[F.col(c) for c in cols])
         .agg((F.min("__hit") == 1).cast("int").alias("member"))
     )
+
+
+def bloom_words(bloom: DataFrame, n_words: int) -> list[int]:
+    """Collect a :func:`bloom_build` bitmap into a dense word list —
+    BOUNDED driver metadata by construction (``n_words`` rows, the
+    same class as a trained weight table), the form a streaming or
+    broadcast-variable deployment ships."""
+    words = [0] * n_words
+    for r in bloom.collect():
+        words[int(r["word_idx"])] = int(r["word"])
+    return words
+
+
+def bloom_member_expr(
+    key: str | Column,
+    words: list[int],
+    k: int = 4,
+) -> Column:
+    """Pure-PROJECTION Bloom membership against a collected word
+    list (r12): the k probes test a literal bitmap array — no join,
+    no aggregation, streaming-transparent (chained stateful aggs are
+    exactly what Spark's multi-stateful correctness check forbids,
+    so the stream deployment embeds the bitmap instead).  Returns
+    1 = possibly seen / 0 = definitely new."""
+    n_words = len(words)
+    if n_words < 1 or not 1 <= k <= 64:
+        raise ValueError("need n_words >= 1 and 1 <= k <= 64")
+    c = F.col(key) if isinstance(key, str) else key
+    w_arr = F.array(*[F.lit(int(x)).cast("long") for x in words])
+    hit = F.lit(True)
+    for pos in _bloom_positions(c, n_words, k):
+        wi = (
+            (pos - F.pmod(pos, F.lit(BLOOM_WORD_BITS)))
+            / BLOOM_WORD_BITS
+        ).cast("int")
+        mask = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.pmod(pos, F.lit(BLOOM_WORD_BITS)).cast("int"),
+        )
+        hit = hit & (
+            F.element_at(w_arr, wi + 1).bitwiseAND(mask) == mask
+        )
+    return hit.cast("int")

@@ -779,3 +779,33 @@ def test_bloom_member_plan_broadcasts_bitmap(spark):
         bloom_build(df, "key", n_words=0)
     with pytest.raises(ValueError, match="n_words"):
         bloom_member(df, bloom, "key", k=65)
+
+
+def test_bloom_member_expr_equals_join_probe(spark):
+    from parquet_editor_spark.operators.dedup import (
+        bloom_build,
+        bloom_member,
+        bloom_member_expr,
+        bloom_words,
+    )
+
+    seen = spark.createDataFrame(
+        [(f"u{i * 7}",) for i in range(30)], "key string"
+    )
+    cand = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(80)], "i long, key string"
+    )
+    bloom = bloom_build(seen, "key", n_words=4, k=3)
+    via_join = {
+        r["key"]: r["member"]
+        for r in bloom_member(cand, bloom, "key", n_words=4, k=3).collect()
+    }
+    words = bloom_words(bloom, 4)
+    via_expr = {
+        r["key"]: r["m"]
+        for r in cand.select(
+            "key", bloom_member_expr("key", words, k=3).alias("m")
+        ).collect()
+    }
+    assert via_join == via_expr
+    assert sum(via_expr.values()) >= 12  # true members all hit
