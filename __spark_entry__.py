@@ -6242,6 +6242,96 @@ def q_crawl_frontier_v2(
 
 
 
+def q_main_content_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (r12 — ``text.main_content_extract``,
+    the jusText/trafilatura-lite block heuristic that replaces
+    whole-page strip_markup in serious web pipelines): per doc, a page
+    with a link-dense header, two prose blocks carrying normalized
+    text slices (the second with an inline anchor whose text must be
+    KEPT — low link density), a pure-link tag item, a short footer and
+    a link-farm nav; the operator must keep exactly the two prose
+    blocks.  Closed-form oracle (single-spaced slices make
+    strip_markup's whitespace collapse the identity)."""
+    from parquet_editor_spark.functions import text as X
+
+    d = F.col("doc_id")
+    norm = _bpe_norm("text")
+    s1 = F.trim(F.substring(norm, 1, 60))
+    s2 = F.trim(F.substring(norm, 61, 60))
+    html = F.concat(
+        F.lit(
+            "<html><header><a href='/'>Home</a> <a href='/a'>About"
+            "</a> <a href='/c'>Contact</a></header><p>"
+        ),
+        s1,
+        F.lit("</p><div>"),
+        s2,
+        F.lit(
+            " read the full article at <a href='/m'>details page"
+            "</a> now</div><li><a href='/t/"
+        ),
+        (d % 7).cast("string"),
+        F.lit("'>tag"),
+        (d % 7).cast("string"),
+        F.lit("</a></li><footer>copyright "),
+        (d % 5).cast("string"),
+        F.lit(" site</footer><p>tiny</p></html>"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("html")
+    )
+    main = X.main_content_extract("html")
+    return docs.select(
+        "doc_id",
+        F.length(main).cast("long").alias("main_len"),
+        F.substring(main, 1, 40).alias("main_prefix"),
+        F.md5(F.encode(main, "utf-8")).alias("main_md5"),
+    ).orderBy("doc_id")
+
+
+def q_split_leakage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split LEAKAGE check (r12 — the decontamination
+    composition between ``hash_split`` and exact dedup every training
+    run should gate on): plant an exact copy of every 17th doc under a
+    shifted id, assign the whole corpus to train/val/test with the
+    portable hash split, fingerprint content (md5 over canonical
+    tokens), and report every duplicate group whose members span MORE
+    THAN ONE split — text the model would train on and be evaluated
+    against.  One fingerprint hash agg; split membership rides as a
+    sorted distinct list.  The oracle replays the identical
+    fingerprint + portable-bucket arithmetic."""
+    from parquet_editor_spark.functions import text as X
+    from parquet_editor_spark.operators import query as Q
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    copies = docs.filter(d % 17 == 0).select(
+        (d + F.lit(1_000_000_000)).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    split = Q.hash_split(corpus, "doc_id", method="portable")
+    keyed = split.select(
+        "doc_id",
+        "split",
+        X.fingerprint("text").alias("fp"),
+    )
+    groups = keyed.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.size(F.collect_set("split")).cast("int").alias("n_splits"),
+        F.array_join(
+            F.array_sort(F.collect_set("split")), ","
+        ).alias("splits_csv"),
+    )
+    return (
+        groups.filter(F.col("n_splits") > 1)
+        .select("canonical_id", "n_docs", "n_splits", "splits_csv")
+        .orderBy("canonical_id")
+    )
+
+
 def q_robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt crawl filtering (``urls.robots_rules`` +
     ``robots_allowed``, new r10): per host, synthesize a REAL
@@ -10225,6 +10315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_v3": q_crawl_frontier_v3,
         "classifier_pr_curve_docs": q_classifier_pr_curve_docs,
         "stream_bloom_filter": q_stream_bloom_filter,
+        "main_content_docs": q_main_content_docs,
+        "split_leakage_docs": q_split_leakage_docs,
         "boilerplate_shingles": q_boilerplate_shingles,
         "chunk_documents": q_chunk_documents,
         "clean_replace": q_clean_replace,
@@ -12286,6 +12378,75 @@ def oracle_sql() -> dict[str, str]:
                            'g') AS r
                 FROM inj)
             SELECT doc_id, md5(r) AS redacted_fp, r != t AS had_pii FROM red
+        """,
+        "main_content_docs": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(COALESCE(text, '')),
+                                           '[^a-z]+', ' ', 'g')) AS nm
+                FROM documents
+            ), sl AS (
+                SELECT doc_id,
+                       trim(substr(nm, 1, 60)) AS s1,
+                       trim(substr(nm, 61, 60)) AS s2
+                FROM n
+            ), b AS (
+                SELECT doc_id, s1,
+                       CASE WHEN s2 = ''
+                            THEN 'read the full article at details'
+                                 || ' page now'
+                            ELSE s2 || ' read the full article at'
+                                 || ' details page now' END AS b2
+                FROM sl
+            ), m AS (
+                SELECT doc_id,
+                       CASE WHEN length(s1) >= 25
+                            THEN s1 || chr(10) || b2
+                            ELSE b2 END AS main
+                FROM b
+            )
+            SELECT doc_id,
+                   CAST(length(main) AS BIGINT) AS main_len,
+                   substr(main, 1, 40) AS main_prefix,
+                   md5(main) AS main_md5
+            FROM m
+            ORDER BY doc_id
+        """,
+        "split_leakage_docs": """
+            WITH corpus AS (
+                SELECT doc_id, COALESCE(text, '') AS text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000000, COALESCE(text, '')
+                FROM documents WHERE doc_id % 17 = 0
+            ), keyed AS (
+                SELECT doc_id,
+                       CASE WHEN b < 80 THEN 'train'
+                            WHEN b < 90 THEN 'val'
+                            ELSE 'test' END AS split,
+                       md5(lower(array_to_string(
+                           list_filter(
+                               string_split_regex(text, '\\s+'),
+                               x -> x <> ''),
+                           ' '))) AS fp
+                FROM (SELECT doc_id, text,
+                             ((doc_id % 1000003) * 2654435761 + 40503)
+                                 % 4294967296 % 100 AS b
+                      FROM corpus)
+            ), g AS (
+                SELECT fp,
+                       MIN(doc_id) AS canonical_id,
+                       COUNT(*)::BIGINT AS n_docs,
+                       CAST(len(list_distinct(list(split))) AS INT)
+                           AS n_splits,
+                       array_to_string(
+                           list_sort(list_distinct(list(split))),
+                           ',') AS splits_csv
+                FROM keyed GROUP BY fp
+            )
+            SELECT canonical_id, n_docs, n_splits, splits_csv
+            FROM g WHERE n_splits > 1
+            ORDER BY canonical_id
         """,
         "hash_split": """
             SELECT doc_id,

@@ -985,3 +985,53 @@ def script_counts(col: str | Column) -> dict[str, Column]:
     )
     counts["script_pred"] = pred
     return counts
+
+
+# Block-level tag boundaries for main-content extraction — the tags
+# that terminate a text block in the jusText/trafilatura heuristic.
+_BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|td|tr|table|section|article|"
+    r"nav|header|footer|br|blockquote)[^>]*>"
+)
+
+
+def main_content_extract(
+    col: str | Column,
+    min_chars: int = 25,
+    max_link_density: float = 0.4,
+) -> Column:
+    """Main-content extraction from raw HTML (r12 — the jusText /
+    trafilatura-lite heuristic every serious web-corpus pipeline runs
+    INSTEAD of whole-page :func:`strip_markup`): split the page into
+    blocks at block-level tag boundaries, score each block's stripped
+    text length and LINK DENSITY (share of its text living inside
+    ``<a>`` elements — navigation, tag clouds and footers are link-
+    dense, prose is not), keep blocks with ≥ ``min_chars`` of text and
+    link density ≤ ``max_link_density``, and rejoin survivors in
+    document order with newlines.
+
+    Pure Catalyst: one split + per-block expression work inside
+    ``transform`` — whole-stage codegen, zero Python, zero shuffle;
+    the hot crawl map at 100 TB, same cost class as strip_markup."""
+    c = F.col(col) if isinstance(col, str) else col
+    blocks = F.split(c, _BLOCK_TAG_RE)
+
+    def one(b: Column) -> Column:
+        txt = strip_markup(b)
+        link_raw = F.array_join(
+            F.regexp_extract_all(
+                b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), 1
+            ),
+            " ",
+        )
+        ltxt = strip_markup(link_raw)
+        keep = (F.length(txt) >= min_chars) & (
+            F.length(ltxt).cast("double")
+            <= F.lit(float(max_link_density)) * F.length(txt)
+        )
+        return F.when(keep, txt)
+
+    kept = F.filter(
+        F.transform(blocks, one), lambda t: t.isNotNull()
+    )
+    return F.array_join(kept, "\n")

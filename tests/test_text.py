@@ -637,3 +637,47 @@ def test_train_hash_classifier_learns_the_labels(spark):
     for r in scored:
         if r["s"] is not None and r["s"] != 0.0:
             assert (r["s"] > 0) == (r["y"] == 1), r
+
+
+def test_main_content_extract_keeps_prose_drops_nav(spark):
+    from parquet_editor_spark.functions.text import main_content_extract
+
+    html = (
+        "<html><header><a href='/'>Home</a> <a href='/a'>About</a>"
+        " <a href='/c'>Contact</a></header>"
+        "<p>This paragraph is long enough to be considered real prose"
+        " content for sure.</p>"
+        "<div>Another solid block of content text here, see the"
+        " <a href='/m'>details page</a> for more.</div>"
+        "<li><a href='/t/3'>tag3</a></li>"
+        "<footer>copyright site</footer>"
+        "<p>tiny</p>"
+        "<nav><a href='/x'>One</a><a href='/y'>Two</a>"
+        "<a href='/z'>Three</a><a href='/w'>Four</a>"
+        "<a href='/v'>Five much longer link farm text here</a></nav>"
+        "</html>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    (got,) = df.select(
+        main_content_extract("html").alias("m")
+    ).collect()
+    assert got["m"] == (
+        "This paragraph is long enough to be considered real prose"
+        " content for sure.\n"
+        "Another solid block of content text here, see the"
+        " details page for more."
+    )
+
+
+def test_main_content_extract_null_and_plain(spark):
+    from parquet_editor_spark.functions.text import main_content_extract
+
+    df = spark.createDataFrame(
+        [(None,), ("just plain text with no markup at all in sight",)],
+        "html string",
+    )
+    rows = df.select(main_content_extract("html").alias("m")).collect()
+    assert rows[0]["m"] is None
+    assert rows[1]["m"] == (
+        "just plain text with no markup at all in sight"
+    )
