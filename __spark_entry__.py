@@ -2842,6 +2842,92 @@ def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_segments_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Energy-based audio segmentation (r12 —
+    ``multimodal.audio_segments``, the VAD-lite silence trimmer):
+    per doc, a clip of 512-sample blocks alternating voiced / quiet
+    on a 3-phase pattern (two voiced, one quiet, phase-shifted by
+    doc_id so clips START mid-pattern — edge islands are exercised),
+    even docs encoded WAV-PCM, odd docs FLAC; the operator decodes,
+    frames at 256 samples, marks voiced frames by integer mean-|s|
+    threshold and merges runs.  The oracle predicts the segments
+    RELATIONALLY from the closed-form block pattern (islands over a
+    generated block series), so decode and segmentation defects both
+    diverge."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 29 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("codec", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from parquet_editor_spark.sources.flac_codec import encode_flac
+        from parquet_editor_spark.sources.wav import encode_wav
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads, codecs = [], []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                nb = 4 + i % 3
+                a = 18000 + (i % 11) * 100
+                q = 40 + i % 5
+                blocks = [
+                    np.full(
+                        512,
+                        a if (b + i) % 3 != 2 else q,
+                        dtype=np.int64,
+                    )
+                    for b in range(nb)
+                ]
+                sig = np.concatenate(blocks)
+                if i % 2 == 0:
+                    payloads.append(
+                        encode_wav(
+                            16000, 1, 16,
+                            sig.astype("<i2").tobytes(),
+                        )
+                    )
+                    codecs.append("wav")
+                else:
+                    payloads.append(
+                        encode_flac(
+                            16000, 1, 16, sig.reshape(-1, 1)
+                        )
+                    )
+                    codecs.append("flac")
+            pdf["payload"] = payloads
+            pdf["codec"] = codecs
+            yield pdf[["doc_id", "payload", "codec"]]
+
+    clips = docs.mapInPandas(gen, schema=gen_schema)
+    return (
+        MM.audio_segments(
+            clips, frame=256, energy_threshold=1000
+        )
+        .select(
+            "doc_id", "seg_idx", "start_frame", "n_frames", "sum_abs"
+        )
+        .orderBy("doc_id", "seg_idx")
+    )
+
+
 def q_audio_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL sample-level audio statistics (``audio_stats``, new r9)
     over BOTH lossless decode tiers in one query: even docs encode the
@@ -6329,6 +6415,92 @@ def q_split_leakage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         groups.filter(F.col("n_splits") > 1)
         .select("canonical_id", "n_docs", "n_splits", "splits_csv")
         .orderBy("canonical_id")
+    )
+
+
+def q_wet_export_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WET-style conversion-record EXPORT → re-ingest round trip
+    (r12 — the WRITER side of the WARC tier; the reader has been
+    covered since r8): per doc, serialize a CommonCrawl-WET-shaped
+    archive — a ``conversion`` record carrying the extracted text
+    under its canonical URI plus a ``metadata`` record with the
+    extraction provenance — through ``sources/warc.make_warc``
+    (alternating plain and per-record-gzip members), then parse it
+    back through the production ``warc_records`` walk and emit one
+    row per recovered record.  Writer and reader share only the WARC
+    format; a header/length/CRLF defect on either side breaks the
+    closed-form oracle, which recomputes every column from
+    ``documents`` alone."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        )
+        .filter(F.col("doc_id") % 43 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.warc import make_warc
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(raw)
+                uri = f"https://wet{i % 23}.org/d/{i}"
+                payloads.append(
+                    make_warc(
+                        [
+                            {
+                                "warc_type": "conversion",
+                                "target_uri": uri,
+                                "content_type": "text/plain",
+                                "payload": text,
+                            },
+                            {
+                                "warc_type": "metadata",
+                                "target_uri": uri,
+                                "content_type": (
+                                    "application/warc-fields"
+                                ),
+                                "payload": (
+                                    f"extracted-chars: {len(text)}"
+                                ),
+                            },
+                        ],
+                        gzip_members=i % 2 == 1,
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    exported = docs.mapInPandas(gen, schema=gen_schema)
+    return (
+        MM.warc_records(exported)
+        .select(
+            "doc_id",
+            F.col("rec_idx").cast("int").alias("rec_idx"),
+            "warc_type",
+            "target_uri",
+            "content_type",
+            "content_length",
+            F.md5(F.encode("body", "utf-8")).alias("body_md5"),
+        )
+        .orderBy("doc_id", "rec_idx")
     )
 
 
@@ -10317,6 +10489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_bloom_filter": q_stream_bloom_filter,
         "main_content_docs": q_main_content_docs,
         "split_leakage_docs": q_split_leakage_docs,
+        "wet_export_roundtrip": q_wet_export_roundtrip,
+        "audio_segments_docs": q_audio_segments_docs,
         "boilerplate_shingles": q_boilerplate_shingles,
         "chunk_documents": q_chunk_documents,
         "clean_replace": q_clean_replace,
@@ -12378,6 +12552,70 @@ def oracle_sql() -> dict[str, str]:
                            'g') AS r
                 FROM inj)
             SELECT doc_id, md5(r) AS redacted_fp, r != t AS had_pii FROM red
+        """,
+        "audio_segments_docs": """
+            WITH docs AS (
+                SELECT doc_id AS i, 4 + doc_id % 3 AS nb,
+                       18000 + (doc_id % 11) * 100 AS a
+                FROM documents WHERE doc_id % 29 = 0
+            ), blk AS (
+                SELECT i, a, g.b FROM docs,
+                     generate_series(0, 6) AS g(b)
+                WHERE g.b < nb
+            ), v AS (
+                SELECT i, a, b FROM blk WHERE (b + i) % 3 <> 2
+            ), isl AS (
+                SELECT i, a, b,
+                       b - row_number() OVER (
+                           PARTITION BY i ORDER BY b) AS grp
+                FROM v
+            ), seg AS (
+                SELECT i, MIN(b) AS b0, COUNT(*) AS nbk, MAX(a) AS a
+                FROM isl GROUP BY i, grp
+            )
+            SELECT i AS doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY i ORDER BY b0) - 1 AS INT)
+                       AS seg_idx,
+                   CAST(b0 * 2 AS BIGINT) AS start_frame,
+                   CAST(nbk * 2 AS BIGINT) AS n_frames,
+                   CAST(nbk * 512 * a AS BIGINT) AS sum_abs
+            FROM seg
+            ORDER BY doc_id, seg_idx
+        """,
+        "wet_export_roundtrip": """
+            WITH docs AS (
+                SELECT doc_id, COALESCE(text, '') AS text
+                FROM documents WHERE doc_id % 43 = 0
+            ), recs AS (
+                SELECT doc_id, 0 AS rec_idx,
+                       'conversion' AS warc_type,
+                       'https://wet' || CAST(doc_id % 23 AS VARCHAR)
+                           || '.org/d/' || CAST(doc_id AS VARCHAR)
+                           AS target_uri,
+                       'text/plain' AS content_type,
+                       CAST(octet_length(ENCODE(text)) AS BIGINT)
+                           AS content_length,
+                       md5(text) AS body_md5
+                FROM docs
+                UNION ALL
+                SELECT doc_id, 1,
+                       'metadata',
+                       'https://wet' || CAST(doc_id % 23 AS VARCHAR)
+                           || '.org/d/' || CAST(doc_id AS VARCHAR),
+                       'application/warc-fields',
+                       CAST(length('extracted-chars: '
+                                   || CAST(length(text) AS VARCHAR))
+                            AS BIGINT),
+                       md5('extracted-chars: '
+                           || CAST(length(text) AS VARCHAR))
+                FROM docs
+            )
+            SELECT doc_id, CAST(rec_idx AS INT) AS rec_idx,
+                   warc_type, target_uri, content_type,
+                   content_length, body_md5
+            FROM recs
+            ORDER BY doc_id, rec_idx
         """,
         "main_content_docs": """
             WITH n AS (

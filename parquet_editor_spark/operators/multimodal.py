@@ -2395,6 +2395,139 @@ def video_scene_cuts(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def _decode_audio_samples(p: bytes, codec: str):
+    """(rate, ch, samples) with samples shaped (n, ch) int64 — the
+    shared lossless decode dispatch for sample-level audio operators
+    (WAV PCM/ADPCM/G.711 via sources/wav.py, FLAC via the pure-numpy
+    codec; IEEE-float WAV and other codecs gate loudly)."""
+    import numpy as _np
+
+    if codec == "wav":
+        from parquet_editor_spark.sources import wav as _wav
+
+        rate, ch, bits, n, frames, tag = _wav.decode_wav_ex(p)
+        if tag == _wav.IEEE_FLOAT:
+            raise NotImplementedError(
+                "sample-level audio ops for IEEE-float WAV are not "
+                "engine-portable; convert to PCM first"
+            )
+        if bits == 8:
+            a = _np.frombuffer(frames, _np.uint8).astype(_np.int64) - 128
+        elif bits == 16:
+            a = _np.frombuffer(frames, "<i2").astype(_np.int64)
+        elif bits == 32:
+            a = _np.frombuffer(frames, "<i4").astype(_np.int64)
+        elif bits == 24:
+            raw = _np.frombuffer(frames, _np.uint8).reshape(-1, 3)
+            u = (
+                raw[:, 0].astype(_np.int64)
+                | (raw[:, 1].astype(_np.int64) << 8)
+                | (raw[:, 2].astype(_np.int64) << 16)
+            )
+            a = _np.where(u >= 1 << 23, u - (1 << 24), u)
+        else:
+            raise NotImplementedError(
+                f"sample-level audio ops for {bits}-bit WAV"
+            )
+        return rate, ch, a.reshape(n, ch)
+    if codec == "flac":
+        from parquet_editor_spark.sources.flac_codec import decode_flac
+
+        rate, ch, _bits, _n, smp = decode_flac(p)
+        return rate, ch, smp
+    raise NotImplementedError(
+        f"sample-level audio ops for codec {codec!r} require a real "
+        "decoder"
+    )
+
+
+def audio_segments(
+    df: DataFrame,
+    payload_col: str = "payload",
+    codec_col: str = "codec",
+    frame: int = 256,
+    energy_threshold: int = 1000,
+) -> DataFrame:
+    """Energy-based audio SEGMENTATION (r12 — the VAD-lite operator an
+    audio-curation pipeline runs to trim silence and mine voiced
+    spans): decode the clip, split into fixed ``frame``-sample
+    windows (a trailing partial frame is dropped — documented), mark
+    a frame VOICED iff its mean absolute amplitude over all channels
+    reaches ``energy_threshold`` (integer comparison:
+    ``sum|s| ≥ threshold·frame·channels`` — engine-exact, no float),
+    and merge consecutive voiced frames into segments.  One row per
+    segment: ``seg_idx``, ``start_frame``, ``n_frames``, ``sum_abs``
+    (the segment's integer absolute-amplitude mass).
+
+    Scale shape: Arrow ``mapInPandas``, O(samples) per clip
+    executor-side, segments emitted directly (no per-frame explode
+    ever shuffles); a differential oracle predicts the segments
+    relationally from the closed-form fixture signal, so decode AND
+    segmentation defects both diverge."""
+    if frame < 1 or energy_threshold < 0:
+        raise ValueError("need frame >= 1 and energy_threshold >= 0")
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("seg_idx", T.IntegerType(), True),
+            T.StructField("start_frame", T.LongType(), True),
+            T.StructField("n_frames", T.LongType(), True),
+            T.StructField("sum_abs", T.LongType(), True),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                base = [row[c] for c in keep_names]
+                p = row[payload_col]
+                if p is None:
+                    rows.append(base + [None, None, None, None])
+                    continue
+                _rate, ch, smp = _decode_audio_samples(
+                    bytes(p), row[codec_col]
+                )
+                n_frames = len(smp) // frame
+                if n_frames == 0:
+                    continue
+                a = np.abs(
+                    smp[: n_frames * frame]
+                ).reshape(n_frames, frame * ch)
+                fsum = a.sum(axis=1)
+                voiced = fsum >= energy_threshold * frame * ch
+                seg = 0
+                i = 0
+                while i < n_frames:
+                    if not voiced[i]:
+                        i += 1
+                        continue
+                    j = i
+                    while j < n_frames and voiced[j]:
+                        j += 1
+                    rows.append(
+                        base
+                        + [
+                            seg,
+                            int(i),
+                            int(j - i),
+                            int(fsum[i:j].sum()),
+                        ]
+                    )
+                    seg += 1
+                    i = j
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def audio_stats(
     df: DataFrame, payload_col: str = "payload", meta_col: str = "meta"
 ) -> DataFrame:

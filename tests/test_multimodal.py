@@ -435,3 +435,41 @@ def test_audio_stats_float_wav_raises(spark):
     wav = encode_wav(8000, 1, 32, frames, fmt_tag=3)
     with pytest.raises(Exception, match="float|portable"):
         audio_stats(_audio_df(spark, [(0, wav, "wav")])).collect()
+
+
+def test_audio_segments_edges_and_validation(spark):
+    import numpy as np
+
+    from parquet_editor_spark.operators.multimodal import audio_segments
+    from parquet_editor_spark.sources.wav import encode_wav
+
+    loud, quiet = 6000, 5
+    # 300 samples: frame 0 voiced, frame 1 starts quiet; trailing 44
+    # samples (300 - 256) are a partial frame -> dropped even though loud
+    sig = np.concatenate(
+        [np.full(256, loud), np.full(44, quiet), np.full(300 - 256 - 44 + 256, loud)]
+    )[:300].astype("<i2")
+    wav1 = encode_wav(8000, 1, 16, sig.tobytes())
+    # stereo: both channels count toward the frame energy
+    st = np.zeros(512 * 2, dtype="<i2")
+    st[0::2] = 3000   # L loud, R silent -> mean over 2ch = 1500 >= 1000
+    wav2 = encode_wav(8000, 2, 16, st.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(wav1), "wav"), (2, bytearray(wav2), "wav")],
+        "doc_id long, payload binary, codec string",
+    )
+    rows = {
+        (r["doc_id"], r["seg_idx"]): r
+        for r in audio_segments(df, frame=256,
+                                energy_threshold=1000).collect()
+    }
+    assert rows[(1, 0)]["start_frame"] == 0
+    assert rows[(1, 0)]["n_frames"] == 1
+    assert rows[(1, 0)]["sum_abs"] == 256 * loud
+    assert (1, 1) not in rows  # partial trailing frame dropped
+    # stereo clip: 512 frames-of-2ch / 256 = 2 frames, both voiced
+    assert rows[(2, 0)]["n_frames"] == 2
+    assert rows[(2, 0)]["sum_abs"] == 512 * 3000
+
+    with pytest.raises(ValueError, match="frame"):
+        audio_segments(df, frame=0).collect()
