@@ -4947,6 +4947,68 @@ def q_train_tokenize_pack_v2(
     ).orderBy("block_id")
 
 
+def q_bpe_merge_sweep_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer MERGE-COUNT sweep (r12 — the vocab-size evaluation a
+    tokenizer owner runs before freezing: how much compression does
+    each doubling of the merge budget buy?): train the batched BPE
+    trainer at n_merges ∈ {4, 8, 16, 32} (batch=4), tokenize the
+    corpus under each learned table, and report filled slots, total
+    tokens and chars-per-token (non-space normalized chars ÷ tokens —
+    the fertility⁻¹ curve).  Four bounded trains (driver holds ≤32
+    merge rows each); counts are exact integers, the ratio one
+    rounded division.  The oracle replays each sweep's ENTIRE
+    unrolled train+apply chain inside its own scalar subquery (local
+    CTE scope keeps the four trainers from colliding)."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", _bpe_norm("text").alias("norm"))
+        .persist()
+    )
+    chars = docs.agg(
+        F.sum(F.length(F.translate("norm", " ", "")))
+        .cast("long")
+        .alias("total_chars")
+    )
+    rows = []
+    for n in (4, 8, 16, 32):
+        learned = sorted(
+            TP.bpe_train(
+                docs.select("norm"), "norm", n_merges=n, batch=4
+            ).collect(),
+            key=lambda r: r["merge_rank"],
+        )  # ≤n rows — bounded metadata
+        merges = [(r["lhs"], r["rhs"]) for r in learned]
+        vocab = {chr(97 + i): i for i in range(26)}
+        vocab.update(
+            {
+                (r["lhs"] + r["rhs"]): 26 + r["merge_rank"]
+                for r in learned
+            }
+        )
+        toks = TP.bpe_tokenize(docs, "doc_id", "norm", merges, vocab)
+        agg = toks.agg(
+            F.sum(F.size("input_ids")).cast("long").alias("total_tokens")
+        )
+        rows.append(
+            agg.crossJoin(F.broadcast(chars)).select(
+                F.lit(n).alias("n_merges"),
+                F.lit(len(learned)).cast("int").alias("n_slots"),
+                "total_tokens",
+                F.round(
+                    F.col("total_chars") / F.col("total_tokens"), 6
+                ).alias("chars_per_token"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("n_merges")
+
+
 def q_sft_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT sample construction (r11 — the instruction-tuning data
     path next to the pretraining one): per doc, render a 1-2-round
@@ -10491,6 +10553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_docs": q_split_leakage_docs,
         "wet_export_roundtrip": q_wet_export_roundtrip,
         "audio_segments_docs": q_audio_segments_docs,
+        "bpe_merge_sweep_docs": q_bpe_merge_sweep_docs,
         "boilerplate_shingles": q_boilerplate_shingles,
         "chunk_documents": q_chunk_documents,
         "clean_replace": q_clean_replace,
@@ -10824,6 +10887,52 @@ def oracle_sql() -> dict[str, str]:
                 t -> w.w[({thc_bucket}) + 1])),
             (acc, x) -> acc + x) / len({thc_feats})
         ELSE 0.0 END, 6)"""
+
+    # bpe merge-count sweep (r12): each sweep's train+apply chain in
+    # its own scalar subquery so the fixed w0/p/m CTE names don't
+    # collide across the four trainers
+    _norm_d = ("SELECT trim(regexp_replace(lower(COALESCE(text, '')),"
+               " '[^a-z]+', ' ', 'g')) AS norm FROM documents")
+
+    def _sweep_tokens(n: int) -> str:
+        return (
+            "(WITH d AS (" + _norm_d + "), "
+            + bpe_train_ctes("SELECT norm FROM d", n, batch=4)
+            + " SELECT SUM(length(replace("
+            + bpe_apply_sql("norm", n)
+            + ", ' ', '')))::BIGINT FROM d)"
+        )
+
+    def _sweep_slots(n: int) -> str:
+        return (
+            "(WITH d AS (" + _norm_d + "), "
+            + bpe_train_ctes("SELECT norm FROM d", n, batch=4)
+            + " SELECT COUNT(*) FROM ("
+            + " UNION ALL ".join(
+                f"SELECT pair FROM m{j}" for j in range(n)
+            )
+            + "))"
+        )
+
+    bpe_sweep_oracle = f"""
+        WITH stats AS (
+            SELECT SUM(length(replace(norm, ' ', '')))::BIGINT
+                AS total_chars
+            FROM ({_norm_d}) nd
+        ), sweeps(n_merges, n_slots, total_tokens) AS (VALUES
+            (4, {_sweep_slots(4)}, {_sweep_tokens(4)}),
+            (8, {_sweep_slots(8)}, {_sweep_tokens(8)}),
+            (16, {_sweep_slots(16)}, {_sweep_tokens(16)}),
+            (32, {_sweep_slots(32)}, {_sweep_tokens(32)})
+        )
+        SELECT CAST(n_merges AS INT) AS n_merges,
+               CAST(n_slots AS INT) AS n_slots,
+               CAST(total_tokens AS BIGINT) AS total_tokens,
+               round(stats.total_chars / total_tokens, 6)
+                   AS chars_per_token
+        FROM sweeps, stats
+        ORDER BY n_merges
+    """
 
     # suffix walk generated from the SAME pinned public-suffix table
     # the Spark operator compiles (see q_url_curation_docs)
@@ -14517,6 +14626,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY reg_domain
         """),
         "stream_url_profile": host_profile_oracle,
+        "bpe_merge_sweep_docs": bpe_sweep_oracle,
         "bpe_tokenize_docs": f"""
             WITH t AS ({_ORACLE_BPE_IDS})
             SELECT doc_id,

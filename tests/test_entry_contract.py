@@ -49,14 +49,14 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
     silently missed adjudication — pin the round-12 window composition
-    (the r11 verdict's #3, OLDEST-FIRST rotation): the eighteen
+    (the r11 verdict's #3, OLDEST-FIRST rotation): the nineteen
     never-adjudicated r12 debuts at the very front, then the 18
-    entries whose last driver signal is r5 and the 14 oldest r7
+    entries whose last driver signal is r5 and the 13 oldest r7
     entries; everything newer-signal moves behind, probes and stable
     rows-only entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "embedding_topk_cosine", (
+    assert window[-1] == "embedding_lsh_dedup", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
@@ -69,6 +69,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "classifier_pr_curve_docs", "stream_bloom_filter",
         "main_content_docs", "split_leakage_docs",
         "wet_export_roundtrip", "audio_segments_docs",
+        "bpe_merge_sweep_docs",
         # the 18 r5-stale entries (the r11 verdict's Missing #4 list)
         "boilerplate_shingles", "chunk_documents", "clean_replace",
         "date_trunc_orders", "decontaminate", "gopher_quality",
@@ -82,7 +83,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "binary_meta", "boilerplate_strip", "correlated_min_suppliers",
         "cube_qty", "dedup_clusters", "dedup_ngram_jaccard",
         "dedup_simhash", "doc_rolling_hash", "embedding_cosine_dedup",
-        "embedding_lsh_dedup", "embedding_topk_cosine",
+        "embedding_lsh_dedup",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
