@@ -1447,7 +1447,11 @@ def bloom_member(
     The bitmap side is metadata-sized and broadcasts; the data side
     explodes k probe rows per key and aggregates back — one
     broadcast join, one key-grouped agg, nothing corpus-sized
-    shuffles."""
+    shuffles.  NB the re-aggregation groups by ALL input columns, so
+    fully-duplicate input rows collapse to one output row (carry a
+    distinct id column to preserve multiplicity);
+    :func:`bloom_member_expr` is the projection form without this
+    wrinkle."""
     if n_words < 1 or not 1 <= k <= 64:
         raise ValueError("need n_words >= 1 and 1 <= k <= 64")
     cols = df.columns
