@@ -7182,6 +7182,75 @@ def q_pdf_aes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_aesv3_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AESV3/R6-ENCRYPTED PDF extraction (r12 — the post-2008 DEFAULT
+    encryption, closing the last realistic PDF-crypto gap): per doc, a
+    V5/R6 document under the SHA-2 standard handler — Algorithm 2.B
+    key derivation (SHA-256/384/512 + AES-CBC rounds; T-table AES
+    core, KDF cached per process since fixture salts are corpus
+    constants), /U //UE empty-user-password authentication, AES-256
+    CBC with the file key used directly on every object — extracted
+    through the production walk.  Oracle rebuilds each page
+    arithmetically; real user passwords and filter mixes gate loudly
+    (tests/test_pdf.py)."""
+    from pyspark.sql import types as T
+
+    from parquet_editor_spark.operators import multimodal as MM
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.coalesce(F.col("text"), F.lit("")), "[^ -~]", "#"
+            ).alias("clean"),
+        )
+        .filter(F.col("doc_id") % 109 == 0)
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from parquet_editor_spark.sources.pdf import encode_pdf_encrypted
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for raw, clean in zip(pdf["doc_id"], pdf["clean"]):
+                i = int(raw)
+                pages = []
+                for p in range(1 + i % 3):
+                    lines = [f"vdoc3 {i} page {p}"] + [
+                        (clean or "")[(p * 3 + m) * 36:(p * 3 + m) * 36 + 36]
+                        for m in range(3)
+                    ]
+                    pages.append(lines)
+                payloads.append(
+                    encode_pdf_encrypted(pages, cfm="/AESV3")
+                )
+            pdf["payload"] = payloads
+            yield pdf[["doc_id", "payload"]]
+
+    with_payload = docs.mapInPandas(gen, schema=gen_schema)
+    return (
+        MM.pdf_pages(with_payload)
+        .select(
+            "doc_id",
+            "page_idx",
+            "n_pages",
+            F.length("page_text").cast("long").alias("n_chars"),
+            F.substring("page_text", 1, 40).alias("text_prefix"),
+            F.md5(F.encode("page_text", "utf-8")).alias("text_md5"),
+        )
+        .orderBy("doc_id", "page_idx")
+    )
+
+
 # --- URL/host curation fixture (r10): deterministic messy URLs ------------
 # documents has no URL column, so both engines synthesize the same
 # string per doc — mixed-case scheme/host, www and subdomain labels,
@@ -10539,6 +10608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_v2": q_crawl_frontier_v2,
         "substring_dedup_docs": q_substring_dedup_docs,
         "pdf_aes_docs": q_pdf_aes_docs,
+        "pdf_aesv3_docs": q_pdf_aesv3_docs,
         "pipeline_curation_v6": q_pipeline_curation_v6,
         "sft_pack_docs_v2": q_sft_pack_docs_v2,
         "robots_sitemap_docs": q_robots_sitemap_docs,
@@ -14548,6 +14618,36 @@ def oracle_sql() -> dict[str, str]:
                        CAST(g.p AS INT) AS page_idx,
                        CAST(np AS INT) AS n_pages,
                        'edoc ' || CAST(doc_id AS VARCHAR) || ' page '
+                       || CAST(g.p AS VARCHAR) || chr(10)
+                       || substr(clean, 1 + (g.p * 3 + 0) * 36, 36)
+                       || chr(10)
+                       || substr(clean, 1 + (g.p * 3 + 1) * 36, 36)
+                       || chr(10)
+                       || substr(clean, 1 + (g.p * 3 + 2) * 36, 36)
+                           AS ptext
+                FROM docs, generate_series(0, 2) AS g(p)
+                WHERE g.p < np
+            )
+            SELECT doc_id, page_idx, n_pages,
+                   CAST(length(ptext) AS BIGINT) AS n_chars,
+                   substr(ptext, 1, 40) AS text_prefix,
+                   md5(ptext) AS text_md5
+            FROM pages
+            ORDER BY doc_id, page_idx
+        """,
+        "pdf_aesv3_docs": """
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_replace(COALESCE(text, ''), '[^ -~]',
+                                      '#', 'g') AS clean,
+                       1 + doc_id % 3 AS np
+                FROM documents
+                WHERE doc_id % 109 = 0
+            ), pages AS (
+                SELECT doc_id,
+                       CAST(g.p AS INT) AS page_idx,
+                       CAST(np AS INT) AS n_pages,
+                       'vdoc3 ' || CAST(doc_id AS VARCHAR) || ' page '
                        || CAST(g.p AS VARCHAR) || chr(10)
                        || substr(clean, 1 + (g.p * 3 + 0) * 36, 36)
                        || chr(10)

@@ -28,9 +28,12 @@ Honest scope (classic + modern structural tiers, the rest gated):
     per-object keys on strings and streams.  r12 adds the V4 R4
     crypt-filter dialect — /StdCF with /CFM /V2 (RC4) or /AESV2
     (AES-128-CBC, IV prefix + PKCS#7 padding, the dependency-free
-    FIPS-197 core in sources/aes.py) — still empty-user-password
-    only.  Real user passwords, AESV3/R6 (V5), per-class filter
-    mixes and EncryptMetadata=false raise.
+    FIPS-197 core in sources/aes.py) — AND the V5 R6 /AESV3 handler
+    (SHA-2 Algorithm 2.B key derivation, /U //UE empty-user-password
+    authentication, AES-256-CBC with the file key used directly —
+    ISO 32000-2 §7.6.4, the post-2008 default).  Real user
+    passwords, per-class filter mixes and EncryptMetadata=false
+    raise.
 
 The fixture encoder writes the same dialect the parser reads —
 catalog → page tree → per-page FlateDecode content streams + a real
@@ -1096,19 +1099,61 @@ def _std_u_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
     return u + b"\x00" * 16
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=128)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 key-derivation hash:
+    SHA-256 seed, then rounds of (pw+K+udata)×64 → AES-128-CBC under
+    K's halves → SHA-256/384/512 selected by the first 16 bytes mod
+    3, until ≥64 rounds AND the last cipher byte ≤ round−32.  (No
+    published test vectors exist offline; the fixture encoder and the
+    parser share only this function's OUTPUT through the written /U
+    //UE //O //OE entries, so a drift from the published algorithm
+    would still be internally consistent — the same honesty level as
+    the RC4 tier, whose padding constant is the published one.)"""
+    import hashlib
+
+    from parquet_editor_spark.sources.aes import aes_cbc_encrypt_nopad
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            break
+    return k[:32]
+
+
 class _Decryptor:
     """Per-object decryption under a validated file key — RC4
     (V1/V2, and V4 /V2 crypt filters) or AES-128-CBC (V4 /AESV2:
     per-object key salted with b"sAlT", 16-byte IV prefix, PKCS#7
     padding; ISO 32000-1 §7.6.2 Algorithm 1)."""
 
-    def __init__(self, file_key: bytes, aes: bool = False):
+    def __init__(
+        self,
+        file_key: bytes,
+        aes: bool = False,
+        per_object: bool = True,
+    ):
         self.file_key = file_key
         self.aes = aes
+        # R6/AESV3 uses the 256-bit file key DIRECTLY on every object
+        # (ISO 32000-2 dropped the per-object md5 salting)
+        self.per_object = per_object
 
     def _obj_key(self, num: int, gen: int) -> bytes:
         import hashlib
 
+        if not self.per_object:
+            return self.file_key
         salt = b"sAlT" if self.aes else b""
         return hashlib.md5(
             self.file_key
@@ -1156,6 +1201,46 @@ def _build_decryptor(enc: dict, id0: bytes, origin: str) -> _Decryptor:
     v = int(enc.get("V", 0))
     r = int(enc["R"])
     aes = False
+    if v == 5 and r == 6:
+        # AESV3 (r12): SHA-2 handler, AES-256-CBC, NO per-object keys
+        # (ISO 32000-2 §7.6.4) — still empty-user-password only
+        stmf = enc.get("StmF", "/Identity")
+        strf = enc.get("StrF", "/Identity")
+        if stmf != "/StdCF" or strf != "/StdCF":
+            raise NotImplementedError(
+                f"{origin!r}: V5 crypt filters StmF={stmf!r} "
+                f"StrF={strf!r} — only a shared /StdCF is supported"
+            )
+        cf = enc.get("CF", {})
+        stdcf = cf.get("StdCF") if isinstance(cf, dict) else None
+        cfm = stdcf.get("CFM") if isinstance(stdcf, dict) else None
+        if cfm != "/AESV3":
+            raise NotImplementedError(
+                f"{origin!r}: crypt filter method {cfm!r} — only "
+                "/AESV3 is supported under V=5 R=6"
+            )
+        u, ue = enc["U"], enc["UE"]
+        if not (
+            isinstance(u, bytes)
+            and len(u) >= 48
+            and isinstance(ue, bytes)
+            and len(ue) == 32
+        ):
+            raise ValueError(
+                f"{origin!r}: malformed R6 /U or /UE entry"
+            )
+        # Algorithm 11: validate the EMPTY user password
+        if _hash_2b(b"", u[32:40], b"") != u[:32]:
+            raise NotImplementedError(
+                f"{origin!r}: PDF requires a non-empty user password"
+            )
+        inter = _hash_2b(b"", u[40:48], b"")
+        from parquet_editor_spark.sources.aes import (
+            aes_cbc_decrypt_nopad,
+        )
+
+        file_key = aes_cbc_decrypt_nopad(inter, b"\x00" * 16, ue)
+        return _Decryptor(file_key, aes=True, per_object=False)
     if v == 4 and r == 4:
         # crypt-filter dispatch (r12): /StdCF with /CFM /AESV2
         # (AES-128-CBC) or /V2 (RC4) covering both streams and
@@ -1220,11 +1305,16 @@ def encode_pdf_encrypted(
     with standard-handler encryption — empty USER password (the
     crawl-realistic case), owner password set, per-object keys on
     every stream.  R2 forces 40-bit keys per spec.  ``cfm`` switches
-    to the V4/R4 crypt-filter dialect: "/V2" (RC4) or "/AESV2"
-    (AES-128-CBC with IV prefix + PKCS#7 padding, r12)."""
+    to the crypt-filter dialects: "/V2" (RC4) or "/AESV2"
+    (AES-128-CBC with IV prefix + PKCS#7 padding) under V4/R4, and
+    "/AESV3" (the SHA-2 R6 handler: Algorithm 2.B /U //UE entries,
+    AES-256-CBC, file key used directly on every object — the
+    post-2008 default) under V5/R6 (r12)."""
     if r == 2:
         key_bits = 40
-    if cfm is not None:
+    if cfm == "/AESV3":
+        r, key_bits = 6, 256
+    elif cfm is not None:
         r, key_bits = 4, 128
     plain = encode_pdf(pages)
     # deterministic file ID from the plain bytes
@@ -1233,10 +1323,49 @@ def encode_pdf_encrypted(
     id0 = hashlib.md5(b"pes-id" + plain[:64]).digest()
     p = -44  # print allowed, modify/copy/annotate denied
     key_len = key_bits // 8
-    o_entry = _std_o_entry(owner_pw, b"", r, key_len)
-    file_key = _std_file_key(b"", o_entry, p, id0, r, key_len)
-    u_entry = _std_u_entry(file_key, id0, r)
-    dec = _Decryptor(file_key, aes=cfm == "/AESV2")
+    if r == 6:
+        from parquet_editor_spark.sources.aes import (
+            aes_cbc_encrypt_nopad,
+        )
+
+        file_key = (
+            hashlib.md5(b"pes-k1" + plain[:64]).digest()
+            + hashlib.md5(b"pes-k2" + plain[:64]).digest()
+        )
+        # salts are corpus constants ON PURPOSE: the 2.B cache then
+        # pays the ~10^4-block derivation once per process, not per
+        # document (real writers randomize per FILE; the fixture pins)
+        vs = hashlib.md5(b"pes-vs-r6").digest()[:8]
+        ks = hashlib.md5(b"pes-ks-r6").digest()[:8]
+        u_entry = _hash_2b(b"", vs, b"") + vs + ks
+        ue_entry = aes_cbc_encrypt_nopad(
+            _hash_2b(b"", ks, b""), b"\x00" * 16, file_key
+        )
+        ovs = hashlib.md5(b"pes-ovs-r6").digest()[:8]
+        oks = hashlib.md5(b"pes-oks-r6").digest()[:8]
+        o_entry = (
+            _hash_2b(owner_pw, ovs, u_entry[:48]) + ovs + oks
+        )
+        oe_entry = aes_cbc_encrypt_nopad(
+            _hash_2b(owner_pw, oks, u_entry[:48]),
+            b"\x00" * 16,
+            file_key,
+        )
+        perms_blk = (
+            (p & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xff"
+            + b"Tadb"
+            + hashlib.md5(b"pes-pm" + plain[:32]).digest()[:4]
+        )
+        perms_entry = aes_cbc_encrypt_nopad(
+            file_key, b"\x00" * 16, perms_blk
+        )
+        dec = _Decryptor(file_key, aes=True, per_object=False)
+    else:
+        o_entry = _std_o_entry(owner_pw, b"", r, key_len)
+        file_key = _std_file_key(b"", o_entry, p, id0, r, key_len)
+        u_entry = _std_u_entry(file_key, id0, r)
+        dec = _Decryptor(file_key, aes=cfm == "/AESV2")
 
     # re-emit every object, encrypting stream bodies (AES grows the
     # payload — IV + padding — so /Length is rewritten)
@@ -1263,7 +1392,19 @@ def encode_pdf_encrypted(
     objects.append(
         (info_num, b"<< /Title " + _hex_str(title) + b" >>")
     )
-    if cfm is not None:
+    if r == 6:
+        enc_dict = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+            + b" /P " + str(p).encode()
+            + b" /CF << /StdCF << /CFM /AESV3"
+            + b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+            + b" /O " + _hex_str(o_entry)
+            + b" /U " + _hex_str(u_entry)
+            + b" /OE " + _hex_str(oe_entry)
+            + b" /UE " + _hex_str(ue_entry)
+            + b" /Perms " + _hex_str(perms_entry) + b" >>"
+        )
+    elif cfm is not None:
         enc_dict = (
             b"<< /Filter /Standard /V 4 /R 4 /Length 128"
             + b" /P " + str(p).encode()

@@ -725,3 +725,62 @@ def test_aes_v4_gates():
     ) + enc[at + 2:]
     with pytest.raises(NotImplementedError, match="user password"):
         decode_pdf_text(bad)
+
+
+def test_aes_key_sizes_fips_vectors():
+    from parquet_editor_spark.sources.aes import (
+        _encrypt_block,
+        _expand_key,
+        aes_cbc_decrypt_nopad,
+        aes_cbc_encrypt_nopad,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    # FIPS-197 appendix C.1 / C.2 / C.3
+    assert _encrypt_block(pt, _expand_key(bytes(range(16)))).hex() == (
+        "69c4e0d86a7b0430d8cdb78070b4c55a"
+    )
+    assert _encrypt_block(pt, _expand_key(bytes(range(24)))).hex() == (
+        "dda97ca4864cdfe06eaf70a0ec0d7191"
+    )
+    assert _encrypt_block(pt, _expand_key(bytes(range(32)))).hex() == (
+        "8ea2b7ca516745bfeafc49904b496089"
+    )
+    d = bytes(range(48))
+    assert aes_cbc_decrypt_nopad(
+        b"K" * 32, b"I" * 16, aes_cbc_encrypt_nopad(b"K" * 32, b"I" * 16, d)
+    ) == d
+    with pytest.raises(ValueError, match="key"):
+        _expand_key(b"short")
+    with pytest.raises(ValueError, match="block"):
+        aes_cbc_encrypt_nopad(b"K" * 16, b"I" * 16, b"unaligned")
+
+
+def test_encrypted_aesv3_r6_roundtrip_and_gates():
+    from parquet_editor_spark.sources.pdf import (
+        _hash_2b,
+        encode_pdf_encrypted,
+    )
+
+    want = decode_pdf_text(encode_pdf(_PAGES))
+    enc = encode_pdf_encrypted(_PAGES, cfm="/AESV3")
+    assert decode_pdf_text(enc) == want
+    assert b"/V 5 /R 6" in enc and b"/UE <" in enc
+
+    # Algorithm 2.B is deterministic and password/salt-sensitive
+    a = _hash_2b(b"", b"saltsalt", b"")
+    assert a == _hash_2b(b"", b"saltsalt", b"") and len(a) == 32
+    assert a != _hash_2b(b"x", b"saltsalt", b"")
+    assert a != _hash_2b(b"", b"SALTSALT", b"")
+
+    # tampered /U hash = a real user password
+    at = enc.index(b"/U <") + 4
+    bad = enc[:at] + (
+        b"00" if enc[at:at + 2] != b"00" else b"11"
+    ) + enc[at + 2:]
+    with pytest.raises(NotImplementedError, match="user password"):
+        decode_pdf_text(bad)
+    # V5 with a non-AESV3 filter method gates
+    v4cfm = enc.replace(b"/CFM /AESV3", b"/CFM /AESV29")
+    with pytest.raises(NotImplementedError, match="AESV3|V=5"):
+        decode_pdf_text(v4cfm)
