@@ -4412,6 +4412,108 @@ def q_pipeline_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("block_id")
 
 
+def q_pipeline_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation DAG v7 (r12 — the calibration loop CLOSED): v6's
+    train-then-deploy, but the keep threshold is PICKED by the PR
+    sweep instead of hard-coded at 0 — train the bit-exact classifier
+    on the held-out quarter, score the gopher-labeled corpus, compute
+    the confusion at the fixed threshold grid, choose the F1-argmax
+    threshold (ties → smaller threshold) with pure INTEGER
+    cross-multiplication ordering (2·tp₁·denom₂ vs 2·tp₂·denom₁ — no
+    float F1 ever compared, so both engines pick identically), and
+    gate the pipeline's line-deduped text at margin > t*.  This is
+    the full calibrated-deployment loop a production quality filter
+    runs: label → train → sweep → pick → gate → tokenize → pack.
+
+    Scale shape: the sweep adds one broadcast grid cross join + one
+    hash agg collecting |grid| rows (driver metadata); everything
+    else is v6's plan."""
+    from parquet_editor_spark.functions import text as X
+    from parquet_editor_spark.operators import textprep as TP
+
+    labeled = _thc_labeled_docs(spark, sf_dir)
+    w = X.train_hash_classifier(
+        labeled.filter(F.col("doc_id") % 4 == 1), "sig", "y",
+        n_buckets=_THC_BUCKETS, iters=_THC_ITERS, lr=_THC_LR,
+    )
+    scored = labeled.select(
+        "y", X.hash_linear_score("sig", w, bias=0.0).alias("margin")
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in _PR_THRESHOLDS], "threshold double"
+    )
+    keep = F.coalesce(
+        (F.col("margin") > F.col("threshold")).cast("int"), F.lit(0)
+    )
+    cm = (
+        scored.crossJoin(F.broadcast(grid))
+        .select("y", "threshold", keep.alias("k"))
+        .groupBy("threshold")
+        .agg(
+            F.sum(((F.col("y") == 1) & (F.col("k") == 1)).cast("long"))
+            .alias("tp"),
+            F.sum(((F.col("y") == 0) & (F.col("k") == 1)).cast("long"))
+            .alias("fp"),
+            F.sum(((F.col("y") == 1) & (F.col("k") == 0)).cast("long"))
+            .alias("fn"),
+        )
+        .collect()
+    )  # |grid| rows — bounded driver metadata
+
+    def f1_gt(a, b):  # exact rational compare of 2tp/(2tp+fp+fn)
+        na, da = 2 * a["tp"], 2 * a["tp"] + a["fp"] + a["fn"]
+        nb, db = 2 * b["tp"], 2 * b["tp"] + b["fp"] + b["fn"]
+        return na * db > nb * da
+
+    best = cm[0]
+    for r in cm[1:]:
+        if f1_gt(r, best) or (
+            not f1_gt(best, r) and r["threshold"] < best["threshold"]
+        ):
+            best = r
+    t_star = float(best["threshold"])
+
+    kept = _v5_curation_kept(spark, sf_dir)
+    deploy = kept.select(
+        F.col("id").alias("doc_id"), F.col("kept_text").alias("text")
+    )
+    sigs = _thc_labeled_docs(
+        spark, sf_dir, docs=deploy, extra_cols=("text",)
+    )
+    gated = (
+        sigs.select(
+            "doc_id",
+            "text",
+            X.hash_linear_score("sig", w, bias=0.0).alias("__margin"),
+        )
+        .filter(F.col("__margin") > F.lit(t_star))
+        .select("doc_id", _bpe_norm("text").alias("norm"))
+    )
+    toks = TP.bpe_tokenize(
+        gated, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
+    ).persist()
+    blocks = TP.pack_id_blocks(
+        toks, "id", "input_ids", block_tokens=32, bucket_docs=64
+    )
+    ids_csv = F.array_join(
+        F.transform("input_ids", lambda x: x.cast("string")), ","
+    )
+    head_csv = F.array_join(
+        F.transform(
+            F.slice("input_ids", 1, 10), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+    return blocks.select(
+        F.lit(t_star).alias("threshold"),
+        "block_id",
+        "n_docs",
+        "n_ids",
+        head_csv.alias("head_ids"),
+        F.md5(F.encode(ids_csv, "utf-8")).alias("ids_md5"),
+    ).orderBy("block_id")
+
+
 def q_wds_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset EXPORT → re-ingest round trip (``shard_webdataset``
     + ``wds_samples``, new r9): shard the whole documents table into
@@ -10610,6 +10712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_aes_docs": q_pdf_aes_docs,
         "pdf_aesv3_docs": q_pdf_aesv3_docs,
         "pipeline_curation_v6": q_pipeline_curation_v6,
+        "pipeline_curation_v7": q_pipeline_curation_v7,
         "sft_pack_docs_v2": q_sft_pack_docs_v2,
         "robots_sitemap_docs": q_robots_sitemap_docs,
         "anchor_text_docs": q_anchor_text_docs,
@@ -15427,6 +15530,204 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY block_id
             )
             SELECT CAST(block_id AS BIGINT) AS block_id,
+                   n_docs, n_ids,
+                   array_to_string((string_split(csv, ','))[1:10], ',')
+                       AS head_ids,
+                   md5(csv) AS ids_md5
+            FROM v5b
+            ORDER BY block_id
+        """,
+        "pipeline_curation_v7": f"""
+            WITH {thc6_ctes}, scv7 AS (
+                SELECT y, {thc_margin} AS margin
+                FROM ({_ORACLE_THC_DOCS}) dsc, {thc6_final} w
+            ), gridv7(threshold) AS (
+                VALUES (-0.05), (-0.02), (0.0), (0.02), (0.05)
+            ), cmv7 AS (
+                SELECT g.threshold,
+                       SUM(CASE WHEN y = 1 AND margin > g.threshold
+                           THEN 1 ELSE 0 END)::BIGINT AS tp,
+                       SUM(CASE WHEN y = 0 AND margin > g.threshold
+                           THEN 1 ELSE 0 END)::BIGINT AS fp,
+                       SUM(CASE WHEN y = 1 AND margin <= g.threshold
+                           THEN 1 ELSE 0 END)::BIGINT AS fn
+                FROM scv7, gridv7 g
+                GROUP BY g.threshold
+            ), bestv7 AS (
+                SELECT t1.threshold AS t FROM cmv7 t1
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM cmv7 t2
+                    WHERE (2 * t2.tp)
+                              * (2 * t1.tp + t1.fp + t1.fn)
+                          > (2 * t1.tp)
+                              * (2 * t2.tp + t2.fp + t2.fn)
+                       OR ((2 * t2.tp)
+                              * (2 * t1.tp + t1.fp + t1.fn)
+                           = (2 * t1.tp)
+                              * (2 * t2.tp + t2.fp + t2.fn)
+                           AND t2.threshold < t1.threshold))
+            ), v5d AS (
+                SELECT doc_id, text,
+                       regexp_replace(COALESCE(text, ''), '[^ -~]',
+                                      '#', 'g') AS ac
+                FROM documents
+            ), v5h AS (
+                SELECT doc_id,
+                       '<html><body class="c' || (doc_id % 7)
+                       || '"><h1>Doc &amp; ' || doc_id || '</h1><p>'
+                       || replace(COALESCE(text, ''), ' data ',
+                                  ' &quot;data&quot; ')
+                       || '</p><script>var x = 1;</script>'
+                       || '<style>p{{}}</style></body></html>' AS html
+                FROM v5d WHERE doc_id % 3 <> 0
+            ), v5hc AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                         replace(replace(replace(replace(replace(replace(
+                           regexp_replace(regexp_replace(regexp_replace(html,
+                             '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                             '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                             '<[^>]*>', ' ', 'g'),
+                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                         '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+                         '\\s+', ' ', 'g')) AS etext
+                FROM v5h
+            ), v5p AS (
+                SELECT doc_id,
+                       'vdoc ' || CAST(doc_id AS VARCHAR) || ' page 0'
+                       || chr(10) || substr(ac, 1, 40)
+                       || chr(10) || substr(ac, 41, 40)
+                       || CASE WHEN doc_id % 2 = 1 THEN
+                            chr(10) || 'vdoc ' || CAST(doc_id AS VARCHAR)
+                            || ' page 1'
+                            || chr(10) || substr(ac, 81, 40)
+                            || chr(10) || substr(ac, 121, 40)
+                          ELSE '' END AS etext
+                FROM v5d WHERE doc_id % 3 = 0
+            ), v5e AS (
+                SELECT doc_id, etext FROM v5hc
+                UNION ALL SELECT doc_id, etext FROM v5p
+            ), v5u AS (
+                SELECT doc_id, etext,
+                       'vsite' || CAST(doc_id % 97 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '.com' ELSE '.co.uk' END AS host
+                FROM v5e
+            ), v5a AS (
+                SELECT doc_id, etext, host FROM v5u
+                WHERE doc_id % 5 IN (0, 2, 4)
+                   OR (doc_id % 5 = 3 AND (doc_id % 97) % 2 = 1)
+            ), v5cap AS (
+                SELECT doc_id, etext FROM (
+                    SELECT doc_id, etext,
+                           row_number() OVER (PARTITION BY host
+                                              ORDER BY doc_id) AS hr
+                    FROM v5a) c
+                WHERE hr <= 3
+            ), v5lined AS (
+                SELECT doc_id,
+                       'promo ' || CAST(doc_id % 3 AS VARCHAR) || '. '
+                       || etext || '. visit example v5 today' AS lined
+                FROM v5cap
+            ), v5l0 AS (
+                SELECT doc_id,
+                       unnest(range(len(string_split(lined, '. '))))
+                           AS pos,
+                       unnest(string_split(lined, '. ')) AS line
+                FROM v5lined
+            ), v5l AS (
+                SELECT doc_id, CAST(pos AS INT) AS pos, line,
+                       trim(line) AS canon
+                FROM v5l0
+            ), v5k AS (
+                SELECT doc_id, pos, line,
+                       CASE WHEN length(canon) < 2 THEN TRUE
+                            ELSE row_number() OVER (
+                                PARTITION BY canon
+                                ORDER BY doc_id, pos) = 1
+                       END AS keep
+                FROM v5l
+            ), v5kept AS (
+                SELECT doc_id,
+                       COALESCE(string_agg(line, '. ' ORDER BY pos)
+                                FILTER (WHERE keep), '') AS kept_text
+                FROM v5k GROUP BY doc_id
+            ), v6s0 AS (
+                SELECT doc_id, kept_text,
+                       list_filter(
+                           string_split_regex(kept_text, '\\s+'),
+                           x -> x <> '') AS toks
+                FROM v5kept
+            ), v6sig AS (
+                SELECT doc_id, kept_text,
+                       'qn' || CAST(CAST(floor(len(toks) / 8.0)
+                                         AS INT) AS VARCHAR)
+                       || ' qd' || CAST(CAST(floor(
+                              CAST(len(list_distinct(toks)) AS DOUBLE)
+                              / NULLIF(len(toks), 0) * 20.0)
+                                  AS INT) AS VARCHAR)
+                       || ' qm' || CAST(CAST(floor(
+                              CAST(list_sum(list_transform(
+                                       toks, x -> length(x)))
+                                   AS DOUBLE)
+                              / NULLIF(len(toks), 0) * 2.0)
+                                  AS INT) AS VARCHAR) AS norm
+                FROM v6s0
+            ), v5g AS (
+                SELECT doc_id, kept_text
+                FROM v6sig, {thc6_final} w
+                WHERE {thc_margin} > (SELECT t FROM bestv7)
+            ), v5t AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(
+                               string_split(
+                                   replace(replace(replace(replace(replace(
+                                   replace(replace(replace(replace(replace(
+                                       trim(regexp_replace(lower(kept_text),
+                                           '[^a-z]+', ' ', 'g')),
+                                       'th', 'A'), 'Ae', 'B'), 'in', 'C'),
+                                       'er', 'D'), 'an', 'E'), 'on', 'F'),
+                                       'Ed', 'G'), 'Cg', 'H'), 'en', 'I'),
+                                       'or', 'J'),
+                                   ''),
+                               c -> c <> ' '),
+                           ch -> CASE WHEN ch BETWEEN 'a' AND 'z'
+                                      THEN ascii(ch) - 97
+                                      ELSE ascii(ch) - 39 END) AS ids
+                FROM v5g
+            ), v5c AS (
+                SELECT doc_id, ids, len(ids)::BIGINT AS n,
+                       COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM v5t
+            ), v5ee AS (
+                SELECT doc_id, ids, n, o,
+                       unnest(range(o // 32,
+                                    (o + n - 1) // 32 + 1)) AS block_id
+                FROM v5c WHERE n > 0
+            ), v5pp AS (
+                SELECT block_id,
+                       least(n, (block_id + 1) * 32 - o)
+                           - greatest(0, block_id * 32 - o) AS nb,
+                       greatest(0, o - block_id * 32) AS block_pos,
+                       array_to_string(
+                           ids[greatest(0, block_id * 32 - o) + 1 :
+                               least(n, (block_id + 1) * 32 - o)],
+                           ',') AS piece
+                FROM v5ee
+            ), v5b AS (
+                SELECT block_id,
+                       count(*)::BIGINT AS n_docs,
+                       sum(nb)::BIGINT AS n_ids,
+                       string_agg(piece, ',' ORDER BY block_pos) AS csv
+                FROM v5pp
+                GROUP BY block_id
+            )
+            SELECT CAST((SELECT t FROM bestv7) AS DOUBLE)
+                       AS threshold,
+                   CAST(block_id AS BIGINT) AS block_id,
                    n_docs, n_ids,
                    array_to_string((string_split(csv, ','))[1:10], ',')
                        AS head_ids,

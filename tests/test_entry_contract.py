@@ -49,21 +49,21 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
     silently missed adjudication — pin the round-12 window composition
-    (the r11 verdict's #3, OLDEST-FIRST rotation): the twenty
+    (the r11 verdict's #3, OLDEST-FIRST rotation): the twenty-one
     never-adjudicated r12 debuts at the very front, then the 18
-    entries whose last driver signal is r5 and the 12 oldest r7
+    entries whose last driver signal is r5 and the 11 oldest r7
     entries; everything newer-signal moves behind, probes and stable
     rows-only entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "embedding_cosine_dedup", (
+    assert window[-1] == "doc_rolling_hash", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
         # new in r12
         "outlink_extract_docs", "crawl_frontier_v2",
         "substring_dedup_docs", "pdf_aes_docs", "pdf_aesv3_docs",
-        "pipeline_curation_v6",
+        "pipeline_curation_v6", "pipeline_curation_v7",
         "sft_pack_docs_v2", "robots_sitemap_docs", "anchor_text_docs",
         "outlink_graph_rank", "bloom_frontier_docs",
         "detokenize_roundtrip_docs", "crawl_frontier_v3",
@@ -83,7 +83,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "above_avg_orders", "add_drop_column", "bin2d_scatter",
         "binary_meta", "boilerplate_strip", "correlated_min_suppliers",
         "cube_qty", "dedup_clusters", "dedup_ngram_jaccard",
-        "dedup_simhash", "doc_rolling_hash", "embedding_cosine_dedup",
+        "dedup_simhash", "doc_rolling_hash",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
