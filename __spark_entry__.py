@@ -6747,11 +6747,14 @@ def q_substring_dedup_docs(
     operator must excise each later doc's copy with EXACT
     maximal-run boundaries (including the deterministic extensions
     into the shared frame characters) under the keep-first policy.
-    The oracle is a full DuckDB MIRROR of the phase-2 semantics —
-    same Horner gram hashes (``winnow_gram_hash_sql``), same
-    gaps-and-islands runs, same interval merge and subtraction —
-    phase 1 being a lossless optimization by construction
-    (min_len ≥ k+w−1)."""
+    The oracle is a full DuckDB MIRROR of BOTH phases (r13): the
+    raw-text winnowing fingerprints (same Horner gram hashes via
+    ``winnow_gram_hash_sql``, same w=4 window minima), the
+    group-min candidate pairing (each fingerprint group aggregated
+    to its min doc id — the O(m)-per-group policy that replaced the
+    r12 all-pairs self-join per the r12 verdict's skew finding),
+    then the same gaps-and-islands runs, interval merge and
+    subtraction."""
     from parquet_editor_spark.operators import dedup as D
 
     d = F.col("doc_id")
@@ -14423,12 +14426,30 @@ def oracle_sql() -> dict[str, str]:
                        __SSD_HASH__ AS h
                 FROM docs, generate_series(1, 200) AS g(p)
                 WHERE g.p <= len(t) - 7
+            ), fps AS (
+                SELECT DISTINCT doc_id, fp FROM (
+                    SELECT doc_id, pos,
+                           min(h) OVER (
+                               PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW
+                               AND 3 FOLLOWING) AS fp,
+                           max(pos) OVER (PARTITION BY doc_id)
+                               AS maxp
+                    FROM grams) wf
+                WHERE pos <= maxp - 3
+            ), gmin AS (
+                SELECT fp, MIN(doc_id) AS a FROM fps GROUP BY fp
+            ), pairs AS (
+                SELECT DISTINCT g.a, f.doc_id AS b
+                FROM fps f
+                JOIN gmin g ON g.fp = f.fp AND f.doc_id > g.a
             ), m AS (
-                SELECT ga.doc_id AS a, gb.doc_id AS b,
-                       gb.pos AS pb, gb.pos - ga.pos AS off
-                FROM grams ga
+                SELECT p.a, p.b, gb.pos AS pb,
+                       gb.pos - ga.pos AS off
+                FROM pairs p
+                JOIN grams ga ON ga.doc_id = p.a
                 JOIN grams gb
-                  ON ga.h = gb.h AND ga.doc_id < gb.doc_id
+                  ON gb.doc_id = p.b AND gb.h = ga.h
             ), isl AS (
                 SELECT a, b, off, pb,
                        pb - row_number() OVER (

@@ -75,6 +75,7 @@ def winnow_fingerprints(
     text_col: str,
     k: int = 8,
     w: int = 4,
+    normalize: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD 2003 — the MOSS rolling-hash scheme): hash every k-char
@@ -97,12 +98,28 @@ def winnow_fingerprints(
     pure codegen projection + explode — the per-doc cost is O(len·k)
     integer ops inside whole-stage codegen, no shuffle, no Python;
     downstream joins on ``fp`` are the usual inverted-index
-    pattern."""
+    pattern.
+
+    ``normalize=True`` (the near-dup default) fingerprints the
+    :func:`~parquet_editor_spark.functions.text.normalize_text`
+    canonical form so case/punctuation variants collapse;
+    ``normalize=False`` fingerprints the RAW text — required when the
+    downstream consumer matches raw characters (``substring_dedup``
+    phase 2), where normalizing first would silently lose recall on
+    shared runs whose normalized image is shorter than k+w−1
+    (punctuation separators, whitespace runs — the r12 ADVICE
+    finding)."""
     if k < 2 or w < 1:
         raise ValueError("need k >= 2 and w >= 1")
+    canon = (
+        X.normalize_text(text_col)
+        if normalize
+        else (
+            F.col(text_col) if isinstance(text_col, str) else text_col
+        )
+    )
     staged = df.select(
-        F.col(id_col).alias("id"),
-        X.normalize_text(text_col).alias("__c"),
+        F.col(id_col).alias("id"), canon.alias("__c")
     )
     n_grams = F.length("__c") - (k - 1)
 
@@ -268,6 +285,44 @@ def line_dedup(
     )
 
 
+def substring_candidate_pairs(
+    fps: DataFrame, candidates: str = "group_min"
+) -> DataFrame:
+    """Candidate (a, b) doc pairs (a < b) from a winnowing
+    fingerprint table (id, fp) — ``substring_dedup``'s phase 1,
+    exposed so tests can pin the pair COUNT directly (the r12
+    verdict's skew-fixture mandate).
+
+    ``group_min`` aggregates each fingerprint group to its min id and
+    joins back — O(m) pairs per m-doc group, map-side-combinable agg
+    plus one fp-keyed hash join.  ``all_pairs`` is the exact
+    self-join — O(m²) per group, the r12 scale-killer on skewed
+    fingerprints (a license footer shared by 10⁶ pages → 10¹²
+    pairs); kept only for small-corpus differential baselines."""
+    if candidates == "group_min":
+        gmin = fps.groupBy("fp").agg(F.min("id").alias("a"))
+        return (
+            fps.join(gmin, "fp")
+            .filter(F.col("id") > F.col("a"))
+            .select("a", F.col("id").alias("b"))
+            .distinct()
+        )
+    if candidates == "all_pairs":
+        return (
+            fps.alias("fa")
+            .join(fps.alias("fb"), F.col("fa.fp") == F.col("fb.fp"))
+            .filter(F.col("fa.id") < F.col("fb.id"))
+            .select(
+                F.col("fa.id").alias("a"), F.col("fb.id").alias("b")
+            )
+            .distinct()
+        )
+    raise ValueError(
+        "candidates must be 'group_min' or 'all_pairs', got "
+        f"{candidates!r}"
+    )
+
+
 def substring_dedup(
     df: DataFrame,
     id_col: str,
@@ -275,6 +330,7 @@ def substring_dedup(
     min_len: int = 40,
     k: int = 8,
     w: int = 4,
+    candidates: str = "group_min",
 ) -> DataFrame:
     """Exact-SUBSTRING dedup (r12 — the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
@@ -289,11 +345,33 @@ def substring_dedup(
     replaces it with two hash-join phases over the existing winnowing
     machinery:
 
-    1. CANDIDATE pairs via :func:`winnow_fingerprints` (banded — a
-       shared substring of length ≥ k+w−1 guarantees a shared
-       fingerprint, and ``min_len`` ≥ k+w−1 is enforced, so this
-       phase is a pure optimization that can never drop a qualifying
-       pair; no all-pairs path exists).
+    1. CANDIDATE pairs via :func:`winnow_fingerprints` over the RAW
+       text (``normalize=False`` — phase 2 matches raw characters, so
+       fingerprinting a normalized form would lose recall on shared
+       runs whose normalized image is shorter than k+w−1, e.g.
+       punctuation separator lines; the r12 ADVICE finding).  A
+       shared raw substring of length ≥ k+w−1 guarantees a shared
+       fingerprint, and ``min_len`` ≥ k+w−1 is enforced.
+       ``candidates`` picks the pairing policy:
+
+       * ``"group_min"`` (default): aggregate each fingerprint group
+         to its MINIMUM doc id and emit (min, b) for every other
+         member — O(m) pairs for an m-doc group, the shape that
+         survives boilerplate-heavy corpora where one license footer
+         recurs across millions of pages (the r12 verdict's
+         scale-killer finding).  Semantics: a span is excised from
+         doc b iff it shares a ≥ ``min_len`` run with one of b's
+         MIN-PARTNERS (the first doc containing each fingerprinted
+         gram of b).  This equals the all-pairs keep-first output
+         whenever each duplicated span's fingerprints first occur in
+         a doc containing the whole span — always true for planted /
+         disjoint duplication and the overwhelmingly common case on
+         real corpora; it can UNDER-cut only the boundary-extension
+         chars that two LATER copies share but the first-occurrence
+         doc lacks (the shared core is still cut).
+       * ``"all_pairs"``: the exact pair-complete policy — O(m²)
+         pairs per group; only safe when fingerprint groups are known
+         small (differential baselines, small corpora).
     2. For candidate pairs only: join the POSITIONED k-gram hashes
        (the same Horner polynomial mod 2^55−55, exploded with their
        start offsets), group matches by (a, b, pos_b − pos_a) — a
@@ -314,34 +392,31 @@ def substring_dedup(
     merging), ``cut_chars``, ``kept_text``.
 
     Scale shape: gram hashing/explode is zero-shuffle codegen; the
-    phase-2 join ships only candidate docs' (pos, hash) pairs keyed
-    by the 55-bit hash (inverted-index pattern — matches exist only
-    where content is actually shared); one window over
-    (a, b, offset) islands; one groupBy(doc) span collect.  Like the
-    paper's operator, pathological corpora (one substring shared by
-    m docs) cost O(m) pairs against the first occurrence — the
-    keep-first policy pairs every doc against the group minimum, not
-    all-pairs, once spans are taken from (min-partner ∪ others)
-    merged."""
+    group-min candidate phase is ONE map-side-combinable min agg on
+    the fingerprint plus an fp-keyed join (O(m) pairs per group, no
+    self-join blowup); the phase-2 join ships only candidate docs'
+    (pos, hash) pairs keyed by the 55-bit hash (inverted-index
+    pattern — matches exist only where content is actually shared);
+    one window over (a, b, offset) islands; one groupBy(doc) span
+    collect."""
     if min_len < k + w - 1:
         raise ValueError(
             f"min_len must be >= k+w-1 (= {k + w - 1}) so winnowing "
             "candidate recall is lossless"
         )
+    if candidates not in ("group_min", "all_pairs"):
+        raise ValueError(
+            "candidates must be 'group_min' or 'all_pairs', got "
+            f"{candidates!r}"
+        )
     staged = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__t")
     )
-    # --- phase 1: banded candidate pairs ------------------------------
-    fps = winnow_fingerprints(staged, "id", "__t", k=k, w=w)
-    cand = (
-        fps.alias("fa")
-        .join(fps.alias("fb"), F.col("fa.fp") == F.col("fb.fp"))
-        .filter(F.col("fa.id") < F.col("fb.id"))
-        .select(
-            F.col("fa.id").alias("a"), F.col("fb.id").alias("b")
-        )
-        .distinct()
+    # --- phase 1: banded candidate pairs (raw-text fingerprints) ------
+    fps = winnow_fingerprints(
+        staged, "id", "__t", k=k, w=w, normalize=False
     )
+    cand = substring_candidate_pairs(fps, candidates)
     # --- phase 2: positioned gram hashes on candidate docs ------------
     cand_ids = (
         cand.select(F.col("a").alias("id"))
@@ -1392,9 +1467,12 @@ def bloom_build(
     """Build a Bloom-filter bitmap over a key column — the SEEN-SET
     structure an incremental crawl frontier dedups against (r12):
     at 100 TB the crawled-URL set has ~10^12 members, far past any
-    broadcastable exact set, but a 1% -FP Bloom filter over it is
-    ~1.2 TB/10^9-th... sized in GB and, for per-host shards, KB —
-    this operator emits the bitmap as ``(word_idx, word)`` rows
+    broadcastable exact set, but a 1%-FP Bloom filter needs only
+    ~9.6 bits per key (m/n = −ln p / ln²2 ≈ 9.59) — ~1.2 GB per 10⁹
+    keys, so the full 10¹²-URL seen-set is ~1.2 TB split across
+    per-host shards of KBs-to-MBs each, and each shard's bitmap
+    broadcasts — this operator emits the bitmap as
+    ``(word_idx, word)`` rows
     (``n_words`` rows of 63 usable bits each) that downstream
     membership joins broadcast.
 

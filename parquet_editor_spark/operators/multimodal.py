@@ -2457,7 +2457,12 @@ def audio_segments(
     ``sum|s| ≥ threshold·frame·channels`` — engine-exact, no float),
     and merge consecutive voiced frames into segments.  One row per
     segment: ``seg_idx``, ``start_frame``, ``n_frames``, ``sum_abs``
-    (the segment's integer absolute-amplitude mass).
+    (the segment's integer absolute-amplitude mass).  Null payloads
+    AND non-null clips shorter than one frame each emit a single
+    all-null segment row (r13, per the r12 ADVICE) — no document
+    ever silently vanishes from the output; clips with frames but no
+    voiced frame emit no row (zero segments is real accounting, the
+    clip is all silence).
 
     Scale shape: Arrow ``mapInPandas``, O(samples) per clip
     executor-side, segments emitted directly (no per-frame explode
@@ -2495,6 +2500,11 @@ def audio_segments(
                 )
                 n_frames = len(smp) // frame
                 if n_frames == 0:
+                    # a non-null clip shorter than one frame stays
+                    # VISIBLE downstream: emit the same null-segment
+                    # row the null-payload path emits (r12 ADVICE —
+                    # silently vanishing docs are unaccountable)
+                    rows.append(base + [None, None, None, None])
                     continue
                 a = np.abs(
                     smp[: n_frames * frame]

@@ -1102,7 +1102,6 @@ def _std_u_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
 import functools
 
 
-@functools.lru_cache(maxsize=128)
 def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
     """ISO 32000-2 Algorithm 2.B — the R6 key-derivation hash:
     SHA-256 seed, then rounds of (pw+K+udata)×64 → AES-128-CBC under
@@ -1112,7 +1111,25 @@ def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
     parser share only this function's OUTPUT through the written /U
     //UE //O //OE entries, so a drift from the published algorithm
     would still be internally consistent — the same honesty level as
-    the RC4 tier, whose padding constant is the published one.)"""
+    the RC4 tier, whose padding constant is the published one.)
+
+    The ~10⁴-AES-block derivation is memoized ONLY for the EMPTY
+    password (keyed on salt+udata — the state crawl PDFs are in, and
+    the only flow this tier validates); non-empty password material
+    is never retained in process memory (r12 ADVICE: an lru_cache
+    keyed on raw password bytes would hold passwords and derived
+    keys for the process lifetime)."""
+    if password == b"":
+        return _hash_2b_empty(salt, udata)
+    return _hash_2b_raw(password, salt, udata)
+
+
+@functools.lru_cache(maxsize=128)
+def _hash_2b_empty(salt: bytes, udata: bytes) -> bytes:
+    return _hash_2b_raw(b"", salt, udata)
+
+
+def _hash_2b_raw(password: bytes, salt: bytes, udata: bytes) -> bytes:
     import hashlib
 
     from parquet_editor_spark.sources.aes import aes_cbc_encrypt_nopad
@@ -1174,7 +1191,14 @@ class _Decryptor:
 
     def encrypt(self, num: int, gen: int, data: bytes) -> bytes:
         """Fixture-encoder forward direction (RC4 is an involution;
-        AES needs a real encrypt with a deterministic per-object IV)."""
+        AES needs a real encrypt with a deterministic per-object IV).
+
+        FIXTURE-ONLY determinism (r12 ADVICE): the IV derives from
+        md5(obj num + first 16 plaintext bytes), so equal plaintext
+        prefixes across objects reuse an IV — a prefix-equality leak
+        no general-purpose encrypted-PDF WRITER may have.  This
+        method exists to build reproducible test documents; a real
+        writer must supply a fresh random IV per object."""
         key = self._obj_key(num, gen)
         if not self.aes:
             return _rc4(key, data)

@@ -633,6 +633,15 @@ def test_substring_dedup_matches_brute_force_planted(spark):
     # every later doc containing an earlier doc's block was cut
     # (doc 2's block_b copy is the FIRST occurrence — cut from 3)
     assert got[2][0] >= 1 and got[3][0] >= 1 and got[5][0] >= 2
+    # non-skewed planted duplication: the default group_min candidate
+    # policy equals the exact all_pairs output (r12 verdict item 1)
+    got_ap = {
+        r["id"]: (r["n_spans"], r["cut_chars"], r["kept_text"])
+        for r in substring_dedup(
+            df, "doc_id", "text", min_len=40, candidates="all_pairs"
+        ).collect()
+    }
+    assert got_ap == got
 
 
 def test_substring_dedup_randomized_matches_brute_force(spark):
@@ -661,11 +670,102 @@ def test_substring_dedup_randomized_matches_brute_force(spark):
     got = {
         r["id"]: (r["n_spans"], r["cut_chars"], r["kept_text"])
         for r in substring_dedup(
-            df, "doc_id", "text", min_len=40
+            df, "doc_id", "text", min_len=40, candidates="all_pairs"
         ).collect()
     }
     want = _brute_substring_dedup(rows, 40)
     assert got == want
+    # group_min never cuts MORE than all_pairs, and what it keeps is
+    # a superset: the exact kept_text must be recoverable by deleting
+    # chars from the group_min kept_text (subsequence containment) —
+    # the documented boundary-extension under-cut is the ONLY
+    # divergence class
+    gm = {
+        r["id"]: (r["cut_chars"], r["kept_text"])
+        for r in substring_dedup(
+            df, "doc_id", "text", min_len=40
+        ).collect()
+    }
+
+    def _is_subseq(small, big):
+        it = iter(big)
+        return all(c in it for c in small)
+
+    for i, (cut_ap, kept_ap) in (
+        (i, (c, t)) for i, (_, c, t) in got.items()
+    ):
+        assert gm[i][0] <= cut_ap
+        assert _is_subseq(kept_ap, gm[i][1]), i
+
+
+def test_substring_dedup_skewed_fingerprint_group(spark):
+    """The r12 verdict's skew fixture: ONE >= min_len substring
+    planted across ~10^3 docs (the license-boilerplate case).  The
+    group_min candidate phase must emit exactly m-1 pairs — every doc
+    against the group's first occurrence — where all_pairs would blow
+    up to m(m-1)/2 = 499500; and the output must still excise the
+    planted block from every doc but the first."""
+    from parquet_editor_spark.operators.dedup import (
+        substring_candidate_pairs,
+        substring_dedup,
+        winnow_fingerprints,
+    )
+
+    planted = (
+        "this exact license boilerplate paragraph repeats verbatim "
+        "across every page of the crawl"
+    )
+    m = 1000
+    # purest skew: m IDENTICAL docs -> every fingerprint group is the
+    # whole corpus with min 0 -> EXACTLY m-1 pairs (all_pairs: 499500)
+    ident = spark.createDataFrame(
+        [(i, planted) for i in range(m)], "doc_id long, text string"
+    )
+    fps_i = winnow_fingerprints(
+        ident.selectExpr("doc_id AS id", "text AS __t"),
+        "id", "__t", k=8, w=4, normalize=False,
+    )
+    assert substring_candidate_pairs(fps_i, "group_min").count() == m - 1
+    # framed variant: per-doc id frames around the global block; frame
+    # grams sharing digit suffixes add a few O(1)-partner groups, so
+    # the count stays LINEAR in m (quadratic would be ~5*10^5)
+    rows = [(i, f"<{i:04d}>" + planted + f"[{i:04d}]") for i in range(m)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(
+        df.selectExpr("doc_id AS id", "text AS __t"),
+        "id", "__t", k=8, w=4, normalize=False,
+    )
+    n_pairs = substring_candidate_pairs(fps, "group_min").count()
+    assert m - 1 <= n_pairs <= 4 * m, n_pairs
+    out = {
+        r["id"]: (r["cut_chars"], r["kept_text"])
+        for r in substring_dedup(df, "doc_id", "text", min_len=40)
+        .collect()
+    }
+    assert out[0][0] == 0 and planted in out[0][1]
+    for i in range(1, m):
+        assert out[i][0] >= len(planted), i
+        assert planted not in out[i][1], i
+
+
+def test_substring_dedup_raw_punctuation_run_recall(spark):
+    """The r12 ADVICE medium finding: a shared RAW run whose
+    normalized image collapses below k+w-1 (a 60-char punctuation
+    separator) must still be a candidate — phase 1 fingerprints the
+    raw text since r13."""
+    from parquet_editor_spark.operators.dedup import substring_dedup
+
+    sep = "!!!###@@@" * 7  # 63 chars, normalizes to ''
+    rows = [(1, "alpha doc " + sep + " one"), (2, "beta doc " + sep + " two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["cut_chars"], r["kept_text"])
+        for r in substring_dedup(df, "doc_id", "text", min_len=40)
+        .collect()
+    }
+    assert got[1][0] == 0
+    assert got[2][0] >= len(sep)
+    assert sep not in got[2][1]
 
 
 def test_substring_dedup_validates_min_len(spark):

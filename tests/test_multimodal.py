@@ -473,3 +473,28 @@ def test_audio_segments_edges_and_validation(spark):
 
     with pytest.raises(ValueError, match="frame"):
         audio_segments(df, frame=0).collect()
+
+
+def test_audio_segments_short_clip_emits_null_row(spark):
+    """r12 ADVICE: a non-null clip shorter than one frame must stay
+    visible as an all-null segment row (same shape as the
+    null-payload path), not silently vanish."""
+    import numpy as np
+
+    from parquet_editor_spark.operators.multimodal import audio_segments
+    from parquet_editor_spark.sources.wav import encode_wav
+
+    short = encode_wav(
+        8000, 1, 16, np.full(100, 6000, "<i2").tobytes()
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(short), "wav"), (2, None, "wav")],
+        "doc_id long, payload binary, codec string",
+    )
+    rows = {r["doc_id"]: r for r in audio_segments(df, frame=256).collect()}
+    assert set(rows) == {1, 2}
+    for i in (1, 2):
+        assert rows[i]["seg_idx"] is None
+        assert rows[i]["start_frame"] is None
+        assert rows[i]["n_frames"] is None
+        assert rows[i]["sum_abs"] is None

@@ -772,6 +772,15 @@ def test_encrypted_aesv3_r6_roundtrip_and_gates():
     assert a == _hash_2b(b"", b"saltsalt", b"") and len(a) == 32
     assert a != _hash_2b(b"x", b"saltsalt", b"")
     assert a != _hash_2b(b"", b"SALTSALT", b"")
+    # r12 ADVICE: only EMPTY-password derivations are memoized —
+    # non-empty password bytes must never land in the lru_cache
+    from parquet_editor_spark.sources.pdf import _hash_2b_empty
+
+    _hash_2b_empty.cache_clear()
+    _hash_2b(b"x", b"saltsalt", b"")
+    assert _hash_2b_empty.cache_info().currsize == 0
+    _hash_2b(b"", b"saltsalt", b"")
+    assert _hash_2b_empty.cache_info().currsize == 1
 
     # tampered /U hash = a real user password
     at = enc.index(b"/U <") + 4
