@@ -497,6 +497,35 @@ def test_pipeline_curation_v5_plan_shape(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 1, plan
 
 
+def test_crawl_frontier_v4_plan_shape(spark, sf_dir):
+    """r13: priority+shard+expiry frontier — extraction/relevance
+    pure codegen, rank/rule/delay/age joins broadcast, pagerank's
+    unrolled recurrence runs over the PERSISTED host-pair table (all
+    its exchanges are host-cardinality), and no frame ever collapses
+    to a single partition; the host schedule window is the only
+    data-sized single-key shuffle."""
+    import re
+
+    import __spark_entry__ as M
+
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    df = M.queries()["crawl_frontier_v4"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # the document-sized frames: target-URL distinct agg, robots
+    # allow/group machinery, schedule window, output range sort; the
+    # rest is the pagerank recurrence over the cached 26-row host
+    # graph (2^iters unrolled references, each host-cardinality —
+    # bounded here so a lineage regression is caught)
+    ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
+    assert len(ex) <= 110, len(ex)
+    # the priority inputs really are consumed: pagerank ran over a
+    # persisted host-pair cache, not corpus re-scans
+    assert "InMemoryTableScan" in plan, plan
+
+
 def test_outlink_extraction_is_zero_python_zero_shuffle(spark, sf_dir):
     """r12: the outlink path (extract → resolve → canonicalize →
     fetchable filter) is pure codegen — no Python evals and no
