@@ -5802,6 +5802,81 @@ def q_classifier_pr_curve_docs(
     ).orderBy("threshold")
 
 
+def q_classifier_roc_auc_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classifier ROC-AUC via the rank-sum / pair-counting identity
+    (r13 — the threshold-free complement to the r12 PR curve: the
+    single number a pipeline owner compares filter candidates by
+    before picking any operating point): train the bit-exact hashed
+    classifier, score every doc, round margins at 6 (both engines
+    group on the SAME rounded value — no raw-double tie divergence
+    crosses the boundary), then AUC = P(margin⁺ > margin⁻) +
+    ½·P(tie), computed EXACTLY as integers by the Mann-Whitney pair
+    count: group scores by margin, order groups ascending, and fold
+    2·n_pos(m)·n_neg_below(m) + n_pos(m)·n_neg(m) — the numerator of
+    2·U stays integral until one final division, so engines cannot
+    drift.  Output pins n_pos, n_neg, the integer numerator AND the
+    rounded AUC.
+
+    Scale shape: one margin-keyed hash agg (map-side combinable)
+    reduces the corpus to ≤ |distinct margins| rows of metadata; the
+    ordered cumulative fold runs over THAT bounded table (the same
+    benign class as a trained weight table or the PR grid — at 100 TB
+    you'd first bucket margins to a fixed grid, which this same plan
+    expresses by coarser rounding); nothing corpus-sized sorts."""
+    from pyspark.sql import Window as W
+
+    from parquet_editor_spark.functions import text as X
+
+    labeled = _thc_labeled_docs(spark, sf_dir)
+    w = X.train_hash_classifier(
+        labeled, "sig", "y",
+        n_buckets=_THC_BUCKETS, iters=_THC_ITERS, lr=_THC_LR,
+    )
+    scored = labeled.select(
+        "y",
+        F.round(
+            X.hash_linear_score("sig", w, bias=0.0), 6
+        ).alias("m"),
+    )
+    g = scored.groupBy("m").agg(
+        F.sum("y").cast("long").alias("np_m"),
+        (F.count("*") - F.sum("y")).cast("long").alias("nn_m"),
+    )
+    below = (
+        W.orderBy("m")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    per = g.select(
+        "np_m",
+        "nn_m",
+        F.coalesce(F.sum("nn_m").over(below), F.lit(0)).alias(
+            "neg_below"
+        ),
+    )
+    tot = per.agg(
+        F.sum("np_m").cast("long").alias("n_pos"),
+        F.sum("nn_m").cast("long").alias("n_neg"),
+        F.sum(
+            F.lit(2) * F.col("np_m") * F.col("neg_below")
+            + F.col("np_m") * F.col("nn_m")
+        )
+        .cast("long")
+        .alias("auc_num2"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.round(
+            F.col("auc_num2")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
 def q_stream_bloom_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7376,6 +7451,176 @@ def q_substring_dedup_docs(
         F.md5(F.encode("kept_text", "utf-8")).alias("kept_md5"),
     ).orderBy("doc_id")
 
+
+
+def q_ngram_novelty_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc n-gram NOVELTY scoring (r13 — the memorization /
+    redundancy signal dedup research ranks corpora by: what fraction
+    of a document's distinct trigrams appear in NO earlier document):
+    normalize → tokenize → distinct word-trigrams per doc → each
+    trigram's first-occurrence doc is the min doc_id containing it →
+    a doc's novelty is the share of its trigram types it introduces.
+    Exact integer counts + one rounded division; docs with no
+    trigram (< 3 tokens) emit zero counts and NULL novelty.
+
+    Scale shape: trigram construction is a zero-shuffle array
+    projection (whole-stage codegen); the two semantic shuffles are
+    the gram-keyed min agg (map-side combinable — the same inverted-
+    index move every dedup op here uses) and the join back on gram;
+    per-doc re-agg keys on doc_id.  Nothing is all-pairs and nothing
+    collects."""
+    from parquet_editor_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.normalize_text(F.col("text")).alias("norm")
+    )
+    toks = F.filter(
+        F.split(F.col("norm"), " "), lambda x: x != ""
+    )
+    staged = docs.select("doc_id", toks.alias("t"))
+    t = F.col("t")
+    grams = staged.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(t) - 2, F.lit(0)),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(t, i),
+                        F.element_at(t, i + 1),
+                        F.element_at(t, i + 2),
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    per = (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias(
+                "n_grams"
+            ),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias(
+                "n_novel"
+            ),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(F.col("n_novel") / F.col("n_grams"), 6),
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_mixture_alpha_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-balanced multilingual mixture sampling (r13 — the
+    α-sampling step multilingual pretraining runs so head languages
+    don't drown the tail: sample language l with probability ∝
+    n_l^α): α = 0.5 keeps the whole computation ENGINE-EXACT —
+    weight = ⌊√n_l⌋ (IEEE sqrt is correctly rounded, so both engines
+    floor the identical double to the identical integer), quota =
+    budget·w_l // Σw_l in pure integer division, and the quota is
+    filled DETERMINISTICALLY by ranking each language's docs on
+    md5(doc_id) (the portable pseudo-random order both engines hash
+    identically).  Emits the per-language audit row a mixture owner
+    reads: corpus count, weight, integer quota, docs actually kept,
+    and an md5 over the kept id list pinning the exact selection.
+
+    Scale shape: one lang-keyed count agg (5 groups — metadata), the
+    quota arithmetic is a broadcast of that tiny table back onto the
+    corpus, and the fill is one rank window per language partition —
+    the same single semantic shuffle a stratified sampler pays.  At
+    100 TB exact-K fill per stratum is the point (hash-threshold
+    sampling is the approximate cousin, covered by
+    ``stratified_sample_hash``)."""
+    from pyspark.sql import Window as W
+
+    budget = 200
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    weights = counts.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs"))).cast("long").alias("w"),
+    )
+    tot_w = weights.agg(F.sum("w").alias("tw"))
+    quotas = weights.crossJoin(F.broadcast(tot_w)).select(
+        "lang",
+        "n_docs",
+        "w",
+        ((F.lit(budget) * F.col("w")) / F.col("tw"))
+        .cast("long")
+        .alias("quota"),
+    )
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id")))
+        .alias("r"),
+    )
+    kept = ranked.join(F.broadcast(quotas), "lang").filter(
+        F.col("r") <= F.col("quota")
+    )
+    picked = kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("kept_sum"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ),
+                "utf-8",
+            )
+        ).alias("kept_md5"),
+    )
+    return (
+        quotas.join(picked, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "w",
+            "quota",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias(
+                "n_kept"
+            ),
+            F.coalesce("kept_sum", F.lit(0).cast("long")).alias(
+                "kept_sum"
+            ),
+            "kept_md5",
+        )
+        .orderBy("lang")
+    )
 
 
 def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11311,6 +11556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_clusters": q_image_dedup_clusters,
         "wet_shard_export_roundtrip": q_wet_shard_export_roundtrip,
         "pipeline_curation_v8": q_pipeline_curation_v8,
+        "classifier_roc_auc_docs": q_classifier_roc_auc_docs,
+        "ngram_novelty_docs": q_ngram_novelty_docs,
+        "mixture_alpha_sample": q_mixture_alpha_sample,
         "outlink_extract_docs": q_outlink_extract_docs,
         "crawl_frontier_v2": q_crawl_frontier_v2,
         "substring_dedup_docs": q_substring_dedup_docs,
@@ -15426,6 +15674,107 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS recall
             FROM cm
             ORDER BY threshold
+        """,
+        "classifier_roc_auc_docs": f"""
+            WITH {thc_ctes}, sc AS (
+                SELECT y, {thc_margin} AS m
+                FROM ({_ORACLE_THC_DOCS}) d, {thc_final} w
+            ), g AS (
+                SELECT m, SUM(y)::BIGINT AS np_m,
+                       (COUNT(*) - SUM(y))::BIGINT AS nn_m
+                FROM sc GROUP BY m
+            ), per AS (
+                SELECT np_m, nn_m,
+                       COALESCE(SUM(nn_m) OVER (
+                           ORDER BY m
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS neg_below
+                FROM g
+            )
+            SELECT SUM(np_m)::BIGINT AS n_pos,
+                   SUM(nn_m)::BIGINT AS n_neg,
+                   SUM(2 * np_m * neg_below + np_m * nn_m)::BIGINT
+                       AS auc_num2,
+                   round(SUM(2 * np_m * neg_below + np_m * nn_m)
+                         / (2.0 * SUM(np_m) * SUM(nn_m)), 6) AS auc
+            FROM per
+        """,
+        "ngram_novelty_docs": """
+            WITH n AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split(
+                               trim(regexp_replace(regexp_replace(
+                                   lower(COALESCE(text, '')),
+                                   '[^a-z0-9\\s]', ' ', 'g'),
+                                   '\\s+', ' ', 'g')),
+                               ' '),
+                           x -> x <> '') AS toks
+                FROM documents
+            ), g0 AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(GREATEST(len(toks) - 2, 0)),
+                           i -> toks[i + 1] || ' ' || toks[i + 2]
+                                || ' ' || toks[i + 3]))) AS gram
+                FROM n
+            ), f AS (
+                SELECT gram, MIN(doc_id) AS first_doc
+                FROM g0 GROUP BY gram
+            ), p AS (
+                SELECT g0.doc_id, COUNT(*)::BIGINT AS n_grams,
+                       SUM(CASE WHEN f.first_doc = g0.doc_id
+                           THEN 1 ELSE 0 END)::BIGINT AS n_novel
+                FROM g0 JOIN f USING (gram)
+                GROUP BY g0.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_grams, 0)::BIGINT AS n_grams,
+                   COALESCE(p.n_novel, 0)::BIGINT AS n_novel,
+                   CASE WHEN COALESCE(p.n_grams, 0) > 0
+                        THEN round(p.n_novel / p.n_grams, 6)
+                   END AS novelty
+            FROM documents d LEFT JOIN p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "mixture_alpha_sample": """
+            WITH c AS (
+                SELECT lang, COUNT(*)::BIGINT AS n_docs
+                FROM documents GROUP BY lang
+            ), w AS (
+                SELECT lang, n_docs,
+                       CAST(floor(sqrt(n_docs)) AS BIGINT) AS w
+                FROM c
+            ), tw AS (
+                SELECT SUM(w) AS tw FROM w
+            ), q AS (
+                SELECT lang, n_docs, w.w,
+                       CAST((200 * w.w) // tw.tw AS BIGINT) AS quota
+                FROM w, tw
+            ), r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS r
+                FROM documents
+            ), k AS (
+                SELECT r.lang, r.doc_id
+                FROM r JOIN q USING (lang)
+                WHERE r.r <= q.quota
+            ), p AS (
+                SELECT lang, COUNT(*)::BIGINT AS n_kept,
+                       SUM(doc_id)::BIGINT AS kept_sum,
+                       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                           ORDER BY doc_id)) AS kept_md5
+                FROM k GROUP BY lang
+            )
+            SELECT q.lang, q.n_docs, q.w, q.quota,
+                   COALESCE(p.n_kept, 0)::BIGINT AS n_kept,
+                   COALESCE(p.kept_sum, 0)::BIGINT AS kept_sum,
+                   p.kept_md5
+            FROM q LEFT JOIN p USING (lang)
+            ORDER BY q.lang
         """,
         "stream_bloom_filter": f"""
             WITH seen AS (
