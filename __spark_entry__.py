@@ -11533,23 +11533,22 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
-    # round-11 window executes the rotation the r10 verdict mandated
-    # (VERDICT.md "Next round" item 3): the thirteen never-adjudicated
-    # r11 debuts first (a debut has no driver signal at all), then the
-    # stale-signal remainder continuing from exactly where the r10
-    # window ended — hll_error_bound through clean_dropna, last
-    # driver signal r4-r6 — 37 entries, filling the window.  The
-    # fully-green r10 block (17 r10 debuts + the 4 r9 twins + the 29
-    # r10 re-greens, all with fresh r10 signal) moves behind; the
-    # still-stale tail (decontaminate … string_funcs_part) heads the
-    # r12 rotation.  Probes and rows-only entries stay retired as
-    # documented canaries.  tests/test_entry_contract.py pins both the
-    # window membership and the no-top-level-Array/Map/Struct output
-    # contract for every window entry (the r6/r7 tfidf crash class).
+    # round-13 window executes the rotation the r12 verdict mandated
+    # (VERDICT.md 'Next round' item 3, oldest-first): the nine r13
+    # debuts (no driver signal yet), then ALL 38 entries whose last
+    # driver signal is r7 (embedding_cosine_dedup ... y4m_frames_docs),
+    # then 3 r8 entries to fill.  The fully-green r12 window moves
+    # behind; the r8 block heads the r14 rotation.  Probes and
+    # rows-only entries stay retired as documented canaries.
+    # tests/test_entry_contract.py pins both the window membership and
+    # the no-top-level-Array/Map/Struct output contract.
     return {
-        # --- r12 WINDOW: 14 debuts, then the 18 r5-stale +
-        # 18 oldest-r7 entries (oldest-first rotation, the r11
-        # verdict's #3) --------------------------------------
+        # --- r13 WINDOW (driver adjudicates the FIRST 50): the 9
+        # r13 debuts, then the 38 r7-stale entries (oldest driver
+        # signal in the corpus — oldest-first rotation, the r12
+        # verdict's #3), then the 3 alphabetically-first r8 entries
+        # filling the window.  Probes and rows-only entries stay
+        # retired as documented canaries. ------------------------
         "crawl_frontier_v4": q_crawl_frontier_v4,
         "bloom_union_docs": q_bloom_union_docs,
         "stream_bloom_union": q_stream_bloom_union,
@@ -11559,6 +11558,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_roc_auc_docs": q_classifier_roc_auc_docs,
         "ngram_novelty_docs": q_ngram_novelty_docs,
         "mixture_alpha_sample": q_mixture_alpha_sample,
+        "embedding_cosine_dedup": q_embedding_cosine_dedup,
+        "embedding_lsh_dedup": q_embedding_lsh_dedup,
+        "embedding_topk_cosine": q_embedding_topk,
+        "except_inactive_custs": q_except_inactive_custs,
+        "exists_high_qty": q_exists_high_qty,
+        "frame_sample": q_frame_sample,
+        "full_outer_nation_actors": q_full_outer_nation_actors,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "having_frequent_custs": q_having_frequent_custs,
+        "histogram_quantity": q_histogram_quantity,
+        "intersect_nations": q_intersect_nations,
+        "lang_id_histogram": q_lang_id_histogram,
+        "left_join_order_counts": q_left_join_order_counts,
+        "multimodal_decode": q_multimodal_decode,
+        "numeric_projection": q_numeric_projection,
+        "pivot_count": _pivot('count', round_to=None),
+        "pivot_max": _pivot('max', round_to=None),
+        "pivot_min": _pivot('min', round_to=None),
+        "png_roundtrip_docs": q_png_roundtrip_docs,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q7_nation_trade_volume": q_q7_nation_trade_volume,
+        "quality_scores": q_quality_scores,
+        "rolling_revenue_7d": q_rolling_revenue_7d,
+        "salted_join_revenue": q_salted_join_revenue,
+        "scan_region": q_scan_region,
+        "stream_dedup_events": q_stream_dedup_events,
+        "stream_followed_by": q_stream_followed_by,
+        "stream_session_windows": q_stream_session_windows,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_sliding_counts": q_stream_sliding_counts,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "top_words": q_top_words,
+        "wav_roundtrip_docs": q_wav_roundtrip_docs,
+        "window_lead_lag": q_window_lead_lag,
+        "window_ranks": q_window_ranks,
+        "y4m_frames_docs": q_y4m_frames_docs,
+        "anti_parts_never_sold": q_anti_parts_never_sold,
+        "asof_join_events": q_asof_join_events,
+        "bm25_topk": q_bm25_topk,
+        # --- behind the window: the remaining r8 block (first in
+        # line for r14), then newer-signal entries, probes and
+        # no-oracle sampling entries ------------------------------
         "outlink_extract_docs": q_outlink_extract_docs,
         "crawl_frontier_v2": q_crawl_frontier_v2,
         "substring_dedup_docs": q_substring_dedup_docs,
@@ -11609,19 +11652,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "doc_rolling_hash": q_doc_rolling_hash,
-        "embedding_cosine_dedup": q_embedding_cosine_dedup,
-        "embedding_lsh_dedup": q_embedding_lsh_dedup,
-        "embedding_topk_cosine": q_embedding_topk,
-        "except_inactive_custs": q_except_inactive_custs,
-        "exists_high_qty": q_exists_high_qty,
-        "frame_sample": q_frame_sample,
-        "full_outer_nation_actors": q_full_outer_nation_actors,
-        # --- behind the window: the remaining r7 tail (first
-        # in line for r13), newer-signal entries, probes and
-        # no-oracle sampling entries --------------------------
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "having_frequent_custs": q_having_frequent_custs,
-        "histogram_quantity": q_histogram_quantity,
         "pdf_modern_docs": q_pdf_modern_docs,
         "pdf_encrypted_docs": q_pdf_encrypted_docs,
         "bpe_train_batched_docs": q_bpe_train_batched_docs,
@@ -11771,34 +11801,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q_q10_returned_revenue,
         "q12_priority_lines": q_q12_priority_lines,
         "q14_promo_revenue": q_q14_promo_revenue,
-        "png_roundtrip_docs": q_png_roundtrip_docs,
-        "wav_roundtrip_docs": q_wav_roundtrip_docs,
-        "y4m_frames_docs": q_y4m_frames_docs,
-        "stream_windowed_counts": q_stream_windowed_counts,
-        "stream_sliding_counts": q_stream_sliding_counts,
-        "stream_dedup_events": q_stream_dedup_events,
-        "stream_session_windows": q_stream_session_windows,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_followed_by": q_stream_followed_by,
-        "pivot_count": _pivot('count', round_to=None),
-        "pivot_max": _pivot('max', round_to=None),
-        "pivot_min": _pivot('min', round_to=None),
-        "scan_region": q_scan_region,
-        "numeric_projection": q_numeric_projection,
-        "lang_id_histogram": q_lang_id_histogram,
-        "quality_scores": q_quality_scores,
-        "top_words": q_top_words,
-        "multimodal_decode": q_multimodal_decode,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
-        "q7_nation_trade_volume": q_q7_nation_trade_volume,
-        "salted_join_revenue": q_salted_join_revenue,
-        "left_join_order_counts": q_left_join_order_counts,
-        "intersect_nations": q_intersect_nations,
-        "window_ranks": q_window_ranks,
-        "window_lead_lag": q_window_lead_lag,
-        "rolling_revenue_7d": q_rolling_revenue_7d,
         "tfidf_vectors": q_tfidf_vectors,
         "strip_markup_docs": q_strip_markup_docs,
         "script_profile_docs": q_script_profile_docs,
@@ -11809,7 +11811,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flac_meta_docs": q_flac_meta_docs,
         "mp4_meta_docs": q_mp4_meta_docs,
         "stream_quality_rollup_windowed": q_stream_quality_rollup_windowed,
-        "asof_join_events": q_asof_join_events,
         "range_join_prices": q_range_join_prices,
         "stratified_sample_hash": q_stratified_sample_hash,
         "json_extract_events": q_json_extract_events,
@@ -11838,7 +11839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_project": q_filter_project,
         "topk_orders": q_topk_orders,
         "join_star_revenue": q_join_star_revenue,
-        "anti_parts_never_sold": q_anti_parts_never_sold,
         "semi_suppliers_with_sales": q_semi_suppliers_with_sales,
         "window_running_sum": q_window_running_sum,
         "window_top3_per_priority": q_window_top3_per_priority,
@@ -11846,7 +11846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "bm25_topk": q_bm25_topk,
         "mixture_sample": q_mixture_sample,
         "repetition_signals": q_repetition_signals,
         "probe_int_float_hash": probe_int_float_hash,

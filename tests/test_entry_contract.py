@@ -48,42 +48,43 @@ def test_top_level_functions_unique():
 def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
-    silently missed adjudication — pin the round-12 window composition
-    (the r11 verdict's #3, OLDEST-FIRST rotation): the twenty-one
-    never-adjudicated r12 debuts at the very front, then the 18
-    entries whose last driver signal is r5 and the 11 oldest r7
-    entries; everything newer-signal moves behind, probes and stable
-    rows-only entries stay retired."""
+    silently missed adjudication — pin the round-13 window composition
+    (the r12 verdict's #3, OLDEST-FIRST rotation): the nine
+    never-adjudicated r13 debuts at the very front, then ALL 38
+    entries whose last driver signal is r7 (the oldest real signal in
+    the corpus), then 3 r8 entries filling the window; everything
+    newer-signal moves behind, probes and stable rows-only entries
+    stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "doc_rolling_hash", (
+    assert window[-1] == "bm25_topk", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
-        # new in r12
-        "outlink_extract_docs", "crawl_frontier_v2",
-        "substring_dedup_docs", "pdf_aes_docs", "pdf_aesv3_docs",
-        "pipeline_curation_v6", "pipeline_curation_v7",
-        "sft_pack_docs_v2", "robots_sitemap_docs", "anchor_text_docs",
-        "outlink_graph_rank", "bloom_frontier_docs",
-        "detokenize_roundtrip_docs", "crawl_frontier_v3",
-        "classifier_pr_curve_docs", "stream_bloom_filter",
-        "main_content_docs", "split_leakage_docs",
-        "wet_export_roundtrip", "audio_segments_docs",
-        "bpe_merge_sweep_docs",
-        # the 18 r5-stale entries (the r11 verdict's Missing #4 list)
-        "boilerplate_shingles", "chunk_documents", "clean_replace",
-        "date_trunc_orders", "decontaminate", "gopher_quality",
-        "hash_split", "incremental_dedup", "ivf_topk_exhaustive",
-        "kafka_roundtrip_events", "pipeline_training_data",
-        "redact_pii", "resample_ffill_events", "resample_interp_events",
-        "string_funcs_part", "time_rollup_events",
-        "udtf_chunk_documents", "unigram_logprob",
-        # the oldest-r7 block
-        "above_avg_orders", "add_drop_column", "bin2d_scatter",
-        "binary_meta", "boilerplate_strip", "correlated_min_suppliers",
-        "cube_qty", "dedup_clusters", "dedup_ngram_jaccard",
-        "dedup_simhash", "doc_rolling_hash",
+        # new in r13
+        "crawl_frontier_v4", "bloom_union_docs", "stream_bloom_union",
+        "image_dedup_clusters", "wet_shard_export_roundtrip",
+        "pipeline_curation_v8", "classifier_roc_auc_docs",
+        "ngram_novelty_docs", "mixture_alpha_sample",
+        # the 38 r7-stale entries (last driver signal r7)
+        "embedding_cosine_dedup", "embedding_lsh_dedup",
+        "embedding_topk_cosine", "except_inactive_custs",
+        "exists_high_qty", "frame_sample", "full_outer_nation_actors",
+        "grouping_sets_revenue", "having_frequent_custs",
+        "histogram_quantity", "intersect_nations", "lang_id_histogram",
+        "left_join_order_counts", "multimodal_decode",
+        "numeric_projection", "pivot_count", "pivot_max", "pivot_min",
+        "png_roundtrip_docs", "q3_shipping_priority",
+        "q5_local_supplier_revenue", "q6_forecast_revenue",
+        "q7_nation_trade_volume", "quality_scores",
+        "rolling_revenue_7d", "salted_join_revenue", "scan_region",
+        "stream_dedup_events", "stream_followed_by",
+        "stream_session_windows", "stream_sessionize",
+        "stream_sliding_counts", "stream_windowed_counts", "top_words",
+        "wav_roundtrip_docs", "window_lead_lag", "window_ranks",
+        "y4m_frames_docs",
+        # the 3 r8 fillers
+        "anti_parts_never_sold", "asof_join_events", "bm25_topk",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
