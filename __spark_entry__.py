@@ -4676,7 +4676,12 @@ def q_pipeline_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_editor_spark.operators import dedup as D
     from parquet_editor_spark.operators import textprep as TP
 
-    kept = _v5_curation_kept(spark, sf_dir, plant_run=True)
+    # stage boundary: substring_dedup reads its input three times
+    # (winnowing fingerprints, candidate-doc gram hashing, final span
+    # subtraction) — persist so the whole ingest→line-dedup front half
+    # runs ONCE; at 100 TB this is a checkpointed table between
+    # pipeline stages, same as v5's post-cap boundary
+    kept = _v5_curation_kept(spark, sf_dir, plant_run=True).persist()
     ssd = D.substring_dedup(
         kept, "id", "kept_text", min_len=40, k=8, w=4
     )

@@ -564,3 +564,109 @@ def test_crawl_frontier_v2_plan_shape(spark, sf_dir):
     ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
     assert len(ex) <= 14, sorted(ex)
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_pipeline_curation_v8_plan_shape(spark, sf_dir):
+    """r13: v5 + ExactSubstr between line dedup and the gate.  The
+    persisted line-dedup boundary keeps the codec/URL front half at
+    ONE execution even though substring_dedup reads its input three
+    times (winnowing, candidate gram hashing, span subtraction);
+    exchanges stay bounded and nothing collapses to a single
+    partition except pack's one-row-per-bucket offsets frame."""
+    import re
+
+    import __spark_entry__ as M
+
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    df = M.queries()["pipeline_curation_v8"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("gen(doc_id") <= 2, plan.count("gen(doc_id")
+    assert "InMemoryTableScan" in plan, "line-dedup boundary not cached"
+    ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
+    assert len(ex) <= 50, sorted(ex)
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_bloom_union_no_data_shuffle_and_probe_broadcasts(spark):
+    """r13: the day-over-day bitmap merge touches only word tables —
+    hash agg on word_idx, no Python, no single-partition collapse;
+    the probe against the merged table broadcasts the bitmap side."""
+    from parquet_editor_spark import plans as P
+    from parquet_editor_spark.operators.dedup import (
+        bloom_build,
+        bloom_member,
+        bloom_union,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(40)], "key string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(40)], "key string")
+    merged = bloom_union(bloom_build(a, "key"), bloom_build(b, "key"))
+    plan = P.executed_plan(merged)
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert not P.has_single_partition_exchange(merged), plan
+    assert "hashpartitioning(word_idx" in plan, plan
+    probed = bloom_member(a, merged, "key")
+    assert P.has_broadcast_join(probed)
+
+
+def test_classifier_roc_auc_folds_bounded_metadata(spark, sf_dir):
+    """r13: the AUC plan's corpus-sized move is ONE margin-keyed hash
+    agg; the ordered cumulative fold and the final total run over the
+    grouped (≤ |distinct margins|) table — bounded-metadata frames,
+    the same class as the PR grid."""
+    import re
+
+    import __spark_entry__ as M
+
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    df = M.queries()["classifier_roc_auc_docs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(m" in plan, plan
+    ex = re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)
+    assert len(ex) <= 3, plan
+
+
+def test_ngram_novelty_and_mixture_plan_shapes(spark, sf_dir):
+    """r13: novelty = zero-Python trigram projection + gram-keyed agg
+    + join back; mixture = lang-keyed count/rank + broadcast quota —
+    no corpus-sized single-partition frame in either."""
+    import re
+
+    import __spark_entry__ as M
+
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    nov = M.queries()["ngram_novelty_docs"](spark, sf_dir)
+    plan = formatted_plan(nov)
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(gram" in plan, plan
+
+    mix = M.queries()["mixture_alpha_sample"](spark, sf_dir)
+    plan = formatted_plan(mix)
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(lang" in plan, plan
+    ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
+    assert len(ex) <= 12, sorted(ex)
+
+
+def test_wet_shard_export_shuffles_once_by_shard(spark, sf_dir):
+    """r13: the sharded WET writer's only data exchange is the
+    groupBy(shard_id) hash shuffle feeding the per-shard serializer
+    (plus the ordered output's range sort) — shard = task, no global
+    funnel."""
+    import re
+
+    import __spark_entry__ as M
+
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    df = M.queries()["wet_shard_export_roundtrip"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(shard_id" in plan, plan
+    ex = re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)
+    assert len(ex) <= 2, plan
