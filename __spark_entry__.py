@@ -7457,6 +7457,61 @@ def q_substring_dedup_docs(
     ).orderBy("doc_id")
 
 
+def q_substring_decontaminate_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring DECONTAMINATION (r13 — Lee et al. 2022 §6.2's
+    other use of ExactSubstr: strip benchmark text out of pretraining
+    data at the substring level, the stronger cousin of the n-gram
+    ``decontaminate``): every doc_id % 10 == 0 doc is the held-out
+    BENCHMARK split, the rest are train, and keep-first
+    ``substring_dedup`` runs over ids REMAPPED so every benchmark doc
+    orders below every train doc (+10⁷ train offset) — each ≥ 40-char
+    run a train doc shares with any benchmark doc is excised from the
+    TRAIN doc with exact maximal-span boundaries, benchmark text
+    survives untouched.  The fixture's planted block (unit
+    ``" x" + doc_id % 7`` × 14, per-doc unique frame) makes every
+    fingerprint group's minimum a benchmark doc (multiples of 10
+    cover all 7 residues), so group-min pairing IS test→train pairing
+    here; among benchmark docs the same arithmetic reports
+    intra-benchmark redundancy (first occurrence kept).  The oracle
+    mirrors both phases over the same remapped ids.
+
+    Scale shape: identical to ``substring_dedup_docs`` — the remap is
+    a projection; nothing new shuffles."""
+    from parquet_editor_spark.operators import dedup as D
+
+    d = F.col("doc_id")
+    t = F.concat(
+        F.lit("u"),
+        d.cast("string"),
+        F.lit("~"),
+        F.repeat(
+            F.concat(F.lit(" x"), (d % 7).cast("string")), 14
+        ),
+        F.lit(" ~"),
+        d.cast("string"),
+        F.lit("v"),
+    )
+    rid = F.when(d % 10 == 0, d).otherwise(d + F.lit(10_000_000))
+    docs = _t(spark, sf_dir, "documents").select(
+        rid.alias("rid"), t.alias("text")
+    )
+    out = D.substring_dedup(docs, "rid", "text", min_len=40)
+    back = F.when(
+        F.col("id") >= 10_000_000, F.col("id") - 10_000_000
+    ).otherwise(F.col("id"))
+    return out.select(
+        back.alias("doc_id"),
+        F.when(F.col("id") >= 10_000_000, F.lit("train"))
+        .otherwise(F.lit("benchmark"))
+        .alias("split"),
+        "n_spans",
+        "cut_chars",
+        F.length("kept_text").cast("long").alias("kept_len"),
+        F.md5(F.encode("kept_text", "utf-8")).alias("kept_md5"),
+    ).orderBy("doc_id")
+
 
 def q_ngram_novelty_docs(
     spark: SparkSession, sf_dir: str
@@ -11563,6 +11618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_roc_auc_docs": q_classifier_roc_auc_docs,
         "ngram_novelty_docs": q_ngram_novelty_docs,
         "mixture_alpha_sample": q_mixture_alpha_sample,
+        "substring_decontaminate_docs": q_substring_decontaminate_docs,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "embedding_lsh_dedup": q_embedding_lsh_dedup,
         "embedding_topk_cosine": q_embedding_topk,
@@ -15568,6 +15624,106 @@ def oracle_sql() -> dict[str, str]:
                    md5(COALESCE(r.kept, d.t)) AS kept_md5
             FROM docs d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """.replace("__SSD_HASH__", ssd_hash),
+        "substring_decontaminate_docs": """
+            WITH docs AS (
+                SELECT CASE WHEN doc_id % 10 = 0 THEN doc_id
+                            ELSE doc_id + 10000000 END AS doc_id,
+                       'u' || CAST(doc_id AS VARCHAR) || '~'
+                       || repeat(' x' || CAST(doc_id % 7 AS VARCHAR),
+                                 14)
+                       || ' ~' || CAST(doc_id AS VARCHAR) || 'v' AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, CAST(g.p AS INT) AS pos,
+                       __SSD_HASH__ AS h
+                FROM docs, generate_series(1, 200) AS g(p)
+                WHERE g.p <= len(t) - 7
+            ), fps AS (
+                SELECT DISTINCT doc_id, fp FROM (
+                    SELECT doc_id, pos,
+                           min(h) OVER (
+                               PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW
+                               AND 3 FOLLOWING) AS fp,
+                           max(pos) OVER (PARTITION BY doc_id)
+                               AS maxp
+                    FROM grams) wf
+                WHERE pos <= maxp - 3
+            ), gmin AS (
+                SELECT fp, MIN(doc_id) AS a FROM fps GROUP BY fp
+            ), pairs AS (
+                SELECT DISTINCT g.a, f.doc_id AS b
+                FROM fps f
+                JOIN gmin g ON g.fp = f.fp AND f.doc_id > g.a
+            ), m AS (
+                SELECT p.a, p.b, gb.pos AS pb,
+                       gb.pos - ga.pos AS off
+                FROM pairs p
+                JOIN grams ga ON ga.doc_id = p.a
+                JOIN grams gb
+                  ON gb.doc_id = p.b AND gb.h = ga.h
+            ), isl AS (
+                SELECT a, b, off, pb,
+                       pb - row_number() OVER (
+                           PARTITION BY a, b, off ORDER BY pb)
+                           AS grp
+                FROM m
+            ), runs AS (
+                SELECT b, MIN(pb) AS s, MAX(pb) + 7 AS e
+                FROM isl GROUP BY a, b, off, grp
+                HAVING MAX(pb) + 7 - MIN(pb) + 1 >= 40
+            ), spans AS (
+                SELECT DISTINCT b, s, e FROM runs
+            ), brkd AS (
+                SELECT b, s, e,
+                       CASE WHEN s > COALESCE(MAX(e) OVER (
+                                PARTITION BY b ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1) + 1
+                            THEN 1 ELSE 0 END AS brk
+                FROM spans
+            ), mg AS (
+                SELECT b, s, e,
+                       SUM(brk) OVER (
+                           PARTITION BY b ORDER BY s, e) AS gid
+                FROM brkd
+            ), fin AS (
+                SELECT b, MIN(s) AS s, MAX(e) AS e
+                FROM mg GROUP BY b, gid
+            ), seg AS (
+                SELECT b,
+                       COALESCE(LAG(e) OVER (
+                           PARTITION BY b ORDER BY s), 0) + 1 AS gs,
+                       s - 1 AS ge
+                FROM fin
+                UNION ALL
+                SELECT b, MAX(e) + 1, NULL FROM fin GROUP BY b
+            ), rebuilt AS (
+                SELECT d.doc_id,
+                       COUNT(*) FILTER (WHERE seg.ge IS NOT NULL)
+                           AS n_spans,
+                       string_agg(
+                           substr(d.t, seg.gs,
+                                  GREATEST(COALESCE(seg.ge, len(d.t))
+                                           - seg.gs + 1, 0)),
+                           '' ORDER BY seg.gs) AS kept
+                FROM docs d JOIN seg ON seg.b = d.doc_id
+                GROUP BY d.doc_id
+            )
+            SELECT CASE WHEN d.doc_id >= 10000000
+                        THEN d.doc_id - 10000000
+                        ELSE d.doc_id END AS doc_id,
+                   CASE WHEN d.doc_id >= 10000000 THEN 'train'
+                        ELSE 'benchmark' END AS split,
+                   CAST(COALESCE(r.n_spans, 0) AS INT) AS n_spans,
+                   CAST(len(d.t) - len(COALESCE(r.kept, d.t))
+                        AS BIGINT) AS cut_chars,
+                   CAST(len(COALESCE(r.kept, d.t)) AS BIGINT)
+                       AS kept_len,
+                   md5(COALESCE(r.kept, d.t)) AS kept_md5
+            FROM docs d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+            ORDER BY 1
         """.replace("__SSD_HASH__", ssd_hash),
         "line_dedup_docs": """
             WITH d AS (
