@@ -7513,6 +7513,76 @@ def q_substring_decontaminate_docs(
     ).orderBy("doc_id")
 
 
+def q_url_tracking_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tracking-parameter URL dedup (r13 —
+    ``urls.canonical_url_no_tracking``): the same page reached via a
+    newsletter (``utm_*``), a Facebook share (``fbclid``) and an ad
+    click (``gclid`` + ``utm_medium``) carries campaign params that
+    defeat plain canonical dedup — per doc, BOTH canonical forms
+    (raw-sorted and tracking-stripped) plus the keep-first verdict
+    keyed on the stripped form.  The fixture cycles all four alias
+    classes through messy scheme/www casing so the full
+    canonicalization chain is re-pinned under the new filter.
+
+    Scale shape: both canonical forms are pure codegen projections;
+    the only shuffle is the clean-URL-keyed first-occurrence window —
+    the same single semantic move every keep-first dedup here pays."""
+    from pyspark.sql import Window as W
+
+    from parquet_editor_spark.functions import urls as U
+
+    d = F.col("doc_id")
+    n = (d % 17).cast("string")
+    q = (
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("?utm_source=nl&id="), n),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("?id="), n, F.lit("&fbclid=f"), d.cast("string")
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("?gclid=g"),
+                d.cast("string"),
+                F.lit("&id="),
+                n,
+                F.lit("&utm_medium=cpc"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("?id="), n))
+    )
+    uri = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("https://")
+        ),
+        F.lit("tr"),
+        (d % 5).cast("string"),
+        F.lit(".com/p/"),
+        n,
+        q,
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        U.canonical_url(uri).alias("raw_url"),
+        U.canonical_url_no_tracking(uri).alias("clean_url"),
+    )
+    keep = (
+        F.row_number()
+        .over(W.partitionBy("clean_url").orderBy("doc_id"))
+        == 1
+    )
+    return docs.select(
+        "doc_id", "raw_url", "clean_url", keep.cast("int").alias("keep")
+    ).orderBy("doc_id")
+
+
 def q_ngram_novelty_docs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11619,6 +11689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty_docs": q_ngram_novelty_docs,
         "mixture_alpha_sample": q_mixture_alpha_sample,
         "substring_decontaminate_docs": q_substring_decontaminate_docs,
+        "url_tracking_dedup": q_url_tracking_dedup,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "embedding_lsh_dedup": q_embedding_lsh_dedup,
         "embedding_topk_cosine": q_embedding_topk,
@@ -15896,6 +15967,36 @@ def oracle_sql() -> dict[str, str]:
                    END AS novelty
             FROM documents d LEFT JOIN p USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "url_tracking_dedup": """
+            WITH u AS (
+                SELECT doc_id,
+                       CAST(doc_id % 17 AS VARCHAR) AS n,
+                       'https://tr' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com/p/' AS base
+                FROM documents
+            ), f AS (
+                SELECT doc_id,
+                       base || n || '?' ||
+                       CASE doc_id % 4
+                           WHEN 0 THEN 'id=' || n || '&utm_source=nl'
+                           WHEN 1 THEN 'fbclid=f'
+                                || CAST(doc_id AS VARCHAR)
+                                || '&id=' || n
+                           WHEN 2 THEN 'gclid=g'
+                                || CAST(doc_id AS VARCHAR)
+                                || '&id=' || n || '&utm_medium=cpc'
+                           ELSE 'id=' || n
+                       END AS raw_url,
+                       base || n || '?id=' || n AS clean_url
+                FROM u
+            )
+            SELECT doc_id, raw_url, clean_url,
+                   CAST(CASE WHEN row_number() OVER (
+                            PARTITION BY clean_url ORDER BY doc_id)
+                            = 1 THEN 1 ELSE 0 END AS INT) AS keep
+            FROM f
+            ORDER BY doc_id
         """,
         "mixture_alpha_sample": """
             WITH c AS (

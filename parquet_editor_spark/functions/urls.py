@@ -88,11 +88,11 @@ def url_query_sorted(url: str | Column) -> Column:
     ).otherwise(F.array_join(F.array_sort(F.split(q, "&")), "&"))
 
 
-def canonical_url(url: str | Column) -> Column:
-    """Full canonical form: lowercased scheme/host, ``www.`` and
-    trailing-dot stripped, default port dropped (non-default kept),
-    empty path → '/', query params sorted, fragment dropped.  Pure
-    codegen — safe in the hot path of a 100 TB crawl table."""
+def _assemble_canonical(url: str | Column, q: Column) -> Column:
+    """Shared canonical reassembly: lowercased scheme/host, ``www.``
+    and trailing-dot stripped, default port dropped (non-default
+    kept), empty path → '/', the given (already-normalized) query
+    appended when non-empty, fragment dropped."""
     scheme = url_scheme(url)
     port = url_port(url)
     default = F.element_at(
@@ -104,7 +104,6 @@ def canonical_url(url: str | Column) -> Column:
     keep_port = (port != F.lit("")) & ~F.coalesce(
         port == default, F.lit(False)
     )
-    q = url_query_sorted(url)
     return F.concat(
         scheme,
         F.lit("://"),
@@ -117,6 +116,49 @@ def canonical_url(url: str | Column) -> Column:
             F.lit("")
         ),
     )
+
+
+def canonical_url(url: str | Column) -> Column:
+    """Full canonical form: lowercased scheme/host, ``www.`` and
+    trailing-dot stripped, default port dropped (non-default kept),
+    empty path → '/', query params sorted, fragment dropped.  Pure
+    codegen — safe in the hot path of a 100 TB crawl table."""
+    return _assemble_canonical(url, url_query_sorted(url))
+
+
+#: query keys that identify a CLICK, not a resource — the standard
+#: campaign/click-id parameters (Google Analytics utm_*, Facebook
+#: fbclid, Google Ads gclid/dclid, Microsoft msclkid, Mailchimp
+#: mc_eid/mc_cid, Instagram igshid, Yandex yclid, cross-domain _ga/_gl,
+#: Alibaba spm).  Anchored key-prefix regex over one ``k=v`` pair.
+TRACKING_PARAM_RE = (
+    "^(utm_[a-z0-9_]*|fbclid|gclid|dclid|msclkid|mc_eid|mc_cid"
+    "|igshid|yclid|_ga|_gl|spm)="
+)
+
+
+def canonical_url_no_tracking(url: str | Column) -> Column:
+    """:func:`canonical_url` with click/campaign TRACKING parameters
+    removed (r13): the same page reached through a newsletter, an ad
+    click and a social share carries different ``utm_*``/``fbclid``/
+    ``gclid`` values, so a frontier or dedup keyed on the plain
+    canonical form fetches and stores it once per campaign.  Filters
+    the sorted param list by the anchored key regex
+    :data:`TRACKING_PARAM_RE` — still pure codegen, still hot-path
+    safe."""
+    q = F.parse_url(_c(url), F.lit("QUERY"))
+    cleaned = F.when(
+        q.isNull() | (q == F.lit("")), F.lit("")
+    ).otherwise(
+        F.array_join(
+            F.filter(
+                F.array_sort(F.split(q, "&")),
+                lambda p: ~p.rlike(TRACKING_PARAM_RE),
+            ),
+            "&",
+        )
+    )
+    return _assemble_canonical(url, cleaned)
 
 
 def _suffix_sets() -> tuple[list[str], list[str]]:

@@ -214,6 +214,48 @@ def test_canonical_url_is_idempotent(spark):
         assert r["c2"] == r["c1"], r["c1"]
 
 
+def test_canonical_url_no_tracking_strips_campaign_params(spark):
+    """r13: tracking keys (utm_*, fbclid, gclid, mc_eid, _ga, spm …)
+    vanish, real params survive sorted, all-tracking queries drop to
+    no query at all, and the filter is idempotent + a no-op on clean
+    URLs."""
+    cases = [
+        # (input, expected)
+        (
+            "https://a.com/p?utm_source=nl&id=3&utm_medium=m",
+            "https://a.com/p?id=3",
+        ),
+        (
+            "HTTPS://WWW.A.com/p?fbclid=x1&b=2&a=1",
+            "https://a.com/p?a=1&b=2",
+        ),
+        ("https://a.com/p?gclid=g&utm_x=1", "https://a.com/p"),
+        ("https://a.com/p?id=3", "https://a.com/p?id=3"),
+        (
+            "https://a.com/p?_ga=1.2&mc_eid=e&spm=a.b&x=9",
+            "https://a.com/p?x=9",
+        ),
+        # utmx is NOT a tracking key (anchored utm_ prefix only)
+        ("https://a.com/p?utmx=1", "https://a.com/p?utmx=1"),
+        ("https://a.com/", "https://a.com/"),
+    ]
+    df = spark.createDataFrame(cases, "u string, want string")
+    got = df.select(
+        "want", U.canonical_url_no_tracking("u").alias("got")
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["want"], r["got"])
+    # idempotent: stripping an already-clean canonical is a no-op
+    twice = df.select(
+        U.canonical_url_no_tracking(
+            U.canonical_url_no_tracking("u")
+        ).alias("c2"),
+        U.canonical_url_no_tracking("u").alias("c1"),
+    ).collect()
+    for r in twice:
+        assert r["c2"] == r["c1"]
+
+
 def test_robots_rules_ignores_headerless_rules_and_comments(spark):
     df = spark.createDataFrame(
         [
