@@ -7513,6 +7513,129 @@ def q_substring_decontaminate_docs(
     ).orderBy("doc_id")
 
 
+def q_cdc_chunk_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Content-defined chunking dedup (r13 — the FastCDC/rsync
+    pattern at word granularity: chunk boundaries are decided by the
+    CONTENT of a rolling window, so a shared passage chunks
+    identically wherever it lands, which fixed-size chunking can
+    never do): per doc, a k=3-word rolling polynomial over the
+    portable word hash marks a boundary wherever h % 8 == 0
+    (expected chunk ≈ 8 words), chunks are reassembled in order,
+    hashed, and deduped corpus-wide under keep-first — per doc the
+    chunk count, how many of its chunks already occurred earlier
+    (earlier doc, or earlier position in the same doc), and the dup
+    ratio.  The fixture appends a per-doc-unique sentinel plus a
+    passage shared by every doc with equal ``doc_id % 4``: the
+    junction chunk stays unique, the aligned tail chunks must hash
+    identical across docs — the content-defined property itself is
+    what the differential pins.
+
+    Scale shape: word explode + the per-doc lag/cumsum window (one
+    doc-keyed shuffle — doc-local ordering is inherent to chunking),
+    one (doc, chunk) reassembly agg, one chunk-hash-keyed min agg +
+    join back (the inverted-index move).  first-occurrence is the
+    integer-combined (doc, chunk) key — no struct-ordering semantics
+    cross the engine boundary."""
+    from pyspark.sql import Window as W
+
+    from parquet_editor_spark.functions import text as X
+
+    B, M, D = 31, 1_000_000_007, 8
+    d = F.col("doc_id")
+    fixed = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" sent"),
+        d.cast("string"),
+        F.lit(" "),
+        F.repeat(
+            F.concat(F.lit("cdc "), (d % 4).cast("string"), F.lit(" blk ")),
+            6,
+        ),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", fixed.alias("__t")
+    )
+    words = docs.select(
+        "doc_id", F.posexplode(X.tokens("__t")).alias("pos", "w")
+    ).withColumn(
+        "wv",
+        F.expr("CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)"),
+    )
+    dw = W.partitionBy("doc_id").orderBy("pos")
+    h = (
+        F.lag("wv", 2).over(dw) * (B * B)
+        + F.lag("wv", 1).over(dw) * B
+        + F.col("wv")
+    ) % M
+    flagged = words.withColumn(
+        "bflag",
+        F.when((F.col("pos") >= 2) & (h % D == 0), 1).otherwise(0),
+    ).withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum("bflag").over(
+                dw.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    chunks = flagged.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "w"))
+                        ),
+                        lambda s: s["w"],
+                    ),
+                    " ",
+                ),
+                "utf-8",
+            )
+        ).alias("chash"),
+    )
+    key = F.col("doc_id") * 100000 + F.col("chunk_id")
+    firsts = chunks.select("chash", key.alias("k")).groupBy(
+        "chash"
+    ).agg(F.min("k").alias("fk"))
+    per = (
+        chunks.join(firsts, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum((F.col("fk") < key).cast("long")).alias(
+                "n_dup_chunks"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.coalesce("n_chunks", F.lit(0).cast("long")).alias(
+                "n_chunks"
+            ),
+            F.coalesce("n_dup_chunks", F.lit(0).cast("long")).alias(
+                "n_dup_chunks"
+            ),
+            F.when(
+                F.coalesce("n_chunks", F.lit(0)) > 0,
+                F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_url_tracking_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11690,6 +11813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_alpha_sample": q_mixture_alpha_sample,
         "substring_decontaminate_docs": q_substring_decontaminate_docs,
         "url_tracking_dedup": q_url_tracking_dedup,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "embedding_lsh_dedup": q_embedding_lsh_dedup,
         "embedding_topk_cosine": q_embedding_topk,
@@ -15966,6 +16090,78 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(p.n_novel / p.n_grams, 6)
                    END AS novelty
             FROM documents d LEFT JOIN p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "cdc_chunk_dedup": """
+            WITH src AS (
+                SELECT doc_id,
+                       COALESCE(text, '') || ' sent'
+                       || CAST(doc_id AS VARCHAR) || ' '
+                       || repeat('cdc ' || CAST(doc_id % 4 AS VARCHAR)
+                                 || ' blk ', 6) AS t
+                FROM documents
+            ), tt AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(t, '\\s+'),
+                                   x -> x != '') AS toks
+                FROM src
+            ), w AS (
+                SELECT doc_id, CAST(r.i AS INT) AS pos,
+                       toks[r.i + 1] AS w,
+                       CAST(('0x' || substring(md5(toks[r.i + 1]),
+                                               1, 8))
+                            AS UBIGINT)::BIGINT AS wv
+                FROM tt, unnest(range(len(toks))) AS r(i)
+            ), hh AS (
+                SELECT doc_id, pos, w,
+                       CASE WHEN pos >= 2 THEN
+                           (lag(wv, 2) OVER dw * 961
+                            + lag(wv, 1) OVER dw * 31
+                            + wv) % 1000000007
+                       END AS h
+                FROM w
+                WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+            ), fl AS (
+                SELECT doc_id, pos, w,
+                       CASE WHEN pos >= 2 AND h % 8 = 0
+                            THEN 1 ELSE 0 END AS bflag
+                FROM hh
+            ), ck AS (
+                SELECT doc_id, pos, w,
+                       COALESCE(SUM(bflag) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS chunk_id
+                FROM fl
+            ), chunks AS (
+                SELECT doc_id, chunk_id,
+                       count(*)::BIGINT AS n_words,
+                       md5(string_agg(w, ' ' ORDER BY pos)) AS chash
+                FROM ck GROUP BY doc_id, chunk_id
+            ), firsts AS (
+                SELECT chash,
+                       MIN(doc_id * 100000 + chunk_id) AS fk
+                FROM chunks GROUP BY chash
+            ), per AS (
+                SELECT c.doc_id,
+                       SUM(c.n_words)::BIGINT AS n_tokens,
+                       COUNT(*)::BIGINT AS n_chunks,
+                       SUM(CASE WHEN f.fk <
+                               c.doc_id * 100000 + c.chunk_id
+                           THEN 1 ELSE 0 END)::BIGINT
+                           AS n_dup_chunks
+                FROM chunks c JOIN firsts f USING (chash)
+                GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens,
+                   COALESCE(p.n_chunks, 0)::BIGINT AS n_chunks,
+                   COALESCE(p.n_dup_chunks, 0)::BIGINT
+                       AS n_dup_chunks,
+                   CASE WHEN COALESCE(p.n_chunks, 0) > 0
+                        THEN round(p.n_dup_chunks / p.n_chunks, 6)
+                   END AS dup_ratio
+            FROM documents d LEFT JOIN per p USING (doc_id)
             ORDER BY d.doc_id
         """,
         "url_tracking_dedup": """

@@ -49,15 +49,15 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
     silently missed adjudication — pin the round-13 window composition
-    (the r12 verdict's #3, OLDEST-FIRST rotation): the eleven
+    (the r12 verdict's #3, OLDEST-FIRST rotation): the twelve
     never-adjudicated r13 debuts at the very front, then ALL 38
     entries whose last driver signal is r7 (the oldest real signal in
-    the corpus), then 1 r8 entry filling the window; everything
-    newer-signal moves behind, probes and stable rows-only entries
-    stay retired."""
+    the corpus) — exactly filling the window; everything newer-signal
+    moves behind, probes and stable rows-only entries stay
+    retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "anti_parts_never_sold", (
+    assert window[-1] == "y4m_frames_docs", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
@@ -67,6 +67,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "pipeline_curation_v8", "classifier_roc_auc_docs",
         "ngram_novelty_docs", "mixture_alpha_sample",
         "substring_decontaminate_docs", "url_tracking_dedup",
+        "cdc_chunk_dedup",
         # the 38 r7-stale entries (last driver signal r7)
         "embedding_cosine_dedup", "embedding_lsh_dedup",
         "embedding_topk_cosine", "except_inactive_custs",
@@ -84,8 +85,6 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "stream_sliding_counts", "stream_windowed_counts", "top_words",
         "wav_roundtrip_docs", "window_lead_lag", "window_ranks",
         "y4m_frames_docs",
-        # the r8 filler
-        "anti_parts_never_sold",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
