@@ -5065,6 +5065,68 @@ def q_pack_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("block_id")
 
 
+def q_fim_transform_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fill-in-the-middle transform (r13 — Bavarian et al. 2022's
+    FIM augmentation, the code-model pretraining prep that teaches
+    infilling): per doc, the pinned-BPE token stream splits at
+    ⌊n/3⌋ / ⌊2n/3⌋ and reorders PSM — ``[PRE] prefix [SUF] suffix
+    [MID] middle`` with sentinel ids 9001/9002/9003 outside the
+    vocab id space — for the deterministic 50% of docs (even doc_id,
+    the fim_rate knob); odd docs stay autoregressive.  Docs shorter
+    than 3 tokens are exempt (no middle to infill).  Emits per doc
+    the applied flag, output length, head ids and a stream md5, so
+    the oracle pins the exact reordered id stream.
+
+    Scale shape: everything after tokenization is a pure array
+    projection (slice + concat, whole-stage codegen) — the transform
+    adds ZERO shuffles to the tokenize plan, exactly the cost class
+    a 100 TB augmentation pass must have."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _bpe_norm("text").alias("norm")
+    )
+    toks = TP.bpe_tokenize(
+        docs, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
+    )
+    ids = F.col("input_ids")
+    n = F.size(ids)
+    p1 = F.floor(n / 3).cast("int")
+    p2 = F.floor(n * 2 / 3).cast("int")
+    fim = (F.col("id") % 2 == 0) & (n >= 3)
+    sent = lambda v: F.array(F.lit(v).cast("int"))  # noqa: E731
+    psm = F.concat(
+        sent(9001),
+        F.slice(ids, 1, p1),
+        sent(9002),
+        F.slice(ids, p2 + 1, n - p2),
+        sent(9003),
+        F.slice(ids, p1 + 1, p2 - p1),
+    )
+    out = toks.select(
+        F.col("id").alias("doc_id"),
+        fim.cast("int").alias("fim"),
+        F.when(fim, psm).otherwise(ids).alias("__o"),
+    )
+    csv = F.array_join(
+        F.transform("__o", lambda x: x.cast("string")), ","
+    )
+    return out.select(
+        "doc_id",
+        "fim",
+        F.size("__o").cast("long").alias("n_ids"),
+        F.array_join(
+            F.transform(
+                F.slice("__o", 1, 12), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("head_ids"),
+        F.md5(F.encode(csv, "utf-8")).alias("ids_md5"),
+    ).orderBy("doc_id")
+
+
 def q_pack_boundaries_docs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11852,6 +11914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lead_lag": q_window_lead_lag,
         "window_ranks": q_window_ranks,
         "y4m_frames_docs": q_y4m_frames_docs,
+        "fim_transform_docs": q_fim_transform_docs,
         "anti_parts_never_sold": q_anti_parts_never_sold,
         "asof_join_events": q_asof_join_events,
         "bm25_topk": q_bm25_topk,
@@ -16091,6 +16154,31 @@ def oracle_sql() -> dict[str, str]:
                    END AS novelty
             FROM documents d LEFT JOIN p USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "fim_transform_docs": f"""
+            WITH t AS ({_ORACLE_BPE_IDS}), s AS (
+                SELECT doc_id, ids, len(ids) AS n,
+                       len(ids) // 3 AS p1,
+                       (len(ids) * 2) // 3 AS p2,
+                       (doc_id % 2 = 0 AND len(ids) >= 3) AS fim
+                FROM t
+            ), o AS (
+                SELECT doc_id,
+                       CASE WHEN fim THEN
+                           list_concat(list_concat(list_concat(
+                               list_concat(list_concat(
+                                   [9001], ids[1:p1]), [9002]),
+                                   ids[p2 + 1:n]), [9003]),
+                                   ids[p1 + 1:p2])
+                       ELSE ids END AS out,
+                       fim
+                FROM s
+            )
+            SELECT doc_id, CAST(fim AS INT) AS fim,
+                   len(out)::BIGINT AS n_ids,
+                   array_to_string(out[1:12], ',') AS head_ids,
+                   md5(array_to_string(out, ',')) AS ids_md5
+            FROM o ORDER BY doc_id
         """,
         "cdc_chunk_dedup": """
             WITH src AS (
