@@ -626,6 +626,17 @@ def test_classifier_roc_auc_folds_bounded_metadata(spark, sf_dir):
     assert "hashpartitioning(m" in plan, plan
     ex = re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)
     assert len(ex) <= 3, plan
+    # the one SinglePartition site in the EXECUTED plan is the ordered
+    # fold over the already-aggregated margin-group table (the third
+    # benign class in PLANS.md): it must sit directly above the
+    # margin-keyed HashAggregate, never above raw rows
+    from parquet_editor_spark.plans.explain import executed_plan
+
+    lines = executed_plan(df).split("\n")
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "HashAggregate" in below, below
 
 
 def test_ngram_novelty_and_mixture_plan_shapes(spark, sf_dir):

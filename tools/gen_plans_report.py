@@ -57,7 +57,12 @@ def main() -> None:
             "pack_* / shards_to_blocks rows are the same class: their only\n"
             "single-partition frame is the one-row-per-bucket offsets window\n"
             "of the distributed prefix sum (metadata-scale, broadcast back),\n"
-            "pinned by test_pack_documents_data_side_window_is_bucketed.\n\n"
+            "pinned by test_pack_documents_data_side_window_is_bucketed.\n"
+            "Third benign class (r13): an ordered fold over an ALREADY-\n"
+            "AGGREGATED bounded table — classifier_roc_auc_docs' cumulative\n"
+            "sum runs over the <= |distinct margins| margin-group rows that\n"
+            "one corpus-sized hash agg produced (the PR-grid class), pinned\n"
+            "by test_classifier_roc_auc_folds_bounded_metadata.\n\n"
             "| query | pushed filters | scan cols | broadcast | single-partition exchange |\n"
             "| --- | --- | --- | --- | --- |\n"
         )
