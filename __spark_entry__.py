@@ -6767,6 +6767,201 @@ def q_crawl_frontier_v4(
     )
 
 
+def q_crawl_frontier_v5(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frontier v5 (r13 capstone — v4's priority/shard/expiry loop
+    COMPOSED with this round's two new frontier inputs):
+
+    * TRACKING-PARAM canonicalization: one extracted anchor carries
+      ``?utm_source=feed`` on the same /t/ target the plain anchor
+      links — ``canonical_url_no_tracking`` collapses them, so their
+      relevance mass AGGREGATES onto one frontier entry (a plain
+      canonical would split it; the rel_sum values in the oracle pin
+      the collapse).
+    * INCREMENTAL Bloom seen-set: yesterday's bitmap ∪ last night's
+      crawl (``bloom_union``) gates the frontier — already-fetched
+      /u/0 and the day-2 /local/ slice never re-enter, with the
+      union's deterministic false positives mirrored bit-for-bit.
+
+    Downstream is v4 verbatim: anchor relevance + host pagerank as
+    the priority key, per-host polynomial shard, robots expiry
+    recrawl slot, Crawl-delay spacing.  The host edge set is
+    unchanged by the utm arm (same src→dst pair as the plain /t/
+    link), so the rank table is v4's — pinned by the shared oracle
+    recurrence.
+
+    Scale shape: v4's audited plan + the Bloom probe (broadcast join
+    over a metadata-sized merged bitmap) + one more pure-codegen
+    string expression in the hot map; the host-keyed schedule window
+    remains the only data-sized single-key shuffle."""
+    from parquet_editor_spark.functions import urls as U
+    from parquet_editor_spark.functions.hashing import poly_string_hash
+    from parquet_editor_spark.operators import dedup as D
+    from parquet_editor_spark.operators import graph as G
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("https://g"),
+        (d % 13).cast("string"),
+        F.lit(".com/p/"),
+        (d % 3).cast("string"),
+    )
+    a1_txt = F.when(
+        d % 2 == 0, F.lit("fast spark data engine")
+    ).otherwise(F.lit("cat pictures gallery"))
+    html = F.concat(
+        F.lit('<a href="https://g'),
+        ((d * 3 + 1) % 13).cast("string"),
+        F.lit(".com/t/"),
+        (d % 4).cast("string"),
+        F.lit('">'),
+        a1_txt,
+        F.lit("</a><a href='/local/"),
+        (d % 5).cast("string"),
+        F.lit("'>spark tips here</a>"),
+        F.lit('<a href="/priv/'),
+        (d % 3).cast("string"),
+        F.lit('">secret spark data</a>'),
+        F.lit('<a href="https://g'),
+        ((d + 5) % 13).cast("string"),
+        F.lit(".com/u/"),
+        (d % 2).cast("string"),
+        F.lit('">plain link</a>'),
+        # the tracking-wrapped duplicate of the first /t/ target —
+        # canonical_url_no_tracking must fold it in
+        F.lit('<a href="https://g'),
+        ((d * 3 + 1) % 13).cast("string"),
+        F.lit(".com/t/"),
+        (d % 4).cast("string"),
+        F.lit('?utm_source=feed">spark data news</a>'),
+    )
+    pages = docs.select(page.alias("page_url"), html.alias("html"))
+    links = pages.select(
+        "page_url", F.explode(U.extract_anchors("html")).alias("a")
+    ).select(
+        "page_url",
+        U.canonical_url_no_tracking(
+            U.resolve_url("page_url", F.col("a.href"))
+        ).alias("canon_url"),
+        F.col("a.anchor").alias("anchor"),
+    )
+    toks = F.split(F.lower("anchor"), " ")
+    scored = links.withColumn(
+        "rel",
+        F.array_contains(toks, "spark").cast("int")
+        + F.array_contains(toks, "data").cast("int"),
+    )
+    tgt = scored.groupBy("canon_url").agg(
+        F.sum("rel").cast("long").alias("rel_sum")
+    )
+    edges = (
+        links.select(
+            U.url_host("page_url").alias("src"),
+            U.url_host("canon_url").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .select("src", "dst", F.lit(1.0).alias("w"))
+        .persist()
+    )
+    ranks = G.pagerank(edges, "src", "dst", "w", iters=3).select(
+        F.col("node").alias("host"), F.col("rank").alias("host_rank")
+    )
+    # incremental seen-set: yesterday's bitmap ∪ last night's crawl
+    day1 = docs.select(
+        F.concat(
+            F.lit("https://g"),
+            ((d + 5) % 13).cast("string"),
+            F.lit(".com/u/0"),
+        ).alias("key")
+    ).distinct()
+    day2 = (
+        docs.filter(d % 3 == 0)
+        .select(
+            F.concat(
+                F.lit("https://g"),
+                (d % 13).cast("string"),
+                F.lit(".com/local/"),
+                (d % 5).cast("string"),
+            ).alias("key")
+        )
+        .distinct()
+    )
+    merged = D.bloom_union(
+        D.bloom_build(day1, "key", n_words=16, k=4),
+        D.bloom_build(day2, "key", n_words=16, k=4),
+    )
+    k = F.col("k")
+    hosts = (
+        docs.select((d % 13).alias("k"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("g"), k.cast("string"), F.lit(".com")
+            ).alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /priv\nCrawl-delay: "),
+                (1 + k % 3).cast("string"),
+            ).alias("robots"),
+            ((k * 7) % 97).cast("int").alias("robots_age_s"),
+        )
+        .persist()
+    )
+    frontier = tgt.select(
+        "canon_url",
+        "rel_sum",
+        U.url_host(F.col("canon_url")).alias("host"),
+        U.url_path(F.col("canon_url")).alias("path"),
+    )
+    fresh = D.bloom_member(
+        frontier, merged, "canon_url", n_words=16, k=4
+    ).filter(F.col("member") == 0)
+    rules = U.robots_rules(hosts, "host", "robots")
+    allowed = U.robots_allowed(fresh, rules, "host", "path").filter(
+        F.col("allowed") == 1
+    )
+    delays = U.robots_crawl_delay(hosts, "host", "robots")
+    ages = hosts.select(
+        "host",
+        (F.col("robots_age_s") > 48).cast("int").alias("robots_refresh"),
+    )
+    from pyspark.sql import Window as W
+
+    pri = F.col("rel_sum") + F.col("host_rank")
+    rank_w = F.row_number().over(
+        W.partitionBy("host").orderBy(pri.desc(), F.col("canon_url"))
+    )
+    return (
+        allowed.join(F.broadcast(ranks), "host")
+        .join(F.broadcast(delays), "host")
+        .join(F.broadcast(ages), "host")
+        .withColumn("priority", F.round(pri, 6))
+        .withColumn("fetch_rank", rank_w)
+        .select(
+            "host",
+            F.pmod(poly_string_hash(F.col("host")), F.lit(8))
+            .cast("int")
+            .alias("shard"),
+            "canon_url",
+            "rel_sum",
+            "host_rank",
+            "priority",
+            "robots_refresh",
+            "crawl_delay_s",
+            "fetch_rank",
+            (
+                (F.col("fetch_rank") - 1 + F.col("robots_refresh"))
+                * F.col("crawl_delay_s")
+            )
+            .cast("long")
+            .alias("fetch_offset_s"),
+        )
+        .orderBy("host", "fetch_rank")
+    )
+
+
 def q_crawl_schedule_docs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11914,6 +12109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lead_lag": q_window_lead_lag,
         "window_ranks": q_window_ranks,
         "y4m_frames_docs": q_y4m_frames_docs,
+        "crawl_frontier_v5": q_crawl_frontier_v5,
         "fim_transform_docs": q_fim_transform_docs,
         "anti_parts_never_sold": q_anti_parts_never_sold,
         "asof_join_events": q_asof_join_events,
@@ -12562,6 +12758,106 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(url, '^https://([^/]+)/', 1) AS host
             FROM tgt
             WHERE url NOT LIKE '%/priv/%'
+        ), sched AS (
+            SELECT f.host,
+                   CAST(({_v4_shard}) % 8 AS INT) AS shard,
+                   f.url AS canon_url,
+                   f.rel_sum,
+                   pr.rank AS host_rank,
+                   round(f.rel_sum + pr.rank, 6) AS priority,
+                   CASE WHEN ((k.k * 7) % 97) > 48 THEN 1 ELSE 0
+                        END AS robots_refresh,
+                   (1 + k.k % 3) AS crawl_delay_s,
+                   row_number() OVER (
+                       PARTITION BY f.host
+                       ORDER BY f.rel_sum + pr.rank DESC, f.url)
+                       AS fetch_rank
+            FROM fr f
+            JOIN ({_v4_pr}) pr ON pr.node = f.host
+            JOIN (SELECT DISTINCT doc_id % 13 AS k FROM documents) k
+              ON 'g' || CAST(k.k AS VARCHAR) || '.com' = f.host
+        )
+        SELECT host, shard, canon_url, rel_sum, host_rank, priority,
+               CAST(robots_refresh AS INT) AS robots_refresh,
+               CAST(crawl_delay_s AS INT) AS crawl_delay_s,
+               CAST(fetch_rank AS INT) AS fetch_rank,
+               CAST((fetch_rank - 1 + robots_refresh) * crawl_delay_s
+                    AS BIGINT) AS fetch_offset_s
+        FROM sched
+        ORDER BY host, fetch_rank
+    """
+
+    frontier_v5_oracle = f"""
+        WITH lnk AS (
+            SELECT 'https://g' || CAST((doc_id * 3 + 1) % 13 AS VARCHAR)
+                   || '.com/t/' || CAST(doc_id % 4 AS VARCHAR) AS url,
+                   CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS rel
+            FROM documents
+            UNION ALL
+            -- the utm-wrapped duplicate anchor: tracking-strip folds
+            -- it onto the SAME clean /t/ url, rel 2 ('spark data news')
+            SELECT 'https://g' || CAST((doc_id * 3 + 1) % 13 AS VARCHAR)
+                   || '.com/t/' || CAST(doc_id % 4 AS VARCHAR), 2
+            FROM documents
+            UNION ALL
+            SELECT 'https://g' || CAST(doc_id % 13 AS VARCHAR)
+                   || '.com/local/' || CAST(doc_id % 5 AS VARCHAR), 1
+            FROM documents
+            UNION ALL
+            SELECT 'https://g' || CAST(doc_id % 13 AS VARCHAR)
+                   || '.com/priv/' || CAST(doc_id % 3 AS VARCHAR), 2
+            FROM documents
+            UNION ALL
+            SELECT 'https://g' || CAST((doc_id + 5) % 13 AS VARCHAR)
+                   || '.com/u/' || CAST(doc_id % 2 AS VARCHAR), 0
+            FROM documents
+        ), tgt AS (
+            SELECT url, SUM(rel)::BIGINT AS rel_sum
+            FROM lnk GROUP BY url
+        ), d1 AS (
+            SELECT DISTINCT 'https://g'
+                   || CAST((doc_id + 5) % 13 AS VARCHAR)
+                   || '.com/u/0' AS key
+            FROM documents
+        ), d2 AS (
+            SELECT DISTINCT 'https://g' || CAST(doc_id % 13 AS VARCHAR)
+                   || '.com/local/' || CAST(doc_id % 5 AS VARCHAR)
+                   AS key
+            FROM documents WHERE doc_id % 3 = 0
+        ), p1 AS (
+            SELECT ((h1 + g.i * h2) % 1008) AS p
+            FROM (SELECT {_bf_h1} AS h1, {_bf_h2} AS h2 FROM d1) s,
+                 generate_series(0, 3) AS g(i)
+        ), p2 AS (
+            SELECT ((h1 + g.i * h2) % 1008) AS p
+            FROM (SELECT {_bf_h1} AS h1, {_bf_h2} AS h2 FROM d2) s,
+                 generate_series(0, 3) AS g(i)
+        ), wm AS (
+            SELECT wi, bit_or(w) AS w FROM (
+                SELECT p // 63 AS wi, bit_or({_bf_bit}) AS w
+                FROM p1 GROUP BY p // 63
+                UNION ALL
+                SELECT p // 63, bit_or({_bf_bit})
+                FROM p2 GROUP BY p // 63) u
+            GROUP BY wi
+        ), cpos AS (
+            SELECT url, rel_sum, ((h1 + g.i * h2) % 1008) AS p
+            FROM (SELECT url, rel_sum, url AS key,
+                         {_bf_h1} AS h1, {_bf_h2} AS h2
+                  FROM tgt) ch,
+                 generate_series(0, 3) AS g(i)
+        ), fresh AS (
+            SELECT url, rel_sum,
+                   min(CASE WHEN wm.w IS NOT NULL
+                            AND (wm.w & {_bf_bit}) = {_bf_bit}
+                       THEN 1 ELSE 0 END) AS member
+            FROM cpos LEFT JOIN wm ON wm.wi = cpos.p // 63
+            GROUP BY url, rel_sum
+        ), fr AS (
+            SELECT url, rel_sum,
+                   regexp_extract(url, '^https://([^/]+)/', 1) AS host
+            FROM fresh
+            WHERE member = 0 AND url NOT LIKE '%/priv/%'
         ), sched AS (
             SELECT f.host,
                    CAST(({_v4_shard}) % 8 AS INT) AS shard,
@@ -15659,6 +15955,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_bloom_union": stream_bloom_union_oracle,
         "crawl_frontier_v3": frontier_v3_oracle,
         "crawl_frontier_v4": frontier_v4_oracle,
+        "crawl_frontier_v5": frontier_v5_oracle,
         "crawl_frontier_v2": """
             WITH ol AS (
                 SELECT 'fr' || CAST(doc_id % 11 AS VARCHAR) || '.com'

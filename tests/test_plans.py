@@ -681,3 +681,23 @@ def test_wet_shard_export_shuffles_once_by_shard(spark, sf_dir):
     assert "hashpartitioning(shard_id" in plan, plan
     ex = re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)
     assert len(ex) <= 2, plan
+
+
+def test_crawl_frontier_v5_plan_shape(spark, sf_dir):
+    """r13 capstone: v4's audited shape + the merged-Bloom gate —
+    still zero Python, zero single-partition; the bitmap probe adds
+    one broadcast join over a metadata-sized word table and the
+    tracking-strip is one more codegen string expression."""
+    import re
+
+    import __spark_entry__ as M
+
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    df = M.queries()["crawl_frontier_v5"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
+    assert len(ex) <= 120, len(ex)
+    assert "InMemoryTableScan" in plan, plan
