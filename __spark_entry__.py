@@ -9184,6 +9184,41 @@ def q_jsonl_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_encode_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Product quantization end-to-end (r13 — ``sim.pq_encode``, the
+    Jégou et al. 2011 codebook compression that pairs with the IVF
+    coarse quantizer for billion-vector ANN): 64-dim embeddings split
+    into 4×16-dim subspaces, an independent deterministic k-means
+    codebook (k=8, 2 Lloyd iterations, 1e-6-quantized trajectory)
+    trains per subspace, every vector encodes as 4 codes (12 bits vs
+    2048) plus the rounded total squared reconstruction error.  The
+    oracle unrolls all FOUR per-subspace k-means chains in DuckDB
+    (the ``kmeans_embeddings`` recurrence at 16 dims each) and
+    re-derives codes and error from the final codebooks — assignment
+    ties, empty-cluster inheritance and rounding all mirrored.
+
+    Scale shape: training collects 4×8×16 centroid doubles per
+    iteration (bounded metadata); encoding is one whole-stage-codegen
+    projection — 32 fused dot products per row against literal
+    centroids, no join, no UDF."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    encoded, _books = S.pq_encode(
+        emb, "vec_id", "embedding", m=4, k=8, iters=2, round_to=6
+    )
+    return encoded.select(
+        "vec_id",
+        F.col("code_0").cast("int").alias("code_0"),
+        F.col("code_1").cast("int").alias("code_1"),
+        F.col("code_2").cast("int").alias("code_2"),
+        F.col("code_3").cast("int").alias("code_3"),
+        "recon_err",
+    ).orderBy("vec_id")
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed k-means (``kmeans_lloyd``, new r9 —
     behind-window debut for the r10 rotation): 2 full Lloyd
@@ -12110,6 +12145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ranks": q_window_ranks,
         "y4m_frames_docs": q_y4m_frames_docs,
         "crawl_frontier_v5": q_crawl_frontier_v5,
+        "pq_encode_embeddings": q_pq_encode_embeddings,
         "fim_transform_docs": q_fim_transform_docs,
         "anti_parts_never_sold": q_anti_parts_never_sold,
         "asof_join_events": q_asof_join_events,
@@ -12786,6 +12822,99 @@ def oracle_sql() -> dict[str, str]:
         FROM sched
         ORDER BY host, fetch_rank
     """
+
+    def _pq_sub_ctes(s: int) -> str:
+        # one subspace's full 2-iteration kmeans recurrence + final
+        # code assignment — the _ORACLE_KMEANS_CELLS chain at 16 dims
+        # over the subspace slice, prefixed pq{s}
+        lo, hi = s * 16 + 1, (s + 1) * 16
+        p = f"pq{s}"
+
+        def dist(cent: str) -> str:
+            return (
+                f"round(array_inner_product({p}e.v, {p}e.v)"
+                f" + array_inner_product({cent}.v, {cent}.v)"
+                f" - 2 * array_inner_product({p}e.v, {cent}.v), 6)"
+            )
+
+        return f"""
+            {p}e AS (
+                SELECT vec_id,
+                       ((embedding::DOUBLE[])[{lo}:{hi}])::DOUBLE[16]
+                           AS v
+                FROM embeddings
+            ), {p}c0 AS (
+                SELECT vec_id::INT AS c, v FROM {p}e WHERE vec_id < 8
+            ), {p}d1 AS (
+                SELECT {p}e.vec_id, {p}c0.c, {dist(p + "c0")} AS d
+                FROM {p}e, {p}c0
+            ), {p}a1 AS (
+                SELECT vec_id, c FROM (
+                    SELECT vec_id, c,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, c) AS rn
+                    FROM {p}d1) WHERE rn = 1
+            ), {p}m1 AS (
+                SELECT {p}a1.c, g.dim,
+                       round(avg({p}e.v[g.dim]), 6) AS m
+                FROM {p}a1 JOIN {p}e USING (vec_id),
+                     (SELECT unnest(range(1, 17)) AS dim) g
+                GROUP BY {p}a1.c, g.dim
+            ), {p}c1 AS (
+                SELECT {p}c0.c,
+                       (COALESCE(mm.w, {p}c0.v::DOUBLE[]))::DOUBLE[16]
+                           AS v
+                FROM {p}c0 LEFT JOIN (
+                    SELECT c, list(m ORDER BY dim) AS w
+                    FROM {p}m1 GROUP BY c) mm USING (c)
+            ), {p}d2 AS (
+                SELECT {p}e.vec_id, {p}c1.c, {dist(p + "c1")} AS d
+                FROM {p}e, {p}c1
+            ), {p}a2 AS (
+                SELECT vec_id, c FROM (
+                    SELECT vec_id, c,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, c) AS rn
+                    FROM {p}d2) WHERE rn = 1
+            ), {p}m2 AS (
+                SELECT {p}a2.c, g.dim,
+                       round(avg({p}e.v[g.dim]), 6) AS m
+                FROM {p}a2 JOIN {p}e USING (vec_id),
+                     (SELECT unnest(range(1, 17)) AS dim) g
+                GROUP BY {p}a2.c, g.dim
+            ), {p}c2 AS (
+                SELECT {p}c1.c,
+                       (COALESCE(mm.w, {p}c1.v::DOUBLE[]))::DOUBLE[16]
+                           AS v
+                FROM {p}c1 LEFT JOIN (
+                    SELECT c, list(m ORDER BY dim) AS w
+                    FROM {p}m2 GROUP BY c) mm USING (c)
+            ), {p}asg AS (
+                SELECT vec_id, c AS code, d FROM (
+                    SELECT {p}e.vec_id, {p}c2.c, {dist(p + "c2")} AS d,
+                           row_number() OVER (PARTITION BY {p}e.vec_id
+                                              ORDER BY {dist(p + "c2")},
+                                                       {p}c2.c) AS rn
+                    FROM {p}e, {p}c2) WHERE rn = 1
+            )"""
+
+    pq_oracle = (
+        "WITH "
+        + ", ".join(_pq_sub_ctes(s) for s in range(4))
+        + """
+        SELECT a0.vec_id,
+               CAST(a0.code AS INT) AS code_0,
+               CAST(a1.code AS INT) AS code_1,
+               CAST(a2.code AS INT) AS code_2,
+               CAST(a3.code AS INT) AS code_3,
+               round(a0.d + a1.d + a2.d + a3.d, 6) AS recon_err
+        FROM pq0asg a0
+        JOIN pq1asg a1 USING (vec_id)
+        JOIN pq2asg a2 USING (vec_id)
+        JOIN pq3asg a3 USING (vec_id)
+        ORDER BY a0.vec_id
+    """
+    )
 
     frontier_v5_oracle = f"""
         WITH lnk AS (
@@ -15956,6 +16085,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier_v3": frontier_v3_oracle,
         "crawl_frontier_v4": frontier_v4_oracle,
         "crawl_frontier_v5": frontier_v5_oracle,
+        "pq_encode_embeddings": pq_oracle,
         "crawl_frontier_v2": """
             WITH ol AS (
                 SELECT 'fr' || CAST(doc_id % 11 AS VARCHAR) || '.com'

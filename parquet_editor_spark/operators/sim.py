@@ -553,6 +553,82 @@ def quantize_int8(
     )
 
 
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    round_to: int = 6,
+) -> tuple[DataFrame, list]:
+    """PRODUCT quantization (r13 — Jégou et al. 2011, the codebook
+    compression IVF-PQ indexes pair with the coarse quantizer
+    :func:`ivf_topk_det` already provides): split each vector into
+    ``m`` contiguous subspaces, train an independent deterministic
+    :func:`kmeans_lloyd` codebook per subspace, and encode every
+    vector as m small codes (here m·log2(k) bits ≪ dim·32) plus the
+    rounded total squared reconstruction error.  Returns
+    ``(encoded_df, codebooks)`` where ``encoded_df`` has ``code_0 …
+    code_{{m-1}}`` and ``recon_err`` per id, and ``codebooks[s]`` is
+    subspace s's k×(dim/m) centroid list (the table an ADC scorer
+    broadcasts).
+
+    Engine-exact by the same construction as the k-means it reuses:
+    every distance is rounded before comparison, ties break on code
+    id, codebook means are rounded — so codes AND the error are
+    closed-form reproducible in another engine.
+
+    Scale shape: each subspace's training collects only k×(dim/m)
+    centroid doubles per iteration (bounded metadata); encoding is a
+    pure whole-stage-codegen projection — m·k fused dot products per
+    row against literal centroids, no join, no UDF, nothing but the
+    corpus scan moves."""
+    vec = F.col(vec_col).cast("array<double>")
+    first = df.select(vec.alias("v")).first()
+    if first is None:
+        raise ValueError("pq_encode needs a non-empty corpus")
+    dim = len(first["v"])
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    out = df.select(F.col(id_col), vec.alias("__v"))
+    books = []
+    errs = []
+    for s in range(m):
+        subdf = df.select(
+            F.col(id_col),
+            F.slice(vec, s * sub + 1, sub).alias("embedding"),
+        )
+        rows = kmeans_lloyd(
+            subdf, id_col, "embedding", k=k, iters=iters,
+            round_to=round_to,
+        ).collect()
+        by = {int(r["cluster"]): list(r["centroid"]) for r in rows}
+        cents = [by[i] for i in range(k)]
+        books.append(cents)
+        best = F.array_min(
+            _cell_dist_structs(
+                F.slice(F.col("__v"), s * sub + 1, sub),
+                cents,
+                round_to,
+            )
+        )
+        out = out.withColumn(f"code_{s}", best["c"]).withColumn(
+            f"__e{s}", best["d"]
+        )
+        errs.append(F.col(f"__e{s}"))
+    total = errs[0]
+    for e in errs[1:]:
+        total = total + e
+    encoded = out.select(
+        id_col,
+        *[f"code_{s}" for s in range(m)],
+        F.round(total, round_to).alias("recon_err"),
+    )
+    return encoded, books
+
+
 def dequantize_int8(
     df: DataFrame, qvec_col: str = "q_vec", scale_col: str = "q_scale", out: str = "deq"
 ) -> DataFrame:

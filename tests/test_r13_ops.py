@@ -234,3 +234,46 @@ def test_roc_auc_agrees_with_sklearn_free_reference(spark, entry, sf_dir):
     assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
     assert got["auc_num2"] == num2
     assert abs(got["auc"] - num2 / (2 * len(pos) * len(neg))) < 1e-6
+
+
+def test_pq_encode_codes_match_returned_codebooks(spark, sf_dir):
+    """pq_encode's codes and recon_err must re-derive from the
+    codebooks it returns: for every vector, the assigned code is the
+    rounded-L2 argmin (ties to lower code) against that subspace's
+    centroids, and recon_err is the rounded sum of the four assigned
+    distances — checked in numpy, independently of both engines."""
+    import numpy as np
+
+    from parquet_editor_spark.operators.sim import pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    encoded, books = pq_encode(
+        emb, "vec_id", "embedding", m=4, k=8, iters=2, round_to=6
+    )
+    assert len(books) == 4 and all(
+        len(b) == 8 and len(b[0]) == 16 for b in books
+    )
+    got = {r["vec_id"]: r for r in encoded.collect()}
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    for vid, v in vecs.items():
+        total = 0.0
+        for s in range(4):
+            sub = v[s * 16 : (s + 1) * 16]
+            ds = [
+                round(
+                    float(sub @ sub)
+                    + float(sum(x * x for x in c))
+                    - 2.0 * float(sum(a * b for a, b in zip(sub, c))),
+                    6,
+                )
+                for c in books[s]
+            ]
+            best = min(range(8), key=lambda i: (ds[i], i))
+            assert got[vid][f"code_{s}"] == best, (vid, s)
+            total += ds[best]
+        assert abs(got[vid]["recon_err"] - round(total, 6)) < 1e-9
+    # compression really happened: codes use more than one centroid
+    assert len({r["code_0"] for r in got.values()}) > 1
