@@ -9219,6 +9219,42 @@ def q_pq_encode_embeddings(
     ).orderBy("vec_id")
 
 
+def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (r13 — ``sim.pq_topk_adc``, the
+    query path of an IVF-PQ index): the ten lowest-id vectors query
+    the PQ-encoded corpus; per query an m×k rounded distance table
+    precomputes (bounded metadata, enters the plan as literals), and
+    every corpus vector scores as four table lookups on its codes —
+    the original vectors are never touched at query time.  The
+    DuckDB oracle re-derives codes through all four unrolled k-means
+    chains, rebuilds the query tables from the final codebooks, and
+    ranks with identical rounded sums and tie-breaks.
+
+    Scale shape: one projection explode of |Q| literal structs per
+    corpus row (no shuffle), one query-keyed rank window over the
+    candidates — plus pq_encode's audited training cost."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.pq_topk_adc(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        m=4,
+        k=8,
+        topk=5,
+        iters=2,
+        round_to=6,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        "adc_dist",
+    ).orderBy("query_id", "rank")
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed k-means (``kmeans_lloyd``, new r9 —
     behind-window debut for the r10 rotation): 2 full Lloyd
@@ -12146,6 +12182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "y4m_frames_docs": q_y4m_frames_docs,
         "crawl_frontier_v5": q_crawl_frontier_v5,
         "pq_encode_embeddings": q_pq_encode_embeddings,
+        "pq_topk_adc": q_pq_topk_adc,
         "fim_transform_docs": q_fim_transform_docs,
         "anti_parts_never_sold": q_anti_parts_never_sold,
         "asof_join_events": q_asof_join_events,
@@ -12913,6 +12950,50 @@ def oracle_sql() -> dict[str, str]:
         JOIN pq2asg a2 USING (vec_id)
         JOIN pq3asg a3 USING (vec_id)
         ORDER BY a0.vec_id
+    """
+    )
+
+    _pq_qd = ", ".join(
+        f"""qsub{s} AS (
+            SELECT vec_id AS qid,
+                   ((embedding::DOUBLE[])[{s * 16 + 1}:{(s + 1) * 16}])
+                       ::DOUBLE[16] AS v
+            FROM embeddings WHERE vec_id < 10
+        ), qd{s} AS (
+            SELECT q.qid, c.c AS code,
+                   round(array_inner_product(q.v, q.v)
+                         + array_inner_product(c.v, c.v)
+                         - 2 * array_inner_product(q.v, c.v), 6) AS d
+            FROM qsub{s} q, pq{s}c2 c
+        )"""
+        for s in range(4)
+    )
+    pq_adc_oracle = (
+        "WITH "
+        + ", ".join(_pq_sub_ctes(s) for s in range(4))
+        + ", "
+        + _pq_qd
+        + """, sc AS (
+            SELECT q0.qid, a0.vec_id AS neighbor_id,
+                   round(q0.d + q1.d + q2.d + q3.d, 6) AS adc
+            FROM pq0asg a0
+            JOIN pq1asg a1 USING (vec_id)
+            JOIN pq2asg a2 USING (vec_id)
+            JOIN pq3asg a3 USING (vec_id)
+            JOIN qd0 q0 ON q0.code = a0.code
+            JOIN qd1 q1 ON q1.qid = q0.qid AND q1.code = a1.code
+            JOIN qd2 q2 ON q2.qid = q0.qid AND q2.code = a2.code
+            JOIN qd3 q3 ON q3.qid = q0.qid AND q3.code = a3.code
+            WHERE a0.vec_id <> q0.qid
+        )
+        SELECT qid AS query_id,
+               CAST(row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY adc, neighbor_id) AS INT) AS rank,
+               neighbor_id, adc AS adc_dist
+        FROM sc
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank
     """
     )
 
@@ -16086,6 +16167,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier_v4": frontier_v4_oracle,
         "crawl_frontier_v5": frontier_v5_oracle,
         "pq_encode_embeddings": pq_oracle,
+        "pq_topk_adc": pq_adc_oracle,
         "crawl_frontier_v2": """
             WITH ol AS (
                 SELECT 'fr' || CAST(doc_id % 11 AS VARCHAR) || '.com'

@@ -629,6 +629,95 @@ def pq_encode(
     return encoded, books
 
 
+def pq_topk_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    topk: int = 5,
+    iters: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over :func:`pq_encode`
+    codes (r13 — the query path of an IVF-PQ index): per query, the
+    m×k table of rounded squared-L2 distances from each query
+    SUB-vector to each codebook centroid is precomputed (bounded
+    metadata — the table a real searcher builds once per query), and
+    every corpus vector scores as the SUM of m table lookups on its
+    codes — never touching the original corpus vectors.  Returns
+    ``(query_id, rank, neighbor_id, adc_dist)``, ties broken on
+    neighbor id, self-matches excluded.  Deterministic end-to-end:
+    codes come from the engine-exact PQ, table entries and the final
+    sum are rounded before any comparison.
+
+    Scale shape: the query tables enter the plan as literals
+    (|Q|·m·k doubles — the broadcast-variable class; ``queries`` is
+    by contract a small frame, same as every searcher here); scoring
+    is a projection explode of |Q| structs per corpus row (no
+    shuffle) and one query-keyed rank window over candidate rows —
+    the corpus's full vectors are read ONCE, by training/encoding."""
+    encoded, books = pq_encode(
+        corpus, id_col, vec_col, m=m, k=k, iters=iters,
+        round_to=round_to,
+    )
+    sub = len(books[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), vec.alias("v")
+    ).collect()  # by-contract-tiny query frame (sim.py convention)
+
+    def dtab(qv: list, cents: list) -> list:
+        out = []
+        ip_aa = sum(x * x for x in qv)
+        for c in cents:
+            ip_bb = sum(x * x for x in c)
+            ip_ab = sum(a * b for a, b in zip(qv, c))
+            out.append(round(ip_aa + ip_bb - 2.0 * ip_ab, round_to))
+        return out
+
+    qstructs = []
+    for r in qrows:
+        qv = [float(x) for x in r["v"]]
+        fields = [F.lit(int(r["qid"])).alias("qid")]
+        for s in range(m):
+            tab = dtab(qv[s * sub : (s + 1) * sub], books[s])
+            fields.append(
+                F.array(*[F.lit(float(d)) for d in tab]).alias(
+                    f"t{s}"
+                )
+            )
+        qstructs.append(F.struct(*fields))
+    exploded = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[f"code_{s}" for s in range(m)],
+        F.explode(F.array(*qstructs)).alias("q"),
+    ).filter(F.col("neighbor_id") != F.col("q.qid"))
+    adc = F.element_at(F.col("q.t0"), F.col("code_0") + 1)
+    for s in range(1, m):
+        adc = adc + F.element_at(
+            F.col(f"q.t{s}"), F.col(f"code_{s}") + 1
+        )
+    scored = exploded.select(
+        F.col("q.qid").alias("query_id"),
+        "neighbor_id",
+        F.round(adc, round_to).alias("adc_dist"),
+    )
+    from pyspark.sql import Window as W
+
+    rank = F.row_number().over(
+        W.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+        )
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+    )
+
+
 def dequantize_int8(
     df: DataFrame, qvec_col: str = "q_vec", scale_col: str = "q_scale", out: str = "deq"
 ) -> DataFrame:
