@@ -9255,6 +9255,98 @@ def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall calibration (r13 — the compression-loss measurement
+    an ANN owner reads before shipping a codebook, the PQ sibling of
+    ``ivf_recall_bound``): per query, |ADC top-5 ∩ exact squared-L2
+    top-5| / 5.  Unlike the IVF row's boolean (its pyspark.ml
+    quantizer has no SQL mirror), BOTH sides here are engine-exact —
+    the ADC ranking re-derives through the unrolled codebook chains
+    and the exact ranking is one rounded-distance window — so the
+    driver hash-checks the full per-query recall table, not a
+    threshold.
+
+    The measured recall is LOW by design (~0.24 mean at sf0.01):
+    4×8 codebooks are 12 bits against UNSTRUCTURED synthetic
+    vectors — exactly the configuration a calibration row exists to
+    flag before anyone ships it (production PQ uses k=256/subspace
+    on clustered embeddings).  The instrument, not the codebook, is
+    what the differential pins.
+
+    Scale shape: the exact side is the |Q|-literal-struct explode +
+    one query-keyed window (the brute-force baseline every ANN
+    evaluation pays ONCE, on a sample); the ADC side is
+    ``pq_topk_adc``'s audited plan; the intersection is a
+    (query, neighbor) hash join over 2·|Q|·k rows of metadata."""
+    from pyspark.sql import Window as W
+
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 10)
+    adc = S.pq_topk_adc(
+        emb, qset, "vec_id", "embedding", m=4, k=8, topk=5,
+        iters=2, round_to=6,
+    ).select("query_id", "neighbor_id")
+
+    vec = F.col("embedding").cast("array<double>")
+    qrows = qset.select(F.col("vec_id").alias("qid"), vec.alias("v")).collect()
+    ip_aa = F.aggregate(
+        F.zip_with(vec, vec, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    qstructs = []
+    for r in qrows:
+        qv = [float(x) for x in r["v"]]
+        lit_q = F.array(*[F.lit(x) for x in qv])
+        ip_bb = float(sum(x * x for x in qv))
+        ip_ab = F.aggregate(
+            F.zip_with(vec, lit_q, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        qstructs.append(
+            F.struct(
+                F.lit(int(r["qid"])).alias("qid"),
+                F.round(
+                    ip_aa + F.lit(ip_bb) - F.lit(2.0) * ip_ab, 6
+                ).alias("d"),
+            )
+        )
+    exact_scored = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(F.array(*qstructs)).alias("q"),
+    ).filter(F.col("neighbor_id") != F.col("q.qid"))
+    rank = F.row_number().over(
+        W.partitionBy("q.qid").orderBy(
+            F.col("q.d").asc(), F.col("neighbor_id").asc()
+        )
+    )
+    exact = (
+        exact_scored.withColumn("__r", rank)
+        .filter(F.col("__r") <= 5)
+        .select(F.col("q.qid").alias("query_id"), "neighbor_id")
+    )
+    hits = exact.join(
+        adc.withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("__hit", F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("__hit", F.lit(0))) / F.count("*"), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed k-means (``kmeans_lloyd``, new r9 —
     behind-window debut for the r10 rotation): 2 full Lloyd
@@ -12183,6 +12275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_v5": q_crawl_frontier_v5,
         "pq_encode_embeddings": q_pq_encode_embeddings,
         "pq_topk_adc": q_pq_topk_adc,
+        "pq_recall_bound": q_pq_recall_bound,
         "fim_transform_docs": q_fim_transform_docs,
         "anti_parts_never_sold": q_anti_parts_never_sold,
         "asof_join_events": q_asof_join_events,
@@ -12994,6 +13087,62 @@ def oracle_sql() -> dict[str, str]:
         FROM sc
         QUALIFY rank <= 5
         ORDER BY query_id, rank
+    """
+    )
+
+    pq_recall_oracle = (
+        "WITH "
+        + ", ".join(_pq_sub_ctes(s) for s in range(4))
+        + ", "
+        + _pq_qd
+        + """, sc AS (
+            SELECT q0.qid, a0.vec_id AS neighbor_id,
+                   round(q0.d + q1.d + q2.d + q3.d, 6) AS adc
+            FROM pq0asg a0
+            JOIN pq1asg a1 USING (vec_id)
+            JOIN pq2asg a2 USING (vec_id)
+            JOIN pq3asg a3 USING (vec_id)
+            JOIN qd0 q0 ON q0.code = a0.code
+            JOIN qd1 q1 ON q1.qid = q0.qid AND q1.code = a1.code
+            JOIN qd2 q2 ON q2.qid = q0.qid AND q2.code = a2.code
+            JOIN qd3 q3 ON q3.qid = q0.qid AND q3.code = a3.code
+            WHERE a0.vec_id <> q0.qid
+        ), adc5 AS (
+            SELECT qid, neighbor_id FROM (
+                SELECT qid, neighbor_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY adc, neighbor_id)
+                           AS rn
+                FROM sc) WHERE rn <= 5
+        ), fe AS (
+            SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings
+        ), fq AS (
+            SELECT vec_id AS qid, v FROM fe WHERE vec_id < 10
+        ), ed AS (
+            SELECT fq.qid, fe.vec_id AS neighbor_id,
+                   round(array_inner_product(fe.v, fe.v)
+                         + array_inner_product(fq.v, fq.v)
+                         - 2 * array_inner_product(fe.v, fq.v), 6)
+                       AS d
+            FROM fe, fq WHERE fe.vec_id <> fq.qid
+        ), ex5 AS (
+            SELECT qid, neighbor_id FROM (
+                SELECT qid, neighbor_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY d, neighbor_id)
+                           AS rn
+                FROM ed) WHERE rn <= 5
+        )
+        SELECT e.qid AS query_id,
+               SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                   THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+               round(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) / count(*), 6) AS recall
+        FROM ex5 e
+        LEFT JOIN adc5 a
+          ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.qid
+        ORDER BY e.qid
     """
     )
 
@@ -16168,6 +16317,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier_v5": frontier_v5_oracle,
         "pq_encode_embeddings": pq_oracle,
         "pq_topk_adc": pq_adc_oracle,
+        "pq_recall_bound": pq_recall_oracle,
         "crawl_frontier_v2": """
             WITH ol AS (
                 SELECT 'fr' || CAST(doc_id % 11 AS VARCHAR) || '.com'
