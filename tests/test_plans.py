@@ -660,8 +660,18 @@ def test_ngram_novelty_and_mixture_plan_shapes(spark, sf_dir):
     assert "Python" not in plan and "ArrowEval" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "hashpartitioning(lang" in plan, plan
+    # r14 (the r13 verdict's What's-wrong #1): the exact-K fill must
+    # be the bucket-keyed stratified_exact_k shape — every
+    # row_number window over the corpus partitions on (lang, __b),
+    # never on lang alone (the Zipf-head single-task funnel)
+    for m in re.finditer(r"row_number\(\)[^\n]*", plan):
+        spec = m.group(0)
+        assert "__b" in spec, f"lang-only rank window: {spec}"
     ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
-    assert len(ex) <= 12, sorted(ex)
+    # 3 extra vs r13: the (lang,__b) counts agg + the metadata cum
+    # window + the broadcast of the takes table — all bounded by
+    # strata × 256 rows, the documented offsets-table class
+    assert len(ex) <= 15, sorted(ex)
 
 
 def test_wet_shard_export_shuffles_once_by_shard(spark, sf_dir):

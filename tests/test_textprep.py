@@ -1110,3 +1110,133 @@ def test_sft_pack_v2_loss_mask_invariants(spark, sf_dir):
     assert t["segs"] >= d["segs"]
     assert t["syms"] >= d["syms"] and t["loss"] >= d["loss"]
     assert d["segs"] > 0  # fixture actually exercises both policies
+
+
+# ---------------------------------------------------------------------------
+# r14: ngram_novelty short-doc guard (the r13 ADVICE crash repro)
+# ---------------------------------------------------------------------------
+
+def test_ngram_novelty_short_docs_null_branch(spark):
+    """Docs with <3 tokens must emit zero counts and NULL novelty —
+    NOT crash: unguarded sequence(1, size-2) DESCENDS into [1, 0]
+    when size < 3 and element_at(t, 0) raises under ANSI (confirmed
+    r13 ADVICE repro)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # 2 trigrams, both novel
+            (2, "a b c"),          # 1 trigram, duplicate of doc 1's
+            (3, "a b"),            # 2 tokens  → NULL novelty
+            (4, "a"),              # 1 token   → NULL novelty
+            (5, ""),               # 0 tokens  → NULL novelty
+            (6, "  "),             # whitespace-only → NULL novelty
+        ],
+        "doc_id long, norm string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in TP.ngram_novelty(df, "doc_id", "norm").collect()
+    }
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (1, 0, 0.0)
+    for short in (3, 4, 5, 6):
+        assert got[short] == (0, 0, None), (short, got[short])
+
+
+def test_ngram_novelty_counts_distinct_gram_types(spark):
+    """A gram repeated inside one doc counts ONCE (distinct types),
+    and first-occurrence is by min id."""
+    df = spark.createDataFrame(
+        [(10, "x y z x y z x y z"), (20, "x y z q")],
+        "doc_id long, norm string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"])
+        for r in TP.ngram_novelty(df, "doc_id", "norm").collect()
+    }
+    # doc 10: grams {xyz, yzx, zxy} all novel; doc 20: {xyz, yzq},
+    # xyz already introduced by doc 10
+    assert got[10] == (3, 3)
+    assert got[20] == (2, 1)
+
+
+# ---------------------------------------------------------------------------
+# r14: stratified_exact_k — scale-safe exact top-K per stratum
+# ---------------------------------------------------------------------------
+
+def _sek_fixture(spark, n=500):
+    rows = [(i, f"lang{i % 3}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    return df.withColumn(
+        "__h", F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
+    )
+
+
+def test_stratified_exact_k_matches_single_window(spark):
+    """The bucketed selection AND its global ranks must be
+    bit-identical to the skewed single-key window it replaces."""
+    from pyspark.sql import Window as W
+
+    df = _sek_fixture(spark)
+    quotas = spark.createDataFrame(
+        [("lang0", 7), ("lang1", 40), ("lang2", 0)],
+        "lang string, quota long",
+    )
+    got = {
+        (r["lang"], r["doc_id"]): r["r"]
+        for r in TP.stratified_exact_k(
+            df, "lang", "__h", "doc_id", quotas
+        ).collect()
+    }
+    ref_rank = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.col("__h").asc(), F.col("doc_id").asc()
+        )
+    )
+    want = {
+        (r["lang"], r["doc_id"]): r["r"]
+        for r in df.withColumn("r", ref_rank)
+        .join(F.broadcast(quotas), "lang")
+        .filter(F.col("r") <= F.col("quota"))
+        .collect()
+    }
+    assert got == want
+    assert sum(1 for (lg, _) in got if lg == "lang0") == 7
+    assert sum(1 for (lg, _) in got if lg == "lang2") == 0
+
+
+def test_stratified_exact_k_quota_exceeds_population(spark):
+    """quota > stratum size keeps the whole stratum, exact ranks."""
+    df = _sek_fixture(spark, n=30)
+    quotas = spark.createDataFrame(
+        [("lang0", 999), ("lang1", 999), ("lang2", 999)],
+        "lang string, quota long",
+    )
+    out = TP.stratified_exact_k(
+        df, "lang", "__h", "doc_id", quotas
+    ).collect()
+    assert len(out) == 30
+    ranks = sorted(r["r"] for r in out if r["lang"] == "lang0")
+    assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_stratified_exact_k_rank_window_is_bucket_keyed(spark):
+    """The data-sized rank window must partition on (stratum, bucket),
+    never on the stratum alone — the 100 TB skew guarantee.  Read the
+    physical plan: every row_number window over the corpus must carry
+    the __b bucket key in its partition spec."""
+    df = _sek_fixture(spark)
+    quotas = spark.createDataFrame(
+        [("lang0", 5), ("lang1", 5), ("lang2", 5)],
+        "lang string, quota long",
+    )
+    out = TP.stratified_exact_k(df, "lang", "__h", "doc_id", quotas)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = [
+        ln for ln in plan.splitlines() if "row_number()" in ln
+    ]
+    assert windows, "expected a row_number window in the plan"
+    for ln in windows:
+        spec = ln[ln.index("row_number()"):]
+        assert "__b" in spec, f"lang-only rank window in plan: {ln}"

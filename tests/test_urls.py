@@ -238,6 +238,19 @@ def test_canonical_url_no_tracking_strips_campaign_params(spark):
         # utmx is NOT a tracking key (anchored utm_ prefix only)
         ("https://a.com/p?utmx=1", "https://a.com/p?utmx=1"),
         ("https://a.com/", "https://a.com/"),
+        # r14 (r13 ADVICE): VALUELESS tracking params — no '=' —
+        # are still tracking keys ((=|$) alternation)
+        ("https://a.com/p?fbclid", "https://a.com/p"),
+        ("https://a.com/p?utm_source&id=3", "https://a.com/p?id=3"),
+        # r14: uppercase alias forms match via the lowercased pair,
+        # and non-tracking params keep their original case
+        (
+            "https://a.com/p?UTM_SOURCE=x&Id=3",
+            "https://a.com/p?Id=3",
+        ),
+        ("https://a.com/p?FBCLID", "https://a.com/p"),
+        # key-PREFIX near-misses still survive under (=|$)
+        ("https://a.com/p?fbclid2=x", "https://a.com/p?fbclid2=x"),
     ]
     df = spark.createDataFrame(cases, "u string, want string")
     got = df.select(
