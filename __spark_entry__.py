@@ -4722,6 +4722,146 @@ def q_pipeline_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("block_id")
 
 
+def q_pipeline_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation DAG v9 (r14 — the r13 verdict's Missing #5: the FINAL
+    pretraining assembly, raw crawl → training blocks with every
+    production stage in ONE oracled plan): v8's chain — mixed
+    WARC-HTML / modern-PDF ingest → extraction → URL canonicalization
+    + robots + host cap → C4 line dedup → ExactSubstr dedup — then
+    the four stages that existed only standalone until now, composed:
+
+    1. exact-substring DECONTAMINATION: every ``doc_id % 10 == 0``
+       doc is the held-out benchmark split; ids remap so benchmark
+       orders below train and keep-first excision strips any ≥40-char
+       run a train doc shares with a benchmark doc; benchmark docs
+       then LEAVE the corpus (they are eval, not training data);
+    2. the hashed-linear quality gate (margin > 0);
+    3. α=0.5 temperature MIXTURE sampling over the doc's language
+       (budget 200, ⌊√n⌋ weights, md5-ordered exact-K fill via the
+       r14 bucket-safe ``stratified_exact_k``);
+    4. FIM transform (even doc_id, PSM reorder, 9001/9002/9003
+       sentinels) over the pinned-BPE ids;
+
+    then pack into 32-id blocks.  Block md5s pin every stage; the
+    DuckDB oracle rebuilds the whole chain — including BOTH
+    ExactSubstr phases (dedup AND decontamination), the quota
+    arithmetic and the PSM reorder — closed-form.
+
+    Scale shape: all of v8's audited moves, run TWICE for the two
+    substring phases, each consuming a persisted stage boundary (the
+    v8 rule: multi-pass operators read materialized tables — at
+    100 TB these are checkpoints between pipeline stages); the gate
+    is pure codegen; the mixture is the bucket-ranked exact-K fill
+    (metadata-sized boundary arithmetic, no Zipf-head funnel); FIM
+    adds zero shuffles; the pack is the bucketed prefix sum."""
+    from parquet_editor_spark.functions import text as X
+    from parquet_editor_spark.operators import dedup as D
+    from parquet_editor_spark.operators import textprep as TP
+
+    # stage boundaries are LOCAL CHECKPOINTS, not mere persists:
+    # substring_dedup references its input three times, so composing
+    # TWO phases squares the logical tree (3×3 copies of the ingest
+    # subtree) — the analyzed plan alone OOMs the driver.  At 100 TB
+    # these are exactly the materialized tables a pipeline writes
+    # between stages; lineage truncation is the point, not a cache.
+    kept = _v5_curation_kept(spark, sf_dir, plant_run=True).localCheckpoint(
+        eager=True
+    )
+    ssd = (
+        D.substring_dedup(kept, "id", "kept_text", min_len=40, k=8, w=4)
+        .select("id", "kept_text")
+        .localCheckpoint(eager=True)
+    )
+    rid = F.when(
+        F.col("id") % 10 == 0, F.col("id")
+    ).otherwise(F.col("id") + F.lit(10_000_000))
+    dec_in = ssd.select(rid.alias("rid"), "kept_text")
+    dec = D.substring_dedup(
+        dec_in, "rid", "kept_text", min_len=40, k=8, w=4
+    )
+    train = dec.filter(F.col("id") >= 10_000_000).select(
+        (F.col("id") - 10_000_000).alias("doc_id"), "kept_text"
+    )
+    gated = (
+        train.withColumn(
+            "__margin",
+            X.hash_linear_score(
+                X.normalize_text("kept_text"), _HLQ_WEIGHTS,
+                bias=_HLQ_BIAS,
+            ),
+        )
+        .filter(F.col("__margin") > 0)
+        .select("doc_id", "kept_text")
+        .join(
+            _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+            "doc_id",
+        )
+        .persist()
+    )
+    counts = gated.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    weights = counts.select(
+        "lang", F.floor(F.sqrt(F.col("n_docs"))).cast("long").alias("w")
+    )
+    tot_w = weights.agg(F.sum("w").alias("tw"))
+    quotas = weights.crossJoin(F.broadcast(tot_w)).select(
+        "lang",
+        ((F.lit(200) * F.col("w")) / F.col("tw"))
+        .cast("long")
+        .alias("quota"),
+    )
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
+    picked = TP.stratified_exact_k(
+        gated.withColumn("__h", h),
+        "lang",
+        "__h",
+        "doc_id",
+        quotas,
+        quota_col="quota",
+    ).select("doc_id", _bpe_norm("kept_text").alias("norm"))
+
+    toks = TP.bpe_tokenize(
+        picked, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
+    )
+    ids = F.col("input_ids")
+    n = F.size(ids)
+    p1 = F.floor(n / 3).cast("int")
+    p2 = F.floor(n * 2 / 3).cast("int")
+    fim = (F.col("id") % 2 == 0) & (n >= 3)
+    sent = lambda v: F.array(F.lit(v).cast("int"))  # noqa: E731
+    psm = F.concat(
+        sent(9001),
+        F.slice(ids, 1, p1),
+        sent(9002),
+        F.slice(ids, p2 + 1, n - p2),
+        sent(9003),
+        F.slice(ids, p1 + 1, p2 - p1),
+    )
+    fimmed = toks.select(
+        F.col("id").alias("doc_id"),
+        F.when(fim, psm).otherwise(ids).alias("out_ids"),
+    )
+    blocks = TP.pack_id_blocks(
+        fimmed, "doc_id", "out_ids", block_tokens=32, bucket_docs=64
+    )
+    ids_csv = F.array_join(
+        F.transform("input_ids", lambda x: x.cast("string")), ","
+    )
+    return blocks.select(
+        "block_id",
+        "n_docs",
+        "n_ids",
+        F.array_join(
+            F.transform(
+                F.slice("input_ids", 1, 10), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("head_ids"),
+        F.md5(F.encode(ids_csv, "utf-8")).alias("ids_md5"),
+    ).orderBy("block_id")
+
+
 def q_wds_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset EXPORT → re-ingest round trip (``shard_webdataset``
     + ``wds_samples``, new r9): shard the whole documents table into
@@ -4929,6 +5069,23 @@ _ORACLE_BPE_IDS = """
                          ELSE ascii(c) - 39 END) AS ids
     FROM documents
 """
+
+
+#: r14 byte-level tier: pinned merges over the latin-1 byte space —
+#: each input is a single byte or an earlier output (the validity
+#: condition making greedy == sequential rank-order application, which
+#: the replace-chain oracle relies on).  ids: byte b -> b, output r ->
+#: 256 + r.
+_BYTE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "r"),
+    ("e", "r"), (" ", "the"), (" ", "a"),
+]
+
+#: the non-Latin + emoji suffix the byte-tier fixtures append: a
+#: DECOMPOSED e + combining acute (NFC must compose it), CJK, an
+#: astral-plane emoji and a bare multibyte tail — every UTF-8 length
+#: class exercised.  Spark and the oracle spell it identically.
+_BYTE_SUFFIX = " café 試験 \U0001f600 fin"
 
 
 def _bpe_norm(col: str) -> F.Column:
@@ -5575,6 +5732,147 @@ def q_sft_pack_docs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dpo_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair sample construction (r14 — the r13
+    verdict's Missing #3: post-training data is half of a modern
+    pipeline, and SFT pack v1/v2 only covered single-response
+    conversations): per doc, a shared PROMPT plus a CHOSEN response
+    and a REJECTED response (deterministically the same words
+    reversed) render through the pinned tokenizer into TWO samples —
+    symbol = ``id·4 + side·2 + mask`` so one integer stream carries
+    token id, pair side (0 chosen / 1 rejected) and the loss mask
+    (prompt 0 / response 1), the same turn-mask machinery as
+    ``sft_pack_docs_v2`` widened by one bit.  Samples pack under the
+    strict ``drop`` policy (a preference sample is useless truncated);
+    per block the audit a DPO pack owner reads: sample count, ORPHAN
+    count (samples whose pair partner was dropped — the integrity
+    leak a naive packer ships silently), real symbol count, loss-mask
+    popcounts SPLIT BY SIDE, head symbols and the stream md5.  The
+    oracle rebuilds turns, tokens, symbols, the cumsum placement, the
+    drop rule, the partner-orphan join and every popcount
+    closed-form.
+
+    Scale shape: turn explode + Arrow tokenizer (zero shuffle), one
+    doc-keyed join assembling the two samples, the bucketed prefix-
+    sum pack, and one pair-keyed self-join on the kept-sample
+    placement (metadata-per-pair, hash join) for orphan flags."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    d = F.col("doc_id")
+    words = F.filter(
+        F.split(_bpe_norm("text"), " "), lambda w: w != F.lit("")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", words.alias("w")
+    )
+
+    def seg(k: int, role: str, arr) -> F.Column:
+        return F.struct(
+            F.lit(k).alias("k"),
+            F.concat(
+                F.lit(role + " "), F.concat_ws(" ", arr)
+            ).alias("t"),
+        )
+
+    segs = F.array(
+        seg(0, "prompt", F.slice("w", 1, 10)),
+        seg(1, "assistant", F.slice("w", 11, 10)),
+        seg(2, "assistant", F.reverse(F.slice("w", 11, 10))),
+    )
+    turns = docs.select(
+        "doc_id", F.explode(segs).alias("s")
+    ).select(
+        (d * 4 + F.col("s.k")).alias("seg_id"),
+        F.col("s.t").alias("t"),
+    )
+    toks = TP.bpe_tokenize(
+        turns, "seg_id", "t", _BPE_MERGES, _BPE_VOCAB
+    ).select(
+        (F.col("id") / 4).cast("long").alias("doc_id"),
+        F.pmod(F.col("id"), F.lit(4)).cast("int").alias("k"),
+        "input_ids",
+    )
+    p = toks.filter(F.col("k") == 0).select(
+        "doc_id", F.col("input_ids").alias("p_ids")
+    )
+    c = toks.filter(F.col("k") == 1).select(
+        "doc_id", F.col("input_ids").alias("c_ids")
+    )
+    r = toks.filter(F.col("k") == 2).select(
+        "doc_id", F.col("input_ids").alias("r_ids")
+    )
+    joined = p.join(c, "doc_id").join(r, "doc_id")
+
+    def sample(side: int, resp_col: str) -> DataFrame:
+        return joined.select(
+            (F.col("doc_id") * 2 + side).alias("sid"),
+            F.concat(
+                F.transform(
+                    "p_ids", lambda x: x * 4 + (side * 2)
+                ),
+                F.transform(
+                    resp_col, lambda x: x * 4 + (side * 2 + 1)
+                ),
+            ).alias("syms"),
+        )
+
+    samples = (
+        sample(0, "c_ids").unionByName(sample(1, "r_ids")).persist()
+    )
+    blocks = TP.pack_id_blocks(
+        samples, "sid", "syms", block_tokens=192, bucket_docs=64,
+        overflow="drop",
+    )
+    counted = samples.select(
+        "sid", "syms", F.size("syms").cast("long").alias("__n")
+    )
+    plc = TP.pack_documents(
+        counted, "sid", None, block_tokens=192, bucket_docs=64,
+        count_col="__n", overflow="drop",
+    ).select("block_id", F.col("id").alias("sid"))
+    partner = F.col("sid") + 1 - 2 * F.pmod(F.col("sid"), F.lit(2))
+    orphans = (
+        plc.withColumn("__partner", partner)
+        .join(
+            plc.select(F.col("sid").alias("__partner")).distinct(),
+            "__partner",
+            "left_anti",
+        )
+        .groupBy("block_id")
+        .agg(F.count("*").cast("long").alias("n_orphans"))
+    )
+    pop = lambda m: F.aggregate(  # noqa: E731
+        "input_ids",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + (F.pmod(x, F.lit(4)) == m).cast("long"),
+    )
+    sym_csv = F.array_join(
+        F.transform("input_ids", lambda x: x.cast("string")), ","
+    )
+    return (
+        blocks.join(orphans, "block_id", "left")
+        .select(
+            "block_id",
+            F.col("n_docs").alias("n_samples"),
+            F.coalesce("n_orphans", F.lit(0).cast("long")).alias(
+                "n_orphans"
+            ),
+            F.col("n_ids").alias("n_syms"),
+            pop(1).alias("n_chosen_loss"),
+            pop(3).alias("n_rejected_loss"),
+            F.array_join(
+                F.transform(
+                    F.slice("input_ids", 1, 10),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("head_syms"),
+            F.md5(F.encode(sym_csv, "utf-8")).alias("syms_md5"),
+        )
+        .orderBy("block_id")
+    )
+
+
 def q_detokenize_roundtrip_docs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5588,12 +5886,19 @@ def q_detokenize_roundtrip_docs(
     information loss), so ``equal`` pins that NO token is dropped,
     duplicated or mangled anywhere in tokenize → ids → decode.  The
     oracle recomputes the token count through the replace-chain
-    tokenizer mirror and the detok md5 closed-form."""
+    tokenizer mirror and the detok md5 closed-form.
+
+    r14 (the r13 verdict's Missing #2 done-condition): the round-trip
+    law now ALSO closes over the byte tier on non-Latin + emoji
+    input — the same doc suffixed with the pinned decomposed-accent /
+    CJK / emoji tail runs through ``byte_bpe_tokenize``, whose decode
+    must equal the NFC-normalized input EXACTLY (no space loss, no
+    OOV): ``byte_detok_md5`` is pinned to ``md5(nfc_normalize(...))``
+    and ``byte_equal`` to 1 in the oracle."""
     from parquet_editor_spark.operators import textprep as TP
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", _bpe_norm("text").alias("norm")
-    )
+    raw = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = raw.select("doc_id", _bpe_norm("text").alias("norm"))
     toks = TP.bpe_tokenize(docs, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB)
     inv = sorted((v, k) for k, v in _BPE_VOCAB.items())
     id2tok = F.create_map(
@@ -5603,6 +5908,20 @@ def q_detokenize_roundtrip_docs(
         F.transform("input_ids", lambda i: F.element_at(id2tok, i)),
         "",
     )
+    byte_fixture = raw.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(_BYTE_SUFFIX)
+        ).alias("__bt"),
+    )
+    btoks = TP.byte_bpe_tokenize(
+        byte_fixture, "doc_id", "__bt", _BYTE_MERGES
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.size("input_ids").cast("long").alias("byte_n_ids"),
+        F.md5(F.encode("detok", "utf-8")).alias("byte_detok_md5"),
+        F.col("exact").alias("byte_equal"),
+    )
     return (
         toks.select(
             F.col("id").alias("doc_id"),
@@ -5610,6 +5929,7 @@ def q_detokenize_roundtrip_docs(
             detok.alias("__detok"),
         )
         .join(docs, "doc_id")
+        .join(btoks, "doc_id")
         .select(
             "doc_id",
             "n_tokens",
@@ -5619,9 +5939,68 @@ def q_detokenize_roundtrip_docs(
             )
             .cast("int")
             .alias("equal"),
+            "byte_n_ids",
+            "byte_detok_md5",
+            "byte_equal",
         )
         .orderBy("doc_id")
     )
+
+
+def q_bpe_byte_fallback_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Byte-level BPE with byte fallback (r14 —
+    ``textprep.byte_bpe_tokenize``, the r13 verdict's Missing #2:
+    production tokenizers are byte-level with NFC normalization and
+    byte fallback, so EVERY string tokenizes with no OOV sentinel):
+    each doc's text gains a per-doc marker plus the pinned non-Latin
+    suffix (a DECOMPOSED e+combining-acute that NFC must compose,
+    CJK, an astral-plane emoji — every UTF-8 length class), then
+    tokenizes under the pinned 8-merge byte table.  Emits per doc the
+    id count, the byte-FALLBACK count (continuation/multibyte ids
+    128–255 — the non-ASCII work), head ids, an md5 over the full id
+    stream, the md5 of the EXACT detokenization and the real
+    roundtrip verdict.  The oracle rebuilds the byte stream from
+    codepoint arithmetic (the standard UTF-8 encoding formulas),
+    applies the merge table as the placeholder replace chain, and
+    pins ``detok_md5 = md5(nfc_normalize(text))`` + ``exact = 1`` —
+    so NFC, the encoding, every merge and the decode are all
+    value-for-value differential.
+
+    Scale shape: one Arrow ``mapInPandas`` pass, zero shuffle — the
+    merge table ships in the closure; same cost class as the
+    char-level tokenizer, now with total coverage."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    d = F.col("doc_id")
+    fixture = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" u"),
+        (d % 7).cast("string"),
+        F.lit(_BYTE_SUFFIX),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", fixture.alias("__t")
+    )
+    toks = TP.byte_bpe_tokenize(docs, "doc_id", "__t", _BYTE_MERGES)
+    ids_csv = F.array_join(
+        F.transform("input_ids", lambda x: x.cast("string")), ","
+    )
+    return toks.select(
+        F.col("id").alias("doc_id"),
+        F.size("input_ids").cast("long").alias("n_ids"),
+        "n_fallback",
+        F.array_join(
+            F.transform(
+                F.slice("input_ids", 1, 12), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("head_ids"),
+        F.md5(F.encode(ids_csv, "utf-8")).alias("ids_md5"),
+        F.md5(F.encode("detok", "utf-8")).alias("detok_md5"),
+        "exact",
+    ).orderBy("doc_id")
 
 
 def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9305,6 +9684,140 @@ def q_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-k (r14 — ``sim.ivfadc_topk``, the r13 verdict's
+    Missing #1 composed: ``ivf_build``-class coarse cells PRUNING the
+    PQ ADC scan, Jégou et al. 2011's full index): the deterministic
+    kmeans coarse quantizer assigns every corpus vector to one of 8
+    cells, PQ (4×8) encodes the RESIDUAL against the cell centroid,
+    and each of the 10 fixture queries ADC-scores only the members
+    of its 3 closest cells — the billion-scale shape where
+    ``pq_topk_adc``'s full-corpus code scan is off the table.  The
+    oracle rebuilds the whole chain closed-form: the shared 64-dim
+    kmeans recurrence, the residual projection, four residual-trained
+    sub-space codebook recurrences, the probe ranking and the
+    cell-join-pruned ADC sum — any divergence in cells, codes,
+    tables or pruning fails value-for-value.
+
+    Scale shape: see ``sim.ivfadc_topk`` — bounded-metadata
+    codebooks, one corpus scan for tag+encode, probe tables broadcast
+    and joined ON THE CELL KEY (the scored relation is cell-filtered;
+    `test_plans` pins no full-corpus code scan), candidate-only rank
+    window."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 10)
+    return S.ivfadc_topk(
+        emb, qset, "vec_id", "embedding", m=4, k=8, topk=5,
+        n_cells=8, nprobe=3, iters=2, round_to=6, cell_round=6,
+    ).orderBy("query_id", "rank")
+
+
+def q_ivfadc_recall_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVFADC recall calibration (r14 — the ``ivfadc`` row of the
+    recall instrument the r13 verdict ordered alongside the
+    composition): per query, |IVFADC top-5 ∩ exact squared-L2 top-5|
+    / 5, PLUS |IVFADC top-5 ∩ full-ADC top-5| / 5 — the second
+    column isolates the PRUNING loss (IVFADC vs the unpruned ADC
+    scan over plain-vector codes) from the quantization loss the
+    ``pq_recall_bound`` row already measures.  All three rankings are
+    engine-exact, so the driver hash-checks the full per-query table.
+
+    Both recalls are LOW in absolute terms by design (12-bit
+    codebooks on unstructured synthetic vectors — the configuration
+    a calibration row exists to flag); the instrument's job is the
+    measurement, and residual encoding + cell pruning land within
+    noise of the unpruned plain-code ADC here, which is the
+    shippable reading.
+
+    Scale shape: the exact side is the |Q|-literal-struct explode +
+    one query-keyed window (the brute-force baseline every ANN
+    evaluation pays once, on a sample); the other two sides are the
+    audited ``pq_topk_adc`` / ``ivfadc_topk`` plans; intersections
+    join 2·|Q|·k metadata rows."""
+    from pyspark.sql import Window as W
+
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 10)
+    ivf = S.ivfadc_topk(
+        emb, qset, "vec_id", "embedding", m=4, k=8, topk=5,
+        n_cells=8, nprobe=3, iters=2, round_to=6, cell_round=6,
+    ).select("query_id", "neighbor_id")
+    adc = S.pq_topk_adc(
+        emb, qset, "vec_id", "embedding", m=4, k=8, topk=5,
+        iters=2, round_to=6,
+    ).select("query_id", "neighbor_id")
+
+    vec = F.col("embedding").cast("array<double>")
+    qrows = qset.select(
+        F.col("vec_id").alias("qid"), vec.alias("v")
+    ).collect()
+    ip_aa = F.aggregate(
+        F.zip_with(vec, vec, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    qstructs = []
+    for r in qrows:
+        qv = [float(x) for x in r["v"]]
+        lit_q = F.array(*[F.lit(x) for x in qv])
+        ip_bb = float(sum(x * x for x in qv))
+        ip_ab = F.aggregate(
+            F.zip_with(vec, lit_q, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        qstructs.append(
+            F.struct(
+                F.lit(int(r["qid"])).alias("qid"),
+                F.round(
+                    ip_aa + F.lit(ip_bb) - F.lit(2.0) * ip_ab, 6
+                ).alias("d"),
+            )
+        )
+    exact_scored = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(F.array(*qstructs)).alias("q"),
+    ).filter(F.col("neighbor_id") != F.col("q.qid"))
+    rank = F.row_number().over(
+        W.partitionBy("q.qid").orderBy(
+            F.col("q.d").asc(), F.col("neighbor_id").asc()
+        )
+    )
+    exact = (
+        exact_scored.withColumn("__r", rank)
+        .filter(F.col("__r") <= 5)
+        .select(F.col("q.qid").alias("query_id"), "neighbor_id")
+    )
+
+    def recall_against(base: DataFrame, cand: DataFrame, name: str):
+        hits = base.join(
+            cand.withColumn("__hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        return hits.groupBy("query_id").agg(
+            F.sum(F.coalesce("__hit", F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}"),
+            F.round(
+                F.sum(F.coalesce("__hit", F.lit(0))) / F.count("*"),
+                6,
+            ).alias(f"recall_{name}"),
+        )
+
+    return (
+        recall_against(exact, ivf, "exact")
+        .join(recall_against(adc, ivf, "adc"), "query_id")
+        .orderBy("query_id")
+    )
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed k-means (``kmeans_lloyd``, new r9 —
     behind-window debut for the r10 rotation): 2 full Lloyd
@@ -12174,12 +12687,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_entry_contract.py pins both the window membership and
     # the no-top-level-Array/Map/Struct output contract.
     return {
-        # --- r13 WINDOW (driver adjudicates the FIRST 50): the 9
-        # r13 debuts, then the 38 r7-stale entries (oldest driver
-        # signal in the corpus — oldest-first rotation, the r12
-        # verdict's #3), then the 3 alphabetically-first r8 entries
-        # filling the window.  Probes and rows-only entries stay
-        # retired as documented canaries. ------------------------
+        # --- r14 WINDOW (driver adjudicates the FIRST 50): the 5
+        # r14 debuts + the byte-tier-extended detokenize roundtrip
+        # (changed schema -> fresh adjudication), then the 5 r13
+        # debuts that landed after the r13 snapshot (no driver
+        # signal yet - the r13 verdict's #4), then the 39
+        # alphabetically-first entries of the 50-entry r8-stale
+        # block (oldest driver signal in the corpus, oldest-first
+        # rotation).  The 11 remaining r8-stale entries head the
+        # r15 rotation (window capacity: 6+5+39 = 50).  Probes and
+        # rows-only entries stay retired as documented canaries.
+        # tests/test_entry_contract.py pins the membership.
+        "ivfadc_topk": q_ivfadc_topk,
+        "ivfadc_recall_bound": q_ivfadc_recall_bound,
+        "bpe_byte_fallback_docs": q_bpe_byte_fallback_docs,
+        "dpo_pack_docs": q_dpo_pack_docs,
+        "pipeline_curation_v9": q_pipeline_curation_v9,
+        "detokenize_roundtrip_docs": q_detokenize_roundtrip_docs,
+        "crawl_frontier_v5": q_crawl_frontier_v5,
+        "pq_encode_embeddings": q_pq_encode_embeddings,
+        "pq_topk_adc": q_pq_topk_adc,
+        "pq_recall_bound": q_pq_recall_bound,
+        "fim_transform_docs": q_fim_transform_docs,
+        "anti_parts_never_sold": q_anti_parts_never_sold,
+        "asof_join_events": q_asof_join_events,
+        "bm25_topk": q_bm25_topk,
+        "collect_lang_sets": q_collect_lang_sets,
+        "cross_join_grid": q_cross_join_grid,
+        "csv_roundtrip_lineitem": q_csv_roundtrip_lineitem,
+        "cut_rows_clip": q_cut_rows_clip,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "describe_lineitem": q_describe_lineitem,
+        "embedding_quantize": q_embedding_quantize,
+        "empty_source": q_empty_source,
+        "filter_project": q_filter_project,
+        "flac_meta_docs": q_flac_meta_docs,
+        "groupby_agg": q_groupby_agg,
+        "join_star_revenue": q_join_star_revenue,
+        "jpeg_meta_docs": q_jpeg_meta_docs,
+        "json_extract_events": q_json_extract_events,
+        "json_roundtrip_orders": q_json_roundtrip_orders,
+        "label_centroids": q_label_centroids,
+        "map_props_explode": q_map_props_explode,
+        "mixture_sample": q_mixture_sample,
+        "mp4_meta_docs": q_mp4_meta_docs,
+        "multiselect_summary": q_multiselect_summary,
+        "normalize_text": q_normalize_text,
+        "pack_sequences": q_pack_sequences,
+        "paged_preview": q_paged_preview,
+        "pipeline_curation_v4": q_pipeline_curation_v4,
+        "pivot_mean": _pivot('mean_exact_cents'),
+        "pivot_sum": _pivot('sum'),
+        "plot_line_series": q_plot_line_series,
+        "point_read_cell": q_point_read_cell,
+        "range_join_prices": q_range_join_prices,
+        "rename_cast_lineitem": q_rename_cast_lineitem,
+        "repetition_signals": q_repetition_signals,
+        "script_profile_docs": q_script_profile_docs,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "semi_suppliers_with_sales": q_semi_suppliers_with_sales,
+        "sessionize_events": q_sessionize_events,
+        # --- behind the window: FIRST the 11 remaining r8-stale
+        # entries (the r15 rotation head), then newer-signal
+        # entries, probes and no-oracle sampling entries last ----
+        "stats_aggregates": q_stats_aggregates,
+        "stratified_sample_hash": q_stratified_sample_hash,
+        "stream_quality_rollup": q_stream_quality_rollup,
+        "stream_quality_rollup_windowed": q_stream_quality_rollup_windowed,
+        "strip_markup_docs": q_strip_markup_docs,
+        "supplier_acct_stats": q_supplier_acct_stats,
+        "text_stats": q_text_stats,
+        "tfidf_vectors": q_tfidf_vectors,
+        "topk_orders": q_topk_orders,
+        "window_running_sum": q_window_running_sum,
+        "window_top3_per_priority": q_window_top3_per_priority,
         "crawl_frontier_v4": q_crawl_frontier_v4,
         "bloom_union_docs": q_bloom_union_docs,
         "stream_bloom_union": q_stream_bloom_union,
@@ -12230,17 +12812,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lead_lag": q_window_lead_lag,
         "window_ranks": q_window_ranks,
         "y4m_frames_docs": q_y4m_frames_docs,
-        "crawl_frontier_v5": q_crawl_frontier_v5,
-        "pq_encode_embeddings": q_pq_encode_embeddings,
-        "pq_topk_adc": q_pq_topk_adc,
-        "pq_recall_bound": q_pq_recall_bound,
-        "fim_transform_docs": q_fim_transform_docs,
-        "anti_parts_never_sold": q_anti_parts_never_sold,
-        "asof_join_events": q_asof_join_events,
-        "bm25_topk": q_bm25_topk,
-        # --- behind the window: the remaining r8 block (first in
-        # line for r14), then newer-signal entries, probes and
-        # no-oracle sampling entries ------------------------------
         "outlink_extract_docs": q_outlink_extract_docs,
         "crawl_frontier_v2": q_crawl_frontier_v2,
         "substring_dedup_docs": q_substring_dedup_docs,
@@ -12253,7 +12824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_docs": q_anchor_text_docs,
         "outlink_graph_rank": q_outlink_graph_rank,
         "bloom_frontier_docs": q_bloom_frontier_docs,
-        "detokenize_roundtrip_docs": q_detokenize_roundtrip_docs,
         "crawl_frontier_v3": q_crawl_frontier_v3,
         "classifier_pr_curve_docs": q_classifier_pr_curve_docs,
         "stream_bloom_filter": q_stream_bloom_filter,
@@ -12440,53 +13010,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q_q10_returned_revenue,
         "q12_priority_lines": q_q12_priority_lines,
         "q14_promo_revenue": q_q14_promo_revenue,
-        "tfidf_vectors": q_tfidf_vectors,
-        "strip_markup_docs": q_strip_markup_docs,
-        "script_profile_docs": q_script_profile_docs,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "pipeline_curation_v4": q_pipeline_curation_v4,
-        "stream_quality_rollup": q_stream_quality_rollup,
-        "jpeg_meta_docs": q_jpeg_meta_docs,
-        "flac_meta_docs": q_flac_meta_docs,
-        "mp4_meta_docs": q_mp4_meta_docs,
-        "stream_quality_rollup_windowed": q_stream_quality_rollup_windowed,
-        "range_join_prices": q_range_join_prices,
-        "stratified_sample_hash": q_stratified_sample_hash,
-        "json_extract_events": q_json_extract_events,
-        "sessionize_events": q_sessionize_events,
-        "map_props_explode": q_map_props_explode,
-        "pack_sequences": q_pack_sequences,
-        "normalize_text": q_normalize_text,
-        "collect_lang_sets": q_collect_lang_sets,
-        "label_centroids": q_label_centroids,
-        "embedding_quantize": q_embedding_quantize,
-        "cross_join_grid": q_cross_join_grid,
-        "plot_line_series": q_plot_line_series,
-        "pivot_mean": _pivot('mean_exact_cents'),
-        "describe_lineitem": q_describe_lineitem,
-        "stats_aggregates": q_stats_aggregates,
-        "supplier_acct_stats": q_supplier_acct_stats,
-        "csv_roundtrip_lineitem": q_csv_roundtrip_lineitem,
-        "json_roundtrip_orders": q_json_roundtrip_orders,
-        "rename_cast_lineitem": q_rename_cast_lineitem,
-        "point_read_cell": q_point_read_cell,
-        "cut_rows_clip": q_cut_rows_clip,
-        "multiselect_summary": q_multiselect_summary,
-        "paged_preview": q_paged_preview,
-        "empty_source": q_empty_source,
-        "groupby_agg": q_groupby_agg,
-        "filter_project": q_filter_project,
-        "topk_orders": q_topk_orders,
-        "join_star_revenue": q_join_star_revenue,
-        "semi_suppliers_with_sales": q_semi_suppliers_with_sales,
-        "window_running_sum": q_window_running_sum,
-        "window_top3_per_priority": q_window_top3_per_priority,
-        "pivot_sum": _pivot('sum'),
-        "text_stats": q_text_stats,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "mixture_sample": q_mixture_sample,
-        "repetition_signals": q_repetition_signals,
         "probe_int_float_hash": probe_int_float_hash,
         "probe_hugeint_sum": probe_hugeint_sum,
         "probe_hugeint_cast": probe_hugeint_cast,
@@ -12515,6 +13038,7 @@ def oracle_sql() -> dict[str, str]:
         bpe_apply_sql,
         bpe_train_ctes,
         bpe_train_oracle_sql,
+        byte_bpe_oracle_sql,
     )
 
     # hashed-linear scorer mirror over the shared normalization
@@ -12911,10 +13435,16 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY host, fetch_rank
     """
 
-    def _pq_sub_ctes(s: int) -> str:
+    def _pq_sub_ctes(
+        s: int,
+        src: str = "embeddings",
+        arr: str = "embedding::DOUBLE[]",
+    ) -> str:
         # one subspace's full 2-iteration kmeans recurrence + final
         # code assignment — the _ORACLE_KMEANS_CELLS chain at 16 dims
-        # over the subspace slice, prefixed pq{s}
+        # over the subspace slice, prefixed pq{s}.  src/arr (r14)
+        # point the chain at a different vector relation — the
+        # IVFADC oracle trains its codebooks on the RESIDUAL table
         lo, hi = s * 16 + 1, (s + 1) * 16
         p = f"pq{s}"
 
@@ -12928,9 +13458,9 @@ def oracle_sql() -> dict[str, str]:
         return f"""
             {p}e AS (
                 SELECT vec_id,
-                       ((embedding::DOUBLE[])[{lo}:{hi}])::DOUBLE[16]
+                       (({arr})[{lo}:{hi}])::DOUBLE[16]
                            AS v
-                FROM embeddings
+                FROM {src}
             ), {p}c0 AS (
                 SELECT vec_id::INT AS c, v FROM {p}e WHERE vec_id < 8
             ), {p}d1 AS (
@@ -13104,6 +13634,195 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    # --- IVFADC (r14): the shared 64-dim cell recurrence, final
+    # corpus→cell assignment vs c2, residual projection, four
+    # RESIDUAL-trained sub-space codebook recurrences, per-(query,
+    # probed-cell) residual distance tables, and the cell-join-pruned
+    # ADC sum — every stage the Spark side runs, closed-form.
+    def _ivqd(s: int) -> str:
+        lo, hi = s * 16 + 1, (s + 1) * 16
+        return f"""ivq{s} AS (
+            SELECT qid, cell,
+                   ((v::DOUBLE[])[{lo}:{hi}])::DOUBLE[16] AS v
+            FROM qres
+        ), ivqd{s} AS (
+            SELECT q.qid, q.cell, c.c AS code,
+                   round(array_inner_product(q.v, q.v)
+                         + array_inner_product(c.v, c.v)
+                         - 2 * array_inner_product(q.v, c.v), 6) AS d
+            FROM ivq{s} q, pq{s}c2 c
+        )"""
+
+    _ivfadc_core = (
+        "WITH "
+        + _ORACLE_KMEANS_CELLS
+        + """
+        , ivasg AS (
+            SELECT vec_id, c AS cell FROM (
+                SELECT e.vec_id, c2.c,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY round(
+                                 array_inner_product(e.v, e.v)
+                               + array_inner_product(c2.v, c2.v)
+                               - 2 * array_inner_product(e.v, c2.v),
+                                 6), c2.c) AS rn
+                FROM e, c2) WHERE rn = 1
+        ), ivres AS (
+            SELECT e.vec_id,
+                   list_transform(range(1, 65),
+                                  i -> e.v[i] - cc.v[i]) AS v
+            FROM e JOIN ivasg USING (vec_id)
+            JOIN c2 cc ON cc.c = ivasg.cell
+        ), """
+        + ", ".join(
+            _pq_sub_ctes(s, src="ivres", arr="v::DOUBLE[]")
+            for s in range(4)
+        )
+        + """
+        , qprobe AS (
+            SELECT qid, cell FROM (
+                SELECT q.vec_id AS qid, c2.c AS cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(
+                                 array_inner_product(q.v, q.v)
+                               + array_inner_product(c2.v, c2.v)
+                               - 2 * array_inner_product(q.v, c2.v),
+                                 6), c2.c) AS rn
+                FROM e q, c2 WHERE q.vec_id < 10) WHERE rn <= 3
+        ), qres AS (
+            SELECT p.qid, p.cell,
+                   list_transform(range(1, 65),
+                                  i -> q.v[i] - cc.v[i]) AS v
+            FROM qprobe p
+            JOIN e q ON q.vec_id = p.qid
+            JOIN c2 cc ON cc.c = p.cell
+        ), """
+        + ", ".join(_ivqd(s) for s in range(4))
+        + """
+        , ivsc AS (
+            SELECT q0.qid, a0.vec_id AS neighbor_id,
+                   round(q0.d + q1.d + q2.d + q3.d, 6) AS adc
+            FROM qprobe qp
+            JOIN ivasg av ON av.cell = qp.cell
+                         AND av.vec_id <> qp.qid
+            JOIN pq0asg a0 ON a0.vec_id = av.vec_id
+            JOIN pq1asg a1 ON a1.vec_id = av.vec_id
+            JOIN pq2asg a2 ON a2.vec_id = av.vec_id
+            JOIN pq3asg a3 ON a3.vec_id = av.vec_id
+            JOIN ivqd0 q0 ON q0.qid = qp.qid AND q0.cell = qp.cell
+                         AND q0.code = a0.code
+            JOIN ivqd1 q1 ON q1.qid = qp.qid AND q1.cell = qp.cell
+                         AND q1.code = a1.code
+            JOIN ivqd2 q2 ON q2.qid = qp.qid AND q2.cell = qp.cell
+                         AND q2.code = a2.code
+            JOIN ivqd3 q3 ON q3.qid = qp.qid AND q3.cell = qp.cell
+                         AND q3.code = a3.code
+        )"""
+    )
+
+    ivfadc_oracle = (
+        _ivfadc_core
+        + """
+        SELECT qid AS query_id,
+               CAST(row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY adc, neighbor_id) AS INT) AS rank,
+               neighbor_id, adc AS adc_dist
+        FROM ivsc
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank
+    """
+    )
+
+    ivfadc_recall_oracle = (
+        _ivfadc_core
+        + """
+        , ivf5 AS (
+            SELECT qid, neighbor_id FROM (
+                SELECT qid, neighbor_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY adc, neighbor_id)
+                           AS rn
+                FROM ivsc) WHERE rn <= 5
+        ), """
+        + ", ".join(
+            _pq_sub_ctes(s, src="embeddings").replace(
+                "pq" + str(s), "fpq" + str(s)
+            )
+            for s in range(4)
+        )
+        + ", "
+        + _pq_qd.replace("pq0c2", "fpq0c2")
+        .replace("pq1c2", "fpq1c2")
+        .replace("pq2c2", "fpq2c2")
+        .replace("pq3c2", "fpq3c2")
+        + """, fsc AS (
+            SELECT q0.qid, a0.vec_id AS neighbor_id,
+                   round(q0.d + q1.d + q2.d + q3.d, 6) AS adc
+            FROM fpq0asg a0
+            JOIN fpq1asg a1 USING (vec_id)
+            JOIN fpq2asg a2 USING (vec_id)
+            JOIN fpq3asg a3 USING (vec_id)
+            JOIN qd0 q0 ON q0.code = a0.code
+            JOIN qd1 q1 ON q1.qid = q0.qid AND q1.code = a1.code
+            JOIN qd2 q2 ON q2.qid = q0.qid AND q2.code = a2.code
+            JOIN qd3 q3 ON q3.qid = q0.qid AND q3.code = a3.code
+            WHERE a0.vec_id <> q0.qid
+        ), adc5 AS (
+            SELECT qid, neighbor_id FROM (
+                SELECT qid, neighbor_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY adc, neighbor_id)
+                           AS rn
+                FROM fsc) WHERE rn <= 5
+        ), fe AS (
+            SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings
+        ), fq AS (
+            SELECT vec_id AS qid, v FROM fe WHERE vec_id < 10
+        ), ed AS (
+            SELECT fq.qid, fe.vec_id AS neighbor_id,
+                   round(array_inner_product(fe.v, fe.v)
+                         + array_inner_product(fq.v, fq.v)
+                         - 2 * array_inner_product(fe.v, fq.v), 6)
+                       AS d
+            FROM fe, fq WHERE fe.vec_id <> fq.qid
+        ), ex5 AS (
+            SELECT qid, neighbor_id FROM (
+                SELECT qid, neighbor_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY d, neighbor_id)
+                           AS rn
+                FROM ed) WHERE rn <= 5
+        ), rex AS (
+            SELECT e.qid,
+                   SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                       THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+                   round(SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) / count(*), 6)
+                       AS recall_exact
+            FROM ex5 e
+            LEFT JOIN ivf5 i
+              ON i.qid = e.qid AND i.neighbor_id = e.neighbor_id
+            GROUP BY e.qid
+        ), radc AS (
+            SELECT a.qid,
+                   SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                       THEN 1 ELSE 0 END)::BIGINT AS n_adc,
+                   round(SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) / count(*), 6)
+                       AS recall_adc
+            FROM adc5 a
+            LEFT JOIN ivf5 i
+              ON i.qid = a.qid AND i.neighbor_id = a.neighbor_id
+            GROUP BY a.qid
+        )
+        SELECT rex.qid AS query_id, rex.n_exact, rex.recall_exact,
+               radc.n_adc, radc.recall_adc
+        FROM rex JOIN radc ON radc.qid = rex.qid
+        ORDER BY query_id
+    """
+    )
+
     frontier_v5_oracle = f"""
         WITH lnk AS (
             SELECT 'https://g' || CAST((doc_id * 3 + 1) % 13 AS VARCHAR)
@@ -13215,6 +13934,196 @@ def oracle_sql() -> dict[str, str]:
         "w",
         iters=3,
     )
+    # shared v8/v9 oracle front (r14): ingest/extract/canonicalize/
+    # robots/host-cap/line-dedup mirror + the FIRST ExactSubstr phase,
+    # ending at v8kept (doc_id, kept_text) — v9 appends the
+    # decontamination phase and the mixture/FIM/pack tail on top
+    _V8F = f"""
+            WITH v5d AS (
+                SELECT doc_id, text,
+                       regexp_replace(COALESCE(text, ''), '[^ -~]',
+                                      '#', 'g') AS ac
+                FROM documents
+            ), v5h AS (
+                SELECT doc_id,
+                       '<html><body class="c' || (doc_id % 7)
+                       || '"><h1>Doc &amp; ' || doc_id || '</h1><p>'
+                       || replace(COALESCE(text, ''), ' data ',
+                                  ' &quot;data&quot; ')
+                       || '</p><script>var x = 1;</script>'
+                       || '<style>p{{}}</style></body></html>' AS html
+                FROM v5d WHERE doc_id % 3 <> 0
+            ), v5hc AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                         replace(replace(replace(replace(replace(replace(
+                           regexp_replace(regexp_replace(regexp_replace(html,
+                             '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                             '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                             '<[^>]*>', ' ', 'g'),
+                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                         '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+                         '\\s+', ' ', 'g')) AS etext
+                FROM v5h
+            ), v5p AS (
+                SELECT doc_id,
+                       'vdoc ' || CAST(doc_id AS VARCHAR) || ' page 0'
+                       || chr(10) || substr(ac, 1, 40)
+                       || chr(10) || substr(ac, 41, 40)
+                       || CASE WHEN doc_id % 2 = 1 THEN
+                            chr(10) || 'vdoc ' || CAST(doc_id AS VARCHAR)
+                            || ' page 1'
+                            || chr(10) || substr(ac, 81, 40)
+                            || chr(10) || substr(ac, 121, 40)
+                          ELSE '' END AS etext
+                FROM v5d WHERE doc_id % 3 = 0
+            ), v5e AS (
+                SELECT doc_id, etext FROM v5hc
+                UNION ALL SELECT doc_id, etext FROM v5p
+            ), v5u AS (
+                SELECT doc_id, etext,
+                       'vsite' || CAST(doc_id % 97 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '.com' ELSE '.co.uk' END AS host
+                FROM v5e
+            ), v5a AS (
+                SELECT doc_id, etext, host FROM v5u
+                WHERE doc_id % 5 IN (0, 2, 4)
+                   OR (doc_id % 5 = 3 AND (doc_id % 97) % 2 = 1)
+            ), v5cap AS (
+                SELECT doc_id, etext FROM (
+                    SELECT doc_id, etext,
+                           row_number() OVER (PARTITION BY host
+                                              ORDER BY doc_id) AS hr
+                    FROM v5a) c
+                WHERE hr <= 3
+            ), v5lined AS (
+                SELECT doc_id,
+                       'promo ' || CAST(doc_id % 3 AS VARCHAR) || '. '
+                       || etext
+                       || '. blk ' || CAST(doc_id AS VARCHAR) || ' '
+                       || repeat('y' || CAST(doc_id % 5 AS VARCHAR), 25)
+                       || '. visit example v5 today' AS lined
+                FROM v5cap
+            ), v5l0 AS (
+                SELECT doc_id,
+                       unnest(range(len(string_split(lined, '. '))))
+                           AS pos,
+                       unnest(string_split(lined, '. ')) AS line
+                FROM v5lined
+            ), v5l AS (
+                SELECT doc_id, CAST(pos AS INT) AS pos, line,
+                       trim(line) AS canon
+                FROM v5l0
+            ), v5k AS (
+                SELECT doc_id, pos, line,
+                       CASE WHEN length(canon) < 2 THEN TRUE
+                            ELSE row_number() OVER (
+                                PARTITION BY canon
+                                ORDER BY doc_id, pos) = 1
+                       END AS keep
+                FROM v5l
+            ), v5kept AS (
+                SELECT doc_id,
+                       COALESCE(string_agg(line, '. ' ORDER BY pos)
+                                FILTER (WHERE keep), '') AS kept_text
+                FROM v5k GROUP BY doc_id
+            ), ssdocs AS MATERIALIZED (
+                SELECT doc_id, kept_text AS t FROM v5kept
+            ), sscap AS (
+                -- r14 (r13 ADVICE): the 1200-position gram series
+                -- silently truncates winnowing if kept_text ever
+                -- exceeds 1207 chars; fail LOUDLY instead of
+                -- diverging when fixtures grow
+                SELECT CASE WHEN COALESCE(MAX(len(t)), 0) <= 1207
+                            THEN 'ok'
+                            ELSE error('pipeline_curation_v8 oracle: '
+                                 || 'kept_text exceeds the 1200-'
+                                 || 'position gram cap; raise the '
+                                 || 'generate_series bound')
+                       END AS ok
+                FROM ssdocs
+            ), grams AS MATERIALIZED (
+                SELECT doc_id, CAST(g.p AS INT) AS pos,
+                       __SSD_HASH__ AS h
+                FROM ssdocs, generate_series(1, 1200) AS g(p), sscap
+                WHERE g.p <= len(t) - 7 AND sscap.ok = 'ok'
+            ), fps AS MATERIALIZED (
+                SELECT DISTINCT doc_id, fp FROM (
+                    SELECT doc_id, pos,
+                           min(h) OVER (
+                               PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW
+                               AND 3 FOLLOWING) AS fp,
+                           max(pos) OVER (PARTITION BY doc_id)
+                               AS maxp
+                    FROM grams) wf
+                WHERE pos <= maxp - 3
+            ), gmin AS (
+                SELECT fp, MIN(doc_id) AS a FROM fps GROUP BY fp
+            ), pairs AS (
+                SELECT DISTINCT g.a, f.doc_id AS b
+                FROM fps f
+                JOIN gmin g ON g.fp = f.fp AND f.doc_id > g.a
+            ), m AS (
+                SELECT p.a, p.b, gb.pos AS pb,
+                       gb.pos - ga.pos AS off
+                FROM pairs p
+                JOIN grams ga ON ga.doc_id = p.a
+                JOIN grams gb
+                  ON gb.doc_id = p.b AND gb.h = ga.h
+            ), isl AS (
+                SELECT a, b, off, pb,
+                       pb - row_number() OVER (
+                           PARTITION BY a, b, off ORDER BY pb)
+                           AS grp
+                FROM m
+            ), runs AS (
+                SELECT b, MIN(pb) AS s, MAX(pb) + 7 AS e
+                FROM isl GROUP BY a, b, off, grp
+                HAVING MAX(pb) + 7 - MIN(pb) + 1 >= 40
+            ), spans AS (
+                SELECT DISTINCT b, s, e FROM runs
+            ), brkd AS (
+                SELECT b, s, e,
+                       CASE WHEN s > COALESCE(MAX(e) OVER (
+                                PARTITION BY b ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1) + 1
+                            THEN 1 ELSE 0 END AS brk
+                FROM spans
+            ), mg AS (
+                SELECT b, s, e,
+                       SUM(brk) OVER (
+                           PARTITION BY b ORDER BY s, e) AS gid
+                FROM brkd
+            ), fin AS (
+                SELECT b, MIN(s) AS s, MAX(e) AS e
+                FROM mg GROUP BY b, gid
+            ), seg AS (
+                SELECT b,
+                       COALESCE(LAG(e) OVER (
+                           PARTITION BY b ORDER BY s), 0) + 1 AS gs,
+                       s - 1 AS ge
+                FROM fin
+                UNION ALL
+                SELECT b, MAX(e) + 1, NULL FROM fin GROUP BY b
+            ), rebuilt AS (
+                SELECT d.doc_id,
+                       string_agg(
+                           substr(d.t, seg.gs,
+                                  GREATEST(COALESCE(seg.ge, len(d.t))
+                                           - seg.gs + 1, 0)),
+                           '' ORDER BY seg.gs) AS kept
+                FROM ssdocs d JOIN seg ON seg.b = d.doc_id
+                GROUP BY d.doc_id
+            ), v8kept AS MATERIALIZED (
+                SELECT d.doc_id,
+                       COALESCE(r.kept, d.t) AS kept_text
+                FROM ssdocs d
+                LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+            )"""
+
     return {
         "pagerank_event_graph": pagerank_oracle,
         "hilbert_cluster_keys": hilbert_oracle,
@@ -16027,6 +16936,89 @@ def oracle_sql() -> dict[str, str]:
             FROM sb
             ORDER BY policy, block_id
         """,
+        "dpo_pack_docs": """
+            WITH dd AS (
+                SELECT doc_id,
+                       list_filter(string_split(
+                           trim(regexp_replace(lower(COALESCE(text, '')),
+                                               '[^a-z]+', ' ', 'g')),
+                           ' '), x -> x <> '') AS w
+                FROM documents
+            ), segd AS (
+                SELECT doc_id, g.k,
+                       (CASE WHEN g.k = 0 THEN 'prompt '
+                             ELSE 'assistant ' END)
+                       || COALESCE(array_to_string(
+                            CASE g.k WHEN 0 THEN w[1:10]
+                                     WHEN 1 THEN w[11:20]
+                                     ELSE list_reverse(w[11:20]) END,
+                            ' '), '') AS t
+                FROM dd, generate_series(0, 2) AS g(k)
+            ), tok AS (
+                SELECT doc_id, k,
+                       list_transform(
+                           list_filter(
+                               string_split(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(t, 'th', 'A'), 'Ae', 'B'), 'in', 'C'), 'er', 'D'), 'an', 'E'), 'on', 'F'), 'Ed', 'G'), 'Cg', 'H'), 'en', 'I'), 'or', 'J'), ''),
+                               c -> c <> ' '),
+                           ch -> CASE WHEN ch BETWEEN 'a' AND 'z'
+                                      THEN ascii(ch) - 97
+                                      ELSE ascii(ch) - 39 END) AS ids
+                FROM segd
+            ), samp AS (
+                SELECT p.doc_id * 2 AS sid,
+                       list_transform(p.ids, x -> x * 4)
+                       || list_transform(c.ids, x -> x * 4 + 1)
+                           AS syms
+                FROM (SELECT doc_id, ids FROM tok WHERE k = 0) p
+                JOIN (SELECT doc_id, ids FROM tok WHERE k = 1) c
+                  USING (doc_id)
+                UNION ALL
+                SELECT p.doc_id * 2 + 1,
+                       list_transform(p.ids, x -> x * 4 + 2)
+                       || list_transform(r.ids, x -> x * 4 + 3)
+                FROM (SELECT doc_id, ids FROM tok WHERE k = 0) p
+                JOIN (SELECT doc_id, ids FROM tok WHERE k = 2) r
+                  USING (doc_id)
+            ), sc AS (
+                SELECT sid, syms, len(syms)::BIGINT AS n,
+                       COALESCE(SUM(len(syms)) OVER (ORDER BY sid
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM samp
+            ), kept AS (
+                SELECT sid, syms, n, o // 192 AS block_id,
+                       o % 192 AS block_pos
+                FROM sc
+                WHERE n > 0 AND o // 192 = (o + n - 1) // 192
+            ), ko AS (
+                SELECT k.*, CASE WHEN p.sid IS NULL
+                                 THEN 1 ELSE 0 END AS orphan
+                FROM kept k
+                LEFT JOIN kept p
+                  ON p.sid = k.sid + 1 - 2 * (k.sid % 2)
+            ), kb AS (
+                SELECT block_id,
+                       count(*)::BIGINT AS n_samples,
+                       sum(orphan)::BIGINT AS n_orphans,
+                       sum(n)::BIGINT AS n_syms,
+                       SUM(len(list_filter(syms,
+                           x -> x % 4 = 1)))::BIGINT AS n_chosen_loss,
+                       SUM(len(list_filter(syms,
+                           x -> x % 4 = 3)))::BIGINT
+                           AS n_rejected_loss,
+                       string_agg(array_to_string(syms, ','), ','
+                                  ORDER BY block_pos) AS csv
+                FROM ko GROUP BY block_id
+            )
+            SELECT CAST(block_id AS BIGINT) AS block_id,
+                   n_samples, n_orphans, n_syms,
+                   n_chosen_loss, n_rejected_loss,
+                   array_to_string((string_split(csv, ','))[1:10], ',')
+                       AS head_syms,
+                   md5(csv) AS syms_md5
+            FROM kb
+            ORDER BY block_id
+        """,
         "trigram_quality_docs": (trigram_scored_sql := """
             WITH tok AS (
                 SELECT doc_id,
@@ -16276,6 +17268,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode_embeddings": pq_oracle,
         "pq_topk_adc": pq_adc_oracle,
         "pq_recall_bound": pq_recall_oracle,
+        "ivfadc_topk": ivfadc_oracle,
+        "ivfadc_recall_bound": ivfadc_recall_oracle,
         "crawl_frontier_v2": """
             WITH ol AS (
                 SELECT 'fr' || CAST(doc_id % 11 AS VARCHAR) || '.com'
@@ -17188,13 +18182,53 @@ def oracle_sql() -> dict[str, str]:
                            lower(COALESCE(text, '')),
                            '[^a-z]+', ' ', 'g')), ' ', '') AS f
                 FROM documents
+            ), bfix AS (
+                SELECT doc_id,
+                       COALESCE(text, '') || '{_BYTE_SUFFIX}' AS bt
+                FROM documents
+            ), bids AS (
+                SELECT doc_id, bt,
+                       {byte_bpe_oracle_sql("bt", _BYTE_MERGES)}
+                           AS ids
+                FROM bfix
             )
             SELECT t.doc_id,
                    len(t.ids)::BIGINT AS n_tokens,
                    md5(flat.f) AS detok_md5,
-                   1::INT AS equal
-            FROM t JOIN flat ON flat.doc_id = t.doc_id
+                   1::INT AS equal,
+                   len(b.ids)::BIGINT AS byte_n_ids,
+                   md5(nfc_normalize(b.bt)) AS byte_detok_md5,
+                   1::INT AS byte_equal
+            FROM t
+            JOIN flat ON flat.doc_id = t.doc_id
+            JOIN bids b ON b.doc_id = t.doc_id
             ORDER BY t.doc_id
+        """,
+        "bpe_byte_fallback_docs": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       COALESCE(text, '') || ' u'
+                       || CAST(doc_id % 7 AS VARCHAR)
+                       || '{_BYTE_SUFFIX}' AS t
+                FROM documents
+            ), ids AS (
+                SELECT doc_id, t,
+                       {byte_bpe_oracle_sql("t", _BYTE_MERGES)} AS ids
+                FROM d
+            )
+            SELECT doc_id,
+                   len(ids)::BIGINT AS n_ids,
+                   len(list_filter(ids,
+                       i -> i >= 128 AND i < 256))::BIGINT
+                       AS n_fallback,
+                   COALESCE(array_to_string(ids[1:12], ','), '')
+                       AS head_ids,
+                   md5(COALESCE(array_to_string(ids, ','), ''))
+                       AS ids_md5,
+                   md5(nfc_normalize(t)) AS detok_md5,
+                   1::INT AS exact
+            FROM ids
+            ORDER BY doc_id
         """,
         "pack_boundaries_docs": f"""
             WITH t AS ({_ORACLE_BPE_IDS}), c AS (
@@ -17710,191 +18744,7 @@ def oracle_sql() -> dict[str, str]:
             FROM v5b
             ORDER BY block_id
         """,
-        "pipeline_curation_v8": f"""
-            WITH v5d AS (
-                SELECT doc_id, text,
-                       regexp_replace(COALESCE(text, ''), '[^ -~]',
-                                      '#', 'g') AS ac
-                FROM documents
-            ), v5h AS (
-                SELECT doc_id,
-                       '<html><body class="c' || (doc_id % 7)
-                       || '"><h1>Doc &amp; ' || doc_id || '</h1><p>'
-                       || replace(COALESCE(text, ''), ' data ',
-                                  ' &quot;data&quot; ')
-                       || '</p><script>var x = 1;</script>'
-                       || '<style>p{{}}</style></body></html>' AS html
-                FROM v5d WHERE doc_id % 3 <> 0
-            ), v5hc AS (
-                SELECT doc_id,
-                       trim(regexp_replace(
-                         replace(replace(replace(replace(replace(replace(
-                           regexp_replace(regexp_replace(regexp_replace(html,
-                             '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-                             '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
-                             '<[^>]*>', ' ', 'g'),
-                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                         '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
-                         '\\s+', ' ', 'g')) AS etext
-                FROM v5h
-            ), v5p AS (
-                SELECT doc_id,
-                       'vdoc ' || CAST(doc_id AS VARCHAR) || ' page 0'
-                       || chr(10) || substr(ac, 1, 40)
-                       || chr(10) || substr(ac, 41, 40)
-                       || CASE WHEN doc_id % 2 = 1 THEN
-                            chr(10) || 'vdoc ' || CAST(doc_id AS VARCHAR)
-                            || ' page 1'
-                            || chr(10) || substr(ac, 81, 40)
-                            || chr(10) || substr(ac, 121, 40)
-                          ELSE '' END AS etext
-                FROM v5d WHERE doc_id % 3 = 0
-            ), v5e AS (
-                SELECT doc_id, etext FROM v5hc
-                UNION ALL SELECT doc_id, etext FROM v5p
-            ), v5u AS (
-                SELECT doc_id, etext,
-                       'vsite' || CAST(doc_id % 97 AS VARCHAR)
-                       || CASE WHEN doc_id % 2 = 0
-                               THEN '.com' ELSE '.co.uk' END AS host
-                FROM v5e
-            ), v5a AS (
-                SELECT doc_id, etext, host FROM v5u
-                WHERE doc_id % 5 IN (0, 2, 4)
-                   OR (doc_id % 5 = 3 AND (doc_id % 97) % 2 = 1)
-            ), v5cap AS (
-                SELECT doc_id, etext FROM (
-                    SELECT doc_id, etext,
-                           row_number() OVER (PARTITION BY host
-                                              ORDER BY doc_id) AS hr
-                    FROM v5a) c
-                WHERE hr <= 3
-            ), v5lined AS (
-                SELECT doc_id,
-                       'promo ' || CAST(doc_id % 3 AS VARCHAR) || '. '
-                       || etext
-                       || '. blk ' || CAST(doc_id AS VARCHAR) || ' '
-                       || repeat('y' || CAST(doc_id % 5 AS VARCHAR), 25)
-                       || '. visit example v5 today' AS lined
-                FROM v5cap
-            ), v5l0 AS (
-                SELECT doc_id,
-                       unnest(range(len(string_split(lined, '. '))))
-                           AS pos,
-                       unnest(string_split(lined, '. ')) AS line
-                FROM v5lined
-            ), v5l AS (
-                SELECT doc_id, CAST(pos AS INT) AS pos, line,
-                       trim(line) AS canon
-                FROM v5l0
-            ), v5k AS (
-                SELECT doc_id, pos, line,
-                       CASE WHEN length(canon) < 2 THEN TRUE
-                            ELSE row_number() OVER (
-                                PARTITION BY canon
-                                ORDER BY doc_id, pos) = 1
-                       END AS keep
-                FROM v5l
-            ), v5kept AS (
-                SELECT doc_id,
-                       COALESCE(string_agg(line, '. ' ORDER BY pos)
-                                FILTER (WHERE keep), '') AS kept_text
-                FROM v5k GROUP BY doc_id
-            ), ssdocs AS (
-                SELECT doc_id, kept_text AS t FROM v5kept
-            ), sscap AS (
-                -- r14 (r13 ADVICE): the 1200-position gram series
-                -- silently truncates winnowing if kept_text ever
-                -- exceeds 1207 chars; fail LOUDLY instead of
-                -- diverging when fixtures grow
-                SELECT CASE WHEN COALESCE(MAX(len(t)), 0) <= 1207
-                            THEN 'ok'
-                            ELSE error('pipeline_curation_v8 oracle: '
-                                 || 'kept_text exceeds the 1200-'
-                                 || 'position gram cap; raise the '
-                                 || 'generate_series bound')
-                       END AS ok
-                FROM ssdocs
-            ), grams AS (
-                SELECT doc_id, CAST(g.p AS INT) AS pos,
-                       __SSD_HASH__ AS h
-                FROM ssdocs, generate_series(1, 1200) AS g(p), sscap
-                WHERE g.p <= len(t) - 7 AND sscap.ok = 'ok'
-            ), fps AS (
-                SELECT DISTINCT doc_id, fp FROM (
-                    SELECT doc_id, pos,
-                           min(h) OVER (
-                               PARTITION BY doc_id ORDER BY pos
-                               ROWS BETWEEN CURRENT ROW
-                               AND 3 FOLLOWING) AS fp,
-                           max(pos) OVER (PARTITION BY doc_id)
-                               AS maxp
-                    FROM grams) wf
-                WHERE pos <= maxp - 3
-            ), gmin AS (
-                SELECT fp, MIN(doc_id) AS a FROM fps GROUP BY fp
-            ), pairs AS (
-                SELECT DISTINCT g.a, f.doc_id AS b
-                FROM fps f
-                JOIN gmin g ON g.fp = f.fp AND f.doc_id > g.a
-            ), m AS (
-                SELECT p.a, p.b, gb.pos AS pb,
-                       gb.pos - ga.pos AS off
-                FROM pairs p
-                JOIN grams ga ON ga.doc_id = p.a
-                JOIN grams gb
-                  ON gb.doc_id = p.b AND gb.h = ga.h
-            ), isl AS (
-                SELECT a, b, off, pb,
-                       pb - row_number() OVER (
-                           PARTITION BY a, b, off ORDER BY pb)
-                           AS grp
-                FROM m
-            ), runs AS (
-                SELECT b, MIN(pb) AS s, MAX(pb) + 7 AS e
-                FROM isl GROUP BY a, b, off, grp
-                HAVING MAX(pb) + 7 - MIN(pb) + 1 >= 40
-            ), spans AS (
-                SELECT DISTINCT b, s, e FROM runs
-            ), brkd AS (
-                SELECT b, s, e,
-                       CASE WHEN s > COALESCE(MAX(e) OVER (
-                                PARTITION BY b ORDER BY s, e
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND 1 PRECEDING), -1) + 1
-                            THEN 1 ELSE 0 END AS brk
-                FROM spans
-            ), mg AS (
-                SELECT b, s, e,
-                       SUM(brk) OVER (
-                           PARTITION BY b ORDER BY s, e) AS gid
-                FROM brkd
-            ), fin AS (
-                SELECT b, MIN(s) AS s, MAX(e) AS e
-                FROM mg GROUP BY b, gid
-            ), seg AS (
-                SELECT b,
-                       COALESCE(LAG(e) OVER (
-                           PARTITION BY b ORDER BY s), 0) + 1 AS gs,
-                       s - 1 AS ge
-                FROM fin
-                UNION ALL
-                SELECT b, MAX(e) + 1, NULL FROM fin GROUP BY b
-            ), rebuilt AS (
-                SELECT d.doc_id,
-                       string_agg(
-                           substr(d.t, seg.gs,
-                                  GREATEST(COALESCE(seg.ge, len(d.t))
-                                           - seg.gs + 1, 0)),
-                           '' ORDER BY seg.gs) AS kept
-                FROM ssdocs d JOIN seg ON seg.b = d.doc_id
-                GROUP BY d.doc_id
-            ), v8kept AS (
-                SELECT d.doc_id,
-                       COALESCE(r.kept, d.t) AS kept_text
-                FROM ssdocs d
-                LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
-            ), v5g AS (
+        "pipeline_curation_v8": (_V8F + f""", v5g AS (
                 SELECT doc_id, kept_text FROM (
                     SELECT doc_id, kept_text,
                            trim(regexp_replace(regexp_replace(
@@ -17957,7 +18807,208 @@ def oracle_sql() -> dict[str, str]:
                    md5(csv) AS ids_md5
             FROM v5b
             ORDER BY block_id
-        """.replace("__SSD_HASH__", ssd_hash),
+        """).replace("__SSD_HASH__", ssd_hash),
+        "pipeline_curation_v9": (_V8F + f""", dcdocs AS MATERIALIZED (
+                SELECT CASE WHEN doc_id % 10 = 0 THEN doc_id
+                            ELSE doc_id + 10000000 END AS doc_id,
+                       kept_text AS t
+                FROM v8kept
+            ), dccap AS (
+                SELECT CASE WHEN COALESCE(MAX(len(t)), 0) <= 1207
+                            THEN 'ok'
+                            ELSE error('pipeline_curation_v9 oracle: '
+                                 || 'decont text exceeds the 1200-'
+                                 || 'position gram cap')
+                       END AS ok
+                FROM dcdocs
+            ), dcgrams AS MATERIALIZED (
+                SELECT doc_id, CAST(g.p AS INT) AS pos,
+                       __SSD_HASH__ AS h
+                FROM dcdocs, generate_series(1, 1200) AS g(p), dccap
+                WHERE g.p <= len(t) - 7 AND dccap.ok = 'ok'
+            ), dcfps AS MATERIALIZED (
+                SELECT DISTINCT doc_id, fp FROM (
+                    SELECT doc_id, pos,
+                           min(h) OVER (
+                               PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW
+                               AND 3 FOLLOWING) AS fp,
+                           max(pos) OVER (PARTITION BY doc_id)
+                               AS maxp
+                    FROM dcgrams) wf
+                WHERE pos <= maxp - 3
+            ), dcgmin AS (
+                SELECT fp, MIN(doc_id) AS a FROM dcfps GROUP BY fp
+            ), dcpairs AS (
+                SELECT DISTINCT g.a, f.doc_id AS b
+                FROM dcfps f
+                JOIN dcgmin g ON g.fp = f.fp AND f.doc_id > g.a
+            ), dcm AS (
+                SELECT p.a, p.b, gb.pos AS pb,
+                       gb.pos - ga.pos AS off
+                FROM dcpairs p
+                JOIN dcgrams ga ON ga.doc_id = p.a
+                JOIN dcgrams gb
+                  ON gb.doc_id = p.b AND gb.h = ga.h
+            ), dcisl AS (
+                SELECT a, b, off, pb,
+                       pb - row_number() OVER (
+                           PARTITION BY a, b, off ORDER BY pb)
+                           AS grp
+                FROM dcm
+            ), dcruns AS (
+                SELECT b, MIN(pb) AS s, MAX(pb) + 7 AS e
+                FROM dcisl GROUP BY a, b, off, grp
+                HAVING MAX(pb) + 7 - MIN(pb) + 1 >= 40
+            ), dcspans AS (
+                SELECT DISTINCT b, s, e FROM dcruns
+            ), dcbrkd AS (
+                SELECT b, s, e,
+                       CASE WHEN s > COALESCE(MAX(e) OVER (
+                                PARTITION BY b ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1) + 1
+                            THEN 1 ELSE 0 END AS brk
+                FROM dcspans
+            ), dcmg AS (
+                SELECT b, s, e,
+                       SUM(brk) OVER (
+                           PARTITION BY b ORDER BY s, e) AS gid
+                FROM dcbrkd
+            ), dcfin AS (
+                SELECT b, MIN(s) AS s, MAX(e) AS e
+                FROM dcmg GROUP BY b, gid
+            ), dcseg AS (
+                SELECT b,
+                       COALESCE(LAG(e) OVER (
+                           PARTITION BY b ORDER BY s), 0) + 1 AS gs,
+                       s - 1 AS ge
+                FROM dcfin
+                UNION ALL
+                SELECT b, MAX(e) + 1, NULL FROM dcfin GROUP BY b
+            ), dcrebuilt AS (
+                SELECT d.doc_id,
+                       string_agg(
+                           substr(d.t, dcseg.gs,
+                                  GREATEST(COALESCE(dcseg.ge, len(d.t))
+                                           - dcseg.gs + 1, 0)),
+                           '' ORDER BY dcseg.gs) AS kept
+                FROM dcdocs d JOIN dcseg ON dcseg.b = d.doc_id
+                GROUP BY d.doc_id
+            ), dckept AS (
+                SELECT d.doc_id,
+                       COALESCE(r.kept, d.t) AS kept_text
+                FROM dcdocs d
+                LEFT JOIN dcrebuilt r ON r.doc_id = d.doc_id
+            ), v9train AS (
+                SELECT doc_id - 10000000 AS doc_id, kept_text
+                FROM dckept WHERE doc_id >= 10000000
+            ), v9g AS (
+                SELECT doc_id, kept_text FROM (
+                    SELECT doc_id, kept_text,
+                           trim(regexp_replace(regexp_replace(
+                               lower(kept_text), '[^a-z0-9\\s]', ' ',
+                               'g'), '\\s+', ' ', 'g')) AS norm
+                    FROM v9train) s
+                WHERE round({hlq_margin}, 6) > 0
+            ), v9l AS (
+                SELECT g.doc_id, g.kept_text, d.lang
+                FROM v9g g JOIN documents d USING (doc_id)
+            ), v9cnt AS (
+                SELECT lang, COUNT(*)::BIGINT AS n
+                FROM v9l GROUP BY lang
+            ), v9w AS (
+                SELECT lang, CAST(floor(sqrt(n)) AS BIGINT) AS w
+                FROM v9cnt
+            ), v9tw AS (
+                SELECT SUM(w) AS tw FROM v9w
+            ), v9q AS (
+                SELECT lang,
+                       CAST((200 * w.w) // tw.tw AS BIGINT) AS quota
+                FROM v9w w, v9tw tw
+            ), v9r AS (
+                SELECT doc_id, kept_text, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS r
+                FROM v9l
+            ), v9sel AS (
+                SELECT r.doc_id, r.kept_text
+                FROM v9r r JOIN v9q q USING (lang)
+                WHERE r.r <= q.quota
+            ), v9t AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(
+                               string_split(
+                                   replace(replace(replace(replace(replace(
+                                   replace(replace(replace(replace(replace(
+                                       trim(regexp_replace(lower(kept_text),
+                                           '[^a-z]+', ' ', 'g')),
+                                       'th', 'A'), 'Ae', 'B'), 'in', 'C'),
+                                       'er', 'D'), 'an', 'E'), 'on', 'F'),
+                                       'Ed', 'G'), 'Cg', 'H'), 'en', 'I'),
+                                       'or', 'J'),
+                                   ''),
+                               c -> c <> ' '),
+                           ch -> CASE WHEN ch BETWEEN 'a' AND 'z'
+                                      THEN ascii(ch) - 97
+                                      ELSE ascii(ch) - 39 END) AS ids
+                FROM v9sel
+            ), v9s AS (
+                SELECT doc_id, ids, len(ids) AS n,
+                       len(ids) // 3 AS p1,
+                       (len(ids) * 2) // 3 AS p2,
+                       (doc_id % 2 = 0 AND len(ids) >= 3) AS fim
+                FROM v9t
+            ), v9f AS (
+                SELECT doc_id,
+                       CASE WHEN fim THEN
+                           list_concat(list_concat(list_concat(
+                               list_concat(list_concat(
+                                   [9001], ids[1:p1]), [9002]),
+                                   ids[p2 + 1:n]), [9003]),
+                                   ids[p1 + 1:p2])
+                       ELSE ids END AS ids
+                FROM v9s
+            ), v9c AS (
+                SELECT doc_id, ids, len(ids)::BIGINT AS n,
+                       COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM v9f
+            ), v9ee AS (
+                SELECT doc_id, ids, n, o,
+                       unnest(range(o // 32,
+                                    (o + n - 1) // 32 + 1)) AS block_id
+                FROM v9c WHERE n > 0
+            ), v9pp AS (
+                SELECT block_id,
+                       least(n, (block_id + 1) * 32 - o)
+                           - greatest(0, block_id * 32 - o) AS nb,
+                       greatest(0, o - block_id * 32) AS block_pos,
+                       array_to_string(
+                           ids[greatest(0, block_id * 32 - o) + 1 :
+                               least(n, (block_id + 1) * 32 - o)],
+                           ',') AS piece
+                FROM v9ee
+            ), v9b AS (
+                SELECT block_id,
+                       count(*)::BIGINT AS n_docs,
+                       sum(nb)::BIGINT AS n_ids,
+                       string_agg(piece, ',' ORDER BY block_pos) AS csv
+                FROM v9pp
+                GROUP BY block_id
+            )
+            SELECT CAST(block_id AS BIGINT) AS block_id,
+                   n_docs, n_ids,
+                   array_to_string((string_split(csv, ','))[1:10], ',')
+                       AS head_ids,
+                   md5(csv) AS ids_md5
+            FROM v9b
+            ORDER BY block_id
+        """).replace("__SSD_HASH__", ssd_hash),
         "pipeline_curation_v6": f"""
             WITH {thc6_ctes}, v5d AS (
                 SELECT doc_id, text,

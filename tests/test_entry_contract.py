@@ -57,34 +57,38 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "y4m_frames_docs", (
+    assert window[-1] == "sessionize_events", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
-        # new in r13
-        "crawl_frontier_v4", "bloom_union_docs", "stream_bloom_union",
-        "image_dedup_clusters", "wet_shard_export_roundtrip",
-        "pipeline_curation_v8", "classifier_roc_auc_docs",
-        "ngram_novelty_docs", "mixture_alpha_sample",
-        "substring_decontaminate_docs", "url_tracking_dedup",
-        "cdc_chunk_dedup",
-        # the 38 r7-stale entries (last driver signal r7)
-        "embedding_cosine_dedup", "embedding_lsh_dedup",
-        "embedding_topk_cosine", "except_inactive_custs",
-        "exists_high_qty", "frame_sample", "full_outer_nation_actors",
-        "grouping_sets_revenue", "having_frequent_custs",
-        "histogram_quantity", "intersect_nations", "lang_id_histogram",
-        "left_join_order_counts", "multimodal_decode",
-        "numeric_projection", "pivot_count", "pivot_max", "pivot_min",
-        "png_roundtrip_docs", "q3_shipping_priority",
-        "q5_local_supplier_revenue", "q6_forecast_revenue",
-        "q7_nation_trade_volume", "quality_scores",
-        "rolling_revenue_7d", "salted_join_revenue", "scan_region",
-        "stream_dedup_events", "stream_followed_by",
-        "stream_session_windows", "stream_sessionize",
-        "stream_sliding_counts", "stream_windowed_counts", "top_words",
-        "wav_roundtrip_docs", "window_lead_lag", "window_ranks",
-        "y4m_frames_docs",
+        # new in r14 (5 debuts + the byte-tier-extended detokenize
+        # roundtrip, whose schema changed)
+        "ivfadc_topk", "ivfadc_recall_bound", "bpe_byte_fallback_docs",
+        "dpo_pack_docs", "pipeline_curation_v9",
+        "detokenize_roundtrip_docs",
+        # the 5 r13 debuts that landed after the r13 driver snapshot
+        # (never adjudicated — the r13 verdict's #4)
+        "crawl_frontier_v5", "pq_encode_embeddings", "pq_topk_adc",
+        "pq_recall_bound", "fim_transform_docs",
+        # the 39 alphabetically-first r8-stale entries (oldest driver
+        # signal in the corpus; the 11 remaining head the r15
+        # rotation)
+        "anti_parts_never_sold", "asof_join_events", "bm25_topk",
+        "collect_lang_sets", "cross_join_grid",
+        "csv_roundtrip_lineitem", "cut_rows_clip",
+        "dedup_exact_groups", "dedup_minhash_lsh", "describe_lineitem",
+        "embedding_quantize", "empty_source", "filter_project",
+        "flac_meta_docs", "groupby_agg", "join_star_revenue",
+        "jpeg_meta_docs", "json_extract_events",
+        "json_roundtrip_orders", "label_centroids",
+        "map_props_explode", "mixture_sample", "mp4_meta_docs",
+        "multiselect_summary", "normalize_text", "pack_sequences",
+        "paged_preview", "pipeline_curation_v4", "pivot_mean",
+        "pivot_sum", "plot_line_series", "point_read_cell",
+        "range_join_prices", "rename_cast_lineitem",
+        "repetition_signals", "script_profile_docs",
+        "semantic_decontaminate", "semi_suppliers_with_sales",
+        "sessionize_events",
     }
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"

@@ -588,6 +588,39 @@ def test_pipeline_curation_v8_plan_shape(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 1, plan
 
 
+def test_pipeline_curation_v9_plan_shape(spark, sf_dir):
+    """r14: v8 + decontamination (a SECOND ExactSubstr phase) +
+    quality gate + α-mixture + FIM + pack.  Both multi-pass substring
+    phases must consume PERSISTED stage boundaries (the v8 rule), so
+    the codec/URL front half still executes once; the mixture's rank
+    window must be bucket-keyed (stratified_exact_k, never a lang-only
+    partition); exchanges stay bounded and nothing data-sized
+    collapses to a single partition (pack + mixture offsets frames
+    are the one-row-per-bucket metadata class)."""
+    import re
+
+    import __spark_entry__ as M
+
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    df = M.queries()["pipeline_curation_v9"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # the ingest front half runs ONCE, at the eager localCheckpoint —
+    # it must be entirely absent from the downstream plan (composing
+    # two 3-pass substring phases over live lineage squares the tree
+    # and OOMs the driver; the checkpoint is the fix, and this pin
+    # keeps it)
+    assert plan.count("gen(doc_id") == 0, plan.count("gen(doc_id")
+    assert "InMemoryTableScan" in plan, "gate stage boundary not cached"
+    for m in re.finditer(r"row_number\(\)[^\n]*", plan):
+        spec = m.group(0)
+        if "__h" in spec:  # the mixture fill's md5-ordered window
+            assert "__b" in spec, f"lang-only rank window: {spec}"
+    ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
+    assert len(ex) <= 70, sorted(ex)
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
 def test_bloom_union_no_data_shuffle_and_probe_broadcasts(spark):
     """r13: the day-over-day bitmap merge touches only word tables —
     hash agg on word_idx, no Python, no single-partition collapse;

@@ -1240,3 +1240,85 @@ def test_stratified_exact_k_rank_window_is_bucket_keyed(spark):
     for ln in windows:
         spec = ln[ln.index("row_number()"):]
         assert "__b" in spec, f"lang-only rank window in plan: {ln}"
+
+
+# ---------------------------------------------------------------------------
+# r14: byte-level BPE with byte fallback
+# ---------------------------------------------------------------------------
+
+_BB_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "r"),
+    ("e", "r"), (" ", "the"), (" ", "a"),
+]
+
+
+def test_byte_bpe_exact_roundtrip_and_fallback(spark):
+    """Every string tokenizes (no OOV), detok == NFC(input) exactly,
+    and multibyte chars fall back to their raw bytes."""
+    import unicodedata
+
+    cases = [
+        (1, "the cat in the hat"),
+        (2, "café composed"),         # NFC composes to café
+        (3, "試験 \U0001F600"),     # CJK + astral emoji
+        (4, ""),
+        (5, "naïve mixed مرحبا"),
+        (6, "ththe tthhe"),                  # greedy adversarial
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, t string")
+    out = {
+        r["id"]: r
+        for r in TP.byte_bpe_tokenize(
+            df, "doc_id", "t", _BB_MERGES
+        ).collect()
+    }
+    for i, t in cases:
+        r = out[i]
+        nfc = unicodedata.normalize("NFC", t)
+        assert r["exact"] == 1, (i, r["detok"], nfc)
+        assert r["detok"] == nfc
+        want_fb = sum(1 for b in nfc.encode("utf-8") if b >= 128)
+        assert r["n_fallback"] == want_fb, (i, r["n_fallback"], want_fb)
+        assert all(0 <= x < 256 + len(_BB_MERGES) for x in r["input_ids"])
+    # composed char ids: é = 0xC3 0xA9
+    assert out[2]["input_ids"][3:5] == [0xC3, 0xA9]
+    # merges actually fire: 'the' -> 257 after ' the'(262) bootstrap
+    assert 262 in out[1]["input_ids"] or 257 in out[1]["input_ids"]
+
+
+def test_byte_bpe_oracle_sql_matches_kernel(spark):
+    """The DuckDB replace-chain mirror must reproduce the kernel's id
+    stream value-for-value on every UTF-8 length class."""
+    import duckdb
+
+    cases = [
+        (1, "the cat in the hat"),
+        (2, "or er and the café"),
+        (3, "試験 \U0001F680\U0001F680 test"),
+        (4, ""),
+        (5, " a an or"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, t string")
+    got = {
+        r["id"]: list(r["input_ids"])
+        for r in TP.byte_bpe_tokenize(
+            df, "doc_id", "t", _BB_MERGES
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = TP.byte_bpe_oracle_sql("t", _BB_MERGES)
+    for i, t in cases:
+        want = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS t)", [t]
+        ).fetchone()[0]
+        assert got[i] == list(want or []), (i, got[i], want)
+
+
+def test_byte_bpe_validates_merge_list(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, t string")
+    with pytest.raises(ValueError, match="earlier merge output"):
+        TP.byte_bpe_tokenize(df, "doc_id", "t", [("ab", "c")])
+    with pytest.raises(ValueError, match="duplicate merge output"):
+        TP.byte_bpe_tokenize(
+            df, "doc_id", "t", [("a", "b"), ("a", "b")]
+        )
