@@ -8470,6 +8470,45 @@ def q_mixture_alpha_sample(
     )
 
 
+def q_mixture_epochs_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-epoch (repeat-factor) mixture planning (r14 —
+    ``textprep.mixture_epochs``, the UPSAMPLING half the r9
+    ``mixture_sample`` declares out of scope: when a source's target
+    token mass exceeds its corpus, production mixtures repeat it —
+    integer full epochs + a deterministic fractional remainder pass,
+    the LLaMA/Gopher recipe): four synthetic sources (``doc_id % 4``)
+    with pinned integer-percent shares 40/30/20/10 against a 60 000-
+    token budget chosen so BOTH regimes fire on the fixture — the
+    head source upsamples (epochs ≥ 1) and the tail source
+    downsamples (epochs = 0, remainder < 1000‰).  Every number is
+    integer arithmetic (budget·pct//100, //toks, thousandths) and
+    the remainder selection is the portable (id, seed) hash bucket,
+    so the whole audit is engine-exact.
+
+    Scale shape: one source-keyed token agg (4 rows — metadata), the
+    plan broadcast back, remainder decision a pure projection, one
+    final source-keyed agg.  Nothing data-sized crosses a window."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("src"), (F.col("doc_id") % 4).cast("string")
+        ).alias("source"),
+        "doc_id",
+        "text",
+    )
+    return TP.mixture_epochs(
+        docs,
+        "source",
+        "doc_id",
+        "text",
+        {"src0": 40, "src1": 30, "src2": 20, "src3": 10},
+        budget_tokens=60_000,
+    ).orderBy("source")
+
+
 def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level dedup (``dedup.line_dedup``, new r10):
     every doc gets two INJECTED boilerplate lines (a per-bucket promo
@@ -12748,7 +12787,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": q_semantic_decontaminate,
         "semi_suppliers_with_sales": q_semi_suppliers_with_sales,
         "sessionize_events": q_sessionize_events,
-        # --- behind the window: FIRST the 11 remaining r8-stale
+        # --- behind the window: the post-window r14 debut (no driver
+        # signal yet — heads the r15 rotation with the 11 remaining
+        # r8-stale entries after it), then newer-signal entries -----
+        "mixture_epochs_docs": q_mixture_epochs_docs,
+        # --- FIRST the 11 remaining r8-stale
         # entries (the r15 rotation head), then newer-signal
         # entries, probes and no-oracle sampling entries last ----
         "stats_aggregates": q_stats_aggregates,
@@ -16935,6 +16978,54 @@ def oracle_sql() -> dict[str, str]:
                    md5(csv) AS syms_md5
             FROM sb
             ORDER BY policy, block_id
+        """,
+        "mixture_epochs_docs": """
+            WITH d AS (
+                SELECT 'src' || CAST(doc_id % 4 AS VARCHAR) AS source,
+                       doc_id AS id,
+                       len(list_filter(
+                           string_split_regex(COALESCE(text, ''),
+                                              '\\s+'),
+                           x -> x <> ''))::BIGINT AS n_toks
+                FROM documents
+            ), sh AS (
+                SELECT * FROM (VALUES
+                    ('src0', 40), ('src1', 30),
+                    ('src2', 20), ('src3', 10)) AS t(source, pct)
+            ), st AS (
+                SELECT source, COUNT(*)::BIGINT AS n_docs,
+                       SUM(n_toks)::BIGINT AS toks
+                FROM d GROUP BY source
+            ), pl AS (
+                SELECT st.source, n_docs, toks, pct::BIGINT AS pct,
+                       (60000 * pct) // 100 AS desired,
+                       CASE WHEN toks > 0
+                            THEN ((60000 * pct) // 100) // toks
+                            ELSE 0 END AS epochs,
+                       CASE WHEN toks > 0
+                            THEN ((((60000 * pct) // 100) % toks)
+                                  * 1000) // toks
+                            ELSE 0 END AS rem_millis
+                FROM st JOIN sh USING (source)
+            ), rm AS (
+                SELECT d.source, COUNT(*)::BIGINT AS rem_docs,
+                       SUM(n_toks)::BIGINT AS rem_toks
+                FROM d JOIN pl ON pl.source = d.source
+                WHERE ((id % 1000003) * 2654435761 + 40503)
+                      % 4294967296 % 1000 < pl.rem_millis
+                GROUP BY d.source
+            )
+            SELECT pl.source, n_docs, toks, pct,
+                   CAST(epochs AS BIGINT) AS epochs,
+                   CAST(rem_millis AS BIGINT) AS rem_millis,
+                   COALESCE(rm.rem_docs, 0)::BIGINT AS rem_docs,
+                   COALESCE(rm.rem_toks, 0)::BIGINT AS rem_toks,
+                   (epochs * toks
+                    + COALESCE(rm.rem_toks, 0))::BIGINT AS total_toks,
+                   (((epochs * toks + COALESCE(rm.rem_toks, 0))
+                     * 1000) // 60000)::BIGINT AS realized_millis
+            FROM pl LEFT JOIN rm ON rm.source = pl.source
+            ORDER BY pl.source
         """,
         "dpo_pack_docs": """
             WITH dd AS (

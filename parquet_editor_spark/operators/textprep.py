@@ -90,6 +90,139 @@ def mixture_sample_tokens(
     )
 
 
+def mixture_epochs(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    shares_pct: dict[str, int],
+    budget_tokens: int,
+    seed: int = 40503,
+) -> DataFrame:
+    """Multi-epoch (repeat-factor) corpus mixing (r14 — the
+    UPSAMPLING half :func:`mixture_sample_tokens` declares out of
+    scope): when a source's target token mass exceeds its corpus
+    size, production mixtures repeat it — integer full EPOCHS plus a
+    deterministically-sampled fractional remainder pass (the LLaMA /
+    Gopher data-mixture recipe).  All arithmetic is INTEGER so both
+    engines agree digit-for-digit: desired ``D_s = budget·pct_s //
+    100``, ``epochs_s = D_s // T_s``, remainder rate in thousandths
+    ``r_s = ((D_s − epochs_s·T_s)·1000) // T_s``, and the remainder
+    pass keeps exactly the docs whose portable hash bucket < r_s —
+    the same (id, seed)-only decision every sampler here uses, so the
+    mix survives reprocessing.
+
+    Emits one AUDIT row per source: corpus docs/tokens, the pinned
+    share, epochs, the remainder rate, the remainder pass's actual
+    doc/token counts (from the real selection, not an expectation),
+    the realized total token mass ``epochs·T_s + rem_toks`` and its
+    realized share of the budget in thousandths.
+
+    Sources missing from ``shares_pct`` are dropped (explicit mixture
+    spec); shares are integer PERCENT so the spec is engine-exact.
+
+    Scale shape: one source-keyed token agg (#sources rows — the
+    metadata class), the shares table broadcast back, the remainder
+    decision a pure projection, one final source-keyed agg.  Nothing
+    data-sized crosses a window."""
+    if not shares_pct:
+        raise ValueError("shares_pct must be non-empty")
+    for s, p in shares_pct.items():
+        if int(p) != p or p < 0:
+            raise ValueError(f"share for {s!r} must be int percent >= 0")
+    from parquet_editor_spark.functions.hashing import portable_bucket
+
+    spark = df.sparkSession
+    tokc = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("id"),
+        F.size(tokens(text_col)).cast("long").alias("n_toks"),
+    )
+    shares = spark.createDataFrame(
+        sorted((k, int(v)) for k, v in shares_pct.items()),
+        "source string, pct long",
+    )
+    stats = tokc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("toks"),
+    )
+    planned = (
+        stats.join(F.broadcast(shares), "source")
+        .withColumn(
+            "desired",
+            (F.lit(int(budget_tokens)) * F.col("pct") - F.pmod(
+                F.lit(int(budget_tokens)) * F.col("pct"), F.lit(100)
+            )) / 100,
+        )
+        .withColumn("desired", F.col("desired").cast("long"))
+        .withColumn(
+            "epochs",
+            F.when(
+                F.col("toks") > 0,
+                (F.col("desired") - F.pmod(
+                    F.col("desired"), F.col("toks")
+                )) / F.col("toks"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "rem_millis",
+            F.when(
+                F.col("toks") > 0,
+                ((F.col("desired") - F.col("epochs") * F.col("toks"))
+                 * 1000
+                 - F.pmod(
+                     (F.col("desired")
+                      - F.col("epochs") * F.col("toks")) * 1000,
+                     F.col("toks"),
+                 )) / F.col("toks"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    bucket = portable_bucket("id", seed, 1000)
+    rem = (
+        tokc.join(
+            F.broadcast(planned.select("source", "rem_millis")),
+            "source",
+        )
+        .filter(bucket < F.col("rem_millis"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("rem_docs"),
+            F.sum("n_toks").cast("long").alias("rem_toks"),
+        )
+    )
+    return (
+        planned.join(rem, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "toks",
+            "pct",
+            "epochs",
+            "rem_millis",
+            F.coalesce("rem_docs", F.lit(0).cast("long")).alias(
+                "rem_docs"
+            ),
+            F.coalesce("rem_toks", F.lit(0).cast("long")).alias(
+                "rem_toks"
+            ),
+            (
+                F.col("epochs") * F.col("toks")
+                + F.coalesce("rem_toks", F.lit(0).cast("long"))
+            ).alias("total_toks"),
+        )
+        .withColumn(
+            "realized_millis",
+            ((F.col("total_toks") * 1000) - F.pmod(
+                F.col("total_toks") * 1000, F.lit(int(budget_tokens))
+            )) / F.lit(int(budget_tokens)),
+        )
+        .withColumn(
+            "realized_millis", F.col("realized_millis").cast("long")
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

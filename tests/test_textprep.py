@@ -1322,3 +1322,38 @@ def test_byte_bpe_validates_merge_list(spark):
         TP.byte_bpe_tokenize(
             df, "doc_id", "t", [("a", "b"), ("a", "b")]
         )
+
+
+def test_mixture_epochs_integer_plan(spark):
+    """Integer plan arithmetic against hand-computed values, plus the
+    deterministic remainder selection (same (id, seed) hash as
+    hash_split)."""
+    rows = [(i, "s0" if i < 10 else "s1", "a b c d e") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, src string, t string")
+    out = {
+        r["source"]: r
+        for r in TP.mixture_epochs(
+            df, "src", "id", "t", {"s0": 75, "s1": 25},
+            budget_tokens=1000,
+        ).collect()
+    }
+    # s0: 10 docs x 5 toks = 50; desired 750 -> 15 epochs, rem 0
+    assert out["s0"]["toks"] == 50
+    assert out["s0"]["epochs"] == 15
+    assert out["s0"]["rem_millis"] == 0
+    assert out["s0"]["total_toks"] == 750
+    # s1: 30 docs x 5 = 150; desired 250 -> 1 epoch, rem 100/150
+    assert out["s1"]["epochs"] == 1
+    assert out["s1"]["rem_millis"] == (100 * 1000) // 150
+    # remainder selection is the portable bucket — recompute
+    want = sum(
+        1 for i in range(10, 40)
+        if ((i % 1000003) * 2654435761 + 40503) % 4294967296 % 1000
+        < out["s1"]["rem_millis"]
+    )
+    assert out["s1"]["rem_docs"] == want
+    assert out["s1"]["total_toks"] == 150 + out["s1"]["rem_toks"]
+    with pytest.raises(ValueError, match="non-empty"):
+        TP.mixture_epochs(df, "src", "id", "t", {}, 10)
+    with pytest.raises(ValueError, match="int percent"):
+        TP.mixture_epochs(df, "src", "id", "t", {"s0": 0.5}, 10)
