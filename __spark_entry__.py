@@ -63,57 +63,57 @@ def _revenue_exact() -> "F.Column":
 #: them.  Ends at: c2 (cluster, final centroid DOUBLE[64]),
 #: cnt (cluster, n points of the final assignment), e (vec_id, v).
 _ORACLE_KMEANS_CELLS = """
-            e AS (
+            e AS MATERIALIZED (
                 SELECT vec_id, embedding::DOUBLE[64] AS v
                 FROM embeddings
-            ), c0 AS (
+            ), c0 AS MATERIALIZED (
                 SELECT vec_id::INT AS c, v FROM e WHERE vec_id < 8
-            ), d1 AS (
+            ), d1 AS MATERIALIZED (
                 SELECT e.vec_id, c0.c,
                        round(array_inner_product(e.v, e.v)
                              + array_inner_product(c0.v, c0.v)
                              - 2 * array_inner_product(e.v, c0.v),
                              6) AS d
                 FROM e, c0
-            ), a1 AS (
+            ), a1 AS MATERIALIZED (
                 SELECT vec_id, c FROM (
                     SELECT vec_id, c,
                            row_number() OVER (PARTITION BY vec_id
                                               ORDER BY d, c) AS rn
                     FROM d1) WHERE rn = 1
-            ), m1 AS (
+            ), m1 AS MATERIALIZED (
                 SELECT a1.c, g.dim, round(avg(e.v[g.dim]), 6) AS m
                 FROM a1 JOIN e USING (vec_id),
                      (SELECT unnest(range(1, 65)) AS dim) g
                 GROUP BY a1.c, g.dim
-            ), c1 AS (
+            ), c1 AS MATERIALIZED (
                 SELECT c0.c,
                        (COALESCE(mm.w, c0.v::DOUBLE[]))::DOUBLE[64]
                            AS v
                 FROM c0 LEFT JOIN (
                     SELECT c, list(m ORDER BY dim) AS w
                     FROM m1 GROUP BY c) mm USING (c)
-            ), d2 AS (
+            ), d2 AS MATERIALIZED (
                 SELECT e.vec_id, c1.c,
                        round(array_inner_product(e.v, e.v)
                              + array_inner_product(c1.v, c1.v)
                              - 2 * array_inner_product(e.v, c1.v),
                              6) AS d
                 FROM e, c1
-            ), a2 AS (
+            ), a2 AS MATERIALIZED (
                 SELECT vec_id, c FROM (
                     SELECT vec_id, c,
                            row_number() OVER (PARTITION BY vec_id
                                               ORDER BY d, c) AS rn
                     FROM d2) WHERE rn = 1
-            ), cnt AS (
+            ), cnt AS MATERIALIZED (
                 SELECT c, count(*)::BIGINT AS n FROM a2 GROUP BY c
-            ), m2 AS (
+            ), m2 AS MATERIALIZED (
                 SELECT a2.c, g.dim, round(avg(e.v[g.dim]), 6) AS m
                 FROM a2 JOIN e USING (vec_id),
                      (SELECT unnest(range(1, 65)) AS dim) g
                 GROUP BY a2.c, g.dim
-            ), c2 AS (
+            ), c2 AS MATERIALIZED (
                 SELECT c1.c,
                        (COALESCE(mm.w, c1.v::DOUBLE[]))::DOUBLE[64]
                            AS v
@@ -13499,58 +13499,58 @@ def oracle_sql() -> dict[str, str]:
             )
 
         return f"""
-            {p}e AS (
+            {p}e AS MATERIALIZED (
                 SELECT vec_id,
                        (({arr})[{lo}:{hi}])::DOUBLE[16]
                            AS v
                 FROM {src}
-            ), {p}c0 AS (
+            ), {p}c0 AS MATERIALIZED (
                 SELECT vec_id::INT AS c, v FROM {p}e WHERE vec_id < 8
-            ), {p}d1 AS (
+            ), {p}d1 AS MATERIALIZED (
                 SELECT {p}e.vec_id, {p}c0.c, {dist(p + "c0")} AS d
                 FROM {p}e, {p}c0
-            ), {p}a1 AS (
+            ), {p}a1 AS MATERIALIZED (
                 SELECT vec_id, c FROM (
                     SELECT vec_id, c,
                            row_number() OVER (PARTITION BY vec_id
                                               ORDER BY d, c) AS rn
                     FROM {p}d1) WHERE rn = 1
-            ), {p}m1 AS (
+            ), {p}m1 AS MATERIALIZED (
                 SELECT {p}a1.c, g.dim,
                        round(avg({p}e.v[g.dim]), 6) AS m
                 FROM {p}a1 JOIN {p}e USING (vec_id),
                      (SELECT unnest(range(1, 17)) AS dim) g
                 GROUP BY {p}a1.c, g.dim
-            ), {p}c1 AS (
+            ), {p}c1 AS MATERIALIZED (
                 SELECT {p}c0.c,
                        (COALESCE(mm.w, {p}c0.v::DOUBLE[]))::DOUBLE[16]
                            AS v
                 FROM {p}c0 LEFT JOIN (
                     SELECT c, list(m ORDER BY dim) AS w
                     FROM {p}m1 GROUP BY c) mm USING (c)
-            ), {p}d2 AS (
+            ), {p}d2 AS MATERIALIZED (
                 SELECT {p}e.vec_id, {p}c1.c, {dist(p + "c1")} AS d
                 FROM {p}e, {p}c1
-            ), {p}a2 AS (
+            ), {p}a2 AS MATERIALIZED (
                 SELECT vec_id, c FROM (
                     SELECT vec_id, c,
                            row_number() OVER (PARTITION BY vec_id
                                               ORDER BY d, c) AS rn
                     FROM {p}d2) WHERE rn = 1
-            ), {p}m2 AS (
+            ), {p}m2 AS MATERIALIZED (
                 SELECT {p}a2.c, g.dim,
                        round(avg({p}e.v[g.dim]), 6) AS m
                 FROM {p}a2 JOIN {p}e USING (vec_id),
                      (SELECT unnest(range(1, 17)) AS dim) g
                 GROUP BY {p}a2.c, g.dim
-            ), {p}c2 AS (
+            ), {p}c2 AS MATERIALIZED (
                 SELECT {p}c1.c,
                        (COALESCE(mm.w, {p}c1.v::DOUBLE[]))::DOUBLE[16]
                            AS v
                 FROM {p}c1 LEFT JOIN (
                     SELECT c, list(m ORDER BY dim) AS w
                     FROM {p}m2 GROUP BY c) mm USING (c)
-            ), {p}asg AS (
+            ), {p}asg AS MATERIALIZED (
                 SELECT vec_id, c AS code, d FROM (
                     SELECT {p}e.vec_id, {p}c2.c, {dist(p + "c2")} AS d,
                            row_number() OVER (PARTITION BY {p}e.vec_id
@@ -13688,7 +13688,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, cell,
                    ((v::DOUBLE[])[{lo}:{hi}])::DOUBLE[16] AS v
             FROM qres
-        ), ivqd{s} AS (
+        ), ivqd{s} AS MATERIALIZED (
             SELECT q.qid, q.cell, c.c AS code,
                    round(array_inner_product(q.v, q.v)
                          + array_inner_product(c.v, c.v)
@@ -13700,7 +13700,7 @@ def oracle_sql() -> dict[str, str]:
         "WITH "
         + _ORACLE_KMEANS_CELLS
         + """
-        , ivasg AS (
+        , ivasg AS MATERIALIZED (
             SELECT vec_id, c AS cell FROM (
                 SELECT e.vec_id, c2.c,
                        row_number() OVER (PARTITION BY e.vec_id
@@ -13710,7 +13710,7 @@ def oracle_sql() -> dict[str, str]:
                                - 2 * array_inner_product(e.v, c2.v),
                                  6), c2.c) AS rn
                 FROM e, c2) WHERE rn = 1
-        ), ivres AS (
+        ), ivres AS MATERIALIZED (
             SELECT e.vec_id,
                    list_transform(range(1, 65),
                                   i -> e.v[i] - cc.v[i]) AS v
@@ -13722,7 +13722,7 @@ def oracle_sql() -> dict[str, str]:
             for s in range(4)
         )
         + """
-        , qprobe AS (
+        , qprobe AS MATERIALIZED (
             SELECT qid, cell FROM (
                 SELECT q.vec_id AS qid, c2.c AS cell,
                        row_number() OVER (PARTITION BY q.vec_id
@@ -13732,7 +13732,7 @@ def oracle_sql() -> dict[str, str]:
                                - 2 * array_inner_product(q.v, c2.v),
                                  6), c2.c) AS rn
                 FROM e q, c2 WHERE q.vec_id < 10) WHERE rn <= 3
-        ), qres AS (
+        ), qres AS MATERIALIZED (
             SELECT p.qid, p.cell,
                    list_transform(range(1, 65),
                                   i -> q.v[i] - cc.v[i]) AS v
@@ -13742,7 +13742,7 @@ def oracle_sql() -> dict[str, str]:
         ), """
         + ", ".join(_ivqd(s) for s in range(4))
         + """
-        , ivsc AS (
+        , ivsc AS MATERIALIZED (
             SELECT q0.qid, a0.vec_id AS neighbor_id,
                    round(q0.d + q1.d + q2.d + q3.d, 6) AS adc
             FROM qprobe qp
