@@ -484,6 +484,13 @@ def test_pipeline_curation_v5_plan_shape(spark, sf_dir):
 
     from parquet_editor_spark.plans.explain import formatted_plan
 
+    # measure from a fresh cache state: if an earlier test already
+    # MATERIALIZED the shared post-cap boundary (r14: building
+    # pipeline_curation_v9 eagerly checkpoints through it), the
+    # formatted plan prints the realized InMemoryRelation's whole
+    # cached subtree and the gen() count below would double-count —
+    # a printing artifact, not a plan regression
+    spark.catalog.clearCache()
     df = M.queries()["pipeline_curation_v5"](spark, sf_dir)
     plan = formatted_plan(df)
     # codec ingest appears exactly once (inside the cached subtree)
@@ -579,6 +586,9 @@ def test_pipeline_curation_v8_plan_shape(spark, sf_dir):
 
     from parquet_editor_spark.plans.explain import formatted_plan
 
+    # fresh cache state — same printing artifact the v5 test guards
+    # (an earlier v9 build materializes the shared boundary)
+    spark.catalog.clearCache()
     df = M.queries()["pipeline_curation_v8"](spark, sf_dir)
     plan = formatted_plan(df)
     assert plan.count("gen(doc_id") <= 2, plan.count("gen(doc_id")
