@@ -9860,6 +9860,43 @@ def q_ivfadc_recall_bound(
     )
 
 
+def q_ivfadc_index_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVFADC index-lifecycle round-trip (r14 — ``sim.ivfadc_build`` /
+    ``ivfadc_topk_indexed``, the ops half of the composition: train
+    once, persist, serve query batches against the STORED index):
+    build the index (centroids + codebooks + cell-PARTITIONED codes,
+    three parquet relations), load it back, and answer the same 10
+    fixture queries.  Unlike ``ivf_index_roundtrip`` (whose pyspark.ml
+    quantizer forces a boolean self-comparison), the whole IVFADC
+    chain is engine-exact, so the STORED-index query result checks
+    against the SAME closed-form oracle as the fit-inline
+    ``ivfadc_topk`` — the differential crosses the parquet boundary:
+    a byte lost in centroid/codebook/code persistence diverges.
+
+    Scale shape: the build pays the one-time fit/encode cost
+    (`ivfadc_topk`'s audited plan + three writes, codes partitioned
+    by cell so the serve path's probe filter prunes directories);
+    the query side is the broadcast-probe cell join over the LOADED
+    codes — no training work at serve time."""
+    import tempfile
+
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 10)
+    tmp = tempfile.mkdtemp(prefix="pes_ivfadc_")
+    S.ivfadc_build(
+        emb, tmp, "vec_id", "embedding", m=4, k=8, n_cells=8,
+        iters=2, round_to=6, cell_round=6,
+    )
+    return S.ivfadc_topk_indexed(
+        spark, tmp, qset, "vec_id", "embedding", topk=5, nprobe=3,
+        round_to=6, cell_round=6,
+    ).orderBy("query_id", "rank")
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed k-means (``kmeans_lloyd``, new r9 —
     behind-window debut for the r10 rotation): 2 full Lloyd
@@ -12794,6 +12831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # signal yet — heads the r15 rotation with the 11 remaining
         # r8-stale entries after it), then newer-signal entries -----
         "mixture_epochs_docs": q_mixture_epochs_docs,
+        "ivfadc_index_roundtrip": q_ivfadc_index_roundtrip,
         # --- FIRST the 11 remaining r8-stale
         # entries (the r15 rotation head), then newer-signal
         # entries, probes and no-oracle sampling entries last ----
@@ -17363,6 +17401,10 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk_adc": pq_adc_oracle,
         "pq_recall_bound": pq_recall_oracle,
         "ivfadc_topk": ivfadc_oracle,
+        # the stored-index query ranks byte-identically to the
+        # fit-inline chain, so the SAME closed-form oracle checks it
+        # across the parquet persistence boundary (r14)
+        "ivfadc_index_roundtrip": ivfadc_oracle,
         "ivfadc_recall_bound": ivfadc_recall_oracle,
         "crawl_frontier_v2": """
             WITH ol AS (

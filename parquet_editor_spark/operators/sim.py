@@ -769,6 +769,32 @@ def ivfadc_topk(
     by cell the scan itself prunes; the final window ranks candidate
     rows only.  No data-sized shuffle anywhere but the candidate
     rank."""
+    encoded, cents, books = _ivfadc_fit(
+        corpus, id_col, vec_col, m=m, k=k, n_cells=n_cells,
+        iters=iters, round_to=round_to, cell_round=cell_round,
+    )
+    return _ivfadc_search(
+        encoded, cents, books, queries, id_col, vec_col,
+        topk=topk, nprobe=nprobe, round_to=round_to,
+        cell_round=cell_round,
+    )
+
+
+def _ivfadc_fit(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k: int,
+    n_cells: int,
+    iters: int,
+    round_to: int,
+    cell_round: int,
+) -> tuple[DataFrame, list, list]:
+    """Train/encode half of :func:`ivfadc_topk`: returns
+    ``(encoded, cents, books)`` — the cell-tagged PQ codes frame
+    (``id, __cell, code_0…, recon_err``) plus the two metadata
+    tables an index build persists."""
     vec = F.col(vec_col).cast("array<double>")
     cents_rows = kmeans_lloyd(
         corpus, id_col, vec_col, k=n_cells, iters=iters,
@@ -779,7 +805,6 @@ def ivfadc_topk(
     dim = len(cents[0])
     if m < 1 or dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
 
     # corpus → cell tag + residual, one codegen projection
     cent_lit = F.array(
@@ -806,7 +831,29 @@ def ivfadc_topk(
         tagged, id_col, "__res", m=m, k=k, iters=iters,
         round_to=round_to, keep_cols=("__cell",),
     )
+    return encoded, cents, books
 
+
+def _ivfadc_search(
+    encoded: DataFrame,
+    cents: list,
+    books: list,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    topk: int,
+    nprobe: int,
+    round_to: int,
+    cell_round: int,
+) -> DataFrame:
+    """Query half of :func:`ivfadc_topk` over a fitted (or LOADED)
+    index: probe-cell ranking and the per-(query, cell) residual
+    distance tables compute driver-side from the metadata tables,
+    enter the plan as a broadcast probe frame, and join the encoded
+    corpus ON THE CELL KEY."""
+    m = len(books)
+    sub = len(books[0][0])
+    vec = F.col(vec_col).cast("array<double>")
     # probe table: |Q|·nprobe rows of bounded metadata — per probed
     # cell, the query's RESIDUAL distance table vs each codebook
     qrows = queries.select(
@@ -844,7 +891,7 @@ def ivfadc_topk(
                 for s in range(m)
             ]
             probe_rows.append((int(r["qid"]), int(ci), *tabs))
-    probes = corpus.sparkSession.createDataFrame(
+    probes = queries.sparkSession.createDataFrame(
         probe_rows,
         "qid long, __cell int, "
         + ", ".join(f"t{s} array<double>" for s in range(m)),
@@ -874,6 +921,93 @@ def ivfadc_topk(
         cand.withColumn("rank", rank)
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "neighbor_id", "adc_dist")
+    )
+
+
+def ivfadc_build(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    n_cells: int = 8,
+    iters: int = 2,
+    round_to: int = 6,
+    cell_round: int = 6,
+) -> None:
+    """Build and PERSIST an IVFADC index (r14 — the index-lifecycle
+    half of :func:`ivfadc_topk`, mirroring :func:`ivf_build`): three
+    parquet relations under ``path`` — ``centroids/`` (cell,
+    centroid), ``codebooks/`` (subspace, code, centroid) and
+    ``codes/`` (id, codes, recon_err) PARTITIONED BY CELL.  At 100 TB
+    the expensive steps are the k-means fit, the residual pass and
+    the PQ encode — all one-time build cost here; a query batch then
+    probes nprobe cells of the partitioned codes layout, so the scan
+    itself prunes to the probed directories (the compressed codes are
+    16–32× smaller than the vectors on top).  Queries against the
+    stored index rank byte-identically to the fit-inline
+    :func:`ivfadc_topk` (doubles round-trip parquet exactly; pinned
+    by test)."""
+    encoded, cents, books = _ivfadc_fit(
+        corpus, id_col, vec_col, m=m, k=k, n_cells=n_cells,
+        iters=iters, round_to=round_to, cell_round=cell_round,
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (s, ci, c)
+            for s, cb in enumerate(books)
+            for ci, c in enumerate(cb)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    encoded.withColumnRenamed("__cell", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/codes")
+
+
+def ivfadc_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 5,
+    nprobe: int = 3,
+    round_to: int = 6,
+    cell_round: int = 6,
+) -> DataFrame:
+    """Query a persisted :func:`ivfadc_build` index — byte-identical
+    ranking to the fit-inline :func:`ivfadc_topk` (same probe
+    arithmetic over the same metadata, loaded instead of trained).
+    The probe join lands on the cell PARTITION column of the stored
+    codes layout, so the scan prunes to the probed directories —
+    the serve-path economics the build pays for."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    by_c = {int(r["cell"]): list(r["centroid"]) for r in cent_rows}
+    cents = [[float(x) for x in by_c[i]] for i in range(len(by_c))]
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    n_sub = 1 + max(int(r["subspace"]) for r in book_rows)
+    books: list = [dict() for _ in range(n_sub)]
+    for r in book_rows:
+        books[int(r["subspace"])][int(r["code"])] = [
+            float(x) for x in r["centroid"]
+        ]
+    books = [
+        [bk[i] for i in range(len(bk))] for bk in books
+    ]
+    encoded = spark.read.parquet(f"{path}/codes").withColumnRenamed(
+        "cell", "__cell"
+    )
+    return _ivfadc_search(
+        encoded, cents, books, queries, id_col, vec_col,
+        topk=topk, nprobe=nprobe, round_to=round_to,
+        cell_round=cell_round,
     )
 
 

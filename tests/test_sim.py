@@ -515,3 +515,47 @@ def test_ivfadc_plan_is_cell_pruned_broadcast_join(spark):
     assert joins, f"no cell-keyed broadcast join in plan:\n{plan}"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfadc_indexed_matches_inline(spark, tmp_path):
+    """r14: queries against the PERSISTED IVFADC index must rank
+    byte-identically to the fit-inline chain (centroids, codebooks
+    and codes round-trip parquet exactly), and the codes relation is
+    laid out partitioned by cell so the serve path can prune."""
+    import os
+    import random
+
+    from parquet_editor_spark.operators.sim import (
+        ivfadc_build,
+        ivfadc_topk,
+        ivfadc_topk_indexed,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = df.filter("vec_id < 4")
+    path = str(tmp_path / "ivfadc")
+    ivfadc_build(df, path, m=4, k=4, n_cells=4, iters=2)
+    inline = ivfadc_topk(
+        df, q, m=4, k=4, topk=5, n_cells=4, nprobe=2, iters=2
+    ).collect()
+    indexed = ivfadc_topk_indexed(
+        spark, path, q, topk=5, nprobe=2
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"])
+        for r in inline
+    ) == sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"])
+        for r in indexed
+    )
+    cells = [
+        d for d in os.listdir(f"{path}/codes") if d.startswith("cell=")
+    ]
+    assert len(cells) >= 2, cells
