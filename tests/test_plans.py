@@ -754,3 +754,43 @@ def test_crawl_frontier_v5_plan_shape(spark, sf_dir):
     ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
     assert len(ex) <= 120, len(ex)
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_byte_bpe_fallback_plan_is_single_pass(spark, sf_dir):
+    """r14: byte-level tokenization is ONE Arrow mapInPandas pass +
+    projections — the only exchange in the whole plan is the ordered
+    output's range sort; nothing hash-shuffles and nothing collapses
+    to a single partition."""
+    import re
+
+    import __spark_entry__ as M
+
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    df = M.queries()["bpe_byte_fallback_docs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    ex = re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)
+    assert len(ex) <= 1, plan  # the orderBy range exchange only
+
+
+def test_dpo_pack_plan_shape(spark, sf_dir):
+    """r14: preference-pair packing = turn explode + Arrow tokenizer
+    (no row-at-a-time Python), the bucketed prefix-sum pack, and one
+    pair-keyed hash self-join for orphan flags; single-partition
+    frames are only the pack's one-row-per-bucket offsets windows."""
+    import re
+
+    import __spark_entry__ as M
+
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    df = M.queries()["dpo_pack_docs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time UDF
+    # two pack runs (blocks + placement) → at most their two
+    # metadata-scale offsets windows collapse
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+    ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
+    assert len(ex) <= 26, sorted(ex)
