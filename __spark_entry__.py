@@ -8509,6 +8509,35 @@ def q_mixture_epochs_docs(
     ).orderBy("source")
 
 
+def q_packing_efficiency_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Packing-efficiency audit (r14 — ``textprep.packing_efficiency``,
+    the block-size / overflow-policy selection report: padding is
+    wasted compute, truncation and drops are wasted data, and the
+    trade-off flips with block size): the pinned-BPE token stream
+    audited under all three overflow policies × block sizes 48 and
+    192 — six exact-integer rows of (docs placed, blocks, real ids,
+    padding slots, dropped ids, utilization in thousandths).  The
+    oracle recomputes every configuration from the single-stream
+    cumsum closed-form.
+
+    Scale shape: one placement plan per configuration, each reduced
+    to a one-row aggregate — the report is #configs rows of
+    metadata."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _bpe_norm("text").alias("norm")
+    )
+    toks = TP.bpe_tokenize(
+        docs, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
+    )
+    return TP.packing_efficiency(
+        toks, "id", "input_ids", [48, 192]
+    ).orderBy("policy", "block_tokens")
+
+
 def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level dedup (``dedup.line_dedup``, new r10):
     every doc gets two INJECTED boilerplate lines (a per-bucket promo
@@ -12832,6 +12861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8-stale entries after it), then newer-signal entries -----
         "mixture_epochs_docs": q_mixture_epochs_docs,
         "ivfadc_index_roundtrip": q_ivfadc_index_roundtrip,
+        "packing_efficiency_docs": q_packing_efficiency_docs,
         # --- FIRST the 11 remaining r8-stale
         # entries (the r15 rotation head), then newer-signal
         # entries, probes and no-oracle sampling entries last ----
@@ -17067,6 +17097,131 @@ def oracle_sql() -> dict[str, str]:
                      * 1000) // 60000)::BIGINT AS realized_millis
             FROM pl LEFT JOIN rm ON rm.source = pl.source
             ORDER BY pl.source
+        """,
+        "packing_efficiency_docs": f"""
+            WITH t AS ({_ORACLE_BPE_IDS}), c AS (
+                SELECT doc_id, len(ids)::BIGINT AS n,
+                       COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM t
+            ), raw AS (
+            SELECT 'wrap' AS policy, 48::BIGINT AS block_tokens,
+                   (SELECT COUNT(*) FROM t)::BIGINT AS n_docs,
+                   COUNT(*) FILTER (WHERE n > 0)::BIGINT
+                       AS n_docs_placed,
+                   CASE WHEN SUM(n) > 0
+                        THEN (SUM(n) + 48 - 1) // 48 ELSE 0
+                   END::BIGINT AS n_blocks,
+                   COALESCE(SUM(n), 0)::BIGINT AS n_real_ids,
+                   (CASE WHEN SUM(n) > 0
+                         THEN (SUM(n) + 48 - 1) // 48 ELSE 0 END
+                    * 48 - COALESCE(SUM(n), 0))::BIGINT AS n_padding,
+                   0::BIGINT AS n_dropped_ids
+            FROM c
+            UNION ALL
+            SELECT 'wrap' AS policy, 192::BIGINT AS block_tokens,
+                   (SELECT COUNT(*) FROM t)::BIGINT AS n_docs,
+                   COUNT(*) FILTER (WHERE n > 0)::BIGINT
+                       AS n_docs_placed,
+                   CASE WHEN SUM(n) > 0
+                        THEN (SUM(n) + 192 - 1) // 192 ELSE 0
+                   END::BIGINT AS n_blocks,
+                   COALESCE(SUM(n), 0)::BIGINT AS n_real_ids,
+                   (CASE WHEN SUM(n) > 0
+                         THEN (SUM(n) + 192 - 1) // 192 ELSE 0 END
+                    * 192 - COALESCE(SUM(n), 0))::BIGINT AS n_padding,
+                   0::BIGINT AS n_dropped_ids
+            FROM c
+            UNION ALL
+            SELECT 'truncate', 48::BIGINT,
+                   (SELECT COUNT(*) FROM t)::BIGINT,
+                   COUNT(*) FILTER (WHERE n > 0)::BIGINT,
+                   COUNT(DISTINCT CASE WHEN n > 0 THEN o // 48 END)
+                       ::BIGINT,
+                   COALESCE(SUM(least(n, (o // 48 + 1) * 48 - o))
+                            FILTER (WHERE n > 0), 0)::BIGINT,
+                   (COUNT(DISTINCT CASE WHEN n > 0 THEN o // 48 END)
+                        * 48
+                    - COALESCE(SUM(least(n, (o // 48 + 1) * 48 - o))
+                               FILTER (WHERE n > 0), 0))::BIGINT,
+                   (COALESCE(SUM(n), 0)
+                    - COALESCE(SUM(least(n, (o // 48 + 1) * 48 - o))
+                               FILTER (WHERE n > 0), 0))::BIGINT
+            FROM c
+            UNION ALL
+            SELECT 'truncate', 192::BIGINT,
+                   (SELECT COUNT(*) FROM t)::BIGINT,
+                   COUNT(*) FILTER (WHERE n > 0)::BIGINT,
+                   COUNT(DISTINCT CASE WHEN n > 0 THEN o // 192 END)
+                       ::BIGINT,
+                   COALESCE(SUM(least(n, (o // 192 + 1) * 192 - o))
+                            FILTER (WHERE n > 0), 0)::BIGINT,
+                   (COUNT(DISTINCT CASE WHEN n > 0 THEN o // 192 END)
+                        * 192
+                    - COALESCE(SUM(least(n, (o // 192 + 1) * 192 - o))
+                               FILTER (WHERE n > 0), 0))::BIGINT,
+                   (COALESCE(SUM(n), 0)
+                    - COALESCE(SUM(least(n, (o // 192 + 1) * 192 - o))
+                               FILTER (WHERE n > 0), 0))::BIGINT
+            FROM c
+            UNION ALL
+            SELECT 'drop', 48::BIGINT,
+                   (SELECT COUNT(*) FROM t)::BIGINT,
+                   COUNT(*) FILTER (
+                       WHERE n > 0 AND o // 48 = (o + n - 1) // 48)
+                       ::BIGINT,
+                   COUNT(DISTINCT CASE
+                       WHEN n > 0 AND o // 48 = (o + n - 1) // 48
+                       THEN o // 48 END)::BIGINT,
+                   COALESCE(SUM(n) FILTER (
+                       WHERE n > 0 AND o // 48 = (o + n - 1) // 48),
+                       0)::BIGINT,
+                   (COUNT(DISTINCT CASE
+                        WHEN n > 0 AND o // 48 = (o + n - 1) // 48
+                        THEN o // 48 END) * 48
+                    - COALESCE(SUM(n) FILTER (
+                        WHERE n > 0
+                          AND o // 48 = (o + n - 1) // 48), 0))
+                       ::BIGINT,
+                   (COALESCE(SUM(n), 0) - COALESCE(SUM(n) FILTER (
+                       WHERE n > 0
+                         AND o // 48 = (o + n - 1) // 48), 0))
+                       ::BIGINT
+            FROM c
+            UNION ALL
+            SELECT 'drop', 192::BIGINT,
+                   (SELECT COUNT(*) FROM t)::BIGINT,
+                   COUNT(*) FILTER (
+                       WHERE n > 0 AND o // 192 = (o + n - 1) // 192)
+                       ::BIGINT,
+                   COUNT(DISTINCT CASE
+                       WHEN n > 0 AND o // 192 = (o + n - 1) // 192
+                       THEN o // 192 END)::BIGINT,
+                   COALESCE(SUM(n) FILTER (
+                       WHERE n > 0 AND o // 192 = (o + n - 1) // 192),
+                       0)::BIGINT,
+                   (COUNT(DISTINCT CASE
+                        WHEN n > 0 AND o // 192 = (o + n - 1) // 192
+                        THEN o // 192 END) * 192
+                    - COALESCE(SUM(n) FILTER (
+                        WHERE n > 0
+                          AND o // 192 = (o + n - 1) // 192), 0))
+                       ::BIGINT,
+                   (COALESCE(SUM(n), 0) - COALESCE(SUM(n) FILTER (
+                       WHERE n > 0
+                         AND o // 192 = (o + n - 1) // 192), 0))
+                       ::BIGINT
+            FROM c
+            )
+            SELECT policy, block_tokens, n_docs, n_docs_placed,
+                   n_blocks, n_real_ids, n_padding, n_dropped_ids,
+                   CASE WHEN n_blocks > 0
+                        THEN (n_real_ids * 1000)
+                             // (n_blocks * block_tokens)
+                        ELSE 0 END::BIGINT AS util_millis
+            FROM raw
+            ORDER BY policy, block_tokens
         """,
         "dpo_pack_docs": """
             WITH dd AS (

@@ -1767,6 +1767,93 @@ def stratified_exact_k(
     )
 
 
+def packing_efficiency(
+    df: DataFrame,
+    id_col: str,
+    ids_col: str,
+    block_tokens_list: list[int],
+    policies: tuple = ("wrap", "truncate", "drop"),
+) -> DataFrame:
+    """Packing-efficiency AUDIT (r14 — the block-size / overflow-
+    policy selection report a training-data owner reads before
+    freezing a packer config: padding is wasted compute, truncation
+    and drops are wasted data, and the trade-off flips with block
+    size): for every (policy, block_tokens) combination, run
+    :func:`pack_documents`' placement arithmetic and report docs
+    placed, blocks emitted, real ids, PADDING slots (block capacity
+    minus real ids — under ``truncate``/``drop`` a block whose
+    upstream docs were cut keeps its cumsum offsets, so padding is
+    real), dropped ids and the utilization in thousandths — all
+    exact integers.
+
+    Scale shape: one placement plan per configuration (the audited
+    bucketed prefix sum), each reduced to a ONE-ROW aggregate before
+    the union — #configs rows total, nothing data-sized crosses a
+    window beyond what the pack itself pays."""
+    if not block_tokens_list:
+        raise ValueError("block_tokens_list must be non-empty")
+    for p in policies:
+        if p not in ("wrap", "truncate", "drop"):
+            raise ValueError(f"unknown policy {p!r}")
+    counted = df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.col(ids_col).isNull(), F.lit(0))
+        .otherwise(F.size(ids_col))
+        .cast("long")
+        .alias("__n"),
+    )
+    totals = counted.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__n").cast("long").alias("n_ids_total"),
+    )
+    parts = []
+    for policy in policies:
+        for bt in block_tokens_list:
+            placed = pack_documents(
+                counted, "id", None, block_tokens=int(bt),
+                bucket_docs=4096, count_col="__n", overflow=policy,
+            )
+            agg = placed.agg(
+                F.count_distinct("id").cast("long").alias(
+                    "n_docs_placed"
+                ),
+                F.count_distinct("block_id").cast("long").alias(
+                    "n_blocks"
+                ),
+                F.sum("n_block_tokens").cast("long").alias(
+                    "n_real_ids"
+                ),
+            )
+            cap = F.col("n_blocks") * F.lit(int(bt))
+            util_num = F.col("n_real_ids") * 1000
+            parts.append(
+                agg.crossJoin(F.broadcast(totals)).select(
+                    F.lit(policy).alias("policy"),
+                    F.lit(int(bt)).cast("long").alias("block_tokens"),
+                    "n_docs",
+                    "n_docs_placed",
+                    "n_blocks",
+                    "n_real_ids",
+                    (cap - F.col("n_real_ids")).alias("n_padding"),
+                    (
+                        F.col("n_ids_total") - F.col("n_real_ids")
+                    ).alias("n_dropped_ids"),
+                    F.when(
+                        cap > 0,
+                        (
+                            (util_num - F.pmod(util_num, cap)) / cap
+                        ).cast("long"),
+                    )
+                    .otherwise(F.lit(0).cast("long"))
+                    .alias("util_millis"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def strip_common_shingles(
     df: DataFrame,
     id_col: str,
