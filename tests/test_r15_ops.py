@@ -1,0 +1,54 @@
+"""Behavioral pins for the r15 operators beyond the DuckDB
+differential: the stratified_ntile ≡ ntile equivalence across the
+edge cases the arithmetic must survive (ties, NULL scores, n < k,
+uneven tiles), the byte-BPE trainer/pre-split laws, multi-epoch
+materialization and IVFADC append."""
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as M
+
+    return M
+
+
+def test_stratified_ntile_equals_plain_ntile(spark):
+    """The bucket-keyed tercile arithmetic must be BIT-identical to
+    ntile() for every stratum size mod k, with tied scores and NULL
+    scores mixed in — the full edge surface of the fat-tile
+    boundary formula."""
+    from parquet_editor_spark.operators.textprep import (
+        stratified_ntile,
+    )
+
+    rows = []
+    rid = 0
+    # stratum sizes 1..13 cover every n mod 3 and n < k; scores are
+    # a tiny rounded grid so ties are dense; every 5th score is NULL
+    for s, n in enumerate([1, 2, 3, 4, 5, 7, 9, 13]):
+        for i in range(n):
+            score = None if i % 5 == 4 else round((i * 7) % 4 * 0.25, 2)
+            rows.append((f"s{s}", score, rid))
+            rid += 1
+    df = spark.createDataFrame(
+        rows, "stratum string, score double, rid long"
+    )
+    for k in (1, 2, 3, 4):
+        got = stratified_ntile(
+            df, "stratum", "score", "rid", n_tiles=k, tile_col="t"
+        )
+        w = Window.partitionBy("stratum").orderBy(
+            F.desc("score"), F.asc("rid")
+        )
+        want = df.withColumn("t", F.ntile(k).over(w))
+        g = {r["rid"]: r["t"] for r in got.collect()}
+        e = {r["rid"]: r["t"] for r in want.collect()}
+        assert g == e, (k, g, e)
