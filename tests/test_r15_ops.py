@@ -52,3 +52,29 @@ def test_stratified_ntile_equals_plain_ntile(spark):
         g = {r["rid"]: r["t"] for r in got.collect()}
         e = {r["rid"]: r["t"] for r in want.collect()}
         assert g == e, (k, g, e)
+
+
+def test_byte_bpe_presplit_contract(spark):
+    """r15: merges never cross a piece boundary.  Under the GPT-2
+    style split, a single space attaches to the following word (so
+    (' ','a') fires on 'x a'), but the second space of a run is part
+    of a whitespace piece (so it does NOT merge with the next word —
+    the exact boundary the unsplit r14 kernel violated)."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    merges = [
+        ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "r"),
+        ("e", "r"), (" ", "the"), (" ", "a"),
+    ]
+    df = spark.createDataFrame(
+        [(1, "x a"), (2, "x  a"), (3, "x\ta")],
+        "doc_id long, t string",
+    )
+    out = {
+        r["id"]: list(r["input_ids"])
+        for r in TP.byte_bpe_tokenize(df, "doc_id", "t", merges)
+        .collect()
+    }
+    assert out[1] == [ord("x"), 256 + 7]          # ' a' merged
+    assert out[2] == [ord("x"), 32, 32, ord("a")]  # run: no merge
+    assert out[3] == [ord("x"), 9, ord("a")]       # tab: no merge
