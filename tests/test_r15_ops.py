@@ -78,3 +78,62 @@ def test_byte_bpe_presplit_contract(spark):
     assert out[1] == [ord("x"), 256 + 7]          # ' a' merged
     assert out[2] == [ord("x"), 32, 32, ord("a")]  # run: no merge
     assert out[3] == [ord("x"), 9, ord("a")]       # tab: no merge
+
+
+def test_byte_bpe_trainer_laws(spark):
+    """Trainer output laws: every side is a single byte or an earlier
+    output (the tokenize validity condition — train → apply must
+    compose), pair counts are non-increasing under batch=1 exact
+    greedy, and the learned table round-trips text exactly through
+    byte_bpe_tokenize."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    texts = [
+        "the cat in the hat sat on the mat",
+        "café the test in the rain",
+        "試験 the thing and another thing",
+        "in the end the answer is in the air",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "txt string")
+    learned = sorted(
+        TP.byte_bpe_train(df, "txt", n_merges=6).collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    assert [r["merge_rank"] for r in learned] == list(
+        range(len(learned))
+    )
+    outs: set[str] = set()
+    prev = None
+    for r in learned:
+        for side in (r["lhs"], r["rhs"]):
+            assert len(side) == 1 or side in outs, r
+        outs.add(r["lhs"] + r["rhs"])
+        if prev is not None:
+            assert r["pair_count"] <= prev, learned
+        prev = r["pair_count"]
+    merges = [(r["lhs"], r["rhs"]) for r in learned]
+    toks = TP.byte_bpe_tokenize(
+        spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, t string"
+        ),
+        "doc_id",
+        "t",
+        merges,
+    ).collect()
+    assert all(r["exact"] == 1 for r in toks)
+    # merges actually fire: some id >= 256 in the tokenized corpus
+    assert any(x >= 256 for r in toks for x in r["input_ids"])
+
+
+def test_byte_bpe_trainer_validates_args(spark):
+    from parquet_editor_spark.operators import textprep as TP
+
+    df = spark.createDataFrame([("x",)], "txt string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        TP.byte_bpe_train(df, "txt", n_merges=0)
+    with _pt.raises(ValueError):
+        TP.byte_bpe_train(df, "txt", n_merges=1, batch=0)
+    with _pt.raises(ValueError):
+        TP.byte_bpe_placeholder(0xF8FF - 0xE400)
