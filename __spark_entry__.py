@@ -8609,6 +8609,82 @@ def q_mixture_epochs_docs(
     ).orderBy("source")
 
 
+#: epoch-major pack-order base for the materialized multi-epoch
+#: stream: pack_id = epoch·2^40 + doc_id — epochs concatenate in
+#: order, docs in id order within an epoch, and the id stays exact
+#: int64 far beyond any real doc-id space.
+_EPOCH_PACK_BASE = 1 << 40
+
+
+def q_mixture_epochs_pack_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-epoch corpus MATERIALIZATION + packing (r15 — the r14
+    verdict's Missing #3 done-condition: the audit's plan is
+    computed, now EMIT the repeated stream and pack it): the same
+    four-source 40/30/20/10 fixture and 60 000-token budget as
+    ``mixture_epochs_docs``, expanded by
+    ``textprep.mixture_epochs_expand`` into one row per (doc, epoch)
+    — integer full epochs plus the hash-selected remainder pass,
+    the SAME shared integer plan as the audit — then the pinned-BPE
+    token ids of each copy packed into 64-id training blocks in
+    epoch-major order (``pack_id = epoch·2^40 + doc_id``).  Block
+    md5s pin every epoch boundary (the stream order is part of the
+    hash) and ``doc_starts`` carries the attention-reset offsets —
+    the orphan-free pack audit.
+
+    Scale shape: plan broadcast, expansion a ``sequence``/``explode``
+    projection (no shuffle), the pack the audited bucketed prefix
+    sum — upsampling never funnels through a single task."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("src"), (F.col("doc_id") % 4).cast("string")
+        ).alias("source"),
+        "doc_id",
+        "text",
+        _bpe_norm("text").alias("norm"),
+    )
+    expanded = TP.mixture_epochs_expand(
+        docs,
+        "source",
+        "doc_id",
+        "text",
+        {"src0": 40, "src1": 30, "src2": 20, "src3": 10},
+        budget_tokens=60_000,
+    )
+    toks = TP.bpe_tokenize(
+        docs.select("doc_id", "norm"),
+        "doc_id",
+        "norm",
+        _BPE_MERGES,
+        _BPE_VOCAB,
+    )
+    stream = expanded.join(
+        toks.withColumnRenamed("id", "id_"),
+        expanded["id"] == F.col("id_"),
+    ).select(
+        (
+            F.col("epoch") * F.lit(_EPOCH_PACK_BASE) + F.col("id")
+        ).alias("pid"),
+        "input_ids",
+    )
+    blocks = TP.pack_id_blocks(
+        stream, "pid", "input_ids", block_tokens=64, bucket_docs=4096
+    )
+    ids_csv = F.array_join(
+        F.transform("input_ids", lambda x: x.cast("string")), ","
+    )
+    return blocks.select(
+        "block_id",
+        "n_docs",
+        "n_ids",
+        "doc_starts",
+        F.md5(F.encode(ids_csv, "utf-8")).alias("ids_md5"),
+    ).orderBy("block_id")
+
+
 def q_packing_efficiency_docs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -12908,6 +12984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_entry_contract.py pins the membership.
         "byte_bpe_train_docs": q_byte_bpe_train_docs,
         "train_tokenize_pack_v3": q_train_tokenize_pack_v3,
+        "mixture_epochs_pack_docs": q_mixture_epochs_pack_docs,
         "ivfadc_topk": q_ivfadc_topk,
         "ivfadc_recall_bound": q_ivfadc_recall_bound,
         "bpe_byte_fallback_docs": q_bpe_byte_fallback_docs,
@@ -17252,6 +17329,86 @@ def oracle_sql() -> dict[str, str]:
                      * 1000) // 60000)::BIGINT AS realized_millis
             FROM pl LEFT JOIN rm ON rm.source = pl.source
             ORDER BY pl.source
+        """,
+        "mixture_epochs_pack_docs": f"""
+            WITH d AS (
+                SELECT 'src' || CAST(doc_id % 4 AS VARCHAR) AS source,
+                       doc_id AS id,
+                       len(list_filter(
+                           string_split_regex(COALESCE(text, ''),
+                                              '\\s+'),
+                           x -> x <> ''))::BIGINT AS n_toks
+                FROM documents
+            ), sh AS (
+                SELECT * FROM (VALUES
+                    ('src0', 40), ('src1', 30),
+                    ('src2', 20), ('src3', 10)) AS t(source, pct)
+            ), st AS (
+                SELECT source, SUM(n_toks)::BIGINT AS toks
+                FROM d GROUP BY source
+            ), pl AS (
+                SELECT st.source,
+                       CASE WHEN toks > 0
+                            THEN ((60000 * pct) // 100) // toks
+                            ELSE 0 END AS epochs,
+                       CASE WHEN toks > 0
+                            THEN ((((60000 * pct) // 100) % toks)
+                                  * 1000) // toks
+                            ELSE 0 END AS rem_millis
+                FROM st JOIN sh USING (source)
+            ), t AS ({_ORACLE_BPE_IDS}), exp AS (
+                SELECT id, unnest(range(0, epochs)) AS epoch
+                FROM (SELECT d.id, pl.epochs
+                      FROM d JOIN pl USING (source)) j
+                UNION ALL
+                SELECT d.id, pl.epochs AS epoch
+                FROM d JOIN pl USING (source)
+                WHERE ((id % 1000003) * 2654435761 + 40503)
+                      % 4294967296 % 1000 < pl.rem_millis
+            ), s AS (
+                SELECT epoch * {_EPOCH_PACK_BASE} + exp.id AS pid,
+                       ids
+                FROM exp JOIN t ON t.doc_id = exp.id
+            ), c AS (
+                SELECT pid, ids, len(ids)::BIGINT AS n,
+                       COALESCE(SUM(len(ids)) OVER (ORDER BY pid
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM s
+            ), e AS (
+                SELECT pid, ids, n, o,
+                       unnest(range(o // 64,
+                                    (o + n - 1) // 64 + 1)) AS block_id
+                FROM c
+                WHERE n > 0
+            ), pp AS (
+                SELECT block_id,
+                       least(n, (block_id + 1) * 64 - o)
+                           - greatest(0, block_id * 64 - o) AS nb,
+                       greatest(0, o - block_id * 64) AS block_pos,
+                       greatest(0, block_id * 64 - o) AS tok_start,
+                       array_to_string(
+                           ids[greatest(0, block_id * 64 - o) + 1 :
+                               least(n, (block_id + 1) * 64 - o)],
+                           ',') AS piece
+                FROM e
+            ), b AS (
+                SELECT block_id,
+                       count(*)::BIGINT AS n_docs,
+                       sum(nb)::BIGINT AS n_ids,
+                       COALESCE(string_agg(
+                           CAST(block_pos AS VARCHAR), ',' ORDER BY
+                           block_pos) FILTER (WHERE tok_start = 0),
+                           '') AS doc_starts,
+                       string_agg(piece, ',' ORDER BY block_pos) AS csv
+                FROM pp
+                GROUP BY block_id
+            )
+            SELECT CAST(block_id AS BIGINT) AS block_id,
+                   n_docs, n_ids, doc_starts,
+                   md5(csv) AS ids_md5
+            FROM b
+            ORDER BY block_id
         """,
         "packing_efficiency_docs": f"""
             WITH t AS ({_ORACLE_BPE_IDS}), c AS (

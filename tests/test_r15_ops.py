@@ -137,3 +137,60 @@ def test_byte_bpe_trainer_validates_args(spark):
         TP.byte_bpe_train(df, "txt", n_merges=1, batch=0)
     with _pt.raises(ValueError):
         TP.byte_bpe_placeholder(0xF8FF - 0xE400)
+
+
+def test_mixture_epochs_expand_matches_audit(spark, entry, sf_dir):
+    """The materialized stream's per-source token mass must equal the
+    audit's realized total exactly (shared plan — audit ≡
+    materialization), with both regimes live on the fixture:
+    upsampling (epochs >= 1 -> doc copies) and downsampling
+    (epochs = 0 -> remainder subset only)."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    shares = {"src0": 40, "src1": 30, "src2": 20, "src3": 10}
+    docs = (
+        entry._t(spark, sf_dir, "documents")
+        .select(
+            F.concat(
+                F.lit("src"), (F.col("doc_id") % 4).cast("string")
+            ).alias("source"),
+            "doc_id",
+            "text",
+        )
+    )
+    audit = {
+        r["source"]: r
+        for r in TP.mixture_epochs(
+            docs, "source", "doc_id", "text", shares, 60_000
+        ).collect()
+    }
+    got = {
+        r["source"]: r
+        for r in TP.mixture_epochs_expand(
+            docs, "source", "doc_id", "text", shares, 60_000
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_toks").alias("toks"),
+            F.count("*").alias("rows"),
+            F.max("epoch").alias("max_epoch"),
+        )
+        .collect()
+    }
+    assert set(got) <= set(audit)
+    ups = downs = 0
+    for s, a in audit.items():
+        want = a["total_toks"]
+        if s not in got:
+            assert want == 0, (s, a)
+            continue
+        assert got[s]["toks"] == want, (s, got[s], a)
+        assert (
+            got[s]["rows"]
+            == a["epochs"] * a["n_docs"] + a["rem_docs"]
+        )
+        if a["epochs"] >= 1:
+            ups += 1
+        else:
+            downs += 1
+    assert ups >= 1 and downs >= 1, audit
