@@ -559,3 +559,73 @@ def test_ivfadc_indexed_matches_inline(spark, tmp_path):
         d for d in os.listdir(f"{path}/codes") if d.startswith("cell=")
     ]
     assert len(cells) >= 2, cells
+
+
+def test_ivfadc_append_matches_frozen_union(spark, tmp_path):
+    """r15: vectors appended under FROZEN centroids/codebooks must
+    rank byte-identically to encoding the union corpus inline under
+    the same frozen tables — no seam between built and appended
+    codes, and the appended cells land in the partitioned layout."""
+    import os
+    import random
+
+    from parquet_editor_spark.operators.sim import (
+        _ivfadc_fit,
+        _ivfadc_search,
+        _ivfadc_tag_residual,
+        _pq_assign_frozen,
+        ivfadc_append,
+        ivfadc_build,
+        ivfadc_topk_indexed,
+    )
+
+    rng = random.Random(41)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(90)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    base = df.filter("vec_id % 10 != 9")
+    newv = df.filter("vec_id % 10 = 9")
+    q = df.filter("vec_id < 4")
+    path = str(tmp_path / "ivfadc_app")
+    ivfadc_build(base, path, m=4, k=4, n_cells=4, iters=2)
+    ivfadc_append(spark, path, newv)
+    served = ivfadc_topk_indexed(
+        spark, path, q, topk=5, nprobe=2
+    ).collect()
+
+    enc_base, cents, books = _ivfadc_fit(
+        base, "vec_id", "embedding", m=4, k=4, n_cells=4,
+        iters=2, round_to=6, cell_round=6,
+    )
+    enc_new = _pq_assign_frozen(
+        _ivfadc_tag_residual(newv, cents, "vec_id", "embedding", 6),
+        "vec_id",
+        "__res",
+        books,
+        6,
+        keep_cols=("__cell",),
+    ).select(*enc_base.columns)
+    inline = _ivfadc_search(
+        enc_base.unionByName(enc_new), cents, books, q,
+        "vec_id", "embedding", topk=5, nprobe=2,
+        round_to=6, cell_round=6,
+    ).collect()
+    canon = lambda rs: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"])
+        for r in rs
+    )
+    assert canon(served) == canon(inline)
+    # the appended population is really in the stored layout (all 9
+    # held-out ids present exactly once) and competes in the serve
+    # ranking's candidate set
+    stored = spark.read.parquet(f"{path}/codes")
+    app_ids = sorted(
+        r["vec_id"]
+        for r in stored.filter("vec_id % 10 = 9").collect()
+    )
+    assert app_ids == [i for i in range(90) if i % 10 == 9]
+    assert stored.count() == 90
+    assert os.path.isdir(f"{path}/codes")
