@@ -268,12 +268,29 @@ def run_session() -> dict:
     # committer / empty scan), independent of any operator under test.
     # A future round divides its calibration by this round's to get the
     # box-drift factor before comparing query rows.
+    #
+    # r15 (the r14 bisect's finding, BENCH_NOTES.md): the denominator
+    # is a ~30 ms measurement and the old best-of-3 swung ±62% across
+    # idle-box runs, injecting its noise into every normalized row.
+    # Calibration is therefore the MEDIAN of 7 runs (robust location,
+    # not an extreme order statistic) — and the parent merges sessions
+    # by median too, while query rows keep their min-of-sessions.
+    def calib_median(fn, n: int = 7) -> float:
+        fn()  # warm-up
+        samples = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        return round(samples[n // 2], 4)
+
     calib = {
-        "noop_write_range100": timed(
+        "noop_write_range100": calib_median(
             lambda: spark.range(100).write.mode("overwrite")
             .format("noop").save()
         ),
-        "empty_count": timed(
+        "empty_count": calib_median(
             lambda: spark.range(0).filter("id < 0").count()
         ),
     }
@@ -387,8 +404,16 @@ def main() -> None:
     merged["queries"] = {
         q: min(r["queries"][q] for r in results) for q in sorted(qkeys)
     }
+    # median across sessions for calibration (stability over
+    # optimism — r15); min stays right for the query rows, where the
+    # noise is one-sided
+    import statistics
+
     merged["calibration"] = {
-        c: min(r["calibration"][c] for r in results) for c in sorted(ckeys)
+        c: round(
+            statistics.median(r["calibration"][c] for r in results), 4
+        )
+        for c in sorted(ckeys)
     }
     merged["value"] = round(sum(merged["queries"].values()), 4)
     merged["sessions"] = len(results)
