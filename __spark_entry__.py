@@ -13004,90 +13004,32 @@ def probe_json_regex_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver adjudicates the FIRST 50 dict entries per round.  The
-    # round-13 window executes the rotation the r12 verdict mandated
-    # (VERDICT.md 'Next round' item 3, oldest-first): the nine r13
-    # debuts (no driver signal yet), then ALL 38 entries whose last
-    # driver signal is r7 (embedding_cosine_dedup ... y4m_frames_docs),
-    # then 3 r8 entries to fill.  The fully-green r12 window moves
-    # behind; the r8 block heads the r14 rotation.  Probes and
-    # rows-only entries stay retired as documented canaries.
-    # tests/test_entry_contract.py pins both the window membership and
-    # the no-top-level-Array/Map/Struct output contract.
+    # round-15 window executes the r14 verdict's rotation (task #5,
+    # oldest-first); composition documented at the window marker
+    # below.  tests/test_entry_contract.py pins both the window
+    # membership and the no-top-level-Array/Map/Struct output
+    # contract.
     return {
-        # --- r14 WINDOW (driver adjudicates the FIRST 50): the 5
-        # r14 debuts + the byte-tier-extended detokenize roundtrip
-        # (changed schema -> fresh adjudication), then the 5 r13
-        # debuts that landed after the r13 snapshot (no driver
-        # signal yet - the r13 verdict's #4), then the 39
-        # alphabetically-first entries of the 50-entry r8-stale
-        # block (oldest driver signal in the corpus, oldest-first
-        # rotation).  The 11 remaining r8-stale entries head the
-        # r15 rotation (window capacity: 6+5+39 = 50).  Probes and
-        # rows-only entries stay retired as documented canaries.
-        # tests/test_entry_contract.py pins the membership.
+        # --- r15 WINDOW (driver adjudicates the FIRST 50): the 4 r15
+        # debuts + 3 changed entries (bpe_byte_fallback_docs /
+        # detokenize_roundtrip_docs tokenize differently under the
+        # pre-split; ccnet_bucket_docs changed plan shape), then the
+        # 3 post-window r14 debuts with no driver row, the 11
+        # remaining r8-stale entries, and the 29 list-first entries
+        # of the 50-entry r9-stale block (oldest signal after r8).
+        # The 21 remaining r9 entries head the r16 rotation.  Probes
+        # and rows-only sampling entries stay retired as documented
+        # canaries.  tests/test_entry_contract.py pins the membership.
         "byte_bpe_train_docs": q_byte_bpe_train_docs,
         "train_tokenize_pack_v3": q_train_tokenize_pack_v3,
         "mixture_epochs_pack_docs": q_mixture_epochs_pack_docs,
         "ivfadc_append_topk": q_ivfadc_append_topk,
-        "ivfadc_topk": q_ivfadc_topk,
-        "ivfadc_recall_bound": q_ivfadc_recall_bound,
         "bpe_byte_fallback_docs": q_bpe_byte_fallback_docs,
-        "dpo_pack_docs": q_dpo_pack_docs,
-        "pipeline_curation_v9": q_pipeline_curation_v9,
         "detokenize_roundtrip_docs": q_detokenize_roundtrip_docs,
-        "crawl_frontier_v5": q_crawl_frontier_v5,
-        "pq_encode_embeddings": q_pq_encode_embeddings,
-        "pq_topk_adc": q_pq_topk_adc,
-        "pq_recall_bound": q_pq_recall_bound,
-        "fim_transform_docs": q_fim_transform_docs,
-        "anti_parts_never_sold": q_anti_parts_never_sold,
-        "asof_join_events": q_asof_join_events,
-        "bm25_topk": q_bm25_topk,
-        "collect_lang_sets": q_collect_lang_sets,
-        "cross_join_grid": q_cross_join_grid,
-        "csv_roundtrip_lineitem": q_csv_roundtrip_lineitem,
-        "cut_rows_clip": q_cut_rows_clip,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "describe_lineitem": q_describe_lineitem,
-        "embedding_quantize": q_embedding_quantize,
-        "empty_source": q_empty_source,
-        "filter_project": q_filter_project,
-        "flac_meta_docs": q_flac_meta_docs,
-        "groupby_agg": q_groupby_agg,
-        "join_star_revenue": q_join_star_revenue,
-        "jpeg_meta_docs": q_jpeg_meta_docs,
-        "json_extract_events": q_json_extract_events,
-        "json_roundtrip_orders": q_json_roundtrip_orders,
-        "label_centroids": q_label_centroids,
-        "map_props_explode": q_map_props_explode,
-        "mixture_sample": q_mixture_sample,
-        "mp4_meta_docs": q_mp4_meta_docs,
-        "multiselect_summary": q_multiselect_summary,
-        "normalize_text": q_normalize_text,
-        "pack_sequences": q_pack_sequences,
-        "paged_preview": q_paged_preview,
-        "pipeline_curation_v4": q_pipeline_curation_v4,
-        "pivot_mean": _pivot('mean_exact_cents'),
-        "pivot_sum": _pivot('sum'),
-        "plot_line_series": q_plot_line_series,
-        "point_read_cell": q_point_read_cell,
-        "range_join_prices": q_range_join_prices,
-        "rename_cast_lineitem": q_rename_cast_lineitem,
-        "repetition_signals": q_repetition_signals,
-        "script_profile_docs": q_script_profile_docs,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "semi_suppliers_with_sales": q_semi_suppliers_with_sales,
-        "sessionize_events": q_sessionize_events,
-        # --- behind the window: the post-window r14 debut (no driver
-        # signal yet — heads the r15 rotation with the 11 remaining
-        # r8-stale entries after it), then newer-signal entries -----
+        "ccnet_bucket_docs": q_ccnet_bucket_docs,
         "mixture_epochs_docs": q_mixture_epochs_docs,
         "ivfadc_index_roundtrip": q_ivfadc_index_roundtrip,
         "packing_efficiency_docs": q_packing_efficiency_docs,
-        # --- FIRST the 11 remaining r8-stale
-        # entries (the r15 rotation head), then newer-signal
-        # entries, probes and no-oracle sampling entries last ----
         "stats_aggregates": q_stats_aggregates,
         "stratified_sample_hash": q_stratified_sample_hash,
         "stream_quality_rollup": q_stream_quality_rollup,
@@ -13099,6 +13041,207 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "window_running_sum": q_window_running_sum,
         "window_top3_per_priority": q_window_top3_per_priority,
+        "mp3_meta_docs": q_mp3_meta_docs,
+        "wav_adpcm_roundtrip": q_wav_adpcm_roundtrip,
+        "jpeg_decode_docs": q_jpeg_decode_docs,
+        "wav_g711_roundtrip": q_wav_g711_roundtrip,
+        "wav_ms_adpcm_roundtrip": q_wav_ms_adpcm_roundtrip,
+        "gif_bmp_decode_docs": q_gif_bmp_decode_docs,
+        "multimodal_curation_v1": q_multimodal_curation_v1,
+        "audio_curation_v1": q_audio_curation_v1,
+        "flac_roundtrip": q_flac_roundtrip,
+        "mp4_frame_index_docs": q_mp4_frame_index_docs,
+        "ogg_meta_docs": q_ogg_meta_docs,
+        "image_dedup_dhash": q_image_dedup_dhash,
+        "audio_stats_docs": q_audio_stats_docs,
+        "tiff_decode_docs": q_tiff_decode_docs,
+        "multimodal_curation_v2": q_multimodal_curation_v2,
+        "avi_mjpeg_decode_docs": q_avi_mjpeg_decode_docs,
+        "video_scene_cuts_docs": q_video_scene_cuts_docs,
+        "jpeg_exif_docs": q_jpeg_exif_docs,
+        "video_curation_v1": q_video_curation_v1,
+        "warc_extract_docs": q_warc_extract_docs,
+        "zip_extract_docs": q_zip_extract_docs,
+        "subtitle_cues_docs": q_subtitle_cues_docs,
+        "tar_extract_docs": q_tar_extract_docs,
+        "wds_samples_docs": q_wds_samples_docs,
+        "crawl_curation_v1": q_crawl_curation_v1,
+        "wds_export_roundtrip": q_wds_export_roundtrip,
+        "pack_sequences_docs": q_pack_sequences_docs,
+        "tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "packed_blocks_text": q_packed_blocks_text,
+        # --- behind the window: oldest driver signal first (the 21
+        # remaining r9 entries head the r16 rotation), then r10..r14
+        # blocks in signal order; probes and no-oracle sampling
+        # entries last ----
+        "shards_to_blocks_v1": q_shards_to_blocks_v1,
+        "tfrecord_export_roundtrip": q_tfrecord_export_roundtrip,
+        "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
+        "stream_shard_ingest": q_stream_shard_ingest,
+        "parquet_payload_roundtrip": q_parquet_payload_roundtrip,
+        "corpus_report_v1": q_corpus_report_v1,
+        "jsonl_shard_roundtrip": q_jsonl_shard_roundtrip,
+        "vocab_coverage": q_vocab_coverage,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "retention_cohorts": q_retention_cohorts,
+        "merge_upsert_orders": q_merge_upsert_orders,
+        "scd2_user_status": q_scd2_user_status,
+        "zorder_cluster_keys": q_zorder_cluster_keys,
+        "multimodal_resize": q_multimodal_resize,
+        "parquet_roundtrip_partitioned": q_parquet_roundtrip_partitioned,
+        "orc_roundtrip_lineitem": q_orc_roundtrip_lineitem,
+        "corr_matrix": q_corr_matrix,
+        "q8_market_share": q_q8_market_share,
+        "q10_returned_revenue": q_q10_returned_revenue,
+        "q12_priority_lines": q_q12_priority_lines,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "bpe_tokenize_docs": q_bpe_tokenize_docs,
+        "pack_ids_docs": q_pack_ids_docs,
+        "url_curation_docs": q_url_curation_docs,
+        "host_profile_docs": q_host_profile_docs,
+        "pdf_extract_docs": q_pdf_extract_docs,
+        "bpe_train_docs": q_bpe_train_docs,
+        "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
+        "crawl_curation_v2": q_crawl_curation_v2,
+        "hash_quality_filter_docs": q_hash_quality_filter_docs,
+        "line_dedup_docs": q_line_dedup_docs,
+        "robots_filter_docs": q_robots_filter_docs,
+        "cdx_index_docs": q_cdx_index_docs,
+        "epub_extract_docs": q_epub_extract_docs,
+        "stream_url_profile": q_stream_url_profile,
+        "trigram_quality_docs": q_trigram_quality_docs,
+        "semdedup_embeddings": q_semdedup_embeddings,
+        "tokenizer_fertility_docs": q_tokenizer_fertility_docs,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "ivf_topk_det": q_ivf_topk_det,
+        "stratified_sample_det": q_stratified_sample_det,
+        "winnow_pairs_docs": q_winnow_pairs_docs,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q21_sole_supplier": q_q21_sole_supplier,
+        "q22_idle_customers": q_q22_idle_customers,
+        "xlsx_roundtrip_lineitem": q_xlsx_roundtrip_lineitem,
+        "ivf_recall_bound": q_ivf_recall_bound,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q4_order_priority": q_q4_order_priority,
+        "q9_product_profit": q_q9_product_profit,
+        "q11_important_stock": q_q11_important_stock,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q16_supplier_part_counts": q_q16_supplier_part_counts,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q18_large_volume_customers": q_q18_large_volume_customers,
+        "q20_part_promotion": q_q20_part_promotion,
+        "dedup_priority_keep": q_dedup_priority_keep,
+        "hard_negatives": q_hard_negatives,
+        "source_budget_trim": q_source_budget_trim,
+        "stream_static_enrich": q_stream_static_enrich,
+        "weighted_sample_k": q_weighted_sample_k,
+        "avro_roundtrip_part": q_avro_roundtrip_part,
+        "variant_extract_events": q_variant_extract_events,
+        "hilbert_cluster_keys": q_hilbert_cluster_keys,
+        "incremental_minhash": q_incremental_minhash,
+        "cell_edit": q_cell_edit,
+        "delete_rows": q_delete_rows,
+        "paste_splice": q_paste_splice,
+        "pdf_modern_docs": q_pdf_modern_docs,
+        "pdf_encrypted_docs": q_pdf_encrypted_docs,
+        "bpe_train_batched_docs": q_bpe_train_batched_docs,
+        "train_tokenize_pack_v2": q_train_tokenize_pack_v2,
+        "train_quality_classifier_docs": q_train_quality_classifier_docs,
+        "trained_quality_filter_docs": q_trained_quality_filter_docs,
+        "stream_trained_filter": q_stream_trained_filter,
+        "sitemap_extract_docs": q_sitemap_extract_docs,
+        "crawl_schedule_docs": q_crawl_schedule_docs,
+        "sft_pack_docs": q_sft_pack_docs,
+        "pack_boundaries_docs": q_pack_boundaries_docs,
+        "pipeline_curation_v5": q_pipeline_curation_v5,
+        "hll_error_bound": q_hll_error_bound,
+        "quantile_error_bound": q_quantile_error_bound,
+        "union_distinct_nations": q_union_distinct_nations,
+        "rollup_qty": q_rollup_qty,
+        "pivot_count_distinct": q_pivot_count_distinct,
+        "pipeline_curation_v2": q_pipeline_curation_v2,
+        "source_token_divergence": q_source_token_divergence,
+        "table_diff_orders": q_table_diff_orders,
+        "snapshot_time_travel": q_snapshot_time_travel,
+        "compact_lineitem_files": q_compact_lineitem_files,
+        "bpe_pair_top": q_bpe_pair_top,
+        "zscore_outliers_price": q_zscore_outliers_price,
+        "char_entropy_docs": q_char_entropy_docs,
+        "group_sample_events": q_group_sample_events,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "corpus_health": q_corpus_health,
+        "bigram_logprob": q_bigram_logprob,
+        "purge_orders": q_purge_orders,
+        "refresh_matview": q_refresh_matview,
+        "source_overlap": q_source_overlap,
+        "pipeline_curation_v3": q_pipeline_curation_v3,
+        "stream_refresh_matview": q_stream_refresh_matview,
+        "token_dropout": q_token_dropout,
+        "shard_stats": q_shard_stats,
+        "pagerank_event_graph": q_pagerank_event_graph,
+        "fuzzy_word_pairs": q_fuzzy_word_pairs,
+        "null_profile_orders": q_null_profile_orders,
+        "cms_topk_bound": q_cms_topk_bound,
+        "zstd_roundtrip_lineitem": q_zstd_roundtrip_lineitem,
+        "ivf_index_roundtrip": q_ivf_index_roundtrip,
+        "rolling_spikes_events": q_rolling_spikes_events,
+        "session_table_events": q_session_table_events,
+        "unpivot_measures": q_unpivot_measures,
+        "percentiles_quantity": q_percentiles_quantity,
+        "string_agg_nations": q_string_agg_nations,
+        "clean_fillna": q_clean_fillna,
+        "clean_dropna": q_clean_dropna,
+        "outlink_extract_docs": q_outlink_extract_docs,
+        "crawl_frontier_v2": q_crawl_frontier_v2,
+        "substring_dedup_docs": q_substring_dedup_docs,
+        "pdf_aes_docs": q_pdf_aes_docs,
+        "pdf_aesv3_docs": q_pdf_aesv3_docs,
+        "pipeline_curation_v6": q_pipeline_curation_v6,
+        "pipeline_curation_v7": q_pipeline_curation_v7,
+        "sft_pack_docs_v2": q_sft_pack_docs_v2,
+        "robots_sitemap_docs": q_robots_sitemap_docs,
+        "anchor_text_docs": q_anchor_text_docs,
+        "outlink_graph_rank": q_outlink_graph_rank,
+        "bloom_frontier_docs": q_bloom_frontier_docs,
+        "crawl_frontier_v3": q_crawl_frontier_v3,
+        "classifier_pr_curve_docs": q_classifier_pr_curve_docs,
+        "stream_bloom_filter": q_stream_bloom_filter,
+        "main_content_docs": q_main_content_docs,
+        "split_leakage_docs": q_split_leakage_docs,
+        "wet_export_roundtrip": q_wet_export_roundtrip,
+        "audio_segments_docs": q_audio_segments_docs,
+        "bpe_merge_sweep_docs": q_bpe_merge_sweep_docs,
+        "boilerplate_shingles": q_boilerplate_shingles,
+        "chunk_documents": q_chunk_documents,
+        "clean_replace": q_clean_replace,
+        "date_trunc_orders": q_date_trunc_orders,
+        "decontaminate": q_decontaminate,
+        "gopher_quality": q_gopher_quality,
+        "hash_split": q_hash_split,
+        "incremental_dedup": q_incremental_dedup,
+        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
+        "kafka_roundtrip_events": q_kafka_roundtrip_events,
+        "pipeline_training_data": q_pipeline_training_data,
+        "redact_pii": q_redact_pii,
+        "resample_ffill_events": q_resample_ffill_events,
+        "resample_interp_events": q_resample_interp_events,
+        "string_funcs_part": q_string_funcs_part,
+        "time_rollup_events": q_time_rollup_events,
+        "udtf_chunk_documents": q_udtf_chunk_documents,
+        "unigram_logprob": q_unigram_logprob,
+        "above_avg_orders": q_above_avg_orders,
+        "add_drop_column": q_add_drop_column,
+        "bin2d_scatter": q_bin2d_scatter,
+        "binary_meta": q_binary_meta,
+        "boilerplate_strip": q_boilerplate_strip,
+        "correlated_min_suppliers": q_correlated_min_suppliers,
+        "cube_qty": q_cube_qty,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "doc_rolling_hash": q_doc_rolling_hash,
         "crawl_frontier_v4": q_crawl_frontier_v4,
         "bloom_union_docs": q_bloom_union_docs,
         "stream_bloom_union": q_stream_bloom_union,
@@ -13149,204 +13292,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lead_lag": q_window_lead_lag,
         "window_ranks": q_window_ranks,
         "y4m_frames_docs": q_y4m_frames_docs,
-        "outlink_extract_docs": q_outlink_extract_docs,
-        "crawl_frontier_v2": q_crawl_frontier_v2,
-        "substring_dedup_docs": q_substring_dedup_docs,
-        "pdf_aes_docs": q_pdf_aes_docs,
-        "pdf_aesv3_docs": q_pdf_aesv3_docs,
-        "pipeline_curation_v6": q_pipeline_curation_v6,
-        "pipeline_curation_v7": q_pipeline_curation_v7,
-        "sft_pack_docs_v2": q_sft_pack_docs_v2,
-        "robots_sitemap_docs": q_robots_sitemap_docs,
-        "anchor_text_docs": q_anchor_text_docs,
-        "outlink_graph_rank": q_outlink_graph_rank,
-        "bloom_frontier_docs": q_bloom_frontier_docs,
-        "crawl_frontier_v3": q_crawl_frontier_v3,
-        "classifier_pr_curve_docs": q_classifier_pr_curve_docs,
-        "stream_bloom_filter": q_stream_bloom_filter,
-        "main_content_docs": q_main_content_docs,
-        "split_leakage_docs": q_split_leakage_docs,
-        "wet_export_roundtrip": q_wet_export_roundtrip,
-        "audio_segments_docs": q_audio_segments_docs,
-        "bpe_merge_sweep_docs": q_bpe_merge_sweep_docs,
-        "boilerplate_shingles": q_boilerplate_shingles,
-        "chunk_documents": q_chunk_documents,
-        "clean_replace": q_clean_replace,
-        "date_trunc_orders": q_date_trunc_orders,
-        "decontaminate": q_decontaminate,
-        "gopher_quality": q_gopher_quality,
-        "hash_split": q_hash_split,
-        "incremental_dedup": q_incremental_dedup,
-        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
-        "kafka_roundtrip_events": q_kafka_roundtrip_events,
-        "pipeline_training_data": q_pipeline_training_data,
-        "redact_pii": q_redact_pii,
-        "resample_ffill_events": q_resample_ffill_events,
-        "resample_interp_events": q_resample_interp_events,
-        "string_funcs_part": q_string_funcs_part,
-        "time_rollup_events": q_time_rollup_events,
-        "udtf_chunk_documents": q_udtf_chunk_documents,
-        "unigram_logprob": q_unigram_logprob,
-        "above_avg_orders": q_above_avg_orders,
-        "add_drop_column": q_add_drop_column,
-        "bin2d_scatter": q_bin2d_scatter,
-        "binary_meta": q_binary_meta,
-        "boilerplate_strip": q_boilerplate_strip,
-        "correlated_min_suppliers": q_correlated_min_suppliers,
-        "cube_qty": q_cube_qty,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "doc_rolling_hash": q_doc_rolling_hash,
-        "pdf_modern_docs": q_pdf_modern_docs,
-        "pdf_encrypted_docs": q_pdf_encrypted_docs,
-        "bpe_train_batched_docs": q_bpe_train_batched_docs,
-        "train_tokenize_pack_v2": q_train_tokenize_pack_v2,
-        "train_quality_classifier_docs": q_train_quality_classifier_docs,
-        "trained_quality_filter_docs": q_trained_quality_filter_docs,
-        "stream_trained_filter": q_stream_trained_filter,
-        "ccnet_bucket_docs": q_ccnet_bucket_docs,
-        "sitemap_extract_docs": q_sitemap_extract_docs,
-        "crawl_schedule_docs": q_crawl_schedule_docs,
-        "sft_pack_docs": q_sft_pack_docs,
-        "pack_boundaries_docs": q_pack_boundaries_docs,
-        "pipeline_curation_v5": q_pipeline_curation_v5,
-        "hll_error_bound": q_hll_error_bound,
-        "quantile_error_bound": q_quantile_error_bound,
-        "union_distinct_nations": q_union_distinct_nations,
-        "rollup_qty": q_rollup_qty,
-        "pivot_count_distinct": q_pivot_count_distinct,
-        "pipeline_curation_v2": q_pipeline_curation_v2,
-        "source_token_divergence": q_source_token_divergence,
-        "table_diff_orders": q_table_diff_orders,
-        "snapshot_time_travel": q_snapshot_time_travel,
-        "compact_lineitem_files": q_compact_lineitem_files,
-        "bpe_pair_top": q_bpe_pair_top,
-        "zscore_outliers_price": q_zscore_outliers_price,
-        "char_entropy_docs": q_char_entropy_docs,
-        "group_sample_events": q_group_sample_events,
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
-        "corpus_health": q_corpus_health,
-        "bigram_logprob": q_bigram_logprob,
-        "purge_orders": q_purge_orders,
-        "refresh_matview": q_refresh_matview,
-        "source_overlap": q_source_overlap,
-        "pipeline_curation_v3": q_pipeline_curation_v3,
-        "stream_refresh_matview": q_stream_refresh_matview,
-        "token_dropout": q_token_dropout,
-        "shard_stats": q_shard_stats,
-        "pagerank_event_graph": q_pagerank_event_graph,
-        "fuzzy_word_pairs": q_fuzzy_word_pairs,
-        "null_profile_orders": q_null_profile_orders,
-        "cms_topk_bound": q_cms_topk_bound,
-        "zstd_roundtrip_lineitem": q_zstd_roundtrip_lineitem,
-        "ivf_index_roundtrip": q_ivf_index_roundtrip,
-        "rolling_spikes_events": q_rolling_spikes_events,
-        "session_table_events": q_session_table_events,
-        "unpivot_measures": q_unpivot_measures,
-        "percentiles_quantity": q_percentiles_quantity,
-        "string_agg_nations": q_string_agg_nations,
-        "clean_fillna": q_clean_fillna,
-        "clean_dropna": q_clean_dropna,
-        "bpe_tokenize_docs": q_bpe_tokenize_docs,
-        "pack_ids_docs": q_pack_ids_docs,
-        "url_curation_docs": q_url_curation_docs,
-        "host_profile_docs": q_host_profile_docs,
-        "pdf_extract_docs": q_pdf_extract_docs,
-        "bpe_train_docs": q_bpe_train_docs,
-        "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
-        "crawl_curation_v2": q_crawl_curation_v2,
-        "hash_quality_filter_docs": q_hash_quality_filter_docs,
-        "line_dedup_docs": q_line_dedup_docs,
-        "robots_filter_docs": q_robots_filter_docs,
-        "cdx_index_docs": q_cdx_index_docs,
-        "epub_extract_docs": q_epub_extract_docs,
-        "stream_url_profile": q_stream_url_profile,
-        "trigram_quality_docs": q_trigram_quality_docs,
-        "semdedup_embeddings": q_semdedup_embeddings,
-        "tokenizer_fertility_docs": q_tokenizer_fertility_docs,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "ivf_topk_det": q_ivf_topk_det,
-        "stratified_sample_det": q_stratified_sample_det,
-        "winnow_pairs_docs": q_winnow_pairs_docs,
-        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
-        "q21_sole_supplier": q_q21_sole_supplier,
-        "q22_idle_customers": q_q22_idle_customers,
-        "xlsx_roundtrip_lineitem": q_xlsx_roundtrip_lineitem,
-        "ivf_recall_bound": q_ivf_recall_bound,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
-        "q4_order_priority": q_q4_order_priority,
-        "q9_product_profit": q_q9_product_profit,
-        "q11_important_stock": q_q11_important_stock,
-        "q13_customer_distribution": q_q13_customer_distribution,
-        "q15_top_supplier": q_q15_top_supplier,
-        "q16_supplier_part_counts": q_q16_supplier_part_counts,
-        "q17_small_qty_revenue": q_q17_small_qty_revenue,
-        "q18_large_volume_customers": q_q18_large_volume_customers,
-        "q20_part_promotion": q_q20_part_promotion,
-        "dedup_priority_keep": q_dedup_priority_keep,
-        "hard_negatives": q_hard_negatives,
-        "source_budget_trim": q_source_budget_trim,
-        "stream_static_enrich": q_stream_static_enrich,
-        "weighted_sample_k": q_weighted_sample_k,
-        "avro_roundtrip_part": q_avro_roundtrip_part,
-        "variant_extract_events": q_variant_extract_events,
-        "hilbert_cluster_keys": q_hilbert_cluster_keys,
-        "incremental_minhash": q_incremental_minhash,
-        "cell_edit": q_cell_edit,
-        "delete_rows": q_delete_rows,
-        "paste_splice": q_paste_splice,
-        "mp3_meta_docs": q_mp3_meta_docs,
-        "wav_adpcm_roundtrip": q_wav_adpcm_roundtrip,
-        "jpeg_decode_docs": q_jpeg_decode_docs,
-        "wav_g711_roundtrip": q_wav_g711_roundtrip,
-        "wav_ms_adpcm_roundtrip": q_wav_ms_adpcm_roundtrip,
-        "gif_bmp_decode_docs": q_gif_bmp_decode_docs,
-        "multimodal_curation_v1": q_multimodal_curation_v1,
-        "audio_curation_v1": q_audio_curation_v1,
-        "flac_roundtrip": q_flac_roundtrip,
-        "mp4_frame_index_docs": q_mp4_frame_index_docs,
-        "ogg_meta_docs": q_ogg_meta_docs,
-        "image_dedup_dhash": q_image_dedup_dhash,
-        "audio_stats_docs": q_audio_stats_docs,
-        "tiff_decode_docs": q_tiff_decode_docs,
-        "multimodal_curation_v2": q_multimodal_curation_v2,
-        "avi_mjpeg_decode_docs": q_avi_mjpeg_decode_docs,
-        "video_scene_cuts_docs": q_video_scene_cuts_docs,
-        "jpeg_exif_docs": q_jpeg_exif_docs,
-        "video_curation_v1": q_video_curation_v1,
-        "warc_extract_docs": q_warc_extract_docs,
-        "zip_extract_docs": q_zip_extract_docs,
-        "subtitle_cues_docs": q_subtitle_cues_docs,
-        "tar_extract_docs": q_tar_extract_docs,
-        "wds_samples_docs": q_wds_samples_docs,
-        "crawl_curation_v1": q_crawl_curation_v1,
-        "wds_export_roundtrip": q_wds_export_roundtrip,
-        "pack_sequences_docs": q_pack_sequences_docs,
-        "tfrecord_roundtrip": q_tfrecord_roundtrip,
-        "packed_blocks_text": q_packed_blocks_text,
-        "shards_to_blocks_v1": q_shards_to_blocks_v1,
-        "tfrecord_export_roundtrip": q_tfrecord_export_roundtrip,
-        "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
-        "stream_shard_ingest": q_stream_shard_ingest,
-        "parquet_payload_roundtrip": q_parquet_payload_roundtrip,
-        "corpus_report_v1": q_corpus_report_v1,
-        "jsonl_shard_roundtrip": q_jsonl_shard_roundtrip,
-        "vocab_coverage": q_vocab_coverage,
-        "funnel_signup_purchase": q_funnel_signup_purchase,
-        "retention_cohorts": q_retention_cohorts,
-        "merge_upsert_orders": q_merge_upsert_orders,
-        "scd2_user_status": q_scd2_user_status,
-        "zorder_cluster_keys": q_zorder_cluster_keys,
-        "multimodal_resize": q_multimodal_resize,
-        "parquet_roundtrip_partitioned": q_parquet_roundtrip_partitioned,
-        "orc_roundtrip_lineitem": q_orc_roundtrip_lineitem,
-        "corr_matrix": q_corr_matrix,
-        "q8_market_share": q_q8_market_share,
-        "q10_returned_revenue": q_q10_returned_revenue,
-        "q12_priority_lines": q_q12_priority_lines,
-        "q14_promo_revenue": q_q14_promo_revenue,
+        "ivfadc_topk": q_ivfadc_topk,
+        "ivfadc_recall_bound": q_ivfadc_recall_bound,
+        "dpo_pack_docs": q_dpo_pack_docs,
+        "pipeline_curation_v9": q_pipeline_curation_v9,
+        "crawl_frontier_v5": q_crawl_frontier_v5,
+        "pq_encode_embeddings": q_pq_encode_embeddings,
+        "pq_topk_adc": q_pq_topk_adc,
+        "pq_recall_bound": q_pq_recall_bound,
+        "fim_transform_docs": q_fim_transform_docs,
+        "anti_parts_never_sold": q_anti_parts_never_sold,
+        "asof_join_events": q_asof_join_events,
+        "bm25_topk": q_bm25_topk,
+        "collect_lang_sets": q_collect_lang_sets,
+        "cross_join_grid": q_cross_join_grid,
+        "csv_roundtrip_lineitem": q_csv_roundtrip_lineitem,
+        "cut_rows_clip": q_cut_rows_clip,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "describe_lineitem": q_describe_lineitem,
+        "embedding_quantize": q_embedding_quantize,
+        "empty_source": q_empty_source,
+        "filter_project": q_filter_project,
+        "flac_meta_docs": q_flac_meta_docs,
+        "groupby_agg": q_groupby_agg,
+        "join_star_revenue": q_join_star_revenue,
+        "jpeg_meta_docs": q_jpeg_meta_docs,
+        "json_extract_events": q_json_extract_events,
+        "json_roundtrip_orders": q_json_roundtrip_orders,
+        "label_centroids": q_label_centroids,
+        "map_props_explode": q_map_props_explode,
+        "mixture_sample": q_mixture_sample,
+        "mp4_meta_docs": q_mp4_meta_docs,
+        "multiselect_summary": q_multiselect_summary,
+        "normalize_text": q_normalize_text,
+        "pack_sequences": q_pack_sequences,
+        "paged_preview": q_paged_preview,
+        "pipeline_curation_v4": q_pipeline_curation_v4,
+        "pivot_mean": _pivot('mean_exact_cents'),
+        "pivot_sum": _pivot('sum'),
+        "plot_line_series": q_plot_line_series,
+        "point_read_cell": q_point_read_cell,
+        "range_join_prices": q_range_join_prices,
+        "rename_cast_lineitem": q_rename_cast_lineitem,
+        "repetition_signals": q_repetition_signals,
+        "script_profile_docs": q_script_profile_docs,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "semi_suppliers_with_sales": q_semi_suppliers_with_sales,
+        "sessionize_events": q_sessionize_events,
         "probe_int_float_hash": probe_int_float_hash,
         "probe_hugeint_sum": probe_hugeint_sum,
         "probe_hugeint_cast": probe_hugeint_cast,

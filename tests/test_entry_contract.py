@@ -48,48 +48,51 @@ def test_top_level_functions_unique():
 def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
-    silently missed adjudication — pin the round-13 window composition
-    (the r12 verdict's #3, OLDEST-FIRST rotation): the twelve
-    never-adjudicated r13 debuts at the very front, then ALL 38
-    entries whose last driver signal is r7 (the oldest real signal in
-    the corpus) — exactly filling the window; everything newer-signal
-    moves behind, probes and stable rows-only entries stay
-    retired."""
+    silently missed adjudication — pin the round-15 window composition
+    (the r14 verdict's task #5, OLDEST-FIRST rotation): the 4 r15
+    debuts + 3 changed entries, the 3 post-window r14 debuts with no
+    driver row, the 11 remaining r8-stale entries, and 29 entries of
+    the r9-stale block — exactly filling the window; the 21 remaining
+    r9 entries head the r16 rotation, probes and stable rows-only
+    entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "sessionize_events", (
+    assert window[-1] == "packed_blocks_text", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
-        # new in r14 (5 debuts + the byte-tier-extended detokenize
-        # roundtrip, whose schema changed)
-        "ivfadc_topk", "ivfadc_recall_bound", "bpe_byte_fallback_docs",
-        "dpo_pack_docs", "pipeline_curation_v9",
-        "detokenize_roundtrip_docs",
-        # the 5 r13 debuts that landed after the r13 driver snapshot
-        # (never adjudicated — the r13 verdict's #4)
-        "crawl_frontier_v5", "pq_encode_embeddings", "pq_topk_adc",
-        "pq_recall_bound", "fim_transform_docs",
-        # the 39 alphabetically-first r8-stale entries (oldest driver
-        # signal in the corpus; the 11 remaining head the r15
-        # rotation)
-        "anti_parts_never_sold", "asof_join_events", "bm25_topk",
-        "collect_lang_sets", "cross_join_grid",
-        "csv_roundtrip_lineitem", "cut_rows_clip",
-        "dedup_exact_groups", "dedup_minhash_lsh", "describe_lineitem",
-        "embedding_quantize", "empty_source", "filter_project",
-        "flac_meta_docs", "groupby_agg", "join_star_revenue",
-        "jpeg_meta_docs", "json_extract_events",
-        "json_roundtrip_orders", "label_centroids",
-        "map_props_explode", "mixture_sample", "mp4_meta_docs",
-        "multiselect_summary", "normalize_text", "pack_sequences",
-        "paged_preview", "pipeline_curation_v4", "pivot_mean",
-        "pivot_sum", "plot_line_series", "point_read_cell",
-        "range_join_prices", "rename_cast_lineitem",
-        "repetition_signals", "script_profile_docs",
-        "semantic_decontaminate", "semi_suppliers_with_sales",
-        "sessionize_events",
+        # new in r15 (4 debuts + the pre-split-changed byte-tier pair
+        # + the bucket-keyed ccnet rewrite)
+        "byte_bpe_train_docs", "train_tokenize_pack_v3",
+        "mixture_epochs_pack_docs", "ivfadc_append_topk",
+        "bpe_byte_fallback_docs", "detokenize_roundtrip_docs",
+        "ccnet_bucket_docs",
+        # the 3 r14 entries that landed after the r14 driver snapshot
+        # (never adjudicated — the r14 verdict's #5)
+        "mixture_epochs_docs", "ivfadc_index_roundtrip",
+        "packing_efficiency_docs",
+        # the 11 remaining r8-stale entries
+        "stats_aggregates", "stratified_sample_hash",
+        "stream_quality_rollup", "stream_quality_rollup_windowed",
+        "strip_markup_docs", "supplier_acct_stats", "text_stats",
+        "tfidf_vectors", "topk_orders", "window_running_sum",
+        "window_top3_per_priority",
+        # the 29 list-first r9-stale entries (the 21 remaining head
+        # the r16 rotation)
+        "mp3_meta_docs", "wav_adpcm_roundtrip", "jpeg_decode_docs",
+        "wav_g711_roundtrip", "wav_ms_adpcm_roundtrip",
+        "gif_bmp_decode_docs", "multimodal_curation_v1",
+        "audio_curation_v1", "flac_roundtrip", "mp4_frame_index_docs",
+        "ogg_meta_docs", "image_dedup_dhash", "audio_stats_docs",
+        "tiff_decode_docs", "multimodal_curation_v2",
+        "avi_mjpeg_decode_docs", "video_scene_cuts_docs",
+        "jpeg_exif_docs", "video_curation_v1", "warc_extract_docs",
+        "zip_extract_docs", "subtitle_cues_docs", "tar_extract_docs",
+        "wds_samples_docs", "crawl_curation_v1",
+        "wds_export_roundtrip", "pack_sequences_docs",
+        "tfrecord_roundtrip", "packed_blocks_text",
     }
+    assert len(must_be_in_window) == 50, len(must_be_in_window)
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
     # settled probes / stable err:no_oracle entries must NOT burn slots
