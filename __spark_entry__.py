@@ -4754,6 +4754,34 @@ def q_pipeline_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pure codegen; the mixture is the bucket-ranked exact-K fill
     (metadata-sized boundary arithmetic, no Zipf-head funnel); FIM
     adds zero shuffles; the pack is the bucketed prefix sum."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    _sel, fimmed = _v9_fim_stream(spark, sf_dir)
+    blocks = TP.pack_id_blocks(
+        fimmed, "doc_id", "out_ids", block_tokens=32, bucket_docs=64
+    )
+    ids_csv = F.array_join(
+        F.transform("input_ids", lambda x: x.cast("string")), ","
+    )
+    return blocks.select(
+        "block_id",
+        "n_docs",
+        "n_ids",
+        F.array_join(
+            F.transform(
+                F.slice("input_ids", 1, 10), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("head_ids"),
+        F.md5(F.encode(ids_csv, "utf-8")).alias("ids_md5"),
+    ).orderBy("block_id")
+
+
+def _v9_fim_stream(spark: SparkSession, sf_dir: str):
+    """The shared v9/v10 curation front (raw crawl → decontaminated,
+    quality-gated, mixture-selected, FIM-transformed id stream):
+    returns ``(sel, fimmed)`` — the selected (doc_id, kept_text)
+    corpus and the (doc_id, out_ids) FIM stream over it."""
     from parquet_editor_spark.functions import text as X
     from parquet_editor_spark.operators import dedup as D
     from parquet_editor_spark.operators import textprep as TP
@@ -4812,14 +4840,17 @@ def q_pipeline_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("quota"),
     )
     h = F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
-    picked = TP.stratified_exact_k(
+    sel = TP.stratified_exact_k(
         gated.withColumn("__h", h),
         "lang",
         "__h",
         "doc_id",
         quotas,
         quota_col="quota",
-    ).select("doc_id", _bpe_norm("kept_text").alias("norm"))
+    ).select("doc_id", "kept_text")
+    picked = sel.select(
+        "doc_id", _bpe_norm("kept_text").alias("norm")
+    )
 
     toks = TP.bpe_tokenize(
         picked, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
@@ -4842,8 +4873,59 @@ def q_pipeline_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         F.when(fim, psm).otherwise(ids).alias("out_ids"),
     )
+    return sel, fimmed
+
+
+def q_pipeline_curation_v10(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curation DAG v10 (r15 — the assembly v9 still deferred to the
+    dataloader: UPSAMPLING): v9's entire curated front — ingest →
+    extraction → URL/robots/host-cap → line dedup → ExactSubstr →
+    decontamination → quality gate → α-mixture exact-K selection →
+    FIM — then the selected corpus treated as four source shards
+    (``doc_id % 4``, pinned 40/30/20/10 shares against an 8 000-token
+    budget) and MATERIALIZED through
+    ``textprep.mixture_epochs_expand``: integer full epochs plus the
+    hash-selected fractional remainder pass, the repeat-factor recipe
+    ``mixture_epochs_docs`` audits — finally packed into 32-id blocks
+    in epoch-major order (``pack_id = epoch·2^40 + doc_id``).  Block
+    md5s pin every stage INCLUDING the epoch boundaries; the DuckDB
+    oracle replays the whole chain closed-form.
+
+    Scale shape: all of v9's audited moves (checkpointed stage
+    boundaries, bucket-keyed mixture window), plus a broadcast
+    epochs plan, a ``sequence``/``explode`` upsampling projection and
+    the bucketed prefix-sum pack — the complete corpus → dataloader
+    assembly with no data-sized single-key window anywhere."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    sel, fimmed = _v9_fim_stream(spark, sf_dir)
+    srcd = sel.select(
+        F.concat(
+            F.lit("src"), (F.col("doc_id") % 4).cast("string")
+        ).alias("source"),
+        "doc_id",
+        "kept_text",
+    )
+    expanded = TP.mixture_epochs_expand(
+        srcd,
+        "source",
+        "doc_id",
+        "kept_text",
+        {"src0": 40, "src1": 30, "src2": 20, "src3": 10},
+        budget_tokens=8_000,
+    )
+    stream = expanded.join(
+        fimmed, expanded["id"] == fimmed["doc_id"]
+    ).select(
+        (
+            F.col("epoch") * F.lit(_EPOCH_PACK_BASE) + F.col("id")
+        ).alias("pid"),
+        "out_ids",
+    )
     blocks = TP.pack_id_blocks(
-        fimmed, "doc_id", "out_ids", block_tokens=32, bucket_docs=64
+        stream, "pid", "out_ids", block_tokens=32, bucket_docs=4096
     )
     ids_csv = F.array_join(
         F.transform("input_ids", lambda x: x.cast("string")), ","
@@ -4852,12 +4934,7 @@ def q_pipeline_curation_v9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block_id",
         "n_docs",
         "n_ids",
-        F.array_join(
-            F.transform(
-                F.slice("input_ids", 1, 10), lambda x: x.cast("string")
-            ),
-            ",",
-        ).alias("head_ids"),
+        "doc_starts",
         F.md5(F.encode(ids_csv, "utf-8")).alias("ids_md5"),
     ).orderBy("block_id")
 
@@ -6024,6 +6101,38 @@ def q_byte_bpe_train_docs(
 
     docs = _t(spark, sf_dir, "documents").select("text")
     learned = TP.byte_bpe_train(docs, "text", n_merges=10)
+    return learned.select(
+        "merge_rank",
+        F.lower(F.hex(F.encode("lhs", "ISO-8859-1"))).alias(
+            "lhs_hex"
+        ),
+        F.lower(F.hex(F.encode("rhs", "ISO-8859-1"))).alias(
+            "rhs_hex"
+        ),
+        "pair_count",
+    ).orderBy("merge_rank")
+
+
+def q_byte_bpe_train_batched_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCHED byte-level BPE training (r15 — the scale path of
+    ``byte_bpe_train``, mirroring the char tier's r11 move): 24 merge
+    slots at batch=4 = 6 Spark jobs, each iteration ranking pairs
+    once over the byte-PUA vocab, examining the top 16 and greedily
+    accepting 4 with pairwise-DISJOINT symbol sets (disjoint merges
+    commute — one replace pass applies the batch).  The DuckDB
+    mirror unrolls the identical rank-window greedy-disjoint walk in
+    the byte placeholder space.  With the merge PUA block's 5 375
+    slots and batch=256, a production 32k byte vocab trains in ~125
+    jobs — the same arithmetic as the char tier, now over the
+    alphabet real tokenizers use."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    learned = TP.byte_bpe_train(
+        docs, "text", n_merges=24, batch=4
+    )
     return learned.select(
         "merge_rank",
         F.lower(F.hex(F.encode("lhs", "ISO-8859-1"))).alias(
@@ -13024,6 +13133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_tokenize_pack_v3": q_train_tokenize_pack_v3,
         "mixture_epochs_pack_docs": q_mixture_epochs_pack_docs,
         "ivfadc_append_topk": q_ivfadc_append_topk,
+        "byte_bpe_train_batched_docs": q_byte_bpe_train_batched_docs,
+        "pipeline_curation_v10": q_pipeline_curation_v10,
         "bpe_byte_fallback_docs": q_bpe_byte_fallback_docs,
         "detokenize_roundtrip_docs": q_detokenize_roundtrip_docs,
         "ccnet_bucket_docs": q_ccnet_bucket_docs,
@@ -13068,12 +13179,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_curation_v1": q_crawl_curation_v1,
         "wds_export_roundtrip": q_wds_export_roundtrip,
         "pack_sequences_docs": q_pack_sequences_docs,
-        "tfrecord_roundtrip": q_tfrecord_roundtrip,
-        "packed_blocks_text": q_packed_blocks_text,
         # --- behind the window: oldest driver signal first (the 21
         # remaining r9 entries head the r16 rotation), then r10..r14
         # blocks in signal order; probes and no-oracle sampling
         # entries last ----
+        "tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "packed_blocks_text": q_packed_blocks_text,
         "shards_to_blocks_v1": q_shards_to_blocks_v1,
         "tfrecord_export_roundtrip": q_tfrecord_export_roundtrip,
         "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
@@ -14566,6 +14677,176 @@ def oracle_sql() -> dict[str, str]:
                 FROM ssdocs d
                 LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
             )"""
+
+    # shared v9/v10 oracle FRONT: the full curated chain through
+    # the FIM stream (v9f) — v9 packs it doc-major, v10 upsamples
+    # it into epochs first (r15)
+    _v9_front = (_V8F + f""", dcdocs AS MATERIALIZED (
+                SELECT CASE WHEN doc_id % 10 = 0 THEN doc_id
+                            ELSE doc_id + 10000000 END AS doc_id,
+                       kept_text AS t
+                FROM v8kept
+            ), dccap AS (
+                SELECT CASE WHEN COALESCE(MAX(len(t)), 0) <= 1207
+                            THEN 'ok'
+                            ELSE error('pipeline_curation_v9 oracle: '
+                                 || 'decont text exceeds the 1200-'
+                                 || 'position gram cap')
+                       END AS ok
+                FROM dcdocs
+            ), dcgrams AS MATERIALIZED (
+                SELECT doc_id, CAST(g.p AS INT) AS pos,
+                       __SSD_HASH__ AS h
+                FROM dcdocs, generate_series(1, 1200) AS g(p), dccap
+                WHERE g.p <= len(t) - 7 AND dccap.ok = 'ok'
+            ), dcfps AS MATERIALIZED (
+                SELECT DISTINCT doc_id, fp FROM (
+                    SELECT doc_id, pos,
+                           min(h) OVER (
+                               PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW
+                               AND 3 FOLLOWING) AS fp,
+                           max(pos) OVER (PARTITION BY doc_id)
+                               AS maxp
+                    FROM dcgrams) wf
+                WHERE pos <= maxp - 3
+            ), dcgmin AS (
+                SELECT fp, MIN(doc_id) AS a FROM dcfps GROUP BY fp
+            ), dcpairs AS (
+                SELECT DISTINCT g.a, f.doc_id AS b
+                FROM dcfps f
+                JOIN dcgmin g ON g.fp = f.fp AND f.doc_id > g.a
+            ), dcm AS (
+                SELECT p.a, p.b, gb.pos AS pb,
+                       gb.pos - ga.pos AS off
+                FROM dcpairs p
+                JOIN dcgrams ga ON ga.doc_id = p.a
+                JOIN dcgrams gb
+                  ON gb.doc_id = p.b AND gb.h = ga.h
+            ), dcisl AS (
+                SELECT a, b, off, pb,
+                       pb - row_number() OVER (
+                           PARTITION BY a, b, off ORDER BY pb)
+                           AS grp
+                FROM dcm
+            ), dcruns AS (
+                SELECT b, MIN(pb) AS s, MAX(pb) + 7 AS e
+                FROM dcisl GROUP BY a, b, off, grp
+                HAVING MAX(pb) + 7 - MIN(pb) + 1 >= 40
+            ), dcspans AS (
+                SELECT DISTINCT b, s, e FROM dcruns
+            ), dcbrkd AS (
+                SELECT b, s, e,
+                       CASE WHEN s > COALESCE(MAX(e) OVER (
+                                PARTITION BY b ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1) + 1
+                            THEN 1 ELSE 0 END AS brk
+                FROM dcspans
+            ), dcmg AS (
+                SELECT b, s, e,
+                       SUM(brk) OVER (
+                           PARTITION BY b ORDER BY s, e) AS gid
+                FROM dcbrkd
+            ), dcfin AS (
+                SELECT b, MIN(s) AS s, MAX(e) AS e
+                FROM dcmg GROUP BY b, gid
+            ), dcseg AS (
+                SELECT b,
+                       COALESCE(LAG(e) OVER (
+                           PARTITION BY b ORDER BY s), 0) + 1 AS gs,
+                       s - 1 AS ge
+                FROM dcfin
+                UNION ALL
+                SELECT b, MAX(e) + 1, NULL FROM dcfin GROUP BY b
+            ), dcrebuilt AS (
+                SELECT d.doc_id,
+                       string_agg(
+                           substr(d.t, dcseg.gs,
+                                  GREATEST(COALESCE(dcseg.ge, len(d.t))
+                                           - dcseg.gs + 1, 0)),
+                           '' ORDER BY dcseg.gs) AS kept
+                FROM dcdocs d JOIN dcseg ON dcseg.b = d.doc_id
+                GROUP BY d.doc_id
+            ), dckept AS (
+                SELECT d.doc_id,
+                       COALESCE(r.kept, d.t) AS kept_text
+                FROM dcdocs d
+                LEFT JOIN dcrebuilt r ON r.doc_id = d.doc_id
+            ), v9train AS (
+                SELECT doc_id - 10000000 AS doc_id, kept_text
+                FROM dckept WHERE doc_id >= 10000000
+            ), v9g AS (
+                SELECT doc_id, kept_text FROM (
+                    SELECT doc_id, kept_text,
+                           trim(regexp_replace(regexp_replace(
+                               lower(kept_text), '[^a-z0-9\\s]', ' ',
+                               'g'), '\\s+', ' ', 'g')) AS norm
+                    FROM v9train) s
+                WHERE round({hlq_margin}, 6) > 0
+            ), v9l AS (
+                SELECT g.doc_id, g.kept_text, d.lang
+                FROM v9g g JOIN documents d USING (doc_id)
+            ), v9cnt AS (
+                SELECT lang, COUNT(*)::BIGINT AS n
+                FROM v9l GROUP BY lang
+            ), v9w AS (
+                SELECT lang, CAST(floor(sqrt(n)) AS BIGINT) AS w
+                FROM v9cnt
+            ), v9tw AS (
+                SELECT SUM(w) AS tw FROM v9w
+            ), v9q AS (
+                SELECT lang,
+                       CAST((200 * w.w) // tw.tw AS BIGINT) AS quota
+                FROM v9w w, v9tw tw
+            ), v9r AS (
+                SELECT doc_id, kept_text, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS r
+                FROM v9l
+            ), v9sel AS (
+                SELECT r.doc_id, r.kept_text
+                FROM v9r r JOIN v9q q USING (lang)
+                WHERE r.r <= q.quota
+            ), v9t AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(
+                               string_split(
+                                   replace(replace(replace(replace(replace(
+                                   replace(replace(replace(replace(replace(
+                                       trim(regexp_replace(lower(kept_text),
+                                           '[^a-z]+', ' ', 'g')),
+                                       'th', 'A'), 'Ae', 'B'), 'in', 'C'),
+                                       'er', 'D'), 'an', 'E'), 'on', 'F'),
+                                       'Ed', 'G'), 'Cg', 'H'), 'en', 'I'),
+                                       'or', 'J'),
+                                   ''),
+                               c -> c <> ' '),
+                           ch -> CASE WHEN ch BETWEEN 'a' AND 'z'
+                                      THEN ascii(ch) - 97
+                                      ELSE ascii(ch) - 39 END) AS ids
+                FROM v9sel
+            ), v9s AS (
+                SELECT doc_id, ids, len(ids) AS n,
+                       len(ids) // 3 AS p1,
+                       (len(ids) * 2) // 3 AS p2,
+                       (doc_id % 2 = 0 AND len(ids) >= 3) AS fim
+                FROM v9t
+            ), v9f AS (
+                SELECT doc_id,
+                       CASE WHEN fim THEN
+                           list_concat(list_concat(list_concat(
+                               list_concat(list_concat(
+                                   [9001], ids[1:p1]), [9002]),
+                                   ids[p2 + 1:n]), [9003]),
+                                   ids[p1 + 1:p2])
+                       ELSE ids END AS ids
+                FROM v9s
+    """)
+
 
     return {
         "pagerank_event_graph": pagerank_oracle,
@@ -17115,6 +17396,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(text, '') AS txt FROM documents",
             n_merges=10,
         ),
+        "byte_bpe_train_batched_docs": byte_bpe_train_oracle_sql(
+            "SELECT COALESCE(text, '') AS txt FROM documents",
+            n_merges=24,
+            batch=4,
+        ),
         "train_tokenize_pack_v3": f"""
             WITH {byte_bpe_train_ctes(
                 "SELECT COALESCE(text, '') AS txt FROM documents", 8
@@ -19559,170 +19845,7 @@ def oracle_sql() -> dict[str, str]:
             FROM v5b
             ORDER BY block_id
         """).replace("__SSD_HASH__", ssd_hash),
-        "pipeline_curation_v9": (_V8F + f""", dcdocs AS MATERIALIZED (
-                SELECT CASE WHEN doc_id % 10 = 0 THEN doc_id
-                            ELSE doc_id + 10000000 END AS doc_id,
-                       kept_text AS t
-                FROM v8kept
-            ), dccap AS (
-                SELECT CASE WHEN COALESCE(MAX(len(t)), 0) <= 1207
-                            THEN 'ok'
-                            ELSE error('pipeline_curation_v9 oracle: '
-                                 || 'decont text exceeds the 1200-'
-                                 || 'position gram cap')
-                       END AS ok
-                FROM dcdocs
-            ), dcgrams AS MATERIALIZED (
-                SELECT doc_id, CAST(g.p AS INT) AS pos,
-                       __SSD_HASH__ AS h
-                FROM dcdocs, generate_series(1, 1200) AS g(p), dccap
-                WHERE g.p <= len(t) - 7 AND dccap.ok = 'ok'
-            ), dcfps AS MATERIALIZED (
-                SELECT DISTINCT doc_id, fp FROM (
-                    SELECT doc_id, pos,
-                           min(h) OVER (
-                               PARTITION BY doc_id ORDER BY pos
-                               ROWS BETWEEN CURRENT ROW
-                               AND 3 FOLLOWING) AS fp,
-                           max(pos) OVER (PARTITION BY doc_id)
-                               AS maxp
-                    FROM dcgrams) wf
-                WHERE pos <= maxp - 3
-            ), dcgmin AS (
-                SELECT fp, MIN(doc_id) AS a FROM dcfps GROUP BY fp
-            ), dcpairs AS (
-                SELECT DISTINCT g.a, f.doc_id AS b
-                FROM dcfps f
-                JOIN dcgmin g ON g.fp = f.fp AND f.doc_id > g.a
-            ), dcm AS (
-                SELECT p.a, p.b, gb.pos AS pb,
-                       gb.pos - ga.pos AS off
-                FROM dcpairs p
-                JOIN dcgrams ga ON ga.doc_id = p.a
-                JOIN dcgrams gb
-                  ON gb.doc_id = p.b AND gb.h = ga.h
-            ), dcisl AS (
-                SELECT a, b, off, pb,
-                       pb - row_number() OVER (
-                           PARTITION BY a, b, off ORDER BY pb)
-                           AS grp
-                FROM dcm
-            ), dcruns AS (
-                SELECT b, MIN(pb) AS s, MAX(pb) + 7 AS e
-                FROM dcisl GROUP BY a, b, off, grp
-                HAVING MAX(pb) + 7 - MIN(pb) + 1 >= 40
-            ), dcspans AS (
-                SELECT DISTINCT b, s, e FROM dcruns
-            ), dcbrkd AS (
-                SELECT b, s, e,
-                       CASE WHEN s > COALESCE(MAX(e) OVER (
-                                PARTITION BY b ORDER BY s, e
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND 1 PRECEDING), -1) + 1
-                            THEN 1 ELSE 0 END AS brk
-                FROM dcspans
-            ), dcmg AS (
-                SELECT b, s, e,
-                       SUM(brk) OVER (
-                           PARTITION BY b ORDER BY s, e) AS gid
-                FROM dcbrkd
-            ), dcfin AS (
-                SELECT b, MIN(s) AS s, MAX(e) AS e
-                FROM dcmg GROUP BY b, gid
-            ), dcseg AS (
-                SELECT b,
-                       COALESCE(LAG(e) OVER (
-                           PARTITION BY b ORDER BY s), 0) + 1 AS gs,
-                       s - 1 AS ge
-                FROM dcfin
-                UNION ALL
-                SELECT b, MAX(e) + 1, NULL FROM dcfin GROUP BY b
-            ), dcrebuilt AS (
-                SELECT d.doc_id,
-                       string_agg(
-                           substr(d.t, dcseg.gs,
-                                  GREATEST(COALESCE(dcseg.ge, len(d.t))
-                                           - dcseg.gs + 1, 0)),
-                           '' ORDER BY dcseg.gs) AS kept
-                FROM dcdocs d JOIN dcseg ON dcseg.b = d.doc_id
-                GROUP BY d.doc_id
-            ), dckept AS (
-                SELECT d.doc_id,
-                       COALESCE(r.kept, d.t) AS kept_text
-                FROM dcdocs d
-                LEFT JOIN dcrebuilt r ON r.doc_id = d.doc_id
-            ), v9train AS (
-                SELECT doc_id - 10000000 AS doc_id, kept_text
-                FROM dckept WHERE doc_id >= 10000000
-            ), v9g AS (
-                SELECT doc_id, kept_text FROM (
-                    SELECT doc_id, kept_text,
-                           trim(regexp_replace(regexp_replace(
-                               lower(kept_text), '[^a-z0-9\\s]', ' ',
-                               'g'), '\\s+', ' ', 'g')) AS norm
-                    FROM v9train) s
-                WHERE round({hlq_margin}, 6) > 0
-            ), v9l AS (
-                SELECT g.doc_id, g.kept_text, d.lang
-                FROM v9g g JOIN documents d USING (doc_id)
-            ), v9cnt AS (
-                SELECT lang, COUNT(*)::BIGINT AS n
-                FROM v9l GROUP BY lang
-            ), v9w AS (
-                SELECT lang, CAST(floor(sqrt(n)) AS BIGINT) AS w
-                FROM v9cnt
-            ), v9tw AS (
-                SELECT SUM(w) AS tw FROM v9w
-            ), v9q AS (
-                SELECT lang,
-                       CAST((200 * w.w) // tw.tw AS BIGINT) AS quota
-                FROM v9w w, v9tw tw
-            ), v9r AS (
-                SELECT doc_id, kept_text, lang,
-                       row_number() OVER (
-                           PARTITION BY lang
-                           ORDER BY md5(CAST(doc_id AS VARCHAR)),
-                                    doc_id) AS r
-                FROM v9l
-            ), v9sel AS (
-                SELECT r.doc_id, r.kept_text
-                FROM v9r r JOIN v9q q USING (lang)
-                WHERE r.r <= q.quota
-            ), v9t AS (
-                SELECT doc_id,
-                       list_transform(
-                           list_filter(
-                               string_split(
-                                   replace(replace(replace(replace(replace(
-                                   replace(replace(replace(replace(replace(
-                                       trim(regexp_replace(lower(kept_text),
-                                           '[^a-z]+', ' ', 'g')),
-                                       'th', 'A'), 'Ae', 'B'), 'in', 'C'),
-                                       'er', 'D'), 'an', 'E'), 'on', 'F'),
-                                       'Ed', 'G'), 'Cg', 'H'), 'en', 'I'),
-                                       'or', 'J'),
-                                   ''),
-                               c -> c <> ' '),
-                           ch -> CASE WHEN ch BETWEEN 'a' AND 'z'
-                                      THEN ascii(ch) - 97
-                                      ELSE ascii(ch) - 39 END) AS ids
-                FROM v9sel
-            ), v9s AS (
-                SELECT doc_id, ids, len(ids) AS n,
-                       len(ids) // 3 AS p1,
-                       (len(ids) * 2) // 3 AS p2,
-                       (doc_id % 2 = 0 AND len(ids) >= 3) AS fim
-                FROM v9t
-            ), v9f AS (
-                SELECT doc_id,
-                       CASE WHEN fim THEN
-                           list_concat(list_concat(list_concat(
-                               list_concat(list_concat(
-                                   [9001], ids[1:p1]), [9002]),
-                                   ids[p2 + 1:n]), [9003]),
-                                   ids[p1 + 1:p2])
-                       ELSE ids END AS ids
-                FROM v9s
+        "pipeline_curation_v9": (_v9_front + f"""
             ), v9c AS (
                 SELECT doc_id, ids, len(ids)::BIGINT AS n,
                        COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
@@ -19758,6 +19881,85 @@ def oracle_sql() -> dict[str, str]:
                        AS head_ids,
                    md5(csv) AS ids_md5
             FROM v9b
+            ORDER BY block_id
+        """).replace("__SSD_HASH__", ssd_hash),
+        "pipeline_curation_v10": (_v9_front + f"""
+            ), v10d AS (
+                SELECT 'src' || CAST(doc_id % 4 AS VARCHAR) AS source,
+                       doc_id AS id,
+                       len(list_filter(
+                           string_split_regex(COALESCE(kept_text, ''),
+                                              '\\s+'),
+                           x -> x <> ''))::BIGINT AS n_toks
+                FROM v9sel
+            ), v10sh AS (
+                SELECT * FROM (VALUES
+                    ('src0', 40), ('src1', 30),
+                    ('src2', 20), ('src3', 10)) AS t(source, pct)
+            ), v10st AS (
+                SELECT source, SUM(n_toks)::BIGINT AS toks
+                FROM v10d GROUP BY source
+            ), v10pl AS (
+                SELECT v10st.source,
+                       CASE WHEN toks > 0
+                            THEN ((8000 * pct) // 100) // toks
+                            ELSE 0 END AS epochs,
+                       CASE WHEN toks > 0
+                            THEN ((((8000 * pct) // 100) % toks)
+                                  * 1000) // toks
+                            ELSE 0 END AS rem_millis
+                FROM v10st JOIN v10sh USING (source)
+            ), v10exp AS (
+                SELECT id, unnest(range(0, epochs)) AS epoch
+                FROM (SELECT d.id, pl.epochs
+                      FROM v10d d JOIN v10pl pl USING (source)) j
+                UNION ALL
+                SELECT d.id, pl.epochs AS epoch
+                FROM v10d d JOIN v10pl pl USING (source)
+                WHERE ((id % 1000003) * 2654435761 + 40503)
+                      % 4294967296 % 1000 < pl.rem_millis
+            ), v10s AS (
+                SELECT epoch * {_EPOCH_PACK_BASE} + v10exp.id AS pid,
+                       ids
+                FROM v10exp JOIN v9f ON v9f.doc_id = v10exp.id
+            ), v10c AS (
+                SELECT pid, ids, len(ids)::BIGINT AS n,
+                       COALESCE(SUM(len(ids)) OVER (ORDER BY pid
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM v10s
+            ), v10e AS (
+                SELECT pid, ids, n, o,
+                       unnest(range(o // 32,
+                                    (o + n - 1) // 32 + 1)) AS block_id
+                FROM v10c WHERE n > 0
+            ), v10pp AS (
+                SELECT block_id,
+                       least(n, (block_id + 1) * 32 - o)
+                           - greatest(0, block_id * 32 - o) AS nb,
+                       greatest(0, o - block_id * 32) AS block_pos,
+                       greatest(0, block_id * 32 - o) AS tok_start,
+                       array_to_string(
+                           ids[greatest(0, block_id * 32 - o) + 1 :
+                               least(n, (block_id + 1) * 32 - o)],
+                           ',') AS piece
+                FROM v10e
+            ), v10b AS (
+                SELECT block_id,
+                       count(*)::BIGINT AS n_docs,
+                       sum(nb)::BIGINT AS n_ids,
+                       COALESCE(string_agg(
+                           CAST(block_pos AS VARCHAR), ',' ORDER BY
+                           block_pos) FILTER (WHERE tok_start = 0),
+                           '') AS doc_starts,
+                       string_agg(piece, ',' ORDER BY block_pos) AS csv
+                FROM v10pp
+                GROUP BY block_id
+            )
+            SELECT CAST(block_id AS BIGINT) AS block_id,
+                   n_docs, n_ids, doc_starts,
+                   md5(csv) AS ids_md5
+            FROM v10b
             ORDER BY block_id
         """).replace("__SSD_HASH__", ssd_hash),
         "pipeline_curation_v6": f"""

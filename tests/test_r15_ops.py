@@ -194,3 +194,27 @@ def test_mixture_epochs_expand_matches_audit(spark, entry, sf_dir):
         else:
             downs += 1
     assert ups >= 1 and downs >= 1, audit
+
+
+def test_pipeline_curation_v10_upsamples_and_packs(spark, entry, sf_dir):
+    """v10 pin: the curated corpus really upsamples (the head shard
+    runs a full epoch + remainder while at least one shard is
+    remainder-only), every non-tail block is exactly 32 ids, and
+    epoch-major order means block md5s pin epoch boundaries."""
+    rows = sorted(
+        entry.q_pipeline_curation_v10(spark, sf_dir).collect(),
+        key=lambda r: r["block_id"],
+    )
+    assert rows
+    assert all(r["n_ids"] == 32 for r in rows[:-1])
+    assert rows[-1]["n_ids"] <= 32
+    # the 8000-token budget fires BOTH regimes on every tested SF
+    # (src0: 1 full epoch + remainder; src1-3: remainder-only), so
+    # the upsampled stream carries src0 MORE than once and the
+    # others strictly less — total id mass lands between 40% and
+    # 100% of v9's one-pass doc-major pack of the same FIM stream
+    v9_rows = entry.q_pipeline_curation_v9(spark, sf_dir).collect()
+    v10_ids = sum(r["n_ids"] for r in rows)
+    v9_ids = sum(r["n_ids"] for r in v9_rows)
+    assert 0.4 * v9_ids < v10_ids < v9_ids, (v10_ids, v9_ids)
+    assert any(r["doc_starts"] for r in rows)
