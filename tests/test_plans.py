@@ -816,3 +816,21 @@ def test_ccnet_bucket_no_lang_sized_window(spark, sf_dir):
     for m in re.finditer(r"row_number\(\)[^\n]*", plan):
         spec = m.group(0)
         assert "__ok" in spec, f"lang-only rank window: {spec}"
+
+
+def test_mixture_epochs_pack_plan_shape(spark, sf_dir):
+    """r15: the upsampling expansion is a sequence/explode projection
+    — the only exchanges are the plan's metadata aggs, the pack's
+    bucket shuffle and its one-row-per-bucket offsets window; never
+    a corpus-sized single-partition frame."""
+    import re
+
+    import __spark_entry__ as M
+
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    df = M.queries()["mixture_epochs_pack_docs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
+    assert len(ex) <= 32, sorted(ex)
