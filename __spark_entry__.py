@@ -6113,6 +6113,38 @@ def q_byte_bpe_train_docs(
     ).orderBy("merge_rank")
 
 
+def q_dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (r15 — ``text.dsir_logratio``, Xie et al.
+    2023: importance resampling toward a curated target, the method
+    behind several production pretraining mixes): every 7th doc
+    plays the curated TARGET sample; all docs score by the mean
+    hashed-n-gram log probability ratio between the target's and the
+    raw corpus's smoothed bucket distributions, and the top 200 by
+    (rounded score desc, doc_id) are the selected training subset —
+    the importance-resampling step as a deterministic exact top-K.
+    The oracle rebuilds the featurizer (shared poly-hash bucket
+    mirror), both count tables, the smoothed weights and the ranking
+    closed-form.
+
+    Scale shape: bucket-count tables are ≤256 rows (trained-weight
+    metadata), the weight table broadcasts onto one feature explode,
+    one doc-keyed agg scores the corpus, and the top-K is
+    ``orderBy().limit()`` = TakeOrderedAndProject — per-partition
+    heads, no global sort."""
+    from parquet_editor_spark.functions.text import dsir_logratio
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    scored = dsir_logratio(docs, target, "doc_id", "text")
+    return (
+        scored.select(
+            F.col("id").alias("doc_id"), "n_feats", "logratio"
+        )
+        .orderBy(F.desc("logratio"), F.asc("doc_id"))
+        .limit(200)
+    )
+
+
 def q_byte_bpe_train_batched_docs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -13135,6 +13167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfadc_append_topk": q_ivfadc_append_topk,
         "byte_bpe_train_batched_docs": q_byte_bpe_train_batched_docs,
         "pipeline_curation_v10": q_pipeline_curation_v10,
+        "dsir_select_docs": q_dsir_select_docs,
         "bpe_byte_fallback_docs": q_bpe_byte_fallback_docs,
         "detokenize_roundtrip_docs": q_detokenize_roundtrip_docs,
         "ccnet_bucket_docs": q_ccnet_bucket_docs,
@@ -13178,11 +13211,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_samples_docs": q_wds_samples_docs,
         "crawl_curation_v1": q_crawl_curation_v1,
         "wds_export_roundtrip": q_wds_export_roundtrip,
-        "pack_sequences_docs": q_pack_sequences_docs,
         # --- behind the window: oldest driver signal first (the 21
         # remaining r9 entries head the r16 rotation), then r10..r14
         # blocks in signal order; probes and no-oracle sampling
         # entries last ----
+        "pack_sequences_docs": q_pack_sequences_docs,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "packed_blocks_text": q_packed_blocks_text,
         "shards_to_blocks_v1": q_shards_to_blocks_v1,
@@ -13474,7 +13507,11 @@ def oracle_sql() -> dict[str, str]:
     from parquet_editor_spark.operators.warehouse import hilbert_sql_ctes
 
     from parquet_editor_spark.operators.dedup import winnow_gram_hash_sql
-    from parquet_editor_spark.functions.text import hash_linear_score_sql
+    from parquet_editor_spark.functions.text import (
+        _hash_feats_sql,
+        _poly_bucket_sql,
+        hash_linear_score_sql,
+    )
     from parquet_editor_spark.operators.textprep import (
         bpe_apply_sql,
         bpe_train_ctes,
@@ -17392,6 +17429,48 @@ def oracle_sql() -> dict[str, str]:
                FROM documents""",
             n_merges=6,
         ),
+        "dsir_select_docs": f"""
+            WITH nd AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(
+                           lower(COALESCE(text, '')),
+                           '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS norm
+                FROM documents
+            ), f AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           {_hash_feats_sql("norm")},
+                           t -> {_poly_bucket_sql("t", 256)})) AS b
+                FROM nd
+            ), tf AS (
+                SELECT b FROM f WHERE doc_id % 7 = 0
+            ), rc AS (
+                SELECT b, COUNT(*)::BIGINT AS rc FROM f GROUP BY b
+            ), tc AS (
+                SELECT b, COUNT(*)::BIGINT AS tc FROM tf GROUP BY b
+            ), tot AS (
+                SELECT (SELECT COUNT(*) FROM f)::DOUBLE AS R,
+                       (SELECT COUNT(*) FROM tf)::DOUBLE AS T
+            ), w AS (
+                SELECT rc.b,
+                       round(ln((COALESCE(tc.tc, 0) + 1.0)
+                                / (tot.T + 256.0))
+                             - ln((rc.rc + 1.0) / (tot.R + 256.0)),
+                             6) AS lw
+                FROM rc LEFT JOIN tc USING (b), tot
+            ), s AS (
+                SELECT doc_id,
+                       COUNT(*)::BIGINT AS n_feats,
+                       round(avg(lw), 4) + 0.0 AS logratio
+                FROM f JOIN w USING (b)
+                GROUP BY doc_id
+            )
+            SELECT doc_id, n_feats, logratio
+            FROM s
+            ORDER BY logratio DESC, doc_id ASC
+            LIMIT 200
+        """,
         "byte_bpe_train_docs": byte_bpe_train_oracle_sql(
             "SELECT COALESCE(text, '') AS txt FROM documents",
             n_merges=10,

@@ -639,6 +639,100 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+def dsir_logratio(
+    df,
+    target,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 256,
+    round_to: int = 4,
+    weight_round: int = 6,
+):
+    """DSIR-style importance weights (r15 — Xie et al. 2023, Data
+    Selection via Importance Resampling: the selection method behind
+    several production pretraining mixes): featurize every doc as
+    hashed unigram+bigram buckets (the classifier tier's shared
+    featurizer over the canonical normalization), estimate each
+    bucket's add-1-smoothed probability under a curated TARGET sample
+    and under the RAW corpus, and score each doc by the MEAN
+    per-feature log probability ratio — high scores read "looks like
+    the target distribution".  Selection is then a top-K by
+    (rounded score, id), the resampling step.
+
+    Engine-exact by the corpus-LM construction
+    (:func:`trigram_backoff_logprob`'s proven class): counts are
+    exact integers, each bucket weight ``ln((t+1)/(T+B)) −
+    ln((r+1)/(R+B))`` rounds to ``weight_round`` before any
+    aggregation, the per-doc mean rounds to ``round_to``.
+
+    Returns ``(id, n_feats, logratio)`` — docs with zero features
+    (empty normalized text) emit no row.
+
+    Scale shape: two explode + bucket-count aggs whose results are ≤
+    ``n_buckets`` rows each (the trained-weight-table metadata
+    class), two 1-row totals broadcast, the weight table broadcast
+    back onto the exploded features, one id-keyed agg — the
+    :func:`unigram_logprob` plan with a bounded vocab.  Top-K
+    selection downstream should be ``orderBy().limit(k)`` —
+    Spark's TakeOrderedAndProject, per-partition heads merged, no
+    global sort."""
+    b_lit = float(n_buckets)
+
+    def feats(d):
+        return d.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                hash_feature_buckets(
+                    normalize_text(
+                        F.coalesce(F.col(text_col), F.lit(""))
+                    ),
+                    n_buckets,
+                )
+            ).alias("b"),
+        )
+
+    rawf = feats(df)
+    tgtf = feats(target)
+    r_cnt = rawf.groupBy("b").agg(
+        F.count("*").cast("long").alias("rc")
+    )
+    t_cnt = tgtf.groupBy("b").agg(
+        F.count("*").cast("long").alias("tc")
+    )
+    totals = (
+        rawf.agg(F.count("*").cast("double").alias("R"))
+        .crossJoin(tgtf.agg(F.count("*").cast("double").alias("T")))
+    )
+    w = (
+        r_cnt.join(t_cnt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                    / (F.col("T") + b_lit)
+                )
+                - F.log((F.col("rc") + 1.0) / (F.col("R") + b_lit)),
+                weight_round,
+            ).alias("lw"),
+        )
+    )
+    return (
+        rawf.join(F.broadcast(w), "b")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            # + 0.0 folds IEEE −0.0 (a tiny negative mean rounded
+            # away) onto +0.0 — the engines reach zero from opposite
+            # sides and the differential hashes the sign bit
+            (F.round(F.avg("lw"), round_to) + F.lit(0.0)).alias(
+                "logratio"
+            ),
+        )
+    )
+
+
 def redact_pii(col: str | Column) -> Column:
     """Scrub emails / IPv4s / US-shaped phone numbers to typed tags —
     the standard pre-training privacy pass. Pure ``regexp_replace``

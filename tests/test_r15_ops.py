@@ -218,3 +218,32 @@ def test_pipeline_curation_v10_upsamples_and_packs(spark, entry, sf_dir):
     v9_ids = sum(r["n_ids"] for r in v9_rows)
     assert 0.4 * v9_ids < v10_ids < v9_ids, (v10_ids, v9_ids)
     assert any(r["doc_starts"] for r in rows)
+
+
+def test_dsir_logratio_ranks_target_like_docs_higher(spark):
+    """DSIR law on a planted fixture: docs sharing the target
+    sample's vocabulary must outscore docs that don't — the
+    importance weight is a real distribution-similarity signal, not
+    just a hash artifact."""
+    from parquet_editor_spark.functions.text import dsir_logratio
+
+    rows = []
+    for i in range(24):
+        if i % 2 == 0:
+            rows.append((i, "alpha beta gamma alpha beta"))
+        else:
+            rows.append((i, "zig zag zork quux flux"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # target sample: a subset of the alpha-beta population
+    target = df.filter("doc_id % 2 = 0 AND doc_id < 12")
+    out = {
+        r["id"]: r["logratio"]
+        for r in dsir_logratio(df, target, "doc_id", "text").collect()
+    }
+    alpha = [out[i] for i in range(24) if i % 2 == 0]
+    other = [out[i] for i in range(24) if i % 2 == 1]
+    assert min(alpha) > max(other), (alpha, other)
+    # negative-zero fold: no -0.0 survives the rounding boundary
+    assert all(
+        not (v == 0.0 and str(v).startswith("-")) for v in out.values()
+    )
