@@ -6113,6 +6113,51 @@ def q_byte_bpe_train_docs(
     ).orderBy("merge_rank")
 
 
+def q_stream_byte_tokenize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BYTE tokenizer deployed on a STREAM (r15 — extends the
+    batch-train / stream-deploy family to the Arrow tokenize path):
+    the documents table replayed as a file stream, each micro-batch
+    tokenized by ``byte_bpe_tokenize`` under the pinned 8-merge byte
+    table — stateless Arrow ``mapInPandas`` is streaming-transparent,
+    so the BATCH operator runs unchanged, pre-split, piece cache and
+    all — then rolled up per ``doc_id % 8`` bucket in complete mode:
+    docs, total ids, byte-fallback ids and the count of EXACT
+    round-trips (the oracle pins it equal to n_docs — a single
+    mangled token anywhere in the stream fails the differential).
+    The oracle is the identical batch aggregate over the replay-chain
+    ids, so streamed and batch tokenizer semantics are pinned equal.
+
+    Scale shape: tokenize stays the zero-shuffle Arrow class per
+    micro-batch; the only stateful operator is the 8-group rollup —
+    bounded state, the streaming-agg contract."""
+    import uuid
+
+    from parquet_editor_spark import streaming as ST
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = ST.read_table_stream(
+        spark, f"{sf_dir}/documents.parquet"
+    ).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(_BYTE_SUFFIX)
+        ).alias("__t"),
+    )
+    toks = TP.byte_bpe_tokenize(docs, "doc_id", "__t", _BYTE_MERGES)
+    rolled = toks.groupBy((F.col("id") % 8).alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("input_ids")).cast("long").alias("n_ids"),
+        F.sum("n_fallback").cast("long").alias("n_fallback"),
+        F.sum("exact").cast("long").alias("n_exact"),
+    )
+    out = ST.run_to_completion(rolled, f"sbt_{uuid.uuid4().hex[:8]}")
+    return out.select(
+        "bucket", "n_docs", "n_ids", "n_fallback", "n_exact"
+    ).orderBy("bucket")
+
+
 def q_dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (r15 — ``text.dsir_logratio``, Xie et al.
     2023: importance resampling toward a curated target, the method
@@ -13168,6 +13213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_bpe_train_batched_docs": q_byte_bpe_train_batched_docs,
         "pipeline_curation_v10": q_pipeline_curation_v10,
         "dsir_select_docs": q_dsir_select_docs,
+        "stream_byte_tokenize": q_stream_byte_tokenize,
         "bpe_byte_fallback_docs": q_bpe_byte_fallback_docs,
         "detokenize_roundtrip_docs": q_detokenize_roundtrip_docs,
         "ccnet_bucket_docs": q_ccnet_bucket_docs,
@@ -13210,11 +13256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_extract_docs": q_tar_extract_docs,
         "wds_samples_docs": q_wds_samples_docs,
         "crawl_curation_v1": q_crawl_curation_v1,
-        "wds_export_roundtrip": q_wds_export_roundtrip,
         # --- behind the window: oldest driver signal first (the 21
         # remaining r9 entries head the r16 rotation), then r10..r14
         # blocks in signal order; probes and no-oracle sampling
         # entries last ----
+        "wds_export_roundtrip": q_wds_export_roundtrip,
         "pack_sequences_docs": q_pack_sequences_docs,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "packed_blocks_text": q_packed_blocks_text,
@@ -17429,6 +17475,27 @@ def oracle_sql() -> dict[str, str]:
                FROM documents""",
             n_merges=6,
         ),
+        "stream_byte_tokenize": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       COALESCE(text, '') || '{_BYTE_SUFFIX}' AS t
+                FROM documents
+            ), ids AS (
+                SELECT doc_id,
+                       {byte_bpe_oracle_sql("t", _BYTE_MERGES)} AS ids
+                FROM d
+            )
+            SELECT doc_id % 8 AS bucket,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(len(ids))::BIGINT AS n_ids,
+                   SUM(len(list_filter(ids,
+                       i -> i >= 128 AND i < 256)))::BIGINT
+                       AS n_fallback,
+                   COUNT(*)::BIGINT AS n_exact
+            FROM ids
+            GROUP BY bucket
+            ORDER BY bucket
+        """,
         "dsir_select_docs": f"""
             WITH nd AS (
                 SELECT doc_id,
