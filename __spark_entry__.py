@@ -6158,6 +6158,56 @@ def q_stream_byte_tokenize(
     ).orderBy("bucket")
 
 
+def q_byte_fertility_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BYTE-tier tokenizer fertility per language (r15 — the
+    multilingual-fairness audit for the byte tokenizer: a byte-level
+    table never OOVs, but its compression varies by script — Latin
+    text rides the learned merges while CJK/emoji pay one id per
+    UTF-8 byte, the documented fertility inequity byte tokenizers
+    trade for total coverage): per language, UTF-8 bytes per emitted
+    token under the pinned 8-merge byte table, over the suffixed
+    fixture so every language carries multibyte work.  Composition of
+    ``byte_bpe_tokenize`` with one per-lang hash agg; bytes count as
+    ``n_fallback`` (multibyte bytes) + ASCII ids, i.e. exactly
+    ``octet_length(nfc(text))`` in both engines."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(_BYTE_SUFFIX)
+        ).alias("__t"),
+    )
+    toks = TP.byte_bpe_tokenize(
+        docs, "doc_id", "__t", _BYTE_MERGES
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.size("input_ids").cast("long").alias("n_toks"),
+        F.octet_length("detok").cast("long").alias("n_bytes"),
+        "n_fallback",
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum("n_fallback").cast("long").alias("total_fallback"),
+            F.round(
+                F.sum("n_bytes").cast("double")
+                / F.sum("n_toks").cast("double"),
+                4,
+            ).alias("bytes_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (r15 — ``text.dsir_logratio``, Xie et al.
     2023: importance resampling toward a curated target, the method
@@ -13214,6 +13264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curation_v10": q_pipeline_curation_v10,
         "dsir_select_docs": q_dsir_select_docs,
         "stream_byte_tokenize": q_stream_byte_tokenize,
+        "byte_fertility_docs": q_byte_fertility_docs,
         "bpe_byte_fallback_docs": q_bpe_byte_fallback_docs,
         "detokenize_roundtrip_docs": q_detokenize_roundtrip_docs,
         "ccnet_bucket_docs": q_ccnet_bucket_docs,
@@ -13255,11 +13306,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtitle_cues_docs": q_subtitle_cues_docs,
         "tar_extract_docs": q_tar_extract_docs,
         "wds_samples_docs": q_wds_samples_docs,
-        "crawl_curation_v1": q_crawl_curation_v1,
         # --- behind the window: oldest driver signal first (the 21
         # remaining r9 entries head the r16 rotation), then r10..r14
         # blocks in signal order; probes and no-oracle sampling
         # entries last ----
+        "crawl_curation_v1": q_crawl_curation_v1,
         "wds_export_roundtrip": q_wds_export_roundtrip,
         "pack_sequences_docs": q_pack_sequences_docs,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
@@ -17475,6 +17526,33 @@ def oracle_sql() -> dict[str, str]:
                FROM documents""",
             n_merges=6,
         ),
+        "byte_fertility_docs": f"""
+            WITH d AS (
+                SELECT doc_id, lang,
+                       COALESCE(text, '') || '{_BYTE_SUFFIX}' AS t
+                FROM documents
+            ), ids AS (
+                SELECT doc_id, lang,
+                       {byte_bpe_oracle_sql("t", _BYTE_MERGES)} AS ids,
+                       octet_length(
+                           encode(nfc_normalize(t)))::BIGINT
+                           AS n_bytes
+                FROM d
+            )
+            SELECT lang,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(n_bytes)::BIGINT AS total_bytes,
+                   SUM(len(ids))::BIGINT AS total_tokens,
+                   SUM(len(list_filter(ids,
+                       i -> i >= 128 AND i < 256)))::BIGINT
+                       AS total_fallback,
+                   round(SUM(n_bytes)::DOUBLE
+                         / SUM(len(ids))::DOUBLE, 4)
+                       AS bytes_per_token
+            FROM ids
+            GROUP BY lang
+            ORDER BY lang
+        """,
         "stream_byte_tokenize": f"""
             WITH d AS (
                 SELECT doc_id,
