@@ -6208,6 +6208,71 @@ def q_byte_fertility_docs(
     )
 
 
+def q_matryoshka_recall_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka truncation recall (r15 — Kusupati et al. 2022 MRL
+    evaluation: modern embedding models are trained so PREFIX
+    dimensions carry most of the signal, and serving tiers cut
+    storage/compute by indexing only a prefix; the audit before
+    shipping that cut is exactly this table): per query, |top-5
+    under the 16-dim PREFIX cosine ∩ top-5 under the full 64-dim
+    cosine| / 5.  Both sides are the exact brute-force ranking
+    (``sim.topk_cosine`` — rounded sims, id tie-break), so the whole
+    recall table is engine-exact and hash-checked; on the synthetic
+    UNSTRUCTURED vectors the measured recall is low by design — the
+    instrument flags exactly the cut a real MRL model makes safe.
+
+    Scale shape: two brute-force top-k passes (the calibration
+    baseline every ANN evaluation pays once, on a query sample —
+    per-batch BLAS matmul + per-batch heads, no all-pairs), one
+    (query, neighbor) hash join over 2·|Q|·k metadata rows."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qf = emb.filter(F.col("vec_id") < 10)
+
+    def prefix(d: DataFrame) -> DataFrame:
+        return d.select(
+            "vec_id",
+            F.slice(
+                F.col("embedding").cast("array<double>"), 1, 16
+            ).alias("embedding"),
+        )
+
+    full = S.topk_cosine(emb, qf, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    trunc = S.topk_cosine(prefix(emb), prefix(qf), k=5).select(
+        F.col("query_id").alias("t_qid"),
+        F.col("neighbor_id").alias("t_nid"),
+    )
+    hits = full.join(
+        trunc,
+        (F.col("query_id") == F.col("t_qid"))
+        & (F.col("neighbor_id") == F.col("t_nid")),
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("t_nid").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hits"),
+            F.round(
+                F.sum(
+                    F.when(F.col("t_nid").isNotNull(), 1).otherwise(0)
+                )
+                / F.lit(5.0),
+                6,
+            ).alias("recall_prefix"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (r15 — ``text.dsir_logratio``, Xie et al.
     2023: importance resampling toward a curated target, the method
@@ -13265,6 +13330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_docs": q_dsir_select_docs,
         "stream_byte_tokenize": q_stream_byte_tokenize,
         "byte_fertility_docs": q_byte_fertility_docs,
+        "matryoshka_recall_bound": q_matryoshka_recall_bound,
         "bpe_byte_fallback_docs": q_bpe_byte_fallback_docs,
         "detokenize_roundtrip_docs": q_detokenize_roundtrip_docs,
         "ccnet_bucket_docs": q_ccnet_bucket_docs,
@@ -13305,11 +13371,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_extract_docs": q_zip_extract_docs,
         "subtitle_cues_docs": q_subtitle_cues_docs,
         "tar_extract_docs": q_tar_extract_docs,
-        "wds_samples_docs": q_wds_samples_docs,
         # --- behind the window: oldest driver signal first (the 21
         # remaining r9 entries head the r16 rotation), then r10..r14
         # blocks in signal order; probes and no-oracle sampling
         # entries last ----
+        "wds_samples_docs": q_wds_samples_docs,
         "crawl_curation_v1": q_crawl_curation_v1,
         "wds_export_roundtrip": q_wds_export_roundtrip,
         "pack_sequences_docs": q_pack_sequences_docs,
@@ -17526,6 +17592,60 @@ def oracle_sql() -> dict[str, str]:
                FROM documents""",
             n_merges=6,
         ),
+        "matryoshka_recall_bound": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 10
+            ), c AS (
+                SELECT vec_id AS neighbor_id,
+                       embedding::DOUBLE[] AS cv
+                FROM embeddings
+            ), s AS (
+                SELECT query_id, neighbor_id,
+                       round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))),
+                             4) AS sim
+                FROM q, c WHERE query_id <> neighbor_id
+            ), f5 AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC)
+                               AS rn
+                    FROM s) WHERE rn <= 5
+            ), sp AS (
+                SELECT query_id, neighbor_id,
+                       round(list_dot_product(qv[1:16], cv[1:16])
+                             / (sqrt(list_dot_product(qv[1:16],
+                                                      qv[1:16]))
+                                * sqrt(list_dot_product(cv[1:16],
+                                                        cv[1:16]))),
+                             4) AS sim
+                FROM q, c WHERE query_id <> neighbor_id
+            ), t5 AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC)
+                               AS rn
+                    FROM sp) WHERE rn <= 5
+            )
+            SELECT f.query_id,
+                   SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                       THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+                   round(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) / 5.0, 6)
+                       AS recall_prefix
+            FROM f5 f
+            LEFT JOIN t5 t
+              ON t.query_id = f.query_id
+             AND t.neighbor_id = f.neighbor_id
+            GROUP BY f.query_id
+            ORDER BY f.query_id
+        """,
         "byte_fertility_docs": f"""
             WITH d AS (
                 SELECT doc_id, lang,
