@@ -4901,6 +4901,13 @@ def q_pipeline_curation_v10(
     from parquet_editor_spark.operators import textprep as TP
 
     sel, fimmed = _v9_fim_stream(spark, sf_dir)
+    # the v9 stage-boundary rule at the v10 handoff: the epochs plan
+    # reads `sel` twice (stats + staged) and the stream reads
+    # `fimmed` once more — over live lineage each reference re-expands
+    # the whole curated front (~190 exchanges in the analyzed plan);
+    # materialized, the downstream plan starts at the boundary
+    sel = sel.localCheckpoint(eager=True)
+    fimmed = fimmed.localCheckpoint(eager=True)
     srcd = sel.select(
         F.concat(
             F.lit("src"), (F.col("doc_id") % 4).cast("string")

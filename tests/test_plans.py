@@ -834,3 +834,31 @@ def test_mixture_epochs_pack_plan_shape(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 1, plan
     ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
     assert len(ex) <= 32, sorted(ex)
+
+
+def test_pipeline_curation_v10_plan_shape(spark, sf_dir):
+    """r15: the v9 stage-boundary rule at the v10 handoff — the
+    epochs plan reads the selected corpus twice and the stream reads
+    the FIM relation again, so both are eager localCheckpoints: the
+    downstream plan must start AT the boundary (no re-expanded
+    curated front — over live lineage it re-appears ~3×, ~190
+    exchanges) and the expansion itself adds only the plan's
+    metadata aggs and the pack, never a data-sized single
+    partition."""
+    import re
+
+    import __spark_entry__ as M
+
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    df = M.queries()["pipeline_curation_v10"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # the curated front is entirely behind the checkpoints
+    assert plan.count("gen(doc_id") == 0, plan.count("gen(doc_id")
+    assert "Scan ExistingRDD" in plan, "v10 handoff not materialized"
+    # the epochs-plan aggs + the expanded-stream/FIM join + the pack
+    # (same budget class as mixture_epochs_pack's pin); the live-
+    # lineage failure mode this test exists for reads ~190
+    ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
+    assert len(ex) <= 40, sorted(ex)
+    assert plan.count("Exchange SinglePartition") <= 2, plan
