@@ -4946,6 +4946,64 @@ def q_pipeline_curation_v10(
     ).orderBy("block_id")
 
 
+def q_pipeline_curation_v11(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curation DAG v11 (r15 — the last pinned fixture replaced by a
+    LEARNED artifact: v9/v10 tokenize their curated corpus with the
+    pinned char-level table, but a real pretraining run trains its
+    tokenizer ON the corpus it will tokenize): v9's entire curated
+    front (ingest → decontamination → quality gate → α-mixture
+    exact-K selection), then a BYTE-level BPE table TRAINED on the
+    selected corpus itself (``byte_bpe_train``, 8 merges — NFC +
+    pre-split is the only normalization, total coverage by
+    construction), the same corpus tokenized under the learned table
+    (train → apply composes through the latin-1 merges format), and
+    the real ids packed into 64-id blocks with ``doc_starts``.
+    Corpus → curation → learned tokenizer → training blocks: the
+    complete from-scratch stack in ONE oracled plan.  The DuckDB
+    oracle splices the unrolled byte-training CTEs and the
+    learned-pattern per-piece apply INTO the shared v9 front, so a
+    divergence anywhere — curation, NFC, the split, pair counting,
+    tie-breaks, the apply, the pack — fails the block md5s.
+
+    Scale shape: v9's audited front behind an eager checkpoint (the
+    v10 handoff rule); the trainer's one Arrow vocab pass + bounded
+    per-iteration collects; tokenize zero-shuffle Arrow; the
+    bucketed prefix-sum pack."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    sel, _fimmed = _v9_fim_stream(spark, sf_dir)
+    # the v10 handoff rule: the trainer's vocab pass, the tokenize
+    # pass and the pack all re-read the selected corpus — over live
+    # lineage each reference re-expands the curated front
+    sel = sel.localCheckpoint(eager=True)
+    learned = sorted(
+        TP.byte_bpe_train(
+            sel.select("kept_text"), "kept_text", n_merges=8
+        ).collect(),
+        key=lambda r: r["merge_rank"],
+    )  # eight rows — bounded metadata, the kmeans-loop contract
+    merges = [(r["lhs"], r["rhs"]) for r in learned]
+    outs = [a + b for a, b in merges]
+    if len(set(outs)) != len(outs):
+        raise ValueError(f"learned byte merges collide: {outs!r}")
+    toks = TP.byte_bpe_tokenize(sel, "doc_id", "kept_text", merges)
+    blocks = TP.pack_id_blocks(
+        toks, "id", "input_ids", block_tokens=64, bucket_docs=64
+    )
+    ids_csv = F.array_join(
+        F.transform("input_ids", lambda x: x.cast("string")), ","
+    )
+    return blocks.select(
+        "block_id",
+        "n_docs",
+        "n_ids",
+        "doc_starts",
+        F.md5(F.encode(ids_csv, "utf-8")).alias("ids_md5"),
+    ).orderBy("block_id")
+
+
 def q_wds_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset EXPORT → re-ingest round trip (``shard_webdataset``
     + ``wds_samples``, new r9): shard the whole documents table into
@@ -13338,6 +13396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_byte_tokenize": q_stream_byte_tokenize,
         "byte_fertility_docs": q_byte_fertility_docs,
         "matryoshka_recall_bound": q_matryoshka_recall_bound,
+        "pipeline_curation_v11": q_pipeline_curation_v11,
         "bpe_byte_fallback_docs": q_bpe_byte_fallback_docs,
         "detokenize_roundtrip_docs": q_detokenize_roundtrip_docs,
         "ccnet_bucket_docs": q_ccnet_bucket_docs,
@@ -13377,11 +13436,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract_docs": q_warc_extract_docs,
         "zip_extract_docs": q_zip_extract_docs,
         "subtitle_cues_docs": q_subtitle_cues_docs,
-        "tar_extract_docs": q_tar_extract_docs,
         # --- behind the window: oldest driver signal first (the 21
         # remaining r9 entries head the r16 rotation), then r10..r14
         # blocks in signal order; probes and no-oracle sampling
         # entries last ----
+        "tar_extract_docs": q_tar_extract_docs,
         "wds_samples_docs": q_wds_samples_docs,
         "crawl_curation_v1": q_crawl_curation_v1,
         "wds_export_roundtrip": q_wds_export_roundtrip,
@@ -18194,6 +18253,58 @@ def oracle_sql() -> dict[str, str]:
             FROM b
             ORDER BY block_id
         """,
+        "pipeline_curation_v11": (
+            _v9_front
+            + """
+            ), """
+            + byte_bpe_train_ctes(
+                "SELECT kept_text AS txt FROM v9sel", 8
+            )
+            + f""", tok AS (
+                {byte_bpe_apply_sql(
+                    "SELECT doc_id, kept_text AS t FROM v9sel", 8
+                )}
+            ), v11c AS (
+                SELECT doc_id, ids, len(ids)::BIGINT AS n,
+                       COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS o
+                FROM tok
+            ), v11e AS (
+                SELECT doc_id, ids, n, o,
+                       unnest(range(o // 64,
+                                    (o + n - 1) // 64 + 1)) AS block_id
+                FROM v11c WHERE n > 0
+            ), v11pp AS (
+                SELECT block_id,
+                       least(n, (block_id + 1) * 64 - o)
+                           - greatest(0, block_id * 64 - o) AS nb,
+                       greatest(0, o - block_id * 64) AS block_pos,
+                       greatest(0, block_id * 64 - o) AS tok_start,
+                       array_to_string(
+                           ids[greatest(0, block_id * 64 - o) + 1 :
+                               least(n, (block_id + 1) * 64 - o)],
+                           ',') AS piece
+                FROM v11e
+            ), v11b AS (
+                SELECT block_id,
+                       count(*)::BIGINT AS n_docs,
+                       sum(nb)::BIGINT AS n_ids,
+                       COALESCE(string_agg(
+                           CAST(block_pos AS VARCHAR), ',' ORDER BY
+                           block_pos) FILTER (WHERE tok_start = 0),
+                           '') AS doc_starts,
+                       string_agg(piece, ',' ORDER BY block_pos) AS csv
+                FROM v11pp
+                GROUP BY block_id
+            )
+            SELECT CAST(block_id AS BIGINT) AS block_id,
+                   n_docs, n_ids, doc_starts,
+                   md5(csv) AS ids_md5
+            FROM v11b
+            ORDER BY block_id
+        """
+        ).replace("__SSD_HASH__", ssd_hash),
         "packing_efficiency_docs": f"""
             WITH t AS ({_ORACLE_BPE_IDS}), c AS (
                 SELECT doc_id, len(ids)::BIGINT AS n,

@@ -49,15 +49,15 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
     silently missed adjudication — pin the round-15 window composition
-    (the r14 verdict's task #5, OLDEST-FIRST rotation): the 10 r15
+    (the r14 verdict's task #5, OLDEST-FIRST rotation): the 11 r15
     debuts + 3 changed entries, the 3 post-window r14 debuts with no
-    driver row, the 11 remaining r8-stale entries, and 23 entries of
-    the r9-stale block — exactly filling the window; the 27 remaining
+    driver row, the 11 remaining r8-stale entries, and 22 entries of
+    the r9-stale block — exactly filling the window; the 28 remaining
     r9 entries head the r16 rotation, probes and stable rows-only
     entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "tar_extract_docs", (
+    assert window[-1] == "subtitle_cues_docs", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
@@ -68,6 +68,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "byte_bpe_train_batched_docs", "pipeline_curation_v10",
         "dsir_select_docs", "stream_byte_tokenize",
         "byte_fertility_docs", "matryoshka_recall_bound",
+        "pipeline_curation_v11",
         "bpe_byte_fallback_docs", "detokenize_roundtrip_docs",
         "ccnet_bucket_docs",
         # the 3 r14 entries that landed after the r14 driver snapshot
@@ -80,7 +81,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "strip_markup_docs", "supplier_acct_stats", "text_stats",
         "tfidf_vectors", "topk_orders", "window_running_sum",
         "window_top3_per_priority",
-        # the 23 list-first r9-stale entries (the 27 remaining head
+        # the 22 list-first r9-stale entries (the 28 remaining head
         # the r16 rotation)
         "mp3_meta_docs", "wav_adpcm_roundtrip", "jpeg_decode_docs",
         "wav_g711_roundtrip", "wav_ms_adpcm_roundtrip",
@@ -90,7 +91,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "tiff_decode_docs", "multimodal_curation_v2",
         "avi_mjpeg_decode_docs", "video_scene_cuts_docs",
         "jpeg_exif_docs", "video_curation_v1", "warc_extract_docs",
-        "zip_extract_docs", "subtitle_cues_docs", "tar_extract_docs",
+        "zip_extract_docs", "subtitle_cues_docs",
     }
     assert len(must_be_in_window) == 50, len(must_be_in_window)
     missing = must_be_in_window - set(window)

@@ -247,3 +247,30 @@ def test_dsir_logratio_ranks_target_like_docs_higher(spark):
     assert all(
         not (v == 0.0 and str(v).startswith("-")) for v in out.values()
     )
+
+
+def test_pipeline_curation_v11_learned_tokenizer_packs(
+    spark, entry, sf_dir
+):
+    """v11 pin: the self-trained byte tokenizer really learned (some
+    packed id >= 256 would require a merge to have fired — checked
+    via block id mass vs a merge-free byte count), every non-tail
+    block is exactly 64 ids, and doc_starts carries the resets."""
+    rows = sorted(
+        entry.q_pipeline_curation_v11(spark, sf_dir).collect(),
+        key=lambda r: r["block_id"],
+    )
+    assert rows
+    assert all(r["n_ids"] == 64 for r in rows[:-1])
+    assert rows[-1]["n_ids"] <= 64
+    assert any(r["doc_starts"] for r in rows)
+    # learned merges fire: total packed ids < total UTF-8 bytes of
+    # the selected corpus (each fired merge removes >= 1 id)
+    sel, _ = entry._v9_fim_stream(spark, sf_dir)
+    total_bytes = sel.select(
+        F.sum(
+            F.octet_length(F.col("kept_text"))
+        ).alias("b")
+    ).collect()[0]["b"]
+    total_ids = sum(r["n_ids"] for r in rows)
+    assert 0 < total_ids < total_bytes, (total_ids, total_bytes)
