@@ -40,6 +40,26 @@ def portable_bucket(
     return h % F.lit(mod) if mod is not None else h
 
 
+def shuffle_hash(col: str | Column, seed: int) -> Column:
+    """Seeded PERMUTATION hash for :func:`...textprep.shuffle_blocks`:
+    ``(((id + seed) % 1_000_003) * 2654435761) % 4294967296``.
+
+    NOT :func:`portable_bucket` — there the seed ADDS after the
+    multiply, which only ROTATES the induced order (h(id, s) =
+    base(id) + s mod 2^32, so every seed yields a cyclic shift of one
+    permutation and adjacent seeds are near-identical — fine for
+    bucketing, useless for a shuffle).  Folding the seed into the id
+    BEFORE the Knuth multiply makes distinct seeds genuinely
+    independent orders.  Same portability contract: non-negative
+    ids, all-int64 arithmetic, digit-for-digit SQL mirror
+    (:func:`shuffle_hash_sql` in textprep)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.pmod(c.cast("long") + F.lit(seed), F.lit(1_000_003))
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
+
+
 # Polynomial string hash shared by winnowing and the hashed-feature
 # scorer: Horner over character codes mod a prime just under 2^55 —
 # every step (h*131 + codepoint) stays inside int64 in BOTH engines

@@ -48,55 +48,54 @@ def test_top_level_functions_unique():
 def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
-    silently missed adjudication — pin the round-15 window composition
-    (the r14 verdict's task #5, OLDEST-FIRST rotation): the 11 r15
-    debuts + 3 changed entries, the 3 post-window r14 debuts with no
-    driver row, the 11 remaining r8-stale entries, and 22 entries of
-    the r9-stale block — exactly filling the window; the 28 remaining
-    r9 entries head the r16 rotation, probes and stable rows-only
-    entries stay retired."""
+    silently missed adjudication — pin the round-16 window composition
+    (the r15 verdict's task #1, OLDEST-FIRST rotation): the 5 r16
+    debuts, the 8 PASSING r3 agreement probes ordered re-adjudicated,
+    the 28 remaining r9-stale entries, and the 9 list-first r10-stale
+    entries — exactly filling the window; the 40 remaining r10
+    entries head the r17 rotation, expected-divergent probes and
+    stable rows-only entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "subtitle_cues_docs", (
+    assert window[-1] == "hash_quality_filter_docs", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
-        # new in r15 (6 debuts + the pre-split-changed byte-tier pair
-        # + the bucket-keyed ccnet rewrite)
-        "byte_bpe_train_docs", "train_tokenize_pack_v3",
-        "mixture_epochs_pack_docs", "ivfadc_append_topk",
-        "byte_bpe_train_batched_docs", "pipeline_curation_v10",
-        "dsir_select_docs", "stream_byte_tokenize",
-        "byte_fertility_docs", "matryoshka_recall_bound",
-        "pipeline_curation_v11",
-        "bpe_byte_fallback_docs", "detokenize_roundtrip_docs",
-        "ccnet_bucket_docs",
-        # the 3 r14 entries that landed after the r14 driver snapshot
-        # (never adjudicated — the r14 verdict's #5)
-        "mixture_epochs_docs", "ivfadc_index_roundtrip",
-        "packing_efficiency_docs",
-        # the 11 remaining r8-stale entries
-        "stats_aggregates", "stratified_sample_hash",
-        "stream_quality_rollup", "stream_quality_rollup_windowed",
-        "strip_markup_docs", "supplier_acct_stats", "text_stats",
-        "tfidf_vectors", "topk_orders", "window_running_sum",
-        "window_top3_per_priority",
-        # the 22 list-first r9-stale entries (the 28 remaining head
-        # the r16 rotation)
-        "mp3_meta_docs", "wav_adpcm_roundtrip", "jpeg_decode_docs",
-        "wav_g711_roundtrip", "wav_ms_adpcm_roundtrip",
-        "gif_bmp_decode_docs", "multimodal_curation_v1",
-        "audio_curation_v1", "flac_roundtrip", "mp4_frame_index_docs",
-        "ogg_meta_docs", "image_dedup_dhash", "audio_stats_docs",
-        "tiff_decode_docs", "multimodal_curation_v2",
-        "avi_mjpeg_decode_docs", "video_scene_cuts_docs",
-        "jpeg_exif_docs", "video_curation_v1", "warc_extract_docs",
-        "zip_extract_docs", "subtitle_cues_docs",
+        # new in r16 (the r15 verdict's tasks #2-#5)
+        "ivfadc_topk_rerank", "ivfadc_rerank_recall",
+        "ivfadc_delete_topk", "shuffle_blocks_v10",
+        "byte_bpe_merge_sweep_docs",
+        # the 8 PASSING r3 agreement probes (r15 verdict Missing #1 —
+        # live portability assumptions, re-adjudicated this round)
+        "probe_hugeint_cast", "probe_ts_subus", "probe_ts_subsec",
+        "probe_round_ties", "probe_double_repr", "probe_ts_repr",
+        "probe_regex_ws_agree", "probe_json_regex_new",
+        # the 28 remaining r9-stale entries
+        "tar_extract_docs", "wds_samples_docs", "crawl_curation_v1",
+        "wds_export_roundtrip", "pack_sequences_docs",
+        "tfrecord_roundtrip", "packed_blocks_text",
+        "shards_to_blocks_v1", "tfrecord_export_roundtrip",
+        "arrow_ipc_roundtrip", "stream_shard_ingest",
+        "parquet_payload_roundtrip", "corpus_report_v1",
+        "jsonl_shard_roundtrip", "vocab_coverage",
+        "funnel_signup_purchase", "retention_cohorts",
+        "merge_upsert_orders", "scd2_user_status",
+        "zorder_cluster_keys", "multimodal_resize",
+        "parquet_roundtrip_partitioned", "orc_roundtrip_lineitem",
+        "corr_matrix", "q8_market_share", "q10_returned_revenue",
+        "q12_priority_lines", "q14_promo_revenue",
+        # the 9 list-first r10-stale entries (the 40 remaining head
+        # the r17 rotation)
+        "bpe_tokenize_docs", "pack_ids_docs", "url_curation_docs",
+        "host_profile_docs", "pdf_extract_docs", "bpe_train_docs",
+        "train_tokenize_pack_v1", "crawl_curation_v2",
+        "hash_quality_filter_docs",
     }
     assert len(must_be_in_window) == 50, len(must_be_in_window)
     missing = must_be_in_window - set(window)
     assert not missing, f"priority queries outside driver window: {missing}"
-    # settled probes / stable err:no_oracle entries must NOT burn slots
+    # expected-divergent probes / stable err:no_oracle entries must
+    # NOT burn slots
     retired = {
         "probe_int_float_hash", "probe_hugeint_sum", "probe_regex_ws_vt",
         "probe_json_cast_old", "stratified_sample", "approx_stats",
