@@ -5016,6 +5016,14 @@ def q_pipeline_curation_v11(
     v10 handoff rule); the trainer's one Arrow vocab pass + bounded
     per-iteration collects; tokenize zero-shuffle Arrow; the
     bucketed prefix-sum pack."""
+    return _v11_blocks(spark, sf_dir).orderBy("block_id")
+
+
+def _v11_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v11 learned-tokenizer blocks frame (block_id, n_docs,
+    n_ids, doc_starts, ids_md5), un-ordered — shared by
+    ``pipeline_curation_v11`` and the r16 dataloader-handoff entries
+    (``pipeline_curation_v12`` / ``shard_schedule_v12``)."""
     from parquet_editor_spark.operators import textprep as TP
 
     sel, _fimmed = _v9_fim_stream(spark, sf_dir)
@@ -5046,7 +5054,103 @@ def q_pipeline_curation_v11(
         "n_ids",
         "doc_starts",
         F.md5(F.encode(ids_csv, "utf-8")).alias("ids_md5"),
-    ).orderBy("block_id")
+    )
+
+
+def q_pipeline_curation_v12(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curation DAG v12: the DATALOADER HANDOFF (r16 — v11 ends at
+    training blocks in stream order, but what a distributed trainer
+    actually consumes is a seeded global permutation of those blocks
+    striped across data-parallel workers): v11's complete stack —
+    curated front → byte tokenizer TRAINED on the corpus itself →
+    learned-id 64-block pack — then ``shuffle_blocks`` (seed 314159)
+    for the epoch's visit order and the round-robin worker stripe
+    ``(rank − 1) % 4`` (the torch DistributedSampler recipe: permute,
+    then worker w takes positions ≡ w).  Emits (shuffle_rank, worker,
+    block_id, n_docs, n_ids, ids_md5): the md5s pin that the handoff
+    permutes the EXACT audited v11 blocks, and the oracle re-ranks
+    its own replayed v11 chain with the one-window hash spelling plus
+    the same modular stripe — corpus → curation → learned tokenizer
+    → packed blocks → per-worker schedule, the full from-scratch
+    pretraining data path ending at the artifact a dataloader reads.
+
+    Scale shape: v11's audited assembly, then the hash-range
+    bucketed rank (no single-partition sort — the r16 shuffle shape)
+    and one pure modular projection for the stripe."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    blocks = _v11_blocks(spark, sf_dir)
+    sh = TP.shuffle_blocks(
+        blocks, "block_id", seed=314159, n_buckets=64
+    )
+    return (
+        sh.select(
+            "shuffle_rank",
+            ((F.col("shuffle_rank") - 1) % 4)
+            .cast("int")
+            .alias("worker"),
+            "block_id",
+            "n_docs",
+            "n_ids",
+            "ids_md5",
+        )
+        .orderBy("shuffle_rank")
+    )
+
+
+def q_shard_schedule_v12(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-worker schedule audit for the v12 handoff (r16 — the
+    balance/integrity instrument a data-parallel run reads before
+    training: does every worker get ⌈n/world⌉±1 blocks, how many ids
+    does each step through, and is the (rank → block) mapping exactly
+    the seeded permutation?): group the v12 stripe by worker and
+    report block count, total ids, first/last visit rank, and a
+    COMMUTATIVE schedule checksum ``Σ (rank·1000003 + block_id) mod
+    2654435761`` — order-independent, so the audit is one map-side
+    combinable agg and never materializes a worker's ordered block
+    list (at 100 TB blocks are data-sized: an ordered per-worker
+    digest would collect ~n/world ids into one group; the modular sum
+    pins the exact mapping without it).  The oracle replays v11 +
+    the one-window rank and the same modular arithmetic.
+
+    Scale shape: the v12 plan + ONE worker-keyed hash agg (4 groups,
+    partial aggregation combines per partition)."""
+    from parquet_editor_spark.operators import textprep as TP
+
+    blocks = _v11_blocks(spark, sf_dir)
+    sh = TP.shuffle_blocks(
+        blocks, "block_id", seed=314159, n_buckets=64
+    )
+    rank = F.col("shuffle_rank")
+    return (
+        sh.select(
+            ((rank - 1) % 4).cast("int").alias("worker"),
+            "shuffle_rank",
+            "block_id",
+            "n_ids",
+        )
+        .groupBy("worker")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum("n_ids").cast("long").alias("n_ids"),
+            F.min("shuffle_rank").alias("first_rank"),
+            F.max("shuffle_rank").alias("last_rank"),
+            F.sum(
+                F.pmod(
+                    F.col("shuffle_rank") * F.lit(1000003)
+                    + F.col("block_id"),
+                    F.lit(2654435761),
+                )
+            )
+            .cast("long")
+            .alias("sched_checksum"),
+        )
+        .orderBy("worker")
+    )
 
 
 def q_wds_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13677,22 +13781,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # membership and the no-top-level-Array/Map/Struct output
     # contract.
     return {
-        # --- r16 WINDOW (driver adjudicates the FIRST 50): the 5 r16
+        # --- r16 WINDOW (driver adjudicates the FIRST 50): the 7 r16
         # debuts (two-stage IVFADC rerank + its recall instrument,
         # delete/compaction, the seeded v10 block shuffle, the byte
-        # merge sweep), then the 8 PASSING r3 agreement probes the
+        # merge sweep, and the v12 dataloader handoff + its shard
+        # schedule audit), then the 8 PASSING r3 agreement probes the
         # r15 verdict ordered re-adjudicated (Missing #1 — they guard
         # live engine-portability assumptions; the 4
         # expected-divergent probes stay retired as documented
-        # canaries), the 28 remaining r9-stale entries, and the 9
+        # canaries), the 28 remaining r9-stale entries, and the 7
         # list-first r10-stale entries — exactly filling the window.
-        # The 40 remaining r10 entries head the r17 rotation.
+        # The 42 remaining r10 entries head the r17 rotation.
         # tests/test_entry_contract.py pins the membership.
         "ivfadc_topk_rerank": q_ivfadc_topk_rerank,
         "ivfadc_rerank_recall": q_ivfadc_rerank_recall,
         "ivfadc_delete_topk": q_ivfadc_delete_topk,
         "shuffle_blocks_v10": q_shuffle_blocks_v10,
         "byte_bpe_merge_sweep_docs": q_byte_bpe_merge_sweep_docs,
+        "pipeline_curation_v12": q_pipeline_curation_v12,
+        "shard_schedule_v12": q_shard_schedule_v12,
         "probe_hugeint_cast": probe_hugeint_cast,
         "probe_ts_subus": probe_ts_subus,
         "probe_ts_subsec": probe_ts_subsec,
@@ -13736,13 +13843,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract_docs": q_pdf_extract_docs,
         "bpe_train_docs": q_bpe_train_docs,
         "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
-        "crawl_curation_v2": q_crawl_curation_v2,
-        "hash_quality_filter_docs": q_hash_quality_filter_docs,
-        # --- behind the window: oldest driver signal first (the 40
+        # --- behind the window: oldest driver signal first (the 42
         # remaining r10 entries head the r17 rotation), then r11..r14
         # blocks in signal order, then the 50 freshly re-adjudicated
         # r15-window entries; expected-divergent probes and no-oracle
         # sampling entries last (retired canaries) ----
+        "crawl_curation_v2": q_crawl_curation_v2,
+        "hash_quality_filter_docs": q_hash_quality_filter_docs,
         "line_dedup_docs": q_line_dedup_docs,
         "robots_filter_docs": q_robots_filter_docs,
         "cdx_index_docs": q_cdx_index_docs,
@@ -22803,5 +22910,36 @@ def oracle_sql() -> dict[str, str]:
                b.block_id, b.n_docs, b.n_ids, b.ids_md5
         FROM ({_v10o}) b
         ORDER BY shuffle_rank
+    """
+    # r16 v12 dataloader handoff + shard schedule audit: the v11
+    # replay re-ranked by the seeded hash window, striped round-robin
+    # across 4 workers; the audit folds the commutative modular
+    # checksum over the SAME ranked relation.
+    _v11o = out["pipeline_curation_v11"]
+    _v12_ranked = f"""
+        SELECT CAST(row_number() OVER (
+                   ORDER BY {shuffle_hash_sql('b.block_id', 314159)},
+                            b.block_id) AS BIGINT) AS shuffle_rank,
+               b.block_id, b.n_docs, b.n_ids, b.ids_md5
+        FROM ({_v11o}) b
+    """
+    out["pipeline_curation_v12"] = f"""
+        SELECT shuffle_rank,
+               CAST((shuffle_rank - 1) % 4 AS INT) AS worker,
+               block_id, n_docs, n_ids, ids_md5
+        FROM ({_v12_ranked}) r
+        ORDER BY shuffle_rank
+    """
+    out["shard_schedule_v12"] = f"""
+        SELECT CAST((shuffle_rank - 1) % 4 AS INT) AS worker,
+               COUNT(*)::BIGINT AS n_blocks,
+               SUM(n_ids)::BIGINT AS n_ids,
+               MIN(shuffle_rank)::BIGINT AS first_rank,
+               MAX(shuffle_rank)::BIGINT AS last_rank,
+               (SUM((shuffle_rank * 1000003 + block_id)
+                    % 2654435761))::BIGINT AS sched_checksum
+        FROM ({_v12_ranked}) r
+        GROUP BY 1
+        ORDER BY worker
     """
     return out

@@ -269,6 +269,36 @@ def test_ivfadc_delete_noop_on_absent_ids(spark, embeddings, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# v12 dataloader handoff
+# ---------------------------------------------------------------------------
+
+def test_shard_schedule_balance_and_checksum(spark, sf_dir, entry):
+    """The v12 stripe laws: workers differ by at most one block
+    (round-robin over a permutation), rank ranges tile 1..n, and the
+    commutative checksum matches a local recompute from the v12
+    (rank, block) mapping — the audit really pins the schedule."""
+    qs = entry.queries()
+    v12 = qs["pipeline_curation_v12"](spark, sf_dir).collect()
+    sched = qs["shard_schedule_v12"](spark, sf_dir).collect()
+    n = len(v12)
+    assert sorted(r["shuffle_rank"] for r in v12) == list(
+        range(1, n + 1)
+    )
+    counts = [r["n_blocks"] for r in sched]
+    assert max(counts) - min(counts) <= 1
+    assert sum(counts) == n
+    want = {}
+    for r in v12:
+        w = (r["shuffle_rank"] - 1) % 4
+        assert w == r["worker"]
+        want[w] = want.get(w, 0) + (
+            (r["shuffle_rank"] * 1000003 + r["block_id"]) % 2654435761
+        )
+    got = {r["worker"]: r["sched_checksum"] for r in sched}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # byte merge sweep
 # ---------------------------------------------------------------------------
 
