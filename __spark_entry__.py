@@ -10916,6 +10916,37 @@ def q_ivfadc_delete_topk(
     ).orderBy("query_id", "rank")
 
 
+def q_ivfadc_filtered_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED ANN serving (r16 — the production pattern next to
+    the two-stage rerank: 'nearest neighbors among documents passing
+    a metadata predicate', FAISS's IDSelector / the pre-filter every
+    vector store exposes): the audited IVFADC chain answering the 10
+    fixture queries over ONLY the even-id half of the corpus.  The
+    predicate applies BEFORE ranking — the result is the true top-5
+    of the kept subset; post-filtering a plain top-5 would return
+    ≤5 survivors and silently lose the kept subset's real neighbors
+    (the correctness trap this operator exists to avoid).  The
+    oracle replays the chain with the same predicate on the
+    candidate join, so a filter applied at the wrong stage (after
+    ranking, or before cell assignment — which would retrain the
+    quantizers) diverges value-for-value.
+
+    Scale shape: identical to ``ivfadc_topk`` plus one predicate on
+    the encoded scan next to the cell key — Catalyst pushes both
+    into the (partitioned) read; candidate volume only shrinks."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 10)
+    return S.ivfadc_topk(
+        emb, qset, "vec_id", "embedding", m=4, k=8, topk=5,
+        n_cells=8, nprobe=3, iters=2, round_to=6, cell_round=6,
+        keep=F.col("vec_id") % 2 == 0,
+    ).orderBy("query_id", "rank")
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed k-means (``kmeans_lloyd``, new r9 —
     behind-window debut for the r10 rotation): 2 full Lloyd
@@ -13781,17 +13812,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # membership and the no-top-level-Array/Map/Struct output
     # contract.
     return {
-        # --- r16 WINDOW (driver adjudicates the FIRST 50): the 7 r16
+        # --- r16 WINDOW (driver adjudicates the FIRST 50): the 8 r16
         # debuts (two-stage IVFADC rerank + its recall instrument,
-        # delete/compaction, the seeded v10 block shuffle, the byte
-        # merge sweep, and the v12 dataloader handoff + its shard
-        # schedule audit), then the 8 PASSING r3 agreement probes the
+        # filtered serving, delete/compaction, the seeded v10 block
+        # shuffle, the byte merge sweep, and the v12 dataloader
+        # handoff + its shard schedule audit), then the 8 PASSING r3
+        # agreement probes the
         # r15 verdict ordered re-adjudicated (Missing #1 — they guard
         # live engine-portability assumptions; the 4
         # expected-divergent probes stay retired as documented
-        # canaries), the 28 remaining r9-stale entries, and the 7
+        # canaries), the 28 remaining r9-stale entries, and the 6
         # list-first r10-stale entries — exactly filling the window.
-        # The 42 remaining r10 entries head the r17 rotation.
+        # The 43 remaining r10 entries head the r17 rotation.
         # tests/test_entry_contract.py pins the membership.
         "ivfadc_topk_rerank": q_ivfadc_topk_rerank,
         "ivfadc_rerank_recall": q_ivfadc_rerank_recall,
@@ -13800,6 +13832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_bpe_merge_sweep_docs": q_byte_bpe_merge_sweep_docs,
         "pipeline_curation_v12": q_pipeline_curation_v12,
         "shard_schedule_v12": q_shard_schedule_v12,
+        "ivfadc_filtered_topk": q_ivfadc_filtered_topk,
         "probe_hugeint_cast": probe_hugeint_cast,
         "probe_ts_subus": probe_ts_subus,
         "probe_ts_subsec": probe_ts_subsec,
@@ -13842,12 +13875,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_profile_docs": q_host_profile_docs,
         "pdf_extract_docs": q_pdf_extract_docs,
         "bpe_train_docs": q_bpe_train_docs,
-        "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
-        # --- behind the window: oldest driver signal first (the 42
+        # --- behind the window: oldest driver signal first (the 43
         # remaining r10 entries head the r17 rotation), then r11..r14
         # blocks in signal order, then the 50 freshly re-adjudicated
         # r15-window entries; expected-divergent probes and no-oracle
         # sampling entries last (retired canaries) ----
+        "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
         "crawl_curation_v2": q_crawl_curation_v2,
         "hash_quality_filter_docs": q_hash_quality_filter_docs,
         "line_dedup_docs": q_line_dedup_docs,
@@ -14852,7 +14885,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ivq{s} q, pq{s}c2 c
         )"""
 
-    _ivfadc_core = (
+    # Parameterized (r16): ``cand_filter`` restricts the candidate
+    # set before ranking — the filtered-ANN oracle is the same chain
+    # with the predicate on the ivsc candidate join.
+    def _ivfadc_core_sql(cand_filter: str = "") -> str:
+        return (
         "WITH "
         + _ORACLE_KMEANS_CELLS
         + """
@@ -14897,13 +14934,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN c2 cc ON cc.c = p.cell
         ), """
         + ", ".join(_ivqd(s) for s in range(4))
-        + """
+        + f"""
         , ivsc AS MATERIALIZED (
             SELECT q0.qid, a0.vec_id AS neighbor_id,
                    round(q0.d + q1.d + q2.d + q3.d, 6) AS adc
             FROM qprobe qp
             JOIN ivasg av ON av.cell = qp.cell
-                         AND av.vec_id <> qp.qid
+                         AND av.vec_id <> qp.qid{cand_filter}
             JOIN pq0asg a0 ON a0.vec_id = av.vec_id
             JOIN pq1asg a1 ON a1.vec_id = av.vec_id
             JOIN pq2asg a2 ON a2.vec_id = av.vec_id
@@ -14917,11 +14954,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN ivqd3 q3 ON q3.qid = qp.qid AND q3.cell = qp.cell
                          AND q3.code = a3.code
         )"""
-    )
+        )
 
-    ivfadc_oracle = (
-        _ivfadc_core
-        + """
+    _ivfadc_core = _ivfadc_core_sql()
+
+    _IVFADC_TOP5_TAIL = """
         SELECT qid AS query_id,
                CAST(row_number() OVER (
                    PARTITION BY qid
@@ -14931,6 +14968,17 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY rank <= 5
         ORDER BY query_id, rank
     """
+
+    ivfadc_oracle = _ivfadc_core + _IVFADC_TOP5_TAIL
+
+    # r16 filtered serving: the same chain with the metadata
+    # predicate on the candidate join — pre-filter semantics (the
+    # true top-5 of the kept subset), never a post-filtered top-5
+    ivfadc_filtered_oracle = (
+        _ivfadc_core_sql(
+            "\n                         AND av.vec_id % 2 = 0"
+        )
+        + _IVFADC_TOP5_TAIL
     )
 
     ivfadc_recall_oracle = (
@@ -19358,6 +19406,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfadc_topk_rerank": ivfadc_rerank_oracle,
         "ivfadc_rerank_recall": ivfadc_rerank_recall_oracle,
         "ivfadc_delete_topk": ivfadc_delete_oracle,
+        "ivfadc_filtered_topk": ivfadc_filtered_oracle,
         "byte_bpe_merge_sweep_docs": byte_sweep_oracle,
         "crawl_frontier_v2": """
             WITH ol AS (

@@ -735,6 +735,7 @@ def ivfadc_topk(
     iters: int = 2,
     round_to: int = 6,
     cell_round: int = 6,
+    keep: Optional[Column] = None,
 ) -> DataFrame:
     """IVFADC top-k (r14 — the r13 verdict's Missing #1: Jégou et
     al. 2011's full index, the billion-scale ANN shape every real
@@ -776,7 +777,7 @@ def ivfadc_topk(
     return _ivfadc_search(
         encoded, cents, books, queries, id_col, vec_col,
         topk=topk, nprobe=nprobe, round_to=round_to,
-        cell_round=cell_round,
+        cell_round=cell_round, keep=keep,
     )
 
 
@@ -903,12 +904,21 @@ def _ivfadc_search(
     nprobe: int,
     round_to: int,
     cell_round: int,
+    keep: Optional[Column] = None,
 ) -> DataFrame:
     """Query half of :func:`ivfadc_topk` over a fitted (or LOADED)
     index: probe-cell ranking and the per-(query, cell) residual
     distance tables compute driver-side from the metadata tables,
     enter the plan as a broadcast probe frame, and join the encoded
-    corpus ON THE CELL KEY."""
+    corpus ON THE CELL KEY.
+
+    ``keep`` (r16) is an optional candidate predicate over the
+    encoded frame's columns — FILTERED ANN (the FAISS
+    IDSelector / pre-filter pattern): the predicate applies BEFORE
+    ranking, so the result is the true top-k of the kept subset, not a
+    post-filtered (and therefore short) top-k.  It lands on the
+    encoded scan next to the cell filter, so Catalyst pushes both
+    into the (partitioned) read."""
     m = len(books)
     sub = len(books[0][0])
     vec = F.col(vec_col).cast("array<double>")
@@ -955,7 +965,8 @@ def _ivfadc_search(
         + ", ".join(f"t{s} array<double>" for s in range(m)),
     )
 
-    scored = encoded.join(F.broadcast(probes), "__cell").filter(
+    cand_src = encoded if keep is None else encoded.filter(keep)
+    scored = cand_src.join(F.broadcast(probes), "__cell").filter(
         F.col(id_col) != F.col("qid")
     )
     adc = F.element_at(F.col("t0"), F.col("code_0") + 1)
@@ -1039,13 +1050,16 @@ def ivfadc_topk_indexed(
     nprobe: int = 3,
     round_to: int = 6,
     cell_round: int = 6,
+    keep: Optional[Column] = None,
 ) -> DataFrame:
     """Query a persisted :func:`ivfadc_build` index — byte-identical
     ranking to the fit-inline :func:`ivfadc_topk` (same probe
     arithmetic over the same metadata, loaded instead of trained).
     The probe join lands on the cell PARTITION column of the stored
     codes layout, so the scan prunes to the probed directories —
-    the serve-path economics the build pays for."""
+    the serve-path economics the build pays for.  ``keep`` (r16)
+    pre-filters candidates for FILTERED serving — the predicate
+    lands on the pruned scan (see :func:`_ivfadc_search`)."""
     cents, books = _ivfadc_load_meta(spark, path)
     encoded = spark.read.parquet(f"{path}/codes").withColumnRenamed(
         "cell", "__cell"
@@ -1053,7 +1067,7 @@ def ivfadc_topk_indexed(
     return _ivfadc_search(
         encoded, cents, books, queries, id_col, vec_col,
         topk=topk, nprobe=nprobe, round_to=round_to,
-        cell_round=cell_round,
+        cell_round=cell_round, keep=keep,
     )
 
 

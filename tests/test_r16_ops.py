@@ -182,6 +182,36 @@ def test_ivfadc_rerank_plan_broadcasts_shortlist(spark, sf_dir, entry):
     assert "Exchange SinglePartition" not in plan, plan
 
 
+def test_ivfadc_filtered_is_prefilter_not_postfilter(spark, embeddings):
+    """Filtered serving laws: every neighbor satisfies the predicate,
+    every query still gets a full top-5 (pre-filter semantics), and
+    the result differs from post-filtering the unfiltered top-5 —
+    the correctness trap the operator exists to avoid."""
+    from parquet_editor_spark.operators import sim as S
+
+    emb = embeddings
+    qset = emb.filter(F.col("vec_id") < 5)
+    kw = dict(m=4, k=8, topk=5, n_cells=8, nprobe=3, iters=2)
+    filt = S.ivfadc_topk(
+        emb, qset, "vec_id", "embedding",
+        keep=F.col("vec_id") % 2 == 0, **kw,
+    ).collect()
+    plain = S.ivfadc_topk(
+        emb, qset, "vec_id", "embedding", **kw
+    ).collect()
+    assert all(r["neighbor_id"] % 2 == 0 for r in filt)
+    per_q = {}
+    for r in filt:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert all(len(v) == 5 for v in per_q.values())
+    post = {}
+    for r in plain:
+        if r["neighbor_id"] % 2 == 0:
+            post.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # post-filtering loses candidates for at least one query
+    assert any(len(post.get(q, [])) < 5 for q in per_q)
+
+
 # ---------------------------------------------------------------------------
 # IVFADC delete + compaction
 # ---------------------------------------------------------------------------
