@@ -4975,8 +4975,10 @@ def q_shuffle_blocks_v10(
     one-row-per-bucket offsets windows), then the hash-range
     bucketed rank — per-bucket counts (≤64 metadata rows) +
     cumulative offsets broadcast back + a bucket-keyed rank window;
-    the shuffle step adds NO single-partition exchange (plan-pinned
-    on the bare operator in tests/test_r16_ops.py)."""
+    the shuffle step's only single-partition frame is that
+    ≤n_buckets-row offsets aggregate (the pack-offsets benign class;
+    the data-side rank window is bucket-keyed, plan-pinned on the
+    bare operator in tests/test_r16_ops.py)."""
     from parquet_editor_spark.operators import textprep as TP
 
     blocks = _v10_blocks(spark, sf_dir)
@@ -5077,7 +5079,8 @@ def q_pipeline_curation_v12(
     pretraining data path ending at the artifact a dataloader reads.
 
     Scale shape: v11's audited assembly, then the hash-range
-    bucketed rank (no single-partition sort — the r16 shuffle shape)
+    bucketed rank (no data-sized single-partition sort — the r16
+    shuffle shape; only the ≤64-row offsets frame collapses)
     and one pure modular projection for the stripe."""
     from parquet_editor_spark.operators import textprep as TP
 

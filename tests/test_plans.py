@@ -11,6 +11,31 @@ from parquet_editor_spark.operators import edit as E
 from parquet_editor_spark.operators import query as q
 
 
+
+def _sp_benign(df, max_n):
+    """Assert every SinglePartition exchange in the EXECUTED plan is
+    the benign metadata class — its input is an aggregation (global
+    partials / one-row-per-bucket totals / ordered folds over an
+    already-aggregated table), never raw rows through a Sort/Window —
+    and pin the count.  The r16 audit found the old formatted-plan
+    substring asserts VACUOUS: explain('formatted') prints the
+    partitioning in an Arguments line, so "Exchange SinglePartition"
+    never literally appears and those checks passed against plans
+    that really did hold 0-7 (all-benign) single-partition frames.
+    This helper re-pins them against the executed plan, where the
+    substring is real."""
+    lines = P.executed_plan(df).split("\n")
+    seen = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            seen += 1
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "HashAggregate" in below or "ObjectHashAggregate" in below or "SortAggregate" in below, (
+                "data-sized single-partition frame:\n" + line + "\n" + below
+            )
+    assert seen <= max_n, (seen, max_n)
+
+
 def test_filter_pushdown_reaches_scan(lineitem):
     df = lineitem.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
     pushed = P.pushed_filters(df)
@@ -501,7 +526,7 @@ def test_pipeline_curation_v5_plan_shape(spark, sf_dir):
     # OFFSETS frame (one row per bucket — the documented benign class
     # test_pack_documents_data_side_window_is_bucketed pins); the
     # data-sized frames all stay hash/range partitioned
-    assert plan.count("Exchange SinglePartition") <= 1, plan
+    _sp_benign(df, 1)
 
 
 def test_crawl_frontier_v4_plan_shape(spark, sf_dir):
@@ -520,7 +545,7 @@ def test_crawl_frontier_v4_plan_shape(spark, sf_dir):
     df = M.queries()["crawl_frontier_v4"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "Python" not in plan and "ArrowEval" not in plan, plan
-    assert "Exchange SinglePartition" not in plan, plan
+    _sp_benign(df, 7)
     # the document-sized frames: target-URL distinct agg, robots
     # allow/group machinery, schedule window, output range sort; the
     # rest is the pagerank recurrence over the cached 26-row host
@@ -570,7 +595,7 @@ def test_crawl_frontier_v2_plan_shape(spark, sf_dir):
     # data-sized frame stays hash/range partitioned
     ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
     assert len(ex) <= 14, sorted(ex)
-    assert "Exchange SinglePartition" not in plan, plan
+    _sp_benign(df, 0)
 
 
 def test_pipeline_curation_v8_plan_shape(spark, sf_dir):
@@ -595,7 +620,7 @@ def test_pipeline_curation_v8_plan_shape(spark, sf_dir):
     assert "InMemoryTableScan" in plan, "line-dedup boundary not cached"
     ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
     assert len(ex) <= 50, sorted(ex)
-    assert plan.count("Exchange SinglePartition") <= 1, plan
+    _sp_benign(df, 1)
 
 
 def test_pipeline_curation_v9_plan_shape(spark, sf_dir):
@@ -628,7 +653,7 @@ def test_pipeline_curation_v9_plan_shape(spark, sf_dir):
             assert "__b" in spec, f"lang-only rank window: {spec}"
     ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
     assert len(ex) <= 70, sorted(ex)
-    assert plan.count("Exchange SinglePartition") <= 2, plan
+    _sp_benign(df, 4)
 
 
 def test_bloom_union_no_data_shuffle_and_probe_broadcasts(spark):
@@ -695,13 +720,13 @@ def test_ngram_novelty_and_mixture_plan_shapes(spark, sf_dir):
     nov = M.queries()["ngram_novelty_docs"](spark, sf_dir)
     plan = formatted_plan(nov)
     assert "Python" not in plan and "ArrowEval" not in plan, plan
-    assert "Exchange SinglePartition" not in plan, plan
+    _sp_benign(nov, 0)
     assert "hashpartitioning(gram" in plan, plan
 
     mix = M.queries()["mixture_alpha_sample"](spark, sf_dir)
     plan = formatted_plan(mix)
     assert "Python" not in plan and "ArrowEval" not in plan, plan
-    assert "Exchange SinglePartition" not in plan, plan
+    _sp_benign(mix, 2)
     assert "hashpartitioning(lang" in plan, plan
     # r14 (the r13 verdict's What's-wrong #1): the exact-K fill must
     # be the bucket-keyed stratified_exact_k shape — every
@@ -730,7 +755,7 @@ def test_wet_shard_export_shuffles_once_by_shard(spark, sf_dir):
 
     df = M.queries()["wet_shard_export_roundtrip"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert "Exchange SinglePartition" not in plan, plan
+    _sp_benign(df, 0)
     assert "hashpartitioning(shard_id" in plan, plan
     ex = re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)
     assert len(ex) <= 2, plan
@@ -750,7 +775,7 @@ def test_crawl_frontier_v5_plan_shape(spark, sf_dir):
     df = M.queries()["crawl_frontier_v5"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "Python" not in plan and "ArrowEval" not in plan, plan
-    assert "Exchange SinglePartition" not in plan, plan
+    _sp_benign(df, 7)
     ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
     assert len(ex) <= 120, len(ex)
     assert "InMemoryTableScan" in plan, plan
@@ -769,7 +794,7 @@ def test_byte_bpe_fallback_plan_is_single_pass(spark, sf_dir):
 
     df = M.queries()["bpe_byte_fallback_docs"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert "Exchange SinglePartition" not in plan, plan
+    _sp_benign(df, 0)
     assert "hashpartitioning" not in plan, plan
     ex = re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)
     assert len(ex) <= 1, plan  # the orderBy range exchange only
@@ -791,7 +816,7 @@ def test_dpo_pack_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan  # no row-at-a-time UDF
     # two pack runs (blocks + placement) → at most their two
     # metadata-scale offsets windows collapse
-    assert plan.count("Exchange SinglePartition") <= 2, plan
+    _sp_benign(df, 3)
     ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
     assert len(ex) <= 26, sorted(ex)
 
@@ -812,7 +837,7 @@ def test_ccnet_bucket_no_lang_sized_window(spark, sf_dir):
     df = M.queries()["ccnet_bucket_docs"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "ntile" not in plan, plan
-    assert "Exchange SinglePartition" not in plan, plan
+    _sp_benign(df, 3)
     for m in re.finditer(r"row_number\(\)[^\n]*", plan):
         spec = m.group(0)
         assert "__ok" in spec, f"lang-only rank window: {spec}"
@@ -831,7 +856,7 @@ def test_mixture_epochs_pack_plan_shape(spark, sf_dir):
 
     df = M.queries()["mixture_epochs_pack_docs"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert plan.count("Exchange SinglePartition") <= 1, plan
+    _sp_benign(df, 1)
     ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
     assert len(ex) <= 32, sorted(ex)
 
@@ -861,4 +886,4 @@ def test_pipeline_curation_v10_plan_shape(spark, sf_dir):
     # lineage failure mode this test exists for reads ~190
     ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
     assert len(ex) <= 40, sorted(ex)
-    assert plan.count("Exchange SinglePartition") <= 2, plan
+    _sp_benign(df, 1)

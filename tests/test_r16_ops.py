@@ -85,16 +85,33 @@ def test_shuffle_blocks_rejects_bad_buckets(spark):
         shuffle_blocks(blocks, "block_id", n_buckets=3)
 
 
-def test_shuffle_blocks_plan_no_single_partition(spark):
-    """The scale claim: no single-partition exchange anywhere — the
-    global rank is the bucket-keyed window + the metadata offsets
-    join, never a global sort of the data."""
+def test_shuffle_blocks_plan_data_window_is_bucketed(spark):
+    """The scale claim, pinned on the EXECUTED plan (formatted-plan
+    substring checks are vacuous — see test_plans._sp_benign): the
+    data-side rank window is hash-partitioned by the hash-range
+    bucket, and the ONLY single-partition frame is the ≤n_buckets-row
+    offsets aggregate (the pack-offsets benign class) — never a
+    global sort of the blocks."""
+    import re
+
+    from parquet_editor_spark import plans as P
     from parquet_editor_spark.operators.textprep import shuffle_blocks
-    from parquet_editor_spark.plans.explain import formatted_plan
 
     blocks = spark.range(0, 1000).withColumnRenamed("id", "block_id")
-    plan = formatted_plan(shuffle_blocks(blocks, "block_id"))
-    assert "Exchange SinglePartition" not in plan, plan
+    df = shuffle_blocks(blocks, "block_id")
+    ep = P.executed_plan(df)
+    assert "hashpartitioning(__bk" in ep, ep
+    lines = ep.split("\n")
+    sp = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            sp += 1
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "HashAggregate" in below, below
+    assert sp == 1, ep  # exactly the offsets-window frame
+    # the data-side rank window partitions by the bucket key
+    for m in re.finditer(r"Window \[row_number\(\)[^\n]*", ep):
+        assert "__bk" in m.group(0), m.group(0)
 
 
 # ---------------------------------------------------------------------------
@@ -170,16 +187,16 @@ def test_rerank_recall_dominates_onestage(spark, sf_dir, entry):
 
 
 def test_ivfadc_rerank_plan_broadcasts_shortlist(spark, sf_dir, entry):
-    """Scale pin: stage 2's exact-score join must enter as a
-    BROADCAST of the shortlist id pairs into the corpus scan — never
-    a shuffle of the corpus on the exact side, and no single
-    partition frame beyond none at all."""
-    from parquet_editor_spark.plans.explain import formatted_plan
+    """Scale pin on the EXECUTED plan: stage 2's exact-score join
+    enters as a BROADCAST of the shortlist id pairs into the corpus
+    scan — never a shuffle of the corpus on the exact side — and the
+    whole two-stage plan holds zero single-partition exchanges."""
+    from parquet_editor_spark import plans as P
 
     df = entry.queries()["ivfadc_topk_rerank"](spark, sf_dir)
-    plan = formatted_plan(df)
-    assert "BroadcastHashJoin" in plan, plan
-    assert "Exchange SinglePartition" not in plan, plan
+    ep = P.executed_plan(df)
+    assert "BroadcastHashJoin" in ep, ep
+    assert "Exchange SinglePartition" not in ep, ep
 
 
 def test_ivfadc_filtered_is_prefilter_not_postfilter(spark, embeddings):
