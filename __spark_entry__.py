@@ -10868,6 +10868,147 @@ def q_ivfadc_rerank_recall(
     )
 
 
+def q_ivfadc_rerank_depth_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shortlist-DEPTH sweep for two-stage serving (r16 — the tuning
+    instrument next to ``ivfadc_rerank_recall``, in the merge-sweep
+    philosophy: measure the curve before freezing the parameter):
+    per shortlist depth k′ ∈ {5, 10, 20, 40}, each query's
+    |rerank-top-5-from-depth-k′ ∩ exact top-5| — k′=5 is the
+    one-stage ranking (rerank of a 5-deep shortlist reorders but
+    keeps the same 5), larger k′ buys recall with |Q|·k′ exact
+    fetches.  Recall is provably NON-DECREASING in k′ (a candidate
+    displacing a true top-5 member is exactly-closer, hence itself a
+    true top-5 member — pinned by unit test), so the curve shows
+    exactly where deepening stops paying: the nprobe pruning loss
+    it can never recover.
+
+    One chain, four read-offs: the ADC shortlist computes ONCE at
+    depth 40, the exact scores compute ONCE over those |Q|·40 pairs
+    (``exact_score_pairs`` — the ADC rank rides through), and each
+    sweep point is a rank window over the already-scored candidates
+    filtered to its depth.  The oracle replays the chain with the
+    same shared-score structure, four tails off one scored CTE.
+
+    Scale shape: the audited IVFADC + rerank plans, then four
+    shortlist-sized windows — no per-depth retraining, encoding or
+    corpus scan."""
+    from pyspark.sql import Window as W
+
+    from parquet_editor_spark.operators import sim as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 10)
+    encoded, cents, books = S._ivfadc_fit(
+        emb, "vec_id", "embedding", m=4, k=8, n_cells=8, iters=2,
+        round_to=6, cell_round=6,
+    )
+    short = S._ivfadc_search(
+        encoded, cents, books, qset, "vec_id", "embedding",
+        topk=40, nprobe=3, round_to=6, cell_round=6,
+    )
+    scored = S.exact_score_pairs(
+        emb,
+        qset,
+        short.select(
+            "query_id", F.col("rank").alias("adc_rank"), "neighbor_id"
+        ),
+        "vec_id",
+        "embedding",
+        round_to=6,
+    ).persist()  # four sweep points re-read the |Q|·40 scored pairs
+
+    vec = F.col("embedding").cast("array<double>")
+    qrows = qset.select(
+        F.col("vec_id").alias("qid"), vec.alias("v")
+    ).collect()
+    ip_aa = F.aggregate(
+        F.zip_with(vec, vec, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    qstructs = []
+    for r in qrows:
+        qv = [float(x) for x in r["v"]]
+        lit_q = F.array(*[F.lit(x) for x in qv])
+        ip_bb = float(sum(x * x for x in qv))
+        ip_ab = F.aggregate(
+            F.zip_with(vec, lit_q, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        qstructs.append(
+            F.struct(
+                F.lit(int(r["qid"])).alias("qid"),
+                F.round(
+                    ip_aa + F.lit(ip_bb) - F.lit(2.0) * ip_ab, 6
+                ).alias("d"),
+            )
+        )
+    exact_scored = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(F.array(*qstructs)).alias("q"),
+    ).filter(F.col("neighbor_id") != F.col("q.qid"))
+    exact = (
+        exact_scored.withColumn(
+            "__r",
+            F.row_number().over(
+                W.partitionBy("q.qid").orderBy(
+                    F.col("q.d").asc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__r") <= 5)
+        .select(F.col("q.qid").alias("query_id"), "neighbor_id")
+        .persist()
+    )
+
+    outs = []
+    for kp in (5, 10, 20, 40):
+        rk = F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.col("exact_dist").asc(), F.col("neighbor_id").asc()
+            )
+        )
+        top5 = (
+            scored.filter(F.col("adc_rank") <= kp)
+            .withColumn("__r", rk)
+            .filter(F.col("__r") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+        rec = (
+            exact.join(
+                top5.withColumn("__hit", F.lit(1)),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.sum(F.coalesce("__hit", F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+                F.round(
+                    F.sum(F.coalesce("__hit", F.lit(0)))
+                    / F.count("*"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+        outs.append(
+            rec.select(
+                F.lit(kp).alias("shortlist"),
+                "query_id",
+                "n_hits",
+                "recall",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("shortlist", "query_id")
+
+
 def q_ivfadc_delete_topk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -13815,21 +13956,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # membership and the no-top-level-Array/Map/Struct output
     # contract.
     return {
-        # --- r16 WINDOW (driver adjudicates the FIRST 50): the 8 r16
-        # debuts (two-stage IVFADC rerank + its recall instrument,
-        # filtered serving, delete/compaction, the seeded v10 block
-        # shuffle, the byte merge sweep, and the v12 dataloader
-        # handoff + its shard schedule audit), then the 8 PASSING r3
-        # agreement probes the
+        # --- r16 WINDOW (driver adjudicates the FIRST 50): the 9 r16
+        # debuts (two-stage IVFADC rerank + its recall instrument and
+        # shortlist-depth sweep, filtered serving, delete/compaction,
+        # the seeded v10 block shuffle, the byte merge sweep, and the
+        # v12 dataloader handoff + its shard schedule audit), then
+        # the 8 PASSING r3 agreement probes the
         # r15 verdict ordered re-adjudicated (Missing #1 — they guard
         # live engine-portability assumptions; the 4
         # expected-divergent probes stay retired as documented
-        # canaries), the 28 remaining r9-stale entries, and the 6
+        # canaries), the 28 remaining r9-stale entries, and the 5
         # list-first r10-stale entries — exactly filling the window.
-        # The 43 remaining r10 entries head the r17 rotation.
+        # The 44 remaining r10 entries head the r17 rotation.
         # tests/test_entry_contract.py pins the membership.
         "ivfadc_topk_rerank": q_ivfadc_topk_rerank,
         "ivfadc_rerank_recall": q_ivfadc_rerank_recall,
+        "ivfadc_rerank_depth_sweep": q_ivfadc_rerank_depth_sweep,
         "ivfadc_delete_topk": q_ivfadc_delete_topk,
         "shuffle_blocks_v10": q_shuffle_blocks_v10,
         "byte_bpe_merge_sweep_docs": q_byte_bpe_merge_sweep_docs,
@@ -13877,12 +14019,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_curation_docs": q_url_curation_docs,
         "host_profile_docs": q_host_profile_docs,
         "pdf_extract_docs": q_pdf_extract_docs,
-        "bpe_train_docs": q_bpe_train_docs,
-        # --- behind the window: oldest driver signal first (the 43
+        # --- behind the window: oldest driver signal first (the 44
         # remaining r10 entries head the r17 rotation), then r11..r14
         # blocks in signal order, then the 50 freshly re-adjudicated
         # r15-window entries; expected-divergent probes and no-oracle
         # sampling entries last (retired canaries) ----
+        "bpe_train_docs": q_bpe_train_docs,
         "train_tokenize_pack_v1": q_train_tokenize_pack_v1,
         "crawl_curation_v2": q_crawl_curation_v2,
         "hash_quality_filter_docs": q_hash_quality_filter_docs,
@@ -15276,6 +15418,68 @@ def oracle_sql() -> dict[str, str]:
         FROM rrx JOIN onex ON onex.qid = rrx.qid
         ORDER BY query_id
     """
+    )
+
+    # r16 depth sweep: ONE chain (depth-40 shortlist, shared exact
+    # scores), four per-depth rank tails off the same scored CTE —
+    # the oracle mirror of the entry's one-scoring-pass structure
+    def _depth_tail(k: int) -> str:
+        return f"""
+        SELECT CAST({k} AS INT) AS shortlist, x.qid AS query_id,
+               SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                   THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+               round(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) / count(*), 6) AS recall
+        FROM ex5 x
+        LEFT JOIN (
+            SELECT qid, neighbor_id FROM (
+                SELECT qid, neighbor_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY d, neighbor_id)
+                           AS rn
+                FROM rrsc WHERE adc_rank <= {k}) WHERE rn <= 5) t
+          ON t.qid = x.qid AND t.neighbor_id = x.neighbor_id
+        GROUP BY x.qid"""
+
+    ivfadc_depth_sweep_oracle = (
+        _ivfadc_core
+        + """
+        , sl AS (
+            SELECT qid, neighbor_id, rn AS adc_rank FROM (
+                SELECT qid, neighbor_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY adc, neighbor_id)
+                           AS rn
+                FROM ivsc) WHERE rn <= 40
+        ), rrsc AS MATERIALIZED (
+            SELECT sl.qid, sl.neighbor_id, sl.adc_rank,
+                   round(array_inner_product(nv.v, nv.v)
+                         + array_inner_product(qv.v, qv.v)
+                         - 2 * array_inner_product(nv.v, qv.v), 6)
+                       AS d
+            FROM sl
+            JOIN e nv ON nv.vec_id = sl.neighbor_id
+            JOIN e qv ON qv.vec_id = sl.qid
+        ), fq AS (
+            SELECT vec_id AS qid, v FROM e WHERE vec_id < 10
+        ), ed AS (
+            SELECT fq.qid, e.vec_id AS neighbor_id,
+                   round(array_inner_product(e.v, e.v)
+                         + array_inner_product(fq.v, fq.v)
+                         - 2 * array_inner_product(e.v, fq.v), 6)
+                       AS d
+            FROM e, fq WHERE e.vec_id <> fq.qid
+        ), ex5 AS (
+            SELECT qid, neighbor_id FROM (
+                SELECT qid, neighbor_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY d, neighbor_id)
+                           AS rn
+                FROM ed) WHERE rn <= 5
+        )
+        """
+        + " UNION ALL ".join(_depth_tail(k) for k in (5, 10, 20, 40))
+        + " ORDER BY shortlist, query_id"
     )
 
     frontier_v5_oracle = f"""
@@ -19408,6 +19612,7 @@ def oracle_sql() -> dict[str, str]:
         # recall instrument, and delete/compaction under frozen tables
         "ivfadc_topk_rerank": ivfadc_rerank_oracle,
         "ivfadc_rerank_recall": ivfadc_rerank_recall_oracle,
+        "ivfadc_rerank_depth_sweep": ivfadc_depth_sweep_oracle,
         "ivfadc_delete_topk": ivfadc_delete_oracle,
         "ivfadc_filtered_topk": ivfadc_filtered_oracle,
         "byte_bpe_merge_sweep_docs": byte_sweep_oracle,

@@ -1208,6 +1208,42 @@ def exact_rerank(
     over shortlist-sized rows only."""
     from pyspark.sql import Window as W
 
+    scored = exact_score_pairs(
+        corpus,
+        queries,
+        shortlist.select("query_id", "neighbor_id"),
+        id_col,
+        vec_col,
+        round_to=round_to,
+    )
+    rank = F.row_number().over(
+        W.partitionBy("query_id").orderBy(
+            F.col("exact_dist").asc(), F.col("neighbor_id").asc()
+        )
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", "exact_dist")
+    )
+
+
+def exact_score_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact squared-L2 scores for a ``(query_id, neighbor_id, …)``
+    candidate-pair frame against the original vectors — the scoring
+    half of :func:`exact_rerank`, standalone so sweeps can score a
+    deep shortlist ONCE and re-rank at several depths.  Extra
+    columns of ``pairs`` (e.g. the ADC rank) ride through; appends
+    ``exact_dist``.  Same plan shape: the pair frame broadcasts into
+    one corpus scan, per-query vectors enter as a bounded literal
+    map."""
     vec = F.col(vec_col).cast("array<double>")
     qrows = queries.select(
         F.col(id_col).alias("qid"), vec.alias("v")
@@ -1227,7 +1263,7 @@ def exact_rerank(
             *[F.lit(float(sum(x * x for x in v))) for v in qvecs]
         ),
     )
-    pairs = shortlist.select("query_id", "neighbor_id")
+    keep_cols = [c for c in pairs.columns if c != "neighbor_id"]
     cand = corpus.select(
         F.col(id_col).alias("neighbor_id"), vec.alias("__v")
     ).join(F.broadcast(pairs), "neighbor_id")
@@ -1242,8 +1278,8 @@ def exact_rerank(
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    scored = cand.select(
-        "query_id",
+    return cand.select(
+        *keep_cols,
         "neighbor_id",
         F.round(
             ip_vv
@@ -1251,16 +1287,6 @@ def exact_rerank(
             - F.lit(2.0) * ip_qv,
             round_to,
         ).alias("exact_dist"),
-    )
-    rank = F.row_number().over(
-        W.partitionBy("query_id").orderBy(
-            F.col("exact_dist").asc(), F.col("neighbor_id").asc()
-        )
-    )
-    return (
-        scored.withColumn("rank", rank)
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "rank", "neighbor_id", "exact_dist")
     )
 
 

@@ -49,15 +49,15 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
     """The driver adjudicates only the FIRST 50 queries() entries per
     round.  Round 2 overflowed the priority block to 59, so 9 queries
     silently missed adjudication — pin the round-16 window composition
-    (the r15 verdict's task #1, OLDEST-FIRST rotation): the 8 r16
+    (the r15 verdict's task #1, OLDEST-FIRST rotation): the 9 r16
     debuts, the 8 PASSING r3 agreement probes ordered re-adjudicated,
-    the 28 remaining r9-stale entries, and the 6 list-first r10-stale
-    entries — exactly filling the window; the 43 remaining r10
+    the 28 remaining r9-stale entries, and the 5 list-first r10-stale
+    entries — exactly filling the window; the 44 remaining r10
     entries head the r17 rotation, expected-divergent probes and
     stable rows-only entries stay retired."""
     keys = _literal_keys("queries")
     window = keys[:50]
-    assert window[-1] == "bpe_train_docs", (
+    assert window[-1] == "pdf_extract_docs", (
         f"window boundary moved: 50th entry is {window[-1]!r}"
     )
     must_be_in_window = {
@@ -67,7 +67,7 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "ivfadc_delete_topk", "shuffle_blocks_v10",
         "byte_bpe_merge_sweep_docs",
         "pipeline_curation_v12", "shard_schedule_v12",
-        "ivfadc_filtered_topk",
+        "ivfadc_filtered_topk", "ivfadc_rerank_depth_sweep",
         # the 8 PASSING r3 agreement probes (r15 verdict Missing #1 —
         # live portability assumptions, re-adjudicated this round)
         "probe_hugeint_cast", "probe_ts_subus", "probe_ts_subsec",
@@ -87,10 +87,10 @@ def test_driver_window_is_exactly_50_and_holds_priority_queries():
         "parquet_roundtrip_partitioned", "orc_roundtrip_lineitem",
         "corr_matrix", "q8_market_share", "q10_returned_revenue",
         "q12_priority_lines", "q14_promo_revenue",
-        # the 6 list-first r10-stale entries (the 43 remaining head
+        # the 5 list-first r10-stale entries (the 44 remaining head
         # the r17 rotation)
         "bpe_tokenize_docs", "pack_ids_docs", "url_curation_docs",
-        "host_profile_docs", "pdf_extract_docs", "bpe_train_docs",
+        "host_profile_docs", "pdf_extract_docs",
     }
     assert len(must_be_in_window) == 50, len(must_be_in_window)
     missing = must_be_in_window - set(window)

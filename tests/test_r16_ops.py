@@ -199,6 +199,29 @@ def test_ivfadc_rerank_plan_broadcasts_shortlist(spark, sf_dir, entry):
     assert "Exchange SinglePartition" not in ep, ep
 
 
+def test_rerank_depth_sweep_monotone(spark, sf_dir, entry):
+    """The depth-sweep law: recall@5 is non-decreasing in the
+    shortlist depth — a candidate that displaces a true top-5 member
+    from the rerank top-5 is exactly-closer than it, hence itself a
+    true top-5 member, so hits can only grow as the shortlist
+    widens.  Also pins depth-5 ≡ the one-stage top-5 set (rerank of
+    a 5-deep shortlist reorders but cannot change membership)."""
+    rows = entry.queries()["ivfadc_rerank_depth_sweep"](
+        spark, sf_dir
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["shortlist"]] = r["n_hits"]
+    for q, d in by_q.items():
+        seq = [d[k] for k in (5, 10, 20, 40)]
+        assert seq == sorted(seq), (q, seq)
+    rec = entry.queries()["ivfadc_rerank_recall"](spark, sf_dir)
+    one = {
+        r["query_id"]: r["n_onestage"] for r in rec.collect()
+    }
+    assert {q: d[5] for q, d in by_q.items()} == one
+
+
 def test_ivfadc_filtered_is_prefilter_not_postfilter(spark, embeddings):
     """Filtered serving laws: every neighbor satisfies the predicate,
     every query still gets a full top-5 (pre-filter semantics), and
