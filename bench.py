@@ -41,6 +41,76 @@ RUNS = 3
 SHUFFLE = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8"))
 
 
+#: Cache generation counter — the r16 measurement-bug fix.  In Spark
+#: 4.x classic, ``DataFrame.is_cached`` stays True after
+#: ``spark.catalog.clearCache()`` (measured: storage empty, is_cached
+#: True, and ``df.cache()`` guarded by it never re-registers), so the
+#: old ``if not df.is_cached: df.cache()`` re-cache guard silently
+#: never fired: from each query's clearCache on, the "memory-resident"
+#: analytics rows re-ran their parquet scans inside the timed region —
+#: the exact failure the guard's comment says it exists to prevent.
+#: ``clear_caches`` bumps the generation; ``t`` re-caches any table
+#: whose generation is stale.  See OPTIMIZATION_r16.md §1 for the
+#: before/after evidence.
+CACHE_EPOCH = {"n": 0}
+
+
+def clear_caches(spark) -> None:
+    """Drop bench caches (per-query isolation) AND advance the cache
+    generation so the next ``t()`` call re-registers its table."""
+    spark.catalog.clearCache()
+    CACHE_EPOCH["n"] += 1
+
+
+def cache_layout(spark, df, src_path):
+    """Partition layout for the memory-resident analytics tables.
+
+    The sf generators write each table as ONE parquet row group, and a
+    row group is the scan's parallelism unit — so no matter the split
+    confs every table materializes as a single non-empty partition
+    (measured: lineitem 600k rows, splits=8, non-empty=1), and the
+    cache inherited that layout.  Every downstream map side — the
+    three sinks' encoders, text_quality's regex pass, the minhash
+    numpy pass, partial aggregation — therefore ran on ONE core
+    (guide §2.5: an unsplittable input is repartitioned right after
+    the read).  Lay the cache out at the session's core count instead:
+    ``defaultParallelism`` derives from ``$SPARK_GRAFT_CPUS``, so the
+    driver's lower-core scaling runs get proportionally fewer
+    partitions — never a local[32] constant.  Tiny dimension tables
+    (< 512 KiB source) stay as read: they are broadcast-joined anyway
+    and 32 near-empty tasks would cost more than they parallelize.
+    At 100 TB the equivalent decision is made by the scan itself
+    (thousands of row groups), so this stays a cache-layout rule, not
+    an operator rewrite.
+
+    Partition count: ``clamp(ceil(bytes / target), floor, cores)``
+    with target 1 MiB compressed (~60k rows of these tables — enough
+    per-task work to amortize the measured ~5 ms task overhead; env
+    ``SPARK_GRAFT_CACHE_TARGET_BYTES`` overrides) and floor
+    ``max(2, cores // 8)`` so small-but-CPU-dense tables (documents:
+    0.6 MiB but regex-bound) still parallelize.  Interleaved min-of-5
+    A/B at 32 cores (OPTIMIZATION_r16.md §2): as-read → this rule =
+    sink_csv 0.90→0.23 s, sink_json 0.94→0.26, sink_parquet
+    0.66→0.23, window_running 0.37→0.20, groupby_q1 0.21→0.12,
+    text_quality 0.45→0.29; uniform ``cores`` partitions was measured
+    WORSE than this sizing on every sub-second row (task overhead
+    exceeds the extra parallelism at sf0.1), which is why the rule is
+    size-derived with a core-count clamp rather than a core-count
+    constant.  Sub-512-KiB sources stay as read (broadcast-side
+    dimension tables).
+    """
+    try:
+        nbytes = os.path.getsize(src_path)
+    except OSError:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    if nbytes < 512 * 1024:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    target = int(os.environ.get("SPARK_GRAFT_CACHE_TARGET_BYTES", str(1024 * 1024)))
+    n = max(min(-(-nbytes // target), cores), min(max(2, cores // 8), cores))
+    return df.repartition(int(n))
+
+
 def build_queries(spark, tmp):
     from pyspark.sql import functions as F
 
@@ -57,21 +127,27 @@ def build_queries(spark, tmp):
     # real parquet read; the per-query warm-up run re-materializes the
     # cache after each clearCache.
     cached = {}
+    cached_epoch: dict[str, int] = {}
 
     def t(name):
         if name not in cached:
-            cached[name] = (
+            cached[name] = cache_layout(
+                spark,
                 load_parquet_nanos(spark, f"{SF_DIR}/events.parquet")
                 if name == "events"
-                else spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+                else spark.read.parquet(f"{SF_DIR}/{name}.parquet"),
+                f"{SF_DIR}/{name}.parquet",
             )
         df = cached[name]
-        # re-register after the per-query clearCache — without this the
-        # "memory-resident" analytics rows silently measured parquet
+        # re-register after the per-query clear_caches — without this
+        # the "memory-resident" analytics rows silently measure parquet
         # re-scans from the second query on; the warm-up run then
-        # re-materializes as the protocol states
-        if not df.is_cached:
+        # re-materializes as the protocol states.  Generation-tracked
+        # (NOT ``df.is_cached``, which stays stale-True after
+        # clearCache — see CACHE_EPOCH above).
+        if cached_epoch.get(name) != CACHE_EPOCH["n"]:
             df.cache()
+            cached_epoch[name] = CACHE_EPOCH["n"]
         return df
 
     def noop_write(df):
@@ -262,7 +338,7 @@ def run_session() -> dict:
         times[name] = timed(fn)
         # drop persisted intermediates (e.g. dedup shingle caches) so
         # repeated runs don't accumulate memory pressure
-        spark.catalog.clearCache()
+        clear_caches(spark)
 
     # Fixed calibration rows: pure per-job overhead (scheduler + noop
     # committer / empty scan), independent of any operator under test.

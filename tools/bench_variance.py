@@ -44,7 +44,7 @@ def main(reps: int = 7) -> None:
             "stdev": round(statistics.stdev(samples), 4),
             "samples": samples,
         }
-        spark.catalog.clearCache()
+        bench.clear_caches(spark)
     shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))
 
