@@ -38,7 +38,11 @@ RUNS = 3
 # task-launch overhead at sf0.1 (measured: 6-group pivot 0.28 s @32 →
 # 0.21 s @4). A 100 TB run raises this (or lets AQE split), it never
 # lowers it — the env override keeps the knob honest at other SFs.
-SHUFFLE = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8"))
+# r16 re-sweep under the fixed cache layout ({4,8,16,32} interleaved
+# min-of-5): 16 is the new optimum (window_running 0.31/0.20/0.18/0.30,
+# pivot 0.19/0.14/0.13/0.14, join_star 0.20/0.16/0.15/0.15) — the
+# keyed-window sort row gains the most and nothing regresses.
+SHUFFLE = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "16"))
 
 
 #: Cache generation counter — the r16 measurement-bug fix.  In Spark
