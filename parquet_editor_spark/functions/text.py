@@ -678,21 +678,31 @@ def dsir_logratio(
     global sort."""
     b_lit = float(n_buckets)
 
-    def feats(d):
+    # The featurized frames are consumed THREE times (bucket counts,
+    # totals, the scoring join) for the corpus and twice for the
+    # target; without a persist each reference re-runs the whole
+    # normalize+hash text pass (r16: 3 corpus passes measured at
+    # sf0.01 — 17 s cold for 500 docs).  Persist the per-doc BUCKET
+    # ARRAY — the lightweight proxy (one int-array row per doc, far
+    # smaller than the text, spillable at corpus scale) — and explode
+    # from it per reference: one text pass total, and the exploded
+    # row order (hence every float accumulation order downstream) is
+    # unchanged, so results are bit-identical.
+    from pyspark import StorageLevel
+
+    def feats_arr(d):
         return d.select(
             F.col(id_col).alias("id"),
-            F.explode(
-                hash_feature_buckets(
-                    normalize_text(
-                        F.coalesce(F.col(text_col), F.lit(""))
-                    ),
-                    n_buckets,
-                )
-            ).alias("b"),
-        )
+            hash_feature_buckets(
+                normalize_text(F.coalesce(F.col(text_col), F.lit(""))),
+                n_buckets,
+            ).alias("__bs"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    rawf = feats(df)
-    tgtf = feats(target)
+    raw_arr = feats_arr(df)
+    tgt_arr = feats_arr(target)
+    rawf = raw_arr.select("id", F.explode("__bs").alias("b"))
+    tgtf = tgt_arr.select("id", F.explode("__bs").alias("b"))
     r_cnt = rawf.groupBy("b").agg(
         F.count("*").cast("long").alias("rc")
     )
@@ -718,7 +728,7 @@ def dsir_logratio(
             ).alias("lw"),
         )
     )
-    return (
+    out = (
         rawf.join(F.broadcast(w), "b")
         .groupBy("id")
         .agg(
@@ -731,6 +741,9 @@ def dsir_logratio(
             ),
         )
     )
+    # see dedup.jaccard_pairs: caches attached for release_caches(out)
+    out._pes_caches = [raw_arr, tgt_arr]
+    return out
 
 
 def redact_pii(col: str | Column) -> Column:
