@@ -499,8 +499,6 @@ def run_to_completion(
     the session conf after termination; results are partition-count
     invariant (exact keyed operators), and a real deployment sets the
     env/conf from its key cardinality and throughput instead."""
-    import os
-
     spark = stream_df.sparkSession
     writer = (
         stream_df.writeStream.outputMode(output_mode)
@@ -511,14 +509,8 @@ def run_to_completion(
         writer = writer.option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    state_parts = min(
-        int(prev_shuffle),
-        int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")),
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+    q, restore = _start_stream_sized(spark, writer)
     try:
-        q = writer.start()
         try:
             if available_now:
                 q.awaitTermination()
@@ -527,8 +519,41 @@ def run_to_completion(
         finally:
             q.stop()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        restore()
     return spark.table(name)
+
+
+def _start_stream_sized(spark, writer):
+    """Start ``writer`` under the stream state-store width and restore
+    the session conf immediately after.
+
+    ``StreamExecution`` clones the session synchronously inside
+    ``start()`` (``sparkSessionForStream``), so the shuffle width in
+    force at that moment is the one pinned into the query — every
+    micro-batch plan, stateful-operator store count, and foreachBatch
+    body runs under the clone while the caller's session conf is
+    already restored.  Width = ``min(session,
+    $SPARK_GRAFT_STREAM_SHUFFLE [8])`` as in :func:`run_to_completion`;
+    returns ``(query, restore)`` where ``restore()`` is idempotent and
+    already called — kept for callers that want the explicit handle in
+    a finally block."""
+    import os
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    state_parts = min(
+        int(prev_shuffle),
+        int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")),
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+
+    def restore() -> None:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    try:
+        q = writer.start()
+    finally:
+        restore()
+    return q, restore
 
 
 def _recover_swap(path: str) -> None:
@@ -574,6 +599,13 @@ def upsert_stream_parquet(
     checkpoint records completed batch ids; a replayed batch re-merges
     idempotently because upsert-by-key is idempotent).
 
+    Starts under the stream state-store width (r16, same rule as
+    :func:`run_to_completion` — see :func:`_start_stream_sized`): the
+    per-batch ``dropDuplicates`` shuffle and merge write run inside the
+    query's cloned session, so a batch session's 32-wide default
+    otherwise prices every micro-batch at full batch width.  Results
+    are partition-count invariant (exact keyed merge).
+
     Local-filesystem swap via os.replace; on a real lakehouse the
     swap step is the table format's commit."""
     import os
@@ -608,14 +640,15 @@ def upsert_stream_parquet(
         os.rename(staging, path)
         shutil.rmtree(old, ignore_errors=True)
 
-    return (
+    q, _ = _start_stream_sized(
+        stream_df.sparkSession,
         stream_df.writeStream.foreachBatch(merge)
         # "update" for aggregation streams: each batch re-emits corrected
         # (key, aggregate) rows and the keyed MERGE replaces stale values
         .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .start()
+        .option("checkpointLocation", checkpoint),
     )
+    return q
 
 
 def write_stream_parquet(
@@ -655,7 +688,14 @@ def refresh_stream_matview(
     publish is not atomic as a pair; :func:`_recover_swap` heals the
     crash-between-renames state on (re)entry by restoring the last
     committed directory, marker included.  On a lakehouse this whole
-    dance is the table format's commit-with-metadata."""
+    dance is the table format's commit-with-metadata.
+
+    Starts under the stream state-store width (r16, same rule as
+    :func:`run_to_completion`): each fold's ``refresh_sum_agg``
+    shuffle runs inside the query's cloned session at
+    ``min(session, $SPARK_GRAFT_STREAM_SHUFFLE)`` instead of the batch
+    default; the fold is an exact keyed SUM/COUNT, so results are
+    partition-count invariant."""
     import os
     import shutil
 
@@ -698,9 +738,10 @@ def refresh_stream_matview(
         os.rename(staging, path)
         shutil.rmtree(old, ignore_errors=True)
 
-    return (
+    q, _ = _start_stream_sized(
+        stream_df.sparkSession,
         stream_df.writeStream.foreachBatch(fold)
         .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .start()
+        .option("checkpointLocation", checkpoint),
     )
+    return q

@@ -799,3 +799,58 @@ def test_stream_quality_rollup_windowed_matches_batch(spark, sf_dir):
     assert sorted(map(tuple, streamed)) == sorted(
         map(tuple, finalized.collect())
     )
+
+
+def test_foreachbatch_writers_start_under_stream_state_width(
+    spark, events_batch, tmp_path, monkeypatch
+):
+    """r16: the foreachBatch writers pin the stream state-store width
+    at query start (min(session, $SPARK_GRAFT_STREAM_SHUFFLE)) and
+    restore the session conf immediately — the running query keeps the
+    sized width because StreamExecution clones the session inside
+    start().  Observable: a stateful (update-mode aggregate) upsert
+    stream commits exactly that many state stores per operator in its
+    checkpoint, while the batch session's width is untouched and the
+    merged table still equals the batch aggregate."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE", "3")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    ev = events_batch.select("user_id", "value")
+    ev.repartition(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v_c"),
+        )
+    )
+    q = ST.upsert_stream_parquet(
+        stream, table, ckpt, keys=["user_id"], output_mode="update"
+    )
+    # conf restored as soon as start() returned, not after termination
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    q.processAllAvailable()
+    q.stop()
+
+    # the streaming aggregate's state stores: one dir per partition
+    # under state/<operatorId>/ — the pinned width, not the session's
+    state0 = os.path.join(ckpt, "state", "0")
+    parts = [d for d in os.listdir(state0) if d.isdigit()]
+    assert len(parts) == 3
+
+    got = spark.read.parquet(table)
+    want = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v_c"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
