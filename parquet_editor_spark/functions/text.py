@@ -16,6 +16,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..litexpr import lit_doubles
+
 # ---------------------------------------------------------------------------
 # tokenization / shingling
 # ---------------------------------------------------------------------------
@@ -349,7 +351,8 @@ def hash_linear_score(
     if n_b < 1:
         raise ValueError("weights must be non-empty")
     feats = _hash_feats(c)
-    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+    # one F.expr parse, not one Py4J lit per weight (r16, see litexpr)
+    w_arr = lit_doubles(float(w) for w in weights)
 
     def bucket(t):
         return _poly_bucket(t, n_b)
@@ -464,7 +467,7 @@ def train_hash_classifier(
             raise ValueError("no documents with features to train on")
         w = [0.0] * n_buckets
         for _ in range(iters):
-            w_arr = F.array(*[F.lit(x) for x in w])
+            w_arr = lit_doubles(w)
             total = F.aggregate(
                 F.col("b"),
                 F.lit(0.0),

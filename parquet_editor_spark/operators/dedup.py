@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parquet_editor_spark.functions import text as X
+from parquet_editor_spark.litexpr import lit_longs
 
 
 def release_caches(df: DataFrame) -> None:
@@ -1624,7 +1625,8 @@ def bloom_member_expr(
     if n_words < 1 or not 1 <= k <= 64:
         raise ValueError("need n_words >= 1 and 1 <= k <= 64")
     c = F.col(key) if isinstance(key, str) else key
-    w_arr = F.array(*[F.lit(int(x)).cast("long") for x in words])
+    # one F.expr parse, not one Py4J lit per word (r16, see litexpr)
+    w_arr = lit_longs(words)
     hit = F.lit(True)
     for pos in _bloom_positions(c, n_words, k):
         wi = (

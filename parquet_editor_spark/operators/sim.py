@@ -31,6 +31,14 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..litexpr import (
+    lit_doubles,
+    lit_double_matrix,
+    sql_double,
+    sql_double_array,
+    sql_int,
+)
+
 
 # ---------------------------------------------------------------------------
 # expression helpers (JVM-side, no UDF)
@@ -418,7 +426,7 @@ def signature_bits(vec_col: Column, planes: np.ndarray) -> Column:
     plan itself."""
     bit_cols = []
     for row in planes:
-        plane = F.array(*[F.lit(float(x)) for x in row])
+        plane = lit_doubles(float(x) for x in row)
         bit_cols.append(F.when(dot(vec_col, plane) >= 0, 1).otherwise(0))
     return F.array(*bit_cols)
 
@@ -612,7 +620,7 @@ def pq_encode(
         books.append(cents)
         best = F.array_min(
             _cell_dist_structs(
-                F.slice(F.col("__v"), s * sub + 1, sub),
+                f"slice(__v, {s * sub + 1}, {sub})",
                 cents,
                 round_to,
             )
@@ -684,19 +692,15 @@ def pq_topk_adc(
     qstructs = []
     for r in qrows:
         qv = [float(x) for x in r["v"]]
-        fields = [F.lit(int(r["qid"])).alias("qid")]
+        fields = [f"{sql_int(int(r['qid']))} AS qid"]
         for s in range(m):
             tab = dtab(qv[s * sub : (s + 1) * sub], books[s])
-            fields.append(
-                F.array(*[F.lit(float(d)) for d in tab]).alias(
-                    f"t{s}"
-                )
-            )
-        qstructs.append(F.struct(*fields))
+            fields.append(f"{sql_double_array(tab)} AS t{s}")
+        qstructs.append("struct(" + ", ".join(fields) + ")")
     exploded = encoded.select(
         F.col(id_col).alias("neighbor_id"),
         *[f"code_{s}" for s in range(m)],
-        F.explode(F.array(*qstructs)).alias("q"),
+        F.explode(F.expr("array(" + ",".join(qstructs) + ")")).alias("q"),
     ).filter(F.col("neighbor_id") != F.col("q.qid"))
     adc = F.element_at(F.col("q.t0"), F.col("code_0") + 1)
     for s in range(1, m):
@@ -830,15 +834,13 @@ def _ivfadc_tag_residual(
     against the cell centroid, ONE whole-stage-codegen projection —
     shared by the trainer and the frozen-table append path."""
     vec = F.col(vec_col).cast("array<double>")
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    )
+    cent_lit = lit_double_matrix(cents)
     return corpus.select(
         F.col(id_col),
         vec.alias("__v"),
-        F.array_min(_cell_dist_structs(vec, cents, cell_round))[
-            "c"
-        ].alias("__cell"),
+        F.array_min(
+            _cell_dist_structs(_cast_arr_sql(vec_col), cents, cell_round)
+        )["c"].alias("__cell"),
     ).select(
         id_col,
         "__cell",
@@ -873,7 +875,7 @@ def _pq_assign_frozen(
     for s in range(m):
         best = F.array_min(
             _cell_dist_structs(
-                F.slice(F.col("__v"), s * sub + 1, sub),
+                f"slice(__v, {s * sub + 1}, {sub})",
                 books[s],
                 round_to,
             )
@@ -1251,17 +1253,13 @@ def exact_score_pairs(
     qids = [int(r["qid"]) for r in qrows]
     qvecs = [[float(x) for x in r["v"]] for r in qrows]
     # per-query literal vector + its self inner product, keyed by id
-    qv_map = F.map_from_arrays(
-        F.array(*[F.lit(q) for q in qids]),
-        F.array(
-            *[F.array(*[F.lit(x) for x in v]) for v in qvecs]
-        ),
+    qid_arr = F.expr(
+        "array(" + ",".join(sql_int(q) for q in qids) + ")"
     )
+    qv_map = F.map_from_arrays(qid_arr, lit_double_matrix(qvecs))
     qq_map = F.map_from_arrays(
-        F.array(*[F.lit(q) for q in qids]),
-        F.array(
-            *[F.lit(float(sum(x * x for x in v))) for v in qvecs]
-        ),
+        qid_arr,
+        lit_doubles(float(sum(x * x for x in v)) for v in qvecs),
     )
     keep_cols = [c for c in pairs.columns if c != "neighbor_id"]
     cand = corpus.select(
@@ -1398,33 +1396,46 @@ def label_centroids(
 # IVF (inverted-file) approximate top-k
 # ---------------------------------------------------------------------------
 
-def _cell_dist_structs(vec, centroids, round_to: int):
+def _cell_dist_structs(vec_sql: str, centroids, round_to: int):
     """Array of (rounded squared-L2 distance, cell id) structs for a
     vector column against literal centroids — the codegen argmin /
     probe-ranking primitive shared by :func:`kmeans_lloyd` and
     :func:`ivf_topk_det`.  ``ip(a,a) + ip(b,b) − 2·ip(a,b)``, every
     inner product summed in index order, distance rounded BEFORE any
     comparison so the ordering is engine-reproducible (ties break on
-    the cell id via struct comparison)."""
-    ip_aa = F.aggregate(
-        F.zip_with(vec, vec, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
+    the cell id via struct comparison).
+
+    ``vec_sql`` is the vector column as SQL text (r16): the whole
+    k×dim expression is rendered as one string and parsed with a
+    single ``F.expr`` — the element-wise ``F.lit`` construction paid
+    one Py4J round-trip per scalar, which at trainer-loop call rates
+    dominated the families' driver wall (see ``litexpr``; identical
+    analyzed expression, results pinned by the oracle corpus)."""
+    ip_aa = (
+        f"aggregate(zip_with({vec_sql}, {vec_sql}, (x, y) -> x * y),"
+        " 0.0D, (a, x) -> a + x)"
     )
     choices = []
     for ci, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        arr = sql_double_array(c)
         ip_bb = float(sum(x * x for x in c))
-        ip_ab = F.aggregate(
-            F.zip_with(vec, lit_c, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
+        ip_ab = (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y),"
+            " 0.0D, (a, x) -> a + x)"
         )
-        d = F.round(ip_aa + F.lit(ip_bb) - F.lit(2.0) * ip_ab, round_to)
-        choices.append(
-            F.struct(d.alias("d"), F.lit(ci).cast("int").alias("c"))
+        d = (
+            f"round({ip_aa} + {sql_double(ip_bb)} - 2.0D * {ip_ab},"
+            f" {int(round_to)})"
         )
-    return F.array(*choices)
+        choices.append(f"struct({d} AS d, CAST({int(ci)} AS INT) AS c)")
+    return F.expr("array(" + ",".join(choices) + ")")
+
+
+def _cast_arr_sql(col_name: str) -> str:
+    """``CAST(`col` AS ARRAY<DOUBLE>)`` fragment for a (possibly
+    user-supplied) column name — the SQL-text twin of
+    ``F.col(c).cast("array<double>")``."""
+    return f"CAST(`{col_name.replace('`', '``')}` AS ARRAY<DOUBLE>)"
 
 
 def kmeans_lloyd(
@@ -1455,57 +1466,64 @@ def kmeans_lloyd(
     dot products, no join, no UDF); the update is one
     (cluster, dim)-keyed shuffle via posexplode (the
     :func:`label_centroids` shape).  Per iteration: one projection +
-    one keyed agg — the plan a 100 TB k-means needs."""
+    one keyed agg — the plan a 100 TB k-means needs.
+
+    r16: the final-assignment counts ride the LAST iteration's means
+    aggregate (an extra ``count(*)`` column on the same groups — the
+    avg values and hence the centroid trajectory are bit-unchanged),
+    and the (cluster, n_points, centroid) result is emitted as a
+    local frame from the already-collected metadata. This removes
+    one full corpus aggregation job plus a join plan PER TRAINER
+    CALL vs the r15 shape, where every ``kmeans_lloyd(...).collect()``
+    call site re-ran the assignment for counts. n_points counts the
+    vectors the means explode materializes — identical to the old
+    dedicated count under the trainer's existing uniform-dimension
+    contract (init reads ``dim`` from the first row; the zip_with
+    distance already requires uniform length)."""
     if k < 1 or iters < 1:
         raise ValueError("need k >= 1 and iters >= 1")
     vec = F.col(vec_col).cast("array<double>")
+    # ≤k rows by the filter — sort driver-side instead of paying the
+    # engine sort's range-sampling job per trainer call (r16; same
+    # rows, same order: ids are unique and numerically comparable)
     init = (
         df.filter(F.col(id_col) < k)
-        .orderBy(id_col)
-        .select(vec.alias("v"))
+        .select(F.col(id_col).alias("i"), vec.alias("v"))
         .collect()
     )
+    init.sort(key=lambda r: r["i"])
     if len(init) < k:
         raise ValueError(f"need {k} init rows with {id_col} < {k}")
     cents = [[float(x) for x in r["v"]] for r in init]
     dim = len(cents[0])
 
-    assigned = None
-    for _ in range(iters):
+    n_points: dict[int, int] = {}
+    for it in range(iters):
         assigned = df.withColumn(
             "__c",
-            F.array_min(_cell_dist_structs(vec, cents, round_to))["c"],
+            F.array_min(
+                _cell_dist_structs(_cast_arr_sql(vec_col), cents, round_to)
+            )["c"],
         )
+        last = it == iters - 1
+        agg_cols = [F.round(F.avg("x"), round_to).alias("m")]
+        if last:
+            agg_cols.append(F.count("*").alias("n"))
         means = (
             assigned.select("__c", F.posexplode(vec).alias("pos", "x"))
             .groupBy("__c", "pos")
-            .agg(F.round(F.avg("x"), round_to).alias("m"))
+            .agg(*agg_cols)
             .collect()
         )
         new = {r["__c"]: [0.0] * dim for r in means}
         for r in means:
             new[r["__c"]][r["pos"]] = r["m"]
+            if last and r["pos"] == 0:
+                n_points[r["__c"]] = int(r["n"])
         cents = [new.get(ci, cents[ci]) for ci in range(k)]
-    counts = assigned.groupBy("__c").agg(
-        F.count("*").cast("long").alias("n_points")
-    )
-    cent_df = df.sparkSession.createDataFrame(
-        [(ci, cents[ci]) for ci in range(k)],
-        "cluster int, centroid array<double>",
-    )
-    return (
-        cent_df.join(
-            counts.withColumnRenamed("__c", "cluster"),
-            "cluster",
-            "left",
-        )
-        .select(
-            "cluster",
-            F.coalesce("n_points", F.lit(0)).cast("long").alias(
-                "n_points"
-            ),
-            "centroid",
-        )
+    return df.sparkSession.createDataFrame(
+        [(ci, n_points.get(ci, 0), cents[ci]) for ci in range(k)],
+        "cluster int, n_points long, centroid array<double>",
     )
 
 
@@ -1544,7 +1562,7 @@ def ivf_topk_det(
     by_c = {int(r["cluster"]): list(r["centroid"]) for r in cents_rows}
     cents = [by_c[i] for i in range(n_cells)]
 
-    dists = _cell_dist_structs(vec, cents, cell_round)
+    dists = _cell_dist_structs(_cast_arr_sql(vec_col), cents, cell_round)
     tagged = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         vec.alias("__cv"),
@@ -1874,7 +1892,7 @@ def semdedup(
     by_c = {int(r["cluster"]): list(r["centroid"]) for r in cents_rows}
     cents = [by_c[i] for i in range(n_cells)]
 
-    dists = _cell_dist_structs(vec, cents, cell_round)
+    dists = _cell_dist_structs(_cast_arr_sql(vec_col), cents, cell_round)
     tagged = corpus.select(
         F.col(id_col).alias("vec_id"),
         vec.alias("__v"),
