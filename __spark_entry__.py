@@ -28,6 +28,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _seam(df: DataFrame) -> DataFrame:
+    """Eager stage boundary for deep-composed DAGs: materialize a
+    bounded-cardinality intermediate (host graph / robots table —
+    ≤ host-cardinality rows) and TRUNCATE its lineage, so every
+    downstream reference — pagerank's 2^iters unrolled recurrence,
+    the rules/delays/ages fan-out — replans over a table leaf instead
+    of re-walking the full extraction subplan.  Values are untouched
+    (same rows, same order source); this is the curation-DAG
+    checkpoint convention applied at the frontier stage seams."""
+    return df.localCheckpoint(eager=True)
+
+
 def _revenue_exact() -> "F.Column":
     """Revenue summed in exact integer 10^-4 currency units, then
     HALF_UP-rounded to cents IN INTEGER SPACE:
@@ -7745,10 +7757,11 @@ def q_crawl_frontier_v4(
         F.sum("rel").cast("long").alias("rel_sum")
     )
     # host-pair cardinality (26 rows here, ~10⁸ worst case at 100 TB
-    # — still executor-memory-sized); PERSIST so pagerank's unrolled
-    # iterations re-read the cached pairs instead of re-scanning the
-    # corpus once per recurrence reference
-    edges = (
+    # — still executor-memory-sized); eager seam so pagerank's
+    # unrolled iterations re-read the materialized pairs AND replan
+    # over a table leaf instead of re-walking the extraction subplan
+    # once per recurrence reference
+    edges = _seam(
         links.select(
             U.url_host("page_url").alias("src"),
             U.url_host("canon_url").alias("dst"),
@@ -7756,13 +7769,12 @@ def q_crawl_frontier_v4(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .select("src", "dst", F.lit(1.0).alias("w"))
-        .persist()
     )
     ranks = G.pagerank(edges, "src", "dst", "w", iters=3).select(
         F.col("node").alias("host"), F.col("rank").alias("host_rank")
     )
     k = F.col("k")
-    hosts = (
+    hosts = _seam(  # host-sized; read by rules, delays and ages
         docs.select((d % 13).alias("k"))
         .distinct()
         .select(
@@ -7775,7 +7787,6 @@ def q_crawl_frontier_v4(
             ).alias("robots"),
             ((k * 7) % 97).cast("int").alias("robots_age_s"),
         )
-        .persist()  # host-sized; read by rules, delays and ages
     )
     frontier = tgt.select(
         "canon_url",
@@ -7918,7 +7929,7 @@ def q_crawl_frontier_v5(
     tgt = scored.groupBy("canon_url").agg(
         F.sum("rel").cast("long").alias("rel_sum")
     )
-    edges = (
+    edges = _seam(
         links.select(
             U.url_host("page_url").alias("src"),
             U.url_host("canon_url").alias("dst"),
@@ -7926,7 +7937,6 @@ def q_crawl_frontier_v5(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .select("src", "dst", F.lit(1.0).alias("w"))
-        .persist()
     )
     ranks = G.pagerank(edges, "src", "dst", "w", iters=3).select(
         F.col("node").alias("host"), F.col("rank").alias("host_rank")
@@ -7956,7 +7966,7 @@ def q_crawl_frontier_v5(
         D.bloom_build(day2, "key", n_words=16, k=4),
     )
     k = F.col("k")
-    hosts = (
+    hosts = _seam(  # host-sized; read by rules, delays and ages
         docs.select((d % 13).alias("k"))
         .distinct()
         .select(
@@ -7969,7 +7979,6 @@ def q_crawl_frontier_v5(
             ).alias("robots"),
             ((k * 7) % 97).cast("int").alias("robots_age_s"),
         )
-        .persist()
     )
     frontier = tgt.select(
         "canon_url",

@@ -530,12 +530,14 @@ def test_pipeline_curation_v5_plan_shape(spark, sf_dir):
 
 
 def test_crawl_frontier_v4_plan_shape(spark, sf_dir):
-    """r13: priority+shard+expiry frontier — extraction/relevance
-    pure codegen, rank/rule/delay/age joins broadcast, pagerank's
-    unrolled recurrence runs over the PERSISTED host-pair table (all
-    its exchanges are host-cardinality), and no frame ever collapses
-    to a single partition; the host schedule window is the only
-    data-sized single-key shuffle."""
+    """r13 (+r16 seams): priority+shard+expiry frontier —
+    extraction/relevance pure codegen, rank/rule/delay/age joins
+    broadcast, pagerank's unrolled recurrence runs over the eagerly
+    CHECKPOINTED host-pair table (all its exchanges are
+    host-cardinality and its leaves are truncated RDD scans, not
+    corpus re-plans), and no frame ever collapses to a single
+    partition; the host schedule window is the only data-sized
+    single-key shuffle."""
     import re
 
     import __spark_entry__ as M
@@ -548,14 +550,17 @@ def test_crawl_frontier_v4_plan_shape(spark, sf_dir):
     _sp_benign(df, 7)
     # the document-sized frames: target-URL distinct agg, robots
     # allow/group machinery, schedule window, output range sort; the
-    # rest is the pagerank recurrence over the cached 26-row host
+    # rest is the pagerank recurrence over the seamed 26-row host
     # graph (2^iters unrolled references, each host-cardinality —
     # bounded here so a lineage regression is caught)
     ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
     assert len(ex) <= 110, len(ex)
-    # the priority inputs really are consumed: pagerank ran over a
-    # persisted host-pair cache, not corpus re-scans
-    assert "InMemoryTableScan" in plan, plan
+    # the r16 seam really truncated the lineage: every edges/hosts
+    # reference is a checkpointed-RDD leaf, and the old persist-cache
+    # scan is gone (a reappearing InMemoryTableScan or a vanishing
+    # RDD leaf means someone re-inlined the extraction subplan)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
 
 
 def test_outlink_extraction_is_zero_python_zero_shuffle(spark, sf_dir):
@@ -778,7 +783,9 @@ def test_crawl_frontier_v5_plan_shape(spark, sf_dir):
     _sp_benign(df, 7)
     ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
     assert len(ex) <= 120, len(ex)
-    assert "InMemoryTableScan" in plan, plan
+    # r16 seams: edges/hosts are checkpointed-RDD leaves (see v4)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
 
 
 def test_byte_bpe_fallback_plan_is_single_pass(spark, sf_dir):
