@@ -7319,7 +7319,7 @@ def q_outlink_graph_rank(
         "src",
         U.url_host(U.resolve_url("page_url", "href")).alias("dst"),
     )
-    edges = (
+    edges = _seam(  # host-pair cardinality; see crawl_frontier_v4
         links.filter(F.col("src") != F.col("dst"))
         .distinct()
         .select("src", "dst", F.lit(1.0).alias("w"))
@@ -13609,9 +13609,11 @@ def q_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev")
     ).filter(F.col("prev").isNotNull())
-    edges = trans.groupBy(
-        F.col("prev").alias("src"), F.col("event_type").alias("dst")
-    ).agg(F.count("*").cast("double").alias("w"))
+    edges = _seam(  # event-type-pair cardinality; see crawl_frontier_v4
+        trans.groupBy(
+            F.col("prev").alias("src"), F.col("event_type").alias("dst")
+        ).agg(F.count("*").cast("double").alias("w"))
+    )
     return G.pagerank(edges, "src", "dst", "w", iters=3)
 
 
