@@ -785,6 +785,18 @@ def ivfadc_topk(
     )
 
 
+def _train_boundary(df: DataFrame) -> DataFrame:
+    """Eager stage boundary for the trainer's residual frame (r16):
+    ``localCheckpoint`` instead of ``persist`` so the m subspace
+    trainers' per-iteration collects analyze a truncated RDD leaf —
+    a ``persist`` caches the ROWS but every downstream plan still
+    re-walks the coarse-assignment projection, whose n_cells×dim
+    literal struct matrix dominates per-action analysis cost once
+    the rows themselves are cached.  Same rows, same order source;
+    values unchanged."""
+    return df.localCheckpoint(eager=True)
+
+
 def _ivfadc_fit(
     corpus: DataFrame,
     id_col: str,
@@ -811,9 +823,9 @@ def _ivfadc_fit(
     if m < 1 or dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
 
-    tagged = _ivfadc_tag_residual(
-        corpus, cents, id_col, vec_col, cell_round
-    ).persist()  # stage boundary: 4 subspace trainers × iters passes
+    tagged = _train_boundary(
+        _ivfadc_tag_residual(corpus, cents, id_col, vec_col, cell_round)
+    )  # stage boundary: 4 subspace trainers × iters passes
     # re-read the residuals — without it every k-means collect
     # re-derives the coarse assignment + subtraction from the scan
     encoded, books = pq_encode(
