@@ -18,7 +18,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# resolve imports relative to THIS file so a copy run from a git
+# worktree times the worktree's code, not /root/repo's (the r16
+# third pass lost a set of "before" sweeps to a hardcoded path here)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
