@@ -414,6 +414,16 @@ def hash_linear_score_sql(
         ELSE {bias} END)"""
 
 
+def _feat_boundary(df: DataFrame) -> DataFrame:
+    """Eager stage boundary for the trainer's featurized frame (r16,
+    the sim.py `_train_boundary` convention): ``localCheckpoint``
+    instead of ``persist`` so each gradient iteration's collect
+    analyzes a truncated RDD leaf instead of re-walking the
+    higher-order featurization projection.  Same rows; values
+    unchanged."""
+    return df.localCheckpoint(eager=True)
+
+
 def train_hash_classifier(
     df: DataFrame,
     text_col: str,
@@ -453,13 +463,12 @@ def train_hash_classifier(
     corpus-sized, at any corpus size."""
     if n_buckets < 1 or iters < 1:
         raise ValueError("n_buckets and iters must be >= 1")
-    feat = (
+    feat = _feat_boundary(
         df.select(
             F.col(label_col).cast("int").alias("y"),
             hash_feature_buckets(text_col, n_buckets).alias("b"),
         )
         .filter(F.size("b") > 0)
-        .persist()
     )
     try:
         n_docs = feat.count()
