@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parquet_editor_spark.litexpr import lit_doubles as _lit_doubles
 from parquet_editor_spark.operators import query as q
 
 SF1 = "/root/testdata/sf0.001"
@@ -10472,7 +10473,7 @@ def q_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     qstructs = []
     for r in qrows:
         qv = [float(x) for x in r["v"]]
-        lit_q = F.array(*[F.lit(x) for x in qv])
+        lit_q = _lit_doubles(qv)  # one F.expr parse, not dim Py4J lits
         ip_bb = float(sum(x * x for x in qv))
         ip_ab = F.aggregate(
             F.zip_with(vec, lit_q, lambda x, y: x * y),
@@ -10604,7 +10605,7 @@ def q_ivfadc_recall_bound(
     qstructs = []
     for r in qrows:
         qv = [float(x) for x in r["v"]]
-        lit_q = F.array(*[F.lit(x) for x in qv])
+        lit_q = _lit_doubles(qv)  # one F.expr parse, not dim Py4J lits
         ip_bb = float(sum(x * x for x in qv))
         ip_ab = F.aggregate(
             F.zip_with(vec, lit_q, lambda x, y: x * y),
@@ -10824,7 +10825,7 @@ def q_ivfadc_rerank_recall(
     qstructs = []
     for r in qrows:
         qv = [float(x) for x in r["v"]]
-        lit_q = F.array(*[F.lit(x) for x in qv])
+        lit_q = _lit_doubles(qv)  # one F.expr parse, not dim Py4J lits
         ip_bb = float(sum(x * x for x in qv))
         ip_ab = F.aggregate(
             F.zip_with(vec, lit_q, lambda x, y: x * y),
@@ -10940,7 +10941,7 @@ def q_ivfadc_rerank_depth_sweep(
     qstructs = []
     for r in qrows:
         qv = [float(x) for x in r["v"]]
-        lit_q = F.array(*[F.lit(x) for x in qv])
+        lit_q = _lit_doubles(qv)  # one F.expr parse, not dim Py4J lits
         ip_bb = float(sum(x * x for x in qv))
         ip_ab = F.aggregate(
             F.zip_with(vec, lit_q, lambda x, y: x * y),
