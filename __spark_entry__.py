@@ -4389,10 +4389,11 @@ def _v5_curation_kept(
         F.col("allowed") == 1
     )
     # stage boundary: line dedup reads its input three times
-    # (fingerprint agg, keep join, reassembly) — persist so the codec
-    # walks and the URL/robots tier run ONCE; at 100 TB this boundary
-    # is a checkpointed table between pipeline stages
-    capped = U.host_cap(allowed, "host", 3, ["doc_id"]).persist()
+    # (fingerprint agg, keep join, reassembly) — the eager seam runs
+    # the codec walks and the URL/robots tier ONCE and truncates them
+    # out of all three references' analyzed plans; at 100 TB this
+    # boundary is a checkpointed table between pipeline stages
+    capped = _seam(U.host_cap(allowed, "host", 3, ["doc_id"]))
 
     d = F.col("doc_id")
     pieces = [
@@ -4463,9 +4464,9 @@ def q_pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # second boundary: the pack reads the id table twice (placement +
     # ids join) — persist the tokenized frame for the same reason
-    toks = TP.bpe_tokenize(
-        gated, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
-    ).persist()
+    toks = _seam(  # pack references the id stream twice
+        TP.bpe_tokenize(gated, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB)
+    )
     blocks = TP.pack_id_blocks(
         toks, "id", "input_ids", block_tokens=32, bucket_docs=64
     )
@@ -4535,9 +4536,9 @@ def q_pipeline_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__margin") > 0)
         .select("doc_id", _bpe_norm("text").alias("norm"))
     )
-    toks = TP.bpe_tokenize(
-        gated, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
-    ).persist()
+    toks = _seam(  # pack references the id stream twice
+        TP.bpe_tokenize(gated, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB)
+    )
     blocks = TP.pack_id_blocks(
         toks, "id", "input_ids", block_tokens=32, bucket_docs=64
     )
@@ -4636,9 +4637,9 @@ def q_pipeline_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__margin") > F.lit(t_star))
         .select("doc_id", _bpe_norm("text").alias("norm"))
     )
-    toks = TP.bpe_tokenize(
-        gated, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
-    ).persist()
+    toks = _seam(  # pack references the id stream twice
+        TP.bpe_tokenize(gated, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB)
+    )
     blocks = TP.pack_id_blocks(
         toks, "id", "input_ids", block_tokens=32, bucket_docs=64
     )
@@ -4691,10 +4692,11 @@ def q_pipeline_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage boundary: substring_dedup reads its input three times
     # (winnowing fingerprints, candidate-doc gram hashing, final span
-    # subtraction) — persist so the whole ingest→line-dedup front half
-    # runs ONCE; at 100 TB this is a checkpointed table between
-    # pipeline stages, same as v5's post-cap boundary
-    kept = _v5_curation_kept(spark, sf_dir, plant_run=True).persist()
+    # subtraction) — the eager seam runs the whole ingest→line-dedup
+    # front half ONCE and truncates it out of all three references'
+    # analyzed plans (the v9 handoff rule, r16); at 100 TB this is a
+    # checkpointed table between pipeline stages
+    kept = _seam(_v5_curation_kept(spark, sf_dir, plant_run=True))
     ssd = D.substring_dedup(
         kept, "id", "kept_text", min_len=40, k=8, w=4
     )
@@ -4711,9 +4713,9 @@ def q_pipeline_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _bpe_norm("kept_text").alias("norm"))
     )
 
-    toks = TP.bpe_tokenize(
-        gated, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB
-    ).persist()
+    toks = _seam(  # pack references the id stream twice
+        TP.bpe_tokenize(gated, "doc_id", "norm", _BPE_MERGES, _BPE_VOCAB)
+    )
     blocks = TP.pack_id_blocks(
         toks, "id", "input_ids", block_tokens=32, bucket_docs=64
     )
@@ -4837,8 +4839,8 @@ def _v9_fim_stream(spark: SparkSession, sf_dir: str):
             _t(spark, sf_dir, "documents").select("doc_id", "lang"),
             "doc_id",
         )
-        .persist()
     )
+    gated = _seam(gated)  # counts/weights/selection all re-read it
     counts = gated.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs")
     )
@@ -10918,16 +10920,18 @@ def q_ivfadc_rerank_depth_sweep(
         encoded, cents, books, qset, "vec_id", "embedding",
         topk=40, nprobe=3, round_to=6, cell_round=6,
     )
-    scored = S.exact_score_pairs(
-        emb,
-        qset,
-        short.select(
-            "query_id", F.col("rank").alias("adc_rank"), "neighbor_id"
-        ),
-        "vec_id",
-        "embedding",
-        round_to=6,
-    ).persist()  # four sweep points re-read the |Q|·40 scored pairs
+    scored = _seam(  # four sweep points re-read the |Q|·40 scored
+        S.exact_score_pairs(  # pairs; the seam also truncates the
+            emb,  # index-build lineage out of the 4-way union plan
+            qset,
+            short.select(
+                "query_id", F.col("rank").alias("adc_rank"), "neighbor_id"
+            ),
+            "vec_id",
+            "embedding",
+            round_to=6,
+        )
+    )
 
     vec = F.col("embedding").cast("array<double>")
     qrows = qset.select(
@@ -10971,8 +10975,8 @@ def q_ivfadc_rerank_depth_sweep(
         )
         .filter(F.col("__r") <= 5)
         .select(F.col("q.qid").alias("query_id"), "neighbor_id")
-        .persist()
     )
+    exact = _seam(exact)  # |Q|*5 rows; truncates the brute-force plan
 
     outs = []
     for kp in (5, 10, 20, 40):

@@ -604,10 +604,12 @@ def test_crawl_frontier_v2_plan_shape(spark, sf_dir):
 
 
 def test_pipeline_curation_v8_plan_shape(spark, sf_dir):
-    """r13: v5 + ExactSubstr between line dedup and the gate.  The
-    persisted line-dedup boundary keeps the codec/URL front half at
-    ONE execution even though substring_dedup reads its input three
-    times (winnowing, candidate gram hashing, span subtraction);
+    """r13 (+r16 seams): v5 + ExactSubstr between line dedup and the
+    gate.  The line-dedup boundary is an eager CHECKPOINT (r16: the
+    persist kept rows cached but every one of substring_dedup's three
+    references — winnowing, candidate gram hashing, span subtraction
+    — still re-analyzed the codec/URL front's lineage), so the front
+    half executes once AND is absent from the downstream plan;
     exchanges stay bounded and nothing collapses to a single
     partition except pack's one-row-per-bucket offsets frame."""
     import re
@@ -622,7 +624,10 @@ def test_pipeline_curation_v8_plan_shape(spark, sf_dir):
     df = M.queries()["pipeline_curation_v8"](spark, sf_dir)
     plan = formatted_plan(df)
     assert plan.count("gen(doc_id") <= 2, plan.count("gen(doc_id")
-    assert "InMemoryTableScan" in plan, "line-dedup boundary not cached"
+    # the r16 seam: boundaries are checkpointed-RDD leaves, not
+    # cache scans over live lineage
+    assert "Scan ExistingRDD" in plan, "line-dedup boundary not seamed"
+    assert "InMemoryTableScan" not in plan, plan
     ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", plan))
     assert len(ex) <= 50, sorted(ex)
     _sp_benign(df, 1)
@@ -651,7 +656,9 @@ def test_pipeline_curation_v9_plan_shape(spark, sf_dir):
     # and OOMs the driver; the checkpoint is the fix, and this pin
     # keeps it)
     assert plan.count("gen(doc_id") == 0, plan.count("gen(doc_id")
-    assert "InMemoryTableScan" in plan, "gate stage boundary not cached"
+    # r16: the gate/mixture boundary is a checkpointed-RDD leaf too
+    # (the persisted form re-analyzed the gated front per reference)
+    assert "Scan ExistingRDD" in plan, "gate stage boundary not seamed"
     for m in re.finditer(r"row_number\(\)[^\n]*", plan):
         spec = m.group(0)
         if "__h" in spec:  # the mixture fill's md5-ordered window
