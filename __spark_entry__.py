@@ -7563,8 +7563,8 @@ def q_crawl_frontier_v3(
                 ).otherwise(F.lit("")),
             ).alias("robots"),
         )
-        .persist()
     )
+    hosts = _seam(hosts)  # sitemap discovery + rules + delays re-read
     # discovery -> deterministic per-sitemap XML "fetch" -> <loc>s
     disc = U.robots_sitemaps(hosts, "host", "robots")
     xml = F.when(
@@ -7633,7 +7633,7 @@ def q_crawl_frontier_v3(
             ).alias("canon_url")
         )
     )
-    frontier = (
+    frontier = _seam(  # bloom probe + robots filter re-read it
         locs.unionByName(outl)
         .distinct()
         .select(
@@ -7641,7 +7641,6 @@ def q_crawl_frontier_v3(
             U.url_host(F.col("canon_url")).alias("host"),
             U.url_path(F.col("canon_url")).alias("path"),
         )
-        .persist()
     )
     seen_pages = docs.select(page.alias("key")).distinct()
     bloom = D.bloom_build(seen_pages, "key", n_words=16, k=4)
@@ -8359,10 +8358,11 @@ def q_crawl_frontier_v2(
             U.url_host(F.col("canon_url")).alias("host"),
             U.url_path(F.col("canon_url")).alias("path"),
         )
-        # multi-consumer boundary (robots filter + host derivation):
-        # persist so the extraction subtree runs once (the v5 rule)
-        .persist()
     )
+    # multi-consumer boundary (robots filter + host derivation):
+    # eager seam so the extraction subtree runs once AND is analyzed
+    # once (the v5 rule, r16 seam form)
+    frontier = _seam(frontier)
     hosts = frontier.select("host").distinct().select(
         "host",
         F.concat(
@@ -8375,7 +8375,7 @@ def q_crawl_frontier_v2(
         ).alias("robots"),
     )
     # hosts feeds both the rule parse and the delay parse
-    hosts = hosts.persist()
+    hosts = _seam(hosts)
     rules = U.robots_rules(hosts, "host", "robots")
     allowed = U.robots_allowed(frontier, rules, "host", "path").filter(
         F.col("allowed") == 1
