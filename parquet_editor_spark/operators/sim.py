@@ -561,6 +561,97 @@ def quantize_int8(
     )
 
 
+def _pq_train_fused(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    sub: int,
+    k: int,
+    iters: int,
+    round_to: int,
+) -> list:
+    """Train :func:`pq_encode`'s ``m`` independent per-subspace
+    :func:`kmeans_lloyd` codebooks in ONE corpus pass per iteration
+    (r16 optimization, guide §1.2 step 1 — fewer passes): the m
+    subspace trajectories never read each other, so iteration ``it``
+    of all m trainings is computed by a single aggregation — per
+    subspace the same rounded-distance argmin assignment expression
+    over that subspace's slice, then one posexplode of the full
+    vector grouped by (subspace, that subspace's cluster, position
+    within the subspace).  Each group receives exactly the value
+    stream the per-subspace ``groupBy(cluster, pos).avg`` received,
+    so every centroid — and hence every code and recon_err
+    downstream — is unchanged (pinned by
+    ``test_pq_train_fused_matches_per_subspace_kmeans``).  Init and
+    empty-cluster semantics are :func:`kmeans_lloyd`'s verbatim:
+    init = the k lowest-id vectors (one driver-sorted collect for
+    all m subspaces instead of m), empty clusters keep their
+    previous centroid.
+
+    Jobs per training: 1 init collect + ``iters`` aggregates — vs
+    ``m·(1 + iters)`` in the per-subspace loop; corpus aggregation
+    passes per iteration: 1 instead of m.  At 100 TB the saved
+    passes are full corpus scans; at bench SF the saved per-action
+    driver planning dominates.  Returns ``books[s] = k×sub centroid
+    lists``."""
+    vec = F.col(vec_col).cast("array<double>")
+    init = (
+        df.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("i"), vec.alias("v"))
+        .collect()
+    )
+    init.sort(key=lambda r: r["i"])
+    if len(init) < k:
+        raise ValueError(f"need {k} init rows with {id_col} < {k}")
+    full = [[float(x) for x in r["v"]] for r in init]
+    books = [
+        [row[s * sub : (s + 1) * sub] for row in full] for s in range(m)
+    ]
+    cast = _cast_arr_sql(vec_col)
+    sdiv = F.expr(f"CAST(pos DIV {int(sub)} AS INT)")
+    for _it in range(iters):
+        assigned = df.select(
+            vec.alias("__v"),
+            *[
+                F.array_min(
+                    _cell_dist_structs(
+                        f"slice({cast}, {s * sub + 1}, {sub})",
+                        books[s],
+                        round_to,
+                    )
+                )["c"].alias(f"__c{s}")
+                for s in range(m)
+            ],
+        )
+        means = (
+            assigned.select(
+                F.array(*[F.col(f"__c{s}") for s in range(m)]).alias(
+                    "__cs"
+                ),
+                F.posexplode(F.col("__v")).alias("pos", "x"),
+            )
+            .groupBy(
+                sdiv.alias("__s"),
+                F.element_at(F.col("__cs"), sdiv + 1).alias("__c"),
+                F.expr(f"CAST(pos % {int(sub)} AS INT)").alias("rel"),
+            )
+            .agg(F.round(F.avg("x"), round_to).alias("m"))
+            .collect()
+        )
+        new = [
+            {} for _ in range(m)
+        ]  # subspace -> cluster -> centroid under construction
+        for r in means:
+            s, c = int(r["__s"]), int(r["__c"])
+            new[s].setdefault(c, [0.0] * sub)[int(r["rel"])] = r["m"]
+        books = [
+            [new[s].get(ci, books[s][ci]) for ci in range(k)]
+            for s in range(m)
+        ]
+    return books
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -588,11 +679,13 @@ def pq_encode(
     id, codebook means are rounded — so codes AND the error are
     closed-form reproducible in another engine.
 
-    Scale shape: each subspace's training collects only k×(dim/m)
-    centroid doubles per iteration (bounded metadata); encoding is a
-    pure whole-stage-codegen projection — m·k fused dot products per
-    row against literal centroids, no join, no UDF, nothing but the
-    corpus scan moves."""
+    Scale shape: training collects only m·k×(dim/m) centroid doubles
+    per iteration (bounded metadata), and all m subspace trainings
+    share ONE corpus aggregation per iteration
+    (:func:`_pq_train_fused`, r16 — the per-subspace loop paid m
+    passes); encoding is a pure whole-stage-codegen projection —
+    m·k fused dot products per row against literal centroids, no
+    join, no UDF, nothing but the corpus scan moves."""
     vec = F.col(vec_col).cast("array<double>")
     first = df.select(vec.alias("v")).first()
     if first is None:
@@ -604,20 +697,13 @@ def pq_encode(
     out = df.select(
         F.col(id_col), *[F.col(c) for c in keep_cols], vec.alias("__v")
     )
-    books = []
+    books = _pq_train_fused(
+        df, id_col, vec_col, m=m, sub=sub, k=k, iters=iters,
+        round_to=round_to,
+    )
     errs = []
     for s in range(m):
-        subdf = df.select(
-            F.col(id_col),
-            F.slice(vec, s * sub + 1, sub).alias("embedding"),
-        )
-        rows = kmeans_lloyd(
-            subdf, id_col, "embedding", k=k, iters=iters,
-            round_to=round_to,
-        ).collect()
-        by = {int(r["cluster"]): list(r["centroid"]) for r in rows}
-        cents = [by[i] for i in range(k)]
-        books.append(cents)
+        cents = books[s]
         best = F.array_min(
             _cell_dist_structs(
                 f"slice(__v, {s * sub + 1}, {sub})",

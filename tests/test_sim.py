@@ -334,6 +334,53 @@ def test_kmeans_lloyd_validates_args(spark):
         kmeans_lloyd(df, k=5)
 
 
+def test_pq_train_fused_matches_per_subspace_kmeans(spark):
+    """The fused multi-subspace trainer (r16 — one corpus aggregation
+    per iteration for all m subspaces) must return codebooks
+    IDENTICAL to m independent kmeans_lloyd runs over the sliced
+    subvectors — the per-subspace shape pq_encode trained with
+    before.  Covers multiple iterations (trajectory, not just one
+    step) and an empty cluster (centroid retention per subspace)."""
+    import random
+
+    from parquet_editor_spark.operators.sim import (
+        _pq_train_fused,
+        kmeans_lloyd,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [round(rng.uniform(-1.0, 1.0), 6) for _ in range(8)])
+        for i in range(40)
+    ]
+    # plant an empty-cluster case in subspace 0: init vector 3's
+    # first slice sits far out, attracting nothing after iteration 1
+    rows[3] = (3, [50.0, 50.0] + rows[3][1][2:])
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    m, k, iters, rt = 4, 4, 3, 6
+    sub = 8 // m
+    books = _pq_train_fused(
+        df, "vec_id", "embedding", m=m, sub=sub, k=k, iters=iters,
+        round_to=rt,
+    )
+    for s in range(m):
+        subdf = df.select(
+            "vec_id",
+            F.slice(
+                F.col("embedding").cast("array<double>"),
+                s * sub + 1,
+                sub,
+            ).alias("embedding"),
+        )
+        got = kmeans_lloyd(
+            subdf, "vec_id", "embedding", k=k, iters=iters, round_to=rt
+        ).collect()
+        by = {int(r["cluster"]): list(r["centroid"]) for r in got}
+        assert books[s] == [by[i] for i in range(k)], f"subspace {s}"
+
+
 def test_ivf_topk_det_exhaustive_probe_equals_brute(spark):
     """With nprobe = n_cells the deterministic IVF must return the
     brute-force top-k exactly (same rounding and tie-break)."""
