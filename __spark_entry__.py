@@ -5791,14 +5791,20 @@ def q_bpe_merge_sweep_docs(
     """Tokenizer MERGE-COUNT sweep (r12 — the vocab-size evaluation a
     tokenizer owner runs before freezing: how much compression does
     each doubling of the merge budget buy?): train the batched BPE
-    trainer at n_merges ∈ {4, 8, 16, 32} (batch=4), tokenize the
-    corpus under each learned table, and report filled slots, total
-    tokens and chars-per-token (non-space normalized chars ÷ tokens —
-    the fertility⁻¹ curve).  Four bounded trains (driver holds ≤32
-    merge rows each); counts are exact integers, the ratio one
-    rounded division.  The oracle replays each sweep's ENTIRE
-    unrolled train+apply chain inside its own scalar subquery (local
-    CTE scope keeps the four trainers from colliding)."""
+    trainer ONCE at the largest budget (n_merges=32, batch=4) and
+    read each sweep point n ∈ {4, 8, 16, 32} off as the merge-rank
+    prefix — greedy BPE selection depends only on the vocabulary
+    state the PRIOR merges produced, and batch=4 divides every sweep
+    point, so iteration j picks the same merges under any budget
+    ≥ 4(j+1): the n-merge training IS the 32-merge training's first
+    n ranks (r16 optimization; pinned by
+    ``test_bpe_train_prefix_stability`` and value-for-value by the
+    unchanged oracle, which still replays each sweep point's OWN
+    unrolled chain).  Then tokenize the corpus under each prefix
+    table and report filled slots, total tokens and chars-per-token
+    (non-space normalized chars ÷ tokens — the fertility⁻¹ curve).
+    One bounded train (driver holds ≤32 merge rows); counts are
+    exact integers, the ratio one rounded division."""
     from parquet_editor_spark.operators import textprep as TP
 
     docs = (
@@ -5811,14 +5817,15 @@ def q_bpe_merge_sweep_docs(
         .cast("long")
         .alias("total_chars")
     )
+    learned_all = sorted(
+        TP.bpe_train(
+            docs.select("norm"), "norm", n_merges=32, batch=4
+        ).collect(),
+        key=lambda r: r["merge_rank"],
+    )  # ≤32 rows — bounded metadata; prefixes = the smaller trains
     rows = []
     for n in (4, 8, 16, 32):
-        learned = sorted(
-            TP.bpe_train(
-                docs.select("norm"), "norm", n_merges=n, batch=4
-            ).collect(),
-            key=lambda r: r["merge_rank"],
-        )  # ≤n rows — bounded metadata
+        learned = [r for r in learned_all if r["merge_rank"] < n]
         merges = [(r["lhs"], r["rhs"]) for r in learned]
         vocab = {chr(97 + i): i for i in range(26)}
         vocab.update(
@@ -6576,13 +6583,19 @@ def q_byte_bpe_merge_sweep_docs(
     #4: the char tier has ``bpe_merge_sweep_docs`` to size its vocab
     before freezing, but the byte trainer had no instrument, so a
     byte-vocab freeze decision had nothing to read): train
-    ``byte_bpe_train`` at n_merges ∈ {4, 8, 16, 32} (batch=4),
-    tokenize the corpus under each learned table, and report filled
-    slots, total tokens and BYTES-per-token (the byte tier's
-    fertility⁻¹ — NFC UTF-8 bytes ÷ emitted ids; the char sweep's
-    chars-per-token, re-based to the alphabet real tokenizers use).
-    Four bounded trains (driver holds ≤32 merge rows each); counts
-    are exact integers, the ratio one rounded division.  The oracle
+    ``byte_bpe_train`` ONCE at the largest budget (n_merges=32,
+    batch=4) and read each sweep point n ∈ {4, 8, 16, 32} off as
+    the merge-rank prefix — the same greedy-prefix stability as the
+    char sweep (iteration j's picks depend only on prior merges and
+    batch=4 divides every point; r16 optimization, pinned by
+    ``test_byte_bpe_train_prefix_stability`` and value-for-value by
+    the unchanged per-point oracle) — then tokenize the corpus under
+    each prefix table and report filled slots, total tokens and
+    BYTES-per-token (the byte tier's fertility⁻¹ — NFC UTF-8 bytes ÷
+    emitted ids; the char sweep's chars-per-token, re-based to the
+    alphabet real tokenizers use).  One bounded train (driver holds
+    ≤32 merge rows); counts are exact integers, the ratio one
+    rounded division.  The oracle
     replays each sweep's ENTIRE unrolled byte train+apply chain
     inside its own scalar subquery (local CTE scope keeps the four
     trainers from colliding), with the byte denominator one plain
@@ -6590,10 +6603,11 @@ def q_byte_bpe_merge_sweep_docs(
     partitions the NFC string losslessly, so piece bytes and text
     bytes agree by construction.
 
-    Scale shape: per sweep point, the trainer's one Arrow vocab pass
-    + bounded per-iteration collects, then the zero-shuffle Arrow
-    tokenize and a single global agg — four audited plans in
-    sequence, nothing new."""
+    Scale shape: ONE Arrow vocab pass + the 32-budget trainer's
+    bounded per-iteration collects (the 4/8/16 trains were its
+    prefixes — three corpus vocab passes saved), then per sweep
+    point the zero-shuffle Arrow tokenize and a single global
+    agg."""
     from parquet_editor_spark.operators import textprep as TP
 
     docs = (
@@ -6601,14 +6615,15 @@ def q_byte_bpe_merge_sweep_docs(
         .select("doc_id", "text")
         .persist()
     )
+    learned_all = sorted(
+        TP.byte_bpe_train(
+            docs.select("text"), "text", n_merges=32, batch=4
+        ).collect(),
+        key=lambda r: r["merge_rank"],
+    )  # ≤32 rows — bounded metadata; prefixes = the smaller trains
     rows = []
     for n in (4, 8, 16, 32):
-        learned = sorted(
-            TP.byte_bpe_train(
-                docs.select("text"), "text", n_merges=n, batch=4
-            ).collect(),
-            key=lambda r: r["merge_rank"],
-        )  # ≤n rows — bounded metadata
+        learned = [r for r in learned_all if r["merge_rank"] < n]
         merges = [(r["lhs"], r["rhs"]) for r in learned]
         agg = TP.byte_bpe_tokenize(docs, "doc_id", "text", merges).agg(
             F.sum(F.size("input_ids")).cast("long").alias(

@@ -570,6 +570,7 @@ def _pq_train_fused(
     k: int,
     iters: int,
     round_to: int,
+    init: Optional[list] = None,
 ) -> list:
     """Train :func:`pq_encode`'s ``m`` independent per-subspace
     :func:`kmeans_lloyd` codebooks in ONE corpus pass per iteration
@@ -594,14 +595,17 @@ def _pq_train_fused(
     passes per iteration: 1 instead of m.  At 100 TB the saved
     passes are full corpus scans; at bench SF the saved per-action
     driver planning dominates.  Returns ``books[s] = k×sub centroid
-    lists``."""
+    lists``.  ``init`` (r16) lets the caller pass the already
+    id-sorted ``(i, v)`` init rows so dim probing and training share
+    one collect."""
     vec = F.col(vec_col).cast("array<double>")
-    init = (
-        df.filter(F.col(id_col) < k)
-        .select(F.col(id_col).alias("i"), vec.alias("v"))
-        .collect()
-    )
-    init.sort(key=lambda r: r["i"])
+    if init is None:
+        init = (
+            df.filter(F.col(id_col) < k)
+            .select(F.col(id_col).alias("i"), vec.alias("v"))
+            .collect()
+        )
+        init.sort(key=lambda r: r["i"])
     if len(init) < k:
         raise ValueError(f"need {k} init rows with {id_col} < {k}")
     full = [[float(x) for x in r["v"]] for r in init]
@@ -687,10 +691,20 @@ def pq_encode(
     m·k fused dot products per row against literal centroids, no
     join, no UDF, nothing but the corpus scan moves."""
     vec = F.col(vec_col).cast("array<double>")
-    first = df.select(vec.alias("v")).first()
-    if first is None:
-        raise ValueError("pq_encode needs a non-empty corpus")
-    dim = len(first["v"])
+    init = (
+        df.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("i"), vec.alias("v"))
+        .collect()
+    )
+    init.sort(key=lambda r: r["i"])
+    if init:
+        dim = len(init[0]["v"])  # dim rides the init collect (r16 —
+        # the dedicated first() job only runs on the error paths)
+    else:
+        first = df.select(vec.alias("v")).first()
+        if first is None:
+            raise ValueError("pq_encode needs a non-empty corpus")
+        dim = len(first["v"])
     if m < 1 or dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -699,7 +713,7 @@ def pq_encode(
     )
     books = _pq_train_fused(
         df, id_col, vec_col, m=m, sub=sub, k=k, iters=iters,
-        round_to=round_to,
+        round_to=round_to, init=init,
     )
     errs = []
     for s in range(m):

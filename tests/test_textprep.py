@@ -781,6 +781,58 @@ def test_bpe_train_oracle_sql_matches_scalar(spark):
     assert duck == want
 
 
+def test_bpe_train_prefix_stability(spark):
+    """Greedy BPE selection depends only on the vocabulary state the
+    PRIOR merges produced, so (with a batch that divides both
+    budgets) a smaller training IS the larger training's merge-rank
+    prefix — the law the merge-count sweep entries rely on to train
+    once at the largest budget and read the smaller points off
+    (r16 optimization)."""
+    texts = [
+        "the cat sat on the mat",
+        "the theory the thing",
+        "banana bandana and another band",
+        "singing ringing winging",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "norm string")
+
+    def train(n):
+        return [
+            (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+            for r in TP.bpe_train(df, "norm", n_merges=n, batch=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+
+    full = train(16)
+    for n in (4, 8):
+        assert train(n) == [r for r in full if r[0] < n], f"n={n}"
+
+
+def test_byte_bpe_train_prefix_stability(spark):
+    """Byte-tier twin of the char prefix-stability law — the byte
+    merge-count sweep trains once at 32 and slices prefixes."""
+    texts = [
+        "caffè crème naïve ☕",
+        "the cat sat on the mat",
+        "banana bandana and another band",
+        "данные данные",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    def train(n):
+        return [
+            (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+            for r in TP.byte_bpe_train(df, "text", n_merges=n, batch=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+
+    full = train(16)
+    for n in (4, 8):
+        assert train(n) == [r for r in full if r[0] < n], f"n={n}"
+
+
 def test_bpe_train_validates_and_ties_deterministic(spark):
     df = spark.createDataFrame([("ab ab ba",)], "norm string")
     with pytest.raises(ValueError, match="n_merges"):
