@@ -598,6 +598,10 @@ def _pq_train_fused(
     lists``.  ``init`` (r16) lets the caller pass the already
     id-sorted ``(i, v)`` init rows so dim probing and training share
     one collect."""
+    if k < 1 or iters < 1:
+        # preserve kmeans_lloyd's error contract (r17 ADVICE): iters=0
+        # would silently return the init vectors, k=0 fails obscurely
+        raise ValueError("need k >= 1 and iters >= 1")
     vec = F.col(vec_col).cast("array<double>")
     if init is None:
         init = (
@@ -635,6 +639,11 @@ def _pq_train_fused(
                 ),
                 F.posexplode(F.col("__v")).alias("pos", "x"),
             )
+            # a vector longer than m·sub must have its tail silently
+            # ignored (the per-subspace slicing this fusion replaced;
+            # r17 ADVICE) — without the filter, element_at(__cs, m+1)
+            # throws under ANSI
+            .filter(F.col("pos") < m * sub)
             .groupBy(
                 sdiv.alias("__s"),
                 F.element_at(F.col("__cs"), sdiv + 1).alias("__c"),

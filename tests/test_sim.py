@@ -381,6 +381,44 @@ def test_pq_train_fused_matches_per_subspace_kmeans(spark):
         assert books[s] == [by[i] for i in range(k)], f"subspace {s}"
 
 
+def test_pq_train_fused_validation_and_long_vector_tail(spark):
+    """r17 ADVICE: the fused trainer must keep kmeans_lloyd's error
+    contract (k/iters >= 1), and a vector longer than m*sub must have
+    its tail dimensions silently ignored (the per-subspace slicing
+    behavior) rather than raising IndexError."""
+    from parquet_editor_spark.operators.sim import _pq_train_fused
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), 0.5, -0.5]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="k >= 1"):
+        _pq_train_fused(df, "vec_id", "embedding", m=2, sub=2, k=0, iters=1, round_to=6)
+    with pytest.raises(ValueError, match="iters >= 1"):
+        _pq_train_fused(df, "vec_id", "embedding", m=2, sub=2, k=2, iters=0, round_to=6)
+    # 6-dim vectors trained as m=2, sub=2 (m*sub=4): tail dims 5-6 ignored
+    long_df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), 0.5, -0.5, 99.0, 99.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    short_df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), 0.5, -0.5]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    init = [
+        {"i": i, "v": [float(i), float(i + 1), 0.5, -0.5]} for i in range(2)
+    ]
+    got = _pq_train_fused(
+        long_df, "vec_id", "embedding", m=2, sub=2, k=2, iters=2,
+        round_to=6, init=init,
+    )
+    want = _pq_train_fused(
+        short_df, "vec_id", "embedding", m=2, sub=2, k=2, iters=2,
+        round_to=6, init=init,
+    )
+    assert got == want
+
+
 def test_ivf_topk_det_exhaustive_probe_equals_brute(spark):
     """With nprobe = n_cells the deterministic IVF must return the
     brute-force top-k exactly (same rounding and tie-break)."""
