@@ -37,8 +37,13 @@ def _seam(df: DataFrame) -> DataFrame:
     the rules/delays/ages fan-out — replans over a table leaf instead
     of re-walking the full extraction subplan.  Values are untouched
     (same rows, same order source); this is the curation-DAG
-    checkpoint convention applied at the frontier stage seams."""
-    return df.localCheckpoint(eager=True)
+    checkpoint convention applied at the frontier stage seams.
+    Local default: executor-local checkpoint; set
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` for reliable production
+    checkpoints (see ``parquet_editor_spark.boundary``)."""
+    from parquet_editor_spark.boundary import stage_boundary
+
+    return stage_boundary(df)
 
 
 def _revenue_exact() -> "F.Column":
@@ -4807,13 +4812,10 @@ def _v9_fim_stream(spark: SparkSession, sf_dir: str):
     # subtree) — the analyzed plan alone OOMs the driver.  At 100 TB
     # these are exactly the materialized tables a pipeline writes
     # between stages; lineage truncation is the point, not a cache.
-    kept = _v5_curation_kept(spark, sf_dir, plant_run=True).localCheckpoint(
-        eager=True
-    )
-    ssd = (
+    kept = _seam(_v5_curation_kept(spark, sf_dir, plant_run=True))
+    ssd = _seam(
         D.substring_dedup(kept, "id", "kept_text", min_len=40, k=8, w=4)
         .select("id", "kept_text")
-        .localCheckpoint(eager=True)
     )
     rid = F.when(
         F.col("id") % 10 == 0, F.col("id")
@@ -4929,8 +4931,8 @@ def _v10_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `fimmed` once more — over live lineage each reference re-expands
     # the whole curated front (~190 exchanges in the analyzed plan);
     # materialized, the downstream plan starts at the boundary
-    sel = sel.localCheckpoint(eager=True)
-    fimmed = fimmed.localCheckpoint(eager=True)
+    sel = _seam(sel)
+    fimmed = _seam(fimmed)
     srcd = sel.select(
         F.concat(
             F.lit("src"), (F.col("doc_id") % 4).cast("string")
@@ -5047,7 +5049,7 @@ def _v11_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the v10 handoff rule: the trainer's vocab pass, the tokenize
     # pass and the pack all re-read the selected corpus — over live
     # lineage each reference re-expands the curated front
-    sel = sel.localCheckpoint(eager=True)
+    sel = _seam(sel)
     learned = sorted(
         TP.byte_bpe_train(
             sel.select("kept_text"), "kept_text", n_merges=8

@@ -420,8 +420,12 @@ def _feat_boundary(df: DataFrame) -> DataFrame:
     instead of ``persist`` so each gradient iteration's collect
     analyzes a truncated RDD leaf instead of re-walking the
     higher-order featurization projection.  Same rows; values
-    unchanged."""
-    return df.localCheckpoint(eager=True)
+    unchanged.  Routed through
+    ``parquet_editor_spark.boundary.stage_boundary`` (r17): reliable
+    production checkpoints via SPARK_GRAFT_CHECKPOINT_DIR."""
+    from parquet_editor_spark.boundary import stage_boundary
+
+    return stage_boundary(df)
 
 
 def train_hash_classifier(

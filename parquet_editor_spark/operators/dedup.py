@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from parquet_editor_spark.boundary import stage_boundary
 from parquet_editor_spark.functions import text as X
 from parquet_editor_spark.litexpr import lit_longs
 
@@ -68,6 +69,47 @@ def winnow_gram_hash_sql(col: str, pos: str, k: int) -> str:
         c = f"ascii(substr({col}, ({pos})::INT + {j}, 1))"
         h = f"(({h}) * {WINNOW_BASE} + {c}) % {WINNOW_MOD}"
     return h
+
+
+def _gram_hash_array(text_col, k: int):
+    """Column expression: the array of Horner polynomial hashes of
+    every k-char gram of ``text_col`` (1-based gram starts), the ONE
+    spec :func:`winnow_fingerprints` and :func:`substring_dedup`
+    both consume — empty array for docs shorter than k."""
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    def poly(p):  # Horner over the k codepoints starting at p
+        h = F.lit(0).cast("long")
+        for j in range(k):
+            h = (h * WINNOW_BASE + F.ascii(
+                F.substr(c, p + j, F.lit(1))
+            )) % WINNOW_MOD
+        return h
+
+    n_grams = F.length(c) - (k - 1)
+    # NB sequence(1, 0) in Spark infers a NEGATIVE step ([1, 0]) —
+    # short docs must take the explicit empty branch
+    return F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams), poly),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def _winnow_minima(harr_col: str, w: int):
+    """Column expression: the deduplicated w-window minima of a gram
+    hash array (the winnowing fingerprint set) — empty array when
+    there are fewer than w hashes."""
+    n_wins = F.size(harr_col) - (w - 1)
+    return F.when(
+        n_wins >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_wins),
+                lambda j: F.array_min(F.slice(F.col(harr_col), j, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
 
 
 def winnow_fingerprints(
@@ -122,34 +164,12 @@ def winnow_fingerprints(
     staged = df.select(
         F.col(id_col).alias("id"), canon.alias("__c")
     )
-    n_grams = F.length("__c") - (k - 1)
-
-    def poly(p):  # Horner over the k codepoints starting at p
-        h = F.lit(0).cast("long")
-        for j in range(k):
-            h = (h * WINNOW_BASE + F.ascii(
-                F.substr(F.col("__c"), p + j, F.lit(1))
-            )) % WINNOW_MOD
-        return h
-
-    # NB sequence(1, 0) in Spark infers a NEGATIVE step ([1, 0]) —
-    # short docs must take the explicit empty branch
-    gram_hashes = F.when(
-        n_grams >= 1,
-        F.transform(F.sequence(F.lit(1), n_grams), poly),
-    ).otherwise(F.array().cast("array<long>"))
-    hashed = staged.select("id", gram_hashes.alias("__h"))
-    n_wins = F.size("__h") - (w - 1)
-    fps = F.when(
-        n_wins >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_wins),
-                lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    return hashed.select("id", F.explode(fps).alias("fp"))
+    hashed = staged.select(
+        "id", _gram_hash_array("__c", k).alias("__h")
+    )
+    return hashed.select(
+        "id", F.explode(_winnow_minima("__h", w)).alias("fp")
+    )
 
 
 def exact_dedup(df: DataFrame, subset: Optional[Sequence[str]] = None) -> DataFrame:
@@ -392,14 +412,25 @@ def substring_dedup(
     Returns one row per input doc: ``id``, ``n_spans`` (after
     merging), ``cut_chars``, ``kept_text``.
 
-    Scale shape: gram hashing/explode is zero-shuffle codegen; the
-    group-min candidate phase is ONE map-side-combinable min agg on
-    the fingerprint plus an fp-keyed join (O(m) pairs per group, no
-    self-join blowup); the phase-2 join ships only candidate docs'
-    (pos, hash) pairs keyed by the 55-bit hash (inverted-index
-    pattern — matches exist only where content is actually shared);
-    one window over (a, b, offset) islands; one groupBy(doc) span
-    collect."""
+    Scale shape: the O(len·k) gram hashing is ONE zero-shuffle
+    codegen pass, eagerly materialized (r17 — fingerprints,
+    positioned grams and the final subtraction all read the
+    (id, text, hash-array) boundary instead of re-deriving the
+    hashing through live lineage; at 100 TB it is the stage table
+    between the fingerprint and match phases, same
+    executor-local-checkpoint convention as the v8/v9 pipeline
+    boundaries); the group-min candidate phase is ONE
+    map-side-combinable min agg on the fingerprint plus an fp-keyed
+    join (O(m) pairs per group, no self-join blowup), its pair table
+    checkpointed metadata; the phase-2 join ships only candidate
+    docs' (pos, hash) pairs keyed by the 55-bit hash — each side
+    pruned to its own id set (under group_min the a-side is one doc
+    per fingerprint group); one window over (a, b, offset) islands;
+    one groupBy(doc) span collect.
+
+    NOTE: since r17 construction is EAGER (the hash pass and the
+    pair table execute at call time, like the checkpointed stage
+    boundaries of the curation DAGs that host this operator)."""
     if min_len < k + w - 1:
         raise ValueError(
             f"min_len must be >= k+w-1 (= {k + w - 1}) so winnowing "
@@ -413,57 +444,50 @@ def substring_dedup(
     staged = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__t")
     )
+    # --- the ONE gram-hash pass (r17) ----------------------------------
+    # Fingerprinting, positioned candidate grams and the final span
+    # subtraction all consume this materialized boundary.  Before r17
+    # each consumer re-derived the O(len·k) Horner hashing through
+    # live lineage — and the pair table's own references multiplied
+    # it further (fps is read twice inside the candidate agg+join,
+    # cand three more times downstream), so candidate docs were
+    # re-hashed ~6× per call.  One eager localCheckpoint of
+    # (id, text, gram-hash array) executes the hashing exactly once;
+    # at 100 TB this is the stage table a pipeline writes between
+    # the fingerprint and match phases (the v8/v9 boundary rule).
+    hashed = stage_boundary(
+        staged.select(
+            "id", "__t", _gram_hash_array("__t", k).alias("__h")
+        )
+    )
     # --- phase 1: banded candidate pairs (raw-text fingerprints) ------
-    fps = winnow_fingerprints(
-        staged, "id", "__t", k=k, w=w, normalize=False
+    fps = hashed.select(
+        "id", F.explode(_winnow_minima("__h", w)).alias("fp")
     )
-    cand = substring_candidate_pairs(fps, candidates)
+    # candidate pairs are decision metadata (O(m) per fingerprint
+    # group) — checkpointing the small table stops its three
+    # downstream references (a-ids, b-ids, the match join) from
+    # re-running the fingerprint aggregation per reference
+    cand = stage_boundary(substring_candidate_pairs(fps, candidates))
     # --- phase 2: positioned gram hashes on candidate docs ------------
-    cand_ids = (
-        cand.select(F.col("a").alias("id"))
-        .unionByName(cand.select(F.col("b").alias("id")))
-        .distinct()
-    )
-
-    def poly(c, p):  # Horner over the k codepoints starting at p
-        h = F.lit(0).cast("long")
-        for j in range(k):
-            h = (
-                h * WINNOW_BASE
-                + F.ascii(F.substr(c, p + j, F.lit(1)))
-            ) % WINNOW_MOD
-        return h
-
-    n_grams = F.length("__t") - (k - 1)
-    grams = (
-        staged.join(cand_ids, "id")  # only candidate docs hash fully
-        .select(
-            "id",
-            F.when(
-                n_grams >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), n_grams),
-                    lambda p: F.struct(
-                        p.cast("int").alias("pos"),
-                        poly(F.col("__t"), p).alias("h"),
-                    ),
-                ),
+    # per-side id pruning: under group_min the a-side is one doc per
+    # fingerprint group, so its gram explode touches a small fraction
+    # of the corpus
+    def side_grams(side: str):
+        ids = cand.select(F.col(side).alias("id")).distinct()
+        return (
+            hashed.join(ids, "id")
+            .select("id", F.posexplode("__h").alias("__p0", "h"))
+            .select(
+                "id",
+                (F.col("__p0") + 1).cast("int").alias("pos"),
+                "h",
             )
-            .otherwise(
-                F.array().cast("array<struct<pos:int,h:long>>")
-            )
-            .alias("__g"),
         )
-        .select("id", F.explode("__g").alias("g"))
-        .select(
-            "id",
-            F.col("g.pos").alias("pos"),
-            F.col("g.h").alias("h"),
-        )
-    )
+
     matches = (
         cand.join(
-            grams.select(
+            side_grams("a").select(
                 F.col("id").alias("a"),
                 F.col("pos").alias("pa"),
                 "h",
@@ -471,7 +495,7 @@ def substring_dedup(
             "a",
         )
         .join(
-            grams.select(
+            side_grams("b").select(
                 F.col("id").alias("b"),
                 F.col("pos").alias("pb"),
                 "h",
@@ -522,7 +546,7 @@ def substring_dedup(
             ),
         ).otherwise(F.concat(acc, F.array(sp))),
     )
-    joined = staged.join(spans, "id", "left").select(
+    joined = hashed.join(spans, "id", "left").select(
         "id",
         "__t",
         F.coalesce(merged, empty_spans).alias("__m"),
@@ -946,7 +970,8 @@ def connected_components(
                 ),
                 "cluster_id",
             )
-        ).localCheckpoint(eager=True)
+        )
+        updated = stage_boundary(updated)
         changed = updated.filter(F.col("new_cluster") != F.col("cluster_id")).count()
         labels = updated.select("id", F.col("new_cluster").alias("cluster_id"))
         if changed == 0:
@@ -1313,7 +1338,7 @@ def incremental_minhash_dedup(
     # materialize the (small) rejected-id set eagerly, then release the
     # per-batch caches — a long-running ingest loop would otherwise
     # leak one banded+shingle cache per admitted batch
-    dropped = dropped.localCheckpoint(eager=True)
+    dropped = stage_boundary(dropped)
     banded.unpersist()
     sets_all.unpersist()
     return new_df.join(dropped, id_col, "left_anti")

@@ -32,6 +32,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from parquet_editor_spark.litexpr import lit_longs
+
 RID = "__rid"
 
 
@@ -133,9 +135,12 @@ def strip_rid(df: DataFrame) -> DataFrame:
 def compact(df: DataFrame) -> DataFrame:
     """Edit-overlay compaction (SURVEY.md §4): localCheckpoint
     materializes the chained-``when`` plan so analysis time stays
-    bounded after long edit sessions. On a cluster this would be a
-    checkpoint to reliable storage or a parquet round-trip."""
-    return df.localCheckpoint(eager=True)
+    bounded after long edit sessions. On a cluster this is a
+    checkpoint to reliable storage: set SPARK_GRAFT_CHECKPOINT_DIR
+    (``parquet_editor_spark.boundary``)."""
+    from parquet_editor_spark.boundary import stage_boundary
+
+    return stage_boundary(df)
 
 
 # ---------------------------------------------------------------------------
@@ -233,9 +238,12 @@ def get_cell(df: DataFrame, rid: int, column: str):
 def _shift_expr(rids: Sequence[int]) -> Column:
     """How many of ``rids`` sit at-or-below each row — computed with a
     broadcast array literal + higher-order filter, so deleting k rows
-    costs one narrow projection (k is edit-sized, not data-sized)."""
-    arr = F.array(*[F.lit(int(r)) for r in rids])
-    return F.size(F.filter(arr, lambda x: x < F.col(RID)))
+    costs one narrow projection (k is edit-sized, not data-sized).
+    The literal renders as ONE SQL expression (r17 — litexpr: one
+    Py4J round-trip per edit batch instead of one per rid)."""
+    return F.size(
+        F.filter(lit_longs(int(r) for r in rids), lambda x: x < F.col(RID))
+    )
 
 
 def delete_rows(df: DataFrame, rids: Iterable[int]) -> DataFrame:
@@ -258,7 +266,10 @@ def cut_rows(df: DataFrame, rids: Iterable[int]) -> tuple[DataFrame, DataFrame]:
         df.filter(F.col(RID).isin(rids))
         .withColumn(
             RID,
-            F.size(F.filter(F.array(*[F.lit(r) for r in rids]), lambda x: x < F.col(RID))),
+            # litexpr (r17): one expression parse per cut
+            F.size(
+                F.filter(lit_longs(rids), lambda x: x < F.col(RID))
+            ),
         )
     )
     return clip, delete_rows(df, rids)

@@ -91,7 +91,9 @@ def pagerank(
             # 2^iters subplans — the checkpoint caps it at
             # 2^checkpoint_every regardless of iters.  eager=True
             # materializes |V| rows on executors — tiny next to |E|
-            ranks = ranks.localCheckpoint(eager=True)
+            from parquet_editor_spark.boundary import stage_boundary
+
+            ranks = stage_boundary(ranks)
         dangling = (
             ranks.join(has_out, "node", "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))

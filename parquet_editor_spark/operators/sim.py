@@ -902,8 +902,12 @@ def _train_boundary(df: DataFrame) -> DataFrame:
     re-walks the coarse-assignment projection, whose n_cells×dim
     literal struct matrix dominates per-action analysis cost once
     the rows themselves are cached.  Same rows, same order source;
-    values unchanged."""
-    return df.localCheckpoint(eager=True)
+    values unchanged.  Routed through
+    ``parquet_editor_spark.boundary.stage_boundary`` (r17): reliable
+    production checkpoints via SPARK_GRAFT_CHECKPOINT_DIR."""
+    from parquet_editor_spark.boundary import stage_boundary
+
+    return stage_boundary(df)
 
 
 def _ivfadc_fit(

@@ -15,6 +15,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from parquet_editor_spark.boundary import stage_boundary
 from parquet_editor_spark.functions.text import (
     token_count,
     tokens,
@@ -1215,7 +1216,7 @@ def bpe_train(
                 # batch-count-deep) projection chain with a leaf, so
                 # driver-side analysis stays O(1) per iteration at
                 # the 32k-vocab ~125-batch scale
-                cur = cur.localCheckpoint(eager=True)
+                cur = stage_boundary(cur)
                 for p in pinned:
                     p.unpersist()
                 pinned = []
@@ -1500,7 +1501,7 @@ def byte_bpe_train(
             pinned.append(cur)
             since_ckpt += 1
             if since_ckpt >= checkpoint_every:
-                cur = cur.localCheckpoint(eager=True)
+                cur = stage_boundary(cur)
                 for p in pinned:
                     p.unpersist()
                 pinned = []

@@ -39,6 +39,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     fn = entry_mod.queries()[name]
@@ -68,7 +70,7 @@ def main() -> None:
             glob.glob(f"{p}/events_*") if os.path.isdir(p) else [p]
         )
     for path in paths:
-        with open(path) as fh:
+        with open(path, errors="replace") as fh:
             for line in fh:
                 try:
                     ev = json.loads(line)
