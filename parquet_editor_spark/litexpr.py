@@ -78,6 +78,26 @@ def lit_longs(vals) -> Column:
     return F.expr(sql_long_array(vals))
 
 
+def values_df(spark, rows_sql, select_sql: str):
+    """JVM-local literal relation:
+    ``SELECT <select_sql> FROM (VALUES <rows>)`` — for
+    bounded-metadata tables (trained centroids/codebooks, probe
+    tables) that get WRITTEN or joined as a unit.
+
+    Why not ``spark.createDataFrame(rows)``: that path parallelizes
+    the rows over ``defaultParallelism`` Python-RDD slices, and any
+    single-task action over it — a ``coalesce(1)`` parquet write of
+    an 8-row metadata table — then pays one sequential Python-worker
+    interaction per slice (~6 s measured at 32 cores for 8 rows).  A
+    VALUES relation is a single-partition JVM LocalRelation: the same
+    write is ~0.4 s, and the literal doubles are bit-exact by the
+    same repr/parse contract as :func:`lit_doubles` (pinned by
+    tests/test_litexpr.py)."""
+    return spark.sql(
+        f"SELECT {select_sql} FROM (VALUES {','.join(rows_sql)})"
+    )
+
+
 def lit_double_matrix(rows) -> Column:
     """``array<array<double>>`` literal column — one ``F.expr`` call."""
     rows = [list(r) for r in rows]

@@ -88,7 +88,17 @@ def _rid_from_partition_offsets(df: DataFrame) -> DataFrame:
         acc += r["__n"]
     if not offsets:
         offsets = [(0, 0)]
-    off_df = spark.createDataFrame(offsets, "___pid int, __off long")
+    # JVM VALUES relation (r17 — litexpr.values_df): the broadcast of
+    # a Python-parallelized local relation runs one job over
+    # defaultParallelism python slices per with_rid call; a JVM
+    # LocalRelation broadcasts driver-side
+    from parquet_editor_spark.litexpr import values_df
+
+    off_df = values_df(
+        spark,
+        [f"({int(p)},{int(o)}L)" for p, o in offsets],
+        "col1 AS ___pid, col2 AS __off",
+    )
     out = (
         annotated.join(F.broadcast(off_df), annotated["__pid"] == off_df["___pid"], "left")
         .withColumn(RID, F.coalesce(F.col("__off"), F.lit(0)) + F.col("__lrn"))

@@ -37,6 +37,7 @@ from ..litexpr import (
     sql_double,
     sql_double_array,
     sql_int,
+    values_df,
 )
 
 
@@ -1086,13 +1087,41 @@ def _ivfadc_search(
                 for s in range(m)
             ]
             probe_rows.append((int(r["qid"]), int(ci), *tabs))
-    probes = queries.sparkSession.createDataFrame(
-        probe_rows,
-        "qid long, __cell int, "
-        + ", ".join(f"t{s} array<double>" for s in range(m)),
+    probe_schema = "qid long, __cell int, " + ", ".join(
+        f"t{s} array<double>" for s in range(m)
     )
+    if probe_rows:
+        # JVM VALUES relation (r17 — see ivfadc_build's metadata-write
+        # note); qid L-suffixed so the output query_id stays BIGINT
+        probes = values_df(
+            queries.sparkSession,
+            [
+                "("
+                + ",".join(
+                    [f"{int(r[0])}L", sql_int(r[1])]
+                    + [sql_double_array(t) for t in r[2:]]
+                )
+                + ")"
+                for r in probe_rows
+            ],
+            "col1 AS qid, col2 AS __cell, "
+            + ", ".join(f"col{s + 3} AS t{s}" for s in range(m)),
+        )
+    else:  # VALUES needs >= 1 row; the empty probe set stays local
+        probes = queries.sparkSession.createDataFrame(
+            probe_rows, probe_schema
+        )
 
     cand_src = encoded if keep is None else encoded.filter(keep)
+    # static cell pruning (r17, guide §6): the probed cell set is
+    # known driver-side, so filter the candidate scan to it BEFORE
+    # the broadcast join — against a stored cell-partitioned index
+    # this lands as a PartitionFilter and the read skips every
+    # un-probed directory (the join alone only drops their rows
+    # after the scan); values unchanged — the join on __cell already
+    # discards every un-probed cell
+    probed_cells = sorted({int(r[1]) for r in probe_rows})
+    cand_src = cand_src.filter(F.col("__cell").isin(probed_cells))
     scored = cand_src.join(F.broadcast(probes), "__cell").filter(
         F.col(id_col) != F.col("qid")
     )
@@ -1150,18 +1179,28 @@ def ivfadc_build(
         iters=iters, round_to=round_to, cell_round=cell_round,
     )
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
+    # metadata tables as JVM VALUES relations (r17): the
+    # createDataFrame + coalesce(1) spelling paid one Python-worker
+    # interaction per empty parallelize slice inside the single write
+    # task (~6 s per table at 32 cores); a LocalRelation write is one
+    # JVM task, doubles bit-exact by the litexpr contract
+    values_df(
+        spark,
         [
-            (s, ci, c)
+            f"({sql_int(i)},{sql_double_array(c)})"
+            for i, c in enumerate(cents)
+        ],
+        "col1 AS cell, col2 AS centroid",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    values_df(
+        spark,
+        [
+            f"({sql_int(s)},{sql_int(ci)},{sql_double_array(c)})"
             for s, cb in enumerate(books)
             for ci, c in enumerate(cb)
         ],
-        "subspace int, code int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        "col1 AS subspace, col2 AS code, col3 AS centroid",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
     encoded.withColumnRenamed("__cell", "cell").write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(f"{path}/codes")
@@ -1467,12 +1506,12 @@ def ivfadc_delete(
     ).partitionBy("cell").parquet(f"{path}/codes")
     emptied = [c for c in affected if c not in remaining]
     if emptied:
-        from pyspark.sql import types as T
-
-        data_schema = T.StructType(
-            [f for f in codes.schema.fields if f.name != "cell"]
-        )
-        empty = spark.createDataFrame([], data_schema)
+        # JVM-empty relation (r17): WHERE false folds the scan to an
+        # empty LocalRelation — createDataFrame([], schema) built a
+        # Python-parallelized empty RDD whose coalesce(1) write paid
+        # one Python-worker interaction per empty slice (~6 s per
+        # emptied cell at 32 cores)
+        empty = codes.drop("cell").where(F.lit(False))
         for c in emptied:
             # dynamic overwrite writes nothing for a partition with
             # zero rows — replace the directory with an explicit
@@ -1862,9 +1901,12 @@ def ivf_build(
     centroids = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    spark.createDataFrame(
-        centroids, "cell int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # JVM VALUES relation — see ivfadc_build's metadata-write note
+    values_df(
+        spark,
+        [f"({sql_int(i)},{sql_double_array(c)})" for i, c in centroids],
+        "col1 AS cell, col2 AS centroid",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
     model.transform(ml_df).select(
         "id", "v", F.col("prediction").alias("cell")
     ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/assigned")

@@ -102,3 +102,38 @@ def test_empty_arrays_match_f_array(spark):
         df.select(lit_doubles([]).alias("a")).schema["a"].dataType
         == df.select(F.array().alias("a")).schema["a"].dataType
     )
+
+
+def test_values_df_bit_exact_vs_createdataframe(spark):
+    """r17: the JVM VALUES relation must hold the same IEEE doubles
+    (and the declared column types) as the createDataFrame local
+    relation it replaces in the index metadata writes."""
+    from parquet_editor_spark.litexpr import (
+        sql_double_array,
+        values_df,
+    )
+
+    rows = [(i, list(EDGE_DOUBLES)) for i in range(3)]
+    old = spark.createDataFrame(rows, "cell int, centroid array<double>")
+    new = values_df(
+        spark,
+        [f"({sql_int(i)},{sql_double_array(c)})" for i, c in rows],
+        "col1 AS cell, col2 AS centroid",
+    )
+    # dataTypes must match; VALUES literals are (correctly) marked
+    # non-nullable where createDataFrame said nullable — the values
+    # and the parquet round-trip are what the contract pins
+    assert [f.name for f in old.schema.fields] == [
+        f.name for f in new.schema.fields
+    ]
+    assert [f.dataType.simpleString() for f in old.schema.fields] == [
+        f.dataType.simpleString() for f in new.schema.fields
+    ]
+    o = {r["cell"]: r["centroid"] for r in old.collect()}
+    n = {r["cell"]: r["centroid"] for r in new.collect()}
+    for i in o:
+        assert [_bits(x) for x in o[i]] == [_bits(x) for x in n[i]]
+    # the relation is JVM-local: no Python evaluation in its plan
+    from parquet_editor_spark.plans.explain import formatted_plan
+
+    assert "LocalTableScan" in formatted_plan(new)
