@@ -11214,7 +11214,11 @@ def q_winnow_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .filter(F.col("doc_id") % 11 == 0)
     )
-    fps = D.winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
+    # stage boundary (r17): the doc-frequency agg, the cap join and
+    # both self-join sides re-derived the O(len·k) gram hashing
+    # through live lineage (~4 hash passes per run) — materialize the
+    # fingerprint table once (the substring_dedup r17 rule)
+    fps = _seam(D.winnow_fingerprints(docs, "doc_id", "text", k=8, w=4))
     dfreq = fps.groupBy("fp").agg(F.count("*").alias("__n"))
     kept = fps.join(
         dfreq.filter((F.col("__n") >= 2) & (F.col("__n") <= 20)),

@@ -109,6 +109,21 @@ def cache_layout(spark, df, src_path):
         return df.repartition(spark.sparkContext.defaultParallelism)
     if nbytes < 512 * 1024:
         return df
+    # r17 (VERDICT r16 item 4): sub-MiB ARRAY-payload tables (the
+    # vector class — embeddings) stay as read: their per-row work is
+    # one BLAS-batched numpy pass, and the floor-4 layout measured
+    # 8-9% WORSE than as-read (interleaved min-of-5 idle-box:
+    # 0.324 s as-read vs 0.352 floor4 / 0.352 8-part / 0.344 2-part
+    # on topk_cosine) — batching overhead without regex/codegen-class
+    # per-row CPU to parallelize.  Scalar/string tables under the
+    # same size (documents: regex-bound) keep the floor, where the
+    # same A/B methodology measured the floor 1.6x FASTER (r16 §2).
+    from pyspark.sql import types as _T
+
+    if nbytes < 1024 * 1024 and any(
+        isinstance(f.dataType, _T.ArrayType) for f in df.schema.fields
+    ):
+        return df
     cores = spark.sparkContext.defaultParallelism
     target = int(os.environ.get("SPARK_GRAFT_CACHE_TARGET_BYTES", str(1024 * 1024)))
     n = max(min(-(-nbytes // target), cores), min(max(2, cores // 8), cores))
